@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for engine session defaults so Verify/Bench/tests agree.
+  *
+  * Scale notes: `shuffle.partitions` is sized to the local core count here;
+  * on a real cluster this is AQE-coalesced anyway (`adaptive.enabled`). The
+  * nanosAsLong flag is needed because the synthetic `events` table carries
+  * ns-precision timestamps (see [[Tables.events]]).
+  */
+object Sessions {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
+    val spark = builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,368 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operator surface (SURVEY.md §2.1–§2.3, §2.9–§2.12).
+  *
+  * Each query is paired with ANSI SQL in [[oracleSql]] that DuckDB runs over the
+  * same parquet tables. Cross-engine float determinism rules used throughout:
+  *   - money sums go through exact integer cents/ten-thousandths
+  *     (`CAST(ROUND(x*100) AS BIGINT)` summed, divided back once at the end);
+  *   - doubles only ever see a single, identically-ordered division/rounding;
+  *   - every query ends in a total ORDER BY over a unique key set;
+  *   - raw nanosecond timestamps are never emitted (Spark truncates to µs).
+  */
+object Relational {
+
+  /** Q1 — pricing summary report (agg A5/A14 analog; TPC-H Q1 shape).
+    * Map-side partial aggregation + single shuffle on the 2 grouping keys;
+    * at 100 TB the cardinality of (returnflag, linestatus) is tiny so the
+    * reduce side is trivially small — the scan dominates, and only
+    * the 5 referenced columns are read (column pruning). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        (sum(round($"l_extendedprice" * 100).cast("long")) / 100.0).as("sum_base_price"),
+        (sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 10000).cast("long")) / 10000.0)
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Q2 — filter + projection (F6): predicates and 4-column ReadSchema are
+    * pushed into the parquet scan. */
+  def q2Filter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_quantity" > 45 && $"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Q3 — star join + agg (J1/J2): customer/nation/region are dimension
+    * tables, broadcast so the fact scan never shuffles for the join; the
+    * only shuffle is the final groupBy on (r_name, n_name). */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(round($"o_totalprice" * 100).cast("long")) / 100.0).as("total_sales"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Q4 — global top-k (O1/O2): `orderBy().limit(k)` plans as TakeOrderedAndProject,
+    * a per-partition top-k + driver merge — no full sort, no full shuffle. */
+  def q4TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .limit(10)
+  }
+
+  /** Q5 — dedup keep-best (A1, dedupe.ts:23-52): window row_number over the
+    * natural key ordered by recency with a deterministic tiebreak; one shuffle
+    * on user_id. This is the reference's "keep highest quality score" shape. */
+  def q5DedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type",
+        (round($"value" * 100).cast("long")).as("value_cents"))
+      .orderBy($"user_id")
+  }
+
+  /** Q6 — set op (§2.12): union + distinct of two key sets. */
+  def q6Union(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select($"c_nationkey".cast("int").as("nationkey"))
+    val s = Tables.supplier(spark, dir).select($"s_nationkey".cast("int").as("nationkey"))
+    c.unionByName(s).distinct().orderBy($"nationkey")
+  }
+
+  /** Q7 — explode/UDTF surface (S4): tokenize → explode → count; the shuffle
+    * is on the token, with map-side partial counts. */
+  def q7Explode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token")
+  }
+
+  /** Q8 — content hash (X5, transform-products-for-db.js:10-36): stable
+    * sha256 over a canonical field concatenation; pure map, no shuffle. */
+  def q8ContentHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        sha2(concat_ws("|", $"text", $"lang", $"source"), 256).as("content_hash"))
+      .orderBy($"doc_id")
+  }
+
+  /** Q9 — running window (§2.13 progress counters analog): per-user running
+    * total in exact cents; one shuffle on user_id. */
+  def q9RunningWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .withColumn("running_cents", sum($"cents").over(w))
+      .select($"user_id", $"event_id", $"running_cents")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Q10 — similar-group detection (A3, dedupe.ts:100-124): group by
+    * normalized text, keep groups with >1 member. */
+  def q10SimilarGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " ")))
+      .groupBy($"norm")
+      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("first_doc"))
+      .filter($"cnt" > 1)
+      .orderBy($"norm")
+  }
+
+  /** Q11 — error-summary style agg (A11, postgres-adapter.ts:974-1002):
+    * COUNT(*) + COUNT(DISTINCT) + filtered counts per group. */
+  def q11ErrorSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("total"),
+        countDistinct($"user_id").as("distinct_users"),
+        count(when($"value" > 100, 1)).as("high_value"),
+        count(when($"value" <= 100, 1)).as("low_value"))
+      .orderBy($"event_type")
+  }
+
+  /** Q12 — category distribution with share (A7, visualize-data.ts:102-118):
+    * count + percentage per group; the percentage is a single division over
+    * exact integer counts so it is bit-identical across engines. */
+  def q12Distribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("pct", round(lit(100.0) * $"cnt" / sum($"cnt").over(w), 2))
+      .orderBy($"cnt".desc, $"lang")
+  }
+
+  /** Q13 — histogram buckets + stats (A8, visualize-data.ts:123-162):
+    * range buckets via CASE WHEN; avg via exact cents / count (one division). */
+  def q13Histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"cents") / count(lit(1)) / 100.0, 2).as("avg_price"),
+        (min($"cents") / 100.0).as("min_price"),
+        (max($"cents") / 100.0).as("max_price"),
+        count(when($"o_totalprice" < 1000, 1)).as("b_lt_1000"),
+        count(when($"o_totalprice" >= 1000 && $"o_totalprice" < 10000, 1)).as("b_1k_10k"),
+        count(when($"o_totalprice" >= 10000 && $"o_totalprice" < 100000, 1)).as("b_10k_100k"),
+        count(when($"o_totalprice" >= 100000, 1)).as("b_ge_100k"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Q14 — top-k per group (A15 topIssues): rank window + filter. */
+  def q14TopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_custkey", $"rk", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  /** Q15 — pagination (O1, postgres-adapter.ts:72-81): ORDER BY ... LIMIT n
+    * OFFSET m, expressed as a row_number window so it is plan-stable. */
+  def q15Pagination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" > 20 && $"rn" <= 40)
+      .select($"rn", $"o_orderkey", $"o_orderstatus")
+      .orderBy($"rn")
+  }
+
+  /** Q16 — left anti join = changed-row detection shape (J3): rows in orders
+    * whose customer is NOT in the filtered dim — the content-hash anti-join
+    * pattern used before MERGE. */
+  def q16AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigCust = Tables.customer(spark, dir).filter($"c_acctbal" > 0)
+      .select($"c_custkey")
+    Tables.orders(spark, dir)
+      .join(broadcast(bigCust), $"o_custkey" === $"c_custkey", "left_anti")
+      .select($"o_orderkey", $"o_custkey")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Q17 — semi join (EXISTS shape, F5 analog). */
+  def q17SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val promoUsers = Tables.events(spark, dir).filter($"event_type" === "purchase")
+      .select($"user_id").distinct()
+    Tables.events(spark, dir)
+      .join(promoUsers, Seq("user_id"), "left_semi")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  /** Q18 — time-window aggregation (§2.13 batch equivalent of the streaming
+    * tumbling window): per-day per-type counts and exact-cents sums. */
+  def q18TimeWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("day", to_date(date_trunc("day", $"ts")))
+      .groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(round($"value" * 100).cast("long")) / 100.0).as("sum_value"))
+      .orderBy($"day", $"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg _,
+    "q2_filter" -> q2Filter _,
+    "q3_join_agg" -> q3JoinAgg _,
+    "q4_topk" -> q4TopK _,
+    "q5_dedup_keep_best" -> q5DedupKeepBest _,
+    "q6_union" -> q6Union _,
+    "q7_explode" -> q7Explode _,
+    "q8_content_hash" -> q8ContentHash _,
+    "q9_running_window" -> q9RunningWindow _,
+    "q10_similar_groups" -> q10SimilarGroups _,
+    "q11_error_summary" -> q11ErrorSummary _,
+    "q12_distribution" -> q12Distribution _,
+    "q13_histogram" -> q13Histogram _,
+    "q14_topk_per_group" -> q14TopKPerGroup _,
+    "q15_pagination" -> q15Pagination _,
+    "q16_anti_join" -> q16AntiJoin _,
+    "q17_semi_join" -> q17SemiJoin _,
+    "q18_time_window" -> q18TimeWindow _)
+
+  /** DuckDB-flavored ANSI SQL oracles. `1e2`/`1e4` double literals are used
+    * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
+    * round differently from Spark's double arithmetic. */
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice*1e2) AS BIGINT))/1e2 AS sum_base_price,
+        |  sum(CAST(round(l_extendedprice*(1-l_discount)*1e4) AS BIGINT))/1e4 AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q2_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice*1e2) AS BIGINT))/1e2 AS total_sales
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q4_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_dedup_keep_best" ->
+      """SELECT user_id, event_id, event_type,
+        |  CAST(round(value*1e2) AS BIGINT) AS value_cents
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q6_union" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+    "q7_explode" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token""".stripMargin,
+    "q8_content_hash" ->
+      """SELECT doc_id, sha256(concat_ws('|', text, lang, source)) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q9_running_window" ->
+      """SELECT user_id, event_id,
+        |  sum(CAST(round(value*1e2) AS BIGINT)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS running_cents
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q10_similar_groups" ->
+      """SELECT norm, count(*) AS cnt, min(doc_id) AS first_doc FROM (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm FROM documents)
+        |GROUP BY norm HAVING count(*) > 1 ORDER BY norm""".stripMargin,
+    "q11_error_summary" ->
+      """SELECT event_type, count(*) AS total,
+        |  count(DISTINCT user_id) AS distinct_users,
+        |  count(*) FILTER (WHERE value > 100) AS high_value,
+        |  count(*) FILTER (WHERE value <= 100) AS low_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_distribution" ->
+      """SELECT lang, cnt, round(1e2*cnt/sum(cnt) OVER (), 2) AS pct
+        |FROM (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1)
+        |ORDER BY cnt DESC, lang""".stripMargin,
+    "q13_histogram" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(cents)/count(*)/1e2, 2) AS avg_price,
+        |  min(cents)/1e2 AS min_price,
+        |  max(cents)/1e2 AS max_price,
+        |  count(*) FILTER (WHERE o_totalprice < 1000) AS b_lt_1000,
+        |  count(*) FILTER (WHERE o_totalprice >= 1000 AND o_totalprice < 10000) AS b_1k_10k,
+        |  count(*) FILTER (WHERE o_totalprice >= 10000 AND o_totalprice < 100000) AS b_10k_100k,
+        |  count(*) FILTER (WHERE o_totalprice >= 100000) AS b_ge_100k
+        |FROM (SELECT *, CAST(round(o_totalprice*1e2) AS BIGINT) AS cents FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_topk_per_group" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q15_pagination" ->
+      """SELECT rn, o_orderkey, o_orderstatus FROM (
+        |  SELECT *, row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn > 20 AND rn <= 40 ORDER BY rn""".stripMargin,
+    "q16_anti_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q17_semi_join" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_time_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS n,
+        |  sum(CAST(round(value*1e2) AS BIGINT))/1e2 AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
+}
