@@ -1,0 +1,49 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A1–A3, F5 — dedup / grouping (`src/utils/dedupe.ts`).
+  *
+  * Scale note: the keep-best dedup is one shuffle on `unified_id` (window +
+  * row_number) — hash-partitioned, no skew risk on product ids; at 100 TB it
+  * is exactly the dedup shuffle you must pay and nothing more.
+  */
+object Dedupe {
+
+  /** A1 (dedupe.ts:23-52): keep the highest `quality_score` per unified_id.
+    * The reference's Map keeps the FIRST product on ties/missing scores; a
+    * distributed engine has no file order, so callers pass `tiebreak`
+    * columns that make the choice deterministic (defaults to the natural
+    * business key columns). */
+  def keepBest(df: DataFrame, tiebreak: Seq[Column] = Seq(col("shop_type"), col("title")))
+      : DataFrame = {
+    val w = Window.partitionBy(col("unified_id"))
+      .orderBy(col("quality_score").desc_nulls_last +: tiebreak.map(_.asc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** F5 (dedupe.ts:83-93): keep rows with id/shop/title/current_price. */
+  def filterIncomplete(df: DataFrame): DataFrame =
+    df.filter(
+      coalesce(col("unified_id"), lit("")) =!= "" &&
+      coalesce(col("shop_type"), lit("")) =!= "" &&
+      coalesce(col("title"), lit("")) =!= "" &&
+      col("current_price").isNotNull)
+
+  /** A3 (dedupe.ts:100-124): groups of >1 product sharing
+    * (shop_type, lowercase-alnum title). */
+  def similarProducts(df: DataFrame): DataFrame =
+    df.withColumn("_simple", regexp_replace(lower(col("title")), "[^a-z0-9]", ""))
+      .groupBy(col("shop_type"), col("_simple"))
+      .agg(count(lit(1)).as("n"), collect_list(col("unified_id")).as("unified_ids"))
+      .filter(col("n") > 1)
+      .withColumnRenamed("_simple", "simple_title")
+
+  /** A2 (dedupe.ts:59-76): per-shop counts. */
+  def countByRetailer(df: DataFrame): DataFrame =
+    df.groupBy(col("shop_type")).agg(count(lit(1)).as("n_products"))
+}

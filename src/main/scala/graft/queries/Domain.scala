@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.{Quality, Udfs}
+
+/** Domain-operator surface over the synthetic tables (SURVEY.md §2.4–§2.8).
+  *
+  * The shop ETL semantics (promo parsing, unit standardization, discount
+  * metrics, category cascade, quality scoring) are exercised through the
+  * REAL engine code paths (the same UDFs/columns the adapters use) on inputs
+  * synthesized deterministically from the TPC-H-ish tables; each oracle
+  * recomputes the expected output analytically in SQL from the same
+  * generator — an independent derivation, not a port of the Scala code.
+  *
+  * Money values flow through exact integer cents before aggregation/output
+  * so the DuckDB compare is bit-stable.
+  */
+object Domain {
+
+  /** Promotion mechanisms covering every pattern family in the registry,
+    * keyed by `o_orderkey % 10`. Prices: pbb = (k%380)/100 + 0.2 €. */
+  def q19PromoParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mechs = array(
+      lit("2 voor 3.00"), lit("1+1 gratis"), lit("25% korting"), lit("-30%"),
+      lit("2e halve prijs"), lit("2e gratis"), lit("- €0.50"),
+      lit("vanaf €10"), lit("gratis bezorging"), lit("mega deal"))
+    val df = Tables.orders(spark, dir)
+      .withColumn("pbb", (($"o_orderkey" % 19) + 1) * 20 / 100.0)
+      .withColumn("mech", element_at(mechs, ($"o_orderkey" % 10).cast("int") + 1))
+      .withColumn("p", Udfs.parsePromo($"mech", $"pbb", $"pbb"))
+    df.select(
+        $"o_orderkey",
+        $"mech".as("mechanism"),
+        $"p"("promo_type").as("promo_type"),
+        round($"p"("effective_unit_price") * 100).cast("long").as("eff_cents"),
+        coalesce($"p"("required_quantity"), lit(1.0)).as("required_qty"),
+        round(coalesce($"p"("total_promotion_price"), $"pbb") * 100).cast("long")
+          .as("total_cents"),
+        coalesce($"p"("is_multi_purchase_required"), lit(false)).as("multi"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Unit standardization + price-per-standard-unit (U1–U3) over aliases
+    * keyed by `p_partkey % 12`; price = p_retailprice, amount = p_size. */
+  def q20UnitStandardize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val units = array(
+      lit("gram"), lit("kg"), lit("ml"), lit("cl"), lit("liter"), lit("stuks"),
+      lit("per stuk"), lit("6 x 150g"), lit("12-pack"), lit("wasbeurten"),
+      lit("onbekend"), lit("Meter"))
+    // amount 1..5 and integer-euro price make every price/cf quotient land
+    // far from half-cent rounding ties, so the DuckDB compare is bit-stable
+    val df = Tables.part(spark, dir)
+      .withColumn("unit_raw", element_at(units, ($"p_partkey" % 12).cast("int") + 1))
+      .withColumn("amt", (($"p_partkey" % 5) + 1).cast("double"))
+      .withColumn("price", round($"p_retailprice"))
+      .withColumn("std", Udfs.standardizeQuantity($"amt", $"unit_raw"))
+      .withColumn("ppu", Udfs.pricePerUnit($"price", $"std"("conversion_factor")))
+    df.select(
+        $"p_partkey", $"unit_raw",
+        $"std"("unit").as("std_unit"),
+        round($"std"("conversion_factor") * 1000).cast("long").as("cf_milli"),
+        round($"ppu" * 100).cast("long").as("ppu_cents"))
+      .orderBy($"p_partkey")
+  }
+
+  /** U4 discount metrics with exact-cents inputs keyed by `o_orderkey % 4`. */
+  def q21DiscountMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = Tables.orders(spark, dir)
+      .withColumn("orig", (($"o_orderkey" % 225) + 1) * 4 / 100.0 + 1.0)
+      .withColumn("cur", $"orig" * (lit(1.0) - ($"o_orderkey" % 4) * 0.25))
+      .withColumn("dm", Udfs.discountMetrics($"orig", $"cur"))
+    df.select(
+        $"o_orderkey",
+        round($"dm"("amount") * 100).cast("long").as("amount_cents"),
+        round($"dm"("percentage") * 10).cast("long").as("pct_deci"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Category cascade (C1–C7) over a fixed input set keyed by
+    * `p_partkey % 12`: exact, normalized, common-map, partial, ALDI special
+    * case, fuzzy. The oracle is a literal truth table derived by hand from
+    * the reference's normalizer semantics. */
+  def q22CategoryNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cats = array(
+      lit("Bakkerij"), lit("bakkerij"), lit("Zuivel, eieren"), lit("kaas"),
+      lit("verse groenten"), lit("brood"), lit("Bakkerei"), lit("trots van aldi"),
+      lit("aldi trots producten"), lit("wijn"), lit("Diepvriez"), lit("snacks"))
+    val df = Tables.part(spark, dir)
+      .withColumn("cat_raw", element_at(cats, ($"p_partkey" % 12).cast("int") + 1))
+      .withColumn("c", Udfs.normalizeCategory($"p_name", $"cat_raw", lit("ALDI")))
+    df.select($"p_partkey", $"cat_raw",
+        $"c"("category").as("category"), $"c"("method").as("method"))
+      .orderBy($"p_partkey")
+  }
+
+  /** A4 quality scoring through the engine's scoring column on products
+    * synthesized from `part` (fields present/absent by partkey bits). */
+  def q23QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = Tables.part(spark, dir).select(
+      $"p_partkey",
+      $"p_name".as("title"),
+      when($"p_partkey" % 2 === 0, $"p_brand").otherwise(lit("")).as("brand"),
+      when($"p_partkey" % 3 === 0, concat(lit("img/"), $"p_partkey"))
+        .otherwise(lit("")).as("image_url"),
+      when($"p_partkey" % 5 === 0, lit("Bakkerij")).otherwise(lit(null).cast("string"))
+        .as("main_category"),
+      ($"p_partkey" % 7 === 0).as("is_promotion"),
+      lit("2 voor 3.00").as("promotion_mechanism"),
+      ($"p_partkey" % 2 === 0).as("is_active"),
+      when($"p_partkey" % 11 === 0, lit(0.0)).otherwise($"p_size".cast("double"))
+        .as("quantity_amount"),
+      lit("g").as("quantity_unit"),
+      when($"p_partkey" % 13 === 0, lit(null).cast("double")).otherwise(lit(0.5))
+        .as("conversion_factor"))
+    df.select($"p_partkey", Quality.score.cast("long").as("quality_score"))
+      .orderBy($"p_partkey")
+  }
+
+  /** A10 job-success-rate expression (postgres-adapter.ts:936-972) over the
+    * events table treated as a job log: per event_type, percentage of
+    * high-value events, ROUND(x,2) guarded by total>0. */
+  def q24SuccessRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("total"),
+        count(when($"value" > 100, 1)).as("success"))
+      .withColumn("success_rate",
+        when($"total" > 0, round($"success" * 100.0 / $"total", 2)).otherwise(lit(0.0)))
+      .orderBy($"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_promo_parse" -> q19PromoParse _,
+    "q20_unit_standardize" -> q20UnitStandardize _,
+    "q21_discount_metrics" -> q21DiscountMetrics _,
+    "q22_category_normalize" -> q22CategoryNormalize _,
+    "q23_quality_score" -> q23QualityScore _,
+    "q24_success_rate" -> q24SuccessRate _)
+
+  val oracleSql: Map[String, String] = Map(
+    // Analytic recomputation: k = o_orderkey%10 selects the pattern, so the
+    // expected effective price/type follow from the promotion definitions.
+    "q19_promo_parse" -> """
+      |WITH base AS (
+      |  SELECT o_orderkey, ((o_orderkey % 19) + 1) * 20/1e2 AS pbb,
+      |         CAST(o_orderkey % 10 AS INT) AS k
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  CASE k WHEN 0 THEN '2 voor 3.00' WHEN 1 THEN '1+1 gratis'
+      |    WHEN 2 THEN '25% korting' WHEN 3 THEN '-30%'
+      |    WHEN 4 THEN '2e halve prijs' WHEN 5 THEN '2e gratis'
+      |    WHEN 6 THEN '- €0.50' WHEN 7 THEN 'vanaf €10'
+      |    WHEN 8 THEN 'gratis bezorging' ELSE 'mega deal' END AS mechanism,
+      |  CASE k WHEN 0 THEN 'X_FOR_Y' WHEN 1 THEN 'X_PLUS_Y_FREE'
+      |    WHEN 2 THEN 'PERCENTAGE_DISCOUNT' WHEN 3 THEN 'PERCENTAGE_DISCOUNT'
+      |    WHEN 4 THEN 'SECOND_HALF_PRICE' WHEN 5 THEN 'SECOND_FREE'
+      |    WHEN 6 THEN 'FIXED_DISCOUNT' WHEN 7 THEN 'CONDITIONAL_SPEND'
+      |    WHEN 8 THEN 'DELIVERY_PROMO' ELSE 'UNKNOWN' END AS promo_type,
+      |  CAST(round(100 * round(CASE k
+      |    WHEN 0 THEN 1.50 WHEN 1 THEN pbb*0.5 WHEN 2 THEN pbb*0.75
+      |    WHEN 3 THEN pbb*0.7 WHEN 4 THEN pbb*0.75 WHEN 5 THEN pbb*0.5
+      |    WHEN 6 THEN greatest(pbb-0.5, 0) ELSE pbb END, 2)) AS BIGINT) AS eff_cents,
+      |  CASE k WHEN 0 THEN 2.0 WHEN 1 THEN 2.0 WHEN 4 THEN 2.0 WHEN 5 THEN 2.0
+      |    ELSE 1.0 END AS required_qty,
+      |  CAST(round(100 * round(CASE k
+      |    WHEN 0 THEN 3.00 WHEN 1 THEN pbb WHEN 4 THEN pbb*1.5 WHEN 5 THEN pbb
+      |    ELSE pbb END, 2)) AS BIGINT) AS total_cents,
+      |  k IN (0,1,4,5) AS multi
+      |FROM base ORDER BY o_orderkey""".stripMargin,
+    "q20_unit_standardize" -> """
+      |WITH base AS (
+      |  SELECT p_partkey, round(p_retailprice) AS price,
+      |         CAST(p_partkey % 5 AS DOUBLE) + 1 AS amt,
+      |         CAST(p_partkey % 12 AS INT) AS k
+      |  FROM part),
+      |calc AS (
+      |  SELECT p_partkey, price, k,
+      |    CASE k WHEN 0 THEN 'gram' WHEN 1 THEN 'kg' WHEN 2 THEN 'ml'
+      |      WHEN 3 THEN 'cl' WHEN 4 THEN 'liter' WHEN 5 THEN 'stuks'
+      |      WHEN 6 THEN 'per stuk' WHEN 7 THEN '6 x 150g' WHEN 8 THEN '12-pack'
+      |      WHEN 9 THEN 'wasbeurten' WHEN 10 THEN 'onbekend' ELSE 'Meter' END AS unit_raw,
+      |    CASE k WHEN 0 THEN 'kg' WHEN 1 THEN 'kg' WHEN 2 THEN 'l' WHEN 3 THEN 'l'
+      |      WHEN 4 THEN 'l' WHEN 7 THEN 'kg' WHEN 11 THEN 'm' ELSE 'stuk' END AS std_unit,
+      |    CASE k WHEN 0 THEN greatest(amt/1000, 0.001)      -- g → kg
+      |      WHEN 1 THEN greatest(amt, 0.001)                -- kg
+      |      WHEN 2 THEN greatest(amt/1000, 0.001)           -- ml → l
+      |      WHEN 3 THEN greatest(amt*10/1000, 0.001)        -- cl → l
+      |      WHEN 4 THEN greatest(amt, 0.001)                -- l
+      |      WHEN 7 THEN greatest(amt/1000, 0.001)           -- multi-pack g → kg
+      |      WHEN 11 THEN greatest(amt, 0.001)               -- m
+      |      ELSE greatest(amt, 1) END AS cf                 -- stuk floor 1
+      |  FROM base)
+      |SELECT p_partkey, unit_raw, std_unit,
+      |  CAST(round(cf*1000) AS BIGINT) AS cf_milli,
+      |  CAST(round(100 * least(round(price/cf, 2), 10000)) AS BIGINT) AS ppu_cents
+      |FROM calc ORDER BY p_partkey""".stripMargin,
+    "q21_discount_metrics" -> """
+      |WITH base AS (
+      |  SELECT o_orderkey, ((o_orderkey % 225) + 1) * 4/1e2 + 1.0 AS orig,
+      |         1.0 - (o_orderkey % 4)*0.25 AS f
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  CAST(round(100 * CASE WHEN f >= 1.0 OR orig*f <= 0 THEN 0
+      |    ELSE round(orig - orig*f, 2) END) AS BIGINT) AS amount_cents,
+      |  CAST(round(10 * CASE WHEN f >= 1.0 OR orig*f <= 0 THEN 0
+      |    ELSE round((orig - orig*f)/orig*100, 1) END) AS BIGINT) AS pct_deci
+      |FROM base ORDER BY o_orderkey""".stripMargin,
+    // Truth table derived from the reference cascade by hand (shop=ALDI):
+    //  Bakkerij/bakkerij → exact; 'Zuivel, eieren' → common map; 'kaas' →
+    //  Zuivel (last-set-wins); 'verse groenten' → partial on 'groenten';
+    //  'brood' → common; 'Bakkerei' → fuzzy; 'trots van aldi' → common (its
+    //  normalized form is a map key); 'aldi trots producten' → ALDI special
+    //  case default; 'wijn' → common; 'Diepvriez' → fuzzy; 'snacks' → common.
+    "q22_category_normalize" -> """
+      |SELECT p_partkey,
+      |  CASE CAST(p_partkey % 12 AS INT)
+      |    WHEN 0 THEN 'Bakkerij' WHEN 1 THEN 'bakkerij' WHEN 2 THEN 'Zuivel, eieren'
+      |    WHEN 3 THEN 'kaas' WHEN 4 THEN 'verse groenten' WHEN 5 THEN 'brood'
+      |    WHEN 6 THEN 'Bakkerei' WHEN 7 THEN 'trots van aldi'
+      |    WHEN 8 THEN 'aldi trots producten' WHEN 9 THEN 'wijn'
+      |    WHEN 10 THEN 'Diepvriez' ELSE 'snacks' END AS cat_raw,
+      |  CASE CAST(p_partkey % 12 AS INT)
+      |    WHEN 0 THEN 'Bakkerij' WHEN 1 THEN 'Bakkerij'
+      |    WHEN 2 THEN 'Zuivel, eieren, boter' WHEN 3 THEN 'Zuivel, eieren, boter'
+      |    WHEN 4 THEN 'Aardappel, groente, fruit' WHEN 5 THEN 'Bakkerij'
+      |    WHEN 6 THEN 'Bakkerij' WHEN 7 THEN 'Aardappel, groente, fruit'
+      |    WHEN 8 THEN 'Aardappel, groente, fruit' WHEN 9 THEN 'Wijn en bubbels'
+      |    WHEN 10 THEN 'Diepvries' ELSE 'Chips, noten, toast, popcorn' END AS category,
+      |  CASE CAST(p_partkey % 12 AS INT)
+      |    WHEN 4 THEN 'partial' WHEN 6 THEN 'fuzzy' WHEN 8 THEN 'special_case'
+      |    WHEN 10 THEN 'fuzzy' ELSE 'direct' END AS method
+      |FROM part ORDER BY p_partkey""".stripMargin,
+    "q23_quality_score" -> """
+      |SELECT p_partkey, CAST(least(50
+      |  + CASE WHEN p_partkey % 3 = 0 THEN 10 ELSE 0 END
+      |  + CASE WHEN p_partkey % 5 = 0 THEN 5 ELSE 0 END
+      |  + CASE WHEN p_partkey % 2 = 0 THEN 5 ELSE 0 END
+      |  + CASE WHEN p_partkey % 7 = 0 THEN 10 ELSE 0 END
+      |  + CASE WHEN p_partkey % 2 = 0 THEN 5 ELSE 0 END
+      |  + CASE WHEN p_partkey % 11 <> 0 THEN 10 ELSE 0 END
+      |  + CASE WHEN p_partkey % 13 <> 0 THEN 5 ELSE 0 END, 100) AS BIGINT)
+      |  AS quality_score
+      |FROM part ORDER BY p_partkey""".stripMargin,
+    "q24_success_rate" -> """
+      |SELECT event_type, count(*) AS total,
+      |  count(*) FILTER (WHERE value > 100) AS success,
+      |  CASE WHEN count(*) > 0
+      |    THEN round(count(*) FILTER (WHERE value > 100) * 1e2 / count(*), 2)
+      |    ELSE 0 END AS success_rate
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+}
