@@ -1,0 +1,204 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale dedup + similarity-search operators for training-data
+  * pipelines: exact dedup, n-gram Jaccard, MinHash+LSH, SimHash banding,
+  * and embedding ANN (brute-force baseline + LSH-bucketed scale path).
+  *
+  * Scale design notes (the point of each operator):
+  *  - exact dedup: one shuffle on the content hash; combiner-friendly.
+  *  - n-gram Jaccard: shuffle on shingle; the candidate join only ever
+  *    materializes pairs that share a shingle (no O(n²) cross join).
+  *  - MinHash+LSH: signatures are a narrow per-row map; the only shuffle is
+  *    the (band, bucket) groupBy, and bucket sizes bound pair generation.
+  *  - SimHash: per-row 64-bit sketch; near-dup candidates via band equality
+  *    (pigeonhole: hamming ≤ 3 ⇒ one of 4 16-bit bands equal).
+  *  - ANN brute force: broadcast the (small) query set, map-side top-k per
+  *    partition via window; corpus is never shuffled except the final
+  *    per-query k-row reduce.
+  */
+object Similarity {
+
+  // ---------- exact dedup (hash groupBy) ----------
+
+  /** Exact dedup on a text column: survivors keep the minimum id per
+    * normalized content hash. Returns (hash, keep_id, dup_count). */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("_h", sha2(col(textCol), 256))
+      .groupBy(col("_h").as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  // ---------- word shingles ----------
+
+  /** Distinct word n-gram shingles per row → (id, shingle), exploded.
+    * transform over a sequence of slices keeps this in codegen. */
+  def explodeShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val sh = array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+    df.select(col(idCol).as("id"), explode(sh).as("shingle"))
+  }
+
+  /** n-gram Jaccard candidate pairs: rows sharing ≥1 shingle, with exact
+    * intersection/union counts (set semantics). Output:
+    * (id_a, id_b, inter, union_size, size_a, size_b), id_a < id_b. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = explodeShingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
+      .withColumn("union_size", col("size_a") + col("size_b") - col("inter"))
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  /** MinHash signature: for seed i, min over shingles of xxhash64(i, shingle).
+    * Computed as one groupBy with `numHashes` min-aggregates — map-side
+    * combine keeps the shuffle at one row per id. */
+  def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    shingles.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: bucket = hash of each band's slice of the signature; docs
+    * sharing any (band, bucket) become candidate pairs (distinct). */
+  def lshCandidatePairs(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = signatures.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit("band"), b, array_join(
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")), ",")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup detection end to end: candidates from banding,
+    * verified with exact shingle-set Jaccard ≥ `threshold`. */
+  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 1.0): DataFrame = {
+    val sh = explodeShingles(df, idCol, textCol, n).cache()
+    val sigs = minhashSignatures(sh, numHashes)
+    val cands = lshCandidatePairs(sigs, bands, numHashes / bands)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.withColumnRenamed("id", "id_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    cands.join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0, Seq("inter"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("size_a") + col("size_b") - col("inter")).as("union_size"))
+  }
+
+  // ---------- SimHash ----------
+
+  private val simhashUdf = udf((t: String) => graft.functions.Text.simhashBits(t))
+
+  /** Per-row 64-bit SimHash sketch as a bit string (SQL-oracle-friendly). */
+  def withSimhash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
+    df.withColumn(out, simhashUdf(col(textCol)))
+
+  /** SimHash near-dup pairs with hamming ≤ maxDist, banded into 4 16-bit
+    * blocks (pigeonhole guarantees recall for maxDist ≤ 3). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val withSh = withSimhash(df.select(col(idCol).as("id"), col(textCol).as("text")), "text")
+    val banded = withSh.select(col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => col("simhash").substr(b * lit(16) + 1, lit(16)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "block")
+    val hammingUdf = udf((a: String, b: String) => graft.functions.Text.hamming(a, b))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.block") === col("b.block") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", hammingUdf(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // ---------- embedding similarity search ----------
+
+  /** Element-wise int quantization of a float vector column (scale 1000):
+    * integer dots are exact and engine-order-independent, which makes ANN
+    * results byte-stable across engines (int8/int16 quantization is also
+    * the standard serving trick at scale). */
+  def quantize(vec: Column, scale: Int = 1000): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Brute-force top-k neighbors for each query id: broadcast the query
+    * set, score the whole corpus map-side, take k per query. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), quantize(col(vecCol)).as("qv"))
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .withColumn("dot", qdot(col("qq"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("dot"))
+  }
+
+  /** Sign-LSH bucketed ANN (the scale path): bucket = sign bits of the
+    * first `bits` dims; queries probe their own bucket only. Same output
+    * shape as bruteForceTopK; recall < 1 by construction. At 100 TB the
+    * corpus is hash-partitioned by bucket so each query touches one
+    * partition group instead of the full corpus. */
+  def lshBucketTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+    // bucket = sign bits of the first `bits` dims, folded as acc*2 + bit
+    def bucket(vec: Column) = aggregate(slice(vec, 1, bits), lit(0L),
+      (acc, x) => acc * 2 + when(x >= 0, 1L).otherwise(0L))
+    val c = corpus.select(col(idCol).as("nn_id"), quantize(col(vecCol)).as("qv"),
+      bucket(col(vecCol)).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"),
+      bucket(col(vecCol)).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("dot", qdot(col("qq"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("dot"))
+  }
+
+  /** True double-precision cosine (unit-norm corpus ⇒ plain dot), for
+    * in-engine use where cross-engine bit-stability doesn't matter. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+}

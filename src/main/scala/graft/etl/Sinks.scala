@@ -1,0 +1,117 @@
+package graft.etl
+
+import java.sql.Connection
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY.md §2.2 K1–K5).
+  *
+  * K1 file sink: plain `write.json/parquet` with versioned backup dirs.
+  * K2/K3 upserts: the reference's `INSERT … ON CONFLICT DO UPDATE`
+  * (postgres-adapter.ts:172-251, 637-788) becomes stage-to-temp + MERGE
+  * executed over JDBC — the scalable shape: executors write the batch in
+  * parallel, one driver-side MERGE moves it atomically.
+  * K4 error sink: append-mode side-output.
+  * K5 reports: small aggregates collected and formatted driver-side.
+  */
+object Sinks {
+
+  /** K1 — unified JSON/parquet sink with backup rotation: the current dir
+    * is renamed to `<dir>.bak-<n>` before overwrite (output.ts:47-110's
+    * backup behavior, directory-versioned instead of file-versioned). */
+  def writeVersioned(df: DataFrame, dir: String, format: String = "parquet",
+      keepBackups: Int = 2): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      val stamped = new org.apache.hadoop.fs.Path(dir + ".bak-" + System.nanoTime())
+      fs.rename(path, stamped)
+      // prune old backups beyond keepBackups (oldest first)
+      val parent = path.getParent
+      val backups = fs.listStatus(parent)
+        .filter(_.getPath.getName.startsWith(path.getName + ".bak-"))
+        .sortBy(_.getPath.getName)
+      backups.dropRight(keepBackups).foreach(b => fs.delete(b.getPath, true))
+    }
+    df.write.format(format).mode(SaveMode.Overwrite).save(dir)
+  }
+
+  /** K2/K3 — MERGE statement for the staging/processed upserts. Key columns
+    * mirror the reference's conflict targets: staging (shop_type,
+    * external_id); processed (shop_type, external_id, schema_version). */
+  def mergeSql(target: String, staging: String, keyCols: Seq[String],
+      updateCols: Seq[String]): String = {
+    val on = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
+    val sets = (updateCols.map(c => s"$c = s.$c") :+ "updated_at = now()").mkString(", ")
+    val insertCols = (keyCols ++ updateCols).mkString(", ")
+    val insertVals = (keyCols ++ updateCols).map("s." + _).mkString(", ")
+    s"""MERGE INTO $target t USING $staging s ON ($on)
+       |WHEN MATCHED THEN UPDATE SET $sets
+       |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin
+  }
+
+  /** K2/K3 executed: stage the batch via parallel JDBC append, then run one
+    * MERGE transactionally. `connect` is injected so tests can use an
+    * embedded DB and prod can pool. */
+  def jdbcUpsert(batch: DataFrame, jdbcUrl: String, props: java.util.Properties,
+      target: String, keyCols: Seq[String],
+      connect: String => Connection = java.sql.DriverManager.getConnection): Unit = {
+    val staging = target.replace('.', '_') + "_stage"
+    batch.write.mode(SaveMode.Overwrite).jdbc(jdbcUrl, staging, props)
+    val updateCols = batch.columns.filterNot(keyCols.contains).toSeq
+    val conn = connect(jdbcUrl)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try { st.execute(mergeSql(target, staging, keyCols, updateCols)); conn.commit() }
+      finally st.close()
+    } finally conn.close()
+  }
+
+  /** K4 — error side-output: shaped like processing_errors
+    * (init-processor-schema.sql:69-82). */
+  def errorRows(df: DataFrame, errorPredicate: org.apache.spark.sql.Column,
+      errorType: String, severity: String, jobId: String): DataFrame =
+    df.filter(errorPredicate).select(
+      lit(jobId).as("job_id"),
+      col("unified_id").as("product_id"),
+      lit(errorType).as("error_type"),
+      lit(severity).as("severity"),
+      current_timestamp().as("created_at"))
+
+  // ---------- K5 reports (driver-side formatting of small aggregates) ----------
+
+  /** A13 — error grouping with first-k examples (base.ts:626-667). */
+  def errorReport(errors: DataFrame, k: Int = 5): DataFrame =
+    errors.groupBy(col("error_type"))
+      .agg(count(lit(1)).as("n"),
+        slice(collect_list(col("product_id")), 1, k).as("examples"))
+      .orderBy(col("n").desc, col("error_type"))
+
+  /** A12 — schema-version stats (postgres-adapter.ts:1004-1023). */
+  def schemaVersionStats(processed: DataFrame): DataFrame =
+    processed.withColumn("schema_version",
+        coalesce(col("schema_version"), lit(graft.model.UnifiedProduct.CurrentSchemaVersion)))
+      .groupBy(col("schema_version"), col("shop_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("schema_version"), col("shop_type"))
+
+  /** A16 — structure drift: per-field presence rates over the 32-field
+    * contract (structure-validator.ts:128-210). */
+  def fieldPresenceReport(unified: DataFrame): DataFrame = {
+    val presence = graft.model.UnifiedProduct.requiredFields.map(f =>
+      round(avg(when(col(f).isNotNull, 1).otherwise(0)) * 100, 2).as(f))
+    unified.agg(presence.head, presence.tail: _*)
+  }
+
+  /** A14 — run summary via observe(): counters collected without a second
+    * pass over the data (replaces the reference's in-memory job counters).
+    * Returns the observed DataFrame; read the metrics from a
+    * QueryExecutionListener or `observedMetrics` after an action. */
+  def withRunCounters(unified: DataFrame): DataFrame =
+    unified.observe("run_summary",
+      count(lit(1)).as("n_rows"),
+      count(when(col("is_promotion"), 1)).as("n_promotions"),
+      count(when(!col("is_active"), 1)).as("n_inactive"),
+      count(when(col("main_category").isNull, 1)).as("n_uncategorized"))
+}

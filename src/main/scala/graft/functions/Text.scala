@@ -1,0 +1,105 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Text-analysis primitives for the large-scale training-data pipeline
+  * operators (language-ID, quality scoring, token counting, fingerprinting,
+  * SimHash). These go beyond the reference's own surface (BASELINE.json
+  * north star) but reuse its design style: pure JVM functions wrapped in
+  * narrow UDFs, with the heavy lifting done by built-in columns.
+  */
+object Text {
+
+  def md5Hex(s: String): String = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** Whitespace tokens, empties dropped (matches `split(text,' ')` + filter). */
+  def tokens(text: String): Array[String] =
+    if (text == null) Array.empty else text.split(" ").filter(_.nonEmpty)
+
+  /** Word n-gram shingles (distinct), joined with a single space. */
+  def shingles(text: String, n: Int): Array[String] = {
+    val t = tokens(text)
+    if (t.length < n) Array.empty
+    else t.sliding(n).map(_.mkString(" ")).toArray.distinct
+  }
+
+  /** 64-bit SimHash over whitespace tokens (multiplicity kept), built from
+    * the first 16 hex digits of each token's MD5 — chosen so a SQL oracle
+    * can recompute it with `md5()` alone. Output: 64-char bit string, bit i
+    * = nibble i/4 of the MD5, bit (3 - i%4); set when the weighted sum > 0.
+    */
+  def simhashBits(text: String): String = {
+    val sums = new Array[Int](64)
+    tokens(text).foreach { tok =>
+      val hx = md5Hex(tok)
+      var i = 0
+      while (i < 64) {
+        val nibble = Character.digit(hx.charAt(i / 4), 16)
+        val bit = (nibble >> (3 - i % 4)) & 1
+        sums(i) += (if (bit == 1) 1 else -1)
+        i += 1
+      }
+    }
+    val sb = new StringBuilder(64)
+    var i = 0
+    while (i < 64) { sb.append(if (sums(i) > 0) '1' else '0'); i += 1 }
+    sb.toString
+  }
+
+  /** Hamming distance between two same-length bit strings. */
+  def hamming(a: String, b: String): Int = {
+    require(a.length == b.length)
+    var d = 0; var i = 0
+    while (i < a.length) { if (a(i) != b(i)) d += 1; i += 1 }
+    d
+  }
+
+  /** Tiny per-language marker-token profiles for the heuristic language-ID
+    * operator (n-gram/stopword profile scoring). */
+  val langProfiles: Seq[(String, Set[String])] = Seq(
+    "de" -> Set("der", "die", "das", "und", "ein", "nicht", "ist"),
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Set("el", "los", "las", "y", "un", "que", "es"),
+    "fr" -> Set("le", "la", "les", "et", "un", "est", "que"),
+    "nl" -> Set("de", "het", "een", "en", "van", "niet", "is"))
+
+  /** Argmax language by marker hits; ties resolve to the alphabetically
+    * first language (profiles are sorted), score = hit count. */
+  def languageId(text: String): (String, Int) = {
+    val t = tokens(text).map(_.toLowerCase)
+    var best = "de"; var bestScore = -1
+    langProfiles.foreach { case (lang, set) =>
+      val s = t.count(set.contains)
+      if (s > bestScore) { best = lang; bestScore = s }
+    }
+    (best, bestScore)
+  }
+
+  /** BPE-ish pre-tokenization count: letter runs, digit runs, single other
+    * non-space chars — the standard shape of a byte-pair pre-split. */
+  private val bpeishRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+  def bpeishTokenCount(text: String): Int =
+    if (text == null) 0 else bpeishRe.findAllIn(text).size
+
+  /** Rolling polynomial hash (base 257 mod 2^31-1) over the chars — the
+    * document-fingerprinting primitive for winnowing-style selection.
+    * h*257 + c < 2^40 so the accumulator never overflows a Long. */
+  def rollingHash(s: String): Long = {
+    val Mod = (1L << 31) - 1
+    var h = 0L
+    s.foreach { c => h = (h * 257 + c) % Mod }
+    h
+  }
+
+  /** Winnowing fingerprints: min rolling hash per window of k-grams. */
+  def winnow(text: String, k: Int = 5, window: Int = 4): Seq[Long] = {
+    val grams = text.sliding(k).map(rollingHash).toArray
+    if (grams.isEmpty) Nil
+    else if (grams.length <= window) Seq(grams.min)
+    else grams.sliding(window).map(_.min).toVector.distinct
+  }
+}

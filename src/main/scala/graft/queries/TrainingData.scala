@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.{Multimodal, Similarity}
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (dedup families, similarity search, text analysis, multimodal plumbing)
+  * — the beyond-the-reference surface required for 100 TB corpora.
+  *
+  * Duplicate-detection queries run on a corpus with PLANTED duplicates
+  * (every doc_id % 10 == 0 re-appears as doc_id + 1,000,000) so the
+  * expected pair set is deterministic and oracle-checkable.
+  */
+object TrainingData {
+
+  /** documents ∪ planted duplicates. */
+  def corpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"doc_id", $"text")
+    d.unionByName(
+      d.filter($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + 1000000L))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)"""
+      .stripMargin
+
+  /** Exact dedup: hash-groupBy on sha256(text); one combiner-friendly
+    * shuffle regardless of corpus size. */
+  def q25DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.exactDupGroups(corpus(spark, dir), "doc_id", "text")
+      .orderBy($"keep_id")
+  }
+
+  /** n-gram (3-word shingle) Jaccard near-dup pairs at J ≥ 0.5, integer
+    * intersection/union only (no float compare). */
+  def q26NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.ngramJaccardPairs(corpus(spark, dir), "doc_id", "text", 3)
+      .filter($"inter" * 2 >= $"union_size")
+      .select($"id_a", $"id_b", $"inter", $"union_size")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** MinHash (32 perms) + LSH (8 bands × 4) candidate generation, verified
+    * at exact Jaccard = 1.0: identical signatures always collide, so the
+    * result is exactly the identical-shingle-set pairs — deterministic. */
+  def q27MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.minhashDedupPairs(corpus(spark, dir), "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, threshold = 1.0)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** 64-bit SimHash sketch per document (md5-nibble construction so the
+    * oracle can recompute it in SQL). */
+  def q28Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.withSimhash(Tables.documents(spark, dir), "text")
+      .select($"doc_id", $"simhash")
+      .orderBy($"doc_id")
+  }
+
+  /** Brute-force ANN top-10 by int-quantized dot product (embeddings are
+    * unit-norm, so dot = cosine; integer dots are exact in both engines). */
+  def q29AnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" % 400 === 0)
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Heuristic language-ID: marker-token profile argmax (alphabetical
+    * first-wins on ties). */
+  def q30LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = transform(
+      filter(split($"text", " "), t => t =!= ""), t => lower(t))
+    def hits(words: Set[String]) =
+      size(filter(toks, t => t.isInCollection(words.toSeq)))
+    val scored = graft.functions.Text.langProfiles.foldLeft(
+      Tables.documents(spark, dir).select($"doc_id", $"text")) {
+      case (df, (lang, set)) => df.withColumn(s"s_$lang", hits(set))
+    }
+    // first (alphabetical) strict argmax — mirrors Text.languageId
+    val pred =
+      when($"s_de" >= $"s_en" && $"s_de" >= $"s_es" && $"s_de" >= $"s_fr" && $"s_de" >= $"s_nl", "de")
+        .when($"s_en" >= $"s_es" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_nl", "en")
+        .when($"s_es" >= $"s_fr" && $"s_es" >= $"s_nl", "es")
+        .when($"s_fr" >= $"s_nl", "fr")
+        .otherwise("nl")
+    scored.select($"doc_id", pred.as("lang_pred"),
+        greatest($"s_de", $"s_en", $"s_es", $"s_fr", $"s_nl").as("score"))
+      .orderBy($"doc_id")
+  }
+
+  /** Text-quality stats: char/token/punct/digit counts, BPE-ish token
+    * count, stopword hits — all integers, all codegen column expressions. */
+  def q31TextQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = filter(split($"text", " "), t => t =!= "")
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    Tables.documents(spark, dir).select(
+        $"doc_id",
+        length($"text").as("n_chars"),
+        size(toks).as("n_tokens"),
+        length(regexp_replace($"text", " ", "")).as("sum_token_len"),
+        length(regexp_replace($"text", "[A-Za-z0-9\\s]", "")).as("n_punct"),
+        length(regexp_replace($"text", "[^0-9]", "")).as("n_digits"),
+        size(regexp_extract_all($"text",
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpeish_tokens"),
+        size(filter(transform(toks, t => lower(t)),
+          t => t.isInCollection(stop))).as("n_stopwords"))
+      .orderBy($"doc_id")
+  }
+
+  /** Multimodal plumbing: opaque binary payloads + batch (mapPartitions)
+    * feature extraction through the stub codec; byte counts and payload
+    * hashes are oracle-checkable, stub features are spec-tested. */
+  def q32Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.mediaFromText(
+      Tables.documents(spark, dir), "doc_id", "text")
+    Multimodal.extractFeatures(media).toDF()
+      .select($"media_id", $"media_type", $"n_bytes", $"payload_sha")
+      .orderBy($"media_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_dedup_exact" -> q25DedupExact _,
+    "q26_ngram_jaccard" -> q26NgramJaccard _,
+    "q27_minhash_lsh" -> q27MinhashLsh _,
+    "q28_simhash" -> q28Simhash _,
+    "q29_ann_topk" -> q29AnnTopK _,
+    "q30_langid" -> q30LangId _,
+    "q31_text_quality" -> q31TextQuality _,
+    "q32_multimodal" -> q32Multimodal _)
+
+  private val shinglesSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, tf[i] || ' ' || tf[i+1] || ' ' || tf[i+2] AS s
+      |  FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tf
+      |        FROM corpus),
+      |       LATERAL (SELECT unnest(generate_series(1, greatest(len(tf)-2, 0))) AS i) g)"""
+      .stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q25_dedup_exact" -> s"""
+      |WITH $corpusSql
+      |SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+      |       count(*) AS dup_count
+      |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q26_ngram_jaccard" -> s"""
+      |WITH $corpusSql,
+      |$shinglesSql,
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, inter, sa.n + sb.n - inter AS union_size
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE 2*inter >= sa.n + sb.n - inter
+      |ORDER BY id_a, id_b""".stripMargin,
+    "q27_minhash_lsh" -> s"""
+      |WITH $corpusSql,
+      |$shinglesSql,
+      |sets AS (SELECT doc_id, list_sort(list(DISTINCT s)) AS ss,
+      |                count(DISTINCT s) AS n
+      |         FROM sh GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS inter, a.n AS union_size
+      |FROM sets a JOIN sets b ON a.ss = b.ss AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin,
+    "q28_simhash" -> """
+      |WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id, i,
+      |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), i//4 + 1, 1)) - 1
+      |                    >> (3 - i%4)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM toks, (SELECT unnest(generate_series(0, 63)) AS i)
+      |  GROUP BY doc_id, i)
+      |SELECT doc_id,
+      |  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q29_ann_topk" -> """
+      |WITH e AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT qe.vec_id AS query_id, ce.vec_id AS nn_id,
+      |    CAST(list_dot_product(qe.q, ce.q) AS BIGINT) AS dot
+      |  FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id
+      |  WHERE qe.vec_id % 400 = 0),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dot DESC, nn_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, nn_id, dot FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q30_langid" -> """
+      |WITH t AS (
+      |  SELECT doc_id, list_transform(
+      |    list_filter(string_split(text,' '), x -> x <> ''), x -> lower(x)) AS tk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    len(list_filter(tk, x -> x IN ('der','die','das','und','ein','nicht','ist'))) AS de,
+      |    len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is'))) AS en,
+      |    len(list_filter(tk, x -> x IN ('el','los','las','y','un','que','es'))) AS es,
+      |    len(list_filter(tk, x -> x IN ('le','la','les','et','un','est','que'))) AS fr,
+      |    len(list_filter(tk, x -> x IN ('de','het','een','en','van','niet','is'))) AS nl
+      |  FROM t)
+      |SELECT doc_id,
+      |  CASE WHEN de >= en AND de >= es AND de >= fr AND de >= nl THEN 'de'
+      |       WHEN en >= es AND en >= fr AND en >= nl THEN 'en'
+      |       WHEN es >= fr AND es >= nl THEN 'es'
+      |       WHEN fr >= nl THEN 'fr' ELSE 'nl' END AS lang_pred,
+      |  greatest(de, en, es, fr, nl) AS score
+      |FROM s ORDER BY doc_id""".stripMargin,
+    "q31_text_quality" -> """
+      |SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens,
+      |  length(replace(text, ' ', '')) AS sum_token_len,
+      |  length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+      |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens,
+      |  len(list_filter(list_transform(list_filter(string_split(text,' '), x -> x <> ''),
+      |    x -> lower(x)), x -> x IN ('the','a','of','and','to','in','is'))) AS n_stopwords
+      |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_multimodal" -> """
+      |SELECT doc_id AS media_id, 'image' AS media_type,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  sha256(text) AS payload_sha
+      |FROM documents ORDER BY media_id""".stripMargin)
+}

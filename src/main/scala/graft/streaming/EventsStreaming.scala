@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming surface (SURVEY.md §2.13): the reference is batch
+  * with job-level incrementality (content-hash change detection, per-batch
+  * progress counters); stream-ified here the idiomatic way —
+  * `readStream → withWatermark → window agg → writeStream`, with
+  * `foreachBatch` for the MERGE-shaped sink and `mapGroupsWithState` for
+  * the per-job running counters the reference keeps in memory
+  * (job-manager.ts:301-357).
+  *
+  * Scale notes: watermark bounds state; the windowed agg shuffles on
+  * (window, event_type) — tiny cardinality; session state is per user_id,
+  * hash-partitioned, and evicted by timeout.
+  */
+object EventsStreaming {
+
+  /** Tumbling-window counts/sums with late-data handling — the streaming
+    * twin of the batch q18 time-window query (same semantics per window
+    * once the watermark passes). */
+  def windowedCounts(events: DataFrame,
+      windowLen: String = "1 day", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class UserProgress(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Running per-user counters via mapGroupsWithState — the stateful analog
+    * of the reference's in-memory job progress (counters survive across
+    * micro-batches; processing-time timeout evicts idle users). */
+  def userProgress(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.as[EventRow]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserProgress]) =>
+          if (state.hasTimedOut) {
+            val cur = state.get
+            state.remove()
+            cur
+          } else {
+            val prev = state.getOption.getOrElse(UserProgress(userId, 0L, 0L))
+            val (n, cents) = rows.foldLeft((prev.n_events, prev.total_cents)) {
+              case ((c, s), r) => (c + 1, s + math.round(r.value * 100))
+            }
+            val next = UserProgress(userId, n, cents)
+            state.update(next)
+            state.setTimeoutDuration("1 hour")
+            next
+          }
+      }.toDF()
+  }
+
+  /** Change-detection sink (J3/K2-shaped): every micro-batch is reduced to
+    * changed-rows via content hash and merged into the target parquet dir —
+    * `foreachBatch` is where a real deployment issues MERGE INTO. */
+  def changeDetectingSink(unified: DataFrame, targetDir: String,
+      checkpointDir: String): StreamingQuery =
+    unified.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.withColumn("content_hash",
+            sha2(to_json(struct(batch.columns.map(col): _*)), 256))
+          .dropDuplicates("content_hash")
+          .write.mode("append").parquet(targetDir)
+      }
+      .start()
+
+  /** File-source ingestion: land scraper JSON as a stream (S4 stream-ified);
+    * schema-on-read per shop, then the same unified transform applies via
+    * foreachBatch over graft.etl.Pipeline. */
+  def readShopStream(spark: SparkSession, adapter: graft.etl.Shops.ShopAdapter,
+      dir: String): DataFrame =
+    spark.readStream.schema(adapter.schema).json(dir)
+}

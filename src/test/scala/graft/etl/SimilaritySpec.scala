@@ -1,0 +1,117 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.Text
+
+/** Behavior specs for the dedup/similarity operators that the SQL oracle
+  * can't fully exercise: near-dup (not just exact-dup) recall, SimHash
+  * locality, LSH banding, winnowing, ANN paths. */
+class SimilaritySpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val nearDup = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+  private val other = "completely different words about spark query engines and columnar storage"
+
+  test("minhash LSH finds near-dups, not just exact dups") {
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Similarity.minhashDedupPairs(df, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet == Set((1L, 2L)))
+    val p = pairs.head
+    // 12 shared shingles of 12 each; one differing trailing word changes 1
+    assert(p.getAs[Long]("inter") == 11)
+    assert(p.getAs[Long]("union_size") == 13)
+  }
+
+  test("ngram jaccard pairs compute exact set intersection/union") {
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Similarity.ngramJaccardPairs(df, "doc_id", "text", 3).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("inter") == 11)
+    assert(pairs.head.getAs[Long]("union_size") == 13)
+  }
+
+  test("simhash: near-dup texts are close in hamming, unrelated far") {
+    val a = Text.simhashBits(base)
+    val b = Text.simhashBits(nearDup)
+    val c = Text.simhashBits(other)
+    assert(a.length == 64 && a.forall(ch => ch == '0' || ch == '1'))
+    assert(Text.hamming(a, b) < Text.hamming(a, c))
+    assert(Text.hamming(a, a) == 0)
+  }
+
+  test("simhashPairs banding finds hamming<=3 pairs") {
+    val df = docs(1L -> base, 2L -> base, 3L -> other)
+    val pairs = Similarity.simhashPairs(df, "doc_id", "text", maxDist = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("brute-force ANN: self excluded, rank deterministic, k respected") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+      .collect()
+    assert(out.map(_.getAs[Long]("nn_id")).toSeq == Seq(2L, 3L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+  }
+
+  test("LSH-bucket ANN agrees with brute force for same-bucket vectors") {
+    import spark.implicits._
+    // all positive first-8-dims → same sign bucket → full recall here
+    val vecs = (1L to 20L).map(i =>
+      (i, Array.tabulate(8)(d => 0.1f + 0.01f * ((i + d) % 7)))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 1)
+    val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 5)
+      .select("rank", "nn_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val lsh = Similarity.lshBucketTopK(vecs, q, "vec_id", "embedding", 5)
+      .select("rank", "nn_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(bf == lsh)
+  }
+
+  test("winnowing fingerprints: dup texts share all fingerprints") {
+    val fa = Text.winnow(base)
+    val fb = Text.winnow(base)
+    val fc = Text.winnow(other)
+    assert(fa == fb)
+    assert(fa.intersect(fc).isEmpty || fa.intersect(fc).size < fa.size / 2)
+    assert(fa.nonEmpty)
+  }
+
+  test("language id: marker tokens dominate, ties alphabetical") {
+    assert(Text.languageId("the cat and the dog of a house")._1 == "en")
+    assert(Text.languageId("de kat en het huis van een boom")._1 == "nl")
+    assert(Text.languageId("xyz qqq zzz")._1 == "de") // 0 hits everywhere → first
+    assert(Text.languageId("der hund und die katze")._1 == "de")
+  }
+
+  test("bpe-ish token count splits letter/digit/punct runs") {
+    assert(Text.bpeishTokenCount("ab 12 c!d") == 5) // ab, 12, c, !, d
+    assert(Text.bpeishTokenCount("") == 0)
+    assert(Text.bpeishTokenCount("hello-world42") == 4)
+  }
+
+  test("stub codec: deterministic features, batch-shaped") {
+    val media = Multimodal.mediaFromText(
+      docs(7L -> "hello", 8L -> "world"), "doc_id", "text")
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(7L, 8L))
+    assert(out.head.n_bytes == 5)
+    assert(out.head.feature.length == 8)
+    // determinism: same payload → same features
+    val out2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(out.head.feature.toSeq == out2.head.feature.toSeq)
+    assert(out.head.payload_sha.length == 64)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Streaming specs driven by MemoryStream micro-batches: windowed agg
+  * equals its batch twin; stateful per-user progress accumulates across
+  * batches. */
+class EventsStreamingSpec extends SparkSpec {
+
+  import EventsStreaming.EventRow
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("windowed counts: streaming result matches the batch aggregation") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val rows = Seq(
+      EventRow(1, ts("2026-01-01 10:00:00"), 1, "click", 1.25),
+      EventRow(2, ts("2026-01-01 11:00:00"), 2, "click", 2.50),
+      EventRow(3, ts("2026-01-02 09:00:00"), 1, "buy", 10.00))
+    input.addData(rows: _*)
+
+    val q = EventsStreaming.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("win")
+      .select($"window_start".cast("string"), $"event_type", $"n", $"sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = rows.toDF()
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(round($"value" * 100).cast("long")) / 100.0).as("sum_value"))
+      .select($"window.start".cast("string"), $"event_type", $"n", $"sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 2)
+  }
+
+  test("userProgress state accumulates across micro-batches") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // stateful queries otherwise schedule endless state-cleanup no-data
+    // batches, so processAllAvailable would never latch
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val input = MemoryStream[EventRow]
+    val q = EventsStreaming.userProgress(input.toDF())
+      .writeStream.format("memory").queryName("prog").outputMode("update").start()
+
+    input.addData(EventRow(1, ts("2026-01-01 10:00:00"), 7, "click", 1.00))
+    q.processAllAvailable()
+    input.addData(EventRow(2, ts("2026-01-01 10:01:00"), 7, "click", 2.00))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("prog").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Long]("total_cents")))
+    // update mode appends one row per batch; the final state must show both events
+    assert(last.contains((7L, 2L, 300L)))
+  }
+}
