@@ -1,0 +1,77 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Analytics surface (SURVEY.md §2.9 A5–A16) not already covered by the
+  * query modules: the enricher's deduct-from-100 quality rubric, issue
+  * statistics, category distribution, price comparison, promotion share.
+  * All small aggregates over the unified table — one shuffle each, tiny
+  * reduce sides.
+  */
+object Analytics {
+
+  /** A6 — enricher quality score (product-enricher.ts:425-503): start at
+    * 100, deduct for missing/defaulted fields. */
+  val enricherScore: Column = {
+    val deductions =
+      when(coalesce(col("title"), lit("")) === "", 20).otherwise(0) +
+      when(coalesce(col("image_url"), lit("")) === "", 10).otherwise(0) +
+      when(col("main_category").isNull, 10).otherwise(0) +
+      when(coalesce(col("brand"), lit("")) === "", 5).otherwise(0) +
+      when(coalesce(col("price_before_bonus"), lit(0.0)) <= 0, 20).otherwise(0) +
+      when(coalesce(col("current_price"), lit(0.0)) <= 0, 15).otherwise(0) +
+      when(coalesce(col("quantity_amount"), lit(0.0)) <= 0 ||
+        coalesce(col("quantity_unit"), lit("")) === "", 10).otherwise(0) +
+      when(col("conversion_factor").isNull, 5).otherwise(0) +
+      when(!col("is_active"), 5).otherwise(0)
+    greatest(lit(100) - deductions, lit(0)).cast("double")
+  }
+
+  /** A7 — category distribution with share, sorted desc
+    * (visualize-data.ts:102-118). */
+  def categoryDistribution(unified: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    unified.groupBy(col("main_category")).agg(count(lit(1)).as("n"))
+      .withColumn("pct", round(lit(100.0) * col("n") / sum(col("n")).over(w), 2))
+      .orderBy(col("n").desc, col("main_category"))
+  }
+
+  /** A8 — price comparison per shop: 0<p<100 filter, avg, median, range
+    * histogram (visualize-data.ts:123-162). */
+  def priceComparison(unified: DataFrame): DataFrame =
+    unified.filter(col("current_price") > 0 && col("current_price") < 100)
+      .groupBy(col("shop_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("current_price")), 2).as("avg_price"),
+        percentile_approx(col("current_price"), lit(0.5), lit(10000)).as("median_price"),
+        count(when(col("current_price") < 2, 1)).as("b_lt_2"),
+        count(when(col("current_price") >= 2 && col("current_price") < 5, 1)).as("b_2_5"),
+        count(when(col("current_price") >= 5 && col("current_price") < 10, 1)).as("b_5_10"),
+        count(when(col("current_price") >= 10, 1)).as("b_ge_10"))
+      .orderBy(col("shop_type"))
+
+  /** A9 — promotion share per shop (visualize-data.ts:167-180). */
+  def promotionAnalysis(unified: DataFrame): DataFrame =
+    unified.groupBy(col("shop_type"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("is_promotion"), 1)).as("n_promo"),
+        round(avg(col("is_promotion").cast("int")) * 100, 2).as("promo_pct"))
+      .orderBy(col("shop_type"))
+
+  /** A15 — issue statistics: counts by type/severity/shop + top-k
+    * (issue-tracker.ts:203+). Issues arrive as the side-output columns the
+    * pipeline emits (issue_type, severity, shop_type). */
+  def issueStats(issues: DataFrame, topK: Int = 10): DataFrame =
+    issues.groupBy(col("issue_type"), col("severity"), col("shop_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("issue_type"))
+      .limit(topK)
+
+  /** C9 — mapping-method distribution (ml-fallback-tracker analog): how
+    * many rows went through direct/partial/fuzzy/ml/special_case. */
+  def mappingMethodStats(withMethod: DataFrame): DataFrame =
+    withMethod.groupBy(col("category_mapping_method")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc)
+}
