@@ -10,9 +10,11 @@ import graft.queries.{Domain, Relational, TrainingData}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the SURVEY.md §7.2 vertical slice through the full shop ETL
+    * (read → skip → transform → calculateFields → category → dedup → agg);
+    * driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    Flagship.cheapestPerCategory(spark)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
