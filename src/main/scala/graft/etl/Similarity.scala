@@ -129,14 +129,15 @@ object Similarity {
       posexplode(transform(sequence(lit(0), lit(3)),
         b => col("simhash").substr(b * lit(16) + 1, lit(16)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "block")
-    val hammingUdf = udf((a: String, b: String) => graft.functions.Text.hamming(a, b))
+    // native codegen expression (graft.plans.HammingDistance), registered
+    // by GraftExtensions — no UDF boundary in the pair-filter inner loop
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.block") === col("b.block") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
       .distinct()
-      .withColumn("hamming", hammingUdf(col("sh_a"), col("sh_b")))
+      .withColumn("hamming", call_function("hamming", col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
