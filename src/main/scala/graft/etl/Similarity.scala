@@ -194,6 +194,41 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), col("dot"))
   }
 
+  /** IVF-flat ANN (the other standard scale path next to sign-LSH):
+    * a coarse quantizer of `nlist` sampled centroids partitions the corpus
+    * into inverted lists map-side (no shuffle for assignment — centroids are
+    * literal arrays inside codegen); each query probes its `nprobe` closest
+    * lists. nprobe = nlist degenerates to exact brute force. At 100 TB the
+    * corpus is written bucketed by `cid` so a probe touches only its lists'
+    * partitions. Deterministic: centroids = first `nlist` vectors by id. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val q = quantize(col(vecCol))
+    val cents: Seq[(Int, Seq[Long])] = corpus
+      .orderBy(col(idCol)).limit(nlist)
+      .select(q.as("qv")).collect()
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Long](0).toSeq }.toSeq
+
+    def dots(v: Column) = array(cents.map { case (cid, cv) =>
+      struct(qdot(v, typedLit(cv)).as("dot"), lit(cid).as("cid"))
+    }: _*)
+
+    val c = corpus.select(col(idCol).as("nn_id"), q.as("qv"))
+      .withColumn("cid", array_max(dots(col("qv"))).getField("cid"))
+    val probes = queries.select(col(idCol).as("query_id"), q.as("qq"))
+      .withColumn("cid", explode(transform(
+        slice(reverse(array_sort(dots(col("qq")))), 1, math.min(nprobe, nlist)),
+        s => s("cid"))))
+    val scored = c.join(broadcast(probes.withColumnRenamed("qq", "qq2")), Seq("cid"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("dot", qdot(col("qq2"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("dot"))
+  }
+
   /** True double-precision cosine (unit-norm corpus ⇒ plain dot), for
     * in-engine use where cross-engine bit-stability doesn't matter. */
   def cosine(a: Column, b: Column): Column = {

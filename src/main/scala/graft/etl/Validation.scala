@@ -1,0 +1,104 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Value-level validation (SURVEY.md §2.14 validators + §5 post-hoc
+  * product-validator): the reference's 10 rules
+  * (`src/utils/validation/product-validator.ts:51-189`) as Column
+  * predicates producing a per-rule boolean map, a severity rollup, and a
+  * summary aggregate — one pass, no UDFs, no driver collection.
+  */
+object Validation {
+
+  final case class Rule(name: String, severity: String, passes: Column)
+
+  /** The 10 rules. `passes` is true when the rule holds. */
+  val rules: Seq[Rule] = Seq(
+    Rule("required_id", "error",
+      coalesce(trim(col("unified_id")), lit("")) =!= ""),
+    Rule("required_title", "error",
+      coalesce(trim(col("title")), lit("")) =!= ""),
+    Rule("required_shoptype", "error",
+      col("shop_type").isInCollection(Seq("AH", "JUMBO", "ALDI", "PLUS"))),
+    Rule("valid_price", "error", col("price_before_bonus") > 0),
+    Rule("price_consistency", "warning",
+      when(col("is_promotion"), col("current_price") =!= col("price_before_bonus"))
+        .otherwise(col("current_price") === col("price_before_bonus"))),
+    Rule("promotion_consistency", "warning",
+      // after template completion, non-promo rows carry 'none'/null fields
+      when(col("is_promotion"),
+        col("promotion_type") =!= "none" && col("promotion_mechanism") =!= "none")
+        .otherwise(
+          (col("promotion_type") === "none" || col("promotion_type") === "") &&
+          (col("promotion_mechanism") === "none" || col("promotion_mechanism") === "") &&
+          col("promotion_start_date").isNull && col("promotion_end_date").isNull)),
+    Rule("promotion_dates", "warning",
+      when(col("is_promotion") && col("promotion_start_date").isNotNull &&
+          col("promotion_end_date").isNotNull,
+        to_date(col("promotion_start_date")) <= to_date(col("promotion_end_date")))
+        .otherwise(lit(true))),
+    Rule("valid_quantity", "error",
+      col("quantity_amount") > 0 && coalesce(col("quantity_unit"), lit("")) =!= ""),
+    Rule("valid_category", "warning",
+      col("main_category").isNotNull && trim(col("main_category")) =!= ""),
+    Rule("valid_image_url", "info",
+      coalesce(col("image_url"), lit("")).startsWith("http")))
+
+  /** Unit-price cross-check (±10% tolerance) — the reference's
+    * `unit-price-consistency` rule: price/quantity re-derived per kg/l must
+    * be within 10% of the reported unit price. */
+  val unitPriceConsistency: Rule = {
+    val toBase = // g/ml → 1, kg/l → 1000 (weight and volume share factors)
+      when(col("quantity_unit").isInCollection(Seq("g", "ml")), 1.0)
+        .when(col("quantity_unit").isInCollection(Seq("kg", "l")), 1000.0)
+    val unitToBase =
+      when(col("unit_price_unit").isInCollection(Seq("g", "ml")), 1.0)
+        .when(col("unit_price_unit").isInCollection(Seq("kg", "l")), 1000.0)
+    val ratio = (col("quantity_amount") * toBase) / unitToBase
+    val calc = col("price_before_bonus") / ratio
+    val passes =
+      when(col("unit_price").isNull, lit(true))
+        .when(col("quantity_unit") === "stuk" || col("unit_price_unit") === "stuk", lit(true))
+        .when(col("quantity_amount").isNull || col("unit_price_unit").isNull ||
+          toBase.isNull || unitToBase.isNull || ratio <= 0, lit(false))
+        .otherwise(calc >= col("unit_price") * 0.9 && calc <= col("unit_price") * 1.1)
+    Rule("unit_price_consistency", "info", passes)
+  }
+
+  val allRules: Seq[Rule] = rules :+ unitPriceConsistency
+
+  /** Per-row validation: adds `failed_rules` (array of rule names) and
+    * `worst_severity` (error > warning > info > null). */
+  def validate(unified: DataFrame): DataFrame = {
+    val failed = array_compact(array(allRules.map(r =>
+      when(!coalesce(r.passes, lit(false)), lit(r.name))): _*))
+    val sevOf = allRules.map(r => r.name -> r.severity).toMap
+    val worst =
+      when(exists(col("failed_rules"),
+        n => n.isInCollection(sevOf.filter(_._2 == "error").keys.toSeq)), "error")
+        .when(exists(col("failed_rules"),
+          n => n.isInCollection(sevOf.filter(_._2 == "warning").keys.toSeq)), "warning")
+        .when(size(col("failed_rules")) > 0, "info")
+    unified.withColumn("failed_rules", failed)
+      .withColumn("worst_severity", worst)
+  }
+
+  /** §5-style validation summary: per-rule failure counts + rates. */
+  def summary(unified: DataFrame): DataFrame = {
+    val aggs = allRules.map(r =>
+      count(when(!coalesce(r.passes, lit(false)), 1)).as(r.name))
+    val total = count(lit(1)).as("n_rows")
+    unified.agg(total, aggs: _*)
+  }
+
+  /** Batch compliance gate (database-processor-adapter.ts:317-328): fail
+    * the write when any row breaks an error-severity rule. */
+  def complianceGate(unified: DataFrame): Unit = {
+    val errRules = allRules.filter(_.severity == "error")
+    val bad = unified.filter(errRules.map(r => !coalesce(r.passes, lit(false)))
+      .reduce(_ || _)).limit(1).count()
+    if (bad > 0) throw new IllegalStateException(
+      "structure compliance gate: batch contains error-severity validation failures")
+  }
+}

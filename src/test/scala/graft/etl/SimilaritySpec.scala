@@ -80,6 +80,21 @@ class SimilaritySpec extends SparkSpec {
     assert(bf == lsh)
   }
 
+  test("IVF ANN: full probe equals brute force; partial probe returns k rows") {
+    import spark.implicits._
+    val vecs = (1L to 40L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" <= 2)
+    val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "nn_id").collect().map(_.toSeq).toSet
+    val full = Similarity.ivfTopK(vecs, q, "vec_id", "embedding", 5, nlist = 8, nprobe = 8)
+      .select("query_id", "rank", "nn_id").collect().map(_.toSeq).toSet
+    assert(full == bf)
+    val partial = Similarity.ivfTopK(vecs, q, "vec_id", "embedding", 5, nlist = 8, nprobe = 2)
+      .collect()
+    assert(partial.length <= 10 && partial.nonEmpty)
+  }
+
   test("winnowing fingerprints: dup texts share all fingerprints") {
     val fa = Text.winnow(base)
     val fb = Text.winnow(base)

@@ -1,0 +1,58 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ValidationSpec extends SparkSpec {
+
+  private def unifiedFixture = {
+    import spark.implicits._
+    val good =
+      """{"product":{"id":"1","title":"Good","category":"zuivel","subtitle":"500 g",
+        |"image":"http://x/i.jpg","prices":{"price":199,"pricePerUnit":{"price":398,"unit":"kg"}},
+        |"inAssortment":true}}""".stripMargin.replace("\n", "")
+    Pipeline.process(Shops.Jumbo,
+      spark.read.schema(Shops.Jumbo.schema).json(spark.createDataset(Seq(good))))
+  }
+
+  test("clean product passes every rule") {
+    val v = Validation.validate(unifiedFixture).collect().head
+    assert(v.getAs[scala.collection.Seq[String]]("failed_rules").isEmpty)
+    assert(v.isNullAt(v.fieldIndex("worst_severity")))
+  }
+
+  test("unit-price cross-check: 1.99 for 500g vs 3.98/kg holds, 5.00/kg fails") {
+    import spark.implicits._
+    val base = unifiedFixture
+    val ok = Validation.validate(base).collect().head
+    assert(!ok.getAs[scala.collection.Seq[String]]("failed_rules").contains("unit_price_consistency"))
+    val bad = Validation.validate(base.withColumn("unit_price", lit(5.0)))
+      .collect().head
+    assert(bad.getAs[scala.collection.Seq[String]]("failed_rules").contains("unit_price_consistency"))
+    assert(bad.getAs[String]("worst_severity") == "info")
+  }
+
+  test("broken rows roll up to worst severity and fail the gate") {
+    import spark.implicits._
+    val broken = unifiedFixture
+      .withColumn("price_before_bonus", lit(0.0))   // error rule
+      .withColumn("main_category", lit(null).cast("string")) // warning rule
+    val v = Validation.validate(broken).collect().head
+    val failed = v.getAs[scala.collection.Seq[String]]("failed_rules")
+    assert(failed.contains("valid_price"))
+    assert(failed.contains("valid_category"))
+    assert(v.getAs[String]("worst_severity") == "error")
+    intercept[IllegalStateException](Validation.complianceGate(broken))
+    Validation.complianceGate(unifiedFixture) // clean batch passes
+  }
+
+  test("summary counts per-rule failures") {
+    import spark.implicits._
+    val mixed = unifiedFixture.unionByName(
+      unifiedFixture.withColumn("title", lit("")))
+    val s = Validation.summary(mixed).collect().head
+    assert(s.getAs[Long]("n_rows") == 2)
+    assert(s.getAs[Long]("required_title") == 1)
+    assert(s.getAs[Long]("valid_price") == 0)
+  }
+}
