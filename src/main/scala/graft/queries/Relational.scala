@@ -200,12 +200,17 @@ object Relational {
   }
 
   /** Q15 — pagination (O1, postgres-adapter.ts:72-81): ORDER BY ... LIMIT n
-    * OFFSET m, expressed as a row_number window so it is plan-stable. */
+    * OFFSET m. The global top-(offset+limit) runs as TakeOrderedAndProject
+    * (per-partition top-k + driver merge); only those ≤40 rows go through
+    * the single-partition row_number window — at 100 TB the full table
+    * never funnels through one task. */
   def q15Pagination(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val top = Tables.orders(spark, dir)
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      .limit(40)
     val w = Window.orderBy($"o_orderdate".desc, $"o_orderkey".desc)
-    Tables.orders(spark, dir)
-      .withColumn("rn", row_number().over(w))
+    top.withColumn("rn", row_number().over(w))
       .filter($"rn" > 20 && $"rn" <= 40)
       .select($"rn", $"o_orderkey", $"o_orderstatus")
       .orderBy($"rn")

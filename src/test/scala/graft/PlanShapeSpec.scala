@@ -1,0 +1,64 @@
+package graft
+
+import graft.SparkSpec
+
+/** Plan-shape regression tests: the scale properties the engine promises
+  * (filter/column pushdown into the scan, broadcast dims, top-k without a
+  * full sort) must survive refactors. Asserted on the formatted physical
+  * plan at sf0.001. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q2: predicates and projection pushed into the parquet scan") {
+    val p = plan("q2_filter")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThan(l_quantity,45.0)"))
+    assert(p.contains("EqualTo(l_returnflag,R)"))
+    // pruned ReadSchema: only the 5 referenced columns, no l_extendedprice
+    assert(!p.contains("l_extendedprice"))
+  }
+
+  test("q3: all three dims broadcast — the fact side never shuffles for joins") {
+    val p = plan("q3_join_agg")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q4: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q4_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q1: partial aggregation before the shuffle (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("Exchange"))
+    // partial_ functions indicate map-side combine in formatted plans
+    assert(p.contains("partial_"))
+  }
+
+  test("q29: the ANN query broadcasts the query side") {
+    val p = plan("q29_ann_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("shop adapter transform keeps whole-stage codegen spans") {
+    import spark.implicits._
+    val row =
+      """{"product":{"id":"1","title":"T","category":"zuivel","subtitle":"500 g",
+        |"prices":{"price":199},"inAssortment":true}}""".stripMargin.replace("\n", "")
+    val df = graft.etl.Shops.Jumbo.unified(
+      spark.read.schema(graft.etl.Shops.Jumbo.schema).json(spark.createDataset(Seq(row))))
+    // formatted mode marks codegen stages with a leading '*'
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.linesIterator.exists(_.trim.startsWith("* ")))
+  }
+}

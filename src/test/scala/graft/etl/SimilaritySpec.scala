@@ -117,6 +117,39 @@ class SimilaritySpec extends SparkSpec {
     assert(Text.bpeishTokenCount("hello-world42") == 4)
   }
 
+  test("kruidvat stays explicitly unimplemented; unknown shops rejected") {
+    intercept[UnsupportedOperationException](Shops.forShop("KRUIDVAT"))
+    intercept[UnsupportedOperationException](Shops.forShop("kruidvat"))
+    intercept[IllegalArgumentException](Shops.forShop("LIDL"))
+    assert(Shops.forShop("ah") == Shops.Ah)
+  }
+
+  test("ingestScrape explodes products, drops session fields, hashes content") {
+    import spark.implicits._
+    val results = spark.read.json(spark.createDataset(Seq(
+      """{"auction":"x","products":[{"id":1,"name":"a","auctionId":"s1"},{"id":2,"name":"b","auctionId":"s1"}]}""")))
+    val out = Pipeline.ingestScrape(results).collect()
+    assert(out.length == 2)
+    val hashes = out.map(_.getAs[String]("content_hash"))
+    assert(hashes.distinct.length == 2)
+    assert(hashes.forall(_.length == 64))
+    // session field dropped before hashing: same products with a different
+    // auctionId hash identically
+    val results2 = spark.read.json(spark.createDataset(Seq(
+      """{"auction":"y","products":[{"id":1,"name":"a","auctionId":"s2"},{"id":2,"name":"b","auctionId":"s2"}]}""")))
+    val hashes2 = Pipeline.ingestScrape(results2).collect().map(_.getAs[String]("content_hash"))
+    assert(hashes.toSet == hashes2.toSet)
+  }
+
+  test("video frame sampling explodes deterministic offsets") {
+    import spark.implicits._
+    val media = Seq((1L, "video", Array[Byte](1, 2), Some(2500L)))
+      .toDF("media_id", "media_type", "payload", "duration_ms")
+    val frames = Multimodal.sampleFrames(media).select("frame_ts_ms")
+      .collect().map(_.getLong(0)).toSeq
+    assert(frames == Seq(0L, 1000L, 2000L))
+  }
+
   test("stub codec: deterministic features, batch-shaped") {
     val media = Multimodal.mediaFromText(
       docs(7L -> "hello", 8L -> "world"), "doc_id", "text")
