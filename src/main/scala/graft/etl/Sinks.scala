@@ -40,11 +40,15 @@ object Sinks {
     * mirror the reference's conflict targets: staging (shop_type,
     * external_id); processed (shop_type, external_id, schema_version). */
   def mergeSql(target: String, staging: String, keyCols: Seq[String],
-      updateCols: Seq[String]): String = {
-    val on = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
-    val sets = (updateCols.map(c => s"$c = s.$c") :+ "updated_at = now()").mkString(", ")
-    val insertCols = (keyCols ++ updateCols).mkString(", ")
-    val insertVals = (keyCols ++ updateCols).map("s." + _).mkString(", ")
+      updateCols: Seq[String], nowExpr: String = "now()"): String = {
+    // identifiers quoted: Spark's JDBC writer creates the staging table with
+    // quoted (case-exact) column names, so the MERGE must match them
+    def q(id: String) = "\"" + id + "\""
+    val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val sets = (updateCols.map(c => s"${q(c)} = s.${q(c)}") :+
+      s"${q("updated_at")} = $nowExpr").mkString(", ")
+    val insertCols = (keyCols ++ updateCols).map(q).mkString(", ")
+    val insertVals = (keyCols ++ updateCols).map(c => "s." + q(c)).mkString(", ")
     s"""MERGE INTO $target t USING $staging s ON ($on)
        |WHEN MATCHED THEN UPDATE SET $sets
        |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin
@@ -54,7 +58,7 @@ object Sinks {
     * MERGE transactionally. `connect` is injected so tests can use an
     * embedded DB and prod can pool. */
   def jdbcUpsert(batch: DataFrame, jdbcUrl: String, props: java.util.Properties,
-      target: String, keyCols: Seq[String],
+      target: String, keyCols: Seq[String], nowExpr: String = "now()",
       connect: String => Connection = java.sql.DriverManager.getConnection): Unit = {
     val staging = target.replace('.', '_') + "_stage"
     batch.write.mode(SaveMode.Overwrite).jdbc(jdbcUrl, staging, props)
@@ -63,8 +67,10 @@ object Sinks {
     try {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
-      try { st.execute(mergeSql(target, staging, keyCols, updateCols)); conn.commit() }
-      finally st.close()
+      try {
+        st.execute(mergeSql(target, staging, keyCols, updateCols, nowExpr))
+        conn.commit()
+      } finally st.close()
     } finally conn.close()
   }
 

@@ -30,8 +30,8 @@ class SinksJobsSpec extends SparkSpec {
     val sql = Sinks.mergeSql("processed.products", "stage", Seq("shop_type", "external_id"),
       Seq("title", "current_price"))
     assert(sql.contains("MERGE INTO processed.products t USING stage s"))
-    assert(sql.contains("t.shop_type = s.shop_type AND t.external_id = s.external_id"))
-    assert(sql.contains("WHEN MATCHED THEN UPDATE SET title = s.title, current_price = s.current_price"))
+    assert(sql.contains("t.\"shop_type\" = s.\"shop_type\" AND t.\"external_id\" = s.\"external_id\""))
+    assert(sql.contains("WHEN MATCHED THEN UPDATE SET \"title\" = s.\"title\", \"current_price\" = s.\"current_price\""))
     assert(sql.contains("WHEN NOT MATCHED THEN INSERT"))
   }
 
