@@ -1,0 +1,81 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.Strings
+
+/** Coverage for the smaller helpers: F5 incomplete filter, A2 retailer
+  * counts, K4/A13 error sink + report, A7 distribution, A15 issue stats,
+  * X3/X6 string scalars. */
+class HelpersSpec extends SparkSpec {
+
+  test("filterIncomplete keeps only rows with id/shop/title/price (F5)") {
+    import spark.implicits._
+    val df = Seq(
+      ("1", "AH", "Melk", Some(1.0)),
+      ("", "AH", "X", Some(1.0)),
+      ("3", "", "X", Some(1.0)),
+      ("4", "AH", "", Some(1.0)),
+      ("5", "AH", "X", None))
+      .toDF("unified_id", "shop_type", "title", "current_price")
+    assert(Dedupe.filterIncomplete(df).collect().map(_.getString(0)).toSeq == Seq("1"))
+  }
+
+  test("countByRetailer (A2) and categoryDistribution (A7)") {
+    import spark.implicits._
+    val df = Seq(("AH", "Bakkerij"), ("AH", "Bakkerij"), ("JUMBO", "Diepvries"))
+      .toDF("shop_type", "main_category")
+    val counts = Dedupe.countByRetailer(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("AH" -> 2L, "JUMBO" -> 1L))
+    val dist = Analytics.categoryDistribution(df).collect()
+    assert(dist.head.getAs[String]("main_category") == "Bakkerij")
+    assert(dist.head.getAs[Double]("pct") == 66.67)
+  }
+
+  test("errorRows + errorReport (K4/A13)") {
+    import spark.implicits._
+    val df = Seq(("1", 0.0), ("2", 2.0), ("3", -1.0))
+      .toDF("unified_id", "price_before_bonus")
+    val errs = Sinks.errorRows(df, col("price_before_bonus") <= 0,
+      "INVALID_PRICE", "error", "job-9")
+    assert(errs.count() == 2)
+    val report = Sinks.errorReport(errs).collect().head
+    assert(report.getAs[String]("error_type") == "INVALID_PRICE")
+    assert(report.getAs[Long]("n") == 2)
+    assert(report.getAs[scala.collection.Seq[String]]("examples").sorted == Seq("1", "3"))
+  }
+
+  test("issueStats top-k ordering (A15)") {
+    import spark.implicits._
+    val issues = (Seq.fill(5)(("QUANTITY_PARSE_FALLBACK", "warning", "AH")) ++
+      Seq.fill(2)(("PROMOTION_UNKNOWN", "info", "JUMBO")))
+      .toDF("issue_type", "severity", "shop_type")
+    val top = Analytics.issueStats(issues, topK = 1).collect()
+    assert(top.length == 1)
+    assert(top.head.getAs[String]("issue_type") == "QUANTITY_PARSE_FALLBACK")
+    assert(top.head.getAs[Long]("n") == 5)
+  }
+
+  test("string scalars (X3/X6)") {
+    assert(Strings.extractNumbers("2 voor 3.50 en -1") == Seq(2.0, 3.50, -1.0))
+    assert(Strings.parsePrice("€ 1,49") == 1.49)
+    assert(Strings.parsePrice("garbage") == 0.0)
+    // reference quirk: 'ca. 250g' strips to '.250' → parseFloat → 0.25
+    assert(Strings.parseNumber("ca. 250g") == 0.25)
+    assert(Strings.parseNumber("250g") == 250.0)
+    assert(Strings.camelToSnake("priceBeforeBonus") == "price_before_bonus")
+    assert(Strings.snakeToCamel("price_before_bonus") == "priceBeforeBonus")
+    assert(Strings.similarity("melk", "melk") == 1.0)
+    assert(Strings.normalizeString("  AH! Basic-Melk  2x ") == "ah basic melk 2x")
+  }
+
+  test("schemaVersionStats defaults the version (A12)") {
+    import spark.implicits._
+    val df = Seq(("AH", None: Option[String]), ("AH", Some("0.9.0")))
+      .toDF("shop_type", "schema_version")
+    val stats = Sinks.schemaVersionStats(df).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(stats == Set(("0.9.0", "AH"), ("1.0.0", "AH")))
+  }
+}
