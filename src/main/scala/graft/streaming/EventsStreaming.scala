@@ -77,6 +77,12 @@ object EventsStreaming {
       }
       .start()
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (e.g. the unified product table) — the dim is re-read per
+    * micro-batch and broadcast, so the stream side never shuffles. */
+  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** File-source ingestion: land scraper JSON as a stream (S4 stream-ified);
     * schema-on-read per shop, then the same unified transform applies via
     * foreachBatch over graft.etl.Pipeline. */

@@ -42,6 +42,23 @@ class EventsStreamingSpec extends SparkSpec {
     assert(streamed.size == 2)
   }
 
+  test("stream-static join enriches events with a broadcast dimension") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventsStreaming.EventRow]
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val q = EventsStreaming.enriched(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    input.addData(
+      EventsStreaming.EventRow(1, ts("2026-01-01 10:00:00"), 7, "click", 1.0),
+      EventsStreaming.EventRow(2, ts("2026-01-01 10:00:01"), 9, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enr").select("user_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(7L -> Some("gold"), 9L -> None))
+  }
+
   test("userProgress state accumulates across micro-batches") {
     val sq = spark
     import sq.implicits._
