@@ -45,7 +45,7 @@ object Jobs {
       val unified = Sinks.withRunCounters(Pipeline.process(adapter, raw))
       write(unified)
       // observed metrics are delivered asynchronously after the action
-      val deadline = System.currentTimeMillis() + 10000
+      val deadline = System.currentTimeMillis() + 30000
       while (metrics.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
       val m = metrics
       JobResult(jobId, adapter.shopType,
