@@ -47,13 +47,33 @@ object Similarity {
 
   /** n-gram Jaccard candidate pairs: rows sharing ≥1 shingle, with exact
     * intersection/union counts (set semantics). Output:
-    * (id_a, id_b, inter, union_size, size_a, size_b), id_a < id_b. */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    * (id_a, id_b, inter, union_size, size_a, size_b), id_a < id_b.
+    *
+    * `maxShingleFreq` is the 100 TB skew guard: a shingle shared by c docs
+    * contributes c² pair rows, so boilerplate shingles are dropped from the
+    * PAIR JOIN above the cap (sizes/intersections still use all shingles,
+    * so reported Jaccard stays exact for every surviving pair; pairs whose
+    * every common shingle is boilerplate are missed — the documented
+    * recall/scale tradeoff, same as MinHash band tuning). None = exact. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
     val sh = explodeShingles(df, idCol, textCol, n).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    val joinable = maxShingleFreq match {
+      case Some(cap) =>
+        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > cap).select(col("shingle"))
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      case None => sh
+    }
+    val candidates = joinable.as("a").join(joinable.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // exact intersection over ALL shingles for the surviving candidates
+    val pairs = candidates
+      .join(sh.withColumnRenamed("id", "id_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")

@@ -80,6 +80,38 @@ class SimilaritySpec extends SparkSpec {
     assert(bf == lsh)
   }
 
+  test("shingle frequency cap preserves exact Jaccard for surviving pairs") {
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val exact = Similarity.ngramJaccardPairs(df, "doc_id", "text", 3)
+      .select("id_a", "id_b", "inter", "union_size").collect().map(_.toSeq).toSet
+    // cap well above any frequency → identical results
+    val capped = Similarity.ngramJaccardPairs(df, "doc_id", "text", 3, Some(100))
+      .select("id_a", "id_b", "inter", "union_size").collect().map(_.toSeq).toSet
+    assert(capped == exact)
+    // cap of 1 drops every shared shingle → no candidates at all
+    val starved = Similarity.ngramJaccardPairs(df, "doc_id", "text", 3, Some(1))
+    assert(starved.count() == 0)
+  }
+
+  test("changedRows anti-join passes only new or changed rows (J3)") {
+    import spark.implicits._
+    def batch(rows: (String, String, String, Double, Double, String)*) =
+      rows.toDF("shop_type", "unified_id", "title", "current_price",
+        "quantity_amount", "quantity_unit")
+        .withColumn("brand", org.apache.spark.sql.functions.lit("B"))
+    val first = batch(("AH", "1", "Melk", 1.19, 1.0, "l"),
+      ("AH", "2", "Brood", 2.09, 1.0, "stuk"))
+    val existing = Pipeline.changedRows(first, batch().withColumn("content_hash", lit("")))
+      .select("shop_type", "unified_id", "content_hash")
+    // second batch: row 1 unchanged, row 2 price changed, row 3 new
+    val second = batch(("AH", "1", "Melk", 1.19, 1.0, "l"),
+      ("AH", "2", "Brood", 2.19, 1.0, "stuk"),
+      ("AH", "3", "Kaas", 5.49, 1.0, "stuk"))
+    val changed = Pipeline.changedRows(second, existing)
+      .select("unified_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(changed == Seq("2", "3"))
+  }
+
   test("IVF ANN: full probe equals brute force; partial probe returns k rows") {
     import spark.implicits._
     val vecs = (1L to 40L).map(i =>
