@@ -35,9 +35,10 @@ class PropertySpec extends AnyFunSuite {
         val r = Promotions.parsePromotionMechanism(mech, orig, cur)
         assert(r.promoType.nonEmpty)
         assert(!r.effectiveUnitPrice.isNaN)
-        // effective price can exceed orig only via UNKNOWN keep-current
+        // effective price can exceed orig only via UNKNOWN keep-current;
+        // +0.005 slack: the parser rounds to 2dp half-up (toFixed semantics)
         if (r.promoType != "UNKNOWN" && r.promoType != "MULTI_PROMO")
-          assert(r.effectiveUnitPrice <= math.max(orig, cur) + 1e-9)
+          assert(r.effectiveUnitPrice <= math.max(orig, cur) + 0.005)
         assert(r.effectiveDiscount >= 0 ||
           r.promoType == "UNKNOWN" || r.promoType == "MULTI_PROMO")
     }
