@@ -74,6 +74,21 @@ object Sinks {
     } finally conn.close()
   }
 
+  /** Storage layout for the processed table (SURVEY.md §4: the reference's
+    * DB indexes become partitioning + bucketing): partition by shop_type
+    * (partition pruning for per-shop queries) and bucket by unified_id so
+    * repeated joins/merges on the natural key are co-located — no shuffle
+    * on either side once both tables are bucketed. */
+  def writeProcessedTable(unified: DataFrame, table: String,
+      buckets: Int = 64): Unit =
+    unified.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("shop_type")
+      .bucketBy(buckets, "unified_id")
+      .sortBy("unified_id")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** K4 — error side-output: shaped like processing_errors
     * (init-processor-schema.sql:69-82). */
   def errorRows(df: DataFrame, errorPredicate: org.apache.spark.sql.Column,

@@ -78,6 +78,22 @@ class SinksJobsSpec extends SparkSpec {
     assert(pa.getAs[Double]("promo_pct") == 0.0)
   }
 
+  test("writeProcessedTable partitions by shop and buckets by id") {
+    val unified = Pipeline.process(Shops.Jumbo, jumboRaw)
+    spark.sql("DROP TABLE IF EXISTS processed_test")
+    // a previously-aborted run can leave the managed location behind
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("spark-warehouse/processed_test"))
+    Sinks.writeProcessedTable(unified, "processed_test", buckets = 4)
+    val desc = spark.sql("DESCRIBE EXTENDED processed_test").collect()
+      .map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+    assert(desc.contains("# Partition Information"))
+    assert(desc.contains("Num Buckets 4"))
+    assert(desc.contains("Bucket Columns [`unified_id`]"))
+    assert(spark.table("processed_test").count() == 1)
+    spark.sql("DROP TABLE processed_test")
+  }
+
   test("gateInputs drops missing/tiny files") {
     val tmp = java.nio.file.Files.createTempDirectory("gate")
     val good = tmp.resolve("good.json")
