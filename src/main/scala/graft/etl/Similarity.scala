@@ -59,22 +59,28 @@ object Similarity {
       maxShingleFreq: Option[Int] = None): DataFrame = {
     val sh = explodeShingles(df, idCol, textCol, n).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
-    val joinable = maxShingleFreq match {
+    val pairs = maxShingleFreq match {
+      case None =>
+        // exact path: one self-join on shingle + pair-count aggregation
+        sh.as("a").join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
       case Some(cap) =>
+        // skew-guarded path: candidates only from non-boilerplate shingles,
+        // then exact intersections over ALL shingles for the survivors
         val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
           .filter(col("c") > cap).select(col("shingle"))
-        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-      case None => sh
+        val joinable = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        val candidates = joinable.as("a").join(joinable.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+        candidates
+          .join(sh.withColumnRenamed("id", "id_a"), "id_a")
+          .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter"))
     }
-    val candidates = joinable.as("a").join(joinable.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    // exact intersection over ALL shingles for the surviving candidates
-    val pairs = candidates
-      .join(sh.withColumnRenamed("id", "id_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
