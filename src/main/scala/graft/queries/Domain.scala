@@ -137,13 +137,27 @@ object Domain {
       .orderBy($"event_type")
   }
 
+  /** JSON-path extraction over the schemaless props column (the raw.products
+    * JSONB read path, §1.1): parse, bucket, aggregate — the generic-adapter
+    * scan shape as an oracle-gated query. */
+  def q33PropsParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .groupBy(($"k" % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"k_mod")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_promo_parse" -> q19PromoParse _,
     "q20_unit_standardize" -> q20UnitStandardize _,
     "q21_discount_metrics" -> q21DiscountMetrics _,
     "q22_category_normalize" -> q22CategoryNormalize _,
     "q23_quality_score" -> q23QualityScore _,
-    "q24_success_rate" -> q24SuccessRate _)
+    "q24_success_rate" -> q24SuccessRate _,
+    "q33_props_parse" -> q33PropsParse _)
 
   val oracleSql: Map[String, String] = Map(
     // Analytic recomputation: k = o_orderkey%10 selects the pattern, so the
@@ -249,6 +263,13 @@ object Domain {
       |  + CASE WHEN p_partkey % 13 <> 0 THEN 5 ELSE 0 END, 100) AS BIGINT)
       |  AS quality_score
       |FROM part ORDER BY p_partkey""".stripMargin,
+    "q33_props_parse" -> """
+      |SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+      |  count(*) AS n,
+      |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_success_rate" -> """
       |SELECT event_type, count(*) AS total,
       |  count(*) FILTER (WHERE value > 100) AS success,
