@@ -150,6 +150,30 @@ object Domain {
       .orderBy($"k_mod")
   }
 
+  /** AS-OF join: each event matched to the user's most recent order at or
+    * before the event time (ties: max orderkey). Union+window — one shuffle
+    * on user_id, no range-join explosion. */
+  def q34AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir).select($"event_id", $"user_id", $"ts")
+    val orders = Tables.orders(spark, dir)
+      .select($"o_custkey".as("user_id"), $"o_orderdate", $"o_orderkey")
+    graft.etl.TimeJoins.asofJoin(events, orders, "user_id", "ts",
+        "o_orderdate", "o_orderkey")
+      .select($"event_id", $"user_id", $"asof_o_orderkey")
+      .orderBy($"event_id")
+  }
+
+  /** Gap-based sessionization (24h gap) — session starts/ends as epoch
+    * micros so the cross-engine compare never touches raw timestamps. */
+  def q35Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.TimeJoins.sessionize(Tables.events(spark, dir), "user_id", "ts", "24 hours")
+      .select($"user_id", unix_micros($"session_start").as("session_start_us"),
+        $"n_events")
+      .orderBy($"user_id", $"session_start_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_promo_parse" -> q19PromoParse _,
     "q20_unit_standardize" -> q20UnitStandardize _,
@@ -157,7 +181,9 @@ object Domain {
     "q22_category_normalize" -> q22CategoryNormalize _,
     "q23_quality_score" -> q23QualityScore _,
     "q24_success_rate" -> q24SuccessRate _,
-    "q33_props_parse" -> q33PropsParse _)
+    "q33_props_parse" -> q33PropsParse _,
+    "q34_asof_join" -> q34AsofJoin _,
+    "q35_sessionize" -> q35Sessionize _)
 
   val oracleSql: Map[String, String] = Map(
     // Analytic recomputation: k = o_orderkey%10 selects the pattern, so the
@@ -270,6 +296,28 @@ object Domain {
       |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q34_asof_join" -> """
+      |SELECT e.event_id, e.user_id,
+      |  (SELECT max(o.o_orderkey) FROM orders o
+      |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |     AND o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
+      |       WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts))
+      |  AS asof_o_orderkey
+      |FROM events e ORDER BY e.event_id""".stripMargin,
+    "q35_sessionize" -> """
+      |WITH x AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 24 HOUR
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
     "q24_success_rate" -> """
       |SELECT event_type, count(*) AS total,
       |  count(*) FILTER (WHERE value > 100) AS success,

@@ -1,0 +1,50 @@
+package graft.etl
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+class TimeJoinsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: <= semantics, tie on max pick, null when nothing precedes") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 7L, ts("2026-01-10 00:00:00")), // after both orders
+      (2L, 7L, ts("2026-01-05 00:00:00")), // exactly at order 20's time
+      (3L, 7L, ts("2026-01-01 00:00:00")), // before all orders
+      (4L, 8L, ts("2026-01-10 00:00:00"))) // user without orders
+      .toDF("event_id", "user_id", "ts")
+    val orders = Seq(
+      (7L, ts("2026-01-03 00:00:00"), 10L),
+      (7L, ts("2026-01-05 00:00:00"), 20L),
+      (7L, ts("2026-01-05 00:00:00"), 21L)) // same time: max orderkey wins
+      .toDF("user_id", "o_date", "o_key")
+    val out = TimeJoins.asofJoin(events, orders, "user_id", "ts", "o_date", "o_key")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asof_o_key")).map(_.longValue)).toMap
+    assert(out(1L).contains(21L))
+    assert(out(2L).contains(21L)) // order at exactly event time counts
+    assert(out(3L).isEmpty)
+    assert(out(4L).isEmpty)
+  }
+
+  test("sessionize: only a gap strictly greater than the window splits") {
+    import spark.implicits._
+    val events = Seq(
+      (7L, ts("2026-01-01 10:00:00")),
+      (7L, ts("2026-01-01 10:20:00")),  // within gap → same session
+      (7L, ts("2026-01-01 10:50:00")),  // exactly 30m → still merged (Spark semantics)
+      (7L, ts("2026-01-01 11:20:01")),  // 30m01s → new session
+      (9L, ts("2026-01-01 00:00:00")))
+      .toDF("user_id", "ts")
+    val out = TimeJoins.sessionize(events, "user_id", "ts", "30 minutes")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").toString, r.getAs[Long]("n_events")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      (7L, "2026-01-01 10:00:00.0", 3L),
+      (7L, "2026-01-01 11:20:01.0", 1L),
+      (9L, "2026-01-01 00:00:00.0", 1L)))
+  }
+}
