@@ -61,7 +61,11 @@ object Similarity {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
     val pairs = maxShingleFreq match {
       case None =>
-        // exact path: one self-join on shingle + pair-count aggregation
+        // exact path: one self-join on shingle + pair-count aggregation.
+        // (A df>=2 singleton prune is exactness-preserving and pays off on
+        // real corpora where most shingles are unique, but costs an extra
+        // shuffle — measured slower on the dense synthetic corpus, so the
+        // direct join stays; use maxShingleFreq for the skew-guarded path.)
         sh.as("a").join(sh.as("b"),
             col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
           .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
