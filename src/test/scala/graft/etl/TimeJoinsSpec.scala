@@ -29,6 +29,32 @@ class TimeJoinsSpec extends SparkSpec {
     assert(out(4L).isEmpty)
   }
 
+  test("asofJoin matches a brute-force reference on randomized data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val events = (1L to 200L).map(i =>
+      (i, rnd.nextInt(10).toLong, ts(f"2026-01-${rnd.nextInt(28) + 1}%02d 12:00:00")))
+    val orders = (1L to 80L).map(i =>
+      (rnd.nextInt(10).toLong, ts(f"2026-01-${rnd.nextInt(28) + 1}%02d 12:00:00"), i))
+    val out = TimeJoins.asofJoin(
+        events.toDF("event_id", "user_id", "ts"),
+        orders.toDF("user_id", "o_date", "o_key"),
+        "user_id", "ts", "o_date", "o_key")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asof_o_key")).map(_.longValue)).toMap
+    // brute force: max key among orders at the max date <= event time
+    events.foreach { case (eid, u, t) =>
+      val eligible = orders.filter(o => o._1 == u && !o._2.after(t))
+      val expected =
+        if (eligible.isEmpty) None
+        else {
+          val maxDate = eligible.map(_._2.getTime).max
+          Some(eligible.filter(_._2.getTime == maxDate).map(_._3).max)
+        }
+      assert(out(eid) == expected, s"event $eid user $u at $t")
+    }
+  }
+
   test("sessionize: only a gap strictly greater than the window splits") {
     import spark.implicits._
     val events = Seq(
