@@ -252,6 +252,18 @@ object Relational {
       .orderBy($"day", $"event_type")
   }
 
+  /** Q36 — multi-dimensional reporting rollup (A7/A8 report family):
+    * per (priority, status) with subtotals and grand total; exact-cents
+    * sums so every level is bit-stable. */
+  def q36Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .rollup($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+      .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -270,7 +282,8 @@ object Relational {
     "q15_pagination" -> q15Pagination _,
     "q16_anti_join" -> q16AntiJoin _,
     "q17_semi_join" -> q17SemiJoin _,
-    "q18_time_window" -> q18TimeWindow _)
+    "q18_time_window" -> q18TimeWindow _,
+    "q36_rollup" -> q36Rollup _)
 
   /** DuckDB-flavored ANSI SQL oracles. `1e2`/`1e4` double literals are used
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
@@ -365,6 +378,16 @@ object Relational {
       """SELECT user_id, count(*) AS n_events FROM events
         |WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  sum(CAST(round(o_totalprice*1e2) AS BIGINT)) AS sum_cents
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q36_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  sum(CAST(round(o_totalprice*1e2) AS BIGINT)) AS sum_cents
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "q18_time_window" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*) AS n,
