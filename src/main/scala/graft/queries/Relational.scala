@@ -264,6 +264,20 @@ object Relational {
       .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
   }
 
+  /** Q37 — RANGE-frame sliding window: per user, how many events landed in
+    * the preceding hour (inclusive). Time expressed as epoch micros so the
+    * frame bounds are exact integers in both engines. */
+  def q37RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .select($"event_id", $"user_id", $"n_last_hour")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -283,7 +297,8 @@ object Relational {
     "q16_anti_join" -> q16AntiJoin _,
     "q17_semi_join" -> q17SemiJoin _,
     "q18_time_window" -> q18TimeWindow _,
-    "q36_rollup" -> q36Rollup _)
+    "q36_rollup" -> q36Rollup _,
+    "q37_range_window" -> q37RangeWindow _)
 
   /** DuckDB-flavored ANSI SQL oracles. `1e2`/`1e4` double literals are used
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
@@ -378,11 +393,21 @@ object Relational {
       """SELECT user_id, count(*) AS n_events FROM events
         |WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_range_window" ->
+      """SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events ORDER BY event_id""".stripMargin,
     "q36_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |  sum(CAST(round(o_totalprice*1e2) AS BIGINT)) AS sum_cents
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q37_range_window" ->
+      """SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events ORDER BY event_id""".stripMargin,
     "q36_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |  sum(CAST(round(o_totalprice*1e2) AS BIGINT)) AS sum_cents
