@@ -278,6 +278,23 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Q38 — EXACT per-group median (vs the approx A8 percentile): rank rows
+    * per group, pick the middle one-or-two cents values, report their sum
+    * (med2 = 2×median, kept integral to stay bit-stable cross-engine). */
+  def q38ExactMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"cents", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"o_orderpriority")))
+      .groupBy($"o_orderpriority")
+      .agg((sum(when($"rn" === expr("(cnt + 1) div 2"), $"cents")) +
+            sum(when($"rn" === expr("cnt div 2 + 1"), $"cents"))).as("median2_cents"),
+        max($"cnt").as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -298,7 +315,8 @@ object Relational {
     "q17_semi_join" -> q17SemiJoin _,
     "q18_time_window" -> q18TimeWindow _,
     "q36_rollup" -> q36Rollup _,
-    "q37_range_window" -> q37RangeWindow _)
+    "q37_range_window" -> q37RangeWindow _,
+    "q38_exact_median" -> q38ExactMedian _)
 
   /** DuckDB-flavored ANSI SQL oracles. `1e2`/`1e4` double literals are used
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
@@ -393,6 +411,18 @@ object Relational {
       """SELECT user_id, count(*) AS n_events FROM events
         |WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q38_exact_median" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(round(o_totalprice*1e2) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice*1e2) AS BIGINT), o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  sum(CASE WHEN rn = (cnt+1)//2 THEN cents END)
+        |    + sum(CASE WHEN rn = cnt//2 + 1 THEN cents END) AS median2_cents,
+        |  max(cnt) AS n
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q37_range_window" ->
       """SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id
         |    ORDER BY epoch_us(ts)
@@ -403,6 +433,18 @@ object Relational {
         |  sum(CAST(round(o_totalprice*1e2) AS BIGINT)) AS sum_cents
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q38_exact_median" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(round(o_totalprice*1e2) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice*1e2) AS BIGINT), o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  sum(CASE WHEN rn = (cnt+1)//2 THEN cents END)
+        |    + sum(CASE WHEN rn = cnt//2 + 1 THEN cents END) AS median2_cents,
+        |  max(cnt) AS n
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q37_range_window" ->
       """SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id
         |    ORDER BY epoch_us(ts)
