@@ -295,6 +295,19 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** Q39 — top-k as an AGGREGATE (typed Aggregator, §2.14 UDAF surface):
+    * the buffer caps at k so partial aggregation ships k values per
+    * partition, not the group — compare the window-based q14. */
+  def q39TopKAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = udaf(graft.functions.TopKAgg(3))
+    Tables.orders(spark, dir)
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .groupBy($"o_orderpriority")
+      .agg(topk($"cents").as("top3_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -316,7 +329,8 @@ object Relational {
     "q18_time_window" -> q18TimeWindow _,
     "q36_rollup" -> q36Rollup _,
     "q37_range_window" -> q37RangeWindow _,
-    "q38_exact_median" -> q38ExactMedian _)
+    "q38_exact_median" -> q38ExactMedian _,
+    "q39_topk_agg" -> q39TopKAgg _)
 
   /** DuckDB-flavored ANSI SQL oracles. `1e2`/`1e4` double literals are used
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
@@ -411,6 +425,11 @@ object Relational {
       """SELECT user_id, count(*) AS n_events FROM events
         |WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q39_topk_agg" ->
+      """SELECT o_orderpriority,
+        |  (list(CAST(round(o_totalprice*1e2) AS BIGINT)
+        |        ORDER BY round(o_totalprice*1e2) DESC))[:3] AS top3_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q38_exact_median" ->
       """WITH r AS (
         |  SELECT o_orderpriority, CAST(round(o_totalprice*1e2) AS BIGINT) AS cents,
@@ -433,6 +452,11 @@ object Relational {
         |  sum(CAST(round(o_totalprice*1e2) AS BIGINT)) AS sum_cents
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q39_topk_agg" ->
+      """SELECT o_orderpriority,
+        |  (list(CAST(round(o_totalprice*1e2) AS BIGINT)
+        |        ORDER BY round(o_totalprice*1e2) DESC))[:3] AS top3_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q38_exact_median" ->
       """WITH r AS (
         |  SELECT o_orderpriority, CAST(round(o_totalprice*1e2) AS BIGINT) AS cents,
