@@ -62,6 +62,34 @@ class RealSamplesSpec extends SparkSpec {
     checkUnified(Pipeline.process(Shops.Aldi, raw), minRows = 50)
   }
 
+  test("cross-shop union + reporting stack over all real samples") {
+    assume(new java.io.File(base).isDirectory, "reference samples not mounted")
+    val envelope = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("product", Shops.Plus.schema)))
+    val unified = Pipeline.processAll(spark, Map(
+      "AH" -> spark.read.schema(Shops.Ah.schema).option("multiLine", true)
+        .json(sample("ah_scrape").get),
+      "JUMBO" -> spark.read.schema(Shops.Jumbo.schema).option("multiLine", true)
+        .json(sample("jumbo_scrape").get),
+      "ALDI" -> spark.read.schema(Shops.Aldi.schema).option("multiLine", true)
+        .json(sample("aldi_scrape").get),
+      "PLUS" -> spark.read.schema(envelope).option("multiLine", true)
+        .json(sample("plus_scrape").get).select("product.*"))).cache()
+    assert(unified.select("shop_type").distinct().count() == 4)
+    // reporting stack runs end to end on real data
+    val price = Analytics.priceComparison(unified).collect()
+    assert(price.length == 4 && price.forall(_.getAs[Long]("n") > 0))
+    val quality = Quality.report(unified).collect().head
+    assert(quality.getAs[Double]("avg_score") >= 50.0)
+    val vs = Validation.summary(unified).collect().head
+    assert(vs.getAs[Long]("n_rows") == unified.count())
+    assert(vs.getAs[Long]("required_id") == 0)    // no id failures on real data
+    assert(vs.getAs[Long]("required_title") == 0)
+    val dist = Analytics.categoryDistribution(unified).collect()
+    assert(dist.length > 3) // real data spreads across categories
+    unified.unpersist()
+  }
+
   test("Plus adapter digests the real scrape (unwrapping the crawl envelope)") {
     val path = sample("plus_scrape")
     assume(path.isDefined, "reference samples not mounted")
