@@ -10,8 +10,11 @@ object Verify {
     val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Bounded fan-in (not coalesce(1)): a single-file dump would funnel the
+    // whole result through one task at large SF; 8 part files keeps the
+    // write parallel while staying cheap for the driver's pandas read.
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try fn(spark, sfDir).coalesce(8).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

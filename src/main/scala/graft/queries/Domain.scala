@@ -289,10 +289,13 @@ object Domain {
       |  + CASE WHEN p_partkey % 13 <> 0 THEN 5 ELSE 0 END, 100) AS BIGINT)
       |  AS quality_score
       |FROM part ORDER BY p_partkey""".stripMargin,
+    // sum_k is CAST back to BIGINT: DuckDB SUM(INT) widens to HUGEINT which
+    // the driver's pandas bridge renders as float64, breaking the value hash
+    // against Spark's int64 even when the numbers are identical.
     "q33_props_parse" -> """
       |SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
       |  count(*) AS n,
-      |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
       |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -297,7 +297,9 @@ object Relational {
 
   /** Q39 — top-k as an AGGREGATE (typed Aggregator, §2.14 UDAF surface):
     * the buffer caps at k so partial aggregation ships k values per
-    * partition, not the group — compare the window-based q14. */
+    * partition, not the group — compare the window-based q14. The top-k
+    * array is posexploded to scalar (priority, rk, cents) rows so the
+    * cross-engine compare never sees an array column. */
   def q39TopKAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val topk = udaf(graft.functions.TopKAgg(3))
@@ -305,7 +307,10 @@ object Relational {
       .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
       .groupBy($"o_orderpriority")
       .agg(topk($"cents").as("top3_cents"))
-      .orderBy($"o_orderpriority")
+      .select($"o_orderpriority", posexplode($"top3_cents"))
+      .select($"o_orderpriority", ($"pos" + 1).cast("long").as("rk"),
+        $"col".as("cents"))
+      .orderBy($"o_orderpriority", $"rk")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -377,10 +382,14 @@ object Relational {
     "q8_content_hash" ->
       """SELECT doc_id, sha256(concat_ws('|', text, lang, source)) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // NOTE (driver-hash determinism): DuckDB SUM(BIGINT) widens to HUGEINT,
+    // which the driver's pandas bridge renders as float64 ("123.0" vs "123")
+    // even when values are identical — every raw SUM emitted to the compare
+    // is CAST back to BIGINT so both engines present int64.
     "q9_running_window" ->
       """SELECT user_id, event_id,
-        |  sum(CAST(round(value*1e2) AS BIGINT)) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS running_cents
+        |  CAST(sum(CAST(round(value*1e2) AS BIGINT)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q10_similar_groups" ->
       """SELECT norm, count(*) AS cnt, min(doc_id) AS first_doc FROM (
@@ -426,10 +435,12 @@ object Relational {
         |WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q39_topk_agg" ->
-      """SELECT o_orderpriority,
-        |  (list(CAST(round(o_totalprice*1e2) AS BIGINT)
-        |        ORDER BY round(o_totalprice*1e2) DESC))[:3] AS top3_cents
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT o_orderpriority, rk, cents FROM (
+        |  SELECT o_orderpriority, CAST(round(o_totalprice*1e2) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice*1e2) AS BIGINT) DESC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
     "q38_exact_median" ->
       """WITH r AS (
         |  SELECT o_orderpriority, CAST(round(o_totalprice*1e2) AS BIGINT) AS cents,
@@ -438,8 +449,8 @@ object Relational {
         |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
         |  FROM orders)
         |SELECT o_orderpriority,
-        |  sum(CASE WHEN rn = (cnt+1)//2 THEN cents END)
-        |    + sum(CASE WHEN rn = cnt//2 + 1 THEN cents END) AS median2_cents,
+        |  CAST(sum(CASE WHEN rn = (cnt+1)//2 THEN cents END)
+        |    + sum(CASE WHEN rn = cnt//2 + 1 THEN cents END) AS BIGINT) AS median2_cents,
         |  max(cnt) AS n
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q37_range_window" ->
@@ -449,34 +460,7 @@ object Relational {
         |FROM events ORDER BY event_id""".stripMargin,
     "q36_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-        |  sum(CAST(round(o_totalprice*1e2) AS BIGINT)) AS sum_cents
-        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
-    "q39_topk_agg" ->
-      """SELECT o_orderpriority,
-        |  (list(CAST(round(o_totalprice*1e2) AS BIGINT)
-        |        ORDER BY round(o_totalprice*1e2) DESC))[:3] AS top3_cents
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q38_exact_median" ->
-      """WITH r AS (
-        |  SELECT o_orderpriority, CAST(round(o_totalprice*1e2) AS BIGINT) AS cents,
-        |    row_number() OVER (PARTITION BY o_orderpriority
-        |      ORDER BY CAST(round(o_totalprice*1e2) AS BIGINT), o_orderkey) AS rn,
-        |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
-        |  FROM orders)
-        |SELECT o_orderpriority,
-        |  sum(CASE WHEN rn = (cnt+1)//2 THEN cents END)
-        |    + sum(CASE WHEN rn = cnt//2 + 1 THEN cents END) AS median2_cents,
-        |  max(cnt) AS n
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q37_range_window" ->
-      """SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id
-        |    ORDER BY epoch_us(ts)
-        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
-        |FROM events ORDER BY event_id""".stripMargin,
-    "q36_rollup" ->
-      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-        |  sum(CAST(round(o_totalprice*1e2) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(round(o_totalprice*1e2) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "q18_time_window" ->
