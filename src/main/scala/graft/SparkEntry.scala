@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Domain, Relational, TrainingData}
+import graft.queries.{Domain, Relational, ShopQueries, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Domain.queries ++ TrainingData.queries
+    Relational.queries ++ Domain.queries ++ TrainingData.queries ++
+      ShopQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ Domain.oracleSql ++ TrainingData.oracleSql
+    Relational.oracleSql ++ Domain.oracleSql ++ TrainingData.oracleSql ++
+      ShopQueries.oracleSql
 }
