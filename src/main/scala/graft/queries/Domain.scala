@@ -174,6 +174,60 @@ object Domain {
       .orderBy($"user_id", $"session_start_us")
   }
 
+  /** T5 — the FULL CalculateFields sequential derivation (promo parse /
+    * AH bypass → standardize quantity → price-per-standard-unit with the
+    * promo effective price feeding the current variant → discount metrics;
+    * calculate-fields.ts:20-123). q19–q21 pin the stages in isolation; this
+    * pins their COMPOSITION. k = o_orderkey % 7 selects the branch:
+    *  0 AH bypass (STRUCTURED_DISCOUNT: eff = current_price, req 1, multi F)
+    *  1 "2 voor 3.00" X_FOR_Y parse feeding cpps
+    *  2 "25% korting" percentage (2dp-rounded eff)
+    *  3 non-promo passthrough (parsed_* stay null)
+    *  4 conversion-factor 0.001 floor (0.5 mg)
+    *  5 UNKNOWN mechanism fallback (eff = raw current_price)
+    *  6 multi-segment MULTI_PROMO → top-level fallback pricing */
+  def q44CalculateFields(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = ($"o_orderkey" % 7).cast("int")
+    val cents = (($"o_orderkey" % 19) + 1) * 20
+    val pbb = cents / lit(100.0)
+    val cp = when(k.isin(0, 5), cents / lit(200.0)).otherwise(pbb)
+    val input = Tables.orders(spark, dir).select(
+      $"o_orderkey",
+      when(k === 0, "AH").when(k.isin(4, 5), "ALDI").when(k === 2, "PLUS")
+        .otherwise("JUMBO").as("shop_type"),
+      k.isin(0, 1, 2, 5, 6).as("is_promotion"),
+      when(k === 1, "2 voor 3.00").when(k === 2, "25% korting")
+        .when(k === 5, "mega deal").when(k === 6, "2 voor 3.00; 25% korting")
+        .when(k === 0, "structured bonus").otherwise("").as("promotion_mechanism"),
+      pbb.as("price_before_bonus"),
+      cp.as("current_price"),
+      element_at(array(lit(2.0), lit(500.0), lit(3.0), lit(750.0), lit(0.5),
+        lit(1.0), lit(4.0)), k + 1).as("quantity_amount"),
+      element_at(array(lit("kg"), lit("g"), lit("stuks"), lit("ml"), lit("mg"),
+        lit("stuk"), lit("pak")), k + 1).as("quantity_unit"),
+      lit(null).cast("double").as("parsed_promotion_effective_unit_price"),
+      lit(null).cast("double").as("parsed_promotion_required_quantity"),
+      lit(null).cast("double").as("parsed_promotion_total_price"),
+      lit(null).cast("boolean").as("parsed_promotion_is_multi_purchase_required"),
+      lit(null).cast("double").as("discount_absolute"),
+      lit(null).cast("double").as("discount_percentage"))
+    graft.etl.CalculateFields(input).select(
+      $"o_orderkey", $"shop_type",
+      round($"parsed_promotion_effective_unit_price" * 100).cast("long").as("eff_cents"),
+      $"parsed_promotion_required_quantity".as("req_qty"),
+      round($"parsed_promotion_total_price" * 100).cast("long").as("total_cents"),
+      $"parsed_promotion_is_multi_purchase_required".as("multi"),
+      $"normalized_quantity_amount".as("norm_amt"),
+      $"normalized_quantity_unit".as("norm_unit"),
+      round($"conversion_factor" * 1000).cast("long").as("cf_milli"),
+      round($"price_per_standard_unit" * 100).cast("long").as("pps_cents"),
+      round($"current_price_per_standard_unit" * 100).cast("long").as("cpps_cents"),
+      round($"discount_absolute" * 100).cast("long").as("disc_cents"),
+      round($"discount_percentage" * 10).cast("long").as("pct_deci"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_promo_parse" -> q19PromoParse _,
     "q20_unit_standardize" -> q20UnitStandardize _,
@@ -183,7 +237,8 @@ object Domain {
     "q24_success_rate" -> q24SuccessRate _,
     "q33_props_parse" -> q33PropsParse _,
     "q34_asof_join" -> q34AsofJoin _,
-    "q35_sessionize" -> q35Sessionize _)
+    "q35_sessionize" -> q35Sessionize _,
+    "q44_calculate_fields" -> q44CalculateFields _)
 
   val oracleSql: Map[String, String] = Map(
     // Analytic recomputation: k = o_orderkey%10 selects the pattern, so the
@@ -327,5 +382,59 @@ object Domain {
       |  CASE WHEN count(*) > 0
       |    THEN round(count(*) FILTER (WHERE value > 100) * 1e2 / count(*), 2)
       |    ELSE 0 END AS success_rate
-      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Analytic recomputation of the full CalculateFields composition.
+    // dprice (the price feeding cpps + discount metrics) = parsed effective
+    // price when non-null/non-zero else current_price — replicated with the
+    // same FP expression trees (incl. the parser's 2dp rounding) so every
+    // cents output is tie-free.
+    "q44_calculate_fields" -> """
+      |WITH base AS (
+      |  SELECT o_orderkey, CAST(o_orderkey % 7 AS INT) AS k,
+      |         ((o_orderkey % 19) + 1) * 20 AS cents
+      |  FROM orders),
+      |s AS (
+      |  SELECT *, cents/1e2 AS pbb,
+      |    CASE WHEN k IN (0, 5) THEN cents/2e2 ELSE cents/1e2 END AS cp
+      |  FROM base),
+      |c AS (
+      |  SELECT *,
+      |    CASE k WHEN 0 THEN CAST(2 AS DOUBLE) WHEN 1 THEN CAST(0.5 AS DOUBLE)
+      |      WHEN 2 THEN CAST(3 AS DOUBLE) WHEN 3 THEN CAST(0.75 AS DOUBLE)
+      |      WHEN 4 THEN CAST(0.001 AS DOUBLE) WHEN 5 THEN CAST(1 AS DOUBLE)
+      |      ELSE CAST(4 AS DOUBLE) END AS cf,
+      |    CASE k WHEN 0 THEN cp WHEN 1 THEN CAST(1.5 AS DOUBLE)
+      |      WHEN 2 THEN round(pbb*(1 - 25/1e2), 2) WHEN 5 THEN cp
+      |      WHEN 6 THEN cp END AS eff
+      |  FROM s),
+      |d AS (SELECT *, coalesce(nullif(eff, 0), cp) AS dprice FROM c)
+      |SELECT o_orderkey,
+      |  CASE k WHEN 0 THEN 'AH' WHEN 2 THEN 'PLUS' WHEN 4 THEN 'ALDI'
+      |    WHEN 5 THEN 'ALDI' ELSE 'JUMBO' END AS shop_type,
+      |  CAST(round(eff*1e2) AS BIGINT) AS eff_cents,
+      |  CASE WHEN k IN (0, 2, 5, 6) THEN CAST(1 AS DOUBLE)
+      |       WHEN k = 1 THEN CAST(2 AS DOUBLE) END AS req_qty,
+      |  CASE k WHEN 1 THEN CAST(300 AS BIGINT)
+      |       WHEN 0 THEN CAST(cents//2 AS BIGINT) WHEN 5 THEN CAST(cents//2 AS BIGINT)
+      |       WHEN 2 THEN CAST(cents AS BIGINT) WHEN 6 THEN CAST(cents AS BIGINT)
+      |       END AS total_cents,
+      |  CASE WHEN k = 1 THEN TRUE WHEN k IN (0, 2, 5, 6) THEN FALSE END AS multi,
+      |  CASE k WHEN 0 THEN CAST(2 AS DOUBLE) WHEN 1 THEN CAST(0.5 AS DOUBLE)
+      |    WHEN 2 THEN CAST(3 AS DOUBLE) WHEN 3 THEN CAST(0.75 AS DOUBLE)
+      |    WHEN 4 THEN CAST(0.001 AS DOUBLE) WHEN 5 THEN CAST(1 AS DOUBLE)
+      |    ELSE CAST(4 AS DOUBLE) END AS norm_amt,
+      |  CASE k WHEN 2 THEN 'stuk' WHEN 3 THEN 'l' WHEN 5 THEN 'stuk'
+      |    WHEN 6 THEN 'stuk' ELSE 'kg' END AS norm_unit,
+      |  CAST(round(cf*1e3) AS BIGINT) AS cf_milli,
+      |  CAST(round(round(pbb/cf, 2)*1e2) AS BIGINT) AS pps_cents,
+      |  CAST(round(round(dprice/cf, 2)*1e2) AS BIGINT) AS cpps_cents,
+      |  CASE WHEN k IN (0, 1, 2, 5, 6) THEN
+      |    CAST(round(CASE WHEN dprice >= pbb THEN 0
+      |                    ELSE round(pbb - dprice, 2) END * 1e2) AS BIGINT)
+      |  END AS disc_cents,
+      |  CASE WHEN k IN (0, 1, 2, 5, 6) THEN
+      |    CAST(round(CASE WHEN dprice >= pbb THEN 0
+      |                    ELSE round((pbb - dprice)/pbb*100, 1) END * 10) AS BIGINT)
+      |  END AS pct_deci
+      |FROM d ORDER BY o_orderkey""".stripMargin)
 }

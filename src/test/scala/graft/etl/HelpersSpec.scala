@@ -70,6 +70,23 @@ class HelpersSpec extends SparkSpec {
     assert(Strings.normalizeString("  AH! Basic-Melk  2x ") == "ah basic melk 2x")
   }
 
+  test("quality report avg + histogram (A5) — exact values") {
+    import spark.implicits._
+    // row 1 scores 100 (every factor), row 2 scores 50 (none)
+    val df = Seq(
+      ("i.jpg", Some("Bakkerij"), "AH", true, "2 voor 3.00", true, 1.0, "g", Some(0.5)),
+      ("", None, "", false, "", false, 0.0, "", None))
+      .toDF("image_url", "main_category", "brand", "is_promotion",
+        "promotion_mechanism", "is_active", "quantity_amount", "quantity_unit",
+        "conversion_factor")
+    val r = Quality.report(df).collect().head
+    assert(r.getAs[Double]("avg_score") == 75.0)
+    assert(r.getAs[Long]("n_products") == 2)
+    assert(r.getAs[Long]("b_90_100") == 1)
+    assert(r.getAs[Long]("b_50_59") == 1)
+    assert(r.getAs[Long]("b_lt_50") == 0)
+  }
+
   test("schemaVersionStats defaults the version (A12)") {
     import spark.implicits._
     val df = Seq(("AH", None: Option[String]), ("AH", Some("0.9.0")))
