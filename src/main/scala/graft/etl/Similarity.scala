@@ -45,45 +45,73 @@ object Similarity {
     df.select(col(idCol).as("id"), explode(sh).as("shingle"))
   }
 
+  /** Default skew cap for [[ngramJaccardPairs]]: one shingle contributes at
+    * most cap·(cap−1)/2 ≈ 32.6k candidate pairs, generated INSIDE one
+    * aggregated bucket row — never a c² self-join blowup. */
+  val DefaultMaxShingleFreq = 256
+
   /** n-gram Jaccard candidate pairs: rows sharing ≥1 shingle, with exact
     * intersection/union counts (set semantics). Output:
     * (id_a, id_b, inter, union_size, size_a, size_b), id_a < id_b.
     *
-    * `maxShingleFreq` is the 100 TB skew guard: a shingle shared by c docs
-    * contributes c² pair rows, so boilerplate shingles are dropped from the
-    * PAIR JOIN above the cap (sizes/intersections still use all shingles,
-    * so reported Jaccard stays exact for every surviving pair; pairs whose
-    * every common shingle is boilerplate are missed — the documented
-    * recall/scale tradeoff, same as MinHash band tuning). None = exact. */
+    * Default (capped) path — the 100 TB shape: group shingles into buckets,
+    * DROP singleton buckets (exactness-preserving: a shingle seen once can
+    * pair with nothing — on realistic corpora most shingles are unique) and
+    * buckets above `maxShingleFreq` (boilerplate: a shingle shared by c docs
+    * would emit c²/2 pairs, the scale-killer), and explode bounded in-bucket
+    * pairs. Counting the emitted pairs directly gives the exact intersection
+    * over non-boilerplate shingles; a correction join (bounded by candidates
+    * × hot-shingles-per-doc, never hot memberships²) adds intersections via
+    * boilerplate shingles back in — so reported Jaccard is EXACT for every
+    * emitted pair. Pairs whose every common shingle is boilerplate are
+    * missed: the documented recall/scale tradeoff, same family as MinHash
+    * band tuning. Shuffles: the bucket groupBy, the pair-count groupBy, and
+    * the (usually empty) hot correction — all bounded.
+    *
+    * `maxShingleFreq = None` is the exact escape hatch: a direct self-join
+    * on shingle with no cap — correct at any frequency but O(Σc²) pair rows;
+    * only for corpora known to be boilerplate-free. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      maxShingleFreq: Option[Int] = None): DataFrame = {
+      maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame = {
     val sh = explodeShingles(df, idCol, textCol, n).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
     val pairs = maxShingleFreq match {
       case None =>
-        // exact path: one self-join on shingle + pair-count aggregation.
-        // (A df>=2 singleton prune is exactness-preserving and pays off on
-        // real corpora where most shingles are unique, but costs an extra
-        // shuffle — measured slower on the dense synthetic corpus, so the
-        // direct join stays; use maxShingleFreq for the skew-guarded path.)
+        // exact path: one self-join on shingle + pair-count aggregation
         sh.as("a").join(sh.as("b"),
             col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
           .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
           .agg(count(lit(1)).as("inter"))
       case Some(cap) =>
-        // skew-guarded path: candidates only from non-boilerplate shingles,
-        // then exact intersections over ALL shingles for the survivors
-        val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
-          .filter(col("c") > cap).select(col("shingle"))
-        val joinable = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-        val candidates = joinable.as("a").join(joinable.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-        candidates
-          .join(sh.withColumnRenamed("id", "id_a"), "id_a")
-          .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
+        // bucket the ids per shingle, emit sorted in-bucket pairs from
+        // inside the aggregated row (bounded by cap) — no self-join ever.
+        // Counting the emitted pairs IS the exact intersection over the
+        // [2, cap]-frequency shingles (singletons can't be shared).
+        val buckets = sh.groupBy(col("shingle"))
+          .agg(sort_array(collect_list(col("id"))).as("ids"))
+        val interCapped = buckets
+          .filter(size(col("ids")) >= 2 && size(col("ids")) <= cap)
+          .select(explode(flatten(
+            transform(col("ids"), (x, i) =>
+              transform(slice(col("ids"), i + 2, size(col("ids"))),
+                y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+          .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+          .agg(count(lit(1)).as("inter_capped"))
+        // correction: candidates may ALSO share boilerplate (> cap)
+        // shingles; add those in via a join bounded by candidates ×
+        // hot-shingles-per-doc (the hot shingle SET is tiny even when its
+        // memberships are huge — membership lists are never pair-exploded)
+        val hotSet = buckets.filter(size(col("ids")) > cap).select(col("shingle"))
+        val shHot = sh.join(broadcast(hotSet), Seq("shingle"))
+        val interHot = interCapped.select(col("id_a"), col("id_b"))
+          .join(shHot.withColumnRenamed("id", "id_a"), "id_a")
+          .join(shHot.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
           .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("inter"))
+          .agg(count(lit(1)).as("inter_hot"))
+        interCapped.join(interHot, Seq("id_a", "id_b"), "left")
+          .na.fill(0, Seq("inter_hot"))
+          .select(col("id_a"), col("id_b"),
+            (col("inter_capped") + col("inter_hot")).as("inter"))
     }
     pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")

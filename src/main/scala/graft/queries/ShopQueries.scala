@@ -44,6 +44,19 @@ object ShopQueries {
   private def dec(c: Column): Column =
     format_string("%d.%02d", (c / 100).cast("long"), (c % 100).cast("long"))
 
+  /** Evaluate the synthesized-JSON parse exactly once. Without this barrier
+    * the optimizer collapses the adapter's ~35 output expressions onto the
+    * from_json lineage and, JsonToStructs being codegen-fallback (no
+    * subexpression elimination), re-builds and re-parses the JSON per output
+    * column — measured 8s vs 0.6s at sf0.1. An RDD boundary is the one
+    * barrier projection collapse cannot cross (it crosses repartition()).
+    * Real pipelines read raw JSON from files and never hit this: the scan is
+    * already a materialization point. Lazy localCheckpoint keeps the rows in
+    * InternalRow form (no Row-encoder roundtrip) and computes on first
+    * action. */
+  private def evalOnce(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false)
+
   private def centsOut(c: Column): Column = round(c * 100).cast("long")
 
   private def kCol = (col("o_orderkey") % 8).cast("int")
@@ -85,8 +98,8 @@ object ShopQueries {
         "{\"code\":\"DISCOUNT_MYSTERY\"}," +
         "{\"code\":\"DISCOUNT_AMOUNT\",\"amount\":0.5}]")).otherwise(lit("")),
       lit("}"))
-    val raw = Tables.orders(spark, dir)
-      .select(from_json(json, Shops.Ah.schema).as("j")).select($"j.*")
+    val raw = evalOnce(Tables.orders(spark, dir)
+      .select(from_json(json, Shops.Ah.schema).as("j")).select($"j.*"))
     Shops.Ah.unified(raw).select(
       $"unified_id", $"title", $"main_category", $"brand", $"image_url",
       $"sales_unit_size", $"quantity_amount", $"quantity_unit",
@@ -135,8 +148,8 @@ object ShopQueries {
         when(k === 7, lit(",\"promotions\":[{\"tags\":[{\"text\":\"25% korting\"}]}]"))
           .otherwise(lit("")),
         lit("}}")))
-    val raw = Tables.orders(spark, dir)
-      .select(from_json(json, Shops.Jumbo.schema).as("j")).select($"j.*")
+    val raw = evalOnce(Tables.orders(spark, dir)
+      .select(from_json(json, Shops.Jumbo.schema).as("j")).select($"j.*"))
     Shops.Jumbo.unified(raw).select(
       $"unified_id", $"title", $"main_category", $"brand",
       $"sales_unit_size", $"quantity_amount", $"quantity_unit",
@@ -186,8 +199,8 @@ object ShopQueries {
         lit(",\"promotionDetails\":{\"promotionDate\":\"2024-03-04\"}"))
         .otherwise(lit("")),
       lit(",\"primaryImage\":{\"baseUrl\":\"img.jpg\"}}"))
-    val raw = Tables.orders(spark, dir)
-      .select(from_json(json, Shops.Aldi.schema).as("j")).select($"j.*")
+    val raw = evalOnce(Tables.orders(spark, dir)
+      .select(from_json(json, Shops.Aldi.schema).as("j")).select($"j.*"))
     // main_category is intentionally not emitted: the k=6 'discount' class
     // feeds the cascade an input whose result q22 does not pin by hand.
     Shops.Aldi.unified(raw).select(
@@ -234,8 +247,8 @@ object ShopQueries {
           "\"PromotionStartDate\":\"1900-01-01\",\"PromotionEndDate\":\"2024-01-07\""))
           .otherwise(lit("")),
         lit(",\"Categories\":{\"List\":[{\"Name\":\"Bakkerij\"}]}}}")))
-    val raw = Tables.orders(spark, dir)
-      .select(from_json(json, Shops.Plus.schema).as("j")).select($"j.*")
+    val raw = evalOnce(Tables.orders(spark, dir)
+      .select(from_json(json, Shops.Plus.schema).as("j")).select($"j.*"))
     Shops.Plus.unified(raw).select(
       $"unified_id", $"title", $"main_category", $"brand", $"image_url",
       $"sales_unit_size", $"quantity_amount", $"quantity_unit",
