@@ -15,8 +15,12 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failing query records -1, not its elapsed time — breakage must be
+      // visible in the JSON, not masked as a fast success
+      val elapsed =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -432,7 +432,11 @@ object Shops {
             !coalesce(col("isSoldOut"), lit(false))).as("is_active"))
     }
   }
-  val Aldi: AldiAdapter = AldiAdapter()
+  /** Fresh adapter per access: the ISO-week promotion window derives from
+    * `now`, so a long-running driver must not pin the class-load date (the
+    * reference computes the current week per run). Callers needing a fixed
+    * clock construct `AldiAdapter(date)` directly (tests do). */
+  def Aldi: AldiAdapter = AldiAdapter()
 
   /** Plus — F4 (plus.ts:388-395) + T4 (plus.ts:86-267). String prices,
     * '1900-01-01' sentinel dates, Packging (sic) fallback. */
@@ -555,7 +559,7 @@ object Shops {
     }
   }
 
-  val all: Seq[ShopAdapter] = Seq(Ah, Jumbo, Aldi, Plus)
+  def all: Seq[ShopAdapter] = Seq(Ah, Jumbo, Aldi, Plus)
 
   /** Kruidvat: scraped upstream but intentionally unimplemented in the
     * reference (database-processor-adapter.ts:151-152) — same explicit error. */

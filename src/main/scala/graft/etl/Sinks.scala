@@ -24,7 +24,11 @@ object Sinks {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) {
-      val stamped = new org.apache.hadoop.fs.Path(dir + ".bak-" + System.nanoTime())
+      // zero-padded wall-clock stamp: lexicographic name order == age order
+      // even across JVM restarts (nanoTime's origin is per-JVM-arbitrary,
+      // which would let pruning delete the NEWEST backup)
+      val stamped = new org.apache.hadoop.fs.Path(
+        dir + f".bak-${System.currentTimeMillis()}%016d")
       fs.rename(path, stamped)
       // prune old backups beyond keepBackups (oldest first)
       val parent = path.getParent

@@ -151,10 +151,16 @@ object Units {
     }
   }
 
-  /** JS `toFixed(n)`/`parseFloat` rounding on positive prices matches
-    * BigDecimal HALF_UP. */
+  /** JS `toFixed(n)` parity for positive prices: HALF_UP over the EXACT
+    * binary value (`new java.math.BigDecimal(x)`, not the shortest-repr
+    * valueOf constructor). The two constructors differ only at decimal-repr
+    * ties — (1.005).toFixed(2) is "1.00" in JS because the double is just
+    * below the tie, which the exact-binary constructor reproduces while
+    * shortest-repr ("1.005" → 1.01) would not. Oracle inputs avoid ties by
+    * construction regardless (integer-cents money). */
   def roundN(x: Double, n: Int): Double =
-    BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    new java.math.BigDecimal(x)
+      .setScale(n, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** U3 (calculate-fields.ts:412-447): price / conversionFactor with a 0.001
     * minimum factor, 10000 cap, 2dp rounding; invalid price → 0. */

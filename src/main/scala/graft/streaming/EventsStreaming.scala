@@ -77,6 +77,23 @@ object EventsStreaming {
       }
       .start()
 
+  /** K2/K3 parity sink: every micro-batch goes through the SAME
+    * stage-to-temp + transactional MERGE path the batch side uses
+    * (`Sinks.jdbcUpsert` → `Sinks.mergeSql`), closing the batch/streaming
+    * seam — a row upserted from a stream is indistinguishable in the target
+    * table from one upserted by a batch job, and replays of a micro-batch
+    * after failure are idempotent because MERGE keys on the natural key. */
+  def mergeUpsertSink(unified: DataFrame, jdbcUrl: String,
+      props: java.util.Properties, target: String, keyCols: Seq[String],
+      checkpointDir: String, nowExpr: String = "now()"): StreamingQuery =
+    unified.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.Sinks.jdbcUpsert(batch, jdbcUrl, props, target, keyCols, nowExpr)
+      }
+      .start()
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension (e.g. the unified product table) — the dim is re-read per
     * micro-batch and broadcast, so the stream side never shuffles. */

@@ -59,6 +59,44 @@ class EventsStreamingSpec extends SparkSpec {
     assert(rows == Map(7L -> Some("gold"), 9L -> None))
   }
 
+  test("mergeUpsertSink: each micro-batch runs the batch MERGE path (K2 parity)") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:streamupsert;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute("""CREATE TABLE sprod (
+      "shop_type" VARCHAR(16) NOT NULL, "external_id" VARCHAR(32) NOT NULL,
+      "title" VARCHAR(128), "current_price" DOUBLE,
+      "updated_at" TIMESTAMP, PRIMARY KEY ("shop_type", "external_id"))""")
+    conn.close()
+    val props = new java.util.Properties()
+    props.setProperty("createTableColumnTypes",
+      "shop_type VARCHAR(16), external_id VARCHAR(32), title VARCHAR(128)")
+
+    val input = MemoryStream[(String, String, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("merge-sink-ckpt").toString
+    val q = EventsStreaming.mergeUpsertSink(
+      input.toDF().toDF("shop_type", "external_id", "title", "current_price"),
+      url, props, "sprod", Seq("shop_type", "external_id"), ckpt,
+      nowExpr = "CURRENT_TIMESTAMP")
+
+    // batch 1 inserts two rows; batch 2 updates one and inserts another
+    input.addData(("AH", "1", "First", 1.00), ("AH", "2", "Second", 2.00))
+    q.processAllAvailable()
+    input.addData(("AH", "1", "First v2", 1.25), ("AH", "3", "Third", 3.00))
+    q.processAllAvailable()
+    q.stop()
+
+    val conn2 = java.sql.DriverManager.getConnection(url)
+    val rs = conn2.createStatement().executeQuery(
+      """SELECT "external_id", "title", "current_price" FROM sprod ORDER BY "external_id"""")
+    val rows = Iterator.continually(rs).takeWhile(_.next())
+      .map(r => (r.getString(1), r.getString(2), r.getDouble(3))).toList
+    conn2.close()
+    assert(rows == List(("1", "First v2", 1.25), ("2", "Second", 2.0), ("3", "Third", 3.0)))
+  }
+
   test("userProgress state accumulates across micro-batches") {
     val sq = spark
     import sq.implicits._
