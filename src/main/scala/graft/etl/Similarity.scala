@@ -209,9 +209,12 @@ object Similarity {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two quantized vectors, via the native
+    * codegen expression `graft.plans.QDot` (registered by GraftExtensions):
+    * Spark's `aggregate`/`zip_with` higher-order functions are
+    * CodegenFallback, so the interpreted-lambda form pays per-element
+    * dispatch in the ANN hot loop. */
+  def qdot(a: Column, b: Column): Column = call_function("qdot", a, b)
 
   /** Brute-force top-k neighbors for each query id: broadcast the query
     * set, score the whole corpus map-side, take k per query. */
@@ -228,6 +231,12 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), col("dot"))
   }
 
+  /** Sign-LSH bucket id: the sign bits of the first `bits` dims, folded
+    * as acc*2 + bit. */
+  def signBucket(vec: Column, bits: Int): Column =
+    aggregate(slice(vec, 1, bits), lit(0L),
+      (acc, x) => acc * 2 + when(x >= 0, 1L).otherwise(0L))
+
   /** Sign-LSH bucketed ANN (the scale path): bucket = sign bits of the
     * first `bits` dims; queries probe their own bucket only. Same output
     * shape as bruteForceTopK; recall < 1 by construction. At 100 TB the
@@ -235,13 +244,10 @@ object Similarity {
     * partition group instead of the full corpus. */
   def lshBucketTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, bits: Int = 8): DataFrame = {
-    // bucket = sign bits of the first `bits` dims, folded as acc*2 + bit
-    def bucket(vec: Column) = aggregate(slice(vec, 1, bits), lit(0L),
-      (acc, x) => acc * 2 + when(x >= 0, 1L).otherwise(0L))
     val c = corpus.select(col(idCol).as("nn_id"), quantize(col(vecCol)).as("qv"),
-      bucket(col(vecCol)).as("bucket"))
+      signBucket(col(vecCol), bits).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"),
-      bucket(col(vecCol)).as("bucket"))
+      signBucket(col(vecCol), bits).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("dot", qdot(col("qq"), col("qv")))
@@ -285,6 +291,31 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("nn_id"), col("dot"))
+  }
+
+  /** Embedding-cosine near-duplicate PAIRS (the dedup-flavored companion to
+    * the top-k searches): candidates share a sign-LSH bucket (never an
+    * all-pairs join — at 100 TB the corpus is hash-partitioned by bucket and
+    * each bucket self-joins locally), then exact verification: cosine is
+    * computed from quantized-integer dot/norms, so the only double math is
+    * one correctly-rounded sqrt + divide over exact longs — bit-identical
+    * in any IEEE754 engine. Recall < 1 by construction (near-dups that
+    * disagree in an early sign bit are missed) — the standard
+    * bucketing/recall tradeoff, tunable via `bits`. */
+  def cosineDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, bits: Int = 8): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
+        signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("norm2", qdot(col("qv"), col("qv")))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        qdot(col("a.qv"), col("b.qv")).as("dot"),
+        col("a.norm2").as("n2_a"), col("b.norm2").as("n2_b"))
+      .withColumn("cosine", col("dot").cast("double") /
+        sqrt((col("n2_a") * col("n2_b")).cast("double")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("dot"), col("cosine"))
   }
 
   /** True double-precision cosine (unit-norm corpus ⇒ plain dot), for

@@ -13,10 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * via doGenCode, so the SimHash near-dup filter stays inside the generated
   * loop instead of crossing a UDF boundary per row-pair.
   *
-  * This is the engine's one custom `Expression` — everything else in the
-  * SURVEY.md §2 inventory maps to built-ins (§7.3), and this exists because
-  * the hamming filter sits in the hottest inner join of the SimHash dedup
-  * path where rows × candidate-pairs can be billions at 100 TB.
+  * One of the engine's two custom `Expression`s (see [[QDot]]) — everything
+  * else in the SURVEY.md §2 inventory maps to built-ins (§7.3), and this
+  * exists because the hamming filter sits in the hottest inner join of the
+  * SimHash dedup path where rows × candidate-pairs can be billions at 100 TB.
   */
 case class HammingDistance(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -64,8 +64,9 @@ case class HammingDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Engine extensions: registers `hamming(a, b)` in the function registry.
-  * Wired via `spark.sql.extensions=graft.plans.GraftExtensions`
+/** Engine extensions: registers `hamming(a, b)` and `qdot(a, b)` in the
+  * function registry. Wired via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`
   * ([[graft.Sessions.builder]]); callable from SQL and `call_function`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -75,6 +76,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "hamming(a, b) takes exactly 2 arguments")
         HammingDistance(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("qdot"),
+      new ExpressionInfo(classOf[QDot].getName, "qdot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "qdot(a, b) takes exactly 2 arguments")
+        QDot(children.head, children(1))
       }))
   }
 }

@@ -133,6 +133,41 @@ object TrainingData {
       .orderBy($"media_id")
   }
 
+  /** Sign-LSH bucketed ANN (the scale path next to the q29 brute-force
+    * oracle): each query probes only its own 8-sign-bit bucket. Recall < 1
+    * by construction; the ORACLE replicates the bucketing, so the compare
+    * pins the bucketed semantics themselves. */
+  def q50AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" % 400 === 0)
+    Similarity.lshBucketTopK(emb, queries, "vec_id", "embedding", 10)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** IVF-flat ANN: 16 deterministic centroids (first vectors by id), each
+    * query probes its 4 closest inverted lists. The oracle re-derives the
+    * assignment argmax and probe ranking in SQL. */
+  def q51AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" % 400 === 0)
+    Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+        nlist = 16, nprobe = 4)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Embedding-cosine near-dup pairs: sign-LSH bucket candidates, exact
+    * quantized-integer verification (cos = dot/√(n2a·n2b) — one
+    * correctly-rounded sqrt+divide over exact longs, bit-stable
+    * cross-engine). */
+  def q52CosineDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.cosineDupPairs(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", minCosine = 0.3)
+      .orderBy($"id_a", $"id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_ngram_jaccard" -> q26NgramJaccard _,
@@ -141,7 +176,26 @@ object TrainingData {
     "q29_ann_topk" -> q29AnnTopK _,
     "q30_langid" -> q30LangId _,
     "q31_text_quality" -> q31TextQuality _,
-    "q32_multimodal" -> q32Multimodal _)
+    "q32_multimodal" -> q32Multimodal _,
+    "q50_ann_lsh" -> q50AnnLsh _,
+    "q51_ann_ivf" -> q51AnnIvf _,
+    "q52_cosine_dups" -> q52CosineDups _)
+
+  /** Quantized embeddings + 8-sign-bit LSH bucket, shared by the ANN and
+    * cosine-dup oracles (twin of `Similarity.quantize`/`signBucket`). */
+  private val qembSql =
+    """e AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x*1000) AS BIGINT)) AS q,
+      |    (CASE WHEN embedding[1] >= 0 THEN 128 ELSE 0 END)
+      |    + (CASE WHEN embedding[2] >= 0 THEN 64 ELSE 0 END)
+      |    + (CASE WHEN embedding[3] >= 0 THEN 32 ELSE 0 END)
+      |    + (CASE WHEN embedding[4] >= 0 THEN 16 ELSE 0 END)
+      |    + (CASE WHEN embedding[5] >= 0 THEN 8 ELSE 0 END)
+      |    + (CASE WHEN embedding[6] >= 0 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN embedding[7] >= 0 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) AS bucket
+      |  FROM embeddings)""".stripMargin
 
   private val shinglesSql =
     """sh AS (
@@ -244,5 +298,62 @@ object TrainingData {
       |SELECT doc_id AS media_id, 'image' AS media_type,
       |  octet_length(encode(text)) AS n_bytes,
       |  sha256(text) AS payload_sha
-      |FROM documents ORDER BY media_id""".stripMargin)
+      |FROM documents ORDER BY media_id""".stripMargin,
+    "q50_ann_lsh" -> s"""
+      |WITH $qembSql,
+      |scored AS (
+      |  SELECT qe.vec_id AS query_id, ce.vec_id AS nn_id,
+      |    CAST(list_dot_product(qe.q, ce.q) AS BIGINT) AS dot
+      |  FROM e qe JOIN e ce ON ce.bucket = qe.bucket AND ce.vec_id <> qe.vec_id
+      |  WHERE qe.vec_id % 400 = 0),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dot DESC, nn_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, nn_id, dot FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q51_ann_ivf" -> s"""
+      |WITH $qembSql,
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cq
+      |  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 16)),
+      |cd AS (
+      |  SELECT e.vec_id, c.cid,
+      |    CAST(list_dot_product(e.q, c.cq) AS BIGINT) AS cdot
+      |  FROM e, cents c),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cdot DESC, cid DESC) AS rn FROM cd) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cdot DESC, cid DESC) AS rn
+      |    FROM cd WHERE vec_id % 400 = 0) WHERE rn <= 4),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id AS nn_id,
+      |    CAST(list_dot_product(qq.q, aq.q) AS BIGINT) AS dot
+      |  FROM probes p
+      |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+      |  JOIN e qq ON qq.vec_id = p.query_id
+      |  JOIN e aq ON aq.vec_id = a.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dot DESC, nn_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, nn_id, dot FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q52_cosine_dups" -> s"""
+      |WITH $qembSql,
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+      |    CAST(list_dot_product(a.q, a.q) AS BIGINT) AS n2a,
+      |    CAST(list_dot_product(b.q, b.q) AS BIGINT) AS n2b
+      |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, dot,
+      |  CAST(dot AS DOUBLE) / sqrt(CAST(n2a*n2b AS DOUBLE)) AS cosine
+      |FROM p
+      |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(n2a*n2b AS DOUBLE)) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin)
 }
