@@ -49,6 +49,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q26: the capped default never self-joins the shingle table") {
+    // the scale guarantee: pair generation happens INSIDE the bucket
+    // aggregate (explode over collect_list), so the only joins are the
+    // small candidate/size joins — a shingle-on-shingle self-join would
+    // be the c² skew bomb
+    val p = plan("q26_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Generate"), "bucket-explode pair generation missing")
+  }
+
+  test("q50/q52: bucketed ANN joins are equi-joins, never cartesian") {
+    Seq("q50_ann_lsh", "q52_cosine_dups").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans an NL join")
+    }
+  }
+
+  test("qdot scoring runs inside whole-stage codegen (no CodegenFallback HOF)") {
+    // scoring operates on already-quantized long arrays (the quantize prep
+    // is a separate once-per-row projection); a codegen-able cast stands in
+    // for the quantized column here
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val df = emb.select(col("embedding").cast("array<bigint>").as("q"))
+      .select(call_function("qdot", col("q"), col("q")).as("d"))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.linesIterator.exists(_.trim.startsWith("* ")), "no codegen span")
+    assert(p.contains("qdot"))
+  }
+
   test("shop adapter transform keeps whole-stage codegen spans") {
     import spark.implicits._
     val row =

@@ -82,7 +82,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("shingle frequency cap preserves exact Jaccard for surviving pairs") {
     val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
-    val exact = Similarity.ngramJaccardPairs(df, "doc_id", "text", 3)
+    val exact = Similarity.ngramJaccardPairs(df, "doc_id", "text", 3, None)
       .select("id_a", "id_b", "inter", "union_size").collect().map(_.toSeq).toSet
     // cap well above any frequency → identical results
     val capped = Similarity.ngramJaccardPairs(df, "doc_id", "text", 3, Some(100))
@@ -91,6 +91,27 @@ class SimilaritySpec extends SparkSpec {
     // cap of 1 drops every shared shingle → no candidates at all
     val starved = Similarity.ngramJaccardPairs(df, "doc_id", "text", 3, Some(1))
     assert(starved.count() == 0)
+  }
+
+  test("hot-shingle correction: boilerplate still counts toward inter for survivors") {
+    // "common legal footer text" shingles appear in all 3 docs → freq 3 >
+    // cap 2 → excluded from pair GENERATION; docs 1+2 also share kept
+    // "alpha beta gamma" shingles so they survive, and their reported inter
+    // must still include the boilerplate shingles (the correction join).
+    // Doc 3 shares ONLY boilerplate with 1/2 → missed (documented recall
+    // tradeoff).
+    val df = docs(
+      1L -> "common legal footer text alpha beta gamma one",
+      2L -> "common legal footer text alpha beta gamma two",
+      3L -> "common legal footer text delta epsilon zeta three")
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("id_a", "id_b", "inter", "union_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val exact = rows(Similarity.ngramJaccardPairs(df, "doc_id", "text", 3, None))
+    val capped = rows(Similarity.ngramJaccardPairs(df, "doc_id", "text", 3, Some(2)))
+    assert(exact.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(capped.keySet == Set((1L, 2L)))          // only-boilerplate pairs missed
+    assert(capped((1L, 2L)) == exact((1L, 2L)))     // but survivors stay EXACT
   }
 
   test("changedRows anti-join passes only new or changed rows (J3)") {
