@@ -168,6 +168,22 @@ object TrainingData {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Winnowing document fingerprints (k=5 char-grams, window 4): the REAL
+    * `Text.winnow` runs per doc; the oracle refolds the rolling polynomial
+    * hash and the per-window min selection in SQL (list_reduce over chars).
+    * Corpus is ASCII so UTF-16-unit (Scala) and code-point (SQL) folds
+    * agree. */
+  def q53Winnow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val winnowUdf = udf((t: String) => graft.functions.Text.winnow(t, 5, 4))
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(winnowUdf($"text")).as("fp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fp"), min($"fp").as("min_fp"),
+        max($"fp").as("max_fp"), sum($"fp").as("sum_fp"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_ngram_jaccard" -> q26NgramJaccard _,
@@ -179,7 +195,8 @@ object TrainingData {
     "q32_multimodal" -> q32Multimodal _,
     "q50_ann_lsh" -> q50AnnLsh _,
     "q51_ann_ivf" -> q51AnnIvf _,
-    "q52_cosine_dups" -> q52CosineDups _)
+    "q52_cosine_dups" -> q52CosineDups _,
+    "q53_winnow" -> q53Winnow _)
 
   /** Quantized embeddings + 8-sign-bit LSH bucket, shared by the ANN and
     * cosine-dup oracles (twin of `Similarity.quantize`/`signBucket`). */
@@ -355,5 +372,34 @@ object TrainingData {
       |  CAST(dot AS DOUBLE) / sqrt(CAST(n2a*n2b AS DOUBLE)) AS cosine
       |FROM p
       |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(n2a*n2b AS DOUBLE)) >= 0.3
-      |ORDER BY id_a, id_b""".stripMargin)
+      |ORDER BY id_a, id_b""".stripMargin,
+    // Winnowing refolded in SQL: rolling hash h = (h*257 + char) mod 2^31-1
+    // via list_reduce; k=5 grams (a short text is its own single gram, like
+    // String.sliding); window-4 minima, distinct. Sums CAST to BIGINT
+    // (DuckDB list_sum widens).
+    "q53_winnow" -> """
+      |WITH g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) <= 4 THEN [text]
+      |         ELSE list_transform(range(1, length(text) - 3),
+      |                i -> substr(text, CAST(i AS INT), 5)) END AS grams
+      |  FROM documents WHERE length(text) > 0),
+      |h AS (
+      |  SELECT doc_id, list_transform(grams, s -> list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(split(s, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |    (a, c) -> (a*257 + c) % 2147483647)) AS hs
+      |  FROM g),
+      |w AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+      |         ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+      |                j -> list_min(hs[j:j+3]))) END AS fps
+      |  FROM h)
+      |SELECT doc_id,
+      |  CAST(len(fps) AS BIGINT) AS n_fp,
+      |  list_min(fps) AS min_fp,
+      |  list_max(fps) AS max_fp,
+      |  CAST(list_sum(fps) AS BIGINT) AS sum_fp
+      |FROM w ORDER BY doc_id""".stripMargin)
 }
