@@ -184,6 +184,24 @@ object TrainingData {
       .orderBy($"doc_id")
   }
 
+  /** Video frame-sampling plumbing (the partition-preserving explode
+    * generator — no shuffle): documents stand in as video rows with a
+    * deterministic duration; the REAL `Multimodal.sampleFrames` emits one
+    * stub frame per second. */
+  def q54FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(
+      $"doc_id".cast("long").as("media_id"),
+      lit("video").as("media_type"),
+      encode($"text", "UTF-8").as("payload"),
+      lit(null).cast("int").as("width"),
+      lit(null).cast("int").as("height"),
+      ($"n_chars" * 25).cast("long").as("duration_ms"))
+    Multimodal.sampleFrames(media, everyMs = 1000)
+      .select($"media_id", $"frame_ts_ms")
+      .orderBy($"media_id", $"frame_ts_ms")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_ngram_jaccard" -> q26NgramJaccard _,
@@ -196,7 +214,8 @@ object TrainingData {
     "q50_ann_lsh" -> q50AnnLsh _,
     "q51_ann_ivf" -> q51AnnIvf _,
     "q52_cosine_dups" -> q52CosineDups _,
-    "q53_winnow" -> q53Winnow _)
+    "q53_winnow" -> q53Winnow _,
+    "q54_frame_sample" -> q54FrameSample _)
 
   /** Quantized embeddings + 8-sign-bit LSH bucket, shared by the ANN and
     * cosine-dup oracles (twin of `Similarity.quantize`/`signBucket`). */
@@ -401,5 +420,11 @@ object TrainingData {
       |  list_min(fps) AS min_fp,
       |  list_max(fps) AS max_fp,
       |  CAST(list_sum(fps) AS BIGINT) AS sum_fp
-      |FROM w ORDER BY doc_id""".stripMargin)
+      |FROM w ORDER BY doc_id""".stripMargin,
+    // sequence(0, dur, step) is inclusive of dur when divisible; DuckDB
+    // range() excludes the stop, so stop = dur + 1.
+    "q54_frame_sample" -> """
+      |SELECT doc_id AS media_id,
+      |  unnest(range(0, n_chars*25 + 1, 1000)) AS frame_ts_ms
+      |FROM documents ORDER BY media_id, frame_ts_ms""".stripMargin)
 }
