@@ -38,10 +38,27 @@ object ScaleBench {
     if (keyCols.isEmpty) df
     else (0 until factor).map { i =>
       val shifted = keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + i * Span))
-      if (name == "documents")
-        shifted.withColumn("text",
-          array_join(transform(split(col("text"), " "), t => concat(lit(s"c$i"), t)), " "))
-      else shifted
+      name match {
+        case "documents" =>
+          // per-copy token prefix so shingle/dedup structure replicates per
+          // copy instead of exploding cross-copy; n_chars must track the
+          // rewritten text (the source invariant is n_chars == length(text))
+          shifted
+            .withColumn("text", array_join(
+              transform(split(col("text"), " "), t => concat(lit(s"c$i"), t)), " "))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        case "embeddings" =>
+          // circular-shift each copy's vectors by i dims: norms and value
+          // distribution are preserved but copies land in different LSH
+          // buckets with uncorrelated dots — verbatim copies would plant
+          // factor-1 exact duplicates per vector and square the per-bucket
+          // near-dup work, exactly the unrealistic scaling documents avoid
+          if (i == 0) shifted
+          else shifted.withColumn("embedding", concat(
+            slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
+            slice(col("embedding"), lit(1), lit(i))))
+        case _ => shifted
+      }
     }.reduce(_ unionByName _)
   }
 

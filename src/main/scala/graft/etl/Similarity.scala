@@ -89,6 +89,9 @@ object Similarity {
         // [2, cap]-frequency shingles (singletons can't be shared).
         val buckets = sh.groupBy(col("shingle"))
           .agg(sort_array(collect_list(col("id"))).as("ids"))
+        // cached: referenced by both the hot-correction join and the final
+        // assembly — without it the bucket groupBy + pair explode (the
+        // heaviest stage) would be recomputed per consumer
         val interCapped = buckets
           .filter(size(col("ids")) >= 2 && size(col("ids")) <= cap)
           .select(explode(flatten(
@@ -97,6 +100,7 @@ object Similarity {
                 y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
           .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
           .agg(count(lit(1)).as("inter_capped"))
+          .cache()
         // correction: candidates may ALSO share boilerplate (> cap)
         // shingles; add those in via a join bounded by candidates ×
         // hot-shingles-per-doc (the hot shingle SET is tiny even when its

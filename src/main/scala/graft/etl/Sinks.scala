@@ -24,17 +24,24 @@ object Sinks {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) {
-      // zero-padded wall-clock stamp: lexicographic name order == age order
-      // even across JVM restarts (nanoTime's origin is per-JVM-arbitrary,
-      // which would let pruning delete the NEWEST backup)
-      val stamped = new org.apache.hadoop.fs.Path(
-        dir + f".bak-${System.currentTimeMillis()}%016d")
-      fs.rename(path, stamped)
-      // prune old backups beyond keepBackups (oldest first)
+      // zero-padded wall-clock stamp (nanoTime's origin is per-JVM-arbitrary
+      // and would misorder across restarts); a same-millisecond collision
+      // appends a disambiguator rather than silently failing the rename
+      val base = dir + f".bak-${System.currentTimeMillis()}%016d"
+      var stamped = new org.apache.hadoop.fs.Path(base)
+      var i = 0
+      while (fs.exists(stamped)) {
+        i += 1; stamped = new org.apache.hadoop.fs.Path(s"$base-$i")
+      }
+      require(fs.rename(path, stamped), s"backup rename to $stamped failed")
+      // prune old backups beyond keepBackups, oldest first by filesystem
+      // mtime — robust against mixed naming schemes from older versions
+      // (a name sort would order legacy unpadded stamps after new ones and
+      // delete the freshest backup)
       val parent = path.getParent
       val backups = fs.listStatus(parent)
         .filter(_.getPath.getName.startsWith(path.getName + ".bak-"))
-        .sortBy(_.getPath.getName)
+        .sortBy(_.getModificationTime)
       backups.dropRight(keepBackups).foreach(b => fs.delete(b.getPath, true))
     }
     df.write.format(format).mode(SaveMode.Overwrite).save(dir)
@@ -60,11 +67,15 @@ object Sinks {
 
   /** K2/K3 executed: stage the batch via parallel JDBC append, then run one
     * MERGE transactionally. `connect` is injected so tests can use an
-    * embedded DB and prod can pool. */
+    * embedded DB and prod can pool. `stagingSuffix` disambiguates the
+    * staging table when several writers (a streaming sink's micro-batches,
+    * a concurrent batch job) target the same table — without it a second
+    * writer's Overwrite would clobber the first's staged rows mid-MERGE. */
   def jdbcUpsert(batch: DataFrame, jdbcUrl: String, props: java.util.Properties,
       target: String, keyCols: Seq[String], nowExpr: String = "now()",
-      connect: String => Connection = java.sql.DriverManager.getConnection): Unit = {
-    val staging = target.replace('.', '_') + "_stage"
+      connect: String => Connection = java.sql.DriverManager.getConnection,
+      stagingSuffix: String = ""): Unit = {
+    val staging = target.replace('.', '_') + "_stage" + stagingSuffix
     batch.write.mode(SaveMode.Overwrite).jdbc(jdbcUrl, staging, props)
     val updateCols = batch.columns.filterNot(keyCols.contains).toSeq
     val conn = connect(jdbcUrl)

@@ -7,7 +7,11 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, NullType}
 
 /** Native Catalyst expression: integer dot product of two quantized
-  * `array<bigint>` vectors (length mismatch → min length, like zip_with).
+  * `array<bigint>` vectors. Matches the aggregate/zip_with formulation it
+  * replaced, including its null semantics: a length mismatch or any null
+  * element yields NULL (zip_with pads the shorter side with nulls, null
+  * products poison the running sum) — a ragged or holey vector surfaces as
+  * NULL instead of a plausible-looking truncated score.
   *
   * Exists because Spark's higher-order functions (`aggregate`, `zip_with`)
   * are CodegenFallback — every ANN scoring row pays interpreted per-element
@@ -31,26 +35,34 @@ case class QDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "qdot"
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
     var s = 0L
     var i = 0
-    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < a.numElements()) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
          |${ev.value} = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    ${ev.value} += $a.getLong($i) * $b.getLong($i);
+         |  }
          |}
        """.stripMargin
     })

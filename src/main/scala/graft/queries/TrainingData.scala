@@ -247,19 +247,29 @@ object TrainingData {
       |SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
       |       count(*) AS dup_count
       |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // has_kept replicates the engine's default skew cap (maxShingleFreq =
+    // 256): a pair is a candidate only if it shares at least one shingle
+    // with frequency <= 256 — intersections still count ALL shared
+    // shingles. On the driver's corpora every shingle is far below the cap
+    // (max freq 25 at sf0.1) so this equals the exact pair set, but the
+    // oracle must not silently drift from the engine if a bigger corpus
+    // ever pushes a boilerplate shingle past the cap.
     "q26_ngram_jaccard" -> s"""
       |WITH $corpusSql,
       |$shinglesSql,
+      |freq AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+      |    max(CASE WHEN f.c <= 256 THEN 1 ELSE 0 END) AS has_kept
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN freq f ON f.s = a.s
       |  GROUP BY 1, 2)
       |SELECT id_a, id_b, inter, sa.n + sb.n - inter AS union_size
       |FROM pairs
       |JOIN sizes sa ON sa.doc_id = id_a
       |JOIN sizes sb ON sb.doc_id = id_b
-      |WHERE 2*inter >= sa.n + sb.n - inter
+      |WHERE 2*inter >= sa.n + sb.n - inter AND has_kept = 1
       |ORDER BY id_a, id_b""".stripMargin,
     "q27_minhash_lsh" -> s"""
       |WITH $corpusSql,

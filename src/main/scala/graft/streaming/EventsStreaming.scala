@@ -85,14 +85,21 @@ object EventsStreaming {
     * after failure are idempotent because MERGE keys on the natural key. */
   def mergeUpsertSink(unified: DataFrame, jdbcUrl: String,
       props: java.util.Properties, target: String, keyCols: Seq[String],
-      checkpointDir: String, nowExpr: String = "now()"): StreamingQuery =
+      checkpointDir: String, nowExpr: String = "now()"): StreamingQuery = {
+    // per-query staging table: concurrent upserts to the same target
+    // (another stream, a batch job) must not clobber this stream's staged
+    // rows between write and MERGE; micro-batches within one query are
+    // sequential, so one suffix per query suffices
+    val sid = "_s" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
     unified.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.etl.Sinks.jdbcUpsert(batch, jdbcUrl, props, target, keyCols, nowExpr)
+        graft.etl.Sinks.jdbcUpsert(batch, jdbcUrl, props, target, keyCols,
+          nowExpr, stagingSuffix = sid)
       }
       .start()
+  }
 
   /** Stream-static enrichment: join the event stream against a static
     * dimension (e.g. the unified product table) — the dim is re-read per

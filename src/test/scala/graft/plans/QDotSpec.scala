@@ -12,8 +12,12 @@ class QDotSpec extends SparkSpec {
     val r = spark.sql(
       "SELECT qdot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").collect().head.getLong(0)
     assert(r == 4 + 10 + 18)
+    // zip_with parity: a length mismatch or null element yields NULL, never
+    // a plausible-looking truncated score
     assert(spark.sql("SELECT qdot(array(2L), array(3L, 9L))")
-      .collect().head.getLong(0) == 6) // min-length like zip_with
+      .collect().head.isNullAt(0))
+    assert(spark.sql("SELECT qdot(array(1L, NULL), array(3L, 9L))")
+      .collect().head.isNullAt(0))
     assert(spark.sql("SELECT qdot(NULL, array(1L))").collect().head.isNullAt(0))
     assert(spark.sql(
       "SELECT qdot(CAST(array() AS ARRAY<BIGINT>), CAST(array() AS ARRAY<BIGINT>))")
