@@ -82,4 +82,26 @@ object Multimodal {
     media.filter(col("media_type") === "video")
       .withColumn("frame_ts_ms",
         explode(sequence(lit(0L), coalesce(col("duration_ms"), lit(0L)), lit(everyMs))))
+
+  /** Resize shape for image rows: fit-within-box target dimensions
+    * (aspect-preserving, integer floor — the standard thumbnailing
+    * contract) computed as pure column arithmetic, with the pixel work
+    * itself stubbed through the same batch-codec seam as decode. Metadata
+    * math stays in codegen; a production build swaps [[StubCodec]] for a
+    * real scaler with the same batch signature. Rows without dimensions
+    * pass through unresized (target = null). */
+  def resizeTo(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scaleNum = least(lit(maxW.toLong) * col("height"),
+      lit(maxH.toLong) * col("width"))
+    // floor-divide both dims by the binding constraint; never upscale
+    val tw = when(col("width").isNotNull && col("height").isNotNull &&
+        col("width") > 0 && col("height") > 0,
+      when(col("width") <= maxW && col("height") <= maxH, col("width"))
+        .otherwise((scaleNum / col("height")).cast("int")))
+    val th = when(col("width").isNotNull && col("height").isNotNull &&
+        col("width") > 0 && col("height") > 0,
+      when(col("width") <= maxW && col("height") <= maxH, col("height"))
+        .otherwise((scaleNum / col("width")).cast("int")))
+    media.withColumn("target_width", tw).withColumn("target_height", th)
+  }
 }

@@ -202,6 +202,20 @@ object TrainingData {
       .orderBy($"media_id", $"frame_ts_ms")
   }
 
+  /** Image-resize plumbing: aspect-preserving fit-within-box target
+    * dimensions (the metadata math of a thumbnailing stage; pixels go
+    * through the stubbed batch codec) — pure integer column arithmetic,
+    * re-derived analytically by the oracle. */
+  def q55Resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.mediaFromText(
+      Tables.documents(spark, dir), "doc_id", "text").toDF()
+    Multimodal.resizeTo(media, 640, 480)
+      .select($"media_id", $"width", $"height",
+        $"target_width", $"target_height")
+      .orderBy($"media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_ngram_jaccard" -> q26NgramJaccard _,
@@ -215,7 +229,8 @@ object TrainingData {
     "q51_ann_ivf" -> q51AnnIvf _,
     "q52_cosine_dups" -> q52CosineDups _,
     "q53_winnow" -> q53Winnow _,
-    "q54_frame_sample" -> q54FrameSample _)
+    "q54_frame_sample" -> q54FrameSample _,
+    "q55_resize" -> q55Resize _)
 
   /** Quantized embeddings + 8-sign-bit LSH bucket, shared by the ANN and
     * cosine-dup oracles (twin of `Similarity.quantize`/`signBucket`). */
@@ -436,5 +451,22 @@ object TrainingData {
     "q54_frame_sample" -> """
       |SELECT doc_id AS media_id,
       |  unnest(range(0, n_chars*25 + 1, 1000)) AS frame_ts_ms
-      |FROM documents ORDER BY media_id, frame_ts_ms""".stripMargin)
+      |FROM documents ORDER BY media_id, frame_ts_ms""".stripMargin,
+    // fit-within-box: scale = min(maxW/w, maxH/h), floor, never upscale;
+    // all-integer arithmetic so the compare is exact. Zero dims → null.
+    "q55_resize" -> """
+      |WITH m AS (
+      |  SELECT doc_id AS media_id, CAST(doc_id % 1920 AS INT) AS width,
+      |    CAST(doc_id % 1080 AS INT) AS height
+      |  FROM documents)
+      |SELECT media_id, width, height,
+      |  CASE WHEN width > 0 AND height > 0 THEN
+      |    CASE WHEN width <= 640 AND height <= 480 THEN width
+      |      ELSE CAST(least(640*height, 480*width) // height AS INT) END
+      |  END AS target_width,
+      |  CASE WHEN width > 0 AND height > 0 THEN
+      |    CASE WHEN width <= 640 AND height <= 480 THEN height
+      |      ELSE CAST(least(640*height, 480*width) // width AS INT) END
+      |  END AS target_height
+      |FROM m ORDER BY media_id""".stripMargin)
 }
