@@ -34,3 +34,43 @@ final case class TopKAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] 
 
   override def outputEncoder: Encoder[Seq[Long]] = bufferEncoder
 }
+
+/** Top-k *rows* per group as a bounded typed Aggregator: input is
+  * (sortKey, tiebreak) ordered by (sortKey desc, tiebreak asc) — the same
+  * deterministic ordering the window-rank formulation (q14) uses. Unlike
+  * `row_number() OVER (PARTITION BY ...)`, which shuffles and sorts every
+  * row of every group, the buffer here never exceeds k rows, so map-side
+  * partial aggregation ships at most k pairs per (group, partition): the
+  * shape that survives a 10⁹-row group at 100 TB.
+  */
+final case class TopKRowsAgg(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+
+  override def zero: Seq[(Long, Long)] = Vector.empty
+
+  override def reduce(buf: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] =
+    insert(buf, x)
+
+  override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    b.foldLeft(a)(insert)
+
+  override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+
+  /** (sortKey desc, tiebreak asc): x beats y iff x._1 > y._1, or equal keys
+    * and x._2 < y._2. */
+  private def beats(x: (Long, Long), y: (Long, Long)): Boolean =
+    x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)
+
+  private def insert(buf: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] = {
+    if (buf.length >= k && !beats(x, buf.last)) buf
+    else {
+      val i = buf.indexWhere(beats(x, _)) match { case -1 => buf.length; case n => n }
+      (buf.take(i) :+ x) ++ buf.drop(i).take(k - i - 1)
+    }
+  }
+
+  override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] = bufferEncoder
+}

@@ -313,6 +313,50 @@ object Relational {
       .orderBy($"o_orderpriority", $"rk")
   }
 
+  /** Q56 — top-k rows per group as a bounded typed Aggregator
+    * ([[graft.functions.TopKRowsAgg]]): same result as the q14 window-rank
+    * formulation, but the map side ships at most k (cents, orderkey) pairs
+    * per (group, partition) instead of sorting every row of every group —
+    * the shape that survives a 10⁹-row group at 100 TB. */
+  def q56TopKRowsAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = udaf(graft.functions.TopKRowsAgg(3))
+    Tables.orders(spark, dir)
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .groupBy($"o_custkey")
+      .agg(topk($"cents", $"o_orderkey").as("top3"))
+      .select($"o_custkey", posexplode($"top3"))
+      .select($"o_custkey", ($"pos" + 1).cast("long").as("rk"),
+        $"col._2".as("o_orderkey"), $"col._1".as("cents"))
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  /** Q57 — skew-safe two-stage aggregation ([[graft.etl.Skew.saltedCount]]):
+    * result is identical to a plain groupBy count, but a Zipfian hot key
+    * spreads over 32 reducers before the tiny re-aggregation. Oracle is the
+    * plain count — salting must be invisible in the result. */
+  def q57SaltedCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Skew.saltedCount(Tables.events(spark, dir), $"event_type", 32)
+      .orderBy($"key")
+  }
+
+  /** Q58 — salted replicated join ([[graft.etl.Skew.saltedJoin]]) for a
+    * skewed fact against a non-broadcastable dim: dim rows replicate ×16,
+    * the hot fact key spreads across 16 partitions, and the join result is
+    * byte-identical to the unsalted join (the oracle is the plain join). */
+  def q58SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fact = Tables.events(spark, dir)
+    val dim = Tables.customer(spark, dir)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    graft.etl.Skew.saltedJoin(fact, dim, "user_id", 16)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round($"value" * 100).cast("long")).as("value_cents"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -335,7 +379,10 @@ object Relational {
     "q36_rollup" -> q36Rollup _,
     "q37_range_window" -> q37RangeWindow _,
     "q38_exact_median" -> q38ExactMedian _,
-    "q39_topk_agg" -> q39TopKAgg _)
+    "q39_topk_agg" -> q39TopKAgg _,
+    "q56_topk_rows_agg" -> q56TopKRowsAgg _,
+    "q57_salted_count" -> q57SaltedCount _,
+    "q58_salted_join" -> q58SaltedJoin _)
 
   /** DuckDB-flavored ANSI SQL oracles. `1e2`/`1e4` double literals are used
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
@@ -467,5 +514,20 @@ object Relational {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*) AS n,
         |  sum(CAST(round(value*1e2) AS BIGINT))/1e2 AS sum_value
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q56_topk_rows_agg" ->
+      """SELECT o_custkey, rk, o_orderkey, cents FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice*1e2) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(round(o_totalprice*1e2) AS BIGINT) DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q57_salted_count" ->
+      """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS count
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_salted_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value*1e2) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

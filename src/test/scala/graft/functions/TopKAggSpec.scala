@@ -23,4 +23,28 @@ class TopKAggSpec extends AnyFunSuite {
     assert(Seq(2L).foldLeft(agg.zero)(agg.reduce) == Vector(2L))
     assert(agg.merge(agg.zero, agg.zero) == Vector.empty)
   }
+
+  private val rows = TopKRowsAgg(3)
+
+  test("rows: (sortKey desc, tiebreak asc) ordering with cap") {
+    val buf = Seq((5L, 9L), (9L, 2L), (9L, 1L), (5L, 3L), (7L, 4L))
+      .foldLeft(rows.zero)(rows.reduce)
+    assert(buf == Vector((9L, 1L), (9L, 2L), (7L, 4L)))
+  }
+
+  test("rows: merge order-independent and equals global top-k") {
+    val xs = Seq((3L, 1L), (8L, 7L), (8L, 2L), (1L, 1L))
+    val ys = Seq((9L, 5L), (8L, 4L), (2L, 2L))
+    val a = xs.foldLeft(rows.zero)(rows.reduce)
+    val b = ys.foldLeft(rows.zero)(rows.reduce)
+    val want = (xs ++ ys).sortBy { case (k, t) => (-k, t) }.take(3)
+    assert(rows.merge(a, b) == want)
+    assert(rows.merge(b, a) == want)
+  }
+
+  test("rows: tie on both fields is kept as duplicate, not dropped") {
+    val buf = Seq((4L, 4L), (4L, 4L), (4L, 4L), (4L, 4L))
+      .foldLeft(rows.zero)(rows.reduce)
+    assert(buf == Vector((4L, 4L), (4L, 4L), (4L, 4L)))
+  }
 }
