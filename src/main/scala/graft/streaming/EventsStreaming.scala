@@ -101,6 +101,35 @@ object EventsStreaming {
       .start()
   }
 
+  /** Streaming session windows: gap-based sessionization, the streaming
+    * twin of the batch `TimeJoins.sessionize` (q35) — same output schema,
+    * same merge semantics once the watermark closes a session. State is one
+    * open session per user, evicted when the watermark passes its end. */
+  def sessionizedCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Streaming exact dedup with bounded state (the streaming twin of the
+    * batch exact-dedup q25): rows are keyed by content hash and
+    * `dropDuplicatesWithinWatermark` evicts hashes older than the
+    * watermark horizon — so at 100 TB/day the dedup state holds only the
+    * horizon, not all of history. Exactness is within-horizon by design;
+    * cross-horizon dups are the batch job's business. */
+  def dedupedStream(unified: DataFrame, watermarkCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame = {
+    val hashed = unified.withColumn("content_hash",
+      sha2(to_json(struct(unified.columns.map(col): _*)), 256))
+    hashed.withWatermark(watermarkCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension (e.g. the unified product table) — the dim is re-read per
     * micro-batch and broadcast, so the stream side never shuffles. */

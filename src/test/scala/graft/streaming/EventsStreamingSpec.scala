@@ -97,6 +97,62 @@ class EventsStreamingSpec extends SparkSpec {
     assert(rows == List(("1", "First v2", 1.25), ("2", "Second", 2.0), ("3", "Third", 3.0)))
   }
 
+  test("sessionizedCounts: streaming sessions match the batch sessionize twin") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    // user 7: two events 10 min apart (one session), then a 2h gap (new
+    // session); user 8: one event
+    val rows = Seq(
+      EventRow(1, ts("2026-01-01 10:00:00"), 7, "click", 1.0),
+      EventRow(2, ts("2026-01-01 10:10:00"), 7, "click", 1.0),
+      EventRow(3, ts("2026-01-01 12:30:00"), 7, "buy", 5.0),
+      EventRow(4, ts("2026-01-01 10:05:00"), 8, "click", 1.0))
+    input.addData(rows: _*)
+
+    val q = EventsStreaming.sessionizedCounts(input.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("sess")
+      .select($"user_id", $"session_start".cast("string"),
+        $"session_end".cast("string"), $"n_events")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.etl.TimeJoins
+      .sessionize(rows.toDF(), "user_id", "ts", "30 minutes")
+      .select($"user_id", $"session_start".cast("string"),
+        $"session_end".cast("string"), $"n_events")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+    assert(streamed.exists { s => s.head == 7L && s.last == 2L })
+  }
+
+  test("dedupedStream drops within-watermark duplicates across micro-batches") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val input = MemoryStream[EventRow]
+    val q = EventsStreaming.dedupedStream(input.toDF(), "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+
+    val a = EventRow(1, ts("2026-01-01 10:00:00"), 7, "click", 1.0)
+    val b = EventRow(2, ts("2026-01-01 10:01:00"), 8, "click", 2.0)
+    input.addData(a, b)
+    q.processAllAvailable()
+    // same content again in a later micro-batch, within the watermark
+    input.addData(a)
+    q.processAllAvailable()
+    input.addData(EventRow(3, ts("2026-01-01 10:02:00"), 9, "buy", 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dedup").select($"event_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("userProgress state accumulates across micro-batches") {
     val sq = spark
     import sq.implicits._
