@@ -74,4 +74,27 @@ object Analytics {
   def mappingMethodStats(withMethod: DataFrame): DataFrame =
     withMethod.groupBy(col("category_mapping_method")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc)
+
+  /** Sketch-based profile for interactive 100 TB exploration: the scale
+    * variant of the exact reports above. `approx_count_distinct`
+    * (HyperLogLog++, fixed-size mergeable state, relative error `rsd`) and
+    * `approx_percentile` (bounded rank error via `accuracy`) replace exact
+    * distinct/median, whose state grows with the value cardinality —
+    * an exact COUNT(DISTINCT user) over 10¹¹ events shuffles every
+    * distinct value; the sketch ships kilobytes per partition. Exactness
+    * lives in the oracle-gated queries (q11 distinct, q38 median); this is
+    * the explicitly-approximate fast path. */
+  def approxProfile(df: DataFrame, keyCol: String, idCol: String,
+      valueCol: String, rsd: Double = 0.05, accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col(idCol), rsd).as("approx_distinct"),
+        percentile_approx(col(valueCol), array(lit(0.5), lit(0.95), lit(0.99)),
+          lit(accuracy)).as("pcts"))
+      .select(col(keyCol), col("n"), col("approx_distinct"),
+        col("pcts").getItem(0).as("p50"),
+        col("pcts").getItem(1).as("p95"),
+        col("pcts").getItem(2).as("p99"))
+      .orderBy(col(keyCol))
 }

@@ -81,6 +81,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("qdot"))
   }
 
+  test("joining two tables bucketed on the join key plans zero shuffles") {
+    // the SCALE.md layout claim behind Sinks.writeProcessedTable: once both
+    // sides are bucketed ×N on the key, a join on it is co-located — no
+    // Exchange on either side (this is what replaces the reference's DB
+    // index for repeated MERGE/join at 100 TB)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq("bleft", "bright").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"spark-warehouse/$t"))
+      }
+      (1L to 1000L).toDF("id").withColumn("a", col("id") * 2)
+        .write.bucketBy(8, "id").sortBy("id").saveAsTable("bleft")
+      (1L to 1000L).toDF("id").withColumn("b", col("id") * 3)
+        .write.bucketBy(8, "id").sortBy("id").saveAsTable("bright")
+      val joined = spark.table("bleft").join(spark.table("bright"), "id")
+      val p = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      Seq("bleft", "bright").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("shop adapter transform keeps whole-stage codegen spans") {
     import spark.implicits._
     val row =

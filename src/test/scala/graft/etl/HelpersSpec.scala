@@ -57,6 +57,28 @@ class HelpersSpec extends SparkSpec {
     assert(top.head.getAs[Long]("n") == 5)
   }
 
+  test("approxProfile: sketches land within tolerance of the exact answers") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val prof = Analytics.approxProfile(ev, "event_type", "user_id", "value")
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d"),
+        expr("percentile(value, 0.5)").as("p50"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("d"), r.getAs[Double]("p50"))).toMap
+    assert(prof.keySet == exact.keySet)
+    exact.foreach { case (k, (d, p50)) =>
+      val approxD = prof(k).getAs[Long]("approx_distinct")
+      assert(math.abs(approxD - d) <= math.max(1, d * 0.15),
+        s"$k: approx distinct $approxD vs exact $d")
+      val approxP = prof(k).getAs[Double]("p50")
+      // approx_percentile returns an actually-occurring value near the rank
+      assert(math.abs(approxP - p50) <= math.max(0.5, p50 * 0.1),
+        s"$k: approx p50 $approxP vs exact $p50")
+    }
+  }
+
   test("string scalars (X3/X6)") {
     assert(Strings.extractNumbers("2 voor 3.50 en -1") == Seq(2.0, 3.50, -1.0))
     assert(Strings.parsePrice("€ 1,49") == 1.49)
