@@ -84,5 +84,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "qdot(a, b) takes exactly 2 arguments")
         QDot(children.head, children(1))
       }))
+    // HOF dot-product pattern → QDot (see QDotRewrite Scaladoc)
+    ext.injectOptimizerRule(_ => QDotRewrite)
   }
 }

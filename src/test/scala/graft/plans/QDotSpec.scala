@@ -30,9 +30,14 @@ class QDotSpec extends SparkSpec {
       ((1 to 16).map(j => (i * j % 13 - 6).toLong),
        (1 to 16).map(j => (i + j % 7 - 3).toLong))
     }.toDF("a", "b")
-    val hof = df.select(
-      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-        .as("d")).collect().map(_.getLong(0)).toSeq
+    // exclude the QDotRewrite optimizer rule so the HOF baseline really is
+    // the interpreted ArrayAggregate/ZipWith path, not a rewritten qdot
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.QDotRewrite")
+    val hof =
+      try df.select(
+        aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+          .as("d")).collect().map(_.getLong(0)).toSeq
+      finally spark.conf.unset("spark.sql.optimizer.excludedRules")
     val native = df.select(call_function("qdot", $"a", $"b").as("d"))
       .collect().map(_.getLong(0)).toSeq
     assert(native == hof)
