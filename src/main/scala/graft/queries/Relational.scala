@@ -357,6 +357,60 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** Q60 — pivot (wide report shape): per-user event counts, one column
+    * per event type. The value list is explicit, so the plan is a single
+    * groupBy — no extra distinct-values job, which is also the 100 TB rule:
+    * never let pivot infer its columns from a full scan. */
+  def q60Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_id")
+  }
+
+  /** Q61 — unpivot/melt (the inverse reshape): lineitem measures to long
+    * form. Narrow transform, no shuffle — each row fans out to 3 rows
+    * within its partition. */
+  def q61Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount", $"l_tax")
+      .unpivot(
+        Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_discount", $"l_tax"),
+        "metric", "value")
+      .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+  }
+
+  /** Q62 — lag/lead window functions: per-user event deltas in exact
+    * cents. One shuffle on user_id; the frame is implicit (offset
+    * functions need no buffer beyond the offset row). */
+  def q62LagLead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .select($"user_id", $"event_id", $"cents",
+        lag($"cents", 1).over(w).as("prev_cents"),
+        lead($"cents", 1).over(w).as("next_cents"),
+        ($"cents" - coalesce(lag($"cents", 1).over(w), lit(0L))).as("delta_cents"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Q63 — cube reporting aggregation (q36's rollup sibling): all four
+    * grouping sets in one pass, map-side partials per set. */
+  def q63Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+      .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -382,7 +436,11 @@ object Relational {
     "q39_topk_agg" -> q39TopKAgg _,
     "q56_topk_rows_agg" -> q56TopKRowsAgg _,
     "q57_salted_count" -> q57SaltedCount _,
-    "q58_salted_join" -> q58SaltedJoin _)
+    "q58_salted_join" -> q58SaltedJoin _,
+    "q60_pivot" -> q60Pivot _,
+    "q61_unpivot" -> q61Unpivot _,
+    "q62_lag_lead" -> q62LagLead _,
+    "q63_cube" -> q63Cube _)
 
   /** DuckDB-flavored ANSI SQL oracles. `1e2`/`1e4` double literals are used
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
@@ -529,5 +587,35 @@ object Relational {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value*1e2) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q60_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q61_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "q62_lag_lead" ->
+      """SELECT user_id, event_id, cents,
+        |  lag(cents, 1) OVER w AS prev_cents,
+        |  lead(cents, 1) OVER w AS next_cents,
+        |  cents - coalesce(lag(cents, 1) OVER w, 0) AS delta_cents
+        |FROM (SELECT user_id, event_id, ts,
+        |        CAST(round(value*1e2) AS BIGINT) AS cents FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q63_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*1e2) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
 }

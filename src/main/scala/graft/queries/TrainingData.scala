@@ -216,7 +216,27 @@ object TrainingData {
       .orderBy($"media_id")
   }
 
+  /** Deterministic content-addressed train/val/test split: bucket = first
+    * 16 bits of sha256(id) mod 100 → 80/10/10. A pure function of the id,
+    * so it is stable across runs, engines, partitionings, and corpus
+    * growth — adding documents never reassigns existing ones (the property
+    * a training pipeline needs to keep eval sets uncontaminated). Pure
+    * column expressions, codegen'd, no shuffle. */
+  def splitColumn(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b = conv(substring(sha2(id.cast("string"), 256), 1, 4), 16, 10)
+      .cast("long") % 100
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
+  def q59TrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", splitColumn($"doc_id").as("split"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_train_split" -> q59TrainSplit _,
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_ngram_jaccard" -> q26NgramJaccard _,
     "q27_minhash_lsh" -> q27MinhashLsh _,
@@ -257,6 +277,13 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q59_train_split" -> """
+      |SELECT doc_id,
+      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |  ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin,
     "q25_dedup_exact" -> s"""
       |WITH $corpusSql
       |SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
