@@ -235,8 +235,33 @@ object TrainingData {
       .orderBy($"doc_id")
   }
 
+  /** Sequence packing into ≤2048-token bins, sharded ×8 so bins never span
+    * shards and packing parallelizes ([[graft.etl.Corpus.packSequences]]);
+    * the shard key here is `doc_id % 8` so the oracle can re-derive it. */
+  def q64PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id",
+      size(filter(split($"text", " "), t => t =!= "")).as("n_tokens"))
+    graft.etl.Corpus.packSequences(docs, "doc_id", "n_tokens",
+        budget = 2048, shardCol = ($"doc_id" % 8).cast("long"))
+      .select($"doc_id", $"n_tokens", $"shard", $"seq_in_shard")
+      .orderBy($"doc_id")
+  }
+
+  /** Overlapping 200-char context windows every 150 chars
+    * ([[graft.etl.Corpus.chunkText]]): partition-local generator, chunk
+    * content pinned by sha256. */
+  def q65ChunkText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.chunkText(
+        Tables.documents(spark, dir), "doc_id", "text", size = 200, stride = 150)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_train_split" -> q59TrainSplit _,
+    "q64_pack_sequences" -> q64PackSequences _,
+    "q65_chunk_text" -> q65ChunkText _,
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_ngram_jaccard" -> q26NgramJaccard _,
     "q27_minhash_lsh" -> q27MinhashLsh _,
@@ -284,6 +309,23 @@ object TrainingData {
       |  ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin,
+    "q64_pack_sequences" -> """
+      |SELECT doc_id, n_tokens, shard,
+      |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_in_shard
+      |FROM (
+      |  SELECT doc_id, n_tokens, doc_id % 8 AS shard,
+      |    sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS cum
+      |  FROM (SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin,
+    "q65_chunk_text" -> """
+      |SELECT doc_id, i // 150 AS chunk_idx, i AS start_pos,
+      |  length(substring(text, i + 1, 200)) AS chunk_len,
+      |  sha256(substring(text, i + 1, 200)) AS chunk_sha
+      |FROM (SELECT doc_id, text,
+      |  unnest(generate_series(0, length(text) - 1, 150)) AS i FROM documents)
+      |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q25_dedup_exact" -> s"""
       |WITH $corpusSql
       |SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,

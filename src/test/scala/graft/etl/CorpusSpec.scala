@@ -1,0 +1,54 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+
+  test("packSequences: bins respect the order and never span shards") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, 1000), (2L, 1000), (4L, 500),   // shard 0: cum 1000,2000,2500
+      (1L, 2048), (3L, 1), (5L, 3000))     // shard 1: cum 2048,2049,5049
+      .toDF("doc_id", "n_tokens")
+    val out = Corpus.packSequences(docs, "doc_id", "n_tokens",
+        budget = 2048, shardCol = col("doc_id") % 2)
+      .select($"doc_id", $"shard", $"seq_in_shard")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == (0L, 0L)) // cum 1000 → bin (1000-1000)/2048 = 0
+    assert(out(2L) == (0L, 0L)) // cum 2000 → (2000-1000)/2048 = 0
+    assert(out(4L) == (0L, 0L)) // cum 2500 → (2500-500)/2048 = 0
+    assert(out(1L) == (1L, 0L)) // exactly budget-sized doc fills bin 0
+    assert(out(3L) == (1L, 1L)) // next doc starts bin 1
+    assert(out(5L) == (1L, 1L)) // oversized doc lands in its own bin
+  }
+
+  test("chunkText: overlapping windows cover the text; empty docs vanish") {
+    import spark.implicits._
+    val docs = Seq((1L, "a" * 420), (2L, ""), (3L, "short")).toDF("id", "text")
+    val out = Corpus.chunkText(docs, "id", "text", size = 200, stride = 150)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start_pos"), r.getAs[Int]("chunk_len")))
+    // doc 1: starts 0,150,300 → lens 200,200,120; doc 2 none; doc 3 one
+    assert(out.toSet == Set(
+      (1L, 0L, 0L, 200), (1L, 1L, 150L, 200), (1L, 2L, 300L, 120),
+      (3L, 0L, 0L, 5)))
+  }
+
+  test("stratifiedSample: seeded fractions hit per-stratum targets deterministically") {
+    import spark.implicits._
+    val df = (1 to 4000).map(i => (i.toLong, if (i % 4 == 0) "rare" else "common"))
+      .toDF("id", "lang")
+    val fracs = Map("rare" -> 1.0, "common" -> 0.1)
+    val a = Corpus.stratifiedSample(df, "lang", fracs, seed = 42L)
+      .collect().map(_.getLong(0)).toSet
+    val b = Corpus.stratifiedSample(df, "lang", fracs, seed = 42L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "same seed must give the same sample")
+    val byLang = df.filter($"id".isInCollection(a)).groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("rare") == 1000L, "fraction 1.0 keeps every rare row")
+    assert(byLang("common") > 150 && byLang("common") < 450,
+      s"common fraction 0.1 of 3000 drifted: ${byLang("common")}")
+  }
+}
