@@ -324,6 +324,54 @@ object Similarity {
 
   /** True double-precision cosine (unit-norm corpus ⇒ plain dot), for
     * in-engine use where cross-engine bit-stability doesn't matter. */
+  /** Resolve near-dup pairs into clusters: connected components by
+    * min-label propagation. Each round every node adopts the smallest
+    * label among itself and its neighbors — a chain of diameter d
+    * converges in d rounds, and real dedup graphs are overwhelmingly
+    * tiny cliques (diameter 1–2), so `maxIter` is a safety rail, not the
+    * expected cost. Each round is one shuffle (join on node + min-agg);
+    * the driver loop only counts changed labels (a scalar per round).
+    * At 100 TB scale the standard refinement is star-contraction
+    * (alternating large-star/small-star halves the diameter per round);
+    * plain propagation is kept here because dedup components are shallow
+    * by construction — a 64-round chain would mean 64 documents each
+    * near-duplicating ONLY their neighbors, which LSH banding never emits.
+    *
+    * `edges` is (src, dst) in either orientation; output (node, component)
+    * where component = min node id in the cluster. Isolated nodes keep
+    * their own id (pass them in `nodes`). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      nodeCol: String, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    // symmetric edge list, self-loops dropped
+    // localCheckpoint (not cache) per round: an iterative DataFrame loop
+    // grows the logical plan by one join+agg per round, and re-analysis/
+    // re-optimization over the whole history quickly dominates — the
+    // checkpoint truncates lineage so every round plans O(1) operators
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .filter($"a" =!= $"b").distinct().localCheckpoint()
+    var labels = nodes.select(col(nodeCol).as("node"))
+      .distinct().withColumn("component", $"node").localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // candidate label per node: min over own label and neighbors' labels
+      val viaEdges = sym.join(labels, sym("b") === labels("node"))
+        .select($"a".as("node"), $"component")
+      val next = labels.select($"node", $"component").union(viaEdges)
+        .groupBy($"node").agg(min($"component").as("component"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("component", "prev"), "node")
+        .filter($"component" =!= $"prev").count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))

@@ -258,10 +258,47 @@ object TrainingData {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** Connected components over a synthetic chain graph (edges doc→doc+1
+    * within 5-doc blocks) — the dedup-cluster resolution step that turns
+    * near-dup PAIRS into groups ([[Similarity.connectedComponents]]).
+    * The chain construction forces real multi-hop propagation (diameter
+    * 4); the oracle is the closed-form block label. */
+  def q66ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id")
+    val edges = docs.filter($"doc_id" % 5 < 4)
+      .select($"doc_id".as("src"), ($"doc_id" + 1).as("dst"))
+      .join(docs.select($"doc_id".as("dst")), Seq("dst"), "left_semi")
+    Similarity.connectedComponents(docs, edges, "doc_id", "src", "dst")
+      .select($"node".as("doc_id"), $"component")
+      .orderBy($"doc_id")
+  }
+
+  /** Fuzzy match against a small dimension by edit distance (the C7
+    * category-cascade shape, but with the built-in codegen `levenshtein`
+    * and a broadcast dim instead of a UDF): argmin per row with a
+    * deterministic (dist, name) tie-break via min-over-struct — no window
+    * sort, one partial-aggregable shuffle. */
+  def q67FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val regions = Tables.region(spark, dir).select($"r_name")
+    Tables.part(spark, dir).select($"p_partkey", $"p_name")
+      .filter($"p_partkey" <= 500)
+      .crossJoin(broadcast(regions))
+      .withColumn("dist", levenshtein($"p_name", $"r_name"))
+      .groupBy($"p_partkey")
+      .agg(min(struct($"dist", $"r_name")).as("best"))
+      .select($"p_partkey", $"best.r_name".as("best_region"),
+        $"best.dist".as("dist"))
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_train_split" -> q59TrainSplit _,
     "q64_pack_sequences" -> q64PackSequences _,
     "q65_chunk_text" -> q65ChunkText _,
+    "q66_connected_components" -> q66ConnectedComponents _,
+    "q67_fuzzy_match" -> q67FuzzyMatch _,
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_ngram_jaccard" -> q26NgramJaccard _,
     "q27_minhash_lsh" -> q27MinhashLsh _,
@@ -326,6 +363,16 @@ object TrainingData {
       |FROM (SELECT doc_id, text,
       |  unnest(generate_series(0, length(text) - 1, 150)) AS i FROM documents)
       |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q66_connected_components" -> """
+      |SELECT doc_id, doc_id - doc_id % 5 AS component
+      |FROM documents ORDER BY doc_id""".stripMargin,
+    "q67_fuzzy_match" -> """
+      |SELECT p_partkey, r_name AS best_region, dist FROM (
+      |  SELECT p_partkey, r_name, levenshtein(p_name, r_name) AS dist,
+      |    row_number() OVER (PARTITION BY p_partkey
+      |      ORDER BY levenshtein(p_name, r_name), r_name) AS rk
+      |  FROM part, region WHERE p_partkey <= 500)
+      |WHERE rk = 1 ORDER BY p_partkey""".stripMargin,
     "q25_dedup_exact" -> s"""
       |WITH $corpusSql
       |SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,

@@ -203,6 +203,28 @@ class SimilaritySpec extends SparkSpec {
     assert(frames == Seq(0L, 1000L, 2000L))
   }
 
+  test("connectedComponents: multi-hop merge, bridged clusters, isolated node") {
+    import spark.implicits._
+    // {1,2,3} chained, {10,11} chained, bridge 3-10 merges them; 20 isolated
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (3L, 10L))
+      .toDF("src", "dst")
+    val out = Similarity.connectedComponents(nodes, edges, "id", "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L))
+  }
+
+  test("connectedComponents: diameter-long chain converges (propagation depth)") {
+    import spark.implicits._
+    val n = 12L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Similarity.connectedComponents(nodes, edges, "id", "src", "dst")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(out.toSeq == Seq(0L), "one chain must collapse to component 0")
+  }
+
   test("stub codec: deterministic features, batch-shaped") {
     val media = Multimodal.mediaFromText(
       docs(7L -> "hello", 8L -> "world"), "doc_id", "text")
