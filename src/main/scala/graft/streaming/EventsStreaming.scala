@@ -130,6 +130,28 @@ object EventsStreaming {
       .dropDuplicatesWithinWatermark("content_hash")
   }
 
+  /** Stream-stream inner join with an event-time range: attribute each
+    * purchase to the same user's clicks in the preceding hour. Both sides
+    * carry watermarks, and the range condition bounds the join state on
+    * BOTH sides — click state older than (purchase watermark − 1h) and
+    * purchase state older than its own watermark are evicted, so state
+    * size tracks the horizon, not the stream length. */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+      c("user_id") === p("p_user_id") &&
+        c("click_ts") <= p("purchase_ts") &&
+        c("click_ts") >= p("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension (e.g. the unified product table) — the dim is re-read per
     * micro-batch and broadcast, so the stream side never shuffles. */

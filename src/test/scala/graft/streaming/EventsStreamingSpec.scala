@@ -153,6 +153,33 @@ class EventsStreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("purchaseAttribution: stream-stream join honors the 1-hour range") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventRow]
+    val purchases = MemoryStream[EventRow]
+    val q = EventsStreaming.purchaseAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+
+    clicks.addData(
+      EventRow(1, ts("2026-01-01 09:30:00"), 7, "click", 0.0),  // in range
+      EventRow(2, ts("2026-01-01 08:00:00"), 7, "click", 0.0),  // too old
+      EventRow(3, ts("2026-01-01 09:45:00"), 8, "click", 0.0))  // other user
+    purchases.addData(
+      EventRow(10, ts("2026-01-01 10:00:00"), 7, "purchase", 25.0))
+    q.processAllAvailable()
+    // a click AFTER the purchase must not attribute
+    clicks.addData(EventRow(4, ts("2026-01-01 10:30:00"), 7, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("attr")
+      .select($"purchase_id", $"click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((10L, 1L)))
+  }
+
   test("userProgress state accumulates across micro-batches") {
     val sq = spark
     import sq.implicits._
