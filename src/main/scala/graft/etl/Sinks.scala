@@ -104,6 +104,35 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-file compaction for an append-heavy parquet dir (the 100 TB
+    * operational chore streaming/incremental sinks create: thousands of
+    * KB-sized part files whose open/footer cost dominates later scans).
+    * Rewrites the dir to ⌈bytes / targetBytes⌉ files via a staging dir +
+    * two renames, so readers never observe a half-written state and the
+    * data is byte-identical (no ordering guarantee — parquet dirs have
+    * none). */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val staging = new org.apache.hadoop.fs.Path(dir + ".compact-staging")
+    fs.delete(staging, true)
+    spark.read.parquet(dir).repartition(parts)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+    fs.delete(old, true)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compact: cannot move $dir aside")
+    if (!fs.rename(staging, path)) {
+      fs.rename(old, path) // roll back
+      throw new java.io.IOException(s"compact: cannot publish $staging")
+    }
+    fs.delete(old, true)
+    parts
+  }
+
   /** K4 — error side-output: shaped like processing_errors
     * (init-processor-schema.sql:69-82). */
   def errorRows(df: DataFrame, errorPredicate: org.apache.spark.sql.Column,

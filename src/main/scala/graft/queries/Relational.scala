@@ -411,6 +411,28 @@ object Relational {
       .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
   }
 
+  /** Q68 — ranking-function family over cents (rank/dense_rank/percent_rank
+    * tolerate ties — they depend only on the sort key; ntile and cume_dist
+    * ride a fully-deterministic (cents, o_orderkey) ordering). percent_rank
+    * is (rank−1)/(n−1): a single integer division, bit-stable
+    * cross-engine. */
+  def q68RankFamily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byCents = Window.partitionBy($"o_orderpriority")
+      .orderBy($"cents")
+    val unique = Window.partitionBy($"o_orderpriority")
+      .orderBy($"cents", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .select($"o_orderpriority", $"o_orderkey", $"cents",
+        rank().over(byCents).as("rk"),
+        dense_rank().over(byCents).as("drk"),
+        percent_rank().over(byCents).as("prk"),
+        ntile(4).over(unique).as("quartile"),
+        cume_dist().over(unique).as("cd"))
+      .orderBy($"o_orderpriority", $"cents", $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -440,7 +462,8 @@ object Relational {
     "q60_pivot" -> q60Pivot _,
     "q61_unpivot" -> q61Unpivot _,
     "q62_lag_lead" -> q62LagLead _,
-    "q63_cube" -> q63Cube _)
+    "q63_cube" -> q63Cube _,
+    "q68_rank_family" -> q68RankFamily _)
 
   /** DuckDB-flavored ANSI SQL oracles. `1e2`/`1e4` double literals are used
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
@@ -617,5 +640,17 @@ object Relational {
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice*1e2) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
-        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q68_rank_family" ->
+      """SELECT o_orderpriority, o_orderkey, cents,
+        |  rank() OVER wc AS rk,
+        |  dense_rank() OVER wc AS drk,
+        |  percent_rank() OVER wc AS prk,
+        |  ntile(4) OVER wu AS quartile,
+        |  cume_dist() OVER wu AS cd
+        |FROM (SELECT o_orderpriority, o_orderkey,
+        |        CAST(round(o_totalprice*1e2) AS BIGINT) AS cents FROM orders)
+        |WINDOW wc AS (PARTITION BY o_orderpriority ORDER BY cents),
+        |       wu AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey)
+        |ORDER BY o_orderpriority, cents, o_orderkey""".stripMargin)
 }

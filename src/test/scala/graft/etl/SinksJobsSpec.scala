@@ -94,6 +94,22 @@ class SinksJobsSpec extends SparkSpec {
     spark.sql("DROP TABLE processed_test")
   }
 
+  test("compact rewrites a fragmented parquet dir to few files, data intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // 64 tiny part files
+    (1L to 10000L).toDF("id").repartition(64).write.parquet(dir)
+    def partFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(partFiles == 64)
+    val n = Sinks.compact(spark, dir, targetBytes = 128L << 20)
+    assert(n == 1 && partFiles == 1)
+    val back = spark.read.parquet(dir).as[Long].collect().sorted
+    assert(back.toSeq == (1L to 10000L))
+    assert(!new java.io.File(dir + ".compact-old").exists())
+    assert(!new java.io.File(dir + ".compact-staging").exists())
+  }
+
   test("gateInputs drops missing/tiny files") {
     val tmp = java.nio.file.Files.createTempDirectory("gate")
     val good = tmp.resolve("good.json")
