@@ -15,6 +15,29 @@ object Pipeline {
   def readShopJson(spark: SparkSession, adapter: Shops.ShopAdapter, path: String): DataFrame =
     spark.read.schema(adapter.schema).option("multiLine", true).json(path)
 
+  /** S1 + K4: line-delimited scan that ROUTES malformed records instead of
+    * silently nulling them (the reference rejects per-product and keeps a
+    * processing_errors row, base.ts error path / postgres-adapter
+    * processing_errors): PERMISSIVE parse with a corrupt-record column,
+    * split into (good, bad) — bad carries the raw line for the K4 error
+    * sink. One scan, no second parse pass. */
+  def readShopJsonLines(spark: SparkSession, adapter: Shops.ShopAdapter,
+      path: String): (DataFrame, DataFrame) = {
+    val schema = adapter.schema.add("_corrupt_record", "string")
+    val raw = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      // Spark requires a materialization boundary before filtering on the
+      // corrupt column (SPARK-38523: referencing only _corrupt_record from
+      // a lazy parse is disallowed) — cache once, split twice
+      .cache()
+    val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_record"))
+    (good, bad)
+  }
+
   /** The full transform DAG for one shop's raw DataFrame. */
   def process(adapter: Shops.ShopAdapter, raw: DataFrame): DataFrame = {
     val unified = adapter.unified(raw)

@@ -433,6 +433,35 @@ object Relational {
       .orderBy($"o_orderpriority", $"cents", $"o_orderkey")
   }
 
+  /** Q69 — explicit grouping sets (the generalization rollup/cube
+    * specialize): per-priority and per-status marginals in ONE pass —
+    * map-side partials per set, no second scan. Uses Spark 4's native
+    * `Dataset.groupingSets`. */
+  def q69GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .groupingSets(
+        Seq(Seq($"o_orderpriority"), Seq($"o_orderstatus")),
+        $"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+      .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  /** Q70 — the remaining set operators (§2.12 lists union as the only one
+    * the reference uses; EXCEPT/INTERSECT complete the family): both plan
+    * as aggregates/joins on the hashed row, one shuffle each. */
+  def q70SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    def users(t: String) = ev.filter($"event_type" === t).select($"user_id")
+    val clickOnly = users("click").except(users("purchase"))
+      .select(lit("click_only").as("tag"), $"user_id")
+    val clickAndBuy = users("click").intersect(users("purchase"))
+      .select(lit("click_and_buy").as("tag"), $"user_id")
+    clickOnly.unionByName(clickAndBuy).orderBy($"tag", $"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -463,7 +492,9 @@ object Relational {
     "q61_unpivot" -> q61Unpivot _,
     "q62_lag_lead" -> q62LagLead _,
     "q63_cube" -> q63Cube _,
-    "q68_rank_family" -> q68RankFamily _)
+    "q68_rank_family" -> q68RankFamily _,
+    "q69_grouping_sets" -> q69GroupingSets _,
+    "q70_set_ops" -> q70SetOps _)
 
   /** DuckDB-flavored ANSI SQL oracles. `1e2`/`1e4` double literals are used
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
@@ -652,5 +683,22 @@ object Relational {
         |        CAST(round(o_totalprice*1e2) AS BIGINT) AS cents FROM orders)
         |WINDOW wc AS (PARTITION BY o_orderpriority ORDER BY cents),
         |       wu AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey)
-        |ORDER BY o_orderpriority, cents, o_orderkey""".stripMargin)
+        |ORDER BY o_orderpriority, cents, o_orderkey""".stripMargin,
+    "q69_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*1e2) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q70_set_ops" ->
+      """SELECT 'click_only' AS tag, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT 'click_and_buy' AS tag, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY tag, user_id""".stripMargin)
 }

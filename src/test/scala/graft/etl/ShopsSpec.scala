@@ -16,6 +16,26 @@ class ShopsSpec extends SparkSpec {
   private def one(df: DataFrame): Row = { val r = df.collect(); assert(r.length == 1); r.head }
   private def get[T](r: Row, f: String): T = r.getAs[T](f)
 
+  test("readShopJsonLines routes malformed records to the error side") {
+    val dir = java.nio.file.Files.createTempDirectory("corrupt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),
+      jumboBase + "\n" +
+        """{"product":{"id":"7","title":"Half""" + "\n" +  // truncated JSON
+        jumboBase.replace("\"123\"", "\"456\""))
+    val (good, bad) = Pipeline.readShopJsonLines(spark, Shops.Jumbo, s"$dir/in.json")
+    assert(good.count() == 2)
+    assert(good.select("product.id").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("123", "456"))
+    val badRows = bad.collect().map(_.getString(0))
+    assert(badRows.length == 1 && badRows.head.contains("\"Half"))
+    // the bad side feeds the K4 error sink shape
+    val errs = Sinks.errorRows(
+      bad.withColumn("unified_id", org.apache.spark.sql.functions.lit("unparsed")),
+      org.apache.spark.sql.functions.lit(true), "PARSE_ERROR", "error", "job-1")
+    assert(errs.count() == 1)
+    assert(errs.collect().head.getAs[String]("error_type") == "PARSE_ERROR")
+  }
+
   // ---- Jumbo ----
 
   private val jumboBase =
