@@ -111,4 +111,18 @@ class PropertySpec extends AnyFunSuite {
       assert(a == Text.simhashBits(t))
     }
   }
+
+  test("TopKRowsAgg: any partition split merges to the sort-take model") {
+    val pair = Gen.zip(Gen.choose(-50L, 50L), Gen.choose(0L, 20L))
+    forAll(Gen.listOf(pair), Gen.listOf(pair), Gen.choose(1, 5)) {
+      (xs, ys, k) =>
+        val agg = TopKRowsAgg(k)
+        val a = xs.foldLeft(agg.zero)(agg.reduce)
+        val b = ys.foldLeft(agg.zero)(agg.reduce)
+        val model = (xs ++ ys).sortBy { case (s, t) => (-s, t) }.take(k)
+        assert(agg.merge(a, b) == model)
+        assert(agg.merge(b, a) == model)
+        assert(agg.merge(agg.merge(a, agg.zero), b) == model)
+    }
+  }
 }
