@@ -462,6 +462,28 @@ object Relational {
     clickOnly.unionByName(clickAndBuy).orderBy($"tag", $"user_id")
   }
 
+  /** Q71 — temporal extraction family (X4's query-side kin): every part
+    * the reporting layer slices by, in one codegen projection. Convention
+    * notes pinned by the oracle: Spark `dayofweek` is 1=Sunday (DuckDB
+    * `dow` is 0=Sunday → +1), `weekofyear` is ISO week on both engines. */
+  def q71Datetime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).select(
+        $"event_id",
+        year($"ts").as("y"),
+        quarter($"ts").as("q"),
+        month($"ts").as("m"),
+        dayofmonth($"ts").as("d"),
+        hour($"ts").as("h"),
+        minute($"ts").as("mi"),
+        dayofweek($"ts").as("dow1"),
+        weekofyear($"ts").as("iso_week"),
+        dayofyear($"ts").as("doy"),
+        last_day($"ts").cast("date").as("month_end"),
+        date_trunc("week", $"ts").cast("date").as("week_start"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -494,7 +516,8 @@ object Relational {
     "q63_cube" -> q63Cube _,
     "q68_rank_family" -> q68RankFamily _,
     "q69_grouping_sets" -> q69GroupingSets _,
-    "q70_set_ops" -> q70SetOps _)
+    "q70_set_ops" -> q70SetOps _,
+    "q71_datetime" -> q71Datetime _)
 
   /** DuckDB-flavored ANSI SQL oracles. `1e2`/`1e4` double literals are used
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
@@ -700,5 +723,15 @@ object Relational {
         |  SELECT user_id FROM events WHERE event_type = 'click'
         |  INTERSECT
         |  SELECT user_id FROM events WHERE event_type = 'purchase')
-        |ORDER BY tag, user_id""".stripMargin)
+        |ORDER BY tag, user_id""".stripMargin,
+    "q71_datetime" ->
+      """SELECT event_id,
+        |  year(ts) AS y, quarter(ts) AS q, month(ts) AS m,
+        |  day(ts) AS d, hour(ts) AS h, minute(ts) AS mi,
+        |  dayofweek(ts) + 1 AS dow1,
+        |  week(ts) AS iso_week,
+        |  dayofyear(ts) AS doy,
+        |  last_day(CAST(ts AS DATE)) AS month_end,
+        |  CAST(date_trunc('week', ts) AS DATE) AS week_start
+        |FROM events ORDER BY event_id""".stripMargin)
 }
