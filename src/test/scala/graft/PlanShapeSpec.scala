@@ -111,6 +111,35 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("corpus operators: split/chunk shuffle-free, packing exactly one Exchange") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    def fplan(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+    // split: pure row-local projection — no Exchange anywhere
+    val splitDf = docs.select(col("doc_id"),
+      graft.queries.TrainingData.splitColumn(col("doc_id")).as("split"))
+    assert(!fplan(splitDf).contains("Exchange"), "train split must not shuffle")
+
+    // chunking: partition-local Generate — no Exchange
+    val chunks = graft.etl.Corpus.chunkText(docs, "doc_id", "text", 200, 150)
+    val cp = fplan(chunks)
+    assert(cp.contains("Generate"))
+    assert(!cp.contains("Exchange"), "chunking must not shuffle")
+
+    // packing: exactly the one hash Exchange on the shard key
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    val packed = graft.etl.Corpus.packSequences(toks, "doc_id", "n_tokens",
+      2048, pmod(col("doc_id"), lit(8)))
+    val pp = fplan(packed)
+    // formatted mode prints each node twice (tree + detail) — count the
+    // numbered detail headers
+    assert("""\(\d+\) Exchange""".r.findAllIn(pp).size == 1,
+      s"packing must shuffle exactly once:\n$pp")
+  }
+
   test("shop adapter transform keeps whole-stage codegen spans") {
     import spark.implicits._
     val row =
