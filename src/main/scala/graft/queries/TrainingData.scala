@@ -293,12 +293,31 @@ object TrainingData {
       .orderBy($"p_partkey")
   }
 
+  /** Vocabulary statistics: document frequency + term frequency per term,
+    * top-k by df — the table a corpus pipeline uses to spot boilerplate
+    * (high-df) and rare-noise (df=1) terms. One explode, one shuffle on
+    * term with map-side partials; countDistinct(doc_id) is the only
+    * grows-with-corpus state and is exact here (the sketch variant is
+    * `Analytics.approxProfile`). */
+  def q72VocabStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        explode(filter(split($"text", " "), t => t =!= "")).as("term"))
+      .groupBy($"term")
+      .agg(countDistinct($"doc_id").as("doc_freq"),
+        count(lit(1)).as("term_freq"))
+      .orderBy($"doc_freq".desc, $"term")
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_train_split" -> q59TrainSplit _,
     "q64_pack_sequences" -> q64PackSequences _,
     "q65_chunk_text" -> q65ChunkText _,
     "q66_connected_components" -> q66ConnectedComponents _,
     "q67_fuzzy_match" -> q67FuzzyMatch _,
+    "q72_vocab_stats" -> q72VocabStats _,
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_ngram_jaccard" -> q26NgramJaccard _,
     "q27_minhash_lsh" -> q27MinhashLsh _,
@@ -366,6 +385,12 @@ object TrainingData {
     "q66_connected_components" -> """
       |SELECT doc_id, doc_id - doc_id % 5 AS component
       |FROM documents ORDER BY doc_id""".stripMargin,
+    "q72_vocab_stats" -> """
+      |SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq
+      |FROM (SELECT doc_id,
+      |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents)
+      |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 50""".stripMargin,
     "q67_fuzzy_match" -> """
       |SELECT p_partkey, r_name AS best_region, dist FROM (
       |  SELECT p_partkey, r_name, levenshtein(p_name, r_name) AS dist,
