@@ -12,18 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
-  /** Pack documents into training sequences of ≤ `budget` tokens, the
-    * cumulative-sum formulation: docs are sharded (bins never span shards,
-    * so packing parallelizes; shard count bounds per-task state), ordered
-    * by id within their shard, and assigned bin
-    * `⌊(cumsum − tokens) / budget⌋`. A document larger than the budget
-    * gets its own bin(s) rather than being dropped — budget enforcement
-    * is the tokenizer's truncation problem, not the packer's.
+  /** Pack documents into training-sequence bins of roughly `budget`
+    * tokens, the cumulative-sum formulation: docs are sharded (bins never
+    * span shards, so packing parallelizes; shard count bounds per-task
+    * state), ordered by id within their shard, and assigned bin
+    * `⌊(cumsum − tokens) / budget⌋` — i.e. binned by START offset, so a
+    * doc that straddles a budget boundary stays in the bin it started in
+    * and that bin EXCEEDS the budget by up to that doc's length. Bins are
+    * a grouping hint for the tokenizer stage, which owns hard truncation/
+    * padding to the context window; a consumer needing a strict ≤ budget
+    * guarantee must split the straddling doc itself.
     *
-    * Compared to greedy first-fit this wastes at most one document's
-    * tokens per bin boundary, and in exchange is a pure window expression:
-    * one shuffle on the shard key, no stateful scan. Output: id, tokens,
-    * shard, seq_in_shard (bin within the shard). */
+    * In exchange the packing is a pure window expression: one shuffle on
+    * the shard key, no stateful scan (strict first-fit needs a
+    * reset-on-overflow running state that windows can't express). Output:
+    * id, tokens, shard, seq_in_shard (bin within the shard). */
   def packSequences(docs: DataFrame, idCol: String, tokensCol: String,
       budget: Long, shardCol: Column): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))

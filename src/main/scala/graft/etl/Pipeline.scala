@@ -18,23 +18,26 @@ object Pipeline {
   /** S1 + K4: line-delimited scan that ROUTES malformed records instead of
     * silently nulling them (the reference rejects per-product and keeps a
     * processing_errors row, base.ts error path / postgres-adapter
-    * processing_errors): PERMISSIVE parse with a corrupt-record column,
-    * split into (good, bad) — bad carries the raw line for the K4 error
-    * sink. One scan, no second parse pass. */
+    * processing_errors): read lines as text, `from_json` with the shop
+    * schema plus a corrupt-record column (PERMISSIVE partially parses a
+    * malformed line, so struct-is-null is NOT a reliable signal; the
+    * corrupt column is), split into (good, bad) — bad carries the raw
+    * line for the K4 error sink. Stateless column expressions, so no
+    * cache pinning, and the SPARK-38523 corrupt-column restriction
+    * doesn't apply to expression-level from_json; materializing both
+    * halves scans the (cheap, text) source twice. */
   def readShopJsonLines(spark: SparkSession, adapter: Shops.ShopAdapter,
       path: String): (DataFrame, DataFrame) = {
-    val schema = adapter.schema.add("_corrupt_record", "string")
-    val raw = spark.read.schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
-      // Spark requires a materialization boundary before filtering on the
-      // corrupt column (SPARK-38523: referencing only _corrupt_record from
-      // a lazy parse is disallowed) — cache once, split twice
-      .cache()
-    val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
-    val bad = raw.filter(col("_corrupt_record").isNotNull)
-      .select(col("_corrupt_record").as("raw_record"))
+    val corrupt = "_corrupt_record"
+    val schema = adapter.schema.add(corrupt, org.apache.spark.sql.types.StringType)
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)
+    val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value").as("raw_record"),
+        from_json(col("value"), schema, opts).as("j"))
+    val good = parsed.filter(col(s"j.$corrupt").isNull)
+      .select(col("j.*")).drop(corrupt)
+    val bad = parsed.filter(col(s"j.$corrupt").isNotNull).select(col("raw_record"))
     (good, bad)
   }
 

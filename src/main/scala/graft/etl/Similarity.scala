@@ -322,8 +322,6 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("dot"), col("cosine"))
   }
 
-  /** True double-precision cosine (unit-norm corpus ⇒ plain dot), for
-    * in-engine use where cross-engine bit-stability doesn't matter. */
   /** Resolve near-dup pairs into clusters: connected components by
     * min-label propagation. Each round every node adopts the smallest
     * label among itself and its neighbors — a chain of diameter d
@@ -339,7 +337,10 @@ object Similarity {
     *
     * `edges` is (src, dst) in either orientation; output (node, component)
     * where component = min node id in the cluster. Isolated nodes keep
-    * their own id (pass them in `nodes`). */
+    * their own id (pass them in `nodes`). Throws IllegalStateException if
+    * labels are still changing after `maxIter` rounds — a silently
+    * half-propagated labeling would split real clusters and let duplicate
+    * documents through. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       nodeCol: String, srcCol: String, dstCol: String,
       maxIter: Int = 20): DataFrame = {
@@ -369,9 +370,15 @@ object Similarity {
       labels = next
       i += 1
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge after $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter (component " +
+        "diameter exceeds it)")
     labels
   }
 
+  /** True double-precision cosine (unit-norm corpus ⇒ plain dot), for
+    * in-engine use where cross-engine bit-stability doesn't matter. */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))

@@ -104,27 +104,40 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
-  /** Small-file compaction for an append-heavy parquet dir (the 100 TB
-    * operational chore streaming/incremental sinks create: thousands of
+  /** Small-file compaction for a fragmented parquet dir (the 100 TB
+    * operational chore incremental sinks leave behind: thousands of
     * KB-sized part files whose open/footer cost dominates later scans).
     * Rewrites the dir to ⌈bytes / targetBytes⌉ files via a staging dir +
-    * two renames, so readers never observe a half-written state and the
-    * data is byte-identical (no ordering guarantee — parquet dirs have
-    * none). */
+    * two renames; the data is byte-identical (no ordering guarantee —
+    * parquet dirs have none).
+    *
+    * Caller contract — this is a QUIESCED-dir operation:
+    *   - Writers must be stopped for the dir being compacted. A file
+    *     appended between the listing and the rename pair would be moved
+    *     aside and deleted with the old generation (plain parquet dirs
+    *     have no log to reconcile against; compacting under live writers
+    *     needs a table format like Delta/Iceberg).
+    *   - The swap is two renames, not one atomic operation: a reader that
+    *     lists the dir in the instant between them sees a missing path
+    *     and should retry. On failure the old generation is restored. */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetBytes: Long = 128L << 20): Int = {
+    // normalize via Path so a trailing slash can't nest the staging dir
+    // inside the dir being renamed
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sibling(suffix: String) =
+      new org.apache.hadoop.fs.Path(path.getParent, path.getName + suffix)
     val bytes = fs.getContentSummary(path).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val staging = new org.apache.hadoop.fs.Path(dir + ".compact-staging")
+    val staging = sibling(".compact-staging")
     fs.delete(staging, true)
-    spark.read.parquet(dir).repartition(parts)
+    spark.read.parquet(path.toString).repartition(parts)
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+    val old = sibling(".compact-old")
     fs.delete(old, true)
     if (!fs.rename(path, old))
-      throw new java.io.IOException(s"compact: cannot move $dir aside")
+      throw new java.io.IOException(s"compact: cannot move $path aside")
     if (!fs.rename(staging, path)) {
       fs.rename(old, path) // roll back
       throw new java.io.IOException(s"compact: cannot publish $staging")

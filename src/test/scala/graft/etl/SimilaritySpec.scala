@@ -225,6 +225,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq(0L), "one chain must collapse to component 0")
   }
 
+  test("connectedComponents: throws instead of returning a half-propagated labeling") {
+    import spark.implicits._
+    val n = 8L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Similarity.connectedComponents(nodes, edges, "id", "src", "dst", maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("stub codec: deterministic features, batch-shaped") {
     val media = Multimodal.mediaFromText(
       docs(7L -> "hello", 8L -> "world"), "doc_id", "text")
