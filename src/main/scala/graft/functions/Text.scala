@@ -81,7 +81,9 @@ object Text {
 
   /** BPE-ish pre-tokenization count: letter runs, digit runs, single other
     * non-space chars — the standard shape of a byte-pair pre-split. */
-  private val bpeishRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+  // explicit class, not \s: Java \s includes \x0B (vertical tab), RE2's
+  // (the DuckDB oracle) does not — the explicit set is identical in both
+  private val bpeishRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]".r
   def bpeishTokenCount(text: String): Int =
     if (text == null) 0 else bpeishRe.findAllIn(text).size
 

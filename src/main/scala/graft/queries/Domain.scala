@@ -99,11 +99,12 @@ object Domain {
       .orderBy($"p_partkey")
   }
 
-  /** A4 quality scoring through the engine's scoring column on products
-    * synthesized from `part` (fields present/absent by partkey bits). */
-  def q23QualityScore(spark: SparkSession, dir: String): DataFrame = {
+  /** Products synthesized from `part` (fields present/absent by partkey
+    * bits) — the quality-scoring fixture shared by q23 and q49 so the two
+    * oracles can never silently pin different inputs. */
+  private[queries] def qualityFixture(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val df = Tables.part(spark, dir).select(
+    Tables.part(spark, dir).select(
       $"p_partkey",
       $"p_name".as("title"),
       when($"p_partkey" % 2 === 0, $"p_brand").otherwise(lit("")).as("brand"),
@@ -119,7 +120,14 @@ object Domain {
       lit("g").as("quantity_unit"),
       when($"p_partkey" % 13 === 0, lit(null).cast("double")).otherwise(lit(0.5))
         .as("conversion_factor"))
-    df.select($"p_partkey", Quality.score.cast("long").as("quality_score"))
+  }
+
+  /** A4 quality scoring through the engine's scoring column on the shared
+    * fixture. */
+  def q23QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    qualityFixture(spark, dir)
+      .select($"p_partkey", Quality.score.cast("long").as("quality_score"))
       .orderBy($"p_partkey")
   }
 
@@ -132,8 +140,10 @@ object Domain {
       .groupBy($"event_type")
       .agg(count(lit(1)).as("total"),
         count(when($"value" > 100, 1)).as("success"))
+      // no 2dp re-round on the quotient (decimal-tie trap — see q12); the
+      // single exact-int division is bit-stable cross-engine
       .withColumn("success_rate",
-        when($"total" > 0, round($"success" * 100.0 / $"total", 2)).otherwise(lit(0.0)))
+        when($"total" > 0, $"success" * 100.0 / $"total").otherwise(lit(0.0)))
       .orderBy($"event_type")
   }
 
@@ -380,7 +390,7 @@ object Domain {
       |SELECT event_type, count(*) AS total,
       |  count(*) FILTER (WHERE value > 100) AS success,
       |  CASE WHEN count(*) > 0
-      |    THEN round(count(*) FILTER (WHERE value > 100) * 1e2 / count(*), 2)
+      |    THEN count(*) FILTER (WHERE value > 100) * 1e2 / count(*)
       |    ELSE 0 END AS success_rate
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Analytic recomputation of the full CalculateFields composition.

@@ -131,10 +131,13 @@ object Relational {
   }
 
   /** Q10 — similar-group detection (A3, dedupe.ts:100-124): group by
-    * normalized text, keep groups with >1 member. */
+    * normalized text, keep groups with >1 member. Runs on the
+    * planted-duplicate corpus ([[TrainingData.corpus]]) so dup groups
+    * actually exist at every SF — on raw documents the result is empty
+    * and the oracle compare would pin nothing. */
   def q10SimilarGroups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    TrainingData.corpus(spark, dir)
       .withColumn("norm",
         trim(regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " ")))
       .groupBy($"norm")
@@ -165,7 +168,10 @@ object Relational {
     val w = Window.partitionBy()
     Tables.documents(spark, dir)
       .groupBy($"lang").agg(count(lit(1)).as("cnt"))
-      .withColumn("pct", round(lit(100.0) * $"cnt" / sum($"cnt").over(w), 2))
+      // no 2dp re-round: 100*cnt/total is one exact-int division, bit-stable
+      // cross-engine; round(q, 2) on a quotient is the decimal-tie trap
+      // (DuckDB rounds the repr, the JVM the binary value)
+      .withColumn("pct", lit(100.0) * $"cnt" / sum($"cnt").over(w))
       .orderBy($"cnt".desc, $"lang")
   }
 
@@ -178,7 +184,8 @@ object Relational {
       .groupBy($"o_orderpriority")
       .agg(
         count(lit(1)).as("n"),
-        round(sum($"cents") / count(lit(1)) / 100.0, 2).as("avg_price"),
+        // single int divisions, no re-round (see q12)
+        (sum($"cents") / count(lit(1)) / 100.0).as("avg_price"),
         (min($"cents") / 100.0).as("min_price"),
         (max($"cents") / 100.0).as("max_price"),
         count(when($"o_totalprice" < 1000, 1)).as("b_lt_1000"),
@@ -545,11 +552,15 @@ object Relational {
     "q4_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    // epoch_us (not raw ts): Spark truncates the parquet's nanosecond
+    // timestamps to µs (Tables.events), so a same-user µs collision would
+    // tiebreak by event_id in Spark but by sub-µs nanos in DuckDB — the
+    // oracle must sort at the same precision the engine sees
     "q5_dedup_keep_best" ->
       """SELECT user_id, event_id, event_type,
         |  CAST(round(value*1e2) AS BIGINT) AS value_cents
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q6_union" ->
       """SELECT DISTINCT nationkey FROM (
@@ -571,12 +582,13 @@ object Relational {
     "q9_running_window" ->
       """SELECT user_id, event_id,
         |  CAST(sum(CAST(round(value*1e2) AS BIGINT)) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+        |    ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q10_similar_groups" ->
-      """SELECT norm, count(*) AS cnt, min(doc_id) AS first_doc FROM (
+      s"""WITH ${TrainingData.corpusSql}
+        |SELECT norm, count(*) AS cnt, min(doc_id) AS first_doc FROM (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm FROM documents)
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm FROM corpus)
         |GROUP BY norm HAVING count(*) > 1 ORDER BY norm""".stripMargin,
     "q11_error_summary" ->
       """SELECT event_type, count(*) AS total,
@@ -585,12 +597,12 @@ object Relational {
         |  count(*) FILTER (WHERE value <= 100) AS low_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q12_distribution" ->
-      """SELECT lang, cnt, round(1e2*cnt/sum(cnt) OVER (), 2) AS pct
+      """SELECT lang, cnt, 1e2*cnt/sum(cnt) OVER () AS pct
         |FROM (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1)
         |ORDER BY cnt DESC, lang""".stripMargin,
     "q13_histogram" ->
       """SELECT o_orderpriority, count(*) AS n,
-        |  round(sum(cents)/count(*)/1e2, 2) AS avg_price,
+        |  sum(cents)/count(*)/1e2 AS avg_price,
         |  min(cents)/1e2 AS min_price,
         |  max(cents)/1e2 AS max_price,
         |  count(*) FILTER (WHERE o_totalprice < 1000) AS b_lt_1000,
@@ -688,7 +700,7 @@ object Relational {
         |  cents - coalesce(lag(cents, 1) OVER w, 0) AS delta_cents
         |FROM (SELECT user_id, event_id, ts,
         |        CAST(round(value*1e2) AS BIGINT) AS cents FROM events)
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |ORDER BY user_id, event_id""".stripMargin,
     "q63_cube" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,

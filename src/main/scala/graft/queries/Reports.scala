@@ -69,7 +69,7 @@ object Reports {
       concat(
         lit("{\"name\":\"Gen "), $"o_orderkey".cast("string"), lit("\""),
         lit(",\"price\":\""),
-        format_string("%d.%02d", (cents / 100).cast("long"), (cents % 100).cast("long")),
+        ShopQueries.dec(cents),
         lit("\",\"articleNumber\":\"X"), $"o_orderkey".cast("string"), lit("\""),
         lit(",\"category\":\"cat"), ($"o_orderkey" % 3).cast("string"), lit("\""),
         when(promoLit.isNotNull, concat(lit(",\"is_promotion\":"), promoLit))
@@ -95,23 +95,7 @@ object Reports {
     * HelpersSpec instead. */
   def q49QualityReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val df = Tables.part(spark, dir).select(
-      $"p_partkey",
-      $"p_name".as("title"),
-      when($"p_partkey" % 2 === 0, $"p_brand").otherwise(lit("")).as("brand"),
-      when($"p_partkey" % 3 === 0, concat(lit("img/"), $"p_partkey"))
-        .otherwise(lit("")).as("image_url"),
-      when($"p_partkey" % 5 === 0, lit("Bakkerij")).otherwise(lit(null).cast("string"))
-        .as("main_category"),
-      ($"p_partkey" % 7 === 0).as("is_promotion"),
-      lit("2 voor 3.00").as("promotion_mechanism"),
-      ($"p_partkey" % 2 === 0).as("is_active"),
-      when($"p_partkey" % 11 === 0, lit(0.0)).otherwise($"p_size".cast("double"))
-        .as("quantity_amount"),
-      lit("g").as("quantity_unit"),
-      when($"p_partkey" % 13 === 0, lit(null).cast("double")).otherwise(lit(0.5))
-        .as("conversion_factor"))
-    Quality.report(df).select(
+    Quality.report(Domain.qualityFixture(spark, dir)).select(
       $"n_products", $"b_90_100", $"b_80_89", $"b_70_79", $"b_60_69",
       $"b_50_59", $"b_lt_50")
   }

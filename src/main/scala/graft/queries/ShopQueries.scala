@@ -41,7 +41,7 @@ object ShopQueries {
 
   /** Exact-cents decimal string "d.dd" for JSON embedding (cents ≤ ~46k so
     * the double round-trip is exact). */
-  private def dec(c: Column): Column =
+  private[queries] def dec(c: Column): Column =
     format_string("%d.%02d", (c / 100).cast("long"), (c % 100).cast("long"))
 
   /** Evaluate the synthesized-JSON parse exactly once. Without this barrier

@@ -23,7 +23,7 @@ object TrainingData {
       d.filter($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + 1000000L))
   }
 
-  private val corpusSql =
+  private[queries] val corpusSql =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -62,7 +62,12 @@ object TrainingData {
     * oracle can recompute it in SQL). */
   def q28Simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Similarity.withSimhash(Tables.documents(spark, dir), "text")
+    // docs with ≥1 token only: the engine emits an all-zeros simhash for a
+    // token-less doc while the oracle's unnest drops it — align the domain
+    // explicitly so an empty text in a future corpus can't skew row counts
+    Similarity.withSimhash(
+        Tables.documents(spark, dir)
+          .filter(size(filter(split($"text", " "), t => t =!= "")) > 0), "text")
       .select($"doc_id", $"simhash")
       .orderBy($"doc_id")
   }
@@ -112,10 +117,10 @@ object TrainingData {
         length($"text").as("n_chars"),
         size(toks).as("n_tokens"),
         length(regexp_replace($"text", " ", "")).as("sum_token_len"),
-        length(regexp_replace($"text", "[A-Za-z0-9\\s]", "")).as("n_punct"),
+        length(regexp_replace($"text", "[A-Za-z0-9 \\t\\n\\f\\r]", "")).as("n_punct"),
         length(regexp_replace($"text", "[^0-9]", "")).as("n_digits"),
         size(regexp_extract_all($"text",
-          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpeish_tokens"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"), lit(0))).as("bpeish_tokens"),
         size(filter(transform(toks, t => lower(t)),
           t => t.isInCollection(stop))).as("n_stopwords"))
       .orderBy($"doc_id")
@@ -490,9 +495,9 @@ object TrainingData {
       |  length(text) AS n_chars,
       |  len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens,
       |  length(replace(text, ' ', '')) AS sum_token_len,
-      |  length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+      |  length(regexp_replace(text, '[A-Za-z0-9 \t\n\f\r]', '', 'g')) AS n_punct,
       |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
-      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS bpeish_tokens,
       |  len(list_filter(list_transform(list_filter(string_split(text,' '), x -> x <> ''),
       |    x -> lower(x)), x -> x IN ('the','a','of','and','to','in','is'))) AS n_stopwords
       |FROM documents ORDER BY doc_id""".stripMargin,
