@@ -40,6 +40,32 @@ object TimeJoins {
       .drop("_time", "_tag", "_pick")
   }
 
+  /** Forward as-of: for each left row, the right row's `pick` value with
+    * the SMALLEST `rightTime` >= the left row's `leftTime` (per `key`);
+    * ties on time resolve to the smallest `pick`. Same union+window shape
+    * as [[asofJoin]] — one shuffle, linear pass — with the window looking
+    * forward instead of back. Output column `asoff_<pick>` (null when
+    * nothing follows). */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, pick: String): DataFrame = {
+    val pickType = right.schema(pick).dataType
+    val l = left
+      .withColumn("_time", col(leftTime))
+      .withColumn("_tag", lit(1))
+      .withColumn("_pick", lit(null).cast(pickType))
+    val r = right.select(col(key), col(rightTime).as("_time"),
+      col(pick).as("_pick")).withColumn("_tag", lit(2))
+    // right rows sort after left rows at equal time (>= semantics);
+    // multiple right rows at one time resolve to the min pick
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_time"), col("_tag"), col("_pick"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(s"asoff_$pick", first(col("_pick"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .drop("_time", "_tag", "_pick")
+  }
+
   /** Gap-based sessions over an event stream (batch twin of streaming
     * session windows): session_window merges events whose gaps are below
     * `gap`. Output: key, session start/end, event count. */

@@ -174,6 +174,20 @@ object Domain {
       .orderBy($"event_id")
   }
 
+  /** Forward as-of ([[graft.etl.TimeJoins.asofJoinForward]]): for each
+    * event, the user's NEXT order at-or-after the event — same
+    * union+window shape as q34's backward variant. */
+  def q73AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir).select($"event_id", $"user_id", $"ts")
+    val orders = Tables.orders(spark, dir)
+      .select($"o_custkey".as("user_id"), $"o_orderdate", $"o_orderkey")
+    graft.etl.TimeJoins.asofJoinForward(events, orders, "user_id", "ts",
+        "o_orderdate", "o_orderkey")
+      .select($"event_id", $"user_id", $"asoff_o_orderkey")
+      .orderBy($"event_id")
+  }
+
   /** Gap-based sessionization (24h gap) — session starts/ends as epoch
     * micros so the cross-engine compare never touches raw timestamps. */
   def q35Sessionize(spark: SparkSession, dir: String): DataFrame = {
@@ -248,7 +262,8 @@ object Domain {
     "q33_props_parse" -> q33PropsParse _,
     "q34_asof_join" -> q34AsofJoin _,
     "q35_sessionize" -> q35Sessionize _,
-    "q44_calculate_fields" -> q44CalculateFields _)
+    "q44_calculate_fields" -> q44CalculateFields _,
+    "q73_asof_forward" -> q73AsofForward _)
 
   val oracleSql: Map[String, String] = Map(
     // Analytic recomputation: k = o_orderkey%10 selects the pattern, so the
@@ -371,6 +386,14 @@ object Domain {
       |     AND o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
       |       WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts))
       |  AS asof_o_orderkey
+      |FROM events e ORDER BY e.event_id""".stripMargin,
+    "q73_asof_forward" -> """
+      |SELECT e.event_id, e.user_id,
+      |  (SELECT min(o.o_orderkey) FROM orders o
+      |   WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+      |     AND o.o_orderdate = (SELECT min(o2.o_orderdate) FROM orders o2
+      |       WHERE o2.o_custkey = e.user_id AND o2.o_orderdate >= e.ts))
+      |  AS asoff_o_orderkey
       |FROM events e ORDER BY e.event_id""".stripMargin,
     "q35_sessionize" -> """
       |WITH x AS (

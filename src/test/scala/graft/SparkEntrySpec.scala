@@ -38,7 +38,7 @@ class SparkEntrySpec extends AnyFunSuite {
     val total = modules.map(_._2._1.size).sum
     assert(SparkEntry.queries.size == total,
       s"SparkEntry lost entries to shadowing: ${SparkEntry.queries.size} != $total")
-    assert(SparkEntry.queries.size == 72)
+    assert(SparkEntry.queries.size == 73)
   }
 
   test("query names follow the qNN_snake contract the driver sorts on") {

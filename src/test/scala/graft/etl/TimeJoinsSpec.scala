@@ -55,6 +55,54 @@ class TimeJoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinForward: >= semantics, tie on min pick, null when nothing follows") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 7L, ts("2026-01-01 00:00:00")), // before both orders
+      (2L, 7L, ts("2026-01-05 00:00:00")), // exactly at order 20/21's time
+      (3L, 7L, ts("2026-01-10 00:00:00")), // after all orders
+      (4L, 8L, ts("2026-01-01 00:00:00"))) // user without orders
+      .toDF("event_id", "user_id", "ts")
+    val orders = Seq(
+      (7L, ts("2026-01-03 00:00:00"), 10L),
+      (7L, ts("2026-01-05 00:00:00"), 20L),
+      (7L, ts("2026-01-05 00:00:00"), 21L)) // same time: min orderkey wins
+      .toDF("user_id", "o_date", "o_key")
+    val out = TimeJoins.asofJoinForward(events, orders, "user_id", "ts", "o_date", "o_key")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asoff_o_key")).map(_.longValue)).toMap
+    assert(out(1L).contains(10L))
+    assert(out(2L).contains(20L)) // order at exactly event time counts, min pick
+    assert(out(3L).isEmpty)
+    assert(out(4L).isEmpty)
+  }
+
+  test("asofJoinForward matches a brute-force reference on randomized data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val events = (1L to 200L).map(i =>
+      (i, rnd.nextInt(10).toLong, ts(f"2026-01-${rnd.nextInt(28) + 1}%02d 12:00:00")))
+    val orders = (1L to 80L).map(i =>
+      (rnd.nextInt(10).toLong, ts(f"2026-01-${rnd.nextInt(28) + 1}%02d 12:00:00"), i))
+    val out = TimeJoins.asofJoinForward(
+        events.toDF("event_id", "user_id", "ts"),
+        orders.toDF("user_id", "o_date", "o_key"),
+        "user_id", "ts", "o_date", "o_key")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asoff_o_key")).map(_.longValue)).toMap
+    // brute force: min key among orders at the min date >= event time
+    events.foreach { case (eid, u, t) =>
+      val eligible = orders.filter(o => o._1 == u && !o._2.before(t))
+      val expected =
+        if (eligible.isEmpty) None
+        else {
+          val minDate = eligible.map(_._2.getTime).min
+          Some(eligible.filter(_._2.getTime == minDate).map(_._3).min)
+        }
+      assert(out(eid) == expected, s"event $eid user $u at $t")
+    }
+  }
+
   test("sessionize: only a gap strictly greater than the window splits") {
     import spark.implicits._
     val events = Seq(
