@@ -58,6 +58,75 @@ object Corpus {
       .drop("chunk")
   }
 
+  /** Whitespace tokens as a column, empties dropped. The split class is an
+    * explicit `[ \t\n\r]` (not `\s`): Java's `\s` and RE2's differ on
+    * unicode space, which silently diverges token counts across engines. */
+  private[etl] def tokensOf(textCol: Column): Column =
+    filter(split(textCol, "[ \t\n\r]+"), t => t =!= "")
+
+  /** Adjacent-pair (bigram) array of a token array: `a b c` → `[a b, b c]`.
+    * Pure column generator — `sequence` is guarded for < 2 tokens (Spark's
+    * descending-step `sequence(0, -1)` throws where an empty list is the
+    * natural answer). */
+  private[etl] def bigramsOf(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+
+  /** Gopher-style intra-document repetition metrics (Rae et al. 2021,
+    * §A1.1 repetition filters): per doc, the token count, distinct-token
+    * count, the frequency of the MOST repeated bigram, and the number of
+    * duplicate bigram occurrences (Σ max(c−1, 0) over bigram types).
+    * All integers — no ratio is materialized, so downstream thresholds
+    * (e.g. top-bigram fraction > 0.18 → drop) divide at the caller and
+    * the cross-engine compare stays exact.
+    *
+    * Shape: unigram stats are per-row column expressions (scan only);
+    * bigram stats explode ≈n_tokens rows/doc into a combiner-friendly
+    * (doc, bigram) count, re-aggregated per doc — two shuffles on doc_id,
+    * fan-out linear in corpus token count. */
+  def repetitionStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = tokensOf(col(textCol))
+    val uni = docs.select(col(idCol), size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
+    val big = docs
+      .select(col(idCol), explode(bigramsOf(toks)).as("_bg"))
+      .groupBy(col(idCol), col("_bg")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(max(col("_c")).as("top_bigram_n"),
+        sum(col("_c") - 1).as("dup_bigrams"))
+    uni.join(big, Seq(idCol), "left")
+      .na.fill(0L, Seq("top_bigram_n", "dup_bigrams"))
+  }
+
+  /** Corpus-wide bigram collocations: each bigram's total occurrence count
+    * and document frequency, kept when total ≥ `minCount`. One explode +
+    * one two-phase groupBy (exact distinct over doc ids); the minCount
+    * filter happens post-aggregation so rare-bigram skew never exists —
+    * the (bigram) key space is the shuffle width. */
+  def bigramCollocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame =
+    docs.select(col(idCol),
+        explode(bigramsOf(tokensOf(col(textCol)))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_total") >= minCount)
+
+  /** Deterministic per-group sample: the `k` rows of each group with the
+    * smallest sha256(id) — a seedless, order-independent, re-runnable
+    * sample (same ids always survive, wherever they sit in the file
+    * layout). Window top-k per group: one shuffle on the group key;
+    * per-group state is the sort, so cap k and salt if a group is huge. */
+  def hashSample(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(sha2(col(idCol).cast("string"), 256), col(idCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Stratified sample with deterministic per-stratum fractions
     * (`df.stat.sampleBy`): the training-mix lever — e.g. keep 100% of a
     * rare language, 5% of boilerplate. Seeded, so re-runs of the same

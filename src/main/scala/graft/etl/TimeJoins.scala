@@ -66,6 +66,44 @@ object TimeJoins {
       .drop("_time", "_tag", "_pick")
   }
 
+  /** Interval (range) join: each point row matched to every interval row
+    * of the same `key` with `startUs <= timeUs < endUs`. All three time
+    * columns are epoch-micros longs (exact integers — no timestamp
+    * precision drift across engines).
+    *
+    * Spark plans a raw `ON key = key AND t >= s AND t < e` join as a
+    * per-key nested loop (or worse, a broadcast nested loop when the key
+    * is absent). Instead: bucket time by `bucketWidthUs`, explode each
+    * interval to the buckets it overlaps, and equi-join points on
+    * (key, bucket) before applying the exact predicate. An interval of
+    * length L lands in at most L/width + 1 buckets, so the fan-out is
+    * bounded and chosen by the caller — a plain shuffled hash join that
+    * scales like any other equi-join. Pick `bucketWidthUs` near the
+    * typical interval length (≈2 buckets per interval).
+    *
+    * Output: all point columns + all interval columns except `key`. */
+  def rangeJoinBucketed(points: DataFrame, intervals: DataFrame,
+      key: String, timeUs: String, startUs: String, endUs: String,
+      bucketWidthUs: Long): DataFrame = {
+    require(bucketWidthUs > 0, "bucketWidthUs must be positive")
+    val w = lit(bucketWidthUs)
+    // floorDiv semantics for negative epochs: Spark's long `div` truncates
+    // toward zero, so shift via `floor` on a fraction-free decimal path
+    val bucketOf = (c: Column) => floor(c.cast("decimal(20,0)") / w).cast("long")
+    // the interval side is renamed throughout: self-joins (points and
+    // intervals derived from one source) would otherwise hit Spark's
+    // ambiguous-attribute resolution on every join column
+    val iv = intervals
+      .filter(col(endUs) > col(startUs))
+      .withColumn("_ibucket",
+        explode(sequence(bucketOf(col(startUs)), bucketOf(col(endUs) - 1))))
+      .withColumnRenamed(key, "_ikey")
+    val pt = points.withColumn("_bucket", bucketOf(col(timeUs)))
+    pt.join(iv, col(key) === col("_ikey") && col("_bucket") === col("_ibucket")
+        && col(timeUs) >= col(startUs) && col(timeUs) < col(endUs))
+      .drop("_ikey", "_bucket", "_ibucket")
+  }
+
   /** Gap-based sessions over an event stream (batch twin of streaming
     * session windows): session_window merges events whose gaps are below
     * `gap`. Output: key, session start/end, event count. */

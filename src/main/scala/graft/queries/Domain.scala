@@ -198,6 +198,28 @@ object Domain {
       .orderBy($"user_id", $"session_start_us")
   }
 
+  /** Interval join ([[graft.etl.TimeJoins.rangeJoinBucketed]]): intervals
+    * are 2h windows opened at every 10th event; each event of the same
+    * user falling inside [start, start+2h) matches. Bucketed equi-join
+    * (1h buckets → ≤3 buckets/interval), not a nested-loop range probe.
+    * Every interval matches at least its opening event, so inner-join
+    * aggregation covers all intervals. */
+  def q74RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val twoHoursUs = 2L * 3600 * 1000000
+    val events = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("t_us"))
+    val intervals = events.filter($"event_id" % 10 === 0)
+      .select($"event_id".as("interval_id"), $"user_id",
+        $"t_us".as("s_us"), ($"t_us" + twoHoursUs).as("e_us"))
+    graft.etl.TimeJoins.rangeJoinBucketed(events, intervals, "user_id",
+        "t_us", "s_us", "e_us", bucketWidthUs = 3600L * 1000000)
+      .groupBy($"interval_id")
+      .agg(count(lit(1)).as("n_points"), min($"event_id").as("min_event"),
+        max($"event_id").as("max_event"))
+      .orderBy($"interval_id")
+  }
+
   /** T5 — the FULL CalculateFields sequential derivation (promo parse /
     * AH bypass → standardize quantity → price-per-standard-unit with the
     * promo effective price feeding the current variant → discount metrics;
@@ -263,7 +285,8 @@ object Domain {
     "q34_asof_join" -> q34AsofJoin _,
     "q35_sessionize" -> q35Sessionize _,
     "q44_calculate_fields" -> q44CalculateFields _,
-    "q73_asof_forward" -> q73AsofForward _)
+    "q73_asof_forward" -> q73AsofForward _,
+    "q74_range_join" -> q74RangeJoin _)
 
   val oracleSql: Map[String, String] = Map(
     // Analytic recomputation: k = o_orderkey%10 selects the pattern, so the
@@ -395,6 +418,17 @@ object Domain {
       |       WHERE o2.o_custkey = e.user_id AND o2.o_orderdate >= e.ts))
       |  AS asoff_o_orderkey
       |FROM events e ORDER BY e.event_id""".stripMargin,
+    // Oracle is the direct inequality join; the engine side proves the
+    // bucketed equi-join computes the same relation.
+    "q74_range_join" -> """
+      |SELECT i.interval_id, count(*) AS n_points,
+      |  min(e.event_id) AS min_event, max(e.event_id) AS max_event
+      |FROM (SELECT event_id AS interval_id, user_id,
+      |        epoch_us(ts) AS s_us, epoch_us(ts) + 7200000000 AS e_us
+      |      FROM events WHERE event_id % 10 = 0) i
+      |JOIN (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events) e
+      |  ON e.user_id = i.user_id AND e.t_us >= i.s_us AND e.t_us < i.e_us
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q35_sessionize" -> """
       |WITH x AS (
       |  SELECT user_id, ts,

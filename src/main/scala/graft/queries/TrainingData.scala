@@ -316,8 +316,43 @@ object TrainingData {
       .limit(50)
   }
 
+  /** Gopher repetition filters ([[graft.etl.Corpus.repetitionStats]]):
+    * integer repetition metrics per doc — the most-repeated-bigram count
+    * and duplicate-bigram occurrences that quality gates threshold on. */
+  def q75Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.repetitionStats(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic per-group sample ([[graft.etl.Corpus.hashSample]]):
+    * the 5 docs per language with the smallest sha256(doc_id) — a
+    * seedless sample that is stable across runs and file layouts. */
+  def q76HashSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.hashSample(
+        Tables.documents(spark, dir).select($"doc_id", $"lang"),
+        "lang", "doc_id", k = 5)
+      .orderBy($"lang", $"rk")
+  }
+
+  /** Corpus bigram collocations ([[graft.etl.Corpus.bigramCollocations]]):
+    * top-50 repeated bigrams by total count with document frequency —
+    * the boilerplate-detection companion to q72's unigram table. */
+  def q77Collocations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.bigramCollocations(
+        Tables.documents(spark, dir), "doc_id", "text", minCount = 2)
+      .orderBy($"n_total".desc, $"bigram")
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_train_split" -> q59TrainSplit _,
+    "q75_repetition" -> q75Repetition _,
+    "q76_hash_sample" -> q76HashSample _,
+    "q77_collocations" -> q77Collocations _,
     "q64_pack_sequences" -> q64PackSequences _,
     "q65_chunk_text" -> q65ChunkText _,
     "q66_connected_components" -> q66ConnectedComponents _,
@@ -363,6 +398,45 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Tokens/bigrams refolded in DuckDB list ops; all-integer outputs so
+    // no ratio ever crosses the engine boundary. generate_series(1,0) is
+    // empty where Spark's sequence would throw — the Spark side guards.
+    "q75_repetition" -> """
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |                x -> x <> '') AS t
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i + 1])) AS bg
+      |  FROM toks),
+      |bc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+      |ba AS (SELECT doc_id, max(c) AS top_bigram_n,
+      |              CAST(sum(c - 1) AS BIGINT) AS dup_bigrams
+      |       FROM bc GROUP BY 1)
+      |SELECT u.doc_id, CAST(len(u.t) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(u.t)) AS BIGINT) AS n_distinct,
+      |  coalesce(ba.top_bigram_n, 0) AS top_bigram_n,
+      |  coalesce(ba.dup_bigrams, 0) AS dup_bigrams
+      |FROM toks u LEFT JOIN ba USING (doc_id) ORDER BY u.doc_id""".stripMargin,
+    "q76_hash_sample" -> """
+      |SELECT doc_id, lang, rk FROM (
+      |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+      |    ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+    "q77_collocations" -> """
+      |WITH big AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |                      x -> x <> '') AS t
+      |        FROM documents))
+      |SELECT bigram, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+      |FROM big GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY n_total DESC, bigram LIMIT 50""".stripMargin,
     "q59_train_split" -> """
       |SELECT doc_id,
       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split

@@ -35,6 +35,53 @@ class CorpusSpec extends SparkSpec {
       (3L, 0L, 0L, 5)))
   }
 
+  test("repetitionStats: hand-computed truth table, short docs included") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),      // bigrams: ab,ba,ab,ba → top 2, dups 2
+      (2L, "x y z"),          // all unique bigrams
+      (3L, "w"),              // no bigrams
+      (4L, "  p   p  "),      // ragged whitespace → [p, p]
+      (5L, "")).toDF("doc_id", "text")
+    val out = Corpus.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("top_bigram_n"), r.getAs[Long]("dup_bigrams")))).toMap
+    assert(out(1L) == ((5L, 2L, 2L, 2L)))
+    assert(out(2L) == ((3L, 3L, 1L, 0L)))
+    assert(out(3L) == ((1L, 1L, 0L, 0L)))
+    assert(out(4L) == ((2L, 1L, 1L, 0L)))
+    assert(out(5L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("bigramCollocations: counts, doc freq, and the minCount gate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big data big data"),
+      (2L, "big data rules"),
+      (3L, "small data")).toDF("doc_id", "text")
+    val out = Corpus.bigramCollocations(docs, "doc_id", "text", minCount = 2)
+      .collect().map(r => r.getAs[String]("bigram") ->
+        ((r.getAs[Long]("n_total"), r.getAs[Long]("n_docs")))).toMap
+    assert(out == Map("big data" -> ((3L, 2L))))
+  }
+
+  test("hashSample: k per group, deterministic, layout-independent") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("doc_id", "lang")
+    val a = Corpus.hashSample(df, "lang", "doc_id", 3)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("rk"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(a.size == 6 && a.count(_._1 == "even") == 3)
+    // survivors don't depend on row order or partitioning
+    val b = Corpus.hashSample(df.orderBy(rand(7)).repartition(13),
+        "lang", "doc_id", 3)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("rk"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(a == b)
+  }
+
   test("stratifiedSample: seeded fractions hit per-stratum targets deterministically") {
     import spark.implicits._
     val df = (1 to 4000).map(i => (i.toLong, if (i % 4 == 0) "rare" else "common"))

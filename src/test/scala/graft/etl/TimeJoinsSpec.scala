@@ -103,6 +103,49 @@ class TimeJoinsSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoinBucketed: [start, end) semantics across bucket boundaries") {
+    import spark.implicits._
+    val points = Seq(
+      (1L, 7L, 100L),  // == start → in
+      (2L, 7L, 249L),  // last µs inside
+      (3L, 7L, 250L),  // == end → out
+      (4L, 7L, 99L),   // just before → out
+      (5L, 8L, 100L),  // wrong key → out
+      (6L, 7L, 1000L)) // inside second interval only
+      .toDF("event_id", "user_id", "t_us")
+    val intervals = Seq(
+      (10L, 7L, 100L, 250L),   // spans buckets 1..2 at width 100
+      (11L, 7L, 900L, 1001L),
+      (12L, 7L, 500L, 500L))   // empty interval → never matches
+      .toDF("interval_id", "user_id", "s_us", "e_us")
+    val out = TimeJoins.rangeJoinBucketed(points, intervals, "user_id",
+        "t_us", "s_us", "e_us", bucketWidthUs = 100L)
+      .select($"event_id", $"interval_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (2L, 10L), (6L, 11L)))
+  }
+
+  test("rangeJoinBucketed matches the direct inequality join on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val points = (1L to 300L).map(i =>
+      (i, rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong))
+    val intervals = (1L to 60L).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i, rnd.nextInt(5).toLong, s, s + rnd.nextInt(800).toLong)
+    }
+    val out = TimeJoins.rangeJoinBucketed(
+        points.toDF("event_id", "user_id", "t_us"),
+        intervals.toDF("interval_id", "user_id", "s_us", "e_us"),
+        "user_id", "t_us", "s_us", "e_us", bucketWidthUs = 512L)
+      .select($"event_id", $"interval_id").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (eid, pu, t) <- points
+      (iid, iu, s, e) <- intervals
+      if pu == iu && t >= s && t < e
+    } yield (eid, iid)).toSet
+    assert(out == expected)
+  }
+
   test("sessionize: only a gap strictly greater than the window splits") {
     import spark.implicits._
     val events = Seq(
