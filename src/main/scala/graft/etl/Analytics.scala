@@ -84,6 +84,29 @@ object Analytics {
     * distinct value; the sketch ships kilobytes per partition. Exactness
     * lives in the oracle-gated queries (q11 distinct, q38 median); this is
     * the explicitly-approximate fast path. */
+  /** Exact nearest-rank percentiles (p25/p50/p75) per group over an
+    * integer value column: the value at rank ⌈p·n⌉ — percentile_disc
+    * semantics, so the result is always an actual data value and the
+    * cross-engine compare never sees interpolation floats. Duplicate
+    * values need no tiebreak: whichever duplicate lands on the target
+    * rank, the picked VALUE is the same. One shuffle on the group key
+    * (rank + count ride the same window sort); for the sketch-based
+    * scale path over huge groups see [[approxProfile]]. */
+  def exactPercentiles(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rn = row_number().over(
+      Window.partitionBy(col(groupCol)).orderBy(col(valueCol)))
+    val n = count(lit(1)).over(Window.partitionBy(col(groupCol)))
+    val at = (target: Column) => sum(when(col("_rn") === target, col(valueCol)))
+    df.withColumn("_rn", rn).withColumn("_n", n)
+      .groupBy(col(groupCol))
+      .agg(max(col("_n")).as("n"),
+        at(expr("(_n + 3) div 4")).as("p25"),
+        at(expr("(_n + 1) div 2")).as("p50"),
+        at(expr("(3 * _n + 3) div 4")).as("p75"))
+  }
+
   def approxProfile(df: DataFrame, keyCol: String, idCol: String,
       valueCol: String, rsd: Double = 0.05, accuracy: Int = 10000): DataFrame =
     df.groupBy(col(keyCol))

@@ -213,6 +213,27 @@ object Similarity {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
+  /** Per-vector int8 quantization summary (the serving-time compression
+    * path): each vector scaled by 127/max|x| and floored to integers,
+    * reporting dims, integer sum/min/max and the saturated-dim count.
+    * floor (not round) keeps the cross-engine story trivial — identical
+    * IEEE doubles floor identically, with no decimal-vs-binary rounding
+    * tie to diverge on. Pure per-row column expressions: scan-only, no
+    * shuffle, codegen throughout. Zero vectors quantize to all-zero. */
+  def int8QuantStats(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = col("_q")
+    emb
+      .withColumn("_ma", array_max(transform(col(vecCol), x => abs(x))))
+      .withColumn("_scale",
+        when(col("_ma") === 0, lit(0.0)).otherwise(lit(127.0) / col("_ma")))
+      .withColumn("_q",
+        transform(col(vecCol), x => floor(x * col("_scale")).cast("long")))
+      .select(col(idCol), size(col(vecCol)).cast("long").as("n_dims"),
+        aggregate(q, lit(0L), (acc, v) => acc + v).as("sum_q"),
+        array_min(q).as("min_q"), array_max(q).as("max_q"),
+        size(filter(q, v => abs(v) === 127)).cast("long").as("n_sat"))
+  }
+
   /** Exact integer dot product of two quantized vectors, via the native
     * codegen expression `graft.plans.QDot` (registered by GraftExtensions):
     * Spark's `aggregate`/`zip_with` higher-order functions are

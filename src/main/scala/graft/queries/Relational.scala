@@ -491,6 +491,19 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Q78 — exact nearest-rank percentile family
+    * ([[graft.etl.Analytics.exactPercentiles]]): p25/p50/p75 of order
+    * cents per priority, percentile_disc semantics (always a data value,
+    * never an interpolated float) — q38's median generalized. */
+  def q78Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Analytics.exactPercentiles(
+        Tables.orders(spark, dir)
+          .withColumn("cents", round($"o_totalprice" * 100).cast("long")),
+        "o_orderpriority", "cents")
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -524,7 +537,8 @@ object Relational {
     "q68_rank_family" -> q68RankFamily _,
     "q69_grouping_sets" -> q69GroupingSets _,
     "q70_set_ops" -> q70SetOps _,
-    "q71_datetime" -> q71Datetime _)
+    "q71_datetime" -> q71Datetime _,
+    "q78_percentiles" -> q78Percentiles _)
 
   /** DuckDB-flavored ANSI SQL oracles. `1e2`/`1e4` double literals are used
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
@@ -635,6 +649,18 @@ object Relational {
         |      ORDER BY CAST(round(o_totalprice*1e2) AS BIGINT) DESC) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q78_percentiles" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(round(o_totalprice*1e2) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice*1e2) AS BIGINT)) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, max(n) AS n,
+        |  CAST(sum(CASE WHEN rn = (n+3)//4 THEN cents END) AS BIGINT) AS p25,
+        |  CAST(sum(CASE WHEN rn = (n+1)//2 THEN cents END) AS BIGINT) AS p50,
+        |  CAST(sum(CASE WHEN rn = (3*n+3)//4 THEN cents END) AS BIGINT) AS p75
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q38_exact_median" ->
       """WITH r AS (
         |  SELECT o_orderpriority, CAST(round(o_totalprice*1e2) AS BIGINT) AS cents,

@@ -348,8 +348,41 @@ object TrainingData {
       .limit(50)
   }
 
+  /** int8 embedding quantization ([[Similarity.int8QuantStats]]): per-vec
+    * integer stats of the 127/max|x| floor quantization — the compression
+    * step before an ANN index ships to serving. */
+  def q79Quantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.int8QuantStats(
+        Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .orderBy($"vec_id")
+  }
+
+  /** PII redaction ([[graft.etl.Privacy.redactPii]]) over synthesized
+    * contact strings (the corpus tables carry no PII, so emails/phones are
+    * planted deterministically from customer keys: every key gets an
+    * email unless divisible by 3, a phone when even). The md5 of the
+    * redacted text pins the full replacement output, not just counts. */
+  def q80PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = $"c_custkey"
+    val input = Tables.customer(spark, dir).select(k,
+      concat(
+        lit("contact "), lower(regexp_replace($"c_name", "[^A-Za-z0-9]", "")),
+        when(k % 3 =!= 0, concat(lit(" at user"), k.cast("string"),
+          lit("@shop"), (k % 7).cast("string"), lit(".nl"))).otherwise(lit("")),
+        when(k % 2 === 0, concat(lit(" or 06-"),
+          lpad((k * 7919 % 100000000).cast("string"), 8, "0")))
+          .otherwise(lit(""))).as("text"))
+    graft.etl.Privacy.redactPii(input, "text")
+      .select(k, $"n_emails", $"n_phones", md5($"redacted").as("redacted_md5"))
+      .orderBy(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_train_split" -> q59TrainSplit _,
+    "q79_quantize" -> q79Quantize _,
+    "q80_pii_redact" -> q80PiiRedact _,
     "q75_repetition" -> q75Repetition _,
     "q76_hash_sample" -> q76HashSample _,
     "q77_collocations" -> q77Collocations _,
@@ -420,6 +453,48 @@ object TrainingData {
       |  coalesce(ba.top_bigram_n, 0) AS top_bigram_n,
       |  coalesce(ba.dup_bigrams, 0) AS dup_bigrams
       |FROM toks u LEFT JOIN ba USING (doc_id) ORDER BY u.doc_id""".stripMargin,
+    // Scale is computed ONCE per vec then applied per element — the oracle
+    // mirrors the exact operation order (127e0/ma, then x*scale, then
+    // floor), because a refactor to (x*127)/ma is a DIFFERENT double.
+    // 127e0 not 127.0: DuckDB decimal literals would divide decimally.
+    "q79_quantize" -> """
+      |WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    CASE WHEN ma = 0 THEN 0e0 ELSE 127e0 / ma END AS scale,
+      |    len(embedding) AS n_dims
+      |  FROM (SELECT vec_id, embedding,
+      |          list_max(list_transform(embedding, x -> abs(x))) AS ma
+      |        FROM embeddings)),
+      |u AS (
+      |  SELECT vec_id, n_dims,
+      |    CAST(floor(unnest(embedding) * scale) AS BIGINT) AS q
+      |  FROM s)
+      |SELECT vec_id, CAST(max(n_dims) AS BIGINT) AS n_dims,
+      |  CAST(sum(q) AS BIGINT) AS sum_q, min(q) AS min_q, max(q) AS max_q,
+      |  CAST(count(*) FILTER (WHERE abs(q) = 127) AS BIGINT) AS n_sat
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q80_pii_redact" -> """
+      |WITH t AS (
+      |  SELECT c_custkey,
+      |    'contact ' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'))
+      |    || CASE WHEN c_custkey % 3 <> 0
+      |         THEN ' at user' || c_custkey || '@shop' || (c_custkey % 7) || '.nl'
+      |         ELSE '' END
+      |    || CASE WHEN c_custkey % 2 = 0
+      |         THEN ' or 06-' ||
+      |           lpad(CAST(c_custkey * 7919 % 100000000 AS VARCHAR), 8, '0')
+      |         ELSE '' END AS text
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '\b06-[0-9]{8}\b')) AS BIGINT)
+      |    AS n_phones,
+      |  md5(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b06-[0-9]{8}\b', '<PHONE>', 'g')) AS redacted_md5
+      |FROM t ORDER BY c_custkey""".stripMargin,
     "q76_hash_sample" -> """
       |SELECT doc_id, lang, rk FROM (
       |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang

@@ -117,4 +117,60 @@ class HelpersSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(stats == Set(("0.9.0", "AH"), ("1.0.0", "AH")))
   }
+
+  test("exactPercentiles matches the nearest-rank model on random groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // group sizes 1..40 exercise every n%4 branch of the rank arithmetic
+    val data = (1 to 8).flatMap { g =>
+      (1 to (g * 5)).map(_ => (s"g$g", rnd.nextInt(1000).toLong))
+    }
+    val out = Analytics.exactPercentiles(
+        data.toDF("grp", "v"), "grp", "v")
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("p25"), r.getAs[Long]("p50"),
+          r.getAs[Long]("p75")))).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length
+      def nr(p: Double) = sorted(math.ceil(p * n).toInt - 1)
+      assert(out(g) == ((n.toLong, nr(0.25), nr(0.5), nr(0.75))), s"group $g")
+    }
+  }
+
+  test("int8QuantStats: hand-checked vectors, zero vector quantizes to zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f)),   // scale 127 → [127, -127, 63]
+      (2L, Seq(0.0f, 0.0f)),          // zero vector → all zeros
+      (3L, Seq(-2.0f)))               // scale 63.5 → floor(-127.0) = -127
+      .toDF("vec_id", "embedding")
+    val out = Similarity.int8QuantStats(df, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_dims"), r.getAs[Long]("sum_q"),
+          r.getAs[Long]("min_q"), r.getAs[Long]("max_q"),
+          r.getAs[Long]("n_sat")))).toMap
+    assert(out(1L) == ((3L, 63L, -127L, 127L, 2L)))
+    assert(out(2L) == ((2L, 0L, 0L, 0L, 0L)))
+    assert(out(3L) == ((1L, -127L, -127L, -127L, 1L)))
+  }
+
+  test("redactPii: counts and replacements, word boundaries respected") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a@b.nl and c.d+e@f-g.com now"),
+      (2L, "call 06-12345678 or 06-87654321"),
+      (3L, "not-a-phone 906-12345678 and 06-1234567 (7 digits)"),
+      (4L, "plain text, no pii")).toDF("id", "text")
+    val out = Privacy.redactPii(df, "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[String]("redacted")))).toMap
+    assert(out(1L) == ((2L, 0L, "mail <EMAIL> and <EMAIL> now")))
+    assert(out(2L) == ((0L, 2L, "call <PHONE> or <PHONE>")))
+    // "906-12345678": no word boundary between "9" and "06" → no match;
+    // 7-digit tail → no match
+    assert(out(3L) == ((0L, 0L, "not-a-phone 906-12345678 and 06-1234567 (7 digits)")))
+    assert(out(4L) == ((0L, 0L, "plain text, no pii")))
+  }
 }
