@@ -107,6 +107,41 @@ object Analytics {
         at(expr("(3 * _n + 3) div 4")).as("p75"))
   }
 
+  /** Tukey-fence outlier rows per group: values outside
+    * [p25 − k/2·IQR, p75 + k/2·IQR] (k in half-IQR steps keeps the
+    * arithmetic integral — the classic 1.5·IQR fence is k=3). The
+    * per-group quartiles come from [[exactPercentiles]] (grows-with-group
+    * window state) and join back as a broadcast — the fence table has one
+    * row per group, so the second pass over the data is map-side. */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 3): DataFrame = {
+    val fences = exactPercentiles(df, groupCol, valueCol)
+      .select(col(groupCol), col("p25"), col("p75"))
+    val v = col(valueCol) * 2
+    df.join(broadcast(fences), Seq(groupCol))
+      .filter(v < col("p25") * 2 - (col("p75") - col("p25")) * k ||
+              v > col("p75") * 2 + (col("p75") - col("p25")) * k)
+      .drop("p25", "p75")
+  }
+
+  /** Per-column data profile of a frame: null count and exact distinct
+    * count for each named column — the reconnaissance report a pipeline
+    * runs before trusting a new source. One aggregation pass computes
+    * every column's stats (no per-column scans); the single wide row is
+    * then unpivoted driver-free via stack(). Exact distincts shuffle per
+    * column — for 10¹¹-row sources swap in approx_count_distinct (see
+    * [[approxProfile]]). */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$c"),
+        countDistinct(col(c)).as(s"_nd_$c"))
+    }
+    val stackArgs = cols.map(c => s"'$c', `_nn_$c`, `_nd_$c`").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct)")
+  }
+
   def approxProfile(df: DataFrame, keyCol: String, idCol: String,
       valueCol: String, rsd: Double = 0.05, accuracy: Int = 10000): DataFrame =
     df.groupBy(col(keyCol))

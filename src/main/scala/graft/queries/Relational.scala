@@ -504,6 +504,33 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** Q81 — Morton (Z-order) clustering key ([[graft.etl.Layout.zValue]]):
+    * the layout primitive behind two-dimensional file pruning; the key
+    * itself is oracle-checked bit-for-bit (the cluster-by-write around it
+    * is exercised in LayoutSpec). */
+  def q81Zorder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        graft.etl.Layout.zValue($"o_orderkey", $"o_custkey").as("zval"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Q82 — Tukey-fence outliers ([[graft.etl.Analytics.iqrOutliers]]
+    * composed over exactPercentiles + broadcast fences): k=1 (0.5·IQR —
+    * the synthetic uniform prices have no 1.5·IQR tail, which would make
+    * the query vacuous). */
+  def q82IqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Analytics.iqrOutliers(
+        Tables.orders(spark, dir)
+          .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+          .select($"o_orderpriority", $"o_orderkey", $"cents"),
+        "o_orderpriority", "cents", k = 1)
+      .select($"o_orderkey", $"o_orderpriority", $"cents")
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -538,7 +565,9 @@ object Relational {
     "q69_grouping_sets" -> q69GroupingSets _,
     "q70_set_ops" -> q70SetOps _,
     "q71_datetime" -> q71Datetime _,
-    "q78_percentiles" -> q78Percentiles _)
+    "q78_percentiles" -> q78Percentiles _,
+    "q81_zorder" -> q81Zorder _,
+    "q82_iqr_outliers" -> q82IqrOutliers _)
 
   /** DuckDB-flavored ANSI SQL oracles. `1e2`/`1e4` double literals are used
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
@@ -649,6 +678,38 @@ object Relational {
         |      ORDER BY CAST(round(o_totalprice*1e2) AS BIGINT) DESC) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    // The 4-step mask-shift Morton spread, unrolled as chained CTEs —
+    // same closed form the engine evaluates, in plain bigint bit ops.
+    "q81_zorder" ->
+      """WITH a AS (SELECT o_orderkey,
+        |    o_orderkey % 65536 AS x, o_custkey % 65536 AS y FROM orders),
+        |b AS (SELECT o_orderkey, (x | (x << 8)) & 16711935 AS x,
+        |             (y | (y << 8)) & 16711935 AS y FROM a),
+        |c AS (SELECT o_orderkey, (x | (x << 4)) & 252645135 AS x,
+        |             (y | (y << 4)) & 252645135 AS y FROM b),
+        |d AS (SELECT o_orderkey, (x | (x << 2)) & 858993459 AS x,
+        |             (y | (y << 2)) & 858993459 AS y FROM c),
+        |e AS (SELECT o_orderkey, (x | (x << 1)) & 1431655765 AS x,
+        |             (y | (y << 1)) & 1431655765 AS y FROM d)
+        |SELECT o_orderkey, CAST(x | (y << 1) AS BIGINT) AS zval
+        |FROM e ORDER BY o_orderkey""".stripMargin,
+    "q82_iqr_outliers" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice*1e2) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice*1e2) AS BIGINT)) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |f AS (SELECT o_orderpriority,
+        |        CAST(sum(CASE WHEN rn = (n+3)//4 THEN cents END) AS BIGINT) AS p25,
+        |        CAST(sum(CASE WHEN rn = (3*n+3)//4 THEN cents END) AS BIGINT) AS p75
+        |      FROM r GROUP BY 1)
+        |SELECT r.o_orderkey, r.o_orderpriority, r.cents
+        |FROM r JOIN f USING (o_orderpriority)
+        |WHERE 2*r.cents < 2*f.p25 - (f.p75 - f.p25)
+        |   OR 2*r.cents > 2*f.p75 + (f.p75 - f.p25)
+        |ORDER BY r.o_orderkey""".stripMargin,
     "q78_percentiles" ->
       """WITH r AS (
         |  SELECT o_orderpriority, CAST(round(o_totalprice*1e2) AS BIGINT) AS cents,

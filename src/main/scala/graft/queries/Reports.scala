@@ -100,7 +100,20 @@ object Reports {
       $"b_50_59", $"b_lt_50")
   }
 
+  /** Column-level data profile ([[graft.etl.Analytics.columnProfile]]):
+    * null/exact-distinct counts per column of `orders` — the trust-a-new-
+    * source report, one aggregation pass for all columns. */
+  def q83ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Analytics.columnProfile(
+        graft.Tables.orders(spark, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+      .orderBy($"col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_column_profile" -> q83ColumnProfile _,
     "q45_count_by_retailer" -> q45CountByRetailer _,
     "q46_schema_version_stats" -> q46SchemaVersionStats _,
     "q47_issue_stats" -> q47IssueStats _,
@@ -108,6 +121,26 @@ object Reports {
     "q49_quality_report" -> q49QualityReport _)
 
   val oracleSql: Map[String, String] = Map(
+    "q83_column_profile" -> """
+      |SELECT 'o_orderkey' AS col_name,
+      |  CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_null,
+      |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+      |UNION ALL SELECT 'o_custkey',
+      |  CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+      |UNION ALL SELECT 'o_orderstatus',
+      |  CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+      |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+      |UNION ALL SELECT 'o_totalprice',
+      |  CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+      |  CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
+      |UNION ALL SELECT 'o_orderdate',
+      |  CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+      |  CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
+      |UNION ALL SELECT 'o_orderpriority',
+      |  CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+      |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+      |ORDER BY col_name""".stripMargin,
     "q45_count_by_retailer" -> """
       |SELECT CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'AH' WHEN 1 THEN 'JUMBO'
       |         WHEN 2 THEN 'ALDI' ELSE 'PLUS' END AS shop_type,

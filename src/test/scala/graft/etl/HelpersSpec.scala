@@ -155,6 +155,18 @@ class HelpersSpec extends SparkSpec {
     assert(out(3L) == ((1L, -127L, -127L, -127L, 1L)))
   }
 
+  test("columnProfile: null and distinct counts, nulls not distinct-counted") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None),
+      (Some(2L), Some("b")), (None, Some("a")))
+      .toDF("k", "s")
+    val out = Analytics.columnProfile(df, Seq("k", "s"))
+      .collect().map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("n_null"), r.getAs[Long]("n_distinct")))).toMap
+    assert(out == Map("k" -> ((1L, 2L)), "s" -> ((1L, 2L))))
+  }
+
   test("redactPii: counts and replacements, word boundaries respected") {
     import spark.implicits._
     val df = Seq(
