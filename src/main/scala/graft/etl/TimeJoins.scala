@@ -104,6 +104,26 @@ object TimeJoins {
       .drop("_ikey", "_bucket", "_ibucket")
   }
 
+  /** Daily resample with gap filling: per-key daily row counts, with the
+    * missing days inside each key's [first, last] span emitted as zeros —
+    * the regularization step before any rolling/forecast pass. The day
+    * spine is generated per key (sequence + explode: fan-out = span days,
+    * no driver-side calendar), then left-joined back to the observed
+    * counts — both joins shuffle on the same key, and AQE coalesces.
+    * Output: key, day (date), n (long). */
+  def resampleDaily(events: DataFrame, key: String,
+      timeCol: String): DataFrame = {
+    val daily = events
+      .withColumn("day", to_date(date_trunc("day", col(timeCol))))
+      .groupBy(col(key), col("day")).agg(count(lit(1)).as("n"))
+    val spine = daily.groupBy(col(key))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(col(key), explode(
+        sequence(col("_d0"), col("_d1"), expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq(key, "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+
   /** Gap-based sessions over an event stream (batch twin of streaming
     * session windows): session_window merges events whose gaps are below
     * `gap`. Output: key, session start/end, event count. */

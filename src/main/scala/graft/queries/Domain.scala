@@ -220,6 +220,35 @@ object Domain {
       .orderBy($"interval_id")
   }
 
+  /** Daily resample with zero-filled gaps
+    * ([[graft.etl.TimeJoins.resampleDaily]]): per-user daily counts over
+    * each user's own [first, last] span — the regularization every
+    * rolling-window pass assumes. */
+  def q85Resample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.TimeJoins.resampleDaily(Tables.events(spark, dir), "user_id", "ts")
+      .orderBy($"user_id", $"day")
+  }
+
+  /** Retention/adoption shape: first-seen day per (user, event_type) →
+    * newly adopted pairs per day → running cumulative (every user is
+    * active from day one in this corpus, so the plain per-user grain
+    * would collapse to a single row — the pair grain actually spreads).
+    * The final window is global-ordered but runs on the DAY aggregate
+    * (cardinality = span days, not events) — the single-partition window
+    * is bounded by the calendar, not the data. */
+  def q86NewUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("day", to_date(date_trunc("day", $"ts")))
+      .groupBy($"user_id", $"event_type").agg(min($"day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_pairs", sum($"n_new").over(w))
+      .orderBy($"day")
+  }
+
   /** T5 — the FULL CalculateFields sequential derivation (promo parse /
     * AH bypass → standardize quantity → price-per-standard-unit with the
     * promo effective price feeding the current variant → discount metrics;
@@ -286,7 +315,9 @@ object Domain {
     "q35_sessionize" -> q35Sessionize _,
     "q44_calculate_fields" -> q44CalculateFields _,
     "q73_asof_forward" -> q73AsofForward _,
-    "q74_range_join" -> q74RangeJoin _)
+    "q74_range_join" -> q74RangeJoin _,
+    "q85_resample" -> q85Resample _,
+    "q86_new_users" -> q86NewUsers _)
 
   val oracleSql: Map[String, String] = Map(
     // Analytic recomputation: k = o_orderkey%10 selects the pattern, so the
@@ -429,6 +460,29 @@ object Domain {
       |JOIN (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events) e
       |  ON e.user_id = i.user_id AND e.t_us >= i.s_us AND e.t_us < i.e_us
       |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q85_resample" -> """
+      |WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+      |        FROM daily GROUP BY 1))
+      |SELECT s.user_id, s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+      |FROM spine s LEFT JOIN daily d USING (user_id, day)
+      |ORDER BY 1, 2""".stripMargin,
+    "q86_new_users" -> """
+      |WITH fd AS (
+      |  SELECT user_id, event_type,
+      |    min(CAST(date_trunc('day', ts) AS DATE)) AS day
+      |  FROM events GROUP BY 1, 2),
+      |nn AS (SELECT day, count(*) AS n_new FROM fd GROUP BY 1)
+      |SELECT day, n_new,
+      |  CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS cum_pairs
+      |FROM nn ORDER BY day""".stripMargin,
     "q35_sessionize" -> """
       |WITH x AS (
       |  SELECT user_id, ts,

@@ -531,6 +531,20 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Q84 — ordered string aggregation (listagg shape): the concatenated
+    * value list is made deterministic by sorting the DISTINCT set before
+    * joining — an unordered listagg is nondeterministic under parallel
+    * merge and can never be oracle-checked. */
+  def q84Listagg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(array_join(array_sort(collect_set($"o_orderstatus")), ",")
+          .as("statuses"),
+        countDistinct($"o_orderstatus").as("n_statuses"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -567,7 +581,8 @@ object Relational {
     "q71_datetime" -> q71Datetime _,
     "q78_percentiles" -> q78Percentiles _,
     "q81_zorder" -> q81Zorder _,
-    "q82_iqr_outliers" -> q82IqrOutliers _)
+    "q82_iqr_outliers" -> q82IqrOutliers _,
+    "q84_listagg" -> q84Listagg _)
 
   /** DuckDB-flavored ANSI SQL oracles. `1e2`/`1e4` double literals are used
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
@@ -678,6 +693,12 @@ object Relational {
         |      ORDER BY CAST(round(o_totalprice*1e2) AS BIGINT) DESC) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q84_listagg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  CAST(count(*) AS BIGINT) AS n_statuses
+        |FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The 4-step mask-shift Morton spread, unrolled as chained CTEs —
     // same closed form the engine evaluates, in plain bigint bit ops.
     "q81_zorder" ->

@@ -146,6 +146,23 @@ class TimeJoinsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("resampleDaily: zero-fills only inside each key's own span") {
+    import spark.implicits._
+    val events = Seq(
+      (7L, ts("2026-01-01 10:00:00")),
+      (7L, ts("2026-01-01 23:59:59")),
+      (7L, ts("2026-01-04 00:00:00")),  // gap: Jan 2 + 3 missing
+      (9L, ts("2026-02-10 12:00:00")))  // single-day key → one row, no fill
+      .toDF("user_id", "ts")
+    val out = TimeJoins.resampleDaily(events, "user_id", "ts")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("n"))).toSet
+    assert(out == Set(
+      (7L, "2026-01-01", 2L), (7L, "2026-01-02", 0L),
+      (7L, "2026-01-03", 0L), (7L, "2026-01-04", 1L),
+      (9L, "2026-02-10", 1L)))
+  }
+
   test("sessionize: only a gap strictly greater than the window splits") {
     import spark.implicits._
     val events = Seq(
