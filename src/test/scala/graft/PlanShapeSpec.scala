@@ -140,6 +140,37 @@ class PlanShapeSpec extends SparkSpec {
       s"packing must shuffle exactly once:\n$pp")
   }
 
+  test("q74: the bucketed range join is an equi-join, never a nested loop") {
+    val p = plan("q74_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q79/q81: quantization and z-order keys are scan-only projections") {
+    import org.apache.spark.sql.functions._
+    def fplan(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // without the display orderBy, neither op has any reason to shuffle
+    val quant = graft.etl.Similarity.int8QuantStats(
+      Tables.embeddings(spark, dir), "vec_id", "embedding")
+    assert(!fplan(quant).contains("Exchange"),
+      "int8 quantization must not shuffle")
+    val z = Tables.orders(spark, dir).select(col("o_orderkey"),
+      graft.etl.Layout.zValue(col("o_orderkey"), col("o_custkey")).as("z"))
+    val zp = fplan(z)
+    assert(!zp.contains("Exchange"), "zValue must not shuffle")
+    assert(!zp.contains("BatchEvalPython") && !zp.contains("Filter udf"),
+      "zValue must stay a native expression")
+  }
+
+  test("q82: the percentile fence joins back as a broadcast") {
+    val p = plan("q82_iqr_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("shop adapter transform keeps whole-stage codegen spans") {
     import spark.implicits._
     val row =
