@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.etl.{Quality, Udfs}
@@ -249,6 +250,39 @@ object Domain {
       .orderBy($"day")
   }
 
+  /** Running COUNT DISTINCT per user (event types seen so far): Spark
+    * windows can't express count(DISTINCT) directly — the standard
+    * rewrite marks each (user, type) first occurrence with row_number,
+    * then running-sums the markers. One shuffle on user_id; both windows
+    * share it. Deterministic via the (ts, event_id) tiebreak. */
+  def q87RunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byTime = Window.partitionBy($"user_id")
+      .orderBy(unix_micros($"ts"), $"event_id")
+    val firstOfType = Window.partitionBy($"user_id", $"event_type")
+      .orderBy(unix_micros($"ts"), $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("_first", when(row_number().over(firstOfType) === 1, 1L)
+        .otherwise(0L))
+      .withColumn("types_so_far", sum($"_first")
+        .over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"event_id", $"user_id", $"types_so_far")
+      .orderBy($"event_id")
+  }
+
+  /** 7-day rolling event count per user over the GAP-FILLED daily series
+    * (composition proof: [[graft.etl.TimeJoins.resampleDaily]] feeds a
+    * rows-frame window — only correct because the resample guarantees one
+    * row per day; on the raw ragged series a ROWS frame would silently
+    * span gaps). */
+  def q88Rolling7d(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"day").rowsBetween(-6, 0)
+    graft.etl.TimeJoins.resampleDaily(Tables.events(spark, dir), "user_id", "ts")
+      .withColumn("n_7d", sum($"n").over(w))
+      .orderBy($"user_id", $"day")
+  }
+
   /** T5 — the FULL CalculateFields sequential derivation (promo parse /
     * AH bypass → standardize quantity → price-per-standard-unit with the
     * promo effective price feeding the current variant → discount metrics;
@@ -317,7 +351,9 @@ object Domain {
     "q73_asof_forward" -> q73AsofForward _,
     "q74_range_join" -> q74RangeJoin _,
     "q85_resample" -> q85Resample _,
-    "q86_new_users" -> q86NewUsers _)
+    "q86_new_users" -> q86NewUsers _,
+    "q87_running_distinct" -> q87RunningDistinct _,
+    "q88_rolling_7d" -> q88Rolling7d _)
 
   val oracleSql: Map[String, String] = Map(
     // Analytic recomputation: k = o_orderkey%10 selects the pattern, so the
@@ -483,6 +519,31 @@ object Domain {
       |  CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
       |    AS BIGINT) AS cum_pairs
       |FROM nn ORDER BY day""".stripMargin,
+    // DuckDB CAN window count(DISTINCT ...); the oracle uses it directly,
+    // proving the marker-cumsum rewrite equals the textbook semantics.
+    "q87_running_distinct" -> """
+      |SELECT event_id, user_id,
+      |  CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS types_so_far
+      |FROM events ORDER BY event_id""".stripMargin,
+    "q88_rolling_7d" -> """
+      |WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+      |        FROM daily GROUP BY 1)),
+      |filled AS (
+      |  SELECT s.user_id, s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+      |  FROM spine s LEFT JOIN daily d USING (user_id, day))
+      |SELECT user_id, day, n,
+      |  CAST(sum(n) OVER (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+      |FROM filled ORDER BY user_id, day""".stripMargin,
     "q35_sessionize" -> """
       |WITH x AS (
       |  SELECT user_id, ts,

@@ -379,8 +379,29 @@ object TrainingData {
       .orderBy(k)
   }
 
+  /** Inverted-index postings for the 10 highest-df terms: (term, df,
+    * rank, doc_id) rows, postings ranked by doc_id — the retrieval-side
+    * artifact of the q72 vocabulary table. The term list joins back as a
+    * broadcast semi-filter; the posting window shuffles once on term. */
+  def q89Postings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id",
+        explode(filter(split($"text", " "), t => t =!= "")).as("term"))
+      .distinct()
+    val top = toks.groupBy($"term").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"term").limit(10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"term").orderBy($"doc_id")
+    toks.join(broadcast(top), Seq("term"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select($"term", $"df", $"rk", $"doc_id")
+      .orderBy($"term", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_train_split" -> q59TrainSplit _,
+    "q89_postings" -> q89Postings _,
     "q79_quantize" -> q79Quantize _,
     "q80_pii_redact" -> q80PiiRedact _,
     "q75_repetition" -> q75Repetition _,
@@ -431,6 +452,19 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q89_postings" -> """
+      |WITH toks AS (
+      |  SELECT DISTINCT doc_id, term FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |    FROM documents)),
+      |top AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks
+      |  GROUP BY 1 ORDER BY df DESC, term LIMIT 10)
+      |SELECT t.term, top.df,
+      |  row_number() OVER (PARTITION BY t.term ORDER BY t.doc_id) AS rk,
+      |  t.doc_id
+      |FROM toks t JOIN top USING (term) ORDER BY t.term, rk""".stripMargin,
     // Tokens/bigrams refolded in DuckDB list ops; all-integer outputs so
     // no ratio ever crosses the engine boundary. generate_series(1,0) is
     // empty where Spark's sequence would throw — the Spark side guards.
