@@ -38,7 +38,9 @@ class SparkEntrySpec extends AnyFunSuite {
     val total = modules.map(_._2._1.size).sum
     assert(SparkEntry.queries.size == total,
       s"SparkEntry lost entries to shadowing: ${SparkEntry.queries.size} != $total")
-    assert(SparkEntry.queries.size == 73)
+    // floor, not exact count: the surface only ever grows — a DROP below
+    // a previously-shipped size is the silent-loss signal worth failing on
+    assert(SparkEntry.queries.size >= 89)
   }
 
   test("query names follow the qNN_snake contract the driver sorts on") {
