@@ -124,6 +124,18 @@ object TimeJoins {
       .withColumn("n", coalesce(col("n"), lit(0L)))
   }
 
+  /** Forward fill (last observation carried forward): nulls in `valueCol`
+    * replaced by the most recent non-null value within the key, ordered by
+    * `orderCol` — the imputation step after [[resampleDaily]] puts nulls
+    * on the day spine. One window pass over the key's existing shuffle;
+    * rows before a key's first observation stay null. */
+  def forwardFill(df: DataFrame, key: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
   /** Gap-based sessions over an event stream (batch twin of streaming
     * session windows): session_window merges events whose gaps are below
     * `gap`. Output: key, session start/end, event count. */

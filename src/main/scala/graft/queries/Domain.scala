@@ -283,6 +283,41 @@ object Domain {
       .orderBy($"user_id", $"day")
   }
 
+  /** Full-outer reconciliation: per-user order count (even keys only, so
+    * BOTH null directions occur) vs event count, keys coalesced — the
+    * two-system diff report every migration runs. */
+  def q90FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).filter($"o_custkey" % 2 === 0)
+      .groupBy($"o_custkey".as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    val e = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("user_id"), "full_outer")
+      .na.fill(0L, Seq("n_orders", "n_events"))
+      .orderBy($"user_id")
+  }
+
+  /** Forward fill ([[graft.etl.TimeJoins.forwardFill]]): daily cents
+    * totals on the gap-filled spine, missing days imputed by carry-
+    * forward (nulls come from the spine join; day one always observes,
+    * so no leading nulls at this grain). */
+  def q91Locf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", to_date(date_trunc("day", $"ts")))
+    val daily = ev.groupBy($"user_id", $"day")
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+    val spine = daily.groupBy($"user_id")
+      .agg(min($"day").as("_d0"), max($"day").as("_d1"))
+      .select($"user_id", explode(
+        sequence($"_d0", $"_d1", expr("interval 1 day"))).as("day"))
+    graft.etl.TimeJoins.forwardFill(
+        spine.join(daily, Seq("user_id", "day"), "left"),
+        "user_id", "day", "cents")
+      .orderBy($"user_id", $"day")
+  }
+
   /** T5 — the FULL CalculateFields sequential derivation (promo parse /
     * AH bypass → standardize quantity → price-per-standard-unit with the
     * promo effective price feeding the current variant → discount metrics;
@@ -353,7 +388,9 @@ object Domain {
     "q85_resample" -> q85Resample _,
     "q86_new_users" -> q86NewUsers _,
     "q87_running_distinct" -> q87RunningDistinct _,
-    "q88_rolling_7d" -> q88Rolling7d _)
+    "q88_rolling_7d" -> q88Rolling7d _,
+    "q90_full_outer" -> q90FullOuter _,
+    "q91_locf" -> q91Locf _)
 
   val oracleSql: Map[String, String] = Map(
     // Analytic recomputation: k = o_orderkey%10 selects the pattern, so the
@@ -519,6 +556,31 @@ object Domain {
       |  CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
       |    AS BIGINT) AS cum_pairs
       |FROM nn ORDER BY day""".stripMargin,
+    "q90_full_outer" -> """
+      |SELECT coalesce(o.user_id, e.user_id) AS user_id,
+      |  CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+      |  CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events
+      |FROM (SELECT o_custkey AS user_id, count(*) AS n_orders FROM orders
+      |      WHERE o_custkey % 2 = 0 GROUP BY 1) o
+      |FULL JOIN (SELECT user_id, count(*) AS n_events FROM events
+      |           GROUP BY 1) e
+      |  ON o.user_id = e.user_id
+      |ORDER BY user_id""".stripMargin,
+    "q91_locf" -> """
+      |WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CAST(round(value*1e2) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+      |        FROM daily GROUP BY 1))
+      |SELECT s.user_id, s.day,
+      |  CAST(last_value(d.cents IGNORE NULLS) OVER (PARTITION BY s.user_id
+      |    ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cents
+      |FROM spine s LEFT JOIN daily d USING (user_id, day)
+      |ORDER BY s.user_id, s.day""".stripMargin,
     // DuckDB CAN window count(DISTINCT ...); the oracle uses it directly,
     // proving the marker-cumsum rewrite equals the textbook semantics.
     "q87_running_distinct" -> """

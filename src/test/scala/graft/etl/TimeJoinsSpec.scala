@@ -163,6 +163,23 @@ class TimeJoinsSpec extends SparkSpec {
       (9L, "2026-02-10", 1L)))
   }
 
+  test("forwardFill: carries last non-null, keeps leading nulls, per key") {
+    import spark.implicits._
+    val df = Seq(
+      (7L, 1L, None: Option[Long]),   // leading null stays null
+      (7L, 2L, Some(10L)),
+      (7L, 3L, None), (7L, 4L, None), // both carry 10
+      (7L, 5L, Some(20L)),
+      (9L, 1L, None))                 // other key unaffected
+      .toDF("k", "t", "v")
+    val out = TimeJoins.forwardFill(df, "k", "t", "v")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("t"),
+        Option(r.getAs[java.lang.Long]("v")).map(_.longValue))).toSet
+    assert(out == Set(
+      (7L, 1L, None), (7L, 2L, Some(10L)), (7L, 3L, Some(10L)),
+      (7L, 4L, Some(10L)), (7L, 5L, Some(20L)), (9L, 1L, None)))
+  }
+
   test("sessionize: only a gap strictly greater than the window splits") {
     import spark.implicits._
     val events = Seq(
