@@ -399,9 +399,48 @@ object TrainingData {
       .orderBy($"term", $"rk")
   }
 
+  /** The corpus-curation FUNNEL: language-ID (q30's scorer), stopword
+    * signal (q31's counter) and repetition metrics (q75's operator)
+    * composed into first-match keep/drop decisions, reported per
+    * (source, language, decision) — the end-to-end shape of a
+    * training-mix gate, with every threshold integer so the composition
+    * is oracle-checkable exactly. */
+  def q92CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val toksLower = transform(
+      filter(split($"text", " "), t => t =!= ""), t => lower(t))
+    def hits(words: Set[String]) =
+      size(filter(toksLower, t => t.isInCollection(words.toSeq)))
+    val scored = graft.functions.Text.langProfiles.foldLeft(
+      docs.select($"doc_id", $"source", $"text")) {
+      case (df, (lang, set)) => df.withColumn(s"s_$lang", hits(set))
+    }
+    val pred =
+      when($"s_de" >= $"s_en" && $"s_de" >= $"s_es" && $"s_de" >= $"s_fr" && $"s_de" >= $"s_nl", "de")
+        .when($"s_en" >= $"s_es" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_nl", "en")
+        .when($"s_es" >= $"s_fr" && $"s_es" >= $"s_nl", "es")
+        .when($"s_fr" >= $"s_nl", "fr")
+        .otherwise("nl")
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val base = scored.select($"doc_id", $"source", pred.as("lang_pred"),
+      size(filter(toksLower, t => t.isInCollection(stop))).as("n_stopwords"))
+    val rep = graft.etl.Corpus.repetitionStats(docs, "doc_id", "text")
+    base.join(rep, Seq("doc_id"))
+      .withColumn("decision",
+        when($"n_tokens" < 20, "too_short")
+          .when($"top_bigram_n" * 20 >= $"n_tokens", "repetitive")
+          .when($"n_stopwords" === 0, "no_stopwords")
+          .otherwise("keep"))
+      .groupBy($"source", $"lang_pred", $"decision")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"source", $"lang_pred", $"decision")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_train_split" -> q59TrainSplit _,
     "q89_postings" -> q89Postings _,
+    "q92_curation_funnel" -> q92CurationFunnel _,
     "q79_quantize" -> q79Quantize _,
     "q80_pii_redact" -> q80PiiRedact _,
     "q75_repetition" -> q75Repetition _,
@@ -452,6 +491,47 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // The funnel refolds q30's argmax, q31's stopword count and q75's
+    // bigram metrics in one statement; decision CASE mirrors the Spark
+    // first-match `when` chain exactly.
+    "q92_curation_funnel" -> """
+      |WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |                x -> x <> '') AS t,
+      |    list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+      |                   x -> lower(x)) AS tk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, source, t,
+      |    len(list_filter(tk, x -> x IN ('der','die','das','und','ein','nicht','ist'))) AS de,
+      |    len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is'))) AS en,
+      |    len(list_filter(tk, x -> x IN ('el','los','las','y','un','que','es'))) AS es,
+      |    len(list_filter(tk, x -> x IN ('le','la','les','et','un','est','que'))) AS fr,
+      |    len(list_filter(tk, x -> x IN ('de','het','een','en','van','niet','is'))) AS nl,
+      |    len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
+      |  FROM toks),
+      |big AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i + 1])) AS bg
+      |  FROM toks),
+      |bc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+      |ba AS (SELECT doc_id, max(c) AS top_bg FROM bc GROUP BY 1),
+      |j AS (
+      |  SELECT s.doc_id, s.source, len(s.t) AS n_tokens, s.n_stop,
+      |    coalesce(ba.top_bg, 0) AS top_bg,
+      |    CASE WHEN de >= en AND de >= es AND de >= fr AND de >= nl THEN 'de'
+      |         WHEN en >= es AND en >= fr AND en >= nl THEN 'en'
+      |         WHEN es >= fr AND es >= nl THEN 'es'
+      |         WHEN fr >= nl THEN 'fr' ELSE 'nl' END AS lang_pred
+      |  FROM s LEFT JOIN ba USING (doc_id))
+      |SELECT source, lang_pred,
+      |  CASE WHEN n_tokens < 20 THEN 'too_short'
+      |       WHEN top_bg * 20 >= n_tokens THEN 'repetitive'
+      |       WHEN n_stop = 0 THEN 'no_stopwords'
+      |       ELSE 'keep' END AS decision,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q89_postings" -> """
       |WITH toks AS (
       |  SELECT DISTINCT doc_id, term FROM (
