@@ -105,6 +105,77 @@ object Corpus {
       .na.fill(0L, Seq("top_bigram_n", "dup_bigrams"))
   }
 
+  /** Column-only twin of [[repetitionStats]] — identical output schema,
+    * ZERO shuffles: per-row HOF expressions replace the explode+groupBy.
+    * top_bigram_n is the longest equal-run in the SORTED bigram array
+    * (run length of a value in sorted order = its multiplicity);
+    * dup_bigrams is size − distinct-size (Σ(c−1) ≡ total − distinct).
+    * Streaming-safe (no aggregation state), and the scale default for
+    * normal documents; prefer the groupBy variant only when single docs
+    * are so large their bigram array shouldn't be row-local. */
+  /** Longest equal-run in a SORTED array = max multiplicity of any value:
+    * one linear HOF fold per row. */
+  private def topRunLength(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  def repetitionStatsCols(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = tokensOf(col(textCol))
+    val bgs = array_sort(bigramsOf(toks))
+    docs.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      topRunLength(bgs).as("top_bigram_n"),
+      (size(bgs) - size(array_distinct(bgs))).cast("long").as("dup_bigrams"))
+  }
+
+  /** Per-document curation decision (the q92 funnel's per-doc stage):
+    * language-ID argmax, stopword count and the column-only repetition
+    * metrics composed into a first-match keep/drop label. A pure
+    * PROJECTION — no aggregation state — so the same call works on a
+    * batch frame and a `readStream` frame unchanged (the streaming
+    * corpus gate; see CorpusStreamingSpec for the parity proof).
+    * Output: id, source, lang_pred, decision. */
+  def curationDecisions(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val toksLower = transform(tokensOf(col(textCol)), t => lower(t))
+    def hits(words: Set[String]) =
+      size(filter(toksLower, t => t.isInCollection(words.toSeq)))
+    val scored = graft.functions.Text.langProfiles.foldLeft(docs) {
+      case (df, (lang, set)) => df.withColumn(s"s_$lang", hits(set))
+    }
+    val pred =
+      when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es")
+        && col("s_de") >= col("s_fr") && col("s_de") >= col("s_nl"), "de")
+        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr")
+          && col("s_en") >= col("s_nl"), "en")
+        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_nl"), "es")
+        .when(col("s_fr") >= col("s_nl"), "fr")
+        .otherwise("nl")
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    scored.select(col(idCol), col(sourceCol), pred.as("lang_pred"),
+        hits(stop).as("n_stopwords"), tokensOf(col(textCol)).as("_t"))
+      .withColumn("n_tokens", size(col("_t")).cast("long"))
+      .withColumn("_bgs", array_sort(bigramsOf(col("_t"))))
+      .withColumn("top_bigram_n", topRunLength(col("_bgs")))
+      .withColumn("decision",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("top_bigram_n") * 20 >= col("n_tokens"), "repetitive")
+          .when(col("n_stopwords") === 0, "no_stopwords")
+          .otherwise("keep"))
+      .select(col(idCol), col(sourceCol), col("lang_pred"), col("decision"))
+  }
+
   /** Corpus-wide bigram collocations: each bigram's total occurrence count
     * and document frequency, kept when total ≥ `minCount`. The distinct is
     * a MANUAL two-phase — groupBy (bigram, doc) then groupBy (bigram) —

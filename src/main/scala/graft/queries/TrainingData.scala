@@ -407,31 +407,8 @@ object TrainingData {
     * is oracle-checkable exactly. */
   def q92CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val toksLower = transform(
-      filter(split($"text", " "), t => t =!= ""), t => lower(t))
-    def hits(words: Set[String]) =
-      size(filter(toksLower, t => t.isInCollection(words.toSeq)))
-    val scored = graft.functions.Text.langProfiles.foldLeft(
-      docs.select($"doc_id", $"source", $"text")) {
-      case (df, (lang, set)) => df.withColumn(s"s_$lang", hits(set))
-    }
-    val pred =
-      when($"s_de" >= $"s_en" && $"s_de" >= $"s_es" && $"s_de" >= $"s_fr" && $"s_de" >= $"s_nl", "de")
-        .when($"s_en" >= $"s_es" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_nl", "en")
-        .when($"s_es" >= $"s_fr" && $"s_es" >= $"s_nl", "es")
-        .when($"s_fr" >= $"s_nl", "fr")
-        .otherwise("nl")
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
-    val base = scored.select($"doc_id", $"source", pred.as("lang_pred"),
-      size(filter(toksLower, t => t.isInCollection(stop))).as("n_stopwords"))
-    val rep = graft.etl.Corpus.repetitionStats(docs, "doc_id", "text")
-    base.join(rep, Seq("doc_id"))
-      .withColumn("decision",
-        when($"n_tokens" < 20, "too_short")
-          .when($"top_bigram_n" * 20 >= $"n_tokens", "repetitive")
-          .when($"n_stopwords" === 0, "no_stopwords")
-          .otherwise("keep"))
+    graft.etl.Corpus.curationDecisions(
+        Tables.documents(spark, dir), "doc_id", "text", "source")
       .groupBy($"source", $"lang_pred", $"decision")
       .agg(count(lit(1)).as("n"))
       .orderBy($"source", $"lang_pred", $"decision")

@@ -54,6 +54,22 @@ class CorpusSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0L, 0L, 0L)))
   }
 
+  test("repetitionStatsCols agrees with the groupBy variant on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("a", "b", "c", "dd", "eee")
+    val docs = ((1 to 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    } :+ (0L, "")).toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("top_bigram_n"),
+        r.getAs[Long]("dup_bigrams"))).toSet
+    assert(key(Corpus.repetitionStatsCols(docs, "doc_id", "text")) ==
+      key(Corpus.repetitionStats(docs, "doc_id", "text")))
+  }
+
   test("bigramCollocations: counts, doc freq, and the minCount gate") {
     import spark.implicits._
     val docs = Seq(
