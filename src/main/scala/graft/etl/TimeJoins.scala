@@ -86,6 +86,9 @@ object TimeJoins {
       key: String, timeUs: String, startUs: String, endUs: String,
       bucketWidthUs: Long): DataFrame = {
     require(bucketWidthUs > 0, "bucketWidthUs must be positive")
+    require(Set(timeUs, startUs, endUs).size == 3 && timeUs != key,
+      "time/start/end/key column names must be distinct (the join resolves " +
+        "them by name across the two sides)")
     val w = lit(bucketWidthUs)
     // floorDiv semantics for negative epochs: Spark's long `div` truncates
     // toward zero, so shift via `floor` on a fraction-free decimal path
