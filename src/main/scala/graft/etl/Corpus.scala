@@ -105,29 +105,40 @@ object Corpus {
       .na.fill(0L, Seq("top_bigram_n", "dup_bigrams"))
   }
 
-  /** Column-only twin of [[repetitionStats]] — identical output schema,
-    * ZERO shuffles: per-row HOF expressions replace the explode+groupBy.
-    * top_bigram_n is the longest equal-run in the SORTED bigram array
-    * (run length of a value in sorted order = its multiplicity);
-    * dup_bigrams is size − distinct-size (Σ(c−1) ≡ total − distinct).
-    * Streaming-safe (no aggregation state), and the scale default for
-    * normal documents; prefer the groupBy variant only when single docs
-    * are so large their bigram array shouldn't be row-local. */
-  /** Longest equal-run in a SORTED array = max multiplicity of any value:
-    * one linear HOF fold per row. */
+  /** Longest equal-run in a SORTED array = max multiplicity of any value.
+    * The native codegen expression [[graft.plans.LongestRun]] — the HOF
+    * `aggregate` fold it replaced pays interpreted lambda dispatch plus a
+    * struct allocation per element (CodegenFallback); see
+    * [[topRunLengthHof]], kept as the reference model. */
   private def topRunLength(sorted: Column): Column =
+    call_function("longest_run", sorted)
+
+  /** Interpreted HOF formulation of [[topRunLength]] — the equivalence
+    * model LongestRunSpec checks the native expression against. */
+  private[graft] def topRunLengthHof(sorted: Column): Column =
     aggregate(
       sorted,
       struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
         lit(0L).as("best")),
       (acc, x) => {
-        val run = when(x === acc.getField("prev"),
-          acc.getField("run") + 1L).otherwise(lit(1L))
+        // null elements break runs and are not counted (matches LongestRun)
+        val run = when(x.isNull, lit(0L))
+          .when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
         struct(x.as("prev"), run.as("run"),
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
 
+  /** Column-only twin of [[repetitionStats]] — identical output schema,
+    * ZERO shuffles: per-row column expressions replace the explode+groupBy.
+    * top_bigram_n is the longest equal-run in the SORTED bigram array
+    * (run length of a value in sorted order = its multiplicity, via the
+    * native codegen `longest_run`); dup_bigrams is size − distinct-size
+    * (Σ(c−1) ≡ total − distinct). Streaming-safe (no aggregation state),
+    * and the scale default for normal documents; prefer the groupBy
+    * variant only when single docs are so large their bigram array
+    * shouldn't be row-local. */
   def repetitionStatsCols(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val toks = tokensOf(col(textCol))

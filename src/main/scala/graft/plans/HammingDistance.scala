@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * via doGenCode, so the SimHash near-dup filter stays inside the generated
   * loop instead of crossing a UDF boundary per row-pair.
   *
-  * One of the engine's two custom `Expression`s (see [[QDot]]) — everything
+  * One of the engine's three custom `Expression`s (see [[QDot]], [[LongestRun]]) — everything
   * else in the SURVEY.md §2 inventory maps to built-ins (§7.3), and this
   * exists because the hamming filter sits in the hottest inner join of the
   * SimHash dedup path where rows × candidate-pairs can be billions at 100 TB.
@@ -64,8 +64,8 @@ case class HammingDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Engine extensions: registers `hamming(a, b)` and `qdot(a, b)` in the
-  * function registry. Wired via
+/** Engine extensions: registers `hamming(a, b)`, `qdot(a, b)` and
+  * `longest_run(arr)` in the function registry. Wired via
   * `spark.sql.extensions=graft.plans.GraftExtensions`
   * ([[graft.Sessions.builder]]); callable from SQL and `call_function`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -83,6 +83,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "qdot(a, b) takes exactly 2 arguments")
         QDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("longest_run"),
+      new ExpressionInfo(classOf[LongestRun].getName, "longest_run"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "longest_run(arr) takes exactly 1 argument")
+        LongestRun(children.head)
       }))
     // HOF dot-product pattern → QDot (see QDotRewrite Scaladoc)
     ext.injectOptimizerRule(_ => QDotRewrite)
