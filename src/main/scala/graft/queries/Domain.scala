@@ -318,6 +318,22 @@ object Domain {
       .orderBy($"user_id", $"day")
   }
 
+  /** Running high-water mark + drawdown per user: the monotone running
+    * max (a different window aggregate than q9's running sum) and the
+    * integer distance below it — the monitoring/backtest shape. */
+  def q94Drawdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_micros($"ts"), $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .withColumn("hwm_cents", max($"cents").over(w))
+      .select($"event_id", $"user_id", $"hwm_cents",
+        ($"hwm_cents" - $"cents").as("drawdown_cents"))
+      .orderBy($"event_id")
+  }
+
   /** T5 — the FULL CalculateFields sequential derivation (promo parse /
     * AH bypass → standardize quantity → price-per-standard-unit with the
     * promo effective price feeding the current variant → discount metrics;
@@ -390,7 +406,8 @@ object Domain {
     "q87_running_distinct" -> q87RunningDistinct _,
     "q88_rolling_7d" -> q88Rolling7d _,
     "q90_full_outer" -> q90FullOuter _,
-    "q91_locf" -> q91Locf _)
+    "q91_locf" -> q91Locf _,
+    "q94_drawdown" -> q94Drawdown _)
 
   val oracleSql: Map[String, String] = Map(
     // Analytic recomputation: k = o_orderkey%10 selects the pattern, so the
@@ -556,6 +573,15 @@ object Domain {
       |  CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
       |    AS BIGINT) AS cum_pairs
       |FROM nn ORDER BY day""".stripMargin,
+    "q94_drawdown" -> """
+      |SELECT event_id, user_id,
+      |  max(CAST(round(value*1e2) AS BIGINT)) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING)
+      |    AS hwm_cents,
+      |  max(CAST(round(value*1e2) AS BIGINT)) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING)
+      |    - CAST(round(value*1e2) AS BIGINT) AS drawdown_cents
+      |FROM events ORDER BY event_id""".stripMargin,
     "q90_full_outer" -> """
       |SELECT coalesce(o.user_id, e.user_id) AS user_id,
       |  CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,

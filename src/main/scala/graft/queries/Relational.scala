@@ -545,6 +545,23 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** Q93 — dynamic-range equi-width histogram: global min/max computed in
+    * one aggregate row, broadcast back (the two-pass bounds pattern —
+    * q13's buckets are fixed), then pure integer binning; `hi-lo+1`
+    * keeps the max value inside the last of the 20 buckets. */
+  def q93DynHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+    val bounds = o.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr("(cents - lo) * 20 div (hi - lo + 1)"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"cents").as("min_c"), max($"cents").as("max_c"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -582,7 +599,8 @@ object Relational {
     "q78_percentiles" -> q78Percentiles _,
     "q81_zorder" -> q81Zorder _,
     "q82_iqr_outliers" -> q82IqrOutliers _,
-    "q84_listagg" -> q84Listagg _)
+    "q84_listagg" -> q84Listagg _,
+    "q93_dyn_histogram" -> q93DynHistogram _)
 
   /** DuckDB-flavored ANSI SQL oracles. `1e2`/`1e4` double literals are used
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
@@ -693,6 +711,14 @@ object Relational {
         |      ORDER BY CAST(round(o_totalprice*1e2) AS BIGINT) DESC) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q93_dyn_histogram" ->
+      """WITH r AS (
+        |  SELECT CAST(round(o_totalprice*1e2) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM r)
+        |SELECT (cents - lo) * 20 // (hi - lo + 1) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(cents) AS min_c, max(cents) AS max_c
+        |FROM r, b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q84_listagg" ->
       """SELECT o_orderpriority,
         |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
