@@ -61,6 +61,32 @@ object EventsStreaming {
       }.toDF()
   }
 
+  final case class ObsRow(key: Long, seq: Long, value: Option[Long])
+  final case class ObsFilled(key: Long, seq: Long, value: Option[Long])
+
+  /** Streaming forward fill (the cross-batch twin of
+    * [[graft.etl.TimeJoins.forwardFill]]): nulls take the most recent
+    * non-null value of the key, INCLUDING across micro-batches — the
+    * carried value is the flatMapGroupsWithState state (one Long per key).
+    * Rows within a batch fill in `seq` order; rows before a key's first
+    * observation stay null, exactly like the batch operator. */
+  def locfStream(obs: DataFrame): DataFrame = {
+    import obs.sparkSession.implicits._
+    obs.as[ObsRow]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[ObsRow], state: GroupState[Long]) =>
+          var last: Option[Long] = state.getOption
+          val out = rows.toSeq.sortBy(_.seq).map { r =>
+            last = r.value.orElse(last)
+            ObsFilled(key, r.seq, r.value.orElse(last))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }.toDF()
+  }
+
   /** Change-detection sink (J3/K2-shaped): every micro-batch is reduced to
     * changed-rows via content hash and merged into the target parquet dir —
     * `foreachBatch` is where a real deployment issues MERGE INTO. */

@@ -171,6 +171,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q93: the global-bounds row joins back as a broadcast, not a shuffle") {
+    val p = plan("q93_dyn_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("shop adapter transform keeps whole-stage codegen spans") {
     import spark.implicits._
     val row =

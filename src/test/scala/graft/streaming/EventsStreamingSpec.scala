@@ -202,4 +202,32 @@ class EventsStreamingSpec extends SparkSpec {
     // update mode appends one row per batch; the final state must show both events
     assert(last.contains((7L, 2L, 300L)))
   }
+
+  test("locfStream carries the last observation across micro-batches") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStreaming.ObsRow
+    val input = MemoryStream[ObsRow]
+    val q = EventsStreaming.locfStream(input.toDF())
+      .writeStream.format("memory").queryName("locf").outputMode("append").start()
+
+    // batch 1: leading null, an observation, a null to fill within-batch
+    input.addData(ObsRow(7, 1, None), ObsRow(7, 2, Some(10L)),
+      ObsRow(7, 3, None), ObsRow(9, 1, None))
+    q.processAllAvailable()
+    // batch 2: null fills from state carried ACROSS the batch boundary
+    input.addData(ObsRow(7, 4, None), ObsRow(7, 5, Some(20L)),
+      ObsRow(9, 2, Some(1L)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("locf").collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("seq"),
+        Option(r.getAs[java.lang.Long]("value")).map(_.longValue))).toSet
+    assert(out == Set(
+      (7L, 1L, None), (7L, 2L, Some(10L)), (7L, 3L, Some(10L)),
+      (7L, 4L, Some(10L)), (7L, 5L, Some(20L)),
+      (9L, 1L, None), (9L, 2L, Some(1L))))
+  }
 }
