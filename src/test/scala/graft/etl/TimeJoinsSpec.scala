@@ -146,6 +146,25 @@ class TimeJoinsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("rangeJoinBucketed: result is invariant to the bucket width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val points = (1L to 200L).map(i =>
+      (i, rnd.nextInt(4).toLong, rnd.nextInt(5000).toLong))
+      .toDF("event_id", "user_id", "t_us")
+    val intervals = (1L to 40L).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      (i, rnd.nextInt(4).toLong, s, s + rnd.nextInt(600).toLong)
+    }.toDF("interval_id", "user_id", "s_us", "e_us")
+    val results = Seq(1L, 7L, 100L, 640L, 100000L).map { w =>
+      TimeJoins.rangeJoinBucketed(points, intervals, "user_id",
+          "t_us", "s_us", "e_us", bucketWidthUs = w)
+        .select($"event_id", $"interval_id").as[(Long, Long)].collect().toSet
+    }
+    assert(results.distinct.size == 1,
+      "bucket width is a performance knob, never a semantics knob")
+  }
+
   test("resampleDaily: zero-fills only inside each key's own span") {
     import spark.implicits._
     val events = Seq(
