@@ -217,6 +217,23 @@ object Corpus {
       .filter(col("rk") <= k)
   }
 
+  /** Balanced down-sample: every group reduced to the size of the
+    * SMALLEST group, survivors chosen by the [[hashSample]] order
+    * (smallest sha256(id) first) — the class-rebalancing step of a
+    * training mix, fully deterministic. The per-group cap is a one-row
+    * aggregate broadcast back (no second pass over per-group state). */
+  def balancedSample(df: DataFrame, groupCol: String,
+      idCol: String): DataFrame = {
+    val minSize = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_gn"))
+      .agg(min(col("_gn")).as("_cap"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(sha2(col(idCol).cast("string"), 256), col(idCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(minSize))
+      .filter(col("rk") <= col("_cap"))
+      .drop("_cap")
+  }
+
   /** Stratified sample with deterministic per-stratum fractions
     * (`df.stat.sampleBy`): the training-mix lever — e.g. keep 100% of a
     * rare language, 5% of boilerplate. Seeded, so re-runs of the same

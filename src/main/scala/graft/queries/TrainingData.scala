@@ -414,9 +414,49 @@ object TrainingData {
       .orderBy($"source", $"lang_pred", $"decision")
   }
 
+  /** TF-IDF-ranked top terms per source, integer-only: score =
+    * (tf × N_docs) div df — the idf ratio cross-multiplied into the
+    * ordering instead of materializing a float logarithm, so the rank is
+    * bit-stable cross-engine (ties: tf desc, then term). The corpus size
+    * joins in as a broadcast one-row bound, q93-style. */
+  def q95TfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select($"doc_id", $"source",
+      explode(filter(split($"text", " "), t => t =!= "")).as("term"))
+    val dfreq = toks.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val tf = toks.groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+      .orderBy($"score".desc, $"tf".desc, $"term")
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("score", expr("tf * n_docs div df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"source", $"rk", $"term", $"tf", $"df", $"score")
+      .orderBy($"source", $"rk")
+  }
+
+  /** Balanced language mix ([[graft.etl.Corpus.balancedSample]]): every
+    * language down-sampled to the smallest language's count, survivors
+    * picked by the deterministic hash order (q76's sampler with a
+    * data-derived cap). */
+  def q96BalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.balancedSample(
+        Tables.documents(spark, dir).select($"doc_id", $"lang"),
+        "lang", "doc_id")
+      .select($"lang", $"rk", $"doc_id")
+      .orderBy($"lang", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_train_split" -> q59TrainSplit _,
     "q89_postings" -> q89Postings _,
+    "q95_tfidf_topk" -> q95TfidfTopK _,
+    "q96_balanced_sample" -> q96BalancedSample _,
     "q92_curation_funnel" -> q92CurationFunnel _,
     "q79_quantize" -> q79Quantize _,
     "q80_pii_redact" -> q80PiiRedact _,
@@ -509,6 +549,35 @@ object TrainingData {
       |       ELSE 'keep' END AS decision,
       |  CAST(count(*) AS BIGINT) AS n
       |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q96_balanced_sample" -> """
+      |WITH cap AS (
+      |  SELECT min(gn) AS cap FROM (
+      |    SELECT lang, count(*) AS gn FROM documents GROUP BY 1)),
+      |r AS (
+      |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+      |    ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, rk, doc_id FROM r, cap WHERE rk <= cap
+      |ORDER BY lang, rk""".stripMargin,
+    "q95_tfidf_topk" -> """
+      |WITH toks AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      |  FROM documents),
+      |dfreq AS (
+      |  SELECT term, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+      |tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT tf.source, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+      |    CAST(dfreq.df AS BIGINT) AS df,
+      |    CAST(tf.tf * n.n_docs // dfreq.df AS BIGINT) AS score
+      |  FROM tf JOIN dfreq USING (term), n)
+      |SELECT source, rk, term, tf, df, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |    ORDER BY score DESC, tf DESC, term) AS rk FROM s)
+      |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
     "q89_postings" -> """
       |WITH toks AS (
       |  SELECT DISTINCT doc_id, term FROM (
