@@ -562,6 +562,23 @@ object Relational {
       .orderBy($"bucket")
   }
 
+  /** Q97 — group-wise min-max normalization to integer basis points:
+    * (v − lo)·10000 div (hi − lo) per group — feature scaling without a
+    * float quotient; the per-group bounds broadcast back (q82's fence
+    * pattern with bounds instead of quartiles). */
+  def q97MinmaxNorm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+    val bounds = o.groupBy($"o_orderpriority")
+      .agg(min($"cents").as("lo"), max($"cents").as("hi"))
+    o.join(broadcast(bounds), Seq("o_orderpriority"))
+      .withColumn("bp", when($"hi" === $"lo", 0L)
+        .otherwise(expr("(cents - lo) * 10000 div (hi - lo)")))
+      .select($"o_orderkey", $"o_orderpriority", $"bp")
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -600,7 +617,8 @@ object Relational {
     "q81_zorder" -> q81Zorder _,
     "q82_iqr_outliers" -> q82IqrOutliers _,
     "q84_listagg" -> q84Listagg _,
-    "q93_dyn_histogram" -> q93DynHistogram _)
+    "q93_dyn_histogram" -> q93DynHistogram _,
+    "q97_minmax_norm" -> q97MinmaxNorm _)
 
   /** DuckDB-flavored ANSI SQL oracles. `1e2`/`1e4` double literals are used
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
@@ -711,6 +729,17 @@ object Relational {
         |      ORDER BY CAST(round(o_totalprice*1e2) AS BIGINT) DESC) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q97_minmax_norm" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice*1e2) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT o_orderpriority, min(cents) AS lo, max(cents) AS hi
+        |      FROM r GROUP BY 1)
+        |SELECT r.o_orderkey, r.o_orderpriority,
+        |  CASE WHEN b.hi = b.lo THEN 0
+        |       ELSE (r.cents - b.lo) * 10000 // (b.hi - b.lo) END AS bp
+        |FROM r JOIN b USING (o_orderpriority)
+        |ORDER BY r.o_orderkey""".stripMargin,
     "q93_dyn_histogram" ->
       """WITH r AS (
         |  SELECT CAST(round(o_totalprice*1e2) AS BIGINT) AS cents FROM orders),

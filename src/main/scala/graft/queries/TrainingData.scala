@@ -452,11 +452,37 @@ object TrainingData {
       .orderBy($"lang", $"rk")
   }
 
+  /** The corpus-pipeline CAPSTONE: exact dedup (keep smallest id per
+    * identical text) → curation funnel survivors → sha256 train/val/test
+    * split → counts per (split, language). Every stage is the REAL
+    * operator (window dedup, [[graft.etl.Corpus.curationDecisions]],
+    * [[splitColumn]]); the oracle re-derives the whole chain in one SQL
+    * statement — the corpus twin of the q44 CalculateFields composition
+    * proof. Runs on the planted-duplicate corpus so the dedup stage has
+    * real work at every SF. */
+  def q98CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text", $"source")
+    val corpus = docs.unionByName(
+      docs.filter($"doc_id" % 10 === 0)
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"text").orderBy($"doc_id")
+    val deduped = corpus.withColumn("_rk", row_number().over(w))
+      .filter($"_rk" === 1).drop("_rk")
+    graft.etl.Corpus.curationDecisions(deduped, "doc_id", "text", "source")
+      .filter($"decision" === "keep")
+      .withColumn("split", splitColumn($"doc_id"))
+      .groupBy($"split", $"lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy($"split", $"lang_pred")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_train_split" -> q59TrainSplit _,
     "q89_postings" -> q89Postings _,
     "q95_tfidf_topk" -> q95TfidfTopK _,
     "q96_balanced_sample" -> q96BalancedSample _,
+    "q98_corpus_pipeline" -> q98CorpusPipeline _,
     "q92_curation_funnel" -> q92CurationFunnel _,
     "q79_quantize" -> q79Quantize _,
     "q80_pii_redact" -> q80PiiRedact _,
@@ -549,6 +575,61 @@ object TrainingData {
       |       ELSE 'keep' END AS decision,
       |  CAST(count(*) AS BIGINT) AS n
       |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // The full chain re-derived in one statement: planted corpus → text
+    // dedup → q92's decision logic → q59's split buckets → counts.
+    "q98_corpus_pipeline" -> """
+      |WITH corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, source FROM documents
+      |  WHERE doc_id % 10 = 0),
+      |d AS (
+      |  SELECT doc_id, text, source FROM (
+      |    SELECT doc_id, text, source,
+      |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+      |    FROM corpus) WHERE rk = 1),
+      |toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |                x -> x <> '') AS t,
+      |    list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+      |                   x -> lower(x)) AS tk
+      |  FROM d),
+      |s AS (
+      |  SELECT doc_id, source, t,
+      |    len(list_filter(tk, x -> x IN ('der','die','das','und','ein','nicht','ist'))) AS de,
+      |    len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is'))) AS en,
+      |    len(list_filter(tk, x -> x IN ('el','los','las','y','un','que','es'))) AS es,
+      |    len(list_filter(tk, x -> x IN ('le','la','les','et','un','est','que'))) AS fr,
+      |    len(list_filter(tk, x -> x IN ('de','het','een','en','van','niet','is'))) AS nl,
+      |    len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
+      |  FROM toks),
+      |big AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i + 1])) AS bg
+      |  FROM toks),
+      |bc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+      |ba AS (SELECT doc_id, max(c) AS top_bg FROM bc GROUP BY 1),
+      |j AS (
+      |  SELECT s.doc_id, len(s.t) AS n_tokens, s.n_stop,
+      |    coalesce(ba.top_bg, 0) AS top_bg,
+      |    CASE WHEN de >= en AND de >= es AND de >= fr AND de >= nl THEN 'de'
+      |         WHEN en >= es AND en >= fr AND en >= nl THEN 'en'
+      |         WHEN es >= fr AND es >= nl THEN 'es'
+      |         WHEN fr >= nl THEN 'fr' ELSE 'nl' END AS lang_pred
+      |  FROM s LEFT JOIN ba USING (doc_id)),
+      |kept AS (
+      |  SELECT doc_id, lang_pred FROM j
+      |  WHERE n_tokens >= 20 AND top_bg * 20 < n_tokens AND n_stop > 0)
+      |SELECT
+      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+      |    AS split,
+      |  lang_pred, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT lang_pred,
+      |        ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+      |          % 100 AS b
+      |      FROM kept)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q96_balanced_sample" -> """
       |WITH cap AS (
       |  SELECT min(gn) AS cap FROM (
