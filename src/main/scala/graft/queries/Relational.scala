@@ -579,6 +579,39 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Q99 — median absolute deviation per group (robust dispersion):
+    * [[graft.etl.Analytics.exactPercentiles]] composed TWICE — the group
+    * median broadcasts back, absolute deviations re-rank, their median is
+    * the MAD. Integers end to end (|cents − median| stays integral). */
+  def q99Mad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .select($"o_orderpriority", $"cents")
+    val med = graft.etl.Analytics
+      .exactPercentiles(o, "o_orderpriority", "cents")
+      .select($"o_orderpriority", $"p50")
+    val dev = o.join(broadcast(med), Seq("o_orderpriority"))
+      .withColumn("adev", abs($"cents" - $"p50"))
+      .select($"o_orderpriority", $"adev")
+    graft.etl.Analytics.exactPercentiles(dev, "o_orderpriority", "adev")
+      .select($"o_orderpriority", $"n", $"p50".as("mad_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Q100 — Benford first-digit audit (data-quality screen): first digit
+    * taken lexically from the integer cents (no float log10), counts per
+    * digit — uniform synthetic prices won't follow Benford, which is
+    * exactly what the audit is for. */
+  def q100Benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .withColumn("digit", substring($"cents".cast("string"), 1, 1).cast("long"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+      .orderBy($"digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -618,7 +651,9 @@ object Relational {
     "q82_iqr_outliers" -> q82IqrOutliers _,
     "q84_listagg" -> q84Listagg _,
     "q93_dyn_histogram" -> q93DynHistogram _,
-    "q97_minmax_norm" -> q97MinmaxNorm _)
+    "q97_minmax_norm" -> q97MinmaxNorm _,
+    "q99_mad" -> q99Mad _,
+    "q100_benford" -> q100Benford _)
 
   /** DuckDB-flavored ANSI SQL oracles. `1e2`/`1e4` double literals are used
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
@@ -729,6 +764,33 @@ object Relational {
         |      ORDER BY CAST(round(o_totalprice*1e2) AS BIGINT) DESC) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q99_mad" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(o_totalprice*1e2) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice*1e2) AS BIGINT)) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |m AS (SELECT o_orderpriority,
+        |        CAST(sum(CASE WHEN rn = (n+1)//2 THEN cents END) AS BIGINT) AS p50
+        |      FROM r GROUP BY 1),
+        |d AS (
+        |  SELECT r.o_orderpriority, abs(r.cents - m.p50) AS adev
+        |  FROM r JOIN m USING (o_orderpriority)),
+        |r2 AS (
+        |  SELECT o_orderpriority, adev,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY adev) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM d)
+        |SELECT o_orderpriority, max(n) AS n,
+        |  CAST(sum(CASE WHEN rn = (n+1)//2 THEN adev END) AS BIGINT) AS mad_cents
+        |FROM r2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q100_benford" ->
+      """SELECT CAST(substring(CAST(CAST(round(o_totalprice*1e2) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q97_minmax_norm" ->
       """WITH r AS (
         |  SELECT o_orderkey, o_orderpriority,
