@@ -99,7 +99,10 @@ object Analytics {
       Window.partitionBy(col(groupCol)).orderBy(col(valueCol)))
     val n = count(lit(1)).over(Window.partitionBy(col(groupCol)))
     val at = (target: Column) => sum(when(col("_rn") === target, col(valueCol)))
-    df.withColumn("_rn", rn).withColumn("_n", n)
+    // NULLs would sort first and occupy ranks, silently skewing every
+    // percentile; nearest-rank is defined over present values only
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("_rn", rn).withColumn("_n", n)
       .groupBy(col(groupCol))
       .agg(max(col("_n")).as("n"),
         at(expr("(_n + 3) div 4")).as("p25"),

@@ -75,6 +75,8 @@ object Similarity {
       maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame = {
     val sh = explodeShingles(df, idCol, textCol, n).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+    // caches created in the capped branch, released after final assembly
+    var branchCaches: List[DataFrame] = Nil
     val pairs = maxShingleFreq match {
       case None =>
         // exact path: one self-join on shingle + pair-count aggregation
@@ -101,6 +103,7 @@ object Similarity {
           .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
           .agg(count(lit(1)).as("inter_capped"))
           .cache()
+        branchCaches = interCapped :: branchCaches
         // correction: candidates may ALSO share boilerplate (> cap)
         // shingles; add those in via a join bounded by candidates ×
         // hot-shingles-per-doc (the hot shingle SET is tiny even when its
@@ -117,10 +120,17 @@ object Similarity {
           .select(col("id_a"), col("id_b"),
             (col("inter_capped") + col("inter_hot")).as("inter"))
     }
-    pairs
+    // materialize the (small) pair table eagerly so the shingle/pair caches
+    // can be dropped here instead of leaking for the session's lifetime —
+    // localCheckpoint blocks are GC-cleaned once the result is unreachable,
+    // .cache() blocks are not
+    val out = pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
       .withColumn("union_size", col("size_a") + col("size_b") - col("inter"))
+      .localCheckpoint()
+    (sh :: branchCaches).foreach(_.unpersist())
+    out
   }
 
   // ---------- MinHash + LSH ----------
@@ -372,11 +382,17 @@ object Similarity {
     // grows the logical plan by one join+agg per round, and re-analysis/
     // re-optimization over the whole history quickly dominates — the
     // checkpoint truncates lineage so every round plans O(1) operators
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .filter($"a" =!= $"b").distinct().localCheckpoint()
     var labels = nodes.select(col(nodeCol).as("node"))
       .distinct().withColumn("component", $"node").localCheckpoint()
+    // edges whose endpoint is absent from `nodes` are ignored, not
+    // label-creating: the b side is filtered by the propagation join
+    // below, the a side by this semi-join — without it an unknown src id
+    // would enter the label set and surface in the output
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .filter($"a" =!= $"b").distinct()
+      .join(labels.select($"node".as("a")), Seq("a"), "left_semi")
+      .localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {

@@ -542,8 +542,8 @@ object TrainingData {
       |  SELECT doc_id, source,
       |    list_filter(string_split_regex(text, '[ \t\n\r]+'),
       |                x -> x <> '') AS t,
-      |    list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
-      |                   x -> lower(x)) AS tk
+      |    list_transform(list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |                   x -> x <> ''), x -> lower(x)) AS tk
       |  FROM documents),
       |s AS (
       |  SELECT doc_id, source, t,
@@ -592,8 +592,8 @@ object TrainingData {
       |  SELECT doc_id, source,
       |    list_filter(string_split_regex(text, '[ \t\n\r]+'),
       |                x -> x <> '') AS t,
-      |    list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
-      |                   x -> lower(x)) AS tk
+      |    list_transform(list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |                   x -> x <> ''), x -> lower(x)) AS tk
       |  FROM d),
       |s AS (
       |  SELECT doc_id, source, t,
