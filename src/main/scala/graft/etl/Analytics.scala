@@ -158,4 +158,35 @@ object Analytics {
         col("pcts").getItem(1).as("p95"),
         col("pcts").getItem(2).as("p99"))
       .orderBy(col(keyCol))
+
+  /** 2-D skyline (Pareto frontier, minimizing both columns): rows no other
+    * row dominates — q dominates p iff q.x ≤ p.x ∧ q.y ≤ p.y with at least
+    * one strict. Equal (x, y) duplicates dominate nothing, so all copies of
+    * a frontier point survive.
+    *
+    * The naive formulation is an O(n²) self-join. Scale shape instead:
+    * (1) one shuffle reduces the data to (x, min y) — at most |distinct x|
+    * rows, and dominance only depends on that pair; (2) a running strict-
+    * prefix min over the reduced set keeps x-values whose min-y undercuts
+    * every smaller x — that window is unpartitioned but runs over the
+    * ALREADY-REDUCED table, bounded by value cardinality, not row count
+    * (same trade as [[exactPercentiles]]' rank window, documented there);
+    * (3) the tiny frontier broadcasts back to recover the original rows.
+    * Both columns must be integral for exact cross-engine comparison. */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perX = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol)).agg(min(col(yCol)).as("_ymin"))
+    val prevBest = min(col("_ymin")).over(
+      Window.orderBy(col(xCol)).rowsBetween(Window.unboundedPreceding, -1))
+    // rename + alias both sides: frontier shares df's lineage, so qualified
+    // names (not attribute references) are needed to disambiguate the join
+    val frontier = perX.withColumn("_best", prevBest)
+      .filter(col("_best").isNull || col("_ymin") < col("_best"))
+      .select(col(xCol).as("_fx"), col("_ymin").as("_fy"))
+    df.as("_sky_l").join(broadcast(frontier.as("_sky_r")),
+        col(s"_sky_l.$xCol") === col("_sky_r._fx") &&
+          col(s"_sky_l.$yCol") === col("_sky_r._fy"))
+      .select(df.columns.map(c => col(s"_sky_l.$c")): _*)
+  }
 }

@@ -1,0 +1,147 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over (user, type, timestamp) streams — the
+  * behavioral half of the events surface (the windowed/sessionized half
+  * lives in [[TimeJoins]]). Reference analogue: the reference's
+  * progress/monitoring events are append-only streams with per-job
+  * counters (base.ts:626-667); these are the sequence-order operators a
+  * warehouse runs on the same shape.
+  *
+  * Every operator shuffles once on the user (or group) key and computes
+  * order-dependent state per key; nothing materializes a per-user list
+  * larger than that user's own events. Timestamps ride as integral
+  * microseconds throughout — interval arithmetic stays exact and the
+  * cross-engine oracle can reproduce every comparison bit-for-bit.
+  */
+object Events {
+
+  /** Markov transition counts: how often does a user's `prev` event type
+    * lead to `curr`? One window (lag over user, ordered by time) + one
+    * count shuffle. First events per user have no predecessor and are
+    * excluded. The caller guarantees (user, ts) uniqueness — with ties the
+    * lag order would be nondeterministic (pass a tiebreak column as
+    * `tsCol` via struct if needed). */
+  def transitionCounts(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    df.select(col(userCol),
+        lag(col(typeCol), 1).over(w).as("prev_type"),
+        col(typeCol).as("curr_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("curr_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Ordered funnel: per user, the furthest step of `steps` reached where
+    * step i must STRICTLY follow the completion of step i−1 and every step
+    * must land within `windowUs` microseconds of the step-0 completion.
+    * Earliest-completion semantics: step 0 completes at the user's first
+    * step-0 event; step i at the first qualifying event after step i−1.
+    *
+    * One shuffle (user groupBy); per-user state is that user's events,
+    * folded in timestamp order by a codegen'd HOF — the state array holds
+    * one timestamp per step, so the fold is O(events · steps) with no
+    * quadratic re-evaluation (the lambda reads the accumulator, not the
+    * source array). Steps must be distinct event types.
+    *
+    * Output: (user, furthest) with furthest in 0..steps.length. */
+  def funnelFurthest(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      "funnel steps must be non-empty and distinct")
+    val k = steps.length
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol)).as("us"), col(typeCol).as("t"))))
+    // fold: slots(i) = completion time of step i, null until reached
+    val folded = aggregate(
+      evs,
+      array(Seq.fill(k)(lit(null).cast("long")): _*),
+      (acc, ev) => {
+        val upd = (i: Int) => {
+          val slot = element_at(acc, i + 1)
+          val prereq =
+            if (i == 0) lit(true)
+            else element_at(acc, i).isNotNull && ev("us") > element_at(acc, i)
+          val inWindow =
+            if (i == 0) lit(true)
+            else ev("us") <= element_at(acc, 1) + lit(windowUs)
+          when(slot.isNull && ev("t") === lit(steps(i)) && prereq && inWindow,
+            ev("us")).otherwise(slot)
+        }
+        array((0 until k).map(upd): _*)
+      })
+    df.groupBy(col(userCol).as("user"))
+      .agg(folded.as("slots"))
+      .select(col("user"),
+        size(filter(col("slots"), s => s.isNotNull)).as("furthest"))
+  }
+
+  /** Weekly retention cohorts: users grouped by their first-activity day,
+    * counted per whole-week offset in which they were active again. Two
+    * shuffles (per-user min, then the cohort count); the distinct
+    * (user, day) grain bounds state by active-days, not events. */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = df.select(col(userCol).as("user"), to_date(col(tsCol)).as("day")).distinct()
+    val first = days.groupBy(col("user")).agg(min(col("day")).as("cohort_day"))
+    days.join(first, "user")
+      .select(col("cohort_day"),
+        (datediff(col("day"), col("cohort_day")) / 7).cast("int").as("week_offset"),
+        col("user"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("week_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+
+  /** Sweep-line maximum concurrency per group over half-open intervals
+    * [startUs, endUs): unpivot to (+1 at start, −1 at end) deltas, running
+    * sum in (time, delta) order, max per group. The RANGE window frame
+    * (Spark's default with ORDER BY) makes equal-(t, delta) peers share one
+    * cumulative value, so tie order cannot change the result; sorting the
+    * −1 before the +1 at equal timestamps implements the half-open
+    * semantics (an interval ending exactly when another starts never
+    * overlaps it).
+    *
+    * The per-group running sum is inherently sequential; at 100 TB the
+    * group key IS the parallelism (here: one sweep per event_type). For a
+    * single giant group the standard two-phase split applies — per
+    * time-chunk local sums plus a prefix of chunk totals — the same shape
+    * as [[Relational]]'s running-window queries. */
+  def maxConcurrent(intervals: DataFrame, groupCol: String,
+      startUsCol: String, endUsCol: String): DataFrame = {
+    val deltas = intervals
+      .select(col(groupCol), col(startUsCol).as("t"), lit(1).as("d"))
+      .union(intervals.select(col(groupCol), col(endUsCol).as("t"), lit(-1).as("d")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("t"), col("d"))
+    deltas.withColumn("running", sum(col("d")).over(w))
+      .groupBy(col(groupCol))
+      .agg(max(col("running")).as("max_concurrent"))
+  }
+
+  /** Merge overlapping-or-touching intervals per group (gaps-and-islands):
+    * an interval opens a new island iff its start exceeds the max end seen
+    * so far. Output: one row per island with its span and member count.
+    * One shuffle on the group key; the island assignment is two window
+    * passes over the same (group, start, end) sort order, so Tungsten
+    * reuses one sort. Equal (start, end) duplicates are order-insensitive:
+    * whichever lands second sees the first's end as prevMaxEnd and joins
+    * its island. */
+  def mergeIntervals(intervals: DataFrame, groupCol: String,
+      startUsCol: String, endUsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(startUsCol), col(endUsCol))
+    val prevMaxEnd = max(col(endUsCol)).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isNew = when(prevMaxEnd.isNull || col(startUsCol) > prevMaxEnd, 1).otherwise(0)
+    intervals
+      .withColumn("_new", isNew)
+      .withColumn("island", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(groupCol), col("island"))
+      .agg(min(col(startUsCol)).as("island_start"),
+        max(col(endUsCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+  }
+}

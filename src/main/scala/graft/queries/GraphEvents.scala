@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.{Analytics, Events, Graph}
+
+/** Oracle-gated graph-motif, event-sequence, and dominance operators
+  * (round 3 of the training-data-pipeline surface).
+  *
+  * Graph queries synthesize a deterministic pseudo-random graph from
+  * `orders` keys: node count m scales with the data (m = (max key + 1)/50),
+  * so density stays constant and triangle counts grow with SF instead of
+  * saturating — the one driver-side scalar (max key) is a bounded lookup,
+  * the same legitimacy class as the IVF centroid fetch
+  * (Similarity.scala). Event queries run over the real `events` table with
+  * interval lengths derived from event_id arithmetic; every timestamp
+  * comparison rides integral microseconds so the DuckDB re-derivation is
+  * bit-exact.
+  */
+object GraphEvents {
+
+  /** Shared pseudo-random graph: a = k mod m, b = (13k + 7⌊k/m⌋ + 3) mod m.
+    * Both components vary with k div m, so each residue class contributes
+    * ~|orders|/m distinct neighbors — constant expected degree 2·50 as the
+    * data scales. */
+  private def triangleEdges(spark: SparkSession, dir: String): (DataFrame, Long) = {
+    val orders = Tables.orders(spark, dir)
+    val m = (orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1) / 50
+    val e = orders.select(
+      (col("o_orderkey") % m).as("src"),
+      ((col("o_orderkey") * 13 + expr("o_orderkey div " + m) * 7 + 3) % m).as("dst"))
+    (e, m)
+  }
+
+  // -------------------------------------------------------- q101 triangles
+
+  def q101Triangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (e, _) = triangleEdges(spark, dir)
+    Graph.triangleCounts(e, "src", "dst").orderBy($"node")
+  }
+
+  // ------------------------------------------------------- q102 k-hop BFS
+
+  /** Ring + skip-13 lattice on m = (max key + 1)/5 nodes (edges from the
+    * first 2m order keys: k < m the ring, m ≤ k < 2m the skips), two seeds,
+    * distances within 6 hops. */
+  def q102Khop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val m = (orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1) / 5
+    val e = orders.filter(col("o_orderkey") < 2 * m).select(
+      when(col("o_orderkey") < m, col("o_orderkey"))
+        .otherwise(col("o_orderkey") - m).as("src"),
+      when(col("o_orderkey") < m, (col("o_orderkey") + 1) % m)
+        .otherwise((col("o_orderkey") - m + 13) % m).as("dst"))
+    val seeds = Seq(0L, m / 2).toDF("node")
+    Graph.khopDistances(seeds, e, "node", "src", "dst", maxHops = 6)
+      .orderBy($"node")
+  }
+
+  // ---------------------------------------------------- q103 transitions
+
+  def q103Transitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Events.transitionCounts(Tables.events(spark, dir),
+        "user_id", "event_type", "ts")
+      .orderBy($"prev_type", $"curr_type")
+  }
+
+  // ---------------------------------------- q104/q106 shared intervals
+
+  /** Half-open intervals per event: start = ts, length 60–959 s from
+    * event_id arithmetic — exact integral microseconds. */
+  private def intervals(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_type"),
+      unix_micros(col("ts")).as("start_us"),
+      (unix_micros(col("ts")) +
+        ((col("event_id") % 900) + 60) * 1000000L).as("end_us"))
+
+  def q104IntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Events.mergeIntervals(intervals(spark, dir),
+        "event_type", "start_us", "end_us")
+      .orderBy($"event_type", $"island")
+  }
+
+  def q106MaxConcurrent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Events.maxConcurrent(intervals(spark, dir),
+        "event_type", "start_us", "end_us")
+      .orderBy($"event_type")
+  }
+
+  // -------------------------------------------------------- q105 skyline
+
+  def q105Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir).select(
+      $"p_partkey",
+      round($"p_retailprice" * 100).cast("long").as("cents"),
+      $"p_size")
+    Analytics.skyline2D(p, "cents", "p_size").orderBy($"p_partkey")
+  }
+
+  // --------------------------------------------------------- q107 funnel
+
+  def q107Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Events.funnelFurthest(Tables.events(spark, dir),
+        "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"),
+        windowUs = 86400000000L) // 24 hours — spreads users across all three levels
+      .groupBy($"furthest").agg(count(lit(1)).as("n"))
+      .orderBy($"furthest")
+  }
+
+  // ------------------------------------------------------ q108 retention
+
+  def q108Retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Events.retentionCohorts(Tables.events(spark, dir), "user_id", "ts")
+      .orderBy($"cohort_day", $"week_offset")
+  }
+
+  // ------------------------------------- q109 correlated-subquery rewrite
+
+  /** Suppliers whose balance exceeds their nation's average, written as two
+    * correlated scalar subqueries — exercises Catalyst's decorrelation
+    * (RewriteCorrelatedScalarSubquery turns both into aggregated joins; the
+    * plan has no per-row subquery execution). The comparison cross-
+    * multiplies by the nation count so it stays in exact integer cents —
+    * no average-division float crosses the engine boundary. */
+  def q109Decorrelate(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier_v")
+    spark.sql("""
+      SELECT s.s_suppkey, s.s_nationkey,
+             CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM supplier_v s
+      WHERE CAST(round(s.s_acctbal * 100) AS BIGINT) *
+            (SELECT count(*) FROM supplier_v t
+             WHERE t.s_nationkey = s.s_nationkey)
+          > (SELECT sum(CAST(round(t.s_acctbal * 100) AS BIGINT))
+             FROM supplier_v t WHERE t.s_nationkey = s.s_nationkey)
+      ORDER BY s.s_suppkey""")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_triangles" -> q101Triangles _,
+    "q102_khop_bfs" -> q102Khop _,
+    "q103_transitions" -> q103Transitions _,
+    "q104_interval_merge" -> q104IntervalMerge _,
+    "q105_skyline" -> q105Skyline _,
+    "q106_max_concurrent" -> q106MaxConcurrent _,
+    "q107_funnel" -> q107Funnel _,
+    "q108_retention" -> q108Retention _,
+    "q109_decorrelate" -> q109Decorrelate _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q101_triangles" -> """
+      |WITH mm AS (SELECT (max(o_orderkey) + 1) // 50 AS m FROM orders),
+      |e0 AS (SELECT o_orderkey % m AS x,
+      |              (o_orderkey * 13 + (o_orderkey // m) * 7 + 3) % m AS y
+      |       FROM orders, mm),
+      |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+      |      FROM e0 WHERE x <> y),
+      |nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+      |tri AS (
+      |  SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |pn AS (SELECT node, count(*) AS t FROM (
+      |         SELECT n1 AS node FROM tri
+      |         UNION ALL SELECT n2 FROM tri
+      |         UNION ALL SELECT n3 FROM tri) GROUP BY 1)
+      |SELECT n.node, CAST(coalesce(pn.t, 0) AS BIGINT) AS triangles
+      |FROM nodes n LEFT JOIN pn USING (node) ORDER BY n.node""".stripMargin,
+    "q102_khop_bfs" -> """
+      |WITH RECURSIVE mm AS (SELECT (max(o_orderkey) + 1) // 5 AS m FROM orders),
+      |e0 AS (SELECT CASE WHEN o_orderkey < m THEN o_orderkey
+      |                   ELSE o_orderkey - m END AS src,
+      |              CASE WHEN o_orderkey < m THEN (o_orderkey + 1) % m
+      |                   ELSE (o_orderkey - m + 13) % m END AS dst
+      |       FROM orders, mm WHERE o_orderkey < 2 * m),
+      |sym AS (SELECT src AS a, dst AS b FROM e0 WHERE src <> dst
+      |        UNION SELECT dst, src FROM e0 WHERE src <> dst),
+      |seeds AS (SELECT CAST(0 AS BIGINT) AS node
+      |          UNION SELECT m // 2 FROM mm),
+      |r AS (SELECT node, 0 AS hops FROM seeds
+      |      UNION
+      |      SELECT sym.b, r.hops + 1 FROM r JOIN sym ON sym.a = r.node
+      |      WHERE r.hops < 6)
+      |SELECT node, CAST(min(hops) AS INT) AS hops
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q103_transitions" -> """
+      |WITH t AS (
+      |  SELECT user_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type,
+      |    event_type AS curr_type
+      |  FROM events)
+      |SELECT prev_type, curr_type, CAST(count(*) AS BIGINT) AS n
+      |FROM t WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q104_interval_merge" -> """
+      |WITH iv AS (
+      |  SELECT event_type, epoch_us(ts) AS s,
+      |         epoch_us(ts) + ((event_id % 900) + 60) * 1000000 AS e
+      |  FROM events),
+      |w1 AS (SELECT event_type, s, e,
+      |         max(e) OVER (PARTITION BY event_type ORDER BY s, e
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |       FROM iv),
+      |w2 AS (SELECT event_type, s, e,
+      |         CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS nw
+      |       FROM w1),
+      |w3 AS (SELECT event_type, s, e,
+      |         sum(nw) OVER (PARTITION BY event_type ORDER BY s, e
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |       FROM w2)
+      |SELECT event_type, CAST(island AS BIGINT) AS island,
+      |       min(s) AS island_start, max(e) AS island_end,
+      |       CAST(count(*) AS BIGINT) AS n_intervals
+      |FROM w3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q105_skyline" -> """
+      |WITH p AS (SELECT p_partkey,
+      |             CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+      |             p_size
+      |           FROM part)
+      |SELECT p_partkey, cents, p_size FROM p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p q
+      |  WHERE q.cents <= p.cents AND q.p_size <= p.p_size
+      |    AND (q.cents < p.cents OR q.p_size < p.p_size))
+      |ORDER BY p_partkey""".stripMargin,
+    "q106_max_concurrent" -> """
+      |WITH iv AS (
+      |  SELECT event_type, epoch_us(ts) AS s,
+      |         epoch_us(ts) + ((event_id % 900) + 60) * 1000000 AS e
+      |  FROM events),
+      |d AS (SELECT event_type, s AS t, 1 AS d FROM iv
+      |      UNION ALL SELECT event_type, e, -1 FROM iv),
+      |r AS (SELECT event_type,
+      |        sum(d) OVER (PARTITION BY event_type ORDER BY t, d) AS run
+      |      FROM d)
+      |SELECT event_type, CAST(max(run) AS BIGINT) AS max_concurrent
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q107_funnel" -> """
+      |WITH base AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s0 AS (SELECT user_id,
+      |         min(us) FILTER (WHERE event_type = 'view') AS u0
+      |       FROM base GROUP BY 1),
+      |s1 AS (SELECT b.user_id, any_value(u0) AS u0,
+      |         min(us) FILTER (WHERE event_type = 'click' AND us > u0
+      |                         AND us <= u0 + 86400000000) AS u1
+      |       FROM base b JOIN s0 USING (user_id) GROUP BY 1),
+      |s2 AS (SELECT b.user_id,
+      |         min(us) FILTER (WHERE event_type = 'purchase' AND us > u1
+      |                         AND us <= u0 + 86400000000) AS u2,
+      |         any_value(u1) AS u1m, any_value(u0) AS u0m
+      |       FROM base b JOIN s1 USING (user_id) GROUP BY 1),
+      |f AS (SELECT user_id,
+      |        CASE WHEN u2 IS NOT NULL THEN 3
+      |             WHEN u1m IS NOT NULL THEN 2
+      |             WHEN u0m IS NOT NULL THEN 1
+      |             ELSE 0 END AS furthest
+      |      FROM s2)
+      |SELECT CAST(furthest AS INT) AS furthest, CAST(count(*) AS BIGINT) AS n
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q108_retention" -> """
+      |WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |firsts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1),
+      |x AS (SELECT DISTINCT cohort_day,
+      |        CAST((day - cohort_day) // 7 AS INT) AS week_offset, user_id
+      |      FROM days JOIN firsts USING (user_id))
+      |SELECT cohort_day, week_offset, CAST(count(*) AS BIGINT) AS users
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q109_decorrelate" -> """
+      |SELECT s.s_suppkey, s.s_nationkey,
+      |       CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_cents
+      |FROM supplier s
+      |WHERE CAST(round(s.s_acctbal * 100) AS BIGINT) *
+      |      (SELECT count(*) FROM supplier t
+      |       WHERE t.s_nationkey = s.s_nationkey)
+      |    > (SELECT sum(CAST(round(t.s_acctbal * 100) AS BIGINT))
+      |       FROM supplier t WHERE t.s_nationkey = s.s_nationkey)
+      |ORDER BY s.s_suppkey""".stripMargin)
+}

@@ -1,0 +1,162 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computable fixtures for the graph-motif and event-sequence
+  * operators (q101–q108 run the same code against the DuckDB oracle; these
+  * pin the semantics on graphs/sequences small enough to verify by eye,
+  * including edge cases the synthetic tables don't hit). */
+class GraphEventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ triangles
+
+  test("triangleCounts: K4 minus one edge, duplicate/reversed input edges") {
+    // K4 on {1,2,3,4} without edge (3,4): triangles {1,2,3} and {1,2,4};
+    // node 1,2 in both, 3,4 in one. Dups and reversals must not change it.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (1L, 4L), (4L, 2L), (1L, 3L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges, "src", "dst")
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("triangleCounts: triangle-free graph yields zero rows per node") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges, "src", "dst")
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)))
+  }
+
+  test("triangleCounts: self-loops are dropped") {
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges, "src", "dst")
+      .agg(sum($"triangles")).as[Long].head()
+    assert(got == 3L) // one triangle, counted at each of its 3 nodes
+  }
+
+  // ----------------------------------------------------------------- BFS
+
+  test("khopDistances: path graph distances, maxHops cutoff, unreached absent") {
+    // 1-2-3-4-5 path, seed 1, maxHops 2 → 4 and 5 not emitted
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.khopDistances(seeds, edges, "node", "src", "dst", 2)
+      .orderBy($"node").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 0), (2L, 1), (3L, 2)))
+  }
+
+  test("khopDistances: min distance over multiple seeds") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L, 4L).toDF("node")
+    val got = Graph.khopDistances(seeds, edges, "node", "src", "dst", 5)
+      .orderBy($"node").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 0), (2L, 1), (3L, 1), (4L, 0)))
+  }
+
+  // ----------------------------------------------------------- sequences
+
+  private def ev(rows: (Long, String, Long)*) =
+    rows.toSeq.toDF("user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+
+  test("transitionCounts: lag pairs per user, first event excluded") {
+    val df = ev((1L, "a", 10L), (1L, "b", 20L), (1L, "a", 30L),
+      (2L, "b", 5L), (2L, "a", 15L))
+    val got = Events.transitionCounts(df, "user_id", "event_type", "ts")
+      .orderBy($"prev_type", $"curr_type")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", 1L), ("b", "a", 2L)))
+  }
+
+  test("funnelFurthest: ordering is strict, window binds to step-0 time") {
+    val steps = Seq("v", "c", "p")
+    val df = ev(
+      // user 1: full funnel in order
+      (1L, "v", 100L), (1L, "c", 200L), (1L, "p", 300L),
+      // user 2: click BEFORE first view → funnel stalls at view
+      (2L, "c", 100L), (2L, "v", 200L), (2L, "p", 300L),
+      // user 3: purchase outside window (v at 100, window 500 → limit 600)
+      (3L, "v", 100L), (3L, "c", 200L), (3L, "p", 700L),
+      // user 4: no view at all
+      (4L, "c", 100L), (4L, "p", 200L))
+    val got = Events.funnelFurthest(df, "user_id", "event_type", "ts", steps, 500L)
+      .orderBy($"user").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 3), (2L, 1), (3L, 2), (4L, 0)))
+  }
+
+  test("funnelFurthest: equal timestamp does not complete the next step") {
+    // strict '>' : click at exactly the view time must not count
+    val df = ev((1L, "v", 100L), (1L, "c", 100L), (1L, "c", 150L))
+    val got = Events.funnelFurthest(df, "user_id", "event_type", "ts",
+      Seq("v", "c"), 1000L).as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 2))) // the 150 click completes it, not the 100 one
+  }
+
+  test("retentionCohorts: users fall into week offsets from their first day") {
+    val day = 86400000000L
+    val df = ev(
+      (1L, "x", 0L), (1L, "x", 8 * day), // cohort day0, active week 0 and 1
+      (2L, "x", day), (2L, "x", day + 1000L), // same-day dup collapses
+      (3L, "x", 0L), (3L, "x", 20 * day))
+    val got = Events.retentionCohorts(df, "user_id", "ts")
+      .orderBy($"cohort_day", $"week_offset")
+      .select($"week_offset", $"users").as[(Int, Long)].collect().toSeq
+    // day0 cohort: users 1,3 at offset 0; user1 at offset 1; user3 at offset 2
+    // day1 cohort: user 2 at offset 0
+    assert(got == Seq((0, 2L), (1, 1L), (2, 1L), (0, 1L)))
+  }
+
+  // ----------------------------------------------------------- intervals
+
+  test("maxConcurrent: half-open intervals — touching endpoints don't overlap") {
+    val iv = Seq(
+      ("g", 0L, 10L), ("g", 10L, 20L), // touching: never concurrent
+      ("g", 5L, 12L), // overlaps both
+      ("h", 0L, 100L), ("h", 1L, 99L), ("h", 2L, 98L)).toDF("g", "s", "e")
+    val got = Events.maxConcurrent(iv, "g", "s", "e")
+      .orderBy($"g").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("g", 2L), ("h", 3L)))
+  }
+
+  test("mergeIntervals: islands split on gaps, touching intervals merge") {
+    val iv = Seq(
+      ("g", 0L, 10L), ("g", 5L, 15L), ("g", 15L, 20L), // one island 0-20
+      ("g", 30L, 40L), // gap → second island
+      ("h", 0L, 5L)).toDF("g", "s", "e")
+    val got = Events.mergeIntervals(iv, "g", "s", "e")
+      .orderBy($"g", $"island")
+      .select($"g", $"island_start", $"island_end", $"n_intervals")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 0L, 20L, 3L), ("g", 30L, 40L, 1L), ("h", 0L, 5L, 1L)))
+  }
+
+  test("mergeIntervals: contained interval does not shrink the island") {
+    // (0,100) then (10,20): prevMaxEnd must be the MAX end seen, not the last
+    val iv = Seq(("g", 0L, 100L), ("g", 10L, 20L), ("g", 50L, 120L))
+      .toDF("g", "s", "e")
+    val got = Events.mergeIntervals(iv, "g", "s", "e")
+      .select($"island_start", $"island_end", $"n_intervals")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 120L, 3L)))
+  }
+
+  // ------------------------------------------------------------- skyline
+
+  test("skyline2D: dominance with ties and duplicates") {
+    val df = Seq(
+      (1L, 10L, 5L), // frontier
+      (2L, 10L, 7L), // dominated: same x, larger y
+      (3L, 5L, 9L), // frontier
+      (4L, 20L, 4L), // frontier
+      (5L, 20L, 4L), // duplicate of 4 → both kept
+      (6L, 21L, 4L), // dominated by 4 (x larger, y equal)
+      (7L, 6L, 9L)) // dominated by 3 (y equal, x larger)
+      .toDF("id", "x", "y")
+    val got = Analytics.skyline2D(df, "x", "y")
+      .orderBy($"id").as[(Long, Long, Long)].collect().toSeq.map(_._1)
+    assert(got == Seq(1L, 3L, 4L, 5L))
+  }
+}
