@@ -414,6 +414,36 @@ object Similarity {
     labels
   }
 
+  /** Phonetic blocking for entity resolution: candidate pairs share a
+    * Soundex code (codegen'd built-in — "Smith"/"Smyth" → S530), refined
+    * by Levenshtein distance ≤ `maxDist`. The same bucket-and-explode
+    * shape as the capped n-gram path: blocks above `maxBlock` are dropped
+    * (a phonetic bucket shared by 10⁶ names is a stop-word-like junk
+    * block, and its pair fan-out is quadratic), so the candidate join is
+    * bounded by maxBlock² per block with no self-join. Spec-pinned only:
+    * DuckDB has no Soundex, so there is no SQL oracle twin.
+    *
+    * Output: (id_a, id_b, name_a, name_b, dist), id_a < id_b. */
+  def soundexBlockedPairs(df: DataFrame, idCol: String, nameCol: String,
+      maxDist: Int = 2, maxBlock: Int = 64): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      soundex(upper(col(nameCol))).as("blk"))
+    val blocks = keyed
+      .groupBy(col("blk"))
+      .agg(sort_array(collect_list(struct(col("id"), col("name")))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBlock)
+    blocks
+      .select(explode(flatten(
+        transform(col("ms"), (x, i) =>
+          transform(slice(col("ms"), i + 2, size(col("ms"))),
+            y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+              x.getField("name").as("name_a"), y.getField("name").as("name_b"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.name_a"), col("p.name_b"),
+        levenshtein(col("p.name_a"), col("p.name_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** True double-precision cosine (unit-norm corpus ⇒ plain dot), for
     * in-engine use where cross-engine bit-stability doesn't matter. */
   def cosine(a: Column, b: Column): Column = {

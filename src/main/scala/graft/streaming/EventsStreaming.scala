@@ -87,6 +87,37 @@ object EventsStreaming {
       }.toDF()
   }
 
+  final case class TransRow(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+  final case class Transition(user_id: Long, prev_type: String,
+      curr_type: String)
+
+  /** Streaming Markov transitions (the cross-batch twin of
+    * [[graft.etl.Events.transitionCounts]]): each user's last event type
+    * is one tiny state cell, so a transition spanning two micro-batches is
+    * emitted exactly like one inside a batch. Rows within a batch process
+    * in timestamp order; downstream aggregation (groupBy prev/curr count)
+    * is the caller's choice of output mode. */
+  def transitionsStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("ts"), col("event_type")).as[TransRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[TransRow], state: GroupState[String]) =>
+          var last: Option[String] = state.getOption
+          val out = rows.toSeq
+            .sortBy(r => (r.ts.getTime, r.ts.getNanos))
+            .map { r =>
+              val t = last.map(Transition(user, _, r.event_type))
+              last = Some(r.event_type)
+              t
+            }.flatten
+          last.foreach(state.update)
+          out.iterator
+      }.toDF()
+  }
+
   /** Change-detection sink (J3/K2-shaped): every micro-batch is reduced to
     * changed-rows via content hash and merged into the target parquet dir —
     * `foreachBatch` is where a real deployment issues MERGE INTO. */

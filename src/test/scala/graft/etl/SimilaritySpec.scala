@@ -236,6 +236,36 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("connectedComponents: edge endpoints outside the node set are ignored") {
+    import spark.implicits._
+    // edges reference 99 (absent from nodes) on both sides; it must neither
+    // appear in the output nor bridge 1 and 2 into one component
+    val nodes = Seq(1L, 2L).toDF("id")
+    val edges = Seq((99L, 1L), (2L, 99L)).toDF("src", "dst")
+    val out = Similarity.connectedComponents(nodes, edges, "id", "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("soundexBlockedPairs: phonetic blocks, lev refine, junk-block cap") {
+    import spark.implicits._
+    val names = Seq(
+      (1L, "Smith"), (2L, "Smyth"), // S530 block, dist 1
+      (3L, "Robert"), (4L, "Rupert"), // R163 block, dist 2 → refined away
+      (5L, "Johnson"), // alone in its block → no pair
+      (6L, "Lee"), (7L, "Leigh"), (8L, "Lea")) // L000/L200: Lee+Lea pair
+      .toDF("id", "name")
+    val got = Similarity.soundexBlockedPairs(names, "id", "name", maxDist = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists(p => p == ((3L, 4L))), "Robert/Rupert must fail the lev refine")
+    assert(got.forall { case (a, b) => a < b })
+    // cap drops an oversized block entirely
+    val capped = Similarity.soundexBlockedPairs(names, "id", "name",
+      maxDist = 1, maxBlock = 1)
+    assert(capped.isEmpty)
+  }
+
   test("stub codec: deterministic features, batch-shaped") {
     val media = Multimodal.mediaFromText(
       docs(7L -> "hello", 8L -> "world"), "doc_id", "text")

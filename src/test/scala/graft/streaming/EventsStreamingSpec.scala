@@ -42,6 +42,39 @@ class EventsStreamingSpec extends SparkSpec {
     assert(streamed.size == 2)
   }
 
+  test("transitionsStream: cross-batch transitions match the batch twin") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStreaming.TransRow
+    val input = MemoryStream[TransRow]
+    val batch1 = Seq(
+      TransRow(1, ts("2026-01-01 10:00:00"), "view"),
+      TransRow(1, ts("2026-01-01 10:05:00"), "click"),
+      TransRow(2, ts("2026-01-01 10:00:00"), "view"))
+    val batch2 = Seq(
+      // user 1's purchase follows the click from the PREVIOUS batch
+      TransRow(1, ts("2026-01-01 10:10:00"), "purchase"),
+      TransRow(2, ts("2026-01-01 10:20:00"), "click"))
+
+    input.addData(batch1: _*)
+    val q = EventsStreaming.transitionsStream(input.toDF())
+      .writeStream.format("memory").queryName("trans").outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("trans")
+      .groupBy($"prev_type", $"curr_type").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    val batch = graft.etl.Events.transitionCounts(
+        (batch1 ++ batch2).toDF(), "user_id", "event_type", "ts")
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set(("view", "click", 2L), ("click", "purchase", 1L)))
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     val sq = spark
     import sq.implicits._
