@@ -61,7 +61,7 @@ object Corpus {
   /** Whitespace tokens as a column, empties dropped. The split class is an
     * explicit `[ \t\n\r]` (not `\s`): Java's `\s` and RE2's differ on
     * unicode space, which silently diverges token counts across engines. */
-  private[etl] def tokensOf(textCol: Column): Column =
+  private[graft] def tokensOf(textCol: Column): Column =
     filter(split(textCol, "[ \t\n\r]+"), t => t =!= "")
 
   /** Adjacent-pair (bigram) array of a token array: `a b c` → `[a b, b c]`.
@@ -72,7 +72,7 @@ object Corpus {
     * sf0.1 corpus. The slices evaluate the token array a constant number
     * of times per row; length max(n−1, 0) makes < 2 tokens an empty
     * slice, so no separate guard. */
-  private[etl] def bigramsOf(toks: Column): Column = {
+  private[graft] def bigramsOf(toks: Column): Column = {
     val n1 = greatest(size(toks) - 1, lit(0))
     zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
       (a, b) => concat_ws(" ", a, b))

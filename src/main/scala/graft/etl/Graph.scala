@@ -66,6 +66,51 @@ object Graph {
       .na.fill(0L, Seq("triangles"))
   }
 
+  /** Fixed-iteration PageRank in exact integer arithmetic.
+    *
+    * Ranks start at `r0` per node and update as
+    *   r'(v) = (15·r0) div 100  +  (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100
+    * — the standard 0.85-damped update with every division a floor
+    * division, so both engines (and any re-derivation) compute identical
+    * integers: no float summation order, no rounding mode, no tolerance.
+    * The quantization error vs real-valued PageRank is < outdeg/r0 per
+    * term (r0 defaults to 2^40 — ~12 decimal digits of headroom), far
+    * below any ranking use; what matters here is that the spec IS the
+    * integer recurrence, reproducible bit-for-bit.
+    *
+    * Each iteration is one join (edges × ranks, shuffle on src) and one
+    * aggregation (shuffle on dst) — the textbook distributed PageRank
+    * shape; `localCheckpoint` truncates the growing plan lineage like the
+    * other iterative operators ([[khopDistances]],
+    * [[Similarity.connectedComponents]]). Dangling nodes (outdeg 0) leak
+    * their mass — callers wanting the strict random-surfer model should
+    * close the graph first; the synthetic-graph callers have none.
+    */
+  def pageRankInt(nodes: DataFrame, edges: DataFrame, nodeCol: String,
+      srcCol: String, dstCol: String, iterations: Int = 3,
+      r0: Long = 1L << 40): DataFrame = {
+    val n = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint()
+    val outdeg = edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .join(outdeg.withColumnRenamed("node", "src"), "src")
+      .localCheckpoint()
+    val base = lit(15L * r0 / 100)
+    var r = n.withColumn("rank", lit(r0))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      // `div`, not `/`: Column./ is float division — the whole point here
+      // is that every step stays a floor division on longs
+      r = n.join(contrib, n("node") === contrib("dst"), "left")
+        .select(n("node"),
+          (base + expr("(coalesce(s, 0L) * 85) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    r
+  }
+
   /** Minimum hop distance (≤ `maxHops`) from a seed set, by frontier BFS.
     *
     * Each round joins ONLY the current frontier (nodes first reached last

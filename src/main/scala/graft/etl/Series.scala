@@ -1,0 +1,63 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-integer time-series smoothing and anomaly flags.
+  *
+  * Both operators ride integer arithmetic end-to-end: an EWMA with dyadic
+  * weights is an integer weighted sum, and a 3-sigma test squares through
+  * the division (n·x − s)² > 9·(n·Σx² − s²), so the cross-engine compare
+  * stays bit-exact and no float summation order can drift. Window frames
+  * are per-key (`ROWS BETWEEN w PRECEDING AND CURRENT ROW`) — state is
+  * O(w) per key and the only shuffle is the partition-by key, exactly the
+  * shape that survives a 1000-executor scale-up.
+  */
+object Series {
+
+  /** Truncated exponential moving average with dyadic weights: over the
+    * last `halfLives` rows (current included), weight 2^(halfLives-1-i) for
+    * the row i steps back. Emits the integer numerator and the weight sum
+    * actually present (series heads have fewer rows), so callers divide —
+    * or compare numerators directly, weights being equal at steady state. */
+  def ewmaDyadic(df: DataFrame, partCol: String, orderCols: Seq[String],
+      valueCol: String, halfLives: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(orderCols.map(col): _*)
+    val terms = (0 until halfLives).map { i =>
+      val weight = 1L << (halfLives - 1 - i)
+      val lagged = lag(col(valueCol), i).over(w)
+      (coalesce(lagged * weight, lit(0L)),
+        when(lagged.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    df.withColumn("ewma_num", terms.map(_._1).reduce(_ + _))
+      .withColumn("weight_sum", terms.map(_._2).reduce(_ + _))
+  }
+
+  /** Rolling 3-sigma anomaly flag over the previous `n`-row window
+    * (current row EXCLUDED from the baseline — a spike must not inflate
+    * the variance that judges it). Flag rows where
+    * (m·x − s)² > sigmas²·(m·q − s²), i.e. |x − s/m| > sigmas·σ_pop,
+    * evaluated entirely in integers; rows with fewer than `n` prior
+    * observations are never flagged (flag = 0, warmup). */
+  def rollingAnomaly(df: DataFrame, partCol: String, orderCols: Seq[String],
+      valueCol: String, n: Int = 16, sigmas: Int = 3): DataFrame = {
+    val base = Window.partitionBy(col(partCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-n, -1)
+    val x = col(valueCol)
+    val m = count(x).over(base)
+    val s = sum(x).over(base)
+    val q = sum(x * x).over(base)
+    val lhs = (m * x - s) * (m * x - s)
+    val rhs = lit(sigmas.toLong * sigmas) * (m * q - s * s)
+    df.withColumn("baseline_n", m)
+      .withColumn("anomaly",
+        when(m === n && lhs > rhs, lit(1)).otherwise(lit(0)))
+  }
+
+  /** Integer cents of a float money/value column — the shared exactness
+    * recipe (round half-up at 2dp, then everything downstream integral). */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+}

@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.{Graph, Series, Sketches, Vocab}
+
+/** Round-3 additions to the training-data-pipeline surface: sketch-backed
+  * exact heavy hitters, URL parsing, dataset-level boilerplate detection,
+  * integer PageRank, exact-integer time-series smoothing/anomaly flags, and
+  * the vocabulary/feature-encoding side of tokenization.
+  *
+  * Exactness pattern throughout: sketches and hashes only ever produce
+  * CANDIDATES or BUCKETS; the emitted numbers are exact integer counts, so
+  * the DuckDB oracle re-derives every row bit-for-bit.
+  */
+object Curation {
+
+  /** DuckDB-side token list — must match [[graft.etl.Corpus.tokensOf]]. */
+  private val toksSql =
+    """list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '')"""
+
+  // ------------------------------------------------ q110 heavy hitters
+
+  /** Bigrams above 1/800 of all bigram occurrences, via per-partition
+    * Misra–Gries candidates + exact recount ([[Sketches.heavyHitters]]).
+    * k=800 puts the threshold just above the mean bigram frequency of the
+    * synthetic corpus, so the answer is a proper nonempty subset at every
+    * SF — the sketch must both keep and prune. */
+  def q110HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = graft.etl.Corpus.tokensOf($"text")
+    val items = Tables.documents(spark, dir)
+      .select(explode(graft.etl.Corpus.bigramsOf(toks)).as("item"))
+      .as[String]
+    Sketches.heavyHitters(items, k = 800).orderBy($"item")
+  }
+
+  // ---------------------------------------------------- q111 url parse
+
+  /** parse_url (native codegen expression) against URLs synthesized from
+    * customer columns; the oracle re-derives host/path/query-param from
+    * the same construction, so the test pins Spark's parser output. */
+  def q111UrlParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val url = concat(lit("https://shop-"), $"c_custkey" % 20,
+      lit(".example.com/seg/"), lower($"c_mktsegment"),
+      lit("/item?cust="), $"c_custkey", lit("&nat="), $"c_nationkey")
+    Tables.customer(spark, dir).select(url.as("url"))
+      .select(expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'nat')").as("nat"))
+      .groupBy($"host")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct($"nat").as("n_nations"),
+        min($"path").as("first_path"))
+      .orderBy($"host")
+  }
+
+  // -------------------------------------------------- q112 boilerplate
+
+  /** Cross-document boilerplate: trigrams present in > |docs|/25 distinct
+    * documents, per-doc flagged-position counts
+    * ([[Vocab.boilerplateNgrams]]). */
+  def q112Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Vocab.boilerplateNgrams(Tables.documents(spark, dir),
+        "doc_id", "text", n = 3, freqDiv = 25)
+      .orderBy($"doc_id")
+  }
+
+  // ----------------------------------------------------- q113 pagerank
+
+  /** 3-iteration integer PageRank ([[Graph.pageRankInt]]) on a synthetic
+    * out-degree-2 graph over m = (max key + 1)/50 nodes (edges v→(v+1)%m
+    * and v→(13v+3)%m — same node-count recipe as q101 so density stays
+    * constant with SF). */
+  def q113Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val m = (orders.agg(max($"o_orderkey")).head().getLong(0) + 1) / 50
+    val nodes = orders.select(($"o_orderkey" % m).as("node")).distinct()
+    val edges = nodes.select($"node".as("src"), (($"node" + 1) % m).as("dst"))
+      .unionAll(nodes.select($"node".as("src"),
+        (($"node" * 13 + 3) % m).as("dst")))
+    Graph.pageRankInt(nodes, edges, "node", "src", "dst", iterations = 3)
+      .orderBy($"node")
+  }
+
+  // -------------------------------------------------------- q114 ewma
+
+  /** Dyadic-weight truncated EWMA over each user's event values
+    * ([[Series.ewmaDyadic]]): integer numerator + present-weight sum. */
+  def q114Ewma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"event_id", $"user_id",
+      Series.cents($"value").as("cents"), $"ts")
+    Series.ewmaDyadic(e, "user_id", Seq("ts", "event_id"), "cents",
+        halfLives = 8)
+      .select($"event_id", $"user_id", $"ewma_num", $"weight_sum")
+      .orderBy($"event_id")
+  }
+
+  // ----------------------------------------------------- q115 anomaly
+
+  /** Rolling 3-sigma anomaly flags over the previous 16 events per user
+    * ([[Series.rollingAnomaly]]), the whole test in integers. */
+  def q115Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"event_id", $"user_id",
+      Series.cents($"value").as("cents"), $"ts")
+    Series.rollingAnomaly(e, "user_id", Seq("ts", "event_id"), "cents",
+        n = 16, sigmas = 3)
+      .select($"event_id", $"baseline_n", $"anomaly")
+      .orderBy($"event_id")
+  }
+
+  // ------------------------------------------------ q116 feature hash
+
+  /** Hashing-trick bag-of-words ([[Vocab.featureHash]]), 64 buckets via
+    * the repo's standard sha256-hex-prefix cross-engine hash. */
+  def q116FeatureHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Vocab.featureHash(Tables.documents(spark, dir), "doc_id", "text",
+        buckets = 64)
+      .orderBy($"doc_id", $"bucket")
+  }
+
+  // ------------------------------------------------ q117 vocab encode
+
+  /** Documents encoded as (doc, pos, token_id) against the global
+    * frequency-ranked vocabulary ([[Vocab.encode]]). */
+  def q117VocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Vocab.encode(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy($"doc_id", $"pos")
+  }
+
+  // ------------------------------------------------- q118 pmi bigrams
+
+  /** Top-50 bigrams by pre-scaled integer PMI ratio
+    * ([[Vocab.pmiBigrams]]); deterministic (score, bigram) tiebreak. */
+  def q118PmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Vocab.pmiBigrams(Tables.documents(spark, dir), "doc_id", "text",
+        minCount = 5, scale = 100)
+      .orderBy($"pmi_scaled".desc, $"xy")
+      .limit(50)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_heavy_hitters" -> q110HeavyHitters _,
+    "q111_url_parse" -> q111UrlParse _,
+    "q112_boilerplate" -> q112Boilerplate _,
+    "q113_pagerank" -> q113Pagerank _,
+    "q114_ewma" -> q114Ewma _,
+    "q115_anomaly" -> q115Anomaly _,
+    "q116_feature_hash" -> q116FeatureHash _,
+    "q117_vocab_encode" -> q117VocabEncode _,
+    "q118_pmi_bigrams" -> q118PmiBigrams _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q110_heavy_hitters" -> s"""
+      |WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |b AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i + 1])) AS item
+      |      FROM toks)
+      |SELECT item, count(*) AS cnt FROM b
+      |GROUP BY item HAVING count(*) * 800 > (SELECT count(*) FROM b)
+      |ORDER BY item""".stripMargin,
+    "q111_url_parse" -> """
+      |WITH u AS (SELECT
+      |    'shop-' || (c_custkey % 20) || '.example.com' AS host,
+      |    '/seg/' || lower(c_mktsegment) || '/item' AS path,
+      |    CAST(c_nationkey AS VARCHAR) AS nat
+      |  FROM customer)
+      |SELECT host, count(*) AS n_urls, count(DISTINCT nat) AS n_nations,
+      |       min(path) AS first_path
+      |FROM u GROUP BY host ORDER BY host""".stripMargin,
+    "q112_boilerplate" -> s"""
+      |WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+      |        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+      |      FROM toks),
+      |fl AS (SELECT gram
+      |       FROM (SELECT gram, count(DISTINCT doc_id) AS ndw FROM g GROUP BY 1)
+      |       WHERE ndw * 25 > (SELECT count(*) FROM documents))
+      |SELECT doc_id, count(*) AS n_grams,
+      |       CAST(sum(CASE WHEN gram IN (SELECT gram FROM fl)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q113_pagerank" -> """
+      |WITH mm AS (SELECT (max(o_orderkey) + 1) // 50 AS m FROM orders),
+      |nodes AS (SELECT DISTINCT o_orderkey % m AS node FROM orders, mm),
+      |e AS (SELECT node AS src, (node + 1) % m AS dst FROM nodes, mm
+      |      UNION ALL
+      |      SELECT node, (node * 13 + 3) % m FROM nodes, mm),
+      |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+      |r0 AS (SELECT node, CAST(1099511627776 AS BIGINT) AS r FROM nodes),
+      |s1 AS (SELECT e.dst, sum(r0.r // d.outdeg) AS s
+      |       FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+      |r1 AS (SELECT n.node,
+      |         (15 * 1099511627776) // 100 + (coalesce(s.s, 0) * 85) // 100 AS r
+      |       FROM nodes n LEFT JOIN s1 s ON s.dst = n.node),
+      |s2 AS (SELECT e.dst, sum(r1.r // d.outdeg) AS s
+      |       FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+      |r2 AS (SELECT n.node,
+      |         (15 * 1099511627776) // 100 + (coalesce(s.s, 0) * 85) // 100 AS r
+      |       FROM nodes n LEFT JOIN s2 s ON s.dst = n.node),
+      |s3 AS (SELECT e.dst, sum(r2.r // d.outdeg) AS s
+      |       FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+      |r3 AS (SELECT n.node,
+      |         (15 * 1099511627776) // 100 + (coalesce(s.s, 0) * 85) // 100 AS r
+      |       FROM nodes n LEFT JOIN s3 s ON s.dst = n.node)
+      |SELECT node, CAST(r AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin,
+    "q114_ewma" -> """
+      |WITH b AS (SELECT event_id, user_id,
+      |             CAST(round(value * 100) AS BIGINT) AS c, ts FROM events),
+      |w AS (SELECT event_id, user_id,
+      |        lag(c, 0) OVER win AS l0, lag(c, 1) OVER win AS l1,
+      |        lag(c, 2) OVER win AS l2, lag(c, 3) OVER win AS l3,
+      |        lag(c, 4) OVER win AS l4, lag(c, 5) OVER win AS l5,
+      |        lag(c, 6) OVER win AS l6, lag(c, 7) OVER win AS l7
+      |      FROM b WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_id, user_id,
+      |  CAST(coalesce(l0 * 128, 0) + coalesce(l1 * 64, 0) + coalesce(l2 * 32, 0)
+      |     + coalesce(l3 * 16, 0) + coalesce(l4 * 8, 0) + coalesce(l5 * 4, 0)
+      |     + coalesce(l6 * 2, 0) + coalesce(l7, 0) AS BIGINT) AS ewma_num,
+      |  CAST((CASE WHEN l0 IS NULL THEN 0 ELSE 128 END)
+      |     + (CASE WHEN l1 IS NULL THEN 0 ELSE 64 END)
+      |     + (CASE WHEN l2 IS NULL THEN 0 ELSE 32 END)
+      |     + (CASE WHEN l3 IS NULL THEN 0 ELSE 16 END)
+      |     + (CASE WHEN l4 IS NULL THEN 0 ELSE 8 END)
+      |     + (CASE WHEN l5 IS NULL THEN 0 ELSE 4 END)
+      |     + (CASE WHEN l6 IS NULL THEN 0 ELSE 2 END)
+      |     + (CASE WHEN l7 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS weight_sum
+      |FROM w ORDER BY event_id""".stripMargin,
+    "q115_anomaly" -> """
+      |WITH b AS (SELECT event_id, user_id,
+      |             CAST(round(value * 100) AS BIGINT) AS c, ts FROM events),
+      |w AS (SELECT event_id, c,
+      |        count(c) OVER win AS m,
+      |        CAST(coalesce(sum(c) OVER win, 0) AS BIGINT) AS s,
+      |        CAST(coalesce(sum(c * c) OVER win, 0) AS BIGINT) AS q
+      |      FROM b WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, CAST(m AS BIGINT) AS baseline_n,
+      |  CAST(CASE WHEN m = 16 AND (m * c - s) * (m * c - s) > 9 * (m * q - s * s)
+      |            THEN 1 ELSE 0 END AS INT) AS anomaly
+      |FROM w ORDER BY event_id""".stripMargin,
+    "q116_feature_hash" -> s"""
+      |WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+      |SELECT doc_id,
+      |  ('0x' || substring(sha256(token), 1, 4))::BIGINT % 64 AS bucket,
+      |  count(*) AS n
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q117_vocab_encode" -> s"""
+      |WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |pe AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos FROM toks),
+      |tok AS (SELECT doc_id, CAST(pos AS INT) AS pos, t[pos] AS token FROM pe),
+      |vc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+      |v AS (SELECT token,
+      |        CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS token_id
+      |      FROM vc)
+      |SELECT tok.doc_id, tok.pos, v.token_id
+      |FROM tok JOIN v USING (token) ORDER BY doc_id, pos""".stripMargin,
+    "q118_pmi_bigrams" -> s"""
+      |WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |uni AS (SELECT x, count(*) AS c
+      |        FROM (SELECT unnest(t) AS x FROM toks) GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM (SELECT unnest(t) AS x FROM toks)),
+      |bi AS (SELECT bigram, count(*) AS c_xy FROM (
+      |         SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i + 1])) AS bigram FROM toks)
+      |       GROUP BY 1 HAVING count(*) >= 5),
+      |sp AS (SELECT bigram, c_xy,
+      |         string_split(bigram, ' ')[1] AS x,
+      |         string_split(bigram, ' ')[2] AS y FROM bi)
+      |SELECT sp.bigram AS xy, sp.c_xy,
+      |  CAST((sp.c_xy * n.n * 100) // (ux.c * uy.c) AS BIGINT) AS pmi_scaled
+      |FROM sp CROSS JOIN n
+      |JOIN uni ux ON ux.x = sp.x
+      |JOIN uni uy ON uy.x = sp.y
+      |ORDER BY pmi_scaled DESC, xy LIMIT 50""".stripMargin)
+}

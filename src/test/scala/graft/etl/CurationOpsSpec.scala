@@ -1,0 +1,154 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computable fixtures for the round-3 curation operators (q110–q118
+  * run the same code against the DuckDB oracle; these pin semantics on
+  * inputs small enough to verify by eye, plus the sketch guarantees the
+  * synthetic corpus can't isolate). */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------- Misra–Gries
+
+  test("misraGries: bounded candidates, heavy item always survives") {
+    // 300× 'hot' among 700 distinct cold items; k=10 → at most 9 counters
+    val stream = Iterator.fill(300)("hot") ++ (1 to 700).iterator.map("c" + _)
+    val cands = Sketches.misraGries(stream, 10).toSeq
+    assert(cands.size <= 9)
+    assert(cands.contains("hot")) // freq 300 > 1000/10, must survive
+  }
+
+  test("heavyHitters: exact threshold, sketch false positives removed") {
+    // 80 a, 15 b, 5 c over 4 partitions; k=5 → keep freq > 100/5 = 20
+    val items = spark.createDataset(
+      List.fill(80)("a") ++ List.fill(15)("b") ++ List.fill(5)("c"))
+      .repartition(4)
+    val got = Sketches.heavyHitters(items, 5)
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(got == Seq(("a", 80L)))
+  }
+
+  test("heavyHitters: ties at the threshold are excluded (strict >)") {
+    // 20 a, 20 b over k=2 → threshold 40/2 = 20, nothing strictly above
+    val items = spark.createDataset(List.fill(20)("a") ++ List.fill(20)("b"))
+    assert(Sketches.heavyHitters(items, 2).isEmpty)
+  }
+
+  // ---------------------------------------------------------- PageRank
+
+  test("pageRankInt: 2-cycle conserves mass up to the div-100 floors") {
+    val nodes = Seq(1L, 2L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    // r0=1000: base=150, contribution (1000*85) div 100 = 850 → steady 1000
+    val got = Graph.pageRankInt(nodes, edges, "node", "src", "dst",
+        iterations = 3, r0 = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1000L, 2L -> 1000L))
+  }
+
+  test("pageRankInt: star graph, source decay and sink accumulation") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq((2L, 1L), (3L, 1L)).toDF("src", "dst")
+    // r0=1000: iter1 r(1)=150+(2000*85)div100=1850, r(2)=r(3)=150 (no
+    // in-edges); iter2+ r(1)=150+(300*85)div100=405 — steady by iter3
+    val got = Graph.pageRankInt(nodes, edges, "node", "src", "dst",
+        iterations = 3, r0 = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 405L, 2L -> 150L, 3L -> 150L))
+  }
+
+  // -------------------------------------------------------------- EWMA
+
+  test("ewmaDyadic: weights halve backwards, heads report partial wsum") {
+    val df = Seq((1L, 1L, 100L), (1L, 2L, 200L), (1L, 3L, 300L))
+      .toDF("k", "t", "v")
+    val got = Series.ewmaDyadic(df, "k", Seq("t"), "v", halfLives = 2)
+      .orderBy($"t").select($"ewma_num", $"weight_sum")
+      .as[(Long, Long)].collect().toSeq
+    // weights: current 2, one back 1
+    assert(got == Seq((200L, 2L), (500L, 3L), (800L, 3L)))
+  }
+
+  // ----------------------------------------------------------- anomaly
+
+  test("rollingAnomaly: strict 3-sigma on the trailing window, warmup off") {
+    val vals = Seq(10L, 20L, 25L, 31L)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("k", "t", "v")
+    val got = Series.rollingAnomaly(df, "k", Seq("t"), "v", n = 2, sigmas = 3)
+      .orderBy($"t").select($"baseline_n", $"anomaly")
+      .as[(Long, Int)].collect().toSeq
+    // rows 0,1: warmup (m<2). row 2: baseline {10,20}: (2·25−30)²=400 ≤
+    // 9·(2·500−900)=900 → 0. row 3: baseline {20,25}: (2·31−45)²=289 >
+    // 9·(2·1025−2025)=225 → 1.
+    assert(got == Seq((0L, 0), (1L, 0), (2L, 0), (2L, 1)))
+  }
+
+  test("rollingAnomaly: zero-variance baseline flags any deviation") {
+    val df = Seq(10L, 10L, 10L).zipWithIndex
+      .map { case (v, i) => (1L, i.toLong, v) } :+ ((1L, 3L, 11L))
+    val got = Series.rollingAnomaly(df.toDF("k", "t", "v"),
+        "k", Seq("t"), "v", n = 2, sigmas = 3)
+      .orderBy($"t").select($"anomaly").as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 0, 1))
+  }
+
+  // ------------------------------------------------------- boilerplate
+
+  test("boilerplateNgrams: grams crossing the doc-frequency bar flag back") {
+    val docs = Seq(
+      (1L, "a b c a b c"), // trigrams: "a b c","b c a","c a b","a b c"
+      (2L, "a b c x"),     // "a b c","b c x"
+      (3L, "z z z"))       // "z z z"
+      .toDF("doc_id", "text")
+    // freqDiv=2 → boilerplate = gram in > 3/2 docs, i.e. ≥ 2 docs: "a b c"
+    val got = Vocab.boilerplateNgrams(docs, "doc_id", "text", 3, 2)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 2L), (2L, 2L, 1L), (3L, 1L, 0L)))
+  }
+
+  // ------------------------------------------------------ feature hash
+
+  test("featureHash: buckets in range, per-doc mass equals token count") {
+    val docs = Seq((1L, "a b a c"), (2L, "a d")).toDF("doc_id", "text")
+    val fh = Vocab.featureHash(docs, "doc_id", "text", buckets = 8)
+    val perDoc = fh.groupBy($"doc_id").agg(sum($"n").as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc == Map(1L -> 4L, 2L -> 2L))
+    assert(fh.filter($"bucket" < 0 || $"bucket" >= 8).isEmpty)
+    // same token hashes to the same bucket in every doc
+    val aBuckets = Vocab.featureHash(
+      Seq((1L, "a"), (2L, "a")).toDF("doc_id", "text"), "doc_id", "text", 8)
+      .select($"bucket").distinct().count()
+    assert(aBuckets == 1L)
+  }
+
+  // ------------------------------------------------------ vocab encode
+
+  test("vocabulary + encode: ids by (count desc, token), positions 1-based") {
+    val docs = Seq((1L, "b b a"), (2L, "a c")).toDF("doc_id", "text")
+    // counts: a=2, b=2, c=1 → a→1, b→2 (tie broken by token), c→3
+    val got = Vocab.encode(docs, "doc_id", "text")
+      .orderBy($"doc_id", $"pos")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq((1L, 1, 2), (1L, 2, 2), (1L, 3, 1),
+      (2L, 1, 1), (2L, 2, 3)))
+  }
+
+  // ------------------------------------------------------- PMI bigrams
+
+  test("pmiBigrams: scaled integer ratio, minCount prunes") {
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"))
+      .toDF("doc_id", "text")
+    // N=6 tokens; c_x=3, c_y=2, c_z=1
+    val got = Vocab.pmiBigrams(docs, "doc_id", "text", minCount = 1, scale = 100)
+      .orderBy($"xy").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("x y", 2L, 200L),  // (2·6·100) div (3·2)
+      ("x z", 1L, 200L))) // (1·6·100) div (3·1)
+    val pruned = Vocab.pmiBigrams(docs, "doc_id", "text", minCount = 2)
+    assert(pruned.select($"xy").as[String].collect().toSeq == Seq("x y"))
+  }
+}
