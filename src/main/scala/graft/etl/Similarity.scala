@@ -72,8 +72,22 @@ object Similarity {
     * on shingle with no cap — correct at any frequency but O(Σc²) pair rows;
     * only for corpora known to be boilerplate-free. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame = {
-    val sh = explodeShingles(df, idCol, textCol, n).cache()
+      maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame =
+    ngramJaccardImpl(df, idCol, textCol, n, maxShingleFreq, materialize = true)
+
+  /** The same pair plan WITHOUT the final localCheckpoint (and without the
+    * intermediate caches that only pay off on a materialized run) — the
+    * checkpoint truncates the inspectable physical plan to an RDD scan, so
+    * PlanShapeSpec asserts the no-self-join guarantee on this variant. */
+  private[graft] def ngramJaccardPlan(df: DataFrame, idCol: String,
+      textCol: String, n: Int,
+      maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame =
+    ngramJaccardImpl(df, idCol, textCol, n, maxShingleFreq, materialize = false)
+
+  private def ngramJaccardImpl(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxShingleFreq: Option[Int], materialize: Boolean): DataFrame = {
+    val sh0 = explodeShingles(df, idCol, textCol, n)
+    val sh = if (materialize) sh0.cache() else sh0
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
     // caches created in the capped branch, released after final assembly
     var branchCaches: List[DataFrame] = Nil
@@ -94,7 +108,7 @@ object Similarity {
         // cached: referenced by both the hot-correction join and the final
         // assembly — without it the bucket groupBy + pair explode (the
         // heaviest stage) would be recomputed per consumer
-        val interCapped = buckets
+        val interCapped0 = buckets
           .filter(size(col("ids")) >= 2 && size(col("ids")) <= cap)
           .select(explode(flatten(
             transform(col("ids"), (x, i) =>
@@ -102,8 +116,9 @@ object Similarity {
                 y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
           .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
           .agg(count(lit(1)).as("inter_capped"))
-          .cache()
-        branchCaches = interCapped :: branchCaches
+        val interCapped =
+          if (materialize) interCapped0.cache() else interCapped0
+        if (materialize) branchCaches = interCapped :: branchCaches
         // correction: candidates may ALSO share boilerplate (> cap)
         // shingles; add those in via a join bounded by candidates ×
         // hot-shingles-per-doc (the hot shingle SET is tiny even when its
@@ -124,13 +139,16 @@ object Similarity {
     // can be dropped here instead of leaking for the session's lifetime —
     // localCheckpoint blocks are GC-cleaned once the result is unreachable,
     // .cache() blocks are not
-    val out = pairs
+    val assembled = pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
       .withColumn("union_size", col("size_a") + col("size_b") - col("inter"))
-      .localCheckpoint()
-    (sh :: branchCaches).foreach(_.unpersist())
-    out
+    if (!materialize) assembled
+    else {
+      val out = assembled.localCheckpoint()
+      (sh :: branchCaches).foreach(_.unpersist())
+      out
+    }
   }
 
   // ---------- MinHash + LSH ----------

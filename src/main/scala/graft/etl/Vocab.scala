@@ -15,7 +15,7 @@ object Vocab {
   /** (doc_id, pos, gram) sliding word n-grams; pos is 1-based. Same
     * constant-evaluation shape as [[Corpus.bigramsOf]] (slices, not a
     * per-element lambda over the token array). */
-  private[etl] def ngramRows(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def ngramRows(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val toks = Corpus.tokensOf(col(textCol))
     val grams = (0 until n).map { i =>
@@ -46,6 +46,29 @@ object Vocab {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         coalesce(sum(col("is_boiler")), lit(0L)).cast("long").as("n_boiler"))
+  }
+
+  /** Benchmark decontamination: per NON-eval document, how many of its
+    * distinct word n-grams also occur in the eval split (`evalPred` rows),
+    * plus a 0/1 contaminated flag. Eval sets are small by construction, so
+    * their gram set broadcasts and the corpus never shuffles for the
+    * overlap join; the distinct (doc, gram) pass and the per-doc count are
+    * the only shuffles. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      evalPred: Column, n: Int = 4): DataFrame = {
+    val grams = ngramRows(docs, idCol, textCol, n)
+      .select(col(idCol), col("gram")).distinct()
+    val evalGrams = docs.filter(evalPred)
+      .select(col(idCol)).join(grams, idCol)
+      .select(col("gram")).distinct()
+    val hits = docs.filter(!evalPred).select(col(idCol)).join(grams, idCol)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    docs.filter(!evalPred).select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n"), lit(0L)) > 0, lit(1)).otherwise(lit(0))
+          .as("contaminated"))
   }
 
   /** Hashing-trick feature counts: token → bucket via the repo's standard

@@ -148,7 +148,44 @@ object Curation {
       .limit(50)
   }
 
+  // ---------------------------------------------- q119 decontaminate
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * 4-gram with the eval split (doc_id % 97 == 0 — eval sets are small
+    * by construction, so their gram set broadcasts). The distinct
+    * (doc, gram) pass and the per-doc count are the only shuffles; the
+    * overlap join never shuffles the corpus. */
+  def q119Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Vocab.decontaminate(Tables.documents(spark, dir), "doc_id", "text",
+        evalPred = $"doc_id" % 97 === 0, n = 4)
+      .orderBy($"doc_id")
+  }
+
+  // ------------------------------------------------- q120 bpe pairs
+
+  /** One BPE-training merge round: adjacent character-pair frequencies
+    * weighted by word frequency, top-20. The pair explosion runs over
+    * the DISTINCT-WORD table (vocabulary-sized), not the corpus — the
+    * corpus-sized work is one combiner-friendly word count. */
+  def q120BpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(graft.etl.Corpus.tokensOf($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    // length-1 words have no pairs; the filter also keeps sequence()
+    // ascending (sequence(1,0) would DESCEND, not return empty)
+    words.filter(length($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"), $"freq")
+      .groupBy($"pair").agg(sum($"freq").as("cnt"))
+      .orderBy($"cnt".desc, $"pair").limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_decontaminate" -> q119Decontaminate _,
+    "q120_bpe_pairs" -> q120BpePairs _,
     "q110_heavy_hitters" -> q110HeavyHitters _,
     "q111_url_parse" -> q111UrlParse _,
     "q112_boilerplate" -> q112Boilerplate _,
@@ -160,6 +197,30 @@ object Curation {
     "q118_pmi_bigrams" -> q118PmiBigrams _)
 
   val oracleSql: Map[String, String] = Map(
+    "q119_decontaminate" -> s"""
+      |WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        unnest(list_transform(generate_series(1, len(t) - 3),
+      |          i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]))
+      |          AS gram
+      |      FROM toks),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      |hits AS (SELECT g.doc_id, count(*) AS n FROM g JOIN ev USING (gram)
+      |         WHERE g.doc_id % 97 <> 0 GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared,
+      |       CAST(CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END AS INT)
+      |         AS contaminated
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "q120_bpe_pairs" -> s"""
+      |WITH w AS (SELECT x AS w, count(*) AS freq
+      |           FROM (SELECT doc_id, unnest($toksSql) AS x FROM documents)
+      |           GROUP BY 1),
+      |p AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+      |        i -> substring(w, i, 2))) AS pair, freq
+      |      FROM w WHERE length(w) >= 2)
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+      |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q110_heavy_hitters" -> s"""
       |WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
       |b AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),

@@ -53,8 +53,13 @@ class PlanShapeSpec extends SparkSpec {
     // the scale guarantee: pair generation happens INSIDE the bucket
     // aggregate (explode over collect_list), so the only joins are the
     // small candidate/size joins — a shingle-on-shingle self-join would
-    // be the c² skew bomb
-    val p = plan("q26_ngram_jaccard")
+    // be the c² skew bomb. Asserted on the plan-only variant: the
+    // production path ends in localCheckpoint (cache hygiene), which
+    // truncates the inspectable plan to an RDD scan.
+    val df = graft.etl.Similarity.ngramJaccardPlan(
+      graft.Tables.documents(spark, dir), "doc_id", "text", 3)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("Generate"), "bucket-explode pair generation missing")
   }

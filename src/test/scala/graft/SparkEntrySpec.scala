@@ -13,7 +13,9 @@ class SparkEntrySpec extends AnyFunSuite {
     "Domain" -> (queries.Domain.queries.keySet, queries.Domain.oracleSql.keySet),
     "TrainingData" -> (queries.TrainingData.queries.keySet, queries.TrainingData.oracleSql.keySet),
     "ShopQueries" -> (queries.ShopQueries.queries.keySet, queries.ShopQueries.oracleSql.keySet),
-    "Reports" -> (queries.Reports.queries.keySet, queries.Reports.oracleSql.keySet))
+    "Reports" -> (queries.Reports.queries.keySet, queries.Reports.oracleSql.keySet),
+    "GraphEvents" -> (queries.GraphEvents.queries.keySet, queries.GraphEvents.oracleSql.keySet),
+    "Curation" -> (queries.Curation.queries.keySet, queries.Curation.oracleSql.keySet))
 
   test("every query has an oracle and vice versa") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)

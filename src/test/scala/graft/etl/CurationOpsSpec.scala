@@ -137,6 +137,29 @@ class CurationOpsSpec extends SparkSpec {
       (2L, 1, 1), (2L, 2, 3)))
   }
 
+  // --------------------------------------------------- decontamination
+
+  test("decontaminate: shared n-grams flag train docs, eval rows excluded") {
+    val docs = Seq(
+      (0L, "a b c d e"),   // eval: grams "a b c", "b c d", "c d e"
+      (1L, "x b c d y"),   // shares "b c d" → contaminated
+      (2L, "p q r s"),     // no shared gram
+      (3L, "c d e c d e")) // shares "c d e" (distinct grams counted once each)
+      .toDF("doc_id", "text")
+    val got = Vocab.decontaminate(docs, "doc_id", "text",
+        evalPred = col("doc_id") === 0, n = 3)
+      .orderBy($"doc_id").as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1), (2L, 0L, 0), (3L, 1L, 1)))
+  }
+
+  test("decontaminate: short docs survive with zero grams") {
+    val docs = Seq((0L, "a b c"), (1L, "a b")).toDF("doc_id", "text")
+    val got = Vocab.decontaminate(docs, "doc_id", "text",
+        evalPred = col("doc_id") === 0, n = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 0L, 0)))
+  }
+
   // ------------------------------------------------------- PMI bigrams
 
   test("pmiBigrams: scaled integer ratio, minCount prunes") {
