@@ -110,6 +110,39 @@ object Analytics {
         at(expr("(3 * _n + 3) div 4")).as("p75"))
   }
 
+  /** Interquartile-winsorized sum per group: values clamp to [p25, p75]
+    * before summing — the robust-mean counterpart of [[iqrOutliers]]
+    * (outliers are tamed, not dropped, so n stays the group size). Emits
+    * (group, n, wsum) as integers; callers divide. Quartiles come from
+    * [[exactPercentiles]] and join back as a one-row-per-group broadcast,
+    * so the clamp pass is map-side. */
+  def winsorizedStats(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val fences = exactPercentiles(df, groupCol, valueCol)
+      .select(col(groupCol), col("p25"), col("p75"))
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(fences), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(greatest(col("p25"), least(col("p75"), col(valueCol))))
+          .as("wsum"))
+  }
+
+  /** Exact per-group mode (most frequent value, ties to the SMALLEST
+    * value so the result is deterministic): two combiner-friendly
+    * aggregations — (group, value) counts, then one lexicographic max of
+    * struct(count, −value) per group. No window, no sort of the group's
+    * full row set. */
+  def modePerGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(max(struct(col("c"), (-col(valueCol)).as("nv"))).as("m"))
+      .select(col(groupCol), (-col("m.nv")).as("mode_value"),
+        col("m.c").as("mode_count"))
+
   /** Tukey-fence outlier rows per group: values outside
     * [p25 − k/2·IQR, p75 + k/2·IQR] (k in half-IQR steps keeps the
     * arithmetic integral — the classic 1.5·IQR fence is k=3). The

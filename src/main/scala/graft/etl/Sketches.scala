@@ -46,6 +46,23 @@ object Sketches {
       .select($"item", $"cnt")
   }
 
+  /** Exact distinct counting via 64-bit bitmap words — the roaring-bitmap
+    * aggregation pattern: ids bucket into words (id div 64), each word
+    * OR-accumulates its members' bits map-side, and the distinct count is
+    * Σ bit_count(word). Versus count(DISTINCT id), the shuffle carries at
+    * most (group × occupied words) 8-byte rows instead of every distinct
+    * (group, id) pair — a 64× reduction on dense id spaces, and the OR is
+    * commutative so partial aggregation does the heavy lifting. Requires
+    * non-negative ids. */
+  def bitmapDistinct(df: DataFrame, groupCol: String,
+      idCol: String): DataFrame =
+    df.select(col(groupCol), expr(s"$idCol div 64").as("w"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($idCol % 64 AS INT))").as("b"))
+      .groupBy(col(groupCol), col("w"))
+      .agg(expr("bit_or(b)").as("bits"))
+      .groupBy(col(groupCol))
+      .agg(sum(bit_count(col("bits"))).cast("long").as("n_distinct"))
+
   /** Misra–Gries frequent-items sketch over one partition: k−1 counters;
     * an unmatched item either claims a free counter or decrements all.
     * Survivors are exactly the items whose count exceeds n_p/k (plus

@@ -183,9 +183,47 @@ object Curation {
       .orderBy($"cnt".desc, $"pair").limit(20)
   }
 
+  // -------------------------------------------- q121 winsorized stats
+
+  /** Interquartile-winsorized sums per order priority
+    * ([[graft.etl.Analytics.winsorizedStats]]) over exact integer cents. */
+  def q121Winsorized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_orderpriority",
+      Series.cents($"o_totalprice").as("cents"))
+    graft.etl.Analytics.winsorizedStats(o, "o_orderpriority", "cents")
+      .orderBy($"o_orderpriority")
+  }
+
+  // ----------------------------------------------------- q122 mode
+
+  /** Per-event-type modal value (ties to smallest,
+    * [[graft.etl.Analytics.modePerGroup]]). */
+  def q122Mode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"event_type",
+      Series.cents($"value").as("cents"))
+    graft.etl.Analytics.modePerGroup(e, "event_type", "cents")
+      .orderBy($"event_type")
+  }
+
+  // ------------------------------------------- q123 bitmap distinct
+
+  /** Distinct users per event type via 64-bit bitmap aggregation
+    * ([[Sketches.bitmapDistinct]]) — bit-identical to count(DISTINCT). */
+  def q123BitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sketches.bitmapDistinct(Tables.events(spark, dir),
+        "event_type", "user_id")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_decontaminate" -> q119Decontaminate _,
     "q120_bpe_pairs" -> q120BpePairs _,
+    "q121_winsorized" -> q121Winsorized _,
+    "q122_mode" -> q122Mode _,
+    "q123_bitmap_distinct" -> q123BitmapDistinct _,
     "q110_heavy_hitters" -> q110HeavyHitters _,
     "q111_url_parse" -> q111UrlParse _,
     "q112_boilerplate" -> q112Boilerplate _,
@@ -221,6 +259,34 @@ object Curation {
       |      FROM w WHERE length(w) >= 2)
       |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
       |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "q121_winsorized" -> """
+      |WITH r AS (
+      |  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS rn,
+      |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders),
+      |f AS (SELECT o_orderpriority,
+      |        CAST(sum(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS BIGINT) AS p25,
+      |        CAST(sum(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS BIGINT) AS p75
+      |      FROM r GROUP BY 1)
+      |SELECT r.o_orderpriority, count(*) AS n,
+      |       CAST(sum(greatest(f.p25, least(f.p75, r.cents))) AS BIGINT) AS wsum
+      |FROM r JOIN f USING (o_orderpriority)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q122_mode" -> """
+      |WITH c AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |         count(*) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, cents AS mode_value, c AS mode_count
+      |FROM c
+      |QUALIFY row_number() OVER (PARTITION BY event_type
+      |  ORDER BY c DESC, cents) = 1
+      |ORDER BY event_type""".stripMargin,
+    "q123_bitmap_distinct" -> """
+      |SELECT event_type, count(DISTINCT user_id) AS n_distinct
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q110_heavy_hitters" -> s"""
       |WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
       |b AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),

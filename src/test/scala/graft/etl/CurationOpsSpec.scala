@@ -137,6 +137,38 @@ class CurationOpsSpec extends SparkSpec {
       (2L, 1, 1), (2L, 2, 3)))
   }
 
+  // ----------------------------------------------------- bitmap distinct
+
+  test("bitmapDistinct: equals count(distinct), ids across word boundaries") {
+    // ids straddle the 64-id word boundary and repeat
+    val df = Seq((1L, 0L), (1L, 63L), (1L, 64L), (1L, 64L), (1L, 130L),
+      (2L, 5L)).toDF("g", "id")
+    val got = Sketches.bitmapDistinct(df, "g", "id")
+      .orderBy($"g").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L), (2L, 1L)))
+  }
+
+  // --------------------------------------------------- winsorized stats
+
+  test("winsorizedStats: values clamp to [p25, p75], n keeps the group size") {
+    // sorted: 1,2,3,4,100 → n=5, p25 = rank ⌈5/4⌉=2 → 2, p75 = rank
+    // ⌈15/4⌉... (3n+3)//4 = 4 → 4; clamped sum = 2+2+3+4+4 = 15
+    val df = Seq(1L, 2L, 3L, 4L, 100L).map(("a", _)).toDF("g", "v")
+    val got = Analytics.winsorizedStats(df, "g", "v")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 5L, 15L)))
+  }
+
+  // ----------------------------------------------------------- mode
+
+  test("modePerGroup: most frequent value, ties break to the smallest") {
+    val df = Seq(("a", 5L), ("a", 5L), ("a", 3L), ("a", 3L), ("a", 9L),
+      ("b", 7L)).toDF("g", "v")
+    val got = Analytics.modePerGroup(df, "g", "v")
+      .orderBy($"g").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L, 2L), ("b", 7L, 1L))) // 3 and 5 tie at 2 → 3
+  }
+
   // --------------------------------------------------- decontamination
 
   test("decontaminate: shared n-grams flag train docs, eval rows excluded") {
