@@ -180,19 +180,45 @@ object Similarity {
   }
 
   /** MinHash+LSH near-dup detection end to end: candidates from banding,
-    * verified with exact shingle-set Jaccard ≥ `threshold`. */
+    * verified with exact shingle-set Jaccard ≥ `threshold`. The shingle
+    * table is cached for the duration of the call (three consumers:
+    * signatures, sizes, intersection counts), then released after the
+    * small pair result is materialized via localCheckpoint — same
+    * leak-free pattern as [[ngramJaccardPairs]]; checkpoint blocks are
+    * GC-cleaned once the result is unreachable, .cache() blocks are not. */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 1.0): DataFrame = {
-    val sh = explodeShingles(df, idCol, textCol, n).cache()
-    val sigs = minhashSignatures(sh, numHashes)
+      threshold: Double = 1.0): DataFrame =
+    minhashDedupImpl(df, idCol, textCol, n, numHashes, bands, threshold,
+      materialize = true)
+
+  /** The same pair plan WITHOUT the cache + final localCheckpoint — the
+    * checkpoint truncates the inspectable physical plan to an RDD scan, so
+    * plan-shape assertions use this variant. */
+  private[graft] def minhashDedupPlan(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 1.0): DataFrame =
+    minhashDedupImpl(df, idCol, textCol, n, numHashes, bands, threshold,
+      materialize = false)
+
+  private def minhashDedupImpl(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double,
+      materialize: Boolean): DataFrame = {
+    val sh0 = explodeShingles(df, idCol, textCol, n)
+    val sh = if (materialize) sh0.cache() else sh0
+    // the signature table is one row per DOC (tiny next to the shingle
+    // explode) but feeds a self-join in lshCandidatePairs — without a
+    // materialization barrier both join sides recompute the numHashes-way
+    // min-aggregation over the full shingle table (measured 8× on q27)
+    val sigs0 = minhashSignatures(sh, numHashes)
+    val sigs = if (materialize) sigs0.localCheckpoint() else sigs0
     val cands = lshCandidatePairs(sigs, bands, numHashes / bands)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = cands
       .join(sh.withColumnRenamed("id", "id_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    cands.join(inter, Seq("id_a", "id_b"), "left")
+    val assembled = cands.join(inter, Seq("id_a", "id_b"), "left")
       .na.fill(0, Seq("inter"))
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "size_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "size_b"), "id_b")
@@ -201,6 +227,12 @@ object Similarity {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("size_a") + col("size_b") - col("inter")).as("union_size"))
+    if (!materialize) assembled
+    else {
+      val out = assembled.localCheckpoint()
+      sh.unpersist()
+      out
+    }
   }
 
   // ---------- SimHash ----------

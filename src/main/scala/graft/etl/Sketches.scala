@@ -37,10 +37,19 @@ object Sketches {
     require(k >= 2, s"k must be >= 2, got $k")
     val candidates = items.mapPartitions(misraGries(_, k)).distinct()
       .toDF("item")
-    val total = items.toDF("item").agg(count(lit(1)).as("n"))
-    items.toDF("item")
-      .join(broadcast(candidates), "item")
-      .groupBy($"item").agg(count(lit(1)).as("cnt"))
+    // one exact pass computes BOTH the grand total and the per-candidate
+    // recount: non-candidate items collapse onto a single NULL key, so the
+    // aggregation carries at most |candidates|+1 keys (map-side combine
+    // does the work) and the input is scanned twice overall — candidate
+    // pass + this — with no corpus-sized cache. The tiny result is
+    // localCheckpointed because it feeds two consumers (total + filter).
+    val counts = items.toDF("item")
+      .join(broadcast(candidates.withColumn("hit", lit(1))), Seq("item"), "left")
+      .groupBy(when($"hit" === 1, $"item").as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val total = counts.agg(sum($"cnt").as("n"))
+    counts.filter($"item".isNotNull)
       .join(broadcast(total))
       .filter($"cnt" * k > $"n")
       .select($"item", $"cnt")
@@ -62,6 +71,50 @@ object Sketches {
       .agg(expr("bit_or(b)").as("bits"))
       .groupBy(col(groupCol))
       .agg(sum(bit_count(col("bits"))).cast("long").as("n_distinct"))
+
+  /** Bloom-filter-pruned exact semi-join: keep fact rows whose key appears
+    * in `dim`, with a bitmap pre-filter ahead of the exact join.
+    *
+    * The filter is built DISTRIBUTED — each dim key sets `kHashes` bits,
+    * words OR-accumulate map-side (the [[bitmapDistinct]] pattern) — and
+    * the mBits/64 longs are fetched to the driver. That fetch is bounded
+    * by the mBits PARAMETER (a config constant: 2²⁰ bits = 16 K longs =
+    * 128 KB), never by data — the same bounded-fetch family as the IVF
+    * centroid read. The fact side then drops non-members map-side BEFORE
+    * any shuffle; the final exact semi-join removes the Bloom false
+    * positives, so the result is bit-identical to a plain semi-join while
+    * the shuffle carries only ~FP-rate extra rows. This is the manual,
+    * parameterized form of the runtime row-filter AQE can inject — here
+    * the dim side can be any computed DataFrame, not just a join child.
+    *
+    * Membership test per key: bit i = xxhash64(seed i, key) mod mBits;
+    * AND over kHashes word probes against the broadcast literal array. */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, mBits: Int = 1 << 20, kHashes: Int = 4): DataFrame = {
+    require(mBits > 0 && Integer.bitCount(mBits) == 1,
+      s"mBits must be a positive power of two, got $mBits")
+    require(kHashes >= 1, s"kHashes must be >= 1, got $kHashes")
+    val keys = dim.select(col(dimKey).as("k")).filter(col("k").isNotNull)
+    val positions = (0 until kHashes)
+      .map(i => pmod(xxhash64(lit(i), col("k")), lit(mBits.toLong)))
+    val words = keys
+      .select(explode(array(positions: _*)).as("pos"))
+      .select(expr("pos div 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val bitmap = Array.tabulate(mBits / 64)(i => words.getOrElse(i, 0L))
+    val bmp = typedLit(bitmap.toSeq)
+    val member = (0 until kHashes).map { i =>
+      val pos = pmod(xxhash64(lit(i), col(factKey)), lit(mBits.toLong))
+      val word = element_at(bmp, (pos / 64).cast("int") + 1)
+      val mask = call_function("shiftleft", lit(1L),
+        pmod(pos, lit(64L)).cast("int"))
+      word.bitwiseAND(mask) =!= 0
+    }.reduce(_ && _)
+    fact.filter(col(factKey).isNotNull && member)
+      .join(keys.distinct(), fact(factKey) === col("k"), "left_semi")
+  }
 
   /** Misra–Gries frequent-items sketch over one partition: k−1 counters;
     * an unmatched item either claims a free counter or decrements all.

@@ -86,27 +86,61 @@ object Vocab {
   }
 
   /** Global frequency-ranked vocabulary: token_id 1.. by (count DESC,
-    * token ASC). The ranking window runs over the DISTINCT-TERM table —
-    * vocabulary-sized, not corpus-sized (a 100 TB corpus has a ~10⁷-term
-    * vocabulary; ranking that on one partition is a few hundred MB, the
-    * corpus-sized explode before it is the distributed part). */
-  def vocabulary(docs: DataFrame, textCol: String): DataFrame = {
+    * token ASC), ranked WITHOUT a single-partition global window.
+    *
+    * Two-phase rank: range-partition the distinct-term table on the sort
+    * key (partition i wholly precedes partition i+1, and keys are unique
+    * because `token` breaks count ties, so any sampled boundary split
+    * yields the same global order), rank within partitions in parallel,
+    * then add broadcast per-partition offsets. The offsets table has
+    * `rankPartitions` rows — its cumulative-sum window is the only
+    * single-partition step left and is O(rankPartitions). The term table
+    * is localCheckpointed so the rank pass and the offset count don't
+    * recompute the corpus-sized explode+count.
+    *
+    * `minCount` floors the vocabulary so the ranked table (and any
+    * downstream broadcast) is bounded by N/minCount by construction — on
+    * a web corpus the raw token domain (hapax/garbage/unicode) can be
+    * 10⁸–10⁹, the ≥2-count vocabulary orders of magnitude smaller. */
+  def vocabulary(docs: DataFrame, textCol: String, minCount: Long = 1,
+      rankPartitions: Int = 32): DataFrame = {
     val counts = docs
       .select(explode(Corpus.tokensOf(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    counts.withColumn("token_id",
-      row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+      .filter(col("cnt") >= minCount)
+    val bucketed = counts
+      .repartitionByRange(rankPartitions, col("cnt").desc, col("token").asc)
+      .withColumn("bucket", spark_partition_id())
+      .localCheckpoint()
+    val local = bucketed.withColumn("local_rank", row_number().over(
+      Window.partitionBy(col("bucket"))
+        .orderBy(col("cnt").desc, col("token"))))
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("sz"))
+      .withColumn("off", coalesce(
+        sum(col("sz")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    local.join(broadcast(offsets), "bucket")
+      .select(col("token"), col("cnt"),
+        (col("off") + col("local_rank")).cast("int").as("token_id"))
   }
 
   /** Encode documents as (doc, pos, token_id) against the global
-    * [[vocabulary]] — the id-mapping side of tokenization (broadcast dim
-    * join; the vocabulary is small by construction). */
-  def encode(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val vocab = vocabulary(docs, textCol).select(col("token"), col("token_id"))
+    * [[vocabulary]] — the id-mapping side of tokenization. Tokens below
+    * the `minCount` floor encode as the OOV id 0. No explicit broadcast
+    * hint: the floored vocabulary usually broadcasts, but that is AQE's
+    * runtime call — the fallback is a correct shuffle join on the token
+    * key, never a driver OOM. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 1): DataFrame = {
+    val vocab = vocabulary(docs, textCol, minCount)
+      .select(col("token"), col("token_id"))
     docs.select(col(idCol),
         posexplode(Corpus.tokensOf(col(textCol))).as(Seq("pos0", "token")))
-      .join(broadcast(vocab), "token")
-      .select(col(idCol), (col("pos0") + 1).as("pos"), col("token_id"))
+      .join(vocab, Seq("token"), "left")
+      .select(col(idCol), (col("pos0") + 1).as("pos"),
+        coalesce(col("token_id"), lit(0)).as("token_id"))
   }
 
   /** Bigram association strength as a pre-scaled integer PMI ratio:
@@ -117,18 +151,32 @@ object Vocab {
   def pmiBigrams(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5, scale: Long = 100): DataFrame = {
     val toks = Corpus.tokensOf(col(textCol))
+    // every surviving bigram has c_xy >= minCount occurrences, so BOTH its
+    // unigrams occur >= minCount times — pre-filtering the unigram table to
+    // c >= minCount is exactness-preserving and shrinks it from the raw
+    // token domain (unbounded garbage/unicode on a web corpus) to the
+    // >= minCount vocabulary. No explicit broadcast hints on the unigram
+    // joins: the filtered table usually broadcasts, but at 100 TB that is
+    // AQE's runtime call to make, not a plan-time promise — a shuffle join
+    // on the token key is the correct fallback, never a driver OOM.
     val uni = docs.select(explode(toks).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
     val n = docs.select(explode(toks).as("t")).agg(count(lit(1)).as("n"))
     val bi = docs.select(explode(Corpus.bigramsOf(toks)).as("xy"))
       .groupBy(col("xy")).agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
       .withColumn("x", split(col("xy"), " ").getItem(0))
       .withColumn("y", split(col("xy"), " ").getItem(1))
-    bi.join(broadcast(uni.select(col("t").as("x"), col("c").as("c_x"))), "x")
-      .join(broadcast(uni.select(col("t").as("y"), col("c").as("c_y"))), "y")
+    // c_xy·N·scale can reach ~10^26 on a 10^12-token corpus — far past
+    // Long (Spark 4 ANSI would throw) — so the ratio is computed in
+    // decimal(38,0) and only the final integral quotient (≤ N·scale)
+    // narrows back to BIGINT
+    bi.join(uni.select(col("t").as("x"), col("c").as("c_x")), "x")
+      .join(uni.select(col("t").as("y"), col("c").as("c_y")), "y")
       .join(broadcast(n))
       .select(col("xy"), col("c_xy"),
-        expr(s"(c_xy * n * $scale) div (c_x * c_y)").as("pmi_scaled"))
+        expr(s"CAST((CAST(c_xy AS DECIMAL(38,0)) * n * $scale) div " +
+          "(CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)").as("pmi_scaled"))
   }
 }
