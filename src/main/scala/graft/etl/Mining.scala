@@ -1,0 +1,137 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Statistical mining operators over grouped data — regression, impurity,
+  * ranking quality, set overlap, and clustering assignment. Part of the
+  * training-data-pipeline surface beyond the reference (its analytics stop
+  * at GROUP BY counts/averages, e.g. visualize-data.ts:102-180).
+  *
+  * Exactness pattern: every output is an integer count or a pre-scaled
+  * integer ratio computed with cross-multiplication instead of division
+  * (the repo-wide recipe — see q95 TF-IDF, q118 PMI), so the DuckDB oracle
+  * re-derives each row bit-for-bit. Sums that can exceed Long at corpus
+  * scale run in decimal(38,0) and only the final quotient narrows back.
+  */
+object Mining {
+
+  /** Per-group OLS slope as a pre-scaled integer ratio:
+    * slope_scaled = (n·Σxy − Σx·Σy) · scale div (n·Σx² − (Σx)²).
+    *
+    * One combiner-friendly groupBy carries the five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) — the classic single-pass regression shape; no
+    * second pass, no centering join. Sums run in decimal(38,0): at 10¹²
+    * rows Σxy and n·Σxy overflow Long long before the data is "big".
+    * Groups with zero x-variance yield NULL (NULLIF guards the quotient —
+    * same on the oracle side). */
+  def groupedSlope(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, scale: Long = 10000): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast(d38).as("n"),
+        sum(col(xCol).cast(d38)).as("sx"),
+        sum(col(yCol).cast(d38)).as("sy"),
+        sum((col(xCol).cast(d38) * col(yCol).cast(d38))).as("sxy"),
+        sum((col(xCol).cast(d38) * col(xCol).cast(d38))).as("sxx"))
+      .select(col(groupCol), col("n").cast("long").as("n"),
+        expr(s"CAST(((n * sxy - sx * sy) * $scale) div " +
+          "NULLIF(n * sxx - sx * sx, 0) AS BIGINT)").as("slope_scaled"))
+  }
+
+  /** Per-group Gini impurity of a categorical distribution, scaled:
+    * gini_scaled = (N² − Σc²) · scale div N². Two combiner-friendly
+    * shuffles — (group, category) counts, then per-group Σc² — with
+    * decimal(38,0) squares (c² overflows Long past ~3·10⁹ rows per
+    * category). 0 = pure group, → scale·(1−1/k) for uniform k classes. */
+  def giniImpurity(df: DataFrame, groupCol: String, catCol: String,
+      scale: Long = 10000): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.filter(col(catCol).isNotNull)
+      .groupBy(col(groupCol), col(catCol)).agg(count(lit(1)).as("_cc"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_cc")).cast(d38).as("n"),
+        sum(col("_cc").cast(d38) * col("_cc").cast(d38)).as("ss"),
+        count(lit(1)).as("n_cats"))
+      .select(col(groupCol), col("n").cast("long").as("n"), col("n_cats"),
+        expr(s"CAST(((n * n - ss) * $scale) div (n * n) AS BIGINT)")
+          .as("gini_scaled"))
+  }
+
+  /** Per-group reciprocal rank of the first relevant row (the MRR
+    * numerator), as scale div rank — exact integers. `rankCols` is the
+    * deterministic ranking order (include a tiebreaker); `relevant` marks
+    * hit rows. One partitioned window pass + one aggregate: the window
+    * ranks inside each group in parallel, nothing global. Groups with no
+    * relevant rows report rank NULL and rr_scaled NULL. */
+  def firstRelevantRank(df: DataFrame, groupCol: String,
+      rankCols: Seq[org.apache.spark.sql.Column], relevant: org.apache.spark.sql.Column,
+      scale: Long = 1000000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(rankCols: _*)
+    df.withColumn("_rk", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(min(when(relevant, col("_rk"))).cast("long").as("first_rank"),
+        sum(when(relevant, lit(1)).otherwise(lit(0))).cast("long")
+          .as("n_relevant"))
+      .select(col(groupCol), col("first_rank"), col("n_relevant"),
+        expr(s"CAST($scale div first_rank AS BIGINT)").as("rr_scaled"))
+  }
+
+  /** Exact pairwise Jaccard between per-group element SETS (e.g. the user
+    * populations of each event type), in basis points:
+    * jaccard_bp = |A∩B| · 10000 div |A∪B|.
+    *
+    * Shape: distinct (group, elem), then a self-join ON THE ELEMENT KEY —
+    * fan-out per element is (groups-per-element choose 2), bounded by the
+    * GROUP DOMAIN squared, not the data. Exact and shuffle-bounded for
+    * enum-like group domains (event types, languages, sources); for
+    * unbounded group domains use the MinHash family in [[Similarity]]
+    * instead — that is the documented boundary between the two. */
+  def groupSetJaccard(df: DataFrame, groupCol: String,
+      elemCol: String): DataFrame = {
+    val d = df.select(col(groupCol).as("g"), col(elemCol).as("e"))
+      .filter(col("g").isNotNull && col("e").isNotNull).distinct()
+    val sizes = d.groupBy(col("g")).agg(count(lit(1)).as("sz"))
+    val inter = d.as("a").join(d.as("b"),
+        col("a.e") === col("b.e") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g_a"), col("b.g").as("g_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("g").as("g_a"), col("sz").as("size_a")), "g_a")
+      .join(sizes.select(col("g").as("g_b"), col("sz").as("size_b")), "g_b")
+      .select(col("g_a"), col("g_b"), col("inter"),
+        (col("size_a") + col("size_b") - col("inter")).as("union_size"),
+        expr("CAST(inter * 10000 div (size_a + size_b - inter) AS BIGINT)")
+          .as("jaccard_bp"))
+  }
+
+  /** K-means assignment step on quantized embeddings ([[Similarity.quantize]]
+    * — integer distances are exact and engine-order-independent).
+    * Deterministic seeding: the k lowest-id vectors are the centroids (the
+    * reproducible-pipeline convention; k-means++ would randomize the
+    * oracle away). Each vector joins the BROADCAST k-row centroid table
+    * (bounded by the k parameter — same family as the 16-row IVF centroid
+    * fetch), squared distance is an integer fold, and argmin is
+    * min(struct(dist², centroid)) inside one combiner-friendly groupBy —
+    * no per-vector window sort. The centroid-update half of Lloyd's loop
+    * is the trivial groupBy(cluster) mean; assignment is the scale-bearing
+    * part. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = emb.select(col(idCol).as("vid"),
+      Similarity.quantize(col(vecCol)).as("qv"))
+    val cents = q.orderBy(col("vid")).limit(k)
+      .select(col("vid").as("cid"), col("qv").as("cv"))
+    q.crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v))
+      .groupBy(col("vid"))
+      .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+      .select(col("vid").as(idCol), col("m.cid").as("cluster"),
+        col("m.dist2").as("dist2"))
+  }
+}

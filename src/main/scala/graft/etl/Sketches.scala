@@ -94,9 +94,10 @@ object Sketches {
     require(mBits > 0 && Integer.bitCount(mBits) == 1,
       s"mBits must be a positive power of two, got $mBits")
     require(kHashes >= 1, s"kHashes must be >= 1, got $kHashes")
-    val keys = dim.select(col(dimKey).as("k")).filter(col("k").isNotNull)
+    val keys = dim.select(col(dimKey).as("_bloom_key"))
+      .filter(col("_bloom_key").isNotNull)
     val positions = (0 until kHashes)
-      .map(i => pmod(xxhash64(lit(i), col("k")), lit(mBits.toLong)))
+      .map(i => pmod(xxhash64(lit(i), col("_bloom_key")), lit(mBits.toLong)))
     val words = keys
       .select(explode(array(positions: _*)).as("pos"))
       .select(expr("pos div 64").as("w"),
@@ -113,7 +114,7 @@ object Sketches {
       word.bitwiseAND(mask) =!= 0
     }.reduce(_ && _)
     fact.filter(col(factKey).isNotNull && member)
-      .join(keys.distinct(), fact(factKey) === col("k"), "left_semi")
+      .join(keys.distinct(), fact(factKey) === col("_bloom_key"), "left_semi")
   }
 
   /** Misra–Gries frequent-items sketch over one partition: k−1 counters;

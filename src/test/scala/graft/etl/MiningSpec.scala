@@ -1,0 +1,113 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computable fixtures for the round-4 mining operators (q124–q129
+  * run the same code against the DuckDB oracle; these pin semantics on
+  * inputs small enough to verify by eye, plus the Bloom exactness
+  * guarantee the synthetic corpus can't isolate). */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------- bloom semi-join
+
+  test("bloomSemiJoin: bit-identical to a plain semi-join") {
+    val fact = (1L to 200L).map(i => (i % 50, i)).toDF("k", "payload")
+    val dim = Seq(3L, 7L, 11L, 49L, 999L).toDF("dk")
+    val got = Sketches.bloomSemiJoin(fact, dim, "k", "dk")
+      .select($"k", $"payload").as[(Long, Long)].collect().toSet
+    val want = fact.join(dim, $"k" === $"dk", "left_semi")
+      .as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.map(_._1) == Set(3L, 7L, 11L, 49L))
+  }
+
+  test("bloomSemiJoin: exact even when the filter is saturated with FPs") {
+    // 64 bits + 1 hash for 40 keys → filter nearly all-ones; the exact
+    // verify join must still remove every false positive
+    val fact = (1L to 300L).toDF("k")
+    val dim = (1L to 80L).filter(_ % 2 == 0).toDF("dk")
+    val got = Sketches.bloomSemiJoin(fact, dim, "k", "dk",
+        mBits = 64, kHashes = 1)
+      .as[Long].collect().toSet
+    assert(got == (2L to 80L by 2).toSet)
+  }
+
+  // ------------------------------------------------------ grouped slope
+
+  test("groupedSlope: exact scaled slopes, including negative truncation") {
+    // g1: y = 2x -> 20000. g2: n=3, sx=4, sy=4, sxy=1, sxx=10 ->
+    // (3*1-16)*10000 div (3*10-16) = -130000 div 14 = -9285 (toward zero,
+    // matching DuckDB's `//`). g3: zero x-variance -> NULL.
+    val df = Seq(
+      ("g1", 0, 0), ("g1", 1, 2), ("g1", 2, 4),
+      ("g2", 0, 3), ("g2", 1, 1), ("g2", 3, 0),
+      ("g3", 5, 1), ("g3", 5, 9)).toDF("g", "x", "y")
+    val got = Mining.groupedSlope(df, "g", "x", "y")
+      .as[(String, Long, Option[Long])].collect()
+      .map { case (g, n, s) => g -> ((n, s)) }.toMap
+    assert(got == Map(
+      "g1" -> ((3L, Some(20000L))),
+      "g2" -> ((3L, Some(-9285L))),
+      "g3" -> ((2L, None))))
+  }
+
+  // --------------------------------------------------------------- gini
+
+  test("giniImpurity: pure group 0, 2-way even split 5000") {
+    val df = Seq(("p", "a"), ("p", "a"), ("p", "a"),
+      ("m", "a"), ("m", "a"), ("m", "b"), ("m", "b")).toDF("g", "c")
+    val got = Mining.giniImpurity(df, "g", "c")
+      .select($"g", $"gini_scaled").as[(String, Long)].collect().toMap
+    assert(got("p") == 0L)
+    // n=4, ss=8: (16-8)*10000 div 16 = 5000
+    assert(got("m") == 5000L)
+  }
+
+  // ---------------------------------------------------------------- mrr
+
+  test("firstRelevantRank: rank of first hit, scale div rank") {
+    val df = Seq(("s", 30.0, 1L), ("s", 20.0, 13L), ("s", 10.0, 26L),
+      ("t", 9.0, 2L), ("t", 8.0, 3L)).toDF("seg", "score", "id")
+    val got = Mining.firstRelevantRank(df, "seg",
+        Seq($"score".desc, $"id".asc), $"id" % 13 === 0)
+      .as[(String, Option[Long], Long, Option[Long])].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    assert(got("s") == ((Some(2L), 2L, Some(500000L))))
+    assert(got("t") == ((None, 0L, None)))
+  }
+
+  // -------------------------------------------------------- set jaccard
+
+  test("groupSetJaccard: exact overlap in basis points, duplicates ignored") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 3),
+      ("b", 2), ("b", 3), ("b", 4), ("c", 9)).toDF("g", "e")
+    val got = Mining.groupSetJaccard(df, "g", "e").collect()
+    assert(got.length == 1) // only (a,b) intersect; c pairs drop out
+    val r = got.head
+    assert(r.getAs[Long]("inter") == 2L)
+    assert(r.getAs[Long]("union_size") == 4L)
+    assert(r.getAs[Long]("jaccard_bp") == 5000L) // 2*10000 div 4
+  }
+
+  // ------------------------------------------------------------- kmeans
+
+  test("kmeansAssign: nearest centroid wins, id breaks distance ties") {
+    // k=2 -> centroids are vecs 1 and 2; vec 3 sits at distance 8 from
+    // c1 and 0 from c2; vec 4 is equidistant -> lower cid wins
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(0.002f, 0.002f)),
+      (3L, Array(0.002f, 0.002f)),
+      (4L, Array(0.001f, 0.001f))).toDF("vec_id", "embedding")
+    val got = Mining.kmeansAssign(emb, "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, c, d) => k -> ((c, d)) }.toMap
+    assert(got(1L) == ((1L, 0L)))
+    assert(got(2L) == ((2L, 0L)))
+    assert(got(3L) == ((2L, 0L)))
+    // quantized (1,1): dist 2 to both centroids -> cid 1
+    assert(got(4L) == ((1L, 2L)))
+  }
+}
