@@ -108,6 +108,76 @@ object Mining {
           .as("jaccard_bp"))
   }
 
+  /** Per-token χ² association with a binary document label (the classic
+    * feature-selection screen): for each token, the 2×2 contingency table
+    * (has-token × label) over DISTINCT (doc, token) pairs, and
+    * chi2_scaled = N·(ad−bc)² · scale div ((a+b)(c+d)(a+c)(b+d)).
+    *
+    * Shuffles: one distinct (doc, token), one per-token count — both
+    * combiner-friendly; the two scalar totals (N, L) broadcast. Exactness
+    * bound: N·(ad−bc)² ≤ N⁵/16 must fit decimal(38,0) ⇒ exact up to
+    * ~5·10⁷ docs per computation; past that, shard by doc-hash and χ²
+    * each shard (additivity does not hold exactly, but screening does) —
+    * documented rather than silently floated. `minDocs` floors the
+    * per-token document frequency so the output is vocabulary-bounded. */
+  def chi2TokenLabel(docs: DataFrame, idCol: String, textCol: String,
+      label: org.apache.spark.sql.Column, minDocs: Long = 50,
+      scale: Long = 10000): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val docTok = docs
+      .select(col(idCol), label.cast("int").as("_lbl"),
+        explode(Corpus.tokensOf(col(textCol))).as("token"))
+      .distinct()
+    val totals = docs.agg(count(lit(1)).cast(d38).as("nn"),
+      sum(label.cast("int")).cast(d38).as("ll"))
+    val perTok = docTok.groupBy(col("token"))
+      .agg(count(lit(1)).cast(d38).as("nt"),
+        sum(col("_lbl")).cast(d38).as("a"))
+      .filter(col("nt") >= minDocs)
+    perTok.join(broadcast(totals))
+      .select(col("token"), col("nt").cast("long").as("n_docs"),
+        col("a").cast("long").as("n_label_docs"),
+        expr(("CAST((nn * (a * (nn - ll - nt + a) - (nt - a) * (ll - a)) " +
+          "* (a * (nn - ll - nt + a) - (nt - a) * (ll - a)) * %d) div " +
+          "NULLIF(nt * (nn - nt) * ll * (nn - ll), 0) AS BIGINT)")
+          .format(scale)).as("chi2_scaled"))
+  }
+
+  /** Cohort drift screen: for each group, compare a binary cohort split
+    * (e.g. even/odd user id, this-week/last-week) on an integer measure —
+    * mean gap and variance ratio, both as scaled integer ratios from
+    * single-pass sufficient statistics (n, S, Q per cohort, one shuffle).
+    *
+    * mean_gap_scaled = |S₁n₂ − S₂n₁| · scale div (n₁n₂)  (shift-exact)
+    * var_ratio_scaled = (n₁Q₁−S₁²)·n₂²(n₂−1) · scale div
+    *                    ((n₂Q₂−S₂²)·n₁²(n₁−1))  — the F-statistic.
+    * Exactness bound: the var-ratio numerator is ~n³Q·scale; decimal(38,0)
+    * holds it for cohorts up to ~10⁶ rows at cents-scale values — beyond
+    * that, screen on hash-sampled cohorts (documented, not floated).
+    * Cohorts with n < 2 or zero variance yield NULL (NULLIF guard). */
+  def cohortDrift(df: DataFrame, groupCol: String,
+      cohort: org.apache.spark.sql.Column, valueCol: String,
+      scale: Long = 10000): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val v = col(valueCol).cast(d38)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(cohort, 1).otherwise(0)).cast(d38).as("n1"),
+        sum(when(!cohort, 1).otherwise(0)).cast(d38).as("n2"),
+        sum(when(cohort, v).otherwise(lit(0).cast(d38))).as("s1"),
+        sum(when(!cohort, v).otherwise(lit(0).cast(d38))).as("s2"),
+        sum(when(cohort, v * v).otherwise(lit(0).cast(d38))).as("q1"),
+        sum(when(!cohort, v * v).otherwise(lit(0).cast(d38))).as("q2"))
+      .select(col(groupCol),
+        col("n1").cast("long").as("n_a"), col("n2").cast("long").as("n_b"),
+        expr(s"CAST((abs(s1 * n2 - s2 * n1) * $scale) div " +
+          "NULLIF(n1 * n2, 0) AS BIGINT)").as("mean_gap_scaled"),
+        expr(s"CAST(((n1 * q1 - s1 * s1) * n2 * n2 * (n2 - 1) * $scale) div " +
+          "NULLIF((n2 * q2 - s2 * s2) * n1 * n1 * (n1 - 1), 0) AS BIGINT)")
+          .as("var_ratio_scaled"))
+  }
+
   /** K-means assignment step on quantized embeddings ([[Similarity.quantize]]
     * — integer distances are exact and engine-order-independent).
     * Deterministic seeding: the k lowest-id vectors are the centroids (the

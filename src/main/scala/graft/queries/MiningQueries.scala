@@ -16,6 +16,10 @@ import graft.etl.{Mining, Series, Sketches}
   */
 object MiningQueries {
 
+  /** DuckDB-side token list — must match [[graft.etl.Corpus.tokensOf]]. */
+  private val toksSql =
+    """list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '')"""
+
   // ------------------------------------------------ q124 bloom semi-join
 
   /** Lineitems of URGENT orders via [[Sketches.bloomSemiJoin]]: the Bloom
@@ -96,7 +100,36 @@ object MiningQueries {
       .orderBy($"vec_id")
   }
 
+  // ---------------------------------------------------- q130 chi2
+
+  /** Per-token χ² association with the lang='en' label
+    * ([[Mining.chi2TokenLabel]]), top-40 — the feature-selection screen;
+    * ≥50-doc frequency floor bounds the output by the vocabulary. */
+  def q130Chi2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Mining.chi2TokenLabel(Tables.documents(spark, dir), "doc_id", "text",
+        label = $"lang" === "en", minDocs = 50, scale = 10000)
+      .orderBy($"chi2_scaled".desc, $"token")
+      .limit(40)
+  }
+
+  // --------------------------------------------------- q131 drift
+
+  /** Cohort drift screen between even/odd user populations per event
+    * type ([[Mining.cohortDrift]]): scaled mean gap + variance ratio
+    * from one pass of sufficient statistics. */
+  def q131Drift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"event_type",
+      $"user_id", Series.cents($"value").as("cents"))
+    Mining.cohortDrift(e, "event_type", $"user_id" % 2 === 0, "cents",
+        scale = 10000)
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_chi2" -> q130Chi2 _,
+    "q131_drift" -> q131Drift _,
     "q124_bloom_join" -> q124BloomJoin _,
     "q125_grouped_slope" -> q125GroupedSlope _,
     "q126_gini" -> q126Gini _,
@@ -105,6 +138,50 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q130_chi2" -> s"""
+      |WITH lab AS (SELECT doc_id,
+      |               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lbl
+      |             FROM documents),
+      |dt AS (SELECT DISTINCT doc_id, unnest($toksSql) AS token
+      |       FROM documents),
+      |tot AS (SELECT CAST(count(*) AS HUGEINT) AS nn,
+      |               CAST(sum(lbl) AS HUGEINT) AS ll FROM lab),
+      |pt AS (SELECT token, CAST(count(*) AS HUGEINT) AS nt,
+      |         CAST(sum(lbl) AS HUGEINT) AS a
+      |       FROM dt JOIN lab USING (doc_id)
+      |       GROUP BY token HAVING count(*) >= 50)
+      |SELECT token, CAST(nt AS BIGINT) AS n_docs,
+      |  CAST(a AS BIGINT) AS n_label_docs,
+      |  CAST((nn * (a * (nn - ll - nt + a) - (nt - a) * (ll - a))
+      |           * (a * (nn - ll - nt + a) - (nt - a) * (ll - a)) * 10000)
+      |       // NULLIF(nt * (nn - nt) * ll * (nn - ll), 0) AS BIGINT)
+      |    AS chi2_scaled
+      |FROM pt CROSS JOIN tot
+      |ORDER BY chi2_scaled DESC, token LIMIT 40""".stripMargin,
+    "q131_drift" -> """
+      |WITH b AS (SELECT event_type,
+      |             CAST(round(value * 100) AS BIGINT) AS v,
+      |             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS c
+      |           FROM events),
+      |s AS (SELECT event_type,
+      |        CAST(sum(c) AS HUGEINT) AS n1,
+      |        CAST(sum(1 - c) AS HUGEINT) AS n2,
+      |        CAST(sum(CASE WHEN c = 1 THEN CAST(v AS HUGEINT) ELSE 0 END)
+      |          AS HUGEINT) AS s1,
+      |        CAST(sum(CASE WHEN c = 0 THEN CAST(v AS HUGEINT) ELSE 0 END)
+      |          AS HUGEINT) AS s2,
+      |        CAST(sum(CASE WHEN c = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+      |          AS HUGEINT) AS q1,
+      |        CAST(sum(CASE WHEN c = 0 THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+      |          AS HUGEINT) AS q2
+      |      FROM b GROUP BY 1)
+      |SELECT event_type, CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+      |  CAST((abs(s1 * n2 - s2 * n1) * 10000) // NULLIF(n1 * n2, 0)
+      |    AS BIGINT) AS mean_gap_scaled,
+      |  CAST(((n1 * q1 - s1 * s1) * n2 * n2 * (n2 - 1) * 10000)
+      |       // NULLIF((n2 * q2 - s2 * s2) * n1 * n1 * (n1 - 1), 0)
+      |    AS BIGINT) AS var_ratio_scaled
+      |FROM s ORDER BY event_type""".stripMargin,
     "q124_bloom_join" -> """
       |SELECT l_returnflag, count(*) AS n_items,
       |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)

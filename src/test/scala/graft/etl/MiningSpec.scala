@@ -91,6 +91,35 @@ class MiningSpec extends SparkSpec {
     assert(r.getAs[Long]("jaccard_bp") == 5000L) // 2*10000 div 4
   }
 
+  // ---------------------------------------------------------------- chi2
+
+  test("chi2TokenLabel: hand-checked 2x2 tables") {
+    // x: nt=2,a=2 -> chi2 = 4*16/(2*2*2*2) = 4 -> 40000
+    // y: nt=3,a=1 -> ad-bc = -2, chi2 = 4*4/12 -> 13333 truncated
+    val docs = Seq((1L, "x y", "en"), (2L, "x", "en"),
+      (3L, "y", "de"), (4L, "y", "de")).toDF("doc_id", "text", "lang")
+    val got = Mining.chi2TokenLabel(docs, "doc_id", "text",
+        $"lang" === "en", minDocs = 1)
+      .select($"token", $"chi2_scaled").as[(String, Long)].collect().toMap
+    assert(got == Map("x" -> 40000L, "y" -> 13333L))
+  }
+
+  // --------------------------------------------------------------- drift
+
+  test("cohortDrift: mean gap and F-ratio on tiny cohorts") {
+    // A = {0,2}, B = {1,3}: means 1 vs 2 -> gap 10000; vars 2 vs 2 -> 10000
+    val df = Seq(("g", true, 0L), ("g", true, 2L),
+      ("g", false, 1L), ("g", false, 3L),
+      ("h", true, 5L), ("h", false, 1L), ("h", false, 2L)).toDF("g", "c", "v")
+    val got = Mining.cohortDrift(df, "g", $"c", "v")
+      .select($"g", $"mean_gap_scaled", $"var_ratio_scaled")
+      .as[(String, Option[Long], Option[Long])].collect()
+      .map { case (g, m, v) => g -> ((m, v)) }.toMap
+    assert(got("g") == ((Some(10000L), Some(10000L))))
+    // h: single-row cohort A -> n1-1 = 0 kills the F-ratio denominator
+    assert(got("h")._2.isEmpty)
+  }
+
   // ------------------------------------------------------------- kmeans
 
   test("kmeansAssign: nearest centroid wins, id breaks distance ties") {
