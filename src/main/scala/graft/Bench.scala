@@ -73,7 +73,10 @@ object Bench {
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var done = 0
     ordered.foreach { case (name, fn) =>
-      if (headline.contains(name)) {
+      // the first query of the run also gets a warmup: it would otherwise
+      // absorb the whole JVM's first-job cost (codegen compiler init,
+      // parquet footer caching) and report ~8x its steady state
+      if (headline.contains(name) || results.isEmpty) {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => }
         releaseStorage(spark)
       }

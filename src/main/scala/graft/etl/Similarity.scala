@@ -237,11 +237,11 @@ object Similarity {
 
   // ---------- SimHash ----------
 
-  private val simhashUdf = udf((t: String) => graft.functions.Text.simhashBits(t))
-
-  /** Per-row 64-bit SimHash sketch as a bit string (SQL-oracle-friendly). */
+  /** Per-row 64-bit SimHash sketch as a bit string (SQL-oracle-friendly),
+    * via the native codegen expression `graft.plans.Simhash` (registered
+    * by GraftExtensions) — no UDF boundary, transparent to the optimizer. */
   def withSimhash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
-    df.withColumn(out, simhashUdf(col(textCol)))
+    df.withColumn(out, call_function("simhash", col(textCol)))
 
   /** SimHash near-dup pairs with hamming ≤ maxDist, banded into 4 16-bit
     * blocks (pigeonhole guarantees recall for maxDist ≤ 3). */

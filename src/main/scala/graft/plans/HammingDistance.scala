@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * via doGenCode, so the SimHash near-dup filter stays inside the generated
   * loop instead of crossing a UDF boundary per row-pair.
   *
-  * One of the engine's three custom `Expression`s (see [[QDot]], [[LongestRun]]) — everything
+  * One of the engine's four custom `Expression`s (see [[QDot]], [[LongestRun]], [[Simhash]]) — everything
   * else in the SURVEY.md §2 inventory maps to built-ins (§7.3), and this
   * exists because the hamming filter sits in the hottest inner join of the
   * SimHash dedup path where rows × candidate-pairs can be billions at 100 TB.
@@ -64,8 +64,8 @@ case class HammingDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Engine extensions: registers `hamming(a, b)`, `qdot(a, b)` and
-  * `longest_run(arr)` in the function registry. Wired via
+/** Engine extensions: registers `hamming(a, b)`, `qdot(a, b)`,
+  * `longest_run(arr)` and `simhash(text)` in the function registry. Wired via
   * `spark.sql.extensions=graft.plans.GraftExtensions`
   * ([[graft.Sessions.builder]]); callable from SQL and `call_function`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -90,6 +90,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "longest_run(arr) takes exactly 1 argument")
         LongestRun(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[Simhash].getName, "simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash(text) takes exactly 1 argument")
+        Simhash(children.head)
       }))
     // HOF dot-product pattern → QDot (see QDotRewrite Scaladoc)
     ext.injectOptimizerRule(_ => QDotRewrite)
