@@ -143,6 +143,43 @@ object Vocab {
         coalesce(col("token_id"), lit(0)).as("token_id"))
   }
 
+  /** Duplicated-span audit — the shuffle-friendly core of substring
+    * deduplication (the Lee et al. 2022 "Deduplicating Training Data"
+    * operation, minus the suffix array): an n-gram POSITION is duplicated
+    * when its gram occurs ≥2 times corpus-wide (within- or cross-doc);
+    * per document, report total positions, duplicated positions, and the
+    * longest consecutive duplicated run (a run of r positions ≈ a
+    * duplicated span of r+n−1 tokens). A true suffix array finds spans at
+    * every length simultaneously; fixing the anchor length n trades that
+    * for three bounded shuffles — gram count (combiner-friendly), a join
+    * back on the gram key, and one per-doc window — which is the shape
+    * that survives 100 TB. Islands via the pos − row_number trick (same
+    * as [[Events.mergeIntervals]]), no self-join. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = ngramRows(docs, idCol, textCol, n)
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") >= 2).select(col("gram"))
+    val flagged = grams.join(dup, Seq("gram"), "left_semi")
+      .withColumn("_isl", col("pos") - row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+    val runs = flagged.groupBy(col(idCol), col("_isl"))
+      .agg(count(lit(1)).as("_run"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_runs"),
+        sum(col("_run")).cast("long").as("n_dup_pos"),
+        max(col("_run")).cast("long").as("max_run"))
+    docs.select(col(idCol),
+        greatest(size(Corpus.tokensOf(col(textCol))) - (n - 1), lit(0))
+          .cast("long").as("n_pos"))
+      .join(runs, Seq(idCol), "left")
+      .select(col(idCol), col("n_pos"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
+
   /** Bigram association strength as a pre-scaled integer PMI ratio:
     * score = (c_xy · N · scale) div (c_x · c_y), monotone in pointwise
     * mutual information (log of the same ratio) — ranking and

@@ -127,9 +127,22 @@ object MiningQueries {
       .orderBy($"event_type")
   }
 
+  // ------------------------------------------------ q132 dup spans
+
+  /** Duplicated-span audit over 4-gram anchors
+    * ([[graft.etl.Vocab.duplicatedSpans]]) — the substring-dedup shape:
+    * duplicated positions and longest duplicated run per document. */
+  def q132DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Vocab.duplicatedSpans(Tables.documents(spark, dir),
+        "doc_id", "text", n = 4)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_chi2" -> q130Chi2 _,
     "q131_drift" -> q131Drift _,
+    "q132_dup_spans" -> q132DupSpans _,
     "q124_bloom_join" -> q124BloomJoin _,
     "q125_grouped_slope" -> q125GroupedSlope _,
     "q126_gini" -> q126Gini _,
@@ -138,6 +151,31 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q132_dup_spans" -> s"""
+      |WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |pe AS (SELECT doc_id, t,
+      |         unnest(generate_series(1, len(t) - 3)) AS pos FROM toks),
+      |g AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+      |        t[pos] || ' ' || t[pos + 1] || ' ' || t[pos + 2] || ' '
+      |          || t[pos + 3] AS gram
+      |      FROM pe),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      |f AS (SELECT doc_id, pos,
+      |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+      |          AS isl
+      |      FROM g WHERE gram IN (SELECT gram FROM dup)),
+      |r AS (SELECT doc_id, isl, count(*) AS run FROM f GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+      |          CAST(sum(run) AS BIGINT) AS n_dup_pos,
+      |          CAST(max(run) AS BIGINT) AS max_run
+      |        FROM r GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(greatest(len($toksSql) - 3, 0) AS BIGINT) AS n_pos,
+      |  coalesce(a.n_dup_pos, 0) AS n_dup_pos,
+      |  coalesce(a.n_runs, 0) AS n_runs,
+      |  coalesce(a.max_run, 0) AS max_run
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin,
     "q130_chi2" -> s"""
       |WITH lab AS (SELECT doc_id,
       |               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lbl

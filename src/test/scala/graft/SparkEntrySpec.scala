@@ -15,7 +15,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "ShopQueries" -> (queries.ShopQueries.queries.keySet, queries.ShopQueries.oracleSql.keySet),
     "Reports" -> (queries.Reports.queries.keySet, queries.Reports.oracleSql.keySet),
     "GraphEvents" -> (queries.GraphEvents.queries.keySet, queries.GraphEvents.oracleSql.keySet),
-    "Curation" -> (queries.Curation.queries.keySet, queries.Curation.oracleSql.keySet))
+    "Curation" -> (queries.Curation.queries.keySet, queries.Curation.oracleSql.keySet),
+    "MiningQueries" -> (queries.MiningQueries.queries.keySet, queries.MiningQueries.oracleSql.keySet))
 
   test("every query has an oracle and vice versa") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)

@@ -120,6 +120,21 @@ class MiningSpec extends SparkSpec {
     assert(got("h")._2.isEmpty)
   }
 
+  // ----------------------------------------------------------- dup spans
+
+  test("duplicatedSpans: islands of corpus-duplicated positions") {
+    // bigrams: "a b" x3, "b c" x3 duplicated; d1 dup positions {1,2,4,5}
+    // -> two runs of 2; d2 {1,2} -> one run of 2; d3 has no dup grams
+    val docs = Seq((1L, "a b c a b c x"), (2L, "a b c q"),
+      (3L, "z z1 z2")).toDF("doc_id", "text")
+    val got = Vocab.duplicatedSpans(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, np, nd, nr, mr) => id -> ((np, nd, nr, mr)) }.toMap
+    assert(got(1L) == ((6L, 4L, 2L, 2L)))
+    assert(got(2L) == ((3L, 2L, 1L, 2L)))
+    assert(got(3L) == ((2L, 0L, 0L, 0L)))
+  }
+
   // ------------------------------------------------------------- kmeans
 
   test("kmeansAssign: nearest centroid wins, id breaks distance ties") {
