@@ -60,4 +60,22 @@ object Series {
   /** Integer cents of a float money/value column — the shared exactness
     * recipe (round half-up at 2dp, then everything downstream integral). */
   def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Exact rolling lower-median over the previous `n` rows (current
+    * included): collect the frame, sort, take element (len+1)/2 — the
+    * LOWER median, so the result is always an actual data value and the
+    * cross-engine compare stays integer-exact (an interpolated even-count
+    * median would reintroduce floats). The collected frame lives only
+    * inside the window operator — O(n) state per row position, same
+    * per-key single-shuffle shape as [[ewmaDyadic]]; output is scalar, so
+    * the array never crosses the operator boundary (or the harness, which
+    * cannot hash arrays). */
+  def rollingMedian(df: DataFrame, partCol: String, orderCols: Seq[String],
+      valueCol: String, n: Int = 15, out: String = "roll_median"): DataFrame = {
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val frame = array_sort(collect_list(col(valueCol)).over(w))
+    df.withColumn(out, element_at(frame, ((size(frame) + 1) / 2).cast("int")))
+  }
 }

@@ -139,10 +139,27 @@ object MiningQueries {
       .orderBy($"doc_id")
   }
 
+  // --------------------------------------------- q133 rolling median
+
+  /** Exact rolling lower-median of the last 15 values per user
+    * ([[Series.rollingMedian]]): sorted-frame indexing on the Spark side,
+    * native `quantile_disc` window on the oracle side — two independent
+    * derivations of the same discrete quantile. */
+  def q133RollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"event_id", $"user_id",
+      Series.cents($"value").as("cents"), $"ts")
+    Series.rollingMedian(e, "user_id", Seq("ts", "event_id"), "cents",
+        n = 15)
+      .select($"event_id", $"roll_median")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_chi2" -> q130Chi2 _,
     "q131_drift" -> q131Drift _,
     "q132_dup_spans" -> q132DupSpans _,
+    "q133_rolling_median" -> q133RollingMedian _,
     "q124_bloom_join" -> q124BloomJoin _,
     "q125_grouped_slope" -> q125GroupedSlope _,
     "q126_gini" -> q126Gini _,
@@ -151,6 +168,14 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q133_rolling_median" -> """
+      |WITH b AS (SELECT event_id, user_id,
+      |             CAST(round(value * 100) AS BIGINT) AS c, ts FROM events)
+      |SELECT event_id,
+      |  quantile_disc(c, 0.5) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS roll_median
+      |FROM b ORDER BY event_id""".stripMargin,
     "q132_dup_spans" -> s"""
       |WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
       |pe AS (SELECT doc_id, t,

@@ -135,6 +135,17 @@ class MiningSpec extends SparkSpec {
     assert(got(3L) == ((2L, 0L, 0L, 0L)))
   }
 
+  // ------------------------------------------------------ rolling median
+
+  test("rollingMedian: lower median of the trailing frame") {
+    // frames of 3 over [5,1,3,2]: [5]->5, [1,5]->1, [1,3,5]->3, [1,2,3]->2
+    val df = Seq((1L, 1L, 5L), (1L, 2L, 1L), (1L, 3L, 3L), (1L, 4L, 2L))
+      .toDF("u", "seq", "v")
+    val got = Series.rollingMedian(df, "u", Seq("seq"), "v", n = 3)
+      .select($"seq", $"roll_median").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 5L, 2L -> 1L, 3L -> 3L, 4L -> 2L))
+  }
+
   // ------------------------------------------------------------- kmeans
 
   test("kmeansAssign: nearest centroid wins, id breaks distance ties") {
