@@ -122,8 +122,15 @@ object Similarity {
         // correction: candidates may ALSO share boilerplate (> cap)
         // shingles; add those in via a join bounded by candidates ×
         // hot-shingles-per-doc (the hot shingle SET is tiny even when its
-        // memberships are huge — membership lists are never pair-exploded)
-        val hotSet = buckets.filter(size(col("ids")) > cap).select(col("shingle"))
+        // memberships are huge — membership lists are never pair-exploded).
+        // The hot set comes from a COUNT-ONLY aggregation, not from
+        // `buckets`: re-deriving it there would rerun the collect_list
+        // shuffle (the heaviest stage) a second time just to read sizes —
+        // partial counts shuffle a few bytes per shingle instead of the
+        // full id lists
+        val hotSet = sh.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("_freq"))
+          .filter(col("_freq") > cap).select(col("shingle"))
         val shHot = sh.join(broadcast(hotSet), Seq("shingle"))
         val interHot = interCapped.select(col("id_a"), col("id_b"))
           .join(shHot.withColumnRenamed("id", "id_a"), "id_a")
