@@ -242,6 +242,52 @@ object Similarity {
     }
   }
 
+  /** Incremental dedup — flag NEW-batch documents against the EXISTING
+    * corpus, the shape a production ingest actually runs (nightly batch
+    * vs 100 TB standing corpus): exact duplicates via content-hash
+    * membership, near-duplicates via ≥ `minShared` shared non-boilerplate
+    * shingles with any old document.
+    *
+    * The scale property is what the join DOESN'T do: old×old pairs never
+    * form. The shingle join is strictly new-side × old-side on the
+    * shingle key, after a count-only boilerplate bar (> `maxShingleDocs`
+    * docs ⇒ no dedup signal, and the bar bounds the per-shingle fan-out
+    * at new×old ≤ maxShingleDocs² rather than corpus²). The old corpus
+    * pays one hash pass and one shingle shuffle per ingest; the heavy
+    * work is proportional to the NEW batch. Returns one row per new doc:
+    * (id, exact_dup, n_near_old, is_dup). */
+  def incrementalDupFlags(docs: DataFrame, idCol: String, textCol: String,
+      isNew: org.apache.spark.sql.Column, n: Int = 3, minShared: Long = 5,
+      maxShingleDocs: Int = 50): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"),
+      isNew.as("is_new"))
+    val hashes = base.withColumn("h", sha2(col("text"), 256))
+    val oldHashes = hashes.filter(!col("is_new"))
+      .select(col("h")).distinct().withColumn("_hit", lit(1))
+    val exact = hashes.filter(col("is_new"))
+      .join(oldHashes, Seq("h"), "left")
+      .select(col("id"), coalesce(col("_hit"), lit(0)).as("exact_dup"))
+    val sh = explodeShingles(base, "id", "text", n)
+    val ok = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_d"))
+      .filter(col("_d") <= maxShingleDocs).select(col("shingle"))
+    val shOk = sh.join(ok, Seq("shingle"), "left_semi")
+    val newSh = shOk.join(base.filter(col("is_new")).select(col("id")),
+      Seq("id"), "left_semi")
+    val oldSh = shOk.join(base.filter(!col("is_new")).select(col("id")),
+        Seq("id"), "left_semi")
+      .withColumnRenamed("id", "old_id")
+    val near = newSh.join(oldSh, "shingle")
+      .groupBy(col("id"), col("old_id")).agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minShared)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_near_old"))
+    exact.join(near, Seq("id"), "left")
+      .select(col("id").as(idCol), col("exact_dup"),
+        coalesce(col("n_near_old"), lit(0L)).as("n_near_old"),
+        when(col("exact_dup") === 1 ||
+          coalesce(col("n_near_old"), lit(0L)) > 0, 1)
+          .otherwise(0).as("is_dup"))
+  }
+
   // ---------- SimHash ----------
 
   /** Per-row 64-bit SimHash sketch as a bit string (SQL-oracle-friendly),

@@ -155,11 +155,28 @@ object MiningQueries {
       .orderBy($"event_id")
   }
 
+  // ---------------------------------------- q134 incremental dedup
+
+  /** Incremental ingest dedup ([[graft.etl.Similarity.incrementalDupFlags]])
+    * over the q25 planted-duplicate corpus: "new batch" = the planted
+    * copies plus every 7th original, flagged against the standing corpus
+    * by exact hash and ≥5 shared non-boilerplate trigram shingles. The
+    * old×old quadrant never joins — the cost law of nightly ingest. */
+  def q134IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Similarity.incrementalDupFlags(
+        TrainingData.corpus(spark, dir), "doc_id", "text",
+        isNew = $"doc_id" >= 1000000L || $"doc_id" % 7 === 0,
+        n = 3, minShared = 5, maxShingleDocs = 50)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_chi2" -> q130Chi2 _,
     "q131_drift" -> q131Drift _,
     "q132_dup_spans" -> q132DupSpans _,
     "q133_rolling_median" -> q133RollingMedian _,
+    "q134_incremental_dedup" -> q134IncrementalDedup _,
     "q124_bloom_join" -> q124BloomJoin _,
     "q125_grouped_slope" -> q125GroupedSlope _,
     "q126_gini" -> q126Gini _,
@@ -168,6 +185,39 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q134_incremental_dedup" -> s"""
+      |WITH ${TrainingData.corpusSql},
+      |lab AS (SELECT doc_id, text,
+      |          CASE WHEN doc_id >= 1000000 OR doc_id % 7 = 0
+      |               THEN 1 ELSE 0 END AS is_new
+      |        FROM corpus),
+      |h AS (SELECT doc_id, is_new, sha256(text) AS h FROM lab),
+      |oldh AS (SELECT DISTINCT h FROM h WHERE is_new = 0),
+      |sh AS (SELECT DISTINCT doc_id, tf[i] || ' ' || tf[i+1] || ' ' || tf[i+2] AS s
+      |       FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+      |                      x -> x <> '') AS tf
+      |             FROM lab),
+      |            LATERAL (SELECT unnest(generate_series(1,
+      |              greatest(len(tf) - 2, 0))) AS i) g),
+      |ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+      |shf AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM ok)),
+      |near AS (SELECT a.doc_id, b.doc_id AS old_id, count(*) AS shared
+      |         FROM shf a JOIN shf b ON a.s = b.s
+      |         JOIN lab la ON la.doc_id = a.doc_id
+      |         JOIN lab lb ON lb.doc_id = b.doc_id
+      |         WHERE la.is_new = 1 AND lb.is_new = 0
+      |         GROUP BY 1, 2 HAVING count(*) >= 5),
+      |nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near_old
+      |       FROM near GROUP BY 1)
+      |SELECT l.doc_id,
+      |  CAST(CASE WHEN o.h IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_dup,
+      |  coalesce(nn.n_near_old, 0) AS n_near_old,
+      |  CAST(CASE WHEN o.h IS NOT NULL OR coalesce(nn.n_near_old, 0) > 0
+      |       THEN 1 ELSE 0 END AS INT) AS is_dup
+      |FROM (SELECT doc_id, h FROM h WHERE is_new = 1) l
+      |LEFT JOIN oldh o ON o.h = l.h
+      |LEFT JOIN nn ON nn.doc_id = l.doc_id
+      |ORDER BY l.doc_id""".stripMargin,
     "q133_rolling_median" -> """
       |WITH b AS (SELECT event_id, user_id,
       |             CAST(round(value * 100) AS BIGINT) AS c, ts FROM events)

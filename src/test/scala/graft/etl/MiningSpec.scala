@@ -135,6 +135,25 @@ class MiningSpec extends SparkSpec {
     assert(got(3L) == ((2L, 0L, 0L, 0L)))
   }
 
+  // --------------------------------------------------- incremental dedup
+
+  test("incrementalDupFlags: exact hash, shared-shingle near, clean miss") {
+    val docs = Seq(
+      (1L, "a b c d e f g", false), (2L, "z1 z2 z3 z4 z5 z6 z7", false),
+      (3L, "a b c d e f g", true),  // exact copy of old doc 1
+      (4L, "a b c d e f x", true),  // shares 4 of 5 trigrams with doc 1
+      (5L, "q w e r t y u", true)   // no overlap
+    ).toDF("doc_id", "text", "nu")
+    val got = Similarity.incrementalDupFlags(docs, "doc_id", "text",
+        isNew = $"nu", n = 3, minShared = 4, maxShingleDocs = 50)
+      .as[(Long, Int, Long, Int)].collect()
+      .map { case (id, e, nn, d) => id -> ((e, nn, d)) }.toMap
+    assert(got(3L) == ((1, 1L, 1)))
+    assert(got(4L) == ((0, 1L, 1)))
+    assert(got(5L) == ((0, 0L, 0)))
+    assert(got.size == 3) // old docs never appear in the output
+  }
+
   // ------------------------------------------------------ rolling median
 
   test("rollingMedian: lower median of the trailing frame") {
