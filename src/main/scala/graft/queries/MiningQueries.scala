@@ -171,7 +171,30 @@ object MiningQueries {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------- q135 equi-depth histogram
+
+  /** Equi-depth (ntile) histogram of order value per priority — the
+    * optimizer-statistics histogram (q93 is the equi-WIDTH variant):
+    * 10 deciles per group with count and exact integer bounds. Ties
+    * broken by order key so the ntile assignment is deterministic; one
+    * partitioned window + one combiner-friendly groupBy. */
+  def q135EquidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"cents", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority", $"o_orderkey",
+        Series.cents($"o_totalprice").as("cents"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"o_orderpriority", $"decile")
+      .agg(count(lit(1)).as("n"), min($"cents").as("lo"),
+        max($"cents").as("hi"))
+      .orderBy($"o_orderpriority", $"decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_equidepth" -> q135EquidepthHistogram _,
     "q130_chi2" -> q130Chi2 _,
     "q131_drift" -> q131Drift _,
     "q132_dup_spans" -> q132DupSpans _,
@@ -185,6 +208,17 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q135_equidepth" -> """
+      |WITH b AS (SELECT o_orderpriority, o_orderkey,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |           FROM orders),
+      |d AS (SELECT o_orderpriority, cents,
+      |        ntile(10) OVER (PARTITION BY o_orderpriority
+      |          ORDER BY cents, o_orderkey) AS decile
+      |      FROM b)
+      |SELECT o_orderpriority, decile, count(*) AS n,
+      |       CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q134_incremental_dedup" -> s"""
       |WITH ${TrainingData.corpusSql},
       |lab AS (SELECT doc_id, text,
