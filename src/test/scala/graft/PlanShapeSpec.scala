@@ -183,6 +183,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q124: bloom membership filters the fact scan BEFORE the semi-join") {
+    val p = plan("q124_bloom_join")
+    // the bitmap probe is a Filter on the fact side, not inside the join
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("xxhash64"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q127/q129: set-jaccard and kmeans never plan an unbounded cartesian") {
+    val p127 = plan("q127_set_jaccard")
+    assert(!p127.contains("CartesianProduct"))
+    assert(!p127.contains("BroadcastNestedLoopJoin"))
+    val p129 = plan("q129_kmeans")
+    // the only product is the broadcast k-row centroid table
+    assert(p129.contains("BroadcastNestedLoopJoin") ||
+      p129.contains("BroadcastExchange"))
+    assert(!p129.contains("CartesianProduct"))
+    // argmin folds into an aggregate, not a per-vector window sort
+    assert(p129.contains("partial_min"))
+  }
+
+  test("q131: drift statistics partial-aggregate before the one shuffle") {
+    val p = plan("q131_drift")
+    assert(p.contains("partial_"))
+    // one shuffle for the groupBy, one for the final orderBy — nothing
+    // else (formatted mode lists each node twice: tree + detail section)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2)
+  }
+
+  test("q134: incremental dedup joins new-vs-old, never old-vs-old") {
+    val p = plan("q134_incremental_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("shop adapter transform keeps whole-stage codegen spans") {
     import spark.implicits._
     val row =
