@@ -180,6 +180,39 @@ object Vocab {
         coalesce(col("max_run"), lit(0L)).as("max_run"))
   }
 
+  /** Unigram-surprisal document scoring — the LM-quality curation signal
+    * computable without a language model: each token position contributes
+    * ⌊log₂N⌋ − ⌊log₂c⌋ bits (N = corpus token count, c = the token's
+    * corpus frequency), i.e. floored unigram self-information. Low total
+    * ≈ boilerplate/common text, high mean ≈ rare-token gibberish — the
+    * two tails a curation pass trims. log₂ floors come from binary-digit
+    * COUNTS (`length(bin(x)) − 1`), exact integers on any engine — no
+    * float log to drift. Shuffles: the unigram count, the token→count
+    * join (AQE broadcasts the vocab when small), one per-doc sum. */
+  def unigramSurprisal(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = Corpus.tokensOf(col(textCol))
+    val uni = docs.select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("_c"))
+    val n = uni.agg(sum(col("_c")).as("_n"))
+    val bits = docs
+      .select(col(idCol), explode(toks).as("token"))
+      .join(uni, "token")
+      .join(broadcast(n))
+      .select(col(idCol),
+        (length(expr("bin(_n)")) - length(expr("bin(_c)"))).as("_bits"))
+    docs.select(col(idCol))
+      .join(bits.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("_bits")).cast("long").as("surprisal_bits")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
+        expr("CAST(coalesce(surprisal_bits, 0) * 100 div " +
+          "NULLIF(n_tokens, 0) AS BIGINT)").as("mean_bits_x100"))
+  }
+
   /** Bigram association strength as a pre-scaled integer PMI ratio:
     * score = (c_xy · N · scale) div (c_x · c_y), monotone in pointwise
     * mutual information (log of the same ratio) — ranking and

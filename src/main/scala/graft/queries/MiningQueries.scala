@@ -193,7 +193,20 @@ object MiningQueries {
       .orderBy($"o_orderpriority", $"decile")
   }
 
+  // ------------------------------------------------ q136 surprisal
+
+  /** Unigram-surprisal scoring ([[graft.etl.Vocab.unigramSurprisal]]):
+    * floored self-information bits per token position via binary-digit
+    * counts — the no-LM quality signal, exact on any engine. */
+  def q136Surprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Vocab.unigramSurprisal(Tables.documents(spark, dir),
+        "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_surprisal" -> q136Surprisal _,
     "q135_equidepth" -> q135EquidepthHistogram _,
     "q130_chi2" -> q130Chi2 _,
     "q131_drift" -> q131Drift _,
@@ -208,6 +221,23 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q136_surprisal" -> s"""
+      |WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+      |uni AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+      |b AS (SELECT tok.doc_id,
+      |        length(bin(n.n)) - length(bin(uni.c)) AS bits
+      |      FROM tok JOIN uni USING (token) CROSS JOIN n),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |          CAST(sum(bits) AS BIGINT) AS surprisal_bits
+      |        FROM b GROUP BY 1)
+      |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+      |  coalesce(a.surprisal_bits, 0) AS surprisal_bits,
+      |  CAST(coalesce(a.surprisal_bits, 0) * 100 // NULLIF(a.n_tokens, 0)
+      |    AS BIGINT) AS mean_bits_x100
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin,
     "q135_equidepth" -> """
       |WITH b AS (SELECT o_orderpriority, o_orderkey,
       |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents

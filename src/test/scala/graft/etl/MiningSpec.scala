@@ -135,6 +135,19 @@ class MiningSpec extends SparkSpec {
     assert(got(3L) == ((2L, 0L, 0L, 0L)))
   }
 
+  // ------------------------------------------------------------ surprisal
+
+  test("unigramSurprisal: floored self-information from binary lengths") {
+    // corpus: a a a b -> N=4 (bin len 3); c(a)=3 (len 2), c(b)=1 (len 1)
+    // bits(a) = 3-2 = 1, bits(b) = 3-1 = 2
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = Vocab.unigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map { case (id, n, s, m) => id -> ((n, s, m)) }.toMap
+    assert(got(1L) == ((3L, 3L, Some(100L))))
+    assert(got(2L) == ((1L, 2L, Some(200L))))
+  }
+
   // --------------------------------------------------- incremental dedup
 
   test("incrementalDupFlags: exact hash, shared-shingle near, clean miss") {
