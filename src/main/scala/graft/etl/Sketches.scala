@@ -123,18 +123,25 @@ object Sketches {
     * possible false positives — never false negatives). */
   private[etl] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
     val counters = mutable.LinkedHashMap.empty[String, Long]
-    it.foreach { x =>
-      counters.get(x) match {
-        case Some(c) => counters(x) = c + 1
-        case None if counters.size < k - 1 => counters(x) = 1L
-        case None =>
-          // decrement-all: amortized O(1) per input item — each decrement
-          // event consumes k-1 previously-paid increments
-          val dead = counters.iterator.collect { case (i, 1L) => i }.toList
-          counters.mapValuesInPlace((_, c) => c - 1)
-          dead.foreach(counters.remove)
-      }
-    }
+    it.foreach(misraGriesUpdate(counters, _, k))
     counters.keysIterator
   }
+
+  /** One Misra–Gries update step — shared by the batch partition sketch
+    * and the streaming per-key state ([[graft.streaming.SketchStreaming]]),
+    * because MG is sequential by construction: carrying the counters
+    * across micro-batches IS the algorithm, no merge step needed. */
+  private[graft] def misraGriesUpdate(
+      counters: mutable.LinkedHashMap[String, Long], x: String,
+      k: Int): Unit =
+    counters.get(x) match {
+      case Some(c) => counters(x) = c + 1
+      case None if counters.size < k - 1 => counters(x) = 1L
+      case None =>
+        // decrement-all: amortized O(1) per input item — each decrement
+        // event consumes k-1 previously-paid increments
+        val dead = counters.iterator.collect { case (i, 1L) => i }.toList
+        counters.mapValuesInPlace((_, c) => c - 1)
+        dead.foreach(counters.remove)
+    }
 }
