@@ -217,6 +217,20 @@ object Corpus {
       .filter(col("rk") <= k)
   }
 
+  /** Mixture (domain-reweighted) down-sample — the data-mixing step that
+    * sets per-source inclusion rates for a training blend (the
+    * DoReMi-style reweighting pass): keep a row iff its deterministic
+    * hash bucket (the repo-standard sha256-hex-prefix recipe, same as
+    * the train/val/test split and feature hashing) falls under the
+    * row's rate in basis points. Pure per-row projection + filter — no
+    * shuffle, no state, reproducible across runs and engines, and
+    * trivially pushes down past it any filter Catalyst can move. */
+  def mixtureSample(df: DataFrame, idCol: String,
+      rateBp: org.apache.spark.sql.Column): DataFrame =
+    df.filter(
+      conv(substring(sha2(col(idCol).cast("string"), 256), 1, 4), 16, 10)
+        .cast("long") % 10000 < rateBp)
+
   /** Balanced down-sample: every group reduced to the size of the
     * SMALLEST group, survivors chosen by the [[hashSample]] order
     * (smallest sha256(id) first) — the class-rebalancing step of a

@@ -205,7 +205,29 @@ object MiningQueries {
       .orderBy($"doc_id")
   }
 
+  // -------------------------------------------- q137 mixture sample
+
+  /** Domain-reweighted mixture sampling
+    * ([[graft.etl.Corpus.mixtureSample]]): per-source inclusion rates
+    * derived deterministically from the source name (500 + 400·(src#
+    * mod 7) bp), reported as per-source kept/total counts. */
+  def q137MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val rate = lit(500) + lit(400) *
+      (substring($"source", 4, 10).cast("int") % 7)
+    graft.etl.Corpus.mixtureSample(docs.withColumn("rate_bp", rate),
+        "doc_id", $"rate_bp")
+      .groupBy($"source", $"rate_bp")
+      .agg(count(lit(1)).as("n_kept"))
+      .join(docs.groupBy($"source").agg(count(lit(1)).as("n_total")),
+        "source")
+      .select($"source", $"rate_bp", $"n_total", $"n_kept")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_mixture_sample" -> q137MixtureSample _,
     "q136_surprisal" -> q136Surprisal _,
     "q135_equidepth" -> q135EquidepthHistogram _,
     "q130_chi2" -> q130Chi2 _,
@@ -221,6 +243,21 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q137_mixture_sample" -> """
+      |WITH r AS (SELECT doc_id, source,
+      |             500 + 400 * (CAST(substring(source, 4) AS INT) % 7)
+      |               AS rate_bp
+      |           FROM documents),
+      |k AS (SELECT source, rate_bp, count(*) AS n_kept
+      |      FROM r
+      |      WHERE ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4))
+      |              ::BIGINT % 10000 < rate_bp
+      |      GROUP BY 1, 2),
+      |t AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1)
+      |SELECT k.source, CAST(k.rate_bp AS INT) AS rate_bp,
+      |       CAST(t.n_total AS BIGINT) AS n_total,
+      |       CAST(k.n_kept AS BIGINT) AS n_kept
+      |FROM k JOIN t USING (source) ORDER BY k.source""".stripMargin,
     "q136_surprisal" -> s"""
       |WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
       |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
