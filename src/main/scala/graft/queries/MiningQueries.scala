@@ -226,7 +226,31 @@ object MiningQueries {
       .orderBy($"source")
   }
 
+  // ----------------------------------------- q138 percentile rank
+
+  /** Integer percentile-rank feature transform (the rank half of
+    * rank-gauss scaling): per event type, pr_bp = (rank−1)·10000 div
+    * (n−1), ties sharing a rank so the output is order-independent.
+    * One partitioned window + a broadcast group-size join; the scaled
+    * integer form crosses engines exactly where percent_rank()'s float
+    * would not. */
+  def q138PercentileRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir).select($"event_id", $"event_type",
+      Series.cents($"value").as("cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"cents")
+    e.withColumn("rk", rank().over(w))
+      .join(broadcast(e.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"))), "event_type")
+      .select($"event_id", $"event_type",
+        expr("CAST((rk - 1) * 10000 div NULLIF(n - 1, 0) AS BIGINT)")
+          .as("pr_bp"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_percentile_rank" -> q138PercentileRank _,
     "q137_mixture_sample" -> q137MixtureSample _,
     "q136_surprisal" -> q136Surprisal _,
     "q135_equidepth" -> q135EquidepthHistogram _,
@@ -243,6 +267,16 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q138_percentile_rank" -> """
+      |WITH b AS (SELECT event_id, event_type,
+      |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |r AS (SELECT event_id, event_type,
+      |        rank() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+      |        count(*) OVER (PARTITION BY event_type) AS n
+      |      FROM b)
+      |SELECT event_id, event_type,
+      |  CAST((rk - 1) * 10000 // NULLIF(n - 1, 0) AS BIGINT) AS pr_bp
+      |FROM r ORDER BY event_id""".stripMargin,
     "q137_mixture_sample" -> """
       |WITH r AS (SELECT doc_id, source,
       |             500 + 400 * (CAST(substring(source, 4) AS INT) % 7)
