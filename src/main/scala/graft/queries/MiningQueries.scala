@@ -249,7 +249,34 @@ object MiningQueries {
       .orderBy($"event_id")
   }
 
+  // -------------------------------------------- q139 purged split
+
+  /** Leakage-aware temporal split: train = events in the first 80% of the
+    * observed time span, embargo = the next day (discarded, so train
+    * labels computed over trailing windows cannot leak into test), test =
+    * after. The cutoff is integer micros arithmetic over one (min, max)
+    * aggregate broadcast back; the split itself is a shuffle-free
+    * projection — no global sort, unlike a percentile cutoff, which is
+    * why span-fraction cutoffs are the form that scales. Reported as
+    * counts per type × split. */
+  def q139PurgedSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"event_type", unix_micros($"ts").as("us"))
+    val bounds = e.agg(min($"us").as("lo"), max($"us").as("hi"))
+      .select(($"lo" + expr("(hi - lo) * 8 div 10")).as("cut"))
+    e.join(broadcast(bounds))
+      .withColumn("split",
+        when($"us" <= $"cut", lit("train"))
+          .when($"us" <= $"cut" + 86400000000L, lit("embargo"))
+          .otherwise(lit("test")))
+      .groupBy($"event_type", $"split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"event_type", $"split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_purged_split" -> q139PurgedSplit _,
     "q138_percentile_rank" -> q138PercentileRank _,
     "q137_mixture_sample" -> q137MixtureSample _,
     "q136_surprisal" -> q136Surprisal _,
@@ -267,6 +294,17 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q139_purged_split" -> """
+      |WITH b AS (SELECT event_id, event_type, epoch_us(ts) AS us
+      |           FROM events),
+      |c AS (SELECT min(us) + ((max(us) - min(us)) * 8) // 10 AS cut FROM b)
+      |SELECT event_type,
+      |  CASE WHEN us <= cut THEN 'train'
+      |       WHEN us <= cut + 86400000000 THEN 'embargo'
+      |       ELSE 'test' END AS split,
+      |  count(*) AS n
+      |FROM b CROSS JOIN c
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q138_percentile_rank" -> """
       |WITH b AS (SELECT event_id, event_type,
       |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
