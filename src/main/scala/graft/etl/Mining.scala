@@ -178,6 +178,41 @@ object Mining {
           .as("var_ratio_scaled"))
   }
 
+  /** Per-group ROC AUC, exact with ties (Mann–Whitney):
+    * auc_scaled = (2·won + tied) · scale div (2·n_pos·n_neg), where won =
+    * #(pos,neg) pairs with pos score strictly higher and tied = #equal-score
+    * pairs. Nothing per-pair is materialized: rows collapse to DISTINCT
+    * (group, score) counts first (one combiner-friendly shuffle), a window
+    * over the distinct-score table — far smaller than the data — carries
+    * the running negative count, and one final groupBy folds the pair
+    * counts. The per-row window sort a rank-sum formulation needs never
+    * happens; the oracle derives the same rational from midrank sums
+    * (2·midrank = 2·rank + tie_count − 1), a genuinely different route to
+    * the identical floor. won ≤ n_pos·n_neg ~ n²/4 overflows Long past
+    * ~6·10⁹ rows per group, so pair counts run in decimal(38,0). Groups
+    * with no positives or no negatives yield NULL (NULLIF guard). */
+  def groupAuc(df: DataFrame, groupCol: String, scoreCol: String,
+      label: org.apache.spark.sql.Column, scale: Long = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val byScore = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(scoreCol).as("_s"))
+      .agg(sum(when(label, 1).otherwise(0)).cast(d38).as("_p"),
+        sum(when(!label, 1).otherwise(0)).cast(d38).as("_q"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("_qb", coalesce(sum(col("_q")).over(w), lit(0).cast(d38)))
+      .groupBy(col("_g"))
+      .agg(sum(col("_p")).as("np"), sum(col("_q")).as("nq"),
+        sum(col("_p") * col("_qb")).as("won"),
+        sum(col("_p") * col("_q")).as("tied"))
+      .select(col("_g").as(groupCol),
+        col("np").cast("long").as("n_pos"), col("nq").cast("long").as("n_neg"),
+        expr(s"CAST(((2 * won + tied) * $scale) div " +
+          "NULLIF(2 * np * nq, 0) AS BIGINT)").as("auc_scaled"))
+  }
+
   /** K-means assignment step on quantized embeddings ([[Similarity.quantize]]
     * — integer distances are exact and engine-order-independent).
     * Deterministic seeding: the k lowest-id vectors are the centroids (the

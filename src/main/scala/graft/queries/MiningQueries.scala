@@ -275,7 +275,24 @@ object MiningQueries {
       .orderBy($"event_type", $"split")
   }
 
+  // ------------------------------------------------------- q140 auc
+
+  /** Exact tie-aware ROC AUC per event type ([[Mining.groupAuc]]): score =
+    * value cents, relevance = user_id divisible by 3 (deterministic label
+    * stand-in, as in q128). The Spark side counts (pos,neg) pairs via a
+    * distinct-score running sum; the oracle derives the same floor from
+    * per-row midrank sums — two independent formulations of the
+    * Mann–Whitney statistic. */
+  def q140Auc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"event_type", $"user_id",
+      Series.cents($"value").as("cents"))
+    Mining.groupAuc(e, "event_type", "cents", $"user_id" % 3 === 0)
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_auc" -> q140Auc _,
     "q139_purged_split" -> q139PurgedSplit _,
     "q138_percentile_rank" -> q138PercentileRank _,
     "q137_mixture_sample" -> q137MixtureSample _,
@@ -294,6 +311,25 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q140_auc" -> """
+      |WITH b AS (SELECT event_type,
+      |             CAST(round(value * 100) AS BIGINT) AS s,
+      |             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS lbl
+      |           FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT event_type, lbl,
+      |        2 * rank() OVER (PARTITION BY event_type ORDER BY s)
+      |          + count(*) OVER (PARTITION BY event_type, s) - 1 AS mr2
+      |      FROM b),
+      |a AS (SELECT event_type,
+      |        CAST(sum(CASE WHEN lbl = 1 THEN mr2 ELSE 0 END) AS HUGEINT) AS r2,
+      |        CAST(sum(lbl) AS HUGEINT) AS np,
+      |        CAST(sum(1 - lbl) AS HUGEINT) AS nq
+      |      FROM r GROUP BY 1)
+      |SELECT event_type, CAST(np AS BIGINT) AS n_pos,
+      |  CAST(nq AS BIGINT) AS n_neg,
+      |  CAST((r2 - np * (np + 1)) * 10000 // NULLIF(2 * np * nq, 0)
+      |    AS BIGINT) AS auc_scaled
+      |FROM a ORDER BY event_type""".stripMargin,
     "q139_purged_split" -> """
       |WITH b AS (SELECT event_id, event_type, epoch_us(ts) AS us
       |           FROM events),

@@ -178,6 +178,24 @@ class MiningSpec extends SparkSpec {
     assert(got == Map(1L -> 5L, 2L -> 1L, 3L -> 3L, 4L -> 2L))
   }
 
+  // ---------------------------------------------------------------- auc
+
+  test("groupAuc: tie-aware Mann-Whitney pair counting") {
+    // g: pos {3,2}, neg {3,1,1} -> won 4, tied 1 -> (8+1)*10000 div 12
+    // p: perfect separation -> 10000; z: no negatives -> NULL
+    val df = Seq(
+      ("g", 3L, true), ("g", 2L, true),
+      ("g", 3L, false), ("g", 1L, false), ("g", 1L, false),
+      ("p", 5L, true), ("p", 6L, true), ("p", 1L, false),
+      ("z", 4L, true)).toDF("g", "s", "lbl")
+    val got = Mining.groupAuc(df, "g", "s", $"lbl")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map { case (g, p, n, a) => g -> ((p, n, a)) }.toMap
+    assert(got("g") == ((2L, 3L, Some(7500L))))
+    assert(got("p") == ((2L, 1L, Some(10000L))))
+    assert(got("z") == ((1L, 0L, None)))
+  }
+
   // ------------------------------------------------------------- kmeans
 
   test("kmeansAssign: nearest centroid wins, id breaks distance ties") {
