@@ -213,6 +213,41 @@ object Mining {
           "NULLIF(2 * np * nq, 0) AS BIGINT)").as("auc_scaled"))
   }
 
+  /** Per-group Cohen's kappa between two categorical labelings (the
+    * annotator-agreement gate of a labeling pipeline), exact:
+    * kappa_scaled = (N·agree − Σ_k r_k·c_k) · scale div (N² − Σ_k r_k·c_k)
+    * — the (p_o − p_e)/(1 − p_e) rational cross-multiplied by N².
+    *
+    * Three combiner-friendly shuffles (per-group totals, per-(group,label)
+    * marginals for each rater) and a marginal join on the LABEL key, so
+    * cost is bounded by group·label-domain cardinality, not pairs.
+    * Products run in decimal(38,0) (r_k·c_k ~ N² overflows Long past
+    * ~3·10⁹ rows per group). Negative kappa truncates toward zero on both
+    * engines; a degenerate group (both raters constant, same label) has
+    * p_e = 1 and yields NULL. */
+  def cohenKappa(df: DataFrame, groupCol: String, aCol: String,
+      bCol: String, scale: Long = 10000): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(aCol).as("_a"), col(bCol).as("_b"))
+    val totals = base.groupBy(col("_g"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(when(col("_a") === col("_b"), 1).otherwise(0)).cast(d38)
+          .as("agree"))
+    val ra = base.groupBy(col("_g"), col("_a").as("_k"))
+      .agg(count(lit(1)).cast(d38).as("_r"))
+    val cb = base.groupBy(col("_g"), col("_b").as("_k"))
+      .agg(count(lit(1)).cast(d38).as("_c"))
+    val pe = ra.join(cb, Seq("_g", "_k"))
+      .groupBy(col("_g")).agg(sum(col("_r") * col("_c")).as("rc"))
+    totals.join(pe, Seq("_g"), "left")
+      .select(col("_g").as(groupCol), col("n").cast("long").as("n"),
+        col("agree").cast("long").as("n_agree"),
+        expr(s"CAST(((n * agree - coalesce(rc, 0)) * $scale) div " +
+          "NULLIF(n * n - coalesce(rc, 0), 0) AS BIGINT)")
+          .as("kappa_scaled"))
+  }
+
   /** K-means assignment step on quantized embeddings ([[Similarity.quantize]]
     * — integer distances are exact and engine-order-independent).
     * Deterministic seeding: the k lowest-id vectors are the centroids (the

@@ -291,7 +291,74 @@ object MiningQueries {
       .orderBy($"event_type")
   }
 
+  // ------------------------------------------------ q141 calibration
+
+  /** Reliability diagram for the q140 classifier: score deciles per event
+    * type (ntile, event_id tiebreak — same deterministic binning contract
+    * as q135) with observed positive rate in basis points. One partitioned
+    * window + one combiner-friendly groupBy; with q140's AUC this
+    * completes the threshold-free evaluation pair (discrimination +
+    * calibration). */
+  def q141Calibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir).select($"event_id", $"event_type",
+      Series.cents($"value").as("cents"),
+      when($"user_id" % 3 === 0, 1L).otherwise(0L).as("lbl"))
+    val w = Window.partitionBy($"event_type").orderBy($"cents", $"event_id")
+    e.withColumn("bin", ntile(10).over(w))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n"), sum($"lbl").as("n_pos"),
+        min($"cents").as("lo"), max($"cents").as("hi"))
+      .withColumn("pos_bp", expr("CAST(n_pos * 10000 div n AS BIGINT)"))
+      .orderBy($"event_type", $"bin")
+  }
+
+  // ---------------------------------------------------- q142 kappa
+
+  /** Cohen's kappa per event type ([[Mining.cohenKappa]]) between two
+    * deterministic 5-way labelings that agree exactly on even event ids —
+    * chance-corrected agreement ≈ 0.37, a non-trivial fixture. The
+    * annotator-agreement QA gate of a labeling pipeline. */
+  def q142Kappa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"event_type",
+      ($"user_id" % 5).as("a"),
+      (($"user_id" + ($"event_id" % 2)) % 5).as("b"))
+    Mining.cohenKappa(e, "event_type", "a", "b")
+      .orderBy($"event_type")
+  }
+
+  // ------------------------------------------------------ q143 rrf
+
+  /** Reciprocal-rank fusion of two retrieval rankings per market segment
+    * (the standard hybrid-search merge: rrf = Σ scale div (60 + rank)):
+    * rank 1 by account balance, rank 2 by a deterministic second signal
+    * (custkey mod 97), top 5 fused per segment. Three same-partition
+    * windows — ONE shuffle on the segment key, three in-partition sorts,
+    * nothing global; exact integers throughout. */
+  def q143Rrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val seg = Window.partitionBy($"c_mktsegment")
+    Tables.customer(spark, dir)
+      .withColumn("r1", row_number().over(
+        seg.orderBy($"c_acctbal".desc, $"c_custkey")))
+      .withColumn("r2", row_number().over(
+        seg.orderBy($"c_custkey" % 97, $"c_custkey")))
+      .withColumn("rrf_scaled",
+        expr("CAST(1000000 div (60 + r1) + 1000000 div (60 + r2) AS BIGINT)"))
+      .withColumn("_tk", row_number().over(
+        seg.orderBy($"rrf_scaled".desc, $"c_custkey")))
+      .filter($"_tk" <= 5)
+      .select($"c_mktsegment", $"c_custkey", $"r1", $"r2", $"rrf_scaled")
+      .orderBy($"c_mktsegment", $"rrf_scaled".desc, $"c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_rrf" -> q143Rrf _,
+    "q142_kappa" -> q142Kappa _,
+    "q141_calibration" -> q141Calibration _,
     "q140_auc" -> q140Auc _,
     "q139_purged_split" -> q139PurgedSplit _,
     "q138_percentile_rank" -> q138PercentileRank _,
@@ -311,6 +378,55 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q143_rrf" -> """
+      |WITH r AS (SELECT c_mktsegment, c_custkey,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal DESC, c_custkey) AS r1,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_custkey % 97, c_custkey) AS r2
+      |  FROM customer),
+      |s AS (SELECT *, 1000000 // (60 + r1) + 1000000 // (60 + r2) AS rrf
+      |      FROM r)
+      |SELECT c_mktsegment, c_custkey, r1, r2,
+      |  CAST(rrf AS BIGINT) AS rrf_scaled
+      |FROM s
+      |QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+      |  ORDER BY rrf DESC, c_custkey) <= 5
+      |ORDER BY c_mktsegment, rrf_scaled DESC, c_custkey""".stripMargin,
+    "q142_kappa" -> """
+      |WITH b AS (SELECT event_type, user_id % 5 AS a,
+      |             (user_id + (event_id % 2)) % 5 AS bb
+      |           FROM events),
+      |t AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |        CAST(sum(CASE WHEN a = bb THEN 1 ELSE 0 END) AS HUGEINT)
+      |          AS agree
+      |      FROM b GROUP BY 1),
+      |r AS (SELECT event_type, a AS k, CAST(count(*) AS HUGEINT) AS rk
+      |      FROM b GROUP BY 1, 2),
+      |c AS (SELECT event_type, bb AS k, CAST(count(*) AS HUGEINT) AS ck
+      |      FROM b GROUP BY 1, 2),
+      |p AS (SELECT r.event_type, CAST(sum(rk * ck) AS HUGEINT) AS rc
+      |      FROM r JOIN c ON r.event_type = c.event_type AND r.k = c.k
+      |      GROUP BY 1)
+      |SELECT t.event_type, CAST(n AS BIGINT) AS n,
+      |  CAST(agree AS BIGINT) AS n_agree,
+      |  CAST((n * agree - coalesce(rc, 0)) * 10000
+      |    // NULLIF(n * n - coalesce(rc, 0), 0) AS BIGINT) AS kappa_scaled
+      |FROM t LEFT JOIN p ON t.event_type = p.event_type
+      |ORDER BY t.event_type""".stripMargin,
+    "q141_calibration" -> """
+      |WITH b AS (SELECT event_id, event_type,
+      |             CAST(round(value * 100) AS BIGINT) AS cents,
+      |             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS lbl
+      |           FROM events),
+      |t AS (SELECT *, ntile(10) OVER (PARTITION BY event_type
+      |        ORDER BY cents, event_id) AS bin FROM b)
+      |SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(lbl) AS BIGINT) AS n_pos,
+      |  min(cents) AS lo, max(cents) AS hi,
+      |  CAST(CAST(sum(lbl) AS BIGINT) * 10000 // count(*) AS BIGINT)
+      |    AS pos_bp
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q140_auc" -> """
       |WITH b AS (SELECT event_type,
       |             CAST(round(value * 100) AS BIGINT) AS s,

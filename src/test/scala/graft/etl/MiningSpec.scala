@@ -196,6 +196,25 @@ class MiningSpec extends SparkSpec {
     assert(got("z") == ((1L, 0L, None)))
   }
 
+  // --------------------------------------------------------------- kappa
+
+  test("cohenKappa: chance-corrected agreement, degenerate group NULL") {
+    // g: a = x,x,y,x / b = x,x,y,y -> N=4 agree=3, r=(3,1) c=(2,2),
+    // rc=8 -> (12-8)*10000 div (16-8) = 5000
+    // p: perfect 2-category agreement -> 10000
+    // d: both raters constant same label -> p_e = 1 -> NULL
+    val df = Seq(
+      ("g", "x", "x"), ("g", "x", "x"), ("g", "y", "y"), ("g", "x", "y"),
+      ("p", "u", "u"), ("p", "v", "v"),
+      ("d", "w", "w"), ("d", "w", "w")).toDF("g", "a", "b")
+    val got = Mining.cohenKappa(df, "g", "a", "b")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map { case (g, n, ag, k) => g -> ((n, ag, k)) }.toMap
+    assert(got("g") == ((4L, 3L, Some(5000L))))
+    assert(got("p") == ((2L, 2L, Some(10000L))))
+    assert(got("d") == ((2L, 2L, None)))
+  }
+
   // ------------------------------------------------------------- kmeans
 
   test("kmeansAssign: nearest centroid wins, id breaks distance ties") {
