@@ -213,6 +213,97 @@ object Mining {
           "NULLIF(2 * np * nq, 0) AS BIGINT)").as("auc_scaled"))
   }
 
+  /** Per-group Pearson correlation as sign + scaled r², exact:
+    * r2_scaled = (nΣxy−ΣxΣy)² · scale div ((nΣxx−(Σx)²)(nΣyy−(Σy)²)),
+    * corr_sign = sign(nΣxy−ΣxΣy). r itself needs a square root, which no
+    * integer crosses engines; (sign, r²) carries the same information
+    * exactly. Same single-pass sufficient-statistics shape as
+    * [[groupedSlope]] — one combiner-friendly shuffle, six accumulators.
+    * Exactness bound: the squared covariance numerator must fit
+    * decimal(38,0) ⇒ |nΣxy−ΣxΣy| < ~3·10¹⁶ at scale 10⁴ — holds for
+    * day-index × cents data to ~10⁸ rows per group; past that, center x/y
+    * first (shift-invariance makes that exactness-preserving). Zero
+    * variance on either axis yields NULL (NULLIF guard). */
+  def groupedCorr(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, scale: Long = 10000): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast(d38).as("n"),
+        sum(col(xCol).cast(d38)).as("sx"),
+        sum(col(yCol).cast(d38)).as("sy"),
+        sum(col(xCol).cast(d38) * col(yCol).cast(d38)).as("sxy"),
+        sum(col(xCol).cast(d38) * col(xCol).cast(d38)).as("sxx"),
+        sum(col(yCol).cast(d38) * col(yCol).cast(d38)).as("syy"))
+      .select(col(groupCol), col("n").cast("long").as("n"),
+        expr("CAST(sign(n * sxy - sx * sy) AS BIGINT)").as("corr_sign"),
+        expr(s"CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * $scale) " +
+          "div NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0) " +
+          "AS BIGINT)").as("r2_scaled"))
+  }
+
+  /** Per-group floored-entropy diversity of a categorical distribution,
+    * in hundredths of a bit: ent = Σ_k c_k·(⌊log₂N⌋−⌊log₂c_k⌋) · scale
+    * div N. The logs are binary-digit counts (`length(bin(x))`, the
+    * [[Vocab.unigramSurprisal]] recipe), so both engines compute the
+    * identical integer — no float log anywhere. Each term's digit-count
+    * difference brackets log₂(N/c) within ±1 bit, so the result is within
+    * one bit of true Shannon entropy and exactly 0 for a pure group — the
+    * corpus-diversity screen (is one source dominating a language?),
+    * where the ranking matters and a bit of bias does not. Two combiner-friendly
+    * shuffles + one category-cardinality window; Σ c·bits ≤ 64·N fits
+    * Long to ~10¹⁷ rows per group. */
+  def flooredEntropy(df: DataFrame, groupCol: String, catCol: String,
+      scale: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = df.filter(col(catCol).isNotNull)
+      .groupBy(col(groupCol), col(catCol)).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col(groupCol))
+    cc.withColumn("_n", sum(col("_c")).over(w))
+      .groupBy(col(groupCol))
+      .agg(max(col("_n")).as("n"), count(lit(1)).as("n_cats"),
+        sum(col("_c") *
+          (length(expr("bin(_n)")) - length(expr("bin(_c)")))).as("_eb"))
+      .select(col(groupCol), col("n").cast("long").as("n"), col("n_cats"),
+        expr(s"CAST(_eb * $scale div n AS BIGINT)").as("ent_bits_x100"))
+  }
+
+  /** Market-basket pair counts with exact integer lift:
+    * lift_scaled = N·c_xy · scale div (c_x·c_y) over DISTINCT
+    * (basket, item) pairs. The self-join is ON THE BASKET KEY, so fan-out
+    * per basket is C(size, 2) — bounded by basket size squared, never by
+    * the item domain; `maxBasket` drops pathological baskets (a carted
+    * crawler, a catalog-sized order) BEFORE the join, making the bound a
+    * constructed property rather than a hope. One scalar basket count
+    * broadcasts; N·c_xy·scale runs in decimal(38,0) (~10¹⁸·10⁴ overflows
+    * Long at corpus scale). */
+  def basketPairLift(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasket: Int = 64, scale: Long = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val d0 = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .filter(col("_bk").isNotNull && col("_it").isNotNull).distinct()
+    val d = d0.withColumn("_bs",
+        count(lit(1)).over(Window.partitionBy(col("_bk"))))
+      .filter(col("_bs") <= maxBasket).drop("_bs")
+    val nb = d.agg(countDistinct(col("_bk")).cast(d38).as("n_baskets"))
+    val ix = d.groupBy(col("_it")).agg(count(lit(1)).as("_cx"))
+    d.as("a").join(d.as("b"),
+        col("a._bk") === col("b._bk") && col("a._it") < col("b._it"))
+      .groupBy(col("a._it").as("item_a"), col("b._it").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(ix.select(col("_it").as("item_a"), col("_cx").as("n_a")),
+        "item_a")
+      .join(ix.select(col("_it").as("item_b"), col("_cx").as("n_b")),
+        "item_b")
+      .join(broadcast(nb))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets").cast("long").as("n_baskets"),
+        expr(s"CAST((n_baskets * n_ab * $scale) div " +
+          s"(CAST(n_a AS $d38) * n_b) AS BIGINT)").as("lift_scaled"))
+  }
+
   /** Per-group Cohen's kappa between two categorical labelings (the
     * annotator-agreement gate of a labeling pipeline), exact:
     * kappa_scaled = (N·agree − Σ_k r_k·c_k) · scale div (N² − Σ_k r_k·c_k)

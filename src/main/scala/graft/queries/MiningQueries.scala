@@ -355,7 +355,51 @@ object MiningQueries {
       .orderBy($"c_mktsegment", $"rrf_scaled".desc, $"c_custkey")
   }
 
+  // ----------------------------------------------------- q144 corr
+
+  /** Per-event-type Pearson correlation of value-cents with day index
+    * ([[Mining.groupedCorr]]): sign + scaled r² from the same single-pass
+    * sufficient statistics as q125's slope — the feature-screen companion
+    * (is this signal worth a model?). */
+  def q144Corr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"event_type",
+      datediff(to_date($"ts"), to_date(lit("1970-01-01"))).as("x"),
+      Series.cents($"value").as("y"))
+    Mining.groupedCorr(e, "event_type", "x", "y")
+      .orderBy($"event_type")
+  }
+
+  // -------------------------------------------------- q145 entropy
+
+  /** Source-diversity floored entropy per language
+    * ([[Mining.flooredEntropy]]): is one source dominating a language's
+    * corpus? 0 bits = single source; the binary-digit-count floor makes
+    * the number identical on both engines. */
+  def q145Entropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Mining.flooredEntropy(Tables.documents(spark, dir), "lang", "source")
+      .orderBy($"lang")
+  }
+
+  // ---------------------------------------------- q146 basket lift
+
+  /** Top-20 co-purchased part pairs with exact integer lift
+    * ([[Mining.basketPairLift]] over distinct (order, part)): the
+    * market-basket screen; the basket-key self-join bounds fan-out by
+    * basket size squared, never the item domain. */
+  def q146BasketLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Mining.basketPairLift(Tables.lineitem(spark, dir),
+        "l_orderkey", "l_partkey")
+      .orderBy($"n_ab".desc, $"item_a", $"item_b")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_basket_lift" -> q146BasketLift _,
+    "q145_entropy" -> q145Entropy _,
+    "q144_corr" -> q144Corr _,
     "q143_rrf" -> q143Rrf _,
     "q142_kappa" -> q142Kappa _,
     "q141_calibration" -> q141Calibration _,
@@ -378,6 +422,53 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q146_basket_lift" -> """
+      |WITH d AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+      |           FROM lineitem),
+      |f AS (SELECT bk, it FROM
+      |        (SELECT bk, it, count(*) OVER (PARTITION BY bk) AS bs FROM d)
+      |      WHERE bs <= 64),
+      |nb AS (SELECT CAST(count(DISTINCT bk) AS HUGEINT) AS nbk FROM f),
+      |ix AS (SELECT it, CAST(count(*) AS BIGINT) AS cx FROM f GROUP BY 1),
+      |p AS (SELECT a.it AS item_a, b.it AS item_b,
+      |        CAST(count(*) AS BIGINT) AS n_ab
+      |      FROM f a JOIN f b ON a.bk = b.bk AND a.it < b.it GROUP BY 1, 2)
+      |SELECT item_a, item_b, n_ab, xa.cx AS n_a, xb.cx AS n_b,
+      |  CAST(nbk AS BIGINT) AS n_baskets,
+      |  CAST((nbk * n_ab * 10000) // (CAST(xa.cx AS HUGEINT) * xb.cx)
+      |    AS BIGINT) AS lift_scaled
+      |FROM p CROSS JOIN nb
+      |  JOIN ix xa ON p.item_a = xa.it
+      |  JOIN ix xb ON p.item_b = xb.it
+      |ORDER BY n_ab DESC, item_a, item_b LIMIT 20""".stripMargin,
+    "q145_entropy" -> """
+      |WITH cc AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+      |            FROM documents WHERE source IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT lang, c,
+      |        CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+      |      FROM cc)
+      |SELECT lang, max(n) AS n, CAST(count(*) AS BIGINT) AS n_cats,
+      |  CAST(CAST(sum(c * (length(bin(n)) - length(bin(c)))) AS BIGINT)
+      |    * 100 // max(n) AS BIGINT) AS ent_bits_x100
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q144_corr" -> """
+      |WITH b AS (SELECT event_type,
+      |             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+      |             CAST(round(value * 100) AS BIGINT) AS y
+      |           FROM events),
+      |s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |        CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |        CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |        CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      |      FROM b GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  CAST(sign(n * sxy - sx * sy) AS BIGINT) AS corr_sign,
+      |  CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * 10000)
+      |    // NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0)
+      |    AS BIGINT) AS r2_scaled
+      |FROM s ORDER BY event_type""".stripMargin,
     "q143_rrf" -> """
       |WITH r AS (SELECT c_mktsegment, c_custkey,
       |    row_number() OVER (PARTITION BY c_mktsegment

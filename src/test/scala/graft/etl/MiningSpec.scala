@@ -196,6 +196,62 @@ class MiningSpec extends SparkSpec {
     assert(got("z") == ((1L, 0L, None)))
   }
 
+  // ---------------------------------------------------------------- corr
+
+  test("groupedCorr: sign + scaled r-squared, zero variance NULL") {
+    // g1: y = 2x -> (+1, 10000); g2: y = -x -> (-1, 10000);
+    // g3: constant y -> sign 0, r2 NULL
+    val df = Seq(
+      ("g1", 0, 0), ("g1", 1, 2), ("g1", 2, 4),
+      ("g2", 0, 0), ("g2", 1, -1), ("g2", 2, -2),
+      ("g3", 0, 7), ("g3", 1, 7)).toDF("g", "x", "y")
+    val got = Mining.groupedCorr(df, "g", "x", "y")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map { case (g, n, s, r) => g -> ((n, s, r)) }.toMap
+    assert(got("g1") == ((3L, 1L, Some(10000L))))
+    assert(got("g2") == ((3L, -1L, Some(10000L))))
+    assert(got("g3") == ((2L, 0L, None)))
+  }
+
+  // ------------------------------------------------------------- entropy
+
+  test("flooredEntropy: digit-count diversity, pure group 0") {
+    // p: one category -> 0; m: 2+2 of 4 -> exactly 1.00 bits (100);
+    // u: 3+1 of 4 -> 3*(3-2) + 1*(3-1) = 5 -> 5*100 div 4 = 125
+    val df = Seq(("p", "a"), ("p", "a"), ("p", "a"), ("p", "a"),
+      ("m", "a"), ("m", "a"), ("m", "b"), ("m", "b"),
+      ("u", "a"), ("u", "a"), ("u", "a"), ("u", "b")).toDF("g", "c")
+    val got = Mining.flooredEntropy(df, "g", "c")
+      .select($"g", $"ent_bits_x100").as[(String, Long)].collect().toMap
+    assert(got == Map("p" -> 0L, "m" -> 100L, "u" -> 125L))
+  }
+
+  // --------------------------------------------------------- basket lift
+
+  test("basketPairLift: pair counts, lift, duplicate rows ignored") {
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (3L, "a")).toDF("bk", "it")
+    val got = Mining.basketPairLift(df, "bk", "it")
+      .select($"item_a", $"item_b", $"n_ab", $"lift_scaled")
+      .as[(String, String, Long, Long)].collect()
+      .map { case (a, b, n, l) => (a, b) -> ((n, l)) }.toMap
+    // N=3; c_a=3 c_b=2 c_c=1; (a,b):2 -> 3*2e4 div 6 = 10000;
+    // (b,c):1 -> 3*1e4 div 2 = 15000
+    assert(got(("a", "b")) == ((2L, 10000L)))
+    assert(got(("a", "c")) == ((1L, 10000L)))
+    assert(got(("b", "c")) == ((1L, 15000L)))
+  }
+
+  test("basketPairLift: maxBasket drops oversized baskets before the join") {
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (3L, "a")).toDF("bk", "it")
+    val got = Mining.basketPairLift(df, "bk", "it", maxBasket = 2)
+      .select($"item_a", $"item_b", $"n_ab", $"n_baskets", $"lift_scaled")
+      .as[(String, String, Long, Long, Long)].collect()
+    // basket 1 (size 3) excluded -> N=2, only (a,b):1, lift 2e4 div 2
+    assert(got.toSeq == Seq(("a", "b", 1L, 2L, 10000L)))
+  }
+
   // --------------------------------------------------------------- kappa
 
   test("cohenKappa: chance-corrected agreement, degenerate group NULL") {
