@@ -111,6 +111,36 @@ object Graph {
     r
   }
 
+  /** Bounded-round k-core peel: `rounds` iterations of "drop every node
+    * with degree < k, with its edges" over the undirected deduped graph,
+    * returning surviving nodes with their final degree. Fixed rounds (not
+    * to-fixpoint) keep the operator a deterministic bounded pipeline the
+    * oracle can unroll — the degeneracy SCREEN (is this node in a dense
+    * region?) used to prune dedup-cluster graphs before expensive
+    * pairwise work; full coreness would iterate to convergence the same
+    * way. Each round is one degree aggregation (shuffle on node) + two
+    * semi-joins (shuffle on each endpoint); `localCheckpoint` truncates
+    * lineage per round like the other iterative operators
+    * ([[pageRankInt]], [[khopDistances]]). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int = 3): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = degrees(und).filter(col("deg") >= k).select(col("node"))
+      und = und
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    degrees(und)
+  }
+
   /** Minimum hop distance (≤ `maxHops`) from a seed set, by frontier BFS.
     *
     * Each round joins ONLY the current frontier (nodes first reached last

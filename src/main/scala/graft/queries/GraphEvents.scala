@@ -147,7 +147,35 @@ object GraphEvents {
       ORDER BY s.s_suppkey""")
   }
 
+  // ---------------------------------------------------------- q147 k-core
+
+  /** Bounded-round k-core screen ([[Graph.kCore]]) on a deterministic
+    * hub-skewed graph (each order key connects its residue x = k mod m to
+    * (7k+1) mod (1+x), so edges point toward low ids and node j's degree
+    * falls off ~50·ln(m/j) — genuine spread, unlike the q101 graph's
+    * tight band). k = half the average degree (2|E| div |V| div 2, two
+    * driver-side scalars — the [[triangleEdges]] `m` precedent): the tail
+    * peels and the cascade genuinely propagates (round 2 removes more)
+    * at every SF. Output = surviving nodes with final degree. */
+  def q147Kcore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val m = (orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1) / 50
+    val e = orders.select(
+      (col("o_orderkey") % m).as("src"),
+      ((col("o_orderkey") * 7 + 1) % (col("o_orderkey") % m + 1)).as("dst"))
+    val und = e.select(least($"src", $"dst").as("a"),
+        greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct().localCheckpoint()
+    val nEdges = und.count()
+    val nNodes = und.select($"a".as("node"))
+      .union(und.select($"b".as("node"))).distinct().count()
+    Graph.kCore(und, "a", "b", k = (nEdges / nNodes).toInt, rounds = 3)
+      .orderBy($"node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_kcore" -> q147Kcore _,
     "q101_triangles" -> q101Triangles _,
     "q102_khop_bfs" -> q102Khop _,
     "q103_transitions" -> q103Transitions _,
@@ -159,6 +187,37 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q147_kcore" -> """
+      |WITH mm AS (SELECT (max(o_orderkey) + 1) // 50 AS m FROM orders),
+      |e0 AS (SELECT o_orderkey % m AS x,
+      |              (o_orderkey * 7 + 1) % (1 + (o_orderkey % m)) AS y
+      |       FROM orders, mm),
+      |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+      |      FROM e0 WHERE x <> y),
+      |kk AS (SELECT (SELECT count(*) FROM e) //
+      |         (SELECT count(*) FROM
+      |           (SELECT a FROM e UNION SELECT b FROM e)) AS k),
+      |d1 AS (SELECT node, count(*) AS deg FROM
+      |         (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+      |       GROUP BY 1),
+      |e1 AS (SELECT a, b FROM e
+      |       WHERE a IN (SELECT node FROM d1, kk WHERE deg >= k)
+      |         AND b IN (SELECT node FROM d1, kk WHERE deg >= k)),
+      |d2 AS (SELECT node, count(*) AS deg FROM
+      |         (SELECT a AS node FROM e1 UNION ALL SELECT b AS node FROM e1)
+      |       GROUP BY 1),
+      |e2 AS (SELECT a, b FROM e1
+      |       WHERE a IN (SELECT node FROM d2, kk WHERE deg >= k)
+      |         AND b IN (SELECT node FROM d2, kk WHERE deg >= k)),
+      |d3 AS (SELECT node, count(*) AS deg FROM
+      |         (SELECT a AS node FROM e2 UNION ALL SELECT b AS node FROM e2)
+      |       GROUP BY 1),
+      |e3 AS (SELECT a, b FROM e2
+      |       WHERE a IN (SELECT node FROM d3, kk WHERE deg >= k)
+      |         AND b IN (SELECT node FROM d3, kk WHERE deg >= k))
+      |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+      |  (SELECT a AS node FROM e3 UNION ALL SELECT b AS node FROM e3)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q101_triangles" -> """
       |WITH mm AS (SELECT (max(o_orderkey) + 1) // 50 AS m FROM orders),
       |e0 AS (SELECT o_orderkey % m AS x,

@@ -396,7 +396,33 @@ object MiningQueries {
       .limit(20)
   }
 
+  // ------------------------------------------------- q148 k-anonymity
+
+  /** k-anonymity audit with one generalization step (the privacy gate
+    * before a data release): for each quasi-identifier cell
+    * (nation, segment), report its exact population, its nation-rollup
+    * population, and the anonymity decision — keep the cell ('exact'),
+    * generalize to nation ('generalized'), or suppress. Two
+    * combiner-friendly aggregations; the rollup join is
+    * group-domain-sized. k = 10, the conventional release floor. */
+  def q148Kanon(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 10
+    val cell = Tables.customer(spark, dir)
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_exact"))
+    val roll = cell.groupBy($"c_nationkey")
+      .agg(sum($"n_exact").as("n_rollup"))
+    cell.join(broadcast(roll), "c_nationkey")
+      .select($"c_nationkey", $"c_mktsegment", $"n_exact", $"n_rollup",
+        when($"n_exact" >= k, lit("exact"))
+          .when($"n_rollup" >= k, lit("generalized"))
+          .otherwise(lit("suppress")).as("anonymity"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_kanon" -> q148Kanon _,
     "q146_basket_lift" -> q146BasketLift _,
     "q145_entropy" -> q145Entropy _,
     "q144_corr" -> q144Corr _,
@@ -422,6 +448,18 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q148_kanon" -> """
+      |WITH cell AS (SELECT c_nationkey, c_mktsegment,
+      |                CAST(count(*) AS BIGINT) AS n_exact
+      |              FROM customer GROUP BY 1, 2),
+      |roll AS (SELECT c_nationkey, CAST(sum(n_exact) AS BIGINT) AS n_rollup
+      |         FROM cell GROUP BY 1)
+      |SELECT cell.c_nationkey, c_mktsegment, n_exact, n_rollup,
+      |  CASE WHEN n_exact >= 10 THEN 'exact'
+      |       WHEN n_rollup >= 10 THEN 'generalized'
+      |       ELSE 'suppress' END AS anonymity
+      |FROM cell JOIN roll USING (c_nationkey)
+      |ORDER BY 1, 2""".stripMargin,
     "q146_basket_lift" -> """
       |WITH d AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
       |           FROM lineitem),

@@ -39,6 +39,16 @@ class GraphEventsSpec extends SparkSpec {
 
   // ----------------------------------------------------------------- BFS
 
+  test("kCore: tail peels, stable core survives, cascade propagates") {
+    // triangle {1,2,3} + pendant 3-4 + chain 4-5: k=2 round 1 drops 5
+    // (deg 1); round 2 drops 4 (deg fell to 1); the triangle is stable
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val got = Graph.kCore(e, "s", "d", k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("khopDistances: path graph distances, maxHops cutoff, unreached absent") {
     // 1-2-3-4-5 path, seed 1, maxHops 2 → 4 and 5 not emitted
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
