@@ -284,9 +284,12 @@ object Mining {
     val d38 = "decimal(38,0)"
     val d0 = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
       .filter(col("_bk").isNotNull && col("_it").isNotNull).distinct()
+    // four consumers (scalar count, item marginals, both self-join sides):
+    // materialize once instead of recomputing the distinct+window subtree
+    // per consumer — the repo-wide localCheckpoint pattern for self-joins
     val d = d0.withColumn("_bs",
         count(lit(1)).over(Window.partitionBy(col("_bk"))))
-      .filter(col("_bs") <= maxBasket).drop("_bs")
+      .filter(col("_bs") <= maxBasket).drop("_bs").localCheckpoint()
     val nb = d.agg(countDistinct(col("_bk")).cast(d38).as("n_baskets"))
     val ix = d.groupBy(col("_it")).agg(count(lit(1)).as("_cx"))
     d.as("a").join(d.as("b"),

@@ -205,6 +205,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p129.contains("partial_min"))
   }
 
+  test("q140/q143: eval-family windows stay partitioned, aggs combine map-side") {
+    // AUC: distinct-score collapse partial-aggregates before its shuffle;
+    // the final groupBy reuses the window's hashpartitioning(g) — three
+    // exchanges total (two hash + the output orderBy), nothing global
+    val p140 = plan("q140_auc")
+    assert(p140.contains("partial_sum"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p140).size <= 3)
+    // RRF: all three windows share one segment-key partitioning (one hash
+    // exchange + the output orderBy), and the top-5 filter pushes into a
+    // WindowGroupLimit instead of materializing every rank
+    val p143 = plan("q143_rrf")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p143).size <= 2)
+    assert(p143.contains("WindowGroupLimit"))
+  }
+
+  test("q146: basket lift plans top-k and scalar joins, never a cartesian") {
+    val p = plan("q146_basket_lift")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop product is the broadcast 1-row basket count
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size <= 1)
+  }
+
   test("q131: drift statistics partial-aggregate before the one shuffle") {
     val p = plan("q131_drift")
     assert(p.contains("partial_"))
