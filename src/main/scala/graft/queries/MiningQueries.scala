@@ -421,7 +421,57 @@ object MiningQueries {
       .orderBy($"c_nationkey", $"c_mktsegment")
   }
 
+  // ------------------------------------------- q149 quantile normalization
+
+  /** Quantile normalization across event types (the cross-distribution
+    * feature alignment: replace each value with its percentile bucket's
+    * cross-group mean): per-type ntile(100) buckets (q135's deterministic
+    * binning contract), bucket-keyed reference means as floor divisions,
+    * broadcast join back. One partitioned window + a 100-row-per-group
+    * aggregate — never a global sort. */
+  def q149QuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir).select($"event_id", $"event_type",
+      Series.cents($"value").as("cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"cents", $"event_id")
+    val b = e.withColumn("bucket", ntile(100).over(w))
+    val ref = b.groupBy($"bucket")
+      .agg(expr("CAST(sum(cents) div count(1) AS BIGINT)").as("norm_cents"))
+    b.join(broadcast(ref), "bucket")
+      .select($"event_id", $"event_type", $"bucket", $"cents", $"norm_cents")
+      .orderBy($"event_id")
+  }
+
+  // ------------------------------------------- q150 curriculum phases
+
+  /** Curriculum phase assignment by difficulty band: q136's unigram
+    * surprisal score, banded into 4 equal-WIDTH phases by the q139
+    * span-fraction rule (one (min,max) aggregate broadcast back,
+    * shuffle-free assignment — equal-count phases would need a global
+    * sort). Reports per-phase corpus statistics — the easy→hard data
+    * ordering a curriculum-training run consumes. */
+  def q150Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = graft.etl.Vocab.unigramSurprisal(Tables.documents(spark, dir),
+        "doc_id", "text")
+      .filter($"n_tokens" > 0)
+    val bounds = s.agg(min($"mean_bits_x100").as("lo"),
+      max($"mean_bits_x100").as("hi"))
+    s.join(broadcast(bounds))
+      .withColumn("phase",
+        expr("1 + ((mean_bits_x100 - lo) * 4) div (hi - lo + 1)"))
+      .groupBy($"phase")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("sum_tokens"),
+        min($"mean_bits_x100").as("lo_bits"),
+        max($"mean_bits_x100").as("hi_bits"))
+      .orderBy($"phase")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_curriculum" -> q150Curriculum _,
+    "q149_quantile_norm" -> q149QuantileNorm _,
     "q148_kanon" -> q148Kanon _,
     "q146_basket_lift" -> q146BasketLift _,
     "q145_entropy" -> q145Entropy _,
@@ -448,6 +498,39 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q150_curriculum" -> s"""
+      |WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+      |uni AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+      |b AS (SELECT tok.doc_id,
+      |        length(bin(n.n)) - length(bin(uni.c)) AS bits
+      |      FROM tok JOIN uni USING (token) CROSS JOIN n),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |          CAST(sum(bits) AS BIGINT) AS sb
+      |        FROM b GROUP BY 1),
+      |s AS (SELECT doc_id, n_tokens,
+      |        CAST(sb * 100 // n_tokens AS BIGINT) AS mb
+      |      FROM agg WHERE n_tokens > 0),
+      |bounds AS (SELECT min(mb) AS lo, max(mb) AS hi FROM s)
+      |SELECT 1 + ((mb - lo) * 4) // (hi - lo + 1) AS phase,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  min(mb) AS lo_bits, max(mb) AS hi_bits
+      |FROM s CROSS JOIN bounds
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q149_quantile_norm" -> """
+      |WITH b AS (SELECT event_id, event_type,
+      |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |t AS (SELECT *, ntile(100) OVER (PARTITION BY event_type
+      |        ORDER BY cents, event_id) AS bucket FROM b),
+      |r AS (SELECT bucket,
+      |        CAST(CAST(sum(cents) AS HUGEINT) // count(*) AS BIGINT)
+      |          AS norm_cents
+      |      FROM t GROUP BY 1)
+      |SELECT event_id, event_type, t.bucket, cents, norm_cents
+      |FROM t JOIN r ON t.bucket = r.bucket
+      |ORDER BY event_id""".stripMargin,
     "q148_kanon" -> """
       |WITH cell AS (SELECT c_nationkey, c_mktsegment,
       |                CAST(count(*) AS BIGINT) AS n_exact
