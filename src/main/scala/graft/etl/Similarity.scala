@@ -34,16 +34,16 @@ object Similarity {
   // ---------- word shingles ----------
 
   /** Distinct word n-gram shingles per row → (id, shingle), exploded.
-    * transform over a sequence of slices keeps this in codegen. */
-  def explodeShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = filter(split(col(textCol), " "), t => t =!= "")
-    val sh = array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " ")))
-        .otherwise(array().cast("array<string>")))
-    df.select(col(idCol).as("id"), explode(sh).as("shingle"))
-  }
+    * The shingling itself is the native codegen `word_shingles` expression
+    * ([[graft.plans.WordShingles]]) — one static-call pass per row,
+    * replacing the interpreted five-HOF chain
+    * (split→filter→sequence→transform(slice+join)→array_distinct) that
+    * previously dominated the pre-shuffle cost of every shingle-keyed
+    * dedup path (q26/q27/q134). */
+  def explodeShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(call_function("word_shingles", col(textCol), lit(n)))
+        .as("shingle"))
 
   /** Default skew cap for [[ngramJaccardPairs]]: one shingle contributes at
     * most cap·(cap−1)/2 ≈ 32.6k candidate pairs, generated INSIDE one

@@ -98,6 +98,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "simhash(text) takes exactly 1 argument")
         Simhash(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "word_shingles(text, n) takes exactly 2 arguments")
+        val n = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"word_shingles n must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "word_shingles n must be a literal")
+        }
+        WordShingles(children.head, n)
+      }))
     // HOF dot-product pattern → QDot (see QDotRewrite Scaladoc)
     ext.injectOptimizerRule(_ => QDotRewrite)
   }
