@@ -58,11 +58,14 @@ object Corpus {
       .drop("chunk")
   }
 
-  /** Whitespace tokens as a column, empties dropped. The split class is an
-    * explicit `[ \t\n\r]` (not `\s`): Java's `\s` and RE2's differ on
-    * unicode space, which silently diverges token counts across engines. */
+  /** Whitespace tokens as a column, empties dropped — the native codegen
+    * `ws_tokens` expression ([[graft.plans.WsTokens]]), one character-scan
+    * pass instead of regex split + interpreted filter HOF. The separator
+    * class is an explicit `[ \t\n\r]` (not `\s`): Java's `\s` and RE2's
+    * differ on unicode space, which silently diverges token counts across
+    * engines. */
   private[graft] def tokensOf(textCol: Column): Column =
-    filter(split(textCol, "[ \t\n\r]+"), t => t =!= "")
+    call_function("ws_tokens", textCol)
 
   /** Adjacent-pair (bigram) array of a token array: `a b c` → `[a b, b c]`.
     * zip_with over two slices, NOT `transform(sequence(...), i =>

@@ -20,6 +20,31 @@ object Text {
   def tokens(text: String): Array[String] =
     if (text == null) Array.empty else text.split(" ").filter(_.nonEmpty)
 
+  /** Maximal runs of non-whitespace over the class [ \t\n\r] — the single
+    * corpus-wide tokenization contract ([[graft.etl.Corpus.tokensOf]] and
+    * the DuckDB oracles' `string_split_regex(text,'[ \t\n\r]+')` + filter
+    * compute exactly this). One pass, no regex. */
+  def wsTokens(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val len = text.length
+    var i = 0
+    while (i < len) {
+      val c = text.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+      else {
+        var j = i + 1
+        while (j < len && {
+          val d = text.charAt(j)
+          d != ' ' && d != '\t' && d != '\n' && d != '\r'
+        }) j += 1
+        out += text.substring(i, j)
+        i = j
+      }
+    }
+    out.toArray
+  }
+
   /** Word n-gram shingles (distinct), joined with a single space. */
   def shingles(text: String, n: Int): Array[String] = {
     val t = tokens(text)

@@ -116,6 +116,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordShingles(children.head, n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("ws_tokens"),
+      new ExpressionInfo(classOf[WsTokens].getName, "ws_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "ws_tokens(text) takes exactly 1 argument")
+        WsTokens(children.head)
+      }))
     // HOF dot-product pattern → QDot (see QDotRewrite Scaladoc)
     ext.injectOptimizerRule(_ => QDotRewrite)
   }
