@@ -213,6 +213,39 @@ object Vocab {
           "NULLIF(n_tokens, 0) AS BIGINT)").as("mean_bits_x100"))
   }
 
+  /** Bigram conditional-surprisal document scoring — the first-order LM
+    * refinement of [[unigramSurprisal]]: each bigram position (w₁,w₂)
+    * contributes ⌊log₂c(w₁)⌋ − ⌊log₂c(w₁w₂)⌋ bits, the floored
+    * −log₂ P̂(w₂|w₁) under the MLE estimator c(w₁w₂)/c(w₁). Predictable
+    * continuations (c(w₁w₂) ≈ c(w₁)) contribute ~0 bits; surprising ones
+    * pay the full ratio — fluency scoring with no float and no model.
+    * Shuffles: bigram count, unigram count, two gram-keyed joins (AQE
+    * broadcasts floored vocabularies), one per-doc sum. */
+  def bigramSurprisal(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = Corpus.tokensOf(col(textCol))
+    val bi = docs.select(col(idCol),
+      explode(Corpus.bigramsOf(toks)).as("bigram"))
+    val bcnt = bi.groupBy(col("bigram")).agg(count(lit(1)).as("_cb"))
+    val uni = docs.select(explode(toks).as("_w1"))
+      .groupBy(col("_w1")).agg(count(lit(1)).as("_cu"))
+    val bits = bi
+      .withColumn("_w1", substring_index(col("bigram"), " ", 1))
+      .join(bcnt, "bigram").join(uni, "_w1")
+      .select(col(idCol),
+        (length(expr("bin(_cu)")) - length(expr("bin(_cb)"))).as("_bits"))
+    docs.select(col(idCol))
+      .join(bits.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("_bits")).cast("long").as("bi_bits")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bi_bits"), lit(0L)).as("bi_bits"),
+        expr("CAST(coalesce(bi_bits, 0) * 100 div " +
+          "NULLIF(n_bigrams, 0) AS BIGINT)").as("mean_bits_x100"))
+  }
+
   /** Bigram association strength as a pre-scaled integer PMI ratio:
     * score = (c_xy · N · scale) div (c_x · c_y), monotone in pointwise
     * mutual information (log of the same ratio) — ranking and

@@ -469,7 +469,70 @@ object MiningQueries {
       .orderBy($"phase")
   }
 
+  // --------------------------------------------- q151 vocab coverage
+
+  /** Vocabulary coverage curve: the corpus share (bp) covered by the top
+    * 100 / 1k / 10k ranked tokens ([[graft.etl.Vocab.vocabulary]]'s
+    * range-partitioned two-phase rank — no single-partition sort) — the
+    * number that decides a tokenizer's vocab size. One pass of
+    * conditional sums over the ranked vocabulary, unpivoted with stack. */
+  def q151VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = graft.etl.Vocab.vocabulary(Tables.documents(spark, dir), "text")
+    v.agg(
+        sum(when($"token_id" <= 100, $"cnt").otherwise(0L)).as("c100"),
+        sum(when($"token_id" <= 1000, $"cnt").otherwise(0L)).as("c1k"),
+        sum(when($"token_id" <= 10000, $"cnt").otherwise(0L)).as("c10k"),
+        sum($"cnt").as("tot"))
+      .selectExpr(
+        "stack(3, 100, c100, 1000, c1k, 10000, c10k) AS (k, covered)",
+        "tot AS total")
+      .selectExpr("k", "covered", "total",
+        "CAST(covered * 10000 div total AS BIGINT) AS coverage_bp")
+      .orderBy($"k")
+  }
+
+  // ---------------------------------------------- q152 shard balance
+
+  /** Shard-balance audit for a 32-way corpus layout: shards assigned by
+    * the repo-standard sha256-prefix hash of doc_id (q59/q76/q137's
+    * recipe), reporting per-shard document and token totals and the
+    * signed skew vs the mean in bp ((S·sum − total)·10⁴ div total,
+    * cross-multiplied exact). The write-path check that no output shard
+    * becomes a straggler. One aggregation + a one-row broadcast. */
+  def q152ShardBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"doc_id",
+      size(graft.etl.Corpus.tokensOf($"text")).cast("long").as("n_tok"),
+      (conv(substring(sha2($"doc_id".cast("string"), 256), 1, 4), 16, 10)
+        .cast("long") % 32).as("shard"))
+    val per = d.groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"))
+    val tot = per.agg(sum($"sum_tokens").as("tot"))
+    per.join(broadcast(tot))
+      .select($"shard", $"n_docs", $"sum_tokens",
+        expr("CAST((32 * sum_tokens - tot) * 10000 div tot AS BIGINT)")
+          .as("skew_bp"))
+      .orderBy($"shard")
+  }
+
+  // ------------------------------------------- q153 bigram surprisal
+
+  /** Bigram conditional-surprisal scoring
+    * ([[graft.etl.Vocab.bigramSurprisal]]): floored −log₂ P̂(w₂|w₁) —
+    * the first-order fluency signal refining q136's unigram score, still
+    * with no float log anywhere. */
+  def q153BigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Vocab.bigramSurprisal(Tables.documents(spark, dir),
+        "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_bigram_surprisal" -> q153BigramSurprisal _,
+    "q152_shard_balance" -> q152ShardBalance _,
+    "q151_vocab_coverage" -> q151VocabCoverage _,
     "q150_curriculum" -> q150Curriculum _,
     "q149_quantile_norm" -> q149QuantileNorm _,
     "q148_kanon" -> q148Kanon _,
@@ -498,6 +561,62 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q153_bigram_surprisal" -> s"""
+      |WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |bi AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+      |       FROM toks,
+      |            LATERAL (SELECT unnest(generate_series(1,
+      |              greatest(len(t) - 1, 0))) AS i) g),
+      |bc AS (SELECT bg, count(*) AS cb FROM bi GROUP BY 1),
+      |tok AS (SELECT unnest(t) AS token FROM toks),
+      |uc AS (SELECT token, count(*) AS cu FROM tok GROUP BY 1),
+      |b AS (SELECT doc_id, length(bin(cu)) - length(bin(cb)) AS bits
+      |      FROM bi JOIN bc USING (bg) JOIN uc ON bi.w1 = uc.token),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |          CAST(sum(bits) AS BIGINT) AS sb
+      |        FROM b GROUP BY 1)
+      |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(a.sb, 0) AS bi_bits,
+      |  CAST(coalesce(a.sb, 0) * 100 // NULLIF(a.n_bigrams, 0)
+      |    AS BIGINT) AS mean_bits_x100
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin,
+    "q152_shard_balance" -> """
+      |WITH d AS (SELECT doc_id,
+      |        CAST(len(list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |          x -> x <> '')) AS BIGINT) AS n_tok,
+      |        ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4))
+      |          ::BIGINT % 32 AS shard
+      |      FROM documents),
+      |per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |          CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+      |        FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(sum_tokens) AS BIGINT) AS tot FROM per)
+      |SELECT shard, n_docs, sum_tokens,
+      |  CAST((32 * sum_tokens - tot) * 10000 // tot AS BIGINT) AS skew_bp
+      |FROM per CROSS JOIN t
+      |ORDER BY shard""".stripMargin,
+    "q151_vocab_coverage" -> s"""
+      |WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |tok AS (SELECT unnest(t) AS token FROM toks),
+      |counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+      |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token)
+      |        AS tid FROM counts),
+      |a AS (SELECT
+      |    CAST(sum(CASE WHEN tid <= 100 THEN cnt ELSE 0 END) AS BIGINT)
+      |      AS c100,
+      |    CAST(sum(CASE WHEN tid <= 1000 THEN cnt ELSE 0 END) AS BIGINT)
+      |      AS c1k,
+      |    CAST(sum(CASE WHEN tid <= 10000 THEN cnt ELSE 0 END) AS BIGINT)
+      |      AS c10k,
+      |    CAST(sum(cnt) AS BIGINT) AS tot
+      |  FROM r)
+      |SELECT k, covered, tot AS total,
+      |  CAST(covered * 10000 // tot AS BIGINT) AS coverage_bp
+      |FROM (SELECT 100 AS k, c100 AS covered, tot FROM a
+      |      UNION ALL SELECT 1000, c1k, tot FROM a
+      |      UNION ALL SELECT 10000, c10k, tot FROM a)
+      |ORDER BY k""".stripMargin,
     "q150_curriculum" -> s"""
       |WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
       |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),

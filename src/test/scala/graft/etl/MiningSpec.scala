@@ -148,6 +148,21 @@ class MiningSpec extends SparkSpec {
     assert(got(2L) == ((1L, 2L, Some(200L))))
   }
 
+  // ----------------------------------------------------- bigram surprisal
+
+  test("bigramSurprisal: floored conditional bits, no-bigram doc NULL mean") {
+    // unigrams a:2 b:3 c:1; bigrams "a b":2 "b a":1 "b c":1
+    // d1: 0 + 1 + 0 = 1 over 3 -> mean 33; d2: bits(3)-bits(1) = 1 -> 100
+    val docs = Seq((1L, "a b a b"), (2L, "b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = Vocab.bigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map { case (id, n, s, m) => id -> ((n, s, m)) }.toMap
+    assert(got(1L) == ((3L, 1L, Some(33L))))
+    assert(got(2L) == ((1L, 1L, Some(100L))))
+    assert(got(3L) == ((0L, 0L, None)))
+  }
+
   // --------------------------------------------------- incremental dedup
 
   test("incrementalDupFlags: exact hash, shared-shingle near, clean miss") {
