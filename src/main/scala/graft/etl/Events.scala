@@ -121,6 +121,46 @@ object Events {
       .agg(max(col("running")).as("max_concurrent"))
   }
 
+  /** SCD-2 history build: each change event becomes a version row with a
+    * half-open validity interval `[valid_from_us, valid_to_us)` in integer
+    * micros — `valid_to_us` is the key's next change (exclusive), NULL with
+    * `is_current = 1` for the latest version. One partitioned window; ties
+    * on the timestamp are broken by `idCol` so the interval chain is
+    * deterministic. Input `tsUsCol` must already be integral micros. */
+  def scd2History(df: DataFrame, keyCol: String, idCol: String,
+      tsUsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(idCol))
+    df.withColumn("valid_to_us", lead(col(tsUsCol), 1).over(w))
+      .withColumn("valid_from_us", col(tsUsCol))
+      .withColumn("is_current",
+        when(col("valid_to_us").isNull, 1).otherwise(0))
+  }
+
+  /** First-touch attribution: credit each `creditType` event to the FIRST
+    * event type of its session, where sessions break after `gapUs` micros
+    * of inactivity (the lag/cumsum gaps-and-islands recipe — same session
+    * ids any SQL engine derives from the same window order). Two windows
+    * over one (user, time, id) sort + an enum-sized groupBy.
+    * Output: (first_touch, n_purchases). */
+  def firstTouchAttribution(df: DataFrame, userCol: String, idCol: String,
+      typeCol: String, tsUsCol: String, gapUs: Long,
+      creditType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsUsCol), col(idCol))
+    val s = df
+      .withColumn("_brk",
+        when(lag(col(tsUsCol), 1).over(w).isNull ||
+          col(tsUsCol) - lag(col(tsUsCol), 1).over(w) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("_sid", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    s.withColumn("first_touch", first(col(typeCol)).over(
+        Window.partitionBy(col(userCol), col("_sid"))
+          .orderBy(col(tsUsCol), col(idCol))))
+      .filter(col(typeCol) === creditType)
+      .groupBy(col("first_touch"))
+      .agg(count(lit(1)).as("n_purchases"))
+  }
+
   /** Merge overlapping-or-touching intervals per group (gaps-and-islands):
     * an interval opens a new island iff its start exceeds the max end seen
     * so far. Output: one row per island with its span and member count.

@@ -174,7 +174,39 @@ object GraphEvents {
       .orderBy($"node")
   }
 
+  // ------------------------------------------------------------ q154 scd2
+
+  /** SCD-2 history build (the dimension-versioning ETL deliverable) over
+    * the events table — see [[graft.etl.Events.scd2History]]. */
+  def q154Scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        unix_micros($"ts").as("us"))
+    graft.etl.Events.scd2History(e, "user_id", "event_id", "us")
+      .select($"event_id", $"user_id", $"event_type",
+        $"valid_from_us", $"valid_to_us", $"is_current")
+      .orderBy($"event_id")
+  }
+
+  // ----------------------------------------------------- q155 attribution
+
+  /** First-touch attribution: purchases credited to the entry event type
+    * of their session (24 h inactivity gap — the q35 sessionization
+    * contract) — see [[graft.etl.Events.firstTouchAttribution]]. */
+  def q155Attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        unix_micros($"ts").as("us"))
+    graft.etl.Events.firstTouchAttribution(e, "user_id", "event_id",
+        "event_type", "us", gapUs = 86400000000L, creditType = "purchase")
+      .orderBy($"first_touch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_attribution" -> q155Attribution _,
+    "q154_scd2" -> q154Scd2 _,
     "q147_kcore" -> q147Kcore _,
     "q101_triangles" -> q101Triangles _,
     "q102_khop_bfs" -> q102Khop _,
@@ -187,6 +219,33 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q155_attribution" -> """
+      |WITH b AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      |           FROM events),
+      |x AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |          OR us - lag(us) OVER w > 86400000000 THEN 1 ELSE 0 END
+      |          AS brk
+      |      FROM b
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM x),
+      |f AS (SELECT *, first_value(event_type) OVER (
+      |        PARTITION BY user_id, sid ORDER BY us, event_id)
+      |        AS first_touch
+      |      FROM s)
+      |SELECT first_touch, CAST(count(*) AS BIGINT) AS n_purchases
+      |FROM f WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q154_scd2" -> """
+      |SELECT event_id, user_id, event_type,
+      |  epoch_us(ts) AS valid_from_us,
+      |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+      |  CASE WHEN lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id) IS NULL THEN 1 ELSE 0 END
+      |    AS is_current
+      |FROM events ORDER BY event_id""".stripMargin,
     "q147_kcore" -> """
       |WITH mm AS (SELECT (max(o_orderkey) + 1) // 50 AS m FROM orders),
       |e0 AS (SELECT o_orderkey % m AS x,

@@ -153,6 +153,39 @@ class GraphEventsSpec extends SparkSpec {
     assert(got == Seq((0L, 120L, 3L)))
   }
 
+  // ----------------------------------------------------------- scd2 / attribution
+
+  test("scd2History: chained validity, open latest, ties broken by id") {
+    // user u: versions at t=10,20,20,40 (tie at 20 broken by id 2<3);
+    // user v: single version → immediately current
+    val df = Seq(
+      (1L, "u", "a", 10L), (3L, "u", "c", 20L), (2L, "u", "b", 20L),
+      (4L, "u", "d", 40L), (5L, "v", "x", 7L))
+      .toDF("id", "k", "t", "us")
+    val got = Events.scd2History(df, "k", "id", "us")
+      .orderBy($"id")
+      .select($"id", $"valid_from_us", $"valid_to_us", $"is_current")
+      .as[(Long, Long, Option[Long], Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, Some(20L), 0), (2L, 20L, Some(20L), 0),
+      (3L, 20L, Some(40L), 0), (4L, 40L, None, 1), (5L, 7L, None, 1)))
+  }
+
+  test("firstTouchAttribution: session break re-anchors the first touch") {
+    // user u: [view@0, purchase@5] then gap>10 → [search@100, purchase@105];
+    // user v: purchase opens its own session → credited to itself
+    val df = Seq(
+      (1L, "u", "view", 0L), (2L, "u", "purchase", 5L),
+      (3L, "u", "search", 100L), (4L, "u", "purchase", 105L),
+      (5L, "v", "purchase", 50L))
+      .toDF("id", "user", "t", "us")
+    val got = Events.firstTouchAttribution(df, "user", "id", "t", "us",
+        gapUs = 10L, creditType = "purchase")
+      .orderBy($"first_touch")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("purchase", 1L), ("search", 1L), ("view", 1L)))
+  }
+
   // ------------------------------------------------------------- skyline
 
   test("skyline2D: dominance with ties and duplicates") {
