@@ -368,4 +368,22 @@ object Mining {
       .select(col("vid").as(idCol), col("m.cid").as("cluster"),
         col("m.dist2").as("dist2"))
   }
+
+  /** Semantic-dedup representative selection (the SemDeDup keep-one step
+    * downstream of [[kmeansAssign]]): per cluster, keep the member closest
+    * to the centroid (lowest exact integer dist2, id-tiebroken) as the
+    * canonical document and count how many members it stands for. The
+    * keep-list IS the deduplicated corpus; n_members − 1 is the pruned
+    * mass. One cluster-key shuffle over the assignment output — the
+    * min(struct) argmin does the selection map-side, so no per-cluster
+    * member list ever materializes. */
+  def semdedupReps(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    kmeansAssign(emb, idCol, vecCol, k)
+      .groupBy(col("cluster"))
+      .agg(min(struct(col("dist2"), col(idCol))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("m").getField(idCol).as("rep_id"),
+        col("m.dist2").as("rep_dist2"), col("n_members"))
+  }
 }

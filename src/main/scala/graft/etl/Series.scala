@@ -78,4 +78,65 @@ object Series {
     val frame = array_sort(collect_list(col(valueCol)).over(w))
     df.withColumn(out, element_at(frame, ((size(frame) + 1) / 2).cast("int")))
   }
+
+  /** Lag-k autocorrelation of an ALREADY-AGGREGATED integer series
+    * (`tCol` = integral time index, `xCol` = integral value): for each lag
+    * in 1..maxLag, Pearson sign + floor-scaled r² over the pairs
+    * (x_t, x_{t+lag}), using the same decimal(38,0) sufficient-statistics
+    * form as [[Mining.groupedCorr]] so both engines agree bit-for-bit.
+    *
+    * The caller reduces the raw table to the series first (one
+    * combiner-friendly shuffle; ≤ one row per time tick), so the self-join
+    * here runs on a calendar-bounded input — `maxLag` copies of a
+    * day-count-sized table, broadcast on both sides at any data scale.
+    * Missing ticks simply contribute no pair (pairs join on t+lag). */
+  def acf(series: DataFrame, tCol: String, xCol: String,
+      maxLag: Int, scale: Long = 10000): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val lags = series.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    // the series is tick-bounded (tiny); checkpointing it keeps the raw
+    // scan+aggregation from running once per join side
+    val s = series.select(col(tCol).as("_t"), col(xCol).as("_x"))
+      .localCheckpoint()
+    val a = s
+    val b = s.select(col("_t").as("_tb"), col("_x").as("_y"))
+    val pairs = a.crossJoin(broadcast(lags))
+      .join(b, col("_tb") === col("_t") + col("lag"))
+      .select(col("lag"), col("_x").as("x"), col("_y").as("y"))
+    Mining.groupedCorr(pairs, "lag", "x", "y", scale)
+  }
+
+  /** CUSUM change-point screen per group: x_t = Σ `xCol` at tick t; with
+    * n ticks summing to S, the deviation at tick t is n·x_t − S (the
+    * mean-centered value scaled by n to stay integral), and cusum_t is its
+    * running prefix sum in tick order. The reported change point is the tick maximizing |cusum|
+    * (earliest tick wins ties) — the classic single-change-point estimate.
+    * A flat series keeps |cusum| at 0; a level shift peaks at the shift.
+    *
+    * Shape: one combiner-friendly (group, tick) sum shuffle, two
+    * windows over ONE per-group sort, and a final min(struct) argmin agg —
+    * no self-join. Arithmetic rides decimal(38,0): |cusum| ≤ n·S, which
+    * overflows Long for ~10⁹ ticks × 10¹⁰ total but stays well inside
+    * 38 digits. Output cusum is cast to Long for the harness (exact while
+    * n·S < 2⁶³ — any realistic calendar-bounded series). */
+  def cusumChangepoint(df: DataFrame, groupCol: String, tCol: String,
+      xCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = df.groupBy(col(groupCol), col(tCol).as("_t"))
+      .agg(sum(col(xCol)).cast(d38).as("_x"))
+    val wAll = Window.partitionBy(col(groupCol))
+    val wRun = wAll.orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("_n", sum(lit(1).cast(d38)).over(wAll))
+      .withColumn("_s", sum(col("_x")).over(wAll))
+      .withColumn("_cusum", sum(col("_n") * col("_x") - col("_s")).over(wRun))
+      .groupBy(col(groupCol))
+      .agg(max(col("_n")).cast("long").as("n_ticks"),
+        min(struct((-abs(col("_cusum"))).as("_negabs"),
+          col("_t"), col("_cusum"))).as("_m"))
+      .select(col(groupCol), col("n_ticks"),
+        col("_m._t").as("cp_tick"),
+        col("_m._cusum").cast("long").as("cusum"))
+  }
 }

@@ -529,7 +529,59 @@ object MiningQueries {
       .orderBy($"doc_id")
   }
 
+  // ------------------------------------------------------ q156 acf
+
+  /** Lag-1..7 autocorrelation of the daily event-count series
+    * ([[Series.acf]]): the raw table collapses to ≤ one row per calendar
+    * day first (one combiner-friendly shuffle), then the lag pairs join on
+    * that day-bounded series — the seasonality screen (a weekly cycle
+    * shows as a lag-7 peak) with q144's exact sign + scaled-r² contract. */
+  def q156Acf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select(datediff(to_date($"ts"), to_date(lit("1970-01-01"))).as("d"))
+      .groupBy($"d").agg(count(lit(1)).as("x"))
+    Series.acf(daily, "d", "x", maxLag = 7)
+      .withColumnRenamed("lag", "lag_days")
+      .orderBy($"lag_days")
+  }
+
+  // ---------------------------------------------------- q157 cusum
+
+  /** CUSUM change-point screen per event type
+    * ([[Series.cusumChangepoint]]): the day whose running mean-centered
+    * cumulative sum peaks in absolute value — the level-shift detector a
+    * pipeline runs on ingest volume (did a source break or double?). All
+    * decimal(38,0) integer arithmetic, earliest-day tiebreak. */
+  def q157Cusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_type",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01"))).as("d"))
+      .withColumn("one", lit(1L))
+    Series.cusumChangepoint(e, "event_type", "d", "one")
+      .withColumnRenamed("cp_tick", "cp_day")
+      .orderBy($"event_type")
+  }
+
+  // ------------------------------------------------- q158 semdedup
+
+  /** SemDeDup representative selection ([[Mining.semdedupReps]]): one
+    * canonical embedding per k-means cluster (closest-to-centroid, exact
+    * integer distances, id-tiebroken) with the member count it stands
+    * for — the keep-one step that turns q129's assignment into a
+    * deduplicated corpus. */
+  def q158Semdedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Mining.semdedupReps(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 8)
+      .orderBy($"cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_semdedup" -> q158Semdedup _,
+    "q157_cusum" -> q157Cusum _,
+    "q156_acf" -> q156Acf _,
     "q153_bigram_surprisal" -> q153BigramSurprisal _,
     "q152_shard_balance" -> q152ShardBalance _,
     "q151_vocab_coverage" -> q151VocabCoverage _,
@@ -561,6 +613,72 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q156_acf" -> """
+      |WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+      |                 CAST(ts AS DATE)) AS d,
+      |               count(*) AS x
+      |               FROM events GROUP BY 1),
+      |l AS (SELECT unnest(generate_series(1, 7)) AS lag_days),
+      |p AS (SELECT l.lag_days, a.x AS x, b.x AS y
+      |      FROM daily a CROSS JOIN l
+      |      JOIN daily b ON b.d = a.d + l.lag_days),
+      |s AS (SELECT lag_days, CAST(count(*) AS HUGEINT) AS n,
+      |        CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |        CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |        CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      |      FROM p GROUP BY 1)
+      |SELECT lag_days, CAST(n AS BIGINT) AS n,
+      |  CAST(sign(n * sxy - sx * sy) AS BIGINT) AS corr_sign,
+      |  CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * 10000)
+      |    // NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0)
+      |    AS BIGINT) AS r2_scaled
+      |FROM s ORDER BY lag_days""".stripMargin,
+    "q157_cusum" -> """
+      |WITH g AS (SELECT event_type,
+      |             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |               AS d,
+      |             CAST(count(*) AS HUGEINT) AS x
+      |           FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, d, x,
+      |        CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT)
+      |          AS n,
+      |        CAST(sum(x) OVER (PARTITION BY event_type) AS HUGEINT) AS s
+      |      FROM g),
+      |c AS (SELECT event_type, d, n,
+      |        sum(n * x - s) OVER (PARTITION BY event_type ORDER BY d
+      |          ROWS UNBOUNDED PRECEDING) AS cusum
+      |      FROM w)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_ticks, d AS cp_day,
+      |  CAST(cusum AS BIGINT) AS cusum
+      |FROM c
+      |QUALIFY row_number() OVER (PARTITION BY event_type
+      |  ORDER BY abs(cusum) DESC, d) = 1
+      |ORDER BY event_type""".stripMargin,
+    "q158_semdedup" -> """
+      |WITH q AS (SELECT vec_id,
+      |             list_transform(embedding,
+      |               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+      |               AS qv
+      |           FROM embeddings),
+      |c AS (SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT 8),
+      |s AS (SELECT q.vec_id, c.cid,
+      |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+      |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist2
+      |      FROM q CROSS JOIN c),
+      |a AS (SELECT vec_id, cid AS cluster, dist2 FROM s
+      |      QUALIFY row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY dist2, cid) = 1),
+      |r AS (SELECT cluster, vec_id, dist2,
+      |        CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+      |          AS n_members
+      |      FROM a)
+      |SELECT cluster, vec_id AS rep_id, dist2 AS rep_dist2, n_members
+      |FROM r
+      |QUALIFY row_number() OVER (PARTITION BY cluster
+      |  ORDER BY dist2, vec_id) = 1
+      |ORDER BY cluster""".stripMargin,
     "q153_bigram_surprisal" -> s"""
       |WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
       |bi AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg

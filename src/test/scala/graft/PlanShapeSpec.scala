@@ -242,6 +242,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q156-q158: series/semdedup screens plan bounded joins only") {
+    // ACF: the lag pairs join the checkpointed day-bounded series — hash
+    // or broadcast joins, never a sort-merge over the raw table; the only
+    // nested-loop product is the broadcast maxLag-row table
+    val p156 = plan("q156_acf")
+    assert(!p156.contains("CartesianProduct"))
+    assert(!p156.contains("SortMergeJoin"))
+    // CUSUM: pure agg + windows — no join anywhere, partial agg map-side
+    val p157 = plan("q157_cusum")
+    assert(!p157.contains("Join"))
+    assert(p157.contains("partial_"))
+    // SemDeDup: same bounded-centroid product as q129, argmin as an agg
+    val p158 = plan("q158_semdedup")
+    assert(!p158.contains("CartesianProduct"))
+    assert(p158.contains("partial_min"))
+  }
+
   test("shop adapter transform keeps whole-stage codegen spans") {
     import spark.implicits._
     val row =

@@ -305,4 +305,53 @@ class MiningSpec extends SparkSpec {
     // quantized (1,1): dist 2 to both centroids -> cid 1
     assert(got(4L) == ((1L, 2L)))
   }
+
+  test("semdedupReps: closest member represents, id breaks ties") {
+    // same fixture: cluster 1 = {1 (d=0), 4 (d=2)} -> rep 1, n=2;
+    // cluster 2 = {2 (d=0), 3 (d=0)} -> tie at 0, lower id 2 wins
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(0.002f, 0.002f)),
+      (3L, Array(0.002f, 0.002f)),
+      (4L, Array(0.001f, 0.001f))).toDF("vec_id", "embedding")
+    val got = Mining.semdedupReps(emb, "vec_id", "embedding", k = 2)
+      .orderBy($"cluster")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 0L, 2L), (2L, 2L, 0L, 2L)))
+  }
+
+  // --------------------------------------------------------- acf / cusum
+
+  test("acf: perfectly alternating series — lag 1 anti, lag 2 perfect") {
+    // x = 1,3,1,3,1,3: lag-1 pairs correlate -1 (r2=10000, sign -1);
+    // lag-2 pairs correlate +1; missing ticks contribute no pair
+    val s = Seq((0, 1L), (1, 3L), (2, 1L), (3, 3L), (4, 1L), (5, 3L))
+      .toDF("t", "x")
+    val got = Series.acf(s, "t", "x", maxLag = 2)
+      .orderBy($"lag")
+      .as[(Int, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq((1, 5L, -1L, Some(10000L)), (2, 4L, 1L, Some(10000L))))
+  }
+
+  test("acf: constant series has zero variance -> NULL r2") {
+    val s = Seq((0, 2L), (1, 2L), (2, 2L)).toDF("t", "x")
+    val got = Series.acf(s, "t", "x", maxLag = 1)
+      .as[(Int, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq((1, 2L, 0L, None)))
+  }
+
+  test("cusumChangepoint: level shift peaks at the last pre-shift tick") {
+    // g: 2,2,2,8,8 (n=5, S=22): dev*n = 10x-22 -> -12,-12,-12,18,18;
+    // cusum = -12,-24,-36,-18,0 -> |max| at t=2. h: flat -> cusum 0,
+    // earliest tick wins
+    val df = Seq(
+      ("g", 0, 2L), ("g", 1, 2L), ("g", 2, 2L), ("g", 3, 8L), ("g", 4, 8L),
+      ("h", 0, 4L), ("h", 1, 4L))
+      .flatMap { case (g, t, x) => Seq.fill(x.toInt)((g, t, 1L)) }
+      .toDF("g", "t", "one")
+    val got = Series.cusumChangepoint(df, "g", "t", "one")
+      .orderBy($"g")
+      .as[(String, Long, Int, Long)].collect().toSeq
+    assert(got == Seq(("g", 5L, 2, -36L), ("h", 2L, 0, 0L)))
+  }
 }
