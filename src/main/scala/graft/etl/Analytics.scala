@@ -222,4 +222,60 @@ object Analytics {
           col(s"_sky_l.$yCol") === col("_sky_r._fy"))
       .select(df.columns.map(c => col(s"_sky_l.$c")): _*)
   }
+
+  /** RFM segmentation: per entity, quintile bins of recency / frequency /
+    * monetary WITHIN its segment (ntile(5), ties broken by the entity id
+    * so both engines bin identically), rolled up to
+    * (segment, rfm_code = r·100 + f·10 + m, n_entities). Input is one row
+    * per transaction with an integral recency index (e.g. day number — bin
+    * 5 = most recent) and integral value (e.g. cents).
+    *
+    * Shape: one (segment, entity) sum shuffle, three ntile windows sharing
+    * ONE segment partitioning + sort each, and an enum-sized final
+    * groupBy. The windows are partitioned by segment — never global — so
+    * the operator scales with the widest segment, not the table. */
+  def rfmSegments(df: DataFrame, segCol: String, entityCol: String,
+      recencyCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(segCol), col(entityCol))
+      .agg(max(col(recencyCol)).as("_rec"),
+        count(lit(1)).as("_freq"),
+        sum(col(valueCol)).as("_mon"))
+    def bin(c: String) = ntile(5).over(Window.partitionBy(col(segCol))
+      .orderBy(col(c), col(entityCol)))
+    per.withColumn("_r", bin("_rec"))
+      .withColumn("_f", bin("_freq"))
+      .withColumn("_m", bin("_mon"))
+      .groupBy(col(segCol),
+        (col("_r") * 100 + col("_f") * 10 + col("_m")).as("rfm_code"))
+      .agg(count(lit(1)).as("n_entities"))
+  }
+
+  /** Pareto / ABC classification per group: rank items by value
+    * descending (id-tiebroken), take the running value share, and class
+    * A while cum ≤ 80 % of the group total, B while ≤ 95 %, else C —
+    * compared cross-multiplied (cum·100 vs total·80) in decimal(38,0), so
+    * no division and no floats. Output: (group, abc_class, n_items,
+    * class_value) — the "which 20 % of parts carry 80 % of revenue"
+    * screen. One (group, item) sum shuffle + one per-group window + the
+    * enum-sized rollup; the window is group-partitioned, never global. */
+  def abcClasses(df: DataFrame, groupCol: String, itemCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val per = df.groupBy(col(groupCol), col(itemCol))
+      .agg(sum(col(valueCol)).cast(d38).as("_v"))
+    val wg = Window.partitionBy(col(groupCol))
+    val wRun = wg.orderBy(col("_v").desc, col(itemCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.withColumn("_total", sum(col("_v")).over(wg))
+      .withColumn("_cum", sum(col("_v")).over(wRun))
+      .withColumn("abc_class",
+        when(col("_cum") * 100 <= col("_total") * 80, "A")
+          .when(col("_cum") * 100 <= col("_total") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col(groupCol), col("abc_class"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("_v")).cast("long").as("class_value"))
+  }
 }

@@ -388,7 +388,45 @@ object Domain {
       .orderBy($"o_orderkey")
   }
 
+  // ------------------------------------------------------------ q159 rfm
+
+  /** RFM segmentation ([[graft.etl.Analytics.rfmSegments]]): per customer
+    * within their market segment, quintile bins of order recency /
+    * frequency / monetary cents, rolled up to (segment, rfm_code,
+    * n_entities) — the classic customer-value grid, with every ntile
+    * window segment-partitioned and id-tiebroken so both engines bin
+    * identically. */
+  def q159Rfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_custkey",
+        datediff($"o_orderdate", to_date(lit("1970-01-01"))).as("rec"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    graft.etl.Analytics.rfmSegments(t, "c_mktsegment", "o_custkey",
+        "rec", "cents")
+      .orderBy($"c_mktsegment", $"rfm_code")
+  }
+
+  // ------------------------------------------------------------ q160 abc
+
+  /** Pareto / ABC classification ([[graft.etl.Analytics.abcClasses]]):
+    * per brand, parts ranked by revenue into A (top 80 % of cents),
+    * B (to 95 %), C (tail), compared cross-multiplied in decimal(38,0) —
+    * the "which parts carry the revenue" inventory screen. */
+  def q160Abc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"l_partkey",
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+    graft.etl.Analytics.abcClasses(t, "p_brand", "l_partkey", "cents")
+      .orderBy($"p_brand", $"abc_class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_abc" -> q160Abc _,
+    "q159_rfm" -> q159Rfm _,
     "q19_promo_parse" -> q19PromoParse _,
     "q20_unit_standardize" -> q20UnitStandardize _,
     "q21_discount_metrics" -> q21DiscountMetrics _,
@@ -410,6 +448,45 @@ object Domain {
     "q94_drawdown" -> q94Drawdown _)
 
   val oracleSql: Map[String, String] = Map(
+    "q159_rfm" -> """
+      |WITH t AS (SELECT c_mktsegment AS seg, o_custkey AS k,
+      |             date_diff('day', DATE '1970-01-01', o_orderdate) AS rec,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |           FROM orders JOIN customer ON o_custkey = c_custkey),
+      |per AS (SELECT seg, k, max(rec) AS rec,
+      |          CAST(count(*) AS BIGINT) AS freq,
+      |          CAST(sum(cents) AS BIGINT) AS mon
+      |        FROM t GROUP BY 1, 2),
+      |b AS (SELECT seg,
+      |        ntile(5) OVER (PARTITION BY seg ORDER BY rec, k) AS r,
+      |        ntile(5) OVER (PARTITION BY seg ORDER BY freq, k) AS f,
+      |        ntile(5) OVER (PARTITION BY seg ORDER BY mon, k) AS m
+      |      FROM per)
+      |SELECT seg AS c_mktsegment, r * 100 + f * 10 + m AS rfm_code,
+      |  CAST(count(*) AS BIGINT) AS n_entities
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q160_abc" -> """
+      |WITH t AS (SELECT p_brand, l_partkey AS k,
+      |             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |           FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |per AS (SELECT p_brand, k, CAST(sum(cents) AS HUGEINT) AS v
+      |        FROM t GROUP BY 1, 2),
+      |w AS (SELECT p_brand, k, v,
+      |        CAST(sum(v) OVER (PARTITION BY p_brand) AS HUGEINT)
+      |          AS total,
+      |        CAST(sum(v) OVER (PARTITION BY p_brand
+      |          ORDER BY v DESC, k ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+      |          AS cum
+      |      FROM per),
+      |c AS (SELECT p_brand,
+      |        CASE WHEN cum * 100 <= total * 80 THEN 'A'
+      |             WHEN cum * 100 <= total * 95 THEN 'B'
+      |             ELSE 'C' END AS abc_class,
+      |        v
+      |      FROM w)
+      |SELECT p_brand, abc_class, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(v) AS BIGINT) AS class_value
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Analytic recomputation: k = o_orderkey%10 selects the pattern, so the
     // expected effective price/type follow from the promotion definitions.
     "q19_promo_parse" -> """

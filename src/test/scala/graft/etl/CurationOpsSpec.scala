@@ -194,6 +194,32 @@ class CurationOpsSpec extends SparkSpec {
 
   // ------------------------------------------------------- PMI bigrams
 
+  test("rfmSegments: segment-relative quintiles, id-tiebroken, code rollup") {
+    // one segment, 5 entities with strictly increasing recency/freq/mon:
+    // every entity lands in its own quintile on all three axes, so
+    // rfm_code = 111·bin and each code holds exactly one entity
+    val rows = for {
+      e <- 1 to 5; _ <- 1 to e // entity e has e transactions
+    } yield ("SEG", e.toLong, e * 10, e.toLong * 100)
+    val df = rows.toDF("seg", "ent", "rec", "cents")
+    val got = Analytics.rfmSegments(df, "seg", "ent", "rec", "cents")
+      .orderBy($"rfm_code")
+      .as[(String, Int, Long)].collect().toSeq
+    assert(got == (1 to 5).map(b => ("SEG", b * 111, 1L)))
+  }
+
+  test("abcClasses: 80/95 boundaries are inclusive, tail classes C") {
+    // values 80, 15, 5: cum shares 80 (A, boundary inclusive),
+    // 95 (B, boundary inclusive), 100 (C)
+    val df = Seq(("g", 1L, 80L), ("g", 2L, 15L), ("g", 3L, 5L))
+      .toDF("grp", "item", "v")
+    val got = Analytics.abcClasses(df, "grp", "item", "v")
+      .orderBy($"abc_class")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", "A", 1L, 80L), ("g", "B", 1L, 15L),
+      ("g", "C", 1L, 5L)))
+  }
+
   test("pmiBigrams: scaled integer ratio, minCount prunes") {
     val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"))
       .toDF("doc_id", "text")
