@@ -386,4 +386,28 @@ object Mining {
       .select(col("cluster"), col("m").getField(idCol).as("rep_id"),
         col("m.dist2").as("rep_dist2"), col("n_members"))
   }
+
+  /** Deterministic negative sampling for contrastive training: for each
+    * user, k pseudo-random candidate items from a Knuth multiplicative
+    * hash of (user, i), minus the user's actual interactions (anti-join).
+    * Pure integer arithmetic — both engines compute the identical
+    * candidate stream, no RNG state — so resampling is reproducible and
+    * shardable. Cost: a k-way row explode on the (small) user side + one
+    * distinct on interactions + one equi-anti-join; no item-table scan at
+    * all. Items are assumed dense in [1, nItems] (the id-encode step
+    * [[Vocab.encode]] produces exactly that). Output: user, sample_idx,
+    * item (as `itemCol`). */
+  def negativeSample(users: DataFrame, interactions: DataFrame,
+      userCol: String, itemCol: String, k: Int, nItems: Long): DataFrame = {
+    require(k > 0 && nItems > 0, "k and nItems must be positive")
+    val cand = users.select(col(userCol))
+      .withColumn("sample_idx",
+        explode(sequence(lit(0L), lit(k - 1L))))
+      .withColumn(itemCol,
+        (col(userCol) * 2654435761L + col("sample_idx") * 40503L)
+          % nItems + 1L)
+    cand.join(interactions.select(col(userCol), col(itemCol)).distinct(),
+        Seq(userCol, itemCol), "left_anti")
+      .select(col(userCol), col("sample_idx"), col(itemCol))
+  }
 }

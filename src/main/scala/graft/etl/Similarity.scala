@@ -84,6 +84,28 @@ object Similarity {
       maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame =
     ngramJaccardImpl(df, idCol, textCol, n, maxShingleFreq, materialize = false)
 
+  /** Directed n-gram containment pairs: (contained, container) where the
+    * contained doc's shingle set is ≥ tauNum/tauDen inside the other doc —
+    * the asymmetric near-dup test that catches quotes and subset
+    * duplication Jaccard misses (a short doc embedded in a long one has
+    * tiny Jaccard but containment ≈ 1). Rides the exact same capped
+    * no-self-join candidate plan as [[ngramJaccardPairs]] (and shares its
+    * documented boilerplate-only-pair recall caveat); the directed filter
+    * is a pure integer cross-multiply, both directions emitted. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      tauNum: Int = 3, tauDen: Int = 4,
+      maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame = {
+    val pairs = ngramJaccardImpl(df, idCol, textCol, n, maxShingleFreq,
+      materialize = true)
+    val ab = pairs.filter(col("inter") * tauDen >= col("size_a") * tauNum)
+      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        col("inter"), col("size_a").as("contained_size"))
+    val ba = pairs.filter(col("inter") * tauDen >= col("size_b") * tauNum)
+      .select(col("id_b").as("contained_id"), col("id_a").as("container_id"),
+        col("inter"), col("size_b").as("contained_size"))
+    ab.unionByName(ba)
+  }
+
   private def ngramJaccardImpl(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxShingleFreq: Option[Int], materialize: Boolean): DataFrame = {
     val sh0 = explodeShingles(df, idCol, textCol, n)

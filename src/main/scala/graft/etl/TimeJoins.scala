@@ -107,6 +107,42 @@ object TimeJoins {
       .drop("_ikey", "_bucket", "_ibucket")
   }
 
+  /** Interval-overlap join: every pair of a-row and b-row on the same
+    * `key` whose half-open intervals `[start, end)` overlap
+    * (`a.start < b.end && b.start < a.end`). Same bucketing scheme as
+    * [[rangeJoinBucketed]] — both sides explode to the time buckets they
+    * cover and equi-join on (key, bucket), so Spark plans a plain shuffled
+    * hash join instead of a per-key nested loop. A pair overlapping k
+    * shared buckets would match k times; the extra
+    * `bucket == bucketOf(greatest(a.start, b.start))` conjunct keeps
+    * exactly one match per pair (the overlap's first bucket is shared by
+    * construction) — dedup by arithmetic, not by a `distinct` shuffle.
+    *
+    * Output: all a columns + b's columns prefixed `b_` (b's key dropped).
+    * Times are epoch-micros longs; pick `bucketWidthUs` near the typical
+    * interval length. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, key: String,
+      startCol: String, endCol: String, bucketWidthUs: Long): DataFrame = {
+    require(bucketWidthUs > 0, "bucketWidthUs must be positive")
+    val w = lit(bucketWidthUs)
+    val bucketOf = (c: Column) => floor(c.cast("decimal(20,0)") / w).cast("long")
+    val bs = s"b_$startCol"
+    val be = s"b_$endCol"
+    val bv = b.columns.foldLeft(b)((df, c) => df.withColumnRenamed(c,
+        if (c == key) "_bkey" else s"b_$c"))
+      .filter(col(be) > col(bs))
+      .withColumn("_bbucket",
+        explode(sequence(bucketOf(col(bs)), bucketOf(col(be) - 1))))
+    val av = a.filter(col(endCol) > col(startCol))
+      .withColumn("_abucket",
+        explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol) - 1))))
+    av.join(bv,
+        col(key) === col("_bkey") && col("_abucket") === col("_bbucket") &&
+          col(startCol) < col(be) && col(bs) < col(endCol) &&
+          col("_abucket") === bucketOf(greatest(col(startCol), col(bs))))
+      .drop("_bkey", "_abucket", "_bbucket")
+  }
+
   /** Daily resample with gap filling: per-key daily row counts, with the
     * missing days inside each key's [first, last] span emitted as zeros —
     * the regularization step before any rolling/forecast pass. The day

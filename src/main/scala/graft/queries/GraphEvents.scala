@@ -204,7 +204,36 @@ object GraphEvents {
       .orderBy($"first_touch")
   }
 
+  // ------------------------------------------------- q161 interval join
+
+  /** Interval-overlap join ([[graft.etl.TimeJoins.intervalOverlapJoin]]):
+    * per user, every (error-interval, click-interval) pair that overlaps
+    * in time, rolled up to (user_id, n_overlaps, overlap_us). Both sides
+    * ride the q104 interval derivation (length 60–959 s from event_id
+    * arithmetic, exact integral micros); the join itself is the bucketed
+    * equi-join — no per-key nested loop — with the greatest-start bucket
+    * conjunct deduplicating multi-bucket matches arithmetically. Bucket
+    * width 1000 s ≈ the max interval length (≤2 buckets per interval). */
+  def q161IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def side(t: String) = Tables.events(spark, dir)
+      .filter($"event_type" === t)
+      .select($"user_id",
+        unix_micros($"ts").as("s_us"),
+        (unix_micros($"ts") +
+          (($"event_id" % 900) + 60) * 1000000L).as("e_us"))
+    val joined = graft.etl.TimeJoins.intervalOverlapJoin(
+      side("error"), side("click"), "user_id", "s_us", "e_us",
+      bucketWidthUs = 1000000000L)
+    joined.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(least($"e_us", $"b_e_us") - greatest($"s_us", $"b_s_us"))
+          .cast("long").as("overlap_us"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_interval_join" -> q161IntervalJoin _,
     "q155_attribution" -> q155Attribution _,
     "q154_scd2" -> q154Scd2 _,
     "q147_kcore" -> q147Kcore _,
@@ -219,6 +248,18 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q161_interval_join" -> """
+      |WITH iv AS (
+      |  SELECT event_type, user_id, epoch_us(ts) AS s,
+      |         epoch_us(ts) + ((event_id % 900) + 60) * 1000000 AS e
+      |  FROM events),
+      |a AS (SELECT user_id, s, e FROM iv WHERE event_type = 'error'),
+      |b AS (SELECT user_id, s, e FROM iv WHERE event_type = 'click')
+      |SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+      |  CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+      |    AS overlap_us
+      |FROM a JOIN b ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q155_attribution" -> """
       |WITH b AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
       |           FROM events),

@@ -578,7 +578,29 @@ object MiningQueries {
       .orderBy($"cluster")
   }
 
+  // ------------------------------------------ q163 negative sampling
+
+  /** Deterministic negative sampling ([[Mining.negativeSample]]): 4
+    * hash-derived candidate parts per customer minus the parts the
+    * customer actually ordered — the contrastive-training negative
+    * stream, reproducible across engines because the candidate is pure
+    * integer arithmetic (no RNG state). The one driver-side scalar
+    * (max part key) is a bounded lookup, same legitimacy class as the
+    * IVF centroid fetch. */
+  def q163NegativeSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxPart = Tables.part(spark, dir)
+      .agg(max($"p_partkey")).head().getLong(0)
+    val interactions = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c_custkey"), $"l_partkey".as("neg_partkey"))
+    Mining.negativeSample(Tables.customer(spark, dir), interactions,
+        "c_custkey", "neg_partkey", k = 4, nItems = maxPart)
+      .orderBy($"c_custkey", $"sample_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_negative_sample" -> q163NegativeSample _,
     "q158_semdedup" -> q158Semdedup _,
     "q157_cusum" -> q157Cusum _,
     "q156_acf" -> q156Acf _,
@@ -613,6 +635,23 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q163_negative_sample" -> """
+      |WITH mx AS (SELECT max(p_partkey) AS m FROM part),
+      |cand AS (
+      |  SELECT c_custkey, i AS sample_idx,
+      |    (c_custkey * 2654435761 + i * 40503) % (SELECT m FROM mx) + 1
+      |      AS neg_partkey
+      |  FROM customer,
+      |       LATERAL (SELECT unnest(generate_series(0, 3)) AS i) g),
+      |inter AS (SELECT DISTINCT o_custkey, l_partkey
+      |          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      |SELECT c_custkey, CAST(sample_idx AS BIGINT) AS sample_idx,
+      |  CAST(neg_partkey AS BIGINT) AS neg_partkey
+      |FROM cand
+      |WHERE NOT EXISTS (SELECT 1 FROM inter
+      |                  WHERE o_custkey = c_custkey
+      |                    AND l_partkey = neg_partkey)
+      |ORDER BY 1, 2""".stripMargin,
     "q156_acf" -> """
       |WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
       |                 CAST(ts AS DATE)) AS d,

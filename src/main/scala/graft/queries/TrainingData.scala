@@ -477,7 +477,18 @@ object TrainingData {
       .orderBy($"split", $"lang_pred")
   }
 
+  /** Directed n-gram containment ([[Similarity.containmentPairs]]): pairs
+    * where ≥3/4 of one doc's 3-shingles appear in the other — asymmetric
+    * subset-duplication detection over the same capped candidate plan as
+    * q26 (the planted exact dups score containment 1.0 both ways). */
+  def q162Containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.containmentPairs(corpus(spark, dir), "doc_id", "text", 3)
+      .orderBy($"contained_id", $"container_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_containment" -> q162Containment _,
     "q59_train_split" -> q59TrainSplit _,
     "q89_postings" -> q89Postings _,
     "q95_tfidf_topk" -> q95TfidfTopK _,
@@ -534,6 +545,30 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Same candidate set (and has_kept cap guard) as q26's oracle; the
+    // containment filter is directed, so each undirected candidate pair
+    // contributes 0, 1, or 2 output rows.
+    "q162_containment" -> s"""
+      |WITH $corpusSql,
+      |$shinglesSql,
+      |freq AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+      |    max(CASE WHEN f.c <= 256 THEN 1 ELSE 0 END) AS has_kept
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN freq f ON f.s = a.s
+      |  GROUP BY 1, 2)
+      |SELECT contained_id, container_id, inter, contained_size FROM (
+      |  SELECT id_a AS contained_id, id_b AS container_id,
+      |    CAST(inter AS BIGINT) AS inter, sa.n AS contained_size
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+      |  WHERE inter * 4 >= sa.n * 3 AND has_kept = 1
+      |  UNION ALL
+      |  SELECT id_b, id_a, CAST(inter AS BIGINT), sb.n
+      |  FROM pairs JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE inter * 4 >= sb.n * 3 AND has_kept = 1)
+      |ORDER BY contained_id, container_id""".stripMargin,
     // The funnel refolds q30's argmax, q31's stopword count and q75's
     // bigram metrics in one statement; decision CASE mirrors the Spark
     // first-match `when` chain exactly.

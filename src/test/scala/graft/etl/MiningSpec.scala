@@ -320,6 +320,20 @@ class MiningSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 0L, 2L), (2L, 2L, 0L, 2L)))
   }
 
+  test("negativeSample: hash candidates minus actual interactions") {
+    // nItems = 10: user 1 candidates for i=0..2 are
+    // (1*2654435761 + i*40503) % 10 + 1 = 2, 5, 8 — interaction (1,5)
+    // removes the middle one; user 2's candidates 3, 6, 9 all survive
+    val users = Seq(Tuple1(1L), Tuple1(2L)).toDF("u")
+    val inter = Seq((1L, 5L), (1L, 5L), (7L, 2L)).toDF("u", "item")
+    val got = Mining.negativeSample(users, inter, "u", "item",
+        k = 3, nItems = 10L)
+      .orderBy($"u", $"sample_idx")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 2L), (1L, 2L, 8L),
+      (2L, 0L, 3L), (2L, 1L, 6L), (2L, 2L, 9L)))
+  }
+
   // --------------------------------------------------------- acf / cusum
 
   test("acf: perfectly alternating series — lag 1 anti, lag 2 perfect") {

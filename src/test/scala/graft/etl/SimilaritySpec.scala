@@ -38,6 +38,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.head.getAs[Long]("union_size") == 13)
   }
 
+  test("containmentPairs: asymmetric subset dup found in both directions") {
+    import spark.implicits._
+    // doc 2 is a strict prefix of doc 1: every one of its shingles is in
+    // doc 1, but doc 1 has many more — containment catches what Jaccard
+    // misses, and only in the contained→container direction
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+    val got = Similarity.containmentPairs(df, "doc_id", "text", 3)
+      .select($"contained_id", $"container_id", $"inter", $"contained_size")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List((2L, 1L, 8L, 8L)),
+      "short doc fully contained; long doc (28 shingles, 8 shared) is not")
+  }
+
   test("simhash: near-dup texts are close in hamming, unrelated far") {
     val a = Text.simhashBits(base)
     val b = Text.simhashBits(nearDup)

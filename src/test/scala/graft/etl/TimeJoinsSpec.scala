@@ -165,6 +165,51 @@ class TimeJoinsSpec extends SparkSpec {
       "bucket width is a performance knob, never a semantics knob")
   }
 
+  test("intervalOverlapJoin: exactly one match per overlapping pair") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, 7L, 100L, 400L),  // buckets 1..3 at width 100
+      (2L, 7L, 400L, 500L),  // touches b22's start → no overlap (half-open)
+      (3L, 8L, 100L, 400L),  // wrong key
+      (4L, 7L, 900L, 900L))  // empty → never matches
+      .toDF("a_id", "user_id", "s_us", "e_us")
+    val b = Seq(
+      (20L, 7L, 300L, 401L), // overlaps a1 at [300,400), a2 at [400,401)
+      (21L, 7L, 0L, 101L),   // overlaps a1 by the single µs [100,101)
+      (22L, 7L, 500L, 600L), // half-open: touching a2 is not overlapping
+      (23L, 7L, 150L, 350L)) // shares buckets 1,2,3 with a1 → dedup must hold
+      .toDF("b_id", "user_id", "s_us", "e_us")
+    val out = TimeJoins.intervalOverlapJoin(a, b, "user_id",
+        "s_us", "e_us", bucketWidthUs = 100L)
+      .select($"a_id", $"b_b_id").as[(Long, Long)].collect().toList
+    assert(out.sorted == List((1L, 20L), (1L, 21L), (1L, 23L), (2L, 20L)),
+      "duplicates across shared buckets must be suppressed arithmetically")
+  }
+
+  test("intervalOverlapJoin matches the direct inequality join on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def mk(n: Int) = (1 to n).map { i =>
+      val s = rnd.nextInt(8000).toLong
+      (i.toLong, rnd.nextInt(4).toLong, s, s + rnd.nextInt(700).toLong)
+    }
+    val as = mk(150)
+    val bs = mk(80)
+    val expected = (for {
+      (ai, ak, s1, e1) <- as
+      (bi, bk, s2, e2) <- bs
+      if ak == bk && s1 < e2 && s2 < e1
+    } yield (ai, bi)).toList.sorted
+    for (w <- Seq(1L, 37L, 512L, 100000L)) {
+      val out = TimeJoins.intervalOverlapJoin(
+          as.toDF("a_id", "user_id", "s_us", "e_us"),
+          bs.toDF("b_id", "user_id", "s_us", "e_us"),
+          "user_id", "s_us", "e_us", bucketWidthUs = w)
+        .select($"a_id", $"b_b_id").as[(Long, Long)].collect().toList.sorted
+      assert(out == expected, s"width $w drifted from the exact join")
+    }
+  }
+
   test("resampleDaily: zero-fills only inside each key's own span") {
     import spark.implicits._
     val events = Seq(
