@@ -259,4 +259,36 @@ object Corpus {
   def stratifiedSample(df: DataFrame, stratumCol: String,
       fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Systematic probability-proportional-to-size sampling, per group:
+    * exactly `nPerGroup` rows per group (fewer only if the group has
+    * fewer rows), each row's inclusion probability proportional to its
+    * integer weight. Rows sort by id within the group, the running weight
+    * W_i is computed, and row i is selected iff the interval
+    * (W_i−w_i, W_i] contains one of the n evenly-spaced boundaries
+    * k·total/n — tested as `(W_i·n) div total > ((W_i−w_i)·n) div total`,
+    * pure integer arithmetic, no RNG. Deterministic, reproducible,
+    * engine-independent — the weighted counterpart of the sha256 rate
+    * samplers ([[hashSample]] / [[mixtureSample]]), for when the quota is
+    * an exact COUNT (shard budgets) rather than a rate.
+    *
+    * One window per group (running sum + group total share the sort);
+    * partitioned by the group key, so no global single-partition pass.
+    * Bound: W_i·n must fit a long — fine to ~10¹⁴ weight-sum per group
+    * at n ≤ 10⁴. Output: input row + `pick_idx` (0-based boundary index).
+    * Weights must be positive. */
+  def ppsSystematicSample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, nPerGroup: Int): DataFrame = {
+    require(nPerGroup >= 1, s"nPerGroup must be >= 1, got $nPerGroup")
+    val wRun = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    df.withColumn("_cum", sum(col(weightCol)).over(wRun))
+      .withColumn("_tot", sum(col(weightCol)).over(wAll))
+      .filter(expr(s"(_cum * $nPerGroup) div _tot") >
+        expr(s"((_cum - $weightCol) * $nPerGroup) div _tot"))
+      .withColumn("pick_idx",
+        expr(s"((_cum - $weightCol) * $nPerGroup) div _tot"))
+      .drop("_cum", "_tot")
+  }
 }

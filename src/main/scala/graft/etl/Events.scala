@@ -184,4 +184,36 @@ object Events {
         max(col(endUsCol)).as("island_end"),
         count(lit(1)).as("n_intervals"))
   }
+
+  /** CDC-style snapshot diff: classify every key across two state
+    * snapshots as `added` (only in `b`), `removed` (only in `a`),
+    * `changed` (present in both, any compare column differs, null-safe),
+    * or `unchanged`. The warehouse change-detection step the reference
+    * performs row-at-a-time before its staging MERGE
+    * (db-integration.ts:553-599, content-hash compare) — here one
+    * full-outer equi-join on the key, so each side shuffles once and AQE
+    * handles key skew; no driver-side state.
+    *
+    * Output: key + `change_type` + each compare column twice as
+    * `old_<c>` / `new_<c>` (NULL on the absent side). Callers pass
+    * snapshots already reduced to one row per key. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    val av = compareCols.foldLeft(a)((df, c) =>
+      df.withColumnRenamed(c, s"old_$c"))
+    val bv = compareCols.foldLeft(b)((df, c) =>
+      df.withColumnRenamed(c, s"new_$c"))
+      .withColumnRenamed(keyCol, "_bkey")
+    val differs = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    av.join(bv, col(keyCol) === col("_bkey"), "full_outer")
+      .withColumn("change_type",
+        when(col(keyCol).isNull, lit("added"))
+          .when(col("_bkey").isNull, lit("removed"))
+          .when(differs, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .withColumn(keyCol, coalesce(col(keyCol), col("_bkey")))
+      .drop("_bkey")
+  }
 }

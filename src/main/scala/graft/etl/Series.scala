@@ -139,4 +139,36 @@ object Series {
         col("_m._t").as("cp_tick"),
         col("_m._cusum").cast("long").as("cusum"))
   }
+
+  /** Theil–Sen robust trend per key: the LOWER median of all pairwise
+    * slopes (x_j−x_i)·scale div (t_j−t_i) over t_i < t_j — the
+    * outlier-resistant complement to the least-squares slope
+    * ([[Mining]]'s grouped OLS), breakdown point 29%. Slopes are
+    * truncating integer division (Spark `div` = DuckDB `//`), so both
+    * engines rank identical integers; the median is the sorted-frame
+    * (n+1) div 2 element with (t_i, t_j) tiebreaks — always an actual
+    * pair's slope, never an interpolated float.
+    *
+    * O(n²) pairs per key, so the caller reduces to a bounded series
+    * first (e.g. daily aggregates — calendar-bounded n, same contract as
+    * [[acf]]); the self-join is then an equi-join on the key with tiny
+    * per-key fan-out, and the median window sorts only each key's own
+    * pairs. Output: (key, n_pairs, slope_bp). */
+  def theilSenSlopeBp(series: DataFrame, keyCol: String, tCol: String,
+      xCol: String, scale: Long = 10000): DataFrame = {
+    val l = series.select(col(keyCol), col(tCol).as("_t1"), col(xCol).as("_x1"))
+    val r = series.select(col(keyCol).as("_k2"), col(tCol).as("_t2"),
+      col(xCol).as("_x2"))
+    val pairs = l.join(r, col(keyCol) === col("_k2") && col("_t1") < col("_t2"))
+      .withColumn("_slope_bp",
+        expr(s"((_x2 - _x1) * ${scale}L) div (_t2 - _t1)"))
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col("_slope_bp"), col("_t1"), col("_t2"))
+    val wAll = Window.partitionBy(col(keyCol))
+    pairs.withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .filter(col("_rn") === expr("(_n + 1) div 2"))
+      .select(col(keyCol), col("_n").as("n_pairs"),
+        col("_slope_bp").as("slope_bp"))
+  }
 }

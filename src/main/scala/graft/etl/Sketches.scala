@@ -117,6 +117,112 @@ object Sketches {
       .join(keys.distinct(), fact(factKey) === col("_bloom_key"), "left_semi")
   }
 
+  /** Count-min sketch build + collision-audited estimates. The sketch is
+    * a depth×width counter grid: row i buckets an item by 16 bits of
+    * sha256(item‖":"‖i) mod width, and every cell is a plain
+    * (row, bucket) GROUP BY count — commutative, so map-side combine
+    * carries the build and the grid's size (depth·width rows) is a
+    * CONFIG constant independent of data scale; it broadcasts. The
+    * estimate for an item is the min over its depth cells — ≥ the true
+    * count always (collisions only add), within εN with the usual
+    * (depth, width) guarantees.
+    *
+    * This operator returns the AUDIT: for every item whose true count
+    * exceeds 1/`minFrac` of all occurrences (the [[heavyHitters]]
+    * relative bar — scale-free, so the audit set stays proportional at
+    * any data size), the exact count, the CMS estimate, and the
+    * collision overestimate — the calibration table you consult before
+    * trusting the sketch alone at 100 TB (where the grid is the only
+    * thing small enough to keep per shard/window; the exact pass here
+    * exists to verify, production reads the grid). Same
+    * sketch-then-exact family as [[heavyHitters]].
+    * Output: (item, cnt, est, overcount). */
+  def countMinEstimates(items: DataFrame, itemCol: String, depth: Int = 4,
+      width: Int = 256, minFrac: Long = 500): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape: $depth x $width")
+    // reads the enclosing plan's _cms_item / _cms_row columns
+    def bucket =
+      expr("conv(substring(sha2(concat(_cms_item, ':', CAST(_cms_row AS STRING)), 256), 1, 4), 16, 10)")
+        .cast("long") % width
+    val base = items.select(col(itemCol).cast("string").as("_cms_item"))
+      .filter(col("_cms_item").isNotNull)
+    val rows = explode(sequence(lit(0), lit(depth - 1))).as("_cms_row")
+    val grid = base.select(col("_cms_item"), rows)
+      .select(col("_cms_row"), bucket.as("_cms_bucket"))
+      .groupBy(col("_cms_row"), col("_cms_bucket"))
+      .agg(count(lit(1)).as("_cms_cell"))
+      .localCheckpoint()
+    val total = grid.filter(col("_cms_row") === 0)
+      .agg(sum(col("_cms_cell")).as("_cms_n"))
+    val exact = base.groupBy(col("_cms_item"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(total))
+      .filter(col("cnt") * minFrac > col("_cms_n"))
+      .drop("_cms_n")
+    exact.select(col("_cms_item"), col("cnt"), rows)
+      .withColumn("_cms_bucket", bucket)
+      .join(broadcast(grid), Seq("_cms_row", "_cms_bucket"))
+      .groupBy(col("_cms_item"), col("cnt"))
+      .agg(min(col("_cms_cell")).as("est"))
+      .select(col("_cms_item").as("item"), col("cnt"), col("est"),
+        (col("est") - col("cnt")).as("overcount"))
+  }
+
+  /** HyperLogLog register build + integer estimate, audited against the
+    * exact distinct count. Keys hash through a 32-bit
+    * multiply–xorshift–multiply–xorshift mix (Knuth constant, then
+    * xor-fold ≫16, odd constant 0x7feb352d, xor-fold ≫13) — the plain
+    * multiplicative hash alone has lattice structure that biases the
+    * leading-zero statistic 90% high on dense key ranges, and the second
+    * constant is deliberately < 2³¹ so the widest intermediate product
+    * stays under 2⁶³ (ANSI mode throws on long overflow; valid for
+    * non-negative keys). The low p bits pick a register and ρ = position
+    * of the top set bit in the remaining (32−p)-bit window, via the
+    * bin()-length trick ([[graft.etl.Vocab]]'s integer-log₂ recipe) — so
+    * both engines build bit-identical registers. Register build is one
+    * (bucket, max ρ) GROUP BY — 2ᵖ rows out regardless of input size,
+    * max is commutative, map-side combine does everything; this is THE
+    * mergeable-sketch shape (shards/windows union by register-wise max).
+    *
+    * The estimate stays integral: with R = (32−p)+1 the max ρ, the
+    * harmonic sum Σ 2^(R−ρ_j) over all 2ᵖ registers (empty → ρ=0) is an
+    * exact integer S, and est = (α_bp · m² · 2^R) div (10000 · S) with
+    * α_bp = 7090 for m ≥ 64 — floor-division-exact on both engines (no
+    * bias correction branches: the audit covers the plain estimator).
+    * Output one row: (m, exact_distinct, hll_est, err_bp). */
+  def hllCompare(df: DataFrame, keyCol: String, p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val rMax = (32 - p) + 1
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(col(keyCol).cast("long").as("_k"))
+      .filter(col("_k").isNotNull && col("_k") >= 0)
+      .select(expr("(_k * 2654435761L) % 4294967296L").as("_h0"))
+      .select(expr("_h0 ^ (_h0 div 65536)").as("_h1"))
+      .select(expr("(_h1 * 2146121005L) % 4294967296L").as("_h2"))
+      .select(expr("_h2 ^ (_h2 div 8192)").as("_h"))
+    val regs = hashed
+      .select((col("_h") % m).as("bucket"), expr(s"_h div $m").as("_v"))
+      .withColumn("_rho",
+        when(col("_v") === 0, lit(rMax))
+          .otherwise(lit(rMax) - length(bin(col("_v")))))
+      .groupBy(col("bucket")).agg(max(col("_rho")).as("rho"))
+    val full = spark.range(0, m).toDF("bucket")
+      .join(regs, Seq("bucket"), "left")
+      .withColumn("rho", coalesce(col("rho"), lit(0)))
+    val est = full.agg(
+      sum(expr(s"shiftleft(1L, $rMax - rho)")).as("_s"))
+      .select(expr(s"(7090L * $m * $m * shiftleft(1L, $rMax)) div (10000L * _s)")
+        .as("hll_est"))
+    val exact = hashed.agg(countDistinct(col("_h")).as("exact_distinct"))
+    exact.join(est)
+      .select(lit(m).cast("long").as("m"), col("exact_distinct"),
+        col("hll_est"),
+        expr("((hll_est - exact_distinct) * 10000L) div exact_distinct")
+          .as("err_bp"))
+  }
+
   /** Misra–Gries frequent-items sketch over one partition: k−1 counters;
     * an unmatched item either claims a free counter or decrements all.
     * Survivors are exactly the items whose count exceeds n_p/k (plus

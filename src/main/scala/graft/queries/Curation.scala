@@ -218,7 +218,37 @@ object Curation {
       .orderBy($"event_type")
   }
 
+  // ------------------------------------------- q166 count-min audit
+
+  /** Count-min sketch audit ([[Sketches.countMinEstimates]]): a 4×256
+    * counter grid over the corpus unigram stream, with every token above
+    * 1/500 of all occurrences carrying its exact count, the CMS
+    * estimate (min over its 4 cells), and the collision overestimate.
+    * The grid is a config-sized GROUP BY — map-side combine builds it,
+    * it broadcasts, and merging shards is cell-wise addition. */
+  def q166Cms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = Tables.documents(spark, dir)
+      .select(explode(graft.etl.Corpus.tokensOf($"text")).as("item"))
+    Sketches.countMinEstimates(items, "item").orderBy($"item")
+  }
+
+  // ---------------------------------------------- q168 HLL registers
+
+  /** HyperLogLog audit ([[Sketches.hllCompare]]): 64 registers over the
+    * distinct-user domain of the events stream, integer harmonic-sum
+    * estimate vs the exact distinct count, signed error in bp. The
+    * register build is the mergeable-sketch shape — one (bucket, max ρ)
+    * GROUP BY, 64 rows out at any scale. */
+  def q168Hll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sketches.hllCompare(Tables.events(spark, dir).select($"user_id"),
+      "user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_cms" -> q166Cms _,
+    "q168_hll" -> q168Hll _,
     "q119_decontaminate" -> q119Decontaminate _,
     "q120_bpe_pairs" -> q120BpePairs _,
     "q121_winsorized" -> q121Winsorized _,
@@ -235,6 +265,53 @@ object Curation {
     "q118_pmi_bigrams" -> q118PmiBigrams _)
 
   val oracleSql: Map[String, String] = Map(
+    "q166_cms" -> s"""
+      |WITH toks AS (SELECT $toksSql AS t FROM documents),
+      |u AS (SELECT unnest(t) AS item FROM toks),
+      |g AS (SELECT unnest(generate_series(0, 3)) AS r),
+      |cells AS (
+      |  SELECT r AS row_i,
+      |    ('0x' || substring(sha256(item || ':' || CAST(r AS VARCHAR)),
+      |       1, 4))::BIGINT % 256 AS bucket,
+      |    count(*) AS cell
+      |  FROM u CROSS JOIN g GROUP BY 1, 2),
+      |n AS (SELECT CAST(sum(cell) AS BIGINT) AS n FROM cells
+      |      WHERE row_i = 0),
+      |q AS (SELECT item, count(*) AS cnt FROM u GROUP BY 1),
+      |hh AS (SELECT item, cnt FROM q CROSS JOIN n WHERE cnt * 500 > n.n),
+      |est AS (
+      |  SELECT hh.item, hh.cnt, min(c.cell) AS est
+      |  FROM hh CROSS JOIN g
+      |  JOIN cells c ON c.row_i = g.r AND c.bucket =
+      |    ('0x' || substring(sha256(hh.item || ':' ||
+      |       CAST(g.r AS VARCHAR)), 1, 4))::BIGINT % 256
+      |  GROUP BY 1, 2)
+      |SELECT item, cnt, est, est - cnt AS overcount
+      |FROM est ORDER BY item""".stripMargin,
+    "q168_hll" -> """
+      |WITH h0 AS (SELECT DISTINCT (user_id * 2654435761) % 4294967296 AS h
+      |            FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
+      |h1 AS (SELECT xor(h, h // 65536) AS h FROM h0),
+      |h2 AS (SELECT (h * 2146121005) % 4294967296 AS h FROM h1),
+      |k AS (SELECT DISTINCT xor(h, h // 8192) AS h FROM h2),
+      |r AS (SELECT h % 64 AS bucket, h // 64 AS v FROM k),
+      |rh AS (SELECT bucket,
+      |         CASE WHEN v = 0 THEN 27 ELSE 27 - length(bin(v)) END AS rho
+      |       FROM r),
+      |regs AS (SELECT g.bucket, coalesce(max(rh.rho), 0) AS rho
+      |         FROM (SELECT unnest(generate_series(0, 63)) AS bucket) g
+      |         LEFT JOIN rh ON rh.bucket = g.bucket GROUP BY 1),
+      |s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (27 - rho)) AS BIGINT)
+      |        AS harm FROM regs),
+      |ex AS (SELECT count(*) AS exact_distinct FROM k)
+      |SELECT CAST(64 AS BIGINT) AS m, exact_distinct,
+      |  (CAST(7090 AS BIGINT) * 64 * 64 * (CAST(1 AS BIGINT) << 27))
+      |    // (10000 * harm) AS hll_est,
+      |  ((((CAST(7090 AS BIGINT) * 64 * 64 * (CAST(1 AS BIGINT) << 27))
+      |    // (10000 * harm)) - exact_distinct) * 10000) // exact_distinct
+      |    AS err_bp
+      |FROM ex CROSS JOIN s
+      |ORDER BY 1""".stripMargin,
     "q119_decontaminate" -> s"""
       |WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
       |g AS (SELECT DISTINCT doc_id,

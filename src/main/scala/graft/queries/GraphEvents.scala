@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.etl.{Analytics, Events, Graph}
@@ -232,7 +232,39 @@ object GraphEvents {
       .orderBy($"user_id")
   }
 
+  // ------------------------------------------------ q164 snapshot diff
+
+  /** CDC snapshot diff ([[graft.etl.Events.snapshotDiff]]): per-user
+    * activity state (last event type by (ts, id), event count) in two
+    * trailing windows — one ending at 60% of the event span, one at the
+    * end, window length 40% of the span — classified added / removed /
+    * changed / unchanged. The span fractions ride the q139 (min,max)
+    * broadcast recipe; the diff itself is one full-outer join on
+    * user_id. */
+  def q164SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("us"))
+    val bounds = e.agg(min($"us").as("lo"), max($"us").as("hi"))
+      .select(($"lo" + expr("((hi - lo) * 6) div 10")).as("t1"),
+        $"hi".as("t2"), expr("((hi - lo) * 4) div 10").as("win"))
+    val eb = e.join(broadcast(bounds))
+    def snap(tCol: Column) = eb
+      .filter($"us" > tCol - $"win" && $"us" <= tCol)
+      .groupBy($"user_id")
+      .agg(max(struct($"us", $"event_id", $"event_type"))
+          .getField("event_type").as("last_type"),
+        count(lit(1)).as("n_ev"))
+    graft.etl.Events.snapshotDiff(snap($"t1"), snap($"t2"), "user_id",
+        Seq("last_type", "n_ev"))
+      .select($"user_id", $"change_type", $"old_last_type",
+        $"new_last_type", $"old_n_ev", $"new_n_ev")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_snapshot_diff" -> q164SnapshotDiff _,
     "q161_interval_join" -> q161IntervalJoin _,
     "q155_attribution" -> q155Attribution _,
     "q154_scd2" -> q154Scd2 _,
@@ -248,6 +280,36 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q164_snapshot_diff" -> """
+      |WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |           FROM events),
+      |b AS (SELECT min(us) + ((max(us) - min(us)) * 6) // 10 AS t1,
+      |             max(us) AS t2,
+      |             ((max(us) - min(us)) * 4) // 10 AS win FROM e),
+      |r1 AS (SELECT user_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY us DESC, event_id DESC) AS rn,
+      |         count(*) OVER (PARTITION BY user_id) AS n_ev
+      |       FROM e CROSS JOIN b WHERE us > t1 - win AND us <= t1),
+      |r2 AS (SELECT user_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY us DESC, event_id DESC) AS rn,
+      |         count(*) OVER (PARTITION BY user_id) AS n_ev
+      |       FROM e CROSS JOIN b WHERE us > t2 - win AND us <= t2),
+      |s1 AS (SELECT user_id, event_type AS last_type, n_ev
+      |       FROM r1 WHERE rn = 1),
+      |s2 AS (SELECT user_id, event_type AS last_type, n_ev
+      |       FROM r2 WHERE rn = 1)
+      |SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+      |  CASE WHEN s1.user_id IS NULL THEN 'added'
+      |       WHEN s2.user_id IS NULL THEN 'removed'
+      |       WHEN s1.last_type IS DISTINCT FROM s2.last_type
+      |         OR s1.n_ev IS DISTINCT FROM s2.n_ev THEN 'changed'
+      |       ELSE 'unchanged' END AS change_type,
+      |  s1.last_type AS old_last_type, s2.last_type AS new_last_type,
+      |  s1.n_ev AS old_n_ev, s2.n_ev AS new_n_ev
+      |FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+      |ORDER BY 1""".stripMargin,
     "q161_interval_join" -> """
       |WITH iv AS (
       |  SELECT event_type, user_id, epoch_us(ts) AS s,

@@ -599,7 +599,24 @@ object MiningQueries {
       .orderBy($"c_custkey", $"sample_idx")
   }
 
+  // ------------------------------------------- q165 Theil–Sen slope
+
+  /** Robust trend per event type ([[Series.theilSenSlopeBp]]): lower
+    * median of all pairwise slopes of the daily-count series, in bp/day.
+    * Same collapse-to-daily-first contract as q156 — the O(n²) pair join
+    * runs on a calendar-bounded series, not the raw events. */
+  def q165Theilsen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select($"event_type",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01"))).as("d"))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("x"))
+    Series.theilSenSlopeBp(daily, "event_type", "d", "x")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_theilsen" -> q165Theilsen _,
     "q163_negative_sample" -> q163NegativeSample _,
     "q158_semdedup" -> q158Semdedup _,
     "q157_cusum" -> q157Cusum _,
@@ -635,6 +652,23 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q165_theilsen" -> """
+      |WITH daily AS (SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |    count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type,
+      |    ((b.x - a.x) * 10000) // (b.d - a.d) AS slope_bp,
+      |    a.d AS t1, b.d AS t2
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.d < b.d),
+      |r AS (SELECT event_type, slope_bp,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY slope_bp, t1, t2) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM p)
+      |SELECT event_type, n AS n_pairs, slope_bp
+      |FROM r WHERE rn = (n + 1) // 2 ORDER BY 1""".stripMargin,
     "q163_negative_sample" -> """
       |WITH mx AS (SELECT max(p_partkey) AS m FROM part),
       |cand AS (

@@ -487,7 +487,22 @@ object TrainingData {
       .orderBy($"contained_id", $"container_id")
   }
 
+  /** Systematic PPS sampling ([[graft.etl.Corpus.ppsSystematicSample]]):
+    * exactly 10 docs per language, inclusion probability proportional to
+    * n_chars — the exact-count weighted shard sampler (the rate-based
+    * samplers are q76/q96/q137). No RNG: the evenly-spaced boundary test
+    * is pure integer arithmetic over a per-language running sum. */
+  def q167PpsSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.ppsSystematicSample(
+        Tables.documents(spark, dir).select($"lang", $"doc_id", $"n_chars")
+          .filter($"n_chars" > 0),
+        "lang", "doc_id", "n_chars", nPerGroup = 10)
+      .orderBy($"lang", $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_pps_sample" -> q167PpsSample _,
     "q162_containment" -> q162Containment _,
     "q59_train_split" -> q59TrainSplit _,
     "q89_postings" -> q89Postings _,
@@ -545,6 +560,19 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q167_pps_sample" -> """
+      |WITH d AS (SELECT lang, doc_id, n_chars FROM documents
+      |           WHERE n_chars > 0),
+      |c AS (SELECT lang, doc_id, n_chars,
+      |        CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |        CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS tot
+      |      FROM d)
+      |SELECT lang, doc_id, n_chars,
+      |  CAST(((cum - n_chars) * 10) // tot AS BIGINT) AS pick_idx
+      |FROM c
+      |WHERE (cum * 10) // tot > ((cum - n_chars) * 10) // tot
+      |ORDER BY lang, doc_id""".stripMargin,
     // Same candidate set (and has_kept cap guard) as q26's oracle; the
     // containment filter is directed, so each undirected candidate pair
     // contributes 0, 1, or 2 output rows.

@@ -114,4 +114,25 @@ class CorpusSpec extends SparkSpec {
     assert(byLang("common") > 150 && byLang("common") < 450,
       s"common fraction 0.1 of 3000 drifted: ${byLang("common")}")
   }
+
+  test("ppsSystematicSample: exact n per group, boundaries hit by weight") {
+    import spark.implicits._
+    // uniform weights: cum 2,4,6,8,10; boundaries 5,10 → ids 3 and 5
+    val uni = Seq(("g", 1L, 2L), ("g", 2L, 2L), ("g", 3L, 2L),
+      ("g", 4L, 2L), ("g", 5L, 2L)).toDF("grp", "id", "w")
+    val got = Corpus.ppsSystematicSample(uni, "grp", "id", "w", 2)
+      .select($"id", $"pick_idx").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((3L, 0L), (5L, 1L)))
+  }
+
+  test("ppsSystematicSample: a dominant weight absorbs multiple boundaries") {
+    import spark.implicits._
+    // cum 1,2,3,4,10; both boundaries (5, 10) fall in id 5's interval —
+    // it is selected ONCE (no duplication), so the group yields 1 < n rows
+    val skew = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L),
+      ("g", 4L, 1L), ("g", 5L, 6L)).toDF("grp", "id", "w")
+    val got = Corpus.ppsSystematicSample(skew, "grp", "id", "w", 2)
+      .select($"id", $"pick_idx").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((5L, 0L)))
+  }
 }

@@ -232,4 +232,51 @@ class CurationOpsSpec extends SparkSpec {
     val pruned = Vocab.pmiBigrams(docs, "doc_id", "text", minCount = 2)
     assert(pruned.select($"xy").as[String].collect().toSeq == Seq("x y"))
   }
+
+  // ---------------------------------------------------------- count-min
+
+  test("countMinEstimates: estimate never undercounts; bar is relative") {
+    import spark.implicits._
+    // 60 a, 30 b, 10× one-off items; N=100, minFrac 5 → bar 20 keeps a,b
+    val items = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++
+      (1 to 10).map("c" + _)).toDF("item")
+    val got = Sketches.countMinEstimates(items, "item", minFrac = 5)
+      .orderBy($"item")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq("a", "b"))
+    assert(got.map(_._2) == Seq(60L, 30L))
+    got.foreach { case (i, cnt, est, over) =>
+      assert(est >= cnt && over == est - cnt, s"$i undercounted: $est < $cnt")
+    }
+  }
+
+  test("countMinEstimates: width 2 forces collisions, estimate bounded by N") {
+    import spark.implicits._
+    // two buckets per row: whatever the sha layout, cnt <= est <= N holds
+    // and the heavy item's estimate is exact-or-inflated, never deflated
+    val items = (Seq.fill(8)("x") ++ Seq.fill(5)("y") ++ Seq.fill(2)("z"))
+      .toDF("item")
+    val got = Sketches.countMinEstimates(items, "item", width = 2, minFrac = 4)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1).sorted == Seq("x", "y"))
+    got.foreach { case (i, cnt, est, over) =>
+      assert(est >= cnt && est <= 15 && over == est - cnt,
+        s"$i estimate $est outside [cnt=$cnt, N=15]")
+    }
+  }
+
+  // ---------------------------------------------------------------- hll
+
+  test("hllCompare: exact side correct, estimate within HLL error bounds") {
+    import spark.implicits._
+    val keys = (0L until 5000L).toDF("k")
+    val r = Sketches.hllCompare(keys, "k")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r._1 == 64L && r._2 == 5000L)
+    // m=64 → relative std error ~13%; 2 sigma of deterministic headroom
+    // (the build is pure arithmetic — this pins hash quality, not luck)
+    assert(math.abs(r._4) < 2600, s"err_bp ${r._4} outside 26%")
+    assert(r._4 == (r._3 - r._2) * 10000 / r._2,
+      "err_bp must be consistent with the reported estimate")
+  }
 }

@@ -202,4 +202,20 @@ class GraphEventsSpec extends SparkSpec {
       .orderBy($"id").as[(Long, Long, Long)].collect().toSeq.map(_._1)
     assert(got == Seq(1L, 3L, 4L, 5L))
   }
+
+  // --------------------------------------------------------- snapshotDiff
+
+  test("snapshotDiff: added/removed/changed/unchanged truth table") {
+    val a = Seq((1L, "x", 2L), (2L, "y", 3L), (3L, "z", 1L), (5L, null, 1L))
+      .toDF("k", "t", "n")
+    val b = Seq((1L, "x", 2L), (2L, "y", 9L), (4L, "w", 1L), (5L, null, 1L))
+      .toDF("k", "t", "n")
+    val got = Events.snapshotDiff(a, b, "k", Seq("t", "n"))
+      .orderBy($"k")
+      .select($"k", $"change_type", $"old_t", $"new_t", $"old_n", $"new_n")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added"), (5L, "unchanged")),
+      "null-safe compare: (null, null) is unchanged, value-vs-null changed")
+  }
 }

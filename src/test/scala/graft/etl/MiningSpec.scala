@@ -368,4 +368,26 @@ class MiningSpec extends SparkSpec {
       .as[(String, Long, Int, Long)].collect().toSeq
     assert(got == Seq(("g", 5L, 2, -36L), ("h", 2L, 0, 0L)))
   }
+
+  test("theilSenSlopeBp: median slope shrugs off a single outlier") {
+    // key a: perfect line x = 10t → every pairwise slope 100000 bp
+    // key b: line x = t with one wild endpoint; 3 of 6 pair slopes are
+    // 10000 and the sorted (n+1) div 2 = 3rd element stays 10000 —
+    // where the OLS slope would be dragged to ~900000 bp
+    val df = Seq(
+      ("a", 0L, 0L), ("a", 1L, 10L), ("a", 2L, 20L),
+      ("b", 0L, 0L), ("b", 1L, 1L), ("b", 2L, 2L), ("b", 3L, 300L))
+      .toDF("k", "t", "x")
+    val got = Series.theilSenSlopeBp(df, "k", "t", "x")
+      .orderBy($"k").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L, 100000L), ("b", 6L, 10000L)))
+  }
+
+  test("theilSenSlopeBp: negative slopes truncate toward zero like DuckDB") {
+    // slope (0-1)·10000 / 3 = -3333.33 → trunc -3333, not floor -3334
+    val df = Seq(("k", 0L, 1L), ("k", 3L, 0L)).toDF("k", "t", "x")
+    val got = Series.theilSenSlopeBp(df, "k", "t", "x")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("k", 1L, -3333L)))
+  }
 }
