@@ -278,4 +278,56 @@ object Analytics {
       .agg(count(lit(1)).as("n_items"),
         sum(col("_v")).cast("long").as("class_value"))
   }
+
+  /** Weighted lower median per group: the smallest value v whose running
+    * weight (ordered by value, then tiebreak columns) reaches half the
+    * group's total weight — 2·W ≥ total at v, 2·(W−w) < total before it,
+    * so exactly one row per group survives and the result is always an
+    * actual data value (the unweighted analogue is [[exactPercentiles]]'
+    * lower-median indexing). Ties in the value can order arbitrarily
+    * without changing the answer — equal values swap freely inside the
+    * running sum — the tiebreaks only make the ROW deterministic. One
+    * shuffle on the group key; two windows share one sort. Weights must
+    * be positive longs. Output: (group, total_weight, w_median). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, tiebreak: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = (col(valueCol) +: tiebreak.map(col)).map(_.asc)
+    val wRun = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    df.withColumn("_cumw", sum(col(weightCol)).over(wRun))
+      .withColumn("_totw", sum(col(weightCol)).over(wAll))
+      .filter(col("_cumw") * 2 >= col("_totw") &&
+        (col("_cumw") - col(weightCol)) * 2 < col("_totw"))
+      .select(col(groupCol), col("_totw").as("total_weight"),
+        col(valueCol).as("w_median"))
+  }
+
+  /** Gini concentration coefficient per group, in bp: with the group's n
+    * non-negative values sorted ascending (rank i from row_number,
+    * id-tiebroken — equal values commute inside Σ i·xᵢ, so the tiebreak
+    * never changes the sum), G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ),
+    * cross-multiplied in decimal(38,0) and floor-scaled to bp — the
+    * inequality/concentration audit (0 = uniform, →10000 = one value
+    * holds everything). Distinct from the CLASSIFICATION Gini impurity
+    * (q126): this is the Lorenz-curve statistic. One shuffle on the
+    * group key; rank and sums ride one sort. Bound: Σ i·xᵢ ≤ n²·max(x)
+    * — documented decimal(38,0) headroom to ~10¹⁵ rows of 10⁸ values. */
+  def giniCoefficientBp(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    df.withColumn("_i", row_number().over(w).cast(d38))
+      .withColumn("_x", col(valueCol).cast(d38))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast(d38).as("_n"),
+        sum(col("_x")).as("_s"),
+        sum(col("_i") * col("_x")).as("_is"))
+      .select(col(groupCol), col("_n").cast("long").as("n"),
+        expr("CAST((((2 * _is) - ((_n + 1) * _s)) * 10000) div (_n * _s) AS BIGINT)")
+          .as("gini_bp"))
+  }
 }

@@ -171,4 +171,26 @@ object Series {
       .select(col(keyCol), col("_n").as("n_pairs"),
         col("_slope_bp").as("slope_bp"))
   }
+
+  /** Day-of-week seasonal profile of an integer daily series (`dCol` =
+    * epoch day, `xCol` = integral value): per weekday slot (d mod 7,
+    * epoch-anchored — slot 0 is Thursday), the floored seasonal mean and
+    * the largest absolute deviation of any single day from its slot mean
+    * — the seasonal-naive decomposition's component table, used to judge
+    * whether a weekly profile explains the series before reaching for
+    * anything heavier. Two enum-sized aggregations (7 slots), the
+    * residual join broadcasts the 7-row means back; everything integer
+    * (floored mean ⇒ residuals within ±1 of the float decomposition,
+    * engine-identical). Output: (dow, n_days, dow_mean, max_abs_resid). */
+  def dowSeasonal(daily: DataFrame, dCol: String, xCol: String): DataFrame = {
+    val slots = daily.select((col(dCol) % 7).as("dow"), col(xCol).as("_x"))
+    val means = slots.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(_x) div count(1)").as("dow_mean"))
+    slots.join(broadcast(means), Seq("dow"))
+      .groupBy(col("dow"))
+      .agg(first(col("n_days")).as("n_days"),
+        first(col("dow_mean")).as("dow_mean"),
+        max(abs(col("_x") - col("dow_mean"))).as("max_abs_resid"))
+  }
 }

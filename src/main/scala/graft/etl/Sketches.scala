@@ -223,6 +223,55 @@ object Sketches {
           .as("err_bp"))
   }
 
+  /** Equi-width histogram quantile estimates, audited against the exact
+    * order statistic. The sketch is a `bins`-cell counter row per group —
+    * (group, bin) GROUP BY counts, combiner-built, merge = cell-wise add,
+    * the same config-bounded mergeable shape as [[countMinEstimates]] —
+    * and the estimate for quantile q is the LOWER BOUND of the first bin
+    * whose running count reaches k = ⌈q·n⌉: within one bin width of the
+    * truth by construction, never below the bin's floor. The exact side
+    * (per-group row_number to the k-th order statistic, id-tiebroken) is
+    * the audit; at scale the histogram is what you keep per shard/window
+    * and the exact pass is what you're avoiding. Integer throughout —
+    * bin = ((x−lo)·bins) div (hi−lo+1) needs x-range·bins within long.
+    * Output: (group, q_bp, est, exact, err). */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, bins: Int = 256,
+      quantilesBp: Seq[Int] = Seq(5000, 9000, 9900)): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(quantilesBp.forall(q => q > 0 && q <= 10000), "q_bp in (0,10000]")
+    val stats = df.groupBy(col(groupCol)).agg(
+      min(col(valueCol)).as("_lo"), max(col(valueCol)).as("_hi"),
+      count(lit(1)).as("_n"))
+    val binned = df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("_bin",
+        expr(s"(($valueCol - _lo) * $bins) div (_hi - _lo + 1)"))
+      .groupBy(col(groupCol), col("_bin")).agg(count(lit(1)).as("_c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = binned.withColumn("_cum", sum(col("_c")).over(wCum))
+    val targets = stats
+      .withColumn("q_bp", explode(typedLit(quantilesBp)))
+      .withColumn("_k", expr("((q_bp * _n) + 9999) div 10000"))
+    val est = targets.join(cum, Seq(groupCol))
+      .filter(col("_cum") >= col("_k"))
+      .groupBy(col(groupCol), col("q_bp"), col("_lo"), col("_hi"))
+      .agg(min(col("_bin")).as("_ebin"))
+      .withColumn("est", expr(s"_lo + (_ebin * (_hi - _lo + 1)) div $bins"))
+      .select(col(groupCol), col("q_bp"), col("est"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
+    val ranked = df.withColumn("_rn", row_number().over(wRank))
+    val tk = targets.select(col(groupCol).as("_tg"), col("q_bp"), col("_k"))
+    val exact = ranked.join(broadcast(tk),
+        col(groupCol) === col("_tg") && col("_rn") === col("_k"))
+      .select(col(groupCol), col("q_bp"), col(valueCol).as("exact"))
+    est.join(exact, Seq(groupCol, "q_bp"))
+      .withColumn("err", col("est") - col("exact"))
+  }
+
   /** Misra–Gries frequent-items sketch over one partition: k−1 counters;
     * an unmatched item either claims a free counter or decrements all.
     * Survivors are exactly the items whose count exceeds n_p/k (plus

@@ -246,9 +246,27 @@ object Curation {
       "user_id")
   }
 
+  // ------------------------------------ q172 histogram quantile audit
+
+  /** Equi-width histogram quantile estimates vs exact order statistics
+    * ([[Sketches.histogramQuantiles]]): p50/p90/p99 of order value cents
+    * per priority class, from a 256-bin mergeable counter row — the
+    * quantile member of the sketch-audit family (q166 counts, q168
+    * distinct). */
+  def q172HistQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderpriority",
+        graft.etl.Series.cents($"o_totalprice").as("price_c"), $"o_orderkey")
+    Sketches.histogramQuantiles(o, "o_orderpriority", "price_c",
+        "o_orderkey")
+      .orderBy($"o_orderpriority", $"q_bp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_cms" -> q166Cms _,
     "q168_hll" -> q168Hll _,
+    "q172_hist_quantiles" -> q172HistQuantiles _,
     "q119_decontaminate" -> q119Decontaminate _,
     "q120_bpe_pairs" -> q120BpePairs _,
     "q121_winsorized" -> q121Winsorized _,
@@ -265,6 +283,33 @@ object Curation {
     "q118_pmi_bigrams" -> q118PmiBigrams _)
 
   val oracleSql: Map[String, String] = Map(
+    "q172_hist_quantiles" -> """
+      |WITH o AS (SELECT o_orderpriority AS g,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS x, o_orderkey AS id
+      |  FROM orders),
+      |st AS (SELECT g, min(x) AS lo, max(x) AS hi, count(*) AS n
+      |       FROM o GROUP BY 1),
+      |bc AS (SELECT g, ((x - lo) * 256) // (hi - lo + 1) AS bin,
+      |         count(*) AS c
+      |       FROM o JOIN st USING (g) GROUP BY 1, 2),
+      |cu AS (SELECT g, bin,
+      |         CAST(sum(c) OVER (PARTITION BY g ORDER BY bin
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |       FROM bc),
+      |t AS (SELECT g, q_bp, lo, hi,
+      |        ((q_bp * n) + 9999) // 10000 AS k
+      |      FROM st, (SELECT unnest([5000, 9000, 9900]) AS q_bp) q),
+      |e AS (SELECT t.g, q_bp, lo + (min(bin) * (hi - lo + 1)) // 256 AS est
+      |      FROM t JOIN cu ON cu.g = t.g AND cu.cum >= t.k
+      |      GROUP BY t.g, q_bp, lo, hi),
+      |r AS (SELECT g, x,
+      |        row_number() OVER (PARTITION BY g ORDER BY x, id) AS rn
+      |      FROM o),
+      |ex AS (SELECT t.g, t.q_bp, r.x AS exact
+      |       FROM t JOIN r ON r.g = t.g AND r.rn = t.k)
+      |SELECT e.g AS o_orderpriority, e.q_bp, est, exact, est - exact AS err
+      |FROM e JOIN ex ON ex.g = e.g AND ex.q_bp = e.q_bp
+      |ORDER BY 1, 2""".stripMargin,
     "q166_cms" -> s"""
       |WITH toks AS (SELECT $toksSql AS t FROM documents),
       |u AS (SELECT unnest(t) AS item FROM toks),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.etl.{Mining, Series, Sketches}
+import graft.etl.{Analytics, Mining, Series, Sketches}
 
 /** Round-4 additions: Bloom-pruned exact semi-join, single-pass grouped
   * regression, Gini impurity, set-overlap Jaccard, ranking quality (MRR),
@@ -615,7 +615,54 @@ object MiningQueries {
       .orderBy($"event_type")
   }
 
+  // --------------------------------------- q169 weighted median
+
+  /** Weighted lower median ([[Analytics.weightedMedian]]): per return
+    * flag, the price-cents value at which half the total QUANTITY is
+    * reached — the volume-weighted price midpoint (q38's unweighted
+    * median weights every row 1). */
+  def q169WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag", Series.cents($"l_extendedprice").as("price_c"),
+        round($"l_quantity").cast("long").as("qty"),
+        $"l_orderkey", $"l_linenumber")
+    Analytics.weightedMedian(li, "l_returnflag", "price_c", "qty",
+        Seq("l_orderkey", "l_linenumber"))
+      .orderBy($"l_returnflag")
+  }
+
+  // ------------------------------------------ q170 weekly seasonality
+
+  /** Day-of-week seasonal profile ([[Series.dowSeasonal]]): slot means
+    * and worst single-day deviation of the daily event-count series —
+    * the is-it-just-weekly screen next to q156's ACF. */
+  def q170DowSeasonal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select(datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+        .cast("long").as("d"))
+      .groupBy($"d").agg(count(lit(1)).as("x"))
+    Series.dowSeasonal(daily, "d", "x").orderBy($"dow")
+  }
+
+  // ------------------------------------------- q171 Gini coefficient
+
+  /** Lorenz-curve Gini ([[Analytics.giniCoefficientBp]]): revenue
+    * concentration across orders within each priority class, in bp. */
+  def q171GiniCoef(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderpriority", Series.cents($"o_totalprice").as("price_c"),
+        $"o_orderkey")
+    Analytics.giniCoefficientBp(o, "o_orderpriority", "price_c", "o_orderkey")
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_weighted_median" -> q169WeightedMedian _,
+    "q170_dow_seasonal" -> q170DowSeasonal _,
+    "q171_gini_coef" -> q171GiniCoef _,
     "q165_theilsen" -> q165Theilsen _,
     "q163_negative_sample" -> q163NegativeSample _,
     "q158_semdedup" -> q158Semdedup _,
@@ -652,6 +699,49 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q169_weighted_median" -> """
+      |WITH li AS (SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+      |    CAST(round(l_quantity) AS BIGINT) AS qty,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |c AS (SELECT l_returnflag, price_c, qty,
+      |    CAST(sum(qty) OVER (PARTITION BY l_returnflag
+      |      ORDER BY price_c, l_orderkey, l_linenumber
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+      |    CAST(sum(qty) OVER (PARTITION BY l_returnflag) AS BIGINT) AS totw
+      |  FROM li)
+      |SELECT l_returnflag, totw AS total_weight, price_c AS w_median
+      |FROM c WHERE cumw * 2 >= totw AND (cumw - qty) * 2 < totw
+      |ORDER BY 1""".stripMargin,
+    "q170_dow_seasonal" -> """
+      |WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+      |    CAST(ts AS DATE)) AS d, count(*) AS x
+      |  FROM events GROUP BY 1),
+      |s AS (SELECT d % 7 AS dow, x FROM daily),
+      |m AS (SELECT dow, count(*) AS n_days,
+      |    CAST(sum(x) AS BIGINT) // count(*) AS dow_mean
+      |  FROM s GROUP BY 1)
+      |SELECT m.dow, n_days, dow_mean,
+      |  max(abs(x - dow_mean)) AS max_abs_resid
+      |FROM s JOIN m ON s.dow = m.dow
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q171_gini_coef" -> """
+      |WITH o AS (SELECT o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS x, o_orderkey
+      |  FROM orders),
+      |r AS (SELECT o_orderpriority, x,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY x, o_orderkey) AS i
+      |  FROM o),
+      |a AS (SELECT o_orderpriority, count(*) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS s,
+      |    sum(CAST(i AS HUGEINT) * x) AS i_s
+      |  FROM r GROUP BY 1)
+      |SELECT o_orderpriority, n,
+      |  CAST((((2 * i_s) - ((n + 1) * s)) * 10000) // (n * s) AS BIGINT)
+      |    AS gini_bp
+      |FROM a ORDER BY 1""".stripMargin,
     "q165_theilsen" -> """
       |WITH daily AS (SELECT event_type,
       |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,

@@ -279,4 +279,64 @@ class CurationOpsSpec extends SparkSpec {
     assert(r._4 == (r._3 - r._2) * 10000 / r._2,
       "err_bp must be consistent with the reported estimate")
   }
+
+  // ---------------------------------------------------- weighted median
+
+  test("weightedMedian: heavy weight drags the median to its value") {
+    import spark.implicits._
+    // values 1..5 weight 1, plus value 9 weight 10: tot 15, half at 7.5 →
+    // crossing row is value 9 (cum 5 → 15); unweighted median would be 3
+    val df = ((1L to 5L).map(v => ("g", v, 1L, v)) :+ ("g", 9L, 10L, 99L))
+      .toDF("g", "v", "w", "id")
+    val got = Analytics.weightedMedian(df, "g", "v", "w", Seq("id"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 15L, 9L)))
+  }
+
+  test("weightedMedian: uniform weights reduce to the lower median") {
+    import spark.implicits._
+    val df = (1L to 4L).map(v => ("g", v, 3L, v)).toDF("g", "v", "w", "id")
+    // cum 3,6,9,12; tot 12 → first 2·cum >= 12 is v=2 (the lower median)
+    val got = Analytics.weightedMedian(df, "g", "v", "w", Seq("id"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 12L, 2L)))
+  }
+
+  // ------------------------------------------------------- gini (Lorenz)
+
+  test("giniCoefficientBp: uniform is 0, concentration approaches 10000") {
+    import spark.implicits._
+    val df = (Seq.fill(4)(10L).zipWithIndex.map { case (v, i) => ("u", v, i.toLong) } ++
+      Seq(("c", 0L, 0L), ("c", 0L, 1L), ("c", 0L, 2L), ("c", 100L, 3L)))
+      .toDF("g", "v", "id")
+    val got = Analytics.giniCoefficientBp(df, "g", "v", "id")
+      .orderBy($"g").as[(String, Long, Long)].collect().toSeq
+    // concentrated: n=4, s=100, i_s=400 → (800-500)*10000/400 = 7500
+    assert(got == Seq(("c", 4L, 7500L), ("u", 4L, 0L)))
+  }
+
+  // ------------------------------------------- histogram quantile audit
+
+  test("histogramQuantiles: estimate is the bin floor at the target rank") {
+    import spark.implicits._
+    // 100 values 0..99, 10 bins → p50 k=50 → value 49 sits in bin 4
+    // (floor 40); exact p50 = 49, so err = -9; p99 k=99 → bin 9 floor 90,
+    // exact 98, err -8
+    val df = (0L until 100L).map(v => ("g", v, v)).toDF("g", "v", "id")
+    val got = Sketches.histogramQuantiles(df, "g", "v", "id", bins = 10,
+        quantilesBp = Seq(5000, 9900))
+      .orderBy($"q_bp")
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 5000, 40L, 49L, -9L), ("g", 9900, 90L, 98L, -8L)))
+  }
+
+  test("histogramQuantiles: degenerate one-value group estimates exactly") {
+    import spark.implicits._
+    val df = Seq.fill(5)(("g", 7L)).zipWithIndex
+      .map { case ((g, v), i) => (g, v, i.toLong) }.toDF("g", "v", "id")
+    val got = Sketches.histogramQuantiles(df, "g", "v", "id",
+        quantilesBp = Seq(5000))
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 5000, 7L, 7L, 0L)))
+  }
 }

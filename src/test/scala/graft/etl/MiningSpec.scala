@@ -390,4 +390,17 @@ class MiningSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(got == Seq(("k", 1L, -3333L)))
   }
+
+  test("dowSeasonal: slot means floored, worst deviation per slot") {
+    // days 0..13 → each dow slot twice; slot 0 sees 10 and 15 →
+    // mean (10+15) div 2 = 12, resid max = |15-12| = 3
+    val df = (0L until 14L).map(d => (d, if (d == 0) 10L else if (d == 7) 15L else d))
+      .toDF("d", "x")
+    val got = Series.dowSeasonal(df, "d", "x")
+      .orderBy($"dow")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.head == (0L, 2L, 12L, 3L))
+    // slot 3 sees x=3 and x=10 → mean 6, max resid 4
+    assert(got(3) == (3L, 2L, 6L, 4L))
+  }
 }
