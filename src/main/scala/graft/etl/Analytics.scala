@@ -304,6 +304,34 @@ object Analytics {
         col(valueCol).as("w_median"))
   }
 
+  /** Largest-remainder (Hamilton) allocation: split exactly `slots`
+    * integer slots across groups proportional to positive integer
+    * weights — floor shares first (⌊wᵍ·slots/W⌋), then the leftover
+    * slots go to the largest remainders (wᵍ·slots mod W, ties to the
+    * smaller group key), so Σ alloc = slots exactly. This is the shard /
+    * sampling-budget allocator: rates (q137-style bp sampling) drift off
+    * the exact total; this never does. Two scalar aggregates broadcast
+    * back + one window over the GROUP table (bounded by the number of
+    * groups, not by data — callers pass an already-aggregated weight
+    * table). Bound: wᵍ·slots within long. Output:
+    * (group, weight, alloc). */
+  def largestRemainderAlloc(weights: DataFrame, groupCol: String,
+      weightCol: String, slots: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(slots >= 0, s"slots must be >= 0, got $slots")
+    val tot = weights.agg(sum(col(weightCol)).as("_W"))
+    val base = weights.join(broadcast(tot))
+      .withColumn("_floor", expr(s"($weightCol * ${slots}L) div _W"))
+      .withColumn("_rem", expr(s"($weightCol * ${slots}L) % _W"))
+    val left = base.agg((lit(slots) - sum(col("_floor"))).as("_L"))
+    base.join(broadcast(left))
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("_rem").desc, col(groupCol))))
+      .select(col(groupCol), col(weightCol).as("weight"),
+        (col("_floor") + when(col("_rk") <= col("_L"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   /** Gini concentration coefficient per group, in bp: with the group's n
     * non-negative values sorted ascending (rank i from row_number,
     * id-tiebroken — equal values commute inside Σ i·xᵢ, so the tiebreak

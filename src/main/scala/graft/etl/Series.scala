@@ -182,6 +182,41 @@ object Series {
     * residual join broadcasts the 7-row means back; everything integer
     * (floored mean ⇒ residuals within ±1 of the float decomposition,
     * engine-identical). Output: (dow, n_days, dow_mean, max_abs_resid). */
+  /** Linear interpolation over daily gaps: expand each key's series to
+    * every day in its own [min, max] span, keep observed values, and fill
+    * the interior gaps with the floor-integer line between the
+    * bracketing observations — x_prev + (x_next − x_prev)·(d − d_prev)
+    * div (d_next − d_prev). The straight-line counterpart of
+    * [[TimeJoins]]' LOCF forward-fill; span endpoints are observed by
+    * construction, so every gap is bracketed and no null survives. The
+    * day grid explodes from a per-key (min, max) aggregate — grid size is
+    * keys × span days, never data rows — and the four bracketing columns
+    * (prev/next value and day) ride two frames over one (key, day) sort.
+    * Output: (key, day, x_fill, is_obs). */
+  def interpolateDaily(daily: DataFrame, keyCol: String, dCol: String,
+      xCol: String): DataFrame = {
+    val spans = daily.groupBy(col(keyCol))
+      .agg(min(col(dCol)).as("_lo"), max(col(dCol)).as("_hi"))
+    val grid = spans.select(col(keyCol),
+      explode(sequence(col("_lo"), col("_hi"))).as(dCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dCol))
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(daily, Seq(keyCol, dCol), "left")
+      .withColumn("_pv", last(col(xCol), ignoreNulls = true).over(back))
+      .withColumn("_pd", last(when(col(xCol).isNotNull, col(dCol)),
+        ignoreNulls = true).over(back))
+      .withColumn("_nv", first(col(xCol), ignoreNulls = true).over(fwd))
+      .withColumn("_nd", first(when(col(xCol).isNotNull, col(dCol)),
+        ignoreNulls = true).over(fwd))
+      .select(col(keyCol), col(dCol).as("day"),
+        when(col(xCol).isNotNull, col(xCol))
+          .otherwise(col("_pv") + expr(
+            s"((_nv - _pv) * ($dCol - _pd)) div (_nd - _pd)"))
+          .as("x_fill"),
+        when(col(xCol).isNotNull, 1).otherwise(0).as("is_obs"))
+  }
+
   def dowSeasonal(daily: DataFrame, dCol: String, xCol: String): DataFrame = {
     val slots = daily.select((col(dCol) % 7).as("dow"), col(xCol).as("_x"))
     val means = slots.groupBy(col("dow"))

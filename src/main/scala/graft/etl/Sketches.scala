@@ -190,24 +190,47 @@ object Sketches {
     * α_bp = 7090 for m ≥ 64 — floor-division-exact on both engines (no
     * bias correction branches: the audit covers the plain estimator).
     * Output one row: (m, exact_distinct, hll_est, err_bp). */
+  /** The 32-bit mixed hash feeding the HLL registers (see [[hllCompare]]
+    * for the constants' rationale). */
+  private def hllHashed(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol).cast("long").as("_k"))
+      .filter(col("_k").isNotNull && col("_k") >= 0)
+      .select(expr("(_k * 2654435761L) % 4294967296L").as("_h0"))
+      .select(expr("_h0 ^ (_h0 div 65536)").as("_h1"))
+      .select(expr("(_h1 * 2146121005L) % 4294967296L").as("_h2"))
+      .select(expr("_h2 ^ (_h2 div 8192)").as("_h"))
+
+  private def regsFromHashed(hashed: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val rMax = (32 - p) + 1
+    hashed
+      .select((col("_h") % m).as("bucket"), expr(s"_h div $m").as("_v"))
+      .withColumn("_rho",
+        when(col("_v") === 0, lit(rMax))
+          .otherwise(lit(rMax) - length(bin(col("_v")))))
+      .groupBy(col("bucket")).agg(max(col("_rho")).as("rho"))
+  }
+
+  /** Occupied HLL registers (bucket, max ρ) for a key column — the
+    * mergeable-sketch core of [[hllCompare]], exposed separately because
+    * it is a plain projection + (bucket, max) aggregation and therefore
+    * runs UNCHANGED on a streaming DataFrame (complete mode): max is
+    * order-insensitive, so registers over an unbounded stream equal the
+    * batch registers over the same rows — the streaming distinct-count
+    * monitor with 2ᵖ longs of state, ever. */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    regsFromHashed(hllHashed(df, keyCol), p)
+  }
+
   def hllCompare(df: DataFrame, keyCol: String, p: Int = 6): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
     val rMax = (32 - p) + 1
     val spark = df.sparkSession
     import spark.implicits._
-    val hashed = df.select(col(keyCol).cast("long").as("_k"))
-      .filter(col("_k").isNotNull && col("_k") >= 0)
-      .select(expr("(_k * 2654435761L) % 4294967296L").as("_h0"))
-      .select(expr("_h0 ^ (_h0 div 65536)").as("_h1"))
-      .select(expr("(_h1 * 2146121005L) % 4294967296L").as("_h2"))
-      .select(expr("_h2 ^ (_h2 div 8192)").as("_h"))
-    val regs = hashed
-      .select((col("_h") % m).as("bucket"), expr(s"_h div $m").as("_v"))
-      .withColumn("_rho",
-        when(col("_v") === 0, lit(rMax))
-          .otherwise(lit(rMax) - length(bin(col("_v")))))
-      .groupBy(col("bucket")).agg(max(col("_rho")).as("rho"))
+    val hashed = hllHashed(df, keyCol)
+    val regs = regsFromHashed(hashed, p)
     val full = spark.range(0, m).toDF("bucket")
       .join(regs, Seq("bucket"), "left")
       .withColumn("rho", coalesce(col("rho"), lit(0)))

@@ -282,4 +282,31 @@ object Vocab {
         expr(s"CAST((CAST(c_xy AS DECIMAL(38,0)) * n * $scale) div " +
           "(CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)").as("pmi_scaled"))
   }
+
+  /** Positional phrase search: per-document occurrence counts of an exact
+    * token phrase, via positional-posting joins — the adjacency query the
+    * flat inverted index (q89) cannot answer. Each phrase word's postings
+    * are filtered BEFORE any join (a phrase word's postings are a small
+    * slice of the corpus), then word k joins on (doc, pos − k) — L−1
+    * equi-joins for an L-word phrase, each on a doc+position key, no
+    * windows, no per-doc arrays. Overlapping occurrences count
+    * separately ("a a a" matches "a a" twice). Output: (id, n_matches)
+    * for docs with ≥1 match. */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least 2 words")
+    val toks = docs.select(col(idCol),
+      posexplode(Corpus.tokensOf(col(textCol))).as(Seq("pos", "term")))
+    val first = toks.filter(col("term") === phrase.head)
+      .select(col(idCol), col("pos"))
+    val matches = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (w, k)) =>
+        val nxt = toks.filter(col("term") === w)
+          .select(col(idCol).as("_pm_id"), (col("pos") - k).as("_pm_p"))
+        acc.join(nxt,
+            col(idCol) === col("_pm_id") && col("pos") === col("_pm_p"))
+          .drop("_pm_id", "_pm_p")
+    }
+    matches.groupBy(col(idCol)).agg(count(lit(1)).as("n_matches"))
+  }
 }

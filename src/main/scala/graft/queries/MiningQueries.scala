@@ -659,7 +659,41 @@ object MiningQueries {
       .orderBy($"o_orderpriority")
   }
 
+  // ---------------------------------------- q174 linear interpolation
+
+  /** Gap interpolation ([[Series.interpolateDaily]]): each user's daily
+    * purchase-count series expanded to its own day span with interior
+    * gaps filled by the floor-integer line between bracketing
+    * observations — the straight-line sibling of q91's LOCF. */
+  def q174Interpolate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      .groupBy($"user_id", $"d").agg(count(lit(1)).as("x"))
+    Series.interpolateDaily(daily, "user_id", "d", "x")
+      .orderBy($"user_id", $"day")
+  }
+
+  // ------------------------------------ q175 largest-remainder alloc
+
+  /** Hamilton allocation ([[Analytics.largestRemainderAlloc]]): 1000
+    * sampling slots across nations proportional to customer count,
+    * summing to exactly 1000 — the exact-total budget allocator rate
+    * sampling can't provide. */
+  def q175LargestRemainder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Tables.customer(spark, dir)
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+    Analytics.largestRemainderAlloc(w, "c_nationkey", "n_cust", 1000L)
+      .orderBy($"c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_interpolate" -> q174Interpolate _,
+    "q175_largest_remainder" -> q175LargestRemainder _,
     "q169_weighted_median" -> q169WeightedMedian _,
     "q170_dow_seasonal" -> q170DowSeasonal _,
     "q171_gini_coef" -> q171GiniCoef _,
@@ -699,6 +733,50 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q174_interpolate" -> """
+      |WITH daily AS (SELECT user_id,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |    count(*) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |sp AS (SELECT user_id, min(d) AS lo, max(d) AS hi
+      |       FROM daily GROUP BY 1),
+      |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS d
+      |         FROM sp),
+      |j AS (SELECT g.user_id, g.d, daily.x
+      |      FROM grid g LEFT JOIN daily
+      |        ON daily.user_id = g.user_id AND daily.d = g.d),
+      |w AS (SELECT user_id, d, x,
+      |    last_value(x IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY d ROWS UNBOUNDED PRECEDING) AS pv,
+      |    last_value(CASE WHEN x IS NOT NULL THEN d END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY d
+      |            ROWS UNBOUNDED PRECEDING) AS pd,
+      |    first_value(x IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY d ROWS BETWEEN CURRENT ROW
+      |      AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN x IS NOT NULL THEN d END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY d
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      |  FROM j)
+      |SELECT user_id, d AS day,
+      |  CASE WHEN x IS NOT NULL THEN x
+      |       ELSE pv + ((nv - pv) * (d - pd)) // (nd - pd) END AS x_fill,
+      |  CASE WHEN x IS NOT NULL THEN 1 ELSE 0 END AS is_obs
+      |FROM w ORDER BY 1, 2""".stripMargin,
+    "q175_largest_remainder" -> """
+      |WITH w AS (SELECT c_nationkey, count(*) AS n_cust
+      |           FROM customer GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_cust) AS BIGINT) AS tw FROM w),
+      |b AS (SELECT c_nationkey, n_cust,
+      |        (n_cust * 1000) // tw AS fl, (n_cust * 1000) % tw AS rem
+      |      FROM w CROSS JOIN t),
+      |l AS (SELECT 1000 - CAST(sum(fl) AS BIGINT) AS lv FROM b),
+      |r AS (SELECT c_nationkey, n_cust, fl,
+      |        row_number() OVER (ORDER BY rem DESC, c_nationkey) AS rk
+      |      FROM b)
+      |SELECT c_nationkey, n_cust AS weight,
+      |  CAST(fl + CASE WHEN rk <= lv THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM r CROSS JOIN l ORDER BY 1""".stripMargin,
     "q169_weighted_median" -> """
       |WITH li AS (SELECT l_returnflag,
       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,

@@ -501,7 +501,19 @@ object TrainingData {
       .orderBy($"lang", $"doc_id")
   }
 
+  /** Positional phrase search ([[graft.etl.Vocab.phraseMatches]]): exact
+    * adjacency counts for the phrase "batch batch" — overlapping matches
+    * count separately, so "batch batch batch" contributes 2. The
+    * adjacency query q89's flat postings can't answer. */
+  def q173PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Vocab.phraseMatches(Tables.documents(spark, dir),
+        "doc_id", "text", Seq("batch", "batch"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_phrase_search" -> q173PhraseSearch _,
     "q167_pps_sample" -> q167PpsSample _,
     "q162_containment" -> q162Containment _,
     "q59_train_split" -> q59TrainSplit _,
@@ -560,6 +572,19 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q173_phrase_search" -> """
+      |WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |      x -> x <> '') AS t
+      |  FROM documents),
+      |p AS (SELECT doc_id, i, t[i] AS term
+      |      FROM toks,
+      |        LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+      |a AS (SELECT doc_id, i FROM p WHERE term = 'batch'),
+      |b AS (SELECT doc_id, i FROM p WHERE term = 'batch')
+      |SELECT a.doc_id, count(*) AS n_matches
+      |FROM a JOIN b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q167_pps_sample" -> """
       |WITH d AS (SELECT lang, doc_id, n_chars FROM documents
       |           WHERE n_chars > 0),

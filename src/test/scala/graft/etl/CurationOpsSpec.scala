@@ -280,6 +280,45 @@ class CurationOpsSpec extends SparkSpec {
       "err_bp must be consistent with the reported estimate")
   }
 
+  // ----------------------------------------------------- phrase search
+
+  test("phraseMatches: overlapping matches count, longer phrases chain") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),     // "a a" twice (overlap), "a a a" once
+      (2L, "a b a"),       // no adjacent pair
+      (3L, "x a a y a a")) // "a a" twice, disjoint
+      .toDF("doc_id", "text")
+    val two = Vocab.phraseMatches(docs, "doc_id", "text", Seq("a", "a"))
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    assert(two == Seq((1L, 2L), (3L, 2L)))
+    val three = Vocab.phraseMatches(docs, "doc_id", "text", Seq("a", "a", "a"))
+      .as[(Long, Long)].collect().toSeq
+    assert(three == Seq((1L, 1L)))
+  }
+
+  // ----------------------------------------------- largest remainder
+
+  test("largestRemainderAlloc: exact total, remainders break the tie") {
+    import spark.implicits._
+    // weights 1,1,1 and 7 slots: floors 2,2,2 (sum 6), remainders equal
+    // → the leftover slot goes to the smallest key
+    val w = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("g", "n")
+    val got = Analytics.largestRemainderAlloc(w, "g", "n", 7)
+      .orderBy($"g").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 1L, 3L), ("b", 1L, 2L), ("c", 1L, 2L)))
+    assert(got.map(_._3).sum == 7L)
+  }
+
+  test("largestRemainderAlloc: proportionality with mixed weights") {
+    import spark.implicits._
+    // W=10, slots=10 → alloc == weight exactly, no leftover
+    val w = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("g", "n")
+    val got = Analytics.largestRemainderAlloc(w, "g", "n", 10)
+      .orderBy($"g").as[(String, Long, Long)].collect().toSeq
+    assert(got.map(_._3) == Seq(5L, 3L, 2L))
+  }
+
   // ---------------------------------------------------- weighted median
 
   test("weightedMedian: heavy weight drags the median to its value") {

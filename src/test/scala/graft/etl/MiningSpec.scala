@@ -391,6 +391,23 @@ class MiningSpec extends SparkSpec {
     assert(got == Seq(("k", 1L, -3333L)))
   }
 
+  test("interpolateDaily: interior gaps take the floored line, edges observed") {
+    // key k: observed (0,0), (4,10) → days 1..3 get 2,5,7 (floor of 2.5i)
+    val df = Seq(("k", 0L, 0L), ("k", 4L, 10L)).toDF("g", "d", "x")
+    val got = Series.interpolateDaily(df, "g", "d", "x")
+      .orderBy($"day").as[(String, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(("k", 0L, 0L, 1), ("k", 1L, 2L, 0), ("k", 2L, 5L, 0),
+      ("k", 3L, 7L, 0), ("k", 4L, 10L, 1)))
+  }
+
+  test("interpolateDaily: descending segments truncate toward zero") {
+    // (0,10) → (3,0): day 1 = 10 + (-10*1) div 3 = 10 - 3 = 7 (trunc -3.33)
+    val df = Seq(("k", 0L, 10L), ("k", 3L, 0L)).toDF("g", "d", "x")
+    val got = Series.interpolateDaily(df, "g", "d", "x")
+      .orderBy($"day").as[(String, Long, Long, Int)].collect().toSeq
+    assert(got.map(_._3) == Seq(10L, 7L, 4L, 0L))
+  }
+
   test("dowSeasonal: slot means floored, worst deviation per slot") {
     // days 0..13 → each dow slot twice; slot 0 sees 10 and 15 →
     // mean (10+15) div 2 = 12, resid max = |15-12| = 3

@@ -36,4 +36,29 @@ class SketchStreamingSpec extends SparkSpec {
     assert(last.contains("hot"))
     assert(last.size <= 4) // k-1 counters, stream length notwithstanding
   }
+
+  test("hllRegisters: streaming complete-mode registers equal the batch build") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val q = graft.etl.Sketches.hllRegisters(input.toDF()
+        .withColumnRenamed("value", "user_id"), "user_id")
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode("complete").start()
+    val b1 = 0L until 400L
+    val b2 = 300L until 900L // overlaps b1 — max must absorb, not add
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hllregs").as[(Long, Int)].collect().toMap
+    val batch = graft.etl.Sketches.hllRegisters(
+        (b1 ++ b2).toDF("user_id"), "user_id")
+      .as[(Long, Int)].collect().toMap
+    assert(streamed == batch,
+      "register-wise max across micro-batches must equal the batch sketch")
+    assert(batch.size <= 64)
+  }
 }
