@@ -277,6 +277,31 @@ object Corpus {
     * Bound: W_i·n must fit a long — fine to ~10¹⁴ weight-sum per group
     * at n ≤ 10⁴. Output: input row + `pick_idx` (0-based boundary index).
     * Weights must be positive. */
+  /** Exact-total stratified sample: `totalSlots` rows overall, strata
+    * quotas set by largest-remainder allocation on stratum sizes
+    * ([[Analytics.largestRemainderAlloc]] — Σ quotas = totalSlots
+    * exactly), rows within each stratum picked in sha256(id) order (the
+    * repo-standard reproducible shuffle) up to the quota. The exact-COUNT
+    * counterpart of [[balancedSample]]'s per-stratum fixed n and
+    * [[mixtureSample]]'s rates — use it when the downstream budget is a
+    * hard row count. One count aggregation (quotas broadcast back) + one
+    * per-stratum window sort. Output: input row + `pick_rank` (1-based
+    * within stratum). */
+  def quotaStratifiedSample(df: DataFrame, stratumCol: String,
+      idCol: String, totalSlots: Long): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    val quotas = Analytics
+      .largestRemainderAlloc(counts, stratumCol, "_n", totalSlots)
+      .select(col(stratumCol), col("alloc").as("_quota"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(sha2(col(idCol).cast("string"), 256), col(idCol))
+    df.join(broadcast(quotas), Seq(stratumCol))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= col("_quota"))
+      .withColumn("pick_rank", col("_rn"))
+      .drop("_rn", "_quota")
+  }
+
   def ppsSystematicSample(df: DataFrame, groupCol: String, idCol: String,
       weightCol: String, nPerGroup: Int): DataFrame = {
     require(nPerGroup >= 1, s"nPerGroup must be >= 1, got $nPerGroup")

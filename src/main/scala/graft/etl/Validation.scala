@@ -101,4 +101,27 @@ object Validation {
     if (bad > 0) throw new IllegalStateException(
       "structure compliance gate: batch contains error-severity validation failures")
   }
+
+  /** Referential-integrity audit for one FK relationship: total child
+    * rows, distinct child keys, and orphan rows (child key absent from
+    * the parent, NULLs excluded — a NULL FK is a completeness problem,
+    * not a referential one). The orphan pass is a key-shuffled anti-join
+    * against the DISTINCT parent keys (combiner-shrunk before the
+    * shuffle); the result is one row, so auditing a whole schema is a
+    * union of these. The warehouse-side generalization of the
+    * reference's per-row FK null checks. */
+  def refIntegrity(child: DataFrame, childKey: String, parent: DataFrame,
+      parentKey: String, relName: String): DataFrame = {
+    val keys = child.filter(col(childKey).isNotNull)
+      .select(col(childKey).as("_fk"))
+    val orphans = keys.join(
+        parent.select(col(parentKey).as("_fk")).distinct(),
+        Seq("_fk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val totals = keys.agg(count(lit(1)).as("n_child"),
+      countDistinct(col("_fk")).as("n_child_keys"))
+    totals.join(orphans)
+      .select(lit(relName).as("relationship"), col("n_child"),
+        col("n_child_keys"), col("n_orphans"))
+  }
 }

@@ -424,7 +424,30 @@ object Domain {
       .orderBy($"p_brand", $"abc_class")
   }
 
+  // ------------------------------------- q176 referential integrity
+
+  /** Schema-wide FK audit ([[graft.etl.Validation.refIntegrity]]): child
+    * totals, distinct keys, and orphan counts for the four relationships
+    * of the star schema — the warehouse generalization of the
+    * reference's per-row FK null checks. events.user_id→customer is the
+    * deliberately-broken relationship (independent key domains), so the
+    * audit must both pass and fail. */
+  def q176RefIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = graft.etl.Validation
+    v.refIntegrity(Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey", "lineitem->orders")
+      .unionByName(v.refIntegrity(Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey", "orders->customer"))
+      .unionByName(v.refIntegrity(Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey", "customer->nation"))
+      .unionByName(v.refIntegrity(Tables.events(spark, dir), "user_id",
+        Tables.customer(spark, dir), "c_custkey", "events->customer"))
+      .orderBy($"relationship")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_ref_integrity" -> q176RefIntegrity _,
     "q160_abc" -> q160Abc _,
     "q159_rfm" -> q159Rfm _,
     "q19_promo_parse" -> q19PromoParse _,
@@ -448,6 +471,38 @@ object Domain {
     "q94_drawdown" -> q94Drawdown _)
 
   val oracleSql: Map[String, String] = Map(
+    "q176_ref_integrity" -> """
+      |WITH r1 AS (SELECT 'lineitem->orders' AS relationship,
+      |    count(*) AS n_child, count(DISTINCT l_orderkey) AS n_child_keys,
+      |    count(*) - count(p.k) AS n_orphans
+      |  FROM lineitem LEFT JOIN
+      |    (SELECT DISTINCT o_orderkey AS k FROM orders) p
+      |    ON l_orderkey = p.k
+      |  WHERE l_orderkey IS NOT NULL),
+      |r2 AS (SELECT 'orders->customer',
+      |    count(*), count(DISTINCT o_custkey),
+      |    count(*) - count(p.k)
+      |  FROM orders LEFT JOIN
+      |    (SELECT DISTINCT c_custkey AS k FROM customer) p
+      |    ON o_custkey = p.k
+      |  WHERE o_custkey IS NOT NULL),
+      |r3 AS (SELECT 'customer->nation',
+      |    count(*), count(DISTINCT c_nationkey),
+      |    count(*) - count(p.k)
+      |  FROM customer LEFT JOIN
+      |    (SELECT DISTINCT n_nationkey AS k FROM nation) p
+      |    ON c_nationkey = p.k
+      |  WHERE c_nationkey IS NOT NULL),
+      |r4 AS (SELECT 'events->customer',
+      |    count(*), count(DISTINCT user_id),
+      |    count(*) - count(p.k)
+      |  FROM events LEFT JOIN
+      |    (SELECT DISTINCT c_custkey AS k FROM customer) p
+      |    ON user_id = p.k
+      |  WHERE user_id IS NOT NULL)
+      |SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      |  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+      |ORDER BY relationship""".stripMargin,
     "q159_rfm" -> """
       |WITH t AS (SELECT c_mktsegment AS seg, o_custkey AS k,
       |             date_diff('day', DATE '1970-01-01', o_orderdate) AS rec,

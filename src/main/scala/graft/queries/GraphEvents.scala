@@ -263,7 +263,31 @@ object GraphEvents {
       .orderBy($"user_id")
   }
 
+  // --------------------------------------- q177 last-touch attribution
+
+  /** Point-in-time (last-touch) attribution: each purchase credits the
+    * campaign variant (event_id mod 5) of the user's most recent click at
+    * purchase time — the as-of union+window join
+    * ([[graft.etl.TimeJoins.asofJoin]]: one key shuffle, linear pass, no
+    * range probe), complementing q155's first-touch. Purchases with no
+    * preceding click land in the NULL variant row. */
+  def q177PitAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", unix_micros($"ts").as("c_us"),
+        ($"event_id" % 5).as("variant"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("p_us"))
+    graft.etl.TimeJoins.asofJoin(purchases, clicks, "user_id",
+        "p_us", "c_us", "variant")
+      .groupBy($"asof_variant".as("variant"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy($"variant")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_pit_attribution" -> q177PitAttribution _,
     "q164_snapshot_diff" -> q164SnapshotDiff _,
     "q161_interval_join" -> q161IntervalJoin _,
     "q155_attribution" -> q155Attribution _,
@@ -280,6 +304,18 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q177_pit_attribution" -> """
+      |WITH c AS (SELECT user_id, epoch_us(ts) AS us, event_id % 5 AS v
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_us(ts) AS us
+      |      FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT p.user_id, p.us,
+      |        (SELECT v FROM c
+      |         WHERE c.user_id = p.user_id AND c.us <= p.us
+      |         ORDER BY c.us DESC, v DESC LIMIT 1) AS variant
+      |      FROM p)
+      |SELECT variant, count(*) AS n_purchases
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q164_snapshot_diff" -> """
       |WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
       |           FROM events),

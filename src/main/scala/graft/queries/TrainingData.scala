@@ -512,7 +512,22 @@ object TrainingData {
       .orderBy($"doc_id")
   }
 
+  /** Exact-total stratified sample
+    * ([[graft.etl.Corpus.quotaStratifiedSample]]): 200 docs overall,
+    * per-language quotas by largest remainder, rows picked in sha256(id)
+    * order — hard-budget sampling where q96 fixes per-stratum n and q76
+    * fixes a rate. */
+  def q178QuotaSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.quotaStratifiedSample(
+        Tables.documents(spark, dir).select($"lang", $"doc_id"),
+        "lang", "doc_id", totalSlots = 200L)
+      .select($"lang", $"doc_id", $"pick_rank")
+      .orderBy($"lang", $"pick_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_quota_sample" -> q178QuotaSample _,
     "q173_phrase_search" -> q173PhraseSearch _,
     "q167_pps_sample" -> q167PpsSample _,
     "q162_containment" -> q162Containment _,
@@ -572,6 +587,28 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q178_quota_sample" -> """
+      |WITH w AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tw FROM w),
+      |b AS (SELECT lang, n, (n * 200) // tw AS fl, (n * 200) % tw AS rem
+      |      FROM w CROSS JOIN t),
+      |l AS (SELECT 200 - CAST(sum(fl) AS BIGINT) AS lv FROM b),
+      |r AS (SELECT lang, fl,
+      |        row_number() OVER (ORDER BY rem DESC, lang) AS rk
+      |      FROM b),
+      |q AS (SELECT lang,
+      |        fl + CASE WHEN rk <= lv THEN 1 ELSE 0 END AS quota
+      |      FROM r CROSS JOIN l),
+      |ranked AS (SELECT lang, doc_id,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id)
+      |          AS pick_rank
+      |      FROM documents)
+      |SELECT ranked.lang AS lang, doc_id,
+      |  CAST(pick_rank AS INTEGER) AS pick_rank
+      |FROM ranked JOIN q ON q.lang = ranked.lang
+      |WHERE pick_rank <= quota
+      |ORDER BY ranked.lang, pick_rank""".stripMargin,
     "q173_phrase_search" -> """
       |WITH toks AS (SELECT doc_id,
       |    list_filter(string_split_regex(text, '[ \t\n\r]+'),

@@ -115,6 +115,22 @@ class CorpusSpec extends SparkSpec {
       s"common fraction 0.1 of 3000 drifted: ${byLang("common")}")
   }
 
+  test("quotaStratifiedSample: quotas sum to the budget, ties to small key") {
+    import spark.implicits._
+    // strata sizes 5/3/2, budget 5: floors 2/1/1, remainders 5/5/0 →
+    // the leftover slot goes to 'a' (smaller key wins the remainder tie)
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }.toDF("strat", "id")
+    val got = Corpus.quotaStratifiedSample(df, "strat", "id", 5L)
+    val byStrat = got.groupBy($"strat").count().as[(String, Long)]
+      .collect().toMap
+    assert(byStrat == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    val again = Corpus.quotaStratifiedSample(df, "strat", "id", 5L)
+      .select($"id").as[Long].collect().toSet
+    assert(again == got.select($"id").as[Long].collect().toSet,
+      "sha256 pick order is deterministic")
+  }
+
   test("ppsSystematicSample: exact n per group, boundaries hit by weight") {
     import spark.implicits._
     // uniform weights: cum 2,4,6,8,10; boundaries 5,10 → ids 3 and 5

@@ -55,4 +55,16 @@ class ValidationSpec extends SparkSpec {
     assert(s.getAs[Long]("required_title") == 1)
     assert(s.getAs[Long]("valid_price") == 0)
   }
+
+  test("refIntegrity: orphans counted per ROW, null FKs excluded entirely") {
+    import spark.implicits._
+    // children: 2 rows → parent 1, 2 rows → orphan key 9, 1 null FK
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val got = Validation.refIntegrity(child, "fk", parent, "pk", "c->p")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("c->p", 4L, 2L, 2L)),
+      "n_child excludes the null, both rows of orphan key 9 count")
+  }
 }
