@@ -185,6 +185,47 @@ object Events {
         count(lit(1)).as("n_intervals"))
   }
 
+  /** Discrete survival life table for start→event conversion: per
+    * day-offset k since each user's first `startType` event, how many
+    * users were still at risk, how many converted (first `eventType` at
+    * offset k), and how many left observation (censored — never
+    * converted; their censor offset is the global horizon minus their
+    * start). These are the exact integer inputs of the Kaplan–Meier
+    * estimator — the estimator's running product is a float the caller
+    * can fold in one pass over the ≤calendar-many output rows. An event
+    * before the user's start (possible in synthetic/replayed streams) is
+    * treated as unobserved → censored, documented here. Three
+    * combiner-friendly aggregates + one reverse running sum over the
+    * DAY-OFFSET table — calendar-bounded, so the single-partition window
+    * is a constant-size tail, not a data-sized one. Output:
+    * (day_k, at_risk, events, censored). */
+  def lifeTable(df: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, startType: String, eventType: String): DataFrame = {
+    val day = 86400000000L
+    val starts = df.filter(col(typeCol) === startType)
+      .groupBy(col(userCol)).agg(min(col(tsUsCol)).as("_s"))
+    val firsts = df.filter(col(typeCol) === eventType)
+      .groupBy(col(userCol)).agg(min(col(tsUsCol)).as("_p"))
+    val horizon = df.agg(max(col(tsUsCol)).as("_c"))
+    val perUser = starts
+      .join(firsts, Seq(userCol), "left")
+      .join(broadcast(horizon))
+      .withColumn("_eday",
+        when(col("_p") >= col("_s"), expr(s"(_p - _s) div ${day}L")))
+      .select(col(userCol),
+        coalesce(col("_eday"), expr(s"(_c - _s) div ${day}L")).as("_day"),
+        when(col("_eday").isNotNull, 1L).otherwise(0L).as("_ev"))
+    val byDay = perUser.groupBy(col("_day"))
+      .agg(sum(col("_ev")).as("events"),
+        sum(lit(1L) - col("_ev")).as("censored"))
+    val w = Window.orderBy(col("_day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay.withColumn("at_risk",
+        sum(col("events") + col("censored")).over(w))
+      .select(col("_day").as("day_k"), col("at_risk"), col("events"),
+        col("censored"))
+  }
+
   /** CDC-style snapshot diff: classify every key across two state
     * snapshots as `added` (only in `b`), `removed` (only in `a`),
     * `changed` (present in both, any compare column differs, null-safe),

@@ -172,6 +172,30 @@ object Series {
         col("_slope_bp").as("slope_bp"))
   }
 
+  /** Kendall tau-a rank correlation of an integer series against time,
+    * in bp: over all pairs t_i < t_j, concordant means x_j > x_i,
+    * discordant x_j < x_i, ties neither; τ_a = (c − d) / n_pairs. The
+    * rank-based monotone-trend test beside [[theilSenSlopeBp]]'s slope —
+    * same contract (caller collapses to a calendar-bounded series first,
+    * so the pair join is an equi-join with tiny per-key fan-out), same
+    * truncating scaling. Output:
+    * (key, n_pairs, concordant, discordant, ties, tau_bp). */
+  def kendallTauBp(series: DataFrame, keyCol: String, tCol: String,
+      xCol: String): DataFrame = {
+    val l = series.select(col(keyCol), col(tCol).as("_t1"), col(xCol).as("_x1"))
+    val r = series.select(col(keyCol).as("_k2"), col(tCol).as("_t2"),
+      col(xCol).as("_x2"))
+    l.join(r, col(keyCol) === col("_k2") && col("_t1") < col("_t2"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("_x2") > col("_x1"), 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("_x2") < col("_x1"), 1L).otherwise(0L)).as("discordant"))
+      .select(col(keyCol), col("n_pairs"), col("concordant"),
+        col("discordant"),
+        (col("n_pairs") - col("concordant") - col("discordant")).as("ties"),
+        expr("((concordant - discordant) * 10000L) div n_pairs").as("tau_bp"))
+  }
+
   /** Day-of-week seasonal profile of an integer daily series (`dCol` =
     * epoch day, `xCol` = integral value): per weekday slot (d mod 7,
     * epoch-anchored — slot 0 is Thursday), the floored seasonal mean and

@@ -286,7 +286,46 @@ object GraphEvents {
       .orderBy($"variant")
   }
 
+  // ---------------------------------------------- q180 life table
+
+  /** Signup→purchase survival life table ([[Events.lifeTable]]): per
+    * day-offset since signup, users at risk, conversions, and censored
+    * exits — the exact Kaplan–Meier input table. */
+  def q180LifeTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    Events.lifeTable(e, "user_id", "event_type", "us",
+        startType = "signup", eventType = "purchase")
+      .orderBy($"day_k")
+  }
+
+  // ------------------------------------------ q181 conversion lag
+
+  /** Click→purchase conversion-lag percentiles: each purchase's lag to
+    * the user's most recent click ([[graft.etl.TimeJoins.asofJoin]]
+    * picking the click time itself), bucketed by the purchase's epoch
+    * weekday, p25/p50/p75 in whole seconds via
+    * [[Analytics.exactPercentiles]] — an as-of + order-statistics
+    * composition, no new machinery. */
+  def q181ConversionLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", unix_micros($"ts").as("c_us"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("p_us"))
+    val lagged = graft.etl.TimeJoins.asofJoin(purchases, clicks, "user_id",
+        "p_us", "c_us", "c_us")
+      .filter($"asof_c_us".isNotNull)
+      .select(expr("(p_us div 86400000000L) % 7").as("dow"),
+        expr("(p_us - asof_c_us) div 1000000L").as("lag_s"))
+    Analytics.exactPercentiles(lagged, "dow", "lag_s").orderBy($"dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_life_table" -> q180LifeTable _,
+    "q181_conversion_lag" -> q181ConversionLag _,
     "q177_pit_attribution" -> q177PitAttribution _,
     "q164_snapshot_diff" -> q164SnapshotDiff _,
     "q161_interval_join" -> q161IntervalJoin _,
@@ -304,6 +343,54 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q180_life_table" -> """
+      |WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+      |           FROM events),
+      |s AS (SELECT user_id, min(us) AS sus FROM e
+      |      WHERE event_type = 'signup' GROUP BY 1),
+      |p AS (SELECT user_id, min(us) AS pus FROM e
+      |      WHERE event_type = 'purchase' GROUP BY 1),
+      |h AS (SELECT max(us) AS cus FROM e),
+      |u AS (SELECT s.user_id,
+      |        CASE WHEN pus >= sus
+      |             THEN (pus - sus) // 86400000000 END AS eday,
+      |        (cus - sus) // 86400000000 AS cday
+      |      FROM s LEFT JOIN p ON s.user_id = p.user_id CROSS JOIN h),
+      |d AS (SELECT coalesce(eday, cday) AS day_k,
+      |        CASE WHEN eday IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |      FROM u),
+      |b AS (SELECT day_k, CAST(sum(ev) AS BIGINT) AS events,
+      |        CAST(sum(1 - ev) AS BIGINT) AS censored
+      |      FROM d GROUP BY 1)
+      |SELECT day_k,
+      |  CAST(sum(events + censored) OVER (ORDER BY day_k DESC
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk,
+      |  events, censored
+      |FROM b ORDER BY day_k""".stripMargin,
+    "q181_conversion_lag" -> """
+      |WITH c AS (SELECT user_id, epoch_us(ts) AS us FROM events
+      |           WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_us(ts) AS us FROM events
+      |      WHERE event_type = 'purchase'),
+      |j AS (SELECT p.user_id, p.us,
+      |        (SELECT max(c.us) FROM c
+      |         WHERE c.user_id = p.user_id AND c.us <= p.us) AS cus
+      |      FROM p),
+      |f AS (SELECT (us // 86400000000) % 7 AS dow,
+      |        (us - cus) // 1000000 AS lag_s
+      |      FROM j WHERE cus IS NOT NULL),
+      |r AS (SELECT dow, lag_s,
+      |        row_number() OVER (PARTITION BY dow ORDER BY lag_s) AS rn,
+      |        count(*) OVER (PARTITION BY dow) AS n
+      |      FROM f)
+      |SELECT dow, max(n) AS n,
+      |  CAST(sum(CASE WHEN rn = (n + 3) // 4 THEN lag_s END) AS BIGINT)
+      |    AS p25,
+      |  CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN lag_s END) AS BIGINT)
+      |    AS p50,
+      |  CAST(sum(CASE WHEN rn = (3 * n + 3) // 4 THEN lag_s END)
+      |    AS BIGINT) AS p75
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q177_pit_attribution" -> """
       |WITH c AS (SELECT user_id, epoch_us(ts) AS us, event_id % 5 AS v
       |           FROM events WHERE event_type = 'click'),

@@ -691,7 +691,24 @@ object MiningQueries {
       .orderBy($"c_nationkey")
   }
 
+  // ------------------------------------------------ q179 Kendall tau
+
+  /** Kendall tau-a vs time ([[Series.kendallTauBp]]): the rank-based
+    * monotone-trend test on each event type's daily-count series — q165's
+    * Theil–Sen gives the robust slope, this gives the robust direction
+    * strength, on the same collapsed series. */
+  def q179Kendall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select($"event_type",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01"))).as("d"))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("x"))
+    Series.kendallTauBp(daily, "event_type", "d", "x")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_kendall" -> q179Kendall _,
     "q174_interpolate" -> q174Interpolate _,
     "q175_largest_remainder" -> q175LargestRemainder _,
     "q169_weighted_median" -> q169WeightedMedian _,
@@ -733,6 +750,24 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q179_kendall" -> """
+      |WITH daily AS (SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |    count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type,
+      |    CASE WHEN b.x > a.x THEN 1 ELSE 0 END AS con,
+      |    CASE WHEN b.x < a.x THEN 1 ELSE 0 END AS dis
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.d < b.d)
+      |SELECT event_type, count(*) AS n_pairs,
+      |  CAST(sum(con) AS BIGINT) AS concordant,
+      |  CAST(sum(dis) AS BIGINT) AS discordant,
+      |  count(*) - CAST(sum(con) AS BIGINT) - CAST(sum(dis) AS BIGINT)
+      |    AS ties,
+      |  ((CAST(sum(con) AS BIGINT) - CAST(sum(dis) AS BIGINT)) * 10000)
+      |    // count(*) AS tau_bp
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q174_interpolate" -> """
       |WITH daily AS (SELECT user_id,
       |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,

@@ -203,6 +203,28 @@ class GraphEventsSpec extends SparkSpec {
     assert(got == Seq(1L, 3L, 4L, 5L))
   }
 
+  // ----------------------------------------------------------- life table
+
+  test("lifeTable: converters at their offset, non-converters censored at horizon") {
+    val day = 86400000000L
+    // u1 signs day 0, buys day 2; u2 signs day 1, never buys; u3 signs
+    // day 1, "buys" BEFORE signup → unobserved; the day-4 click sets the
+    // horizon, so u2 and u3 are censored at offset 3; u9 never signs up
+    // and is excluded entirely
+    val df = Seq(
+      (1L, "signup", 0L), (1L, "purchase", 2 * day),
+      (2L, "signup", day),
+      (3L, "signup", day), (3L, "purchase", 0L),
+      (9L, "click", 4 * day))
+      .toDF("user_id", "event_type", "us")
+    val got = Events.lifeTable(df, "user_id", "event_type", "us",
+        "signup", "purchase")
+      .orderBy($"day_k")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // day 2: u1 converts (3 at risk); day 3: u2,u3 censored
+    assert(got == Seq((2L, 3L, 1L, 0L), (3L, 2L, 0L, 2L)))
+  }
+
   // --------------------------------------------------------- snapshotDiff
 
   test("snapshotDiff: added/removed/changed/unchanged truth table") {

@@ -391,6 +391,21 @@ class MiningSpec extends SparkSpec {
     assert(got == Seq(("k", 1L, -3333L)))
   }
 
+  test("kendallTauBp: perfect ascent 10000, descent -10000, ties counted") {
+    val df = Seq(
+      ("up", 0L, 1L), ("up", 1L, 2L), ("up", 2L, 3L),
+      ("dn", 0L, 3L), ("dn", 1L, 2L), ("dn", 2L, 1L),
+      ("tie", 0L, 5L), ("tie", 1L, 5L), ("tie", 2L, 9L))
+      .toDF("k", "t", "x")
+    val got = Series.kendallTauBp(df, "k", "t", "x")
+      .orderBy($"k")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("dn", 3L, 0L, 3L, 0L, -10000L),
+      ("tie", 3L, 2L, 0L, 1L, 6666L), // (2-0)*10000 div 3
+      ("up", 3L, 3L, 0L, 0L, 10000L)))
+  }
+
   test("interpolateDaily: interior gaps take the floored line, edges observed") {
     // key k: observed (0,0), (4,10) → days 1..3 get 2,5,7 (floor of 2.5i)
     val df = Seq(("k", 0L, 0L), ("k", 4L, 10L)).toDF("g", "d", "x")
