@@ -207,6 +207,76 @@ object Corpus {
       .agg(sum(col("_c")).as("n_total"), count(lit(1)).as("n_docs"))
       .filter(col("n_total") >= minCount)
 
+  /** Quantized-BM25 top-k retrieval for one bag-of-words query, in exact
+    * integer arithmetic so the ranking is bit-stable cross-engine.
+    *
+    * Classic BM25 is Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl));
+    * this quantizes each float: idf_q = bitlength(n_docs div df) (the
+    * exact integer log2-floor recipe — `length(bin(x))` on both engines),
+    * the length norm and saturation in fixed-point centi units with
+    * k1=1.2, b=0.75, every division a floor division:
+    *   avgdl_c  = Σdl·100 div n_docs
+    *   norm_c   = 25 + (75·dl·100) div avgdl_c
+    *   score_t  = idf_q · ((tf·220·100) div (tf·100 + (120·norm_c) div 100))
+    * Doc score = Σ score_t over matched query terms. The quantization
+    * shifts absolute scores, not the ordering structure BM25 exists for
+    * (tf saturation, length penalty, rare-term boost).
+    *
+    * Shape: one token explode filtered TO THE QUERY TERMS before any
+    * shuffle (the per-doc tf agg only ever sees |query| terms per doc),
+    * df + corpus stats as two broadcast one-row/terms-row sides, then a
+    * global top-k (rank over score desc, doc_id — a single-partition sort
+    * of per-doc SCORES; bound k, and pre-aggregate if k must grow).
+    * Output: (rk, doc_id, n_terms, score_c). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(tokensOf(col(textCol))).as("term"))
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(tokensOf(col(textCol))).cast("long").as("_dl"))
+    val stats = dl.agg(count(lit(1)).as("_n_docs"), sum(col("_dl")).as("_sum_dl"))
+      .withColumn("_avgdl_c", expr("_sum_dl * 100L div _n_docs"))
+    val qterms = terms.filter(col("term").isin(queryTerms: _*))
+    val dfreq = qterms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    val tf = qterms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("_tf"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf_q", expr("length(bin(_n_docs div _df))"))
+      .withColumn("_norm_c", expr("25L + (75L * _dl * 100L) div _avgdl_c"))
+      .withColumn("_s", expr(
+        "_idf_q * ((_tf * 220L * 100L) div (_tf * 100L + (120L * _norm_c) div 100L))"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("_s")).as("score_c"))
+    val w = Window.orderBy(col("score_c").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("rk"), col("doc_id"), col("n_terms"), col("score_c"))
+  }
+
+  /** Skip-gram (word2vec-style) context-pair counts: every ordered token
+    * pair at distance 1..`window` within a document, counted corpus-wide.
+    * The pairs come from `window` zip_with'd slice pairs per row — the
+    * same constant-evaluations-per-row trick as [[bigramsOf]] (a lambda
+    * over `sequence` re-evaluates the token array per ELEMENT — O(n²)
+    * per doc); no self-join on doc_id (which would fan out len² rows per
+    * doc before the distance filter could cut them). One explode + one
+    * groupBy shuffle total. Output: (a, b, n) with a the earlier token. */
+  def skipgramPairs(docs: DataFrame, textCol: String, window: Int): DataFrame = {
+    val toks = docs.select(tokensOf(col(textCol)).as("_t"))
+    val pairCols = (1 to window).map { d =>
+      val len = greatest(size(col("_t")) - d, lit(0))
+      zip_with(slice(col("_t"), lit(1), len), slice(col("_t"), lit(1 + d), len),
+        (a, b) => struct(a.as("a"), b.as("b")))
+    }
+    toks.select(explode(concat(pairCols: _*)).as("_p"))
+      .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Deterministic per-group sample: the `k` rows of each group with the
     * smallest sha256(id) — a seedless, order-independent, re-runnable
     * sample (same ids always survive, wherever they sit in the file

@@ -141,6 +141,40 @@ object Graph {
     degrees(und)
   }
 
+  /** Common-neighbor link prediction: for every non-adjacent node pair
+    * with at least one shared neighbor, the shared-neighbor count and the
+    * neighborhood-Jaccard in basis points — the classic "who should be
+    * connected next" scores, in exact integers.
+    *
+    * Shape: symmetrize + dedupe the edge list, wedge self-join on the
+    * shared endpoint (the same deg² fan-out triangle counting bounds with
+    * its orientation trick — here the wedge IS the candidate set, so the
+    * fan-out is the output and callers should pre-prune hubs if their
+    * graph has them), anti-join existing edges away, then one degree join
+    * per side. jaccard_bp = cn·10000 div (deg_a + deg_b − cn) — floor
+    * division, bit-stable cross-engine. Output: (a, b, cn, jaccard_bp)
+    * with a < b, one row per predicted pair.
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = und.select(col("a").as("z"), col("b").as("n"))
+      .union(und.select(col("b").as("z"), col("a").as("n")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val cand = adj.as("l").join(adj.as("r"),
+        col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .groupBy(col("l.n").as("a"), col("r.n").as("b"))
+      .agg(count(lit(1)).as("cn"))
+      .join(und, Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("z").as("a"), col("deg").as("_da")), "a")
+      .join(deg.select(col("z").as("b"), col("deg").as("_db")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        expr("cn * 10000L div (_da + _db - cn)").as("jaccard_bp"))
+  }
+
   /** Minimum hop distance (≤ `maxHops`) from a seed set, by frontier BFS.
     *
     * Each round joins ONLY the current frontier (nodes first reached last

@@ -124,4 +124,30 @@ object Validation {
       .select(lit(relName).as("relationship"), col("n_child"),
         col("n_child_keys"), col("n_orphans"))
   }
+
+  /** Functional-dependency audit for one candidate FD `det → dep`: does
+    * every determinant value map to exactly one dependent value? One
+    * combiner-friendly groupBy on the (pre-projected) determinant column
+    * counts rows and distinct dependents per group; a second tiny
+    * aggregate folds that into one summary row — total groups, violating
+    * groups (>1 distinct dependent), rows inside violating groups, and
+    * the worst group's dependent cardinality. NULL determinants are
+    * excluded (no group identity); NULL dependents don't count as a
+    * value (count_distinct semantics). Like [[refIntegrity]], the
+    * one-row shape makes a schema-wide audit a union of these. */
+  def fdAudit(df: DataFrame, detCol: String, depCol: String,
+      fdName: String): DataFrame = {
+    val perDet = df.filter(col(detCol).isNotNull)
+      .groupBy(col(detCol))
+      .agg(count(lit(1)).as("_rows"),
+        countDistinct(col(depCol)).as("_card"))
+    perDet.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("_card") > 1, 1L).otherwise(0L)).as("violating_groups"),
+        sum(when(col("_card") > 1, col("_rows")).otherwise(0L))
+          .as("violating_rows"),
+        max(col("_card")).as("max_card"))
+      .select(lit(fdName).as("fd"), col("n_groups"),
+        col("violating_groups"), col("violating_rows"), col("max_card"))
+  }
 }

@@ -446,7 +446,27 @@ object Domain {
       .orderBy($"relationship")
   }
 
+  /** Functional-dependency audit ([[graft.etl.Validation.fdAudit]]) over
+    * four candidate FDs: two that hold (c_name→c_custkey — name
+    * uniqueness; o_orderkey→o_orderstatus — key check) and two that are
+    * violated (p_brand→p_type, source→lang), so the audit proves both
+    * verdicts. q176 audits BETWEEN tables; this audits WITHIN one. */
+  def q184FdAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = graft.etl.Validation
+    v.fdAudit(Tables.customer(spark, dir), "c_name", "c_custkey",
+        "customer: name->custkey")
+      .unionByName(v.fdAudit(Tables.documents(spark, dir), "source", "lang",
+        "doc: source->lang"))
+      .unionByName(v.fdAudit(Tables.orders(spark, dir), "o_orderkey",
+        "o_orderstatus", "orders: orderkey->status"))
+      .unionByName(v.fdAudit(Tables.part(spark, dir), "p_brand", "p_type",
+        "part: brand->type"))
+      .orderBy($"fd")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_fd_audit" -> q184FdAudit _,
     "q176_ref_integrity" -> q176RefIntegrity _,
     "q160_abc" -> q160Abc _,
     "q159_rfm" -> q159Rfm _,
@@ -471,6 +491,45 @@ object Domain {
     "q94_drawdown" -> q94Drawdown _)
 
   val oracleSql: Map[String, String] = Map(
+    "q184_fd_audit" -> """
+      |SELECT 'customer: name->custkey' AS fd, * FROM (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS violating_groups,
+      |    CAST(sum(CASE WHEN c > 1 THEN r ELSE 0 END) AS BIGINT)
+      |      AS violating_rows,
+      |    CAST(max(c) AS BIGINT) AS max_card
+      |  FROM (SELECT det, count(*) AS r, count(DISTINCT dep) AS c FROM
+      |    (SELECT c_name AS det, c_custkey AS dep FROM customer
+      |     WHERE c_name IS NOT NULL) GROUP BY 1))
+      |UNION ALL
+      |SELECT 'doc: source->lang', * FROM (
+      |  SELECT CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN c > 1 THEN r ELSE 0 END) AS BIGINT),
+      |    CAST(max(c) AS BIGINT)
+      |  FROM (SELECT det, count(*) AS r, count(DISTINCT dep) AS c FROM
+      |    (SELECT source AS det, lang AS dep FROM documents
+      |     WHERE source IS NOT NULL) GROUP BY 1))
+      |UNION ALL
+      |SELECT 'orders: orderkey->status', * FROM (
+      |  SELECT CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN c > 1 THEN r ELSE 0 END) AS BIGINT),
+      |    CAST(max(c) AS BIGINT)
+      |  FROM (SELECT det, count(*) AS r, count(DISTINCT dep) AS c FROM
+      |    (SELECT o_orderkey AS det, o_orderstatus AS dep FROM orders
+      |     WHERE o_orderkey IS NOT NULL) GROUP BY 1))
+      |UNION ALL
+      |SELECT 'part: brand->type', * FROM (
+      |  SELECT CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN c > 1 THEN r ELSE 0 END) AS BIGINT),
+      |    CAST(max(c) AS BIGINT)
+      |  FROM (SELECT det, count(*) AS r, count(DISTINCT dep) AS c FROM
+      |    (SELECT p_brand AS det, p_type AS dep FROM part
+      |     WHERE p_brand IS NOT NULL) GROUP BY 1))
+      |ORDER BY fd""".stripMargin,
     "q176_ref_integrity" -> """
       |WITH r1 AS (SELECT 'lineitem->orders' AS relationship,
       |    count(*) AS n_child, count(DISTINCT l_orderkey) AS n_child_keys,

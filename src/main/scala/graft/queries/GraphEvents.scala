@@ -323,7 +323,27 @@ object GraphEvents {
     Analytics.exactPercentiles(lagged, "dow", "lag_s").orderBy($"dow")
   }
 
+  // ------------------------------------------- q183 link prediction
+
+  /** Common-neighbor link prediction ([[Graph.linkPrediction]]) on the
+    * q102 ring+skip lattice: every non-adjacent pair with a shared
+    * neighbor, scored by shared-neighbor count and neighborhood-Jaccard
+    * bp — the "predict the next edge" primitive over a sparse graph
+    * (the dense q101 graph would make the candidate set ~all pairs). */
+  def q183LinkPred(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val m = (orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1) / 5
+    val e = orders.filter(col("o_orderkey") < 2 * m).select(
+      when(col("o_orderkey") < m, col("o_orderkey"))
+        .otherwise(col("o_orderkey") - m).as("src"),
+      when(col("o_orderkey") < m, (col("o_orderkey") + 1) % m)
+        .otherwise((col("o_orderkey") - m + 13) % m).as("dst"))
+    Graph.linkPrediction(e, "src", "dst").orderBy($"a", $"b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_link_pred" -> q183LinkPred _,
     "q180_life_table" -> q180LifeTable _,
     "q181_conversion_lag" -> q181ConversionLag _,
     "q177_pit_attribution" -> q177PitAttribution _,
@@ -343,6 +363,25 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q183_link_pred" -> """
+      |WITH mm AS (SELECT (max(o_orderkey) + 1) // 5 AS m FROM orders),
+      |e0 AS (SELECT CASE WHEN o_orderkey < m THEN o_orderkey
+      |                   ELSE o_orderkey - m END AS x,
+      |              CASE WHEN o_orderkey < m THEN (o_orderkey + 1) % m
+      |                   ELSE (o_orderkey - m + 13) % m END AS y
+      |       FROM orders, mm WHERE o_orderkey < 2 * m),
+      |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+      |      FROM e0 WHERE x <> y),
+      |adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY 1),
+      |cand AS (SELECT l.n AS a, r.n AS b, count(*) AS cn
+      |  FROM adj l JOIN adj r ON l.z = r.z AND l.n < r.n GROUP BY 1, 2),
+      |ne AS (SELECT cand.a, cand.b, cn FROM cand
+      |       LEFT JOIN e USING (a, b) WHERE e.a IS NULL)
+      |SELECT ne.a, ne.b, CAST(cn AS BIGINT) AS cn,
+      |  CAST(cn * 10000 // (da.deg + db.deg - cn) AS BIGINT) AS jaccard_bp
+      |FROM ne JOIN deg da ON ne.a = da.z JOIN deg db ON ne.b = db.z
+      |ORDER BY ne.a, ne.b""".stripMargin,
     "q180_life_table" -> """
       |WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
       |           FROM events),

@@ -526,7 +526,36 @@ object TrainingData {
       .orderBy($"lang", $"pick_rank")
   }
 
+  /** Quantized-BM25 retrieval ([[graft.etl.Corpus.bm25TopK]]): top-15
+    * docs for the query {spark, merge, vector} — tf saturation, length
+    * norm, and the rare-term idf boost in exact fixed-point integers.
+    * q95's tf-idf ranks TERMS per source; this ranks DOCUMENTS for a
+    * query, the retrieval half of an IR stack. */
+  def q182Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.bm25TopK(Tables.documents(spark, dir),
+        "doc_id", "text", Seq("spark", "merge", "vector"), k = 15)
+      .orderBy($"rk")
+  }
+
+  /** Skip-gram context pairs ([[graft.etl.Corpus.skipgramPairs]]): the
+    * word2vec/GloVe training-pair extraction — ordered token pairs at
+    * distance ≤ 3, counted corpus-wide, top-20 by count. The windowed
+    * generalization of q77's adjacent-only collocations. */
+  def q185Skipgram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n".desc, $"a", $"b")
+    graft.etl.Corpus.skipgramPairs(Tables.documents(spark, dir), "text", 3)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 20)
+      .select($"rk", $"a", $"b", $"n")
+      .orderBy($"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_bm25" -> q182Bm25 _,
+    "q185_skipgram" -> q185Skipgram _,
     "q178_quota_sample" -> q178QuotaSample _,
     "q173_phrase_search" -> q173PhraseSearch _,
     "q167_pps_sample" -> q167PpsSample _,
@@ -587,6 +616,55 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q182_bm25" -> """
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |                x -> x <> '') AS t
+      |  FROM documents),
+      |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+      |stats AS (SELECT count(*) AS n_docs,
+      |    (CAST(sum(dl) AS BIGINT) * 100) // count(*) AS avgdl_c FROM dl),
+      |qt AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      |qf AS (SELECT doc_id, term FROM qt
+      |       WHERE term IN ('spark', 'merge', 'vector')),
+      |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+      |          FROM qf GROUP BY 1),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM qf GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    length(bin(n_docs // df)) *
+      |      ((tf * 220 * 100) //
+      |       (tf * 100 + (120 * (25 + (75 * dl.dl * 100) // avgdl_c)) // 100))
+      |      AS s
+      |  FROM tf JOIN dfreq USING (term)
+      |  JOIN dl ON tf.doc_id = dl.doc_id, stats),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |        CAST(sum(s) AS BIGINT) AS score_c FROM sc GROUP BY 1)
+      |SELECT rk, doc_id, n_terms, score_c FROM (
+      |  SELECT *, row_number() OVER (ORDER BY score_c DESC, doc_id) AS rk
+      |  FROM agg)
+      |WHERE rk <= 15 ORDER BY rk""".stripMargin,
+    "q185_skipgram" -> """
+      |WITH toks AS (
+      |  SELECT list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |                     x -> x <> '') AS t
+      |  FROM documents),
+      |p AS (
+      |  SELECT (CASE WHEN len(t) > 1
+      |            THEN list_zip(t[1:len(t)-1], t[2:len(t)]) ELSE [] END)
+      |      || (CASE WHEN len(t) > 2
+      |            THEN list_zip(t[1:len(t)-2], t[3:len(t)]) ELSE [] END)
+      |      || (CASE WHEN len(t) > 3
+      |            THEN list_zip(t[1:len(t)-3], t[4:len(t)]) ELSE [] END)
+      |      AS ps
+      |  FROM toks),
+      |u AS (SELECT unnest(ps) AS z FROM p),
+      |agg AS (SELECT z[1] AS a, z[2] AS b, CAST(count(*) AS BIGINT) AS n
+      |        FROM u GROUP BY 1, 2)
+      |SELECT rk, a, b, n FROM (
+      |  SELECT *, row_number() OVER (ORDER BY n DESC, a, b) AS rk FROM agg)
+      |WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "q178_quota_sample" -> """
       |WITH w AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
       |t AS (SELECT CAST(sum(n) AS BIGINT) AS tw FROM w),

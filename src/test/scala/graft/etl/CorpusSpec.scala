@@ -141,6 +141,34 @@ class CorpusSpec extends SparkSpec {
     assert(got == Seq((3L, 0L), (5L, 1L)))
   }
 
+  test("bm25TopK: rare term outranks common, long doc penalized, ties by id") {
+    import spark.implicits._
+    // 4 docs of 4 tokens (avgdl_c = 400, norm_c = 25+75 = 100, so the
+    // denominator is tf*100+120): "rare" hits 1 of 4 docs → idf_q =
+    // bitlength(4) = 3; "common" hits all 4 → idf_q = bitlength(1) = 1.
+    // doc 1 (one rare): 3*(220*100 div 220) = 300; doc 2 (two common):
+    // 1*(2*220*100 div 320) = 137; docs 3,4 (one common each): 100.
+    val docs = Seq(
+      (1L, "rare x y z"), (2L, "common common y z"),
+      (3L, "common a b c"), (4L, "common d e f"))
+      .toDF("doc_id", "text")
+    val got = Corpus.bm25TopK(docs, "doc_id", "text",
+        Seq("rare", "common"), k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L, 300L), (2L, 2L, 1L, 137L),
+      (3L, 3L, 1L, 100L), (4L, 4L, 1L, 100L)))
+  }
+
+  test("skipgramPairs: window-3 ordered pairs, short docs safe") {
+    import spark.implicits._
+    // "a b c d": d1 pairs ab bc cd, d2 ac bd, d3 ad; "e" and "" emit none
+    val docs = Seq((1L, "a b c d"), (2L, "e"), (3L, "")).toDF("id", "text")
+    val got = Corpus.skipgramPairs(docs, "text", 3)
+      .orderBy($"a", $"b").as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", 1L), ("a", "c", 1L), ("a", "d", 1L),
+      ("b", "c", 1L), ("b", "d", 1L), ("c", "d", 1L)))
+  }
+
   test("ppsSystematicSample: a dominant weight absorbs multiple boundaries") {
     import spark.implicits._
     // cum 1,2,3,4,10; both boundaries (5, 10) fall in id 5's interval —

@@ -49,6 +49,28 @@ class GraphEventsSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("linkPrediction: wedge pairs scored, existing edges excluded") {
+    // path 1-2-3 + 3-4: non-adjacent pairs with a shared neighbor are
+    // (1,3) via 2, (2,4) via 3; deg = {1:1, 2:2, 3:2, 4:1} →
+    // jaccard(1,3) = 1*10000 div (1+2-1) = 5000; edge (2,3) itself and
+    // the no-common-neighbor pair (1,4) never appear
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.linkPrediction(e, "src", "dst")
+      .orderBy($"a", $"b").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1L, 5000L), (2L, 4L, 1L, 5000L)))
+  }
+
+  test("linkPrediction: triangle has no predictions, square predicts diagonals") {
+    // triangle 1-2-3: every 2-path closes → empty; square 5-6-7-8-5:
+    // diagonals (5,7) and (6,8) each share BOTH opposite corners →
+    // cn=2, jaccard = 2*10000 div (2+2-2) = 10000
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L)).toDF("src", "dst")
+    val got = Graph.linkPrediction(e, "src", "dst")
+      .orderBy($"a", $"b").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((5L, 7L, 2L, 10000L), (6L, 8L, 2L, 10000L)))
+  }
+
   test("khopDistances: path graph distances, maxHops cutoff, unreached absent") {
     // 1-2-3-4-5 path, seed 1, maxHops 2 → 4 and 5 not emitted
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")

@@ -67,4 +67,20 @@ class ValidationSpec extends SparkSpec {
     assert(got == Seq(("c->p", 4L, 2L, 2L)),
       "n_child excludes the null, both rows of orphan key 9 count")
   }
+
+  test("fdAudit: violating groups counted with their rows, nulls excluded") {
+    import spark.implicits._
+    // det A → dep {x, x} holds; det B → {x, y, y} violates (3 rows,
+    // card 2); det NULL row is excluded; a NULL dep is not a value, so
+    // det C → {NULL, z} has card 1 and holds
+    val df = Seq(
+      (Some("A"), Some("x")), (Some("A"), Some("x")),
+      (Some("B"), Some("x")), (Some("B"), Some("y")), (Some("B"), Some("y")),
+      (None, Some("q")),
+      (Some("C"), None), (Some("C"), Some("z")))
+      .toDF("det", "dep")
+    val got = Validation.fdAudit(df, "det", "dep", "t")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("t", 3L, 1L, 3L, 2L)))
+  }
 }
