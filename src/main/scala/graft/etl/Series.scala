@@ -196,6 +196,45 @@ object Series {
         expr("((concordant - discordant) * 10000L) div n_pairs").as("tau_bp"))
   }
 
+  /** OHLC bars: per (key, fixed time bucket), the opening value (at the
+    * earliest (ts, id) — the id breaks timestamp ties deterministically),
+    * the high, the low, the close (latest (ts, id)), and the row count.
+    * Values are expected pre-quantized (e.g. [[cents]]); open/close via
+    * `min_by`/`max_by` over a (ts, id) struct — one combiner-friendly
+    * groupBy shuffle on (key, bucket), no window sort. The candlestick /
+    * downsampling primitive: 100 TB of ticks fold to one row per bucket
+    * map-side before the shuffle. */
+  def ohlcBars(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, bucketUs: Long): DataFrame =
+    df.groupBy(col(keyCol), expr(s"$tsCol div ${bucketUs}L").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col(valCol), struct(col(tsCol), col(idCol))).as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max_by(col(valCol), struct(col(tsCol), col(idCol))).as("close"))
+
+  /** Rolling OLS slope of an integer series vs its time column, over the
+    * trailing `n` rows per key, scaled ×10000 with floor division — the
+    * windowed twin of `Mining.groupedSlope` (same closed form, same
+    * truncating scaling, window sums instead of a group agg; windows of
+    * fewer than 2 points — or degenerate equal-x frames — yield NULL via
+    * the NULLIF'd denominator). One shuffle on the key; per-row state is
+    * five running sums, so the frame never materializes. */
+  def rollingSlopeBp(df: DataFrame, keyCol: String, tCol: String,
+      xCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    df.select(col(keyCol), col(tCol), col(xCol))
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .withColumn("_sx", sum(col(tCol)).over(w))
+      .withColumn("_sy", sum(col(xCol)).over(w))
+      .withColumn("_sxy", sum(col(tCol) * col(xCol)).over(w))
+      .withColumn("_sxx", sum(col(tCol) * col(tCol)).over(w))
+      .select(col(keyCol), col(tCol), col(xCol),
+        expr("((_cnt * _sxy - _sx * _sy) * 10000L) div " +
+          "NULLIF(_cnt * _sxx - _sx * _sx, 0L)").as("slope_bp"))
+  }
+
   /** Day-of-week seasonal profile of an integer daily series (`dCol` =
     * epoch day, `xCol` = integral value): per weekday slot (d mod 7,
     * epoch-anchored — slot 0 is Thursday), the floored seasonal mean and

@@ -707,7 +707,68 @@ object MiningQueries {
       .orderBy($"event_type")
   }
 
+  // ------------------------------------------------- q186 OHLC bars
+
+  /** 6-hour OHLC bars per event type ([[Series.ohlcBars]]): open/close
+    * picked by `min_by`/`max_by` over (ts, event_id) so timestamp ties
+    * are deterministic, values in exact cents — the candlestick
+    * downsampling primitive as one combiner-friendly aggregation. */
+  def q186Ohlc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_type", unix_micros($"ts").as("us"), $"event_id",
+        Series.cents($"value").as("vc"))
+    Series.ohlcBars(e, "event_type", "us", "event_id", "vc",
+        bucketUs = 21600000000L)
+      .orderBy($"event_type", $"bucket")
+  }
+
+  // -------------------------------------------- q187 rolling slope
+
+  /** Trailing-7-day rolling OLS slope of each event type's daily count
+    * ([[Series.rollingSlopeBp]]) — q125's grouped regression turned into
+    * a moving trend indicator; the first 6 days regress on their shorter
+    * prefix, a single-day frame is NULL. */
+  def q187RollingSlope(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select($"event_type",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("x"))
+    Series.rollingSlopeBp(daily, "event_type", "d", "x", n = 7)
+      .orderBy($"event_type", $"d")
+  }
+
+  // ----------------------------------------- q188 seasonal anomaly
+
+  /** Seasonal-residual anomaly flags: each (event_type, day) count vs
+    * the type's floored day-of-week mean; days deviating more than 20%
+    * from their weekday baseline surface with their residual. The q170
+    * seasonal profile turned into a per-day screen — the detrended twin
+    * of q115's rolling-window anomaly. */
+  def q188SeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select($"event_type",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("x"))
+    val means = daily.select($"event_type", ($"d" % 7).as("dow"), $"x")
+      .groupBy($"event_type", $"dow")
+      .agg(expr("sum(x) div count(1)").as("dow_mean"))
+    daily.withColumn("dow", $"d" % 7)
+      .join(broadcast(means), Seq("event_type", "dow"))
+      .filter(abs($"x" - $"dow_mean") * 100 > $"dow_mean" * 20)
+      .select($"event_type", $"d", $"dow", $"x", $"dow_mean",
+        ($"x" - $"dow_mean").as("resid"))
+      .orderBy($"event_type", $"d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_ohlc" -> q186Ohlc _,
+    "q187_rolling_slope" -> q187RollingSlope _,
+    "q188_seasonal_anomaly" -> q188SeasonalAnomaly _,
     "q179_kendall" -> q179Kendall _,
     "q174_interpolate" -> q174Interpolate _,
     "q175_largest_remainder" -> q175LargestRemainder _,
@@ -750,6 +811,52 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q186_ohlc" -> """
+      |WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+      |             CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      |r AS (SELECT event_type, us // 21600000000 AS bucket, us, event_id,
+      |             vc FROM e),
+      |o AS (SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, bucket
+      |                       ORDER BY us, event_id) AS ra,
+      |    row_number() OVER (PARTITION BY event_type, bucket
+      |                       ORDER BY us DESC, event_id DESC) AS rz FROM r)
+      |SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(max(CASE WHEN ra = 1 THEN vc END) AS BIGINT) AS open,
+      |  CAST(max(vc) AS BIGINT) AS high, CAST(min(vc) AS BIGINT) AS low,
+      |  CAST(max(CASE WHEN rz = 1 THEN vc END) AS BIGINT) AS close
+      |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q187_rolling_slope" -> """
+      |WITH daily AS (SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |    count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, d, x,
+      |    count(*) OVER win AS cnt, sum(d) OVER win AS sx,
+      |    sum(x) OVER win AS sy, sum(d * x) OVER win AS sxy,
+      |    sum(d * d) OVER win AS sxx
+      |  FROM daily WINDOW win AS (PARTITION BY event_type ORDER BY d
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, d, CAST(x AS BIGINT) AS x,
+      |  CAST(((cnt * sxy - sx * sy) * 10000) //
+      |       NULLIF(cnt * sxx - sx * sx, 0) AS BIGINT) AS slope_bp
+      |FROM w ORDER BY 1, 2""".stripMargin,
+    "q188_seasonal_anomaly" -> """
+      |WITH daily AS (SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |    count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, d % 7 AS dow,
+      |    CAST(sum(x) // count(*) AS BIGINT) AS dow_mean
+      |  FROM daily GROUP BY 1, 2),
+      |j AS (SELECT daily.event_type AS event_type, daily.d AS d,
+      |    daily.d % 7 AS dow, CAST(daily.x AS BIGINT) AS x,
+      |    m.dow_mean AS dow_mean
+      |  FROM daily JOIN m ON daily.event_type = m.event_type
+      |                   AND daily.d % 7 = m.dow)
+      |SELECT event_type, d, dow, x, dow_mean, x - dow_mean AS resid FROM j
+      |WHERE abs(x - dow_mean) * 100 > dow_mean * 20
+      |ORDER BY event_type, d""".stripMargin,
     "q179_kendall" -> """
       |WITH daily AS (SELECT event_type,
       |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,

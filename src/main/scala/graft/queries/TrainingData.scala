@@ -553,7 +553,29 @@ object TrainingData {
       .orderBy($"rk")
   }
 
+  /** Bigram language-model table: for the 10 most frequent context
+    * tokens, the top-3 next tokens with conditional probability in bp —
+    * P(b|a) = c(a,b)·10000 div Σ_b c(a,b), denominators from the SAME
+    * pair counts so the distribution sums to ≤10000 exactly.
+    * [[graft.etl.Corpus.skipgramPairs]] at window 1 IS the bigram
+    * counter; q103 estimates the same Markov table over event streams. */
+  def q189BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.etl.Corpus.skipgramPairs(
+      Tables.documents(spark, dir), "text", 1)
+    val topCtx = pairs.groupBy($"a").agg(sum($"n").as("n_a"))
+      .orderBy($"n_a".desc, $"a").limit(10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"a").orderBy($"n".desc, $"b")
+    pairs.join(broadcast(topCtx), "a")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"a", $"rk", $"b", $"n", expr("n * 10000L div n_a").as("p_bp"))
+      .orderBy($"a", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_bigram_lm" -> q189BigramLm _,
     "q182_bm25" -> q182Bm25 _,
     "q185_skipgram" -> q185Skipgram _,
     "q178_quota_sample" -> q178QuotaSample _,
@@ -616,6 +638,24 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q189_bigram_lm" -> """
+      |WITH toks AS (
+      |  SELECT list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |                     x -> x <> '') AS t
+      |  FROM documents),
+      |p AS (SELECT unnest(CASE WHEN len(t) > 1
+      |        THEN list_zip(t[1:len(t)-1], t[2:len(t)]) ELSE [] END) AS z
+      |      FROM toks),
+      |agg AS (SELECT z[1] AS a, z[2] AS b, CAST(count(*) AS BIGINT) AS n
+      |        FROM p GROUP BY 1, 2),
+      |tot AS (SELECT a, CAST(sum(n) AS BIGINT) AS n_a FROM agg GROUP BY 1),
+      |top AS (SELECT a, n_a FROM tot ORDER BY n_a DESC, a LIMIT 10),
+      |r AS (SELECT agg.a AS a, b, n, n_a,
+      |        row_number() OVER (PARTITION BY agg.a ORDER BY n DESC, b)
+      |          AS rk
+      |      FROM agg JOIN top ON agg.a = top.a)
+      |SELECT a, rk, b, n, n * 10000 // n_a AS p_bp FROM r
+      |WHERE rk <= 3 ORDER BY a, rk""".stripMargin,
     "q182_bm25" -> """
       |WITH toks AS (
       |  SELECT doc_id,

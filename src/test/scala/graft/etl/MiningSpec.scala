@@ -391,6 +391,32 @@ class MiningSpec extends SparkSpec {
     assert(got == Seq(("k", 1L, -3333L)))
   }
 
+  test("ohlcBars: open/close by (ts,id) order, ts ties broken by id") {
+    val df = Seq(
+      // key k, bucket 0 (ts 0-9): open = ts2/id1 value 30 (ts tie with
+      // id2 broken by id), close = ts 9, high/low across all
+      ("k", 2L, 1L, 30L), ("k", 2L, 2L, 99L), ("k", 9L, 3L, 5L),
+      // bucket 1: single row → open=high=low=close
+      ("k", 11L, 4L, 7L))
+      .toDF("key", "ts", "id", "v")
+    val got = Series.ohlcBars(df, "key", "ts", "id", "v", bucketUs = 10L)
+      .orderBy($"bucket")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("k", 0L, 3L, 30L, 99L, 5L, 5L),
+      ("k", 1L, 1L, 7L, 7L, 7L, 7L)))
+  }
+
+  test("rollingSlopeBp: exact slope in window, short prefix, single row NULL") {
+    // y = 2t exactly → slope 20000 once ≥2 points; first row NULL
+    val df = Seq(("k", 0L, 0L), ("k", 1L, 2L), ("k", 2L, 4L), ("k", 3L, 6L))
+      .toDF("g", "t", "x")
+    val got = Series.rollingSlopeBp(df, "g", "t", "x", n = 3)
+      .orderBy($"t")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(("k", 0L, 0L, None), ("k", 1L, 2L, Some(20000L)),
+      ("k", 2L, 4L, Some(20000L)), ("k", 3L, 6L, Some(20000L))))
+  }
+
   test("kendallTauBp: perfect ascent 10000, descent -10000, ties counted") {
     val df = Seq(
       ("up", 0L, 1L), ("up", 1L, 2L), ("up", 2L, 3L),
