@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: Hamming distance between two strings
@@ -122,6 +122,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "ws_tokens(text) takes exactly 1 argument")
         WsTokens(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_regs"),
+      new ExpressionInfo(classOf[HllRegsAgg].getName, "hll_regs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "hll_regs(key, p) takes exactly 2 arguments")
+        val p = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"hll_regs p must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "hll_regs p must be a literal")
+        }
+        HllRegsAgg(Cast(children.head, LongType), p)
       }))
     // HOF dot-product pattern → QDot (see QDotRewrite Scaladoc)
     ext.injectOptimizerRule(_ => QDotRewrite)

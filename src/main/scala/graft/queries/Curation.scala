@@ -246,6 +246,26 @@ object Curation {
       "user_id")
   }
 
+  // ------------------------------- q190 HLL as a native UDAF
+
+  /** Per-event-type HLL registers via the native
+    * [[graft.plans.HllRegsAgg]] `TypedImperativeAggregate` — the
+    * mergeable-sketch shape done the way Spark means it: each task folds
+    * its partition into a 64-byte buffer, buffers merge register-wise
+    * (order-independent → deterministic), 64 bytes per group cross the
+    * shuffle. q168 derives the same registers declaratively; this gates
+    * the imperative partial-aggregate path against the same oracle. */
+  def q190HllAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(expr("hll_regs(user_id, 6)").as("_regs"))
+      .select($"event_type", posexplode($"_regs"))
+      .select($"event_type", $"pos".cast("long").as("bucket"),
+        $"col".cast("long").as("rho"))
+      .orderBy($"event_type", $"bucket")
+  }
+
   // ------------------------------------ q172 histogram quantile audit
 
   /** Equi-width histogram quantile estimates vs exact order statistics
@@ -266,6 +286,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_cms" -> q166Cms _,
     "q168_hll" -> q168Hll _,
+    "q190_hll_agg" -> q190HllAgg _,
     "q172_hist_quantiles" -> q172HistQuantiles _,
     "q119_decontaminate" -> q119Decontaminate _,
     "q120_bpe_pairs" -> q120BpePairs _,
@@ -333,6 +354,25 @@ object Curation {
       |  GROUP BY 1, 2)
       |SELECT item, cnt, est, est - cnt AS overcount
       |FROM est ORDER BY item""".stripMargin,
+    "q190_hll_agg" -> """
+      |WITH h0 AS (SELECT DISTINCT event_type,
+      |              (user_id * 2654435761) % 4294967296 AS h
+      |            FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
+      |h1 AS (SELECT event_type, xor(h, h // 65536) AS h FROM h0),
+      |h2 AS (SELECT event_type, (h * 2146121005) % 4294967296 AS h FROM h1),
+      |k AS (SELECT DISTINCT event_type, xor(h, h // 8192) AS h FROM h2),
+      |rh AS (SELECT event_type, h % 64 AS bucket,
+      |         CASE WHEN h // 64 = 0 THEN 27
+      |              ELSE 27 - length(bin(h // 64)) END AS rho
+      |       FROM k),
+      |g AS (SELECT DISTINCT event_type FROM events),
+      |b AS (SELECT event_type, unnest(generate_series(0, 63)) AS bucket
+      |      FROM g)
+      |SELECT b.event_type AS event_type, CAST(b.bucket AS BIGINT) AS bucket,
+      |  CAST(coalesce(max(rh.rho), 0) AS BIGINT) AS rho
+      |FROM b LEFT JOIN rh ON rh.event_type = b.event_type
+      |                   AND rh.bucket = b.bucket
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q168_hll" -> """
       |WITH h0 AS (SELECT DISTINCT (user_id * 2654435761) % 4294967296 AS h
       |            FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
