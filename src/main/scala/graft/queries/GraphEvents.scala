@@ -342,7 +342,82 @@ object GraphEvents {
     Graph.linkPrediction(e, "src", "dst").orderBy($"a", $"b")
   }
 
+  // ------------------------------------------ q192 audience overlap
+
+  /** Audience-overlap matrix: for every pair of event types, distinct
+    * users doing both and the Jaccard of the two audiences in bp — the
+    * segment-overlap report. One distinct projection, a per-user
+    * self-join whose fan-out is bounded by the type-count squared (not
+    * by data), and two broadcast joins against the per-type totals. */
+  def q192AudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ut = Tables.events(spark, dir)
+      .select($"user_id", $"event_type").distinct()
+    val tot = ut.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(tot.select($"event_type".as("type_a"),
+        $"n".as("n_a"))), "type_a")
+      .join(broadcast(tot.select($"event_type".as("type_b"),
+        $"n".as("n_b"))), "type_b")
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both",
+        expr("n_both * 10000L div (n_a + n_b - n_both)").as("jaccard_bp"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  // --------------------------------------------- q193 join fanout
+
+  /** Pre-join fan-out audit: before running a suspect many-to-many join
+    * (events.user_id%1000 × customer.c_custkey%1000 — deliberately
+    * colliding domains), estimate the blow-up per key from the two
+    * per-key counts ALONE — two combiner-shrunk aggregations and a join
+    * of distinct keys, never the exploded rows. Top-10 keys by predicted
+    * output rows; the diagnostic that catches a 10^12-row join plan
+    * while it is still two count tables. */
+  def q193JoinFanout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.events(spark, dir).select(($"user_id" % 1000).as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n_events"))
+    val b = Tables.customer(spark, dir)
+      .select(($"c_custkey" % 1000).as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n_cust"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("fanout").desc, col("k"))
+    a.join(b, "k")
+      .withColumn("fanout", $"n_events" * $"n_cust")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 10)
+      .select($"rk", $"k", $"n_events", $"n_cust", $"fanout")
+      .orderBy($"rk")
+  }
+
+  // ---------------------------------------------- q194 bounce rate
+
+  /** Session bounce rate by weekday: 1-hour-gap sessions (q35's
+    * `session_window` machinery), a session "bounces" when it contains
+    * exactly one event; share in bp per session-start weekday. */
+  def q194BounceRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = graft.etl.TimeJoins.sessionize(
+      Tables.events(spark, dir), "user_id", "ts", "1 hour")
+    s.select(expr("(unix_micros(session_start) div 86400000000L) % 7")
+        .as("dow"), $"n_events")
+      .groupBy($"dow")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when($"n_events" === 1, 1L).otherwise(0L)).as("bounces"))
+      .withColumn("bounce_bp",
+        expr("bounces * 10000L div n_sessions"))
+      .orderBy($"dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_audience_overlap" -> q192AudienceOverlap _,
+    "q193_join_fanout" -> q193JoinFanout _,
+    "q194_bounce_rate" -> q194BounceRate _,
     "q183_link_pred" -> q183LinkPred _,
     "q180_life_table" -> q180LifeTable _,
     "q181_conversion_lag" -> q181ConversionLag _,
@@ -363,6 +438,55 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q192_audience_overlap" -> """
+      |WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |tot AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |        CAST(count(*) AS BIGINT) AS n_both
+      |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |                        AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT type_a, type_b, CAST(ta.n AS BIGINT) AS n_a,
+      |  CAST(tb.n AS BIGINT) AS n_b, n_both,
+      |  n_both * 10000 // (ta.n + tb.n - n_both) AS jaccard_bp
+      |FROM p JOIN tot ta ON p.type_a = ta.event_type
+      |JOIN tot tb ON p.type_b = tb.event_type
+      |ORDER BY type_a, type_b""".stripMargin,
+    "q193_join_fanout" -> """
+      |WITH a AS (SELECT user_id % 1000 AS k, count(*) AS n_events
+      |           FROM events GROUP BY 1),
+      |b AS (SELECT c_custkey % 1000 AS k, count(*) AS n_cust
+      |      FROM customer GROUP BY 1),
+      |j AS (SELECT a.k AS k, CAST(n_events AS BIGINT) AS n_events,
+      |        CAST(n_cust AS BIGINT) AS n_cust,
+      |        CAST(n_events * n_cust AS BIGINT) AS fanout
+      |      FROM a JOIN b ON a.k = b.k)
+      |SELECT rk, k, n_events, n_cust, fanout FROM (
+      |  SELECT *, row_number() OVER (ORDER BY fanout DESC, k) AS rk
+      |  FROM j)
+      |WHERE rk <= 10 ORDER BY rk""".stripMargin,
+    "q194_bounce_rate" -> """
+      |WITH x AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 1 HOUR
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT user_id, ts,
+      |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM x),
+      |g AS (SELECT user_id, sid, epoch_us(min(ts)) AS start_us,
+      |        count(*) AS n_events
+      |      FROM s GROUP BY 1, 2),
+      |d AS (SELECT (start_us // 86400000000) % 7 AS dow, n_events FROM g)
+      |SELECT dow, CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS bounces,
+      |  (CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 10000) // count(*) AS bounce_bp
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q183_link_pred" -> """
       |WITH mm AS (SELECT (max(o_orderkey) + 1) // 5 AS m FROM orders),
       |e0 AS (SELECT CASE WHEN o_orderkey < m THEN o_orderkey

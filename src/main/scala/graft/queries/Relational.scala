@@ -612,7 +612,33 @@ object Relational {
       .orderBy($"digit")
   }
 
+  /** Q191 — period-over-period growth: revenue cents per brand in the
+    * first vs second half of the shipdate range (midpoint from one
+    * broadcast min/max row), growth in bp with a NULLIF guard — the BI
+    * staple "compare this period to last" as one join + one conditional
+    * aggregation, no self-join of the fact table against itself. */
+  def q191PopGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir).select($"l_partkey",
+      datediff(to_date($"l_shipdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("_d"),
+      graft.etl.Series.cents($"l_extendedprice").as("_rev_c"))
+    val bounds = l.agg(min($"_d").as("_lo"), max($"_d").as("_hi"))
+    val p = Tables.part(spark, dir)
+      .select($"p_partkey".as("l_partkey"), $"p_brand")
+    l.join(p, "l_partkey").crossJoin(broadcast(bounds))
+      .withColumn("_half",
+        when($"_d" < expr("(_lo + _hi + 1) div 2"), 1).otherwise(2))
+      .groupBy($"p_brand")
+      .agg(sum(when($"_half" === 1, $"_rev_c").otherwise(0L)).as("rev1_c"),
+        sum(when($"_half" === 2, $"_rev_c").otherwise(0L)).as("rev2_c"))
+      .withColumn("growth_bp",
+        expr("((rev2_c - rev1_c) * 10000L) div NULLIF(rev1_c, 0L)"))
+      .orderBy($"p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_pop_growth" -> q191PopGrowth _,
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
     "q3_join_agg" -> q3JoinAgg _,
@@ -659,6 +685,24 @@ object Relational {
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
     * round differently from Spark's double arithmetic. */
   val oracleSql: Map[String, String] = Map(
+    "q191_pop_growth" -> """
+      |WITH l AS (SELECT l_partkey,
+      |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS rev_c
+      |  FROM lineitem),
+      |b AS (SELECT min(d) AS lo, max(d) AS hi FROM l),
+      |j AS (SELECT p_brand,
+      |    CASE WHEN d < (lo + hi + 1) // 2 THEN 1 ELSE 2 END AS half, rev_c
+      |  FROM l JOIN part ON l_partkey = p_partkey CROSS JOIN b),
+      |a AS (SELECT p_brand,
+      |    CAST(sum(CASE WHEN half = 1 THEN rev_c ELSE 0 END) AS BIGINT)
+      |      AS rev1_c,
+      |    CAST(sum(CASE WHEN half = 2 THEN rev_c ELSE 0 END) AS BIGINT)
+      |      AS rev2_c
+      |  FROM j GROUP BY 1)
+      |SELECT p_brand, rev1_c, rev2_c,
+      |  ((rev2_c - rev1_c) * 10000) // NULLIF(rev1_c, 0) AS growth_bp
+      |FROM a ORDER BY 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
