@@ -23,17 +23,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark 4 rejects as a
-    * TIMESTAMP. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (see
-    * [[Sessions.builder]]); here the raw nanos are floored to a microsecond
-    * TIMESTAMP, matching how an engine with native ns support truncates.
+  /** `events.ts` has shipped in two physical forms across driver data drops:
+    * ns-precision INT64 (read as Long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, see [[Sessions.builder]])
+    * and µs-precision with `isAdjustedToUTC=false` (inferred TIMESTAMP_NTZ).
+    * Both normalize to a session-TZ TIMESTAMP here — the session runs UTC, so
+    * the NTZ→TZ cast is wall-clock identity and downstream `unix_micros`
+    * epoch arithmetic keeps working regardless of which drop generated the
+    * files.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
