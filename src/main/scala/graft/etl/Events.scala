@@ -96,6 +96,34 @@ object Events {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** Cohort LTV (lifetime-value) matrix — the revenue-weighted twin of
+    * [[retentionCohorts]]: rows cohort by each user's FIRST period, and
+    * every (cohort, age = period − cohort) cell reports active users and
+    * summed revenue in integer cents. Reading a row left-to-right is the
+    * cohort's cumulative-value curve; comparing rows at equal age is the
+    * cohort-quality trend — the standard growth table, produced in long
+    * form (no pivot) so the schema doesn't change when time advances.
+    *
+    * `periodCol` is any integral period index the caller derives (e.g.
+    * year·12+month); keeping the calendar arithmetic caller-side makes
+    * the operator calendar-agnostic. Shuffles: the first-period agg and
+    * the cell agg, both on user/cohort keys, plus one user-keyed join —
+    * co-partitioned with the agg before it, so AQE plans it without an
+    * extra exchange. The distinct-user count per cell rides the same
+    * (cohort, age) shuffle (count_distinct expands to a two-level agg). */
+  def cohortLtvMatrix(df: DataFrame, userCol: String, periodCol: String,
+      centsCol: String): DataFrame = {
+    val rows = df.select(col(userCol).as("user"),
+      col(periodCol).cast("long").as("period"),
+      col(centsCol).cast("long").as("cents"))
+    val first = rows.groupBy(col("user"))
+      .agg(min(col("period")).as("cohort"))
+    rows.join(first, "user")
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("age"))
+      .agg(countDistinct(col("user")).as("active_users"),
+        sum(col("cents")).cast("long").as("revenue_cents"))
+  }
+
   /** Sweep-line maximum concurrency per group over half-open intervals
     * [startUs, endUs): unpivot to (+1 at start, −1 at end) deltas, running
     * sum in (time, delta) order, max per group. The RANGE window frame

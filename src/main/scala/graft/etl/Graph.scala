@@ -205,4 +205,49 @@ object Graph {
     }
     dist
   }
+
+  /** Degree assortativity of an undirected graph as a signed, pre-scaled
+    * integer: the Pearson correlation of (deg(u), deg(v)) over all directed
+    * half-edges, reported as sign · r²·10⁴ (the repo-wide sqrt-free
+    * correlation form — same contract as the ACF and Kendall operators:
+    * cross-multiplied decimal(38,0) sums, a single integer division at the
+    * end, bit-identical in any engine).
+    *
+    * Social graphs are assortative (hubs link hubs, r > 0), web/biology
+    * graphs disassortative — the one-row screen that tells you which skew
+    * story your edge list has before you pick a partitioning.
+    *
+    * Shuffles: the dedup distinct, the degree agg, two degree joins (both
+    * on node keys, AQE-coalescible), one global agg. The degree table is
+    * |V|-sized; nothing fans out by degree². Decimal(38,0) holds the
+    * squared covariance up to ~10¹⁹ half-edge·degree units — beyond that
+    * (trillion-edge graphs) the sums need a two-level scaled form; the
+    * bound is documented here rather than hoped past. */
+  def degreeAssortativityBp(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val half = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = half.groupBy(col("u").as("z")).agg(count(lit(1)).as("deg"))
+    val xy = half
+      .join(deg.select(col("z").as("u"), col("deg").as("x")), "u")
+      .join(deg.select(col("z").as("v"), col("deg").as("y")), "v")
+    xy.agg(
+        count(lit(1)).cast(d38).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+        sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"))
+      .select(col("n").cast("long").as("n_half_edges"),
+        expr("CAST(sign(n * sxy - sx * sy) AS BIGINT)").as("cov_sign"),
+        expr("""CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+                THEN NULL ELSE
+                  ((n * sxy - sx * sy) * (n * sxy - sx * sy) * 10000)
+                    div ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                END AS BIGINT)""").as("r2_bp"))
+  }
 }

@@ -33,4 +33,31 @@ object Privacy {
       .withColumn("redacted",
         regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>"))
+
+  /** l-diversity audit — the release gate k-anonymity (q148) misses: a
+    * quasi-identifier group can hold ≥ k rows yet leak the sensitive
+    * attribute if all k agree on it. Per QI group: row count, number of
+    * distinct sensitive values (distinct l), the dominant sensitive
+    * value's share in basis points (the homogeneity-attack surface), and
+    * a pass/violates verdict against the required l.
+    *
+    * Two combiner-friendly shuffles — (QI, sensitive) counts, then the
+    * per-QI fold — on aggregate-shrunk rows; nothing is quadratic in
+    * group size, so a 10⁹-row QI cell costs what its distinct sensitive
+    * domain costs. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensCol: String,
+      l: Int): DataFrame = {
+    val qi = qiCols.map(col)
+    df.filter(col(sensCol).isNotNull)
+      .groupBy(qi :+ col(sensCol): _*)
+      .agg(count(lit(1)).as("_sc"))
+      .groupBy(qi: _*)
+      .agg(sum(col("_sc")).cast("long").as("n"),
+        count(lit(1)).as("l_distinct"),
+        max(col("_sc")).cast("long").as("top_cnt"))
+      .select(qi ++ Seq(col("n"), col("l_distinct"),
+        expr("top_cnt * 10000L div n").as("top_share_bp"),
+        when(col("l_distinct") >= l, lit("ok"))
+          .otherwise(lit("violates")).as("diversity")): _*)
+  }
 }

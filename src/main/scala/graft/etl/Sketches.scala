@@ -258,6 +258,52 @@ object Sketches {
     * and the exact pass is what you're avoiding. Integer throughout —
     * bin = ((x−lo)·bins) div (hi−lo+1) needs x-range·bins within long.
     * Output: (group, q_bp, est, exact, err). */
+  /** K-minimum-values distinct-count audit per group — the third distinct
+    * estimator beside HLL (q168: fixed 2^p registers, rough) and the exact
+    * bitmap (q123: dense id spaces only): keep the k smallest distinct
+    * 32-bit hash values per group; if the k-th smallest is h_k, the domain
+    * is ≈ (k−1)·2³²/h_k. Groups with < k distinct hashes are reported
+    * EXACTLY (the sketch has seen everything).
+    *
+    * Same multiply–xorshift hash chain as [[hllCompare]] (plain Knuth
+    * leaves the low bits too regular for order statistics), so any SQL
+    * oracle re-derives the identical h_k. "Exact" here counts distinct
+    * HASHES — the estimator's own universe; 32-bit collisions fold both
+    * sides identically.
+    *
+    * Scale shape: the bottom-k fold is [[graft.functions.TopKAgg]] over
+    * negated hashes — a bounded k-value buffer per (group, partition), so
+    * map-side partials ship k longs however large the group, ONE shuffle
+    * total after the distinct. No per-group window sort anywhere. */
+  def kmvCompare(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashed = df
+      .select(col(groupCol).as("g"), col(keyCol).cast("long").as("_k"))
+      .filter(col("_k").isNotNull && col("_k") >= 0)
+      .select(col("g"), expr("(_k * 2654435761L) % 4294967296L").as("_h0"))
+      .select(col("g"), expr("_h0 ^ (_h0 div 65536)").as("_h1"))
+      .select(col("g"), expr("(_h1 * 2146121005L) % 4294967296L").as("_h2"))
+      .select(col("g"), expr("_h2 ^ (_h2 div 8192)").as("_h"))
+      .distinct()
+    val bottomK = udaf(graft.functions.TopKAgg(k))
+    hashed
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("exact_distinct"),
+        bottomK(negate(col("_h"))).as("_negs"))
+      .select(col("g"), col("exact_distinct"),
+        // buffer is sorted desc on −h, so the LAST element is the k-th
+        // smallest hash (or the largest seen when the group has < k)
+        (-element_at(col("_negs"), size(col("_negs")))).as("_hk"),
+        size(col("_negs")).as("_nseen"))
+      .select(col("g"), col("exact_distinct"),
+        when(col("_nseen") < k, col("exact_distinct"))
+          .otherwise(expr(s"(${k - 1} * 4294967296L) div _hk"))
+          .cast("long").as("kmv_est"))
+      .withColumn("err_bp",
+        expr("(kmv_est - exact_distinct) * 10000L div exact_distinct"))
+  }
+
   def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String, bins: Int = 256,
       quantilesBp: Seq[Int] = Seq(5000, 9000, 9900)): DataFrame = {

@@ -283,7 +283,23 @@ object Curation {
       .orderBy($"o_orderpriority", $"q_bp")
   }
 
+  // ------------------------------------------------------- q199 KMV
+
+  /** K-minimum-values distinct audit ([[Sketches.kmvCompare]]) of
+    * l_partkey per l_returnflag, k = 64 — the order-statistic distinct
+    * estimator beside HLL (q168) and the exact bitmap (q123); bottom-k
+    * fold is the bounded TopKAgg buffer, one shuffle. */
+  def q199Kmv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sketches.kmvCompare(
+        Tables.lineitem(spark, dir).select($"l_returnflag", $"l_partkey"),
+        "l_returnflag", "l_partkey", k = 64)
+      .withColumnRenamed("g", "l_returnflag")
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_kmv" -> q199Kmv _,
     "q166_cms" -> q166Cms _,
     "q168_hll" -> q168Hll _,
     "q190_hll_agg" -> q190HllAgg _,
@@ -304,6 +320,29 @@ object Curation {
     "q118_pmi_bigrams" -> q118PmiBigrams _)
 
   val oracleSql: Map[String, String] = Map(
+    "q199_kmv" -> """
+      |WITH h0 AS (SELECT DISTINCT l_returnflag AS g,
+      |              (l_partkey * 2654435761) % 4294967296 AS h
+      |            FROM lineitem
+      |            WHERE l_partkey IS NOT NULL AND l_partkey >= 0),
+      |h1 AS (SELECT g, xor(h, h // 65536) AS h FROM h0),
+      |h2 AS (SELECT g, (h * 2146121005) % 4294967296 AS h FROM h1),
+      |k AS (SELECT DISTINCT g, xor(h, h // 8192) AS h FROM h2),
+      |r AS (SELECT g, h,
+      |        row_number() OVER (PARTITION BY g ORDER BY h) AS rn,
+      |        count(*) OVER (PARTITION BY g) AS nd
+      |      FROM k),
+      |a AS (SELECT g, CAST(max(nd) AS BIGINT) AS exact_distinct,
+      |        CAST(max(CASE WHEN rn = least(nd, 64) THEN h END) AS BIGINT)
+      |          AS hk
+      |      FROM r GROUP BY 1)
+      |SELECT g AS l_returnflag, exact_distinct,
+      |  CASE WHEN exact_distinct < 64 THEN exact_distinct
+      |       ELSE (63 * 4294967296) // hk END AS kmv_est,
+      |  ((CASE WHEN exact_distinct < 64 THEN exact_distinct
+      |         ELSE (63 * 4294967296) // hk END) - exact_distinct)
+      |    * 10000 // exact_distinct AS err_bp
+      |FROM a ORDER BY 1""".stripMargin,
     "q172_hist_quantiles" -> """
       |WITH o AS (SELECT o_orderpriority AS g,
       |    CAST(round(o_totalprice * 100) AS BIGINT) AS x, o_orderkey AS id

@@ -414,7 +414,36 @@ object GraphEvents {
       .orderBy($"dow")
   }
 
+  // ------------------------------------------- q197 degree assortativity
+
+  /** Degree assortativity ([[Graph.degreeAssortativityBp]]) of the shared
+    * pseudo-random graph — one signed scaled-r² row; the hub-mixing screen
+    * run before choosing a graph partitioning. */
+  def q197Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val (e, _) = triangleEdges(spark, dir)
+    Graph.degreeAssortativityBp(e, "src", "dst")
+  }
+
+  // ------------------------------------------------- q198 cohort LTV
+
+  /** Cohort LTV matrix ([[Events.cohortLtvMatrix]]) over orders: cohort =
+    * first order month (year·12 + month — calendar arithmetic stays in the
+    * query, the operator is calendar-agnostic), cells = active buyers +
+    * revenue in integer cents. */
+  def q198CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select(
+      $"o_custkey",
+      (year($"o_orderdate") * 12 + month($"o_orderdate")).cast("long")
+        .as("period"),
+      round($"o_totalprice" * 100).cast("long").as("cents"))
+    Events.cohortLtvMatrix(o, "o_custkey", "period", "cents")
+      .orderBy($"cohort", $"age")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_assortativity" -> q197Assortativity _,
+    "q198_cohort_ltv" -> q198CohortLtv _,
     "q192_audience_overlap" -> q192AudienceOverlap _,
     "q193_join_fanout" -> q193JoinFanout _,
     "q194_bounce_rate" -> q194BounceRate _,
@@ -438,6 +467,44 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q197_assortativity" -> """
+      |WITH mm AS (SELECT (max(o_orderkey) + 1) // 50 AS m FROM orders),
+      |e0 AS (SELECT o_orderkey % m AS x,
+      |              (o_orderkey * 13 + (o_orderkey // m) * 7 + 3) % m AS y
+      |       FROM orders, mm),
+      |und AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+      |        FROM e0 WHERE x <> y),
+      |half AS (SELECT a AS u, b AS v FROM und
+      |         UNION ALL SELECT b, a FROM und),
+      |deg AS (SELECT u AS z, CAST(count(*) AS HUGEINT) AS deg
+      |        FROM half GROUP BY 1),
+      |xy AS (SELECT dx.deg AS x, dy.deg AS y
+      |       FROM half JOIN deg dx ON dx.z = half.u
+      |                 JOIN deg dy ON dy.z = half.v),
+      |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |        CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |        CAST(sum(x * y) AS HUGEINT) AS sxy,
+      |        CAST(sum(x * x) AS HUGEINT) AS sxx,
+      |        CAST(sum(y * y) AS HUGEINT) AS syy
+      |      FROM xy)
+      |SELECT CAST(n AS BIGINT) AS n_half_edges,
+      |  CAST(sign(n * sxy - sx * sy) AS BIGINT) AS cov_sign,
+      |  CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+      |    THEN NULL ELSE
+      |      ((n * sxy - sx * sy) * (n * sxy - sx * sy) * 10000)
+      |        // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      |    END AS BIGINT) AS r2_bp
+      |FROM s""".stripMargin,
+    "q198_cohort_ltv" -> """
+      |WITH o AS (SELECT o_custkey AS cust,
+      |    year(o_orderdate) * 12 + month(o_orderdate) AS period,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |f AS (SELECT cust, min(period) AS cohort FROM o GROUP BY 1)
+      |SELECT cohort, period - cohort AS age,
+      |  CAST(count(DISTINCT cust) AS BIGINT) AS active_users,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+      |FROM o JOIN f USING (cust) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q192_audience_overlap" -> """
       |WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
       |tot AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.etl.{Analytics, Mining, Series, Sketches}
+import graft.etl.{Analytics, Mining, Privacy, Series, Sketches}
 
 /** Round-4 additions: Bloom-pruned exact semi-join, single-pass grouped
   * regression, Gini impurity, set-overlap Jaccard, ranking quality (MRR),
@@ -765,7 +765,43 @@ object MiningQueries {
       .orderBy($"event_type", $"d")
   }
 
+  // ------------------------------------------------------ q195 NDCG@10
+
+  /** NDCG@10 per market segment ([[Mining.ndcgAtK]]): graded relevance
+    * rel = c_custkey mod 4, system ranking by (acctbal desc, custkey),
+    * ideal ranking by (rel desc, custkey). The discount table is the
+    * literal round(10⁶/log₂(i+1)) row shared verbatim with the oracle —
+    * no engine evaluates a logarithm. */
+  def q195Ndcg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rel = $"c_custkey" % 4
+    Mining.ndcgAtK(Tables.customer(spark, dir), "c_mktsegment",
+        Seq($"c_acctbal".desc, $"c_custkey".asc),
+        Seq(($"c_custkey" % 4).desc, $"c_custkey".asc),
+        rel, k = 10, weights = NdcgWeights)
+      .orderBy($"c_mktsegment")
+  }
+
+  /** round(10⁶ / log₂(i+1)) for i = 1..10 — the cross-engine literal. */
+  private val NdcgWeights = Seq(1000000L, 630930L, 500000L, 430677L,
+    386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  // ------------------------------------------------- q196 l-diversity
+
+  /** l-diversity audit ([[Privacy.lDiversity]]) over the q148 QI grid
+    * (nation × segment) with a synthetic categorical sensitive attribute
+    * (custkey mod 5), l = 3: the homogeneity check k-anonymity misses. */
+  def q196Ldiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Privacy.lDiversity(
+        Tables.customer(spark, dir).withColumn("sens", $"c_custkey" % 5),
+        Seq("c_nationkey", "c_mktsegment"), "sens", l = 3)
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_ndcg" -> q195Ndcg _,
+    "q196_ldiversity" -> q196Ldiversity _,
     "q186_ohlc" -> q186Ohlc _,
     "q187_rolling_slope" -> q187RollingSlope _,
     "q188_seasonal_anomaly" -> q188SeasonalAnomaly _,
@@ -811,6 +847,37 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q195_ndcg" -> """
+      |WITH w AS (SELECT * FROM (VALUES (1, 1000000), (2, 630930),
+      |    (3, 500000), (4, 430677), (5, 386853), (6, 356207),
+      |    (7, 333333), (8, 315465), (9, 301030), (10, 289065))
+      |    AS t(rk, wt)),
+      |r AS (SELECT c_mktsegment, c_custkey % 4 AS rel,
+      |        row_number() OVER (PARTITION BY c_mktsegment
+      |          ORDER BY c_acctbal DESC, c_custkey) AS rs,
+      |        row_number() OVER (PARTITION BY c_mktsegment
+      |          ORDER BY (c_custkey % 4) DESC, c_custkey) AS ri
+      |      FROM customer),
+      |g AS (SELECT c_mktsegment, rs, ri, (1 << rel) - 1 AS gain FROM r),
+      |d AS (SELECT c_mktsegment, CAST(sum(wt * gain) AS BIGINT)
+      |        AS dcg_scaled FROM g JOIN w ON w.rk = g.rs GROUP BY 1),
+      |i AS (SELECT c_mktsegment, CAST(sum(wt * gain) AS BIGINT)
+      |        AS idcg_scaled FROM g JOIN w ON w.rk = g.ri GROUP BY 1)
+      |SELECT d.c_mktsegment, dcg_scaled, idcg_scaled,
+      |  dcg_scaled * 10000 // NULLIF(idcg_scaled, 0) AS ndcg_bp
+      |FROM d JOIN i USING (c_mktsegment) ORDER BY 1""".stripMargin,
+    "q196_ldiversity" -> """
+      |WITH s AS (SELECT c_nationkey, c_mktsegment, c_custkey % 5 AS sens,
+      |             count(*) AS sc
+      |           FROM customer GROUP BY 1, 2, 3),
+      |g AS (SELECT c_nationkey, c_mktsegment, CAST(sum(sc) AS BIGINT) AS n,
+      |        CAST(count(*) AS BIGINT) AS l_distinct,
+      |        CAST(max(sc) AS BIGINT) AS top_cnt
+      |      FROM s GROUP BY 1, 2)
+      |SELECT c_nationkey, c_mktsegment, n, l_distinct,
+      |  top_cnt * 10000 // n AS top_share_bp,
+      |  CASE WHEN l_distinct >= 3 THEN 'ok' ELSE 'violates' END AS diversity
+      |FROM g ORDER BY 1, 2""".stripMargin,
     "q186_ohlc" -> """
       |WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id,
       |             CAST(round(value * 100) AS BIGINT) AS vc FROM events),

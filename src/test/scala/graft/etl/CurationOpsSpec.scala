@@ -378,4 +378,42 @@ class CurationOpsSpec extends SparkSpec {
       .as[(String, Int, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("g", 5000, 7L, 7L, 0L)))
   }
+
+  // ---------------------------------------------------------------- KMV
+
+  test("kmvCompare: below-k groups report exactly, err 0") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => ("g", i % 10)).toDF("g", "k")
+    val got = Sketches.kmvCompare(df, "g", "k", k = 64)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 10L, 10L, 0L)))
+  }
+
+  test("kmvCompare: bounded agg matches the window-sort derivation") {
+    import spark.implicits._
+    // two groups, 500 / 300 distinct keys, k = 16 — cross-check the
+    // TopKAgg bottom-k fold against an independent window-rank h_k
+    val df = ((1L to 500L).map(i => ("a", i)) ++
+      (1L to 300L).map(i => ("b", i * 7 + 1))).toDF("g", "k")
+    val got = Sketches.kmvCompare(df, "g", "k", k = 16)
+      .orderBy($"g")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val hashed = df.selectExpr("g", "(k * 2654435761L) % 4294967296L AS h0")
+      .selectExpr("g", "h0 ^ (h0 div 65536) AS h1")
+      .selectExpr("g", "(h1 * 2146121005L) % 4294967296L AS h2")
+      .selectExpr("g", "h2 ^ (h2 div 8192) AS h").distinct()
+    import org.apache.spark.sql.expressions.Window
+    val want = hashed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy($"h")))
+      .filter($"rn" === 16)
+      .selectExpr("g", "CAST(15 * 4294967296L div h AS BIGINT) AS est")
+      .orderBy($"g").as[(String, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._3)) == want)
+    assert(got.map(_._2) == Seq(500L, 300L))
+    // determinism under physical layout changes
+    val got2 = Sketches.kmvCompare(df.repartition(7), "g", "k", k = 16)
+      .orderBy($"g").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got2 == got)
+  }
 }

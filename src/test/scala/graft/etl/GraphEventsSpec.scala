@@ -262,4 +262,40 @@ class GraphEventsSpec extends SparkSpec {
       (3L, "removed"), (4L, "added"), (5L, "unchanged")),
       "null-safe compare: (null, null) is unchanged, value-vs-null changed")
   }
+
+  // --------------------------------------------------- assortativity
+
+  test("degreeAssortativityBp: star graph is perfectly disassortative") {
+    // S3: center degree 3, leaves degree 1 → r = −1 → sign −1, r² 10000
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val got = Graph.degreeAssortativityBp(e, "src", "dst")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq((6L, -1L, Some(10000L))))
+  }
+
+  test("degreeAssortativityBp: regular graph has no degree variance -> NULL") {
+    // triangle: every degree 2; duplicate + self-loop edges are dropped
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (1L, 0L), (2L, 2L))
+      .toDF("src", "dst")
+    val got = Graph.degreeAssortativityBp(e, "src", "dst")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq((6L, 0L, None)))
+  }
+
+  // ------------------------------------------------------- cohort LTV
+
+  test("cohortLtvMatrix: first-period cohorts, per-cell users and cents") {
+    val df = Seq(
+      ("u1", 10L, 100L), ("u1", 11L, 200L),
+      ("u2", 11L, 50L), ("u2", 11L, 70L), ("u2", 13L, 30L),
+      ("u3", 10L, 5L), ("u3", 11L, 40L)).toDF("u", "period", "cents")
+    val got = Events.cohortLtvMatrix(df, "u", "period", "cents")
+      .orderBy($"cohort", $"age")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (10L, 0L, 2L, 105L),   // u1 100 + u3 5
+      (10L, 1L, 2L, 240L),   // u1 200 + u3 40
+      (11L, 0L, 1L, 120L),   // u2's two same-period orders fold
+      (11L, 2L, 1L, 30L)))
+  }
 }

@@ -461,4 +461,50 @@ class MiningSpec extends SparkSpec {
     // slot 3 sees x=3 and x=10 → mean 6, max resid 4
     assert(got(3) == (3L, 2L, 6L, 4L))
   }
+
+  // --------------------------------------------------------------- NDCG
+
+  test("ndcgAtK: hand-computed DCG/IDCG, perfect ranking = 10000") {
+    // g: score order 1,2,3 (id 4 past k=3): DCG = 7·100 + 0·63 + 1·50
+    // = 750; ideal rel order 1,4,3: IDCG = 7·100 + 3·63 + 1·50 = 939;
+    // 7500000 div 939 = 7987. p: score order == ideal order → 10000.
+    val df = Seq(
+      ("g", 1L, 40L, 3L), ("g", 2L, 30L, 0L),
+      ("g", 3L, 20L, 1L), ("g", 4L, 10L, 2L),
+      ("p", 5L, 9L, 2L), ("p", 6L, 8L, 1L)).toDF("g", "id", "score", "rel")
+    val got = Mining.ndcgAtK(df, "g",
+        Seq($"score".desc, $"id".asc), Seq($"rel".desc, $"id".asc),
+        $"rel", k = 3, weights = Seq(100L, 63L, 50L))
+      .orderBy($"g")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(("g", 750L, 939L, Some(7987L)),
+      ("p", 363L, 363L, Some(10000L))))
+  }
+
+  test("ndcgAtK: all-zero relevance gives NULL (0 div 0 guarded)") {
+    val df = Seq(("z", 1L, 5L, 0L), ("z", 2L, 4L, 0L))
+      .toDF("g", "id", "score", "rel")
+    val got = Mining.ndcgAtK(df, "g",
+        Seq($"score".desc, $"id"), Seq($"rel".desc, $"id"),
+        $"rel", k = 2, weights = Seq(100L, 63L))
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(("z", 0L, 0L, None)))
+  }
+
+  // -------------------------------------------------------- l-diversity
+
+  test("lDiversity: distinct-l verdicts and dominant-share bp") {
+    val df = Seq(
+      ("A", "x", 1), ("A", "x", 1), ("A", "x", 2), ("A", "x", 3),
+      ("A", "y", 7), ("A", "y", 7),
+      ("B", "x", 1), ("B", "x", 2), ("B", "x", 2), ("B", "x", 2), ("B", "x", 2))
+      .toDF("qi1", "qi2", "sens")
+    val got = Privacy.lDiversity(df, Seq("qi1", "qi2"), "sens", l = 3)
+      .orderBy($"qi1", $"qi2")
+      .as[(String, String, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      ("A", "x", 4L, 3L, 5000L, "ok"),
+      ("A", "y", 2L, 1L, 10000L, "violates"),
+      ("B", "x", 5L, 2L, 8000L, "violates")))
+  }
 }
