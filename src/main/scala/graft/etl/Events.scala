@@ -96,6 +96,50 @@ object Events {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** Growth accounting: classify every (user, active period) as new /
+    * retained / resurrected via the user's previous active period, and
+    * charge a churn event to period p+1 whenever a user active in p is
+    * not active in p+1 (including after their last activity, up to the
+    * corpus's max period). Per-period counts of the four states — the
+    * standard active-user decomposition
+    * (new + retained + resurrected − churned telescopes the MAU curve).
+    *
+    * Shape: distinct (user, period), one user-partitioned lag window,
+    * plus churn rows derived from the SAME lag pass (interior gaps) and
+    * the per-user max (tail churn) — no self-join; the one driver-free
+    * global (max period) rides a broadcast one-row aggregate. All
+    * shuffles are user- or period-keyed. */
+  def growthAccounting(df: DataFrame, userCol: String,
+      periodCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val act = df.select(col(userCol).as("u"),
+      col(periodCol).cast("long").as("p")).distinct()
+    val gmax = act.agg(max(col("p")).as("_gmax"))
+    val lagged = act.withColumn("_prev",
+      lag(col("p"), 1).over(Window.partitionBy(col("u")).orderBy(col("p"))))
+    val states = lagged.select(col("p"),
+      when(col("_prev").isNull, lit("new"))
+        .when(col("p") - col("_prev") === 1, lit("retained"))
+        .otherwise(lit("resurrected")).as("state"))
+    val interiorChurn = lagged.filter(col("p") - col("_prev") > 1)
+      .select((col("_prev") + 1).as("p"), lit("churned").as("state"))
+    val tailChurn = act.groupBy(col("u")).agg(max(col("p")).as("_last"))
+      .join(broadcast(gmax))
+      .filter(col("_last") < col("_gmax"))
+      .select((col("_last") + 1).as("p"), lit("churned").as("state"))
+    states.unionByName(interiorChurn).unionByName(tailChurn)
+      .groupBy(col("p").as("period"))
+      .agg(
+        sum(when(col("state") === "new", 1L).otherwise(0L))
+          .cast("long").as("n_new"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L))
+          .cast("long").as("n_retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+          .cast("long").as("n_resurrected"),
+        sum(when(col("state") === "churned", 1L).otherwise(0L))
+          .cast("long").as("n_churned"))
+  }
+
   /** Cohort LTV (lifetime-value) matrix — the revenue-weighted twin of
     * [[retentionCohorts]]: rows cohort by each user's FIRST period, and
     * every (cohort, age = period − cohort) cell reports active users and

@@ -206,6 +206,30 @@ object Graph {
     dist
   }
 
+  /** Per-node local clustering coefficient in basis points:
+    * cc_bp = 2·triangles(v)·10⁴ div (deg(v)·(deg(v)−1)), NULL for
+    * degree < 2 — "how close is each node's neighborhood to a clique",
+    * the per-node refinement of the global triangle count.
+    *
+    * Rides [[triangleCounts]] (compact-forward orientation, O(E^1.5)
+    * wedge bound) plus one degree aggregation and a node-keyed join; no
+    * new fan-out beyond what the triangle pass already bounds. */
+  def clusteringCoefficientBp(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    triangleCounts(edges, srcCol, dstCol)
+      .join(deg.select(col("n").as("node"), col("deg")), "node")
+      .select(col("node"), col("triangles"), col("deg"),
+        when(col("deg") >= 2,
+          expr("triangles * 20000L div (deg * (deg - 1L))"))
+          .as("cc_bp"))
+  }
+
   /** Degree assortativity of an undirected graph as a signed, pre-scaled
     * integer: the Pearson correlation of (deg(u), deg(v)) over all directed
     * half-edges, reported as sign · r²·10⁴ (the repo-wide sqrt-free

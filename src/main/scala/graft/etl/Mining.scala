@@ -411,6 +411,51 @@ object Mining {
       .select(col(userCol), col("sample_idx"), col(itemCol))
   }
 
+  /** Precision@k / recall@k per group — the set-retrieval half of the
+    * ranking-eval family (MRR: first hit; NDCG: graded order; this: how
+    * much of the top-k is relevant and how much of the relevant set the
+    * top-k captures). k_eff = min(k, group size) keeps small groups
+    * honest; groups with zero relevant rows report recall NULL.
+    * One partitioned rank window + one fold, exact integers. */
+  def precisionRecallAtK(df: DataFrame, groupCol: String,
+      rankCols: Seq[Column], relevant: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(rankCols: _*)
+    df.withColumn("_rk", row_number().over(w))
+      .withColumn("_rel", when(relevant, 1L).otherwise(0L))
+      .groupBy(col(groupCol))
+      .agg(least(count(lit(1)), lit(k.toLong)).as("k_eff"),
+        sum(when(col("_rk") <= k, col("_rel")).otherwise(0L))
+          .cast("long").as("rel_in_topk"),
+        sum(col("_rel")).cast("long").as("n_relevant"))
+      .select(col(groupCol), col("k_eff"), col("rel_in_topk"),
+        col("n_relevant"),
+        expr("rel_in_topk * 10000L div k_eff").as("precision_bp"),
+        expr("rel_in_topk * 10000L div NULLIF(n_relevant, 0)")
+          .as("recall_bp"))
+  }
+
+  /** Binary-classifier confusion counts + precision/recall/F1 per group,
+    * all in basis points with single integer divisions (F1's algebraic
+    * form 2tp·10⁴ div (2tp+fp+fn) avoids dividing twice — exact, no
+    * float). One combiner-friendly shuffle: the four cells are
+    * conditional sums, not joins. Degenerate groups (no predicted
+    * positives / no actual positives) report NULL for the undefined
+    * ratio rather than a fake 0. */
+  def confusionStats(df: DataFrame, groupCol: String, pred: Column,
+      truth: Column): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        sum(when(pred && truth, 1L).otherwise(0L)).cast("long").as("tp"),
+        sum(when(pred && !truth, 1L).otherwise(0L)).cast("long").as("fp"),
+        sum(when(!pred && truth, 1L).otherwise(0L)).cast("long").as("fn"),
+        sum(when(!pred && !truth, 1L).otherwise(0L)).cast("long").as("tn"))
+      .select(col(groupCol), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("tp * 10000L div NULLIF(tp + fp, 0)").as("precision_bp"),
+        expr("tp * 10000L div NULLIF(tp + fn, 0)").as("recall_bp"),
+        expr("2 * tp * 10000L div NULLIF(2 * tp + fp + fn, 0)")
+          .as("f1_bp"))
+
   /** NDCG@k per group with an integer discount table — the graded-ranking
     * quality metric beside MRR (first hit only) and AUC (binary order
     * only): DCG = Σ gain(relᵢ)·wᵢ over the top-k by score, IDCG the same

@@ -280,6 +280,32 @@ object Series {
         when(col(xCol).isNotNull, 1).otherwise(0).as("is_obs"))
   }
 
+  /** Ingestion-gap report per key: contiguous runs of MISSING days inside
+    * each key's [min, max] observed span — (key, gap_start, gap_end,
+    * gap_days). The data-quality twin of [[interpolateDaily]] (which
+    * fills values): this one tells you WHERE the feed went dark and for
+    * how long, the first artifact an ingest on-call asks for.
+    *
+    * Shape: per-key span agg → day-grid explode → anti-join observed →
+    * the islands trick (day − row_number is constant within a contiguous
+    * run) → per-island fold. The grid explode is bounded by span days per
+    * key (calendar-sized, not data-sized); every shuffle is keyed. */
+  def gapReport(df: DataFrame, keyCol: String, dCol: String): DataFrame = {
+    val obs = df.select(col(keyCol), col(dCol).cast("long").as("d")).distinct()
+    val spans = obs.groupBy(col(keyCol))
+      .agg(min(col("d")).as("_lo"), max(col("d")).as("_hi"))
+    val grid = spans.select(col(keyCol),
+      explode(sequence(col("_lo"), col("_hi"))).as("d"))
+    val missing = grid.join(obs, Seq(keyCol, "d"), "left_anti")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("d"))
+    missing
+      .withColumn("_isl", col("d") - row_number().over(w))
+      .groupBy(col(keyCol), col("_isl"))
+      .agg(min(col("d")).as("gap_start"), max(col("d")).as("gap_end"),
+        count(lit(1)).as("gap_days"))
+      .select(col(keyCol), col("gap_start"), col("gap_end"), col("gap_days"))
+  }
+
   def dowSeasonal(daily: DataFrame, dCol: String, xCol: String): DataFrame = {
     val slots = daily.select((col(dCol) % 7).as("dow"), col(xCol).as("_x"))
     val means = slots.groupBy(col("dow"))

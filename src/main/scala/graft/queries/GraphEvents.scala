@@ -441,7 +441,34 @@ object GraphEvents {
       .orderBy($"cohort", $"age")
   }
 
+  // --------------------------------------------- q203 growth accounting
+
+  /** Growth accounting ([[Events.growthAccounting]]) over order months:
+    * per period, new / retained / resurrected / churned buyer counts —
+    * the MAU decomposition whose four columns telescope the active curve. */
+  def q203GrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select(
+      $"o_custkey",
+      (year($"o_orderdate") * 12 + month($"o_orderdate")).cast("long")
+        .as("period"))
+    Events.growthAccounting(o, "o_custkey", "period").orderBy($"period")
+  }
+
+  // ---------------------------------------- q204 clustering coefficient
+
+  /** Per-node local clustering coefficient
+    * ([[Graph.clusteringCoefficientBp]]) of the shared pseudo-random
+    * graph — the per-node refinement of the q101 triangle count. */
+  def q204ClusteringCoef(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (e, _) = triangleEdges(spark, dir)
+    Graph.clusteringCoefficientBp(e, "src", "dst").orderBy($"node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_growth_accounting" -> q203GrowthAccounting _,
+    "q204_clustering_coef" -> q204ClusteringCoef _,
     "q197_assortativity" -> q197Assortativity _,
     "q198_cohort_ltv" -> q198CohortLtv _,
     "q192_audience_overlap" -> q192AudienceOverlap _,
@@ -467,6 +494,58 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q203_growth_accounting" -> """
+      |WITH act AS (SELECT DISTINCT o_custkey AS u,
+      |        year(o_orderdate) * 12 + month(o_orderdate) AS p
+      |      FROM orders),
+      |gm AS (SELECT max(p) AS gmax FROM act),
+      |l AS (SELECT u, p, lag(p) OVER (PARTITION BY u ORDER BY p) AS prev
+      |      FROM act),
+      |ev AS (
+      |  SELECT p, CASE WHEN prev IS NULL THEN 'new'
+      |                 WHEN p - prev = 1 THEN 'retained'
+      |                 ELSE 'resurrected' END AS state FROM l
+      |  UNION ALL
+      |  SELECT prev + 1, 'churned' FROM l WHERE p - prev > 1
+      |  UNION ALL
+      |  SELECT lastp + 1, 'churned'
+      |  FROM (SELECT u, max(p) AS lastp FROM act GROUP BY 1), gm
+      |  WHERE lastp < gmax)
+      |SELECT p AS period,
+      |  CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new,
+      |  CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_retained,
+      |  CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_resurrected,
+      |  CAST(sum(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_churned
+      |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q204_clustering_coef" -> """
+      |WITH mm AS (SELECT (max(o_orderkey) + 1) // 50 AS m FROM orders),
+      |e0 AS (SELECT o_orderkey % m AS x,
+      |              (o_orderkey * 13 + (o_orderkey // m) * 7 + 3) % m AS y
+      |       FROM orders, mm),
+      |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+      |      FROM e0 WHERE x <> y),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |        GROUP BY 1),
+      |tri AS (
+      |  SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |pn AS (SELECT node, count(*) AS t FROM (
+      |         SELECT n1 AS node FROM tri
+      |         UNION ALL SELECT n2 FROM tri
+      |         UNION ALL SELECT n3 FROM tri) GROUP BY 1)
+      |SELECT deg.node, CAST(coalesce(pn.t, 0) AS BIGINT) AS triangles,
+      |  deg.deg,
+      |  CASE WHEN deg.deg >= 2 THEN
+      |    CAST(coalesce(pn.t, 0) AS BIGINT) * 20000
+      |      // (deg.deg * (deg.deg - 1)) END AS cc_bp
+      |FROM deg LEFT JOIN pn USING (node) ORDER BY deg.node""".stripMargin,
     "q197_assortativity" -> """
       |WITH mm AS (SELECT (max(o_orderkey) + 1) // 50 AS m FROM orders),
       |e0 AS (SELECT o_orderkey % m AS x,

@@ -799,7 +799,50 @@ object MiningQueries {
       .orderBy($"c_nationkey", $"c_mktsegment")
   }
 
+  // ------------------------------------------- q200 precision/recall@k
+
+  /** P@20 / R@20 per segment ([[Mining.precisionRecallAtK]]) with the q128
+    * relevance marker — the set-retrieval counterpart of MRR and NDCG. */
+  def q200PrecRecallK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Mining.precisionRecallAtK(Tables.customer(spark, dir), "c_mktsegment",
+        Seq($"c_acctbal".desc, $"c_custkey".asc),
+        $"c_custkey" % 13 === 0, k = 20)
+      .orderBy($"c_mktsegment")
+  }
+
+  // ---------------------------------------------- q201 ingestion gaps
+
+  /** Gap report ([[Series.gapReport]]) over a sparse deterministic slice
+    * of events (event_id mod 97 = 0): contiguous missing-day runs per
+    * event type — where the feed went dark, and for how long. */
+  def q201GapReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .filter($"event_id" % 97 === 0)
+      .select($"event_type",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01"))).as("d"))
+    Series.gapReport(days, "event_type", "d")
+      .orderBy($"event_type", $"gap_start")
+  }
+
+  // ---------------------------------------------- q202 confusion / F1
+
+  /** Confusion counts + precision/recall/F1 bp per segment
+    * ([[Mining.confusionStats]]): pred = positive balance, truth =
+    * custkey mod 3 = 0 — the threshold-eval table beside AUC (q140),
+    * calibration (q141), and kappa (q142). */
+  def q202ConfusionF1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Mining.confusionStats(Tables.customer(spark, dir), "c_mktsegment",
+        $"c_acctbal" > 0, $"c_custkey" % 3 === 0)
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_prec_recall_k" -> q200PrecRecallK _,
+    "q201_gap_report" -> q201GapReport _,
+    "q202_confusion_f1" -> q202ConfusionF1 _,
     "q195_ndcg" -> q195Ndcg _,
     "q196_ldiversity" -> q196Ldiversity _,
     "q186_ohlc" -> q186Ohlc _,
@@ -847,6 +890,58 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q200_prec_recall_k" -> """
+      |WITH r AS (SELECT c_mktsegment, c_custkey % 13 = 0 AS rel,
+      |        row_number() OVER (PARTITION BY c_mktsegment
+      |          ORDER BY c_acctbal DESC, c_custkey) AS rk
+      |      FROM customer),
+      |g AS (SELECT c_mktsegment,
+      |        CAST(least(count(*), 20) AS BIGINT) AS k_eff,
+      |        CAST(sum(CASE WHEN rk <= 20 AND rel THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS rel_in_topk,
+      |        CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_relevant
+      |      FROM r GROUP BY 1)
+      |SELECT c_mktsegment, k_eff, rel_in_topk, n_relevant,
+      |  rel_in_topk * 10000 // k_eff AS precision_bp,
+      |  rel_in_topk * 10000 // NULLIF(n_relevant, 0) AS recall_bp
+      |FROM g ORDER BY 1""".stripMargin,
+    "q201_gap_report" -> """
+      |WITH obs AS (SELECT DISTINCT event_type,
+      |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      |      FROM events WHERE event_id % 97 = 0),
+      |spans AS (SELECT event_type, min(d) AS lo, max(d) AS hi
+      |          FROM obs GROUP BY 1),
+      |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS d
+      |         FROM spans),
+      |miss AS (SELECT g.event_type, g.d FROM grid g
+      |         LEFT JOIN obs ON obs.event_type = g.event_type
+      |                      AND obs.d = g.d
+      |         WHERE obs.d IS NULL),
+      |isl AS (SELECT event_type, d,
+      |          d - row_number() OVER (PARTITION BY event_type ORDER BY d)
+      |            AS grp
+      |        FROM miss)
+      |SELECT event_type, CAST(min(d) AS BIGINT) AS gap_start,
+      |  CAST(max(d) AS BIGINT) AS gap_end,
+      |  CAST(count(*) AS BIGINT) AS gap_days
+      |FROM isl GROUP BY event_type, grp ORDER BY 1, 2""".stripMargin,
+    "q202_confusion_f1" -> """
+      |WITH g AS (SELECT c_mktsegment,
+      |    CAST(sum(CASE WHEN c_acctbal > 0 AND c_custkey % 3 = 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(sum(CASE WHEN c_acctbal > 0 AND c_custkey % 3 <> 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(sum(CASE WHEN NOT c_acctbal > 0 AND c_custkey % 3 = 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(sum(CASE WHEN NOT c_acctbal > 0 AND c_custkey % 3 <> 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM customer GROUP BY 1)
+      |SELECT c_mktsegment, tp, fp, fn, tn,
+      |  tp * 10000 // NULLIF(tp + fp, 0) AS precision_bp,
+      |  tp * 10000 // NULLIF(tp + fn, 0) AS recall_bp,
+      |  2 * tp * 10000 // NULLIF(2 * tp + fp + fn, 0) AS f1_bp
+      |FROM g ORDER BY 1""".stripMargin,
     "q195_ndcg" -> """
       |WITH w AS (SELECT * FROM (VALUES (1, 1000000), (2, 630930),
       |    (3, 500000), (4, 430677), (5, 386853), (6, 356207),

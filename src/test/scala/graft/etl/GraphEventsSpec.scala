@@ -282,6 +282,38 @@ class GraphEventsSpec extends SparkSpec {
     assert(got == Seq((6L, 0L, None)))
   }
 
+  // ------------------------------------------------ growth accounting
+
+  test("growthAccounting: new/retained/resurrected/churned telescoping") {
+    // u1: 1,2,4 (gap churn at 3, tail churn at 5); u2: 1 only (churn 2);
+    // u3: 5 (= gmax, never churns)
+    val df = Seq(("u1", 1L), ("u1", 2L), ("u1", 4L), ("u2", 1L), ("u3", 5L))
+      .toDF("u", "p")
+    val got = Events.growthAccounting(df, "u", "p")
+      .orderBy($"period")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, 0L, 0L),
+      (2L, 0L, 1L, 0L, 1L),
+      (3L, 0L, 0L, 0L, 1L),
+      (4L, 0L, 0L, 1L, 0L),
+      (5L, 1L, 0L, 0L, 1L)))
+  }
+
+  // ------------------------------------------- clustering coefficient
+
+  test("clusteringCoefficientBp: triangle + pendant truth table") {
+    // triangle 0-1-2 plus pendant 2-3: cc(0) = cc(1) = 10000,
+    // cc(2) = 20000 div 6 = 3333, cc(3) degree 1 -> NULL
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficientBp(e, "src", "dst")
+      .orderBy($"node")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 2L, Some(10000L)), (1L, 1L, 2L, Some(10000L)),
+      (2L, 1L, 3L, Some(3333L)), (3L, 0L, 1L, None)))
+  }
+
   // ------------------------------------------------------- cohort LTV
 
   test("cohortLtvMatrix: first-period cohorts, per-cell users and cents") {

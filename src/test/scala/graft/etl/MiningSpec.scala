@@ -491,6 +491,68 @@ class MiningSpec extends SparkSpec {
     assert(got == Seq(("z", 0L, 0L, None)))
   }
 
+  // -------------------------------------------- precision / recall @ k
+
+  test("precisionRecallAtK: small group caps k_eff, zero-relevant NULL recall") {
+    // g: 5 rows ranked by score desc, relevant = {idx 1, 4 in rank order},
+    // k=3 → top-3 holds 1 relevant: P = 3333, R (of 2) = 5000.
+    // h: 2 rows, none relevant → k_eff 2, P 0, R NULL.
+    val df = Seq(
+      ("g", 1L, 50L, true), ("g", 2L, 40L, false), ("g", 3L, 30L, false),
+      ("g", 4L, 20L, true), ("g", 5L, 10L, false),
+      ("h", 6L, 9L, false), ("h", 7L, 8L, false)).toDF("g", "id", "score", "rel")
+    val got = Mining.precisionRecallAtK(df, "g",
+        Seq($"score".desc, $"id"), $"rel", k = 3)
+      .orderBy($"g")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      ("g", 3L, 1L, 2L, 3333L, Some(5000L)),
+      ("h", 2L, 0L, 0L, 0L, None)))
+  }
+
+  // ------------------------------------------------------ confusion/F1
+
+  test("confusionStats: cells and F1 from a hand confusion table") {
+    // tp=2 fp=1 fn=1 tn=2 → P = 2/3 → 6666, R = 2/3 → 6666,
+    // F1 = 4·10⁴ div 6 = 6666
+    val df = Seq(
+      ("s", true, true), ("s", true, true), ("s", true, false),
+      ("s", false, true), ("s", false, false), ("s", false, false))
+      .toDF("g", "pred", "truth")
+    val got = Mining.confusionStats(df, "g", $"pred", $"truth")
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(("s", 2L, 1L, 1L, 2L,
+      Some(6666L), Some(6666L), Some(6666L))))
+  }
+
+  test("confusionStats: degenerate groups report NULL, not fake zero") {
+    // never-predicts-positive → precision NULL; no actual positives →
+    // recall NULL; F1 NULL only when tp=fp=fn=0
+    val df = Seq(("a", false, true), ("a", false, false),
+      ("b", false, false)).toDF("g", "pred", "truth")
+    val got = Mining.confusionStats(df, "g", $"pred", $"truth")
+      .orderBy($"g")
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 0L, 0L, 1L, 1L, None, Some(0L), Some(0L)),
+      ("b", 0L, 0L, 0L, 1L, None, None, None)))
+  }
+
+  // -------------------------------------------------------- gap report
+
+  test("gapReport: contiguous missing-day islands inside each key's span") {
+    // k: observed 0,1,4,5,9 → gaps [2,3] (2 days) and [6,8] (3 days);
+    // dense key m: no gap rows at all
+    val df = Seq(("k", 0L), ("k", 1L), ("k", 4L), ("k", 5L), ("k", 9L),
+      ("m", 3L), ("m", 4L)).toDF("g", "d")
+    val got = Series.gapReport(df, "g", "d")
+      .orderBy($"g", $"gap_start")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("k", 2L, 3L, 2L), ("k", 6L, 8L, 3L)))
+  }
+
   // -------------------------------------------------------- l-diversity
 
   test("lDiversity: distinct-l verdicts and dominant-share bp") {
