@@ -290,6 +290,44 @@ object Corpus {
       .filter(col("rk") <= k)
   }
 
+  /** Deterministic global corpus shuffle + round-robin sharding — the
+    * "shuffle before you shard" step every training run needs, seedless:
+    * the permutation is the (sha256(id), id) order, so any engine, any
+    * partition layout, any rerun produces the SAME shuffle_idx (1..N)
+    * and shard assignment ((idx−1) mod shards interleaves, so each shard
+    * sees an unbiased slice of the hash order).
+    *
+    * Ranked WITHOUT a single-partition global sort — the two-phase
+    * range-rank used by [[Vocab.vocabulary]]: range-partition on the
+    * hash (partition i wholly precedes i+1; (hash, id) keys are unique,
+    * so any sampled boundary split yields the same global order), rank
+    * within partitions in parallel, add broadcast per-partition offsets
+    * (the offsets cumsum is the only single-partition step, O(#buckets)).
+    * The bucketed table is localCheckpointed so the rank pass and the
+    * offset count share one materialization. */
+  def deterministicShuffle(df: DataFrame, idCol: String, shards: Int,
+      rankPartitions: Int = 32): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val keyed = df.select(col(idCol))
+      .withColumn("_h", sha2(col(idCol).cast("string"), 256))
+    val bucketed = keyed
+      .repartitionByRange(rankPartitions, col("_h").asc, col(idCol).asc)
+      .withColumn("_b", spark_partition_id())
+      .localCheckpoint()
+    val local = bucketed.withColumn("_lr", row_number().over(
+      Window.partitionBy(col("_b")).orderBy(col("_h"), col(idCol))))
+    val offsets = bucketed.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_sz"))
+      .withColumn("_off", coalesce(
+        sum(col("_sz")).over(Window.orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_b"), col("_off"))
+    local.join(broadcast(offsets), "_b")
+      .select(col(idCol),
+        (col("_off") + col("_lr")).cast("long").as("shuffle_idx"),
+        ((col("_off") + col("_lr") - 1) % shards).cast("long").as("shard"))
+  }
+
   /** Mixture (domain-reweighted) down-sample — the data-mixing step that
     * sets per-source inclusion rates for a training blend (the
     * DoReMi-style reweighting pass): keep a row iff its deterministic

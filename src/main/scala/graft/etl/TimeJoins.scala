@@ -40,6 +40,48 @@ object TimeJoins {
       .drop("_time", "_tag", "_pick")
   }
 
+  /** As-of join with a max-staleness tolerance — the kdb/pandas
+    * `merge_asof(tolerance=...)` semantics: each left row takes the
+    * latest right row at or before its time ONLY if that row is within
+    * `tolerance` time units; staler matches report NULL (a quote older
+    * than the tolerance is not a usable quote). Also emits `asof_gap`
+    * (left time − matched right time, NULL when unmatched/too stale) so
+    * callers can audit staleness instead of re-deriving it.
+    *
+    * Same union+window single-shuffle shape as [[asofJoin]]; the matched
+    * row's TIME rides the same window pass as its pick value (two `last`
+    * calls over one sort — Spark computes them in one window frame), so
+    * tolerance costs no extra shuffle. Times must be integral (cast
+    * long); ties at equal time resolve to the max pick, as in
+    * [[asofJoin]]. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, pick: String,
+      tolerance: Long): DataFrame = {
+    val pickType = right.schema(pick).dataType
+    val l = left
+      .withColumn("_time", col(leftTime).cast("long"))
+      .withColumn("_tag", lit(1))
+      .withColumn("_pick", lit(null).cast(pickType))
+      .withColumn("_rt", lit(null).cast("long"))
+    val r = right.select(col(key), col(rightTime).cast("long").as("_time"),
+        col(pick).as("_pick"))
+      .withColumn("_tag", lit(0))
+      .withColumn("_rt", col("_time"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_time"), col("_tag"), col("_pick"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_mp", last(col("_pick"), ignoreNulls = true).over(w))
+      .withColumn("_mt", last(col("_rt"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .withColumn(s"asof_$pick",
+        when(col("_time") - col("_mt") <= tolerance, col("_mp")))
+      .withColumn("asof_gap",
+        when(col("_time") - col("_mt") <= tolerance,
+          col("_time") - col("_mt")))
+      .drop("_time", "_tag", "_pick", "_rt", "_mp", "_mt")
+  }
+
   /** Forward as-of: for each left row, the right row's `pick` value with
     * the SMALLEST `rightTime` >= the left row's `leftTime` (per `key`);
     * ties on time resolve to the smallest `pick`. Same union+window shape

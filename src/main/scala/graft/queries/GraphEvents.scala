@@ -466,7 +466,52 @@ object GraphEvents {
     Graph.clusteringCoefficientBp(e, "src", "dst").orderBy($"node")
   }
 
+  // --------------------------------------------- q205 as-of + tolerance
+
+  /** q177's last-touch attribution with a 1-hour staleness bound
+    * ([[graft.etl.TimeJoins.asofJoinTolerance]]): purchases whose latest
+    * click is older than the tolerance attribute to NULL instead of a
+    * stale variant; the summed gap audits freshness per variant. */
+  def q205AsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", unix_micros($"ts").as("c_us"),
+        ($"event_id" % 5).as("variant"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("p_us"))
+    graft.etl.TimeJoins.asofJoinTolerance(purchases, clicks, "user_id",
+        "p_us", "c_us", "variant", tolerance = 3600000000L)
+      .groupBy($"asof_variant".as("variant"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(coalesce($"asof_gap", lit(0L))).cast("long").as("total_gap_us"))
+      .orderBy($"variant")
+  }
+
+  // ------------------------------------------------- q208 dwell times
+
+  /** Per-transition dwell-time percentiles: the time users actually sit
+    * between consecutive events, p25/p50/p75 µs per (prev -> curr) pair —
+    * q103's transition counts weighted by how long each hop takes; one
+    * user-partitioned lag + the exact nearest-rank percentile fold. */
+  def q208DwellTime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val gaps = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+        $"event_id")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .withColumn("prev_us", lag($"us", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .select(concat($"prev_type", lit("->"), $"event_type").as("pair"),
+        ($"us" - $"prev_us").as("gap_us"))
+    Analytics.exactPercentiles(gaps, "pair", "gap_us").orderBy($"pair")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_asof_tolerance" -> q205AsofTolerance _,
+    "q208_dwell_time" -> q208DwellTime _,
     "q203_growth_accounting" -> q203GrowthAccounting _,
     "q204_clustering_coef" -> q204ClusteringCoef _,
     "q197_assortativity" -> q197Assortativity _,
@@ -494,6 +539,46 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q205_asof_tolerance" -> """
+      |WITH c AS (SELECT user_id, epoch_us(ts) AS us, event_id % 5 AS v
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_us(ts) AS us
+      |      FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT p.user_id, p.us,
+      |        (SELECT v FROM c
+      |         WHERE c.user_id = p.user_id AND c.us <= p.us
+      |           AND c.us >= p.us - 3600000000
+      |         ORDER BY c.us DESC, v DESC LIMIT 1) AS variant,
+      |        (SELECT p.us - max(c.us) FROM c
+      |         WHERE c.user_id = p.user_id AND c.us <= p.us
+      |           AND c.us >= p.us - 3600000000) AS gap
+      |      FROM p)
+      |SELECT variant, CAST(count(*) AS BIGINT) AS n_purchases,
+      |  CAST(sum(coalesce(gap, 0)) AS BIGINT) AS total_gap_us
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q208_dwell_time" -> """
+      |WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |           FROM events),
+      |l AS (SELECT event_type, us,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY us, event_id) AS pt,
+      |        lag(us) OVER (PARTITION BY user_id
+      |          ORDER BY us, event_id) AS pu
+      |      FROM e),
+      |g AS (SELECT pt || '->' || event_type AS pair, us - pu AS gap_us
+      |      FROM l WHERE pt IS NOT NULL),
+      |r AS (SELECT pair, gap_us,
+      |        row_number() OVER (PARTITION BY pair ORDER BY gap_us) AS rn,
+      |        count(*) OVER (PARTITION BY pair) AS nn
+      |      FROM g)
+      |SELECT pair, CAST(max(nn) AS BIGINT) AS n,
+      |  CAST(max(CASE WHEN rn = (nn + 3) // 4 THEN gap_us END) AS BIGINT)
+      |    AS p25,
+      |  CAST(max(CASE WHEN rn = (nn + 1) // 2 THEN gap_us END) AS BIGINT)
+      |    AS p50,
+      |  CAST(max(CASE WHEN rn = (3 * nn + 3) // 4 THEN gap_us END)
+      |    AS BIGINT) AS p75
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q203_growth_accounting" -> """
       |WITH act AS (SELECT DISTINCT o_custkey AS u,
       |        year(o_orderdate) * 12 + month(o_orderdate) AS p

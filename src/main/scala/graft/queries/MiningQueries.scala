@@ -839,7 +839,26 @@ object MiningQueries {
       .orderBy($"c_mktsegment")
   }
 
+  // ------------------------------------------------ q207 2D histogram
+
+  /** Hour-of-day × value-decile heatmap grid over events: global value
+    * bounds ride a broadcast one-row aggregate (the scalar crossJoin
+    * family), bins are exact integer arithmetic, one combiner-friendly
+    * (hour, bin) shuffle — the 2D extension of q93's dynamic histogram. */
+  def q207Histogram2d(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select(
+      expr("(unix_micros(ts) div 3600000000L) % 24").as("hour"),
+      Series.cents($"value").as("cents"))
+    val stats = e.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+    e.crossJoin(broadcast(stats))
+      .select($"hour", expr("((cents - lo) * 10) div (hi - lo + 1)").as("bin"))
+      .groupBy($"hour", $"bin").agg(count(lit(1)).as("n"))
+      .orderBy($"hour", $"bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_histogram_2d" -> q207Histogram2d _,
     "q200_prec_recall_k" -> q200PrecRecallK _,
     "q201_gap_report" -> q201GapReport _,
     "q202_confusion_f1" -> q202ConfusionF1 _,
@@ -890,6 +909,14 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q207_histogram_2d" -> """
+      |WITH e AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+      |        CAST(round(value * 100) AS BIGINT) AS cents
+      |      FROM events),
+      |st AS (SELECT min(cents) AS lo, max(cents) AS hi FROM e)
+      |SELECT hour, ((cents - lo) * 10) // (hi - lo + 1) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM e, st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q200_prec_recall_k" -> """
       |WITH r AS (SELECT c_mktsegment, c_custkey % 13 = 0 AS rel,
       |        row_number() OVER (PARTITION BY c_mktsegment

@@ -337,6 +337,18 @@ object TrainingData {
       .orderBy($"lang", $"rk")
   }
 
+  /** Deterministic global shuffle + round-robin sharding
+    * ([[graft.etl.Corpus.deterministicShuffle]]): every doc gets its
+    * seedless permutation index (sha256 order, two-phase range rank — no
+    * single-partition sort) and an interleaved shard in 0..7. */
+  def q206ShuffleShard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.deterministicShuffle(
+        Tables.documents(spark, dir).select($"doc_id"), "doc_id",
+        shards = 8)
+      .orderBy($"doc_id")
+  }
+
   /** Corpus bigram collocations ([[graft.etl.Corpus.bigramCollocations]]):
     * top-50 repeated bigrams by total count with document frequency —
     * the boilerplate-detection companion to q72's unigram table. */
@@ -592,6 +604,7 @@ object TrainingData {
     "q80_pii_redact" -> q80PiiRedact _,
     "q75_repetition" -> q75Repetition _,
     "q76_hash_sample" -> q76HashSample _,
+    "q206_shuffle_shard" -> q206ShuffleShard _,
     "q77_collocations" -> q77Collocations _,
     "q64_pack_sequences" -> q64PackSequences _,
     "q65_chunk_text" -> q65ChunkText _,
@@ -985,6 +998,13 @@ object TrainingData {
       |    ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rk
       |  FROM documents)
       |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+    "q206_shuffle_shard" -> """
+      |WITH r AS (SELECT doc_id, CAST(row_number() OVER (
+      |    ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+      |    AS shuffle_idx
+      |  FROM documents)
+      |SELECT doc_id, shuffle_idx, (shuffle_idx - 1) % 8 AS shard
+      |FROM r ORDER BY doc_id""".stripMargin,
     "q77_collocations" -> """
       |WITH big AS (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),

@@ -179,4 +179,26 @@ class CorpusSpec extends SparkSpec {
       .select($"id", $"pick_idx").as[(Long, Long)].collect().toSeq
     assert(got == Seq((5L, 0L)))
   }
+
+  test("deterministicShuffle: a permutation in sha256 order, layout-stable") {
+    import spark.implicits._
+    val df = (1L to 200L).toSeq.toDF("id")
+    val got = Corpus.deterministicShuffle(df, "id", shards = 4)
+      .orderBy($"shuffle_idx")
+      .as[(Long, Long, Long)].collect().toSeq
+    // a true permutation 1..N, shard interleaves round-robin
+    assert(got.map(_._2) == (1L to 200L))
+    assert(got.map(_._3) == (1L to 200L).map(i => (i - 1) % 4))
+    // identical under a different physical layout
+    val again = Corpus.deterministicShuffle(
+        df.orderBy(rand(3)).repartition(13), "id", shards = 4)
+      .orderBy($"shuffle_idx").as[(Long, Long, Long)].collect().toSeq
+    assert(again == got)
+    // matches the single-window reference order
+    import org.apache.spark.sql.expressions.Window
+    val ref = df.withColumn("ri", row_number().over(
+        Window.orderBy(sha2($"id".cast("string"), 256), $"id")))
+      .orderBy($"ri").as[(Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == ref.map(r => (r._1, r._2.toLong)))
+  }
 }

@@ -55,6 +55,37 @@ class TimeJoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinTolerance: stale matches null out, gap reported") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // right rows at t=10 (pick 1) and t=100 (pick 2); tolerance 20:
+    // left t=25 matches pick 1 (gap 15), t=50 too stale (gap 40 > 20),
+    // t=100 exact (gap 0), t=5 has nothing preceding
+    val left = Seq((1L, 5L), (1L, 25L), (1L, 50L), (1L, 100L))
+      .toDF("k", "lt")
+    val right = Seq((1L, 10L, 1L), (1L, 100L, 2L)).toDF("k", "rt", "p")
+    val got = TimeJoins.asofJoinTolerance(left, right, "k", "lt", "rt",
+        "p", tolerance = 20L)
+      .orderBy(col("lt"))
+      .select(col("lt"), col("asof_p"), col("asof_gap"))
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (5L, None, None), (25L, Some(1L), Some(15L)),
+      (50L, None, None), (100L, Some(2L), Some(0L))))
+  }
+
+  test("asofJoinTolerance: equal-time ties resolve to the max pick") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val left = Seq((1L, 10L)).toDF("k", "lt")
+    val right = Seq((1L, 10L, 3L), (1L, 10L, 7L)).toDF("k", "rt", "p")
+    val got = TimeJoins.asofJoinTolerance(left, right, "k", "lt", "rt",
+        "p", tolerance = 0L)
+      .select(col("asof_p"), col("asof_gap"))
+      .as[(Option[Long], Option[Long])].collect().toSeq
+    assert(got == Seq((Some(7L), Some(0L))))
+  }
+
   test("asofJoinForward: >= semantics, tie on min pick, null when nothing follows") {
     import spark.implicits._
     val events = Seq(
