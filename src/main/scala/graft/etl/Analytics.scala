@@ -342,6 +342,55 @@ object Analytics {
     * (q126): this is the Lorenz-curve statistic. One shuffle on the
     * group key; rank and sums ride one sort. Bound: Σ i·xᵢ ≤ n²·max(x)
     * — documented decimal(38,0) headroom to ~10¹⁵ rows of 10⁸ values. */
+  /** Percentile of each scored row within a REFERENCE cohort's
+    * distribution, per group — "where does this customer sit against the
+    * benchmark segment", the score-calibration primitive: pct_bp =
+    * (# reference values ≤ v) · 10⁴ div |reference|.
+    *
+    * No join against the reference: both populations union into ONE
+    * group-partitioned sort (the as-of-join trick applied to distribution
+    * ranking) where a running sum of the reference indicator IS the
+    * ≤-count — reference rows sort before scored rows at equal value, so
+    * ties use inclusive semantics deterministically. Groups without
+    * reference rows report NULL. One shuffle on the group key; the group
+    * domain is the parallelism. */
+  def referencePercentile(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, isRef: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = df.select(col(groupCol), col(idCol), col(valueCol),
+      isRef.cast("int").as("_ref"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col("_ref").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nRef = Window.partitionBy(col(groupCol))
+    tagged
+      .withColumn("_le", sum(col("_ref")).over(w))
+      .withColumn("_nref", sum(col("_ref")).over(nRef))
+      .filter(col("_ref") === 0)
+      .select(col(groupCol), col(idCol), col(valueCol),
+        expr("_le * 10000L div NULLIF(_nref, 0)").as("pct_bp"))
+  }
+
+  /** Exact integer proration of a cents amount across a day span — the
+    * revenue-calendarization step (recognize an order's value evenly over
+    * its service days): day i of n gets cents div n, and the first
+    * cents mod n days get one extra cent, so every span sums EXACTLY to
+    * its input (the Hamilton allocation applied along time). Output one
+    * row per (input row, day) — the explode is bounded by span length,
+    * a calendar constant, not data size; rollup to months downstream.
+    * Spans must satisfy endDay ≥ startDay (caller filters). */
+  def prorateSpan(df: DataFrame, centsCol: String, startDayCol: String,
+      endDayCol: String): DataFrame = {
+    val n = col(endDayCol) - col(startDayCol) + 1
+    df.withColumn("_n", n.cast("long"))
+      .withColumn("_i", explode(sequence(lit(0L), col("_n") - 1)))
+      .withColumn("day", col(startDayCol) + col("_i"))
+      .withColumn("day_cents",
+        expr(s"$centsCol div _n") +
+          when(col("_i") < expr(s"$centsCol % _n"), 1L).otherwise(0L))
+      .drop("_n", "_i")
+  }
+
   def giniCoefficientBp(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

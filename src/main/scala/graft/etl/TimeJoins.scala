@@ -192,6 +192,47 @@ object TimeJoins {
     * no driver-side calendar), then left-joined back to the observed
     * counts — both joins shuffle on the same key, and AQE coalesces.
     * Output: key, day (date), n (long). */
+  /** Trailing-window count feature: for each left row, how many right
+    * rows fall in the half-open window [leftTime − window, leftTime) per
+    * key — the point-in-time feature ("clicks in the last 24 h before
+    * this purchase") that leaks nothing from the future.
+    *
+    * No range join: the count is a DIFFERENCE of two running counts,
+    * cnt(< t) − cnt(< t − window), both read off ONE union+window pass —
+    * each left row contributes two probe rows (at t and t − window) that
+    * sort before right rows at equal time (strict-< semantics), a running
+    * sum of the right-row indicator gives every probe its prefix count,
+    * and a per-id fold subtracts the pair. One key shuffle + one id-keyed
+    * fold; right rows are scanned once however wide the window is — the
+    * shape that survives a 30-day window over 100 TB where a bucketed
+    * range join would fan each right row into 30 buckets. `idCol` must
+    * uniquely identify left rows. */
+  def trailingCount(left: DataFrame, right: DataFrame, key: String,
+      idCol: String, leftTime: String, rightTime: String,
+      window: Long): DataFrame = {
+    val r = right.select(col(key), col(rightTime).cast("long").as("_us"))
+      .withColumn("_tag", lit(1))
+      .withColumn("_id", lit(null).cast("long"))
+      .withColumn("_sign", lit(0L))
+    val probeA = left.select(col(key), col(idCol).cast("long").as("_id"),
+        col(leftTime).cast("long").as("_us"))
+      .withColumn("_tag", lit(0)).withColumn("_sign", lit(1L))
+    val probeB = left.select(col(key), col(idCol).cast("long").as("_id"),
+        (col(leftTime).cast("long") - window).as("_us"))
+      .withColumn("_tag", lit(0)).withColumn("_sign", lit(-1L))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_us"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counted = r.unionByName(probeA, allowMissingColumns = true)
+      .unionByName(probeB, allowMissingColumns = true)
+      .withColumn("_cnt",
+        sum(when(col("_tag") === 1, 1L).otherwise(0L)).over(w))
+      .filter(col("_tag") === 0)
+      .groupBy(col("_id").as(idCol))
+      .agg(sum(col("_sign") * col("_cnt")).cast("long").as("trail_cnt"))
+    left.join(counted, idCol)
+  }
+
   def resampleDaily(events: DataFrame, key: String,
       timeCol: String): DataFrame = {
     val daily = events

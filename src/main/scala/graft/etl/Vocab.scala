@@ -155,6 +155,30 @@ object Vocab {
     * back on the gram key, and one per-doc window — which is the shape
     * that survives 100 TB. Islands via the pos − row_number trick (same
     * as [[Events.mergeIntervals]]), no self-join. */
+  /** Per-doc n-gram novelty: the fraction of a doc's distinct shingles
+    * whose FIRST appearance (minimum doc id over the corpus) is this doc —
+    * the repetition-aware curation score (a doc of recycled phrases scores
+    * near 0, genuinely new text near 10⁴) that complements pairwise dedup:
+    * it measures diffuse, many-source repetition no single pair exhibits.
+    *
+    * Shuffles: the shingle explode + min-id agg (combiner-friendly), a
+    * shingle-keyed join back, and the per-doc fold — nothing pairwise,
+    * nothing quadratic; the id order makes "first" deterministic in any
+    * engine. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = Similarity.explodeShingles(docs, idCol, textCol, n)
+    val firstSeen = sh.groupBy(col("shingle"))
+      .agg(min(col("id")).as("_first"))
+    sh.join(firstSeen, "shingle")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_first") === col("id"), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .withColumn("novelty_bp",
+        expr("n_novel * 10000L div n_shingles"))
+  }
+
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window

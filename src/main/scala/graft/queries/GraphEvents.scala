@@ -509,7 +509,28 @@ object GraphEvents {
     Analytics.exactPercentiles(gaps, "pair", "gap_us").orderBy($"pair")
   }
 
+  // --------------------------------------------- q212 trailing count
+
+  /** Point-in-time feature ([[graft.etl.TimeJoins.trailingCount]]):
+    * clicks in the 24 h before each purchase, as a count distribution —
+    * computed as a difference of two running counts off one union+window
+    * pass, no range join, right rows scanned once whatever the window. */
+  def q212TrailingCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", unix_micros($"ts").as("c_us"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("p_us"))
+    graft.etl.TimeJoins.trailingCount(purchases, clicks, "user_id",
+        "event_id", "p_us", "c_us", window = 86400000000L)
+      .groupBy($"trail_cnt")
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy($"trail_cnt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_trailing_count" -> q212TrailingCount _,
     "q205_asof_tolerance" -> q205AsofTolerance _,
     "q208_dwell_time" -> q208DwellTime _,
     "q203_growth_accounting" -> q203GrowthAccounting _,
@@ -539,6 +560,19 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q212_trailing_count" -> """
+      |WITH c AS (SELECT user_id, epoch_us(ts) AS us
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+      |      FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT p.event_id,
+      |        (SELECT count(*) FROM c
+      |         WHERE c.user_id = p.user_id
+      |           AND c.us >= p.us - 86400000000 AND c.us < p.us) AS tc
+      |      FROM p)
+      |SELECT CAST(tc AS BIGINT) AS trail_cnt,
+      |  CAST(count(*) AS BIGINT) AS n_purchases
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q205_asof_tolerance" -> """
       |WITH c AS (SELECT user_id, epoch_us(ts) AS us, event_id % 5 AS v
       |           FROM events WHERE event_type = 'click'),

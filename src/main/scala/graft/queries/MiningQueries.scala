@@ -857,7 +857,52 @@ object MiningQueries {
       .orderBy($"hour", $"bin")
   }
 
+  // -------------------------------------- q210 reference percentile
+
+  /** Each non-BUILDING customer's balance percentile within their
+    * nation's BUILDING cohort ([[Analytics.referencePercentile]]) — the
+    * benchmark-calibration primitive, computed joinlessly by one
+    * union-sorted running count per nation. */
+  def q210RefPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select($"c_nationkey", $"c_custkey",
+      round($"c_acctbal" * 100).cast("long").as("cents"), $"c_mktsegment")
+    Analytics.referencePercentile(c, "c_nationkey", "c_custkey", "cents",
+        $"c_mktsegment" === "BUILDING")
+      .orderBy($"c_custkey")
+  }
+
+  // ------------------------------------------------ q211 proration
+
+  /** Revenue calendarization ([[Analytics.prorateSpan]]): each sampled
+    * line item's value spreads EXACTLY (Hamilton day allocation) across
+    * its order→ship span, rolled up to calendar months — recognized
+    * revenue per month, conserving every cent. */
+  def q211Proration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val epoch = to_date(lit("1970-01-01"))
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_orderkey" % 20 === 0)
+      .select($"l_orderkey",
+        round($"l_extendedprice" * 100).cast("long").as("cents"),
+        datediff(to_date($"l_shipdate"), epoch).cast("long").as("ship_d"))
+    val o = Tables.orders(spark, dir).select($"o_orderkey",
+      datediff(to_date($"o_orderdate"), epoch).cast("long").as("ord_d"))
+    val spans = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .filter($"ship_d" >= $"ord_d")
+      .select($"cents", $"ord_d".as("start_d"), $"ship_d".as("end_d"))
+    Analytics.prorateSpan(spans, "cents", "start_d", "end_d")
+      .withColumn("_dt", expr("date_add(DATE'1970-01-01', CAST(day AS INT))"))
+      .select((year($"_dt") * 12 + month($"_dt")).cast("long").as("month"),
+        $"day_cents")
+      .groupBy($"month")
+      .agg(sum($"day_cents").cast("long").as("month_cents"))
+      .orderBy($"month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_ref_percentile" -> q210RefPercentile _,
+    "q211_proration" -> q211Proration _,
     "q207_histogram_2d" -> q207Histogram2d _,
     "q200_prec_recall_k" -> q200PrecRecallK _,
     "q201_gap_report" -> q201GapReport _,
@@ -909,6 +954,43 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q210_ref_percentile" -> """
+      |WITH c AS (SELECT c_nationkey, c_custkey,
+      |        CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+      |        CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ref
+      |      FROM customer),
+      |w AS (SELECT c_nationkey, c_custkey, cents, ref,
+      |        CAST(sum(ref) OVER (PARTITION BY c_nationkey
+      |          ORDER BY cents, ref DESC, c_custkey
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS le,
+      |        CAST(sum(ref) OVER (PARTITION BY c_nationkey) AS BIGINT)
+      |          AS nref
+      |      FROM c)
+      |SELECT c_nationkey, c_custkey, cents,
+      |  le * 10000 // NULLIF(nref, 0) AS pct_bp
+      |FROM w WHERE ref = 0 ORDER BY c_custkey""".stripMargin,
+    "q211_proration" -> """
+      |WITH li AS (SELECT l_orderkey,
+      |        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |        date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+      |          AS ship_d
+      |      FROM lineitem WHERE l_orderkey % 20 = 0),
+      |o AS (SELECT o_orderkey,
+      |        date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |          AS ord_d
+      |      FROM orders),
+      |s AS (SELECT cents, ord_d AS sd, ship_d - ord_d + 1 AS n
+      |      FROM li JOIN o ON l_orderkey = o_orderkey
+      |      WHERE ship_d >= ord_d),
+      |d AS (SELECT sd + i AS day,
+      |        cents // n + (CASE WHEN i < cents % n THEN 1 ELSE 0 END) AS dc
+      |      FROM s, LATERAL (SELECT unnest(generate_series(0,
+      |        CAST(n - 1 AS BIGINT))) AS i) g)
+      |SELECT CAST(year(DATE '1970-01-01' + CAST(day AS INTEGER)) * 12
+      |    + month(DATE '1970-01-01' + CAST(day AS INTEGER)) AS BIGINT)
+      |    AS month,
+      |  CAST(sum(dc) AS BIGINT) AS month_cents
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q207_histogram_2d" -> """
       |WITH e AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
       |        CAST(round(value * 100) AS BIGINT) AS cents

@@ -337,6 +337,15 @@ object TrainingData {
       .orderBy($"lang", $"rk")
   }
 
+  /** Per-doc 3-gram novelty ([[graft.etl.Vocab.ngramNovelty]]) over the
+    * planted-dup corpus: recycled docs score 0, originals high — the
+    * diffuse-repetition curation score pairwise dedup can't produce. */
+  def q209Novelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Vocab.ngramNovelty(corpus(spark, dir), "doc_id", "text", 3)
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic global shuffle + round-robin sharding
     * ([[graft.etl.Corpus.deterministicShuffle]]): every doc gets its
     * seedless permutation index (sha256 order, two-phase range rank — no
@@ -605,6 +614,7 @@ object TrainingData {
     "q75_repetition" -> q75Repetition _,
     "q76_hash_sample" -> q76HashSample _,
     "q206_shuffle_shard" -> q206ShuffleShard _,
+    "q209_novelty" -> q209Novelty _,
     "q77_collocations" -> q77Collocations _,
     "q64_pack_sequences" -> q64PackSequences _,
     "q65_chunk_text" -> q65ChunkText _,
@@ -1005,6 +1015,17 @@ object TrainingData {
       |  FROM documents)
       |SELECT doc_id, shuffle_idx, (shuffle_idx - 1) % 8 AS shard
       |FROM r ORDER BY doc_id""".stripMargin,
+    "q209_novelty" -> s"""
+      |WITH $corpusSql,
+      |$shinglesSql,
+      |f AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+      |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  (CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 10000) // CAST(count(*) AS BIGINT) AS novelty_bp
+      |FROM sh JOIN f USING (s)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q77_collocations" -> """
       |WITH big AS (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),

@@ -379,6 +379,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Seq(("g", 5000, 7L, 7L, 0L)))
   }
 
+  // ------------------------------------------------------------ novelty
+
+  test("ngramNovelty: copies score 0, partial overlap scores the fraction") {
+    import spark.implicits._
+    // d1 "a b c d" → shingles {abc, bcd}, all first-seen → 10000;
+    // d2 identical text → both grams first seen at d1 → 0;
+    // d3 "a b c x" → {abc (old), bcx (new)} → 5000
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c x"))
+      .toDF("doc_id", "text")
+    val got = Vocab.ngramNovelty(docs, "doc_id", "text", 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 10000L), (2L, 2L, 0L, 0L),
+      (3L, 2L, 1L, 5000L)))
+  }
+
   // ---------------------------------------------------------------- KMV
 
   test("kmvCompare: below-k groups report exactly, err 0") {

@@ -553,6 +553,38 @@ class MiningSpec extends SparkSpec {
     assert(got == Seq(("k", 2L, 3L, 2L), ("k", 6L, 8L, 3L)))
   }
 
+  // ------------------------------------------- reference percentile
+
+  test("referencePercentile: inclusive ties, ref-free group NULL") {
+    // refs in g: 10, 20, 30; scored 25 → 2 of 3 ≤ → 6666; 30 ties
+    // inclusive → 10000; 5 → 0. group h has no refs → NULL.
+    val df = Seq(
+      ("g", 1L, 10L, true), ("g", 2L, 20L, true), ("g", 3L, 30L, true),
+      ("g", 4L, 25L, false), ("g", 5L, 30L, false), ("g", 6L, 5L, false),
+      ("h", 7L, 99L, false)).toDF("g", "id", "v", "ref")
+    val got = Analytics.referencePercentile(df, "g", "id", "v", $"ref")
+      .orderBy($"id")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(("g", 4L, 25L, Some(6666L)),
+      ("g", 5L, 30L, Some(10000L)), ("g", 6L, 5L, Some(0L)),
+      ("h", 7L, 99L, None)))
+  }
+
+  // ---------------------------------------------------------- proration
+
+  test("prorateSpan: Hamilton day allocation conserves every cent") {
+    // 10 cents over days 5..7 → 4,3,3; 2 cents over 1..4 → 1,1,0,0
+    val df = Seq((10L, 5L, 7L), (2L, 1L, 4L)).toDF("cents", "sd", "ed")
+    val got = Analytics.prorateSpan(df, "cents", "sd", "ed")
+      .orderBy($"sd", $"day")
+      .select($"day", $"day_cents").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 0L), (4L, 0L),
+      (5L, 4L), (6L, 3L), (7L, 3L)))
+    val total = Analytics.prorateSpan(df, "cents", "sd", "ed")
+      .agg(sum($"day_cents")).as[Long].head()
+    assert(total == 12L, "allocation must conserve the input total")
+  }
+
   // -------------------------------------------------------- l-diversity
 
   test("lDiversity: distinct-l verdicts and dominant-share bp") {

@@ -86,6 +86,25 @@ class TimeJoinsSpec extends SparkSpec {
     assert(got == Seq((Some(7L), Some(0L))))
   }
 
+  test("trailingCount: half-open [t-w, t) window, start inclusive") {
+    import spark.implicits._
+    // clicks for user 1 at 10, 20, 30; window 15:
+    // probe 30 → [15,30) = {20} → 1; probe 31 → [16,31) = {20,30} → 2;
+    // probe 25 → [10,25) = {10,20} → 2 (start boundary inclusive);
+    // probe 10 → [-5,10) = {} → 0; user 2 with no clicks → 0
+    val right = Seq((1L, 10L), (1L, 20L), (1L, 30L)).toDF("k", "rt")
+    val left = Seq((1L, 100L, 30L), (1L, 101L, 31L), (1L, 102L, 25L),
+      (1L, 103L, 10L), (2L, 104L, 50L)).toDF("k", "id", "lt")
+    val got = TimeJoins.trailingCount(left, right, "k", "id", "lt", "rt",
+        window = 15L)
+      .orderBy(org.apache.spark.sql.functions.col("id"))
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("trail_cnt"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((100L, 1L), (101L, 2L), (102L, 2L),
+      (103L, 0L), (104L, 0L)))
+  }
+
   test("asofJoinForward: >= semantics, tie on min pick, null when nothing follows") {
     import spark.implicits._
     val events = Seq(
