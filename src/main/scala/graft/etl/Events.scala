@@ -96,6 +96,55 @@ object Events {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** Longest consecutive-day activity streak per user (plus total active
+    * days) — the engagement metric behind "N-day streak" features: the
+    * islands trick (day − row_number is constant within a consecutive
+    * run) over each user's distinct activity days, then a two-level fold.
+    * All shuffles user-keyed; per-user state is the day sort, bounded by
+    * calendar days, not events. */
+  def activeStreaks(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = df.select(col(userCol).as("u"),
+      datediff(to_date(col(tsCol)), to_date(lit("1970-01-01"))).as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("u")).orderBy(col("d"))
+    days.withColumn("_isl", col("d") - row_number().over(w))
+      .groupBy(col("u"), col("_isl"))
+      .agg(count(lit(1)).as("_len"))
+      .groupBy(col("u").as(userCol))
+      .agg(sum(col("_len")).cast("long").as("n_active_days"),
+        max(col("_len")).cast("long").as("longest_streak"))
+  }
+
+  /** Consecutive-period audience overlap per group — "how much of this
+    * month's audience returns next month", as exact Jaccard in basis
+    * points: distinct (group, period, user), per-period sizes, and an
+    * intersection join on (group, user) restricted to period+1 — fan-out
+    * per (group, user) is that user's period count (calendar-bounded),
+    * never users². Periods present on both sides emit a row even at zero
+    * overlap (the churn-cliff case a join-only formulation would drop). */
+  def audienceOverlapByPeriod(df: DataFrame, groupCol: String,
+      userCol: String, periodCol: String): DataFrame = {
+    val d = df.select(col(groupCol).as("g"),
+      col(periodCol).cast("long").as("p"), col(userCol).as("u")).distinct()
+    val sizes = d.groupBy(col("g"), col("p")).agg(count(lit(1)).as("n"))
+    val inter = d.as("a").join(d.as("b"),
+        col("a.g") === col("b.g") && col("a.u") === col("b.u") &&
+          col("b.p") === col("a.p") + 1)
+      .groupBy(col("a.g").as("g"), col("a.p").as("p"))
+      .agg(count(lit(1)).as("inter"))
+    sizes.as("sa").join(sizes.as("sb"),
+        col("sa.g") === col("sb.g") && col("sb.p") === col("sa.p") + 1)
+      .select(col("sa.g").as("g"), col("sa.p").as("p"),
+        col("sa.n").as("n_curr"), col("sb.n").as("n_next"))
+      .join(inter, Seq("g", "p"), "left")
+      .na.fill(0L, Seq("inter"))
+      .select(col("g").as(groupCol), col("p").as("period"),
+        col("n_curr"), col("n_next"), col("inter"),
+        expr("inter * 10000L div (n_curr + n_next - inter)")
+          .as("jaccard_bp"))
+  }
+
   /** Growth accounting: classify every (user, active period) as new /
     * retained / resurrected via the user's previous active period, and
     * charge a churn event to period p+1 whenever a user active in p is

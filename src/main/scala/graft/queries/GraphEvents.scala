@@ -529,7 +529,36 @@ object GraphEvents {
       .orderBy($"trail_cnt")
   }
 
+  // --------------------------------------------- q213 activity streaks
+
+  /** Longest consecutive-day streak + total active days per user
+    * ([[Events.activeStreaks]]) — the engagement feature the islands
+    * trick computes with two user-keyed folds. */
+  def q213ActiveStreaks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Events.activeStreaks(Tables.events(spark, dir), "user_id", "ts")
+      .orderBy($"user_id")
+  }
+
+  // ----------------------------------------- q214 rolling audience
+
+  /** Week-over-week audience retention per event type
+    * ([[Events.audienceOverlapByPeriod]]): exact Jaccard between each
+    * 7-day bucket's user set and the next one's — q192's pairwise
+    * overlap matrix turned into a churn time series (the events table
+    * spans ~30 days, so weeks give a real consecutive-period series). */
+  def q214RollingOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"event_type", $"user_id",
+      expr("datediff(to_date(ts), DATE'1970-01-01') div 7")
+        .cast("long").as("wk"))
+    Events.audienceOverlapByPeriod(e, "event_type", "user_id", "wk")
+      .orderBy($"event_type", $"period")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_active_streaks" -> q213ActiveStreaks _,
+    "q214_rolling_overlap" -> q214RollingOverlap _,
     "q212_trailing_count" -> q212TrailingCount _,
     "q205_asof_tolerance" -> q205AsofTolerance _,
     "q208_dwell_time" -> q208DwellTime _,
@@ -560,6 +589,38 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q213_active_streaks" -> """
+      |WITH days AS (SELECT DISTINCT user_id,
+      |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      |      FROM events),
+      |isl AS (SELECT user_id, d,
+      |          d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+      |            AS grp
+      |        FROM days),
+      |runs AS (SELECT user_id, grp, count(*) AS len
+      |         FROM isl GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      |  CAST(max(len) AS BIGINT) AS longest_streak
+      |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q214_rolling_overlap" -> """
+      |WITH d AS (SELECT DISTINCT event_type AS g,
+      |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+      |          AS p, user_id AS u
+      |      FROM events),
+      |sz AS (SELECT g, p, CAST(count(*) AS BIGINT) AS n
+      |       FROM d GROUP BY 1, 2),
+      |iv AS (SELECT a.g, a.p, CAST(count(*) AS BIGINT) AS inter
+      |       FROM d a JOIN d b ON a.g = b.g AND a.u = b.u
+      |                        AND b.p = a.p + 1
+      |       GROUP BY 1, 2)
+      |SELECT sa.g AS event_type, sa.p AS period, sa.n AS n_curr,
+      |  sb.n AS n_next, CAST(coalesce(iv.inter, 0) AS BIGINT) AS inter,
+      |  CAST(coalesce(iv.inter, 0) AS BIGINT) * 10000
+      |    // (sa.n + sb.n - CAST(coalesce(iv.inter, 0) AS BIGINT))
+      |    AS jaccard_bp
+      |FROM sz sa JOIN sz sb ON sa.g = sb.g AND sb.p = sa.p + 1
+      |LEFT JOIN iv ON iv.g = sa.g AND iv.p = sa.p
+      |ORDER BY 1, 2""".stripMargin,
     "q212_trailing_count" -> """
       |WITH c AS (SELECT user_id, epoch_us(ts) AS us
       |           FROM events WHERE event_type = 'click'),

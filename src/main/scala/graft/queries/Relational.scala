@@ -637,7 +637,39 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** Cumulative revenue leaderboard: per ship month, the top-3 brands by
+    * revenue-to-date. A dense brand × month grid (both dimensions tiny,
+    * broadcast) keeps brands with no sales this month in the running;
+    * cumulative sums partition by brand, the rank window by month — the
+    * expanding-window twin of q14's per-group top-k. */
+  def q215Leaderboard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir).select($"l_partkey",
+      (year($"l_shipdate") * 12 + month($"l_shipdate")).cast("long")
+        .as("month"),
+      graft.etl.Series.cents($"l_extendedprice").as("_c"))
+    val p = Tables.part(spark, dir).select($"p_partkey", $"p_brand")
+    val monthly = li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"month").agg(sum($"_c").as("_mc"))
+    val grid = monthly.select($"p_brand").distinct()
+      .crossJoin(broadcast(monthly.select($"month").distinct()))
+    val cum = grid.join(monthly, Seq("p_brand", "month"), "left")
+      .na.fill(0L, Seq("_mc"))
+      .withColumn("cum_cents", sum($"_mc").over(
+        Window.partitionBy($"p_brand").orderBy($"month")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+    cum.withColumn("rk", row_number().over(
+        Window.partitionBy($"month").orderBy($"cum_cents".desc, $"p_brand"))
+        .cast("long"))
+      .filter($"rk" <= 3)
+      .select($"month", $"rk", $"p_brand", $"cum_cents")
+      .orderBy($"month", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_leaderboard" -> q215Leaderboard _,
     "q191_pop_growth" -> q191PopGrowth _,
     "q1_agg" -> q1Agg _,
     "q2_filter" -> q2Filter _,
@@ -685,6 +717,28 @@ object Relational {
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
     * round differently from Spark's double arithmetic. */
   val oracleSql: Map[String, String] = Map(
+    "q215_leaderboard" -> """
+      |WITH m AS (SELECT p_brand,
+      |        year(l_shipdate) * 12 + month(l_shipdate) AS month,
+      |        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |          AS BIGINT) AS mc
+      |      FROM lineitem JOIN part ON l_partkey = p_partkey
+      |      GROUP BY 1, 2),
+      |gr AS (SELECT b.p_brand, mo.month
+      |       FROM (SELECT DISTINCT p_brand FROM m) b,
+      |            (SELECT DISTINCT month FROM m) mo),
+      |d AS (SELECT gr.p_brand, gr.month, coalesce(m.mc, 0) AS mc
+      |      FROM gr LEFT JOIN m USING (p_brand, month)),
+      |c AS (SELECT p_brand, month,
+      |        CAST(sum(mc) OVER (PARTITION BY p_brand ORDER BY month
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |      FROM d),
+      |r AS (SELECT month, p_brand, cum_cents,
+      |        CAST(row_number() OVER (PARTITION BY month
+      |          ORDER BY cum_cents DESC, p_brand) AS BIGINT) AS rk
+      |      FROM c)
+      |SELECT month, rk, p_brand, cum_cents FROM r
+      |WHERE rk <= 3 ORDER BY month, rk""".stripMargin,
     "q191_pop_growth" -> """
       |WITH l AS (SELECT l_partkey,
       |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d,

@@ -259,6 +259,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(p158.contains("partial_min"))
   }
 
+  test("q206: the deterministic shuffle never plans a global single-partition sort") {
+    // the two-phase range rank's windows are partitioned by bucket (and
+    // the O(#buckets) offsets cumsum); a plain row_number() OVER (ORDER BY)
+    // would appear as a partition-free window sort over the whole table
+    val p = plan("q206_shuffle_shard")
+    assert(!p.contains("Window [") ||
+      !"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isDefined)
+    // the parallel rank path is present: a range partitioning + bucketed window
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning")
+      || p.contains("Exchange rangepartitioning"))
+  }
+
+  test("q205/q212: tolerance as-of and trailing count stay single-key-shuffle") {
+    // both ride the union+window pass: no join between left/right event
+    // streams beyond the final bounded id fold — never a range/nested-loop
+    val p205 = plan("q205_asof_tolerance")
+    assert(!p205.contains("CartesianProduct"))
+    assert(!p205.contains("BroadcastNestedLoopJoin"))
+    val p212 = plan("q212_trailing_count")
+    assert(!p212.contains("CartesianProduct"))
+    assert(!p212.contains("BroadcastNestedLoopJoin"))
+    assert(!p212.contains("SortMergeJoin") || p212.contains("Exchange"),
+      "the only joins are the bounded per-id fold merge")
+  }
+
+  test("q199/q210: KMV fold and reference percentile partial-aggregate map-side") {
+    val p199 = plan("q199_kmv")
+    // the TopKAgg bottom-k fold shows ObjectHashAggregate partials — the
+    // bounded-buffer shape; no per-group window sort of the hash table
+    assert(p199.contains("ObjectHashAggregate") || p199.contains("partial_"))
+    val p210 = plan("q210_ref_percentile")
+    // one union-sorted window partitioned by the group key, no join
+    assert(!p210.contains("Join"))
+    assert(p210.contains("Window"))
+  }
+
   test("shop adapter transform keeps whole-stage codegen spans") {
     import spark.implicits._
     val row =

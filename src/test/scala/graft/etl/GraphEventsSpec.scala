@@ -282,6 +282,36 @@ class GraphEventsSpec extends SparkSpec {
     assert(got == Seq((6L, 0L, None)))
   }
 
+  // --------------------------------------------------- activity streaks
+
+  test("activeStreaks: islands fold to longest run, multi-event days dedup") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    // u1 active days 0,1,2, 5,6 (two events on day 1) → total 5, streak 3
+    // u2 single day → 1, 1
+    val us = 86400000000L
+    val df = Seq((1L, 0L), (1L, 1L), (1L, 1L), (1L, 2L), (1L, 5L),
+      (1L, 6L), (2L, 9L))
+      .map { case (u, d) => (u, d * us + 1000L) }.toDF("u", "m")
+      .select($"u", timestamp_micros($"m").as("ts"))
+    val got = Events.activeStreaks(df, "u", "ts")
+      .orderBy($"u").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 3L), (2L, 1L, 1L)))
+  }
+
+  // -------------------------------------------- rolling audience overlap
+
+  test("audienceOverlapByPeriod: consecutive-period Jaccard, zero-overlap kept") {
+    // g: p1 {a,b}, p2 {b,c}, p3 {d} → (p1: inter 1 of 3 = 3333),
+    // (p2: inter 0 of 3 = 0 — the churn cliff must still emit a row)
+    val df = Seq(("g", 1L, "a"), ("g", 1L, "b"), ("g", 2L, "b"),
+      ("g", 2L, "c"), ("g", 3L, "d")).toDF("t", "p", "u")
+    val got = Events.audienceOverlapByPeriod(df, "t", "u", "p")
+      .orderBy($"period")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 1L, 2L, 2L, 1L, 3333L),
+      ("g", 2L, 2L, 1L, 0L, 0L)))
+  }
+
   // ------------------------------------------------ growth accounting
 
   test("growthAccounting: new/retained/resurrected/churned telescoping") {
