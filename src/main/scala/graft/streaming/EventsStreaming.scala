@@ -118,6 +118,45 @@ object EventsStreaming {
       }.toDF()
   }
 
+  final case class PitRow(user_id: Long, event_id: Long, us: Long,
+      is_click: Boolean)
+  final case class PitFeature(user_id: Long, event_id: Long,
+      trail_cnt: Long)
+
+  /** Streaming point-in-time trailing count — the stateful twin of
+    * [[graft.etl.TimeJoins.trailingCount]]: for every non-click row, the
+    * number of that user's clicks in [t − window, t), computed as the
+    * stream flows so the feature is available at serving time, not after
+    * a batch job.
+    *
+    * State per user is ONLY the click timestamps still inside the window
+    * horizon — rows process in (us, event_id) order and anything older
+    * than newest − window is evicted (a later probe's window starts even
+    * later, so evicted clicks are provably dead). State is therefore
+    * O(clicks per window) per user, the same bound the batch plan gets
+    * from its running-count difference; the batch-parity spec pins the
+    * two surfaces to identical output across micro-batch boundaries. */
+  def trailingCountStream(events: DataFrame, windowUs: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("event_id"), col("us"),
+        col("is_click")).as[PitRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[PitRow], state: GroupState[Vector[Long]]) =>
+          var clicks = state.getOption.getOrElse(Vector.empty)
+          val out = Seq.newBuilder[PitFeature]
+          rows.toSeq.sortBy(r => (r.us, r.event_id)).foreach { r =>
+            clicks = clicks.dropWhile(_ < r.us - windowUs)
+            if (r.is_click) clicks = clicks :+ r.us
+            else out += PitFeature(user, r.event_id,
+              clicks.count(_ < r.us))
+          }
+          state.update(clicks)
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Change-detection sink (J3/K2-shaped): every micro-batch is reduced to
     * changed-rows via content hash and merged into the target parquet dir —
     * `foreachBatch` is where a real deployment issues MERGE INTO. */

@@ -263,4 +263,42 @@ class EventsStreamingSpec extends SparkSpec {
       (7L, 4L, Some(10L)), (7L, 5L, Some(20L)),
       (9L, 1L, None), (9L, 2L, Some(1L))))
   }
+
+  test("trailingCountStream: cross-batch window counts match the batch twin") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStreaming.PitRow
+    val input = MemoryStream[PitRow]
+    val q = EventsStreaming.trailingCountStream(input.toDF(), windowUs = 15L)
+      .writeStream.format("memory").queryName("pit").outputMode("append").start()
+
+    // batch 1: clicks at 10, 20 and a purchase at 25 → [10,25) = 2
+    input.addData(PitRow(1, 900, 10, true), PitRow(1, 901, 20, true),
+      PitRow(1, 100, 25, false))
+    q.processAllAvailable()
+    // batch 2: purchase at 30 counts batch-1 clicks from state ([15,30) =
+    // {20}); a click at 30 then a purchase at 31 → [16,31) = {20,30};
+    // user 2 with no clicks → 0
+    input.addData(PitRow(1, 101, 30, false), PitRow(1, 902, 30, true),
+      PitRow(1, 102, 31, false), PitRow(2, 103, 50, false))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("pit").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("trail_cnt")))
+      .toMap
+    assert(got == Map(100L -> 2L, 101L -> 1L, 102L -> 2L, 103L -> 0L))
+
+    // batch twin on the identical rows
+    val all = Seq((1L, 900L, 10L, true), (1L, 901L, 20L, true),
+      (1L, 100L, 25L, false), (1L, 101L, 30L, false),
+      (1L, 902L, 30L, true), (1L, 102L, 31L, false),
+      (2L, 103L, 50L, false)).toDF("k", "id", "t", "c")
+    val batch = graft.etl.TimeJoins.trailingCount(
+        all.filter(!$"c").select($"k", $"id", $"t"),
+        all.filter($"c").select($"k", $"t"), "k", "id", "t", "t", 15L)
+      .select($"id", $"trail_cnt").as[(Long, Long)].collect().toMap
+    assert(batch == got, "streaming and batch twins must agree")
+  }
 }
