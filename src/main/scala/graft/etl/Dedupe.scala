@@ -46,4 +46,20 @@ object Dedupe {
   /** A2 (dedupe.ts:59-76): per-shop counts. */
   def countByRetailer(df: DataFrame): DataFrame =
     df.groupBy(col("shop_type")).agg(count(lit(1)).as("n_products"))
+
+  /** Fingerprint clustering (the OpenRefine key-collision method, the
+    * order-insensitive sibling of [[similarProducts]]): the cluster key is
+    * the SORTED DISTINCT token set of the text, so "blue lemon" and
+    * "lemon blue lemon" collide. Returns clusters of ≥ 2 with span ids
+    * for review. All codegen array ops (split/remove/distinct/sort/join),
+    * one combiner-friendly shuffle on the key. */
+  def fingerprintClusters(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+        array_join(array_sort(array_distinct(
+          array_remove(split(lower(col(textCol)), " "), ""))), " ").as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+      .filter(col("n") >= 2)
 }

@@ -36,6 +36,24 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Length-3 path counts (the trigram extension of [[transitionCounts]]):
+    * every consecutive (t1, t2, t3) step triple per user, counted
+    * globally. Two stacked lags on ONE user-partitioned window — same
+    * single shuffle as the bigram pass; the output domain is |types|³,
+    * data-size-independent. `tieCol` breaks equal-timestamp ordering so
+    * the path set is deterministic. */
+  def pathTrigrams(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    df.select(
+        lag(col(typeCol), 2).over(w).as("t1"),
+        lag(col(typeCol), 1).over(w).as("t2"),
+        col(typeCol).as("t3"))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Ordered funnel: per user, the furthest step of `steps` reached where
     * step i must STRICTLY follow the completion of step i−1 and every step
     * must land within `windowUs` microseconds of the step-0 completion.

@@ -274,4 +274,31 @@ object Graph {
                     div ((n * sxx - sx * sx) * (n * syy - sy * sy))
                 END AS BIGINT)""").as("r2_bp"))
   }
+
+  /** Bipartite projection with a degree cap: from (left, right) incidence
+    * edges, the co-occurrence graph over right nodes — `n_co` = how many
+    * left nodes connect both endpoints. The item-item neighborhood build
+    * of collaborative filtering / co-visitation.
+    *
+    * The cap is the scale guard: a left node of degree d emits d(d−1)/2
+    * pairs, so one power user (a crawler hitting every item) is a
+    * quadratic skew bomb. Left nodes with more than `maxDegree` distinct
+    * rights are EXCLUDED from pair generation (standard practice — hub
+    * co-occurrence is uninformative for similarity anyway), bounding the
+    * self-join fanout at maxDegree²/2 per left key. Distinct, degree count,
+    * and the pair join all partition on the left key — one reusable
+    * shuffle — then one combiner-friendly shuffle on the pair. */
+  def bipartiteProjection(edges: DataFrame, leftCol: String,
+      rightCol: String, maxDegree: Int): DataFrame = {
+    val e = edges.select(col(leftCol).as("l"), col(rightCol).as("r")).distinct()
+    val kept = e.join(
+      e.groupBy(col("l")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") <= maxDegree).select(col("l")),
+      Seq("l"))
+    kept.select(col("l"), col("r").as("r_a"))
+      .join(kept.select(col("l"), col("r").as("r_b")), Seq("l"))
+      .filter(col("r_a") < col("r_b"))
+      .groupBy(col("r_a"), col("r_b"))
+      .agg(count(lit(1)).as("n_co"))
+  }
 }

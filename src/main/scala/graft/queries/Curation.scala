@@ -298,7 +298,23 @@ object Curation {
       .orderBy($"l_returnflag")
   }
 
+  // ------------------------------------ q225 fingerprint clusters
+
+  /** Key-collision clustering over document token sets
+    * ([[graft.etl.Dedupe.fingerprintClusters]]): the OpenRefine
+    * fingerprint method — sorted distinct tokens as the cluster key, so
+    * word order and repetition don't split clusters. The cheap exact
+    * stage a curation pipeline runs BEFORE the fuzzy near-dup passes
+    * (q26/q27): pure codegen array ops, one shuffle. */
+  def q225FingerprintClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Dedupe.fingerprintClusters(
+        graft.Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy($"fp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_fingerprint_clusters" -> q225FingerprintClusters _,
     "q199_kmv" -> q199Kmv _,
     "q166_cms" -> q166Cms _,
     "q168_hll" -> q168Hll _,
@@ -320,6 +336,16 @@ object Curation {
     "q118_pmi_bigrams" -> q118PmiBigrams _)
 
   val oracleSql: Map[String, String] = Map(
+    "q225_fingerprint_clusters" -> """
+      |WITH k AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_sort(list_distinct(
+      |      list_filter(string_split(lower(text), ' '), x -> x <> ''))),
+      |      ' ') AS fp
+      |  FROM documents)
+      |SELECT fp, count(*) AS n,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM k GROUP BY fp HAVING count(*) >= 2 ORDER BY fp""".stripMargin,
     "q199_kmv" -> """
       |WITH h0 AS (SELECT DISTINCT l_returnflag AS g,
       |              (l_partkey * 2654435761) % 4294967296 AS h

@@ -556,7 +556,40 @@ object GraphEvents {
       .orderBy($"event_type", $"period")
   }
 
+  // ------------------------------------- q223 bipartite projection
+
+  /** Customer×brand co-purchase graph ([[Graph.bipartiteProjection]]):
+    * which brand pairs share buyers — the item-item neighborhood build of
+    * collaborative filtering, with the degree cap (20) that keeps one
+    * power buyer from emitting a quadratic pair fanout. Output is bounded
+    * by the brand-pair domain regardless of SF. */
+  def q223BrandCopurchase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ub = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.part(spark, dir), $"p_partkey" === $"l_partkey")
+      .select($"o_custkey".as("u"), $"p_brand".as("b"))
+    Graph.bipartiteProjection(ub, "u", "b", maxDegree = 20)
+      .select($"r_a".as("brand_a"), $"r_b".as("brand_b"), $"n_co")
+      .orderBy($"brand_a", $"brand_b")
+  }
+
+  // ------------------------------------------ q224 trigram paths
+
+  /** Global 3-step path counts ([[Events.pathTrigrams]]): the navigation-
+    * flow trigrams that q103's bigram transitions can't distinguish
+    * (view→click→purchase vs view→click→error tell different stories).
+    * Output domain is |types|³ = 125 rows at any scale. */
+  def q224PathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Events.pathTrigrams(Tables.events(spark, dir),
+        "user_id", "event_type", "ts", "event_id")
+      .orderBy($"t1", $"t2", $"t3")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_brand_copurchase" -> q223BrandCopurchase _,
+    "q224_path_trigrams" -> q224PathTrigrams _,
     "q213_active_streaks" -> q213ActiveStreaks _,
     "q214_rolling_overlap" -> q214RollingOverlap _,
     "q212_trailing_count" -> q212TrailingCount _,
@@ -589,6 +622,29 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q223_brand_copurchase" -> """
+      |WITH ub AS (
+      |  SELECT DISTINCT o_custkey AS u, p_brand AS b
+      |  FROM orders
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN part ON p_partkey = l_partkey),
+      |d AS (SELECT u FROM ub GROUP BY u HAVING count(*) <= 20)
+      |SELECT a.b AS brand_a, b2.b AS brand_b, count(*) AS n_co
+      |FROM ub a
+      |JOIN d ON d.u = a.u
+      |JOIN ub b2 ON b2.u = a.u AND a.b < b2.b
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q224_path_trigrams" -> """
+      |WITH s AS (
+      |  SELECT
+      |    lag(event_type, 2) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS t1,
+      |    lag(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS t2,
+      |    event_type AS t3
+      |  FROM events)
+      |SELECT t1, t2, t3, count(*) AS n FROM s
+      |WHERE t1 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q213_active_streaks" -> """
       |WITH days AS (SELECT DISTINCT user_id,
       |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d

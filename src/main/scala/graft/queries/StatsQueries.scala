@@ -1,0 +1,344 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.Stats
+
+/** Oracle-gated exact-statistics and multidimensional-reporting operators
+  * (round 4, q216+): cohort hypothesis tests (Mann–Whitney, KS, runs),
+  * stateful balances via the prefix-min window identity, LOCF time-weighted
+  * averages, and the ROLLUP / pivot reporting family that was the one
+  * remaining uncovered corner of the DataFrame aggregation API.
+  *
+  * All arithmetic is integral (cents, microseconds, doubled ranks,
+  * cross-multiplied CDFs) so the DuckDB re-derivations match hash-exactly.
+  */
+object StatsQueries {
+
+  /** Event amounts in integer cents, null-safe (both engines drop null
+    * values explicitly so rank/window null ordering can never diverge). */
+  private def cents = expr("CAST(round(value * 100) AS BIGINT)")
+
+  // ------------------------------------------- q216 Mann-Whitney U
+
+  /** Per-cohort tie-aware Mann–Whitney U ([[Stats.mannWhitneyU]]):
+    * does the purchase-amount distribution differ from the click-amount
+    * distribution inside each user cohort? Doubled mid-ranks keep ties
+    * integral; one shuffle on the cohort key. */
+  def q216MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.events(spark, dir)
+      .filter($"event_type".isin("purchase", "click") && $"value".isNotNull)
+      .select(($"user_id" % 8).as("cohort"),
+        when($"event_type" === "purchase", 1).otherwise(2).as("s"),
+        cents.as("v"))
+    Stats.mannWhitneyU(x, "cohort", "s", "v").orderBy($"cohort")
+  }
+
+  // ------------------------------------------- q217 Kolmogorov-Smirnov
+
+  /** Per-cohort two-sample KS distance ([[Stats.ksStatistic]]) between
+    * purchase and view amounts, as the exact fraction
+    * `d_num / (n1·n2)` plus the argmax value — the drift screen run
+    * between a reference window and a fresh batch. */
+  def q217KsTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.events(spark, dir)
+      .filter($"event_type".isin("purchase", "view") && $"value".isNotNull)
+      .select(($"user_id" % 4).as("cohort"),
+        when($"event_type" === "purchase", 1).otherwise(2).as("s"),
+        cents.as("v"))
+    Stats.ksStatistic(x, "cohort", "s", "v").orderBy($"cohort")
+  }
+
+  // ------------------------------------------- q218 clamped balance
+
+  /** Floor-at-zero running balance per user ([[Stats.clampedBalance]]):
+    * purchases/signups credit, other events debit, and the balance can
+    * never go negative — the `max(0, prev + delta)` recurrence evaluated
+    * as two partitioned window sums (prefix-min identity), then rolled up
+    * to final/peak/clamp-count per user. */
+  def q218ClampedBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_type".isin("purchase", "signup"), cents)
+          .otherwise(-cents).as("delta"))
+    val bal = Stats.clampedBalance(e, "user_id", Seq("ts", "event_id"), "delta")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    bal.withColumn("rn", row_number().over(w))
+      .groupBy($"user_id")
+      .agg(
+        max(when($"rn" === 1, $"balance")).as("final_c"),
+        max($"balance").as("peak_c"),
+        count(when($"balance" === 0 && $"delta" < 0, lit(1))).as("clamps"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  // ------------------------------------------------------ q219 TWAP
+
+  /** Daily time-weighted average amount per user ([[Stats.timeWeighted]]):
+    * each event's value holds until the next event that day (LOCF), the
+    * last until midnight; the exact integer quotient Σv·dt div Σdt plus
+    * the covered microseconds. The feature a pricing pipeline derives from
+    * irregular observations without resampling. */
+  def q219Twap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"user_id",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"),
+        unix_micros($"ts").as("us"), $"event_id", cents.as("v"))
+    Stats.timeWeighted(e, "user_id", "d", "us", "event_id", "v",
+        bucketEndUs = ($"d" + 1) * lit(86400000000L))
+      .select($"user_id", $"d", expr("num div held_us").as("twap_c"),
+        $"held_us")
+      .orderBy($"user_id", $"d")
+  }
+
+  // -------------------------------------------- q220 revenue rollup
+
+  /** Region → nation revenue ROLLUP with grouping_id: the region/nation/
+    * grand-total hierarchy in ONE aggregation pass (Catalyst expands the
+    * grouping sets; no self-union of three scans). gid 0 = leaf,
+    * 1 = region subtotal, 3 = grand total. */
+  def q220RevenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .join(Tables.region(spark, dir), $"n_regionkey" === $"r_regionkey")
+      .select($"r_name", $"n_name",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    df.rollup($"r_name", $"n_name")
+      .agg(grouping_id().cast("long").as("gid"),
+        sum($"cents").as("revenue_c"), count(lit(1)).as("n_orders"))
+      .select(coalesce($"r_name", lit("(all)")).as("region_name"),
+        coalesce($"n_name", lit("(all)")).as("nation_name"),
+        $"gid", $"revenue_c", $"n_orders")
+      .orderBy($"gid", $"region_name", $"nation_name")
+  }
+
+  // ---------------------------------------------- q221 daily pivot
+
+  /** Daily event-type pivot: counts spread into one column per type with
+    * an EXPLICIT value list (no extra distinct-collection job — the
+    * two-pass `pivot(col)` overload is a hidden scan at scale) plus a
+    * total; absent cells coalesce to 0. */
+  def q221DailyPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(spark, dir)
+      .select(datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+        .cast("long").as("d"), $"event_type")
+      .groupBy($"d").pivot("event_type", types).agg(count(lit(1)))
+    val filled = types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t"))
+    p.select(($"d" +: filled): _*)
+      .withColumn("n_total",
+        types.map(t => col(s"n_$t")).reduce(_ + _))
+      .orderBy($"d")
+  }
+
+  // ------------------------------------------------ q222 runs test
+
+  /** Wald–Wolfowitz run counts per user ([[Stats.runCounts]]) over the
+    * above/below-€100 sequence of event amounts in time order — the
+    * randomness screen whose too-few-runs tail flags feed stickiness.
+    * Single-event users report runs = 1. */
+  def q222RunsTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"user_id", $"ts", $"event_id", (cents >= 10000L).as("hi"))
+    Stats.runCounts(x, "user_id", Seq("ts", "event_id"), "hi")
+      .orderBy($"user_id")
+  }
+
+  // ------------------------------------------------- q226 cube
+
+  /** Event-type × day-of-week CUBE: all four marginal combinations
+    * (leaf, per-type, per-dow, grand) in one Expand pass — the
+    * grouping-sets sibling of q220's ROLLUP. dow is `days-since-epoch
+    * mod 7` (0 = Thursday), an integer both engines derive identically
+    * (SQL DOW numbering conventions differ engine-to-engine). */
+  def q226Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_type",
+        (datediff(to_date($"ts"), to_date(lit("1970-01-01"))) % 7)
+          .cast("long").as("dow7"),
+        cents.as("v"))
+    e.cube($"event_type", $"dow7")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), sum($"v").as("sum_c"))
+      .select(coalesce($"event_type", lit("(all)")).as("etype"),
+        coalesce($"dow7", lit(-1L)).as("dow7"), $"gid", $"n", $"sum_c")
+      .orderBy($"gid", $"etype", $"dow7")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_cube" -> q226Cube _,
+    "q216_mann_whitney" -> q216MannWhitney _,
+    "q217_ks_test" -> q217KsTest _,
+    "q218_clamped_balance" -> q218ClampedBalance _,
+    "q219_twap" -> q219Twap _,
+    "q220_rollup_revenue" -> q220RevenueRollup _,
+    "q221_daily_pivot" -> q221DailyPivot _,
+    "q222_runs_test" -> q222RunsTest _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q226_cube" -> """
+      |WITH e AS (
+      |  SELECT event_type,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+      |      AS BIGINT) AS dow7,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events)
+      |SELECT coalesce(event_type, '(all)') AS etype,
+      |  coalesce(dow7, -1) AS dow7,
+      |  CAST(2 * GROUPING(event_type) + GROUPING(dow7) AS BIGINT) AS gid,
+      |  count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_c
+      |FROM e GROUP BY CUBE(event_type, dow7)
+      |ORDER BY gid, etype, dow7""".stripMargin,
+    "q216_mann_whitney" -> """
+      |WITH x AS (
+      |  SELECT CAST(user_id % 8 AS BIGINT) AS cohort,
+      |         CASE event_type WHEN 'purchase' THEN 1 ELSE 2 END AS s,
+      |         CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+      |r AS (
+      |  SELECT cohort, s,
+      |         2 * rank() OVER (PARTITION BY cohort ORDER BY v)
+      |           + count(*) OVER (PARTITION BY cohort, v) - 1 AS r_x2
+      |  FROM x)
+      |SELECT cohort,
+      |  CAST(count(*) FILTER (WHERE s = 1) AS BIGINT) AS n1,
+      |  CAST(count(*) FILTER (WHERE s = 2) AS BIGINT) AS n2,
+      |  CAST(sum(r_x2) FILTER (WHERE s = 1)
+      |       - count(*) FILTER (WHERE s = 1)
+      |         * (count(*) FILTER (WHERE s = 1) + 1) AS BIGINT) AS u1_x2
+      |FROM r GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "q217_ks_test" -> """
+      |WITH x AS (
+      |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort,
+      |         CASE event_type WHEN 'purchase' THEN 1 ELSE 2 END AS s,
+      |         CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+      |cell AS (
+      |  SELECT cohort, v,
+      |         count(*) FILTER (WHERE s = 1) AS c1,
+      |         count(*) FILTER (WHERE s = 2) AS c2
+      |  FROM x GROUP BY cohort, v),
+      |cum AS (
+      |  SELECT cohort, v,
+      |    sum(c1) OVER (PARTITION BY cohort ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+      |    sum(c2) OVER (PARTITION BY cohort ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2,
+      |    sum(c1) OVER (PARTITION BY cohort) AS n1,
+      |    sum(c2) OVER (PARTITION BY cohort) AS n2
+      |  FROM cell),
+      |dev AS (
+      |  SELECT cohort, v, n1, n2, abs(f1 * n2 - f2 * n1) AS d,
+      |         max(abs(f1 * n2 - f2 * n1)) OVER (PARTITION BY cohort) AS md
+      |  FROM cum)
+      |SELECT cohort, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(max(d) AS BIGINT) AS d_num,
+      |  CAST(min(CASE WHEN d = md THEN v END) AS BIGINT) AS d_at
+      |FROM dev GROUP BY cohort, n1, n2 ORDER BY cohort""".stripMargin,
+    "q218_clamped_balance" -> """
+      |WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type IN ('purchase', 'signup')
+      |         THEN CAST(round(value * 100) AS BIGINT)
+      |         ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+      |  FROM events WHERE value IS NOT NULL),
+      |p AS (
+      |  SELECT user_id, ts, event_id, delta,
+      |    sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+      |  FROM e),
+      |q AS (
+      |  SELECT user_id, ts, event_id, delta,
+      |    pre - least(0, min(pre) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS bal
+      |  FROM p),
+      |f AS (
+      |  SELECT user_id, delta, bal,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM q)
+      |SELECT user_id,
+      |  CAST(max(CASE WHEN rn = 1 THEN bal END) AS BIGINT) AS final_c,
+      |  CAST(max(bal) AS BIGINT) AS peak_c,
+      |  CAST(count(*) FILTER (WHERE bal = 0 AND delta < 0) AS BIGINT)
+      |    AS clamps,
+      |  count(*) AS n_events
+      |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q219_twap" -> """
+      |WITH e AS (
+      |  SELECT user_id,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS d,
+      |    epoch_us(ts) AS us, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |h AS (
+      |  SELECT user_id, d, v,
+      |    coalesce(lead(us) OVER (PARTITION BY user_id, d
+      |        ORDER BY us, event_id),
+      |      (d + 1) * 86400000000) - us AS held_one
+      |  FROM e)
+      |SELECT user_id, d,
+      |  CAST(sum(v * held_one) // sum(held_one) AS BIGINT) AS twap_c,
+      |  CAST(sum(held_one) AS BIGINT) AS held_us
+      |FROM h GROUP BY user_id, d ORDER BY user_id, d""".stripMargin,
+    "q220_rollup_revenue" -> """
+      |SELECT coalesce(r_name, '(all)') AS region_name,
+      |  coalesce(n_name, '(all)') AS nation_name,
+      |  CAST(2 * GROUPING(r_name) + GROUPING(n_name) AS BIGINT) AS gid,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_c,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY gid, region_name, nation_name""".stripMargin,
+    "q221_daily_pivot" -> """
+      |SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |    AS BIGINT) AS d,
+      |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+      |  count(*) FILTER (WHERE event_type IN
+      |    ('click', 'error', 'purchase', 'signup', 'view')) AS n_total
+      |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
+    "q222_runs_test" -> """
+      |WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(round(value * 100) AS BIGINT) >= 10000 AS hi
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT user_id, hi,
+      |    CASE WHEN lag(hi) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) IS DISTINCT FROM hi
+      |         THEN 1 ELSE 0 END AS b
+      |  FROM x)
+      |SELECT user_id,
+      |  CAST(count(*) FILTER (WHERE hi) AS BIGINT) AS n_hi,
+      |  CAST(count(*) FILTER (WHERE NOT hi) AS BIGINT) AS n_lo,
+      |  CAST(sum(b) AS BIGINT) AS runs
+      |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

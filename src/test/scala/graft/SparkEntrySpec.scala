@@ -16,7 +16,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "Reports" -> (queries.Reports.queries.keySet, queries.Reports.oracleSql.keySet),
     "GraphEvents" -> (queries.GraphEvents.queries.keySet, queries.GraphEvents.oracleSql.keySet),
     "Curation" -> (queries.Curation.queries.keySet, queries.Curation.oracleSql.keySet),
-    "MiningQueries" -> (queries.MiningQueries.queries.keySet, queries.MiningQueries.oracleSql.keySet))
+    "MiningQueries" -> (queries.MiningQueries.queries.keySet, queries.MiningQueries.oracleSql.keySet),
+    "StatsQueries" -> (queries.StatsQueries.queries.keySet, queries.StatsQueries.oracleSql.keySet))
 
   test("every query has an oracle and vice versa") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)

@@ -1,0 +1,43 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Fixtures for the co-occurrence / path-mining additions: the degree-capped
+  * bipartite projection, trigram paths, and fingerprint clustering. */
+class ProjectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bipartiteProjection counts co-incident lefts and enforces the cap") {
+    // u1 -> {a,b}, u2 -> {a,b,c}, hub -> {a,b,c,d} (degree 4, capped out)
+    val e = Seq(
+      ("u1", "a"), ("u1", "b"), ("u1", "b"), // dup edge collapses
+      ("u2", "a"), ("u2", "b"), ("u2", "c"),
+      ("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"))
+      .toDF("u", "b")
+    val out = Graph.bipartiteProjection(e, "u", "b", maxDegree = 3)
+      .orderBy($"r_a", $"r_b").collect()
+    assert(out.toSeq == Seq(
+      Row("a", "b", 2L), Row("a", "c", 1L), Row("b", "c", 1L)))
+  }
+
+  test("pathTrigrams slides one window over each user's ordered events") {
+    // user 1: A B A B -> ABA, BAB ; user 2: A B (too short)
+    val df = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
+      (2L, 1L, "A"), (2L, 2L, "B"))
+      .toDF("u", "ts", "t").withColumn("id", $"ts")
+    val out = Events.pathTrigrams(df, "u", "t", "ts", "id")
+      .orderBy($"t1", $"t2", $"t3").collect()
+    assert(out.toSeq == Seq(Row("A", "B", "A", 1L), Row("B", "A", "B", 1L)))
+  }
+
+  test("fingerprintClusters keys on the sorted distinct token set") {
+    val df = Seq(
+      (1L, "blue lemon"), (2L, "lemon  blue lemon"), // double space -> empty token
+      (3L, "lemon"), (4L, "red wine"))
+      .toDF("id", "text")
+    val out = Dedupe.fingerprintClusters(df, "id", "text").collect()
+    assert(out.toSeq == Seq(Row("blue lemon", 2L, 1L, 2L)))
+  }
+}

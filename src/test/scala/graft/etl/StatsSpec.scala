@@ -1,0 +1,59 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the exact-statistics operators: the doubled
+  * mid-rank Mann–Whitney, the cross-multiplied KS fraction, the prefix-min
+  * clamped balance identity, LOCF time weighting, and run counting. */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mannWhitneyU matches the hand-ranked tied example") {
+    // group 1: sample1 = {3, 5, 5}, sample2 = {5, 7}
+    // pooled sorted: 3(rank1), 5,5,5 (ranks 2-4, avg 3), 7 (rank 5)
+    // R1 = 1 + 3 + 3 = 7 -> doubled 14; U1 = R1 - n1(n1+1)/2 = 7 - 6 = 1
+    // doubled: u1_x2 = 14 - 3*4 = 2
+    val df = Seq(
+      (1L, 1, 3L), (1L, 1, 5L), (1L, 1, 5L), (1L, 2, 5L), (1L, 2, 7L))
+      .toDF("g", "s", "v")
+    val out = Stats.mannWhitneyU(df, "g", "s", "v").collect()
+    assert(out.toSeq == Seq(Row(1L, 3L, 2L, 2L)))
+  }
+
+  test("ksStatistic finds the max CDF gap and its smallest location") {
+    // s1 = {1,2,3}, s2 = {3,4}: at v=2 |F1*n2-F2*n1| = |2*2-0*3| = 4 (max)
+    val df = Seq((0L, 1, 1L), (0L, 1, 2L), (0L, 1, 3L), (0L, 2, 3L),
+      (0L, 2, 4L)).toDF("g", "s", "v")
+    val out = Stats.ksStatistic(df, "g", "s", "v").collect()
+    assert(out.toSeq == Seq(Row(0L, 3L, 2L, 4L, 2L)))
+  }
+
+  test("clampedBalance equals the sequential max(0, prev + delta) scan") {
+    val deltas = Seq(2L, -5L, 4L, -6L, 3L, -1L, 10L, -2L)
+    val df = deltas.zipWithIndex
+      .map { case (d, i) => (7L, i.toLong, d) }.toDF("k", "i", "delta")
+    val got = Stats.clampedBalance(df, "k", Seq("i"), "delta")
+      .orderBy($"i").select($"balance").as[Long].collect().toSeq
+    val want = deltas.scanLeft(0L)((c, d) => math.max(0L, c + d)).tail
+    assert(got == want)
+  }
+
+  test("timeWeighted holds each value to the next observation or bucket end") {
+    // bucket [0, 100): obs at t=10 (v=3) held 40, t=50 (v=5) held 50
+    val df = Seq((1L, 0L, 10L, 0L, 3L), (1L, 0L, 50L, 1L, 5L))
+      .toDF("k", "b", "us", "tie", "v")
+    val out = Stats.timeWeighted(df, "k", "b", "us", "tie", "v", lit(100L))
+      .collect()
+    assert(out.toSeq == Seq(Row(1L, 0L, 3L * 40 + 5L * 50, 90L)))
+  }
+
+  test("runCounts counts maximal runs with a null-safe first boundary") {
+    // T T F T F F -> runs: TT | F | T | FF = 4
+    val df = Seq(true, true, false, true, false, false).zipWithIndex
+      .map { case (h, i) => (1L, i.toLong, h) }.toDF("k", "i", "hi")
+    val out = Stats.runCounts(df, "k", Seq("i"), "hi").collect()
+    assert(out.toSeq == Seq(Row(1L, 3L, 3L, 4L)))
+  }
+}
