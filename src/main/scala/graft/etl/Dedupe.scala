@@ -62,4 +62,26 @@ object Dedupe {
       .agg(count(lit(1)).as("n"),
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
       .filter(col("n") >= 2)
+
+  /** Golden-record survivorship (master-data consolidation): per cluster,
+    * pick each attribute's most frequent NON-NULL value, ties broken by
+    * the smaller value — attributes survive independently, so the golden
+    * record can mix sources (the standard MDM rule set's
+    * most-frequent-wins policy). One (cluster, value) count + one
+    * cluster-partitioned rank per attribute, outer-joined back so a
+    * cluster whose attribute is entirely null still emits (null cell). */
+  def goldenRecord(df: DataFrame, clusterCol: String,
+      attrs: Seq[String]): DataFrame = {
+    val members = df.groupBy(col(clusterCol)).agg(count(lit(1)).as("n_members"))
+    attrs.foldLeft(members) { (acc, a) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(clusterCol)).orderBy(col("cnt").desc, col(a))
+      val best = df.filter(col(a).isNotNull)
+        .groupBy(col(clusterCol), col(a)).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col(clusterCol), col(a))
+      acc.join(best, Seq(clusterCol), "left")
+    }
+  }
 }

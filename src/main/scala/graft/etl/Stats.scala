@@ -109,6 +109,37 @@ object Stats {
         sum(col("held_one")).as("held_us"))
   }
 
+  /** FIFO lot matching (first-in-first-out cost/consumption allocation)
+    * WITHOUT sequential state: order supply lots and demand draws per key,
+    * take cumulative-quantity prefix sums, and observe that FIFO assigns
+    * demand j to supply i exactly where their half-open cumulative
+    * intervals `[S_{i−1}, S_i)` and `[D_{j−1}, D_j)` intersect — the
+    * matched quantity is the overlap length. The classic inventory
+    * recurrence becomes one window pass per side plus one key-equi join
+    * with a range predicate.
+    *
+    * Scale: the join is hash/sort-merge on the key; within a key the
+    * overlap chain emits ≤ nS + nD − 1 matches, though the join evaluates
+    * the per-key pair product before filtering — for heavy keys, bucketize
+    * the cumulative axis exactly as the q74 range join does. Zero-quantity
+    * lots self-eliminate (empty interval). */
+  def fifoMatch(supply: DataFrame, demand: DataFrame, keyCol: String,
+      idCol: String, ordCols: Seq[String], qtyCol: String): DataFrame = {
+    def ranges(df: DataFrame, side: String): DataFrame = {
+      val w = Window.partitionBy(keyCol).orderBy(ordCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(s"${side}_hi", sum(col(qtyCol)).over(w))
+        .withColumn(s"${side}_lo", col(s"${side}_hi") - col(qtyCol))
+        .select(col(keyCol), col(idCol).as(s"${side}_id"),
+          col(s"${side}_lo"), col(s"${side}_hi"))
+    }
+    ranges(supply, "s").join(ranges(demand, "d"), Seq(keyCol))
+      .filter(col("s_lo") < col("d_hi") && col("d_lo") < col("s_hi"))
+      .select(col(keyCol), col("s_id"), col("d_id"),
+        (least(col("s_hi"), col("d_hi")) -
+          greatest(col("s_lo"), col("d_lo"))).as("qty"))
+  }
+
   /** Wald–Wolfowitz run counts per key over an ordered boolean sequence:
     * `n_hi`/`n_lo` and the number of maximal same-value runs. A run
     * boundary is a row whose predecessor (null-safe) differs — counted

@@ -313,7 +313,30 @@ object Curation {
       .orderBy($"fp")
   }
 
+  // --------------------------------------- q227 golden record
+
+  /** Master-data survivorship ([[graft.etl.Dedupe.goldenRecord]]):
+    * consolidate each 10-part cluster into one golden record — per
+    * attribute, the most frequent non-null value (smaller-value
+    * tiebreak), attributes surviving independently. Brand/container get
+    * deterministic null injections so the non-null policy is actually
+    * exercised. */
+  def q227GoldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = graft.Tables.part(spark, dir).select(
+      expr("p_partkey div 10").as("cluster"),
+      when($"p_partkey" % 7 === 0, lit(null)).otherwise($"p_brand")
+        .as("p_brand"),
+      when($"p_partkey" % 5 === 0, lit(null)).otherwise($"p_type")
+        .as("p_type"),
+      $"p_size")
+    graft.etl.Dedupe.goldenRecord(base, "cluster",
+        Seq("p_brand", "p_type", "p_size"))
+      .orderBy($"cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_golden_record" -> q227GoldenRecord _,
     "q225_fingerprint_clusters" -> q225FingerprintClusters _,
     "q199_kmv" -> q199Kmv _,
     "q166_cms" -> q166Cms _,
@@ -336,6 +359,33 @@ object Curation {
     "q118_pmi_bigrams" -> q118PmiBigrams _)
 
   val oracleSql: Map[String, String] = Map(
+    "q227_golden_record" -> """
+      |WITH base AS (
+      |  SELECT CAST(p_partkey // 10 AS BIGINT) AS cluster,
+      |    CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_brand END AS b,
+      |    CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_type END AS t,
+      |    p_size AS z
+      |  FROM part),
+      |mem AS (SELECT cluster, count(*) AS n_members FROM base GROUP BY 1),
+      |pb AS (SELECT cluster, b FROM (
+      |  SELECT cluster, b, row_number() OVER (PARTITION BY cluster
+      |    ORDER BY count(*) DESC, b) AS rn
+      |  FROM base WHERE b IS NOT NULL GROUP BY cluster, b) WHERE rn = 1),
+      |pt AS (SELECT cluster, t FROM (
+      |  SELECT cluster, t, row_number() OVER (PARTITION BY cluster
+      |    ORDER BY count(*) DESC, t) AS rn
+      |  FROM base WHERE t IS NOT NULL GROUP BY cluster, t) WHERE rn = 1),
+      |pz AS (SELECT cluster, z FROM (
+      |  SELECT cluster, z, row_number() OVER (PARTITION BY cluster
+      |    ORDER BY count(*) DESC, z) AS rn
+      |  FROM base WHERE z IS NOT NULL GROUP BY cluster, z) WHERE rn = 1)
+      |SELECT mem.cluster, n_members, b AS p_brand, t AS p_type,
+      |  z AS p_size
+      |FROM mem
+      |LEFT JOIN pb ON pb.cluster = mem.cluster
+      |LEFT JOIN pt ON pt.cluster = mem.cluster
+      |LEFT JOIN pz ON pz.cluster = mem.cluster
+      |ORDER BY mem.cluster""".stripMargin,
     "q225_fingerprint_clusters" -> """
       |WITH k AS (
       |  SELECT doc_id,

@@ -181,7 +181,27 @@ object StatsQueries {
       .orderBy($"gid", $"etype", $"dow7")
   }
 
+  // ------------------------------------------- q228 FIFO matching
+
+  /** FIFO allocation of purchase credit against click consumption per
+    * user ([[Stats.fifoMatch]]): each click draw is matched against the
+    * oldest unconsumed purchase lots, emitted as (supply id, demand id,
+    * matched qty) segments. The inventory-costing recurrence with NO
+    * sequential state — cumulative-interval intersection, two window
+    * passes + one keyed join. */
+  def q228FifoMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).filter($"value".isNotNull)
+    def side(t: String) = e.filter($"event_type" === t)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        cents.as("qty"))
+    Stats.fifoMatch(side("purchase"), side("click"),
+        "user_id", "event_id", Seq("us", "event_id"), "qty")
+      .orderBy($"user_id", $"s_id", $"d_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_fifo_match" -> q228FifoMatch _,
     "q226_cube" -> q226Cube _,
     "q216_mann_whitney" -> q216MannWhitney _,
     "q217_ks_test" -> q217KsTest _,
@@ -192,6 +212,30 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q228_fifo_match" -> """
+      |WITH sup AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |         CAST(round(value * 100) AS BIGINT) AS q
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |dem AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |         CAST(round(value * 100) AS BIGINT) AS q
+      |  FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+      |s2 AS (
+      |  SELECT user_id, event_id AS s_id, sum(q) OVER w AS s_hi,
+      |         sum(q) OVER w - q AS s_lo
+      |  FROM sup WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |d2 AS (
+      |  SELECT user_id, event_id AS d_id, sum(q) OVER w AS d_hi,
+      |         sum(q) OVER w - q AS d_lo
+      |  FROM dem WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT s2.user_id, s_id, d_id,
+      |  CAST(least(s_hi, d_hi) - greatest(s_lo, d_lo) AS BIGINT) AS qty
+      |FROM s2 JOIN d2 ON s2.user_id = d2.user_id
+      |  AND s_lo < d_hi AND d_lo < s_hi
+      |ORDER BY 1, 2, 3""".stripMargin,
     "q226_cube" -> """
       |WITH e AS (
       |  SELECT event_type,

@@ -32,6 +32,22 @@ class ProjectionSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row("A", "B", "A", 1L), Row("B", "A", "B", 1L)))
   }
 
+  test("goldenRecord survives attributes independently with non-null wins") {
+    val df = Seq(
+      (1L, Some("A"), None: Option[String]),
+      (1L, Some("A"), None),
+      (1L, Some("B"), None),
+      (1L, None, None),
+      (2L, Some("Z2"), Some("X")), (2L, Some("Z1"), Some("X")))
+      .toDF("cluster", "brand", "mfgr")
+    val out = Dedupe.goldenRecord(df, "cluster", Seq("brand", "mfgr"))
+      .orderBy($"cluster").collect()
+    // cluster 1: brand A (2 of 3 non-null), mfgr all-null -> null cell
+    // cluster 2: brand tie 1-1 -> smaller value Z1
+    assert(out.toSeq == Seq(
+      Row(1L, 4L, "A", null), Row(2L, 2L, "Z1", "X")))
+  }
+
   test("fingerprintClusters keys on the sorted distinct token set") {
     val df = Seq(
       (1L, "blue lemon"), (2L, "lemon  blue lemon"), // double space -> empty token

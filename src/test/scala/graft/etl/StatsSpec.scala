@@ -49,6 +49,29 @@ class StatsSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row(1L, 0L, 3L * 40 + 5L * 50, 90L)))
   }
 
+  test("fifoMatch allocates demand to the oldest supply lots") {
+    // supply lots [0,5) [5,8); demand draws [0,4) [4,8)
+    // -> s1/d1: 4, s1/d2: 1, s2/d2: 3
+    val sup = Seq((1L, 10L, 1L, 5L), (1L, 11L, 2L, 3L))
+      .toDF("k", "id", "t", "q")
+    val dem = Seq((1L, 20L, 1L, 4L), (1L, 21L, 2L, 4L))
+      .toDF("k", "id", "t", "q")
+    val out = Stats.fifoMatch(sup, dem, "k", "id", Seq("t", "id"), "q")
+      .orderBy($"s_id", $"d_id").collect()
+    assert(out.toSeq == Seq(
+      Row(1L, 10L, 20L, 4L), Row(1L, 10L, 21L, 1L), Row(1L, 11L, 21L, 3L)))
+  }
+
+  test("fifoMatch conserves min(total supply, total demand) per key") {
+    val sup = Seq((1L, 1L, 1L, 7L), (1L, 2L, 2L, 2L), (2L, 3L, 1L, 4L))
+      .toDF("k", "id", "t", "q")
+    val dem = Seq((1L, 9L, 1L, 3L), (1L, 8L, 2L, 3L), (2L, 7L, 1L, 9L))
+      .toDF("k", "id", "t", "q")
+    val got = Stats.fifoMatch(sup, dem, "k", "id", Seq("t", "id"), "q")
+      .groupBy($"k").sum("qty").orderBy($"k").collect()
+    assert(got.toSeq == Seq(Row(1L, 6L), Row(2L, 4L)))
+  }
+
   test("runCounts counts maximal runs with a null-safe first boundary") {
     // T T F T F F -> runs: TT | F | T | FF = 4
     val df = Seq(true, true, false, true, false, false).zipWithIndex
