@@ -275,6 +275,58 @@ object Graph {
                 END AS BIGINT)""").as("r2_bp"))
   }
 
+  /** Hierarchy flattening by POINTER DOUBLING: every node of a parent
+    * forest resolves its root and depth in O(log depth) self-join rounds,
+    * not O(depth) — each round composes the walked pointer with itself
+    * (`ptr → ptr(ptr)`, distances add), so round r covers 2^r edges.
+    * The dimension-table closure every warehouse needs (org charts,
+    * category trees) without a sequential walk; 6 rounds cover depth 64.
+    *
+    * Roots self-parent (`parent == id`, distance 0), which also makes
+    * converged states fixpoints — extra rounds are no-ops. Each round is
+    * one equi-join shuffled on the pointer; `localCheckpoint` truncates
+    * the doubling lineage like the other iterative operators. */
+  def flattenHierarchy(nodes: DataFrame, idCol: String, parentCol: String,
+      doublings: Int = 6): DataFrame = {
+    var state = nodes.select(col(idCol).as("id"),
+        col(parentCol).as("ptr"),
+        when(col(parentCol) === col(idCol), 0L).otherwise(1L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to doublings) {
+      val t = state.select(col("id").as("t_id"), col("ptr").as("t_ptr"),
+        col("dist").as("t_dist"))
+      state = state.join(t, col("ptr") === col("t_id"))
+        .select(col("id"), col("t_ptr").as("ptr"),
+          (col("dist") + col("t_dist")).as("dist"))
+        .localCheckpoint()
+    }
+    state.select(col("id"), col("ptr").as("root"), col("dist").as("depth"))
+  }
+
+  /** Bounded-hop weighted shortest paths (Bellman–Ford relaxation):
+    * after `maxHops` rounds, `dist` is the exact minimum path weight
+    * using ≤ maxHops edges from the source set — the standard relaxation
+    * invariant, so fixed rounds give well-defined semantics an oracle can
+    * enumerate. Each round joins the frontier table with the edge list on
+    * the source endpoint (one keyed shuffle) and folds with min; weights
+    * stay integral. Unreachable-within-budget nodes are absent. */
+  def boundedShortestPaths(sources: DataFrame, edges: DataFrame,
+      srcNodeCol: String, srcCol: String, dstCol: String, wCol: String,
+      maxHops: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).as("w")).localCheckpoint()
+    var dist = sources.select(col(srcNodeCol).as("node"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val relaxed = e.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Bipartite projection with a degree cap: from (left, right) incidence
     * edges, the co-occurrence graph over right nodes — `n_co` = how many
     * left nodes connect both endpoints. The item-item neighborhood build

@@ -587,7 +587,50 @@ object GraphEvents {
       .orderBy($"t1", $"t2", $"t3")
   }
 
+  // --------------------------------------- q229 hierarchy flatten
+
+  /** Category-tree closure ([[Graph.flattenHierarchy]]): a 4-ary forest
+    * with roots 0–3 synthesized over the order keys (parent = id div 4 −
+    * 1), every node resolving (root, depth) in 6 pointer-doubling rounds
+    * — covers depth 64, i.e. 4^64 nodes, so the round count is a
+    * constant at any conceivable scale while the oracle walks the same
+    * forest edge-by-edge with a recursive CTE. */
+  def q229HierarchyFlatten(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val m = (orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1) / 10
+    val nodes = orders.filter($"o_orderkey" < m).select(
+      $"o_orderkey".as("id"),
+      expr("CASE WHEN o_orderkey < 4 THEN o_orderkey ELSE o_orderkey div 4 - 1 END").as("parent"))
+    Graph.flattenHierarchy(nodes, "id", "parent").orderBy($"id")
+  }
+
+  // --------------------------------------- q230 weighted shortest path
+
+  /** Weighted ≤8-hop shortest paths from node 0 over the q102 ring+skip
+    * lattice with weight = src mod 5 + 1
+    * ([[Graph.boundedShortestPaths]]): Bellman–Ford relaxation rounds,
+    * exact within the hop budget; the oracle enumerates every ≤8-hop
+    * path (out-degree 2 ⇒ ≤ 2⁸ paths) and takes the min. */
+  def q230ShortestPath(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val m = (orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1) / 5
+    val e = orders.filter(col("o_orderkey") < 2 * m).select(
+      when(col("o_orderkey") < m, col("o_orderkey"))
+        .otherwise(col("o_orderkey") - m).as("src"),
+      when(col("o_orderkey") < m, (col("o_orderkey") + 1) % m)
+        .otherwise((col("o_orderkey") - m + 13) % m).as("dst"))
+      .withColumn("w", col("src") % 5 + 1)
+    val seeds = Seq(0L).toDF("node")
+    Graph.boundedShortestPaths(seeds, e, "node", "src", "dst", "w",
+        maxHops = 8)
+      .orderBy($"node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_hierarchy_flatten" -> q229HierarchyFlatten _,
+    "q230_shortest_path" -> q230ShortestPath _,
     "q223_brand_copurchase" -> q223BrandCopurchase _,
     "q224_path_trigrams" -> q224PathTrigrams _,
     "q213_active_streaks" -> q213ActiveStreaks _,
@@ -622,6 +665,39 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q229_hierarchy_flatten" -> """
+      |WITH RECURSIVE mm AS (
+      |  SELECT (max(o_orderkey) + 1) // 10 AS m FROM orders),
+      |n AS (SELECT o_orderkey AS id FROM orders, mm WHERE o_orderkey < m),
+      |up AS (
+      |  SELECT id,
+      |    CASE WHEN id < 4 THEN id ELSE id // 4 - 1 END AS cur,
+      |    CASE WHEN id < 4 THEN 0 ELSE 1 END AS d
+      |  FROM n
+      |  UNION ALL
+      |  SELECT id, cur // 4 - 1, d + 1 FROM up WHERE cur >= 4)
+      |SELECT id,
+      |  CAST(min(CASE WHEN cur < 4 THEN cur END) AS BIGINT) AS root,
+      |  CAST(max(d) AS BIGINT) AS depth
+      |FROM up GROUP BY id ORDER BY id""".stripMargin,
+    "q230_shortest_path" -> """
+      |WITH RECURSIVE mm AS (
+      |  SELECT (max(o_orderkey) + 1) // 5 AS m FROM orders),
+      |e AS (
+      |  SELECT CASE WHEN o_orderkey < m THEN o_orderkey
+      |              ELSE o_orderkey - m END AS src,
+      |         CASE WHEN o_orderkey < m THEN (o_orderkey + 1) % m
+      |              ELSE (o_orderkey - m + 13) % m END AS dst
+      |  FROM orders, mm WHERE o_orderkey < 2 * m),
+      |we AS (SELECT src, dst, src % 5 + 1 AS w FROM e),
+      |p AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist,
+      |         0 AS hops
+      |  UNION ALL
+      |  SELECT we.dst, p.dist + we.w, p.hops + 1
+      |  FROM p JOIN we ON we.src = p.node WHERE p.hops < 8)
+      |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+      |FROM p GROUP BY node ORDER BY node""".stripMargin,
     "q223_brand_copurchase" -> """
       |WITH ub AS (
       |  SELECT DISTINCT o_custkey AS u, p_brand AS b

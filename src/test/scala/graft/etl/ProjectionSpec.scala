@@ -32,6 +32,27 @@ class ProjectionSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row("A", "B", "A", 1L), Row("B", "A", "B", 1L)))
   }
 
+  test("flattenHierarchy resolves root and depth via pointer doubling") {
+    // forest: 0 <- 1 <- 2 <- 3 <- 4 (chain), 9 root alone
+    val nodes = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L),
+      (9L, 9L)).toDF("id", "parent")
+    val out = Graph.flattenHierarchy(nodes, "id", "parent", doublings = 3)
+      .orderBy($"id").collect()
+    assert(out.toSeq == Seq(
+      Row(0L, 0L, 0L), Row(1L, 0L, 1L), Row(2L, 0L, 2L),
+      Row(3L, 0L, 3L), Row(4L, 0L, 4L), Row(9L, 9L, 0L)))
+  }
+
+  test("boundedShortestPaths relaxes to the min weight within the budget") {
+    // 0->1 (w5), 0->2 (w1), 2->1 (w1): best 0->1 is 2 via two hops
+    val e = Seq((0L, 1L, 5L), (0L, 2L, 1L), (2L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("node")
+    val out = Graph.boundedShortestPaths(seeds, e, "node", "src", "dst",
+        "w", maxHops = 2).orderBy($"node").collect()
+    assert(out.toSeq == Seq(Row(0L, 0L), Row(1L, 2L), Row(2L, 1L)))
+  }
+
   test("goldenRecord survives attributes independently with non-null wins") {
     val df = Seq(
       (1L, Some("A"), None: Option[String]),
