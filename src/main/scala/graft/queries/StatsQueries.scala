@@ -200,7 +200,64 @@ object StatsQueries {
       .orderBy($"user_id", $"s_id", $"d_id")
   }
 
+  // ------------------------------------- q231 total variation drift
+
+  /** Total-variation distance between each cohort's event-type mix and
+    * cohort 0's, as the exact fraction `Σ|c_i·n0 − c0_i·n| / (2·n·n0)`
+    * (numerator reported, scaled tv_bp = 10⁴·TV floored) — the
+    * categorical-distribution drift screen beside q217's ordinal KS. Two
+    * tiny aggregations; the per-(cohort,type) table is enum-sized. */
+  def q231TvDistance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cell = Tables.events(spark, dir)
+      .select(($"user_id" % 4).as("cohort"), $"event_type")
+      .groupBy($"cohort", $"event_type").agg(count(lit(1)).as("c"))
+    // dense cohort×type grid: a type absent from one side still deviates
+    val grid = cell.select($"cohort").distinct()
+      .crossJoin(broadcast(cell.select($"event_type").distinct()))
+    val full = grid.join(cell, Seq("cohort", "event_type"), "left")
+      .withColumn("c", coalesce($"c", lit(0L)))
+    val ref = full.filter($"cohort" === 0)
+      .select($"event_type", $"c".as("c0"))
+    val n = full.groupBy($"cohort").agg(sum($"c").as("n"))
+    val n0 = n.filter($"cohort" === 0).select($"n".as("n0"))
+    full.join(broadcast(ref), Seq("event_type"))
+      .join(n, Seq("cohort")).crossJoin(broadcast(n0))
+      .withColumn("dev", abs($"c" * $"n0" - $"c0" * $"n"))
+      .groupBy($"cohort", $"n", $"n0")
+      .agg(sum($"dev").as("tv_num"))
+      .select($"cohort", $"n", $"n0", $"tv_num",
+        expr("tv_num * 10000 div (2 * n * n0)").as("tv_bp"))
+      .orderBy($"cohort")
+  }
+
+  // ------------------------------------------- q232 event debounce
+
+  /** Debounce: collapse each burst of same-(user, type) events with ≤5 s
+    * inter-arrival gaps to its FIRST event (the islands trick — a gap
+    * > 5 s starts a new burst), reporting kept/dropped per user. The
+    * at-the-source dedup every clickstream ingest runs; one partitioned
+    * window, no self-join. */
+  def q232Debounce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"us", $"event_id")
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"event_id",
+        unix_micros($"ts").as("us"))
+      .withColumn("first_of_burst",
+        coalesce($"us" - lag($"us", 1).over(w) > 5000000L, lit(true)))
+    e.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when($"first_of_burst", lit(1))).as("n_kept"),
+        count(when(!$"first_of_burst", lit(1))).as("n_dropped"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_tv_distance" -> q231TvDistance _,
+    "q232_debounce" -> q232Debounce _,
     "q228_fifo_match" -> q228FifoMatch _,
     "q226_cube" -> q226Cube _,
     "q216_mann_whitney" -> q216MannWhitney _,
@@ -212,6 +269,44 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q231_tv_distance" -> """
+      |WITH cell AS (
+      |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort, event_type,
+      |         count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT co.cohort, ty.event_type
+      |  FROM (SELECT DISTINCT cohort FROM cell) co,
+      |       (SELECT DISTINCT event_type FROM cell) ty),
+      |f AS (
+      |  SELECT g.cohort, g.event_type, coalesce(c, 0) AS c
+      |  FROM grid g LEFT JOIN cell
+      |    ON cell.cohort = g.cohort AND cell.event_type = g.event_type),
+      |ref AS (SELECT event_type, c AS c0 FROM f WHERE cohort = 0),
+      |n AS (SELECT cohort, sum(c) AS n FROM f GROUP BY 1),
+      |n0 AS (SELECT n AS n0 FROM n WHERE cohort = 0)
+      |SELECT f.cohort, CAST(n.n AS BIGINT) AS n, CAST(n0.n0 AS BIGINT) AS n0,
+      |  CAST(sum(abs(f.c * n0.n0 - ref.c0 * n.n)) AS BIGINT) AS tv_num,
+      |  CAST(sum(abs(f.c * n0.n0 - ref.c0 * n.n)) * 10000
+      |       // (2 * n.n * n0.n0) AS BIGINT) AS tv_bp
+      |FROM f
+      |JOIN ref ON ref.event_type = f.event_type
+      |JOIN n ON n.cohort = f.cohort
+      |CROSS JOIN n0
+      |GROUP BY f.cohort, n.n, n0.n0 ORDER BY f.cohort""".stripMargin,
+    "q232_debounce" -> """
+      |WITH x AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id,
+      |    coalesce(us - lag(us) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY us, event_id) > 5000000, TRUE) AS f
+      |  FROM x)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(count(*) FILTER (WHERE f) AS BIGINT) AS n_kept,
+      |  CAST(count(*) FILTER (WHERE NOT f) AS BIGINT) AS n_dropped
+      |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q228_fifo_match" -> """
       |WITH sup AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,

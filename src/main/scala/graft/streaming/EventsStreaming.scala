@@ -157,6 +157,39 @@ object EventsStreaming {
       }.toDF()
   }
 
+  final case class BalRow(user_id: Long, us: Long, event_id: Long,
+      delta: Long)
+  final case class BalOut(user_id: Long, event_id: Long, balance: Long)
+
+  /** Streaming floor-at-zero balance — the stateful twin of
+    * [[graft.etl.Stats.clampedBalance]]: the batch side solves the
+    * `max(0, prev + delta)` recurrence closed-form with the prefix-min
+    * window identity; the stream carries the ONE number the recurrence
+    * actually needs (the current balance) across micro-batches. State is
+    * O(1) per user forever — no retained rows, no watermark pressure —
+    * which is exactly why this recurrence is streaming-friendly even
+    * though it looks sequential. Rows process in (us, event_id) order
+    * within a batch; the parity spec pins stream ≡ batch across
+    * micro-batch boundaries. */
+  def clampedBalanceStream(deltas: DataFrame): DataFrame = {
+    import deltas.sparkSession.implicits._
+    deltas.select(col("user_id"), col("us"), col("event_id"),
+        col("delta")).as[BalRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[BalRow], state: GroupState[Long]) =>
+          var bal = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[BalOut]
+          rows.toSeq.sortBy(r => (r.us, r.event_id)).foreach { r =>
+            bal = math.max(0L, bal + r.delta)
+            out += BalOut(user, r.event_id, bal)
+          }
+          state.update(bal)
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Change-detection sink (J3/K2-shaped): every micro-batch is reduced to
     * changed-rows via content hash and merged into the target parquet dir —
     * `foreachBatch` is where a real deployment issues MERGE INTO. */

@@ -301,4 +301,42 @@ class EventsStreamingSpec extends SparkSpec {
       .select($"id", $"trail_cnt").as[(Long, Long)].collect().toMap
     assert(batch == got, "streaming and batch twins must agree")
   }
+
+  test("clampedBalanceStream: cross-batch balance matches the batch twin") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStreaming.BalRow
+    val input = MemoryStream[BalRow]
+    val q = EventsStreaming.clampedBalanceStream(input.toDF())
+      .writeStream.format("memory").queryName("bal").outputMode("append").start()
+
+    // batch 1: +2, -5 (clamps to 0), +4 -> balances 2, 0, 4
+    input.addData(BalRow(1, 1, 10, 2), BalRow(1, 2, 11, -5),
+      BalRow(1, 3, 12, 4))
+    q.processAllAvailable()
+    // batch 2: carries balance 4 across the boundary: -6 clamps to 0,
+    // +3 -> 3; user 2 starts fresh: -7 clamps to 0
+    input.addData(BalRow(1, 4, 13, -6), BalRow(1, 5, 14, 3),
+      BalRow(2, 1, 20, -7))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("bal").collect()
+      .map(r => ((r.getAs[Long]("user_id"), r.getAs[Long]("event_id")),
+        r.getAs[Long]("balance"))).toMap
+    assert(got == Map((1L, 10L) -> 2L, (1L, 11L) -> 0L, (1L, 12L) -> 4L,
+      (1L, 13L) -> 0L, (1L, 14L) -> 3L, (2L, 20L) -> 0L))
+
+    // batch twin on the identical rows
+    val all = Seq((1L, 1L, 10L, 2L), (1L, 2L, 11L, -5L), (1L, 3L, 12L, 4L),
+      (1L, 4L, 13L, -6L), (1L, 5L, 14L, 3L), (2L, 1L, 20L, -7L))
+      .toDF("user_id", "us", "event_id", "delta")
+    val batch = graft.etl.Stats.clampedBalance(
+        all, "user_id", Seq("us", "event_id"), "delta")
+      .select($"user_id", $"event_id", $"balance")
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, id, b) => ((u, id), b) }.toMap
+    assert(batch == got, "streaming and batch twins must agree")
+  }
 }
