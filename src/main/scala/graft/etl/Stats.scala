@@ -109,6 +109,34 @@ object Stats {
         sum(col("held_one")).as("held_us"))
   }
 
+  /** Two-sample Wasserstein-1 (earth mover's) distance per group, exact:
+    * `W1 · n1 · n2 = Σ_i |F1(v_i)·n2 − F2(v_i)·n1| · (v_{i+1} − v_i)` over
+    * the pooled distinct values — the area between the two un-normalized
+    * CDFs. Completes the drift triad with [[ksStatistic]] (max gap) and
+    * the TV distance (point-mass diff): EMD sees HOW FAR mass moved, not
+    * just that it moved. Same shape as KS: per-value collapse, one
+    * group-keyed window pass. */
+  def wasserstein1(df: DataFrame, groupCol: String, sampleCol: String,
+      valueCol: String): DataFrame = {
+    val cell = df.groupBy(col(groupCol), col(valueCol)).agg(
+      count(when(col(sampleCol) === 1, lit(1))).as("c1"),
+      count(when(col(sampleCol) === 2, lit(1))).as("c2"))
+    val wCum = Window.partitionBy(groupCol).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOrd = Window.partitionBy(groupCol).orderBy(valueCol)
+    val wAll = Window.partitionBy(groupCol)
+    cell
+      .withColumn("f1", sum(col("c1")).over(wCum))
+      .withColumn("f2", sum(col("c2")).over(wCum))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .withColumn("gap",
+        coalesce(lead(col(valueCol), 1).over(wOrd) - col(valueCol), lit(0L)))
+      .groupBy(col(groupCol), col("n1"), col("n2"))
+      .agg(sum(abs(col("f1") * col("n2") - col("f2") * col("n1"))
+        * col("gap")).as("w1_num"))
+  }
+
   /** FIFO lot matching (first-in-first-out cost/consumption allocation)
     * WITHOUT sequential state: order supply lots and demand draws per key,
     * take cumulative-quantity prefix sums, and observe that FIFO assigns

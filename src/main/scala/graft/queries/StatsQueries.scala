@@ -255,7 +255,24 @@ object StatsQueries {
       .orderBy($"user_id")
   }
 
+  // ------------------------------------------ q233 Wasserstein-1
+
+  /** Per-cohort earth mover's distance between purchase and view amount
+    * distributions ([[Stats.wasserstein1]]): the un-normalized CDF area
+    * as the exact integer `w1_num` over `n1·n2` — with q217 (KS max gap)
+    * and q231 (TV), the full drift-metric triad. */
+  def q233Wasserstein(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.events(spark, dir)
+      .filter($"event_type".isin("purchase", "view") && $"value".isNotNull)
+      .select(($"user_id" % 4).as("cohort"),
+        when($"event_type" === "purchase", 1).otherwise(2).as("s"),
+        cents.as("v"))
+    Stats.wasserstein1(x, "cohort", "s", "v").orderBy($"cohort")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_wasserstein" -> q233Wasserstein _,
     "q231_tv_distance" -> q231TvDistance _,
     "q232_debounce" -> q232Debounce _,
     "q228_fifo_match" -> q228FifoMatch _,
@@ -269,6 +286,32 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q233_wasserstein" -> """
+      |WITH x AS (
+      |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort,
+      |         CASE event_type WHEN 'purchase' THEN 1 ELSE 2 END AS s,
+      |         CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+      |cell AS (
+      |  SELECT cohort, v,
+      |         count(*) FILTER (WHERE s = 1) AS c1,
+      |         count(*) FILTER (WHERE s = 2) AS c2
+      |  FROM x GROUP BY cohort, v),
+      |cum AS (
+      |  SELECT cohort, v,
+      |    sum(c1) OVER (PARTITION BY cohort ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+      |    sum(c2) OVER (PARTITION BY cohort ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2,
+      |    sum(c1) OVER (PARTITION BY cohort) AS n1,
+      |    sum(c2) OVER (PARTITION BY cohort) AS n2,
+      |    coalesce(lead(v) OVER (PARTITION BY cohort ORDER BY v) - v, 0)
+      |      AS gap
+      |  FROM cell)
+      |SELECT cohort, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(sum(abs(f1 * n2 - f2 * n1) * gap) AS BIGINT) AS w1_num
+      |FROM cum GROUP BY cohort, n1, n2 ORDER BY cohort""".stripMargin,
     "q231_tv_distance" -> """
       |WITH cell AS (
       |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort, event_type,

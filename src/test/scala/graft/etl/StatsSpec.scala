@@ -30,6 +30,16 @@ class StatsSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row(0L, 3L, 2L, 4L, 2L)))
   }
 
+  test("wasserstein1 integrates the CDF gap over value gaps") {
+    // s1 = {0, 10}, s2 = {10, 20}: shift by 10 -> W1 = 10, n1*n2 = 4
+    // supports 0,10,20: |F1n2-F2n1| at 0 = |1*2-0| = 2 (gap 10),
+    // at 10 = |2*2-1*2| = 2 (gap 10), at 20 = 0 -> num = 40 = W1*4
+    val df = Seq((1L, 1, 0L), (1L, 1, 10L), (1L, 2, 10L), (1L, 2, 20L))
+      .toDF("g", "s", "v")
+    val out = Stats.wasserstein1(df, "g", "s", "v").collect()
+    assert(out.toSeq == Seq(Row(1L, 2L, 2L, 40L)))
+  }
+
   test("clampedBalance equals the sequential max(0, prev + delta) scan") {
     val deltas = Seq(2L, -5L, 4L, -6L, 3L, -1L, 10L, -2L)
     val df = deltas.zipWithIndex
