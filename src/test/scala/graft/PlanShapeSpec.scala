@@ -295,6 +295,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(p210.contains("Window"))
   }
 
+  test("q218/q219: clamped balance and TWAP are window-only — no joins") {
+    // the prefix-min identity and LOCF hold-to-next are pure stacked
+    // windows over ONE key partitioning; a join or cartesian here would
+    // mean the recurrence got reimplemented as a self-join
+    val p218 = plan("q218_clamped_balance")
+    assert(!p218.contains("Join"))
+    assert(p218.contains("Window"))
+    val p219 = plan("q219_twap")
+    assert(!p219.contains("Join"))
+    assert(p219.contains("Window"))
+  }
+
+  test("q228: FIFO matching is a keyed equi-join, never a cartesian") {
+    // the range predicate rides ON TOP of the user_id equi-join — if the
+    // equi key were lost the plan would degrade to BNLJ/cartesian and
+    // evaluate |S|x|D| pairs globally instead of per key
+    val p = plan("q228_fifo_match")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q220/q226: rollup and cube plan one Expand, not a scan self-union") {
+    val p220 = plan("q220_rollup_revenue")
+    assert(p220.contains("Expand"))
+    // formatted mode prints each node twice (tree + detail): 4 base
+    // tables => 8 mentions; more would mean grouping sets re-scanned
+    assert("Scan parquet".r.findAllIn(p220).size <= 8,
+      "one scan per base table — grouping sets must not re-scan")
+    val p226 = plan("q226_cube")
+    assert(p226.contains("Expand"))
+    assert("Scan parquet".r.findAllIn(p226).size <= 2)
+  }
+
+  test("q223: bipartite projection joins only on the capped left key") {
+    val p = plan("q223_brand_copurchase")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("shop adapter transform keeps whole-stage codegen spans") {
     import spark.implicits._
     val row =
