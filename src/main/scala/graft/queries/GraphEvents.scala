@@ -628,7 +628,35 @@ object GraphEvents {
       .orderBy($"node")
   }
 
+  // ----------------------------------------- q234 group-aware split
+
+  /** Group-aware train/val/test split (GroupKFold semantics): every node
+    * of the q229 forest inherits its ROOT's sha-bucket split, so no
+    * connected group ever straddles train and eval — the leakage rule for
+    * entity-linked training data (q139 purges by TIME, this purges by
+    * RELATION). Root resolution = 6 pointer-doubling rounds
+    * ([[Graph.flattenHierarchy]]); the split is q59's content-addressed
+    * bucket applied to the root id, so group membership growth never
+    * reassigns existing groups. Reports per-split node/group counts and
+    * the deepest member as the integrity summary. */
+  def q234GroupSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val m = (orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1) / 10
+    val nodes = orders.filter($"o_orderkey" < m).select(
+      $"o_orderkey".as("id"),
+      expr("CASE WHEN o_orderkey < 256 THEN o_orderkey ELSE o_orderkey div 4 END").as("parent"))
+    Graph.flattenHierarchy(nodes, "id", "parent")
+      .withColumn("split", TrainingData.splitColumn($"root"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_nodes"),
+        countDistinct($"root").as("n_groups"),
+        max($"depth").as("max_depth"))
+      .orderBy($"split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_group_split" -> q234GroupSplit _,
     "q229_hierarchy_flatten" -> q229HierarchyFlatten _,
     "q230_shortest_path" -> q230ShortestPath _,
     "q223_brand_copurchase" -> q223BrandCopurchase _,
@@ -665,6 +693,33 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q234_group_split" -> """
+      |WITH RECURSIVE mm AS (
+      |  SELECT (max(o_orderkey) + 1) // 10 AS m FROM orders),
+      |n AS (SELECT o_orderkey AS id FROM orders, mm WHERE o_orderkey < m),
+      |up AS (
+      |  SELECT id,
+      |    CASE WHEN id < 256 THEN id ELSE id // 4 END AS cur,
+      |    CASE WHEN id < 256 THEN 0 ELSE 1 END AS d
+      |  FROM n
+      |  UNION ALL
+      |  SELECT id, cur // 4, d + 1 FROM up WHERE cur >= 256),
+      |flat AS (
+      |  SELECT id, min(CASE WHEN cur < 256 THEN cur END) AS root,
+      |         max(d) AS depth
+      |  FROM up GROUP BY id),
+      |lab AS (
+      |  SELECT id, root, depth,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT id, root, depth,
+      |    ('0x' || substring(sha256(CAST(root AS VARCHAR)), 1, 4))::BIGINT
+      |      % 100 AS b
+      |    FROM flat))
+      |SELECT split, count(*) AS n_nodes,
+      |  CAST(count(DISTINCT root) AS BIGINT) AS n_groups,
+      |  CAST(max(depth) AS BIGINT) AS max_depth
+      |FROM lab GROUP BY split ORDER BY split""".stripMargin,
     "q229_hierarchy_flatten" -> """
       |WITH RECURSIVE mm AS (
       |  SELECT (max(o_orderkey) + 1) // 10 AS m FROM orders),
