@@ -271,7 +271,37 @@ object StatsQueries {
     Stats.wasserstein1(x, "cohort", "s", "v").orderBy($"cohort")
   }
 
+  // ------------------------------------- q235 weighted Jaccard
+
+  /** Weighted Jaccard `Σmin(w)/Σmax(w)` between each cohort pair's
+    * brand-purchase weight vector — the weighted sibling of q214's set
+    * overlap: two cohorts buying the same brands in different PROPORTIONS
+    * score below 1. Dense cohort×brand grid (enum-sized), pair join on
+    * the brand key only, exact integer sums with floored bp ratio. */
+  def q235WeightedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cell = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.part(spark, dir), $"p_partkey" === $"l_partkey")
+      .select(($"o_custkey" % 4).as("cohort"), $"p_brand")
+      .groupBy($"cohort", $"p_brand").agg(count(lit(1)).as("w"))
+    val grid = cell.select($"cohort").distinct()
+      .crossJoin(broadcast(cell.select($"p_brand").distinct()))
+    val full = grid.join(cell, Seq("cohort", "p_brand"), "left")
+      .withColumn("w", coalesce($"w", lit(0L)))
+    val a = full.select($"cohort".as("ca"), $"p_brand", $"w".as("wa"))
+    val b = full.select($"cohort".as("cb"), $"p_brand", $"w".as("wb"))
+    a.join(b, Seq("p_brand")).filter($"ca" < $"cb")
+      .groupBy($"ca", $"cb")
+      .agg(sum(least($"wa", $"wb")).as("min_sum"),
+        sum(greatest($"wa", $"wb")).as("max_sum"))
+      .select($"ca", $"cb", $"min_sum", $"max_sum",
+        expr("min_sum * 10000 div max_sum").as("wj_bp"))
+      .orderBy($"ca", $"cb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_weighted_jaccard" -> q235WeightedJaccard _,
     "q233_wasserstein" -> q233Wasserstein _,
     "q231_tv_distance" -> q231TvDistance _,
     "q232_debounce" -> q232Debounce _,
@@ -286,6 +316,29 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q235_weighted_jaccard" -> """
+      |WITH cell AS (
+      |  SELECT CAST(o_custkey % 4 AS BIGINT) AS cohort, p_brand,
+      |         count(*) AS w
+      |  FROM orders
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN part ON p_partkey = l_partkey
+      |  GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT co.cohort, br.p_brand
+      |  FROM (SELECT DISTINCT cohort FROM cell) co,
+      |       (SELECT DISTINCT p_brand FROM cell) br),
+      |f AS (
+      |  SELECT g.cohort, g.p_brand, coalesce(w, 0) AS w
+      |  FROM grid g LEFT JOIN cell
+      |    ON cell.cohort = g.cohort AND cell.p_brand = g.p_brand)
+      |SELECT a.cohort AS ca, b.cohort AS cb,
+      |  CAST(sum(least(a.w, b.w)) AS BIGINT) AS min_sum,
+      |  CAST(sum(greatest(a.w, b.w)) AS BIGINT) AS max_sum,
+      |  CAST(sum(least(a.w, b.w)) * 10000 // sum(greatest(a.w, b.w))
+      |    AS BIGINT) AS wj_bp
+      |FROM f a JOIN f b ON a.p_brand = b.p_brand AND a.cohort < b.cohort
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q233_wasserstein" -> """
       |WITH x AS (
       |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort,
