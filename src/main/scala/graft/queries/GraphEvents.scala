@@ -655,7 +655,43 @@ object GraphEvents {
       .orderBy($"split")
   }
 
+  // ------------------------------------ q236 Markov accuracy
+
+  /** First-order Markov next-step accuracy: predict each step's successor
+    * as the globally most frequent successor of its type (deterministic
+    * argmax, count-desc then name tiebreak) and score against the actual
+    * next step — the self-consistency ceiling of q103's transition model
+    * (how predictable is the clickstream at order 1?). Two enum-sized
+    * aggregations + one broadcast-sized prediction join; acc in bp. */
+  def q236MarkovAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id",
+        lag($"event_type", 1).over(w).as("prev_type"),
+        $"event_type".as("curr_type"))
+      .filter($"prev_type".isNotNull)
+      .select($"prev_type", $"curr_type")
+    val counts = pairs.groupBy($"prev_type", $"curr_type")
+      .agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy($"prev_type")
+      .orderBy($"n".desc, $"curr_type")
+    val pred = counts.withColumn("rn", row_number().over(wp))
+      .filter($"rn" === 1).select($"prev_type", $"curr_type".as("pred_type"))
+    counts.join(broadcast(pred), Seq("prev_type"))
+      .groupBy($"prev_type")
+      .agg(sum($"n").as("n_pairs"),
+        sum(when($"curr_type" === $"pred_type", $"n").otherwise(0L))
+          .as("n_correct"),
+        min($"pred_type").as("pred_type"))
+      .select($"prev_type", $"pred_type", $"n_pairs", $"n_correct",
+        expr("n_correct * 10000 div n_pairs").as("acc_bp"))
+      .orderBy($"prev_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_markov_accuracy" -> q236MarkovAccuracy _,
     "q234_group_split" -> q234GroupSplit _,
     "q229_hierarchy_flatten" -> q229HierarchyFlatten _,
     "q230_shortest_path" -> q230ShortestPath _,
@@ -693,6 +729,28 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q236_markov_accuracy" -> """
+      |WITH pairs AS (
+      |  SELECT prev_type, event_type AS curr_type FROM (
+      |    SELECT lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type, event_type
+      |    FROM events)
+      |  WHERE prev_type IS NOT NULL),
+      |c AS (SELECT prev_type, curr_type, count(*) AS n
+      |      FROM pairs GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT prev_type, curr_type AS pred_type FROM (
+      |    SELECT prev_type, curr_type, row_number() OVER (
+      |      PARTITION BY prev_type ORDER BY n DESC, curr_type) AS rn
+      |    FROM c) WHERE rn = 1)
+      |SELECT c.prev_type, min(pred_type) AS pred_type,
+      |  CAST(sum(n) AS BIGINT) AS n_pairs,
+      |  CAST(sum(CASE WHEN curr_type = pred_type THEN n ELSE 0 END)
+      |    AS BIGINT) AS n_correct,
+      |  CAST(sum(CASE WHEN curr_type = pred_type THEN n ELSE 0 END)
+      |    * 10000 // sum(n) AS BIGINT) AS acc_bp
+      |FROM c JOIN pred ON pred.prev_type = c.prev_type
+      |GROUP BY c.prev_type ORDER BY c.prev_type""".stripMargin,
     "q234_group_split" -> """
       |WITH RECURSIVE mm AS (
       |  SELECT (max(o_orderkey) + 1) // 10 AS m FROM orders),
