@@ -335,7 +335,37 @@ object Curation {
       .orderBy($"cluster")
   }
 
+  // ------------------------------------ q237 linkage scoring
+
+  /** Record-linkage pair scoring (Fellegi–Sunter with fixed integer
+    * agreement weights): candidate part pairs from (brand, first
+    * name-word) blocking, scored +12 type match, +6 size within 1,
+    * +3 price within €5; pairs ≥ 15 survive (type must agree plus one
+    * corroborating field). The probabilistic-linkage shape with the
+    * weights frozen so the decision is exactly reproducible; block
+    * self-join only — never all-pairs. */
+  def q237LinkageScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = graft.Tables.part(spark, dir).select(
+      $"p_partkey".as("id"), $"p_brand".as("blk_brand"),
+      substring_index($"p_name", " ", 1).as("blk_word"),
+      $"p_type", $"p_size",
+      expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"))
+    val a = p.toDF(p.columns.map(c => s"a_$c"): _*)
+    val b = p.toDF(p.columns.map(c => s"b_$c"): _*)
+    a.join(b, $"a_blk_brand" === $"b_blk_brand" &&
+        $"a_blk_word" === $"b_blk_word" && $"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        (when($"a_p_type" === $"b_p_type", 12L).otherwise(0L) +
+         when(abs($"a_p_size" - $"b_p_size") <= 1, 6L).otherwise(0L) +
+         when(abs($"a_cents" - $"b_cents") <= 500L, 3L).otherwise(0L))
+          .as("score"))
+      .filter($"score" >= 15)
+      .orderBy($"a_id", $"b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_linkage_score" -> q237LinkageScore _,
     "q227_golden_record" -> q227GoldenRecord _,
     "q225_fingerprint_clusters" -> q225FingerprintClusters _,
     "q199_kmv" -> q199Kmv _,
@@ -359,6 +389,24 @@ object Curation {
     "q118_pmi_bigrams" -> q118PmiBigrams _)
 
   val oracleSql: Map[String, String] = Map(
+    "q237_linkage_score" -> """
+      |WITH p AS (
+      |  SELECT p_partkey AS id, p_brand,
+      |    split_part(p_name, ' ', 1) AS w1, p_type, p_size,
+      |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      |  FROM part)
+      |SELECT a.id AS a_id, b.id AS b_id,
+      |  CAST(CASE WHEN a.p_type = b.p_type THEN 12 ELSE 0 END
+      |    + CASE WHEN abs(a.p_size - b.p_size) <= 1 THEN 6 ELSE 0 END
+      |    + CASE WHEN abs(a.cents - b.cents) <= 500 THEN 3 ELSE 0 END
+      |    AS BIGINT) AS score
+      |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
+      |  AND a.id < b.id
+      |WHERE CASE WHEN a.p_type = b.p_type THEN 12 ELSE 0 END
+      |    + CASE WHEN abs(a.p_size - b.p_size) <= 1 THEN 6 ELSE 0 END
+      |    + CASE WHEN abs(a.cents - b.cents) <= 500 THEN 3 ELSE 0 END
+      |    >= 15
+      |ORDER BY a_id, b_id""".stripMargin,
     "q227_golden_record" -> """
       |WITH base AS (
       |  SELECT CAST(p_partkey // 10 AS BIGINT) AS cluster,
