@@ -317,4 +317,36 @@ object Series {
         first(col("dow_mean")).as("dow_mean"),
         max(abs(col("_x") - col("dow_mean"))).as("max_abs_resid"))
   }
+
+  /** Rolling Pearson correlation between two aligned series over a
+    * trailing ROWS window, with [[Mining.groupedCorr]]'s exact contract
+    * (sign + floor-scaled r², decimal(38,0) sufficient statistics — no
+    * float drift at any window position). Emits only full windows.
+    *
+    * Like [[acf]]/[[cusumChangepoint]], this operates on a TICK-BOUNDED
+    * series (daily rollups: the domain is the calendar, not the data), so
+    * the single ordered window is a bounded sort by construction — the
+    * unbounded-key variant would partition by series id. */
+  def rollingCorr(df: DataFrame, tCol: String, xCol: String, yCol: String,
+      window: Int, scale: Long = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val w = Window.orderBy(col(tCol)).rowsBetween(-(window - 1), 0)
+    val wn = Window.orderBy(col(tCol))
+    df.select(col(tCol), col(xCol).cast(d38).as("_x"),
+        col(yCol).cast(d38).as("_y"))
+      .select(col(tCol),
+        count(lit(1)).over(w).cast(d38).as("n"),
+        sum(col("_x")).over(w).as("sx"), sum(col("_y")).over(w).as("sy"),
+        sum(col("_x") * col("_y")).over(w).as("sxy"),
+        sum(col("_x") * col("_x")).over(w).as("sxx"),
+        sum(col("_y") * col("_y")).over(w).as("syy"),
+        row_number().over(wn).as("rn"))
+      .filter(col("rn") >= window)
+      .select(col(tCol), col("n").cast("long").as("n"),
+        expr("CAST(sign(n * sxy - sx * sy) AS BIGINT)").as("corr_sign"),
+        expr(s"CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * $scale) " +
+          "div NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0) " +
+          "AS BIGINT)").as("r2_scaled"))
+  }
 }

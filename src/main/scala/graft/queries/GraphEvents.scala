@@ -690,7 +690,26 @@ object GraphEvents {
       .orderBy($"prev_type")
   }
 
+  // ------------------------------------ q238 rolling correlation
+
+  /** Trailing 7-day correlation between daily click and purchase volumes
+    * ([[graft.etl.Series.rollingCorr]]): q144's exact sign + scaled-r²
+    * contract swept along the calendar — the coupling monitor that spots
+    * the week funnels decouple. Full windows only. */
+  def q238RollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select(datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+        .cast("long").as("d"), $"event_type")
+      .groupBy($"d")
+      .agg(count(when($"event_type" === "click", lit(1))).as("x"),
+        count(when($"event_type" === "purchase", lit(1))).as("y"))
+    graft.etl.Series.rollingCorr(daily, "d", "x", "y", window = 7)
+      .orderBy($"d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_rolling_corr" -> q238RollingCorr _,
     "q236_markov_accuracy" -> q236MarkovAccuracy _,
     "q234_group_split" -> q234GroupSplit _,
     "q229_hierarchy_flatten" -> q229HierarchyFlatten _,
@@ -729,6 +748,30 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q238_rolling_corr" -> """
+      |WITH daily AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS d,
+      |    CAST(count(*) FILTER (WHERE event_type = 'click')
+      |      AS HUGEINT) AS x,
+      |    CAST(count(*) FILTER (WHERE event_type = 'purchase')
+      |      AS HUGEINT) AS y
+      |  FROM events GROUP BY 1),
+      |roll AS (
+      |  SELECT d,
+      |    CAST(count(*) OVER w AS HUGEINT) AS n,
+      |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+      |    sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx,
+      |    sum(y * y) OVER w AS syy,
+      |    row_number() OVER (ORDER BY d) AS rn
+      |  FROM daily WINDOW w AS (ORDER BY d
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT d, CAST(n AS BIGINT) AS n,
+      |  CAST(sign(n * sxy - sx * sy) AS BIGINT) AS corr_sign,
+      |  CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * 10000)
+      |    // NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0)
+      |    AS BIGINT) AS r2_scaled
+      |FROM roll WHERE rn >= 7 ORDER BY d""".stripMargin,
     "q236_markov_accuracy" -> """
       |WITH pairs AS (
       |  SELECT prev_type, event_type AS curr_type FROM (
