@@ -285,7 +285,13 @@ object Graph {
     * Roots self-parent (`parent == id`, distance 0), which also makes
     * converged states fixpoints — extra rounds are no-ops. Each round is
     * one equi-join shuffled on the pointer; `localCheckpoint` truncates
-    * the doubling lineage like the other iterative operators. */
+    * the doubling lineage like the other iterative operators.
+    *
+    * Dangling pointers (a parent id absent from the input — sparse key
+    * spaces, partial extracts) are kept as fixpoints: each round LEFT
+    * joins and coalesces back to the unresolved pointer, so such nodes
+    * surface with `root` = the dangling id rather than silently dropping
+    * out of the result. */
   def flattenHierarchy(nodes: DataFrame, idCol: String, parentCol: String,
       doublings: Int = 6): DataFrame = {
     var state = nodes.select(col(idCol).as("id"),
@@ -295,9 +301,9 @@ object Graph {
     for (_ <- 1 to doublings) {
       val t = state.select(col("id").as("t_id"), col("ptr").as("t_ptr"),
         col("dist").as("t_dist"))
-      state = state.join(t, col("ptr") === col("t_id"))
-        .select(col("id"), col("t_ptr").as("ptr"),
-          (col("dist") + col("t_dist")).as("dist"))
+      state = state.join(t, col("ptr") === col("t_id"), "left")
+        .select(col("id"), coalesce(col("t_ptr"), col("ptr")).as("ptr"),
+          (col("dist") + coalesce(col("t_dist"), lit(0L))).as("dist"))
         .localCheckpoint()
     }
     state.select(col("id"), col("ptr").as("root"), col("dist").as("depth"))

@@ -115,9 +115,16 @@ object Stats {
     * CDFs. Completes the drift triad with [[ksStatistic]] (max gap) and
     * the TV distance (point-mass diff): EMD sees HOW FAR mass moved, not
     * just that it moved. Same shape as KS: per-value collapse, one
-    * group-keyed window pass. */
+    * group-keyed window pass.
+    *
+    * Arithmetic: the accumulated `|F1·n2 − F2·n1|·gap` terms are bounded
+    * by n1·n2·valueRange, which exceeds Long around 10⁹ rows of 10⁸-range
+    * values — so the products and the final sum run in decimal(38,0)
+    * (the repo's exact-arithmetic convention; see [[Series.rollingCorr]]) and
+    * only the reported `w1_num` narrows back to long. */
   def wasserstein1(df: DataFrame, groupCol: String, sampleCol: String,
       valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
     val cell = df.groupBy(col(groupCol), col(valueCol)).agg(
       count(when(col(sampleCol) === 1, lit(1))).as("c1"),
       count(when(col(sampleCol) === 2, lit(1))).as("c2"))
@@ -133,8 +140,11 @@ object Stats {
       .withColumn("gap",
         coalesce(lead(col(valueCol), 1).over(wOrd) - col(valueCol), lit(0L)))
       .groupBy(col(groupCol), col("n1"), col("n2"))
-      .agg(sum(abs(col("f1") * col("n2") - col("f2") * col("n1"))
-        * col("gap")).as("w1_num"))
+      .agg(sum(abs(col("f1").cast(d38) * col("n2").cast(d38)
+          - col("f2").cast(d38) * col("n1").cast(d38))
+        * col("gap").cast(d38)).as("w1d"))
+      .select(col(groupCol), col("n1"), col("n2"),
+        col("w1d").cast("long").as("w1_num"))
   }
 
   /** FIFO lot matching (first-in-first-out cost/consumption allocation)
@@ -149,8 +159,14 @@ object Stats {
     * Scale: the join is hash/sort-merge on the key; within a key the
     * overlap chain emits ≤ nS + nD − 1 matches, though the join evaluates
     * the per-key pair product before filtering — for heavy keys, bucketize
-    * the cumulative axis exactly as the q74 range join does. Zero-quantity
-    * lots self-eliminate (empty interval). */
+    * the cumulative axis exactly as the q74 range join does.
+    *
+    * Quantities must be NONNEGATIVE (negative quantities make the
+    * cumulative intervals non-monotone and the intersection semantics
+    * meaningless). A zero-quantity lot has an empty interval but can sit
+    * strictly inside an opposite-side interval and satisfy the open-open
+    * overlap predicate, so zero-qty match rows are filtered out of the
+    * output explicitly. */
   def fifoMatch(supply: DataFrame, demand: DataFrame, keyCol: String,
       idCol: String, ordCols: Seq[String], qtyCol: String): DataFrame = {
     def ranges(df: DataFrame, side: String): DataFrame = {
@@ -166,6 +182,7 @@ object Stats {
       .select(col(keyCol), col("s_id"), col("d_id"),
         (least(col("s_hi"), col("d_hi")) -
           greatest(col("s_lo"), col("d_lo"))).as("qty"))
+      .filter(col("qty") > 0)
   }
 
   /** Wald–Wolfowitz run counts per key over an ordered boolean sequence:

@@ -426,6 +426,7 @@ object StatsQueries {
       |  CAST(least(s_hi, d_hi) - greatest(s_lo, d_lo) AS BIGINT) AS qty
       |FROM s2 JOIN d2 ON s2.user_id = d2.user_id
       |  AND s_lo < d_hi AND d_lo < s_hi
+      |  AND least(s_hi, d_hi) - greatest(s_lo, d_lo) > 0
       |ORDER BY 1, 2, 3""".stripMargin,
     "q226_cube" -> """
       |WITH e AS (

@@ -43,6 +43,17 @@ class ProjectionSpec extends SparkSpec {
       Row(3L, 0L, 3L), Row(4L, 0L, 4L), Row(9L, 9L, 0L)))
   }
 
+  test("flattenHierarchy keeps dangling-parent nodes as fixpoints") {
+    // 7's parent 99 is absent (sparse key space / partial extract);
+    // 8 chains through 7. Both must survive, rooted at the dangling id.
+    val nodes = Seq((0L, 0L), (1L, 0L), (7L, 99L), (8L, 7L))
+      .toDF("id", "parent")
+    val out = Graph.flattenHierarchy(nodes, "id", "parent", doublings = 4)
+      .orderBy($"id").collect()
+    assert(out.toSeq == Seq(
+      Row(0L, 0L, 0L), Row(1L, 0L, 1L), Row(7L, 99L, 1L), Row(8L, 99L, 2L)))
+  }
+
   test("boundedShortestPaths relaxes to the min weight within the budget") {
     // 0->1 (w5), 0->2 (w1), 2->1 (w1): best 0->1 is 2 via two hops
     val e = Seq((0L, 1L, 5L), (0L, 2L, 1L), (2L, 1L, 1L))

@@ -82,6 +82,16 @@ class StatsSpec extends SparkSpec {
     assert(got.toSeq == Seq(Row(1L, 6L), Row(2L, 4L)))
   }
 
+  test("fifoMatch drops zero-quantity lots instead of emitting qty=0 rows") {
+    // zero-qty supply lot 11 sits strictly inside demand [0,4): no row
+    val sup = Seq((1L, 10L, 1L, 2L), (1L, 11L, 2L, 0L), (1L, 12L, 3L, 2L))
+      .toDF("k", "id", "t", "q")
+    val dem = Seq((1L, 20L, 1L, 4L)).toDF("k", "id", "t", "q")
+    val out = Stats.fifoMatch(sup, dem, "k", "id", Seq("t", "id"), "q")
+      .orderBy($"s_id").collect()
+    assert(out.toSeq == Seq(Row(1L, 10L, 20L, 2L), Row(1L, 12L, 20L, 2L)))
+  }
+
   test("runCounts counts maximal runs with a null-safe first boundary") {
     // T T F T F F -> runs: TT | F | T | FF = 4
     val df = Seq(true, true, false, true, false, false).zipWithIndex
