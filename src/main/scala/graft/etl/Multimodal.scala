@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
   * pandas-batch UDF: amortize per-batch setup — model load, codec init —
   * across an iterator of rows, never one-row-at-a-time).
   *
-  * The actual byte decoding is STUBBED — this container has no image/audio
-  * codecs — behind [[StubCodec]], a deterministic fake. The Spark-side
-  * plumbing (schema, batch shape, partitioning) is real and tested.
+  * Image decoding is REAL: [[ImageCodec]] decodes PNG/BMP/GIF/JPEG through
+  * the JDK's `javax.imageio` (pure-Java, no native libs) and emits actual
+  * dimensions plus an 8×8 downsampled-luma feature grid. Payloads ImageIO
+  * cannot decode (audio/video containers, corrupt bytes, or the text
+  * stand-ins some fixtures use) fall back to [[StubCodec]]'s deterministic
+  * pseudo-features, so the batch pipeline never throws on a bad byte
+  * stream — undecodable rows are identifiable by `decoded_width IS NULL`.
   */
 object Multimodal {
 
@@ -24,40 +28,139 @@ object Multimodal {
       height: Option[Int],
       duration_ms: Option[Long])
 
+  /** Decoded features. `decoded_width`/`decoded_height` are present iff
+    * the payload really decoded (vs the stub fallback); `feature` is the
+    * codec's vector — 64 luma cells for decoded images, 8 pseudo-floats
+    * from the stub. */
   final case class MediaFeatures(
       media_id: Long,
       media_type: String,
       n_bytes: Long,
       payload_sha: String,
-      // STUB features — deterministic stand-ins for decoded outputs
+      decoded_width: Option[Int],
+      decoded_height: Option[Int],
       feature: Array[Float])
 
-  /** ??? real decode goes here. STUB: deterministic pseudo-features from
-    * the payload bytes so tests and downstream plumbing are exercisable.
-    * A production build swaps this object for a codec-backed one with the
-    * same signature (batch-in, batch-out). */
+  /** Deterministic pseudo-features from the payload bytes — the fallback
+    * for payloads no installed codec understands, and the stand-in for
+    * modalities (audio/video) whose codecs aren't bundled with the JDK.
+    * Same batch-in/batch-out signature as [[ImageCodec]]. */
   object StubCodec {
     def decodeBatch(batch: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
       // per-partition init happens HERE (once per batch, not per row) —
       // this is where a real codec/model handle would be opened
       val digest = java.security.MessageDigest.getInstance("SHA-256")
+      batch.map(r => stubOne(digest, r))
+    }
+    private[Multimodal] def stubOne(digest: java.security.MessageDigest,
+        r: MediaRecord): MediaFeatures = {
+      digest.reset()
+      val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
+      val feat = Array.tabulate(8)(i =>
+        (if (r.payload.isEmpty) 0f
+         else r.payload(i % r.payload.length).toFloat / 127f))
+      MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong, sha,
+        None, None, feat)
+    }
+  }
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/BMP/GIF/JPEG —
+    * all pure-Java readers, zero extra dependencies). Emits the decoded
+    * dimensions and an 8×8 grid of luma samples in [0,1] (row-major;
+    * cell (i,j) samples pixel (⌊j·w/8⌋, ⌊i·h/8⌋) — nearest-pixel
+    * downsampling, exact and deterministic for any image size, including
+    * images smaller than the grid). Luma = (r+g+b)/3 — integer mean, so
+    * a flat-gray fixture round-trips bit-exactly through encode→decode.
+    *
+    * Batch shape: disk caching is disabled (ImageIO's default spills
+    * temp files — wrong on executors), decode streams row-by-row off the
+    * iterator, and a payload that fails to decode degrades to
+    * [[StubCodec]] features instead of failing the task. */
+  object ImageCodec {
+    private val grid = 8
+
+    def decodeBatch(batch: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file spill on executors
       batch.map { r =>
-        digest.reset()
-        val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
-        val feat = Array.tabulate(8)(i =>
-          (if (r.payload.isEmpty) 0f
-           else r.payload(i % r.payload.length).toFloat / 127f))
-        MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong, sha, feat)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null) StubCodec.stubOne(digest, r)
+        else {
+          digest.reset()
+          val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
+          val (w, h) = (img.getWidth, img.getHeight)
+          val feat = new Array[Float](grid * grid)
+          var i = 0
+          while (i < grid) {
+            var j = 0
+            while (j < grid) {
+              val rgb = img.getRGB(j * w / grid, i * h / grid)
+              val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              feat(i * grid + j) = luma / 255f
+              j += 1
+            }
+            i += 1
+          }
+          MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+            sha, Some(w), Some(h), feat)
+        }
       }
     }
   }
 
   /** Batch feature extraction: one codec/model init per partition, streamed
     * over the partition's rows — the scalable shape for 100 TB of media
-    * (payloads never collect; partition sizing bounds memory). */
-  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    * (payloads never collect; partition sizing bounds memory). Defaults to
+    * the real [[ImageCodec]]; pass a different batch decoder for other
+    * modalities. */
+  def extractFeatures(media: Dataset[MediaRecord],
+      decode: Iterator[MediaRecord] => Iterator[MediaFeatures] =
+        ImageCodec.decodeBatch): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(StubCodec.decodeBatch)
+    media.mapPartitions(decode)
+  }
+
+  /** Encode a real flat-gray PNG (TYPE_INT_RGB, every pixel = `gray` on
+    * all three channels) — the fixture generator for decode tests and the
+    * oracle-gated decode query: dimensions and mean luma are analytically
+    * predictable from the arguments while the bytes exercise the full
+    * ImageIO encode→decode round trip. */
+  def syntheticPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = gray & 0xff
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table of REAL encoded PNGs, one per input id: dimensions and
+    * fill gray are pure functions of the id (w = 4 + id%13, h = 3 + id%7,
+    * gray = id%251) so an oracle can predict the decoded metadata without
+    * being able to decode PNG itself. Encoding runs distributed inside the
+    * UDF — no driver-side image work. */
+  def mediaFromSyntheticImages(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    val pngUdf = udf((id: Long) =>
+      syntheticPng((4 + id % 13).toInt, (3 + id % 7).toInt, (id % 251).toInt))
+    df.select(
+        col(idCol).cast("long").as("media_id"),
+        lit("image").as("media_type"),
+        pngUdf(col(idCol).cast("long")).as("payload"),
+        (lit(4) + col(idCol) % 13).cast("int").as("width"),
+        (lit(3) + col(idCol) % 7).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"))
+      .as[MediaRecord]
   }
 
   /** Synthesize a media table from any (id, text) DataFrame — payload =

@@ -207,6 +207,29 @@ object TrainingData {
       .orderBy($"media_id", $"frame_ts_ms")
   }
 
+  /** REAL image decode end-to-end ([[Multimodal.ImageCodec]]): every doc
+    * id becomes a genuine encoded PNG (distributed UDF encode, dimensions
+    * and flat-gray fill pure functions of the id), decoded back through
+    * `javax.imageio` in the batch `mapPartitions` codec. The oracle cannot
+    * decode PNG, but it doesn't need to — decoded width/height and the
+    * mean of the 64-cell luma grid are analytically predictable from the
+    * id, so the compare pins the ENTIRE encode→decode→feature path: any
+    * codec drift (wrong dims, channel order, grid indexing) breaks it. */
+  def q242ImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.mediaFromSyntheticImages(
+      Tables.documents(spark, dir), "doc_id")
+    Multimodal.extractFeatures(media).toDF()
+      .select($"media_id",
+        $"decoded_width".cast("long").as("decoded_width"),
+        $"decoded_height".cast("long").as("decoded_height"),
+        size($"feature").cast("long").as("n_cells"),
+        round($"feature"(0) * 255).cast("long").as("luma0"),
+        round(aggregate($"feature", lit(0.0d), (acc, x) => acc + x)
+          / 64 * 255).cast("long").as("luma_mean"))
+      .orderBy($"media_id")
+  }
+
   /** Image-resize plumbing: aspect-preserving fit-within-box target
     * dimensions (the metadata math of a thumbnailing stage; pixels go
     * through the stubbed batch codec) — pure integer column arithmetic,
@@ -634,7 +657,8 @@ object TrainingData {
     "q52_cosine_dups" -> q52CosineDups _,
     "q53_winnow" -> q53Winnow _,
     "q54_frame_sample" -> q54FrameSample _,
-    "q55_resize" -> q55Resize _)
+    "q55_resize" -> q55Resize _,
+    "q242_image_decode" -> q242ImageDecode _)
 
   /** Quantized embeddings + 8-sign-bit LSH bucket, shared by the ANN and
     * cosine-dup oracles (twin of `Similarity.quantize`/`signBucket`). */
@@ -1179,6 +1203,14 @@ object TrainingData {
       |SELECT doc_id AS media_id, 'image' AS media_type,
       |  octet_length(encode(text)) AS n_bytes,
       |  sha256(text) AS payload_sha
+      |FROM documents ORDER BY media_id""".stripMargin,
+    "q242_image_decode" -> """
+      |SELECT doc_id AS media_id,
+      |  CAST(4 + doc_id % 13 AS BIGINT) AS decoded_width,
+      |  CAST(3 + doc_id % 7 AS BIGINT) AS decoded_height,
+      |  CAST(64 AS BIGINT) AS n_cells,
+      |  CAST(doc_id % 251 AS BIGINT) AS luma0,
+      |  CAST(doc_id % 251 AS BIGINT) AS luma_mean
       |FROM documents ORDER BY media_id""".stripMargin,
     "q50_ann_lsh" -> s"""
       |WITH $qembSql,

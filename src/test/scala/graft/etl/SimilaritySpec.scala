@@ -284,13 +284,49 @@ class SimilaritySpec extends SparkSpec {
   test("stub codec: deterministic features, batch-shaped") {
     val media = Multimodal.mediaFromText(
       docs(7L -> "hello", 8L -> "world"), "doc_id", "text")
+    // text bytes are not a decodable image -> ImageCodec falls back to stub
     val out = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     assert(out.map(_.media_id).toSeq == Seq(7L, 8L))
     assert(out.head.n_bytes == 5)
     assert(out.head.feature.length == 8)
+    assert(out.head.decoded_width.isEmpty && out.head.decoded_height.isEmpty)
     // determinism: same payload → same features
     val out2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     assert(out.head.feature.toSeq == out2.head.feature.toSeq)
     assert(out.head.payload_sha.length == 64)
+  }
+
+  test("ImageCodec decodes real PNGs: dims match the encoder, luma grid real") {
+    import spark.implicits._
+    // flat-gray 11x5 at gray 100, plus a 16x16 two-tone (left black,
+    // right white) to pin the grid's row-major x-orientation
+    val flat = Multimodal.syntheticPng(11, 5, 100)
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val twoTone = bos.toByteArray
+    val media = Seq(
+        Multimodal.MediaRecord(1L, "image", flat, Some(11), Some(5), None),
+        Multimodal.MediaRecord(2L, "image", twoTone, Some(16), Some(16), None))
+      .toDS()
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f = out(0)
+    assert(f.decoded_width.contains(11) && f.decoded_height.contains(5))
+    assert(f.feature.length == 64)
+    assert(f.feature.forall(v => math.abs(v - 100f / 255f) < 1e-6))
+    val t = out(1)
+    assert(t.decoded_width.contains(16) && t.decoded_height.contains(16))
+    // every row: first 4 cells sample x in {0,2,4,6} (black), last 4
+    // sample x in {8,10,12,14} (white)
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val expected = if (j < 4) 0f else 1f
+      assert(t.feature(i * 8 + j) == expected,
+        s"cell ($i,$j) = ${t.feature(i * 8 + j)}")
+    }
+    // sha is over the ENCODED payload, not pixels
+    assert(f.payload_sha.length == 64 && f.n_bytes == flat.length.toLong)
   }
 }
