@@ -333,6 +333,53 @@ object Graph {
     dist
   }
 
+  /** Weighted single-source shortest paths to CONVERGENCE — the unbounded
+    * sibling of [[boundedShortestPaths]]: frontier-based Bellman–Ford
+    * relaxation that iterates until a round improves nothing, so `dist` is
+    * the exact minimum path weight with NO hop budget. Each round joins
+    * only the IMPROVED frontier (not the full distance table) with the
+    * edge list — one keyed shuffle per round, shrinking as the wavefront
+    * settles; `localCheckpoint` truncates lineage; the per-round
+    * `isEmpty` convergence probe is one tiny job (same pattern as k-hop
+    * BFS). Rounds = depth of the shortest-path tree (≈ graph diameter for
+    * unit-ish weights).
+    *
+    * Weights must be NONNEGATIVE for termination to be meaningful (a
+    * negative cycle relaxes forever); `maxRounds` is the safety backstop
+    * — hitting it throws rather than silently returning non-converged
+    * distances. */
+  def shortestPaths(sources: DataFrame, edges: DataFrame,
+      srcNodeCol: String, srcCol: String, dstCol: String, wCol: String,
+      maxRounds: Int = 10000): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).as("w")).localCheckpoint()
+    var dist = sources.select(col(srcNodeCol).as("node"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var rounds = 0
+    while (!frontier.isEmpty) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"shortestPaths: no convergence after $maxRounds rounds " +
+            "(negative cycle, or raise maxRounds)")
+      rounds += 1
+      val relaxed = e.join(frontier, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      // keep only genuine improvements: they are next round's frontier
+      val improved = relaxed.join(
+          dist.select(col("node"), col("dist").as("_old")), Seq("node"), "left")
+        .filter(col("_old").isNull || col("dist") < col("_old"))
+        .select(col("node"), col("dist"))
+        .localCheckpoint()
+      dist = dist.join(improved.select(col("node").as("_n")),
+          col("node") === col("_n"), "left_anti")
+        .union(improved).localCheckpoint()
+      frontier = improved
+    }
+    dist
+  }
+
   /** Bipartite projection with a degree cap: from (left, right) incidence
     * edges, the co-occurrence graph over right nodes — `n_co` = how many
     * left nodes connect both endpoints. The item-item neighborhood build

@@ -185,6 +185,96 @@ object Stats {
       .filter(col("qty") > 0)
   }
 
+  /** Population stability index (PSI) from pre-aggregated histograms —
+    * the production drift score beside [[ksStatistic]] (ordinal max-gap),
+    * the TV distance (point mass), and [[wasserstein1]] (mass transport):
+    * `PSI = Σ_bins (q_i − p_i)·ln(q_i/p_i)` over reference shares p and
+    * actual shares q. Operating on counts (not rows) is the 100 TB shape:
+    * the histogram is one combiner-friendly groupBy upstream; the PSI math
+    * runs on an enum-sized table.
+    *
+    * Exact cross-engine form: Laplace-smoothed counts `a = ref+1`,
+    * `b = act+1` (PSI is undefined on empty bins; +1 is the standard
+    * fix), per-group totals na = Σa, nb = Σb, and each bin contributes
+    * `(b·na − a·nb) · (⌊log₂(b·na)⌋ − ⌊log₂(a·nb)⌋)` — the share shift
+    * times the FLOORED-bits log ratio (binary-digit counts, the q136
+    * recipe: `length(bin(x)) − 1`), so both engines compute identical
+    * integers; `psi_cb = 100·Σ/(na·nb)` is the reported centi-bits score.
+    * Zero when actual ≡ reference. The Σ runs in decimal(38,0); the log
+    * arguments b·na, a·nb stay in long (wraps only past ~9·10¹⁸ —
+    * a 10⁹-row histogram bin against a 10⁹-row total). */
+  def psiFromCounts(counts: DataFrame, groupCol: String, binCol: String,
+      refCntCol: String, actCntCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val wAll = Window.partitionBy(groupCol)
+    val t = counts
+      .withColumn("_a", col(refCntCol) + 1L)
+      .withColumn("_b", col(actCntCol) + 1L)
+      .withColumn("na", sum(col("_a")).over(wAll))
+      .withColumn("nb", sum(col("_b")).over(wAll))
+      .withColumn("_bna", col("_b") * col("na"))
+      .withColumn("_anb", col("_a") * col("nb"))
+    t.withColumn("_term",
+        (col("_bna").cast(d38) - col("_anb").cast(d38)) *
+          (length(expr("bin(_bna)")) - length(expr("bin(_anb)"))).cast(d38))
+      .groupBy(col(groupCol), col("na"), col("nb"))
+      .agg(sum(col("_term")).as("_psi"))
+      .select(col(groupCol), col("na"), col("nb"),
+        col("_psi").cast("long").as("psi_bits_num"),
+        // every term is >= 0 (share shift and floored log ratio share a
+        // sign), so integral div == floor — exact cross-engine
+        expr("CAST((_psi * 100) div (CAST(na AS DECIMAL(38,0)) * nb) " +
+          "AS BIGINT)").as("psi_cb"))
+  }
+
+  /** Isotonic regression (the PAV fit) over pre-aggregated ordered bins —
+    * the monotone calibration curve next to the q141 reliability diagram:
+    * given per-bin label sums and counts ordered by `binCol`, the L2
+    * isotonic fit at bin i is the classic minimax identity
+    * `ŷ_i = max_{j≤i} min_{k≥i} avg(j..k)` — exactly what
+    * pool-adjacent-violators produces, with no sequential state.
+    *
+    * Scale: PAV is inherently sequential over bins, so the operator runs
+    * on the HISTOGRAM (B bins — deciles, score buckets; enum-sized), not
+    * the rows: prefix sums via one window, interval averages for the
+    * O(B²) (j,k) pairs, then the minimax via two tiny grouped passes
+    * (O(B³) intermediate rows — trivial for calibration-sized B). Row
+    * aggregation upstream is the only real shuffle.
+    *
+    * Exactness: interval averages are compared as FLOORED scaled
+    * integers `(S_k − S_{j−1})·10⁹ div (C_k − C_{j−1})` in long — both
+    * engines floor the same nonnegative fractions, so min/max pick
+    * identical values bit-for-bit; `y_fit_ppb` is the fit in
+    * parts-per-billion of the label unit. Bound: label sums must stay
+    * under ~9·10⁹ (10⁹ scale × long range) — re-scale upstream past
+    * that. */
+  def isotonicFit(bins: DataFrame, groupCol: String, binCol: String,
+      sumCol: String, cntCol: String): DataFrame = {
+    val wCum = Window.partitionBy(groupCol).orderBy(binCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins.select(col(groupCol), col(binCol),
+        col(sumCol).cast("long").as("_s"), col(cntCol).cast("long").as("_c"))
+      .withColumn("_ss", sum(col("_s")).over(wCum))
+      .withColumn("_cc", sum(col("_c")).over(wCum))
+      .withColumn("_ss0", col("_ss") - col("_s"))
+      .withColumn("_cc0", col("_cc") - col("_c"))
+    val j = pre.select(col(groupCol), col(binCol).as("_j"),
+      col("_ss0"), col("_cc0"))
+    val k = pre.select(col(groupCol), col(binCol).as("_k"),
+      col("_ss"), col("_cc"))
+    val pairs = j.join(k, Seq(groupCol)).filter(col("_j") <= col("_k"))
+      .select(col(groupCol), col("_j"), col("_k"),
+        expr("(_ss - _ss0) * 1000000000 div (_cc - _cc0)").as("_av"))
+    val i = pre.select(col(groupCol), col(binCol).as("_i"))
+    pairs.join(i, Seq(groupCol))
+      .filter(col("_j") <= col("_i") && col("_k") >= col("_i"))
+      .groupBy(col(groupCol), col("_i"), col("_j"))
+      .agg(min(col("_av")).as("_mn"))
+      .groupBy(col(groupCol), col("_i"))
+      .agg(max(col("_mn")).as("y_fit_ppb"))
+      .select(col(groupCol), col("_i").as("bin"), col("y_fit_ppb"))
+  }
+
   /** Wald–Wolfowitz run counts per key over an ordered boolean sequence:
     * `n_hi`/`n_lo` and the number of maximal same-value runs. A run
     * boundary is a row whose predecessor (null-safe) differs — counted

@@ -628,6 +628,42 @@ object GraphEvents {
       .orderBy($"node")
   }
 
+  // -------------------------------- q240 converged shortest paths
+
+  /** UNBOUNDED weighted shortest paths from node 1 over the
+    * increment/double lattice (edges k→k+1 and k→2k, unit weight) —
+    * [[Graph.shortestPaths]] iterating to CONVERGENCE, no hop budget.
+    * The lattice has exponentially many routes to each node (every
+    * interleaving of +1 and ×2 steps), and the cheapest path to large
+    * keys is 20+ hops, so q230's hop-8 budget would be wrong on most of
+    * the graph — but the true distance has a closed form the oracle
+    * computes without any recursion: building n from 1 by +1/×2 takes
+    * exactly ⌊log₂n⌋ doublings and popcount(n)−1 increments (the binary
+    * method, provably minimal: only ×2 grows the value, and only the −1
+    * of the reverse walk clears a set bit), so
+    * `dist(n) = ⌊log₂n⌋ + popcount(n) − 1` — floored log via binary
+    * digit count, both engine-exact.
+    *
+    * The closed form needs every key 1..max present (true of the
+    * driver's dense o_orderkey fixture, and only of the ORACLE — the
+    * operator reads real edges, carries no density assumption, and is
+    * spec-tested on sparse graphs). */
+  def q240ConvergedPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = Tables.orders(spark, dir)
+      .filter($"o_orderkey" >= 1).select($"o_orderkey".as("id"))
+    val present = keys.select($"id".as("dst"))
+    // edges only between PRESENT keys: derived arithmetically, then
+    // semi-joined so nothing relies on a dense key space
+    val e = keys.select($"id".as("src"), ($"id" + 1).as("dst"))
+      .union(keys.select($"id".as("src"), ($"id" * 2).as("dst")))
+      .join(present, Seq("dst"), "left_semi")
+      .withColumn("w", lit(1L))
+    val seeds = Seq(1L).toDF("node")
+    Graph.shortestPaths(seeds, e, "node", "src", "dst", "w")
+      .orderBy($"node")
+  }
+
   // ----------------------------------------- q234 group-aware split
 
   /** Group-aware train/val/test split (GroupKFold semantics): every node
@@ -714,6 +750,7 @@ object GraphEvents {
     "q234_group_split" -> q234GroupSplit _,
     "q229_hierarchy_flatten" -> q229HierarchyFlatten _,
     "q230_shortest_path" -> q230ShortestPath _,
+    "q240_converged_paths" -> q240ConvergedPaths _,
     "q223_brand_copurchase" -> q223BrandCopurchase _,
     "q224_path_trigrams" -> q224PathTrigrams _,
     "q213_active_streaks" -> q213ActiveStreaks _,
@@ -854,6 +891,11 @@ object GraphEvents {
       |  FROM p JOIN we ON we.src = p.node WHERE p.hops < 8)
       |SELECT node, CAST(min(dist) AS BIGINT) AS dist
       |FROM p GROUP BY node ORDER BY node""".stripMargin,
+    "q240_converged_paths" -> """
+      |SELECT o_orderkey AS node,
+      |  CAST(length(bin(o_orderkey)) - 1 + bit_count(o_orderkey) - 1
+      |    AS BIGINT) AS dist
+      |FROM orders WHERE o_orderkey >= 1 ORDER BY node""".stripMargin,
     "q223_brand_copurchase" -> """
       |WITH ub AS (
       |  SELECT DISTINCT o_custkey AS u, p_brand AS b

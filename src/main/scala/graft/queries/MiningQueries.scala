@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.etl.{Analytics, Mining, Privacy, Series, Sketches}
+import graft.etl.{Analytics, Mining, Privacy, Series, Sketches, Stats}
 
 /** Round-4 additions: Bloom-pruned exact semi-join, single-pass grouped
   * regression, Gini impurity, set-overlap Jaccard, ranking quality (MRR),
@@ -311,6 +311,32 @@ object MiningQueries {
       .agg(count(lit(1)).as("n"), sum($"lbl").as("n_pos"),
         min($"cents").as("lo"), max($"cents").as("hi"))
       .withColumn("pos_bp", expr("CAST(n_pos * 10000 div n AS BIGINT)"))
+      .orderBy($"event_type", $"bin")
+  }
+
+  // ------------------------------------------- q241 isotonic (PAV)
+
+  /** Isotonic calibration curve over the q141 reliability bins
+    * ([[graft.etl.Stats.isotonicFit]]): the L2 monotone fit of the
+    * per-decile positive rate via the PAV minimax identity
+    * `ŷ_i = max_{j≤i} min_{k≥i} avg(j..k)` — pooling activates wherever
+    * the empirical rate dips, which the user_id%3 labeling against
+    * cents-ordered deciles genuinely produces. Row work is the same one
+    * window + groupBy as q141; the PAV math runs on the 10-bin
+    * histogram in exact floored parts-per-billion. */
+  def q241Isotonic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir).select($"event_id", $"event_type",
+      Series.cents($"value").as("cents"),
+      when($"user_id" % 3 === 0, 1L).otherwise(0L).as("lbl"))
+    val w = Window.partitionBy($"event_type").orderBy($"cents", $"event_id")
+    val bins = e.withColumn("bin", ntile(10).over(w))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n"), sum($"lbl").as("n_pos"))
+    Stats.isotonicFit(bins, "event_type", "bin", "n_pos", "n")
+      .join(bins, Seq("event_type", "bin"))
+      .select($"event_type", $"bin", $"n", $"n_pos", $"y_fit_ppb")
       .orderBy($"event_type", $"bin")
   }
 
@@ -935,6 +961,7 @@ object MiningQueries {
     "q143_rrf" -> q143Rrf _,
     "q142_kappa" -> q142Kappa _,
     "q141_calibration" -> q141Calibration _,
+    "q241_isotonic" -> q241Isotonic _,
     "q140_auc" -> q140Auc _,
     "q139_purged_split" -> q139PurgedSplit _,
     "q138_percentile_rank" -> q138PercentileRank _,
@@ -1517,6 +1544,35 @@ object MiningQueries {
       |    // NULLIF(n * n - coalesce(rc, 0), 0) AS BIGINT) AS kappa_scaled
       |FROM t LEFT JOIN p ON t.event_type = p.event_type
       |ORDER BY t.event_type""".stripMargin,
+    "q241_isotonic" -> """
+      |WITH b AS (SELECT event_id, event_type,
+      |             CAST(round(value * 100) AS BIGINT) AS cents,
+      |             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS lbl
+      |           FROM events),
+      |t AS (SELECT *, ntile(10) OVER (PARTITION BY event_type
+      |        ORDER BY cents, event_id) AS bin FROM b),
+      |bins AS (SELECT event_type, bin, count(*) AS n, sum(lbl) AS n_pos
+      |         FROM t GROUP BY 1, 2),
+      |pre AS (SELECT event_type, bin,
+      |          sum(n_pos) OVER w AS ss, sum(n) OVER w AS cc,
+      |          sum(n_pos) OVER w - n_pos AS ss0,
+      |          sum(n) OVER w - n AS cc0
+      |        FROM bins WINDOW w AS (PARTITION BY event_type ORDER BY bin
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |pairs AS (SELECT j.event_type, j.bin AS jb, k.bin AS kb,
+      |            (k.ss - j.ss0) * 1000000000 // (k.cc - j.cc0) AS av
+      |          FROM pre j JOIN pre k
+      |            ON j.event_type = k.event_type AND j.bin <= k.bin),
+      |mm AS (SELECT p.event_type, i.bin, p.jb, min(av) AS mn
+      |       FROM pairs p JOIN pre i ON i.event_type = p.event_type
+      |         AND p.jb <= i.bin AND p.kb >= i.bin
+      |       GROUP BY 1, 2, 3),
+      |fit AS (SELECT event_type, bin, CAST(max(mn) AS BIGINT) AS y_fit_ppb
+      |        FROM mm GROUP BY 1, 2)
+      |SELECT f.event_type, f.bin, CAST(n AS BIGINT) AS n,
+      |  CAST(n_pos AS BIGINT) AS n_pos, y_fit_ppb
+      |FROM fit f JOIN bins USING (event_type, bin)
+      |ORDER BY 1, 2""".stripMargin,
     "q141_calibration" -> """
       |WITH b AS (SELECT event_id, event_type,
       |             CAST(round(value * 100) AS BIGINT) AS cents,

@@ -271,6 +271,32 @@ object StatsQueries {
     Stats.wasserstein1(x, "cohort", "s", "v").orderBy($"cohort")
   }
 
+  // ------------------------------------------------ q239 PSI drift
+
+  /** Population stability index of each cohort's event-type mix against
+    * cohort 0 ([[Stats.psiFromCounts]]) — the drift quartet's fourth
+    * member beside q217 (KS), q231 (TV), q233 (EMD), and the score a
+    * production monitor alarms on first. Histogram upstream (one
+    * combiner-friendly groupBy), PSI math on the enum-sized counts table
+    * in exact floored-bits integers; cohort 0 vs itself pins the zero. */
+  def q239PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cell = Tables.events(spark, dir)
+      .select(($"user_id" % 4).as("cohort"), $"event_type")
+      .groupBy($"cohort", $"event_type").agg(count(lit(1)).as("c"))
+    // dense cohort×type grid: a type absent from one side still shifts mass
+    val grid = cell.select($"cohort").distinct()
+      .crossJoin(broadcast(cell.select($"event_type").distinct()))
+    val full = grid.join(cell, Seq("cohort", "event_type"), "left")
+      .withColumn("c", coalesce($"c", lit(0L)))
+    val ref = full.filter($"cohort" === 0)
+      .select($"event_type", $"c".as("c_ref"))
+    Stats.psiFromCounts(
+        full.join(broadcast(ref), Seq("event_type")),
+        "cohort", "event_type", "c_ref", "c")
+      .orderBy($"cohort")
+  }
+
   // ------------------------------------- q235 weighted Jaccard
 
   /** Weighted Jaccard `Σmin(w)/Σmax(w)` between each cohort pair's
@@ -302,6 +328,7 @@ object StatsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q235_weighted_jaccard" -> q235WeightedJaccard _,
+    "q239_psi_drift" -> q239PsiDrift _,
     "q233_wasserstein" -> q233Wasserstein _,
     "q231_tv_distance" -> q231TvDistance _,
     "q232_debounce" -> q232Debounce _,
@@ -316,6 +343,38 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q239_psi_drift" -> """
+      |WITH cell AS (
+      |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort, event_type,
+      |         count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT co.cohort, br.event_type
+      |  FROM (SELECT DISTINCT cohort FROM cell) co,
+      |       (SELECT DISTINCT event_type FROM cell) br),
+      |f AS (
+      |  SELECT g.cohort, g.event_type, coalesce(c, 0) AS c
+      |  FROM grid g LEFT JOIN cell
+      |    ON cell.cohort = g.cohort AND cell.event_type = g.event_type),
+      |sm AS (
+      |  SELECT f.cohort, f.event_type,
+      |         r.c + 1 AS a, f.c + 1 AS b
+      |  FROM f JOIN (SELECT event_type, c FROM f WHERE cohort = 0) r
+      |    USING (event_type)),
+      |t AS (
+      |  SELECT cohort,
+      |    sum(a) OVER (PARTITION BY cohort) AS na,
+      |    sum(b) OVER (PARTITION BY cohort) AS nb,
+      |    a, b
+      |  FROM sm),
+      |t2 AS (
+      |  SELECT cohort, na, nb, b * na AS bna, a * nb AS anb FROM t)
+      |SELECT cohort, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+      |  CAST(sum((bna - anb) * (length(bin(bna)) - length(bin(anb))))
+      |    AS BIGINT) AS psi_bits_num,
+      |  CAST(sum((bna - anb) * (length(bin(bna)) - length(bin(anb))))
+      |    * 100 // (na * nb) AS BIGINT) AS psi_cb
+      |FROM t2 GROUP BY cohort, na, nb ORDER BY cohort""".stripMargin,
     "q235_weighted_jaccard" -> """
       |WITH cell AS (
       |  SELECT CAST(o_custkey % 4 AS BIGINT) AS cohort, p_brand,

@@ -64,6 +64,29 @@ class ProjectionSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row(0L, 0L), Row(1L, 2L), Row(2L, 1L)))
   }
 
+  test("shortestPaths converges past any hop budget, on a sparse graph") {
+    // sparse ids; cheapest 0->90 path is the 9-hop unit chain (cost 9),
+    // not the 1-hop shortcut (cost 50) — a hop-8 budget would answer 50
+    val chain = (0 until 10).map(i => (i * 10L, (i + 1) * 10L, 1L))
+    val e = (chain :+ ((0L, 90L, 50L))).toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("node")
+    val bounded = Graph.boundedShortestPaths(seeds, e, "node", "src", "dst",
+      "w", maxHops = 8).filter($"node" === 90L).head().getLong(1)
+    assert(bounded == 50L)
+    val out = Graph.shortestPaths(seeds, e, "node", "src", "dst", "w")
+      .orderBy($"node").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toMap.apply(90L) == 9L)
+    assert(out.length == 11)
+  }
+
+  test("shortestPaths throws on hitting the round backstop") {
+    val e = Seq((0L, 1L, 1L), (1L, 0L, -3L)).toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("node")
+    intercept[IllegalStateException] {
+      Graph.shortestPaths(seeds, e, "node", "src", "dst", "w", maxRounds = 5)
+    }
+  }
+
   test("goldenRecord survives attributes independently with non-null wins") {
     val df = Seq(
       (1L, Some("A"), None: Option[String]),

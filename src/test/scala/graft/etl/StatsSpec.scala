@@ -92,6 +92,38 @@ class StatsSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row(1L, 10L, 20L, 2L), Row(1L, 12L, 20L, 2L)))
   }
 
+  test("psiFromCounts: zero on identical mixes, positive on a shift") {
+    // group "same": actual == reference -> every term 0
+    // group "shift": mass moved from bin x to bin y
+    val counts = Seq(
+      ("same", "x", 50L, 50L), ("same", "y", 50L, 50L),
+      ("shift", "x", 50L, 10L), ("shift", "y", 50L, 90L))
+      .toDF("g", "bin", "c_ref", "c_act")
+    val out = Stats.psiFromCounts(counts, "g", "bin", "c_ref", "c_act")
+      .orderBy($"g").collect()
+    val same = out(0)
+    assert(same.getAs[Long]("psi_bits_num") == 0L &&
+      same.getAs[Long]("psi_cb") == 0L)
+    val shift = out(1)
+    assert(shift.getAs[Long]("psi_bits_num") > 0L)
+    assert(shift.getAs[Long]("na") == 102L && shift.getAs[Long]("nb") == 102L)
+  }
+
+  test("isotonicFit: monotone input is identity, violations pool to the mean") {
+    // rates .1 .5 .3 .9 over equal bins: PAV pools bins 2,3 to .4
+    val bins = Seq((1L, 10L, 1L), (2L, 10L, 5L), (3L, 10L, 3L), (4L, 10L, 9L))
+      .map { case (b, n, p) => ("g", b, p, n) }.toDF("g", "bin", "n_pos", "n")
+    val out = Stats.isotonicFit(bins, "g", "bin", "n_pos", "n")
+      .orderBy($"bin").collect().map(_.getAs[Long]("y_fit_ppb"))
+    assert(out.toSeq == Seq(100000000L, 400000000L, 400000000L, 900000000L))
+    // already-monotone input comes back unchanged
+    val mono = Seq((1L, 2L), (2L, 4L), (3L, 9L))
+      .map { case (b, p) => ("g", b, p, 10L) }.toDF("g", "bin", "n_pos", "n")
+    val out2 = Stats.isotonicFit(mono, "g", "bin", "n_pos", "n")
+      .orderBy($"bin").collect().map(_.getAs[Long]("y_fit_ppb"))
+    assert(out2.toSeq == Seq(200000000L, 400000000L, 900000000L))
+  }
+
   test("runCounts counts maximal runs with a null-safe first boundary") {
     // T T F T F F -> runs: TT | F | T | FF = 4
     val df = Seq(true, true, false, true, false, false).zipWithIndex
