@@ -350,7 +350,7 @@ object Graph {
     * distances. */
   def shortestPaths(sources: DataFrame, edges: DataFrame,
       srcNodeCol: String, srcCol: String, dstCol: String, wCol: String,
-      maxRounds: Int = 10000): DataFrame = {
+      maxRounds: Int = 10000, hopsPerRound: Int = 4): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).as("w")).localCheckpoint()
     var dist = sources.select(col(srcNodeCol).as("node"))
@@ -362,12 +362,38 @@ object Graph {
         throw new IllegalStateException(
           s"shortestPaths: no convergence after $maxRounds rounds " +
             "(negative cycle, or raise maxRounds)")
-      rounds += 1
-      val relaxed = e.join(frontier, col("src") === col("node"))
+      rounds += hopsPerRound
+      // hopsPerRound relaxation sub-steps inside ONE materialized round:
+      // iterative jobs here are fixed-overhead-bound (each round is a
+      // scheduler round-trip + checkpoint regardless of data size), so
+      // batching k hops per round divides the round count — and thus the
+      // wall clock of log-depth graphs — by k at the cost of k join+agg
+      // layers in one plan. Sub-step i relaxes from sub-step i−1's
+      // candidates (a superset of its genuine improvements: dominated
+      // candidates re-propagate values already propagated in an earlier
+      // round, redundant but harmless under the final min), and the
+      // per-hop groupBy-min keeps every intermediate bounded by the
+      // reachable-node count.
+      var cand = e.join(frontier, col("src") === col("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      // keep only genuine improvements: they are next round's frontier
-      val improved = relaxed.join(
+      val hops = scala.collection.mutable.ListBuffer(cand)
+      for (_ <- 2 to hopsPerRound) {
+        cand = e.join(cand, col("src") === col("node"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        hops += cand
+      }
+      // one union+min over the round's hop outputs (each already deduped
+      // per node) instead of a running re-dedup per hop — halves the
+      // shuffle count of the round
+      val acc = hops.reduce(_ union _)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      // keep only genuine improvements: they are next round's frontier.
+      // An empty improved set means the round's FIRST sub-step improved
+      // nothing either (it is a subset of the round), so convergence
+      // detection is exact despite the batching.
+      val improved = acc.join(
           dist.select(col("node"), col("dist").as("_old")), Seq("node"), "left")
         .filter(col("_old").isNull || col("dist") < col("_old"))
         .select(col("node"), col("dist"))

@@ -284,7 +284,7 @@ object Shops {
   /** Aldi — F3 (aldi.ts:421-432) + T3 (aldi.ts:77-226). String prices; the
     * current-ISO-week promo window depends on the run date, so `now` is
     * injected (SURVEY.md §7.4 risk 6). */
-  final case class AldiAdapter(now: LocalDate = LocalDate.now) extends ShopAdapter {
+  final case class AldiAdapter(now: LocalDate) extends ShopAdapter {
     val shopType = "ALDI"
     val schema = RawSchemas.aldi
 
@@ -435,8 +435,10 @@ object Shops {
   /** Fresh adapter per access: the ISO-week promotion window derives from
     * `now`, so a long-running driver must not pin the class-load date (the
     * reference computes the current week per run). Callers needing a fixed
-    * clock construct `AldiAdapter(date)` directly (tests do). */
-  def Aldi: AldiAdapter = AldiAdapter()
+    * clock construct `AldiAdapter(date)` directly (tests do); the
+    * constructor takes no default, so wall-clock is opt-in via this
+    * accessor only. */
+  def Aldi: AldiAdapter = AldiAdapter(LocalDate.now)
 
   /** Plus — F4 (plus.ts:388-395) + T4 (plus.ts:86-267). String prices,
     * '1900-01-01' sentinel dates, Packging (sic) fallback. */

@@ -190,6 +190,64 @@ object EventsStreaming {
       }.toDF()
   }
 
+  final case class AsofProbe(key: Long, us: Long, probe_id: Long)
+  final case class AsofQuote(key: Long, us: Long, pick: Long)
+  final case class AsofEvent(key: Long, us: Long, is_probe: Boolean,
+      probe_id: Long, pick: Long)
+  final case class AsofOut(key: Long, probe_id: Long, us: Long,
+      asof_pick: Option[Long])
+  final case class LastQuote(us: Long, pick: Long)
+
+  /** Streaming backward as-of join — the stateful twin of
+    * [[graft.etl.TimeJoins.asofJoin]]: each probe row picks up the most
+    * recent quote for its key at-or-before its event time, as the stream
+    * flows. The two inputs are tagged and unioned into ONE keyed stream
+    * (flatMapGroupsWithState takes a single input), so quote and probe
+    * land on the same state partition with one shuffle — the same
+    * single-shuffle shape the batch union+window plan has.
+    *
+    * State per key is ONE (us, pick) cell — the latest quote — carried
+    * across micro-batches, so a probe in batch N matches a quote from
+    * batch N−k with no retained history and no watermark pressure.
+    * Batch-twin tie rules are preserved: at equal time quotes apply
+    * before probes (<= semantics) and concurrent quotes resolve to the
+    * max pick. Like the other stateful twins, cross-batch arrival is
+    * assumed in time order per key (the `q.us <= r.us` guard makes a
+    * late-arriving stale quote a no-op rather than a regression). */
+  def asofJoinStream(probes: DataFrame, quotes: DataFrame): DataFrame = {
+    import probes.sparkSession.implicits._
+    val p = probes.select(col("key"), col("us"), lit(true).as("is_probe"),
+      col("probe_id"), lit(Long.MinValue).as("pick"))
+    val q = quotes.select(col("key"), col("us"), lit(false).as("is_probe"),
+      lit(Long.MinValue).as("probe_id"), col("pick"))
+    p.unionByName(q).as[AsofEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[AsofEvent], state: GroupState[LastQuote]) =>
+          var st: Option[LastQuote] = state.getOption
+          val out = Seq.newBuilder[AsofOut]
+          // quotes (is_probe=false) sort before probes at equal us; equal-us
+          // quotes ascend by pick so the last applied is the max — both
+          // mirror the batch window's (_time, _tag, _pick) ordering
+          rows.toSeq.sortBy(r => (r.us, r.is_probe, r.pick)).foreach { r =>
+            if (!r.is_probe) {
+              st = st match {
+                case Some(q) if r.us < q.us => Some(q)
+                case Some(q) if r.us == q.us =>
+                  Some(LastQuote(r.us, math.max(q.pick, r.pick)))
+                case _ => Some(LastQuote(r.us, r.pick))
+              }
+            } else {
+              out += AsofOut(key, r.probe_id, r.us,
+                st.filter(_.us <= r.us).map(_.pick))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Change-detection sink (J3/K2-shaped): every micro-batch is reduced to
     * changed-rows via content hash and merged into the target parquet dir —
     * `foreachBatch` is where a real deployment issues MERGE INTO. */

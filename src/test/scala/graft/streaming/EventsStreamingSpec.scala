@@ -339,4 +339,56 @@ class EventsStreamingSpec extends SparkSpec {
       .map { case (u, id, b) => ((u, id), b) }.toMap
     assert(batch == got, "streaming and batch twins must agree")
   }
+
+  test("asofJoinStream: cross-batch as-of matches the batch twin") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStreaming.{AsofProbe, AsofQuote}
+    val probes = MemoryStream[AsofProbe]
+    val quotes = MemoryStream[AsofQuote]
+    val q = EventsStreaming.asofJoinStream(probes.toDF(), quotes.toDF())
+      .writeStream.format("memory").queryName("asof").outputMode("append").start()
+
+    // batch 1: probe before any quote (no match); quote at 10; two quotes
+    // at us=20 (max pick must win); probe exactly AT a quote time (<=).
+    // Quotes are added BEFORE probes: the running query may slice the two
+    // adds into separate micro-batches, and quote-then-probe yields the
+    // same output either way (equal-us quotes apply first in-batch, and
+    // the us<= state guard covers the split-batch case).
+    quotes.addData(AsofQuote(1, 10, 7), AsofQuote(1, 20, 3),
+      AsofQuote(1, 20, 9), AsofQuote(2, 15, 42))
+    probes.addData(AsofProbe(1, 5, 100), AsofProbe(1, 20, 101))
+    q.processAllAvailable()
+    // batch 2: probes match quotes carried from the PREVIOUS batch; a new
+    // quote then supersedes for the later probe
+    quotes.addData(AsofQuote(1, 24, 11))
+    probes.addData(AsofProbe(1, 25, 102), AsofProbe(2, 30, 200),
+      AsofProbe(3, 30, 300))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("asof").collect()
+      .map(r => ((r.getAs[Long]("key"), r.getAs[Long]("probe_id")),
+        Option(r.getAs[Any]("asof_pick")).map(_.asInstanceOf[Long]))).toMap
+    assert(got == Map(
+      (1L, 100L) -> None,      // before first quote
+      (1L, 101L) -> Some(9L),  // equal-time quote applies; max of the tie
+      (1L, 102L) -> Some(11L), // batch-2 quote supersedes batch-1 state
+      (2L, 200L) -> Some(42L), // quote carried across the batch boundary
+      (3L, 300L) -> None))     // key with no quotes at all
+
+    // batch twin on the identical rows (probe rows keep their columns,
+    // quote picks land in asof_pick with the same <=/max-tie semantics)
+    val pAll = Seq((1L, 5L, 100L), (1L, 20L, 101L), (1L, 25L, 102L),
+      (2L, 30L, 200L), (3L, 30L, 300L)).toDF("key", "us", "probe_id")
+    val qAll = Seq((1L, 10L, 7L), (1L, 20L, 3L), (1L, 20L, 9L),
+      (2L, 15L, 42L), (1L, 24L, 11L)).toDF("key", "us", "pick")
+    val batch = graft.etl.TimeJoins.asofJoin(
+        pAll, qAll, "key", "us", "us", "pick")
+      .collect()
+      .map(r => ((r.getAs[Long]("key"), r.getAs[Long]("probe_id")),
+        Option(r.getAs[Any]("asof_pick")).map(_.asInstanceOf[Long]))).toMap
+    assert(batch == got, "streaming and batch twins must agree")
+  }
 }
