@@ -290,4 +290,107 @@ object Stats {
         count(when(!col(hiCol), lit(1))).as("n_lo"),
         sum(col("boundary")).as("runs"))
   }
+
+  /** McNemar's paired test counts per group: two classifiers scored on the
+    * SAME rows, reduced to the discordant-pair counts the test is built on
+    * — `b` (A right, B wrong), `c` (A wrong, B right) — plus the χ²-shaped
+    * statistic as the exact fraction (b−c)² / (b+c). The standard check
+    * for "did the new model actually change anything?" on paired eval
+    * sets; concordant pairs carry no signal and are reported only as n.
+    * One shuffle (the group agg, map-side combined). */
+  def mcnemar(df: DataFrame, groupCol: String, truthCol: String,
+      predACol: String, predBCol: String): DataFrame = {
+    val okA = col(predACol) === col(truthCol)
+    val okB = col(predBCol) === col(truthCol)
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(okA && !okB, lit(1))).as("b"),
+        count(when(!okA && okB, lit(1))).as("c"))
+      .select(col(groupCol), col("n"), col("b"), col("c"),
+        ((col("b") - col("c")) * (col("b") - col("c"))).as("stat_num"),
+        (col("b") + col("c")).as("stat_den"))
+  }
+
+  /** Brier-score reliability decomposition over integer-percent forecasts:
+    * per forecast bin (the stated probability in hundredths, 0..100), the
+    * count, the positive count, and the bin's reliability term
+    * (p̂_b − ȳ_b)² · n_b as the exact fraction
+    * (p100·n_b − 100·s_b)² / (10000·n_b), plus the resolution term
+    * (ȳ_b − ȳ)² · n_b as (s_b·N − S·n_b)² / (n_b·N²). Summing num/den
+    * across bins recovers the classic REL/RES decomposition; per-bin rows
+    * keep every denominator exact (no cross-bin common denominator) and
+    * make the curve inspectable. One shuffle. */
+  def brierDecomposition(df: DataFrame, p100Col: String,
+      posCol: String): DataFrame = {
+    val agg = df.groupBy(col(p100Col).as("p100"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col(posCol), lit(1))).as("s"))
+    val tot = agg.agg(sum(col("n")).as("_tn"), sum(col("s")).as("_ts"))
+    // the squared diffs reach (100·N)² and N⁴-scale denominators — far past
+    // long at 10⁹ rows, so every product goes through decimal(38,0) (the
+    // repo's exact-arithmetic convention; oracle side uses HUGEINT)
+    val relDiff = (col("p100") * col("n") - lit(100) * col("s"))
+      .cast("decimal(38,0)")
+    val resDiff = (col("s").cast("decimal(38,0)") * col("_tn") -
+      col("_ts").cast("decimal(38,0)") * col("n"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("p100"), col("n"), col("s"),
+        (relDiff * relDiff).as("rel_num"),
+        (lit(10000L) * col("n")).cast("decimal(38,0)").as("rel_den"),
+        (resDiff * resDiff).as("res_num"),
+        (col("n").cast("decimal(38,0)") * col("_tn") * col("_tn"))
+          .as("res_den"))
+  }
+
+  /** Expected calibration error per model group, exactly: rows carry a
+    * stated confidence in hundredths and a correctness flag; bucketing by
+    * `p100 div 10` (the standard 10-bin ECE), the per-bin gap
+    * |acc_b − conf_b| weighted by n_b/N telescopes to ONE exact fraction
+    *   ece = Σ_b |100·s_b − P_b| / (100·N)
+    * with P_b = Σ p100 in the bin — mean-of-bin confidence, not the bin
+    * center, so the score is exact rather than bucketing-biased. Output:
+    * n, ece_num, ece_den, and basis points. Two shuffles (bin agg, group
+    * agg), both map-side combined. */
+  def ece(df: DataFrame, groupCol: String, p100Col: String,
+      correctCol: String): DataFrame =
+    df.groupBy(col(groupCol),
+        expr(s"CAST($p100Col AS BIGINT) div 10").as("_bin"))
+      .agg(count(lit(1)).as("_n"),
+        count(when(col(correctCol), lit(1))).as("_s"),
+        sum(col(p100Col).cast("long")).as("_p"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_n")).as("n"),
+        sum(abs(lit(100) * col("_s") - col("_p"))).as("ece_num"))
+      .select(col(groupCol), col("n"), col("ece_num"),
+        (lit(100L) * col("n")).as("ece_den"),
+        expr("ece_num * 10000 div (100 * n)").as("ece_bp"))
+
+  /** Pointwise mutual-information cells of a two-way contingency table in
+    * floored-log₂ integers: for each (x, y) cell, the joint count, the
+    * marginals, and the quantized PMI
+    *   pmi_bits = (⌊log₂n_xy⌋ + ⌊log₂N⌋) − (⌊log₂r_x⌋ + ⌊log₂c_y⌋)
+    * via the `length(bin(·))` recipe — the log of each FACTOR, not of the
+    * product n_xy·N (which reaches N² and overflows long at 10⁹ rows);
+    * the decomposed form is within ±1 bit of the product's floor-log and
+    * identically computed on any engine, which is what matters for the
+    * gate. The cell's MI contribution numerator is n_xy·pmi_bits
+    * (denominator N); summing across cells gives quantized MI — the
+    * "does this column predict that one" feature-selection screen. Empty
+    * cells contribute nothing (lim x·log x = 0). Shuffles: cell agg +
+    * two broadcast marginal joins. */
+  def mutualInfoBits(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("n_xy"))
+    val rx = cells.groupBy(col(xCol)).agg(sum(col("n_xy")).as("r_x"))
+    val cy = cells.groupBy(col(yCol)).agg(sum(col("n_xy")).as("c_y"))
+    val n = cells.agg(sum(col("n_xy")).as("_n"))
+    cells.join(broadcast(rx), xCol).join(broadcast(cy), yCol)
+      .crossJoin(broadcast(n))
+      .select(col(xCol), col(yCol), col("n_xy"), col("r_x"), col("c_y"),
+        col("_n").as("n_total"),
+        (length(expr("bin(n_xy)")) + length(expr("bin(_n)")) -
+          length(expr("bin(r_x)")) - length(expr("bin(c_y)")))
+          .cast("long").as("pmi_bits"))
+      .withColumn("mi_num", col("n_xy") * col("pmi_bits"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.etl.Stats
+import graft.etl.{Encoding, Stats}
 
 /** Oracle-gated exact-statistics and multidimensional-reporting operators
   * (round 4, q216+): cohort hypothesis tests (Mann–Whitney, KS, runs),
@@ -326,7 +326,120 @@ object StatsQueries {
       .orderBy($"ca", $"cb")
   }
 
+  // ------------------------------------ q243 LOO target encoding
+
+  /** Leave-one-out target encoding of market segment against order value
+    * ([[Encoding.looTargetEncode]]): each order's segment becomes the mean
+    * cents of the segment's OTHER orders, as the exact fraction — the
+    * high-cardinality categorical encoder with the label leak removed.
+    * Category stats aggregate map-side and broadcast back; no window over
+    * a skewed category partition. */
+  def q243TargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_mktsegment".as("category"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    Encoding.looTargetEncode(df, "category", "cents")
+      .select($"o_orderkey", $"category", $"cents", $"n_cat",
+        $"loo_num", $"loo_den")
+      .orderBy($"o_orderkey")
+  }
+
+  // ------------------------------------------------ q244 McNemar
+
+  /** McNemar discordant-pair test per cohort ([[Stats.mcnemar]]): two
+    * deterministic "classifiers" over events scored against the purchase
+    * truth flag, reduced to b/c discordant counts and the exact
+    * (b−c)²/(b+c) statistic — the paired did-the-model-change test. */
+  def q244Mcnemar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select(($"user_id" % 4).as("cohort"),
+        ($"event_type" === "purchase").as("truth"),
+        ($"event_id" % 3 === 0).as("pa"),
+        ($"event_id" % 5 === 0).as("pb"))
+    Stats.mcnemar(e, "cohort", "truth", "pa", "pb").orderBy($"cohort")
+  }
+
+  // ------------------------------------- q245 Brier decomposition
+
+  /** Brier reliability/resolution decomposition over integer-percent
+    * forecasts ([[Stats.brierDecomposition]]): a deterministic forecast in
+    * hundredths vs the purchase outcome, per-bin REL and RES terms as
+    * exact fractions (decimal(38,0) inside; values fit BIGINT at test
+    * scale for the harness). */
+  def q245Brier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select(($"event_id" % 101).as("p100"),
+        ($"event_type" === "purchase").as("pos"))
+    Stats.brierDecomposition(e, "p100", "pos")
+      .select($"p100", $"n", $"s",
+        $"rel_num".cast("long").as("rel_num"),
+        $"rel_den".cast("long").as("rel_den"),
+        $"res_num".cast("long").as("res_num"),
+        $"res_den".cast("long").as("res_den"))
+      .orderBy($"p100")
+  }
+
+  // --------------------------------------------------- q246 ECE
+
+  /** Expected calibration error per model ([[Stats.ece]]): stated
+    * confidence in hundredths, 10-bin bucketing, the per-model gap
+    * telescoped to one exact fraction plus basis points. */
+  def q246Ece(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conf = ($"event_id" * 7) % 101
+    val e = Tables.events(spark, dir)
+      .select(($"user_id" % 3).as("model"), conf.as("p100"),
+        ((conf >= 50) === ($"event_type" === "purchase")).as("correct"))
+    Stats.ece(e, "model", "p100", "correct").orderBy($"model")
+  }
+
+  // -------------------------------------- q247 mutual information
+
+  /** Categorical mutual information cells ([[Stats.mutualInfoBits]]):
+    * market segment × order priority contingency with quantized PMI bits
+    * per cell — the feature-selection screen for "does this column
+    * predict that one". */
+  def q247MutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"), $"o_orderpriority".as("prio"))
+    Stats.mutualInfoBits(df, "seg", "prio")
+      .select($"seg", $"prio", $"n_xy", $"r_x", $"c_y", $"n_total",
+        $"pmi_bits", $"mi_num")
+      .orderBy($"seg", $"prio")
+  }
+
+  // -------------------------------------- q248 weight of evidence
+
+  /** Weight-of-evidence encoding of order priority against fulfilled
+    * status ([[Encoding.woeEncode]]): per-category WoE bits and the
+    * information-value fraction — the scorecard-style categorical
+    * encoder. */
+  def q248Woe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = Tables.orders(spark, dir)
+      .select($"o_orderpriority".as("category"),
+        ($"o_orderstatus" === "F").as("good"))
+    Encoding.woeEncode(df, "category", "good")
+      .select($"category", $"good", $"bad", $"good_total", $"bad_total",
+        $"woe_bits",
+        $"iv_num".cast("long").as("iv_num"),
+        $"iv_den".cast("long").as("iv_den"))
+      .orderBy($"category")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_target_encode" -> q243TargetEncode _,
+    "q244_mcnemar" -> q244Mcnemar _,
+    "q245_brier" -> q245Brier _,
+    "q246_ece" -> q246Ece _,
+    "q247_mutual_info" -> q247MutualInfo _,
+    "q248_woe" -> q248Woe _,
     "q235_weighted_jaccard" -> q235WeightedJaccard _,
     "q239_psi_drift" -> q239PsiDrift _,
     "q233_wasserstein" -> q233Wasserstein _,
@@ -343,6 +456,107 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q243_target_encode" -> """
+      |WITH base AS (
+      |  SELECT o_orderkey, c_mktsegment AS category,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |st AS (
+      |  SELECT category, count(*) AS n_cat, sum(cents) AS s
+      |  FROM base GROUP BY 1)
+      |SELECT o_orderkey, category, cents,
+      |  CAST(n_cat AS BIGINT) AS n_cat,
+      |  CAST(CASE WHEN n_cat > 1 THEN s - cents END AS BIGINT) AS loo_num,
+      |  CAST(CASE WHEN n_cat > 1 THEN n_cat - 1 END AS BIGINT) AS loo_den
+      |FROM base JOIN st USING (category)
+      |ORDER BY o_orderkey""".stripMargin,
+    "q244_mcnemar" -> """
+      |WITH x AS (
+      |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort,
+      |         (event_type = 'purchase') AS truth,
+      |         (event_id % 3 = 0) AS pa, (event_id % 5 = 0) AS pb
+      |  FROM events),
+      |agg AS (
+      |  SELECT cohort, count(*) AS n,
+      |    count(*) FILTER (WHERE (pa = truth) AND NOT (pb = truth)) AS b,
+      |    count(*) FILTER (WHERE NOT (pa = truth) AND (pb = truth)) AS c
+      |  FROM x GROUP BY 1)
+      |SELECT cohort, CAST(n AS BIGINT) AS n,
+      |  CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+      |  CAST((b - c) * (b - c) AS BIGINT) AS stat_num,
+      |  CAST(b + c AS BIGINT) AS stat_den
+      |FROM agg ORDER BY cohort""".stripMargin,
+    "q245_brier" -> """
+      |WITH x AS (
+      |  SELECT CAST(event_id % 101 AS BIGINT) AS p100,
+      |         (event_type = 'purchase') AS pos
+      |  FROM events),
+      |agg AS (
+      |  SELECT p100, count(*) AS n, count(*) FILTER (WHERE pos) AS s
+      |  FROM x GROUP BY 1),
+      |tot AS (SELECT sum(n) AS tn, sum(s) AS ts FROM agg)
+      |SELECT p100, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+      |  CAST((p100 * n - 100 * s) * (p100 * n - 100 * s) AS BIGINT)
+      |    AS rel_num,
+      |  CAST(10000 * n AS BIGINT) AS rel_den,
+      |  CAST((s * tn - ts * n) * (s * tn - ts * n) AS BIGINT) AS res_num,
+      |  CAST(n * tn * tn AS BIGINT) AS res_den
+      |FROM agg CROSS JOIN tot ORDER BY p100""".stripMargin,
+    "q246_ece" -> """
+      |WITH x AS (
+      |  SELECT CAST(user_id % 3 AS BIGINT) AS model,
+      |         CAST((event_id * 7) % 101 AS BIGINT) AS p100,
+      |         (((event_id * 7) % 101 >= 50) = (event_type = 'purchase'))
+      |           AS correct
+      |  FROM events),
+      |b AS (
+      |  SELECT model, p100 // 10 AS bin, count(*) AS n,
+      |         count(*) FILTER (WHERE correct) AS s, sum(p100) AS p
+      |  FROM x GROUP BY 1, 2)
+      |SELECT model, CAST(sum(n) AS BIGINT) AS n,
+      |  CAST(sum(abs(100 * s - p)) AS BIGINT) AS ece_num,
+      |  CAST(100 * sum(n) AS BIGINT) AS ece_den,
+      |  CAST(sum(abs(100 * s - p)) * 10000 // (100 * sum(n)) AS BIGINT)
+      |    AS ece_bp
+      |FROM b GROUP BY model ORDER BY model""".stripMargin,
+    "q247_mutual_info" -> """
+      |WITH base AS (
+      |  SELECT c_mktsegment AS seg, o_orderpriority AS prio
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cells AS (SELECT seg, prio, count(*) AS n_xy FROM base GROUP BY 1, 2),
+      |rx AS (SELECT seg, CAST(sum(n_xy) AS BIGINT) AS r_x
+      |       FROM cells GROUP BY 1),
+      |cy AS (SELECT prio, CAST(sum(n_xy) AS BIGINT) AS c_y
+      |       FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(sum(n_xy) AS BIGINT) AS nt FROM cells)
+      |SELECT seg, prio, CAST(n_xy AS BIGINT) AS n_xy, r_x, c_y,
+      |  nt AS n_total,
+      |  CAST(length(bin(n_xy)) + length(bin(nt))
+      |     - length(bin(r_x)) - length(bin(c_y)) AS BIGINT) AS pmi_bits,
+      |  CAST(n_xy * (length(bin(n_xy)) + length(bin(nt))
+      |     - length(bin(r_x)) - length(bin(c_y))) AS BIGINT) AS mi_num
+      |FROM cells JOIN rx USING (seg) JOIN cy USING (prio) CROSS JOIN n
+      |ORDER BY seg, prio""".stripMargin,
+    "q248_woe" -> """
+      |WITH base AS (
+      |  SELECT o_orderpriority AS category, (o_orderstatus = 'F') AS good
+      |  FROM orders),
+      |cat AS (
+      |  SELECT category,
+      |    CAST(count(*) FILTER (WHERE good) + 1 AS BIGINT) AS g,
+      |    CAST(count(*) FILTER (WHERE NOT good) + 1 AS BIGINT) AS bd
+      |  FROM base GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(g) AS BIGINT) AS tg, CAST(sum(bd) AS BIGINT) AS tb
+      |  FROM cat)
+      |SELECT category, g AS good, bd AS bad,
+      |  tg AS good_total, tb AS bad_total,
+      |  CAST(length(bin(g)) + length(bin(tb))
+      |     - length(bin(bd)) - length(bin(tg)) AS BIGINT) AS woe_bits,
+      |  CAST((g * tb - bd * tg) * (length(bin(g)) + length(bin(tb))
+      |     - length(bin(bd)) - length(bin(tg))) AS BIGINT) AS iv_num,
+      |  CAST(tg * tb AS BIGINT) AS iv_den
+      |FROM cat CROSS JOIN tot ORDER BY category""".stripMargin,
     "q239_psi_drift" -> """
       |WITH cell AS (
       |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort, event_type,

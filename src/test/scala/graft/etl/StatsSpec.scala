@@ -131,4 +131,85 @@ class StatsSpec extends SparkSpec {
     val out = Stats.runCounts(df, "k", Seq("i"), "hi").collect()
     assert(out.toSeq == Seq(Row(1L, 3L, 3L, 4L)))
   }
+
+  test("mcnemar counts only discordant pairs") {
+    // g=1: concordant TT, b-pair, c-pair, concordant FF, concordant both-wrong
+    // -> b=1, c=1, stat 0/2;  g=2: b=2, c=1 -> stat 1/3
+    val df = Seq(
+      (1L, true, true, true), (1L, true, true, false),
+      (1L, true, false, true), (1L, false, false, false),
+      (1L, true, false, false),
+      (2L, true, true, false), (2L, true, true, false),
+      (2L, true, false, true)).toDF("g", "truth", "pa", "pb")
+    val out = Stats.mcnemar(df, "g", "truth", "pa", "pb")
+      .orderBy($"g").collect()
+    assert(out.toSeq == Seq(
+      Row(1L, 5L, 1L, 1L, 0L, 2L), Row(2L, 3L, 2L, 1L, 1L, 3L)))
+  }
+
+  test("brierDecomposition emits exact per-bin REL and RES fractions") {
+    // bins: p100=0 (n=2,s=0), 50 (n=2,s=2), 100 (n=1,s=1); N=5, S=3
+    val df = Seq((0L, false), (0L, false), (50L, true), (50L, true),
+      (100L, true)).toDF("p100", "pos")
+    val out = Stats.brierDecomposition(df, "p100", "pos")
+      .select($"p100", $"n", $"s",
+        $"rel_num".cast("long"), $"rel_den".cast("long"),
+        $"res_num".cast("long"), $"res_den".cast("long"))
+      .orderBy($"p100").collect()
+    assert(out.toSeq == Seq(
+      // rel = (p100·n − 100·s)², res = (s·N − S·n)² over n·N²
+      Row(0L, 2L, 0L, 0L, 20000L, 36L, 50L),
+      Row(50L, 2L, 2L, 10000L, 20000L, 16L, 50L),
+      Row(100L, 1L, 1L, 0L, 10000L, 4L, 25L)))
+  }
+
+  test("ece telescopes bin gaps into one exact fraction") {
+    // bin 9: n=2, s=1, P=190 -> |100−190|=90; bin 4: n=1, s=1, P=45 -> 55
+    // ece = 145/300 -> 4833 bp (floored)
+    val df = Seq((1L, 95L, true), (1L, 95L, false), (1L, 45L, true))
+      .toDF("m", "p100", "correct")
+    val out = Stats.ece(df, "m", "p100", "correct").collect()
+    assert(out.toSeq == Seq(Row(1L, 3L, 145L, 300L, 4833L)))
+  }
+
+  test("mutualInfoBits quantizes PMI per contingency cell") {
+    // cells (a,p)=2, (a,q)=1, (b,q)=1; r_a=3, r_b=1, c_p=2, c_q=2, N=4
+    // bits = bitlen(n)+bitlen(N)−bitlen(r)−bitlen(c)
+    val df = Seq(("a", "p"), ("a", "p"), ("a", "q"), ("b", "q"))
+      .toDF("x", "y")
+    val out = Stats.mutualInfoBits(df, "x", "y")
+      .select($"x", $"y", $"n_xy", $"r_x", $"c_y", $"n_total",
+        $"pmi_bits", $"mi_num")
+      .orderBy($"x", $"y").collect()
+    assert(out.toSeq == Seq(
+      Row("a", "p", 2L, 3L, 2L, 4L, 1L, 2L),   // 2+3−2−2 = 1
+      Row("a", "q", 1L, 3L, 2L, 4L, 0L, 0L),   // 1+3−2−2 = 0
+      Row("b", "q", 1L, 1L, 2L, 4L, 1L, 1L)))  // 1+3−1−2 = 1
+  }
+
+  test("looTargetEncode excludes the own row; singletons go null") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 5L))
+      .toDF("cat", "t")
+    val out = Encoding.looTargetEncode(df, "cat", "t")
+      .select($"cat", $"t", $"n_cat", $"loo_num", $"loo_den")
+      .orderBy($"cat", $"t").collect()
+    assert(out.toSeq == Seq(
+      Row("a", 10L, 3L, 50L, 2L), Row("a", 20L, 3L, 40L, 2L),
+      Row("a", 30L, 3L, 30L, 2L), Row("b", 5L, 1L, null, null)))
+  }
+
+  test("woeEncode computes Laplace-smoothed WoE bits and IV fraction") {
+    // a: 2T,1F -> g=3,b=2; c: 1T -> g=2,b=1; totals tg=5, tb=3
+    val df = Seq(("a", true), ("a", true), ("a", false), ("c", true))
+      .toDF("cat", "good")
+    val out = Encoding.woeEncode(df, "cat", "good")
+      .select($"cat", $"good", $"bad", $"good_total", $"bad_total",
+        $"woe_bits", $"iv_num".cast("long"), $"iv_den".cast("long"))
+      .orderBy($"cat").collect()
+    assert(out.toSeq == Seq(
+      // a: bits = 2+2−2−3 = −1; iv = (3·3−2·5)·(−1) = 1 over 15
+      Row("a", 3L, 2L, 5L, 3L, -1L, 1L, 15L),
+      // c: bits = 2+2−1−3 = 0
+      Row("c", 2L, 1L, 5L, 3L, 0L, 0L, 15L)))
+  }
 }
