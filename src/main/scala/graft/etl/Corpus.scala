@@ -424,4 +424,36 @@ object Corpus {
         expr(s"((_cum - $weightCol) * $nPerGroup) div _tot"))
       .drop("_cum", "_tot")
   }
+
+  /** Flesch–Kincaid-style readability as exact integer fractions — the
+    * curation signal that flags run-on machine text (high grade) and
+    * listicle fragments (implausibly low) without a language model.
+    *
+    * Heuristics, chosen to be identical cross-engine: words = whitespace
+    * tokens; syllables = maximal vowel-group runs `[aeiouy]+` of the
+    * lowercased text (vowel groups never span a space, so the doc-level
+    * count equals the per-word sum); sentences = count of `.!?` chars,
+    * floored at 1. The FK grade 0.39·W/S + 11.8·Syl/W − 15.59 is returned
+    * as the single fraction
+    *   fk_num / fk_den = (39·W² + 1180·Syl·S − 1559·S·W) / (100·S·W)
+    * (null when a doc has no words). Pure per-row projection — no
+    * shuffle, runs unchanged on a stream. */
+  def readabilityScores(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val nWords = size(tokensOf(col(textCol))).cast("long")
+    val nSyll = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    val nSent = greatest(
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[.!?]", ""))).cast("long"),
+      lit(1L))
+    docs.select(col(idCol), nWords.as("n_words"), nSyll.as("n_syllables"),
+        nSent.as("n_sentences"))
+      .withColumn("fk_num", when(col("n_words") > 0,
+        lit(39L) * col("n_words") * col("n_words") +
+          lit(1180L) * col("n_syllables") * col("n_sentences") -
+          lit(1559L) * col("n_sentences") * col("n_words")))
+      .withColumn("fk_den", when(col("n_words") > 0,
+        lit(100L) * col("n_sentences") * col("n_words")))
+  }
 }

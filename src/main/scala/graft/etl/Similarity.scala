@@ -478,6 +478,38 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("dot"), col("cosine"))
   }
 
+  /** Reciprocal (mutual) nearest-neighbor pairs under maximum inner
+    * product, the strictest embedding-dedup signal: a pair survives only
+    * if each vector is the OTHER's best match — one-sided hub vectors
+    * (the "everything matches the centroid doc" failure of plain
+    * threshold dedup) cannot form mutual pairs with their many
+    * satellites, because the hub has exactly one best match.
+    *
+    * Candidates come from the same sign-LSH bucketing as the other ANN
+    * paths (each bucket self-joins locally; never all-pairs), scored by
+    * the exact integer `qdot`, ranked per vector by (dot desc, id) — no
+    * float compare anywhere — and the two per-vector argmax tables
+    * self-join on the "you are my best AND I am yours" condition.
+    * Vectors alone in their bucket have no candidates and drop out (the
+    * standard bucketing/recall tradeoff, tunable via `bits`). */
+  def mutualNnPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 8): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val pairs = v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("nn"),
+        qdot(col("a.qv"), col("b.qv")).as("dot"))
+    val w = Window.partitionBy(col("id")).orderBy(col("dot").desc, col("nn"))
+    val best = pairs.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1).drop("_rk")
+    best.as("x").join(best.as("y"),
+        col("x.id") === col("y.nn") && col("x.nn") === col("y.id") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("x.nn").as("id_b"),
+        col("x.dot").as("dot"))
+  }
+
   /** Resolve near-dup pairs into clusters: connected components by
     * min-label propagation. Each round every node adopts the smallest
     * label among itself and its neighbors — a chain of diameter d

@@ -65,7 +65,8 @@ case class HammingDistance(left: Expression, right: Expression)
 }
 
 /** Engine extensions: registers `hamming(a, b)`, `qdot(a, b)`,
-  * `longest_run(arr)` and `simhash(text)` in the function registry. Wired via
+  * `longest_run(arr)`, `simhash(text)` and `hilbert(x, y, order)` in the
+  * function registry. Wired via
   * `spark.sql.extensions=graft.plans.GraftExtensions`
   * ([[graft.Sessions.builder]]); callable from SQL and `call_function`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -97,6 +98,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "simhash(text) takes exactly 1 argument")
         Simhash(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "hilbert(x, y, order) takes exactly 3 arguments")
+        val order = children(2) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"hilbert order must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "hilbert order must be a literal")
+        }
+        HilbertIndex(children.head, children(1), order)
       }))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),

@@ -516,6 +516,19 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Q251 — Hilbert-curve layout key ([[graft.etl.Layout.hilbertValue]],
+    * native codegen `hilbert` expression): the z-curve's better-locality
+    * sibling over the same (orderkey, custkey) plane; order 8 keeps the
+    * oracle's recursive re-derivation 8 rounds deep. */
+  def q251Hilbert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        graft.etl.Layout.hilbertValue($"o_orderkey", $"o_custkey", order = 8)
+          .as("hval"))
+      .orderBy($"o_orderkey")
+  }
+
   /** Q82 — Tukey-fence outliers ([[graft.etl.Analytics.iqrOutliers]]
     * composed over exactPercentiles + broadcast fences): k=1 (0.5·IQR —
     * the synthetic uniform prices have no 1.5·IQR tail, which would make
@@ -706,6 +719,7 @@ object Relational {
     "q71_datetime" -> q71Datetime _,
     "q78_percentiles" -> q78Percentiles _,
     "q81_zorder" -> q81Zorder _,
+    "q251_hilbert" -> q251Hilbert _,
     "q82_iqr_outliers" -> q82IqrOutliers _,
     "q84_listagg" -> q84Listagg _,
     "q93_dyn_histogram" -> q93DynHistogram _,
@@ -929,6 +943,33 @@ object Relational {
         |             (y | (y << 1)) & 1431655765 AS y FROM d)
         |SELECT o_orderkey, CAST(x | (y << 1) AS BIGINT) AS zval
         |FROM e ORDER BY o_orderkey""".stripMargin,
+    // the Hilbert walk re-derived as a recursive CTE: one rotate-and-
+    // accumulate step per recursion level (s halves each round, 8 rounds
+    // for order 8), exactly the loop in graft.plans.Hilbert.xy2d
+    "q251_hilbert" -> """
+      |WITH RECURSIVE h AS (
+      |  SELECT o_orderkey,
+      |    CAST(o_orderkey % 256 AS BIGINT) AS x,
+      |    CAST(o_custkey % 256 AS BIGINT) AS y,
+      |    CAST(0 AS BIGINT) AS d, CAST(128 AS BIGINT) AS s
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey,
+      |    CASE WHEN ry = 0 THEN yy ELSE xx END AS x,
+      |    CASE WHEN ry = 0 THEN xx ELSE yy END AS y,
+      |    d2 AS d, s // 2 AS s
+      |  FROM (
+      |    SELECT o_orderkey,
+      |      CASE WHEN ry = 0 AND rx = 1 THEN s - 1 - x ELSE x END AS xx,
+      |      CASE WHEN ry = 0 AND rx = 1 THEN s - 1 - y ELSE y END AS yy,
+      |      d + s * s * xor(3 * rx, ry) AS d2, rx, ry, s
+      |    FROM (
+      |      SELECT o_orderkey, x, y, d, s,
+      |        CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+      |        CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry
+      |      FROM h WHERE s > 0) t1) t2)
+      |SELECT o_orderkey, d AS hval FROM h WHERE s = 0
+      |ORDER BY o_orderkey""".stripMargin,
     "q82_iqr_outliers" ->
       """WITH r AS (
         |  SELECT o_orderkey, o_orderpriority,

@@ -658,7 +658,30 @@ object TrainingData {
     "q53_winnow" -> q53Winnow _,
     "q54_frame_sample" -> q54FrameSample _,
     "q55_resize" -> q55Resize _,
-    "q242_image_decode" -> q242ImageDecode _)
+    "q242_image_decode" -> q242ImageDecode _,
+    "q249_readability" -> q249Readability _,
+    "q250_mutual_nn" -> q250MutualNn _)
+
+  /** Flesch–Kincaid readability fractions per document
+    * ([[graft.etl.Corpus.readabilityScores]]): words/syllables/sentences
+    * by cross-engine-identical heuristics, the grade as one exact
+    * fraction. */
+  def q249Readability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.readabilityScores(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  /** Reciprocal nearest-neighbor embedding pairs
+    * ([[Similarity.mutualNnPairs]]): sign-LSH bucketed candidates, exact
+    * integer-dot ranking, pairs that are each other's best match. */
+  def q250MutualNn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.mutualNnPairs(Tables.embeddings(spark, dir),
+        "vec_id", "embedding")
+      .orderBy($"id_a")
+  }
 
   /** Quantized embeddings + 8-sign-bit LSH bucket, shared by the ANN and
     * cosine-dup oracles (twin of `Similarity.quantize`/`signBucket`). */
@@ -1256,6 +1279,38 @@ object TrainingData {
       |  FROM scored)
       |SELECT query_id, rank, nn_id, dot FROM ranked
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q249_readability" -> """
+      |WITH x AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS BIGINT) AS n_words,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |      AS BIGINT) AS n_syllables,
+      |    CAST(greatest(length(text)
+      |      - length(regexp_replace(text, '[.!?]', '', 'g')), 1)
+      |      AS BIGINT) AS n_sentences
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_syllables, n_sentences,
+      |  CAST(CASE WHEN n_words > 0 THEN
+      |    39*n_words*n_words + 1180*n_syllables*n_sentences
+      |      - 1559*n_sentences*n_words END AS BIGINT) AS fk_num,
+      |  CAST(CASE WHEN n_words > 0 THEN 100*n_sentences*n_words END
+      |    AS BIGINT) AS fk_den
+      |FROM x ORDER BY doc_id""".stripMargin,
+    "q250_mutual_nn" -> s"""
+      |WITH $qembSql,
+      |p AS (
+      |  SELECT a.vec_id AS id, b.vec_id AS nn,
+      |    CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+      |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY dot DESC, nn)
+      |    AS rk FROM p),
+      |best AS (SELECT id, nn, dot FROM r WHERE rk = 1)
+      |SELECT x.id AS id_a, x.nn AS id_b, x.dot AS dot
+      |FROM best x JOIN best y
+      |  ON x.id = y.nn AND x.nn = y.id AND x.id < y.id
+      |ORDER BY id_a""".stripMargin,
     "q52_cosine_dups" -> s"""
       |WITH $qembSql,
       |p AS (

@@ -201,4 +201,25 @@ class CorpusSpec extends SparkSpec {
       .orderBy($"ri").as[(Long, Long)].collect().toSeq
     assert(got.map(r => (r._1, r._2)) == ref.map(r => (r._1, r._2.toLong)))
   }
+
+  test("readabilityScores: hand-counted words/syllables/sentences") {
+    val sq = spark
+    import sq.implicits._
+    val docs = Seq(
+      // 4 words, syllable groups e,o | o | i,e | ay = 6, 2 terminators
+      (1L, "hello world. nice day!"),
+      (2L, ""),     // no words -> null fraction, sentences floored at 1
+      (3L, "xyz"))  // y counts as a vowel group
+      .toDF("doc_id", "text")
+    val out = Corpus.readabilityScores(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)))).toSeq
+    assert(out == Seq(
+      // fk = (39*16 + 1180*6*2 - 1559*2*4) / (100*2*4) = 2312/800
+      (1L, 4L, 6L, 2L, Some(2312L), Some(800L)),
+      (2L, 0L, 0L, 1L, None, None),
+      // 39 + 1180 - 1559 = -340 over 100
+      (3L, 1L, 1L, 1L, Some(-340L), Some(100L))))
+  }
 }

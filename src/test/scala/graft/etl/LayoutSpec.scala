@@ -46,4 +46,54 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("hilbert: order-1 anchors pin the canonical U orientation") {
+    // the 2x2 curve visits (0,0) (0,1) (1,1) (1,0)
+    assert(graft.plans.Hilbert.xy2d(0, 0, 1) == 0)
+    assert(graft.plans.Hilbert.xy2d(0, 1, 1) == 1)
+    assert(graft.plans.Hilbert.xy2d(1, 1, 1) == 2)
+    assert(graft.plans.Hilbert.xy2d(1, 0, 1) == 3)
+  }
+
+  test("hilbert: bijective and edge-adjacent over the full order-4 grid") {
+    // every cell of the 16x16 grid gets a distinct d in [0, 256), and
+    // consecutive d values are Manhattan-adjacent cells — together these
+    // characterize a Hilbert-style curve exactly (plus the anchors above
+    // for orientation)
+    val cells = for (x <- 0 until 16; y <- 0 until 16)
+      yield (graft.plans.Hilbert.xy2d(x, y, 4), (x, y))
+    assert(cells.map(_._1).sorted == (0 until 256).map(_.toLong))
+    cells.sortBy(_._1).map(_._2).sliding(2).foreach {
+      case Seq((x1, y1), (x2, y2)) =>
+        assert((x1 - x2).abs + (y1 - y2).abs == 1, s"($x1,$y1)->($x2,$y2)")
+      case _ =>
+    }
+  }
+
+  test("hilbertValue expression agrees with the static model incl. mod") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map(_ =>
+      (rnd.nextLong().abs % 1000000L, rnd.nextLong().abs % 1000000L))
+    val out = rows.toDF("x", "y")
+      .select($"x", $"y", Layout.hilbertValue($"x", $"y", 8).as("h"))
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (x, y, h) =>
+      assert(h == graft.plans.Hilbert.xy2d(x, y, 8), s"($x, $y)")
+    }
+  }
+
+  test("hilbertBy: disjoint sorted partition ranges over the curve key") {
+    import spark.implicits._
+    val df = (1L to 4000L).map(i => (i, i * 7 % 997)).toDF("x", "y")
+    val parts = Layout.hilbertBy(df, $"x", $"y", order = 8, numFiles = 8)
+      .select(spark_partition_id().as("p"), col("_hval"))
+      .as[(Int, Long)].collect().groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (p, rows) => (p, rows.map(_._2).toSeq) }
+    parts.foreach { case (_, vs) => assert(vs == vs.sorted) }
+    parts.map(_._2).sliding(2).foreach {
+      case Seq(a, b) => assert(a.max <= b.min)
+      case _ =>
+    }
+  }
 }

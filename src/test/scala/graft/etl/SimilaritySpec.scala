@@ -329,4 +329,21 @@ class SimilaritySpec extends SparkSpec {
     // sha is over the ENCODED payload, not pixels
     assert(f.payload_sha.length == 64 && f.n_bytes == flat.length.toLong)
   }
+
+  test("mutualNnPairs keeps only reciprocal best matches") {
+    val sq = spark
+    import sq.implicits._
+    // same sign bucket for 1-3; dots: d(1,2)=106.9M > d(1,3)=56.5M >
+    // d(2,3)=56.45M -> 3's best is 1, but 1's best is 2 and vice versa:
+    // only (1,2) is mutual. 4 sits alone in the negative-first-dim bucket.
+    val emb = Seq(
+      (1L, Seq(10f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
+      (2L, Seq(10f, 1f, 1f, 1f, 1f, 1f, 1f, 0.9f)),
+      (3L, Seq(5f, 1f, 1f, 1f, 1f, 1f, 1f, 0.5f)),
+      (4L, Seq(-1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mutualNnPairs(emb, "vec_id", "embedding")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 106900000L)))
+  }
 }
