@@ -111,6 +111,50 @@ object Graph {
     r
   }
 
+  /** Fixed-iteration HITS hubs & authorities in exact integer arithmetic
+    * — the "good pointer / good pointee" dual of [[pageRankInt]] (same
+    * reproducibility contract: every step an integer sum or floor
+    * division, bit-identical cross-engine).
+    *
+    * Scores start at `r0` and alternate the standard mutual updates —
+    * auth'(v) = Σ_{u→v} hub(u) from the PREVIOUS hubs, then
+    * hub'(u) = Σ_{u→v} auth'(v) from the NEW authorities — each followed
+    * by the integer analog of HITS's norm step: rescale so the max score
+    * is `r0` (`(s·r0) div max`, product through decimal(38,0) so
+    * deg·r0² cannot overflow long). Per iteration: two edge⋈score joins
+    * and two aggregations, shuffled on the edge keys, plus one
+    * broadcast one-row max — the same shape and checkpoint discipline as
+    * the other iterative graph operators. */
+  def hitsInt(nodes: DataFrame, edges: DataFrame, nodeCol: String,
+      srcCol: String, dstCol: String, iterations: Int = 2,
+      r0: Long = 1L << 20): DataFrame = {
+    val n = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    def rescale(df: DataFrame, c: String): DataFrame = {
+      val mx = df.agg(max(col(c)).as("_mx"))
+      df.crossJoin(broadcast(mx))
+        .select(col("node"), expr(
+          s"CAST((CAST($c AS DECIMAL(38,0)) * $r0) div greatest(_mx, 1)" +
+            s" AS BIGINT)").as(c))
+    }
+    var hub = n.withColumn("hub", lit(r0))
+    var auth = n.withColumn("auth", lit(r0))
+    for (_ <- 1 to iterations) {
+      val aSum = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth"))
+      auth = rescale(n.join(aSum, Seq("node"), "left")
+        .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth")),
+        "auth").localCheckpoint()
+      val hSum = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub"))
+      hub = rescale(n.join(hSum, Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub")),
+        "hub").localCheckpoint()
+    }
+    hub.join(auth, "node")
+  }
+
   /** Bounded-round k-core peel: `rounds` iterations of "drop every node
     * with degree < k, with its edges" over the undirected deduped graph,
     * returning surviving nodes with their final degree. Fixed rounds (not

@@ -144,6 +144,65 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Encode a real gradient PNG: pixel (x, y) holds gray
+    * `(7x + 3y + seed) mod 251` on all channels — structured content
+    * whose every pixel an oracle can predict analytically, which is what
+    * a perceptual-hash test needs (a flat image has an all-zero
+    * gradient hash). */
+  def syntheticGradientPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = (((7L * x + 3L * y + seed) % 251 + 251) % 251).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Gradient-PNG media table (the [[mediaFromSyntheticImages]] sibling
+    * with per-pixel structure): w = 8 + id%9, h = 8 + id%5, seed = id —
+    * all pure functions of the id so the oracle can reconstruct any
+    * sampled pixel. */
+  def mediaFromSyntheticGradientImages(df: DataFrame,
+      idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    val pngUdf = udf((id: Long) =>
+      syntheticGradientPng((8 + id % 9).toInt, (8 + id % 5).toInt, id))
+    df.select(
+        col(idCol).cast("long").as("media_id"),
+        lit("image").as("media_type"),
+        pngUdf(col(idCol).cast("long")).as("payload"),
+        (lit(8) + col(idCol) % 9).cast("int").as("width"),
+        (lit(8) + col(idCol) % 5).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"))
+      .as[MediaRecord]
+  }
+
+  /** Difference hash (dHash) of a decoded 8×8 luma grid: bit (i, j) is
+    * set iff cell (i, j+1) is strictly brighter than cell (i, j) — 7
+    * comparisons × 8 rows packed row-major into a 56-bit long. The
+    * standard near-duplicate IMAGE signature: resize-, brightness- and
+    * compression-robust, pairable with the native `hamming` expression
+    * the text SimHash path already uses. Luma cells are recovered as
+    * exact integers (`round(f·255)` inverts the codec's `luma/255f`), so
+    * the hash is bit-stable cross-engine. Pure column arithmetic over
+    * the feature array — no UDF, no shuffle. */
+  def dhash(featureCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def lum(k: Int) = round(element_at(featureCol, k + 1) * 255).cast("long")
+    (for { i <- 0 until 8; j <- 0 until 7 } yield
+      when(lum(i * 8 + j + 1) > lum(i * 8 + j), lit(1L << (i * 7 + j)))
+        .otherwise(lit(0L))).reduce(_ + _)
+  }
+
   /** Media table of REAL encoded PNGs, one per input id: dimensions and
     * fill gray are pure functions of the id (w = 4 + id%13, h = 3 + id%7,
     * gray = id%251) so an oracle can predict the decoded metadata without

@@ -60,4 +60,40 @@ object Privacy {
         when(col("l_distinct") >= l, lit("ok"))
           .otherwise(lit("violates")).as("diversity")): _*)
   }
+
+  /** t-closeness audit — the third rung of the release-audit ladder after
+    * k-anonymity (group size) and l-diversity (within-group variety): how
+    * far each quasi-identifier group's SENSITIVE-value distribution sits
+    * from the global one. For categorical sensitive attributes the
+    * accepted instantiation is total-variation distance, kept as the
+    * exact cross-multiplied fraction
+    *   t = Σ_s |c_{g,s}·N − C_s·n_g| / (2·n_g·N)
+    * (zero cells contribute their full global mass — a group MISSING a
+    * sensitive value leaks as much as one concentrating it). Shape: cell
+    * agg, group agg, then the group table crossed with the broadcast
+    * global distribution (#groups × #sensitive-values grid — the small
+    * side is the handful of sensitive values) and one final group agg.
+    * Sums run in decimal(38,0): the cross products reach N². */
+  def tCloseness(df: DataFrame, qiCols: Seq[String],
+      sensCol: String): DataFrame = {
+    val qi = qiCols.map(col)
+    val base = df.filter(col(sensCol).isNotNull)
+    val cell = base.groupBy(qi :+ col(sensCol): _*)
+      .agg(count(lit(1)).as("_c"))
+    val grp = cell.groupBy(qi: _*).agg(sum(col("_c")).as("n_group"))
+    val glob = base.groupBy(col(sensCol)).agg(count(lit(1)).as("_cs"))
+    val n = base.agg(count(lit(1)).as("n_total"))
+    grp.crossJoin(broadcast(glob))
+      .join(cell, qiCols :+ sensCol, "left")
+      .crossJoin(broadcast(n))
+      .groupBy(qi ++ Seq(col("n_group"), col("n_total")): _*)
+      .agg(sum(abs(
+        coalesce(col("_c"), lit(0L)).cast("decimal(38,0)") * col("n_total") -
+          col("_cs").cast("decimal(38,0)") * col("n_group"))).as("t_num"))
+      .select(qi ++ Seq(col("n_group"), col("n_total"), col("t_num"),
+        (col("n_group").cast("decimal(38,0)") * col("n_total") * 2)
+          .as("t_den"),
+        expr("CAST(t_num * 10000 div (2 * CAST(n_group AS DECIMAL(38,0))" +
+          " * n_total) AS BIGINT)").as("t_bp")): _*)
+  }
 }

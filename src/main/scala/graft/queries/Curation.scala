@@ -87,6 +87,21 @@ object Curation {
       .orderBy($"node")
   }
 
+  /** 2-iteration integer HITS ([[Graph.hitsInt]]) on the q113 synthetic
+    * graph: hubs and authorities with the max-rescaled integer norm step,
+    * every value a floor-division-exact long. */
+  def q252Hits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val m = (orders.agg(max($"o_orderkey")).head().getLong(0) + 1) / 50
+    val nodes = orders.select(($"o_orderkey" % m).as("node")).distinct()
+    val edges = nodes.select($"node".as("src"), (($"node" + 1) % m).as("dst"))
+      .unionAll(nodes.select($"node".as("src"),
+        (($"node" * 13 + 3) % m).as("dst")))
+    Graph.hitsInt(nodes, edges, "node", "src", "dst", iterations = 2)
+      .orderBy($"node")
+  }
+
   // -------------------------------------------------------- q114 ewma
 
   /** Dyadic-weight truncated EWMA over each user's event values
@@ -382,6 +397,7 @@ object Curation {
     "q111_url_parse" -> q111UrlParse _,
     "q112_boilerplate" -> q112Boilerplate _,
     "q113_pagerank" -> q113Pagerank _,
+    "q252_hits" -> q252Hits _,
     "q114_ewma" -> q114Ewma _,
     "q115_anomaly" -> q115Anomaly _,
     "q116_feature_hash" -> q116FeatureHash _,
@@ -641,6 +657,42 @@ object Curation {
       |       CAST(sum(CASE WHEN gram IN (SELECT gram FROM fl)
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
       |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // HITS unrolled: per iteration an auth sum from previous hubs, an
+    // integer max-rescale ((s*r0)//max, r0 = 2^20), then the hub sum from
+    // the NEW auths with its own rescale — literally Graph.hitsInt's steps
+    "q252_hits" -> """
+      |WITH mm AS (SELECT (max(o_orderkey) + 1) // 50 AS m FROM orders),
+      |nodes AS (SELECT DISTINCT o_orderkey % m AS node FROM orders, mm),
+      |e AS (SELECT node AS src, (node + 1) % m AS dst FROM nodes, mm
+      |      UNION ALL
+      |      SELECT node, (node * 13 + 3) % m FROM nodes, mm),
+      |h0 AS (SELECT node, CAST(1048576 AS BIGINT) AS v FROM nodes),
+      |a1s AS (SELECT e.dst AS node, sum(h0.v) AS s
+      |        FROM e JOIN h0 ON h0.node = e.src GROUP BY 1),
+      |a1r AS (SELECT n.node, coalesce(s.s, 0) AS s
+      |        FROM nodes n LEFT JOIN a1s s ON s.node = n.node),
+      |a1 AS (SELECT node, (s * 1048576) // greatest((SELECT max(s) FROM a1r), 1) AS v
+      |       FROM a1r),
+      |h1s AS (SELECT e.src AS node, sum(a1.v) AS s
+      |        FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+      |h1r AS (SELECT n.node, coalesce(s.s, 0) AS s
+      |        FROM nodes n LEFT JOIN h1s s ON s.node = n.node),
+      |h1 AS (SELECT node, (s * 1048576) // greatest((SELECT max(s) FROM h1r), 1) AS v
+      |       FROM h1r),
+      |a2s AS (SELECT e.dst AS node, sum(h1.v) AS s
+      |        FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+      |a2r AS (SELECT n.node, coalesce(s.s, 0) AS s
+      |        FROM nodes n LEFT JOIN a2s s ON s.node = n.node),
+      |a2 AS (SELECT node, (s * 1048576) // greatest((SELECT max(s) FROM a2r), 1) AS v
+      |       FROM a2r),
+      |h2s AS (SELECT e.src AS node, sum(a2.v) AS s
+      |        FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+      |h2r AS (SELECT n.node, coalesce(s.s, 0) AS s
+      |        FROM nodes n LEFT JOIN h2s s ON s.node = n.node),
+      |h2 AS (SELECT node, (s * 1048576) // greatest((SELECT max(s) FROM h2r), 1) AS v
+      |       FROM h2r)
+      |SELECT h2.node, CAST(h2.v AS BIGINT) AS hub, CAST(a2.v AS BIGINT) AS auth
+      |FROM h2 JOIN a2 ON a2.node = h2.node ORDER BY 1""".stripMargin,
     "q113_pagerank" -> """
       |WITH mm AS (SELECT (max(o_orderkey) + 1) // 50 AS m FROM orders),
       |nodes AS (SELECT DISTINCT o_orderkey % m AS node FROM orders, mm),

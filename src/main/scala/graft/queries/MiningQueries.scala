@@ -825,6 +825,21 @@ object MiningQueries {
       .orderBy($"c_nationkey", $"c_mktsegment")
   }
 
+  /** t-closeness over the q148/q196 quasi-identifier groups
+    * ([[Privacy.tCloseness]]): total-variation distance between each
+    * group's sensitive-value distribution and the global one as an exact
+    * fraction + basis points — the release audit's third rung. */
+  def q254Tcloseness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Privacy.tCloseness(
+        Tables.customer(spark, dir).withColumn("sens", $"c_custkey" % 5),
+        Seq("c_nationkey", "c_mktsegment"), "sens")
+      .select($"c_nationkey", $"c_mktsegment", $"n_group", $"n_total",
+        $"t_num".cast("long").as("t_num"),
+        $"t_den".cast("long").as("t_den"), $"t_bp")
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
   // ------------------------------------------- q200 precision/recall@k
 
   /** P@20 / R@20 per segment ([[Mining.precisionRecallAtK]]) with the q128
@@ -935,6 +950,7 @@ object MiningQueries {
     "q202_confusion_f1" -> q202ConfusionF1 _,
     "q195_ndcg" -> q195Ndcg _,
     "q196_ldiversity" -> q196Ldiversity _,
+    "q254_tcloseness" -> q254Tcloseness _,
     "q186_ohlc" -> q186Ohlc _,
     "q187_rolling_slope" -> q187RollingSlope _,
     "q188_seasonal_anomaly" -> q188SeasonalAnomaly _,
@@ -1097,6 +1113,32 @@ object MiningQueries {
       |SELECT d.c_mktsegment, dcg_scaled, idcg_scaled,
       |  dcg_scaled * 10000 // NULLIF(idcg_scaled, 0) AS ndcg_bp
       |FROM d JOIN i USING (c_mktsegment) ORDER BY 1""".stripMargin,
+    "q254_tcloseness" -> """
+      |WITH base AS (
+      |  SELECT c_nationkey, c_mktsegment, c_custkey % 5 AS sens
+      |  FROM customer),
+      |cell AS (
+      |  SELECT c_nationkey, c_mktsegment, sens, count(*) AS c
+      |  FROM base GROUP BY 1, 2, 3),
+      |grp AS (
+      |  SELECT c_nationkey, c_mktsegment, CAST(sum(c) AS BIGINT) AS ng
+      |  FROM cell GROUP BY 1, 2),
+      |gd AS (SELECT sens, count(*) AS cs FROM base GROUP BY 1),
+      |n AS (SELECT count(*) AS nt FROM base),
+      |grid AS (
+      |  SELECT g.c_nationkey, g.c_mktsegment, g.ng, s.sens, s.cs
+      |  FROM grp g CROSS JOIN gd s)
+      |SELECT c_nationkey, c_mktsegment, ng AS n_group,
+      |  CAST(nt AS BIGINT) AS n_total,
+      |  CAST(sum(abs(coalesce(c, 0) * nt - cs * ng)) AS BIGINT) AS t_num,
+      |  CAST(2 * ng * nt AS BIGINT) AS t_den,
+      |  CAST(sum(abs(coalesce(c, 0) * nt - cs * ng)) * 10000
+      |    // (2 * ng * nt) AS BIGINT) AS t_bp
+      |FROM grid
+      |LEFT JOIN cell USING (c_nationkey, c_mktsegment, sens)
+      |CROSS JOIN n
+      |GROUP BY c_nationkey, c_mktsegment, ng, nt
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "q196_ldiversity" -> """
       |WITH s AS (SELECT c_nationkey, c_mktsegment, c_custkey % 5 AS sens,
       |             count(*) AS sc

@@ -660,7 +660,51 @@ object TrainingData {
     "q55_resize" -> q55Resize _,
     "q242_image_decode" -> q242ImageDecode _,
     "q249_readability" -> q249Readability _,
-    "q250_mutual_nn" -> q250MutualNn _)
+    "q250_mutual_nn" -> q250MutualNn _,
+    "q253_bootstrap_ci" -> q253BootstrapCi _,
+    "q255_image_dhash" -> q255ImageDhash _)
+
+  /** Deterministic multinomial bootstrap of the mean purchase amount: 32
+    * replicates, each row's weight in replicate r drawn as
+    * sha256(id:r) mod 3 ∈ {0,1,2} (uniform, mean 1 — the seedless
+    * re-runnable stand-in for Poisson(1) resampling). Each replicate's
+    * mean is the exact fraction Σw·cents / Σw; readers take replicate
+    * quantiles for the CI. The ×32 row amplification is the operator's
+    * honest cost; the per-replicate agg is map-side combined so the
+    * shuffle carries 32 rows. */
+  def q253BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select($"event_id",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    e.withColumn("rep", explode(sequence(lit(0L), lit(31L))))
+      .withColumn("w", expr(
+        "CAST(conv(substring(sha2(concat(CAST(event_id AS STRING), ':'," +
+          " CAST(rep AS STRING)), 256), 1, 4), 16, 10) AS BIGINT) % 3"))
+      .groupBy($"rep")
+      .agg(sum($"w").as("n_eff"), sum($"w" * $"cents").as("mean_num"))
+      .select($"rep", $"n_eff", $"mean_num", $"n_eff".as("mean_den"),
+        expr("mean_num * 100 div n_eff").as("mean_c100"))
+      .orderBy($"rep")
+  }
+
+  /** Perceptual difference-hash of REAL decoded gradient PNGs
+    * ([[Multimodal.dhash]] over [[Multimodal.ImageCodec]]'s sampled 8×8
+    * luma grid): the near-duplicate image signature, oracle-checked
+    * because every sampled pixel of the synthetic gradient is
+    * analytically predictable. */
+  def q255ImageDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.mediaFromSyntheticGradientImages(
+      Tables.documents(spark, dir), "doc_id")
+    Multimodal.extractFeatures(media).toDF()
+      .select($"media_id",
+        $"decoded_width".cast("long").as("decoded_width"),
+        $"decoded_height".cast("long").as("decoded_height"),
+        Multimodal.dhash($"feature").as("dhash"))
+      .orderBy($"media_id")
+  }
 
   /** Flesch–Kincaid readability fractions per document
     * ([[graft.etl.Corpus.readabilityScores]]): words/syllables/sentences
@@ -1279,6 +1323,45 @@ object TrainingData {
       |  FROM scored)
       |SELECT query_id, rank, nn_id, dot FROM ranked
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q253_bootstrap_ci" -> """
+      |WITH e AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |r AS (
+      |  SELECT e.event_id, e.cents, rep.range AS rep,
+      |    ('0x' || substring(sha256(CAST(event_id AS VARCHAR) || ':'
+      |       || CAST(rep.range AS VARCHAR)), 1, 4))::BIGINT % 3 AS w
+      |  FROM e, range(0, 32) rep)
+      |SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+      |  CAST(sum(w * cents) AS BIGINT) AS mean_num,
+      |  CAST(sum(w) AS BIGINT) AS mean_den,
+      |  CAST(sum(w * cents) * 100 // sum(w) AS BIGINT) AS mean_c100
+      |FROM r GROUP BY rep ORDER BY rep""".stripMargin,
+    // the gradient fixture makes every SAMPLED pixel analytic:
+    // luma(i,j) = ((j*w//8)*7 + (i*h//8)*3 + id) mod 251 — so the dhash
+    // bits (is the right neighbor brighter?) re-derive without a decoder
+    "q255_image_dhash" -> """
+      |WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+      |  FROM documents),
+      |cells AS (
+      |  SELECT doc_id, ri.range AS i, rj.range AS j,
+      |    ((rj.range * w // 8) * 7 + (ri.range * h // 8) * 3 + doc_id) % 251
+      |      AS luma
+      |  FROM d, range(0, 8) ri, range(0, 8) rj),
+      |bits AS (
+      |  SELECT a.doc_id, a.i, a.j,
+      |    CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.doc_id = b.doc_id AND a.i = b.i AND b.j = a.j + 1
+      |  WHERE a.j < 7)
+      |SELECT d.doc_id AS media_id,
+      |  CAST(d.w AS BIGINT) AS decoded_width,
+      |  CAST(d.h AS BIGINT) AS decoded_height,
+      |  CAST(sum(bit * (CAST(1 AS BIGINT) << (i * 7 + j))) AS BIGINT)
+      |    AS dhash
+      |FROM d JOIN bits ON bits.doc_id = d.doc_id
+      |GROUP BY d.doc_id, d.w, d.h ORDER BY media_id""".stripMargin,
     "q249_readability" -> """
       |WITH x AS (
       |  SELECT doc_id,

@@ -59,6 +59,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 405L, 2L -> 150L, 3L -> 150L))
   }
 
+  // ---------------------------------------------------------------- HITS
+
+  test("hitsInt: two hubs feeding one authority, hand-walked 2 iters") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    // r0 = 2^20. iter1: auth raw (1:r0, 3:2r0) → rescale (1:r0/2, 3:r0);
+    // hubs from new auth (1:r0, 2:r0, 3:r0/2) → already max r0.
+    // iter2: auth raw (1:r0/2, 3:2r0) → (1:r0/4, 3:r0); hubs
+    // (1:r0, 2:r0, 3:r0/4).
+    val got = Graph.hitsInt(nodes, edges, "node", "src", "dst",
+        iterations = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, h, a) => n -> (h, a) }.toMap
+    assert(got == Map(
+      1L -> (1048576L, 262144L),
+      2L -> (1048576L, 0L),
+      3L -> (262144L, 1048576L)))
+  }
+
   // -------------------------------------------------------------- EWMA
 
   test("ewmaDyadic: weights halve backwards, heads report partial wsum") {

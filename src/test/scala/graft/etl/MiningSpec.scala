@@ -601,4 +601,22 @@ class MiningSpec extends SparkSpec {
       ("A", "y", 2L, 1L, 10000L, "violates"),
       ("B", "x", 5L, 2L, 8000L, "violates")))
   }
+
+  test("tCloseness: TV distance vs global incl. missing-value cells") {
+    val sq = spark
+    import sq.implicits._
+    // group A: sens a,a,b; group B: sens b. global a:2 b:2, N=4
+    // A: |2*4-2*3| + |1*4-2*3| = 4 over 2*3*4 = 24 -> 1666 bp
+    // B: missing a contributes |0-2*1| = 2; b: |1*4-2*1| = 2 -> 4/8 = 5000 bp
+    val df = Seq(("A", "a"), ("A", "a"), ("A", "b"), ("B", "b"))
+      .toDF("qi", "sens")
+    val got = Privacy.tCloseness(df, Seq("qi"), "sens")
+      .select($"qi", $"n_group", $"n_total",
+        $"t_num".cast("long"), $"t_den".cast("long"), $"t_bp")
+      .orderBy($"qi")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 3L, 4L, 4L, 24L, 1666L),
+      ("B", 1L, 4L, 4L, 8L, 5000L)))
+  }
 }

@@ -330,6 +330,31 @@ class SimilaritySpec extends SparkSpec {
     assert(f.payload_sha.length == 64 && f.n_bytes == flat.length.toLong)
   }
 
+  test("dhash of decoded gradient PNGs matches the analytic pixel model") {
+    val sq = spark
+    import sq.implicits._
+    // full encode→ImageIO decode→8x8 sample→dhash path vs the closed-form
+    // model: sampled luma(i,j) = (7*(j*w/8) + 3*(i*h/8) + id) mod 251
+    def model(id: Long): Long = {
+      val (w, h) = (8 + id % 9, 8 + id % 5)
+      def luma(i: Int, j: Int) = (7L * (j * w / 8) + 3L * (i * h / 8) + id) % 251
+      (for { i <- 0 until 8; j <- 0 until 7
+             if luma(i, j + 1) > luma(i, j) } yield 1L << (i * 7 + j)).sum
+    }
+    // ids large enough that 7x+3y+id crosses the mod-251 wrap inside the
+    // sampled grid — without a wrap every gradient is monotone and every
+    // hash is the all-ones degenerate value
+    val ids = (190L to 210L)
+    val media = Multimodal.mediaFromSyntheticGradientImages(
+      ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.extractFeatures(media).toDF()
+      .select($"media_id", Multimodal.dhash($"feature").as("dh"))
+      .as[(Long, Long)].collect().toMap
+    ids.foreach(id => assert(got(id) == model(id), s"id=$id"))
+    // wrap-around seeds produce non-trivial hashes (not all-ones)
+    assert(got.values.toSet.size > 1)
+  }
+
   test("mutualNnPairs keeps only reciprocal best matches") {
     val sq = spark
     import sq.implicits._
