@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph motifs over edge lists — the graph-shaped half of the
@@ -153,6 +154,44 @@ object Graph {
         "hub").localCheckpoint()
     }
     hub.join(auth, "node")
+  }
+
+  /** Fixed-round synchronous label propagation with clamped seeds — the
+    * cheap semi-supervised classifier over a relation graph (spread the
+    * few labeled nodes' classes to their neighborhoods): each round,
+    * every non-seed node takes the MODE of its neighbors' current labels
+    * (ties break to the smallest label; nodes with no labeled neighbor
+    * stay null), while seed labels never change. Fixed rounds (not
+    * to-fixpoint) keep it a deterministic bounded pipeline the oracle
+    * can unroll — the same contract as [[kCore]]/[[pageRankInt]].
+    * Per round: one edge⋈labels join, one (node, label) count, one
+    * per-node window argmax — all shuffled on node keys; the argmax
+    * window partitions by node, so per-node state is the node's distinct
+    * neighbor LABELS (class-count-bounded), never its degree. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, nodeCol: String,
+      labelCol: String, srcCol: String, dstCol: String,
+      rounds: Int = 2): DataFrame = {
+    val seed = nodes.select(col(nodeCol).as("node"),
+      col(labelCol).as("seed_label")).localCheckpoint()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    var lab = seed.withColumn("label", col("seed_label"))
+    for (_ <- 1 to rounds) {
+      val votes = e
+        .join(lab.select(col("node").as("src"), col("label")), "src")
+        .filter(col("label").isNotNull)
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("_c"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("_c").desc, col("label"))
+      val best = votes.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1).select(col("node"), col("label").as("_new"))
+      lab = seed.join(best, Seq("node"), "left")
+        .select(col("node"), col("seed_label"),
+          coalesce(col("seed_label"), col("_new")).as("label"))
+        .localCheckpoint()
+    }
+    lab.select(col("node"), col("label"))
   }
 
   /** Bounded-round k-core peel: `rounds` iterations of "drop every node

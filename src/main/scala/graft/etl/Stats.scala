@@ -227,6 +227,106 @@ object Stats {
           "AS BIGINT)").as("psi_cb"))
   }
 
+  /** KL(actual ‖ reference) drift per group over Laplace-smoothed count
+    * cells — the fourth member of the drift family (PSI/TV/EMD/KS
+    * exist): Σ p_i·log₂(p_i/q_i) with p = actual share, q = reference
+    * share, quantized through DECOMPOSED floored bit-lengths
+    *   term_i = b_i · (⌊log₂b_i⌋ + ⌊log₂na⌋ − ⌊log₂a_i⌋ − ⌊log₂nb⌋)
+    * (bitlen per factor, never of a product — the b·na form overflows
+    * long at 10⁹ rows). True KL is ≥ 0 but the quantized sum can dip a
+    * few bits negative, and Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors — so the centibit ratio clamps at 0 before
+    * dividing, keeping both engines on the nonnegative-floor path.
+    * Same single-window shape as [[psiFromCounts]]. */
+  def klFromCounts(counts: DataFrame, groupCol: String, binCol: String,
+      refCntCol: String, actCntCol: String): DataFrame = {
+    val wAll = Window.partitionBy(groupCol)
+    val t = counts
+      .withColumn("_a", col(refCntCol) + 1L)
+      .withColumn("_b", col(actCntCol) + 1L)
+      .withColumn("na", sum(col("_a")).over(wAll))
+      .withColumn("nb", sum(col("_b")).over(wAll))
+    t.withColumn("_term", col("_b") *
+        (length(expr("bin(_b)")) + length(expr("bin(na)")) -
+          length(expr("bin(_a)")) - length(expr("bin(nb)"))).cast("long"))
+      .groupBy(col(groupCol), col("na"), col("nb"))
+      .agg(sum(col("_term")).as("kl_bits_num"))
+      .select(col(groupCol), col("na"), col("nb"), col("kl_bits_num"),
+        expr("greatest(kl_bits_num, 0L) * 100 div nb").as("kl_cb"))
+  }
+
+  /** Pinball (quantile) loss of a point forecast at integer percent
+    * quantiles — the eval metric for quantile regressors and P50/P90
+    * SLA forecasts, as the exact fraction
+    *   loss = Σ [y ≥ ŷ: q·(y−ŷ); else (100−q)·(ŷ−y)] / (100·n).
+    * One map-side-combined aggregation per (group, q). */
+  def pinballLoss(df: DataFrame, groupCol: String, actualCol: String,
+      predCol: String, quantiles: Seq[Int]): DataFrame = {
+    val qs = explode(array(quantiles.map(lit): _*)).as("q")
+    df.select(col(groupCol), col(actualCol).as("_y"), col(predCol).as("_p"), qs)
+      .groupBy(col(groupCol), col("q"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_y") >= col("_p"), col("q") * (col("_y") - col("_p")))
+          .otherwise((lit(100) - col("q")) * (col("_p") - col("_y"))))
+          .as("loss_num"))
+      .withColumn("loss_den", lit(100L) * col("n"))
+  }
+
+  /** Variance-to-mean dispersion index per group in exact integers — the
+    * overdispersion screen for count data (Poisson ⇒ D ≈ 1; D ≫ 1 says
+    * the count column is burstier than the model assumes):
+    *   D = s²/x̄ = n·(n·Σx² − (Σx)²) / (n·(n−1)·Σx)
+    * as a num/den fraction with every product in decimal(38,0)
+    * (Σx² reaches n·max², the cross terms n²·max²). Null fraction for
+    * groups with n < 2 or Σx = 0. One aggregation. */
+  def dispersionIndex(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valCol)).cast(d38).as("_s"),
+        sum(col(valCol).cast(d38) * col(valCol)).as("_s2"))
+      .select(col(groupCol), col("n"), col("_s").cast("long").as("sum_x"),
+        when(col("n") >= 2 && col("_s") =!= 0,
+          col("n").cast(d38) *
+            (col("n") * col("_s2") - col("_s") * col("_s"))).as("d_num"),
+        when(col("n") >= 2 && col("_s") =!= 0,
+          col("n").cast(d38) * (col("n") - 1) * col("_s")).as("d_den"))
+  }
+
+  /** Cramér's V² of a two-way contingency table — the normalized
+    * strength-of-association summary over [[mutualInfoBits]]'s grid (χ²
+    * alone grows with N; V² is comparable across tables). Per-cell χ²
+    * terms are floored to centi-units — (o·N − r·c)²·100 div (N·r·c),
+    * nonneg so floor ≡ truncate on both engines — then
+    * v2_ppm = χ²_cb · 10⁴ div (N·(min(rows,cols)−1)). Products run in
+    * decimal(38,0). One cell agg + broadcast marginals. */
+  def cramersV2(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("n_xy"))
+    val rx = cells.groupBy(col(xCol)).agg(sum(col("n_xy")).as("r_x"))
+    val cy = cells.groupBy(col(yCol)).agg(sum(col("n_xy")).as("c_y"))
+    val n = cells.agg(sum(col("n_xy")).as("_n"),
+      countDistinct(col(xCol)).as("_kr"), countDistinct(col(yCol)).as("_kc"))
+    // DENSE marginal grid, not just observed cells: an EMPTY cell still
+    // contributes (0 − e)²/e = e to χ² — dropping absent combinations
+    // silently understates association exactly where it is strongest
+    rx.crossJoin(broadcast(cy))
+      .join(cells, Seq(xCol, yCol), "left")
+      .withColumn("n_xy", coalesce(col("n_xy"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("_d",
+        col("n_xy").cast(d38) * col("_n") - col("r_x").cast(d38) * col("c_y"))
+      .withColumn("_chi_cb",
+        expr("CAST((_d * _d * 100) div (CAST(_n AS DECIMAL(38,0))" +
+          " * r_x * c_y) AS BIGINT)"))
+      .groupBy(col("_n").as("n_total"), col("_kr").as("k_rows"),
+        col("_kc").as("k_cols"))
+      .agg(sum(col("_chi_cb")).as("chi2_cb"))
+      .withColumn("v2_ppm", expr(
+        "chi2_cb * 10000 div (n_total * (least(k_rows, k_cols) - 1))"))
+  }
+
   /** Isotonic regression (the PAV fit) over pre-aggregated ordered bins —
     * the monotone calibration curve next to the q141 reliability diagram:
     * given per-bin label sums and counts ordered by `binCol`, the L2

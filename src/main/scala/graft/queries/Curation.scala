@@ -102,6 +102,24 @@ object Curation {
       .orderBy($"node")
   }
 
+  /** 2-round seed-clamped label propagation ([[Graph.labelPropagation]])
+    * on the q113 synthetic graph: every 10th node is seeded with class
+    * node%4; everyone else takes the neighbor-mode label (min on ties),
+    * null if still unreached. */
+  def q257LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val m = (orders.agg(max($"o_orderkey")).head().getLong(0) + 1) / 50
+    val nodes = orders.select(($"o_orderkey" % m).as("node")).distinct()
+      .withColumn("lbl", when($"node" % 10 === 0, $"node" % 4))
+    val edges = nodes.select($"node".as("src"), (($"node" + 1) % m).as("dst"))
+      .unionAll(nodes.select($"node".as("src"),
+        (($"node" * 13 + 3) % m).as("dst")))
+    Graph.labelPropagation(nodes, edges, "node", "lbl", "src", "dst",
+        rounds = 2)
+      .orderBy($"node")
+  }
+
   // -------------------------------------------------------- q114 ewma
 
   /** Dyadic-weight truncated EWMA over each user's event values
@@ -398,6 +416,7 @@ object Curation {
     "q112_boilerplate" -> q112Boilerplate _,
     "q113_pagerank" -> q113Pagerank _,
     "q252_hits" -> q252Hits _,
+    "q257_label_prop" -> q257LabelProp _,
     "q114_ewma" -> q114Ewma _,
     "q115_anomaly" -> q115Anomaly _,
     "q116_feature_hash" -> q116FeatureHash _,
@@ -657,6 +676,39 @@ object Curation {
       |       CAST(sum(CASE WHEN gram IN (SELECT gram FROM fl)
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
       |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // label propagation unrolled: per round a labeled-neighbor vote count
+    // and a (count desc, label) argmax, seeds clamped via coalesce order
+    "q257_label_prop" -> """
+      |WITH mm AS (SELECT (max(o_orderkey) + 1) // 50 AS m FROM orders),
+      |nodes AS (SELECT DISTINCT o_orderkey % m AS node FROM orders, mm),
+      |e AS (SELECT node AS src, (node + 1) % m AS dst FROM nodes, mm
+      |      UNION ALL
+      |      SELECT node, (node * 13 + 3) % m FROM nodes, mm),
+      |l0 AS (SELECT node,
+      |         CASE WHEN node % 10 = 0 THEN node % 4 END AS label
+      |       FROM nodes),
+      |v1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+      |       FROM e JOIN l0 l ON l.node = e.src
+      |       WHERE l.label IS NOT NULL GROUP BY 1, 2),
+      |b1 AS (SELECT node, label FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY node
+      |           ORDER BY c DESC, label) AS rk FROM v1) WHERE rk = 1),
+      |l1 AS (SELECT n.node,
+      |         coalesce(CASE WHEN n.node % 10 = 0 THEN n.node % 4 END,
+      |           b1.label) AS label
+      |       FROM nodes n LEFT JOIN b1 ON b1.node = n.node),
+      |v2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+      |       FROM e JOIN l1 l ON l.node = e.src
+      |       WHERE l.label IS NOT NULL GROUP BY 1, 2),
+      |b2 AS (SELECT node, label FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY node
+      |           ORDER BY c DESC, label) AS rk FROM v2) WHERE rk = 1),
+      |l2 AS (SELECT n.node,
+      |         coalesce(CASE WHEN n.node % 10 = 0 THEN n.node % 4 END,
+      |           b2.label) AS label
+      |       FROM nodes n LEFT JOIN b2 ON b2.node = n.node)
+      |SELECT node, CAST(label AS BIGINT) AS label FROM l2
+      |ORDER BY node""".stripMargin,
     // HITS unrolled: per iteration an auth sum from previous hubs, an
     // integer max-rescale ((s*r0)//max, r0 = 2^20), then the hub sum from
     // the NEW auths with its own rescale — literally Graph.hitsInt's steps

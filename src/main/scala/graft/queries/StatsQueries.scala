@@ -433,7 +433,83 @@ object StatsQueries {
       .orderBy($"category")
   }
 
+  // ------------------------------------------------ q256 KL drift
+
+  /** KL-divergence drift per cohort vs cohort 0 ([[Stats.klFromCounts]]):
+    * the q239 PSI grid shape with the asymmetric divergence — the drift
+    * quartet's final member (PSI/TV/EMD/KS exist). */
+  def q256KlDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cell = Tables.events(spark, dir)
+      .select(($"user_id" % 4).as("cohort"), $"event_type")
+      .groupBy($"cohort", $"event_type").agg(count(lit(1)).as("c"))
+    val grid = cell.select($"cohort").distinct()
+      .crossJoin(broadcast(cell.select($"event_type").distinct()))
+    val full = grid.join(cell, Seq("cohort", "event_type"), "left")
+      .withColumn("c", coalesce($"c", lit(0L)))
+    val ref = full.filter($"cohort" === 0)
+      .select($"event_type", $"c".as("c_ref"))
+    Stats.klFromCounts(
+        full.join(broadcast(ref), Seq("event_type")),
+        "cohort", "event_type", "c_ref", "c")
+      .orderBy($"cohort")
+  }
+
+  // -------------------------------------------- q258 pinball loss
+
+  /** Pinball loss at P50/P90 per cohort ([[Stats.pinballLoss]]) of a
+    * deterministic point forecast against purchase amounts — the
+    * quantile-forecast eval as one exact fraction per (cohort, q). */
+  def q258Pinball(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select(($"user_id" % 5).as("cohort"), cents.as("y"),
+        (($"event_id" % 200) * 50).as("yhat"))
+    Stats.pinballLoss(e, "cohort", "y", "yhat", Seq(50, 90))
+      .select($"cohort", $"q".cast("long").as("q"), $"n",
+        $"loss_num".cast("long").as("loss_num"), $"loss_den")
+      .orderBy($"cohort", $"q")
+  }
+
+  // --------------------------------------- q259 dispersion index
+
+  /** Variance-to-mean dispersion per event type
+    * ([[Stats.dispersionIndex]]) over daily event counts — the
+    * overdispersion screen run before anyone fits a Poisson to a burst-y
+    * count column. */
+  def q259Dispersion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01"))).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    Stats.dispersionIndex(daily, "event_type", "cnt")
+      .select($"event_type", $"n", $"sum_x",
+        $"d_num".cast("long").as("d_num"),
+        $"d_den".cast("long").as("d_den"))
+      .orderBy($"event_type")
+  }
+
+  // ----------------------------------------- q260 Cramér's V²
+
+  /** Cramér's V² of market segment × order priority
+    * ([[Stats.cramersV2]]): the table-level association summary over the
+    * q247 MI grid, χ² floored to centi-units per cell. */
+  def q260CramersV(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"), $"o_orderpriority".as("prio"))
+    Stats.cramersV2(df, "seg", "prio")
+      .select($"n_total", $"k_rows", $"k_cols", $"chi2_cb", $"v2_ppm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_kl_drift" -> q256KlDrift _,
+    "q258_pinball" -> q258Pinball _,
+    "q259_dispersion" -> q259Dispersion _,
+    "q260_cramers_v" -> q260CramersV _,
     "q243_target_encode" -> q243TargetEncode _,
     "q244_mcnemar" -> q244Mcnemar _,
     "q245_brier" -> q245Brier _,
@@ -456,6 +532,92 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q256_kl_drift" -> """
+      |WITH cell AS (
+      |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort, event_type,
+      |         count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT co.cohort, ty.event_type
+      |  FROM (SELECT DISTINCT cohort FROM cell) co,
+      |       (SELECT DISTINCT event_type FROM cell) ty),
+      |f AS (
+      |  SELECT g.cohort, g.event_type, coalesce(c, 0) AS c
+      |  FROM grid g LEFT JOIN cell
+      |    ON cell.cohort = g.cohort AND cell.event_type = g.event_type),
+      |sm AS (
+      |  SELECT f.cohort, f.event_type, r.c + 1 AS a, f.c + 1 AS b
+      |  FROM f JOIN (SELECT event_type, c FROM f WHERE cohort = 0) r
+      |    USING (event_type)),
+      |t AS (
+      |  SELECT cohort, a, b,
+      |    sum(a) OVER (PARTITION BY cohort) AS na,
+      |    sum(b) OVER (PARTITION BY cohort) AS nb
+      |  FROM sm),
+      |agg AS (
+      |  SELECT cohort, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+      |    CAST(sum(b * (length(bin(CAST(b AS BIGINT)))
+      |      + length(bin(CAST(na AS BIGINT)))
+      |      - length(bin(CAST(a AS BIGINT)))
+      |      - length(bin(CAST(nb AS BIGINT))))) AS BIGINT) AS kl_bits_num
+      |  FROM t GROUP BY cohort, na, nb)
+      |SELECT cohort, na, nb, kl_bits_num,
+      |  CAST(greatest(kl_bits_num, 0) * 100 // nb AS BIGINT) AS kl_cb
+      |FROM agg ORDER BY cohort""".stripMargin,
+    "q258_pinball" -> """
+      |WITH e AS (
+      |  SELECT CAST(user_id % 5 AS BIGINT) AS cohort,
+      |         CAST(round(value * 100) AS BIGINT) AS y,
+      |         (event_id % 200) * 50 AS yhat
+      |  FROM events WHERE value IS NOT NULL),
+      |x AS (SELECT e.*, q.range AS q FROM e,
+      |      (SELECT unnest([50, 90]) AS range) q)
+      |SELECT cohort, CAST(q AS BIGINT) AS q, count(*) AS n,
+      |  CAST(sum(CASE WHEN y >= yhat THEN q * (y - yhat)
+      |                ELSE (100 - q) * (yhat - y) END) AS BIGINT)
+      |    AS loss_num,
+      |  CAST(100 * count(*) AS BIGINT) AS loss_den
+      |FROM x GROUP BY cohort, q ORDER BY cohort, q""".stripMargin,
+    "q259_dispersion" -> """
+      |WITH daily AS (
+      |  SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |         count(*) AS cnt
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(cnt) AS BIGINT) AS sum_x,
+      |  CAST(CASE WHEN count(*) >= 2 AND sum(cnt) <> 0 THEN
+      |    count(*) * (count(*) * sum(cnt * cnt) - sum(cnt) * sum(cnt))
+      |    END AS BIGINT) AS d_num,
+      |  CAST(CASE WHEN count(*) >= 2 AND sum(cnt) <> 0 THEN
+      |    count(*) * (count(*) - 1) * sum(cnt) END AS BIGINT) AS d_den
+      |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q260_cramers_v" -> """
+      |WITH base AS (
+      |  SELECT c_mktsegment AS seg, o_orderpriority AS prio
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cells AS (SELECT seg, prio, count(*) AS n_xy FROM base GROUP BY 1, 2),
+      |rx AS (SELECT seg, CAST(sum(n_xy) AS BIGINT) AS r_x
+      |       FROM cells GROUP BY 1),
+      |cy AS (SELECT prio, CAST(sum(n_xy) AS BIGINT) AS c_y
+      |       FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(sum(n_xy) AS BIGINT) AS nt,
+      |        CAST(count(DISTINCT seg) AS BIGINT) AS kr,
+      |        CAST(count(DISTINCT prio) AS BIGINT) AS kc
+      |      FROM cells),
+      |grid AS (
+      |  SELECT rx.seg, cy.prio, rx.r_x, cy.c_y FROM rx CROSS JOIN cy),
+      |terms AS (
+      |  -- dense grid: empty cells still contribute (0 - e)^2/e
+      |  SELECT (coalesce(n_xy, 0) * nt - r_x * c_y) AS dd, nt, kr, kc,
+      |         r_x, c_y
+      |  FROM grid LEFT JOIN cells USING (seg, prio) CROSS JOIN n)
+      |SELECT nt AS n_total, kr AS k_rows, kc AS k_cols,
+      |  CAST(sum((CAST(dd AS HUGEINT) * dd * 100)
+      |    // (CAST(nt AS HUGEINT) * r_x * c_y)) AS BIGINT) AS chi2_cb,
+      |  CAST(sum((CAST(dd AS HUGEINT) * dd * 100)
+      |    // (CAST(nt AS HUGEINT) * r_x * c_y)) * 10000
+      |    // (nt * (least(kr, kc) - 1)) AS BIGINT) AS v2_ppm
+      |FROM terms GROUP BY nt, kr, kc""".stripMargin,
     "q243_target_encode" -> """
       |WITH base AS (
       |  SELECT o_orderkey, c_mktsegment AS category,

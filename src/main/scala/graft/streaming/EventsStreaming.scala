@@ -248,6 +248,39 @@ object EventsStreaming {
       }.toDF()
   }
 
+  final case class DebRow(user_id: Long, event_type: String, us: Long,
+      event_id: Long)
+  final case class DebOut(user_id: Long, event_type: String, event_id: Long,
+      kept: Boolean)
+
+  /** Streaming debounce — the stateful twin of the batch q232 rule: an
+    * event is KEPT iff it arrives more than `gapUs` after the previous
+    * event of the same (user, type), previous event meaning the prior row
+    * whether or not it was itself kept (exactly the batch lag-over-all
+    * semantics). State per key is ONE timestamp carried across
+    * micro-batches — O(1) forever, no watermark pressure — which is what
+    * makes debounce an ingest-time filter rather than a batch cleanup. */
+  def debounceStream(events: DataFrame, gapUs: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("event_type"), col("us"),
+        col("event_id")).as[DebRow]
+      .groupByKey(r => (r.user_id, r.event_type))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), rows: Iterator[DebRow],
+            state: GroupState[Long]) =>
+          var last: Option[Long] = state.getOption
+          val out = Seq.newBuilder[DebOut]
+          rows.toSeq.sortBy(r => (r.us, r.event_id)).foreach { r =>
+            val keep = last.forall(r.us - _ > gapUs)
+            out += DebOut(key._1, key._2, r.event_id, keep)
+            last = Some(r.us)
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Change-detection sink (J3/K2-shaped): every micro-batch is reduced to
     * changed-rows via content hash and merged into the target parquet dir —
     * `foreachBatch` is where a real deployment issues MERGE INTO. */

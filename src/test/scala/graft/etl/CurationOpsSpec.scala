@@ -78,6 +78,22 @@ class CurationOpsSpec extends SparkSpec {
       3L -> (262144L, 1048576L)))
   }
 
+  // -------------------------------------------------- label propagation
+
+  test("labelPropagation: seeds clamp, modes spread, ties take min label") {
+    val nodes = Seq((1L, Some(7L)), (2L, None), (3L, None), (4L, Some(9L)),
+      (5L, None)).toDF("node", "lbl")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L), (4L, 5L)).toDF("src", "dst")
+    // r1: 2<-{7}, 3<-{9} (2 unlabeled yet), 5<-{9}
+    // r2: 3<-{7 from 2, 9 from 4} tie -> min 7
+    val got = Graph.labelPropagation(nodes, edges, "node", "lbl",
+        "src", "dst", rounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got == Map(1L -> Some(7L), 2L -> Some(7L), 3L -> Some(7L),
+      4L -> Some(9L), 5L -> Some(9L)))
+  }
+
   // -------------------------------------------------------------- EWMA
 
   test("ewmaDyadic: weights halve backwards, heads report partial wsum") {

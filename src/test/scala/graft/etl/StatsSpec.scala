@@ -187,6 +187,47 @@ class StatsSpec extends SparkSpec {
       Row("b", "q", 1L, 1L, 2L, 4L, 1L, 1L)))  // 1+3−1−2 = 1
   }
 
+  test("klFromCounts quantizes the divergence via per-factor bit lengths") {
+    // ref (3,1) vs act (1,3): a=(4,2), b=(2,4), na=nb=6
+    // term_x = 2*(2+3-3-3) = -2; term_y = 4*(3+3-2-3) = 4 -> num 2, cb 33
+    val df = Seq((1L, "x", 3L, 1L), (1L, "y", 1L, 3L))
+      .toDF("g", "bin", "ref", "act")
+    val out = Stats.klFromCounts(df, "g", "bin", "ref", "act").collect()
+    assert(out.toSeq == Seq(Row(1L, 6L, 6L, 2L, 33L)))
+  }
+
+  test("pinballLoss charges q up, 100-q down, exactly") {
+    // (y, yhat) = (100, 40), (10, 40)
+    // q=50: 50*60 + 50*30 = 4500/200; q=90: 90*60 + 10*30 = 5700/200
+    val df = Seq(("g", 100L, 40L), ("g", 10L, 40L)).toDF("g", "y", "p")
+    val out = Stats.pinballLoss(df, "g", "y", "p", Seq(50, 90))
+      .select($"g", $"q", $"n", $"loss_num".cast("long"), $"loss_den")
+      .orderBy($"q").collect()
+    assert(out.toSeq == Seq(
+      Row("g", 50, 2L, 4500L, 200L), Row("g", 90, 2L, 5700L, 200L)))
+  }
+
+  test("dispersionIndex emits the exact variance/mean fraction") {
+    // values 1,2,9: n=3, sum=12, sum2=86 -> num 3*(258-144)=342, den 72
+    // (D = 19/4 = 4.75); singleton group -> null fraction
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 9L), ("b", 5L)).toDF("g", "v")
+    val out = Stats.dispersionIndex(df, "g", "v")
+      .select($"g", $"n", $"sum_x",
+        $"d_num".cast("long"), $"d_den".cast("long"))
+      .orderBy($"g").collect()
+    assert(out.toSeq == Seq(
+      Row("a", 3L, 12L, 342L, 72L), Row("b", 1L, 5L, null, null)))
+  }
+
+  test("cramersV2: perfect 2x2 association scores V² = 1, incl. empty cells") {
+    // (a,p)x2, (b,q)x2: observed cells contribute 200 centi-chi2 and the
+    // two EMPTY cells the other 200 -> chi2_cb 400, v2 = 400/(4*1) = 1e6 ppm
+    val df = Seq(("a", "p"), ("a", "p"), ("b", "q"), ("b", "q"))
+      .toDF("x", "y")
+    val out = Stats.cramersV2(df, "x", "y").collect()
+    assert(out.toSeq == Seq(Row(4L, 2L, 2L, 400L, 1000000L)))
+  }
+
   test("looTargetEncode excludes the own row; singletons go null") {
     val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 5L))
       .toDF("cat", "t")

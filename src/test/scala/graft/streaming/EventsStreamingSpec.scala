@@ -340,6 +340,45 @@ class EventsStreamingSpec extends SparkSpec {
     assert(batch == got, "streaming and batch twins must agree")
   }
 
+  test("debounceStream: cross-batch gap filter matches the batch lag rule") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStreaming.DebRow
+    val input = MemoryStream[DebRow]
+    val q = EventsStreaming.debounceStream(input.toDF(), gapUs = 10L)
+      .writeStream.format("memory").queryName("deb").outputMode("append").start()
+
+    // batch 1: first kept; +5 dropped; +15 kept (gap from PREVIOUS event,
+    // kept or not)
+    input.addData(DebRow(1, "c", 100, 1), DebRow(1, "c", 105, 2),
+      DebRow(1, "c", 120, 3))
+    q.processAllAvailable()
+    // batch 2: 8us after batch-1's last event -> dropped ACROSS the
+    // boundary; other type keys are independent
+    input.addData(DebRow(1, "c", 128, 4), DebRow(1, "c", 200, 5),
+      DebRow(1, "v", 129, 6))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("deb").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false,
+      5L -> true, 6L -> true))
+
+    // batch twin: the q232 lag-over-all rule on the identical rows
+    val all = Seq((1L, "c", 100L, 1L), (1L, "c", 105L, 2L),
+      (1L, "c", 120L, 3L), (1L, "c", 128L, 4L), (1L, "c", 200L, 5L),
+      (1L, "v", 129L, 6L)).toDF("user_id", "event_type", "us", "event_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type").orderBy($"us", $"event_id")
+    val batch = all.withColumn("kept",
+        coalesce($"us" - lag($"us", 1).over(w) > 10L, lit(true)))
+      .select($"event_id", $"kept")
+      .as[(Long, Boolean)].collect().toMap
+    assert(batch == got, "streaming and batch twins must agree")
+  }
+
   test("asofJoinStream: cross-batch as-of matches the batch twin") {
     val sq = spark
     import sq.implicits._
