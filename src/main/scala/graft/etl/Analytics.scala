@@ -407,4 +407,41 @@ object Analytics {
         expr("CAST((((2 * _is) - ((_n + 1) * _s)) * 10000) div (_n * _s) AS BIGINT)")
           .as("gini_bp"))
   }
+
+  /** Mix-vs-rate decomposition of a period-over-period metric change —
+    * the "did revenue/order fall because the MIX moved to cheap segments
+    * or because segments got CHEAPER?" BI staple. Inputs are per-segment
+    * (period, n, sum) rows for exactly two periods; outputs, per
+    * segment, both periods' share (ppm, floored) and rate (floored unit
+    * per row) plus the two standard contribution terms
+    *   mix_contrib  = (shareB − shareA) · rateA
+    *   rate_contrib = shareB · (rateB − rateA)
+    * in ppm·unit — every division an explicit floor at a documented
+    * quantization point, so the decomposition is reproducible
+    * bit-for-bit (the float version never sums the same twice). Two
+    * combiner-friendly aggs + one broadcast one-row totals join. */
+  def mixShift(df: DataFrame, segCol: String, periodCol: String,
+      nCol: String, sumCol: String): DataFrame = {
+    val tot = df.groupBy(col(periodCol))
+      .agg(sum(col(nCol)).as("_tn"))
+    val x = df.join(broadcast(tot), periodCol)
+      .select(col(segCol), col(periodCol),
+        col(nCol).as("_n"), col(sumCol).as("_s"),
+        expr("_n * 1000000 div _tn").as("_share_ppm"),
+        expr("_s div _n").as("_rate"))
+    val a = x.filter(col(periodCol) === "A")
+      .select(col(segCol), col("_n").as("n_a"), col("_s").as("s_a"),
+        col("_share_ppm").as("share_a_ppm"), col("_rate").as("rate_a"))
+    val b = x.filter(col(periodCol) === "B")
+      .select(col(segCol), col("_n").as("n_b"), col("_s").as("s_b"),
+        col("_share_ppm").as("share_b_ppm"), col("_rate").as("rate_b"))
+    a.join(b, Seq(segCol), "full")
+      .na.fill(0L, Seq("n_a", "s_a", "share_a_ppm", "n_b", "s_b",
+        "share_b_ppm"))
+      .na.fill(0L, Seq("rate_a", "rate_b"))
+      .withColumn("mix_contrib",
+        (col("share_b_ppm") - col("share_a_ppm")) * col("rate_a"))
+      .withColumn("rate_contrib",
+        col("share_b_ppm") * (col("rate_b") - col("rate_a")))
+  }
 }

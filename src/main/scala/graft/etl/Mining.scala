@@ -41,6 +41,55 @@ object Mining {
           "NULLIF(n * sxx - sx * sx, 0) AS BIGINT)").as("slope_scaled"))
   }
 
+  /** Grouped two-feature OLS — y = b0 + b1·x1 + b2·x2 per group — solved
+    * EXACTLY by Cramer's rule over the 3×3 normal equations, the
+    * multivariate sibling of [[groupedSlope]]: one combiner-friendly pass
+    * collects the nine sufficient statistics (n, Σx1, Σx2, Σx1², Σx2²,
+    * Σx1x2, Σy, Σx1y, Σx2y), then each coefficient is a ratio of integer
+    * determinants, emitted floor-scaled
+    * (`det_i·scale div det`; truncation toward zero on both engines).
+    * Everything runs in decimal(38,0); the triple-product determinants
+    * reach n³·max(x)⁴·max(y), so keep feature magnitudes small (ranks,
+    * calendar indices, bounded codes) — the usual preprocessing for
+    * exact-arithmetic regression. Singular groups (collinear features,
+    * n < 3) yield NULL via the NULLIF'd determinant. */
+  def ols2(df: DataFrame, groupCol: String, x1Col: String, x2Col: String,
+      yCol: String, scale: Long = 10000): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.filter(col(x1Col).isNotNull && col(x2Col).isNotNull &&
+        col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast(d38).as("n"),
+        sum(col(x1Col).cast(d38)).as("s1"),
+        sum(col(x2Col).cast(d38)).as("s2"),
+        sum(col(x1Col).cast(d38) * col(x1Col)).as("s11"),
+        sum(col(x2Col).cast(d38) * col(x2Col)).as("s22"),
+        sum(col(x1Col).cast(d38) * col(x2Col)).as("s12"),
+        sum(col(yCol).cast(d38)).as("sy"),
+        sum(col(x1Col).cast(d38) * col(yCol)).as("s1y"),
+        sum(col(x2Col).cast(d38) * col(yCol)).as("s2y"))
+      .withColumn("_det", expr(
+        "n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)" +
+          " + s2 * (s1 * s12 - s11 * s2)"))
+      .withColumn("_d0", expr(
+        "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)" +
+          " + s2 * (s1y * s12 - s11 * s2y)"))
+      .withColumn("_d1", expr(
+        "n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)" +
+          " + s2 * (s1 * s2y - s1y * s2)"))
+      .withColumn("_d2", expr(
+        "n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)" +
+          " + sy * (s1 * s12 - s11 * s2)"))
+      .select(col(groupCol), col("n").cast("long").as("n"),
+        expr(s"CAST((_d0 * $scale) div NULLIF(_det, 0) AS BIGINT)")
+          .as("b0_scaled"),
+        expr(s"CAST((_d1 * $scale) div NULLIF(_det, 0) AS BIGINT)")
+          .as("b1_scaled"),
+        expr(s"CAST((_d2 * $scale) div NULLIF(_det, 0) AS BIGINT)")
+          .as("b2_scaled"))
+  }
+
   /** Per-group Gini impurity of a categorical distribution, scaled:
     * gini_scaled = (N² − Σc²) · scale div N². Two combiner-friendly
     * shuffles — (group, category) counts, then per-group Σc² — with

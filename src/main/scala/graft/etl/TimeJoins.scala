@@ -269,4 +269,24 @@ object TimeJoins {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Bitemporal snapshot: per key, the version that was VALID at business
+    * time `validAt` AS KNOWN at system time `knownAt` — the
+    * reproduce-last-month's-report-with-last-month's-knowledge query that
+    * a valid-time-only as-of cannot answer (a late-arriving correction
+    * changes history; filtering on transaction time restores what the
+    * system believed). Selection order inside the (≤validAt, ≤knownAt)
+    * window: latest valid time wins, then the latest-recorded row among
+    * same-valid-time versions, then the tiebreak column — one filter +
+    * one key-partitioned window, a single shuffle. */
+  def bitemporalAsOf(df: DataFrame, keyCol: String, validCol: String,
+      txCol: String, tieCol: String, validAt: Long,
+      knownAt: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(validCol).desc, col(txCol).desc, col(tieCol).desc)
+    df.filter(col(validCol) <= validAt && col(txCol) <= knownAt)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
+  }
 }

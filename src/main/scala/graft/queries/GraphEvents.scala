@@ -628,6 +628,30 @@ object GraphEvents {
       .orderBy($"node")
   }
 
+  // ------------------------------------------- q263 bitemporal as-of
+
+  /** Bitemporal snapshot ([[graft.etl.TimeJoins.bitemporalAsOf]]): per
+    * user, the amount that was valid at 2024-01-20 AS KNOWN by
+    * 2024-01-21 — each event records late (tx = valid + up to ~17 min of
+    * id-derived delay), so the knowledge cutoff excludes rows a
+    * valid-time-only as-of would wrongly include. */
+  def q263Bitemporal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val validAt = 1705708800000000L // 2024-01-20T00:00:00Z in micros
+    val knownAt = 1705795200000000L // 2024-01-21T00:00:00Z
+    val v = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select(($"user_id" % 100).as("key"),
+        unix_micros($"ts").as("valid_us"),
+        (unix_micros($"ts") + ($"event_id" % 1000) * 1000000L).as("tx_us"),
+        $"event_id",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    graft.etl.TimeJoins.bitemporalAsOf(v, "key", "valid_us", "tx_us",
+        "event_id", validAt, knownAt)
+      .select($"key", $"valid_us", $"tx_us", $"event_id", $"cents")
+      .orderBy($"key")
+  }
+
   // -------------------------------- q240 converged shortest paths
 
   /** UNBOUNDED weighted shortest paths from node 1 over the
@@ -750,6 +774,7 @@ object GraphEvents {
     "q234_group_split" -> q234GroupSplit _,
     "q229_hierarchy_flatten" -> q229HierarchyFlatten _,
     "q230_shortest_path" -> q230ShortestPath _,
+    "q263_bitemporal" -> q263Bitemporal _,
     "q240_converged_paths" -> q240ConvergedPaths _,
     "q223_brand_copurchase" -> q223BrandCopurchase _,
     "q224_path_trigrams" -> q224PathTrigrams _,
@@ -873,6 +898,20 @@ object GraphEvents {
       |  CAST(min(CASE WHEN cur < 4 THEN cur END) AS BIGINT) AS root,
       |  CAST(max(d) AS BIGINT) AS depth
       |FROM up GROUP BY id ORDER BY id""".stripMargin,
+    "q263_bitemporal" -> """
+      |WITH v AS (
+      |  SELECT CAST(user_id % 100 AS BIGINT) AS key,
+      |    epoch_us(ts) AS valid_us,
+      |    epoch_us(ts) + (event_id % 1000) * 1000000 AS tx_us,
+      |    event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |f AS (
+      |  SELECT *, row_number() OVER (PARTITION BY key
+      |    ORDER BY valid_us DESC, tx_us DESC, event_id DESC) AS rk
+      |  FROM v
+      |  WHERE valid_us <= 1705708800000000 AND tx_us <= 1705795200000000)
+      |SELECT key, valid_us, tx_us, event_id, cents
+      |FROM f WHERE rk = 1 ORDER BY key""".stripMargin,
     "q230_shortest_path" -> """
       |WITH RECURSIVE mm AS (
       |  SELECT (max(o_orderkey) + 1) // 5 AS m FROM orders),

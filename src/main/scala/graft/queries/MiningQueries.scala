@@ -825,6 +825,21 @@ object MiningQueries {
       .orderBy($"c_nationkey", $"c_mktsegment")
   }
 
+  /** Grouped 2-feature OLS ([[Mining.ols2]]): amount regressed on
+    * day-of-week and a bounded hour-like code per event type — exact
+    * Cramer's-rule coefficients, the multivariate sibling of q125. */
+  def q261Ols2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type",
+        (datediff(to_date($"ts"), to_date(lit("1970-01-01"))) % 7).as("x1"),
+        ($"event_id" % 24).as("x2"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+    Mining.ols2(e, "event_type", "x1", "x2", "y")
+      .orderBy($"event_type")
+  }
+
   /** t-closeness over the q148/q196 quasi-identifier groups
     * ([[Privacy.tCloseness]]): total-variation distance between each
     * group's sensitive-value distribution and the global one as an exact
@@ -951,6 +966,7 @@ object MiningQueries {
     "q195_ndcg" -> q195Ndcg _,
     "q196_ldiversity" -> q196Ldiversity _,
     "q254_tcloseness" -> q254Tcloseness _,
+    "q261_ols2" -> q261Ols2 _,
     "q186_ohlc" -> q186Ohlc _,
     "q187_rolling_slope" -> q187RollingSlope _,
     "q188_seasonal_anomaly" -> q188SeasonalAnomaly _,
@@ -1113,6 +1129,40 @@ object MiningQueries {
       |SELECT d.c_mktsegment, dcg_scaled, idcg_scaled,
       |  dcg_scaled * 10000 // NULLIF(idcg_scaled, 0) AS ndcg_bp
       |FROM d JOIN i USING (c_mktsegment) ORDER BY 1""".stripMargin,
+    "q261_ols2" -> """
+      |WITH b AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS x1,
+      |    event_id % 24 AS x2,
+      |    CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events WHERE value IS NOT NULL),
+      |s AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(CAST(x1 AS HUGEINT)) AS HUGEINT) AS s1,
+      |    CAST(sum(CAST(x2 AS HUGEINT)) AS HUGEINT) AS s2,
+      |    CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+      |    CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+      |    CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+      |    CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y
+      |  FROM b GROUP BY 1),
+      |d AS (
+      |  SELECT event_type, n,
+      |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      |      + s2 * (s1 * s12 - s11 * s2) AS det,
+      |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      |      + s2 * (s1y * s12 - s11 * s2y) AS d0,
+      |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+      |      + s2 * (s1 * s2y - s1y * s2) AS d1,
+      |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+      |      + sy * (s1 * s12 - s11 * s2) AS d2
+      |  FROM s)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  CAST((d0 * 10000) // NULLIF(det, 0) AS BIGINT) AS b0_scaled,
+      |  CAST((d1 * 10000) // NULLIF(det, 0) AS BIGINT) AS b1_scaled,
+      |  CAST((d2 * 10000) // NULLIF(det, 0) AS BIGINT) AS b2_scaled
+      |FROM d ORDER BY event_type""".stripMargin,
     "q254_tcloseness" -> """
       |WITH base AS (
       |  SELECT c_nationkey, c_mktsegment, c_custkey % 5 AS sens

@@ -505,7 +505,62 @@ object StatsQueries {
       .select($"n_total", $"k_rows", $"k_cols", $"chi2_cb", $"v2_ppm")
   }
 
+  // ------------------------------------------------- q262 MASE backtest
+
+  /** Seasonal-naive forecast backtest per event type: MASE's two absolute
+    * error sums — seasonal forecast (value 7 days ago) vs the naive
+    * one-day benchmark — over the daily cents series, with the
+    * mean-adjusted ratio in floored basis points. Calendar-correct lags
+    * via equi-joins on (type, d−k), so gap days cost a miss instead of
+    * silently comparing the wrong day. */
+  def q262Mase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      .agg(sum(cents).as("v"))
+    val f = daily.as("a").join(
+        daily.select($"event_type", ($"d" + 7).as("d"), $"v".as("v7")),
+        Seq("event_type", "d"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_f"), sum(abs($"v" - $"v7")).as("ae_f"))
+    val n = daily.as("a").join(
+        daily.select($"event_type", ($"d" + 1).as("d"), $"v".as("v1")),
+        Seq("event_type", "d"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_n"), sum(abs($"v" - $"v1")).as("ae_n"))
+    f.join(n, "event_type")
+      .select($"event_type", $"n_f", $"ae_f", $"n_n", $"ae_n",
+        expr("(ae_f * n_n * 10000) div NULLIF(ae_n * n_f, 0)")
+          .as("mase_bp"))
+      .orderBy($"event_type")
+  }
+
+  // --------------------------------------------- q264 mix-shift report
+
+  /** Mix-vs-rate decomposition ([[graft.etl.Analytics.mixShift]]) of the
+    * month's first half vs second half per event type: did the average
+    * ticket move because traffic shifted between types or because types
+    * themselves repriced? Quantized shares (ppm) and rates (floored
+    * cents), contributions exact on top. */
+  def q264MixShift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type",
+        when(dayofmonth($"ts") <= 15, "A").otherwise("B").as("period"),
+        cents.as("c"))
+      .groupBy($"event_type", $"period")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"))
+    graft.etl.Analytics.mixShift(base, "event_type", "period", "n", "s")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_mase" -> q262Mase _,
+    "q264_mix_shift" -> q264MixShift _,
     "q256_kl_drift" -> q256KlDrift _,
     "q258_pinball" -> q258Pinball _,
     "q259_dispersion" -> q259Dispersion _,
@@ -532,6 +587,64 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q262_mase" -> """
+      |WITH daily AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |f AS (
+      |  SELECT a.event_type, count(*) AS n_f, sum(abs(a.v - b.v)) AS ae_f
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.d = b.d + 7
+      |  GROUP BY 1),
+      |nn AS (
+      |  SELECT a.event_type, count(*) AS n_n, sum(abs(a.v - b.v)) AS ae_n
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.d = b.d + 1
+      |  GROUP BY 1)
+      |SELECT event_type, CAST(n_f AS BIGINT) AS n_f,
+      |  CAST(ae_f AS BIGINT) AS ae_f, CAST(n_n AS BIGINT) AS n_n,
+      |  CAST(ae_n AS BIGINT) AS ae_n,
+      |  CAST((ae_f * n_n * 10000) // NULLIF(ae_n * n_f, 0) AS BIGINT)
+      |    AS mase_bp
+      |FROM f JOIN nn USING (event_type) ORDER BY event_type""".stripMargin,
+    "q264_mix_shift" -> """
+      |WITH base AS (
+      |  SELECT event_type,
+      |    CASE WHEN day(CAST(ts AS DATE)) <= 15 THEN 'A' ELSE 'B' END
+      |      AS period,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT period, CAST(sum(n) AS BIGINT) AS tn
+      |        FROM base GROUP BY 1),
+      |x AS (
+      |  SELECT event_type, period, n, s,
+      |    n * 1000000 // tn AS share_ppm, s // n AS rate
+      |  FROM base JOIN tot USING (period)),
+      |a AS (SELECT event_type, n AS n_a, s AS s_a,
+      |        share_ppm AS share_a_ppm, rate AS rate_a
+      |      FROM x WHERE period = 'A'),
+      |b AS (SELECT event_type, n AS n_b, s AS s_b,
+      |        share_ppm AS share_b_ppm, rate AS rate_b
+      |      FROM x WHERE period = 'B')
+      |SELECT event_type,
+      |  CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+      |  CAST(coalesce(s_a, 0) AS BIGINT) AS s_a,
+      |  CAST(coalesce(share_a_ppm, 0) AS BIGINT) AS share_a_ppm,
+      |  CAST(coalesce(rate_a, 0) AS BIGINT) AS rate_a,
+      |  CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+      |  CAST(coalesce(s_b, 0) AS BIGINT) AS s_b,
+      |  CAST(coalesce(share_b_ppm, 0) AS BIGINT) AS share_b_ppm,
+      |  CAST(coalesce(rate_b, 0) AS BIGINT) AS rate_b,
+      |  CAST((coalesce(share_b_ppm, 0) - coalesce(share_a_ppm, 0))
+      |    * coalesce(rate_a, 0) AS BIGINT) AS mix_contrib,
+      |  CAST(coalesce(share_b_ppm, 0)
+      |    * (coalesce(rate_b, 0) - coalesce(rate_a, 0)) AS BIGINT)
+      |    AS rate_contrib
+      |FROM a FULL JOIN b USING (event_type)
+      |ORDER BY event_type""".stripMargin,
     "q256_kl_drift" -> """
       |WITH cell AS (
       |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort, event_type,

@@ -1,6 +1,7 @@
 package graft.etl
 
 import graft.SparkSpec
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Hand-computable fixtures for the round-4 mining operators (q124–q129
@@ -600,6 +601,33 @@ class MiningSpec extends SparkSpec {
       ("A", "x", 4L, 3L, 5000L, "ok"),
       ("A", "y", 2L, 1L, 10000L, "violates"),
       ("B", "x", 5L, 2L, 8000L, "violates")))
+  }
+
+  test("ols2 recovers an exact planar fit via Cramer's rule") {
+    val sq = spark
+    import sq.implicits._
+    // y = 10 + 2*x1 + 3*x2 exactly -> scaled coefficients are exact
+    val df = Seq((0L, 0L, 10L), (1L, 0L, 12L), (0L, 1L, 13L),
+      (1L, 1L, 15L), (2L, 1L, 17L)).map { case (a, b, y) => ("g", a, b, y) }
+      .toDF("g", "x1", "x2", "y")
+    val out = Mining.ols2(df, "g", "x1", "x2", "y").collect()
+    assert(out.toSeq ==
+      Seq(Row("g", 5L, 100000L, 20000L, 30000L)))
+  }
+
+  test("mixShift decomposes share vs rate movement exactly") {
+    val sq = spark
+    import sq.implicits._
+    val df = Seq(("x", "A", 2L, 200L), ("x", "B", 1L, 300L),
+      ("y", "A", 2L, 100L), ("y", "B", 3L, 300L))
+      .toDF("seg", "period", "n", "s")
+    val got = Analytics.mixShift(df, "seg", "period", "n", "s")
+      .select($"seg", $"share_a_ppm", $"rate_a", $"share_b_ppm", $"rate_b",
+        $"mix_contrib", $"rate_contrib")
+      .orderBy($"seg").collect()
+    assert(got.toSeq == Seq(
+      Row("x", 500000L, 100L, 250000L, 300L, -25000000L, 50000000L),
+      Row("y", 500000L, 50L, 750000L, 100L, 12500000L, 37500000L)))
   }
 
   test("tCloseness: TV distance vs global incl. missing-value cells") {

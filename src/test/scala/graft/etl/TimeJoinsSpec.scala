@@ -312,4 +312,23 @@ class TimeJoinsSpec extends SparkSpec {
       (7L, "2026-01-01 11:20:01.0", 1L),
       (9L, "2026-01-01 00:00:00.0", 1L)))
   }
+
+  test("bitemporalAsOf: knowledge cutoff excludes late-arriving history") {
+    val sq = spark
+    import sq.implicits._
+    // key 1: v=100 valid 10 known 11; v=200 valid 20 but recorded at 40
+    // (late correction); v=150 valid 15 known 16
+    val df = Seq((1L, 10L, 11L, 1L, 100L), (1L, 20L, 40L, 2L, 200L),
+      (1L, 15L, 16L, 3L, 150L)).toDF("key", "valid_us", "tx_us", "id", "v")
+    // as-known-at 30: the correction is invisible -> valid-15 row wins
+    val early = TimeJoins.bitemporalAsOf(df, "key", "valid_us", "tx_us",
+        "id", validAt = 25L, knownAt = 30L)
+      .select($"id", $"v").as[(Long, Long)].collect().toSeq
+    assert(early == Seq((3L, 150L)))
+    // as-known-at 50: the correction is visible -> valid-20 row wins
+    val late = TimeJoins.bitemporalAsOf(df, "key", "valid_us", "tx_us",
+        "id", validAt = 25L, knownAt = 50L)
+      .select($"id", $"v").as[(Long, Long)].collect().toSeq
+    assert(late == Seq((2L, 200L)))
+  }
 }
