@@ -348,4 +348,34 @@ class PlanShapeSpec extends SparkSpec {
       org.apache.spark.sql.execution.FormattedMode)
     assert(p.linesIterator.exists(_.trim.startsWith("* ")))
   }
+
+  test("q243: category stats broadcast back — no sort-merge join, no window") {
+    // the scale contract of LOO target encoding: the per-category table is
+    // tiny, so it must come back as a broadcast join, never a window over
+    // a (skewed) category partition or a shuffled join
+    val p = plan("q243_target_encode")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindow"))
+  }
+
+  test("q250: mutual-NN joins stay keyed — no cartesian pair generation") {
+    val p = plan("q250_mutual_nn")
+    assert(!p.contains("CartesianProduct"))
+    // candidate generation is the bucket-keyed self-join; the only
+    // broadcast-nested-loop joins allowed are none at all here
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q251: hilbert is a native expression over a 2-column pruned scan") {
+    val p = plan("q251_hilbert")
+    assert(p.contains("hilbert("))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"))
+  }
+
+  test("q261: nine sufficient statistics combine map-side in one pass") {
+    val p = plan("q261_ols2")
+    assert("partial_sum".r.findAllIn(p).size >= 8)
+    assert("partial_count".r.findAllIn(p).nonEmpty)
+  }
 }
