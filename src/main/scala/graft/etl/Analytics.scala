@@ -408,6 +408,54 @@ object Analytics {
           .as("gini_bp"))
   }
 
+  /** Partition-key skew report — the pre-mortem for "one executor is
+    * still running": per-key row counts reduced to the top-`k` heaviest
+    * keys with their share (bp) plus the table-level skew factor
+    * `max·n_keys div total` (1·10⁴ = perfectly even; the factor IS the
+    * slowdown a naive hash partitioning eats). Two combiner-friendly
+    * aggs + one broadcast one-row totals join; the top-k rank is over
+    * per-KEY counts (cardinality = distinct keys, not rows). */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("_total"),
+      count(lit(1)).as("n_keys"), max(col("n")).as("max_n"))
+    val w = Window.orderBy(col("n").desc, col(keyCol))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .crossJoin(broadcast(tot))
+      .select(col("rk"), col(keyCol), col("n"),
+        expr("n * 10000 div _total").as("share_bp"),
+        col("n_keys"), col("max_n"),
+        expr("max_n * n_keys * 10000 div _total").as("skew_bp"))
+  }
+
+  /** Column-level diff of two keyed snapshots — the migration-validation
+    * report after any rewrite: rows added, rows removed, and FOR EACH
+    * compared column how many common keys changed it (null-safe
+    * equality). One full outer join on the key + one tiny aggregation;
+    * output is long-form (metric, n) so a new column is a new row, not a
+    * schema change. */
+  def columnDiff(a: DataFrame, b: DataFrame, keyCol: String,
+      cols: Seq[String]): DataFrame = {
+    val an = a.select((keyCol +: cols).map(c =>
+      col(c).as(s"a_$c")): _*)
+    val bn = b.select((keyCol +: cols).map(c =>
+      col(c).as(s"b_$c")): _*)
+    val j = an.join(bn, col(s"a_$keyCol") === col(s"b_$keyCol"), "full")
+    val added = count(when(col(s"a_$keyCol").isNull, lit(1))).as("added")
+    val removed = count(when(col(s"b_$keyCol").isNull, lit(1))).as("removed")
+    val changed = cols.map(c =>
+      count(when(col(s"a_$keyCol").isNotNull && col(s"b_$keyCol").isNotNull
+        && !(col(s"a_$c") <=> col(s"b_$c")), lit(1))).as(s"changed_$c"))
+    val aggd = j.agg(added, (removed +: changed): _*)
+    val metrics = ("added" -> col("added")) +: ("removed" -> col("removed")) +:
+      cols.map(c => s"changed_$c" -> col(s"changed_$c"))
+    aggd.select(explode(map(
+      metrics.flatMap { case (name, c) => Seq(lit(name), c) }: _*))
+      .as(Seq("metric", "n")))
+  }
+
   /** Mix-vs-rate decomposition of a period-over-period metric change —
     * the "did revenue/order fall because the MIX moved to cheap segments
     * or because segments got CHEAPER?" BI staple. Inputs are per-segment

@@ -327,6 +327,26 @@ object Stats {
         "chi2_cb * 10000 div (n_total * (least(k_rows, k_cols) - 1))"))
   }
 
+  /** Cochran–Mantel–Haenszel per-stratum terms — the stratified 2×2 A/B
+    * test that a plain pooled χ² gets WRONG under confounding (Simpson's
+    * pattern: every stratum can favor treatment while the pool favors
+    * control). Per stratum: the four margins and the CMH term
+    * `a·n − r1·c1` over `n` as an exact fraction, plus the floored ppm
+    * form (`term_num·10⁶ div n` — per-stratum floor then sum is the
+    * documented quantization; a common denominator Πn_k explodes).
+    * One combiner-friendly aggregation. */
+  def cmhTerms(df: DataFrame, stratumCol: String, treatCol: String,
+      outcomeCol: String): DataFrame =
+    df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n"),
+        count(when(col(treatCol) && col(outcomeCol), lit(1))).as("a"),
+        count(when(col(treatCol), lit(1))).as("r1"),
+        count(when(col(outcomeCol), lit(1))).as("c1"))
+      .select(col(stratumCol), col("n"), col("a"), col("r1"), col("c1"),
+        (col("a") * col("n") - col("r1") * col("c1")).as("term_num"),
+        col("n").as("term_den"),
+        expr("(a * n - r1 * c1) * 1000000 div n").as("term_ppm"))
+
   /** Isotonic regression (the PAV fit) over pre-aggregated ordered bins —
     * the monotone calibration curve next to the q141 reliability diagram:
     * given per-bin label sums and counts ordered by `binCol`, the L2

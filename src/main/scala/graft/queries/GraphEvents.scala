@@ -652,6 +652,17 @@ object GraphEvents {
       .orderBy($"key")
   }
 
+  // -------------------------------------------- q268 skew report
+
+  /** Partition-key skew report ([[Analytics.skewReport]]) over the event
+    * stream's user key: top-5 heaviest users with share, key count, and
+    * the table-level skew factor a naive hash partitioning would eat. */
+  def q268SkewReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Analytics.skewReport(Tables.events(spark, dir), "user_id", k = 5)
+      .orderBy($"rk")
+  }
+
   // -------------------------------- q240 converged shortest paths
 
   /** UNBOUNDED weighted shortest paths from node 1 over the
@@ -775,6 +786,7 @@ object GraphEvents {
     "q229_hierarchy_flatten" -> q229HierarchyFlatten _,
     "q230_shortest_path" -> q230ShortestPath _,
     "q263_bitemporal" -> q263Bitemporal _,
+    "q268_skew_report" -> q268SkewReport _,
     "q240_converged_paths" -> q240ConvergedPaths _,
     "q223_brand_copurchase" -> q223BrandCopurchase _,
     "q224_path_trigrams" -> q224PathTrigrams _,
@@ -898,6 +910,22 @@ object GraphEvents {
       |  CAST(min(CASE WHEN cur < 4 THEN cur END) AS BIGINT) AS root,
       |  CAST(max(d) AS BIGINT) AS depth
       |FROM up GROUP BY id ORDER BY id""".stripMargin,
+    "q268_skew_report" -> """
+      |WITH counts AS (
+      |  SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys,
+      |         CAST(max(n) AS BIGINT) AS max_n
+      |  FROM counts),
+      |rk AS (
+      |  SELECT user_id, n,
+      |    row_number() OVER (ORDER BY n DESC, user_id) AS rk
+      |  FROM counts)
+      |SELECT CAST(rk AS BIGINT) AS rk, user_id, CAST(n AS BIGINT) AS n,
+      |  CAST(n * 10000 // total AS BIGINT) AS share_bp,
+      |  CAST(n_keys AS BIGINT) AS n_keys, max_n,
+      |  CAST(max_n * n_keys * 10000 // total AS BIGINT) AS skew_bp
+      |FROM rk CROSS JOIN tot WHERE rk <= 5 ORDER BY rk""".stripMargin,
     "q263_bitemporal" -> """
       |WITH v AS (
       |  SELECT CAST(user_id % 100 AS BIGINT) AS key,

@@ -529,6 +529,59 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Q266 — grid-bucketed proximity join ([[graft.etl.Geo]]): synthetic
+    * micro-degree points from customer keys, all pairs within 0.5° via
+    * the 3×3-cell equi-join — never an all-pairs distance pass. */
+  def q266ProximityJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.customer(spark, dir).select($"c_custkey".as("id"),
+      (($"c_custkey" * 7919) % 360000000L - 180000000L).as("x"),
+      (($"c_custkey" * 104729) % 180000000L - 90000000L).as("y"))
+    graft.etl.Geo.gridProximityJoin(pts, "id", "x", "y",
+        radiusMicroDeg = 500000L)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Q267 — decile + exact cumulative distribution per cohort: `ntile`
+    * over the deterministic (cents, event_id) total order, and cume as
+    * the exact fraction rows-with-value-≤-mine / n via a RANGE window —
+    * no float cume_dist. */
+  def q267NtileCume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).filter($"value".isNotNull)
+      .select($"event_id", ($"user_id" % 4).as("cohort"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val wRows = Window.partitionBy($"cohort").orderBy($"cents", $"event_id")
+    val wRange = Window.partitionBy($"cohort").orderBy($"cents")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"cohort")
+    e.withColumn("decile", ntile(10).over(wRows).cast("long"))
+      .withColumn("cume_num", count(lit(1)).over(wRange))
+      .withColumn("cume_den", count(lit(1)).over(wAll))
+      .orderBy($"event_id")
+  }
+
+  /** Q269 — column-level snapshot diff ([[graft.etl.Analytics.columnDiff]]):
+    * a synthetic rewrite of orders (dropped keys, repriced keys, flipped
+    * statuses, net-new keys) reduced to the long-form added/removed/
+    * changed-per-column report a migration gate asserts on. */
+  def q269ColumnDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.orders(spark, dir).select($"o_orderkey".as("k"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      $"o_orderstatus".as("status"), $"o_orderpriority".as("prio"))
+    val b0 = a.filter($"k" % 17 =!= 0)
+      .select($"k",
+        ($"cents" + when($"k" % 13 === 0, 100L).otherwise(0L)).as("cents"),
+        when($"k" % 11 === 0, lit("X")).otherwise($"status").as("status"),
+        $"prio")
+    val b = b0.unionByName(a.filter($"k" % 19 === 0)
+      .select(($"k" + 2000000000L).as("k"), $"cents", $"status", $"prio"))
+    graft.etl.Analytics.columnDiff(a, b, "k",
+        Seq("cents", "status", "prio"))
+      .orderBy($"metric")
+  }
+
   /** Q82 — Tukey-fence outliers ([[graft.etl.Analytics.iqrOutliers]]
     * composed over exactPercentiles + broadcast fences): k=1 (0.5·IQR —
     * the synthetic uniform prices have no 1.5·IQR tail, which would make
@@ -720,6 +773,9 @@ object Relational {
     "q78_percentiles" -> q78Percentiles _,
     "q81_zorder" -> q81Zorder _,
     "q251_hilbert" -> q251Hilbert _,
+    "q266_proximity_join" -> q266ProximityJoin _,
+    "q267_ntile_cume" -> q267NtileCume _,
+    "q269_column_diff" -> q269ColumnDiff _,
     "q82_iqr_outliers" -> q82IqrOutliers _,
     "q84_listagg" -> q84Listagg _,
     "q93_dyn_histogram" -> q93DynHistogram _,
@@ -943,6 +999,80 @@ object Relational {
         |             (y | (y << 1)) & 1431655765 AS y FROM d)
         |SELECT o_orderkey, CAST(x | (y << 1) AS BIGINT) AS zval
         |FROM e ORDER BY o_orderkey""".stripMargin,
+    "q266_proximity_join" -> """
+      |WITH p AS (
+      |  SELECT c_custkey AS id,
+      |    (c_custkey * 7919) % 360000000 - 180000000 AS x,
+      |    (c_custkey * 104729) % 180000000 - 90000000 AS y
+      |  FROM customer),
+      |c AS (
+      |  SELECT *,
+      |    CASE WHEN x >= 0 THEN x // 500000
+      |         ELSE ((x + 1) // 500000) - 1 END AS cx,
+      |    CASE WHEN y >= 0 THEN y // 500000
+      |         ELSE ((y + 1) // 500000) - 1 END AS cy
+      |  FROM p),
+      |probe AS (
+      |  SELECT id AS id_a, x AS xa, y AS ya,
+      |    cx + dx.range AS cx, cy + dy.range AS cy
+      |  FROM c, range(-1, 2) dx, range(-1, 2) dy)
+      |SELECT DISTINCT id_a, c.id AS id_b,
+      |  CAST((xa - x) * (xa - x) + (ya - y) * (ya - y) AS BIGINT) AS dist2
+      |FROM probe JOIN c ON probe.cx = c.cx AND probe.cy = c.cy
+      |WHERE id_a < c.id
+      |  AND (xa - x) * (xa - x) + (ya - y) * (ya - y)
+      |      <= CAST(500000 AS BIGINT) * 500000
+      |ORDER BY id_a, id_b""".stripMargin,
+    "q267_ntile_cume" -> """
+      |WITH e AS (
+      |  SELECT event_id, CAST(user_id % 4 AS BIGINT) AS cohort,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_id, cohort, cents,
+      |  CAST(ntile(10) OVER (PARTITION BY cohort
+      |    ORDER BY cents, event_id) AS BIGINT) AS decile,
+      |  CAST(count(*) OVER (PARTITION BY cohort ORDER BY cents
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cume_num,
+      |  CAST(count(*) OVER (PARTITION BY cohort) AS BIGINT) AS cume_den
+      |FROM e ORDER BY event_id""".stripMargin,
+    "q269_column_diff" -> """
+      |WITH a AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderstatus AS status, o_orderpriority AS prio
+      |  FROM orders),
+      |b AS (
+      |  SELECT k,
+      |    cents + CASE WHEN k % 13 = 0 THEN 100 ELSE 0 END AS cents,
+      |    CASE WHEN k % 11 = 0 THEN 'X' ELSE status END AS status, prio
+      |  FROM a WHERE k % 17 <> 0
+      |  UNION ALL
+      |  SELECT k + 2000000000, cents, status, prio FROM a
+      |  WHERE k % 19 = 0),
+      |j AS (SELECT a.k AS ak, b.k AS bk,
+      |        a.cents AS ac, b.cents AS bc,
+      |        a.status AS ast, b.status AS bst,
+      |        a.prio AS ap, b.prio AS bp
+      |      FROM a FULL JOIN b ON a.k = b.k),
+      |agg AS (
+      |  SELECT
+      |    count(*) FILTER (WHERE ak IS NULL) AS added,
+      |    count(*) FILTER (WHERE bk IS NULL) AS removed,
+      |    count(*) FILTER (WHERE ak IS NOT NULL AND bk IS NOT NULL
+      |      AND ac IS DISTINCT FROM bc) AS changed_cents,
+      |    count(*) FILTER (WHERE ak IS NOT NULL AND bk IS NOT NULL
+      |      AND ast IS DISTINCT FROM bst) AS changed_status,
+      |    count(*) FILTER (WHERE ak IS NOT NULL AND bk IS NOT NULL
+      |      AND ap IS DISTINCT FROM bp) AS changed_prio
+      |  FROM j)
+      |SELECT metric, CAST(n AS BIGINT) AS n FROM (
+      |  SELECT 'added' AS metric, added AS n FROM agg
+      |  UNION ALL SELECT 'removed', removed FROM agg
+      |  UNION ALL SELECT 'changed_cents', changed_cents FROM agg
+      |  UNION ALL SELECT 'changed_status', changed_status FROM agg
+      |  UNION ALL SELECT 'changed_prio', changed_prio FROM agg)
+      |ORDER BY metric""".stripMargin,
     // the Hilbert walk re-derived as a recursive CTE: one rotate-and-
     // accumulate step per recursion level (s halves each round, 8 rounds
     // for order 8), exactly the loop in graft.plans.Hilbert.xy2d

@@ -558,7 +558,22 @@ object StatsQueries {
       .orderBy($"event_type")
   }
 
+  // --------------------------------------------- q265 CMH stratified
+
+  /** Cochran–Mantel–Haenszel per-stratum terms ([[Stats.cmhTerms]]):
+    * even-keyed orders as "treatment", fulfilled status as outcome,
+    * stratified by priority — the Simpson's-paradox-proof A/B readout. */
+  def q265Cmh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = Tables.orders(spark, dir)
+      .select($"o_orderpriority".as("stratum"),
+        ($"o_orderkey" % 2 === 0).as("treat"),
+        ($"o_orderstatus" === "F").as("outcome"))
+    Stats.cmhTerms(df, "stratum", "treat", "outcome").orderBy($"stratum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_cmh" -> q265Cmh _,
     "q262_mase" -> q262Mase _,
     "q264_mix_shift" -> q264MixShift _,
     "q256_kl_drift" -> q256KlDrift _,
@@ -587,6 +602,24 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q265_cmh" -> """
+      |SELECT o_orderpriority AS stratum, count(*) AS n,
+      |  CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0
+      |    AND o_orderstatus = 'F') AS BIGINT) AS a,
+      |  CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS r1,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS c1,
+      |  CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0
+      |      AND o_orderstatus = 'F') * count(*)
+      |    - count(*) FILTER (WHERE o_orderkey % 2 = 0)
+      |      * count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+      |    AS term_num,
+      |  count(*) AS term_den,
+      |  CAST((count(*) FILTER (WHERE o_orderkey % 2 = 0
+      |      AND o_orderstatus = 'F') * count(*)
+      |    - count(*) FILTER (WHERE o_orderkey % 2 = 0)
+      |      * count(*) FILTER (WHERE o_orderstatus = 'F')) * 1000000
+      |    // count(*) AS BIGINT) AS term_ppm
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q262_mase" -> """
       |WITH daily AS (
       |  SELECT event_type,

@@ -603,6 +603,48 @@ class MiningSpec extends SparkSpec {
       ("B", "x", 5L, 2L, 8000L, "violates")))
   }
 
+  test("cmhTerms: per-stratum margins and exact CMH term") {
+    val sq = spark
+    import sq.implicits._
+    // stratum s: rows (treat, outcome): TT, TF, FT, FF, TT
+    // n=5, a=2, r1=3, c1=3 -> term = 2*5 - 9 = 1 over 5 -> 200000 ppm
+    val df = Seq((true, true), (true, false), (false, true),
+      (false, false), (true, true)).map(t => ("s", t._1, t._2))
+      .toDF("st", "t", "o")
+    val out = Stats.cmhTerms(df, "st", "t", "o").collect()
+    assert(out.toSeq == Seq(Row("s", 5L, 2L, 3L, 3L, 1L, 5L, 200000L)))
+  }
+
+  test("skewReport: top keys, shares, and the skew factor") {
+    val sq = spark
+    import sq.implicits._
+    // keys: a x6, b x2, c x1, d x1 -> total 10, 4 keys, max 6
+    // skew = 6*4*10000 div 10 = 24000 (2.4x a perfect spread)
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val out = Analytics.skewReport(df, "k", k = 2)
+      .select($"rk", $"k", $"n", $"share_bp", $"n_keys", $"max_n",
+        $"skew_bp").orderBy($"rk").collect()
+    assert(out.toSeq == Seq(
+      Row(1L, "a", 6L, 6000L, 4L, 6L, 24000L),
+      Row(2L, "b", 2L, 2000L, 4L, 6L, 24000L)))
+  }
+
+  test("columnDiff: added/removed/per-column change counts, null-safe") {
+    val sq = spark
+    import sq.implicits._
+    val a = Seq((1L, Some(10L), "x"), (2L, Some(20L), "y"),
+      (3L, None, "z")).toDF("k", "v", "s")
+    val b = Seq((1L, Some(10L), "x2"), (3L, Some(5L), "z"),
+      (9L, Some(1L), "n")).toDF("k", "v", "s")
+    val got = Analytics.columnDiff(a, b, "k", Seq("v", "s"))
+      .as[(String, Long)].collect().toMap
+    // key 2 removed; key 9 added; key 1 changed s; key 3 changed v
+    // (null -> 5 counts as a change under null-safe equality)
+    assert(got == Map("added" -> 1L, "removed" -> 1L,
+      "changed_v" -> 1L, "changed_s" -> 1L))
+  }
+
   test("ols2 recovers an exact planar fit via Cramer's rule") {
     val sq = spark
     import sq.implicits._
