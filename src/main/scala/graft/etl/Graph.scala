@@ -194,6 +194,43 @@ object Graph {
     lab.select(col("node"), col("label"))
   }
 
+  /** Time-respecting reachability — earliest arrival at each node within
+    * `maxHops` hops along edges whose timestamps never decrease (an edge
+    * is usable only at-or-after you arrived at its source): the
+    * contact-tracing / influence-spread primitive a static BFS gets wrong
+    * (static reachability happily routes "backward in time" through an
+    * old edge). Per round: frontier ⋈ edges with the `ts ≥ arrival`
+    * temporal guard, min-arrival fold, keep genuine improvements as the
+    * next frontier — [[boundedShortestPaths]]'s shape with time as the
+    * relaxed quantity. Fixed rounds so the oracle can unroll. */
+  def temporalReachability(seeds: DataFrame, edges: DataFrame,
+      seedNodeCol: String, srcCol: String, dstCol: String, tsCol: String,
+      maxHops: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(tsCol).as("ts")).localCheckpoint()
+    var arr = seeds.select(col(seedNodeCol).as("node"))
+      .distinct().withColumn("arrival", lit(Long.MinValue))
+      .localCheckpoint()
+    var frontier = arr
+    for (_ <- 1 to maxHops) {
+      val relaxed = e.join(frontier, col("src") === col("node"))
+        .filter(col("ts") >= col("arrival"))
+        .select(col("dst").as("node"), col("ts").as("arrival"))
+        .groupBy(col("node")).agg(min(col("arrival")).as("arrival"))
+      val improved = relaxed.join(
+          arr.select(col("node"), col("arrival").as("_old")),
+          Seq("node"), "left")
+        .filter(col("_old").isNull || col("arrival") < col("_old"))
+        .select(col("node"), col("arrival"))
+        .localCheckpoint()
+      arr = arr.join(improved.select(col("node").as("_n")),
+          col("node") === col("_n"), "left_anti")
+        .union(improved).localCheckpoint()
+      frontier = improved
+    }
+    arr
+  }
+
   /** Bounded-round k-core peel: `rounds` iterations of "drop every node
     * with degree < k, with its edges" over the undirected deduped graph,
     * returning surviving nodes with their final degree. Fixed rounds (not

@@ -349,4 +349,37 @@ object Series {
           "div NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0) " +
           "AS BIGINT)").as("r2_scaled"))
   }
+
+  /** STL-lite decomposition of a keyed daily series into
+    * trend + weekly seasonal + residual, entirely in exact fractions:
+    * trend is the centered 7-day moving sum over 7 (null at the edges —
+    * a short window would bias the level), the detrended value is
+    * `v·7 − trend_num` over 7, the day-of-week seasonal component is the
+    * mean detrended value of that weekday (`Σdet_num` over `7·m`, m =
+    * contributing days), and the residual subtracts the two with the
+    * common denominator 7·m: `res_num = det_num·m − seas_num`. The
+    * decomposition identity v = trend + seasonal + residual holds
+    * EXACTLY in the fractions — no float version can say that. Shapes:
+    * one key-partitioned window + one (key, dow) agg broadcast back. */
+  def stlLite(daily: DataFrame, keyCol: String, dCol: String,
+      vCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dCol))
+      .rowsBetween(-3, 3)
+    val t = daily.select(col(keyCol), col(dCol), col(vCol).as("v"))
+      .withColumn("_tn", sum(col("v")).over(w))
+      .withColumn("_tc", count(lit(1)).over(w))
+      .withColumn("trend_num", when(col("_tc") === 7, col("_tn")))
+      .withColumn("det_num",
+        when(col("_tc") === 7, col("v") * 7 - col("_tn")))
+      .withColumn("dow", pmod(col(dCol), lit(7)))
+      .drop("_tn", "_tc")
+    val seas = t.filter(col("det_num").isNotNull)
+      .groupBy(col(keyCol), col("dow"))
+      .agg(sum(col("det_num")).as("seas_num"),
+        (count(lit(1)) * 7).as("seas_den"))
+    t.join(broadcast(seas), Seq(keyCol, "dow"), "left")
+      .withColumn("res_num",
+        col("det_num") * expr("seas_den div 7") - col("seas_num"))
+      .withColumn("res_den", col("seas_den"))
+  }
 }

@@ -652,6 +652,29 @@ object GraphEvents {
       .orderBy($"key")
   }
 
+  // ------------------------------------- q270 temporal reachability
+
+  /** Time-respecting earliest arrival within 3 hops from node 0
+    * ([[Graph.temporalReachability]]) over an event-derived temporal
+    * edge list — edges are usable only at-or-after arrival at their
+    * source, the constraint a static BFS ignores. Seed arrival emits as
+    * null. */
+  def q270TemporalReach(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select(
+      ($"user_id" % 40).as("src"),
+      (($"user_id" % 40) + ($"event_id" % 7) + 1).as("_d"),
+      unix_micros($"ts").as("ts"))
+      .select($"src", ($"_d" % 40).as("dst"), $"ts")
+    val seeds = Seq(0L).toDF("node")
+    Graph.temporalReachability(seeds, e, "node", "src", "dst", "ts",
+        maxHops = 3)
+      .select($"node",
+        when($"arrival" === Long.MinValue, lit(null).cast("long"))
+          .otherwise($"arrival").as("arrival_us"))
+      .orderBy($"node")
+  }
+
   // -------------------------------------------- q268 skew report
 
   /** Partition-key skew report ([[Analytics.skewReport]]) over the event
@@ -787,6 +810,7 @@ object GraphEvents {
     "q230_shortest_path" -> q230ShortestPath _,
     "q263_bitemporal" -> q263Bitemporal _,
     "q268_skew_report" -> q268SkewReport _,
+    "q270_temporal_reach" -> q270TemporalReach _,
     "q240_converged_paths" -> q240ConvergedPaths _,
     "q223_brand_copurchase" -> q223BrandCopurchase _,
     "q224_path_trigrams" -> q224PathTrigrams _,
@@ -910,6 +934,61 @@ object GraphEvents {
       |  CAST(min(CASE WHEN cur < 4 THEN cur END) AS BIGINT) AS root,
       |  CAST(max(d) AS BIGINT) AS depth
       |FROM up GROUP BY id ORDER BY id""".stripMargin,
+    // temporal reach unrolled: per round, min-arrival candidates from the
+    // PREVIOUS round's improved set under the ts >= arrival guard, then
+    // the improvement filter vs the merged table — Graph.temporalReachability
+    // verbatim (seed arrival = -inf makes every seed edge usable)
+    "q270_temporal_reach" -> """
+      |WITH e AS (
+      |  SELECT CAST(user_id % 40 AS BIGINT) AS src,
+      |    CAST((user_id % 40 + event_id % 7 + 1) % 40 AS BIGINT) AS dst,
+      |    epoch_us(ts) AS ts
+      |  FROM events),
+      |seed AS (SELECT CAST(0 AS BIGINT) AS node,
+      |                CAST(-9223372036854775808 AS BIGINT) AS t),
+      |c1 AS (
+      |  SELECT e.dst AS node, min(e.ts) AS t
+      |  FROM e JOIN seed ON e.src = seed.node AND e.ts >= seed.t
+      |  GROUP BY e.dst),
+      |i1 AS (
+      |  SELECT c1.node, c1.t FROM c1 LEFT JOIN seed USING (node)
+      |  WHERE seed.t IS NULL OR c1.t < seed.t),
+      |arr1 AS (
+      |  SELECT seed.node, coalesce(i1.t, seed.t) AS t
+      |  FROM seed LEFT JOIN i1 USING (node)
+      |  UNION ALL
+      |  SELECT i1.node, i1.t FROM i1
+      |  WHERE i1.node NOT IN (SELECT node FROM seed)),
+      |c2 AS (
+      |  SELECT e.dst AS node, min(e.ts) AS t
+      |  FROM e JOIN i1 ON e.src = i1.node AND e.ts >= i1.t
+      |  GROUP BY e.dst),
+      |i2 AS (
+      |  SELECT c2.node, c2.t FROM c2 LEFT JOIN arr1 USING (node)
+      |  WHERE arr1.t IS NULL OR c2.t < arr1.t),
+      |arr2 AS (
+      |  SELECT arr1.node, coalesce(i2.t, arr1.t) AS t
+      |  FROM arr1 LEFT JOIN i2 USING (node)
+      |  UNION ALL
+      |  SELECT i2.node, i2.t FROM i2
+      |  WHERE i2.node NOT IN (SELECT node FROM arr1)),
+      |c3 AS (
+      |  SELECT e.dst AS node, min(e.ts) AS t
+      |  FROM e JOIN i2 ON e.src = i2.node AND e.ts >= i2.t
+      |  GROUP BY e.dst),
+      |i3 AS (
+      |  SELECT c3.node, c3.t FROM c3 LEFT JOIN arr2 USING (node)
+      |  WHERE arr2.t IS NULL OR c3.t < arr2.t),
+      |fin AS (
+      |  SELECT arr2.node, coalesce(i3.t, arr2.t) AS t
+      |  FROM arr2 LEFT JOIN i3 USING (node)
+      |  UNION ALL
+      |  SELECT i3.node, i3.t FROM i3
+      |  WHERE i3.node NOT IN (SELECT node FROM arr2))
+      |SELECT node,
+      |  CASE WHEN t = -9223372036854775808 THEN NULL ELSE t END
+      |    AS arrival_us
+      |FROM fin ORDER BY node""".stripMargin,
     "q268_skew_report" -> """
       |WITH counts AS (
       |  SELECT user_id, count(*) AS n FROM events GROUP BY 1),

@@ -572,7 +572,28 @@ object StatsQueries {
     Stats.cmhTerms(df, "stratum", "treat", "outcome").orderBy($"stratum")
   }
 
+  // --------------------------------------------- q272 STL-lite
+
+  /** Exact STL-lite decomposition ([[graft.etl.Series.stlLite]]) of the
+    * daily cents series per event type: centered-week trend, day-of-week
+    * seasonal, residual — v = trend + seasonal + residual holds exactly
+    * in the emitted fractions. */
+  def q272StlLite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      .agg(sum(cents).as("v"))
+    graft.etl.Series.stlLite(daily, "event_type", "d", "v")
+      .select($"event_type", $"d", $"v", $"dow", $"trend_num", $"det_num",
+        $"seas_num", $"seas_den", $"res_num", $"res_den")
+      .orderBy($"event_type", $"d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_stl_lite" -> q272StlLite _,
     "q265_cmh" -> q265Cmh _,
     "q262_mase" -> q262Mase _,
     "q264_mix_shift" -> q264MixShift _,
@@ -602,6 +623,33 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q272_stl_lite" -> """
+      |WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS d,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, d, v, d % 7 AS dow,
+      |    CASE WHEN count(*) OVER w = 7 THEN
+      |      CAST(sum(v) OVER w AS BIGINT) END AS trend_num,
+      |    CASE WHEN count(*) OVER w = 7 THEN
+      |      CAST(v * 7 - sum(v) OVER w AS BIGINT) END AS det_num
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+      |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |seas AS (
+      |  SELECT event_type, dow,
+      |    CAST(sum(det_num) AS BIGINT) AS seas_num,
+      |    CAST(count(*) * 7 AS BIGINT) AS seas_den
+      |  FROM t WHERE det_num IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, d, v, CAST(dow AS BIGINT) AS dow, trend_num,
+      |  det_num, seas_num, seas_den,
+      |  CAST(det_num * (seas_den // 7) - seas_num AS BIGINT) AS res_num,
+      |  seas_den AS res_den
+      |FROM t LEFT JOIN seas USING (event_type, dow)
+      |ORDER BY event_type, d""".stripMargin,
     "q265_cmh" -> """
       |SELECT o_orderpriority AS stratum, count(*) AS n,
       |  CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0

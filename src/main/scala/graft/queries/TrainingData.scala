@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.etl.{Multimodal, Similarity}
 
@@ -662,7 +663,39 @@ object TrainingData {
     "q249_readability" -> q249Readability _,
     "q250_mutual_nn" -> q250MutualNn _,
     "q253_bootstrap_ci" -> q253BootstrapCi _,
-    "q255_image_dhash" -> q255ImageDhash _)
+    "q255_image_dhash" -> q255ImageDhash _,
+    "q271_datasheet" -> q271Datasheet _)
+
+  /** Dataset datasheet — the per-(language, source) summary card a corpus
+    * release ships with: document and token volume, char mass, the EXACT
+    * lower-median token length (rank ⌈n/2⌉ in the deterministic
+    * (tokens, doc_id) order — no approx percentile), and how many docs
+    * are byte-exact duplicates of another doc in the same slice. Two
+    * keyed aggs + one within-slice window; the dup check groups on the
+    * text hash, never pairwise. */
+  def q271Datasheet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"lang", $"source",
+      $"doc_id", size(graft.etl.Corpus.tokensOf($"text")).cast("long")
+        .as("toks"),
+      length($"text").cast("long").as("chars"), sha2($"text", 256).as("h"))
+    val w = Window.partitionBy($"lang", $"source")
+      .orderBy($"toks", $"doc_id")
+    val wAll = Window.partitionBy($"lang", $"source")
+    val ranked = d.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val dups = d.groupBy($"lang", $"source", $"h")
+      .agg(count(lit(1)).as("_c"))
+      .groupBy($"lang", $"source")
+      .agg(sum(when($"_c" > 1, $"_c").otherwise(0L)).as("n_dup_docs"))
+    ranked.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"),
+        sum($"chars").as("n_chars"),
+        max(when($"rn" === expr("(n + 1) div 2"), $"toks"))
+          .as("p50_tokens"))
+      .join(dups, Seq("lang", "source"))
+      .orderBy($"lang", $"source")
+  }
 
   /** Deterministic multinomial bootstrap of the mean purchase amount: 32
     * replicates, each row's weight in replicate r drawn as
@@ -1323,6 +1356,37 @@ object TrainingData {
       |  FROM scored)
       |SELECT query_id, rank, nn_id, dot FROM ranked
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q271_datasheet" -> """
+      |WITH d AS (
+      |  SELECT lang, source, doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |      x -> x <> '')) AS BIGINT) AS toks,
+      |    CAST(length(text) AS BIGINT) AS chars,
+      |    sha256(text) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY lang, source
+      |      ORDER BY toks, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang, source) AS n
+      |  FROM d),
+      |base AS (
+      |  SELECT lang, source, count(*) AS n_docs,
+      |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+      |    CAST(sum(chars) AS BIGINT) AS n_chars,
+      |    CAST(max(CASE WHEN rn = (n + 1) // 2 THEN toks END) AS BIGINT)
+      |      AS p50_tokens
+      |  FROM r GROUP BY 1, 2),
+      |dup AS (
+      |  SELECT lang, source,
+      |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+      |      AS n_dup_docs
+      |  FROM (SELECT lang, source, h, count(*) AS c
+      |        FROM d GROUP BY 1, 2, 3)
+      |  GROUP BY 1, 2)
+      |SELECT lang, source, n_docs, n_tokens, n_chars, p50_tokens,
+      |  n_dup_docs
+      |FROM base JOIN dup USING (lang, source)
+      |ORDER BY lang, source""".stripMargin,
     "q253_bootstrap_ci" -> """
       |WITH e AS (
       |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents

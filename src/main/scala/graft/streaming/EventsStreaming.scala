@@ -281,6 +281,48 @@ object EventsStreaming {
       }.toDF()
   }
 
+  final case class TbRow(user_id: Long, us: Long, event_id: Long, cost: Long)
+  final case class TbOut(user_id: Long, event_id: Long, allowed: Boolean,
+      tokens_after: Long)
+  final case class TbState(tokens: Long, last_us: Long)
+
+  /** Streaming token-bucket rate limiter — the ingest-time guard a 100 TB
+    * feed needs BEFORE the data lands (batch dedup cleans up after the
+    * flood; this refuses it): each key's bucket refills `ratePerSec`
+    * tokens (micro-token integer arithmetic — refill = Δus·rate div 10⁶,
+    * floor, no float drift), caps at `capacity`, and an event is allowed
+    * iff its cost fits, consuming on admit. State is two longs per key
+    * carried across micro-batches. The min-AND-max clamped recurrence has
+    * no prefix-scan closed form (unlike the one-sided
+    * [[clampedBalanceStream]]), so the batch equivalent is genuinely
+    * sequential — streaming state is the natural home, and the spec pins
+    * it against a per-key sequential fold. */
+  def tokenBucketStream(events: DataFrame, capacity: Long,
+      ratePerSec: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("us"), col("event_id"), col("cost"))
+      .as[TbRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[TbRow], state: GroupState[TbState]) =>
+          var st = state.getOption.getOrElse(TbState(capacity, Long.MinValue))
+          val out = Seq.newBuilder[TbOut]
+          rows.toSeq.sortBy(r => (r.us, r.event_id)).foreach { r =>
+            val refill =
+              if (st.last_us == Long.MinValue) 0L
+              else (r.us - st.last_us) * ratePerSec / 1000000L
+            val tokens = math.min(capacity, st.tokens + refill)
+            val allowed = tokens >= r.cost
+            val after = if (allowed) tokens - r.cost else tokens
+            out += TbOut(user, r.event_id, allowed, after)
+            st = TbState(after, r.us)
+          }
+          state.update(st)
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Change-detection sink (J3/K2-shaped): every micro-batch is reduced to
     * changed-rows via content hash and merged into the target parquet dir —
     * `foreachBatch` is where a real deployment issues MERGE INTO. */

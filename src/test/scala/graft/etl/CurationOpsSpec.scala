@@ -94,6 +94,34 @@ class CurationOpsSpec extends SparkSpec {
       4L -> Some(9L), 5L -> Some(9L)))
   }
 
+  // ------------------------------------------------- temporal reach
+
+  test("temporalReachability honors the nondecreasing-time constraint") {
+    val seeds = Seq(1L).toDF("node")
+    // 1->2 at t=10; 2->3 at t=5 is BEFORE arrival at 2 (unusable — a
+    // static BFS would take it); 2->3 at t=20 works; 3->4 at t=15 is
+    // before arrival at 3 -> 4 unreachable in 3 hops
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 5L), (2L, 3L, 20L),
+      (3L, 4L, 15L)).toDF("src", "dst", "ts")
+    val got = Graph.temporalReachability(seeds, edges, "node",
+        "src", "dst", "ts", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> Long.MinValue, 2L -> 10L, 3L -> 20L))
+  }
+
+  test("temporalReachability: a later improvement re-expands the frontier") {
+    val seeds = Seq(1L).toDF("node")
+    // two routes to 3: direct at t=50, and via 2 arriving t=30; the round-2
+    // improvement (50 -> 30) must re-relax 3's out-edge at t=40 (usable
+    // from arrival 30, NOT from 50)
+    val edges = Seq((1L, 3L, 50L), (1L, 2L, 10L), (2L, 3L, 30L),
+      (3L, 4L, 40L)).toDF("src", "dst", "ts")
+    val got = Graph.temporalReachability(seeds, edges, "node",
+        "src", "dst", "ts", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> Long.MinValue, 2L -> 10L, 3L -> 30L, 4L -> 40L))
+  }
+
   // -------------------------------------------------------------- EWMA
 
   test("ewmaDyadic: weights halve backwards, heads report partial wsum") {

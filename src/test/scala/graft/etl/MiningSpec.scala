@@ -603,6 +603,33 @@ class MiningSpec extends SparkSpec {
       ("B", "x", 5L, 2L, 8000L, "violates")))
   }
 
+  test("stlLite: v = trend + seasonal + residual holds exactly") {
+    val sq = spark
+    import sq.implicits._
+    // 21 consecutive days, v = 70 + 7*dow (pure weekly signal): interior
+    // trend = sum of a full week / 7 = 91 (flat), det captures the dow
+    // offset exactly, residuals are 0
+    val daily = (0L until 21L).map(d => ("k", d, 70L + 7L * (d % 7)))
+      .toDF("k", "d", "v")
+    val out = Series.stlLite(daily, "k", "d", "v")
+      .orderBy($"d").collect()
+    out.foreach { r =>
+      val (d, v) = (r.getAs[Long]("d"), r.getAs[Long]("v"))
+      if (d >= 3 && d <= 17) {
+        assert(r.getAs[Long]("trend_num") == 637L, s"d=$d") // 91*7
+        // identity: v = trend_num/7 + seas_num/seas_den + res_num/res_den
+        val (tn, sn, sd, rn, rd) = (r.getAs[Long]("trend_num"),
+          r.getAs[Long]("seas_num"), r.getAs[Long]("seas_den"),
+          r.getAs[Long]("res_num"), r.getAs[Long]("res_den"))
+        assert(rd == sd)
+        assert(v * 7 * sd == tn * sd + 7 * sn + 7 * rn, s"identity at d=$d")
+        assert(rn == 0L, s"pure weekly signal -> zero residual at d=$d")
+      } else {
+        assert(r.get(r.fieldIndex("trend_num")) == null)
+      }
+    }
+  }
+
   test("cmhTerms: per-stratum margins and exact CMH term") {
     val sq = spark
     import sq.implicits._

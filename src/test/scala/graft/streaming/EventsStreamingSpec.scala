@@ -379,6 +379,50 @@ class EventsStreamingSpec extends SparkSpec {
     assert(batch == got, "streaming and batch twins must agree")
   }
 
+  test("tokenBucketStream: refill/cap/deny matches a sequential fold") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStreaming.TbRow
+    val input = MemoryStream[TbRow]
+    // capacity 10, 2 tokens/sec
+    val q = EventsStreaming.tokenBucketStream(input.toDF(),
+        capacity = 10L, ratePerSec = 2L)
+      .writeStream.format("memory").queryName("tb").outputMode("append").start()
+
+    // batch 1 (user 1): full bucket pays 8 (->2); +1s refills 2 (->4),
+    // cost 6 denied (4 stays); cost 4 allowed (->0)
+    input.addData(TbRow(1, 0L, 1, 8), TbRow(1, 1000000L, 2, 6),
+      TbRow(1, 1000000L, 3, 4))
+    q.processAllAvailable()
+    // batch 2: +100s refills past the cap (clamps to 10), pays 10 (->0);
+    // state carried across the boundary
+    input.addData(TbRow(1, 101000000L, 4, 10))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("tb").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Boolean]("allowed"), r.getAs[Long]("tokens_after")))).toMap
+    assert(got == Map(1L -> ((true, 2L)), 2L -> ((false, 4L)),
+      3L -> ((true, 0L)), 4L -> ((true, 0L))))
+
+    // sequential-fold twin over the identical rows (the recurrence has no
+    // closed window form — min AND max clamps)
+    val rows = Seq((0L, 1L, 8L), (1000000L, 2L, 6L), (1000000L, 3L, 4L),
+      (101000000L, 4L, 10L))
+    var tokens = 10L; var last = Long.MinValue
+    val folded = rows.map { case (us, id, cost) =>
+      val refill = if (last == Long.MinValue) 0L else (us - last) * 2L / 1000000L
+      tokens = math.min(10L, tokens + refill)
+      val ok = tokens >= cost
+      if (ok) tokens -= cost
+      last = us
+      id -> ((ok, tokens))
+    }.toMap
+    assert(folded == got, "streaming and sequential fold must agree")
+  }
+
   test("asofJoinStream: cross-batch as-of matches the batch twin") {
     val sq = spark
     import sq.implicits._
