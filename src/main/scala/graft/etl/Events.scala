@@ -365,6 +365,24 @@ object Events {
         col("censored"))
   }
 
+  /** Nelson–Aalen cumulative hazard over a [[lifeTable]] frame: the
+    * discrete hazard d_k/r_k per time step in floored micro-units, then
+    * one ordered running sum — the survival-curve estimator that stays a
+    * SUM (unlike Kaplan–Meier's product), so exact integer arithmetic
+    * survives any number of steps and the per-term floor is the only
+    * quantization (≤ steps·10⁻⁶, identical in both engines since every
+    * term is nonnegative). The input table has one row per day offset —
+    * bounded by the observation horizon, not the user count — so the
+    * unpartitioned window matches [[lifeTable]]'s own at-risk scan. */
+  def cumulativeHazard(lifeTable: DataFrame,
+      dayCol: String = "day_k"): DataFrame = {
+    val w = Window.orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lifeTable
+      .withColumn("h_step_micro", expr("events * 1000000 div at_risk"))
+      .withColumn("h_cum_micro", sum(col("h_step_micro")).over(w))
+  }
+
   /** CDC-style snapshot diff: classify every key across two state
     * snapshots as `added` (only in `b`), `removed` (only in `a`),
     * `changed` (present in both, any compare column differs, null-safe),

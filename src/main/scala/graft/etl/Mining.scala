@@ -548,4 +548,63 @@ object Mining {
         expr(s"dcg_scaled * $scale div NULLIF(idcg_scaled, 0)")
           .as("ndcg_bp"))
   }
+
+  /** Best binary split of one integer feature against a boolean label per
+    * group — the decision-stump / split-finder primitive behind tree
+    * induction and feature triage. Among candidate thresholds t (the
+    * feature's distinct values whose left side `v ≤ t` leaves the right
+    * child nonempty), minimize the weighted Gini impurity
+    *   G(t) = t_l·G_l + t_r·G_r,   G_c = 1 − (p_c² + n_c²)/t_c²
+    * which over the common denominator (dropping the constant total N) is
+    * the exact integer fraction
+    *   num(t) = (t_l² − p_l² − n_l²)·t_r + (t_r² − p_r² − n_r²)·t_l
+    *   den(t) = t_l·t_r·N.
+    * Rows collapse to one per (group, value) FIRST, so the ordered window
+    * is bounded by distinct-value count, not row count; cumulative class
+    * counts ride that one window; the argmin is a min(struct) fold with
+    * score_ppm = ⌊10⁶·num/den⌋ in decimal(38,0) (products reach N³),
+    * ties broken by the smaller threshold. num ≥ 0 always (each child's
+    * Gini is nonnegative), so floored division agrees across engines.
+    *
+    * Output per group: `threshold`, `score_ppm` (0 = a perfect split),
+    * total/positive counts and the left-child counts at the argmin. */
+  def bestSplit(df: DataFrame, groupCol: String, featureCol: String,
+      labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val cell = df.select(col(groupCol), col(featureCol).as("_v"),
+        when(labelCol, 1L).otherwise(0L).as("_y"))
+      .groupBy(col(groupCol), col("_v"))
+      .agg(count(lit(1)).as("_c"), sum(col("_y")).as("_p"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    val cum = cell
+      .withColumn("tl", sum(col("_c")).over(w))
+      .withColumn("pl", sum(col("_p")).over(w))
+      .withColumn("t", sum(col("_c")).over(wAll))
+      .withColumn("p", sum(col("_p")).over(wAll))
+      .filter(col("tl") < col("t"))
+    val scored = cum.select(col(groupCol), col("_v"), col("tl"), col("pl"),
+      col("t"), col("p"),
+      expr(s"""CAST((
+          (CAST(tl AS $d38) * tl - CAST(pl AS $d38) * pl
+             - CAST(tl - pl AS $d38) * (tl - pl)) * (t - tl)
+        + (CAST(t - tl AS $d38) * (t - tl)
+             - CAST(p - pl AS $d38) * (p - pl)
+             - CAST((t - tl) - (p - pl) AS $d38) * ((t - tl) - (p - pl)))
+          * tl
+        ) * 1000000 div (CAST(tl AS $d38) * (t - tl) * t) AS BIGINT)""")
+        .as("score_ppm"))
+    scored.groupBy(col(groupCol))
+      .agg(min(struct(col("score_ppm"), col("_v"), col("tl"), col("pl")))
+          .as("_best"),
+        max(col("t")).as("n"), max(col("p")).as("n_pos"))
+      .select(col(groupCol),
+        col("_best").getField("_v").as("threshold"),
+        col("_best").getField("score_ppm").as("score_ppm"),
+        col("n"), col("n_pos"),
+        col("_best").getField("tl").as("n_left"),
+        col("_best").getField("pl").as("pos_left"))
+  }
 }

@@ -255,6 +255,59 @@ object Stats {
         expr("greatest(kl_bits_num, 0L) * 100 div nb").as("kl_cb"))
   }
 
+  /** Jensen–Shannon divergence per group over the same Laplace-smoothed
+    * count cells as [[klFromCounts]] — the SYMMETRIC, bounded (≤ 1 bit)
+    * member of the drift family, the one to alert on when neither window
+    * is privileged as "reference":
+    *   JS = ½·KL(P‖M) + ½·KL(Q‖M),  M = (P+Q)/2.
+    * With integer counts a_i (ref) / b_i (act) and totals na / nb, the
+    * mixture cell has the exact common-denominator form
+    * m_i = a_i·nb + b_i·na over 2·na·nb, so each P-side log rewrites to
+    * the BALANCED two-up/two-down ratio (same shape as [[klFromCounts]],
+    * whose floored-bit-length errors cancel in expectation — an
+    * unbalanced form like `1 + log a + log nb − log m` carries a
+    * systematic −½-bit bias that the clamp would silently eat):
+    *   log₂(p_i/m_i) = log₂a_i + log₂(2·na·nb) − log₂na − log₂m_i
+    *   term_P,i = a_i·(bl(a_i) + bl(2·na·nb) − bl(na) − bl(m_i))
+    *   term_Q,i = b_i·(bl(b_i) + bl(2·na·nb) − bl(nb) − bl(m_i)).
+    * JS_cb = ⌊(ΣP·nb + ΣQ·na)·50 / (na·nb)⌋ clamped at 0 first (the
+    * quantized sum can dip negative; Spark `div` truncates while DuckDB
+    * `//` floors, so both engines must stay on the nonnegative path).
+    * The final cross-multiplication rides decimal(38,0). Identical
+    * distributions quantize to exactly 0.
+    *
+    * Unlike KL, the mixture forces bitlens OF products: m_i and 2·na·nb
+    * must fit a long, i.e. per-group smoothed totals below ~2³¹ each.
+    * Drift runs on binned histograms, so callers with larger windows
+    * pre-scale both count columns by a common factor (shares are
+    * scale-invariant) before calling. One window + one aggregation. */
+  def jsFromCounts(counts: DataFrame, groupCol: String, binCol: String,
+      refCntCol: String, actCntCol: String): DataFrame = {
+    val wAll = Window.partitionBy(groupCol)
+    val t = counts
+      .withColumn("_a", col(refCntCol) + 1L)
+      .withColumn("_b", col(actCntCol) + 1L)
+      .withColumn("na", sum(col("_a")).over(wAll))
+      .withColumn("nb", sum(col("_b")).over(wAll))
+      .withColumn("_m", col("_a") * col("nb") + col("_b") * col("na"))
+      .withColumn("_w", col("na") * col("nb") * 2L)
+    t.withColumn("_tp", col("_a") *
+        (length(expr("bin(_a)")) + length(expr("bin(_w)")) -
+          length(expr("bin(na)")) - length(expr("bin(_m)"))).cast("long"))
+      .withColumn("_tq", col("_b") *
+        (length(expr("bin(_b)")) + length(expr("bin(_w)")) -
+          length(expr("bin(nb)")) - length(expr("bin(_m)"))).cast("long"))
+      .groupBy(col(groupCol), col("na"), col("nb"))
+      .agg(sum(col("_tp")).as("jsp_num"), sum(col("_tq")).as("jsq_num"))
+      .select(col(groupCol), col("na"), col("nb"),
+        col("jsp_num"), col("jsq_num"),
+        expr("""CAST(greatest(
+                  CAST(jsp_num AS DECIMAL(38,0)) * nb +
+                  CAST(jsq_num AS DECIMAL(38,0)) * na, 0) * 50
+                div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)""")
+          .as("js_cb"))
+  }
+
   /** Pinball (quantile) loss of a point forecast at integer percent
     * quantiles — the eval metric for quantile regressors and P50/P90
     * SLA forecasts, as the exact fraction

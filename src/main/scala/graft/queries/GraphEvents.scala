@@ -300,6 +300,23 @@ object GraphEvents {
       .orderBy($"day_k")
   }
 
+  // ------------------------------- q275 Nelson-Aalen cumulative hazard
+
+  /** Nelson–Aalen cumulative hazard ([[Events.cumulativeHazard]]) over
+    * the q180 signup→purchase life table: per day offset the discrete
+    * conversion hazard in floored micro-units and its running sum — the
+    * survival estimator that stays exact as a SUM where Kaplan–Meier's
+    * product would overflow exact arithmetic. */
+  def q275CumHazard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    Events.cumulativeHazard(
+        Events.lifeTable(e, "user_id", "event_type", "us",
+          startType = "signup", eventType = "purchase"))
+      .orderBy($"day_k")
+  }
+
   // ------------------------------------------ q181 conversion lag
 
   /** Click→purchase conversion-lag percentiles: each purchase's lag to
@@ -828,6 +845,7 @@ object GraphEvents {
     "q194_bounce_rate" -> q194BounceRate _,
     "q183_link_pred" -> q183LinkPred _,
     "q180_life_table" -> q180LifeTable _,
+    "q275_cum_hazard" -> q275CumHazard _,
     "q181_conversion_lag" -> q181ConversionLag _,
     "q177_pit_attribution" -> q177PitAttribution _,
     "q164_snapshot_diff" -> q164SnapshotDiff _,
@@ -1332,6 +1350,36 @@ object GraphEvents {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk,
       |  events, censored
       |FROM b ORDER BY day_k""".stripMargin,
+    "q275_cum_hazard" -> """
+      |WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+      |           FROM events),
+      |s AS (SELECT user_id, min(us) AS sus FROM e
+      |      WHERE event_type = 'signup' GROUP BY 1),
+      |p AS (SELECT user_id, min(us) AS pus FROM e
+      |      WHERE event_type = 'purchase' GROUP BY 1),
+      |h AS (SELECT max(us) AS cus FROM e),
+      |u AS (SELECT s.user_id,
+      |        CASE WHEN pus >= sus
+      |             THEN (pus - sus) // 86400000000 END AS eday,
+      |        (cus - sus) // 86400000000 AS cday
+      |      FROM s LEFT JOIN p ON s.user_id = p.user_id CROSS JOIN h),
+      |d AS (SELECT coalesce(eday, cday) AS day_k,
+      |        CASE WHEN eday IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |      FROM u),
+      |b AS (SELECT day_k, CAST(sum(ev) AS BIGINT) AS events,
+      |        CAST(sum(1 - ev) AS BIGINT) AS censored
+      |      FROM d GROUP BY 1),
+      |lt AS (SELECT day_k,
+      |  CAST(sum(events + censored) OVER (ORDER BY day_k DESC
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk,
+      |  events, censored FROM b),
+      |hz AS (SELECT day_k, at_risk, events, censored,
+      |  CAST(events * 1000000 // at_risk AS BIGINT) AS h_step_micro
+      |  FROM lt)
+      |SELECT day_k, at_risk, events, censored, h_step_micro,
+      |  CAST(sum(h_step_micro) OVER (ORDER BY day_k
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS h_cum_micro
+      |FROM hz ORDER BY day_k""".stripMargin,
     "q181_conversion_lag" -> """
       |WITH c AS (SELECT user_id, epoch_us(ts) AS us FROM events
       |           WHERE event_type = 'click'),

@@ -956,6 +956,21 @@ object MiningQueries {
       .orderBy($"month")
   }
 
+  /** Decision stump over spend ([[Mining.bestSplit]]): per user cohort,
+    * the whole-euro spend threshold that best separates purchases from
+    * the other event types under exact weighted Gini impurity — the
+    * split-finder primitive behind tree induction and feature triage. */
+  def q274BestSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select(($"user_id" % 4).as("cohort"),
+        expr("CAST(round(value * 100) AS BIGINT) div 100").as("v"),
+        $"event_type")
+    Mining.bestSplit(e, "cohort", "v", $"event_type" === "purchase")
+      .orderBy($"cohort")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_ref_percentile" -> q210RefPercentile _,
     "q211_proration" -> q211Proration _,
@@ -967,6 +982,7 @@ object MiningQueries {
     "q196_ldiversity" -> q196Ldiversity _,
     "q254_tcloseness" -> q254Tcloseness _,
     "q261_ols2" -> q261Ols2 _,
+    "q274_best_split" -> q274BestSplit _,
     "q186_ohlc" -> q186Ohlc _,
     "q187_rolling_slope" -> q187RollingSlope _,
     "q188_seasonal_anomaly" -> q188SeasonalAnomaly _,
@@ -1013,6 +1029,52 @@ object MiningQueries {
     "q129_kmeans" -> q129Kmeans _)
 
   val oracleSql: Map[String, String] = Map(
+    "q274_best_split" -> """
+      |WITH x AS (
+      |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort,
+      |         CAST(round(value * 100) AS BIGINT) // 100 AS v,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events WHERE value IS NOT NULL),
+      |cell AS (
+      |  SELECT cohort, v, count(*) AS c, sum(y) AS p
+      |  FROM x GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort, v,
+      |    CAST(sum(c) OVER (PARTITION BY cohort ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS tl,
+      |    CAST(sum(p) OVER (PARTITION BY cohort ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS pl,
+      |    CAST(sum(c) OVER (PARTITION BY cohort) AS BIGINT) AS t,
+      |    CAST(sum(p) OVER (PARTITION BY cohort) AS BIGINT) AS p
+      |  FROM cell),
+      |scored AS (
+      |  SELECT cohort, v, tl, pl, t, p,
+      |    CAST((
+      |      (CAST(tl AS HUGEINT) * tl - CAST(pl AS HUGEINT) * pl
+      |         - CAST(tl - pl AS HUGEINT) * (tl - pl)) * (t - tl)
+      |      + (CAST(t - tl AS HUGEINT) * (t - tl)
+      |         - CAST(p - pl AS HUGEINT) * (p - pl)
+      |         - CAST((t - tl) - (p - pl) AS HUGEINT)
+      |           * ((t - tl) - (p - pl))) * tl
+      |    ) * 1000000 // (CAST(tl AS HUGEINT) * (t - tl) * t) AS BIGINT)
+      |      AS score_ppm
+      |  FROM cum WHERE tl < t),
+      |sel AS (SELECT cohort, min(score_ppm) AS s FROM scored GROUP BY 1),
+      |best AS (
+      |  SELECT scored.cohort, min(v) AS threshold, s AS score_ppm
+      |  FROM scored JOIN sel
+      |    ON scored.cohort = sel.cohort AND score_ppm = s
+      |  GROUP BY scored.cohort, s),
+      |ctx AS (
+      |  SELECT cohort, max(t) AS n, max(p) AS n_pos FROM cum GROUP BY 1)
+      |SELECT b.cohort, b.threshold, b.score_ppm, ctx.n, ctx.n_pos,
+      |  sc.tl AS n_left, sc.pl AS pos_left
+      |FROM best b
+      |JOIN ctx ON ctx.cohort = b.cohort
+      |JOIN scored sc ON sc.cohort = b.cohort AND sc.v = b.threshold
+      |ORDER BY b.cohort""".stripMargin,
     "q210_ref_percentile" -> """
       |WITH c AS (SELECT c_nationkey, c_custkey,
       |        CAST(round(c_acctbal * 100) AS BIGINT) AS cents,

@@ -455,6 +455,29 @@ object StatsQueries {
       .orderBy($"cohort")
   }
 
+  // ------------------------------------- q273 Jensen-Shannon drift
+
+  /** Jensen–Shannon drift per cohort vs cohort 0
+    * ([[Stats.jsFromCounts]]): the q256 grid with the SYMMETRIC bounded
+    * divergence — the member of the drift family to alert on when
+    * neither window is privileged as reference. */
+  def q273JsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cell = Tables.events(spark, dir)
+      .select(($"user_id" % 4).as("cohort"), $"event_type")
+      .groupBy($"cohort", $"event_type").agg(count(lit(1)).as("c"))
+    val grid = cell.select($"cohort").distinct()
+      .crossJoin(broadcast(cell.select($"event_type").distinct()))
+    val full = grid.join(cell, Seq("cohort", "event_type"), "left")
+      .withColumn("c", coalesce($"c", lit(0L)))
+    val ref = full.filter($"cohort" === 0)
+      .select($"event_type", $"c".as("c_ref"))
+    Stats.jsFromCounts(
+        full.join(broadcast(ref), Seq("event_type")),
+        "cohort", "event_type", "c_ref", "c")
+      .orderBy($"cohort")
+  }
+
   // -------------------------------------------- q258 pinball loss
 
   /** Pinball loss at P50/P90 per cohort ([[Stats.pinballLoss]]) of a
@@ -598,6 +621,7 @@ object StatsQueries {
     "q262_mase" -> q262Mase _,
     "q264_mix_shift" -> q264MixShift _,
     "q256_kl_drift" -> q256KlDrift _,
+    "q273_js_drift" -> q273JsDrift _,
     "q258_pinball" -> q258Pinball _,
     "q259_dispersion" -> q259Dispersion _,
     "q260_cramers_v" -> q260CramersV _,
@@ -757,6 +781,45 @@ object StatsQueries {
       |  FROM t GROUP BY cohort, na, nb)
       |SELECT cohort, na, nb, kl_bits_num,
       |  CAST(greatest(kl_bits_num, 0) * 100 // nb AS BIGINT) AS kl_cb
+      |FROM agg ORDER BY cohort""".stripMargin,
+    "q273_js_drift" -> """
+      |WITH cell AS (
+      |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort, event_type,
+      |         count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT co.cohort, ty.event_type
+      |  FROM (SELECT DISTINCT cohort FROM cell) co,
+      |       (SELECT DISTINCT event_type FROM cell) ty),
+      |f AS (
+      |  SELECT g.cohort, g.event_type, coalesce(c, 0) AS c
+      |  FROM grid g LEFT JOIN cell
+      |    ON cell.cohort = g.cohort AND cell.event_type = g.event_type),
+      |sm AS (
+      |  SELECT f.cohort, f.event_type, r.c + 1 AS a, f.c + 1 AS b
+      |  FROM f JOIN (SELECT event_type, c FROM f WHERE cohort = 0) r
+      |    USING (event_type)),
+      |t AS (
+      |  SELECT cohort, a, b,
+      |    CAST(sum(a) OVER (PARTITION BY cohort) AS BIGINT) AS na,
+      |    CAST(sum(b) OVER (PARTITION BY cohort) AS BIGINT) AS nb
+      |  FROM sm),
+      |m AS (
+      |  SELECT cohort, a, b, na, nb,
+      |         CAST(a * nb + b * na AS BIGINT) AS mm,
+      |         CAST(na * nb * 2 AS BIGINT) AS w
+      |  FROM t),
+      |agg AS (
+      |  SELECT cohort, na, nb,
+      |    CAST(sum(a * (length(bin(CAST(a AS BIGINT))) + length(bin(w))
+      |      - length(bin(na)) - length(bin(mm)))) AS BIGINT) AS jsp_num,
+      |    CAST(sum(b * (length(bin(CAST(b AS BIGINT))) + length(bin(w))
+      |      - length(bin(nb)) - length(bin(mm)))) AS BIGINT) AS jsq_num
+      |  FROM m GROUP BY cohort, na, nb)
+      |SELECT cohort, na, nb, jsp_num, jsq_num,
+      |  CAST(greatest(CAST(jsp_num AS HUGEINT) * nb
+      |      + CAST(jsq_num AS HUGEINT) * na, 0) * 50
+      |    // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS js_cb
       |FROM agg ORDER BY cohort""".stripMargin,
     "q258_pinball" -> """
       |WITH e AS (

@@ -360,4 +360,15 @@ class GraphEventsSpec extends SparkSpec {
       (11L, 0L, 1L, 120L),   // u2's two same-period orders fold
       (11L, 2L, 1L, 30L)))
   }
+  test("cumulativeHazard: floored per-step hazards accumulate in day order") {
+    val lt = Seq((0L, 10L, 2L, 1L), (1L, 7L, 1L, 0L), (2L, 6L, 3L, 3L))
+      .toDF("day_k", "at_risk", "events", "censored")
+    val out = Events.cumulativeHazard(lt).orderBy($"day_k").collect()
+    // steps: 2e6/10 = 200000; 1e6/7 = 142857 (floor); 3e6/6 = 500000
+    assert(out.map(_.getAs[Long]("h_step_micro")).toSeq ==
+      Seq(200000L, 142857L, 500000L))
+    assert(out.map(_.getAs[Long]("h_cum_micro")).toSeq ==
+      Seq(200000L, 342857L, 842857L))
+  }
+
 }

@@ -716,4 +716,22 @@ class MiningSpec extends SparkSpec {
       ("A", 3L, 4L, 4L, 24L, 1666L),
       ("B", 1L, 4L, 4L, 8L, 5000L)))
   }
+  test("bestSplit: exact Gini argmin, ties broken by the smaller threshold") {
+    // 1,2 positive / 3,4 negative -> v<=2 is a perfect split (score 0)
+    val df = Seq(("g", 1L, true), ("g", 2L, true),
+      ("g", 3L, false), ("g", 4L, false)).toDF("g", "v", "y")
+    val out = Mining.bestSplit(df, "g", "v", col("y")).collect().head
+    assert(out.getAs[Long]("threshold") == 2L &&
+      out.getAs[Long]("score_ppm") == 0L)
+    assert(out.getAs[Long]("n") == 4L && out.getAs[Long]("n_pos") == 2L)
+    assert(out.getAs[Long]("n_left") == 2L &&
+      out.getAs[Long]("pos_left") == 2L)
+    // alternating labels: thresholds 1 and 3 tie at 333333 ppm -> pick 1
+    val tie = Seq(("t", 1L, true), ("t", 2L, false),
+      ("t", 3L, true), ("t", 4L, false)).toDF("g", "v", "y")
+    val to = Mining.bestSplit(tie, "g", "v", col("y")).collect().head
+    assert(to.getAs[Long]("threshold") == 1L &&
+      to.getAs[Long]("score_ppm") == 333333L)
+  }
+
 }

@@ -253,4 +253,29 @@ class StatsSpec extends SparkSpec {
       // c: bits = 2+2−1−3 = 0
       Row("c", 2L, 1L, 5L, 3L, 0L, 0L, 15L)))
   }
+  test("jsFromCounts: balanced bitlens — identity 0, symmetric, ~1 bit on disjoint") {
+    // ref (3,1) vs act (1,3): a=(4,2), b=(2,4), na=nb=6, w=72, m=(36,36)
+    // term_P,x = 4*(3+7-3-6)=4, term_P,y = 2*(2+7-3-6)=0 -> jsp=4; jsq=4
+    // js_cb = (4*6+4*6)*50 div 36 = 66
+    val df = Seq((1L, "x", 3L, 1L), (1L, "y", 1L, 3L))
+      .toDF("g", "bin", "ref", "act")
+    val out = Stats.jsFromCounts(df, "g", "bin", "ref", "act").collect()
+    assert(out.toSeq == Seq(Row(1L, 6L, 6L, 4L, 4L, 66L)))
+    // swapping ref and act leaves the divergence unchanged
+    val sw = Stats.jsFromCounts(df, "g", "bin", "act", "ref").collect()
+    assert(sw.head.getAs[Long]("js_cb") == 66L)
+    // identical mixes quantize to exactly zero (no clamp involved)
+    val id = Seq((1L, "x", 50L, 50L), (1L, "y", 50L, 50L))
+      .toDF("g", "bin", "ref", "act")
+    val zo = Stats.jsFromCounts(id, "g", "bin", "ref", "act").collect()
+    assert(zo.head.getAs[Long]("jsp_num") == 0L &&
+      zo.head.getAs[Long]("js_cb") == 0L)
+    // near-disjoint mass approaches the 1-bit JS bound (100 cb)
+    val dj = Seq((1L, "x", 1000L, 0L), (1L, "y", 0L, 1000L))
+      .toDF("g", "bin", "ref", "act")
+    val db = Stats.jsFromCounts(dj, "g", "bin", "ref", "act")
+      .collect().head.getAs[Long]("js_cb")
+    assert(db >= 90L && db <= 100L)
+  }
+
 }
