@@ -52,4 +52,45 @@ object Layout {
     df.withColumn("_hval", hilbertValue(x, y, order))
       .repartitionByRange(numFiles, col("_hval"))
       .sortWithinPartitions(col("_hval"))
+
+  /** Rendezvous (highest-random-weight) placement of keys onto `nodes`
+    * shards, plus the resharding report for one joining node: each key
+    * lands on argmax over nodes of sha256(key:node) — deterministic,
+    * coordination-free, and MINIMALLY disruptive: when node `nodes`
+    * joins, the only keys that move are those whose new global argmax IS
+    * the new node (mod-hashing would move (nodes)/(nodes+1) of all keys).
+    * `gained` is therefore 0 on every old node by construction — the
+    * oracle re-derives that invariant and the driver hash-checks it.
+    *
+    * Scale shape: explode factor nodes+1 (placement fan-out is the node
+    * count, not data-dependent), one groupBy per key picking both argmaxes
+    * via a packed `score·16 + node` long (56-bit sha score, 4-bit node —
+    * score ties, impossible in practice for sha256, break toward the
+    * higher node identically in both engines), then one enum-sized node
+    * rollup. */
+  def rendezvousReport(df: DataFrame, keyCol: String,
+      nodes: Int): DataFrame = {
+    require(nodes >= 1 && nodes < 16, "packed argmax holds 4 node bits")
+    val scored = df.select(col(keyCol).cast("string").as("_k"))
+      .withColumn("node", explode(sequence(lit(0), lit(nodes))))
+      .withColumn("_pack", expr(
+        "CAST(conv(substring(sha2(concat(_k, ':', CAST(node AS STRING))," +
+          " 256), 1, 14), 16, 10) AS BIGINT) * 16 + node"))
+    val per = scored.groupBy(col("_k"))
+      .agg(max(when(col("node") < nodes, col("_pack"))).as("_b"),
+        max(col("_pack")).as("_a"))
+      .select((col("_b") % 16).as("before_node"),
+        (col("_a") % 16).as("after_node"))
+    val before = per.groupBy(col("before_node").as("node"))
+      .agg(count(lit(1)).as("load_before"))
+    val after = per.groupBy(col("after_node").as("node"))
+      .agg(count(lit(1)).as("load_after"),
+        sum(when(col("before_node") =!= col("after_node"), 1L)
+          .otherwise(0L)).as("gained"))
+    before.join(after, Seq("node"), "full_outer")
+      .select(col("node").cast("long").as("node"),
+        coalesce(col("load_before"), lit(0L)).as("load_before"),
+        coalesce(col("load_after"), lit(0L)).as("load_after"),
+        coalesce(col("gained"), lit(0L)).as("gained"))
+  }
 }

@@ -126,6 +126,45 @@ object Vocab {
         (col("off") + col("local_rank")).cast("int").as("token_id"))
   }
 
+  /** Zipf rank–frequency fit per language: OLS slope of ⌊log₂count⌋ on
+    * ⌊log₂rank⌋ over the top `maxRank` tokens with count ≥ `minCount` —
+    * the corpus-health screen (natural text decays with slope ≈ −1; a
+    * flat decay flags boilerplate/templating flooding the head, a cliff
+    * flags a truncated or synthetic vocabulary). Both logs are floored
+    * bit-lengths, so the five OLS sufficient statistics are sums of tiny
+    * integers (x ≤ ⌊log₂maxRank⌋, y < 64) and the closed-form slope
+    *   (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * is an exact long fraction. `decay_milli` negates the (negative)
+    * slope and clamps at 0 before the floored division so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree. The per-language
+    * rank window is bounded by the minCount-floored head of the
+    * vocabulary, never the token stream. */
+  def zipfFit(docs: DataFrame, langCol: String, textCol: String,
+      minCount: Long = 2, maxRank: Int = 4096): DataFrame = {
+    val counts = docs
+      .select(col(langCol), explode(Corpus.tokensOf(col(textCol)))
+        .as("token"))
+      .groupBy(col(langCol), col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("cnt").desc, col("token"))
+    val xy = counts.withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= maxRank)
+      .select(col(langCol),
+        (length(expr("bin(r)")) - 1).cast("long").as("x"),
+        (length(expr("bin(cnt)")) - 1).cast("long").as("y"))
+    xy.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col(langCol), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+        expr("""CAST(greatest(-(n * sxy - sx * sy), 0) * 1000
+                div NULLIF(n * sxx - sx * sx, 0) AS BIGINT)""")
+          .as("decay_milli"))
+  }
+
   /** Encode documents as (doc, pos, token_id) against the global
     * [[vocabulary]] — the id-mapping side of tokenization. Tokens below
     * the `minCount` floor encode as the OOV id 0. No explicit broadcast

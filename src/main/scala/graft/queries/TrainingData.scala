@@ -664,7 +664,31 @@ object TrainingData {
     "q250_mutual_nn" -> q250MutualNn _,
     "q253_bootstrap_ci" -> q253BootstrapCi _,
     "q255_image_dhash" -> q255ImageDhash _,
-    "q271_datasheet" -> q271Datasheet _)
+    "q271_datasheet" -> q271Datasheet _,
+    "q276_zipf" -> q276Zipf _,
+    "q277_rendezvous" -> q277Rendezvous _)
+
+  /** Zipf rank–frequency decay per language ([[graft.etl.Vocab.zipfFit]]):
+    * OLS of floored-log frequency on floored-log rank over the vocabulary
+    * head — the corpus-health screen that flags boilerplate flooding
+    * (flat decay) or truncated/synthetic vocabularies (cliff). */
+  def q276Zipf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Vocab.zipfFit(Tables.documents(spark, dir), "lang", "text")
+      .orderBy($"lang")
+  }
+
+  /** Rendezvous-hash shard placement of the corpus + the resharding
+    * report for a ninth node joining ([[graft.etl.Layout
+    * .rendezvousReport]]): per node the before/after document load and
+    * how many documents moved in — zero for every old node, the HRW
+    * minimal-disruption invariant the oracle re-derives. */
+  def q277Rendezvous(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Layout.rendezvousReport(
+        Tables.documents(spark, dir).select($"doc_id"), "doc_id", nodes = 8)
+      .orderBy($"node")
+  }
 
   /** Dataset datasheet — the per-(language, source) summary card a corpus
     * release ships with: document and token volume, char mass, the EXACT
@@ -1188,6 +1212,58 @@ object TrainingData {
     "q66_connected_components" -> """
       |SELECT doc_id, doc_id - doc_id % 5 AS component
       |FROM documents ORDER BY doc_id""".stripMargin,
+    "q276_zipf" -> """
+      |WITH tok AS (
+      |  SELECT lang,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS token
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, token, count(*) AS cnt FROM tok
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |r AS (
+      |  SELECT lang, cnt, row_number() OVER (PARTITION BY lang
+      |    ORDER BY cnt DESC, token) AS r
+      |  FROM c),
+      |xy AS (
+      |  SELECT lang,
+      |    CAST(length(bin(CAST(r AS BIGINT))) - 1 AS BIGINT) AS x,
+      |    CAST(length(bin(CAST(cnt AS BIGINT))) - 1 AS BIGINT) AS y
+      |  FROM r WHERE r <= 4096),
+      |s AS (
+      |  SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |         sum(x * y) AS sxy, sum(x * x) AS sxx
+      |  FROM xy GROUP BY 1)
+      |SELECT lang, CAST(n AS BIGINT) AS n,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+      |  CAST(n * sxx - sx * sx AS BIGINT) AS den,
+      |  CAST(greatest(-(n * sxy - sx * sy), 0) * 1000
+      |    // NULLIF(n * sxx - sx * sx, 0) AS BIGINT) AS decay_milli
+      |FROM s ORDER BY lang""".stripMargin,
+    "q277_rendezvous" -> """
+      |WITH keys AS (SELECT CAST(doc_id AS VARCHAR) AS k FROM documents),
+      |sc AS (
+      |  SELECT k, n.node,
+      |    ('0x' || substring(sha256(k || ':' || CAST(n.node AS VARCHAR)),
+      |       1, 14))::BIGINT * 16 + n.node AS pack
+      |  FROM keys, (SELECT unnest(range(9)) AS node) n),
+      |per AS (
+      |  SELECT k,
+      |    max(CASE WHEN node < 8 THEN pack END) % 16 AS before_node,
+      |    max(pack) % 16 AS after_node
+      |  FROM sc GROUP BY k),
+      |b AS (SELECT before_node AS node, count(*) AS load_before
+      |      FROM per GROUP BY 1),
+      |a AS (SELECT after_node AS node, count(*) AS load_after,
+      |        CAST(sum(CASE WHEN before_node <> after_node
+      |                      THEN 1 ELSE 0 END) AS BIGINT) AS gained
+      |      FROM per GROUP BY 1)
+      |SELECT CAST(coalesce(b.node, a.node) AS BIGINT) AS node,
+      |  CAST(coalesce(load_before, 0) AS BIGINT) AS load_before,
+      |  CAST(coalesce(load_after, 0) AS BIGINT) AS load_after,
+      |  coalesce(gained, 0) AS gained
+      |FROM b FULL OUTER JOIN a ON b.node = a.node
+      |ORDER BY node""".stripMargin,
     "q72_vocab_stats" -> """
       |SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq
       |FROM (SELECT doc_id,

@@ -495,4 +495,21 @@ class CurationOpsSpec extends SparkSpec {
       .orderBy($"g").as[(String, Long, Long, Long)].collect().toSeq
     assert(got2 == got)
   }
+  test("zipfFit: exact OLS over floored-log rank/frequency pairs") {
+    // one lang; freqs 8,4,2 at ranks 1,2,3 -> x=(0,1,1), y=(3,2,1)
+    // n=3 sx=2 sy=6 sxy=3 sxx=2 -> num = 9-12 = -3, den = 6-4 = 2
+    // decay_milli = 3000 div 2 = 1500
+    val docs = Seq(("l", "a a a a a a a a"), ("l", "b b b b"), ("l", "c c"))
+      .toDF("lang", "text")
+    val out = Vocab.zipfFit(docs, "lang", "text").collect().head
+    assert(out.getAs[Long]("n") == 3L && out.getAs[Long]("num") == -3L &&
+      out.getAs[Long]("den") == 2L &&
+      out.getAs[Long]("decay_milli") == 1500L)
+    // minCount floors hapax tokens out of the fit
+    val noisy = Seq(("l", "a a a a hapax"), ("l", "a a a a b b"))
+      .toDF("lang", "text")
+    assert(Vocab.zipfFit(noisy, "lang", "text").collect()
+      .head.getAs[Long]("n") == 2L)
+  }
+
 }

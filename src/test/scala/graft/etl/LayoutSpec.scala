@@ -96,4 +96,25 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+  test("rendezvousReport: loads conserve and only the new node gains") {
+    val keys = spark.range(200).toDF("id")
+    val out = Layout.rendezvousReport(keys, "id", nodes = 8).collect()
+    assert(out.map(_.getAs[Long]("load_before")).sum == 200L)
+    assert(out.map(_.getAs[Long]("load_after")).sum == 200L)
+    val newNode = out.find(_.getAs[Long]("node") == 8L).get
+    // the joining node held nothing before and every key it now holds moved
+    assert(newNode.getAs[Long]("load_before") == 0L)
+    assert(newNode.getAs[Long]("gained") == newNode.getAs[Long]("load_after"))
+    assert(newNode.getAs[Long]("gained") > 0L)
+    // HRW minimal disruption: no key moved between old nodes
+    assert(out.filter(_.getAs[Long]("node") < 8L)
+      .forall(_.getAs[Long]("gained") == 0L))
+    // placement is deterministic across runs
+    val again = Layout.rendezvousReport(keys, "id", nodes = 8).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSet ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet)
+  }
+
 }
