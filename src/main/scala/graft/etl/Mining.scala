@@ -418,6 +418,43 @@ object Mining {
         col("m.dist2").as("dist2"))
   }
 
+  /** Cluster-quality report over a [[kmeansAssign]] partitioning — the
+    * go/no-go check before trusting a clustering for SemDeDup pruning or
+    * IVF bucketing: per cluster the member count, exact integer
+    * within-cluster dispersion (Σ dist² to own centroid, floored mean),
+    * the squared distance to the NEAREST other centroid, and their ratio
+    *   sep_x100 = ⌊100·inter_min / intra_mean⌋
+    * (a Dunn-style separation index — higher is tighter/farther; ≤ 100
+    * means the nearest foreign centroid sits inside the cluster's own
+    * mean spread, so pruning there will merge real neighborhoods).
+    * Everything is exact integer on quantized vectors; the
+    * centroid-pair pass is k² rows on a broadcast k-row table, and the
+    * member pass reuses the single assignment shuffle. */
+  def clusterQuality(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = emb.select(col(idCol).as("vid"),
+      Similarity.quantize(col(vecCol)).as("qv"))
+    val cents = q.orderBy(col("vid")).limit(k)
+      .select(col("vid").as("cid"), col("qv").as("cv"))
+    val intra = kmeansAssign(emb, idCol, vecCol, k)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("dist2")).as("intra_sum"))
+    val inter = cents
+      .crossJoin(broadcast(cents.select(col("cid").as("cid2"),
+        col("cv").as("cv2"))))
+      .filter(col("cid") =!= col("cid2"))
+      .withColumn("d2", aggregate(
+        zip_with(col("cv"), col("cv2"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v))
+      .groupBy(col("cid").as("cluster"))
+      .agg(min(col("d2")).as("inter_min"))
+    intra.join(inter, "cluster")
+      .select(col("cluster"), col("n"), col("intra_sum"),
+        expr("intra_sum div n").as("intra_mean"), col("inter_min"),
+        expr("CAST(100 * inter_min div NULLIF(intra_sum div n, 0) " +
+          "AS BIGINT)").as("sep_x100"))
+  }
+
   /** Semantic-dedup representative selection (the SemDeDup keep-one step
     * downstream of [[kmeansAssign]]): per cluster, keep the member closest
     * to the centroid (lowest exact integer dist2, id-tiebroken) as the

@@ -1026,7 +1026,20 @@ object MiningQueries {
     "q126_gini" -> q126Gini _,
     "q127_set_jaccard" -> q127SetJaccard _,
     "q128_mrr" -> q128Mrr _,
-    "q129_kmeans" -> q129Kmeans _)
+    "q129_kmeans" -> q129Kmeans _,
+    "q278_cluster_quality" -> q278ClusterQuality _)
+
+  /** Cluster-quality report ([[Mining.clusterQuality]]) over the q129
+    * embedding clustering: per cluster the exact dispersion, the nearest
+    * foreign centroid, and the Dunn-style separation ratio — the
+    * go/no-go screen before trusting the partitioning for SemDeDup
+    * pruning or IVF bucketing. */
+  def q278ClusterQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Mining.clusterQuality(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", k = 8)
+      .orderBy($"cluster")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q274_best_split" -> """
@@ -1992,6 +2005,33 @@ object MiningQueries {
       |  CAST(1000000 // min(CASE WHEN c_custkey % 13 = 0 THEN rk END)
       |    AS BIGINT) AS rr_scaled
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q278_cluster_quality" -> """
+      |WITH q AS (SELECT vec_id,
+      |             list_transform(embedding,
+      |               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+      |               AS qv
+      |           FROM embeddings),
+      |c AS (SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT 8),
+      |s AS (SELECT q.vec_id, c.cid,
+      |        CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+      |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist2
+      |      FROM q CROSS JOIN c),
+      |a AS (SELECT vec_id, cid AS cluster, dist2 FROM s
+      |      QUALIFY row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY dist2, cid) = 1),
+      |intra AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+      |            CAST(sum(dist2) AS BIGINT) AS intra_sum
+      |          FROM a GROUP BY 1),
+      |inter AS (SELECT c1.cid AS cluster,
+      |            CAST(min(list_sum(list_transform(list_zip(c1.cv, c2.cv),
+      |              p -> (p[1] - p[2]) * (p[1] - p[2])))) AS BIGINT)
+      |              AS inter_min
+      |          FROM c c1, c c2 WHERE c1.cid <> c2.cid GROUP BY 1)
+      |SELECT cluster, n, intra_sum,
+      |  CAST(intra_sum // n AS BIGINT) AS intra_mean, inter_min,
+      |  CAST(100 * inter_min // NULLIF(intra_sum // n, 0) AS BIGINT)
+      |    AS sep_x100
+      |FROM intra JOIN inter USING (cluster) ORDER BY cluster""".stripMargin,
     "q129_kmeans" -> """
       |WITH q AS (SELECT vec_id,
       |             list_transform(embedding,

@@ -734,4 +734,19 @@ class MiningSpec extends SparkSpec {
       to.getAs[Long]("score_ppm") == 333333L)
   }
 
+  test("clusterQuality: exact dispersion, nearest-centroid gap, ratio") {
+    // seeds 1 -> (0,0) and 2 -> (1000,1000); satellites at dist2 = 4 each
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(1.0f, 1.0f)),
+      (3L, Array(0.0f, 0.002f)),
+      (4L, Array(1.0f, 1.002f))).toDF("vec_id", "embedding")
+    val out = Mining.clusterQuality(emb, "vec_id", "embedding", k = 2)
+      .orderBy($"cluster").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq == Seq(
+      (1L, 2L, 4L, 2L, 2000000L, 100000000L),
+      (2L, 2L, 4L, 2L, 2000000L, 100000000L)))
+  }
+
 }
