@@ -150,4 +150,40 @@ object Validation {
       .select(lit(fdName).as("fd"), col("n_groups"),
         col("violating_groups"), col("violating_rows"), col("max_card"))
   }
+
+  /** Missingness co-occurrence audit: for every column PAIR, how often the
+    * two go null TOGETHER vs what independence predicts —
+    *   lift_ppm = ⌊10⁶ · null_both · n / (null_a · null_b)⌋
+    * (≫ 10⁶ says one upstream failure blanks both fields at once — a
+    * feed-level outage; ≈ 10⁶ says unrelated field-level noise). The
+    * per-column null screen is [[graft.etl.Analytics]]'s column profile;
+    * this is the pairwise structure it cannot see.
+    *
+    * One full-scan aggregation computes every per-column and per-pair
+    * counter map-side (the output is k + k·(k−1)/2 counters — enum-sized,
+    * never row-sized), then a literal-array explode reshapes to one row
+    * per pair. The lift cross-product rides decimal(38,0). */
+  def nullPatternAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val flags = df.select(cols.map(c =>
+      when(col(c).isNull, 1L).otherwise(0L).as(s"_f_$c")): _*)
+    val aggs =
+      cols.map(c => sum(col(s"_f_$c")).as(s"_n_$c")) ++
+        pairs.map { case (a, b) =>
+          sum(col(s"_f_$a") * col(s"_f_$b")).as(s"_b_${a}_$b") }
+    val t = flags.agg(count(lit(1)).as("n"), aggs: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        col(s"_n_$a").as("null_a"), col(s"_n_$b").as("null_b"),
+        col(s"_b_${a}_$b").as("null_both"))
+    }
+    t.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .withColumn("lift_ppm", expr(
+        """CAST(CAST(null_both AS DECIMAL(38,0)) * n * 1000000
+           div NULLIF(CAST(null_a AS DECIMAL(38,0)) * null_b, 0)
+           AS BIGINT)"""))
+  }
 }

@@ -465,8 +465,30 @@ object Domain {
       .orderBy($"fd")
   }
 
+  /** Missingness co-occurrence ([[graft.etl.Validation.nullPatternAudit]])
+    * over a deterministically degraded event feed: `value` and `prop_k`
+    * blank together on the event_id%7 stripe (a simulated feed outage —
+    * lift ≫ 10⁶) while `ts_day` drops independently on the %13 stripe —
+    * the pairwise structure a per-column null profile cannot see. */
+  def q279NullPattern(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select(
+      when($"event_id" % 7 === 0, lit(null).cast("double"))
+        .otherwise($"value").as("value"),
+      when(($"event_id" % 7 === 0) || ($"event_id" % 5 === 1),
+        lit(null).cast("string"))
+        .otherwise(get_json_object($"props", "$.k")).as("prop_k"),
+      when($"event_id" % 13 === 0, lit(null).cast("long"))
+        .otherwise(datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+          .cast("long")).as("ts_day"))
+    graft.etl.Validation.nullPatternAudit(e,
+        Seq("value", "prop_k", "ts_day"))
+      .orderBy($"col_a", $"col_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_fd_audit" -> q184FdAudit _,
+    "q279_null_pattern" -> q279NullPattern _,
     "q176_ref_integrity" -> q176RefIntegrity _,
     "q160_abc" -> q160Abc _,
     "q159_rfm" -> q159Rfm _,
@@ -491,6 +513,37 @@ object Domain {
     "q94_drawdown" -> q94Drawdown _)
 
   val oracleSql: Map[String, String] = Map(
+    "q279_null_pattern" -> """
+      |WITH f AS (
+      |  SELECT
+      |    CASE WHEN event_id % 7 = 0 OR value IS NULL
+      |         THEN 1 ELSE 0 END AS fv,
+      |    CASE WHEN event_id % 7 = 0 OR event_id % 5 = 1
+      |           OR json_extract_string(props, '$.k') IS NULL
+      |         THEN 1 ELSE 0 END AS fk,
+      |    CASE WHEN event_id % 13 = 0 OR ts IS NULL
+      |         THEN 1 ELSE 0 END AS ft
+      |  FROM events),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(fv) AS BIGINT) AS nv, CAST(sum(fk) AS BIGINT) AS nk,
+      |    CAST(sum(ft) AS BIGINT) AS nt,
+      |    CAST(sum(fv * fk) AS BIGINT) AS bvk,
+      |    CAST(sum(fv * ft) AS BIGINT) AS bvt,
+      |    CAST(sum(fk * ft) AS BIGINT) AS bkt
+      |  FROM f)
+      |SELECT col_a, col_b, n, null_a, null_b, null_both,
+      |  CAST(CAST(null_both AS HUGEINT) * n * 1000000
+      |    // NULLIF(CAST(null_a AS HUGEINT) * null_b, 0) AS BIGINT)
+      |    AS lift_ppm
+      |FROM (
+      |  SELECT 'prop_k' AS col_a, 'ts_day' AS col_b, n,
+      |         nk AS null_a, nt AS null_b, bkt AS null_both FROM agg
+      |  UNION ALL
+      |  SELECT 'value', 'prop_k', n, nv, nk, bvk FROM agg
+      |  UNION ALL
+      |  SELECT 'value', 'ts_day', n, nv, nt, bvt FROM agg)
+      |ORDER BY col_a, col_b""".stripMargin,
     "q184_fd_audit" -> """
       |SELECT 'customer: name->custkey' AS fd, * FROM (
       |  SELECT CAST(count(*) AS BIGINT) AS n_groups,

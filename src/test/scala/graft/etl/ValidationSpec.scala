@@ -83,4 +83,20 @@ class ValidationSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("t", 3L, 1L, 3L, 2L)))
   }
+  test("nullPatternAudit: pairwise co-missingness counts and lift") {
+    import spark.implicits._
+    val df = Seq[(Option[Int], Option[Int], Option[Int])](
+      (None, None, Some(1)), (None, None, None),
+      (Some(1), None, Some(1)), (Some(1), Some(1), Some(1)))
+      .toDF("a", "b", "c")
+    val out = Validation.nullPatternAudit(df, Seq("a", "b", "c"))
+      .orderBy($"col_a", $"col_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 4L, 2L, 3L, 2L, 1333333L),
+      ("a", "c", 4L, 2L, 1L, 1L, 2000000L),
+      ("b", "c", 4L, 3L, 1L, 1L, 1333333L)))
+  }
+
 }
