@@ -418,6 +418,31 @@ object Mining {
         col("m.dist2").as("dist2"))
   }
 
+  /** Off-policy evaluation of a deterministic target policy over logged
+    * bandit feedback — inverse-propensity scoring, the estimator behind
+    * every "would the new ranker have done better on last week's logs"
+    * question answered WITHOUT an online test:
+    *   V̂_IPS   = Σ 1[π(x)=a]·r·w / n
+    *   V̂_SNIPS = Σ 1[π(x)=a]·r·w / Σ 1[π(x)=a]·w  (self-normalized —
+    * kills the variance of rare-action upweighting at the cost of a
+    * small bias). The caller supplies the EXACT integer importance
+    * weight w = 1/p (loggers that randomize with power-of-two
+    * propensities make w integral by construction), so both estimators
+    * are exact integer fractions and the floored milli-ratios agree
+    * cross-engine. One map-side-combined aggregation. */
+  def ipsEval(df: DataFrame, groupCol: String, matchCol: Column,
+      rewardCol: Column, weightCol: Column): DataFrame =
+    df.select(col(groupCol), when(matchCol, 1L).otherwise(0L).as("_m"),
+        rewardCol.cast("long").as("_r"), weightCol.cast("long").as("_w"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("_m")).as("n_matched"),
+        sum(col("_m") * col("_r") * col("_w")).as("ips_num"),
+        sum(col("_m") * col("_w")).as("snips_den"))
+      .select(col(groupCol), col("n"), col("n_matched"), col("ips_num"),
+        col("snips_den"),
+        expr("ips_num * 1000 div n").as("ips_milli"),
+        expr("ips_num * 1000 div NULLIF(snips_den, 0)").as("snips_milli"))
+
   /** Cluster-quality report over a [[kmeansAssign]] partitioning — the
     * go/no-go check before trusting a clustering for SemDeDup pruning or
     * IVF bucketing: per cluster the member count, exact integer

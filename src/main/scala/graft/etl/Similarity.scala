@@ -601,6 +601,32 @@ object Similarity {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Per-dimension embedding profile — the geometry audit to run before
+    * trusting a vector column for ANN bucketing or clustering: for each
+    * dimension, count, exact integer coordinate sum (mean's numerator —
+    * emitted raw because it is signed and floored division diverges
+    * across engines on negatives), the floored per-dim variance in
+    * quantized units², and a dead-dimension flag. A dead dim wastes
+    * index bits; a dominant one (variance ≫ the rest) lets a single
+    * coordinate drive every distance — both distort ANN recall and this
+    * one cheap scan catches them. posexplode keeps (row × dim) flat;
+    * dims are enum-sized so the per-dim shuffle cannot skew. Sufficient
+    * statistics ride decimal(38,0) (n·Σq² reaches n²·q²max). */
+  def dimProfile(emb: DataFrame, vecCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    emb.select(posexplode(quantize(col(vecCol))).as(Seq("_d", "_q")))
+      .groupBy(col("_d").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_q")).as("sum_q"),
+        sum((col("_q").cast(d38) * col("_q"))).as("_sqq"))
+      .select(col("dim"), col("n"), col("sum_q"),
+        expr(s"""CAST((n * _sqq - CAST(sum_q AS $d38) * sum_q)
+                 div NULLIF(CAST(n AS $d38) * (n - 1), 0) AS BIGINT)""")
+          .as("var_q2"),
+        (expr(s"n * _sqq - CAST(sum_q AS $d38) * sum_q") === 0)
+          .as("dead"))
+  }
+
   /** True double-precision cosine (unit-norm corpus ⇒ plain dot), for
     * in-engine use where cross-engine bit-stability doesn't matter. */
   def cosine(a: Column, b: Column): Column = {

@@ -1027,7 +1027,25 @@ object MiningQueries {
     "q127_set_jaccard" -> q127SetJaccard _,
     "q128_mrr" -> q128Mrr _,
     "q129_kmeans" -> q129Kmeans _,
-    "q278_cluster_quality" -> q278ClusterQuality _)
+    "q278_cluster_quality" -> q278ClusterQuality _,
+    "q280_ips_eval" -> q280IpsEval _)
+
+  /** Off-policy eval ([[Mining.ipsEval]]) of the deterministic policy
+    * π(user) = (user_id+1) mod 3 against logged actions event_id mod 3
+    * with power-of-two propensities (w = 2^action): per user-context
+    * cohort the exact IPS and SNIPS estimates of the purchase rate the
+    * new policy WOULD have achieved on last month's log. */
+  def q280IpsEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select(
+      ($"user_id" % 3).as("context"),
+      ($"event_id" % 3).as("action"),
+      when($"event_type" === "purchase", 1L).otherwise(0L).as("r"),
+      expr("shiftleft(1L, CAST(event_id % 3 AS INT))").as("w"))
+    Mining.ipsEval(e, "context",
+        ($"context" + 1) % 3 === $"action", $"r", $"w")
+      .orderBy($"context")
+  }
 
   /** Cluster-quality report ([[Mining.clusterQuality]]) over the q129
     * embedding clustering: per cluster the exact dispersion, the nearest
@@ -2005,6 +2023,25 @@ object MiningQueries {
       |  CAST(1000000 // min(CASE WHEN c_custkey % 13 = 0 THEN rk END)
       |    AS BIGINT) AS rr_scaled
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q280_ips_eval" -> """
+      |WITH e AS (
+      |  SELECT CAST(user_id % 3 AS BIGINT) AS context,
+      |    CASE WHEN (user_id % 3 + 1) % 3 = event_id % 3
+      |         THEN 1 ELSE 0 END AS m,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r,
+      |    CAST(1 << (event_id % 3) AS BIGINT) AS w
+      |  FROM events),
+      |agg AS (
+      |  SELECT context, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(m) AS BIGINT) AS n_matched,
+      |    CAST(sum(m * r * w) AS BIGINT) AS ips_num,
+      |    CAST(sum(m * w) AS BIGINT) AS snips_den
+      |  FROM e GROUP BY 1)
+      |SELECT context, n, n_matched, ips_num, snips_den,
+      |  CAST(ips_num * 1000 // n AS BIGINT) AS ips_milli,
+      |  CAST(ips_num * 1000 // NULLIF(snips_den, 0) AS BIGINT)
+      |    AS snips_milli
+      |FROM agg ORDER BY context""".stripMargin,
     "q278_cluster_quality" -> """
       |WITH q AS (SELECT vec_id,
       |             list_transform(embedding,

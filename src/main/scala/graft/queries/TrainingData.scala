@@ -666,7 +666,18 @@ object TrainingData {
     "q255_image_dhash" -> q255ImageDhash _,
     "q271_datasheet" -> q271Datasheet _,
     "q276_zipf" -> q276Zipf _,
-    "q277_rendezvous" -> q277Rendezvous _)
+    "q277_rendezvous" -> q277Rendezvous _,
+    "q281_dim_profile" -> q281DimProfile _)
+
+  /** Embedding geometry audit ([[Similarity.dimProfile]]): per-dimension
+    * exact sufficient statistics, floored variance, and dead-dim flags
+    * over the quantized corpus — the pre-flight before trusting the
+    * vector column for ANN bucketing or clustering. */
+  def q281DimProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.dimProfile(Tables.embeddings(spark, dir), "embedding")
+      .orderBy($"dim")
+  }
 
   /** Zipf rank–frequency decay per language ([[graft.etl.Vocab.zipfFit]]):
     * OLS of floored-log frequency on floored-log rank over the vocabulary
@@ -1212,6 +1223,25 @@ object TrainingData {
     "q66_connected_components" -> """
       |SELECT doc_id, doc_id - doc_id % 5 AS component
       |FROM documents ORDER BY doc_id""".stripMargin,
+    "q281_dim_profile" -> """
+      |WITH q AS (
+      |  SELECT list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT unnest(generate_series(1, len(qv))) - 1 AS dim,
+      |         unnest(qv) AS qval
+      |  FROM q),
+      |s AS (
+      |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(qval) AS BIGINT) AS sum_q,
+      |    CAST(sum(CAST(qval AS HUGEINT) * qval) AS HUGEINT) AS sqq
+      |  FROM x GROUP BY 1)
+      |SELECT CAST(dim AS BIGINT) AS dim, n, sum_q,
+      |  CAST((n * sqq - CAST(sum_q AS HUGEINT) * sum_q)
+      |    // NULLIF(CAST(n AS HUGEINT) * (n - 1), 0) AS BIGINT) AS var_q2,
+      |  (n * sqq - CAST(sum_q AS HUGEINT) * sum_q = 0) AS dead
+      |FROM s ORDER BY dim""".stripMargin,
     "q276_zipf" -> """
       |WITH tok AS (
       |  SELECT lang,

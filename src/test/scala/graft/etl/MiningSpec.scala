@@ -749,4 +749,18 @@ class MiningSpec extends SparkSpec {
       (2L, 2L, 4L, 2L, 2000000L, 100000000L)))
   }
 
+  test("ipsEval: exact IPS/SNIPS fractions from logged bandit rows") {
+    // matches contribute r*w; n=4, matched=3
+    // ips_num = 1*4 + 0*2 + 1*1 = 5; snips_den = 4 + 2 + 1 = 7
+    val df = Seq(("g", true, 1L, 4L), ("g", true, 0L, 2L),
+      ("g", false, 1L, 1L), ("g", true, 1L, 1L)).toDF("g", "m", "r", "w")
+    val out = Mining.ipsEval(df, "g", col("m"), col("r"), col("w"))
+      .collect().head
+    assert(out.getAs[Long]("n") == 4L && out.getAs[Long]("n_matched") == 3L)
+    assert(out.getAs[Long]("ips_num") == 5L &&
+      out.getAs[Long]("snips_den") == 7L)
+    assert(out.getAs[Long]("ips_milli") == 1250L &&
+      out.getAs[Long]("snips_milli") == 714L)
+  }
+
 }

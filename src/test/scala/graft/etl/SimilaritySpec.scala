@@ -371,4 +371,17 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 2L, 106900000L)))
   }
+  test("dimProfile: exact per-dim stats, dead-dimension flag") {
+    val sq = spark
+    import sq.implicits._
+    // quantized columns: dim0 = (1,1,1) dead; dim1 = (5,1,3) var 4
+    val emb = Seq((1L, Array(0.001f, 0.005f)), (2L, Array(0.001f, 0.001f)),
+      (3L, Array(0.001f, 0.003f))).toDF("vec_id", "embedding")
+    val out = Similarity.dimProfile(emb, "embedding")
+      .orderBy(org.apache.spark.sql.functions.col("dim")).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getBoolean(4))).toSeq == Seq(
+      (0L, 3L, 3L, 0L, true), (1L, 3L, 9L, 4L, false)))
+  }
+
 }
