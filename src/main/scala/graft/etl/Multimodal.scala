@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * Image decoding is REAL: [[ImageCodec]] decodes PNG/BMP/GIF/JPEG through
   * the JDK's `javax.imageio` (pure-Java, no native libs) and emits actual
-  * dimensions plus an 8×8 downsampled-luma feature grid. Payloads ImageIO
-  * cannot decode (audio/video containers, corrupt bytes, or the text
-  * stand-ins some fixtures use) fall back to [[StubCodec]]'s deterministic
-  * pseudo-features, so the batch pipeline never throws on a bad byte
-  * stream — undecodable rows are identifiable by `decoded_width IS NULL`.
+  * dimensions plus an 8×8 downsampled-luma feature grid. Audio decoding is
+  * REAL too: [[AudioCodec]] parses WAV/AIFF/AU PCM through
+  * `javax.sound.sampled` and emits container metadata plus an 8-bucket RMS
+  * energy envelope. Payloads neither codec understands (video containers,
+  * corrupt bytes, or the text stand-ins some fixtures use) fall back to
+  * [[StubCodec]]'s deterministic pseudo-features, so the batch pipeline
+  * never throws on a bad byte stream — undecodable rows are identifiable
+  * by `decoded_width IS NULL` / `sample_rate IS NULL`.
   */
 object Multimodal {
 
@@ -43,8 +46,8 @@ object Multimodal {
 
   /** Deterministic pseudo-features from the payload bytes — the fallback
     * for payloads no installed codec understands, and the stand-in for
-    * modalities (audio/video) whose codecs aren't bundled with the JDK.
-    * Same batch-in/batch-out signature as [[ImageCodec]]. */
+    * video, the one modality without a JDK-bundled codec. Same
+    * batch-in/batch-out signature as [[ImageCodec]]. */
   object StubCodec {
     def decodeBatch(batch: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
       // per-partition init happens HERE (once per batch, not per row) —
@@ -108,6 +111,141 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Decoded audio features. Codec metadata is present iff the payload
+    * really parsed as 16-bit PCM; `feature` is an 8-bucket RMS energy
+    * profile of channel 0 in [0,1] (bucket b covers frames
+    * ⌊b·n/8⌋..⌊(b+1)·n/8⌋ — the coarse loudness envelope used for
+    * silence trimming and energy-based segment sampling). */
+  final case class AudioFeatures(
+      media_id: Long,
+      n_bytes: Long,
+      payload_sha: String,
+      sample_rate: Option[Int],
+      channels: Option[Int],
+      n_frames: Option[Long],
+      duration_ms: Option[Long],
+      feature: Array[Float])
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * PCM — pure-Java parsers, zero extra dependencies; the audio sibling
+    * of [[ImageCodec]]'s ImageIO path). Emits the container's sample
+    * rate / channel count / frame count / duration plus the 8-bucket RMS
+    * envelope. Per-bucket mean-square accumulates in exact Longs (a
+    * 16-bit sample squares to ≤ 2³⁰, so even 2³³ frames per bucket fit),
+    * and only the final sqrt is floating — for fixtures whose samples
+    * are ±amp the mean square is exactly amp², IEEE sqrt of a perfect
+    * square is exact, and the oracle predicts the RMS analytically.
+    * Payloads that aren't 16-bit signed PCM degrade to [[StubCodec]]
+    * pseudo-features with null codec metadata — the task never throws on
+    * a bad byte stream. */
+  object AudioCodec {
+    private val buckets = 8
+
+    def decodeBatch(batch: Iterator[MediaRecord]): Iterator[AudioFeatures] = {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      batch.map { r =>
+        digest.reset()
+        val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
+        val st =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        val fmt = if (st == null) null else st.getFormat
+        if (fmt == null || fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+          val feat = Array.tabulate(buckets)(i =>
+            if (r.payload.isEmpty) 0f
+            else r.payload(i % r.payload.length).toFloat / 127f)
+          AudioFeatures(r.media_id, r.payload.length.toLong, sha,
+            None, None, None, None, feat)
+        } else {
+          val bytes = st.readAllBytes()
+          val ch = fmt.getChannels
+          val be = fmt.isBigEndian
+          val nFrames = bytes.length / (2 * ch)
+          val sums = new Array[Long](buckets)
+          val cnts = new Array[Long](buckets)
+          var i = 0
+          while (i < nFrames) {
+            val off = i * 2 * ch // channel 0 of each frame
+            val s =
+              (if (be) (bytes(off) << 8) | (bytes(off + 1) & 0xff)
+               else (bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+            val b = ((i.toLong * buckets) / nFrames).toInt
+            sums(b) += s.toLong * s
+            cnts(b) += 1
+            i += 1
+          }
+          val feat = Array.tabulate(buckets)(b =>
+            if (cnts(b) == 0) 0f
+            else (math.sqrt(sums(b).toDouble / cnts(b)) / 32768.0).toFloat)
+          val sr = math.round(fmt.getSampleRate)
+          AudioFeatures(r.media_id, r.payload.length.toLong, sha,
+            Some(sr), Some(ch), Some(nFrames.toLong),
+            Some(nFrames.toLong * 1000L / sr), feat)
+        }
+      }
+    }
+  }
+
+  /** [[extractFeatures]]' audio twin: one codec init per partition,
+    * streamed decode — same 100 TB batch shape, typed to
+    * [[AudioFeatures]]. */
+  def extractAudioFeatures(
+      media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(AudioCodec.decodeBatch)
+  }
+
+  /** Encode a real PCM16 mono WAV square wave: every sample is +amp for
+    * the first ⌈period/2⌉ frames of each period, −amp for the rest — so
+    * EVERY sample squares to amp² and the RMS of any frame range is
+    * exactly amp, which is what lets the decode oracle predict the
+    * energy profile without parsing WAV itself (the audio analog of the
+    * flat-gray PNG trick). */
+  def syntheticWav(nFrames: Int, period: Int, amp: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (if (i % period < (period + 1) / 2) amp else -amp).toShort
+      data(2 * i) = (s & 0xff).toByte // WAV PCM is little-endian
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Media table of REAL encoded WAVs, one per id: frame count, square
+    * period, and amplitude are pure functions of the id (the
+    * [[mediaFromSyntheticImages]] convention), so the oracle predicts
+    * every decoded field analytically. Encoding runs inside the UDF —
+    * distributed, no driver-side audio work. */
+  def mediaFromSyntheticAudio(df: DataFrame,
+      idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    val wavUdf = udf((id: Long) =>
+      syntheticWav((800 + id % 5 * 160).toInt, (2 + id % 6).toInt,
+        (1000 + id % 20 * 500).toInt))
+    df.select(
+        col(idCol).cast("long").as("media_id"),
+        lit("audio").as("media_type"),
+        wavUdf(col(idCol).cast("long")).as("payload"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        expr(s"(800L + $idCol % 5 * 160) * 1000L div 8000L")
+          .as("duration_ms"))
+      .as[MediaRecord]
   }
 
   /** Batch feature extraction: one codec/model init per partition, streamed

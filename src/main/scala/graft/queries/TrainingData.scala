@@ -667,7 +667,26 @@ object TrainingData {
     "q271_datasheet" -> q271Datasheet _,
     "q276_zipf" -> q276Zipf _,
     "q277_rendezvous" -> q277Rendezvous _,
-    "q281_dim_profile" -> q281DimProfile _)
+    "q281_dim_profile" -> q281DimProfile _,
+    "q282_audio_decode" -> q282AudioDecode _)
+
+  /** REAL WAV decode through the JDK codec
+    * ([[Multimodal.AudioCodec]]): synthesize square-wave PCM16 WAVs
+    * whose frame count and amplitude are pure functions of the id,
+    * decode them back distributed (mapPartitions batch shape), and emit
+    * container metadata + first/last RMS-envelope buckets — every field
+    * analytically predictable by the oracle without a WAV parser. */
+  def q282AudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.mediaFromSyntheticAudio(
+      Tables.documents(spark, dir).filter($"doc_id" % 20 === 0), "doc_id")
+    Multimodal.extractAudioFeatures(media).toDF()
+      .select($"media_id", $"n_bytes", $"sample_rate", $"channels",
+        $"n_frames", $"duration_ms",
+        round(element_at($"feature", 1) * 32768).cast("long").as("rms0_q"),
+        round(element_at($"feature", 8) * 32768).cast("long").as("rms7_q"))
+      .orderBy($"media_id")
+  }
 
   /** Embedding geometry audit ([[Similarity.dimProfile]]): per-dimension
     * exact sufficient statistics, floored variance, and dead-dim flags
@@ -1223,6 +1242,20 @@ object TrainingData {
     "q66_connected_components" -> """
       |SELECT doc_id, doc_id - doc_id % 5 AS component
       |FROM documents ORDER BY doc_id""".stripMargin,
+    "q282_audio_decode" -> """
+      |WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+      |p AS (SELECT doc_id, 800 + (doc_id % 5) * 160 AS n_frames,
+      |        1000 + (doc_id % 20) * 500 AS amp
+      |      FROM d)
+      |SELECT doc_id AS media_id,
+      |  CAST(44 + 2 * n_frames AS BIGINT) AS n_bytes,
+      |  CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(1 AS INTEGER) AS channels,
+      |  CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(amp AS BIGINT) AS rms0_q,
+      |  CAST(amp AS BIGINT) AS rms7_q
+      |FROM p ORDER BY media_id""".stripMargin,
     "q281_dim_profile" -> """
       |WITH q AS (
       |  SELECT list_transform(embedding,

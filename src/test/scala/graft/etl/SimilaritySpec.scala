@@ -384,4 +384,38 @@ class SimilaritySpec extends SparkSpec {
       (0L, 3L, 3L, 0L, true), (1L, 3L, 9L, 4L, false)))
   }
 
+  test("AudioCodec: WAV square wave round-trips with exact RMS envelope") {
+    val sq = spark
+    import sq.implicits._
+    val wav = Multimodal.syntheticWav(nFrames = 800, period = 4, amp = 2000)
+    assert(wav.length == 44 + 2 * 800) // canonical RIFF header
+    val rec = Multimodal.MediaRecord(7L, "audio", wav, None, None, Some(100L))
+    val out = Multimodal.AudioCodec.decodeBatch(Iterator(rec)).next()
+    assert(out.sample_rate.contains(8000) && out.channels.contains(1))
+    assert(out.n_frames.contains(800L) && out.duration_ms.contains(100L))
+    // every sample is +-2000 -> every RMS bucket is exactly 2000/32768
+    assert(out.feature.length == 8)
+    out.feature.foreach(f => assert(math.round(f * 32768) == 2000L))
+    // an undecodable payload degrades to stub features, null metadata
+    val bad = Multimodal.MediaRecord(8L, "audio",
+      "not a wav".getBytes("UTF-8"), None, None, None)
+    val fb = Multimodal.AudioCodec.decodeBatch(Iterator(bad)).next()
+    assert(fb.sample_rate.isEmpty && fb.n_frames.isEmpty)
+    assert(fb.feature.length == 8)
+    // distributed round trip through the Dataset seam
+    val media = Multimodal.mediaFromSyntheticAudio(
+      Seq(0L, 21L, 47L).toDF("id"), "id")
+    val rows = Multimodal.extractAudioFeatures(media)
+      .collect().sortBy(_.media_id)
+    assert(rows.map(_.n_frames.get).toSeq ==
+      Seq(0L, 21L, 47L).map(id => 800L + id % 5 * 160))
+    assert(rows.map(_.duration_ms.get).toSeq ==
+      Seq(0L, 21L, 47L).map(id => (800L + id % 5 * 160) * 1000 / 8000))
+    rows.foreach { r =>
+      val amp = 1000L + r.media_id % 20 * 500
+      assert(math.round(r.feature(0) * 32768) == amp)
+      assert(math.round(r.feature(7) * 32768) == amp)
+    }
+  }
+
 }
