@@ -456,4 +456,34 @@ object Corpus {
       .withColumn("fk_den", when(col("n_words") > 0,
         lit(100L) * col("n_sentences") * col("n_words")))
   }
+
+  /** Variance-proportional stratified sample allocation: distribute a
+    * fixed labeling/eval budget across strata in proportion to
+    * N_h·s²_h — the "spend annotations where the data actually varies"
+    * plan (the integer-exact cousin of Neyman allocation, which weights
+    * by σ and would need a square root). Weights are the floored exact
+    * fraction w_h = (n_h·Σx² − (Σx)²)/(n_h − 1) ≥ 0 in decimal(38,0)
+    * (singleton strata weigh 0 — no variance evidence), and the integer
+    * split is [[Analytics.largestRemainderAlloc]], so allocations sum to
+    * the budget EXACTLY. `alloc_capped` additionally clamps each stratum
+    * to its population. Precondition: at least one stratum with n_h ≥ 2
+    * and nonconstant values (total weight > 0). One stats shuffle +
+    * the enum-sized allocation pass. */
+  def varianceAllocation(df: DataFrame, stratumCol: String,
+      valueCol: String, budget: Long): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val stats = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col(valueCol).cast(d38)).as("_sx"),
+        sum(col(valueCol).cast(d38) * col(valueCol)).as("_sxx"))
+      .withColumn("w", expr(
+        """CAST(CASE WHEN n_h > 1
+             THEN (n_h * _sxx - _sx * _sx) div (n_h - 1)
+             ELSE 0 END AS BIGINT)"""))
+    Analytics.largestRemainderAlloc(
+        stats.select(col(stratumCol), col("w")), stratumCol, "w", budget)
+      .join(stats.select(col(stratumCol), col("n_h")), Seq(stratumCol))
+      .select(col(stratumCol), col("n_h"), col("weight"), col("alloc"),
+        least(col("alloc"), col("n_h")).as("alloc_capped"))
+  }
 }

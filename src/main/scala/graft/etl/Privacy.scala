@@ -96,4 +96,34 @@ object Privacy {
         expr("CAST(t_num * 10000 div (2 * CAST(n_group AS DECIMAL(38,0))" +
           " * n_total) AS BIGINT)").as("t_bp")): _*)
   }
+
+  /** Minimal-generalization search for k-anonymity: given a LADDER of
+    * progressively coarser quasi-identifier sets (level 0 = most
+    * specific), report per level the group count, minimum group size,
+    * and the row mass exposed in sub-k groups, and flag the FIRST level
+    * that meets k — answering the release question "how much detail must
+    * we suppress", where q148's audit only answers pass/fail at one
+    * fixed QI. One grouped aggregation per level (each folds to a single
+    * row map-side), a union of `ladder.size` rows, and a broadcast
+    * one-row join to mark the chosen level — no windows, no iteration. */
+  def generalizationLadder(df: DataFrame, ladder: Seq[Seq[String]],
+      k: Long): DataFrame = {
+    require(ladder.nonEmpty, "need at least one generalization level")
+    val per = ladder.zipWithIndex.map { case (qis, lvl) =>
+      df.groupBy(qis.map(col): _*).agg(count(lit(1)).as("_g"))
+        .agg(count(lit(1)).as("n_groups"), min(col("_g")).as("min_group"),
+          coalesce(sum(when(col("_g") < k, col("_g"))), lit(0L))
+            .as("rows_below_k"))
+        .select(lit(lvl.toLong).as("level"), col("n_groups"),
+          col("min_group"), col("rows_below_k"),
+          coalesce(col("min_group") >= k, lit(false)).as("meets_k"))
+    }
+    val u = per.reduce(_ unionByName _)
+    val first = u.filter(col("meets_k"))
+      .agg(min(col("level")).as("_first"))
+    u.crossJoin(broadcast(first))
+      .withColumn("chosen",
+        coalesce(col("level") === col("_first"), lit(false)))
+      .drop("_first")
+  }
 }

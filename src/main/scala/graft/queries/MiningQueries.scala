@@ -1028,7 +1028,43 @@ object MiningQueries {
     "q128_mrr" -> q128Mrr _,
     "q129_kmeans" -> q129Kmeans _,
     "q278_cluster_quality" -> q278ClusterQuality _,
-    "q280_ips_eval" -> q280IpsEval _)
+    "q280_ips_eval" -> q280IpsEval _,
+    "q283_gen_ladder" -> q283GenLadder _,
+    "q284_var_alloc" -> q284VarAlloc _)
+
+  /** Minimal-generalization search
+    * ([[graft.etl.Privacy.generalizationLadder]]) over a three-level
+    * customer QI ladder (nation+segment+balance-band → nation+segment →
+    * segment), k = 25: which coarsening first makes the release
+    * k-anonymous, and how much row mass each finer level exposes. The
+    * balance band shifts +100000 before the floor division so negative
+    * balances never hit the truncate-vs-floor divergence. */
+  def q283GenLadder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select($"c_nationkey",
+      $"c_mktsegment",
+      expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000")
+        .as("band"))
+    graft.etl.Privacy.generalizationLadder(c,
+        Seq(Seq("c_nationkey", "c_mktsegment", "band"),
+          Seq("c_nationkey", "c_mktsegment"), Seq("c_mktsegment")),
+        k = 25)
+      .orderBy($"level")
+  }
+
+  /** Variance-proportional annotation-budget split
+    * ([[graft.etl.Corpus.varianceAllocation]]): 10,000 labeling slots
+    * across event types weighted by each type's exact amount variance —
+    * allocations sum to the budget exactly via largest remainder. */
+  def q284VarAlloc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).filter($"value".isNotNull)
+      .select($"event_type",
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    graft.etl.Corpus.varianceAllocation(e, "event_type", "v",
+        budget = 10000L)
+      .orderBy($"event_type")
+  }
 
   /** Off-policy eval ([[Mining.ipsEval]]) of the deterministic policy
     * π(user) = (user_id+1) mod 3 against logged actions event_id mod 3
@@ -2023,6 +2059,69 @@ object MiningQueries {
       |  CAST(1000000 // min(CASE WHEN c_custkey % 13 = 0 THEN rk END)
       |    AS BIGINT) AS rr_scaled
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q283_gen_ladder" -> """
+      |WITH c AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+      |      AS band
+      |  FROM customer),
+      |g0 AS (SELECT count(*) AS g FROM c
+      |       GROUP BY c_nationkey, c_mktsegment, band),
+      |a0 AS (SELECT CAST(0 AS BIGINT) AS level,
+      |         CAST(count(*) AS BIGINT) AS n_groups,
+      |         CAST(min(g) AS BIGINT) AS min_group,
+      |         CAST(coalesce(sum(CASE WHEN g < 25 THEN g END), 0)
+      |           AS BIGINT) AS rows_below_k
+      |       FROM g0),
+      |g1 AS (SELECT count(*) AS g FROM c
+      |       GROUP BY c_nationkey, c_mktsegment),
+      |a1 AS (SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+      |         CAST(min(g) AS BIGINT),
+      |         CAST(coalesce(sum(CASE WHEN g < 25 THEN g END), 0)
+      |           AS BIGINT)
+      |       FROM g1),
+      |g2 AS (SELECT count(*) AS g FROM c GROUP BY c_mktsegment),
+      |a2 AS (SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+      |         CAST(min(g) AS BIGINT),
+      |         CAST(coalesce(sum(CASE WHEN g < 25 THEN g END), 0)
+      |           AS BIGINT)
+      |       FROM g2),
+      |u AS (SELECT *, min_group >= 25 AS meets_k FROM
+      |        (SELECT * FROM a0 UNION ALL SELECT * FROM a1
+      |         UNION ALL SELECT * FROM a2)),
+      |f AS (SELECT min(level) AS fl FROM u WHERE meets_k)
+      |SELECT level, n_groups, min_group, rows_below_k, meets_k,
+      |  coalesce(level = fl, FALSE) AS chosen
+      |FROM u CROSS JOIN f ORDER BY level""".stripMargin,
+    "q284_var_alloc" -> """
+      |WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |st AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
+      |    CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sxx
+      |  FROM e GROUP BY 1),
+      |w AS (
+      |  SELECT event_type, n_h,
+      |    CAST(CASE WHEN n_h > 1 THEN (n_h * sxx - sx * sx) // (n_h - 1)
+      |              ELSE 0 END AS BIGINT) AS w
+      |  FROM st),
+      |t AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM w),
+      |b AS (
+      |  SELECT event_type, n_h, w,
+      |    CAST(CAST(w AS HUGEINT) * 10000 // tw AS BIGINT) AS fl,
+      |    CAST(w AS HUGEINT) * 10000 % tw AS rem
+      |  FROM w CROSS JOIN t),
+      |l AS (SELECT 10000 - CAST(sum(fl) AS BIGINT) AS leftover FROM b),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, event_type)
+      |        AS rk FROM b)
+      |SELECT event_type, n_h, w AS weight,
+      |  CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc,
+      |  CAST(least(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, n_h)
+      |    AS BIGINT) AS alloc_capped
+      |FROM r CROSS JOIN l ORDER BY event_type""".stripMargin,
     "q280_ips_eval" -> """
       |WITH e AS (
       |  SELECT CAST(user_id % 3 AS BIGINT) AS context,

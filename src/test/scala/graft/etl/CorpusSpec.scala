@@ -222,4 +222,18 @@ class CorpusSpec extends SparkSpec {
       // 39 + 1180 - 1559 = -340 over 100
       (3L, 1L, 1L, 1L, Some(-340L), Some(100L))))
   }
+  test("varianceAllocation: budget follows variance, sums exactly, caps") {
+    import spark.implicits._
+    // A carries all the variance (w = 100); B is constant; C a singleton
+    val df = Seq(("A", 0L), ("A", 10L), ("B", 5L), ("B", 5L), ("B", 5L),
+      ("C", 7L)).toDF("s", "v")
+    val out = Corpus.varianceAllocation(df, "s", "v", budget = 7L)
+      .orderBy($"s").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("A", 2L, 100L, 7L, 2L), ("B", 3L, 0L, 0L, 0L), ("C", 1L, 0L, 0L, 0L)))
+    assert(out.map(_._4).sum == 7L) // allocations sum to the budget
+  }
+
 }

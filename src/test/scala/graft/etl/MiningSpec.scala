@@ -763,4 +763,17 @@ class MiningSpec extends SparkSpec {
       out.getAs[Long]("snips_milli") == 714L)
   }
 
+  test("generalizationLadder: first level meeting k is chosen") {
+    val df = Seq((1, "x"), (1, "x"), (2, "x"), (1, "y"), (1, "y"), (1, "y"))
+      .toDF("a", "b")
+    val out = Privacy.generalizationLadder(df,
+      Seq(Seq("a", "b"), Seq("b")), k = 2)
+      .orderBy($"level").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 1L, 1L, false, false),
+      (1L, 2L, 3L, 0L, true, true)))
+  }
+
 }
