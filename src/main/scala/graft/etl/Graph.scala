@@ -261,6 +261,46 @@ object Graph {
     degrees(und)
   }
 
+  /** Bounded-round k-truss peel: `rounds` iterations of "drop every edge
+    * supported by fewer than k−2 triangles" over the undirected deduped
+    * graph, returning surviving edges with their final support — the
+    * EDGE-level density screen. [[kCore]]'s node screen admits hub-spoke
+    * fluff (a star is a 2-core-free graph but a hub survives high k by
+    * degree alone in denser mixtures); a k-truss edge sits in ≥ k−2
+    * actual triangles, so what survives is built of overlapping
+    * triangles — the community-core definition used to seed dedup/
+    * entity-resolution clusters that must not chain through a single
+    * promiscuous record. Fixed rounds (not to-fixpoint) keep the
+    * operator a deterministic bounded pipeline the oracle unrolls,
+    * exactly like [[kCore]]. Per round: one triangle pass over the a<b
+    * oriented edge list (two wedge joins — the deg-bounded triangle
+    * shape, never node-pairs) + one support fold; `localCheckpoint`
+    * truncates lineage per round. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int = 3): DataFrame = {
+    def support(e: DataFrame): DataFrame = {
+      val xy = e.select(col("a").as("x"), col("b").as("y"))
+      val yz = e.select(col("a").as("y"), col("b").as("z"))
+      val xz = e.select(col("a").as("x"), col("b").as("z"))
+      val tri = xy.join(yz, "y").join(xz, Seq("x", "z"))
+      val per = tri.select(col("x").as("a"), col("y").as("b"))
+        .union(tri.select(col("y").as("a"), col("z").as("b")))
+        .union(tri.select(col("x").as("a"), col("z").as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      e.join(per, Seq("a", "b"), "left")
+        .withColumn("support", coalesce(col("support"), lit(0L)))
+    }
+    var und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      und = support(und).filter(col("support") >= k - 2)
+        .select(col("a"), col("b")).localCheckpoint()
+    }
+    support(und)
+  }
+
   /** Common-neighbor link prediction: for every non-adjacent node pair
     * with at least one shared neighbor, the shared-neighbor count and the
     * neighborhood-Jaccard in basis points — the classic "who should be

@@ -41,6 +41,19 @@ object GraphEvents {
     Graph.triangleCounts(e, "src", "dst").orderBy($"node")
   }
 
+  // -------------------------------------------------------- q285 k-truss
+
+  /** 4-truss peel ([[Graph.kTruss]], 3 fixed rounds) over the q101
+    * triangle graph: surviving edges each sit in ≥ 2 triangles of the
+    * peeled subgraph — the community-core screen that, unlike q147's
+    * k-core, a hub cannot pass on degree alone. */
+  def q285Ktruss(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (e, _) = triangleEdges(spark, dir)
+    Graph.kTruss(e, "src", "dst", k = 4, rounds = 3)
+      .orderBy($"a", $"b")
+  }
+
   // ------------------------------------------------------- q102 k-hop BFS
 
   /** Ring + skip-13 lattice on m = (max key + 1)/5 nodes (edges from the
@@ -853,6 +866,7 @@ object GraphEvents {
     "q155_attribution" -> q155Attribution _,
     "q154_scd2" -> q154Scd2 _,
     "q147_kcore" -> q147Kcore _,
+    "q285_ktruss" -> q285Ktruss _,
     "q101_triangles" -> q101Triangles _,
     "q102_khop_bfs" -> q102Khop _,
     "q103_transitions" -> q103Transitions _,
@@ -1485,6 +1499,49 @@ object GraphEvents {
       |    ORDER BY epoch_us(ts), event_id) IS NULL THEN 1 ELSE 0 END
       |    AS is_current
       |FROM events ORDER BY event_id""".stripMargin,
+    "q285_ktruss" -> """
+      |WITH mm AS (SELECT (max(o_orderkey) + 1) // 50 AS m FROM orders),
+      |e0 AS (SELECT o_orderkey % m AS x,
+      |              (o_orderkey * 13 + (o_orderkey // m) * 7 + 3) % m AS y
+      |       FROM orders, mm),
+      |e AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+      |      FROM e0 WHERE x <> y),
+      |t1 AS MATERIALIZED (SELECT w1.a AS x, w1.b AS y, w2.b AS z FROM e w1
+      |       JOIN e w2 ON w2.a = w1.b
+      |       JOIN e w3 ON w3.a = w1.a AND w3.b = w2.b),
+      |s1 AS MATERIALIZED (SELECT a, b, count(*) AS c FROM (
+      |         SELECT x AS a, y AS b FROM t1
+      |         UNION ALL SELECT y, z FROM t1
+      |         UNION ALL SELECT x, z FROM t1) GROUP BY 1, 2),
+      |r1 AS MATERIALIZED (SELECT e.a, e.b FROM e LEFT JOIN s1 USING (a, b)
+      |       WHERE coalesce(c, 0) >= 2),
+      |t2 AS MATERIALIZED (SELECT w1.a AS x, w1.b AS y, w2.b AS z FROM r1 w1
+      |       JOIN r1 w2 ON w2.a = w1.b
+      |       JOIN r1 w3 ON w3.a = w1.a AND w3.b = w2.b),
+      |s2 AS MATERIALIZED (SELECT a, b, count(*) AS c FROM (
+      |         SELECT x AS a, y AS b FROM t2
+      |         UNION ALL SELECT y, z FROM t2
+      |         UNION ALL SELECT x, z FROM t2) GROUP BY 1, 2),
+      |r2 AS MATERIALIZED (SELECT r1.a, r1.b FROM r1 LEFT JOIN s2 USING (a, b)
+      |       WHERE coalesce(c, 0) >= 2),
+      |t3 AS MATERIALIZED (SELECT w1.a AS x, w1.b AS y, w2.b AS z FROM r2 w1
+      |       JOIN r2 w2 ON w2.a = w1.b
+      |       JOIN r2 w3 ON w3.a = w1.a AND w3.b = w2.b),
+      |s3 AS MATERIALIZED (SELECT a, b, count(*) AS c FROM (
+      |         SELECT x AS a, y AS b FROM t3
+      |         UNION ALL SELECT y, z FROM t3
+      |         UNION ALL SELECT x, z FROM t3) GROUP BY 1, 2),
+      |r3 AS MATERIALIZED (SELECT r2.a, r2.b FROM r2 LEFT JOIN s3 USING (a, b)
+      |       WHERE coalesce(c, 0) >= 2),
+      |t4 AS MATERIALIZED (SELECT w1.a AS x, w1.b AS y, w2.b AS z FROM r3 w1
+      |       JOIN r3 w2 ON w2.a = w1.b
+      |       JOIN r3 w3 ON w3.a = w1.a AND w3.b = w2.b),
+      |s4 AS MATERIALIZED (SELECT a, b, count(*) AS c FROM (
+      |         SELECT x AS a, y AS b FROM t4
+      |         UNION ALL SELECT y, z FROM t4
+      |         UNION ALL SELECT x, z FROM t4) GROUP BY 1, 2)
+      |SELECT r3.a, r3.b, CAST(coalesce(s4.c, 0) AS BIGINT) AS support
+      |FROM r3 LEFT JOIN s4 USING (a, b) ORDER BY a, b""".stripMargin,
     "q147_kcore" -> """
       |WITH mm AS (SELECT (max(o_orderkey) + 1) // 50 AS m FROM orders),
       |e0 AS (SELECT o_orderkey % m AS x,

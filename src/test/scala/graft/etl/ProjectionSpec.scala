@@ -111,4 +111,18 @@ class ProjectionSpec extends SparkSpec {
     val out = Dedupe.fingerprintClusters(df, "id", "text").collect()
     assert(out.toSeq == Seq(Row("blue lemon", 2L, 1L, 2L)))
   }
+  test("kTruss: pendant edges peel, shared edge counts both triangles") {
+    // two triangles sharing edge (2,3), plus pendant (1,5)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+      .toDF("s", "d")
+    // k=3: support >= 1 -> pendant drops, both triangles survive intact
+    val k3 = Graph.kTruss(e, "s", "d", k = 3).orderBy($"a", $"b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(k3.toSeq == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (2L, 4L, 1L), (3L, 4L, 1L)))
+    // k=4: only (2,3) has support 2, but alone it spans no triangle ->
+    // the second round peels it too; empty truss
+    assert(Graph.kTruss(e, "s", "d", k = 4).count() == 0L)
+  }
+
 }
