@@ -365,6 +365,32 @@ object Events {
         col("censored"))
   }
 
+  /** Exact trailing-window distinct actors per day (DAU + rolling WAU):
+    * the reach metric HLL sketches usually approximate, exact and still
+    * scale-safe because a distinct (user, active-day) row contributes to
+    * at most `window` output days — dedupe to user-days first (the one
+    * row-scale shuffle), explode each to the ≤`window` days it covers,
+    * then one distinct-count per day. Output days cap at the observed
+    * max (no partially-informed future rows); leading days keep their
+    * honest partial windows. */
+  def trailingDistinct(df: DataFrame, userCol: String, dayCol: String,
+      window: Int = 7): DataFrame = {
+    val ud = df.select(col(userCol).as("_u"), col(dayCol).as("_t"))
+      .distinct()
+    val mx = ud.agg(max(col("_t")).as("_mt"))
+    val wau = ud
+      .withColumn("d", explode(sequence(col("_t"),
+        col("_t") + (window - 1))))
+      .join(broadcast(mx)).filter(col("d") <= col("_mt"))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("_u")).as("wau"))
+    val dau = ud.groupBy(col("_t").as("d"))
+      .agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("d"), "left")
+      .select(col("d"), coalesce(col("dau"), lit(0L)).as("dau"),
+        col("wau"))
+  }
+
   /** Nelson–Aalen cumulative hazard over a [[lifeTable]] frame: the
     * discrete hazard d_k/r_k per time step in floored micro-units, then
     * one ordered running sum — the survival-curve estimator that stays a

@@ -330,6 +330,21 @@ object GraphEvents {
       .orderBy($"day_k")
   }
 
+  // ------------------------------- q286 trailing distinct actives
+
+  /** Exact DAU + trailing-7-day WAU per day
+    * ([[Events.trailingDistinct]]) — the rolling reach series computed
+    * exactly (the q168/q190 HLL sketches are the approximate path; this
+    * is the truth they are audited against). */
+  def q286TrailingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"user_id",
+      datediff(to_date($"ts"), to_date(lit("1970-01-01"))).cast("long")
+        .as("t"))
+    Events.trailingDistinct(e, "user_id", "t", window = 7)
+      .orderBy($"d")
+  }
+
   // ------------------------------------------ q181 conversion lag
 
   /** Click→purchase conversion-lag percentiles: each purchase's lag to
@@ -859,6 +874,7 @@ object GraphEvents {
     "q183_link_pred" -> q183LinkPred _,
     "q180_life_table" -> q180LifeTable _,
     "q275_cum_hazard" -> q275CumHazard _,
+    "q286_trailing_distinct" -> q286TrailingDistinct _,
     "q181_conversion_lag" -> q181ConversionLag _,
     "q177_pit_attribution" -> q177PitAttribution _,
     "q164_snapshot_diff" -> q164SnapshotDiff _,
@@ -1364,6 +1380,21 @@ object GraphEvents {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk,
       |  events, censored
       |FROM b ORDER BY day_k""".stripMargin,
+    "q286_trailing_distinct" -> """
+      |WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS t
+      |  FROM events),
+      |mx AS (SELECT max(t) AS mt FROM ud),
+      |cov AS (SELECT user_id, t + g.x AS d
+      |        FROM ud, (SELECT unnest(generate_series(0, 6)) AS x) g),
+      |w AS (SELECT d, count(DISTINCT user_id) AS wau
+      |      FROM cov, mx WHERE d <= mt GROUP BY 1),
+      |a AS (SELECT t AS d, count(*) AS dau FROM ud GROUP BY 1)
+      |SELECT w.d, CAST(coalesce(dau, 0) AS BIGINT) AS dau,
+      |  CAST(wau AS BIGINT) AS wau
+      |FROM w LEFT JOIN a USING (d) ORDER BY d""".stripMargin,
     "q275_cum_hazard" -> """
       |WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
       |           FROM events),

@@ -371,4 +371,18 @@ class GraphEventsSpec extends SparkSpec {
       Seq(200000L, 342857L, 842857L))
   }
 
+  test("trailingDistinct: window reach, dedup within day, capped at max") {
+    // user 1 active days 0,1; user 2 active day 0 (twice); user 3 day 9
+    val df = Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 0L), (3L, 9L))
+      .toDF("u", "t")
+    val out = Events.trailingDistinct(df, "u", "t", window = 3)
+      .orderBy($"d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // day 0: dau 2, wau 2; day 1: dau 1 (u1), wau 2 (u1,u2)
+    // day 2: dau 0, wau 2 (u1 day1, u2 day0); day 3: wau 1 (u1 day1)
+    // days 4-8 empty (no coverage); day 9: u3; days 10+ capped at max=9
+    assert(out.toSeq == Seq((0L, 2L, 2L), (1L, 1L, 2L), (2L, 0L, 2L),
+      (3L, 0L, 1L), (9L, 1L, 1L)))
+  }
+
 }
