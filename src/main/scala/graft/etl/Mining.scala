@@ -418,6 +418,54 @@ object Mining {
         col("m.dist2").as("dist2"))
   }
 
+  /** Multinomial Naive Bayes text classifier, trained AND applied in one
+    * declarative plan, reported as the resubstitution confusion matrix —
+    * the vocabulary-driven classifier (language ID, source routing,
+    * topic gating) expressed with the repo's floored-log₂ quantization:
+    *   score(d, y) = Σ_tok cnt_d·bl(c_{y,tok}+1) − len_d·bl(T_y + V)
+    * (Laplace-smoothed log P(tok|y) decomposed per factor; bl = bit
+    * length, the same recipe as KL/PSI/MI). Zero-count (token, class)
+    * cells come from a dense vocab×classes grid so absent evidence
+    * penalizes correctly. argmax per doc via a rank window ordered
+    * (score DESC, class ASC) — deterministic ties cross-engine.
+    *
+    * Scale shape: the fan-out is doc-token rows × |classes| (classes are
+    * enum-sized); the vocab×classes grid is vocabulary-bounded; no
+    * driver-side collection anywhere — V and T_y ride one-row/per-class
+    * aggregates through broadcast joins. */
+  def nbTextConfusion(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("_id"), col(labelCol).as("_y"),
+      explode(Corpus.tokensOf(col(textCol))).as("tok"))
+    val dt = toks.groupBy(col("_id"), col("_y"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val langTok = toks.groupBy(col("_y").as("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val v = toks.agg(countDistinct(col("tok")).as("_V"))
+    val kPerLang = langTok.groupBy(col("lang")).agg(sum(col("c")).as("_T"))
+      .crossJoin(broadcast(v))
+      .select(col("lang"),
+        length(expr("bin(_T + _V)")).cast("long").as("k"))
+    val dense = dt.select(col("tok")).distinct()
+      .crossJoin(broadcast(langTok.select(col("lang")).distinct()))
+      .join(langTok, Seq("lang", "tok"), "left")
+      .select(col("tok"), col("lang"),
+        length(expr("bin(coalesce(c, 0L) + 1)")).cast("long").as("lp"))
+    val docLen = dt.groupBy(col("_id")).agg(sum(col("cnt")).as("len"))
+    val scores = dt.join(dense, Seq("tok"))
+      .groupBy(col("_id"), col("_y"), col("lang"))
+      .agg(sum(col("cnt") * col("lp")).as("pos"))
+      .join(docLen, Seq("_id"))
+      .join(broadcast(kPerLang), Seq("lang"))
+      .withColumn("score", col("pos") - col("len") * col("k"))
+    val w = Window.partitionBy(col("_id"))
+      .orderBy(col("score").desc, col("lang"))
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("_y").as("true_lang"), col("lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Off-policy evaluation of a deterministic target policy over logged
     * bandit feedback — inverse-propensity scoring, the estimator behind
     * every "would the new ranker have done better on last week's logs"

@@ -1030,6 +1030,7 @@ object MiningQueries {
     "q278_cluster_quality" -> q278ClusterQuality _,
     "q280_ips_eval" -> q280IpsEval _,
     "q283_gen_ladder" -> q283GenLadder _,
+    "q287_nb_classify" -> q287NbClassify _,
     "q284_var_alloc" -> q284VarAlloc _)
 
   /** Minimal-generalization search
@@ -1050,6 +1051,18 @@ object MiningQueries {
           Seq("c_nationkey", "c_mktsegment"), Seq("c_mktsegment")),
         k = 25)
       .orderBy($"level")
+  }
+
+  /** Naive Bayes language classifier ([[Mining.nbTextConfusion]]):
+    * train per-language unigram models on the labeled corpus, classify
+    * every document by floored-log₂ score, and report the 5×5
+    * resubstitution confusion matrix — the learned counterpart of q30's
+    * heuristic language ID, as one declarative plan. */
+  def q287NbClassify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Mining.nbTextConfusion(Tables.documents(spark, dir), "doc_id", "text",
+        "lang")
+      .orderBy($"true_lang", $"pred_lang")
   }
 
   /** Variance-proportional annotation-budget split
@@ -2059,6 +2072,43 @@ object MiningQueries {
       |  CAST(1000000 // min(CASE WHEN c_custkey % 13 = 0 THEN rk END)
       |    AS BIGINT) AS rr_scaled
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q287_nb_classify" -> """
+      |WITH toks AS MATERIALIZED (
+      |  SELECT doc_id AS id, lang AS y,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS tok
+      |  FROM documents),
+      |dt AS MATERIALIZED (
+      |  SELECT id, y, tok, count(*) AS cnt FROM toks GROUP BY 1, 2, 3),
+      |lt AS MATERIALIZED (
+      |  SELECT y AS lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      |v AS (SELECT count(DISTINCT tok) AS vv FROM toks),
+      |kp AS (SELECT lang,
+      |         CAST(length(bin(CAST(t + vv AS BIGINT))) AS BIGINT) AS k
+      |       FROM (SELECT lang, sum(c) AS t FROM lt GROUP BY 1)
+      |       CROSS JOIN v),
+      |dense AS MATERIALIZED (
+      |  SELECT tk.tok, lg.lang,
+      |    CAST(length(bin(CAST(coalesce(c, 0) + 1 AS BIGINT))) AS BIGINT)
+      |      AS lp
+      |  FROM (SELECT DISTINCT tok FROM dt) tk
+      |  CROSS JOIN (SELECT DISTINCT lang FROM lt) lg
+      |  LEFT JOIN lt ON lt.lang = lg.lang AND lt.tok = tk.tok),
+      |dl AS (SELECT id, CAST(sum(cnt) AS BIGINT) AS len
+      |       FROM dt GROUP BY 1),
+      |sc AS (
+      |  SELECT dt.id, dt.y, dense.lang, CAST(sum(cnt * lp) AS BIGINT)
+      |    AS pos
+      |  FROM dt JOIN dense USING (tok) GROUP BY 1, 2, 3),
+      |s2 AS (
+      |  SELECT sc.id, sc.y, sc.lang, pos - len * k AS score
+      |  FROM sc JOIN dl USING (id) JOIN kp USING (lang)),
+      |best AS (
+      |  SELECT id, y, lang FROM s2
+      |  QUALIFY row_number() OVER (PARTITION BY id
+      |    ORDER BY score DESC, lang) = 1)
+      |SELECT y AS true_lang, lang AS pred_lang, count(*) AS n
+      |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q283_gen_ladder" -> """
       |WITH c AS (
       |  SELECT c_nationkey, c_mktsegment,

@@ -378,4 +378,29 @@ class PlanShapeSpec extends SparkSpec {
     assert("partial_sum".r.findAllIn(p).size >= 8)
     assert("partial_count".r.findAllIn(p).nonEmpty)
   }
+  test("q274: split candidates collapse to distinct values before the window") {
+    val p = plan("q274_best_split")
+    // the ordered window must consume the (cohort, value) aggregate,
+    // not raw rows: partial (map-side) aggregation appears below it
+    assert("partial_count".r.findAllIn(p).nonEmpty)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q281: dim profile scans only the embedding column") {
+    val p = plan("q281_dim_profile")
+    assert(p.contains("ReadSchema: struct<embedding:array<float>>"))
+    assert(!p.contains("vec_id"))
+  }
+
+  test("q285: k-truss wedge joins stay keyed — never node-pair products") {
+    val p = plan("q285_ktruss")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q287: NB classifier never forms a cartesian doc-class product") {
+    val p = plan("q287_nb_classify")
+    assert(!p.contains("CartesianProduct"))
+  }
+
 }

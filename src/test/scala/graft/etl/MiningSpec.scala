@@ -776,4 +776,16 @@ class MiningSpec extends SparkSpec {
       (1L, 2L, 3L, 0L, true, true)))
   }
 
+  test("nbTextConfusion: separable vocab classifies, zero counts penalize") {
+    // en vocab {cat, dog}; nl vocab {kat, hond}; V=4
+    // doc a (cat cat dog): pos_en = 3*bl(4) = 9, score_en = 9 - 3*bl(10) = -3
+    //                      pos_nl = 3*bl(1) = 3, score_nl = 3 - 3*bl(8) = -9
+    val docs = Seq((1L, "en", "cat cat dog"), (2L, "nl", "kat kat hond"),
+      (3L, "en", "cat dog dog")).toDF("id", "lang", "text")
+    val out = Mining.nbTextConfusion(docs, "id", "text", "lang")
+      .orderBy($"true_lang", $"pred_lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("en", "en", 2L), ("nl", "nl", 1L)))
+  }
+
 }
