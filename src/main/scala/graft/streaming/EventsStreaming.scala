@@ -31,6 +31,24 @@ object EventsStreaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Gap-based session aggregation on the stream — `session_window`
+    * with a watermark, the streaming twin of the batch q35 sessionize:
+    * a session closes once the watermark passes its last event + gap,
+    * and the finalized (user, session) row carries start/end, event
+    * count, and cents. State per open session only; the watermark
+    * bounds it. Append mode: rows emit exactly once, when final. */
+  def sessionAggStream(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("cents"))
+
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class UserProgress(user_id: Long, n_events: Long, total_cents: Long)

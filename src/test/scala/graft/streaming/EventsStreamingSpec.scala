@@ -474,4 +474,40 @@ class EventsStreamingSpec extends SparkSpec {
         Option(r.getAs[Any]("asof_pick")).map(_.asInstanceOf[Long]))).toMap
     assert(batch == got, "streaming and batch twins must agree")
   }
+  test("sessionAggStream: sessions merge across micro-batches, emit when final") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStreaming.EventRow
+    val input = MemoryStream[EventRow]
+    val q = EventsStreaming.sessionAggStream(input.toDF(),
+        gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    input.addData(
+      EventRow(1, ts("2026-01-01 10:00:00"), 1, "view", 1.00),
+      EventRow(2, ts("2026-01-01 10:00:00"), 2, "view", 2.00))
+    q.processAllAvailable()
+    // extends user 1's OPEN session across the micro-batch boundary
+    input.addData(EventRow(3, ts("2026-01-01 10:20:00"), 1, "click", 0.50))
+    q.processAllAvailable()
+    // far-future event advances the watermark past every open session;
+    // finalized rows emit on the FOLLOWING trigger, so push one more batch
+    input.addData(EventRow(4, ts("2026-01-01 13:00:00"), 9, "view", 0.0))
+    q.processAllAvailable()
+    input.addData(EventRow(5, ts("2026-01-01 13:05:00"), 9, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess")
+      .select($"user_id", $"session_start".cast("string"),
+        $"session_end".cast("string"), $"n_events", $"cents")
+      .collect().map(_.toSeq).toSet
+    // user 1: ONE merged session 10:00 -> 10:50, not two
+    assert(rows.contains(
+      Seq(1L, "2026-01-01 10:00:00", "2026-01-01 10:50:00", 2L, 150L)))
+    assert(rows.contains(
+      Seq(2L, "2026-01-01 10:00:00", "2026-01-01 10:30:00", 1L, 200L)))
+    assert(!rows.exists(_.head == 9L)) // still open -> not emitted yet
+  }
+
 }
