@@ -163,7 +163,4 @@ object Udfs {
       AhDiscountOut(eff, matched, reqQty, total, reqQty.isDefined)
     })
 
-  /** X2 similarity as a column (built-in levenshtein also exists; this keeps
-    * the exact `1 - d/maxLen` contract in one place). */
-  val similarity = udf((a: String, b: String) => graft.functions.Strings.similarity(a, b))
 }
