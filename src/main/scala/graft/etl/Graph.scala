@@ -592,4 +592,49 @@ object Graph {
       .groupBy(col("r_a"), col("r_b"))
       .agg(count(lit(1)).as("n_co"))
   }
+
+  /** Item-item collaborative-filtering neighborhoods on top of the
+    * [[bipartiteProjection]] candidate plan: co-occurrence counts
+    * normalized to the SQUARED cosine (cos² = n_co²/(n_a·n_b), exact in
+    * ppm — squaring dodges the square root while preserving the
+    * ranking, the repo's standard irrational-free trick), then top-k
+    * neighbors per item. Degrees count the SAME capped-user universe as
+    * the pairs, so a popularity-normalized score never mixes capped and
+    * uncapped denominators. Deterministic rank: (cos² DESC, n_co DESC,
+    * neighbor ASC). The per-item window is bounded by the item's
+    * candidate count, itself bounded by the degree cap. */
+  def cfNeighbors(edges: DataFrame, leftCol: String, rightCol: String,
+      maxDegree: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(leftCol).as("l"), col(rightCol).as("r"))
+      .distinct()
+    val kept = e.join(
+      e.groupBy(col("l")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") <= maxDegree).select(col("l")),
+      Seq("l")).localCheckpoint()
+    val co = kept.select(col("l"), col("r").as("r_a"))
+      .join(kept.select(col("l"), col("r").as("r_b")), Seq("l"))
+      .filter(col("r_a") < col("r_b"))
+      .groupBy(col("r_a"), col("r_b"))
+      .agg(count(lit(1)).as("n_co"))
+    val deg = kept.groupBy(col("r")).agg(count(lit(1)).as("n"))
+    val sym = co.select(col("r_a").as("item"), col("r_b").as("nbr"),
+        col("n_co"))
+      .unionByName(co.select(col("r_b").as("item"), col("r_a").as("nbr"),
+        col("n_co")))
+    val scored = sym
+      .join(deg.select(col("r").as("item"), col("n").as("n_item")),
+        Seq("item"))
+      .join(deg.select(col("r").as("nbr"), col("n").as("n_nbr")),
+        Seq("nbr"))
+      .withColumn("cos2_ppm", expr(
+        """CAST(CAST(n_co AS DECIMAL(38,0)) * n_co * 1000000
+           div (CAST(n_item AS DECIMAL(38,0)) * n_nbr) AS BIGINT)"""))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("cos2_ppm").desc, col("n_co").desc, col("nbr"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("item"), col("nbr"), col("n_co"), col("n_item"),
+        col("n_nbr"), col("cos2_ppm"), col("rk"))
+  }
 }

@@ -619,6 +619,22 @@ object GraphEvents {
       .orderBy($"brand_a", $"brand_b")
   }
 
+  // --------------------------------------- q288 item-CF neighbors
+
+  /** Top-5 cosine²-normalized co-purchase neighbors per brand
+    * ([[Graph.cfNeighbors]]): q223's raw co-counts popularity-normalized
+    * into the item-item CF neighborhood a recommender actually serves —
+    * squared cosine keeps the score exact-integer. */
+  def q288CfNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ub = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.part(spark, dir), $"p_partkey" === $"l_partkey")
+      .select($"o_custkey".as("u"), $"p_brand".as("b"))
+    Graph.cfNeighbors(ub, "u", "b", maxDegree = 20, k = 5)
+      .orderBy($"item", $"rk")
+  }
+
   // ------------------------------------------ q224 trigram paths
 
   /** Global 3-step path counts ([[Events.pathTrigrams]]): the navigation-
@@ -875,6 +891,7 @@ object GraphEvents {
     "q180_life_table" -> q180LifeTable _,
     "q275_cum_hazard" -> q275CumHazard _,
     "q286_trailing_distinct" -> q286TrailingDistinct _,
+    "q288_cf_neighbors" -> q288CfNeighbors _,
     "q181_conversion_lag" -> q181ConversionLag _,
     "q177_pit_attribution" -> q177PitAttribution _,
     "q164_snapshot_diff" -> q164SnapshotDiff _,
@@ -1090,6 +1107,39 @@ object GraphEvents {
       |  CAST(length(bin(o_orderkey)) - 1 + bit_count(o_orderkey) - 1
       |    AS BIGINT) AS dist
       |FROM orders WHERE o_orderkey >= 1 ORDER BY node""".stripMargin,
+    "q288_cf_neighbors" -> """
+      |WITH ub AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS u, p_brand AS b
+      |  FROM orders
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN part ON p_partkey = l_partkey),
+      |d AS MATERIALIZED (
+      |  SELECT u FROM ub GROUP BY u HAVING count(*) <= 20),
+      |kept AS MATERIALIZED (
+      |  SELECT ub.u, ub.b FROM ub JOIN d ON d.u = ub.u),
+      |co AS MATERIALIZED (
+      |  SELECT a.b AS r_a, b2.b AS r_b, count(*) AS n_co
+      |  FROM kept a JOIN kept b2 ON b2.u = a.u AND a.b < b2.b
+      |  GROUP BY 1, 2),
+      |deg AS (SELECT b, CAST(count(*) AS BIGINT) AS n
+      |        FROM kept GROUP BY 1),
+      |sym AS (
+      |  SELECT r_a AS item, r_b AS nbr, n_co FROM co
+      |  UNION ALL SELECT r_b, r_a, n_co FROM co),
+      |sc AS (
+      |  SELECT item, nbr, CAST(n_co AS BIGINT) AS n_co,
+      |    di.n AS n_item, dn.n AS n_nbr,
+      |    CAST(CAST(n_co AS HUGEINT) * n_co * 1000000
+      |      // (CAST(di.n AS HUGEINT) * dn.n) AS BIGINT) AS cos2_ppm
+      |  FROM sym
+      |  JOIN deg di ON di.b = sym.item
+      |  JOIN deg dn ON dn.b = sym.nbr)
+      |SELECT item, nbr, n_co, n_item, n_nbr, cos2_ppm,
+      |  CAST(rk AS BIGINT) AS rk
+      |FROM (SELECT *, row_number() OVER (PARTITION BY item
+      |        ORDER BY cos2_ppm DESC, n_co DESC, nbr) AS rk
+      |      FROM sc)
+      |WHERE rk <= 5 ORDER BY item, rk""".stripMargin,
     "q223_brand_copurchase" -> """
       |WITH ub AS (
       |  SELECT DISTINCT o_custkey AS u, p_brand AS b

@@ -125,4 +125,22 @@ class ProjectionSpec extends SparkSpec {
     assert(Graph.kTruss(e, "s", "d", k = 4).count() == 0L)
   }
 
+  test("cfNeighbors: squared-cosine normalization and deterministic rank") {
+    // items x,y co-occur twice (users 1,2); y,z once (user 2);
+    // degrees: x=2, y=3, z=1
+    val e = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (2L, "z"),
+      (3L, "y")).toDF("u", "i")
+    val out = Graph.cfNeighbors(e, "u", "i", maxDegree = 10, k = 2)
+      .orderBy($"item", $"rk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5),
+        r.getLong(6)))
+    // user 2 holds {x,y,z} so all three pairs exist:
+    // cos2(x,y) = 4e6/(2*3) = 666666; (x,z) = 1e6/(2*1) = 500000;
+    // (y,z) = 1e6/(3*1) = 333333
+    assert(out.toSeq == Seq(
+      ("x", "y", 2L, 666666L, 1L), ("x", "z", 1L, 500000L, 2L),
+      ("y", "x", 2L, 666666L, 1L), ("y", "z", 1L, 333333L, 2L),
+      ("z", "x", 1L, 500000L, 1L), ("z", "y", 1L, 333333L, 2L)))
+  }
+
 }
