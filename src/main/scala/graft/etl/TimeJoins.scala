@@ -108,6 +108,59 @@ object TimeJoins {
       .drop("_time", "_tag", "_pick")
   }
 
+  /** Nearest as-of: each left row takes the right `pick` whose time is
+    * CLOSEST — backward or forward, ties preferring the backward match
+    * (the pandas `merge_asof(direction='nearest')` rule) — completing
+    * the as-of family (backward [[asofJoin]], forward
+    * [[asofJoinForward]], staleness-bounded [[asofJoinTolerance]]).
+    *
+    * Both candidates ride ONE tagged union and ONE sorted partition:
+    * the backward `last` and forward `first` windows share the same
+    * partitionBy/orderBy, so Catalyst plans a single sort — still the
+    * single-shuffle as-of shape. Right rows at equal time sort before
+    * the left row (backward catches exact matches with gap 0, which
+    * beats any forward candidate anyway); equal-time right ties resolve
+    * to the max pick like [[asofJoin]], forward ties to the min pick
+    * like [[asofJoinForward]]. Times must be integral. Emits
+    * `asofn_<pick>` and `asofn_gap` (absolute distance; both NULL when
+    * the key has no right rows at all). */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, pick: String): DataFrame = {
+    val pickType = right.schema(pick).dataType
+    val l = left
+      .withColumn("_time", col(leftTime).cast("long"))
+      .withColumn("_tag", lit(1))
+      .withColumn("_pick", lit(null).cast(pickType))
+      .withColumn("_rt", lit(null).cast("long"))
+    val r = right.select(col(key), col(rightTime).cast("long").as("_time"),
+        col(pick).as("_pick"))
+      .withColumn("_tag", lit(0))
+      .withColumn("_rt", col("_time"))
+    val back = Window.partitionBy(col(key))
+      .orderBy(col("_time"), col("_tag"), col("_pick"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(key))
+      .orderBy(col("_time"), col("_tag"), col("_pick"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val nearer = col("_bt").isNotNull &&
+      (col("_ft").isNull ||
+        (col("_time") - col("_bt")) <= (col("_ft") - col("_time")))
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_bp", last(col("_pick"), ignoreNulls = true).over(back))
+      .withColumn("_bt", last(col("_rt"), ignoreNulls = true).over(back))
+      .withColumn("_fp", first(col("_pick"), ignoreNulls = true).over(fwd))
+      .withColumn("_ft", first(col("_rt"), ignoreNulls = true).over(fwd))
+      .filter(col("_tag") === 1)
+      .withColumn(s"asofn_$pick",
+        when(nearer, col("_bp"))
+          .otherwise(when(col("_ft").isNotNull, col("_fp"))))
+      .withColumn("asofn_gap",
+        when(nearer, col("_time") - col("_bt"))
+          .otherwise(when(col("_ft").isNotNull,
+            col("_ft") - col("_time"))))
+      .drop("_time", "_tag", "_pick", "_rt", "_bp", "_bt", "_fp", "_ft")
+  }
+
   /** Interval (range) join: each point row matched to every interval row
     * of the same `key` with `startUs <= timeUs < endUs`. All three time
     * columns are epoch-micros longs (exact integers — no timestamp

@@ -465,6 +465,26 @@ object Domain {
       .orderBy($"fd")
   }
 
+  /** Nearest as-of ([[graft.etl.TimeJoins.asofJoinNearest]]): each event
+    * matched to the user's CLOSEST order by calendar day, backward or
+    * forward, ties backward — the `merge_asof(direction='nearest')`
+    * member that completes the q34/q73/q205 family, still one
+    * union+window shuffle. */
+  def q289AsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val epoch = to_date(lit("1970-01-01"))
+    val events = Tables.events(spark, dir).select($"event_id", $"user_id",
+      datediff(to_date($"ts"), epoch).cast("long").as("d"))
+    val orders = Tables.orders(spark, dir).select(
+      $"o_custkey".as("user_id"),
+      datediff(to_date($"o_orderdate"), epoch).cast("long").as("od"),
+      $"o_orderkey")
+    graft.etl.TimeJoins.asofJoinNearest(events, orders, "user_id", "d",
+        "od", "o_orderkey")
+      .select($"event_id", $"user_id", $"asofn_o_orderkey", $"asofn_gap")
+      .orderBy($"event_id")
+  }
+
   /** Missingness co-occurrence ([[graft.etl.Validation.nullPatternAudit]])
     * over a deterministically degraded event feed: `value` and `prop_k`
     * blank together on the event_id%7 stripe (a simulated feed outage —
@@ -489,6 +509,7 @@ object Domain {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_fd_audit" -> q184FdAudit _,
     "q279_null_pattern" -> q279NullPattern _,
+    "q289_asof_nearest" -> q289AsofNearest _,
     "q176_ref_integrity" -> q176RefIntegrity _,
     "q160_abc" -> q160Abc _,
     "q159_rfm" -> q159Rfm _,
@@ -513,6 +534,39 @@ object Domain {
     "q94_drawdown" -> q94Drawdown _)
 
   val oracleSql: Map[String, String] = Map(
+    "q289_asof_nearest" -> """
+      |WITH e AS (
+      |  SELECT event_id, user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS d
+      |  FROM events),
+      |o AS MATERIALIZED (
+      |  SELECT o_custkey AS user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01',
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS od,
+      |    o_orderkey
+      |  FROM orders),
+      |c AS (
+      |  SELECT e.*,
+      |    (SELECT max(od) FROM o
+      |     WHERE o.user_id = e.user_id AND od <= d) AS bt,
+      |    (SELECT min(od) FROM o
+      |     WHERE o.user_id = e.user_id AND od > d) AS ft
+      |  FROM e),
+      |p AS (
+      |  SELECT c.*,
+      |    (SELECT max(o_orderkey) FROM o
+      |     WHERE o.user_id = c.user_id AND od = bt) AS bp,
+      |    (SELECT min(o_orderkey) FROM o
+      |     WHERE o.user_id = c.user_id AND od = ft) AS fp
+      |  FROM c)
+      |SELECT event_id, user_id,
+      |  CASE WHEN bt IS NOT NULL AND (ft IS NULL OR d - bt <= ft - d)
+      |       THEN bp ELSE fp END AS asofn_o_orderkey,
+      |  CASE WHEN bt IS NOT NULL AND (ft IS NULL OR d - bt <= ft - d)
+      |       THEN d - bt
+      |       WHEN ft IS NOT NULL THEN ft - d END AS asofn_gap
+      |FROM p ORDER BY event_id""".stripMargin,
     "q279_null_pattern" -> """
       |WITH f AS (
       |  SELECT

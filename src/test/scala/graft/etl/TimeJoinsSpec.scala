@@ -331,4 +331,22 @@ class TimeJoinsSpec extends SparkSpec {
       .select($"id", $"v").as[(Long, Long)].collect().toSeq
     assert(late == Seq((2L, 200L)))
   }
+  test("asofJoinNearest: closer side wins, ties prefer backward, edges null") {
+    import spark.implicits._
+    val probes = Seq((1L, 10L, 100L), (2L, 10L, 104L), (3L, 10L, 107L),
+      (4L, 10L, 90L), (5L, 99L, 50L)).toDF("id", "k", "t")
+    val quotes = Seq((10L, 95L, 7L), (10L, 103L, 8L), (10L, 105L, 9L))
+      .toDF("k", "rt", "v")
+    val got = graft.etl.TimeJoins.asofJoinNearest(probes, quotes, "k",
+        "t", "rt", "v")
+      .select($"id", $"asofn_v", $"asofn_gap").orderBy($"id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(got.toSeq == Seq(
+      (1L, Some(8L), Some(3L)),   // 100: fwd 103 gap 3 beats back 95 gap 5
+      (2L, Some(8L), Some(1L)),   // 104: gap-1 tie both ways -> backward 103
+      (3L, Some(9L), Some(2L)),   // 107: back 105 gap 2, no forward
+      (4L, Some(7L), Some(5L)),   // 90: no backward, fwd 95 gap 5
+      (5L, None, None)))          // key with no quotes
+  }
+
 }
