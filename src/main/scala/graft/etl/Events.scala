@@ -365,6 +365,36 @@ object Events {
         col("censored"))
   }
 
+  /** Event-lateness audit — the watermark-sizing report: per group the
+    * exact nearest-rank P50/P95 and max of the arrival delay, plus the
+    * share (bp) of events that would be DROPPED at each candidate
+    * watermark. This is the number a streaming operator's watermark
+    * must be read off from — guessing it either drops late data
+    * silently or holds state forever. One ordered window per group +
+    * one fold; delays integral (µs). */
+  def latenessAudit(df: DataFrame, groupCol: String, delayUsCol: String,
+      thresholdsSec: Seq[Long]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(delayUsCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    val at = (target: Column) =>
+      sum(when(col("_rn") === target, col(delayUsCol)))
+    val lateCols = thresholdsSec.map(t =>
+      sum(when(col(delayUsCol) > t * 1000000L, 1L).otherwise(0L))
+        .as(s"_c$t"))
+    val base = df.filter(col(delayUsCol).isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .groupBy(col(groupCol))
+      .agg(max(col("_n")).as("n"),
+        (Seq(at(expr("(_n + 1) div 2")).as("p50_us"),
+          at(expr("(19 * _n + 19) div 20")).as("p95_us"),
+          max(col(delayUsCol)).as("max_us")) ++ lateCols): _*)
+    thresholdsSec.foldLeft(base) { (acc, t) =>
+      acc.withColumn(s"late_bp_$t",
+          expr(s"_c$t * 10000 div n")).drop(s"_c$t")
+    }
+  }
+
   /** Exact trailing-window distinct actors per day (DAU + rolling WAU):
     * the reach metric HLL sketches usually approximate, exact and still
     * scale-safe because a distinct (user, active-day) row contributes to

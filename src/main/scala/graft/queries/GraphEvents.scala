@@ -345,6 +345,23 @@ object GraphEvents {
       .orderBy($"d")
   }
 
+  // ----------------------------------------- q290 watermark audit
+
+  /** Watermark-sizing report ([[Events.latenessAudit]]) over the q263
+    * late-arrival model (tx lags valid time by an id-derived delay up to
+    * ~17 min): per event type the exact P50/P95/max arrival delay and
+    * the share of events a 60 s / 300 s / 900 s watermark would drop —
+    * the report every `withWatermark` call in `graft.streaming` should
+    * be read off from. */
+  def q290WatermarkAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.events(spark, dir)
+      .select($"event_type", (($"event_id" % 1000) * 1000000L)
+        .as("delay_us"))
+    Events.latenessAudit(d, "event_type", "delay_us", Seq(60L, 300L, 900L))
+      .orderBy($"event_type")
+  }
+
   // ------------------------------------------ q181 conversion lag
 
   /** Click→purchase conversion-lag percentiles: each purchase's lag to
@@ -892,6 +909,7 @@ object GraphEvents {
     "q275_cum_hazard" -> q275CumHazard _,
     "q286_trailing_distinct" -> q286TrailingDistinct _,
     "q288_cf_neighbors" -> q288CfNeighbors _,
+    "q290_watermark_audit" -> q290WatermarkAudit _,
     "q181_conversion_lag" -> q181ConversionLag _,
     "q177_pit_attribution" -> q177PitAttribution _,
     "q164_snapshot_diff" -> q164SnapshotDiff _,
@@ -1430,6 +1448,29 @@ object GraphEvents {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk,
       |  events, censored
       |FROM b ORDER BY day_k""".stripMargin,
+    "q290_watermark_audit" -> """
+      |WITH d AS (
+      |  SELECT event_type, (event_id % 1000) * 1000000 AS delay_us
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, delay_us,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY delay_us)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM d)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN delay_us END)
+      |    AS BIGINT) AS p50_us,
+      |  CAST(sum(CASE WHEN rn = (19 * n + 19) // 20 THEN delay_us END)
+      |    AS BIGINT) AS p95_us,
+      |  CAST(max(delay_us) AS BIGINT) AS max_us,
+      |  CAST(sum(CASE WHEN delay_us > 60000000 THEN 1 ELSE 0 END)
+      |    * 10000 // max(n) AS BIGINT) AS late_bp_60,
+      |  CAST(sum(CASE WHEN delay_us > 300000000 THEN 1 ELSE 0 END)
+      |    * 10000 // max(n) AS BIGINT) AS late_bp_300,
+      |  CAST(sum(CASE WHEN delay_us > 900000000 THEN 1 ELSE 0 END)
+      |    * 10000 // max(n) AS BIGINT) AS late_bp_900
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q286_trailing_distinct" -> """
       |WITH ud AS (
       |  SELECT DISTINCT user_id,

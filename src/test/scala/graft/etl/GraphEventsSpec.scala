@@ -385,4 +385,19 @@ class GraphEventsSpec extends SparkSpec {
       (3L, 0L, 1L), (9L, 1L, 1L)))
   }
 
+  test("latenessAudit: nearest-rank percentiles and drop shares") {
+    // delays (s): 0,10,20,...,90 -> p50 = rank 5 = 40s, p95 = rank 10 = 90s
+    val df = (0L until 10L).map(i => ("g", i * 10000000L))
+      .toDF("g", "delay_us")
+    val out = Events.latenessAudit(df, "g", "delay_us", Seq(30L, 85L))
+      .collect().head
+    assert(out.getAs[Long]("n") == 10L)
+    assert(out.getAs[Long]("p50_us") == 40000000L)
+    assert(out.getAs[Long]("p95_us") == 90000000L)
+    assert(out.getAs[Long]("max_us") == 90000000L)
+    // > 30s: 40..90 -> 6 of 10 = 6000 bp; > 85s: only 90 -> 1000 bp
+    assert(out.getAs[Long]("late_bp_30") == 6000L)
+    assert(out.getAs[Long]("late_bp_85") == 1000L)
+  }
+
 }
