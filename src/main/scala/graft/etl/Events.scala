@@ -365,6 +365,25 @@ object Events {
         col("censored"))
   }
 
+  /** Recency-decayed engagement score with NO floating-point decay:
+    *   decayed = Σ value div 2^min(⌊age/halflife⌋, 40)
+    * — exponential half-life decay quantized to whole halvings, so the
+    * score is exact integer arithmetic (bit-shift halving), identical
+    * cross-engine, and mergeable (it is a plain SUM of per-row terms —
+    * partial aggregation, sketch-free incremental refresh). The cap at
+    * 40 halvings floors ancient events to 0 without shift overflow.
+    * The standard "recent activity matters more" ranking signal,
+    * without the nondeterministic `exp()` the naive version reaches
+    * for. */
+  def decayedSum(df: DataFrame, keyCol: String, ageDaysCol: String,
+      valueCol: String, halflifeDays: Long): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"""$valueCol div shiftleft(1L,
+            CAST(least($ageDaysCol div $halflifeDays, 40L) AS INT))"""))
+          .as("decayed_c"),
+        sum(col(valueCol)).as("raw_c"))
+
   /** Event-lateness audit — the watermark-sizing report: per group the
     * exact nearest-rank P50/P95 and max of the arrival delay, plus the
     * share (bp) of events that would be DROPPED at each candidate

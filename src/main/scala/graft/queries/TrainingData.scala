@@ -668,7 +668,36 @@ object TrainingData {
     "q276_zipf" -> q276Zipf _,
     "q277_rendezvous" -> q277Rendezvous _,
     "q281_dim_profile" -> q281DimProfile _,
-    "q282_audio_decode" -> q282AudioDecode _)
+    "q282_audio_decode" -> q282AudioDecode _,
+    "q293_split_balance" -> q293SplitBalance _)
+
+  /** Split-balance audit over the q59 content-addressed split: per
+    * (split, language) the within-split share vs the corpus share in
+    * exact floored ppm and their gap — the stratification check run
+    * before trusting a train/val/test cut (a language over-represented
+    * in test silently skews every eval). Composition of enum-sized
+    * aggregates; the sha-bucket split is q59's. */
+  def q293SplitBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"doc_id", $"lang")
+      .withColumn("b", expr(
+        "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 4)," +
+          " 16, 10) AS BIGINT) % 100"))
+      .withColumn("split", when($"b" < 80, "train")
+        .when($"b" < 90, "val").otherwise("test"))
+    val cell = d.groupBy($"split", $"lang").agg(count(lit(1)).as("n"))
+    val bySplit = cell.groupBy($"split").agg(sum($"n").as("n_split"))
+    val byLang = cell.groupBy($"lang").agg(sum($"n").as("n_lang"))
+    val tot = cell.agg(sum($"n").as("n_tot"))
+    cell.join(bySplit, "split").join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(tot))
+      .select($"split", $"lang", $"n",
+        expr("n * 1000000 div n_split").as("split_ppm"),
+        expr("n_lang * 1000000 div n_tot").as("corpus_ppm"),
+        abs(expr("n * 1000000 div n_split") -
+          expr("n_lang * 1000000 div n_tot")).as("gap_ppm"))
+      .orderBy($"split", $"lang")
+  }
 
   /** REAL WAV decode through the JDK codec
     * ([[Multimodal.AudioCodec]]): synthesize square-wave PCM16 WAVs
@@ -1242,6 +1271,32 @@ object TrainingData {
     "q66_connected_components" -> """
       |SELECT doc_id, doc_id - doc_id % 5 AS component
       |FROM documents ORDER BY doc_id""".stripMargin,
+    "q293_split_balance" -> """
+      |WITH d AS (
+      |  SELECT lang,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT lang,
+      |          ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4))
+      |            ::BIGINT % 100 AS b
+      |        FROM documents)),
+      |cell AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n
+      |         FROM d GROUP BY 1, 2),
+      |bs AS (SELECT split, CAST(sum(n) AS BIGINT) AS n_split
+      |       FROM cell GROUP BY 1),
+      |bl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+      |       FROM cell GROUP BY 1),
+      |tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM cell)
+      |SELECT cell.split, cell.lang, n,
+      |  CAST(n * 1000000 // n_split AS BIGINT) AS split_ppm,
+      |  CAST(n_lang * 1000000 // n_tot AS BIGINT) AS corpus_ppm,
+      |  CAST(abs(n * 1000000 // n_split - n_lang * 1000000 // n_tot)
+      |    AS BIGINT) AS gap_ppm
+      |FROM cell
+      |JOIN bs ON bs.split = cell.split
+      |JOIN bl ON bl.lang = cell.lang
+      |CROSS JOIN tt
+      |ORDER BY cell.split, cell.lang""".stripMargin,
     "q282_audio_decode" -> """
       |WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
       |p AS (SELECT doc_id, 800 + (doc_id % 5) * 160 AS n_frames,

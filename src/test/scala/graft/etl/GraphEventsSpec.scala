@@ -400,4 +400,15 @@ class GraphEventsSpec extends SparkSpec {
     assert(out.getAs[Long]("late_bp_85") == 1000L)
   }
 
+  test("decayedSum: bit-shift halving per half-life, ancient floors to 0") {
+    val df = Seq(("u", 0L, 100L), ("u", 7L, 100L), ("u", 15L, 100L),
+      ("u", 300L, 100L)).toDF("k", "age", "c")
+    val out = Events.decayedSum(df, "k", "age", "c", halflifeDays = 7L)
+      .collect().head
+    // 100 + 100/2 + 100/4 + (42 halvings -> capped 40 -> 0) = 175
+    assert(out.getAs[Long]("n") == 4L)
+    assert(out.getAs[Long]("decayed_c") == 175L)
+    assert(out.getAs[Long]("raw_c") == 400L)
+  }
+
 }

@@ -278,4 +278,17 @@ class StatsSpec extends SparkSpec {
     assert(db >= 90L && db <= 100L)
   }
 
+  test("conformalRadius: finite-sample rank, too-small n yields NULL") {
+    // scores 1..10: alpha 10% -> k = ceil(11*0.90) = 10 -> radius 10;
+    // alpha 5% -> k = 11 > n -> NULL radius
+    val df = (1L to 10L).map(("g", _)).toDF("g", "s")
+    val out = Stats.conformalRadius(df, "g", "s", Seq(10, 5))
+      .collect().head
+    assert(out.getAs[Long]("n") == 10L)
+    assert(out.getAs[Long]("k_a10") == 10L &&
+      out.getAs[Long]("radius_a10") == 10L)
+    assert(out.getAs[Long]("k_a5") == 11L && out.isNullAt(
+      out.fieldIndex("radius_a5")))
+  }
+
 }
