@@ -84,4 +84,29 @@ object Dedupe {
       acc.join(best, Seq(clusterCol), "left")
     }
   }
+
+  /** Capture–recapture estimate of the TRUE duplicate population from
+    * two independent detectors — the "how many duplicates did we miss"
+    * number a dedup pipeline cannot measure directly. With n1 docs
+    * flagged by detector A, n2 by detector B, and m by both, the
+    * Chapman estimator
+    *   N̂ = ⌊(n1+1)·(n2+1)/(m+1)⌋ − 1
+    * is exact integer arithmetic (and finite even at m = 0, unlike
+    * Lincoln–Petersen). `est_missed` = N̂ − |A ∪ B| clamped at 0 — the
+    * actionable gap. Independence of the detectors is the modeling
+    * assumption; pair a content-hash detector with a structural one
+    * (sorted-token fingerprint), not two hash variants. One pass:
+    * both flags fold in a single map-side-combined aggregation. */
+  def captureRecapture(flags: DataFrame, flagA: Column,
+      flagB: Column): DataFrame =
+    flags.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(flagA, 1L).otherwise(0L)).as("n1"),
+        sum(when(flagB, 1L).otherwise(0L)).as("n2"),
+        sum(when(flagA && flagB, 1L).otherwise(0L)).as("m"),
+        sum(when(flagA || flagB, 1L).otherwise(0L)).as("n_union"))
+      .withColumn("n_hat",
+        expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1"))
+      .withColumn("est_missed",
+        expr("greatest(n_hat - n_union, 0L)"))
 }

@@ -418,6 +418,52 @@ object Mining {
         col("m.dist2").as("dist2"))
   }
 
+  /** Cost-optimal decision threshold: given integer costs per false
+    * positive and false negative, the score cutoff (predict positive
+    * when score > t) minimizing total cost per group — the DECISION
+    * step after AUC (q140) / calibration (q141) / confusion (q202)
+    * describe how the scores behave. Candidates are the distinct scores
+    * plus the all-positive corner (t = min−1); rows collapse to
+    * (group, score) BEFORE the one ordered window (bounded by distinct
+    * scores, not rows); cost is exact integer; argmin is a min(struct)
+    * fold with ties to the smaller threshold. */
+  def bestThreshold(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: Column, costFp: Long, costFn: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cell = df.select(col(groupCol), col(scoreCol).as("_s"),
+        when(labelCol, 1L).otherwise(0L).as("_y"))
+      .groupBy(col(groupCol), col("_s"))
+      .agg(count(lit(1)).as("_c"), sum(col("_y")).as("_p"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    val cum = cell
+      .withColumn("cp", sum(col("_p")).over(w))
+      .withColumn("cn", sum(col("_c") - col("_p")).over(w))
+      .withColumn("tp", sum(col("_p")).over(wAll))
+      .withColumn("tn", sum(col("_c") - col("_p")).over(wAll))
+    val cand = cum.select(col(groupCol), col("_s").as("thr"),
+      col("cp").as("fn_at"), (col("tn") - col("cn")).as("fp_at"),
+      col("tp"), col("tn"))
+    val allPos = cum.groupBy(col(groupCol))
+      .agg((min(col("_s")) - 1).as("thr"), lit(0L).as("fn_at"),
+        max(col("tn")).as("fp_at"), max(col("tp")).as("tp"),
+        max(col("tn")).as("tn"))
+    cand.unionByName(allPos)
+      .withColumn("cost",
+        lit(costFn) * col("fn_at") + lit(costFp) * col("fp_at"))
+      .groupBy(col(groupCol))
+      .agg(min(struct(col("cost"), col("thr"), col("fn_at"),
+          col("fp_at"))).as("_b"),
+        max(col("tp")).as("n_pos"), max(col("tn")).as("n_neg"))
+      .select(col(groupCol),
+        col("_b").getField("thr").as("threshold"),
+        col("_b").getField("cost").as("cost"),
+        col("_b").getField("fn_at").as("fn_at"),
+        col("_b").getField("fp_at").as("fp_at"),
+        col("n_pos"), col("n_neg"))
+  }
+
   /** Multinomial Naive Bayes text classifier, trained AND applied in one
     * declarative plan, reported as the resubstitution confusion matrix —
     * the vocabulary-driven classifier (language ID, source routing,

@@ -1031,6 +1031,7 @@ object MiningQueries {
     "q280_ips_eval" -> q280IpsEval _,
     "q283_gen_ladder" -> q283GenLadder _,
     "q287_nb_classify" -> q287NbClassify _,
+    "q295_cost_threshold" -> q295CostThreshold _,
     "q284_var_alloc" -> q284VarAlloc _)
 
   /** Minimal-generalization search
@@ -1051,6 +1052,21 @@ object MiningQueries {
           Seq("c_nationkey", "c_mktsegment"), Seq("c_mktsegment")),
         k = 25)
       .orderBy($"level")
+  }
+
+  /** Cost-optimal alert threshold ([[Mining.bestThreshold]]): per user
+    * cohort, the spend cutoff above which flagging an event as a
+    * purchase minimizes 1·FP + 5·FN — the asymmetric-cost DECISION step
+    * downstream of q140's AUC and q202's confusion counts. */
+  def q295CostThreshold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).filter($"value".isNotNull)
+      .select(($"user_id" % 4).as("cohort"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("s"),
+        $"event_type")
+    Mining.bestThreshold(e, "cohort", "s", $"event_type" === "purchase",
+        costFp = 1L, costFn = 5L)
+      .orderBy($"cohort")
   }
 
   /** Naive Bayes language classifier ([[Mining.nbTextConfusion]]):
@@ -2072,6 +2088,47 @@ object MiningQueries {
       |  CAST(1000000 // min(CASE WHEN c_custkey % 13 = 0 THEN rk END)
       |    AS BIGINT) AS rr_scaled
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q295_cost_threshold" -> """
+      |WITH x AS (
+      |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort,
+      |    CAST(round(value * 100) AS BIGINT) AS s,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events WHERE value IS NOT NULL),
+      |cell AS (
+      |  SELECT cohort, s, count(*) AS c, sum(y) AS p
+      |  FROM x GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort, s,
+      |    CAST(sum(p) OVER (PARTITION BY cohort ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cp,
+      |    CAST(sum(c - p) OVER (PARTITION BY cohort ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cn,
+      |    CAST(sum(p) OVER (PARTITION BY cohort) AS BIGINT) AS tp,
+      |    CAST(sum(c - p) OVER (PARTITION BY cohort) AS BIGINT) AS tn
+      |  FROM cell),
+      |cand AS (
+      |  SELECT cohort, s AS thr, cp AS fn_at, tn - cn AS fp_at, tp, tn
+      |  FROM cum
+      |  UNION ALL
+      |  SELECT cohort, min(s) - 1, 0, max(tn), max(tp), max(tn)
+      |  FROM cum GROUP BY cohort),
+      |costed AS (
+      |  SELECT cohort, thr, fn_at, fp_at, tp, tn,
+      |    5 * fn_at + 1 * fp_at AS cost
+      |  FROM cand),
+      |sel AS (SELECT cohort, min(cost) AS mc FROM costed GROUP BY 1),
+      |best AS (
+      |  SELECT costed.cohort, min(thr) AS threshold, mc AS cost
+      |  FROM costed JOIN sel
+      |    ON costed.cohort = sel.cohort AND cost = mc
+      |  GROUP BY costed.cohort, mc)
+      |SELECT b.cohort, b.threshold, b.cost, c.fn_at, c.fp_at,
+      |  c.tp AS n_pos, c.tn AS n_neg
+      |FROM best b
+      |JOIN costed c ON c.cohort = b.cohort AND c.thr = b.threshold
+      |ORDER BY b.cohort""".stripMargin,
     "q287_nb_classify" -> """
       |WITH toks AS MATERIALIZED (
       |  SELECT doc_id AS id, lang AS y,

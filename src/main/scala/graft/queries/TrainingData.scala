@@ -669,7 +669,27 @@ object TrainingData {
     "q277_rendezvous" -> q277Rendezvous _,
     "q281_dim_profile" -> q281DimProfile _,
     "q282_audio_decode" -> q282AudioDecode _,
-    "q293_split_balance" -> q293SplitBalance _)
+    "q293_split_balance" -> q293SplitBalance _,
+    "q294_capture_recapture" -> q294CaptureRecapture _)
+
+  /** Chapman capture–recapture ([[graft.etl.Dedupe.captureRecapture]])
+    * over two structurally different dup detectors — byte-exact hash
+    * (q25) vs order-insensitive token fingerprint (q225): estimate the
+    * TRUE duplicate population and how many dup docs BOTH detectors are
+    * still missing. */
+  def q294CaptureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"doc_id",
+      sha2($"text", 256).as("h"),
+      array_join(array_sort(array_distinct(
+        array_remove(split(lower($"text"), " "), ""))), " ").as("fp"))
+    val wH = Window.partitionBy($"h")
+    val wF = Window.partitionBy($"fp")
+    val flags = d
+      .withColumn("a", count(lit(1)).over(wH) > 1)
+      .withColumn("b", count(lit(1)).over(wF) > 1)
+    graft.etl.Dedupe.captureRecapture(flags, $"a", $"b")
+  }
 
   /** Split-balance audit over the q59 content-addressed split: per
     * (split, language) the within-split share vs the corpus share in
@@ -1271,6 +1291,31 @@ object TrainingData {
     "q66_connected_components" -> """
       |SELECT doc_id, doc_id - doc_id % 5 AS component
       |FROM documents ORDER BY doc_id""".stripMargin,
+    "q294_capture_recapture" -> """
+      |WITH d AS (
+      |  SELECT doc_id, sha256(text) AS h,
+      |    array_to_string(list_sort(list_distinct(
+      |      list_filter(string_split(lower(text), ' '), x -> x <> ''))),
+      |      ' ') AS fp
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    count(*) OVER (PARTITION BY h) > 1 AS a,
+      |    count(*) OVER (PARTITION BY fp) > 1 AS b
+      |  FROM d),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS m,
+      |    CAST(sum(CASE WHEN a OR b THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_union
+      |  FROM f)
+      |SELECT n_docs, n1, n2, m, n_union,
+      |  CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS n_hat,
+      |  CAST(greatest((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_union, 0)
+      |    AS BIGINT) AS est_missed
+      |FROM agg""".stripMargin,
     "q293_split_balance" -> """
       |WITH d AS (
       |  SELECT lang,

@@ -788,4 +788,16 @@ class MiningSpec extends SparkSpec {
     assert(out.toSeq == Seq(("en", "en", 2L), ("nl", "nl", 1L)))
   }
 
+  test("bestThreshold: asymmetric costs pick the exact argmin cutoff") {
+    // scores 1n 2p 3n 4p; costFp=1 costFn=2
+    // t=0 (all pos): cost 2; t=1: fp={3} cost 1; t=2: fn={2} fp={3} cost 3
+    val df = Seq(("g", 1L, false), ("g", 2L, true), ("g", 3L, false),
+      ("g", 4L, true)).toDF("g", "s", "y")
+    val out = Mining.bestThreshold(df, "g", "s", col("y"), 1L, 2L)
+      .collect().head
+    assert(out.getAs[Long]("threshold") == 1L && out.getAs[Long]("cost") == 1L)
+    assert(out.getAs[Long]("fn_at") == 0L && out.getAs[Long]("fp_at") == 1L)
+    assert(out.getAs[Long]("n_pos") == 2L && out.getAs[Long]("n_neg") == 2L)
+  }
+
 }

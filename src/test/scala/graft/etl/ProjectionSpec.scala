@@ -143,4 +143,20 @@ class ProjectionSpec extends SparkSpec {
       ("z", "x", 1L, 500000L, 1L), ("z", "y", 1L, 333333L, 2L)))
   }
 
+  test("captureRecapture: Chapman estimate and the missed-mass gap") {
+    // overlapping detectors: n1=4, n2=3, m=2 -> N = 5*4 div 3 - 1 = 5
+    val over = Seq((1, true, false), (2, true, false), (3, true, true),
+      (4, true, true), (5, false, true), (6, false, false))
+      .toDF("id", "a", "b")
+    val o = Dedupe.captureRecapture(over, $"a", $"b").collect().head
+    assert(o.getAs[Long]("n1") == 4L && o.getAs[Long]("n2") == 3L &&
+      o.getAs[Long]("m") == 2L)
+    assert(o.getAs[Long]("n_hat") == 5L && o.getAs[Long]("est_missed") == 0L)
+    // disjoint detectors: m=0 stays finite (Chapman), gap = 8 - 4 = 4
+    val dis = Seq((1, true, false), (2, true, false), (3, false, true),
+      (4, false, true)).toDF("id", "a", "b")
+    val d = Dedupe.captureRecapture(dis, $"a", $"b").collect().head
+    assert(d.getAs[Long]("n_hat") == 8L && d.getAs[Long]("est_missed") == 4L)
+  }
+
 }
