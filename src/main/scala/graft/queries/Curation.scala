@@ -299,6 +299,43 @@ object Curation {
       .orderBy($"event_type", $"bucket")
   }
 
+  // ----------------------------------------- q296 sketch rollup
+
+  /** Sketch REAGGREGATION — the property that justifies keeping HLL
+    * registers in a rollup table at all: per-week `hll_regs` registers
+    * merge to 4-week periods by register-wise max (order-independent,
+    * loss-free — the merged registers are BIT-IDENTICAL to building one
+    * sketch over the whole period), then each period's estimate is
+    * audited against the exact distinct count. 64 bytes per (week)
+    * crosses the shuffle instead of the user set. */
+  def q296SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weekly = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"user_id" >= 0)
+      .select($"user_id",
+        expr("CAST(datediff(to_date(ts), DATE'1970-01-01') AS LONG) div 7")
+          .as("wk"))
+    val merged = weekly.groupBy($"wk")
+      .agg(expr("hll_regs(user_id, 6)").as("r"))
+      .select(expr("wk div 4").as("mon"), posexplode($"r"))
+      .select($"mon", $"pos".cast("long").as("bucket"),
+        $"col".cast("long").as("rho"))
+      .groupBy($"mon", $"bucket").agg(max($"rho").as("rho"))
+    val est = merged.groupBy($"mon")
+      .agg(sum(expr("shiftleft(1L, 27 - CAST(rho AS INT))")).as("harm"))
+      .select($"mon",
+        expr("(7090L * 64 * 64 * shiftleft(1L, 27)) div (10000L * harm)")
+          .as("hll_est"))
+    val exact = weekly.select(expr("wk div 4").as("mon"), $"user_id")
+      .groupBy($"mon")
+      .agg(countDistinct($"user_id").as("exact_distinct"))
+    exact.join(est, Seq("mon"))
+      .select($"mon", $"exact_distinct", $"hll_est",
+        expr("abs(hll_est - exact_distinct) * 10000 div exact_distinct")
+          .as("abs_err_bp"))
+      .orderBy($"mon")
+  }
+
   // ------------------------------------ q172 histogram quantile audit
 
   /** Equi-width histogram quantile estimates vs exact order statistics
@@ -405,6 +442,7 @@ object Curation {
     "q166_cms" -> q166Cms _,
     "q168_hll" -> q168Hll _,
     "q190_hll_agg" -> q190HllAgg _,
+    "q296_sketch_rollup" -> q296SketchRollup _,
     "q172_hist_quantiles" -> q172HistQuantiles _,
     "q119_decontaminate" -> q119Decontaminate _,
     "q120_bpe_pairs" -> q120BpePairs _,
@@ -552,6 +590,45 @@ object Curation {
       |  GROUP BY 1, 2)
       |SELECT item, cnt, est, est - cnt AS overcount
       |FROM est ORDER BY item""".stripMargin,
+    "q296_sketch_rollup" -> """
+      |WITH e AS (
+      |  SELECT user_id,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+      |      AS wk
+      |  FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
+      |h0 AS (SELECT DISTINCT wk,
+      |         (user_id * 2654435761) % 4294967296 AS h FROM e),
+      |h1 AS (SELECT wk, xor(h, h // 65536) AS h FROM h0),
+      |h2 AS (SELECT wk, (h * 2146121005) % 4294967296 AS h FROM h1),
+      |k AS (SELECT DISTINCT wk, xor(h, h // 8192) AS h FROM h2),
+      |r AS (SELECT wk, h % 64 AS bucket, h // 64 AS v FROM k),
+      |rh AS (SELECT wk // 4 AS mon, bucket,
+      |         CASE WHEN v = 0 THEN 27 ELSE 27 - length(bin(v)) END AS rho
+      |       FROM r),
+      |mg AS (SELECT mon, bucket, max(rho) AS rho FROM rh GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT m.mon, g.bucket
+      |  FROM (SELECT DISTINCT mon FROM mg) m,
+      |       (SELECT unnest(generate_series(0, 63)) AS bucket) g),
+      |fl AS (
+      |  SELECT grid.mon, grid.bucket, coalesce(rho, 0) AS rho
+      |  FROM grid LEFT JOIN mg
+      |    ON mg.mon = grid.mon AND mg.bucket = grid.bucket),
+      |s AS (SELECT mon,
+      |        CAST(sum(CAST(1 AS BIGINT) << (27 - rho)) AS BIGINT) AS harm
+      |      FROM fl GROUP BY 1),
+      |ex AS (SELECT wk // 4 AS mon, count(DISTINCT user_id)
+      |         AS exact_distinct
+      |       FROM e GROUP BY 1)
+      |SELECT CAST(s.mon AS BIGINT) AS mon,
+      |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+      |  (CAST(7090 AS BIGINT) * 64 * 64 * (CAST(1 AS BIGINT) << 27))
+      |    // (10000 * harm) AS hll_est,
+      |  abs((CAST(7090 AS BIGINT) * 64 * 64 * (CAST(1 AS BIGINT) << 27))
+      |    // (10000 * harm) - exact_distinct) * 10000 // exact_distinct
+      |    AS abs_err_bp
+      |FROM s JOIN ex ON ex.mon = s.mon
+      |ORDER BY mon""".stripMargin,
     "q190_hll_agg" -> """
       |WITH h0 AS (SELECT DISTINCT event_type,
       |              (user_id * 2654435761) % 4294967296 AS h

@@ -512,4 +512,16 @@ class CurationOpsSpec extends SparkSpec {
       .head.getAs[Long]("n") == 2L)
   }
 
+  test("sketch rollup: weekly register max-merge equals the one-shot build") {
+    import org.apache.spark.sql.functions.{expr, max, posexplode}
+    val df = (0L until 500L).map(i => (i % 97, i % 4)).toDF("k", "wk")
+    val weekly = df.groupBy($"wk").agg(expr("hll_regs(k, 6)").as("r"))
+      .select(posexplode($"r")).groupBy($"pos").agg(max($"col").as("rho"))
+    val once = df.agg(expr("hll_regs(k, 6)").as("r"))
+      .select(posexplode($"r")).select($"pos", $"col".as("rho2"))
+    val j = weekly.join(once, "pos")
+    assert(j.count() == 64L)
+    assert(j.filter($"rho" =!= $"rho2").count() == 0L)
+  }
+
 }
