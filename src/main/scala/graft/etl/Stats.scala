@@ -308,6 +308,39 @@ object Stats {
           .as("js_cb"))
   }
 
+  /** Quantile treatment effect: per group, the exact nearest-rank
+    * quantile of sample 1 minus sample 2 at each integer percent —
+    * WHERE in the distribution the treatment moved mass, which a mean
+    * difference cannot see (tails can shift oppositely and net to
+    * zero; the distribution-level companion to the q216/q217 location
+    * tests). One rank window per (group, side); every quantile pair
+    * folds in a single aggregation, diffs exact integers. */
+  def qte(df: DataFrame, groupCol: String, sideCol: String,
+      valueCol: String, pcts: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol), col(sideCol))
+      .orderBy(col(valueCol))
+    val wn = Window.partitionBy(col(groupCol), col(sideCol))
+    val t = df.filter(col(valueCol).isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wn))
+    val aggs =
+      Seq(sum(when(col(sideCol) === 2, 1L).otherwise(0L)).as("n2")) ++
+        pcts.flatMap { p =>
+          val tgt = s"((_n * $p + 99) div 100)"
+          Seq(
+            sum(when(col(sideCol) === 1 && col("_rn") === expr(tgt),
+              col(valueCol))).as(s"q1_p$p"),
+            sum(when(col(sideCol) === 2 && col("_rn") === expr(tgt),
+              col(valueCol))).as(s"q2_p$p"))
+        }
+    val base = t.groupBy(col(groupCol))
+      .agg(sum(when(col(sideCol) === 1, 1L).otherwise(0L)).as("n1"),
+        aggs: _*)
+    pcts.foldLeft(base) { (acc, p) =>
+      acc.withColumn(s"qte_p$p", col(s"q1_p$p") - col(s"q2_p$p"))
+    }
+  }
+
   /** Split-conformal calibration: per group, the nonconformity-score
     * radius q̂ = the ⌈(n+1)·(1−α)⌉-th smallest score (the
     * finite-sample-valid conformal quantile — guaranteeing ≥ 1−α

@@ -478,6 +478,23 @@ object StatsQueries {
       .orderBy($"cohort")
   }
 
+  // ----------------------------------------------- q297 QTE
+
+  /** Quantile treatment effect ([[Stats.qte]]) of purchase vs view
+    * amounts per cohort at P25/P50/P75/P90 — where in the spend
+    * distribution the two event types actually differ, not just whether
+    * the means do (the distribution-level readout beside q216/q217). */
+  def q297Qte(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.events(spark, dir)
+      .filter($"event_type".isin("purchase", "view") && $"value".isNotNull)
+      .select(($"user_id" % 4).as("cohort"),
+        when($"event_type" === "purchase", 1).otherwise(2).as("s"),
+        cents.as("v"))
+    Stats.qte(x, "cohort", "s", "v", Seq(25, 50, 75, 90))
+      .orderBy($"cohort")
+  }
+
   // --------------------------------------- q291 conformal radius
 
   /** Split-conformal interval radii ([[Stats.conformalRadius]]) at 90%
@@ -641,6 +658,7 @@ object StatsQueries {
     "q256_kl_drift" -> q256KlDrift _,
     "q273_js_drift" -> q273JsDrift _,
     "q291_conformal" -> q291Conformal _,
+    "q297_qte" -> q297Qte _,
     "q258_pinball" -> q258Pinball _,
     "q259_dispersion" -> q259Dispersion _,
     "q260_cramers_v" -> q260CramersV _,
@@ -801,6 +819,44 @@ object StatsQueries {
       |SELECT cohort, na, nb, kl_bits_num,
       |  CAST(greatest(kl_bits_num, 0) * 100 // nb AS BIGINT) AS kl_cb
       |FROM agg ORDER BY cohort""".stripMargin,
+    "q297_qte" -> """
+      |WITH x AS (
+      |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort,
+      |         CASE event_type WHEN 'purchase' THEN 1 ELSE 2 END AS s,
+      |         CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+      |r AS (
+      |  SELECT cohort, s, v,
+      |    row_number() OVER (PARTITION BY cohort, s ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY cohort, s) AS n
+      |  FROM x),
+      |a AS (
+      |  SELECT cohort,
+      |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN s = 1 AND rn = (n * 25 + 99) // 100
+      |      THEN v END) AS BIGINT) AS q1_p25,
+      |    CAST(sum(CASE WHEN s = 2 AND rn = (n * 25 + 99) // 100
+      |      THEN v END) AS BIGINT) AS q2_p25,
+      |    CAST(sum(CASE WHEN s = 1 AND rn = (n * 50 + 99) // 100
+      |      THEN v END) AS BIGINT) AS q1_p50,
+      |    CAST(sum(CASE WHEN s = 2 AND rn = (n * 50 + 99) // 100
+      |      THEN v END) AS BIGINT) AS q2_p50,
+      |    CAST(sum(CASE WHEN s = 1 AND rn = (n * 75 + 99) // 100
+      |      THEN v END) AS BIGINT) AS q1_p75,
+      |    CAST(sum(CASE WHEN s = 2 AND rn = (n * 75 + 99) // 100
+      |      THEN v END) AS BIGINT) AS q2_p75,
+      |    CAST(sum(CASE WHEN s = 1 AND rn = (n * 90 + 99) // 100
+      |      THEN v END) AS BIGINT) AS q1_p90,
+      |    CAST(sum(CASE WHEN s = 2 AND rn = (n * 90 + 99) // 100
+      |      THEN v END) AS BIGINT) AS q2_p90
+      |  FROM r GROUP BY cohort)
+      |SELECT cohort, n1, n2,
+      |  q1_p25, q2_p25, q1_p50, q2_p50, q1_p75, q2_p75, q1_p90, q2_p90,
+      |  q1_p25 - q2_p25 AS qte_p25, q1_p50 - q2_p50 AS qte_p50,
+      |  q1_p75 - q2_p75 AS qte_p75, q1_p90 - q2_p90 AS qte_p90
+      |FROM a ORDER BY cohort""".stripMargin,
     "q291_conformal" -> """
       |WITH x AS (
       |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort,

@@ -291,4 +291,16 @@ class StatsSpec extends SparkSpec {
       out.fieldIndex("radius_a5")))
   }
 
+  test("qte: per-quantile exact diffs, sides ranked independently") {
+    // side 1 = {10,20,30,40}; side 2 = {10,10,10,10}
+    // p50: q1 = rank 2 = 20, q2 = 10 -> +10; p90: q1 = rank 4 = 40 -> +30
+    val df = Seq((1L, 1, 10L), (1L, 1, 20L), (1L, 1, 30L), (1L, 1, 40L),
+      (1L, 2, 10L), (1L, 2, 10L), (1L, 2, 10L), (1L, 2, 10L))
+      .toDF("g", "s", "v")
+    val out = Stats.qte(df, "g", "s", "v", Seq(50, 90)).collect().head
+    assert(out.getAs[Long]("n1") == 4L && out.getAs[Long]("n2") == 4L)
+    assert(out.getAs[Long]("qte_p50") == 10L &&
+      out.getAs[Long]("qte_p90") == 30L)
+  }
+
 }
