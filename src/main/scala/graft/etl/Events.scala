@@ -365,6 +365,80 @@ object Events {
         col("censored"))
   }
 
+  /** U-shaped (position-based) multi-touch attribution with EXACT cent
+    * conservation: each purchase's cents split across the user's touches
+    * in the preceding window — 40/20/40 across first/middles/last (solo
+    * touch takes all, a pair splits evenly), integerized per purchase by
+    * largest remainder so every purchase's credit sums to its cents to
+    * the cent. The industry-standard middle ground between
+    * first-touch (q155) and last-touch/PIT (q177), which over- and
+    * under-credit discovery respectively.
+    *
+    * Scale shape: the touch×purchase pairing rides
+    * [[TimeJoins.rangeJoinBucketed]] (bounded fan-out equi-join, never a
+    * per-key nested loop); position weights scale by (m−2) so they stay
+    * integral for any touch count m; the largest-remainder rank is a
+    * per-purchase window bounded by that purchase's touch count.
+    * Purchases with no touch in window report as `unattributed` — their
+    * cents are NOT silently dropped. Output: one row per position class
+    * (solo/first/middle/last/unattributed) with touch count and credited
+    * cents. */
+  def positionAttribution(events: DataFrame, purchaseType: String,
+      touchType: String, windowUs: Long,
+      bucketWidthUs: Long): DataFrame = {
+    val p = events.filter(col("event_type") === purchaseType &&
+        col("value").isNotNull)
+      .select(col("user_id"), col("event_id").as("pid"),
+        expr("unix_micros(ts)").as("pus"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("ws", col("pus") - windowUs)
+    val t = events.filter(col("event_type") === touchType)
+      .select(col("user_id"), col("event_id").as("tid"),
+        expr("unix_micros(ts)").as("tus"))
+    val j = TimeJoins.rangeJoinBucketed(t, p, "user_id", "tus", "ws",
+      "pus", bucketWidthUs)
+    val w = Window.partitionBy(col("pid")).orderBy(col("tus"), col("tid"))
+    val wp = Window.partitionBy(col("pid"))
+    val ranked = j
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(wp))
+    val weighted = ranked
+      .withColumn("pos",
+        when(col("m") === 1, "solo")
+          .when(col("rn") === 1, "first")
+          .when(col("rn") === col("m"), "last")
+          .otherwise("middle"))
+      .withColumn("wgt",
+        when(col("m") <= 2, lit(1L))
+          .when(col("pos").isin("first", "last"),
+            (col("m") - 2) * 40L)
+          .otherwise(lit(20L)))
+      .withColumn("wtot",
+        when(col("m") === 1, lit(1L)).when(col("m") === 2, lit(2L))
+          .otherwise((col("m") - 2) * 100L))
+      .withColumn("base", expr("cents * wgt div wtot"))
+      .withColumn("rem", expr("cents * wgt % wtot"))
+    val wr = Window.partitionBy(col("pid"))
+      .orderBy(col("rem").desc, col("rn"))
+    val credited = weighted
+      .withColumn("left_over",
+        col("cents") - sum(col("base")).over(wp))
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("credit_c",
+        col("base") + when(col("rk") <= col("left_over"), 1L)
+          .otherwise(0L))
+    val byPos = credited.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_c")).as("credit_c"))
+    val unattributed = p
+      .join(j.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"),
+        coalesce(sum(col("cents")), lit(0L)).as("credit_c"))
+      .select(lit("unattributed").as("pos"), col("n_touches"),
+        col("credit_c"))
+    byPos.unionByName(unattributed)
+  }
+
   /** Recency-decayed engagement score with NO floating-point decay:
     *   decayed = Σ value div 2^min(⌊age/halflife⌋, 40)
     * — exponential half-life decay quantized to whole halvings, so the

@@ -382,6 +382,22 @@ object GraphEvents {
       .orderBy($"decayed_c".desc, $"user_id").limit(100)
   }
 
+  // ---------------------------------- q298 position attribution
+
+  /** U-shaped multi-touch attribution ([[Events.positionAttribution]]):
+    * purchase cents split 40/20/40 across the clicks of the preceding 7
+    * days with exact largest-remainder cent conservation — the
+    * position-based middle ground between q155's first-touch and q177's
+    * last-touch credit. */
+  def q298PositionAttribution(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    Events.positionAttribution(Tables.events(spark, dir),
+        purchaseType = "purchase", touchType = "click",
+        windowUs = 604800000000L, bucketWidthUs = 86400000000L)
+      .orderBy($"pos")
+  }
+
   // ------------------------------------------ q181 conversion lag
 
   /** Click→purchase conversion-lag percentiles: each purchase's lag to
@@ -931,6 +947,7 @@ object GraphEvents {
     "q288_cf_neighbors" -> q288CfNeighbors _,
     "q290_watermark_audit" -> q290WatermarkAudit _,
     "q292_decayed_score" -> q292DecayedScore _,
+    "q298_position_attribution" -> q298PositionAttribution _,
     "q181_conversion_lag" -> q181ConversionLag _,
     "q177_pit_attribution" -> q177PitAttribution _,
     "q164_snapshot_diff" -> q164SnapshotDiff _,
@@ -1469,6 +1486,53 @@ object GraphEvents {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk,
       |  events, censored
       |FROM b ORDER BY day_k""".stripMargin,
+    "q298_position_attribution" -> """
+      |WITH p AS (
+      |  SELECT user_id, event_id AS pid, epoch_us(ts) AS pus,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |t AS (
+      |  SELECT user_id, event_id AS tid, epoch_us(ts) AS tus
+      |  FROM events WHERE event_type = 'click'),
+      |j AS MATERIALIZED (
+      |  SELECT p.pid, p.cents, t.tid, t.tus
+      |  FROM p JOIN t ON t.user_id = p.user_id
+      |    AND t.tus >= p.pus - 604800000000 AND t.tus < p.pus),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY pid ORDER BY tus, tid) AS rn,
+      |    count(*) OVER (PARTITION BY pid) AS m
+      |  FROM j),
+      |wg AS (
+      |  SELECT *,
+      |    CASE WHEN m = 1 THEN 'solo' WHEN rn = 1 THEN 'first'
+      |         WHEN rn = m THEN 'last' ELSE 'middle' END AS pos,
+      |    CASE WHEN m <= 2 THEN 1
+      |         WHEN rn = 1 OR rn = m THEN (m - 2) * 40
+      |         ELSE 20 END AS w,
+      |    CASE WHEN m = 1 THEN 1 WHEN m = 2 THEN 2
+      |         ELSE (m - 2) * 100 END AS wt
+      |  FROM r),
+      |b AS (SELECT *, cents * w // wt AS base, cents * w % wt AS rem
+      |      FROM wg),
+      |c AS (
+      |  SELECT *, cents - sum(base) OVER (PARTITION BY pid) AS leftover,
+      |    row_number() OVER (PARTITION BY pid ORDER BY rem DESC, rn)
+      |      AS rk
+      |  FROM b),
+      |cr AS (SELECT pos,
+      |         base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+      |           AS credit
+      |       FROM c),
+      |bp AS (SELECT pos, CAST(count(*) AS BIGINT) AS n_touches,
+      |         CAST(sum(credit) AS BIGINT) AS credit_c
+      |       FROM cr GROUP BY 1),
+      |un AS (SELECT 'unattributed' AS pos,
+      |         CAST(count(*) AS BIGINT) AS n_touches,
+      |         CAST(coalesce(sum(cents), 0) AS BIGINT) AS credit_c
+      |       FROM p WHERE pid NOT IN (SELECT DISTINCT pid FROM j))
+      |SELECT * FROM bp UNION ALL SELECT * FROM un
+      |ORDER BY pos""".stripMargin,
     "q292_decayed_score" -> """
       |WITH e AS (
       |  SELECT user_id,

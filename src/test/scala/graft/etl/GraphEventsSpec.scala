@@ -411,4 +411,31 @@ class GraphEventsSpec extends SparkSpec {
     assert(out.getAs[Long]("raw_c") == 400L)
   }
 
+  test("positionAttribution: 40/20/40 split conserves cents exactly") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val us = 1000000L
+    // user 1: 3 clicks then a 101-cent purchase -> 40/20/40 of 101
+    // user 2: purchase with no click in window -> unattributed
+    val rows = Seq(
+      (1L, 10L * us, 1L, "click", None: Option[Double]),
+      (2L, 20L * us, 1L, "click", None),
+      (3L, 30L * us, 1L, "click", None),
+      (4L, 40L * us, 1L, "purchase", Some(1.01)),
+      (5L, 50L * us, 2L, "purchase", Some(2.00)))
+      .toDF("event_id", "_us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros($"_us")).drop("_us")
+    val out = Events.positionAttribution(rows, "purchase", "click",
+        windowUs = 100L * us, bucketWidthUs = 50L * us)
+      .orderBy($"pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // base: first/last 40 (40.4 floored), middle 20 (20.2 floored) -> 100;
+    // 1 leftover cent goes to the largest remainder (all rem equal ->
+    // earliest touch, the first click)
+    assert(out.toSeq == Seq(
+      ("first", 1L, 41L), ("last", 1L, 40L), ("middle", 1L, 20L),
+      ("unattributed", 1L, 200L)))
+    val total = out.filter(_._1 != "unattributed").map(_._3).sum
+    assert(total == 101L)
+  }
+
 }
