@@ -165,6 +165,32 @@ object Vocab {
           .as("decay_milli"))
   }
 
+  /** Good–Turing unseen-mass estimate per language: the probability the
+    * NEXT token drawn is a type never seen in this corpus,
+    * P₀ ≈ N₁/N (hapax count over token count — the leave-one-out
+    * argument: a token is "new" exactly as often as it was a singleton),
+    * plus the supporting vocabulary census (types, hapax/dis legomena,
+    * type–token ratio in ppm). The coverage forecast a tokenizer/vocab
+    * freeze is sized against — high unseen mass says the corpus slice
+    * is still growing vocabulary and an OOV bucket will be hot. Two
+    * keyed aggregations, everything exact-integer. */
+  def unseenMass(docs: DataFrame, langCol: String,
+      textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(langCol), explode(Corpus.tokensOf(col(textCol)))
+        .as("token"))
+      .groupBy(col(langCol), col("token")).agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col(langCol))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("dis"))
+      .select(col(langCol), col("n_tokens"), col("n_types"), col("hapax"),
+        col("dis"),
+        expr("hapax * 1000000 div n_tokens").as("unseen_ppm"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"))
+  }
+
   /** Encode documents as (doc, pos, token_id) against the global
     * [[vocabulary]] — the id-mapping side of tokenization. Tokens below
     * the `minCount` floor encode as the OOV id 0. No explicit broadcast

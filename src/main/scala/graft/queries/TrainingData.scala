@@ -670,7 +670,45 @@ object TrainingData {
     "q281_dim_profile" -> q281DimProfile _,
     "q282_audio_decode" -> q282AudioDecode _,
     "q293_split_balance" -> q293SplitBalance _,
-    "q294_capture_recapture" -> q294CaptureRecapture _)
+    "q294_capture_recapture" -> q294CaptureRecapture _,
+    "q299_unseen_mass" -> q299UnseenMass _,
+    "q300_split_leak" -> q300SplitLeak _)
+
+  /** Good–Turing unseen-token mass per language
+    * ([[graft.etl.Vocab.unseenMass]]): hapax share as the probability
+    * the next token is out-of-vocabulary — the coverage forecast a
+    * tokenizer freeze is sized against. */
+  def q299UnseenMass(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Vocab.unseenMass(Tables.documents(spark, dir), "lang",
+        "text")
+      .orderBy($"lang")
+  }
+
+  /** Split-leakage gate: byte-identical documents landing in DIFFERENT
+    * q59 splits (train text showing up verbatim in test) — count per
+    * colliding hash group the splits touched, plus the leaked doc mass.
+    * Exact-dup leakage is the eval-inflation failure the q119 n-gram
+    * decontamination generalizes; this is the exact-match release
+    * gate. */
+  def q300SplitLeak(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"doc_id",
+        sha2($"text", 256).as("h"))
+      .withColumn("b", expr(
+        "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 4)," +
+          " 16, 10) AS BIGINT) % 100"))
+      .withColumn("split", when($"b" < 80, "train")
+        .when($"b" < 90, "val").otherwise("test"))
+    val g = d.groupBy($"h")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"split").as("n_splits"))
+    g.agg(count(lit(1)).as("n_groups"),
+        sum(when($"n_docs" > 1, 1L).otherwise(0L)).as("dup_groups"),
+        sum(when($"n_splits" > 1, 1L).otherwise(0L)).as("leaking_groups"),
+        coalesce(sum(when($"n_splits" > 1, $"n_docs")), lit(0L))
+          .as("leaked_docs"))
+  }
 
   /** Chapman capture–recapture ([[graft.etl.Dedupe.captureRecapture]])
     * over two structurally different dup detectors — byte-exact hash
@@ -1291,6 +1329,43 @@ object TrainingData {
     "q66_connected_components" -> """
       |SELECT doc_id, doc_id - doc_id % 5 AS component
       |FROM documents ORDER BY doc_id""".stripMargin,
+    "q299_unseen_mass" -> """
+      |WITH tok AS (
+      |  SELECT lang,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS token
+      |  FROM documents),
+      |c AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2)
+      |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hapax,
+      |  CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+      |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000000
+      |    // sum(cnt) AS BIGINT) AS unseen_ppm,
+      |  CAST(count(*) * 1000000 // sum(cnt) AS BIGINT) AS ttr_ppm
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    "q300_split_leak" -> """
+      |WITH d AS (
+      |  SELECT doc_id, sha256(text) AS h,
+      |    ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4))
+      |      ::BIGINT % 100 AS b
+      |  FROM documents),
+      |s AS (
+      |  SELECT h, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |                 ELSE 'test' END AS split
+      |  FROM d),
+      |g AS (
+      |  SELECT h, count(*) AS n_docs, count(DISTINCT split) AS n_splits
+      |  FROM s GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS dup_groups,
+      |  CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS leaking_groups,
+      |  CAST(coalesce(sum(CASE WHEN n_splits > 1 THEN n_docs END), 0)
+      |    AS BIGINT) AS leaked_docs
+      |FROM g""".stripMargin,
     "q294_capture_recapture" -> """
       |WITH d AS (
       |  SELECT doc_id, sha256(text) AS h,

@@ -524,4 +524,15 @@ class CurationOpsSpec extends SparkSpec {
     assert(j.filter($"rho" =!= $"rho2").count() == 0L)
   }
 
+  test("unseenMass: hapax share forecasts OOV probability") {
+    // lang l: a x8, b x1, c x1 -> N=10, V=3, hapax=2 -> unseen 200000 ppm
+    val docs = Seq(("l", "a a a a a a a a b c")).toDF("lang", "text")
+    val out = Vocab.unseenMass(docs, "lang", "text").collect().head
+    assert(out.getAs[Long]("n_tokens") == 10L &&
+      out.getAs[Long]("n_types") == 3L)
+    assert(out.getAs[Long]("hapax") == 2L && out.getAs[Long]("dis") == 0L)
+    assert(out.getAs[Long]("unseen_ppm") == 200000L &&
+      out.getAs[Long]("ttr_ppm") == 300000L)
+  }
+
 }
