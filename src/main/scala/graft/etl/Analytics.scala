@@ -492,4 +492,62 @@ object Analytics {
       .withColumn("rate_contrib",
         col("share_b_ppm") * (col("rate_b") - col("rate_a")))
   }
+
+  /** Fixed-basket (Laspeyres) price index per period — the inflation
+    * tracker the reference's grocery domain exists to feed: with base
+    * quantities q₀ frozen from the first period and each item's period
+    * price p_t,
+    *   index_bp = ⌊10⁴ · Σ p_t·q₀ / Σ p₀·q₀⌋
+    * over the MATCHED basket (items priced in both the base and the
+    * period — the standard matched-sample rule; an unmatched item would
+    * silently reweight the basket). Item price per period is the
+    * minimum observed unit price (an exact integer order statistic —
+    * averages would be rationals); everything else is one cross-
+    * multiplied fraction in decimal(38,0). Two keyed aggregations + a
+    * broadcast base join. */
+  def priceIndex(df: DataFrame, itemCol: String, periodCol: String,
+      unitPriceCol: String, qtyCol: String): DataFrame = {
+    val per = df.groupBy(col(itemCol).as("_i"), col(periodCol).as("_t"))
+      .agg(min(col(unitPriceCol)).as("p"), sum(col(qtyCol)).as("q"))
+    val base = per
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_i"))
+          .orderBy(col("_t"))))
+      .filter(col("_rk") === 1)
+      .select(col("_i"), col("p").as("p0"), col("q").as("q0"))
+    per.join(base, Seq("_i"))
+      .groupBy(col("_t").as(periodCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("p").cast("decimal(38,0)") * col("q0")).as("_num"),
+        sum(col("p0").cast("decimal(38,0)") * col("q0")).as("_den"))
+      .select(col(periodCol), col("n_items"),
+        col("_num").cast("long").as("basket_t_c"),
+        col("_den").cast("long").as("basket_0_c"),
+        expr("CAST(_num * 10000 div NULLIF(_den, 0) AS BIGINT)")
+          .as("index_bp"))
+  }
+
+  /** Empirical-Bayes (partial-pooling) rate smoothing: each group's
+    * success rate shrunk toward the global rate with prior strength m
+    * pseudo-observations,
+    *   smoothed_ppm = ⌊(x·10⁶ + m·global_ppm) / (n + m)⌋
+    * — the standard CTR/conversion smoothing that keeps a 1-of-1 item
+    * from outranking a 980-of-1000 one. global_ppm is itself the
+    * floored global fraction, so the whole pipeline is integer-exact;
+    * groups with huge n converge to their raw rate, tiny n to the
+    * global. One aggregation + a broadcast one-row join. */
+  def ebSmoothedRate(df: DataFrame, groupCol: String, hitCol: Column,
+      priorStrength: Long): DataFrame = {
+    val per = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(hitCol, 1L).otherwise(0L)).as("x"))
+    val g = per.agg(sum(col("x")).as("_gx"), sum(col("n")).as("_gn"))
+      .select(expr("_gx * 1000000 div _gn").as("global_ppm"))
+    per.join(broadcast(g))
+      .select(col(groupCol), col("n"), col("x"),
+        expr("x * 1000000 div n").as("raw_ppm"),
+        col("global_ppm"),
+        expr(s"(x * 1000000 + $priorStrength * global_ppm) " +
+          s"div (n + $priorStrength)").as("smoothed_ppm"))
+  }
 }

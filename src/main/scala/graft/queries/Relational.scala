@@ -529,6 +529,39 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Q301 — fixed-basket Laspeyres price index per month
+    * ([[graft.etl.Analytics.priceIndex]]): part-level minimum unit
+    * prices against base-month quantities over the matched basket — the
+    * inflation tracker the reference's grocery price data exists to
+    * feed, as one exact cross-multiplied fraction per month. */
+  def q301PriceIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"l_partkey".as("item"),
+        (year(to_date($"o_orderdate")) * 12 +
+          month(to_date($"o_orderdate"))).cast("long").as("mon"),
+        expr("""CAST(round(l_extendedprice * 100) AS BIGINT)
+                div CAST(l_quantity AS BIGINT)""").as("up"),
+        expr("CAST(l_quantity AS BIGINT)").as("q"))
+    graft.etl.Analytics.priceIndex(li, "item", "mon", "up", "q")
+      .orderBy($"mon")
+  }
+
+  /** Q302 — empirical-Bayes conversion smoothing
+    * ([[graft.etl.Analytics.ebSmoothedRate]]): per customer bucket the
+    * fulfilled-order rate shrunk toward the global rate with 200
+    * pseudo-observations — the partial pooling that keeps a 1-of-1
+    * bucket from outranking a 980-of-1000 one. */
+  def q302EbSmoothing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Analytics.ebSmoothedRate(
+        Tables.orders(spark, dir)
+          .select(($"o_custkey" % 1000).as("bucket"), $"o_orderstatus"),
+        "bucket", col("o_orderstatus") === "F", priorStrength = 200L)
+      .orderBy($"bucket")
+  }
+
   /** Q266 — grid-bucketed proximity join ([[graft.etl.Geo]]): synthetic
     * micro-degree points from customer keys, all pairs within 0.5° via
     * the 3×3-cell equi-join — never an all-pairs distance pass. */
@@ -774,6 +807,8 @@ object Relational {
     "q81_zorder" -> q81Zorder _,
     "q251_hilbert" -> q251Hilbert _,
     "q266_proximity_join" -> q266ProximityJoin _,
+    "q301_price_index" -> q301PriceIndex _,
+    "q302_eb_smoothing" -> q302EbSmoothing _,
     "q267_ntile_cume" -> q267NtileCume _,
     "q269_column_diff" -> q269ColumnDiff _,
     "q82_iqr_outliers" -> q82IqrOutliers _,
@@ -999,6 +1034,44 @@ object Relational {
         |             (y | (y << 1)) & 1431655765 AS y FROM d)
         |SELECT o_orderkey, CAST(x | (y << 1) AS BIGINT) AS zval
         |FROM e ORDER BY o_orderkey""".stripMargin,
+    "q301_price_index" -> """
+      |WITH li AS (
+      |  SELECT l_partkey AS i,
+      |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+      |      + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      // CAST(l_quantity AS BIGINT) AS up,
+      |    CAST(l_quantity AS BIGINT) AS q
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+      |per AS (SELECT i, t, CAST(min(up) AS BIGINT) AS p,
+      |          CAST(sum(q) AS BIGINT) AS q
+      |        FROM li GROUP BY 1, 2),
+      |base AS (
+      |  SELECT i, p AS p0, q AS q0 FROM per
+      |  QUALIFY row_number() OVER (PARTITION BY i ORDER BY t) = 1),
+      |j AS (SELECT per.t, per.p, base.p0, base.q0
+      |      FROM per JOIN base ON base.i = per.i)
+      |SELECT t AS mon, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(p AS HUGEINT) * q0) AS BIGINT) AS basket_t_c,
+      |  CAST(sum(CAST(p0 AS HUGEINT) * q0) AS BIGINT) AS basket_0_c,
+      |  CAST(sum(CAST(p AS HUGEINT) * q0) * 10000
+      |    // NULLIF(sum(CAST(p0 AS HUGEINT) * q0), 0) AS BIGINT)
+      |    AS index_bp
+      |FROM j GROUP BY t ORDER BY t""".stripMargin,
+    "q302_eb_smoothing" -> """
+      |WITH per AS (
+      |  SELECT CAST(o_custkey % 1000 AS BIGINT) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT CAST(sum(x) * 1000000 // sum(n) AS BIGINT)
+      |        AS global_ppm FROM per)
+      |SELECT bucket, n, x,
+      |  CAST(x * 1000000 // n AS BIGINT) AS raw_ppm, global_ppm,
+      |  CAST((x * 1000000 + 200 * global_ppm) // (n + 200) AS BIGINT)
+      |    AS smoothed_ppm
+      |FROM per CROSS JOIN g ORDER BY bucket""".stripMargin,
     "q266_proximity_join" -> """
       |WITH p AS (
       |  SELECT c_custkey AS id,

@@ -800,4 +800,32 @@ class MiningSpec extends SparkSpec {
     assert(out.getAs[Long]("n_pos") == 2L && out.getAs[Long]("n_neg") == 2L)
   }
 
+  test("priceIndex: matched basket, base quantities frozen, exact bp") {
+    // item A: month 1 p=100 q=2; month 2 p=150 (q ignored at t>0)
+    // item B: month 1 p=50 q=4; month 2 p=50
+    // index m2 = (150*2 + 50*4) / (100*2 + 50*4) = 500/400 -> 12500 bp
+    val df = Seq((1L, 1L, 100L, 2L), (1L, 2L, 150L, 9L),
+      (2L, 1L, 50L, 4L), (2L, 2L, 50L, 1L)).toDF("i", "t", "up", "q")
+    val out = Analytics.priceIndex(df, "i", "t", "up", "q")
+      .orderBy($"t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 2L, 10000L), (2L, 2L, 12500L)))
+  }
+
+  test("ebSmoothedRate: small n shrinks to global, large n stays raw") {
+    // tiny bucket 1/1; big bucket 500/1000 -> global = 501/1001
+    val df = (Seq(("t", true)) ++
+      (1 to 500).map(_ => ("b", true)) ++
+      (1 to 500).map(_ => ("b", false))).toDF("g", "hit")
+    val out = Analytics.ebSmoothedRate(df, "g", $"hit", 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("raw_ppm"), r.getAs[Long]("smoothed_ppm"))).toMap
+    val globalPpm = 501L * 1000000L / 1001L
+    // tiny bucket: (1e6 + 100*global) / 101 — far from its raw 100%
+    assert(out("t")._1 == 1000000L)
+    assert(out("t")._2 == (1000000L + 100L * globalPpm) / 101L)
+    // big bucket barely moves: within 1% of raw 500000
+    assert(math.abs(out("b")._2 - 500000L) < 10000L)
+  }
+
 }
