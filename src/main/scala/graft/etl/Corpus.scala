@@ -457,6 +457,31 @@ object Corpus {
         lit(100L) * col("n_sentences") * col("n_words")))
   }
 
+  /** Kish effective sample size of a weighted sample per group:
+    *   n_eff = (Σw)² / Σw²
+    * — how many EQUAL-weight observations the weighted set is actually
+    * worth (the design-effect check for importance-weighted corpora:
+    * a temperature-mixed corpus of 10⁹ docs whose weights concentrate
+    * on 10⁶ of them trains like 10⁶ docs, and this is the number that
+    * says so). Exact integer cross-multiplication in decimal(38,0),
+    * emitted as the floored fraction plus `deff_x100 = ⌊100·n/n_eff⌋`
+    * (design effect ≥ 100 ⇔ any weighting at all). One combiner-
+    * friendly aggregation. */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+      weightCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(weightCol).cast(d38)).as("_sw"),
+        sum(col(weightCol).cast(d38) * col(weightCol)).as("_sww"))
+      .select(col(groupCol), col("n"),
+        col("_sw").cast("long").as("sum_w"),
+        expr("CAST(_sw * _sw div NULLIF(_sww, 0) AS BIGINT)")
+          .as("n_eff"),
+        expr("""CAST(CAST(n AS DECIMAL(38,0)) * _sww * 100
+                div NULLIF(_sw * _sw, 0) AS BIGINT)""").as("deff_x100"))
+  }
+
   /** Variance-proportional stratified sample allocation: distribute a
     * fixed labeling/eval budget across strata in proportion to
     * N_h·s²_h — the "spend annotations where the data actually varies"

@@ -672,7 +672,21 @@ object TrainingData {
     "q293_split_balance" -> q293SplitBalance _,
     "q294_capture_recapture" -> q294CaptureRecapture _,
     "q299_unseen_mass" -> q299UnseenMass _,
-    "q300_split_leak" -> q300SplitLeak _)
+    "q300_split_leak" -> q300SplitLeak _,
+    "q303_effective_n" -> q303EffectiveN _)
+
+  /** Kish effective sample size per language
+    * ([[graft.etl.Corpus.effectiveSampleSize]]) with token counts as
+    * sampling weights: how many equal-weight documents the
+    * token-weighted corpus slice actually trains like, and the design
+    * effect the weighting costs. */
+  def q303EffectiveN(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"lang",
+      size(graft.etl.Corpus.tokensOf($"text")).cast("long").as("w"))
+    graft.etl.Corpus.effectiveSampleSize(d, "lang", "w")
+      .orderBy($"lang")
+  }
 
   /** Good–Turing unseen-token mass per language
     * ([[graft.etl.Vocab.unseenMass]]): hapax share as the probability
@@ -1329,6 +1343,20 @@ object TrainingData {
     "q66_connected_components" -> """
       |SELECT doc_id, doc_id - doc_id % 5 AS component
       |FROM documents ORDER BY doc_id""".stripMargin,
+    "q303_effective_n" -> """
+      |WITH d AS (
+      |  SELECT lang,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS w
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(w) AS BIGINT) AS sum_w,
+      |  CAST(CAST(sum(w) AS HUGEINT) * sum(w)
+      |    // NULLIF(sum(CAST(w AS HUGEINT) * w), 0) AS BIGINT) AS n_eff,
+      |  CAST(CAST(count(*) AS HUGEINT) * sum(CAST(w AS HUGEINT) * w)
+      |    * 100 // NULLIF(CAST(sum(w) AS HUGEINT) * sum(w), 0)
+      |    AS BIGINT) AS deff_x100
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "q299_unseen_mass" -> """
       |WITH tok AS (
       |  SELECT lang,

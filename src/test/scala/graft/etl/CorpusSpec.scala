@@ -236,4 +236,17 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(_._4).sum == 7L) // allocations sum to the budget
   }
 
+  test("effectiveSampleSize: uniform weights full, concentration shrinks") {
+    import spark.implicits._
+    // uniform (10,10,10,10): n_eff = 1600/400 = 4 (no design effect)
+    // skewed (37,1,1,1): n_eff = 1600/1372 = 1 (floored), deff 343
+    val df = Seq(("u", 10L), ("u", 10L), ("u", 10L), ("u", 10L),
+      ("s", 37L), ("s", 1L), ("s", 1L), ("s", 1L)).toDF("g", "w")
+    val out = Corpus.effectiveSampleSize(df, "g", "w").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("u") == ((4L, 40L, 4L, 100L)))
+    assert(out("s") == ((4L, 40L, 1L, 343L)))
+  }
+
 }
