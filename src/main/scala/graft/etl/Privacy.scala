@@ -97,6 +97,41 @@ object Privacy {
           " * n_total) AS BIGINT)").as("t_bp")): _*)
   }
 
+  /** Univariate microaggregation (the fixed-size SDC transform): within
+    * each stratum, sort the sensitive value and replace every run of k
+    * consecutive records with the run's FLOORED mean — after which every
+    * published value is shared by ≥ k records (the k-anonymity
+    * transform, where [[generalizationLadder]] only audits). The last
+    * run absorbs the remainder (standard rule: runs of k..2k−1, never a
+    * sub-k leak). Deterministic (value, id) order; the group mean is a
+    * floored exact fraction. One rank window + one group fold + one
+    * join back on the (stratum, run) key. */
+  def microaggregate(df: DataFrame, stratumCol: String, idCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col(valueCol), col(idCol))
+    val wAll = Window.partitionBy(col(stratumCol))
+    val ranked = df
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      // runs of k; the final partial run merges into the previous one.
+      // A stratum smaller than k collapses to a single run (clamped at
+      // 0) — still sub-k, so callers must pre-filter tiny strata.
+      // Values must be nonnegative: the floored run mean would
+      // truncate-vs-floor diverge across engines on a negative sum.
+      .withColumn("run",
+        greatest(least(expr(s"(_rn - 1) div $k"),
+          expr(s"_n div $k - 1")), lit(0L)))
+    val means = ranked.groupBy(col(stratumCol), col("run"))
+      .agg(count(lit(1)).as("run_size"),
+        expr(s"sum($valueCol) div count(1)").as("micro_v"))
+    ranked.join(means, Seq(stratumCol, "run"))
+      .select(col(stratumCol), col(idCol), col(valueCol), col("run"),
+        col("run_size"), col("micro_v"))
+  }
+
   /** Minimal-generalization search for k-anonymity: given a LADDER of
     * progressively coarser quasi-identifier sets (level 0 = most
     * specific), report per level the group count, minimum group size,

@@ -1032,7 +1032,25 @@ object MiningQueries {
     "q283_gen_ladder" -> q283GenLadder _,
     "q287_nb_classify" -> q287NbClassify _,
     "q295_cost_threshold" -> q295CostThreshold _,
-    "q284_var_alloc" -> q284VarAlloc _)
+    "q284_var_alloc" -> q284VarAlloc _,
+    "q304_microaggregate" -> q304Microaggregate _)
+
+  /** Microaggregation ([[graft.etl.Privacy.microaggregate]]) of order
+    * totals within market segment at k = 10: every published amount is
+    * a ≥10-record run mean — the k-anonymity TRANSFORM the q283 ladder
+    * only audits for. Sampled to the keys ending in 0 to keep the
+    * per-row output driver-friendly. */
+  def q304Microaggregate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .filter($"o_orderkey" % 10 === 0)
+      .select($"c_mktsegment".as("seg"), $"o_orderkey",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    graft.etl.Privacy.microaggregate(o, "seg", "o_orderkey", "cents",
+        k = 10)
+      .orderBy($"seg", $"o_orderkey")
+  }
 
   /** Minimal-generalization search
     * ([[graft.etl.Privacy.generalizationLadder]]) over a three-level
@@ -2088,6 +2106,29 @@ object MiningQueries {
       |  CAST(1000000 // min(CASE WHEN c_custkey % 13 = 0 THEN rk END)
       |    AS BIGINT) AS rr_scaled
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q304_microaggregate" -> """
+      |WITH o AS (
+      |  SELECT c_mktsegment AS seg, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderkey % 10 = 0),
+      |r AS (
+      |  SELECT seg, o_orderkey, cents,
+      |    row_number() OVER (PARTITION BY seg ORDER BY cents, o_orderkey)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY seg) AS n
+      |  FROM o),
+      |g AS (
+      |  SELECT *, greatest(least((rn - 1) // 10, n // 10 - 1), 0) AS run
+      |  FROM r),
+      |m AS (
+      |  SELECT seg, run, CAST(count(*) AS BIGINT) AS run_size,
+      |    CAST(sum(cents) // count(*) AS BIGINT) AS micro_v
+      |  FROM g GROUP BY 1, 2)
+      |SELECT g.seg, g.o_orderkey, g.cents, CAST(g.run AS BIGINT) AS run,
+      |  m.run_size, m.micro_v
+      |FROM g JOIN m ON m.seg = g.seg AND m.run = g.run
+      |ORDER BY g.seg, g.o_orderkey""".stripMargin,
     "q295_cost_threshold" -> """
       |WITH x AS (
       |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort,

@@ -828,4 +828,17 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(out("b")._2 - 500000L) < 10000L)
   }
 
+  test("microaggregate: runs of k..2k-1, floored run means, tiny stratum") {
+    // 5 values, k=2 -> runs {10,20} and {30,40,50} (last absorbs odd one)
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 30L),
+      ("g", 4L, 40L), ("g", 5L, 50L), ("t", 9L, 7L)).toDF("s", "id", "v")
+    val out = Privacy.microaggregate(df, "s", "id", "v", k = 2)
+      .orderBy($"s", $"id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("g", 1L, 2L, 15L), ("g", 2L, 2L, 15L),
+      ("g", 3L, 3L, 40L), ("g", 4L, 3L, 40L), ("g", 5L, 3L, 40L),
+      ("t", 9L, 1L, 7L))) // sub-k stratum collapses to one clamped run
+  }
+
 }
