@@ -457,6 +457,36 @@ object Corpus {
         lit(100L) * col("n_sentences") * col("n_words")))
   }
 
+  /** Character-class profile per group — the cheap mojibake/encoding
+    * screen run before any tokenizer: per slice the exact character
+    * masses of lowercase letters, digits, spaces, and everything else
+    * (counted as length deltas under class-stripping regexes — both
+    * engines agree on these POSIX classes), with floored ppm shares.
+    * A non-letter share spiking on one source is the classic symptom of
+    * double-encoded or binary-contaminated text. Pure projection + one
+    * fold; streams unchanged. */
+  def charsetProfile(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    def classLen(pattern: String) =
+      length(regexp_replace(col(textCol), pattern, "")).cast("long")
+    docs
+      .select(col(groupCol), length(col(textCol)).cast("long").as("_c"),
+        (length(col(textCol)) - classLen("[a-z]")).cast("long").as("_a"),
+        (length(col(textCol)) - classLen("[0-9]")).cast("long").as("_d"),
+        (length(col(textCol)) - classLen("[ ]")).cast("long").as("_s"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_c")).as("chars"),
+        sum(col("_a")).as("alpha"), sum(col("_d")).as("digit"),
+        sum(col("_s")).as("space"))
+      .select(col(groupCol), col("n_docs"), col("chars"), col("alpha"),
+        col("digit"), col("space"),
+        (col("chars") - col("alpha") - col("digit") - col("space"))
+          .as("other"),
+        expr("alpha * 1000000 div NULLIF(chars, 0)").as("alpha_ppm"),
+        expr("""(chars - alpha - digit - space) * 1000000
+                div NULLIF(chars, 0)""").as("other_ppm"))
+  }
+
   /** Kish effective sample size of a weighted sample per group:
     *   n_eff = (Σw)² / Σw²
     * — how many EQUAL-weight observations the weighted set is actually

@@ -673,7 +673,19 @@ object TrainingData {
     "q294_capture_recapture" -> q294CaptureRecapture _,
     "q299_unseen_mass" -> q299UnseenMass _,
     "q300_split_leak" -> q300SplitLeak _,
-    "q303_effective_n" -> q303EffectiveN _)
+    "q303_effective_n" -> q303EffectiveN _,
+    "q305_charset_profile" -> q305CharsetProfile _)
+
+  /** Character-class masses per source
+    * ([[graft.etl.Corpus.charsetProfile]]): the encoding/mojibake screen
+    * — a non-letter share spiking on one source flags double-encoded or
+    * binary-contaminated text before it reaches a tokenizer. */
+  def q305CharsetProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.charsetProfile(Tables.documents(spark, dir),
+        "source", "text")
+      .orderBy($"source")
+  }
 
   /** Kish effective sample size per language
     * ([[graft.etl.Corpus.effectiveSampleSize]]) with token counts as
@@ -1343,6 +1355,26 @@ object TrainingData {
     "q66_connected_components" -> """
       |SELECT doc_id, doc_id - doc_id % 5 AS component
       |FROM documents ORDER BY doc_id""".stripMargin,
+    "q305_charset_profile" -> """
+      |WITH d AS (
+      |  SELECT source, CAST(length(text) AS BIGINT) AS c,
+      |    CAST(length(text) - length(regexp_replace(text, '[a-z]', '',
+      |      'g')) AS BIGINT) AS a,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '',
+      |      'g')) AS BIGINT) AS dg,
+      |    CAST(length(text) - length(regexp_replace(text, '[ ]', '',
+      |      'g')) AS BIGINT) AS sp
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(c) AS BIGINT) AS chars, CAST(sum(a) AS BIGINT) AS alpha,
+      |  CAST(sum(dg) AS BIGINT) AS digit, CAST(sum(sp) AS BIGINT)
+      |    AS space,
+      |  CAST(sum(c) - sum(a) - sum(dg) - sum(sp) AS BIGINT) AS other,
+      |  CAST(sum(a) * 1000000 // NULLIF(sum(c), 0) AS BIGINT)
+      |    AS alpha_ppm,
+      |  CAST((sum(c) - sum(a) - sum(dg) - sum(sp)) * 1000000
+      |    // NULLIF(sum(c), 0) AS BIGINT) AS other_ppm
+      |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q303_effective_n" -> """
       |WITH d AS (
       |  SELECT lang,

@@ -249,4 +249,16 @@ class CorpusSpec extends SparkSpec {
     assert(out("s") == ((4L, 40L, 1L, 343L)))
   }
 
+  test("charsetProfile: exact class masses and ppm shares") {
+    import spark.implicits._
+    val docs = Seq(("s", "ab 12!"), ("s", "xy")).toDF("src", "text")
+    val out = Corpus.charsetProfile(docs, "src", "text").collect().head
+    // chars 8: alpha 4, digit 2, space 1, other 1
+    assert(out.getAs[Long]("chars") == 8L && out.getAs[Long]("alpha") == 4L)
+    assert(out.getAs[Long]("digit") == 2L && out.getAs[Long]("space") == 1L)
+    assert(out.getAs[Long]("other") == 1L)
+    assert(out.getAs[Long]("alpha_ppm") == 500000L &&
+      out.getAs[Long]("other_ppm") == 125000L)
+  }
+
 }
