@@ -380,7 +380,12 @@ object Events {
     * integral for any touch count m; the largest-remainder rank is a
     * per-purchase window bounded by that purchase's touch count.
     * Purchases with no touch in window report as `unattributed` — their
-    * cents are NOT silently dropped. Output: one row per position class
+    * cents are NOT silently dropped. Only POSITIVE-cents purchases are
+    * attributed: a refund/zero row would make `cents·wgt div wtot`
+    * truncate toward zero in Spark but floor in DuckDB and drive
+    * `left_over` negative, breaking both cent conservation and
+    * cross-engine parity — refunds are a reversal stream, not a
+    * conversion to credit. Output: one row per position class
     * (solo/first/middle/last/unattributed) with touch count and credited
     * cents. */
   def positionAttribution(events: DataFrame, purchaseType: String,
@@ -391,6 +396,7 @@ object Events {
       .select(col("user_id"), col("event_id").as("pid"),
         expr("unix_micros(ts)").as("pus"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
       .withColumn("ws", col("pus") - windowUs)
     val t = events.filter(col("event_type") === touchType)
       .select(col("user_id"), col("event_id").as("tid"),

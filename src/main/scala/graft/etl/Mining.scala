@@ -474,6 +474,9 @@ object Mining {
     * cells come from a dense vocab×classes grid so absent evidence
     * penalizes correctly. argmax per doc via a rank window ordered
     * (score DESC, class ASC) — deterministic ties cross-engine.
+    * Zero-token documents carry no evidence to score, but they are NOT
+    * dropped: they surface as `pred_lang = '(empty)'` rows so the
+    * confusion-matrix total always reconciles with the input doc count.
     *
     * Scale shape: the fan-out is doc-token rows × |classes| (classes are
     * enum-sized); the vocab×classes grid is vocabulary-bounded; no
@@ -507,9 +510,19 @@ object Mining {
       .withColumn("score", col("pos") - col("len") * col("k"))
     val w = Window.partitionBy(col("_id"))
       .orderBy(col("score").desc, col("lang"))
-    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val classified = scores
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .groupBy(col("_y").as("true_lang"), col("lang").as("pred_lang"))
       .agg(count(lit(1)).as("n"))
+    // Zero-token docs never reach dt; anti-join them back in so the
+    // matrix total equals the input doc count (no silent undercount).
+    val unscored = docs
+      .select(col(idCol).as("_id"), col(labelCol).as("_y"))
+      .join(dt.select(col("_id")).distinct(), Seq("_id"), "left_anti")
+      .groupBy(col("_y").as("true_lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("true_lang"), lit("(empty)").as("pred_lang"), col("n"))
+    classified.unionByName(unscored)
   }
 
   /** Off-policy evaluation of a deterministic target policy over logged

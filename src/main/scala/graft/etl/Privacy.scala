@@ -104,8 +104,12 @@ object Privacy {
     * transform, where [[generalizationLadder]] only audits). The last
     * run absorbs the remainder (standard rule: runs of k..2k−1, never a
     * sub-k leak). Deterministic (value, id) order; the group mean is a
-    * floored exact fraction. One rank window + one group fold + one
-    * join back on the (stratum, run) key. */
+    * floored exact fraction. A stratum with fewer than k rows total
+    * cannot meet the guarantee at all — its single run is published
+    * with `meets_k = false` so the violation is VISIBLE in the output
+    * (callers release only `meets_k` rows); every run of a ≥k stratum
+    * has `meets_k = true` by construction. One rank window + one group
+    * fold + one join back on the (stratum, run) key. */
   def microaggregate(df: DataFrame, stratumCol: String, idCol: String,
       valueCol: String, k: Int): DataFrame = {
     require(k >= 2, "k must be at least 2")
@@ -118,7 +122,7 @@ object Privacy {
       .withColumn("_n", count(lit(1)).over(wAll))
       // runs of k; the final partial run merges into the previous one.
       // A stratum smaller than k collapses to a single run (clamped at
-      // 0) — still sub-k, so callers must pre-filter tiny strata.
+      // 0) — sub-k by necessity, flagged meets_k = false below.
       // Values must be nonnegative: the floored run mean would
       // truncate-vs-floor diverge across engines on a negative sum.
       .withColumn("run",
@@ -129,7 +133,8 @@ object Privacy {
         expr(s"sum($valueCol) div count(1)").as("micro_v"))
     ranked.join(means, Seq(stratumCol, "run"))
       .select(col(stratumCol), col(idCol), col(valueCol), col("run"),
-        col("run_size"), col("micro_v"))
+        col("run_size"), col("micro_v"),
+        (col("run_size") >= k).as("meets_k"))
   }
 
   /** Minimal-generalization search for k-anonymity: given a LADDER of

@@ -277,20 +277,30 @@ object Stats {
     * distributions quantize to exactly 0.
     *
     * Unlike KL, the mixture forces bitlens OF products: m_i and 2·na·nb
-    * must fit a long, i.e. per-group smoothed totals below ~2³¹ each.
-    * Drift runs on binned histograms, so callers with larger windows
-    * pre-scale both count columns by a common factor (shares are
-    * scale-invariant) before calling. One window + one aggregation. */
+    * must fit a long, i.e. per-group smoothed totals below ~2³¹ each —
+    * ENFORCED at runtime: a group whose smoothed total reaches 2³¹
+    * raises an error (raise_error on the _w path) rather than silently
+    * overflowing into wrong bit-length terms. Drift runs on binned
+    * histograms, so callers with larger windows pre-scale both count
+    * columns by a common factor (shares are scale-invariant) before
+    * calling. One window + one aggregation. */
   def jsFromCounts(counts: DataFrame, groupCol: String, binCol: String,
       refCntCol: String, actCntCol: String): DataFrame = {
     val wAll = Window.partitionBy(groupCol)
+    val lim = 1L << 31
     val t = counts
       .withColumn("_a", col(refCntCol) + 1L)
       .withColumn("_b", col(actCntCol) + 1L)
       .withColumn("na", sum(col("_a")).over(wAll))
       .withColumn("nb", sum(col("_b")).over(wAll))
       .withColumn("_m", col("_a") * col("nb") + col("_b") * col("na"))
-      .withColumn("_w", col("na") * col("nb") * 2L)
+      .withColumn("_w",
+        when(col("na") < lim && col("nb") < lim,
+          col("na") * col("nb") * 2L)
+          .otherwise(raise_error(concat(
+            lit("jsFromCounts: per-group smoothed totals must stay " +
+              "below 2^31 (pre-scale the counts); got na="),
+            col("na"), lit(" nb="), col("nb")))))
     t.withColumn("_tp", col("_a") *
         (length(expr("bin(_a)")) + length(expr("bin(_w)")) -
           length(expr("bin(na)")) - length(expr("bin(_m)"))).cast("long"))

@@ -1490,7 +1490,8 @@ object GraphEvents {
       |WITH p AS (
       |  SELECT user_id, event_id AS pid, epoch_us(ts) AS pus,
       |    CAST(round(value * 100) AS BIGINT) AS cents
-      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      |    AND CAST(round(value * 100) AS BIGINT) > 0),
       |t AS (
       |  SELECT user_id, event_id AS tid, epoch_us(ts) AS tus
       |  FROM events WHERE event_type = 'click'),

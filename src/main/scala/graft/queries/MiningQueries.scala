@@ -2126,7 +2126,7 @@ object MiningQueries {
       |    CAST(sum(cents) // count(*) AS BIGINT) AS micro_v
       |  FROM g GROUP BY 1, 2)
       |SELECT g.seg, g.o_orderkey, g.cents, CAST(g.run AS BIGINT) AS run,
-      |  m.run_size, m.micro_v
+      |  m.run_size, m.micro_v, m.run_size >= 10 AS meets_k
       |FROM g JOIN m ON m.seg = g.seg AND m.run = g.run
       |ORDER BY g.seg, g.o_orderkey""".stripMargin,
     "q295_cost_threshold" -> """
@@ -2204,9 +2204,16 @@ object MiningQueries {
       |best AS (
       |  SELECT id, y, lang FROM s2
       |  QUALIFY row_number() OVER (PARTITION BY id
-      |    ORDER BY score DESC, lang) = 1)
-      |SELECT y AS true_lang, lang AS pred_lang, count(*) AS n
-      |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      |    ORDER BY score DESC, lang) = 1),
+      |conf AS (
+      |  SELECT y AS true_lang, lang AS pred_lang, count(*) AS n
+      |  FROM best GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT lang AS true_lang, '(empty)' AS pred_lang, count(*) AS n
+      |  FROM documents d
+      |  WHERE NOT EXISTS (SELECT 1 FROM dt WHERE dt.id = d.doc_id)
+      |  GROUP BY 1)
+      |SELECT true_lang, pred_lang, n FROM conf ORDER BY 1, 2""".stripMargin,
     "q283_gen_ladder" -> """
       |WITH c AS (
       |  SELECT c_nationkey, c_mktsegment,

@@ -421,7 +421,9 @@ class GraphEventsSpec extends SparkSpec {
       (2L, 20L * us, 1L, "click", None),
       (3L, 30L * us, 1L, "click", None),
       (4L, 40L * us, 1L, "purchase", Some(1.01)),
-      (5L, 50L * us, 2L, "purchase", Some(2.00)))
+      (5L, 50L * us, 2L, "purchase", Some(2.00)),
+      // refund row: negative cents are excluded, never attributed
+      (6L, 45L * us, 1L, "purchase", Some(-5.00)))
       .toDF("event_id", "_us", "user_id", "event_type", "value")
       .withColumn("ts", timestamp_micros($"_us")).drop("_us")
     val out = Events.positionAttribution(rows, "purchase", "click",

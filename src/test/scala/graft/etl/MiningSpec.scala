@@ -781,11 +781,13 @@ class MiningSpec extends SparkSpec {
     // doc a (cat cat dog): pos_en = 3*bl(4) = 9, score_en = 9 - 3*bl(10) = -3
     //                      pos_nl = 3*bl(1) = 3, score_nl = 3 - 3*bl(8) = -9
     val docs = Seq((1L, "en", "cat cat dog"), (2L, "nl", "kat kat hond"),
-      (3L, "en", "cat dog dog")).toDF("id", "lang", "text")
+      (3L, "en", "cat dog dog"), (4L, "nl", "   ")).toDF("id", "lang", "text")
     val out = Mining.nbTextConfusion(docs, "id", "text", "lang")
       .orderBy($"true_lang", $"pred_lang").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    assert(out.toSeq == Seq(("en", "en", 2L), ("nl", "nl", 1L)))
+    // the zero-token doc is not dropped: it reconciles as '(empty)'
+    assert(out.toSeq == Seq(("en", "en", 2L), ("nl", "(empty)", 1L),
+      ("nl", "nl", 1L)))
   }
 
   test("bestThreshold: asymmetric costs pick the exact argmin cutoff") {
@@ -834,11 +836,14 @@ class MiningSpec extends SparkSpec {
       ("g", 4L, 40L), ("g", 5L, 50L), ("t", 9L, 7L)).toDF("s", "id", "v")
     val out = Privacy.microaggregate(df, "s", "id", "v", k = 2)
       .orderBy($"s", $"id").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getBoolean(6)))
     assert(out.toSeq == Seq(
-      ("g", 1L, 2L, 15L), ("g", 2L, 2L, 15L),
-      ("g", 3L, 3L, 40L), ("g", 4L, 3L, 40L), ("g", 5L, 3L, 40L),
-      ("t", 9L, 1L, 7L))) // sub-k stratum collapses to one clamped run
+      ("g", 1L, 2L, 15L, true), ("g", 2L, 2L, 15L, true),
+      ("g", 3L, 3L, 40L, true), ("g", 4L, 3L, 40L, true),
+      ("g", 5L, 3L, 40L, true),
+      // sub-k stratum collapses to one clamped run, flagged meets_k=false
+      ("t", 9L, 1L, 7L, false)))
   }
 
 }

@@ -276,6 +276,16 @@ class StatsSpec extends SparkSpec {
     val db = Stats.jsFromCounts(dj, "g", "bin", "ref", "act")
       .collect().head.getAs[Long]("js_cb")
     assert(db >= 90L && db <= 100L)
+    // a group whose smoothed totals reach 2^31 fails loudly (the
+    // bit-length products would silently overflow a long otherwise)
+    val big = Seq((1L, "x", (1L << 31) - 1L, 1L))
+      .toDF("g", "bin", "ref", "act")
+    val ex = intercept[Throwable] {
+      Stats.jsFromCounts(big, "g", "bin", "ref", "act").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.toString +: chain(e.getCause))
+    assert(chain(ex).exists(_.contains("jsFromCounts")))
   }
 
   test("conformalRadius: finite-sample rank, too-small n yields NULL") {
