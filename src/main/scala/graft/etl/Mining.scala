@@ -262,6 +262,75 @@ object Mining {
           "NULLIF(2 * np * nq, 0) AS BIGINT)").as("auc_scaled"))
   }
 
+  /** Per-group cumulative gains / lift table — the campaign-targeting
+    * readout beside [[groupAuc]]'s single number: rank by score
+    * descending (idCol tiebreak, fully deterministic), cut into `bins`
+    * equal-depth ntiles, and report per bin the cumulative capture of
+    * positives (gain) and its ratio to random targeting (lift):
+    *   gain_bp = cum_pos · 10⁴ div total_pos
+    *   lift_bp = cum_pos · total_n · 10⁴ div (cum_n · total_pos).
+    * "Top decile captures 3.4× its share" is this table's first row.
+    * Cross-products ride decimal(38,0) (cum_pos·total_n·10⁴ passes a
+    * long only to ~10⁷ rows/group); groups with zero positives yield
+    * NULL (NULLIF). Shape: one per-group rank window over the rows, a
+    * bin-level groupBy (combiner-friendly), then windows over the
+    * `bins`-row-per-group table — the expensive sort happens once. */
+  def liftCurve(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, labelCol: Column, bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val per = df
+      .withColumn("_l", when(labelCol, 1L).otherwise(0L))
+      .withColumn("bin", ntile(bins).over(w))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_l")).as("n_pos"))
+    val wc = Window.partitionBy(col(groupCol)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    per
+      .withColumn("cum_n", sum(col("n")).over(wc))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wc))
+      .withColumn("tot_n", sum(col("n")).over(wAll))
+      .withColumn("tot_pos", sum(col("n_pos")).over(wAll))
+      .select(col(groupCol), col("bin"), col("n"), col("n_pos"),
+        col("cum_n"), col("cum_pos"),
+        expr("CAST(cum_pos * 10000 div NULLIF(tot_pos, 0) AS BIGINT)")
+          .as("gain_bp"),
+        expr("""CAST(CAST(cum_pos AS DECIMAL(38,0)) * tot_n * 10000
+                div NULLIF(CAST(cum_n AS DECIMAL(38,0)) * tot_pos, 0)
+                AS BIGINT)""").as("lift_bp"))
+  }
+
+  /** Per-group average precision (area under the precision–recall
+    * curve, the rank metric that — unlike [[groupAuc]] — ignores the
+    * true-negative ocean, so it is the one to trust under class
+    * imbalance): with rows ranked by (score DESC, id), each positive at
+    * rank k contributes precision@k = tp_k/k, and
+    *   ap_ppm = Σ_pos ⌊tp_k · 10⁶ / k⌋ div n_pos.
+    * The per-term floor is applied identically by both engines
+    * (operands nonnegative, so Spark's truncating `div` IS the floor),
+    * making the quantized sum bit-exact cross-engine. One per-group
+    * rank window carries tp_k as a running sum; one groupBy folds the
+    * terms. Groups with no positives yield NULL (NULLIF). */
+  def averagePrecision(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("_l", when(labelCol, 1L).otherwise(0L))
+      .withColumn("_k", row_number().over(w).cast("long"))
+      .withColumn("_tp", sum(col("_l")).over(w))
+      .withColumn("_term",
+        when(col("_l") === 1L, expr("_tp * 1000000 div _k"))
+          .otherwise(0L))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("_l")).as("n_pos"),
+        sum(col("_term")).as("_s"))
+      .select(col(groupCol), col("n"), col("n_pos"),
+        expr("CAST(_s div NULLIF(n_pos, 0) AS BIGINT)").as("ap_ppm"))
+  }
+
   /** Per-group Pearson correlation as sign + scaled r², exact:
     * r2_scaled = (nΣxy−ΣxΣy)² · scale div ((nΣxx−(Σx)²)(nΣyy−(Σy)²)),
     * corr_sign = sign(nΣxy−ΣxΣy). r itself needs a square root, which no

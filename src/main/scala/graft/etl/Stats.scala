@@ -351,6 +351,53 @@ object Stats {
     }
   }
 
+  /** Difference-in-differences per group: the 2×2 (treated × post) cell
+    * means of `valueCol`, and the causal contrast
+    *   DiD = (m̄₁₁ − m̄₁₀) − (m̄₀₁ − m̄₀₀)
+    * — the parallel-trends estimator that a naive post-period mean
+    * comparison silently confounds with pre-existing level gaps. All
+    * four cell sums/counts are exposed, and the contrast is published as
+    * an exact-integer quantization: with the common denominator
+    * D = n₁₁·n₁₀·n₀₁·n₀₀ and numerator
+    * N = (s₁₁n₁₀−s₁₀n₁₁)·n₀₁·n₀₀ − (s₀₁n₀₀−s₀₀n₀₁)·n₁₁·n₁₀,
+    *   did_milli = sign(N) · (|N|·1000 div D)
+    * (sign-split so Spark's truncate-toward-zero `div` and DuckDB's
+    * flooring `//` agree on the negative path — both see nonnegative
+    * operands). Cross-products ride decimal(38,0): cents sums ~10⁹ ×
+    * n³ ~10¹⁵ × 10³ stays far inside 38 digits to ~10⁵ rows per cell;
+    * any empty cell yields NULL (NULLIF) rather than a fake zero.
+    * One map-side-combined aggregation — no window, no join. */
+  def diffInDiff(df: DataFrame, groupCol: String, treatCol: Column,
+      postCol: Column, valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def cell(t: Int, p: Int, f: Column) =
+      sum(when(treatCol === (t == 1) && postCol === (p == 1), f))
+    val agg = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        cell(0, 0, lit(1L)).cast(d38).as("n00"),
+        cell(0, 1, lit(1L)).cast(d38).as("n01"),
+        cell(1, 0, lit(1L)).cast(d38).as("n10"),
+        cell(1, 1, lit(1L)).cast(d38).as("n11"),
+        cell(0, 0, col(valueCol)).cast(d38).as("s00"),
+        cell(0, 1, col(valueCol)).cast(d38).as("s01"),
+        cell(1, 0, col(valueCol)).cast(d38).as("s10"),
+        cell(1, 1, col(valueCol)).cast(d38).as("s11"))
+    agg
+      .withColumn("_num",
+        expr("""(s11 * n10 - s10 * n11) * n01 * n00 -
+                (s01 * n00 - s00 * n01) * n11 * n10"""))
+      .withColumn("_den", expr("NULLIF(n11 * n10 * n01 * n00, 0)"))
+      .select(col(groupCol),
+        col("n00").cast("long").as("n00"), col("n01").cast("long").as("n01"),
+        col("n10").cast("long").as("n10"), col("n11").cast("long").as("n11"),
+        col("s00").cast("long").as("s00"), col("s01").cast("long").as("s01"),
+        col("s10").cast("long").as("s10"), col("s11").cast("long").as("s11"),
+        expr("""CAST(CAST(sign(_num) AS BIGINT) *
+                CAST(abs(_num) * 1000 div _den AS BIGINT) AS BIGINT)""")
+          .as("did_milli"))
+  }
+
   /** Split-conformal calibration: per group, the nonconformity-score
     * radius q̂ = the ⌈(n+1)·(1−α)⌉-th smallest score (the
     * finite-sample-valid conformal quantile — guaranteeing ≥ 1−α

@@ -314,6 +314,41 @@ object MiningQueries {
       .orderBy($"event_type", $"bin")
   }
 
+  // ---------------------------------------- q306 lift / gains table
+
+  /** Cumulative gains & lift table for the q140 classifier
+    * ([[Mining.liftCurve]]): score deciles ranked best-first, with the
+    * cumulative positive capture (gain) and its ratio to random
+    * targeting (lift) in basis points — the campaign-targeting readout
+    * ("how deep must we mail to capture 80% of buyers") that AUC's one
+    * number cannot answer. Same deterministic labeling as q140/q141. */
+  def q306LiftCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).filter($"value".isNotNull)
+      .select($"event_type", $"event_id", $"user_id",
+        Series.cents($"value").as("cents"))
+    Mining.liftCurve(e, "event_type", "cents", "event_id",
+        $"user_id" % 3 === 0, bins = 10)
+      .orderBy($"event_type", $"bin")
+  }
+
+  // ------------------------------------- q307 average precision
+
+  /** Average precision per event type ([[Mining.averagePrecision]]):
+    * the PR-curve area for the q140 classifier — the rank metric that
+    * ignores the true-negative ocean, so it stays honest where class
+    * imbalance inflates ROC AUC. Quantized as a per-term-floored ppm
+    * sum both engines reproduce bit-for-bit. */
+  def q307AvgPrecision(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).filter($"value".isNotNull)
+      .select($"event_type", $"event_id", $"user_id",
+        Series.cents($"value").as("cents"))
+    Mining.averagePrecision(e, "event_type", "cents", "event_id",
+        $"user_id" % 3 === 0)
+      .orderBy($"event_type")
+  }
+
   // ------------------------------------------- q241 isotonic (PAV)
 
   /** Isotonic calibration curve over the q141 reliability bins
@@ -1033,7 +1068,9 @@ object MiningQueries {
     "q287_nb_classify" -> q287NbClassify _,
     "q295_cost_threshold" -> q295CostThreshold _,
     "q284_var_alloc" -> q284VarAlloc _,
-    "q304_microaggregate" -> q304Microaggregate _)
+    "q304_microaggregate" -> q304Microaggregate _,
+    "q306_lift_curve" -> q306LiftCurve _,
+    "q307_avg_precision" -> q307AvgPrecision _)
 
   /** Microaggregation ([[graft.etl.Privacy.microaggregate]]) of order
     * totals within market segment at k = 10: every published amount is
@@ -1143,6 +1180,54 @@ object MiningQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q306_lift_curve" -> """
+      |WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS l
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, l, ntile(10) OVER (PARTITION BY event_type
+      |    ORDER BY cents DESC, event_id) AS bin
+      |  FROM e),
+      |b AS (
+      |  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(l) AS BIGINT) AS n_pos
+      |  FROM r GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, bin, n, n_pos,
+      |    CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+      |    CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
+      |    CAST(sum(n) OVER wa AS BIGINT) AS tot_n,
+      |    CAST(sum(n_pos) OVER wa AS BIGINT) AS tot_pos
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wa AS (PARTITION BY event_type))
+      |SELECT event_type, bin, n, n_pos, cum_n, cum_pos,
+      |  CAST(cum_pos * 10000 // NULLIF(tot_pos, 0) AS BIGINT) AS gain_bp,
+      |  CAST(CAST(cum_pos AS HUGEINT) * tot_n * 10000
+      |    // NULLIF(CAST(cum_n AS HUGEINT) * tot_pos, 0) AS BIGINT)
+      |    AS lift_bp
+      |FROM c ORDER BY 1, 2""".stripMargin,
+    "q307_avg_precision" -> """
+      |WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS l
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, l,
+      |    CAST(row_number() OVER wk AS BIGINT) AS k,
+      |    CAST(sum(l) OVER wk AS BIGINT) AS tp
+      |  FROM e
+      |  WINDOW wk AS (PARTITION BY event_type
+      |    ORDER BY cents DESC, event_id))
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(l) AS BIGINT) AS n_pos,
+      |  CAST(sum(CASE WHEN l = 1 THEN tp * 1000000 // k ELSE 0 END)
+      |    // NULLIF(sum(l), 0) AS BIGINT) AS ap_ppm
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q274_best_split" -> """
       |WITH x AS (
       |  SELECT CAST(user_id % 4 AS BIGINT) AS cohort,

@@ -495,6 +495,23 @@ object StatsQueries {
       .orderBy($"cohort")
   }
 
+  // --------------------------------------- q308 diff-in-diff
+
+  /** Difference-in-differences ([[Stats.diffInDiff]]) of event amounts
+    * per event type: odd users "treated", the month's second half
+    * "post" — the 2×2 cell sums/counts plus the parallel-trends
+    * contrast in exact truncated milli-cents, which a naive post-only
+    * mean comparison confounds with pre-existing level gaps. */
+  def q308Did(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).filter($"value".isNotNull)
+      .select($"event_type", cents.as("cents"),
+        ($"user_id" % 2 === 1).as("treat"),
+        ($"ts" >= lit("2024-01-16").cast("timestamp")).as("post"))
+    Stats.diffInDiff(e, "event_type", $"treat", $"post", "cents")
+      .orderBy($"event_type")
+  }
+
   // --------------------------------------- q291 conformal radius
 
   /** Split-conformal interval radii ([[Stats.conformalRadius]]) at 90%
@@ -659,6 +676,7 @@ object StatsQueries {
     "q273_js_drift" -> q273JsDrift _,
     "q291_conformal" -> q291Conformal _,
     "q297_qte" -> q297Qte _,
+    "q308_did" -> q308Did _,
     "q258_pinball" -> q258Pinball _,
     "q259_dispersion" -> q259Dispersion _,
     "q260_cramers_v" -> q260CramersV _,
@@ -684,6 +702,42 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q308_did" -> """
+      |WITH e AS (
+      |  SELECT event_type,
+      |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS tr,
+      |    CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS po,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |a AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN tr=0 AND po=0 THEN 1 END) AS HUGEINT) AS n00,
+      |    CAST(sum(CASE WHEN tr=0 AND po=1 THEN 1 END) AS HUGEINT) AS n01,
+      |    CAST(sum(CASE WHEN tr=1 AND po=0 THEN 1 END) AS HUGEINT) AS n10,
+      |    CAST(sum(CASE WHEN tr=1 AND po=1 THEN 1 END) AS HUGEINT) AS n11,
+      |    CAST(sum(CASE WHEN tr=0 AND po=0 THEN cents END) AS HUGEINT)
+      |      AS s00,
+      |    CAST(sum(CASE WHEN tr=0 AND po=1 THEN cents END) AS HUGEINT)
+      |      AS s01,
+      |    CAST(sum(CASE WHEN tr=1 AND po=0 THEN cents END) AS HUGEINT)
+      |      AS s10,
+      |    CAST(sum(CASE WHEN tr=1 AND po=1 THEN cents END) AS HUGEINT)
+      |      AS s11
+      |  FROM e GROUP BY 1),
+      |d AS (
+      |  SELECT *,
+      |    (s11 * n10 - s10 * n11) * n01 * n00 -
+      |      (s01 * n00 - s00 * n01) * n11 * n10 AS num,
+      |    NULLIF(n11 * n10 * n01 * n00, 0) AS den
+      |  FROM a)
+      |SELECT event_type,
+      |  CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+      |  CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+      |  CAST(s00 AS BIGINT) AS s00, CAST(s01 AS BIGINT) AS s01,
+      |  CAST(s10 AS BIGINT) AS s10, CAST(s11 AS BIGINT) AS s11,
+      |  CAST(CAST(sign(num) AS BIGINT) * (abs(num) * 1000 // den)
+      |    AS BIGINT) AS did_milli
+      |FROM d ORDER BY 1""".stripMargin,
     "q272_stl_lite" -> """
       |WITH daily AS (
       |  SELECT event_type,

@@ -790,6 +790,41 @@ class MiningSpec extends SparkSpec {
       ("nl", "nl", 1L)))
   }
 
+  test("liftCurve: top bin captures its positives, bottom reaches 100%") {
+    // scores 4,3,2,1; positives at 4 and 1; bins=2
+    // bin1 {4,3}: cum_pos=1/tot_pos=2 -> gain 5000; lift 1*4*1e4/(2*2)=1e4
+    // bin2 {2,1}: cum_pos=2 -> gain 10000; lift 2*4*1e4/(4*2)=1e4
+    val df = Seq(("g", 1L, 4L, true), ("g", 2L, 3L, false),
+      ("g", 3L, 2L, false), ("g", 4L, 1L, true)).toDF("g", "id", "s", "y")
+    val out = Mining.liftCurve(df, "g", "s", "id", col("y"), bins = 2)
+      .orderBy($"bin").collect()
+      .map(r => (r.getInt(1), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    assert(out.toSeq == Seq((1, 2L, 1L, 5000L, 10000L),
+      (2, 4L, 2L, 10000L, 10000L)))
+    // a perfect ranker's top bin shows lift = bins x
+    val perfect = Seq(("g", 1L, 9L, true), ("g", 2L, 8L, true),
+      ("g", 3L, 2L, false), ("g", 4L, 1L, false)).toDF("g", "id", "s", "y")
+    val top = Mining.liftCurve(perfect, "g", "s", "id", col("y"), 2)
+      .orderBy($"bin").collect().head
+    assert(top.getAs[Long]("gain_bp") == 10000L &&
+      top.getAs[Long]("lift_bp") == 20000L)
+  }
+
+  test("averagePrecision: per-term floored ppm, imbalance-honest") {
+    // positives at ranks 1 and 4: (1e6 + 2*1e6/4) / 2 = 750000
+    val df = Seq(("g", 1L, 4L, true), ("g", 2L, 3L, false),
+      ("g", 3L, 2L, false), ("g", 4L, 1L, true)).toDF("g", "id", "s", "y")
+    val out = Mining.averagePrecision(df, "g", "s", "id", col("y"))
+      .collect().head
+    assert(out.getAs[Long]("n") == 4L && out.getAs[Long]("n_pos") == 2L)
+    assert(out.getAs[Long]("ap_ppm") == 750000L)
+    // no positives -> NULL, not a fake zero
+    val none = Seq(("h", 1L, 4L, false)).toDF("g", "id", "s", "y")
+    assert(Mining.averagePrecision(none, "g", "s", "id", col("y"))
+      .collect().head.isNullAt(3))
+  }
+
   test("bestThreshold: asymmetric costs pick the exact argmin cutoff") {
     // scores 1n 2p 3n 4p; costFp=1 costFn=2
     // t=0 (all pos): cost 2; t=1: fp={3} cost 1; t=2: fn={2} fp={3} cost 3

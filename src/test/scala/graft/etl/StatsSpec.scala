@@ -288,6 +288,29 @@ class StatsSpec extends SparkSpec {
     assert(chain(ex).exists(_.contains("jsFromCounts")))
   }
 
+  test("diffInDiff: 2x2 contrast exact, sign-safe, empty cell NULL") {
+    // means: m00=10 m01=20 m10=30 m11=60 -> DiD = (60-30)-(20-10) = 20
+    val df = Seq(("g", false, false, 10L), ("g", false, true, 20L),
+      ("g", true, false, 30L), ("g", true, true, 60L))
+      .toDF("g", "tr", "po", "v")
+    val out = Stats.diffInDiff(df, "g", col("tr"), col("po"), "v")
+      .collect().head
+    assert(out.getAs[Long]("did_milli") == 20000L)
+    // negative contrast truncates toward zero identically: DiD = -20
+    val neg = Seq(("g", false, false, 60L), ("g", false, true, 80L),
+      ("g", true, false, 30L), ("g", true, true, 30L))
+      .toDF("g", "tr", "po", "v")
+    val o2 = Stats.diffInDiff(neg, "g", col("tr"), col("po"), "v")
+      .collect().head
+    assert(o2.getAs[Long]("did_milli") == -20000L)
+    // missing (treated, post) cell -> NULL contrast, not a fake zero
+    val miss = Seq(("g", false, false, 10L), ("g", false, true, 20L),
+      ("g", true, false, 30L)).toDF("g", "tr", "po", "v")
+    val o3 = Stats.diffInDiff(miss, "g", col("tr"), col("po"), "v")
+      .collect().head
+    assert(o3.isNullAt(o3.fieldIndex("did_milli")))
+  }
+
   test("conformalRadius: finite-sample rank, too-small n yields NULL") {
     // scores 1..10: alpha 10% -> k = ceil(11*0.90) = 10 -> radius 10;
     // alpha 5% -> k = 11 > n -> NULL radius
