@@ -53,6 +53,34 @@ object Layout {
       .repartitionByRange(numFiles, col("_hval"))
       .sortWithinPartitions(col("_hval"))
 
+  /** Contiguous compaction planning — the small-files maintenance step
+    * every long-lived 100 TB table needs: within each partition, walk
+    * the files in stable `idCol` order and assign each to output bin
+    * ⌊prev_cumulative_size / targetBytes⌋, so every bin is a contiguous
+    * id range holding ≥ targetBytes (except the partition's last) and
+    * the summary row per bin IS the rewrite task list (first/last id,
+    * file count, bytes). Start-offset binning, not bin packing: the
+    * plan is a pure function of the file listing — deterministic,
+    * re-runnable, no greedy sequential state — and contiguity preserves
+    * any existing id-clustering ([[zorderBy]]'s `_zval` high bits make a
+    * good idCol for exactly that reason).
+    *
+    * One per-partition prefix-sum window over the FILE LISTING (metadata
+    * rows, ~10⁶ entries for a 100 TB table — trivially window-sized)
+    * plus one combiner-friendly groupBy. */
+  def compactionPlan(df: DataFrame, partCol: String, idCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_prev", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"_prev div ${targetBytes}L"))
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col(sizeCol)).as("bytes"),
+        min(col(idCol)).as("first_id"), max(col(idCol)).as("last_id"))
+  }
+
   /** Rendezvous (highest-random-weight) placement of keys onto `nodes`
     * shards, plus the resharding report for one joining node: each key
     * lands on argmax over nodes of sha256(key:node) — deterministic,

@@ -151,6 +151,35 @@ object Validation {
         col("violating_groups"), col("violating_rows"), col("max_card"))
   }
 
+  /** Candidate-key discovery audit: for each proposed column set, is it
+    * a key? Reports per candidate the group count (distinct
+    * combinations), total rows, duplicate rows (rows beyond the first
+    * in each group — exactly what a dedup on that key would drop), the
+    * worst group's size, and the verdict. The profiling step before any
+    * MERGE/upsert or dedup design commits to a key (the reference keys
+    * staging on `(shop_type, external_id)` — this operator is how such
+    * a choice gets validated on real data instead of asserted).
+    *
+    * Each candidate costs one combiner-friendly groupBy folded to a
+    * single row map-side, so auditing k candidates is k passes over the
+    * (pre-projected) columns — at 100 TB, run it on a sampled or
+    * column-pruned scan first; distinct-combination counting cannot
+    * share one pass across candidates without sketches (the HLL-based
+    * [[graft.etl.Sketches]] route trades exactness for that). NULLs
+    * participate as ordinary group values (a null-keyed duplicate is
+    * still a duplicate for upsert purposes). */
+  def keyAudit(df: DataFrame, candidates: Seq[Seq[String]]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate key")
+    candidates.map { cols =>
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("_c"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("_c")).as("n_rows"),
+          sum(col("_c") - 1L).as("dup_rows"), max(col("_c")).as("max_group"))
+        .select(lit(cols.mkString(",")).as("candidate"), col("n_rows"),
+          col("n_groups"), col("dup_rows"), col("max_group"),
+          (col("dup_rows") === 0L).as("is_key"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Missingness co-occurrence audit: for every column PAIR, how often the
     * two go null TOGETHER vs what independence predicts —
     *   lift_ppm = ⌊10⁶ · null_both · n / (null_a · null_b)⌋

@@ -465,6 +465,20 @@ object Domain {
       .orderBy($"fd")
   }
 
+  /** Candidate-key discovery ([[graft.etl.Validation.keyAudit]]) on
+    * lineitem: the composite (l_orderkey, l_linenumber) is the true
+    * key; l_orderkey alone and (l_partkey, l_suppkey) both carry
+    * duplicates — the audit that validates a MERGE/dedup key choice on
+    * data instead of asserting it (q184 audits FDs; this audits
+    * uniqueness). */
+  def q309KeyDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Validation.keyAudit(Tables.lineitem(spark, dir),
+        Seq(Seq("l_orderkey", "l_linenumber"), Seq("l_orderkey"),
+          Seq("l_partkey", "l_suppkey")))
+      .orderBy($"candidate")
+  }
+
   /** Nearest as-of ([[graft.etl.TimeJoins.asofJoinNearest]]): each event
     * matched to the user's CLOSEST order by calendar day, backward or
     * forward, ties backward — the `merge_asof(direction='nearest')`
@@ -508,6 +522,7 @@ object Domain {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_fd_audit" -> q184FdAudit _,
+    "q309_key_discovery" -> q309KeyDiscovery _,
     "q279_null_pattern" -> q279NullPattern _,
     "q289_asof_nearest" -> q289AsofNearest _,
     "q176_ref_integrity" -> q176RefIntegrity _,
@@ -534,6 +549,31 @@ object Domain {
     "q94_drawdown" -> q94Drawdown _)
 
   val oracleSql: Map[String, String] = Map(
+    "q309_key_discovery" -> """
+      |WITH k1 AS (SELECT count(*) AS c FROM lineitem
+      |            GROUP BY l_orderkey, l_linenumber),
+      |k2 AS (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey),
+      |k3 AS (SELECT count(*) AS c FROM lineitem
+      |       GROUP BY l_partkey, l_suppkey)
+      |SELECT * FROM (
+      |  SELECT 'l_orderkey,l_linenumber' AS candidate,
+      |    CAST(sum(c) AS BIGINT) AS n_rows,
+      |    CAST(count(*) AS BIGINT) AS n_groups,
+      |    CAST(sum(c - 1) AS BIGINT) AS dup_rows,
+      |    CAST(max(c) AS BIGINT) AS max_group,
+      |    sum(c - 1) = 0 AS is_key
+      |  FROM k1
+      |  UNION ALL
+      |  SELECT 'l_orderkey', CAST(sum(c) AS BIGINT),
+      |    CAST(count(*) AS BIGINT), CAST(sum(c - 1) AS BIGINT),
+      |    CAST(max(c) AS BIGINT), sum(c - 1) = 0
+      |  FROM k2
+      |  UNION ALL
+      |  SELECT 'l_partkey,l_suppkey', CAST(sum(c) AS BIGINT),
+      |    CAST(count(*) AS BIGINT), CAST(sum(c - 1) AS BIGINT),
+      |    CAST(max(c) AS BIGINT), sum(c - 1) = 0
+      |  FROM k3)
+      |ORDER BY candidate""".stripMargin,
     "q289_asof_nearest" -> """
       |WITH e AS (
       |  SELECT event_id, user_id,

@@ -529,6 +529,20 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Q310 — compaction plan ([[graft.etl.Layout.compactionPlan]]) over
+    * the documents "file listing" (n_chars as the size), per language,
+    * 64 kB target: contiguous doc_id ranges folded into ≥-target output
+    * bins — the deterministic small-files rewrite task list a long-lived
+    * table's maintenance job executes. */
+  def q310CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Layout.compactionPlan(
+        Tables.documents(spark, dir)
+          .select($"lang", $"doc_id", $"n_chars"),
+        "lang", "doc_id", "n_chars", targetBytes = 64000L)
+      .orderBy($"lang", $"bin")
+  }
+
   /** Q301 — fixed-basket Laspeyres price index per month
     * ([[graft.etl.Analytics.priceIndex]]): part-level minimum unit
     * prices against base-month quantities over the matched basket — the
@@ -806,6 +820,7 @@ object Relational {
     "q78_percentiles" -> q78Percentiles _,
     "q81_zorder" -> q81Zorder _,
     "q251_hilbert" -> q251Hilbert _,
+    "q310_compaction_plan" -> q310CompactionPlan _,
     "q266_proximity_join" -> q266ProximityJoin _,
     "q301_price_index" -> q301PriceIndex _,
     "q302_eb_smoothing" -> q302EbSmoothing _,
@@ -822,6 +837,20 @@ object Relational {
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
     * round differently from Spark's double arithmetic. */
   val oracleSql: Map[String, String] = Map(
+    "q310_compaction_plan" -> """
+      |WITH c AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY lang
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS prev
+      |  FROM documents)
+      |SELECT lang, CAST(prev // 64000 AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+      |  CAST(min(doc_id) AS BIGINT) AS first_id,
+      |  CAST(max(doc_id) AS BIGINT) AS last_id
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q215_leaderboard" -> """
       |WITH m AS (SELECT p_brand,
       |        year(l_shipdate) * 12 + month(l_shipdate) AS month,

@@ -512,6 +512,26 @@ object StatsQueries {
       .orderBy($"event_type")
   }
 
+  // --------------------------------------------- q311 CUPED
+
+  /** CUPED variance reduction ([[Stats.cuped]]): users as units, first
+    * half-month spend as the pre-period covariate, second half as the
+    * experiment metric, odd users "treated" — the pooled θ, raw and
+    * adjusted treatment–control gaps in exact quantized milli-cents.
+    * The A/B readout that decides in a (1−ρ²) fraction of the runtime
+    * of q308's unadjusted contrast. */
+  def q311Cuped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cut = lit("2024-01-16").cast("timestamp")
+    val perUser = Tables.events(spark, dir).filter($"value".isNotNull)
+      .groupBy($"user_id")
+      .agg(sum(when($"ts" < cut, cents).otherwise(0L)).as("x"),
+        sum(when($"ts" >= cut, cents).otherwise(0L)).as("y"))
+      .select(lit("all").as("exp"), ($"user_id" % 2 === 1).as("treat"),
+        $"x", $"y")
+    Stats.cuped(perUser, "exp", $"treat", "x", "y")
+  }
+
   // --------------------------------------- q291 conformal radius
 
   /** Split-conformal interval radii ([[Stats.conformalRadius]]) at 90%
@@ -677,6 +697,7 @@ object StatsQueries {
     "q291_conformal" -> q291Conformal _,
     "q297_qte" -> q297Qte _,
     "q308_did" -> q308Did _,
+    "q311_cuped" -> q311Cuped _,
     "q258_pinball" -> q258Pinball _,
     "q259_dispersion" -> q259Dispersion _,
     "q260_cramers_v" -> q260CramersV _,
@@ -702,6 +723,46 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q311_cuped" -> """
+      |WITH u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+      |      AS HUGEINT) AS x,
+      |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+      |      AS HUGEINT) AS y,
+      |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t
+      |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+      |a AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+      |    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy,
+      |    CAST(sum(t) AS HUGEINT) AS n_t,
+      |    sum(CASE WHEN t = 1 THEN x ELSE 0 END) AS sx_t,
+      |    sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS sy_t
+      |  FROM u),
+      |b AS (
+      |  SELECT *, n - n_t AS n_c, sx - sx_t AS sx_c, sy - sy_t AS sy_c
+      |  FROM a),
+      |m AS (
+      |  SELECT 'all' AS exp, CAST(n_t AS BIGINT) AS n_t,
+      |    CAST(n_c AS BIGINT) AS n_c,
+      |    CAST(sign(n * sxy - sx * sy) AS BIGINT) *
+      |      CAST(abs(n * sxy - sx * sy) * 1000
+      |        // NULLIF(n * sxx - sx * sx, 0) AS BIGINT) AS theta_milli,
+      |    CAST(sign(sx_t * n_c - sx_c * n_t) AS BIGINT) *
+      |      CAST(abs(sx_t * n_c - sx_c * n_t) * 1000
+      |        // NULLIF(n_t * n_c, 0) AS BIGINT) AS dx_milli,
+      |    CAST(sign(sy_t * n_c - sy_c * n_t) AS BIGINT) *
+      |      CAST(abs(sy_t * n_c - sy_c * n_t) * 1000
+      |        // NULLIF(n_t * n_c, 0) AS BIGINT) AS dy_milli
+      |  FROM b)
+      |SELECT exp, n_t, n_c, theta_milli, dx_milli, dy_milli,
+      |  CAST(dy_milli -
+      |    CAST(sign(CAST(theta_milli AS HUGEINT) * dx_milli) AS BIGINT) *
+      |    CAST(abs(CAST(theta_milli AS HUGEINT) * dx_milli) // 1000
+      |      AS BIGINT) AS BIGINT) AS adj_dy_milli
+      |FROM m""".stripMargin,
     "q308_did" -> """
       |WITH e AS (
       |  SELECT event_type,

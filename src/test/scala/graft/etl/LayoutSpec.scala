@@ -27,6 +27,28 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compactionPlan: start-offset bins are contiguous and >= target") {
+    import spark.implicits._
+    // sizes 60,60,60,100,10 at target 100:
+    // prev cumsums 0,60,120,180,280 -> bins 0,0,1,1,2
+    val df = Seq(("p", 1L, 60L), ("p", 2L, 60L), ("p", 3L, 60L),
+      ("p", 4L, 100L), ("p", 5L, 10L), ("q", 9L, 5L))
+      .toDF("part", "id", "sz")
+    val out = Layout.compactionPlan(df, "part", "id", "sz", 100L)
+      .orderBy($"part", $"bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("p", 0L, 2L, 120L, 1L, 2L),
+      ("p", 1L, 2L, 160L, 3L, 4L),
+      ("p", 2L, 1L, 10L, 5L, 5L),
+      ("q", 0L, 1L, 5L, 9L, 9L)))
+    // every bin except each partition's last reaches the target
+    out.dropRight(1).groupBy(_._1).foreach { case (_, bins) =>
+      bins.dropRight(1).foreach(b => assert(b._4 >= 100L))
+    }
+  }
+
   test("zorderBy: disjoint sorted partition ranges over the z key") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

@@ -311,6 +311,35 @@ class StatsSpec extends SparkSpec {
     assert(o3.isNullAt(o3.fieldIndex("did_milli")))
   }
 
+  test("cuped: perfect pre-period predictor nulls the adjusted gap") {
+    // y = x exactly -> theta = 1000 milli; dx = dy -> adj_dy = 0
+    // control x/y: 10, 20; treated x/y: 40, 50 (slope 1, intercept 0/10)
+    val df = Seq(("e", false, 10L, 10L), ("e", false, 20L, 20L),
+      ("e", true, 40L, 40L), ("e", true, 50L, 50L))
+      .toDF("g", "t", "x", "y")
+    val out = Stats.cuped(df, "g", col("t"), "x", "y").collect().head
+    assert(out.getAs[Long]("n_t") == 2L && out.getAs[Long]("n_c") == 2L)
+    assert(out.getAs[Long]("theta_milli") == 1000L)
+    assert(out.getAs[Long]("dx_milli") == 30000L &&
+      out.getAs[Long]("dy_milli") == 30000L)
+    assert(out.getAs[Long]("adj_dy_milli") == 0L)
+    // pooled theta with a constant +7 lift: n=4 sx=120 sy=134 sxx=4600
+    // sxy=5230 -> theta = 4840/4000 = 1210 milli; dy = 37000;
+    // adj = 37000 - trunc(1210*30000/1000) = 700
+    val lift = Seq(("e", false, 10L, 10L), ("e", false, 20L, 20L),
+      ("e", true, 40L, 47L), ("e", true, 50L, 57L))
+      .toDF("g", "t", "x", "y")
+    val o2 = Stats.cuped(lift, "g", col("t"), "x", "y").collect().head
+    assert(o2.getAs[Long]("theta_milli") == 1210L)
+    assert(o2.getAs[Long]("dy_milli") == 37000L)
+    assert(o2.getAs[Long]("adj_dy_milli") == 700L)
+    // zero covariate variance -> NULL theta, not a fake zero
+    val flat = Seq(("e", false, 5L, 1L), ("e", true, 5L, 2L))
+      .toDF("g", "t", "x", "y")
+    val o3 = Stats.cuped(flat, "g", col("t"), "x", "y").collect().head
+    assert(o3.isNullAt(o3.fieldIndex("theta_milli")))
+  }
+
   test("conformalRadius: finite-sample rank, too-small n yields NULL") {
     // scores 1..10: alpha 10% -> k = ceil(11*0.90) = 10 -> radius 10;
     // alpha 5% -> k = 11 > n -> NULL radius

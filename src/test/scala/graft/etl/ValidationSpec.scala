@@ -83,6 +83,20 @@ class ValidationSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("t", 3L, 1L, 3L, 2L)))
   }
+  test("keyAudit: true key passes, dup-carrying candidates flagged") {
+    import spark.implicits._
+    // (a,b) unique; a alone has dups (a=1 twice); nulls group normally
+    val df = Seq((Some(1L), 1L), (Some(1L), 2L), (Some(2L), 1L),
+      (None, 1L), (None, 2L)).toDF("a", "b")
+    val got = Validation.keyAudit(df, Seq(Seq("a", "b"), Seq("a")))
+      .orderBy($"candidate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      ("a", 5L, 3L, 2L, 2L, false),
+      ("a,b", 5L, 5L, 0L, 1L, true)))
+  }
+
   test("nullPatternAudit: pairwise co-missingness counts and lift") {
     import spark.implicits._
     val df = Seq[(Option[Int], Option[Int], Option[Int])](
