@@ -342,6 +342,41 @@ object Corpus {
       conv(substring(sha2(col(idCol).cast("string"), 256), 1, 4), 16, 10)
         .cast("long") % 10000 < rateBp)
 
+  /** Mixture-weight planning — the step BEFORE [[mixtureSample]]: given
+    * target blend shares in ppm, compute per source the largest
+    * undersample-only plan that hits the blend EXACTLY:
+    *   T_max  = min_s ⌊n_s · 10⁶ / target_s⌋   (the binding source
+    *            caps the whole mixture — no source is oversampled)
+    *   take_s = ⌊T_max · target_s / 10⁶⌋
+    *   rate_bp= ⌊take_s · 10⁴ / n_s⌋            (feed to mixtureSample)
+    * A target source absent from the data drives T_max to 0 — the
+    * honest "this blend is infeasible", never a silent renormalize;
+    * sources outside the target list are simply not in the plan (rate
+    * 0). Counts fold map-side; the target list and the one-row T_max
+    * broadcast — no shuffle beyond the count. n·10⁶ passes a long to
+    * ~9·10¹² rows per source. */
+  def mixtureWeights(df: DataFrame, sourceCol: String,
+      targetsPpm: Seq[(String, Long)]): DataFrame = {
+    require(targetsPpm.nonEmpty, "need at least one target share")
+    require(targetsPpm.map(_._2).sum <= 1000000L,
+      "target shares exceed 10^6 ppm")
+    require(targetsPpm.forall(_._2 > 0), "target shares must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targetsPpm.toDF(sourceCol, "target_ppm")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    val joined = tgt.join(counts, Seq(sourceCol), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val feas = joined
+      .agg(min(expr("n * 1000000 div target_ppm")).as("t_max"))
+    joined.crossJoin(broadcast(feas))
+      .withColumn("take_rows", expr("t_max * target_ppm div 1000000"))
+      .withColumn("rate_bp",
+        expr("CAST(take_rows * 10000 div NULLIF(n, 0) AS BIGINT)"))
+      .select(col(sourceCol), col("n"), col("target_ppm"), col("t_max"),
+        col("take_rows"), col("rate_bp"))
+  }
+
   /** Balanced down-sample: every group reduced to the size of the
     * SMALLEST group, survivors chosen by the [[hashSample]] order
     * (smallest sha256(id) first) — the class-rebalancing step of a

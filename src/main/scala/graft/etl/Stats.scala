@@ -450,6 +450,29 @@ object Stats {
                div 1000 AS BIGINT)"""))
   }
 
+  /** Sample-ratio-mismatch check — the FIRST gate on any A/B readout
+    * (a biased assignment invalidates every downstream metric before
+    * it's computed): per group, the distinct-unit count in each arm of
+    * a 50/50 split and the one-degree chi-square statistic
+    *   χ²_milli = (n₀−n₁)²·1000 div (n₀+n₁)
+    * (for equal expected counts, (n₀−E)²/E + (n₁−E)²/E reduces to
+    * exactly (n₀−n₁)²/n — integer-exact, no float CDF), flagged at the
+    * 5% critical value 3.841. Run per SEGMENT (the groupCol), this
+    * catches differential logging loss that a whole-experiment check
+    * averages away. Units dedupe first (assignment is per unit, not
+    * per event): one (group, unit) groupBy, then an enum-sized fold.
+    * (n₀−n₁)² passes a long to ~3·10⁹ units per group. */
+  def srmCheck(df: DataFrame, groupCol: String, armCol: Column,
+      unitCol: String): DataFrame = {
+    val units = df.groupBy(col(groupCol), col(unitCol))
+      .agg(max(when(armCol, 1L).otherwise(0L)).as("_arm"))
+    units.groupBy(col(groupCol))
+      .agg(sum(lit(1L) - col("_arm")).as("n0"), sum(col("_arm")).as("n1"))
+      .withColumn("chi2_milli",
+        expr("(n0 - n1) * (n0 - n1) * 1000 div (n0 + n1)"))
+      .withColumn("srm", col("chi2_milli") > 3841L)
+  }
+
   /** Split-conformal calibration: per group, the nonconformity-score
     * radius q̂ = the ⌈(n+1)·(1−α)⌉-th smallest score (the
     * finite-sample-valid conformal quantile — guaranteeing ≥ 1−α

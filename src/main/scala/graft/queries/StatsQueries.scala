@@ -532,6 +532,19 @@ object StatsQueries {
     Stats.cuped(perUser, "exp", $"treat", "x", "y")
   }
 
+  // ------------------------------------------------ q312 SRM
+
+  /** Sample-ratio-mismatch gate ([[Stats.srmCheck]]) per event type:
+    * distinct users per arm of the user_id%2 split with the exact
+    * integer chi-square — the per-segment assignment health check that
+    * must pass before q308/q311 readouts mean anything. */
+  def q312Srm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Stats.srmCheck(Tables.events(spark, dir), "event_type",
+        $"user_id" % 2 === 1, "user_id")
+      .orderBy($"event_type")
+  }
+
   // --------------------------------------- q291 conformal radius
 
   /** Split-conformal interval radii ([[Stats.conformalRadius]]) at 90%
@@ -698,6 +711,7 @@ object StatsQueries {
     "q297_qte" -> q297Qte _,
     "q308_did" -> q308Did _,
     "q311_cuped" -> q311Cuped _,
+    "q312_srm" -> q312Srm _,
     "q258_pinball" -> q258Pinball _,
     "q259_dispersion" -> q259Dispersion _,
     "q260_cramers_v" -> q260CramersV _,
@@ -723,6 +737,21 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q312_srm" -> """
+      |WITH u AS (
+      |  SELECT DISTINCT event_type, user_id,
+      |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS arm
+      |  FROM events),
+      |a AS (
+      |  SELECT event_type,
+      |    CAST(sum(1 - arm) AS BIGINT) AS n0,
+      |    CAST(sum(arm) AS BIGINT) AS n1
+      |  FROM u GROUP BY 1)
+      |SELECT event_type, n0, n1,
+      |  CAST((n0 - n1) * (n0 - n1) * 1000 // (n0 + n1) AS BIGINT)
+      |    AS chi2_milli,
+      |  (n0 - n1) * (n0 - n1) * 1000 // (n0 + n1) > 3841 AS srm
+      |FROM a ORDER BY 1""".stripMargin,
     "q311_cuped" -> """
       |WITH u AS (
       |  SELECT user_id,

@@ -619,7 +619,21 @@ object TrainingData {
       .orderBy($"a", $"rk")
   }
 
+  /** Mixture-weight plan ([[graft.etl.Corpus.mixtureWeights]]): the
+    * largest undersample-only corpus hitting an en 50% / de 15% /
+    * fr 15% / es 10% / zh 10% language blend exactly — per language the
+    * row budget and the rate (in bp) to feed q137's mixtureSample. The
+    * planning half of the DoReMi-style reweighting pass. */
+  def q313MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.mixtureWeights(Tables.documents(spark, dir), "lang",
+        Seq("en" -> 500000L, "de" -> 150000L, "fr" -> 150000L,
+          "es" -> 100000L, "zh" -> 100000L))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_mixture_weights" -> q313MixtureWeights _,
     "q189_bigram_lm" -> q189BigramLm _,
     "q182_bm25" -> q182Bm25 _,
     "q185_skipgram" -> q185Skipgram _,
@@ -952,6 +966,22 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q313_mixture_weights" -> """
+      |WITH tgt(lang, target_ppm) AS (VALUES
+      |  ('en', CAST(500000 AS BIGINT)), ('de', CAST(150000 AS BIGINT)),
+      |  ('fr', CAST(150000 AS BIGINT)), ('es', CAST(100000 AS BIGINT)),
+      |  ('zh', CAST(100000 AS BIGINT))),
+      |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+      |      GROUP BY 1),
+      |j AS (SELECT tgt.lang, tgt.target_ppm, coalesce(c.n, 0) AS n
+      |      FROM tgt LEFT JOIN c USING (lang)),
+      |f AS (SELECT CAST(min(n * 1000000 // target_ppm) AS BIGINT)
+      |        AS t_max FROM j)
+      |SELECT j.lang, j.n, j.target_ppm, f.t_max,
+      |  CAST(f.t_max * j.target_ppm // 1000000 AS BIGINT) AS take_rows,
+      |  CAST(f.t_max * j.target_ppm // 1000000 * 10000
+      |    // NULLIF(j.n, 0) AS BIGINT) AS rate_bp
+      |FROM j CROSS JOIN f ORDER BY j.lang""".stripMargin,
     "q189_bigram_lm" -> """
       |WITH toks AS (
       |  SELECT list_filter(string_split_regex(text, '[ \t\n\r]+'),

@@ -261,4 +261,23 @@ class CorpusSpec extends SparkSpec {
       out.getAs[Long]("other_ppm") == 125000L)
   }
 
+  test("mixtureWeights: binding source caps the blend, absent is honest") {
+    import spark.implicits._
+    // a:100 rows, b:50; 50/50 target -> b binds: T=100, take 50/50
+    val df = (Seq.fill(100)("a") ++ Seq.fill(50)("b")).toDF("src")
+    val out = Corpus.mixtureWeights(df, "src",
+        Seq("a" -> 500000L, "b" -> 500000L))
+      .orderBy($"src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(out.toSeq == Seq(("a", 100L, 100L, 50L, 5000L),
+      ("b", 50L, 100L, 50L, 10000L)))
+    // a target source absent from the data -> T_max = 0, no renormalize
+    val miss = Corpus.mixtureWeights(df, "src",
+        Seq("a" -> 500000L, "c" -> 500000L))
+      .orderBy($"src").collect()
+    assert(miss.forall(_.getAs[Long]("t_max") == 0L))
+    assert(miss.forall(_.getAs[Long]("take_rows") == 0L))
+  }
+
 }

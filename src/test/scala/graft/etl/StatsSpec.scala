@@ -340,6 +340,19 @@ class StatsSpec extends SparkSpec {
     assert(o3.isNullAt(o3.fieldIndex("theta_milli")))
   }
 
+  test("srmCheck: balanced passes, lopsided flags, units dedupe") {
+    // g: units 1-6, arms 3/3 (unit 1 appears twice -> dedup) -> chi2 0
+    // h: 10 units all arm 0 -> chi2 = 100*1000/10 = 10000 > 3841
+    val rows = (Seq(("g", 1L), ("g", 1L)) ++ (2L to 6L).map(("g", _)) ++
+      (10L to 28L by 2).map(("h", _))).toDF("grp", "u")
+    val out = Stats.srmCheck(rows, "grp", $"u" % 2 === 0, "u")
+      .orderBy($"grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.toSeq == Seq(("g", 3L, 3L, 0L, false),
+      ("h", 0L, 10L, 10000L, true)))
+  }
+
   test("conformalRadius: finite-sample rank, too-small n yields NULL") {
     // scores 1..10: alpha 10% -> k = ceil(11*0.90) = 10 -> radius 10;
     // alpha 5% -> k = 11 > n -> NULL radius
