@@ -632,8 +632,36 @@ object TrainingData {
       .orderBy($"lang")
   }
 
+  /** TextRank keyword extraction: integer PageRank
+    * ([[graft.etl.Graph.pageRankInt]], 3 iterations) over the corpus
+    * word-adjacency graph (distinct bigram pairs from
+    * [[graft.etl.Corpus.skipgramPairs]] at window 1, symmetrized), top
+    * 20 tokens by rank — the classic unsupervised keyword extractor,
+    * here as a pure composition of two already-proven operators. The
+    * graph is vocabulary-sized (not corpus-sized), so the final top-k
+    * window runs over a bounded table; every iteration is the same
+    * edge-join + aggregate shape q113 pins. */
+  def q314Textrank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.etl.Corpus.skipgramPairs(
+      Tables.documents(spark, dir), "text", 1)
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+      .distinct()
+    val nodes = edges.select($"src".as("tok")).distinct()
+    val ranked = graft.etl.Graph.pageRankInt(nodes, edges, "tok",
+      "src", "dst", iterations = 3)
+    val w = Window.orderBy($"rank".desc, $"node")
+    ranked.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 20)
+      .select($"rk", $"node".as("token"), $"rank")
+      .orderBy($"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q313_mixture_weights" -> q313MixtureWeights _,
+    "q314_textrank" -> q314Textrank _,
     "q189_bigram_lm" -> q189BigramLm _,
     "q182_bm25" -> q182Bm25 _,
     "q185_skipgram" -> q185Skipgram _,
@@ -966,6 +994,49 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q314_textrank" -> """
+      |WITH toks AS MATERIALIZED (
+      |  SELECT list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |                     x -> x <> '') AS t
+      |  FROM documents),
+      |u AS (
+      |  SELECT unnest(CASE WHEN len(t) > 1
+      |    THEN list_zip(t[1:len(t)-1], t[2:len(t)]) ELSE [] END) AS z
+      |  FROM toks),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT z[1] AS src, z[2] AS dst FROM u
+      |    UNION ALL
+      |    SELECT z[2], z[1] FROM u)),
+      |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+      |d AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+      |r0 AS (SELECT node, CAST(1099511627776 AS BIGINT) AS r FROM nodes),
+      |s1 AS MATERIALIZED (
+      |  SELECT e.dst, sum(r0.r // d.outdeg) AS s
+      |  FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+      |r1 AS MATERIALIZED (
+      |  SELECT n.node,
+      |    (15 * 1099511627776) // 100 + (coalesce(s.s, 0) * 85) // 100 AS r
+      |  FROM nodes n LEFT JOIN s1 s ON s.dst = n.node),
+      |s2 AS MATERIALIZED (
+      |  SELECT e.dst, sum(r1.r // d.outdeg) AS s
+      |  FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+      |r2 AS MATERIALIZED (
+      |  SELECT n.node,
+      |    (15 * 1099511627776) // 100 + (coalesce(s.s, 0) * 85) // 100 AS r
+      |  FROM nodes n LEFT JOIN s2 s ON s.dst = n.node),
+      |s3 AS MATERIALIZED (
+      |  SELECT e.dst, sum(r2.r // d.outdeg) AS s
+      |  FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+      |r3 AS MATERIALIZED (
+      |  SELECT n.node,
+      |    (15 * 1099511627776) // 100 + (coalesce(s.s, 0) * 85) // 100 AS r
+      |  FROM nodes n LEFT JOIN s3 s ON s.dst = n.node)
+      |SELECT rk, node AS token, CAST(rank AS BIGINT) AS rank FROM (
+      |  SELECT node, r AS rank,
+      |    CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT) AS rk
+      |  FROM r3)
+      |WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "q313_mixture_weights" -> """
       |WITH tgt(lang, target_ppm) AS (VALUES
       |  ('en', CAST(500000 AS BIGINT)), ('de', CAST(150000 AS BIGINT)),
