@@ -453,6 +453,31 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), col("dot"))
   }
 
+  /** ANN recall audit — the quality gate on the bucketing/recall
+    * tradeoff [[lshBucketTopK]] and [[ivfTopK]] make: per query, how
+    * many of the EXACT top-k ([[bruteForceTopK]]) the approximate
+    * index actually returned, as `recall_bp`. Run on a sampled query
+    * set, this is the number that decides `bits`/`nprobe` before a
+    * 100 TB index build commits to them — measured, not guessed.
+    * The exact side is the expensive one (brute force over the corpus);
+    * the audit inherits its cost on the SAMPLE only, never the full
+    * query load. One left-semi join on (query, neighbor) + two
+    * per-query folds. */
+  def annRecallAudit(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("nn_id"))
+    val approx = lshBucketTopK(corpus, queries, idCol, vecCol, k, bits)
+      .select(col("query_id"), col("nn_id"))
+    val hits = exact.join(approx, Seq("query_id", "nn_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_bp", expr("hits * 10000 div n_exact"))
+  }
+
   /** Embedding-cosine near-duplicate PAIRS (the dedup-flavored companion to
     * the top-k searches): candidates share a sign-LSH bucket (never an
     * all-pairs join — at 100 TB the corpus is hash-partitioned by bucket and

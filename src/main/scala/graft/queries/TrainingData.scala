@@ -632,6 +632,20 @@ object TrainingData {
       .orderBy($"lang")
   }
 
+  /** ANN recall audit ([[graft.etl.Similarity.annRecallAudit]]): per
+    * sampled query, the fraction of the exact top-10 the 8-bit sign-LSH
+    * index (q50) actually returns vs brute force (q29) — the measured
+    * recall that justifies (or rejects) the bucketing parameters before
+    * an index build commits to them. */
+  def q315AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" % 400 === 0)
+    graft.etl.Similarity.annRecallAudit(emb, queries, "vec_id",
+        "embedding", k = 10, bits = 8)
+      .orderBy($"query_id")
+  }
+
   /** TextRank keyword extraction: integer PageRank
     * ([[graft.etl.Graph.pageRankInt]], 3 iterations) over the corpus
     * word-adjacency graph (distinct bigram pairs from
@@ -662,6 +676,7 @@ object TrainingData {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q313_mixture_weights" -> q313MixtureWeights _,
     "q314_textrank" -> q314Textrank _,
+    "q315_ann_recall" -> q315AnnRecall _,
     "q189_bigram_lm" -> q189BigramLm _,
     "q182_bm25" -> q182Bm25 _,
     "q185_skipgram" -> q185Skipgram _,
@@ -994,6 +1009,35 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q315_ann_recall" -> s"""
+      |WITH $qembSql,
+      |ex AS MATERIALIZED (
+      |  SELECT query_id, nn_id FROM (
+      |    SELECT qe.vec_id AS query_id, ce.vec_id AS nn_id,
+      |      row_number() OVER (PARTITION BY qe.vec_id
+      |        ORDER BY CAST(list_dot_product(qe.q, ce.q) AS BIGINT) DESC,
+      |          ce.vec_id) AS rank
+      |    FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id
+      |    WHERE qe.vec_id % 400 = 0)
+      |  WHERE rank <= 10),
+      |ap AS MATERIALIZED (
+      |  SELECT query_id, nn_id FROM (
+      |    SELECT qe.vec_id AS query_id, ce.vec_id AS nn_id,
+      |      row_number() OVER (PARTITION BY qe.vec_id
+      |        ORDER BY CAST(list_dot_product(qe.q, ce.q) AS BIGINT) DESC,
+      |          ce.vec_id) AS rank
+      |    FROM e qe JOIN e ce ON ce.bucket = qe.bucket
+      |      AND ce.vec_id <> qe.vec_id
+      |    WHERE qe.vec_id % 400 = 0)
+      |  WHERE rank <= 10)
+      |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+      |  CAST(sum(CASE WHEN ap.nn_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS hits,
+      |  CAST(sum(CASE WHEN ap.nn_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    * 10000 // count(*) AS BIGINT) AS recall_bp
+      |FROM ex LEFT JOIN ap
+      |  ON ap.query_id = ex.query_id AND ap.nn_id = ex.nn_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q314_textrank" -> """
       |WITH toks AS MATERIALIZED (
       |  SELECT list_filter(string_split_regex(text, '[ \t\n\r]+'),

@@ -95,6 +95,25 @@ class SimilaritySpec extends SparkSpec {
     assert(bf == lsh)
   }
 
+  test("annRecallAudit: cross-bucket true neighbor lowers recall") {
+    import spark.implicits._
+    // bits=2 buckets on sign(dim1,dim2). query (1,1) bucket 11;
+    // exact top-2 = {b (dot 1.9), a (dot 1.8)}; LSH bucket 11 holds only
+    // a -> hits 1 of 2 -> recall 5000 bp
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f)),
+      (1L, Array(0.9f, 0.9f)),          // a: same bucket
+      (2L, Array(2.0f, -0.1f)),         // b: best dot, bucket 10 -> missed
+      (3L, Array(-1.0f, -1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.annRecallAudit(vecs,
+        vecs.filter($"vec_id" === 0), "vec_id", "embedding",
+        k = 2, bits = 2)
+      .collect().head
+    assert(out.getAs[Long]("n_exact") == 2L)
+    assert(out.getAs[Long]("hits") == 1L)
+    assert(out.getAs[Long]("recall_bp") == 5000L)
+  }
+
   test("shingle frequency cap preserves exact Jaccard for surviving pairs") {
     val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
     val exact = Similarity.ngramJaccardPairs(df, "doc_id", "text", 3, None)
