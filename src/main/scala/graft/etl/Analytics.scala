@@ -143,6 +143,27 @@ object Analytics {
       .select(col(groupCol), (-col("m.nv")).as("mode_value"),
         col("m.c").as("mode_count"))
 
+  /** Rare-category collapse — the cardinality cap applied before any
+    * one-hot/target encoding or per-category rollup melts down on a
+    * long tail: categories with fewer than `minCount` rows fold into
+    * the sentinel `(other)`; the output reports each surviving label's
+    * row mass and how many raw labels it absorbed. The cutoff is on
+    * COUNTS, so the transform is deterministic and the category map it
+    * implies (label → label | other) is broadcastable to apply
+    * anywhere. Two combiner-friendly aggregations over a
+    * category-cardinality-sized intermediate — never row-sized. */
+  def collapseRareCategories(df: DataFrame, catCol: String,
+      minCount: Long): DataFrame = {
+    val counts = df.groupBy(col(catCol)).agg(count(lit(1)).as("_c"))
+    counts
+      .withColumn("category",
+        when(col("_c") < minCount, lit("(other)"))
+          .otherwise(col(catCol).cast("string")))
+      .groupBy(col("category"))
+      .agg(sum(col("_c")).as("n"), count(lit(1)).as("n_raw_labels"))
+      .withColumn("is_other", col("category") === "(other)")
+  }
+
   /** Tukey-fence outlier rows per group: values outside
     * [p25 − k/2·IQR, p75 + k/2·IQR] (k in half-IQR steps keeps the
     * arithmetic integral — the classic 1.5·IQR fence is k=3). The

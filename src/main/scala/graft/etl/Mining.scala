@@ -302,6 +302,48 @@ object Mining {
                 AS BIGINT)""").as("lift_bp"))
   }
 
+  /** Per-group Qini (uplift) curve — [[liftCurve]]'s causal sibling:
+    * with units ranked by uplift score and cut into `bins` ntiles, the
+    * cumulative incremental positives the TREATED side shows over the
+    * control baseline scaled to the treated depth:
+    *   qini_milli = cum_pos_t·1000 − ⌊cum_pos_c·cum_n_t·1000 / cum_n_c⌋
+    * — the targeting readout when the action has a cost: a model can
+    * have great lift (q306) and zero uplift if it merely finds people
+    * who convert anyway. The division operand is nonnegative (floor =
+    * truncate cross-engine); the subtraction carries the sign exactly.
+    * Cross-products ride decimal(38,0); an all-control prefix yields
+    * NULL (NULLIF) rather than a fake zero. Same two-window shape as
+    * [[liftCurve]]: one per-group rank, one bins-sized cumulative. */
+  def qiniCurve(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, treatCol: Column, labelCol: Column,
+      bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val per = df
+      .withColumn("_t", when(treatCol, 1L).otherwise(0L))
+      .withColumn("_l", when(labelCol, 1L).otherwise(0L))
+      .withColumn("bin", ntile(bins).over(w))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_t")).as("n_t"), sum(lit(1L) - col("_t")).as("n_c"),
+        sum(col("_t") * col("_l")).as("pos_t"),
+        sum((lit(1L) - col("_t")) * col("_l")).as("pos_c"))
+    val wc = Window.partitionBy(col(groupCol)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cum_n_t", sum(col("n_t")).over(wc))
+      .withColumn("cum_n_c", sum(col("n_c")).over(wc))
+      .withColumn("cum_pos_t", sum(col("pos_t")).over(wc))
+      .withColumn("cum_pos_c", sum(col("pos_c")).over(wc))
+      .select(col(groupCol), col("bin"), col("n"),
+        col("cum_n_t"), col("cum_n_c"), col("cum_pos_t"), col("cum_pos_c"),
+        expr("""CAST(cum_pos_t * 1000 -
+                CAST(CAST(cum_pos_c AS DECIMAL(38,0)) * cum_n_t * 1000
+                  div NULLIF(cum_n_c, 0) AS BIGINT) AS BIGINT)""")
+          .as("qini_milli"))
+  }
+
   /** Per-group average precision (area under the precision–recall
     * curve, the rank metric that — unlike [[groupAuc]] — ignores the
     * true-negative ocean, so it is the one to trust under class

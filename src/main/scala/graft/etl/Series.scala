@@ -79,6 +79,30 @@ object Series {
     df.withColumn(out, element_at(frame, ((size(frame) + 1) / 2).cast("int")))
   }
 
+  /** Burst detection over an already-aggregated integer series: a tick
+    * is a burst when its value is at least `num/den` times the exact
+    * LOWER MEDIAN of the `n` PRIOR ticks (median, not mean — one
+    * previous spike must not raise the baseline and mask the next one;
+    * prior-only frame — the spike must not sit inside its own
+    * baseline). Ticks with fewer than `n` priors report a NULL baseline
+    * and never flag (the honest cold-start answer). The burst test
+    * cross-multiplies (`v·den ≥ med·num`) so no division happens at
+    * all. Same collect-sort-inside-the-window shape as
+    * [[rollingMedian]]: O(n) state per row, one per-key shuffle. */
+  def burstDays(daily: DataFrame, keyCol: String, dCol: String,
+      xCol: String, n: Int = 7, num: Long = 3, den: Long = 2): DataFrame = {
+    require(n >= 1 && num > 0 && den > 0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dCol))
+      .rowsBetween(-n, -1)
+    val frame = array_sort(collect_list(col(xCol)).over(w))
+    daily
+      .withColumn("baseline_med",
+        when(size(frame) === n,
+          element_at(frame, ((size(frame) + 1) / 2).cast("int"))))
+      .withColumn("burst",
+        coalesce(col(xCol) * den >= col("baseline_med") * num, lit(false)))
+  }
+
   /** Lag-k autocorrelation of an ALREADY-AGGREGATED integer series
     * (`tCol` = integral time index, `xCol` = integral value): for each lag
     * in 1..maxLag, Pearson sign + floor-scaled r² over the pairs

@@ -479,6 +479,18 @@ object Domain {
       .orderBy($"candidate")
   }
 
+  /** Rare-category collapse
+    * ([[graft.etl.Analytics.collapseRareCategories]]) on part brands at
+    * min support 80: the long-tail cap applied before encoding or
+    * per-brand rollups — sub-threshold brands fold into `(other)` with
+    * their row mass and absorbed-label count reported. */
+  def q317RareCollapse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Analytics.collapseRareCategories(
+        Tables.part(spark, dir), "p_brand", minCount = 80L)
+      .orderBy($"category")
+  }
+
   /** Nearest as-of ([[graft.etl.TimeJoins.asofJoinNearest]]): each event
     * matched to the user's CLOSEST order by calendar day, backward or
     * forward, ties backward — the `merge_asof(direction='nearest')`
@@ -523,6 +535,7 @@ object Domain {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_fd_audit" -> q184FdAudit _,
     "q309_key_discovery" -> q309KeyDiscovery _,
+    "q317_rare_collapse" -> q317RareCollapse _,
     "q279_null_pattern" -> q279NullPattern _,
     "q289_asof_nearest" -> q289AsofNearest _,
     "q176_ref_integrity" -> q176RefIntegrity _,
@@ -549,6 +562,15 @@ object Domain {
     "q94_drawdown" -> q94Drawdown _)
 
   val oracleSql: Map[String, String] = Map(
+    "q317_rare_collapse" -> """
+      |WITH c AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS c
+      |           FROM part GROUP BY 1)
+      |SELECT category, CAST(sum(c) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS n_raw_labels,
+      |  category = '(other)' AS is_other
+      |FROM (SELECT CASE WHEN c < 80 THEN '(other)' ELSE p_brand END
+      |        AS category, c FROM c)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q309_key_discovery" -> """
       |WITH k1 AS (SELECT count(*) AS c FROM lineitem
       |            GROUP BY l_orderkey, l_linenumber),

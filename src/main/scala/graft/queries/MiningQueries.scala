@@ -332,6 +332,24 @@ object MiningQueries {
       .orderBy($"event_type", $"bin")
   }
 
+  // ------------------------------------------- q316 Qini curve
+
+  /** Qini (uplift) curve ([[Mining.qiniCurve]]): the q306 deciles with
+    * the treatment/control split overlaid — cumulative incremental
+    * positives over the control baseline scaled to treated depth, the
+    * readout that separates "finds converters" from "changes
+    * behavior". Same deterministic labeling family as q140/q306, arms
+    * from the q308 assignment. */
+  def q316QiniCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).filter($"value".isNotNull)
+      .select($"event_type", $"event_id", $"user_id",
+        Series.cents($"value").as("cents"))
+    Mining.qiniCurve(e, "event_type", "cents", "event_id",
+        $"user_id" % 2 === 1, $"user_id" % 3 === 0, bins = 10)
+      .orderBy($"event_type", $"bin")
+  }
+
   // ------------------------------------- q307 average precision
 
   /** Average precision per event type ([[Mining.averagePrecision]]):
@@ -1070,7 +1088,8 @@ object MiningQueries {
     "q284_var_alloc" -> q284VarAlloc _,
     "q304_microaggregate" -> q304Microaggregate _,
     "q306_lift_curve" -> q306LiftCurve _,
-    "q307_avg_precision" -> q307AvgPrecision _)
+    "q307_avg_precision" -> q307AvgPrecision _,
+    "q316_qini_curve" -> q316QiniCurve _)
 
   /** Microaggregation ([[graft.etl.Privacy.microaggregate]]) of order
     * totals within market segment at k = 10: every published amount is
@@ -1180,6 +1199,38 @@ object MiningQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q316_qini_curve" -> """
+      |WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t,
+      |    CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS l
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, t, l, ntile(10) OVER (PARTITION BY event_type
+      |    ORDER BY cents DESC, event_id) AS bin
+      |  FROM e),
+      |b AS (
+      |  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(t) AS BIGINT) AS n_t,
+      |    CAST(sum(1 - t) AS BIGINT) AS n_c,
+      |    CAST(sum(t * l) AS BIGINT) AS pos_t,
+      |    CAST(sum((1 - t) * l) AS BIGINT) AS pos_c
+      |  FROM r GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, bin, n,
+      |    CAST(sum(n_t) OVER w AS BIGINT) AS cum_n_t,
+      |    CAST(sum(n_c) OVER w AS BIGINT) AS cum_n_c,
+      |    CAST(sum(pos_t) OVER w AS BIGINT) AS cum_pos_t,
+      |    CAST(sum(pos_c) OVER w AS BIGINT) AS cum_pos_c
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, bin, n, cum_n_t, cum_n_c, cum_pos_t, cum_pos_c,
+      |  CAST(cum_pos_t * 1000 -
+      |    CAST(CAST(cum_pos_c AS HUGEINT) * cum_n_t * 1000
+      |      // NULLIF(cum_n_c, 0) AS BIGINT) AS BIGINT) AS qini_milli
+      |FROM c ORDER BY 1, 2""".stripMargin,
     "q306_lift_curve" -> """
       |WITH e AS (
       |  SELECT event_type, event_id,

@@ -532,6 +532,25 @@ object StatsQueries {
     Stats.cuped(perUser, "exp", $"treat", "x", "y")
   }
 
+  // ------------------------------------------- q318 burst days
+
+  /** Burst detection ([[Series.burstDays]]) over the daily event count
+    * per type: a day flags when its count reaches 1.5× the exact lower
+    * median of the 7 prior days — the spike monitor whose median
+    * baseline one previous spike cannot poison, with an honest NULL
+    * cold start. */
+  def q318BurstDays(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select($"event_type",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("cnt"))
+    graft.etl.Series.burstDays(daily, "event_type", "d", "cnt", n = 7)
+      .select($"event_type", $"d", $"cnt", $"baseline_med", $"burst")
+      .orderBy($"event_type", $"d")
+  }
+
   // ------------------------------------------------ q312 SRM
 
   /** Sample-ratio-mismatch gate ([[Stats.srmCheck]]) per event type:
@@ -712,6 +731,7 @@ object StatsQueries {
     "q308_did" -> q308Did _,
     "q311_cuped" -> q311Cuped _,
     "q312_srm" -> q312Srm _,
+    "q318_burst_days" -> q318BurstDays _,
     "q258_pinball" -> q258Pinball _,
     "q259_dispersion" -> q259Dispersion _,
     "q260_cramers_v" -> q260CramersV _,
@@ -737,6 +757,24 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q318_burst_days" -> """
+      |WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, d, cnt,
+      |    list_sort(list(cnt) OVER (PARTITION BY event_type ORDER BY d
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS fr
+      |  FROM daily)
+      |SELECT event_type, d, cnt,
+      |  CAST(CASE WHEN len(fr) = 7 THEN fr[(len(fr) + 1) // 2] END
+      |    AS BIGINT) AS baseline_med,
+      |  coalesce(cnt * 2 >= (CASE WHEN len(fr) = 7
+      |    THEN fr[(len(fr) + 1) // 2] END) * 3, false) AS burst
+      |FROM w ORDER BY 1, 2""".stripMargin,
     "q312_srm" -> """
       |WITH u AS (
       |  SELECT DISTINCT event_type, user_id,

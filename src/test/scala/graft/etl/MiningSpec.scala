@@ -811,6 +811,40 @@ class MiningSpec extends SparkSpec {
       top.getAs[Long]("lift_bp") == 20000L)
   }
 
+  test("collapseRareCategories: sub-threshold labels fold into (other)") {
+    val df = Seq("a", "a", "a", "b", "c").toDF("cat")
+    val out = Analytics.collapseRareCategories(df, "cat", 2L)
+      .orderBy($"category").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.toSeq == Seq(("(other)", 2L, 2L, true), ("a", 3L, 1L, false)))
+  }
+
+  test("qiniCurve: pure finder shows zero uplift, real uplift shows") {
+    // 8 units, bins=2; treat = id odd; top bin {8,7,6,5}
+    // finder: label = score >= 5 regardless of arm -> top bin:
+    // cum_pos_t=2, cum_pos_c=2, cum_n_t=cum_n_c=2 -> qini = 2000-2000 = 0
+    val finder = (1L to 8L).map(i => ("g", i, i, i % 2 == 1, i >= 5))
+      .toDF("g", "id", "s", "t", "l")
+    val f = Mining.qiniCurve(finder, "g", "s", "id", col("t"), col("l"), 2)
+      .orderBy($"bin").collect()
+    assert(f.head.getAs[Long]("qini_milli") == 0L)
+    // uplift: only TREATED high scorers convert -> top bin:
+    // cum_pos_t=2, cum_pos_c=0 -> qini = 2000
+    val uplift = (1L to 8L).map(i =>
+      ("g", i, i, i % 2 == 1, i >= 5 && i % 2 == 1))
+      .toDF("g", "id", "s", "t", "l")
+    val u = Mining.qiniCurve(uplift, "g", "s", "id", col("t"), col("l"), 2)
+      .orderBy($"bin").collect()
+    assert(u.head.getAs[Long]("qini_milli") == 2000L)
+    // all-treated prefix (no control baseline) -> NULL, not fake zero
+    val allc = (1L to 4L).map(i => ("g", i, i, true, i >= 3))
+      .toDF("g", "id", "s", "t", "l")
+    val a = Mining.qiniCurve(allc, "g", "s", "id", col("t"), col("l"), 2)
+      .orderBy($"bin").collect()
+    assert(a.head.isNullAt(a.head.fieldIndex("qini_milli")))
+  }
+
   test("averagePrecision: per-term floored ppm, imbalance-honest") {
     // positives at ranks 1 and 4: (1e6 + 2*1e6/4) / 2 = 750000
     val df = Seq(("g", 1L, 4L, true), ("g", 2L, 3L, false),

@@ -340,6 +340,21 @@ class StatsSpec extends SparkSpec {
     assert(o3.isNullAt(o3.fieldIndex("theta_milli")))
   }
 
+  test("burstDays: prior-only median baseline, honest cold start") {
+    // key g days 1..9: 7 quiet days (10 +/- jitter), day 8 spike 16,
+    // day 9 normal 10 — day 8 flags (16 >= 1.5*10), day 9 does not
+    // (its baseline median over {9,10,10,10,11,10,16} is still 10);
+    // days 1-7 have <7 priors -> NULL baseline, never flag
+    val daily = Seq(("g", 1L, 10L), ("g", 2L, 9L), ("g", 3L, 11L),
+      ("g", 4L, 10L), ("g", 5L, 10L), ("g", 6L, 10L), ("g", 7L, 10L),
+      ("g", 8L, 16L), ("g", 9L, 10L)).toDF("k", "d", "x")
+    val out = Series.burstDays(daily, "k", "d", "x", n = 7)
+      .orderBy($"d").collect()
+    assert(out.take(7).forall(r => r.isNullAt(3) && !r.getBoolean(4)))
+    assert(out(7).getLong(3) == 10L && out(7).getBoolean(4))
+    assert(out(8).getLong(3) == 10L && !out(8).getBoolean(4))
+  }
+
   test("srmCheck: balanced passes, lopsided flags, units dedupe") {
     // g: units 1-6, arms 3/3 (unit 1 appears twice -> dedup) -> chi2 0
     // h: 10 units all arm 0 -> chi2 = 100*1000/10 = 10000 > 3841
