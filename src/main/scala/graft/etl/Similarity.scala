@@ -339,6 +339,32 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** SimHash detector audit — [[annRecallAudit]]'s text-side sibling:
+    * pair-level recall AND precision of the banded hamming-≤`maxDist`
+    * detector ([[simhashPairs]]) against exact shingle-Jaccard ≥ ½
+    * truth ([[ngramJaccardPairs]]). The one-row answer to "can the
+    * 64-bit sketch replace the shingle join at 100 TB, and what does it
+    * miss" — measured on a sample before the cheap path is trusted.
+    * Both operands are the already-bounded pair plans; the audit itself
+    * is one left-semi join plus three one-row folds. */
+  def simhashRecallAudit(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxDist: Int = 3): DataFrame = {
+    val truth = ngramJaccardPairs(df, idCol, textCol, n)
+      .filter(col("inter") * 2 >= col("union_size"))
+      .select(col("id_a"), col("id_b"))
+    val det = simhashPairs(df, idCol, textCol, maxDist)
+      .select(col("id_a"), col("id_b"))
+    val hit = truth.join(det, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(det.agg(count(lit(1)).as("n_detected")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_both")))
+      .select(col("n_truth"), col("n_detected"), col("n_both"),
+        expr("CAST(n_both * 10000 div NULLIF(n_truth, 0) AS BIGINT)")
+          .as("recall_bp"),
+        expr("CAST(n_both * 10000 div NULLIF(n_detected, 0) AS BIGINT)")
+          .as("precision_bp"))
+  }
+
   // ---------- embedding similarity search ----------
 
   /** Element-wise int quantization of a float vector column (scale 1000):

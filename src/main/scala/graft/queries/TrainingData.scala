@@ -646,6 +646,17 @@ object TrainingData {
       .orderBy($"query_id")
   }
 
+  /** SimHash detector audit ([[graft.etl.Similarity.simhashRecallAudit]])
+    * on the q26 clone corpus: pair recall and precision of the banded
+    * hamming-≤3 sketch against exact shingle-Jaccard ≥ ½ truth — the
+    * measured case for (or against) replacing the shingle join with the
+    * 64-bit sketch at scale; q315's text-side sibling. */
+  def q319SimhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Similarity.simhashRecallAudit(corpus(spark, dir),
+      "doc_id", "text", n = 3, maxDist = 3)
+  }
+
   /** TextRank keyword extraction: integer PageRank
     * ([[graft.etl.Graph.pageRankInt]], 3 iterations) over the corpus
     * word-adjacency graph (distinct bigram pairs from
@@ -677,6 +688,7 @@ object TrainingData {
     "q313_mixture_weights" -> q313MixtureWeights _,
     "q314_textrank" -> q314Textrank _,
     "q315_ann_recall" -> q315AnnRecall _,
+    "q319_simhash_recall" -> q319SimhashRecall _,
     "q189_bigram_lm" -> q189BigramLm _,
     "q182_bm25" -> q182Bm25 _,
     "q185_skipgram" -> q185Skipgram _,
@@ -1009,6 +1021,58 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q319_simhash_recall" -> s"""
+      |WITH $corpusSql,
+      |$shinglesSql,
+      |freq AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |truth AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+      |      max(CASE WHEN f.c <= 256 THEN 1 ELSE 0 END) AS has_kept
+      |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    JOIN freq f ON f.s = a.s
+      |    GROUP BY 1, 2) p
+      |  JOIN sizes sa ON sa.doc_id = p.id_a
+      |  JOIN sizes sb ON sb.doc_id = p.id_b
+      |  WHERE 2 * p.inter >= sa.n + sb.n - p.inter AND p.has_kept = 1),
+      |toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM corpus),
+      |bits AS (
+      |  SELECT doc_id, i,
+      |    sum(CASE WHEN ((strpos('0123456789abcdef',
+      |        substr(md5(tok), i//4 + 1, 1)) - 1 >> (3 - i%4)) & 1) = 1
+      |      THEN 1 ELSE -1 END) AS s
+      |  FROM toks, (SELECT unnest(generate_series(0, 63)) AS i)
+      |  GROUP BY doc_id, i),
+      |shh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+      |      ORDER BY i) AS h
+      |  FROM bits GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, h, b, substr(h, b * 16 + 1, 16) AS block
+      |  FROM shh, (SELECT unnest(generate_series(0, 3)) AS b)),
+      |det AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      a.h AS ha, b.h AS hb
+      |    FROM banded a JOIN banded b
+      |      ON a.b = b.b AND a.block = b.block AND a.doc_id < b.doc_id)
+      |  WHERE len(list_filter(generate_series(1, 64),
+      |    i -> substr(ha, i, 1) <> substr(hb, i, 1))) <= 3),
+      |sel AS (SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM det) AS n_detected,
+      |  (SELECT CAST(count(*) AS BIGINT)
+      |   FROM truth JOIN det USING (id_a, id_b)) AS n_both)
+      |SELECT n_truth, n_detected, n_both,
+      |  CAST(n_both * 10000 // NULLIF(n_truth, 0) AS BIGINT) AS recall_bp,
+      |  CAST(n_both * 10000 // NULLIF(n_detected, 0) AS BIGINT)
+      |    AS precision_bp
+      |FROM sel""".stripMargin,
     "q315_ann_recall" -> s"""
       |WITH $qembSql,
       |ex AS MATERIALIZED (

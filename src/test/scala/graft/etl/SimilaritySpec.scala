@@ -114,6 +114,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.getAs[Long]("recall_bp") == 5000L)
   }
 
+  test("simhashRecallAudit: clone pair caught, disjoint docs stay out") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "x y z w q r")).toDF("doc_id", "text")
+    val out = Similarity.simhashRecallAudit(df, "doc_id", "text")
+      .collect().head
+    assert(out.getAs[Long]("n_truth") == 1L)
+    assert(out.getAs[Long]("n_detected") == 1L)
+    assert(out.getAs[Long]("n_both") == 1L)
+    assert(out.getAs[Long]("recall_bp") == 10000L)
+    assert(out.getAs[Long]("precision_bp") == 10000L)
+  }
+
   test("shingle frequency cap preserves exact Jaccard for surviving pairs") {
     val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
     val exact = Similarity.ngramJaccardPairs(df, "doc_id", "text", 3, None)
