@@ -143,6 +143,43 @@ object Analytics {
       .select(col(groupCol), (-col("m.nv")).as("mode_value"),
         col("m.c").as("mode_count"))
 
+  /** Knee/elbow detection per group — the "where does the curve bend"
+    * answer that turns a ranked diagnostic (Zipf freq-by-rank, inertia
+    * by k, coverage by vocab size) into a CUTOFF: the knee is the point
+    * maximizing the distance to the chord between the curve's
+    * endpoints, with distance compared by its exact cross-multiplied
+    * numerator |Δy·x − Δx·y + x₂y₁ − y₂x₁| (the √(Δx²+Δy²) denominator
+    * is constant per group — dividing would only add float noise).
+    * Ties break to the smallest x. Endpoints via min/max(struct) —
+    * `xCol` must be unique per group (a rank). One groupBy + one
+    * broadcastable endpoint join + one argmax fold; products ride
+    * decimal(38,0). */
+  def kneePoint(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val ends = df.groupBy(col(groupCol)).agg(
+      min(struct(col(xCol), col(yCol))).as("_lo"),
+      max(struct(col(xCol), col(yCol))).as("_hi"))
+    df.join(broadcast(ends), Seq(groupCol))
+      .select(col(groupCol), col(xCol).as("_x"), col(yCol).as("_y"),
+        col("_lo").getField(xCol).as("x1"),
+        col("_lo").getField(yCol).as("y1"),
+        col("_hi").getField(xCol).as("x2"),
+        col("_hi").getField(yCol).as("y2"))
+      .withColumn("_dn", expr(
+        """abs((CAST(y2 AS DECIMAL(38,0)) - y1) * _x -
+               (CAST(x2 AS DECIMAL(38,0)) - x1) * _y +
+               CAST(x2 AS DECIMAL(38,0)) * y1 -
+               CAST(y2 AS DECIMAL(38,0)) * x1)"""))
+      .groupBy(col(groupCol))
+      .agg(max(col("x1")).as("x1"), max(col("y1")).as("y1"),
+        max(col("x2")).as("x2"), max(col("y2")).as("y2"),
+        max(struct(col("_dn"), (-col("_x")).as("_nx"), col("_y").as("_ky")))
+          .as("_k"))
+      .select(col(groupCol), col("x1"), col("y1"), col("x2"), col("y2"),
+        (-col("_k").getField("_nx")).as("knee_x"),
+        col("_k").getField("_ky").as("knee_y"))
+  }
+
   /** Rare-category collapse — the cardinality cap applied before any
     * one-hot/target encoding or per-category rollup melts down on a
     * long tail: categories with fewer than `minCount` rows fold into

@@ -67,6 +67,43 @@ object Graph {
       .na.fill(0L, Seq("triangles"))
   }
 
+  /** Fixed-iteration stationary distribution of a WEIGHTED Markov chain
+    * in exact integer arithmetic — the steady-state answer to "where
+    * does the process spend its time" over an observed transition-count
+    * table ([[pageRankInt]]'s undamped, weighted sibling; q103's
+    * transition matrix is the natural input):
+    *   mass'(s) = Σ_p  (mass(p) · w(p→s)) div Σ_s' w(p→s')
+    * starting from `r0` per state. Every step a floor division —
+    * bit-identical cross-engine; floor losses only shrink total mass,
+    * never create it. Exactness bound: per-state mass ≤ n_states·r0,
+    * so n_states·r0·max_edge_weight must fit a long (enum-sized chains
+    * with r0 = 2⁴⁰ hold to weights ~10⁵; larger chains lower r0).
+    * A state with no outgoing weight drops its held mass each step
+    * (there is no implicit self-loop) — close the chain with explicit
+    * self-loops first if absorption semantics are wanted. Same
+    * join-aggregate-checkpoint iteration shape as [[pageRankInt]]. */
+  def stationaryInt(trans: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iterations: Int = 3, r0: Long = 1L << 40): DataFrame = {
+    val nodes = trans.select(col(srcCol).as("node"))
+      .unionByName(trans.select(col(dstCol).as("node")))
+      .distinct().localCheckpoint()
+    val tot = trans.groupBy(col(srcCol).as("src"))
+      .agg(sum(col(wCol)).as("totw"))
+    val e = trans.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).as("w"))
+      .join(tot, "src").localCheckpoint()
+    var r = nodes.withColumn("mass", lit(r0))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .select(col("dst"), expr("mass * w div totw").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(nodes("node"), coalesce(col("s"), lit(0L)).as("mass"))
+        .localCheckpoint()
+    }
+    r
+  }
+
   /** Fixed-iteration PageRank in exact integer arithmetic.
     *
     * Ranks start at `r0` per node and update as

@@ -73,6 +73,28 @@ object GraphEvents {
       .orderBy($"node")
   }
 
+  // --------------------------------------- q320 stationary distribution
+
+  /** Stationary distribution ([[Graph.stationaryInt]], 3 integer power
+    * iterations) of the q103 event-type transition chain: where the
+    * user process spends its time in steady state — the one-vector
+    * summary q103's full matrix and q236's argmax accuracy both stop
+    * short of. Enum-sized state space; every step an exact floor
+    * division. */
+  def q320Stationary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(spark, dir)
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNotNull)
+      .groupBy($"prev".as("src"), $"event_type".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    Graph.stationaryInt(pairs, "src", "dst", "w", iterations = 3)
+      .select($"node".as("state"), $"mass")
+      .orderBy($"state")
+  }
+
   // ---------------------------------------------------- q103 transitions
 
   def q103Transitions(spark: SparkSession, dir: String): DataFrame = {
@@ -959,6 +981,7 @@ object GraphEvents {
     "q101_triangles" -> q101Triangles _,
     "q102_khop_bfs" -> q102Khop _,
     "q103_transitions" -> q103Transitions _,
+    "q320_stationary" -> q320Stationary _,
     "q104_interval_merge" -> q104IntervalMerge _,
     "q105_skyline" -> q105Skyline _,
     "q106_max_concurrent" -> q106MaxConcurrent _,
@@ -967,6 +990,37 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q320_stationary" -> """
+      |WITH pairs AS (
+      |  SELECT prev_type AS src, event_type AS dst FROM (
+      |    SELECT lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type, event_type
+      |    FROM events)
+      |  WHERE prev_type IS NOT NULL),
+      |c AS MATERIALIZED (
+      |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+      |  FROM pairs GROUP BY 1, 2),
+      |tot AS (SELECT src, CAST(sum(w) AS BIGINT) AS totw FROM c GROUP BY 1),
+      |nodes AS (SELECT DISTINCT src AS node FROM c
+      |          UNION SELECT DISTINCT dst FROM c),
+      |r0 AS (SELECT node, CAST(1099511627776 AS BIGINT) AS m FROM nodes),
+      |s1 AS (SELECT c.dst, CAST(sum(r0.m * c.w // t.totw) AS BIGINT) AS s
+      |       FROM c JOIN tot t USING (src) JOIN r0 ON r0.node = c.src
+      |       GROUP BY 1),
+      |r1 AS (SELECT n.node, coalesce(s.s, 0) AS m
+      |       FROM nodes n LEFT JOIN s1 s ON s.dst = n.node),
+      |s2 AS (SELECT c.dst, CAST(sum(r1.m * c.w // t.totw) AS BIGINT) AS s
+      |       FROM c JOIN tot t USING (src) JOIN r1 ON r1.node = c.src
+      |       GROUP BY 1),
+      |r2 AS (SELECT n.node, coalesce(s.s, 0) AS m
+      |       FROM nodes n LEFT JOIN s2 s ON s.dst = n.node),
+      |s3 AS (SELECT c.dst, CAST(sum(r2.m * c.w // t.totw) AS BIGINT) AS s
+      |       FROM c JOIN tot t USING (src) JOIN r2 ON r2.node = c.src
+      |       GROUP BY 1),
+      |r3 AS (SELECT n.node, coalesce(s.s, 0) AS m
+      |       FROM nodes n LEFT JOIN s3 s ON s.dst = n.node)
+      |SELECT node AS state, CAST(m AS BIGINT) AS mass FROM r3
+      |ORDER BY state""".stripMargin,
     "q238_rolling_corr" -> """
       |WITH daily AS (
       |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))

@@ -657,6 +657,23 @@ object TrainingData {
       "doc_id", "text", n = 3, maxDist = 3)
   }
 
+  /** Vocabulary-cutoff knee ([[graft.etl.Analytics.kneePoint]]): per
+    * language, where the rank–frequency curve bends — the measured
+    * vocab-size cutoff (the same decision q276's Zipf slope and q299's
+    * unseen mass inform) via max chord distance with exact
+    * cross-multiplied arithmetic, ties to the smaller rank. */
+  def q321VocabKnee(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir).select($"lang",
+      explode(graft.etl.Corpus.tokensOf($"text")).as("tok"))
+    val f = toks.groupBy($"lang", $"tok").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy($"lang").orderBy($"freq".desc, $"tok")
+    val ranked = f.withColumn("rank", row_number().over(w).cast("long"))
+    graft.etl.Analytics.kneePoint(ranked, "lang", "rank", "freq")
+      .orderBy($"lang")
+  }
+
   /** TextRank keyword extraction: integer PageRank
     * ([[graft.etl.Graph.pageRankInt]], 3 iterations) over the corpus
     * word-adjacency graph (distinct bigram pairs from
@@ -689,6 +706,7 @@ object TrainingData {
     "q314_textrank" -> q314Textrank _,
     "q315_ann_recall" -> q315AnnRecall _,
     "q319_simhash_recall" -> q319SimhashRecall _,
+    "q321_vocab_knee" -> q321VocabKnee _,
     "q189_bigram_lm" -> q189BigramLm _,
     "q182_bm25" -> q182Bm25 _,
     "q185_skipgram" -> q185Skipgram _,
@@ -1021,6 +1039,35 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q321_vocab_knee" -> """
+      |WITH toks AS (
+      |  SELECT lang,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |f AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      |      FROM toks GROUP BY 1, 2),
+      |r AS (SELECT lang,
+      |        CAST(row_number() OVER (PARTITION BY lang
+      |          ORDER BY c DESC, tok) AS BIGINT) AS x,
+      |        c AS y
+      |      FROM f),
+      |e AS (SELECT lang, min(x) AS x1, max(x) AS x2 FROM r GROUP BY 1),
+      |e2 AS (SELECT e.lang, e.x1, r1.y AS y1, e.x2, r2.y AS y2
+      |       FROM e
+      |       JOIN r r1 ON r1.lang = e.lang AND r1.x = e.x1
+      |       JOIN r r2 ON r2.lang = e.lang AND r2.x = e.x2),
+      |d AS (SELECT r.lang, r.x, r.y, e2.x1, e2.y1, e2.x2, e2.y2,
+      |        abs((CAST(e2.y2 AS HUGEINT) - e2.y1) * r.x -
+      |            (CAST(e2.x2 AS HUGEINT) - e2.x1) * r.y +
+      |            CAST(e2.x2 AS HUGEINT) * e2.y1 -
+      |            CAST(e2.y2 AS HUGEINT) * e2.x1) AS dn
+      |      FROM r JOIN e2 ON e2.lang = r.lang),
+      |k AS (SELECT lang, x1, y1, x2, y2, x AS knee_x, y AS knee_y,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY dn DESC, x) AS rk
+      |      FROM d)
+      |SELECT lang, x1, y1, x2, y2, knee_x, knee_y FROM k
+      |WHERE rk = 1 ORDER BY lang""".stripMargin,
     "q319_simhash_recall" -> s"""
       |WITH $corpusSql,
       |$shinglesSql,

@@ -59,6 +59,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 405L, 2L -> 150L, 3L -> 150L))
   }
 
+  test("stationaryInt: weighted chain converges to the exact split") {
+    // A -> B w3, A -> A w1; B -> A w1: P(A->B)=3/4, stationary ~ (2/5,3/5)
+    val trans = Seq((1L, 2L, 3L), (1L, 1L, 1L), (2L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    // r0=1000 each; iter1: from A: A gets 1000*1 div 4 = 250,
+    //   B gets 1000*3 div 4 = 750; from B: A gets 1000 -> A=1250, B=750
+    // iter2: A = 1250 div 4 + 750 = 1062, B = 1250*3 div 4 = 937
+    // iter3: A = 1062 div 4 + 937 = 1202, B = 1062*3 div 4 = 796
+    val got = Graph.stationaryInt(trans, "src", "dst", "w",
+        iterations = 3, r0 = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1202L, 2L -> 796L))
+  }
+
+  test("stationaryInt: state with no outgoing weight drops its mass") {
+    val trans = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.stationaryInt(trans, "src", "dst", "w",
+        iterations = 2, r0 = 100L)
+      .as[(Long, Long)].collect().toMap
+    // iter1: node2 = 100 (from 1), node1 = 0; iter2: node2 = 0
+    assert(got == Map(1L -> 0L, 2L -> 0L))
+  }
+
   // ---------------------------------------------------------------- HITS
 
   test("hitsInt: two hubs feeding one authority, hand-walked 2 iters") {

@@ -811,6 +811,21 @@ class MiningSpec extends SparkSpec {
       top.getAs[Long]("lift_bp") == 20000L)
   }
 
+  test("kneePoint: max chord distance picks the bend, ties to smaller x") {
+    // chord (1,100)-(5,22): |−78x − 4y + 478| peaks at x=3 (124)
+    val df = Seq(("g", 1L, 100L), ("g", 2L, 50L), ("g", 3L, 30L),
+      ("g", 4L, 25L), ("g", 5L, 22L)).toDF("g", "x", "y")
+    val out = Analytics.kneePoint(df, "g", "x", "y").collect().head
+    assert(out.getAs[Long]("x1") == 1L && out.getAs[Long]("y1") == 100L)
+    assert(out.getAs[Long]("x2") == 5L && out.getAs[Long]("y2") == 22L)
+    assert(out.getAs[Long]("knee_x") == 3L &&
+      out.getAs[Long]("knee_y") == 30L)
+    // a straight line: every distance 0 -> tie breaks to the SMALLEST x
+    val line = (1L to 4L).map(i => ("h", i, 10L * i)).toDF("g", "x", "y")
+    val o2 = Analytics.kneePoint(line, "g", "x", "y").collect().head
+    assert(o2.getAs[Long]("knee_x") == 1L)
+  }
+
   test("collapseRareCategories: sub-threshold labels fold into (other)") {
     val df = Seq("a", "a", "a", "b", "c").toDF("cat")
     val out = Analytics.collapseRareCategories(df, "cat", 2L)
