@@ -342,6 +342,34 @@ object Corpus {
       conv(substring(sha2(col(idCol).cast("string"), 256), 1, 4), 16, 10)
         .cast("long") % 10000 < rateBp)
 
+  /** Coverage curve: per group, how many TOP items (by weight, ids
+    * breaking ties) it takes to reach each target share of the total
+    * mass — "500 of 80k docs carry half the tokens" is this table, and
+    * it is the concentration readout that decides whether dedup or
+    * downsampling should target the head before anything else. The
+    * threshold test cross-multiplies (`cum·10⁴ ≥ total·target_bp`), so
+    * no division anywhere. One per-group rank window + one fold with a
+    * min-aggregate per requested target. */
+  def coverageCurve(df: DataFrame, groupCol: String, idCol: String,
+      wCol: String, targetsBp: Seq[Int]): DataFrame = {
+    require(targetsBp.nonEmpty && targetsBp.forall(t => t > 0 && t <= 10000))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(wCol).desc, col(idCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    val t = df
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .withColumn("_cum", sum(col(wCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_tot", sum(col(wCol)).over(wAll))
+    val aggs = targetsBp.map { tgt =>
+      min(when(expr(s"_cum * 10000 >= _tot * $tgt"), col("_rk")))
+        .as(s"k_bp$tgt")
+    }
+    t.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"),
+        max(col("_tot")).as("total_w") +: aggs: _*)
+  }
+
   /** Mixture-weight planning — the step BEFORE [[mixtureSample]]: given
     * target blend shares in ppm, compute per source the largest
     * undersample-only plan that hits the blend EXACTLY:

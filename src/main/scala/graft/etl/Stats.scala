@@ -450,6 +450,44 @@ object Stats {
                div 1000 AS BIGINT)"""))
   }
 
+  /** Nearest-score matching with replacement + the ATT readout — the
+    * observational-data counterpart of [[diffInDiff]]/[[cuped]] (no
+    * randomized assignment needed): every treated unit is matched to
+    * its nearest control BY SCORE (the propensity/covariate axis;
+    * ties backward-and-equal, the [[TimeJoins.asofJoinNearest]]
+    * contract with score as "time"), and the average
+    * treatment-effect-on-treated is the exact matched-pair gap
+    *   att_milli = sign · (|Σy_t − Σy_match|·1000 div n_matched).
+    * `max_gap` exposes the worst score distance — the caliper check:
+    * a large value says some treated units matched far-away controls
+    * and the estimate should not be trusted at face value. One
+    * union+window pass per group (the as-of machinery — no per-pair
+    * join), then an enum-sized fold. Groups with no controls report
+    * n_matched = 0 and NULL ATT. */
+  def scoreMatchAtt(df: DataFrame, groupCol: String, armCol: Column,
+      scoreCol: String, yCol: String): DataFrame = {
+    val treated = df.filter(armCol)
+      .select(col(groupCol), col(scoreCol).cast("long").as("_s"),
+        col(yCol).as("y_t"))
+    val controls = df.filter(!armCol)
+      .select(col(groupCol), col(scoreCol).cast("long").as("_cs"),
+        col(yCol).as("yc"))
+    TimeJoins.asofJoinNearest(treated, controls, groupCol, "_s", "_cs",
+        "yc")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_treated"),
+        sum(when(col("asofn_yc").isNotNull, 1L).otherwise(0L))
+          .as("n_matched"),
+        sum(when(col("asofn_yc").isNotNull, col("y_t")).otherwise(0L))
+          .as("sy_t"),
+        sum(coalesce(col("asofn_yc"), lit(0L))).as("sy_c"),
+        max(col("asofn_gap")).as("max_gap"))
+      .withColumn("att_milli",
+        expr("""CAST(CAST(sign(sy_t - sy_c) AS BIGINT) *
+                CAST(abs(sy_t - sy_c) * 1000 div NULLIF(n_matched, 0)
+                  AS BIGINT) AS BIGINT)"""))
+  }
+
   /** Sample-ratio-mismatch check — the FIRST gate on any A/B readout
     * (a biased assignment invalidates every downstream metric before
     * it's computed): per group, the distinct-unit count in each arm of

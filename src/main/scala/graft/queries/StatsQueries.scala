@@ -532,6 +532,22 @@ object StatsQueries {
     Stats.cuped(perUser, "exp", $"treat", "x", "y")
   }
 
+  // --------------------------------------- q322 score matching
+
+  /** Nearest-score matching + ATT ([[Stats.scoreMatchAtt]]): treated
+    * (odd) users' event amounts matched to the nearest control on the
+    * user_id%50 covariate score per event type — the observational
+    * causal readout beside q308's DiD and q311's CUPED, with the
+    * worst-gap caliper check exposed. */
+  def q322ScoreMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).filter($"value".isNotNull)
+      .select($"event_type", ($"user_id" % 2 === 1).as("treat"),
+        ($"user_id" % 50).as("score"), cents.as("y"))
+    Stats.scoreMatchAtt(e, "event_type", $"treat", "score", "y")
+      .orderBy($"event_type")
+  }
+
   // ------------------------------------------- q318 burst days
 
   /** Burst detection ([[Series.burstDays]]) over the daily event count
@@ -732,6 +748,7 @@ object StatsQueries {
     "q311_cuped" -> q311Cuped _,
     "q312_srm" -> q312Srm _,
     "q318_burst_days" -> q318BurstDays _,
+    "q322_score_match" -> q322ScoreMatch _,
     "q258_pinball" -> q258Pinball _,
     "q259_dispersion" -> q259Dispersion _,
     "q260_cramers_v" -> q260CramersV _,
@@ -757,6 +774,53 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q322_score_match" -> """
+      |WITH e AS (
+      |  SELECT event_type,
+      |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS tr,
+      |    CAST(user_id % 50 AS BIGINT) AS s,
+      |    CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events WHERE value IS NOT NULL),
+      |t AS MATERIALIZED (SELECT event_type, s, y FROM e WHERE tr = 1),
+      |c AS MATERIALIZED (SELECT event_type, s AS cs, y AS yc FROM e
+      |                   WHERE tr = 0),
+      |n AS (
+      |  SELECT t.event_type, t.s, t.y,
+      |    (SELECT max(cs) FROM c
+      |     WHERE c.event_type = t.event_type AND cs <= t.s) AS bt,
+      |    (SELECT min(cs) FROM c
+      |     WHERE c.event_type = t.event_type AND cs > t.s) AS ft
+      |  FROM t),
+      |p AS (
+      |  SELECT n.*,
+      |    (SELECT max(yc) FROM c
+      |     WHERE c.event_type = n.event_type AND cs = bt) AS bp,
+      |    (SELECT min(yc) FROM c
+      |     WHERE c.event_type = n.event_type AND cs = ft) AS fp
+      |  FROM n),
+      |m AS (
+      |  SELECT event_type, y,
+      |    CASE WHEN bt IS NOT NULL AND (ft IS NULL OR s - bt <= ft - s)
+      |         THEN bp ELSE fp END AS ym,
+      |    CASE WHEN bt IS NOT NULL AND (ft IS NULL OR s - bt <= ft - s)
+      |         THEN s - bt
+      |         ELSE CASE WHEN ft IS NOT NULL THEN ft - s END END AS gap
+      |  FROM p),
+      |a AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n_treated,
+      |    CAST(sum(CASE WHEN ym IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_matched,
+      |    CAST(sum(CASE WHEN ym IS NOT NULL THEN y ELSE 0 END)
+      |      AS BIGINT) AS sy_t,
+      |    CAST(sum(coalesce(ym, 0)) AS BIGINT) AS sy_c,
+      |    CAST(max(gap) AS BIGINT) AS max_gap
+      |  FROM m GROUP BY 1)
+      |SELECT event_type, n_treated, n_matched, sy_t, sy_c, max_gap,
+      |  CAST(CAST(sign(sy_t - sy_c) AS BIGINT) *
+      |    (abs(sy_t - sy_c) * 1000 // NULLIF(n_matched, 0)) AS BIGINT)
+      |    AS att_milli
+      |FROM a ORDER BY 1""".stripMargin,
     "q318_burst_days" -> """
       |WITH daily AS (
       |  SELECT event_type,

@@ -657,6 +657,19 @@ object TrainingData {
       "doc_id", "text", n = 3, maxDist = 3)
   }
 
+  /** Token coverage curve ([[graft.etl.Corpus.coverageCurve]]): per
+    * language, how many top documents (by token count) carry 25/50/90%
+    * of the tokens — the concentration readout that decides whether
+    * dedup/downsampling should target the head first. */
+  def q323CoverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"lang", $"doc_id",
+      size(graft.etl.Corpus.tokensOf($"text")).cast("long").as("w"))
+    graft.etl.Corpus.coverageCurve(d, "lang", "doc_id", "w",
+        Seq(2500, 5000, 9000))
+      .orderBy($"lang")
+  }
+
   /** Vocabulary-cutoff knee ([[graft.etl.Analytics.kneePoint]]): per
     * language, where the rank–frequency curve bends — the measured
     * vocab-size cutoff (the same decision q276's Zipf slope and q299's
@@ -707,6 +720,7 @@ object TrainingData {
     "q315_ann_recall" -> q315AnnRecall _,
     "q319_simhash_recall" -> q319SimhashRecall _,
     "q321_vocab_knee" -> q321VocabKnee _,
+    "q323_coverage_curve" -> q323CoverageCurve _,
     "q189_bigram_lm" -> q189BigramLm _,
     "q182_bm25" -> q182Bm25 _,
     "q185_skipgram" -> q185Skipgram _,
@@ -1039,6 +1053,29 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q323_coverage_curve" -> """
+      |WITH d AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS w
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, w,
+      |    CAST(row_number() OVER pw AS BIGINT) AS rk,
+      |    CAST(sum(w) OVER (pw ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS tot
+      |  FROM d
+      |  WINDOW pw AS (PARTITION BY lang ORDER BY w DESC, doc_id))
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(max(tot) AS BIGINT) AS total_w,
+      |  CAST(min(CASE WHEN cum * 10000 >= tot * 2500 THEN rk END)
+      |    AS BIGINT) AS k_bp2500,
+      |  CAST(min(CASE WHEN cum * 10000 >= tot * 5000 THEN rk END)
+      |    AS BIGINT) AS k_bp5000,
+      |  CAST(min(CASE WHEN cum * 10000 >= tot * 9000 THEN rk END)
+      |    AS BIGINT) AS k_bp9000
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q321_vocab_knee" -> """
       |WITH toks AS (
       |  SELECT lang,

@@ -261,6 +261,20 @@ class CorpusSpec extends SparkSpec {
       out.getAs[Long]("other_ppm") == 125000L)
   }
 
+  test("coverageCurve: head items reach each target share exactly") {
+    import spark.implicits._
+    // weights 50,30,10,10 -> cum 50,80,90,100: k@25%=1, k@50%=1, k@90%=3
+    val df = Seq(("g", 1L, 50L), ("g", 2L, 30L), ("g", 3L, 10L),
+      ("g", 4L, 10L)).toDF("grp", "id", "w")
+    val out = Corpus.coverageCurve(df, "grp", "id", "w",
+        Seq(2500, 5000, 9000)).collect().head
+    assert(out.getAs[Long]("n_items") == 4L &&
+      out.getAs[Long]("total_w") == 100L)
+    assert(out.getAs[Long]("k_bp2500") == 1L)
+    assert(out.getAs[Long]("k_bp5000") == 1L)
+    assert(out.getAs[Long]("k_bp9000") == 3L)
+  }
+
   test("mixtureWeights: binding source caps the blend, absent is honest") {
     import spark.implicits._
     // a:100 rows, b:50; 50/50 target -> b binds: T=100, take 50/50

@@ -340,6 +340,26 @@ class StatsSpec extends SparkSpec {
     assert(o3.isNullAt(o3.fieldIndex("theta_milli")))
   }
 
+  test("scoreMatchAtt: nearest control by score, caliper gap, no-control NULL") {
+    // g: treated (10,100),(20,50); controls (9,80),(25,10)
+    // s=10 -> backward 9 (gap 1, y 80); s=20 -> forward 25 (gap 5, y 10)
+    // att = (150-90)*1000/2 = 30000; max_gap = 5
+    val df = Seq(("g", true, 10L, 100L), ("g", true, 20L, 50L),
+      ("g", false, 9L, 80L), ("g", false, 25L, 10L),
+      ("h", true, 1L, 7L)).toDF("grp", "t", "s", "y")
+    val out = Stats.scoreMatchAtt(df, "grp", $"t", "s", "y")
+      .orderBy($"grp").collect()
+    val g = out(0)
+    assert(g.getAs[Long]("n_treated") == 2L &&
+      g.getAs[Long]("n_matched") == 2L)
+    assert(g.getAs[Long]("sy_t") == 150L && g.getAs[Long]("sy_c") == 90L)
+    assert(g.getAs[Long]("max_gap") == 5L)
+    assert(g.getAs[Long]("att_milli") == 30000L)
+    val h = out(1)
+    assert(h.getAs[Long]("n_matched") == 0L)
+    assert(h.isNullAt(h.fieldIndex("att_milli")))
+  }
+
   test("burstDays: prior-only median baseline, honest cold start") {
     // key g days 1..9: 7 quiet days (10 +/- jitter), day 8 spike 16,
     // day 9 normal 10 — day 8 flags (16 >= 1.5*10), day 9 does not
