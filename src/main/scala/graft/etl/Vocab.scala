@@ -278,6 +278,45 @@ object Vocab {
     * COUNTS (`length(bin(x)) − 1`), exact integers on any engine — no
     * float log to drift. Shuffles: the unigram count, the token→count
     * join (AQE broadcasts the vocab when small), one per-doc sum. */
+  /** Held-out cross-entropy: a Laplace-smoothed unigram LM is FIT on
+    * the train-flagged tokens and SCORED on the held-out tokens —
+    * the distribution-shift number between splits that self-scored
+    * surprisal ([[unigramSurprisal]], q136) cannot give, and the
+    * empirical companion of q299's unseen-mass forecast. Per group:
+    *   xent_cb = ⌊Σ_tok n_test·(bl(T+V+1) − bl(c_train+1)) · 100 / N_test⌋
+    * (bl = bit length — the repo's floored-log₂ quantization; the OOV
+    * bucket is the +1 in the smoothing mass, so unseen test tokens pay
+    * the full bl(T+V+1) bits and are also counted in `oov_tokens`).
+    * Two token-level groupBys (combiner-friendly), one vocab-sized
+    * left join, one enum-sized fold — no corpus-sized state. */
+  def heldoutXent(toks: DataFrame, groupCol: String, tokCol: String,
+      trainCol: Column): DataFrame = {
+    val t = toks.select(col(groupCol), col(tokCol).as("tok"),
+      when(trainCol, 1L).otherwise(0L).as("_tr"))
+    val trainCnt = t.filter(col("_tr") === 1)
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("c"))
+    val tg = trainCnt.groupBy(col(groupCol))
+      .agg(sum(col("c")).as("train_tokens"),
+        count(lit(1)).as("train_vocab"))
+      .withColumn("k",
+        length(expr("bin(train_tokens + train_vocab + 1)")).cast("long"))
+    val testCnt = t.filter(col("_tr") === 0)
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("n"))
+    testCnt.join(trainCnt, Seq(groupCol, "tok"), "left")
+      .join(broadcast(tg), Seq(groupCol))
+      .withColumn("_term",
+        col("k") - length(expr("bin(coalesce(c, 0L) + 1)")).cast("long"))
+      .groupBy(col(groupCol), col("train_tokens"), col("train_vocab"))
+      .agg(sum(col("n")).as("n_test"),
+        sum(when(col("c").isNull, col("n")).otherwise(0L))
+          .as("oov_tokens"),
+        sum(col("n") * col("_term")).as("_x"))
+      .select(col(groupCol), col("train_tokens"), col("train_vocab"),
+        col("n_test"), col("oov_tokens"),
+        expr("CAST(_x * 100 div NULLIF(n_test, 0) AS BIGINT)")
+          .as("xent_cb"))
+  }
+
   def unigramSurprisal(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val toks = Corpus.tokensOf(col(textCol))

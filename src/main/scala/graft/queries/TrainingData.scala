@@ -657,6 +657,23 @@ object TrainingData {
       "doc_id", "text", n = 3, maxDist = 3)
   }
 
+  /** Held-out cross-entropy ([[graft.etl.Vocab.heldoutXent]]): per
+    * language, a Laplace unigram LM fit on the q59 train split and
+    * scored on the test split (val excluded) in floored-log₂
+    * centibits, OOV token mass alongside — the split-shift number
+    * self-scored surprisal (q136) can't give and q299's unseen-mass
+    * forecast predicts. */
+  def q324HeldoutXent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .withColumn("split", splitColumn($"doc_id"))
+      .filter($"split" =!= "val")
+    val toks = d.select($"lang", ($"split" === "train").as("tr"),
+      explode(graft.etl.Corpus.tokensOf($"text")).as("tok"))
+    graft.etl.Vocab.heldoutXent(toks, "lang", "tok", $"tr")
+      .orderBy($"lang")
+  }
+
   /** Token coverage curve ([[graft.etl.Corpus.coverageCurve]]): per
     * language, how many top documents (by token count) carry 25/50/90%
     * of the tokens — the concentration readout that decides whether
@@ -721,6 +738,7 @@ object TrainingData {
     "q319_simhash_recall" -> q319SimhashRecall _,
     "q321_vocab_knee" -> q321VocabKnee _,
     "q323_coverage_curve" -> q323CoverageCurve _,
+    "q324_heldout_xent" -> q324HeldoutXent _,
     "q189_bigram_lm" -> q189BigramLm _,
     "q182_bm25" -> q182Bm25 _,
     "q185_skipgram" -> q185Skipgram _,
@@ -1053,6 +1071,46 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q324_heldout_xent" -> """
+      |WITH d AS (
+      |  SELECT lang, text,
+      |    CASE WHEN b < 80 THEN 1 WHEN b >= 90 THEN 0 END AS tr
+      |  FROM (SELECT lang, text,
+      |    ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4))
+      |      ::BIGINT % 100 AS b
+      |    FROM documents)),
+      |t AS (
+      |  SELECT lang, tr,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM d WHERE tr IS NOT NULL),
+      |tc AS MATERIALIZED (
+      |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM t WHERE tr = 1 GROUP BY 1, 2),
+      |tg AS (
+      |  SELECT lang, CAST(sum(c) AS BIGINT) AS train_tokens,
+      |    CAST(count(*) AS BIGINT) AS train_vocab,
+      |    CAST(length(bin(CAST(sum(c) + count(*) + 1 AS BIGINT)))
+      |      AS BIGINT) AS k
+      |  FROM tc GROUP BY 1),
+      |sc AS (
+      |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+      |  FROM t WHERE tr = 0 GROUP BY 1, 2),
+      |j AS (
+      |  SELECT sc.lang, sc.n, tc.c, tg.k
+      |  FROM sc
+      |  LEFT JOIN tc ON tc.lang = sc.lang AND tc.tok = sc.tok
+      |  JOIN tg ON tg.lang = sc.lang),
+      |a AS (
+      |  SELECT lang, CAST(sum(n) AS BIGINT) AS n_test,
+      |    CAST(sum(CASE WHEN c IS NULL THEN n ELSE 0 END) AS BIGINT)
+      |      AS oov_tokens,
+      |    CAST(sum(n * (k - length(bin(CAST(coalesce(c, 0) + 1
+      |      AS BIGINT))))) AS BIGINT) AS x
+      |  FROM j GROUP BY 1)
+      |SELECT a.lang, tg.train_tokens, tg.train_vocab, a.n_test,
+      |  a.oov_tokens,
+      |  CAST(x * 100 // NULLIF(n_test, 0) AS BIGINT) AS xent_cb
+      |FROM a JOIN tg USING (lang) ORDER BY a.lang""".stripMargin,
     "q323_coverage_curve" -> """
       |WITH d AS (
       |  SELECT lang, doc_id,

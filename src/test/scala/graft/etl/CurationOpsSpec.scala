@@ -59,6 +59,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 405L, 2L -> 150L, 3L -> 150L))
   }
 
+  test("heldoutXent: Laplace unigram fit on train, OOV pays full bits") {
+    // train "a a a b": T=4, V=2, k=bl(7)=3
+    // test "a b z": terms 3−bl(4)=0, 3−bl(2)=1, OOV 3−bl(1)=2
+    // xent_cb = (0+1+2)*100 div 3 = 100; oov_tokens = 1
+    val toks = Seq(("g", true, "a"), ("g", true, "a"), ("g", true, "a"),
+      ("g", true, "b"),
+      ("g", false, "a"), ("g", false, "b"), ("g", false, "z"))
+      .toDF("lang", "tr", "tok")
+    val out = Vocab.heldoutXent(toks, "lang", "tok", col("tr"))
+      .collect().head
+    assert(out.getAs[Long]("train_tokens") == 4L &&
+      out.getAs[Long]("train_vocab") == 2L)
+    assert(out.getAs[Long]("n_test") == 3L &&
+      out.getAs[Long]("oov_tokens") == 1L)
+    assert(out.getAs[Long]("xent_cb") == 100L)
+  }
+
   test("stationaryInt: weighted chain converges to the exact split") {
     // A -> B w3, A -> A w1; B -> A w1: P(A->B)=3/4, stationary ~ (2/5,3/5)
     val trans = Seq((1L, 2L, 3L), (1L, 1L, 1L), (2L, 1L, 1L))
