@@ -403,4 +403,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q306/q316: rank windows stay partitioned, bin aggs combine map-side") {
+    for (q <- Seq("q306_lift_curve", "q316_qini_curve")) {
+      val p = plan(q)
+      // the expensive sort is the per-group rank window, never global
+      assert(!p.contains("CartesianProduct"), q)
+      assert(p.contains("partial_count") || p.contains("HashAggregate"), q)
+    }
+  }
+
+  test("q314: textrank joins stay keyed on the word graph — no pair products") {
+    val p = plan("q314_textrank")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q315: both audit legs broadcast the sampled query side") {
+    val p = plan("q315_ann_recall")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q319: simhash audit pair joins stay keyed (scalar fold-in aside)") {
+    val p = plan("q319_simhash_recall")
+    // the only nested-loop joins are the 2 one-row summary crossJoins
+    // (each named twice in FormattedMode: tree + detail section);
+    // shingle/band pair generation must stay equi-keyed
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4)
+  }
+
+  test("q322: score matching is one union+window pass, no per-pair join") {
+    val p = plan("q322_score_match")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin") || p.contains("Window"))
+    assert(p.contains("Window"))
+  }
+
 }
