@@ -208,6 +208,44 @@ object EventsStreaming {
       }.toDF()
   }
 
+  final case class DailyRow(k: String, d: Long, cnt: Long)
+  final case class BurstOut(k: String, d: Long, cnt: Long,
+      baseline_med: Option[Long], burst: Boolean)
+
+  /** Streaming burst detector — the stateful twin of
+    * [[graft.etl.Series.burstDays]]: as daily counts arrive per key,
+    * each tick compares against the exact LOWER MEDIAN of the `n` PRIOR
+    * ticks (cross-multiplied `cnt·den ≥ med·num`, no division), with
+    * the same honest NULL cold start while fewer than `n` priors exist.
+    * State per key is the last ≤ `n` counts — O(n) forever, no retained
+    * rows, no watermark pressure; the baseline crosses micro-batch
+    * boundaries so a spike in batch N is judged against quiet days from
+    * batches N−k. Like the other stateful twins, cross-batch arrival is
+    * assumed in day order per key (in-batch rows are sorted). */
+  def burstStream(daily: DataFrame, n: Int = 7, num: Long = 3,
+      den: Long = 2): DataFrame = {
+    import daily.sparkSession.implicits._
+    daily.select(col("k"), col("d"), col("cnt")).as[DailyRow]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (k: String, rows: Iterator[DailyRow],
+            state: GroupState[Vector[Long]]) =>
+          var prior = state.getOption.getOrElse(Vector.empty)
+          val out = Seq.newBuilder[BurstOut]
+          rows.toSeq.sortBy(_.d).foreach { r =>
+            val med =
+              if (prior.size == n) Some(prior.sorted.apply((n + 1) / 2 - 1))
+              else None
+            out += BurstOut(k, r.d, r.cnt, med,
+              med.exists(m => r.cnt * den >= m * num))
+            prior = (prior :+ r.cnt).takeRight(n)
+          }
+          state.update(prior)
+          out.result().iterator
+      }.toDF()
+  }
+
   final case class AsofProbe(key: Long, us: Long, probe_id: Long)
   final case class AsofQuote(key: Long, us: Long, pick: Long)
   final case class AsofEvent(key: Long, us: Long, is_probe: Boolean,

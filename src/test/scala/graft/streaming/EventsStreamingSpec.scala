@@ -340,6 +340,45 @@ class EventsStreamingSpec extends SparkSpec {
     assert(batch == got, "streaming and batch twins must agree")
   }
 
+  test("burstStream: cross-batch baseline matches the batch twin") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStreaming.DailyRow
+    val input = MemoryStream[DailyRow]
+    val q = EventsStreaming.burstStream(input.toDF(), n = 3)
+      .writeStream.format("memory").queryName("burst")
+      .outputMode("append").start()
+
+    // batch 1: 3 quiet days — all cold-start NULL baselines
+    input.addData(DailyRow("g", 1, 10), DailyRow("g", 2, 9),
+      DailyRow("g", 3, 11))
+    q.processAllAvailable()
+    // batch 2: day 4 spikes vs the cross-batch median 10 (16*2 >= 10*3);
+    // day 5 is quiet vs median over {9,11,16} = 11 (10*2 < 11*3)
+    input.addData(DailyRow("g", 4, 16), DailyRow("g", 5, 10))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("burst").collect()
+      .map(r => (r.getAs[Long]("d"),
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("burst")))).toMap
+    assert(got == Map(1L -> (None, false), 2L -> (None, false),
+      3L -> (None, false), 4L -> (Some(10L), true),
+      5L -> (Some(11L), false)))
+
+    // batch twin on the identical daily rows
+    val all = Seq(("g", 1L, 10L), ("g", 2L, 9L), ("g", 3L, 11L),
+      ("g", 4L, 16L), ("g", 5L, 10L)).toDF("k", "d", "cnt")
+    val batch = graft.etl.Series.burstDays(all, "k", "d", "cnt", n = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("d"),
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("burst")))).toMap
+    assert(batch == got, "streaming and batch twins must agree")
+  }
+
   test("debounceStream: cross-batch gap filter matches the batch lag rule") {
     val sq = spark
     import sq.implicits._
