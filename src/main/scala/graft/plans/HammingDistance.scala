@@ -160,7 +160,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HllRegsAgg(Cast(children.head, LongType), p)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("bitlen"),
+      new ExpressionInfo(classOf[BitLen].getName, "bitlen"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "bitlen(x) takes exactly 1 argument")
+        BitLen(Cast(children.head, LongType))
+      }))
     // HOF dot-product pattern → QDot (see QDotRewrite Scaladoc)
     ext.injectOptimizerRule(_ => QDotRewrite)
+    // length(bin(x)) → BitLen (see BitLenRewrite Scaladoc)
+    ext.injectOptimizerRule(_ => BitLenRewrite)
   }
 }
