@@ -636,6 +636,58 @@ object Mining {
     classified.unionByName(unscored)
   }
 
+  /** Multiclass precision/recall/F1 from a confusion-matrix table
+    * (true, pred, n) — the per-class one-vs-rest readout plus the two
+    * standard summaries, all exact integer basis points:
+    *   prec = tp/col_total, rec = tp/row_total,
+    *   f1 = 2·tp/(row_total + col_total)   (the harmonic mean computed
+    * from raw counts in ONE floor — never by chaining already-floored
+    * prec/rec), `(macro)` = the floored mean of per-class f1 (absent
+    * classes count 0 — the honest macro), `(micro)` = Σtp/N, which for
+    * single-label multiclass IS accuracy. Classes are the union of
+    * true and pred labels, so a label that is only ever predicted (or
+    * only ever true) still gets its zero row instead of vanishing.
+    * Confusion tables are enum-sized — every join here is broadcast
+    * class-list work, nothing row-scaled. */
+  def multiclassF1(conf: DataFrame, trueCol: String, predCol: String,
+      nCol: String): DataFrame = {
+    val classes = conf.select(col(trueCol).as("cls"))
+      .unionByName(conf.select(col(predCol).as("cls"))).distinct()
+    val tp = conf.filter(col(trueCol) === col(predCol))
+      .select(col(trueCol).as("cls"), col(nCol).as("tp"))
+    val rowTot = conf.groupBy(col(trueCol).as("cls"))
+      .agg(sum(col(nCol)).as("n_true"))
+    val colTot = conf.groupBy(col(predCol).as("cls"))
+      .agg(sum(col(nCol)).as("n_pred"))
+    val per = classes
+      .join(tp, Seq("cls"), "left")
+      .join(rowTot, Seq("cls"), "left")
+      .join(colTot, Seq("cls"), "left")
+      .select(col("cls"), coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .withColumn("prec_bp",
+        expr("CAST(tp * 10000 div NULLIF(n_pred, 0) AS BIGINT)"))
+      .withColumn("rec_bp",
+        expr("CAST(tp * 10000 div NULLIF(n_true, 0) AS BIGINT)"))
+      .withColumn("f1_bp",
+        expr("CAST(2 * tp * 10000 div NULLIF(n_true + n_pred, 0) AS BIGINT)"))
+    val summary = per.agg(
+      sum(col("tp")).as("tp"), sum(col("n_true")).as("n_true"),
+      sum(col("n_pred")).as("n_pred"),
+      expr("CAST(sum(coalesce(f1_bp, 0)) div count(1) AS BIGINT)")
+        .as("macro_f1"),
+      expr("""CAST(sum(tp) * 10000 div NULLIF(sum(n_true), 0) AS BIGINT)""")
+        .as("micro_f1"))
+    val macroRow = summary.select(lit("(macro)").as("cls"), col("tp"),
+      col("n_true"), col("n_pred"), lit(null).cast("long").as("prec_bp"),
+      lit(null).cast("long").as("rec_bp"), col("macro_f1").as("f1_bp"))
+    val microRow = summary.select(lit("(micro)").as("cls"), col("tp"),
+      col("n_true"), col("n_pred"), lit(null).cast("long").as("prec_bp"),
+      lit(null).cast("long").as("rec_bp"), col("micro_f1").as("f1_bp"))
+    per.unionByName(macroRow).unionByName(microRow)
+  }
+
   /** Off-policy evaluation of a deterministic target policy over logged
     * bandit feedback — inverse-propensity scoring, the estimator behind
     * every "would the new ranker have done better on last week's logs"

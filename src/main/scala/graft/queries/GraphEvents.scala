@@ -95,6 +95,69 @@ object GraphEvents {
       .orderBy($"state")
   }
 
+  // -------------------------------------------- q325 entropy rate
+
+  /** Entropy rate of the event-type chain: per-state transition entropy
+    * ([[graft.etl.Mining.flooredEntropy]] over next-type given current)
+    * weighted by the q320 stationary mass —
+    *   rate_cb = Σ_s mass(s)·H(s) div Σ_s mass(s)
+    * — how unpredictable the process is per step ONCE MIXED, the
+    * single number behind "is this traffic becoming more random".
+    * States with no outgoing arcs contribute zero entropy (coalesce,
+    * left join from the mass table). One `(rate)` summary row rides
+    * along with the per-state table. */
+  def q325EntropyRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(spark, dir)
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"prev", $"event_type")
+    val trans = pairs.groupBy($"prev".as("src"), $"event_type".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val mass = Graph.stationaryInt(trans, "src", "dst", "w",
+      iterations = 3)
+    val ent = graft.etl.Mining.flooredEntropy(pairs, "prev", "event_type")
+      .select($"prev", $"ent_bits_x100")
+    val per = mass.join(ent, mass("node") === ent("prev"), "left")
+      .select(mass("node").as("state"), $"mass",
+        coalesce($"ent_bits_x100", lit(0L)).as("ent_cb"))
+    val rate = per.agg(sum($"mass").as("mass"),
+        expr("CAST(sum(mass * ent_cb) div NULLIF(sum(mass), 0) AS BIGINT)")
+          .as("ent_cb"))
+      .select(lit("(rate)").as("state"), $"mass", $"ent_cb")
+    per.unionByName(rate).orderBy($"state")
+  }
+
+  // -------------------------------------------- q326 macro/micro F1
+
+  /** Multiclass F1 panel ([[graft.etl.Mining.multiclassF1]]) for the
+    * q236 majority-next-event predictor: per-class one-vs-rest
+    * precision/recall/F1 from the full confusion matrix plus the
+    * `(macro)`/`(micro)` summaries — the readout that exposes the
+    * minority classes q236's overall accuracy averages away. */
+  def q326MacroF1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(spark, dir)
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"prev", $"event_type")
+    val c = pairs.groupBy($"prev", $"event_type").agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy($"prev")
+      .orderBy($"n".desc, $"event_type")
+    val pred = c.withColumn("rk", row_number().over(wp))
+      .filter($"rk" === 1)
+      .select($"prev", $"event_type".as("pred_cls"))
+    val conf = pairs.join(broadcast(pred), Seq("prev"))
+      .groupBy($"event_type".as("true_cls"), $"pred_cls")
+      .agg(count(lit(1)).as("n"))
+    graft.etl.Mining.multiclassF1(conf, "true_cls", "pred_cls", "n")
+      .orderBy($"cls")
+  }
+
   // ---------------------------------------------------- q103 transitions
 
   def q103Transitions(spark: SparkSession, dir: String): DataFrame = {
@@ -982,6 +1045,8 @@ object GraphEvents {
     "q102_khop_bfs" -> q102Khop _,
     "q103_transitions" -> q103Transitions _,
     "q320_stationary" -> q320Stationary _,
+    "q326_macro_f1" -> q326MacroF1 _,
+    "q325_entropy_rate" -> q325EntropyRate _,
     "q104_interval_merge" -> q104IntervalMerge _,
     "q105_skyline" -> q105Skyline _,
     "q106_max_concurrent" -> q106MaxConcurrent _,
@@ -990,6 +1055,108 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q325_entropy_rate" -> """
+      |WITH pairs AS MATERIALIZED (
+      |  SELECT prev_type AS src, event_type AS dst FROM (
+      |    SELECT lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type, event_type
+      |    FROM events)
+      |  WHERE prev_type IS NOT NULL),
+      |c AS MATERIALIZED (
+      |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+      |  FROM pairs GROUP BY 1, 2),
+      |tot AS (SELECT src, CAST(sum(w) AS BIGINT) AS totw FROM c GROUP BY 1),
+      |nodes AS (SELECT DISTINCT src AS node FROM c
+      |          UNION SELECT DISTINCT dst FROM c),
+      |r0 AS (SELECT node, CAST(1099511627776 AS BIGINT) AS m FROM nodes),
+      |s1 AS (SELECT c.dst, CAST(sum(r0.m * c.w // t.totw) AS BIGINT) AS s
+      |       FROM c JOIN tot t USING (src) JOIN r0 ON r0.node = c.src
+      |       GROUP BY 1),
+      |r1 AS (SELECT n.node, coalesce(s.s, 0) AS m
+      |       FROM nodes n LEFT JOIN s1 s ON s.dst = n.node),
+      |s2 AS (SELECT c.dst, CAST(sum(r1.m * c.w // t.totw) AS BIGINT) AS s
+      |       FROM c JOIN tot t USING (src) JOIN r1 ON r1.node = c.src
+      |       GROUP BY 1),
+      |r2 AS (SELECT n.node, coalesce(s.s, 0) AS m
+      |       FROM nodes n LEFT JOIN s2 s ON s.dst = n.node),
+      |s3 AS (SELECT c.dst, CAST(sum(r2.m * c.w // t.totw) AS BIGINT) AS s
+      |       FROM c JOIN tot t USING (src) JOIN r2 ON r2.node = c.src
+      |       GROUP BY 1),
+      |r3 AS MATERIALIZED (
+      |  SELECT n.node, coalesce(s.s, 0) AS m
+      |  FROM nodes n LEFT JOIN s3 s ON s.dst = n.node),
+      |ent AS (
+      |  SELECT src,
+      |    CAST(sum(w * (length(bin(totw)) - length(bin(w)))) * 100
+      |      // max(totw) AS BIGINT) AS ent_cb
+      |  FROM c JOIN tot USING (src) GROUP BY src),
+      |per AS MATERIALIZED (
+      |  SELECT r3.node AS state, CAST(r3.m AS BIGINT) AS mass,
+      |    CAST(coalesce(ent.ent_cb, 0) AS BIGINT) AS ent_cb
+      |  FROM r3 LEFT JOIN ent ON ent.src = r3.node)
+      |SELECT state, mass, ent_cb FROM per
+      |UNION ALL
+      |SELECT '(rate)', CAST(sum(mass) AS BIGINT),
+      |  CAST(sum(mass * ent_cb) // NULLIF(sum(mass), 0) AS BIGINT)
+      |FROM per
+      |ORDER BY state""".stripMargin,
+    "q326_macro_f1" -> """
+      |WITH pairs AS (
+      |  SELECT prev_type, event_type FROM (
+      |    SELECT lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type, event_type
+      |    FROM events)
+      |  WHERE prev_type IS NOT NULL),
+      |c AS (SELECT prev_type, event_type, count(*) AS n
+      |      FROM pairs GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT prev_type, event_type AS pred_cls FROM (
+      |    SELECT prev_type, event_type, row_number() OVER (
+      |      PARTITION BY prev_type ORDER BY n DESC, event_type) AS rn
+      |    FROM c) WHERE rn = 1),
+      |conf AS MATERIALIZED (
+      |  SELECT p.event_type AS true_cls, pred.pred_cls,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM pairs p JOIN pred ON pred.prev_type = p.prev_type
+      |  GROUP BY 1, 2),
+      |classes AS (SELECT DISTINCT true_cls AS cls FROM conf
+      |            UNION SELECT DISTINCT pred_cls FROM conf),
+      |tp AS (SELECT true_cls AS cls, n AS tp FROM conf
+      |       WHERE true_cls = pred_cls),
+      |rt AS (SELECT true_cls AS cls, CAST(sum(n) AS BIGINT) AS n_true
+      |       FROM conf GROUP BY 1),
+      |ct AS (SELECT pred_cls AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+      |       FROM conf GROUP BY 1),
+      |per AS (
+      |  SELECT classes.cls, coalesce(tp.tp, 0) AS tp,
+      |    coalesce(rt.n_true, 0) AS n_true,
+      |    coalesce(ct.n_pred, 0) AS n_pred
+      |  FROM classes
+      |  LEFT JOIN tp USING (cls) LEFT JOIN rt USING (cls)
+      |  LEFT JOIN ct USING (cls)),
+      |scored AS (
+      |  SELECT cls, tp, n_true, n_pred,
+      |    CAST(tp * 10000 // NULLIF(n_pred, 0) AS BIGINT) AS prec_bp,
+      |    CAST(tp * 10000 // NULLIF(n_true, 0) AS BIGINT) AS rec_bp,
+      |    CAST(2 * tp * 10000 // NULLIF(n_true + n_pred, 0) AS BIGINT)
+      |      AS f1_bp
+      |  FROM per),
+      |summary AS (
+      |  SELECT CAST(sum(tp) AS BIGINT) AS tp,
+      |    CAST(sum(n_true) AS BIGINT) AS n_true,
+      |    CAST(sum(n_pred) AS BIGINT) AS n_pred,
+      |    CAST(sum(coalesce(f1_bp, 0)) // count(*) AS BIGINT) AS macro_f1,
+      |    CAST(sum(tp) * 10000 // NULLIF(sum(n_true), 0) AS BIGINT)
+      |      AS micro_f1
+      |  FROM scored)
+      |SELECT cls, tp, n_true, n_pred, prec_bp, rec_bp, f1_bp FROM scored
+      |UNION ALL
+      |SELECT '(macro)', tp, n_true, n_pred, NULL, NULL, macro_f1
+      |FROM summary
+      |UNION ALL
+      |SELECT '(micro)', tp, n_true, n_pred, NULL, NULL, micro_f1
+      |FROM summary
+      |ORDER BY cls""".stripMargin,
     "q320_stationary" -> """
       |WITH pairs AS (
       |  SELECT prev_type AS src, event_type AS dst FROM (

@@ -811,6 +811,25 @@ class MiningSpec extends SparkSpec {
       top.getAs[Long]("lift_bp") == 20000L)
   }
 
+  test("multiclassF1: one-vs-rest counts, macro means, micro is accuracy") {
+    val conf = Seq(("a", "a", 5L), ("a", "b", 1L), ("b", "b", 3L),
+      ("b", "a", 2L), ("c", "b", 1L)).toDF("t", "p", "n")
+    val out = Mining.multiclassF1(conf, "t", "p", "n")
+      .orderBy($"cls").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // a: tp 5, n_true 6, n_pred 7 -> prec 7142, rec 8333, f1 7692
+    assert(out("a").getAs[Long]("prec_bp") == 7142L)
+    assert(out("a").getAs[Long]("rec_bp") == 8333L)
+    assert(out("a").getAs[Long]("f1_bp") == 7692L)
+    // c is never predicted: prec NULL (not fake 0), rec 0, f1 0
+    assert(out("c").isNullAt(out("c").fieldIndex("prec_bp")))
+    assert(out("c").getAs[Long]("rec_bp") == 0L)
+    assert(out("c").getAs[Long]("f1_bp") == 0L)
+    // macro = (7692+6000+0)/3 = 4564; micro = 8/12 = 6666
+    assert(out("(macro)").getAs[Long]("f1_bp") == 4564L)
+    assert(out("(micro)").getAs[Long]("f1_bp") == 6666L)
+  }
+
   test("kneePoint: max chord distance picks the bend, ties to smaller x") {
     // chord (1,100)-(5,22): |−78x − 4y + 478| peaks at x=3 (124)
     val df = Seq(("g", 1L, 100L), ("g", 2L, 50L), ("g", 3L, 30L),
