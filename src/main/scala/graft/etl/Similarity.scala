@@ -490,11 +490,25 @@ object Similarity {
     * query load. One left-semi join on (query, neighbor) + two
     * per-query folds. */
   def annRecallAudit(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 8): DataFrame = {
-    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
-      .select(col("query_id"), col("nn_id"))
-    val approx = lshBucketTopK(corpus, queries, idCol, vecCol, k, bits)
-      .select(col("query_id"), col("nn_id"))
+      vecCol: String, k: Int, bits: Int = 8): DataFrame =
+    recallOf(
+      bruteForceTopK(corpus, queries, idCol, vecCol, k),
+      lshBucketTopK(corpus, queries, idCol, vecCol, k, bits))
+
+  /** [[annRecallAudit]] for the IVF-flat path: per sampled query, how
+    * many of the exact top-k the `nlist`/`nprobe` inverted-list search
+    * returns — the measured number that sets `nprobe` (the
+    * recall-vs-lists-touched dial) before an index build commits. */
+  def ivfRecallAudit(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    recallOf(
+      bruteForceTopK(corpus, queries, idCol, vecCol, k),
+      ivfTopK(corpus, queries, idCol, vecCol, k, nlist, nprobe))
+
+  private def recallOf(exactTopK: DataFrame,
+      approxTopK: DataFrame): DataFrame = {
+    val exact = exactTopK.select(col("query_id"), col("nn_id"))
+    val approx = approxTopK.select(col("query_id"), col("nn_id"))
     val hits = exact.join(approx, Seq("query_id", "nn_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
     exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))

@@ -646,6 +646,20 @@ object TrainingData {
       .orderBy($"query_id")
   }
 
+  /** IVF recall audit ([[graft.etl.Similarity.ivfRecallAudit]]): the
+    * q315 audit for the OTHER scale path — per sampled query, the
+    * fraction of the exact top-10 the 16-list/4-probe IVF search (q51)
+    * returns; the nprobe dial measured, completing the
+    * brute-force / sign-LSH / IVF audit trio. */
+  def q327IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" % 400 === 0)
+    graft.etl.Similarity.ivfRecallAudit(emb, queries, "vec_id",
+        "embedding", k = 10, nlist = 16, nprobe = 4)
+      .orderBy($"query_id")
+  }
+
   /** SimHash detector audit ([[graft.etl.Similarity.simhashRecallAudit]])
     * on the q26 clone corpus: pair recall and precision of the banded
     * hamming-≤3 sketch against exact shingle-Jaccard ≥ ½ truth — the
@@ -737,6 +751,7 @@ object TrainingData {
     "q315_ann_recall" -> q315AnnRecall _,
     "q319_simhash_recall" -> q319SimhashRecall _,
     "q321_vocab_knee" -> q321VocabKnee _,
+    "q327_ivf_recall" -> q327IvfRecall _,
     "q323_coverage_curve" -> q323CoverageCurve _,
     "q324_heldout_xent" -> q324HeldoutXent _,
     "q189_bigram_lm" -> q189BigramLm _,
@@ -1071,6 +1086,52 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q327_ivf_recall" -> s"""
+      |WITH $qembSql,
+      |ex AS MATERIALIZED (
+      |  SELECT query_id, nn_id FROM (
+      |    SELECT qe.vec_id AS query_id, ce.vec_id AS nn_id,
+      |      row_number() OVER (PARTITION BY qe.vec_id
+      |        ORDER BY CAST(list_dot_product(qe.q, ce.q) AS BIGINT) DESC,
+      |          ce.vec_id) AS rank
+      |    FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id
+      |    WHERE qe.vec_id % 400 = 0)
+      |  WHERE rank <= 10),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cq
+      |  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 16)),
+      |cd AS (
+      |  SELECT e.vec_id, c.cid,
+      |    CAST(list_dot_product(e.q, c.cq) AS BIGINT) AS cdot
+      |  FROM e, cents c),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cdot DESC, cid DESC) AS rn FROM cd) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cdot DESC, cid DESC) AS rn
+      |    FROM cd WHERE vec_id % 400 = 0) WHERE rn <= 4),
+      |ap AS MATERIALIZED (
+      |  SELECT query_id, nn_id FROM (
+      |    SELECT p.query_id, a.vec_id AS nn_id,
+      |      row_number() OVER (PARTITION BY p.query_id
+      |        ORDER BY CAST(list_dot_product(qq.q, aq.q) AS BIGINT) DESC,
+      |          a.vec_id) AS rank
+      |    FROM probes p
+      |    JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+      |    JOIN e qq ON qq.vec_id = p.query_id
+      |    JOIN e aq ON aq.vec_id = a.vec_id)
+      |  WHERE rank <= 10)
+      |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+      |  CAST(sum(CASE WHEN ap.nn_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS hits,
+      |  CAST(sum(CASE WHEN ap.nn_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    * 10000 // count(*) AS BIGINT) AS recall_bp
+      |FROM ex LEFT JOIN ap
+      |  ON ap.query_id = ex.query_id AND ap.nn_id = ex.nn_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q324_heldout_xent" -> """
       |WITH d AS (
       |  SELECT lang, text,
