@@ -130,6 +130,43 @@ object GraphEvents {
     per.unionByName(rate).orderBy($"state")
   }
 
+  // -------------------------------------------- q328 path anomaly
+
+  /** Markov path-anomaly score: each user's event sequence scored under
+    * the corpus transition LM — mean per-hop surprisal in floored-log₂
+    * centibits, `surp_cb = Σ(bl(tot_prev) − bl(c_prev→curr))·100 div
+    * n_hops` — and the 20 most improbable users reported. The
+    * session-level anomaly screen (bot loops, scripted crawls, broken
+    * clients walk transitions humans don't); the per-user readout the
+    * corpus-level entropy rate (q325) aggregates away. Transition
+    * counts are enum-sized and broadcast; the per-user fold is one
+    * combiner-friendly aggregation over the lag pairs. */
+  def q328PathAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(spark, dir)
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"user_id", $"prev", $"event_type")
+    val c = pairs.groupBy($"prev", $"event_type").agg(count(lit(1)).as("c"))
+    val tot = c.groupBy($"prev").agg(sum($"c").as("tot"))
+    val scored = pairs
+      .join(broadcast(c), Seq("prev", "event_type"))
+      .join(broadcast(tot), Seq("prev"))
+      .withColumn("_s",
+        length(expr("bin(tot)")).cast("long") -
+          length(expr("bin(c)")).cast("long"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_hops"),
+        expr("CAST(sum(_s) * 100 div count(1) AS BIGINT)").as("surp_cb"))
+    val wr = Window.orderBy($"surp_cb".desc, $"user_id")
+    scored.withColumn("rk", row_number().over(wr).cast("long"))
+      .filter($"rk" <= 20)
+      .select($"rk", $"user_id", $"n_hops", $"surp_cb")
+      .orderBy($"rk")
+  }
+
   // -------------------------------------------- q326 macro/micro F1
 
   /** Multiclass F1 panel ([[graft.etl.Mining.multiclassF1]]) for the
@@ -1047,6 +1084,7 @@ object GraphEvents {
     "q320_stationary" -> q320Stationary _,
     "q326_macro_f1" -> q326MacroF1 _,
     "q325_entropy_rate" -> q325EntropyRate _,
+    "q328_path_anomaly" -> q328PathAnomaly _,
     "q104_interval_merge" -> q104IntervalMerge _,
     "q105_skyline" -> q105Skyline _,
     "q106_max_concurrent" -> q106MaxConcurrent _,
@@ -1055,6 +1093,31 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q328_path_anomaly" -> """
+      |WITH pairs AS MATERIALIZED (
+      |  SELECT user_id, prev_type, event_type FROM (
+      |    SELECT user_id, lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type, event_type
+      |    FROM events)
+      |  WHERE prev_type IS NOT NULL),
+      |c AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS c
+      |      FROM pairs GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, CAST(sum(c) AS BIGINT) AS tot
+      |        FROM c GROUP BY 1),
+      |scored AS (
+      |  SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_hops,
+      |    CAST(sum(length(bin(t.tot)) - length(bin(c.c))) * 100
+      |      // count(*) AS BIGINT) AS surp_cb
+      |  FROM pairs p
+      |  JOIN c ON c.prev_type = p.prev_type
+      |    AND c.event_type = p.event_type
+      |  JOIN tot t ON t.prev_type = p.prev_type
+      |  GROUP BY 1)
+      |SELECT rk, user_id, n_hops, surp_cb FROM (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY surp_cb DESC, user_id)
+      |    AS BIGINT) AS rk
+      |  FROM scored)
+      |WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "q325_entropy_rate" -> """
       |WITH pairs AS MATERIALIZED (
       |  SELECT prev_type AS src, event_type AS dst FROM (
