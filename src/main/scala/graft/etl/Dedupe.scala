@@ -70,6 +70,26 @@ object Dedupe {
     * most-frequent-wins policy). One (cluster, value) count + one
     * cluster-partitioned rank per attribute, outer-joined back so a
     * cluster whose attribute is entirely null still emits (null cell). */
+  /** Duplicate-cluster size distribution — the one-page answer to "how
+    * duplicated is this corpus": group rows by an identity key (content
+    * hash, fingerprint, resolved cluster id), then fold the cluster
+    * sizes into a histogram with each size's document share in bp. The
+    * long tail of this table (a 10k-copy cluster) is what dedup
+    * recovers; `cluster_size = 1` is the unique mass. Two
+    * combiner-friendly aggregations + one broadcast one-row total —
+    * never pairwise anything. */
+  def clusterSizeDist(df: DataFrame, keyCol: Column): DataFrame = {
+    val sizes = df.groupBy(keyCol.as("_k")).agg(count(lit(1)).as("sz"))
+    val tot = sizes.agg(sum(col("sz")).as("_tot"))
+    sizes.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        expr("CAST(cluster_size * n_clusters * 10000 div _tot AS BIGINT)")
+          .as("share_bp"))
+  }
+
   def goldenRecord(df: DataFrame, clusterCol: String,
       attrs: Seq[String]): DataFrame = {
     val members = df.groupBy(col(clusterCol)).agg(count(lit(1)).as("n_members"))

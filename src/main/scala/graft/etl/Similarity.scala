@@ -50,6 +50,26 @@ object Similarity {
     * aggregated bucket row — never a c² self-join blowup. */
   val DefaultMaxShingleFreq = 256
 
+  /** Honest-coverage audit of the shingle frequency cap: how much
+    * signal does [[ngramJaccardPairs]]' boilerplate bar actually drop?
+    * One row: distinct shingle types, total (doc, shingle) rows, the
+    * types above `cap` and the row mass they carry, and `dropped_bp` —
+    * the share of shingle evidence the capped plan never joins on. Run
+    * before trusting a cap at a new corpus: navigation chrome pushes
+    * this to thousands of bp (fine — that's boilerplate by definition);
+    * a HIGH value on clean text means the cap is eating real n-grams
+    * and should be raised. Two combiner-friendly aggregations. */
+  def shingleCapAudit(df: DataFrame, idCol: String, textCol: String,
+      n: Int, cap: Int = DefaultMaxShingleFreq): DataFrame = {
+    val sh = explodeShingles(df, idCol, textCol, n).distinct()
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
+    freq.agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_rows"),
+        sum(when(col("c") > cap, 1L).otherwise(0L)).as("capped_types"),
+        sum(when(col("c") > cap, col("c")).otherwise(0L)).as("capped_rows"))
+      .withColumn("dropped_bp",
+        expr("CAST(capped_rows * 10000 div NULLIF(n_rows, 0) AS BIGINT)"))
+  }
+
   /** n-gram Jaccard candidate pairs: rows sharing ≥1 shingle, with exact
     * intersection/union counts (set semantics). Output:
     * (id_a, id_b, inter, union_size, size_a, size_b), id_a < id_b.

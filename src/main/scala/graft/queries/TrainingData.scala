@@ -646,6 +646,28 @@ object TrainingData {
       .orderBy($"query_id")
   }
 
+  /** Duplicate-cluster size distribution
+    * ([[graft.etl.Dedupe.clusterSizeDist]]) keyed on sha256(text) over
+    * the clone corpus: the "how duplicated is it" one-pager — unique
+    * mass at size 1, the clone pairs at size 2, document shares in bp. */
+  def q329DupClusterDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Dedupe.clusterSizeDist(corpus(spark, dir),
+        sha2($"text", 256))
+      .orderBy($"cluster_size")
+  }
+
+  /** Shingle-cap honesty audit
+    * ([[graft.etl.Similarity.shingleCapAudit]]) at cap 16 over the
+    * clone corpus: the shingle-evidence share q26's boilerplate bar
+    * would drop at that setting — the measured number that says
+    * whether a cap is trimming chrome or eating real n-grams. */
+  def q330CapAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Similarity.shingleCapAudit(corpus(spark, dir),
+      "doc_id", "text", n = 3, cap = 16)
+  }
+
   /** IVF recall audit ([[graft.etl.Similarity.ivfRecallAudit]]): the
     * q315 audit for the OTHER scale path — per sampled query, the
     * fraction of the exact top-10 the 16-list/4-probe IVF search (q51)
@@ -752,6 +774,8 @@ object TrainingData {
     "q319_simhash_recall" -> q319SimhashRecall _,
     "q321_vocab_knee" -> q321VocabKnee _,
     "q327_ivf_recall" -> q327IvfRecall _,
+    "q329_dup_cluster_dist" -> q329DupClusterDist _,
+    "q330_cap_audit" -> q330CapAudit _,
     "q323_coverage_curve" -> q323CoverageCurve _,
     "q324_heldout_xent" -> q324HeldoutXent _,
     "q189_bigram_lm" -> q189BigramLm _,
@@ -1086,6 +1110,31 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q329_dup_cluster_dist" -> s"""
+      |WITH $corpusSql,
+      |sizes AS (
+      |  SELECT sha256(text) AS h, CAST(count(*) AS BIGINT) AS sz
+      |  FROM corpus GROUP BY 1),
+      |tot AS (SELECT CAST(sum(sz) AS BIGINT) AS t FROM sizes)
+      |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+      |  CAST(sz * count(*) * 10000 // max(tot.t) AS BIGINT) AS share_bp
+      |FROM sizes CROSS JOIN tot
+      |GROUP BY sz ORDER BY sz""".stripMargin,
+    "q330_cap_audit" -> s"""
+      |WITH $corpusSql,
+      |$shinglesSql,
+      |freq AS (SELECT s, CAST(count(*) AS BIGINT) AS c
+      |         FROM sh GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(sum(c) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN c > 16 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS capped_types,
+      |  CAST(sum(CASE WHEN c > 16 THEN c ELSE 0 END) AS BIGINT)
+      |    AS capped_rows,
+      |  CAST(sum(CASE WHEN c > 16 THEN c ELSE 0 END) * 10000
+      |    // NULLIF(sum(c), 0) AS BIGINT) AS dropped_bp
+      |FROM freq""".stripMargin,
     "q327_ivf_recall" -> s"""
       |WITH $qembSql,
       |ex AS MATERIALIZED (

@@ -87,6 +87,17 @@ class ProjectionSpec extends SparkSpec {
     }
   }
 
+  test("clusterSizeDist: histogram of identity-key cluster sizes + shares") {
+    import org.apache.spark.sql.functions.col
+    // keys: a,a,a (size 3), b,b (2), c (1), d (1) -> 7 rows
+    val df = Seq("a", "a", "a", "b", "b", "c", "d").toDF("k")
+    val out = Dedupe.clusterSizeDist(df, col("k"))
+      .orderBy($"cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 2857L), (2L, 1L, 2L, 2857L),
+      (3L, 1L, 3L, 4285L)))
+  }
+
   test("goldenRecord survives attributes independently with non-null wins") {
     val df = Seq(
       (1L, Some("A"), None: Option[String]),

@@ -114,6 +114,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.getAs[Long]("recall_bp") == 5000L)
   }
 
+  test("shingleCapAudit: boilerplate shingle mass above the cap measured") {
+    import spark.implicits._
+    // shared shingle "a b c" appears in 3 docs; cap 2 -> it is capped
+    val df = Seq((1L, "a b c x"), (2L, "a b c y"), (3L, "a b c z"))
+      .toDF("doc_id", "text")
+    val out = Similarity.shingleCapAudit(df, "doc_id", "text",
+        n = 3, cap = 2).collect().head
+    // types: "a b c" + {b c x, b c y, b c z} = 4; rows = 3 + 3 = 6
+    assert(out.getAs[Long]("n_types") == 4L)
+    assert(out.getAs[Long]("n_rows") == 6L)
+    assert(out.getAs[Long]("capped_types") == 1L)
+    assert(out.getAs[Long]("capped_rows") == 3L)
+    assert(out.getAs[Long]("dropped_bp") == 5000L)
+  }
+
   test("simhashRecallAudit: clone pair caught, disjoint docs stay out") {
     import spark.implicits._
     val df = Seq(
