@@ -70,6 +70,26 @@ object Dedupe {
     * most-frequent-wins policy). One (cluster, value) count + one
     * cluster-partitioned rank per attribute, outer-joined back so a
     * cluster whose attribute is entirely null still emits (null cell). */
+  /** Cross-source duplication matrix — WHERE duplicate content comes
+    * from: for every pair of sources sharing at least one byte-identical
+    * document, the number of shared distinct texts. A heavy off-diagonal
+    * cell is a mirror/syndication/re-crawl relationship — the provenance
+    * question behind any dedup-by-source policy ("drop the aggregator,
+    * keep the origin"). Content groups collapse FIRST (hash groupBy), so
+    * the pair fan-out is bounded by sources-per-content
+    * (≤ source-cardinality, an enum) — never document-pairwise.
+    * Output: (source_a < source_b, n_shared). */
+  def sourceOverlap(df: DataFrame, sourceCol: String,
+      textCol: Column): DataFrame = {
+    val bySrc = df.select(col(sourceCol).as("_src"),
+        sha2(textCol, 256).as("_h"))
+      .distinct()
+    bySrc.as("a").join(bySrc.as("b"),
+        col("a._h") === col("b._h") && col("a._src") < col("b._src"))
+      .groupBy(col("a._src").as("source_a"), col("b._src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Duplicate-cluster size distribution — the one-page answer to "how
     * duplicated is this corpus": group rows by an identity key (content
     * hash, fingerprint, resolved cluster id), then fold the cluster

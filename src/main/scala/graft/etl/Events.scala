@@ -260,6 +260,27 @@ object Events {
       .agg(max(col("running")).as("max_concurrent"))
   }
 
+  /** CDC-log materialization — the snapshot a change stream implies:
+    * per key, the LAST operation by (order, id) wins; a terminal delete
+    * removes the key from the snapshot entirely (absent, not nulled).
+    * This is the batch replay of a MERGE-ing sink (the q154 SCD-2 build
+    * keeps every version; this keeps only current state — the table a
+    * consumer actually queries). `n_ops` rides along so the snapshot
+    * reports how much churn each surviving key absorbed. One
+    * partitioned window, deterministic tiebreak, no state beyond the
+    * sort. */
+  def cdcApply(log: DataFrame, keyCol: String, orderCols: Seq[String],
+      deleteCol: Column, valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    val wAll = Window.partitionBy(col(keyCol))
+    log
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(wAll))
+      .filter(col("_rn") === 1 && !deleteCol)
+      .select(col(keyCol) +: valueCols.map(col) :+ col("n_ops"): _*)
+  }
+
   /** SCD-2 history build: each change event becomes a version row with a
     * half-open validity interval `[valid_from_us, valid_to_us)` in integer
     * micros — `valid_to_us` is the key's next change (exclusive), NULL with

@@ -130,6 +130,24 @@ object GraphEvents {
     per.unionByName(rate).orderBy($"state")
   }
 
+  // -------------------------------------------- q332 CDC apply
+
+  /** CDC-log materialization ([[Events.cdcApply]]): events replayed as
+    * a change log per user (error = delete tombstone, anything else an
+    * upsert of the amount) — the current-state snapshot a MERGE-ing
+    * sink implies, with per-key churn counts; q154 keeps every version,
+    * this keeps only what a consumer queries. */
+  def q332CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = Tables.events(spark, dir).select($"user_id", $"event_id",
+      expr("unix_micros(ts)").as("us"),
+      ($"event_type" === "error").as("del"),
+      graft.etl.Series.cents($"value").as("cents"))
+    Events.cdcApply(log, "user_id", Seq("us", "event_id"), $"del",
+        Seq("cents"))
+      .orderBy($"user_id")
+  }
+
   // -------------------------------------------- q328 path anomaly
 
   /** Markov path-anomaly score: each user's event sequence scored under
@@ -1085,6 +1103,7 @@ object GraphEvents {
     "q326_macro_f1" -> q326MacroF1 _,
     "q325_entropy_rate" -> q325EntropyRate _,
     "q328_path_anomaly" -> q328PathAnomaly _,
+    "q332_cdc_apply" -> q332CdcApply _,
     "q104_interval_merge" -> q104IntervalMerge _,
     "q105_skyline" -> q105Skyline _,
     "q106_max_concurrent" -> q106MaxConcurrent _,
@@ -1093,6 +1112,19 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q332_cdc_apply" -> """
+      |WITH log AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    event_type = 'error' AS del,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY us DESC, event_id DESC) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+      |  FROM log)
+      |SELECT user_id, cents, n_ops FROM r
+      |WHERE rn = 1 AND NOT del ORDER BY user_id""".stripMargin,
     "q328_path_anomaly" -> """
       |WITH pairs AS MATERIALIZED (
       |  SELECT user_id, prev_type, event_type FROM (

@@ -646,6 +646,21 @@ object TrainingData {
       .orderBy($"query_id")
   }
 
+  /** Cross-source duplication matrix ([[graft.etl.Dedupe.sourceOverlap]])
+    * with a synthetic "mirror" feed republishing every 7th document:
+    * which source pairs share byte-identical texts — the provenance map
+    * behind any dedup-by-source policy. */
+  def q331SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"source", $"text")
+    val mirrored = Tables.documents(spark, dir)
+      .filter($"doc_id" % 7 === 0)
+      .select(lit("mirror").as("source"), $"text")
+    graft.etl.Dedupe.sourceOverlap(d.unionByName(mirrored), "source",
+        $"text")
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** Duplicate-cluster size distribution
     * ([[graft.etl.Dedupe.clusterSizeDist]]) keyed on sha256(text) over
     * the clone corpus: the "how duplicated is it" one-pager — unique
@@ -775,6 +790,7 @@ object TrainingData {
     "q321_vocab_knee" -> q321VocabKnee _,
     "q327_ivf_recall" -> q327IvfRecall _,
     "q329_dup_cluster_dist" -> q329DupClusterDist _,
+    "q331_source_overlap" -> q331SourceOverlap _,
     "q330_cap_audit" -> q330CapAudit _,
     "q323_coverage_curve" -> q323CoverageCurve _,
     "q324_heldout_xent" -> q324HeldoutXent _,
@@ -1110,6 +1126,16 @@ object TrainingData {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q331_source_overlap" -> """
+      |WITH d AS (
+      |  SELECT source, text FROM documents
+      |  UNION ALL
+      |  SELECT 'mirror', text FROM documents WHERE doc_id % 7 = 0),
+      |s AS (SELECT DISTINCT source, sha256(text) AS h FROM d)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM s a JOIN s b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q329_dup_cluster_dist" -> s"""
       |WITH $corpusSql,
       |sizes AS (

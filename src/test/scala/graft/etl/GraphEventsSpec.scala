@@ -411,6 +411,22 @@ class GraphEventsSpec extends SparkSpec {
     assert(out.getAs[Long]("raw_c") == 400L)
   }
 
+  test("cdcApply: last op wins, terminal delete removes the key") {
+    // key 1: U(10) then U(20) -> snapshot 20, n_ops 2
+    // key 2: U(5) then D -> absent
+    // key 3: D then U(7) -> resurrect to 7 (delete is not terminal)
+    val log = Seq((1L, 1L, 10L, false, Some(10L)),
+      (1L, 2L, 20L, false, Some(20L)),
+      (2L, 3L, 10L, false, Some(5L)), (2L, 4L, 20L, true, None),
+      (3L, 5L, 10L, true, None), (3L, 6L, 20L, false, Some(7L)))
+      .toDF("k", "id", "us", "del", "v")
+    val out = Events.cdcApply(log, "k", Seq("us", "id"), col("del"),
+        Seq("v"))
+      .orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 20L, 2L), (3L, 7L, 2L)))
+  }
+
   test("positionAttribution: 40/20/40 split conserves cents exactly") {
     import org.apache.spark.sql.functions.timestamp_micros
     val us = 1000000L

@@ -87,6 +87,19 @@ class ProjectionSpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlap: shared-content pairs, within-source dups ignored") {
+    import org.apache.spark.sql.functions.col
+    // "x" in s1,s2,s3; "y" in s1,s2; "z" only s1 (twice — no self pair)
+    val df = Seq(("s1", "x"), ("s2", "x"), ("s3", "x"),
+      ("s1", "y"), ("s2", "y"), ("s1", "z"), ("s1", "z"))
+      .toDF("src", "text")
+    val out = Dedupe.sourceOverlap(df, "src", col("text"))
+      .orderBy($"source_a", $"source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("s1", "s2", 2L), ("s1", "s3", 1L),
+      ("s2", "s3", 1L)))
+  }
+
   test("clusterSizeDist: histogram of identity-key cluster sizes + shares") {
     import org.apache.spark.sql.functions.col
     // keys: a,a,a (size 3), b,b (2), c (1), d (1) -> 7 rows
