@@ -143,6 +143,27 @@ object Analytics {
       .select(col(groupCol), (-col("m.nv")).as("mode_value"),
         col("m.c").as("mode_count"))
 
+  /** Herfindahl–Hirschman concentration index per group: with member
+    * masses n_i and total N, HHI = Σ(n_i/N)² — published in basis
+    * points as the SINGLE floor ⌊Σn_i²·10⁴ / N²⌋ (never a sum of
+    * already-floored shares). The standard market/supplier/source
+    * concentration readout (1/k for k equals, 10000 for a monopoly) —
+    * the square-weighted complement of [[giniCoefficientBp]], and the
+    * number a "are we over-reliant on one supplier/source" review asks
+    * for first. Σn_i² rides decimal(38,0); one member-level groupBy
+    * folded map-side, then an enum-sized group fold. */
+  def hhiBp(df: DataFrame, groupCol: String, memberCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(memberCol))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("_n")).as("n_rows"),
+        sum(col("_n").cast("decimal(38,0)") * col("_n")).as("_sq"))
+      .select(col(groupCol), col("n_members"), col("n_rows"),
+        expr("""CAST(_sq * 10000 div
+                (CAST(n_rows AS DECIMAL(38,0)) * n_rows) AS BIGINT)""")
+          .as("hhi_bp"))
+
   /** Knee/elbow detection per group — the "where does the curve bend"
     * answer that turns a ranked diagnostic (Zipf freq-by-rank, inertia
     * by k, coverage by vocab size) into a CUTOFF: the knee is the point

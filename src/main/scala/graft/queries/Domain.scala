@@ -479,6 +479,19 @@ object Domain {
       .orderBy($"candidate")
   }
 
+  /** Supplier-concentration HHI ([[graft.etl.Analytics.hhiBp]]): per
+    * part type, how concentrated the supplier base is across lineitem
+    * volume — the single-floor basis-point Herfindahl the "are we
+    * over-reliant on one supplier" review asks for first. */
+  def q333Hhi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), $"p_partkey" === $"l_partkey")
+      .select($"p_type", $"l_suppkey")
+    graft.etl.Analytics.hhiBp(li, "p_type", "l_suppkey")
+      .orderBy($"p_type")
+  }
+
   /** Rare-category collapse
     * ([[graft.etl.Analytics.collapseRareCategories]]) on part brands at
     * min support 80: the long-tail cap applied before encoding or
@@ -536,6 +549,7 @@ object Domain {
     "q184_fd_audit" -> q184FdAudit _,
     "q309_key_discovery" -> q309KeyDiscovery _,
     "q317_rare_collapse" -> q317RareCollapse _,
+    "q333_hhi" -> q333Hhi _,
     "q279_null_pattern" -> q279NullPattern _,
     "q289_asof_nearest" -> q289AsofNearest _,
     "q176_ref_integrity" -> q176RefIntegrity _,
@@ -562,6 +576,16 @@ object Domain {
     "q94_drawdown" -> q94Drawdown _)
 
   val oracleSql: Map[String, String] = Map(
+    "q333_hhi" -> """
+      |WITH m AS (
+      |  SELECT p_type, l_suppkey, CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  GROUP BY 1, 2)
+      |SELECT p_type, CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(n AS HUGEINT) * n) * 10000
+      |    // (CAST(sum(n) AS HUGEINT) * sum(n)) AS BIGINT) AS hhi_bp
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q317_rare_collapse" -> """
       |WITH c AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS c
       |           FROM part GROUP BY 1)

@@ -845,6 +845,17 @@ class MiningSpec extends SparkSpec {
     assert(o2.getAs[Long]("knee_x") == 1L)
   }
 
+  test("hhiBp: monopoly 10000, k equals 10000/k, single floor") {
+    // g: one member -> 10000; h: 4 equal members -> 2500
+    // i: shares 3/4 and 1/4 -> (9+1)*10000/16 = 6250
+    val df = (Seq(("g", 1L)) ++ (1L to 4L).map(("h", _)) ++
+      Seq(("i", 1L), ("i", 1L), ("i", 1L), ("i", 2L))).toDF("grp", "m")
+    val out = Analytics.hhiBp(df, "grp", "m").orderBy($"grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq(("g", 1L, 10000L), ("h", 4L, 2500L),
+      ("i", 2L, 6250L)))
+  }
+
   test("collapseRareCategories: sub-threshold labels fold into (other)") {
     val df = Seq("a", "a", "a", "b", "c").toDF("cat")
     val out = Analytics.collapseRareCategories(df, "cat", 2L)
