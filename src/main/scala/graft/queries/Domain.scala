@@ -479,6 +479,23 @@ object Domain {
       .orderBy($"candidate")
   }
 
+  /** Fulfillment-lag percentiles
+    * ([[graft.etl.Analytics.exactPercentiles]]): order→ship lag in days
+    * per order priority — exact nearest-rank P25/P50/P75, the SLA
+    * readout ("does URGENT actually ship faster, and by how much at
+    * the tail") over the order/lineitem join. */
+  def q334FulfillmentLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lag = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderpriority",
+        datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+          .cast("long").as("lag_days"))
+    graft.etl.Analytics.exactPercentiles(lag, "o_orderpriority",
+        "lag_days")
+      .orderBy($"o_orderpriority")
+  }
+
   /** Supplier-concentration HHI ([[graft.etl.Analytics.hhiBp]]): per
     * part type, how concentrated the supplier base is across lineitem
     * volume — the single-floor basis-point Herfindahl the "are we
@@ -550,6 +567,7 @@ object Domain {
     "q309_key_discovery" -> q309KeyDiscovery _,
     "q317_rare_collapse" -> q317RareCollapse _,
     "q333_hhi" -> q333Hhi _,
+    "q334_fulfillment_lag" -> q334FulfillmentLag _,
     "q279_null_pattern" -> q279NullPattern _,
     "q289_asof_nearest" -> q289AsofNearest _,
     "q176_ref_integrity" -> q176RefIntegrity _,
@@ -576,6 +594,26 @@ object Domain {
     "q94_drawdown" -> q94Drawdown _)
 
   val oracleSql: Map[String, String] = Map(
+    "q334_fulfillment_lag" -> """
+      |WITH lag AS (
+      |  SELECT o_orderpriority,
+      |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+      |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lag_days
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+      |r AS (
+      |  SELECT o_orderpriority, lag_days,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY lag_days) AS rn,
+      |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM lag WHERE lag_days IS NOT NULL)
+      |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN rn = (n + 3) // 4 THEN lag_days END)
+      |    AS BIGINT) AS p25,
+      |  CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN lag_days END)
+      |    AS BIGINT) AS p50,
+      |  CAST(sum(CASE WHEN rn = (3 * n + 3) // 4 THEN lag_days END)
+      |    AS BIGINT) AS p75
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q333_hhi" -> """
       |WITH m AS (
       |  SELECT p_type, l_suppkey, CAST(count(*) AS BIGINT) AS n
