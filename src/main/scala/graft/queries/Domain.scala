@@ -496,6 +496,43 @@ object Domain {
       .orderBy($"o_orderpriority")
   }
 
+  /** Discount–quantity association ([[graft.etl.Mining.groupedCorr]])
+    * per brand: Pearson sign + scaled r² between the line discount (bp)
+    * and the ordered quantity — the "do discounts actually move volume
+    * for this brand" screen, exact via the six-accumulator
+    * sufficient-statistics fold. */
+  def q335PriceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), $"p_partkey" === $"l_partkey")
+      .select($"p_brand",
+        expr("CAST(round(l_discount * 10000) AS BIGINT)").as("disc_bp"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+    graft.etl.Mining.groupedCorr(li, "p_brand", "disc_bp", "qty")
+      .orderBy($"p_brand")
+  }
+
+  /** Repeat-purchase cadence: exact nearest-rank P25/P50/P75 of the
+    * days between a customer's consecutive orders, per market segment
+    * ([[graft.etl.Analytics.exactPercentiles]] over the lag window) —
+    * the replenishment-cycle readout behind any reorder-reminder or
+    * churn-window choice. */
+  def q336RepurchaseInterval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val gaps = Tables.orders(spark, dir)
+      .withColumn("prev", lag($"o_orderdate", 1).over(w))
+      .filter($"prev".isNotNull)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment",
+        datediff(to_date($"o_orderdate"), to_date($"prev"))
+          .cast("long").as("gap_days"))
+    graft.etl.Analytics.exactPercentiles(gaps, "c_mktsegment", "gap_days")
+      .orderBy($"c_mktsegment")
+  }
+
   /** Supplier-concentration HHI ([[graft.etl.Analytics.hhiBp]]): per
     * part type, how concentrated the supplier base is across lineitem
     * volume — the single-floor basis-point Herfindahl the "are we
@@ -568,6 +605,8 @@ object Domain {
     "q317_rare_collapse" -> q317RareCollapse _,
     "q333_hhi" -> q333Hhi _,
     "q334_fulfillment_lag" -> q334FulfillmentLag _,
+    "q335_price_elasticity" -> q335PriceElasticity _,
+    "q336_repurchase_interval" -> q336RepurchaseInterval _,
     "q279_null_pattern" -> q279NullPattern _,
     "q289_asof_nearest" -> q289AsofNearest _,
     "q176_ref_integrity" -> q176RefIntegrity _,
@@ -594,6 +633,51 @@ object Domain {
     "q94_drawdown" -> q94Drawdown _)
 
   val oracleSql: Map[String, String] = Map(
+    "q335_price_elasticity" -> """
+      |WITH b AS (
+      |  SELECT p_brand,
+      |    CAST(round(l_discount * 10000) AS BIGINT) AS x,
+      |    CAST(round(l_quantity) AS BIGINT) AS y
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+      |s AS (SELECT p_brand, CAST(count(*) AS HUGEINT) AS n,
+      |        CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |        CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |        CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      |      FROM b GROUP BY 1)
+      |SELECT p_brand, CAST(n AS BIGINT) AS n,
+      |  CAST(sign(n * sxy - sx * sy) AS BIGINT) AS corr_sign,
+      |  CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * 10000)
+      |    // NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0)
+      |    AS BIGINT) AS r2_scaled
+      |FROM s ORDER BY p_brand""".stripMargin,
+    "q336_repurchase_interval" -> """
+      |WITH g AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day',
+      |      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+      |  FROM orders),
+      |j AS (
+      |  SELECT c_mktsegment, gap_days
+      |  FROM g JOIN customer ON c_custkey = o_custkey
+      |  WHERE gap_days IS NOT NULL),
+      |r AS (
+      |  SELECT c_mktsegment, gap_days,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY gap_days) AS rn,
+      |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM j)
+      |SELECT c_mktsegment, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN rn = (n + 3) // 4 THEN gap_days END)
+      |    AS BIGINT) AS p25,
+      |  CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN gap_days END)
+      |    AS BIGINT) AS p50,
+      |  CAST(sum(CASE WHEN rn = (3 * n + 3) // 4 THEN gap_days END)
+      |    AS BIGINT) AS p75
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q334_fulfillment_lag" -> """
       |WITH lag AS (
       |  SELECT o_orderpriority,
