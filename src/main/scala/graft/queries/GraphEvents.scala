@@ -130,6 +130,43 @@ object GraphEvents {
     per.unionByName(rate).orderBy($"state")
   }
 
+  // -------------------------------------------- q337 session funnel
+
+  /** Session-grain ordered funnel: q35's 24h-gap island sessions, each
+    * classified by FIRST-time ordering view → click → purchase
+    * (first click at-or-after first view, first purchase at-or-after
+    * that click — the standard first-times funnel, strict about step
+    * order where q107's user-grain funnel aggregates a whole history).
+    * Output: one row — session counts through each stage and the
+    * end-to-end conversion in bp. Same one-shuffle island window as
+    * sessionize, then two enum-sized folds. */
+  def q337SessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 24L * 3600 * 1000000
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val x = Tables.events(spark, dir)
+      .withColumn("_pus", unix_micros(lag($"ts", 1).over(w)))
+      .withColumn("brk",
+        when($"_pus".isNull || unix_micros($"ts") - $"_pus" > dayUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val per = x.groupBy($"user_id", $"sid").agg(
+      min(when($"event_type" === "view", unix_micros($"ts"))).as("tv"),
+      min(when($"event_type" === "click", unix_micros($"ts"))).as("tc"),
+      min(when($"event_type" === "purchase", unix_micros($"ts")))
+        .as("tp"))
+    per.agg(count(lit(1)).as("n_sessions"),
+        sum(when($"tv".isNotNull, 1L).otherwise(0L)).as("reached_view"),
+        sum(when($"tv".isNotNull && $"tc" >= $"tv", 1L).otherwise(0L))
+          .as("reached_click"),
+        sum(when($"tv".isNotNull && $"tc" >= $"tv" && $"tp" >= $"tc", 1L)
+          .otherwise(0L)).as("reached_purchase"))
+      .withColumn("conv_bp", expr(
+        "CAST(reached_purchase * 10000 div NULLIF(n_sessions, 0) AS BIGINT)"))
+  }
+
   // -------------------------------------------- q332 CDC apply
 
   /** CDC-log materialization ([[Events.cdcApply]]): events replayed as
@@ -1104,6 +1141,7 @@ object GraphEvents {
     "q325_entropy_rate" -> q325EntropyRate _,
     "q328_path_anomaly" -> q328PathAnomaly _,
     "q332_cdc_apply" -> q332CdcApply _,
+    "q337_session_funnel" -> q337SessionFunnel _,
     "q104_interval_merge" -> q104IntervalMerge _,
     "q105_skyline" -> q105Skyline _,
     "q106_max_concurrent" -> q106MaxConcurrent _,
@@ -1112,6 +1150,39 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q337_session_funnel" -> """
+      |WITH x AS (
+      |  SELECT user_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 24 HOUR
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, event_type,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x),
+      |per AS (
+      |  SELECT user_id, sid,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+      |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tc,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |      AS tp
+      |  FROM s GROUP BY 1, 2),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+      |    CAST(sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS reached_view,
+      |    CAST(sum(CASE WHEN tv IS NOT NULL AND tc >= tv
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+      |    CAST(sum(CASE WHEN tv IS NOT NULL AND tc >= tv AND tp >= tc
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
+      |  FROM per)
+      |SELECT n_sessions, reached_view, reached_click, reached_purchase,
+      |  CAST(reached_purchase * 10000 // NULLIF(n_sessions, 0) AS BIGINT)
+      |    AS conv_bp
+      |FROM a""".stripMargin,
     "q332_cdc_apply" -> """
       |WITH log AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
