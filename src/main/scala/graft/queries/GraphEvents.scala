@@ -215,9 +215,12 @@ object GraphEvents {
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_hops"),
         expr("CAST(sum(_s) * 100 div count(1) AS BIGINT)").as("surp_cb"))
+    // top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps, never a single-partition window over every user); the rank
+    // window then covers only the 20 survivors
+    val top = scored.orderBy($"surp_cb".desc, $"user_id").limit(20)
     val wr = Window.orderBy($"surp_cb".desc, $"user_id")
-    scored.withColumn("rk", row_number().over(wr).cast("long"))
-      .filter($"rk" <= 20)
+    top.withColumn("rk", row_number().over(wr).cast("long"))
       .select($"rk", $"user_id", $"n_hops", $"surp_cb")
       .orderBy($"rk")
   }

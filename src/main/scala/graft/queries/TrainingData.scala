@@ -775,9 +775,12 @@ object TrainingData {
     val nodes = edges.select($"src".as("tok")).distinct()
     val ranked = graft.etl.Graph.pageRankInt(nodes, edges, "tok",
       "src", "dst", iterations = 3)
+    // top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps, no single-partition sort of the full vocabulary); the rank
+    // window then runs over the 20 survivors only
+    val top = ranked.orderBy($"rank".desc, $"node").limit(20)
     val w = Window.orderBy($"rank".desc, $"node")
-    ranked.withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= 20)
+    top.withColumn("rk", row_number().over(w).cast("long"))
       .select($"rk", $"node".as("token"), $"rank")
       .orderBy($"rk")
   }

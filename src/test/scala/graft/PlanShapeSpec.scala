@@ -418,6 +418,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q314/q328: global top-k plans TakeOrderedAndProject, not a full sort") {
+    for (q <- Seq("q314_textrank", "q328_path_anomaly")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), q)
+    }
+  }
+
   test("q315: both audit legs broadcast the sampled query side") {
     val p = plan("q315_ann_recall")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1)
