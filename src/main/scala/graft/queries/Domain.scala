@@ -533,6 +533,26 @@ object Domain {
       .orderBy($"c_mktsegment")
   }
 
+  /** Dead-stock audit: per brand, the parts that NEVER appear in a
+    * lineitem (distinct ordered parts vs catalog, one left-semi-shaped
+    * aggregate join) with the dead share in bp — the assortment-health
+    * counterpart of q176's referential audit (orphans point child→
+    * parent; dead stock is the parent rows nothing points AT). */
+  def q339DeadStock(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ordered = Tables.lineitem(spark, dir)
+      .select($"l_partkey").distinct()
+    val flagged = Tables.part(spark, dir)
+      .join(ordered, $"p_partkey" === $"l_partkey", "left")
+      .select($"p_brand", when($"l_partkey".isNull, 1L).otherwise(0L)
+        .as("dead"))
+    flagged.groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"), sum($"dead").as("n_dead"))
+      .withColumn("dead_bp",
+        expr("CAST(n_dead * 10000 div n_parts AS BIGINT)"))
+      .orderBy($"p_brand")
+  }
+
   /** Supplier-concentration HHI ([[graft.etl.Analytics.hhiBp]]): per
     * part type, how concentrated the supplier base is across lineitem
     * volume — the single-floor basis-point Herfindahl the "are we
@@ -607,6 +627,7 @@ object Domain {
     "q334_fulfillment_lag" -> q334FulfillmentLag _,
     "q335_price_elasticity" -> q335PriceElasticity _,
     "q336_repurchase_interval" -> q336RepurchaseInterval _,
+    "q339_dead_stock" -> q339DeadStock _,
     "q279_null_pattern" -> q279NullPattern _,
     "q289_asof_nearest" -> q289AsofNearest _,
     "q176_ref_integrity" -> q176RefIntegrity _,
@@ -633,6 +654,15 @@ object Domain {
     "q94_drawdown" -> q94Drawdown _)
 
   val oracleSql: Map[String, String] = Map(
+    "q339_dead_stock" -> """
+      |WITH o AS (SELECT DISTINCT l_partkey FROM lineitem)
+      |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(CASE WHEN o.l_partkey IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_dead,
+      |  CAST(sum(CASE WHEN o.l_partkey IS NULL THEN 1 ELSE 0 END)
+      |    * 10000 // count(*) AS BIGINT) AS dead_bp
+      |FROM part LEFT JOIN o ON o.l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q335_price_elasticity" -> """
       |WITH b AS (
       |  SELECT p_brand,

@@ -567,6 +567,28 @@ object StatsQueries {
       .orderBy($"event_type", $"d")
   }
 
+  // --------------------------------------- q338 weekday burst
+
+  /** Weekday-seasonal burst detection: [[Series.burstDays]] keyed on
+    * (event_type, day-of-week), so each tick's baseline is the lower
+    * median of the 3 PRIOR SAME-WEEKDAY values — the variant that
+    * doesn't false-alarm every Monday on weekly-seasonal traffic,
+    * where q318's calendar baseline would. Same helper, composite
+    * key. */
+  def q338DowBurst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select($"event_type",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("cnt"))
+      .withColumn("k", concat($"event_type", lit("#"), ($"d" % 7)))
+    graft.etl.Series.burstDays(daily, "k", "d", "cnt", n = 3)
+      .select($"event_type", ($"d" % 7).as("dow"), $"d", $"cnt",
+        $"baseline_med", $"burst")
+      .orderBy($"event_type", $"d")
+  }
+
   // ------------------------------------------------ q312 SRM
 
   /** Sample-ratio-mismatch gate ([[Stats.srmCheck]]) per event type:
@@ -749,6 +771,7 @@ object StatsQueries {
     "q312_srm" -> q312Srm _,
     "q318_burst_days" -> q318BurstDays _,
     "q322_score_match" -> q322ScoreMatch _,
+    "q338_dow_burst" -> q338DowBurst _,
     "q258_pinball" -> q258Pinball _,
     "q259_dispersion" -> q259Dispersion _,
     "q260_cramers_v" -> q260CramersV _,
@@ -774,6 +797,24 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q338_dow_burst" -> """
+      |WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, d, cnt,
+      |    list_sort(list(cnt) OVER (PARTITION BY event_type, d % 7
+      |      ORDER BY d ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)) AS fr
+      |  FROM daily)
+      |SELECT event_type, CAST(d % 7 AS BIGINT) AS dow, d, cnt,
+      |  CAST(CASE WHEN len(fr) = 3 THEN fr[(len(fr) + 1) // 2] END
+      |    AS BIGINT) AS baseline_med,
+      |  coalesce(cnt * 2 >= (CASE WHEN len(fr) = 3
+      |    THEN fr[(len(fr) + 1) // 2] END) * 3, false) AS burst
+      |FROM w ORDER BY 1, 3""".stripMargin,
     "q322_score_match" -> """
       |WITH e AS (
       |  SELECT event_type,
