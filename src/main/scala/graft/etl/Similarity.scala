@@ -90,15 +90,21 @@ object Similarity {
     *
     * `maxShingleFreq = None` is the exact escape hatch: a direct self-join
     * on shingle with no cap — correct at any frequency but O(Σc²) pair rows;
-    * only for corpora known to be boilerplate-free. */
+    * only for corpora known to be boilerplate-free.
+    *
+    * Pure declarative plan since round 7 — no cache, no localCheckpoint.
+    * A/B-measured at sf0.1/local[32] (graft.dev.MaterializationBench):
+    * pure 2.27 s vs cached 2.57 s. Same rationale as
+    * [[minhashDedupPairs]]: native `word_shingles` makes shingle recompute
+    * a codegen'd scan pass, AQE reuses the heavy bucket-aggregation
+    * exchange across consumers, and neither an exploded-table cache nor a
+    * lineage-truncating checkpoint survives 100 TB / executor loss. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame =
-    ngramJaccardImpl(df, idCol, textCol, n, maxShingleFreq, materialize = true)
+    ngramJaccardImpl(df, idCol, textCol, n, maxShingleFreq, materialize = false)
 
-  /** The same pair plan WITHOUT the final localCheckpoint (and without the
-    * intermediate caches that only pay off on a materialized run) — the
-    * checkpoint truncates the inspectable physical plan to an RDD scan, so
-    * PlanShapeSpec asserts the no-self-join guarantee on this variant. */
+  /** Alias kept for plan-shape assertions (historically the no-checkpoint
+    * variant; since round 7 the public entry point IS the pure plan). */
   private[graft] def ngramJaccardPlan(df: DataFrame, idCol: String,
       textCol: String, n: Int,
       maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame =
@@ -114,9 +120,20 @@ object Similarity {
     * is a pure integer cross-multiply, both directions emitted. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       tauNum: Int = 3, tauDen: Int = 4,
-      maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame = {
+      maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame =
+    containmentTunable(df, idCol, textCol, n, tauNum, tauDen, maxShingleFreq,
+      materialize = false)
+
+  /** Knob-separated variant for A/B measurement (dev.MaterializationBench);
+    * the public entry point pins the measured winner (pure plan — the
+    * union's two branches re-run only the post-exchange assembly joins,
+    * the heavy bucket aggregation exchange is reused by AQE). */
+  private[graft] def containmentTunable(df: DataFrame, idCol: String,
+      textCol: String, n: Int, tauNum: Int = 3, tauDen: Int = 4,
+      maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq),
+      materialize: Boolean): DataFrame = {
     val pairs = ngramJaccardImpl(df, idCol, textCol, n, maxShingleFreq,
-      materialize = true)
+      materialize = materialize)
     val ab = pairs.filter(col("inter") * tauDen >= col("size_a") * tauNum)
       .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
         col("inter"), col("size_a").as("contained_size"))
@@ -229,21 +246,26 @@ object Similarity {
   }
 
   /** MinHash+LSH near-dup detection end to end: candidates from banding,
-    * verified with exact shingle-set Jaccard ≥ `threshold`. The shingle
-    * table is cached for the duration of the call (three consumers:
-    * signatures, sizes, intersection counts), then released after the
-    * small pair result is materialized via localCheckpoint — same
-    * leak-free pattern as [[ngramJaccardPairs]]; checkpoint blocks are
-    * GC-cleaned once the result is unreachable, .cache() blocks are not. */
+    * verified with exact shingle-set Jaccard ≥ `threshold`.
+    *
+    * Deliberately a PURE declarative plan — no cache, no localCheckpoint.
+    * A/B-measured at sf0.1/local[32] (graft.dev.MaterializationBench,
+    * median of 3): pure 1.05 s vs shingle-cache + signature-barrier 1.23 s.
+    * The round-5 "measured 8×" recompute penalty predates the native
+    * `word_shingles` expression (recomputing the shingle explode is now a
+    * codegen'd scan pass) and AQE exchange reuse already dedups the
+    * signature aggregation feeding both sides of the LSH self-join. The
+    * pure plan is also the only 100 TB-safe one: caching the exploded
+    * shingle table (≫ input size) is infeasible cluster-wide, and
+    * localCheckpoint truncates lineage so a lost executor kills the job. */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 1.0): DataFrame =
     minhashDedupImpl(df, idCol, textCol, n, numHashes, bands, threshold,
-      materialize = true)
+      materialize = false)
 
-  /** The same pair plan WITHOUT the cache + final localCheckpoint — the
-    * checkpoint truncates the inspectable physical plan to an RDD scan, so
-    * plan-shape assertions use this variant. */
+  /** Alias kept for plan-shape assertions (historically the no-checkpoint
+    * variant; since round 7 the public entry point IS the pure plan). */
   private[graft] def minhashDedupPlan(df: DataFrame, idCol: String,
       textCol: String, n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 1.0): DataFrame =
@@ -252,15 +274,27 @@ object Similarity {
 
   private def minhashDedupImpl(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int, threshold: Double,
+      materialize: Boolean): DataFrame =
+    minhashDedupTunable(df, idCol, textCol, n, numHashes, bands, threshold,
+      cacheShingles = materialize, barrierSigs = materialize,
+      materialize = materialize)
+
+  /** Internal knob-separated variant so the two materialization decisions
+    * (shingle cache, signature barrier) can be A/B-measured independently
+    * (dev.MaterializationBench) — the public entry points pin the winning
+    * combination. */
+  private[graft] def minhashDedupTunable(df: DataFrame, idCol: String,
+      textCol: String, n: Int, numHashes: Int, bands: Int, threshold: Double,
+      cacheShingles: Boolean, barrierSigs: Boolean,
       materialize: Boolean): DataFrame = {
     val sh0 = explodeShingles(df, idCol, textCol, n)
-    val sh = if (materialize) sh0.cache() else sh0
+    val sh = if (cacheShingles) sh0.cache() else sh0
     // the signature table is one row per DOC (tiny next to the shingle
     // explode) but feeds a self-join in lshCandidatePairs — without a
     // materialization barrier both join sides recompute the numHashes-way
     // min-aggregation over the full shingle table (measured 8× on q27)
     val sigs0 = minhashSignatures(sh, numHashes)
-    val sigs = if (materialize) sigs0.localCheckpoint() else sigs0
+    val sigs = if (barrierSigs) sigs0.localCheckpoint() else sigs0
     val cands = lshCandidatePairs(sigs, bands, numHashes / bands)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = cands
@@ -279,7 +313,7 @@ object Similarity {
     if (!materialize) assembled
     else {
       val out = assembled.localCheckpoint()
-      sh.unpersist()
+      if (cacheShingles) sh.unpersist()
       out
     }
   }
