@@ -52,12 +52,17 @@ object Analytics {
         count(when(col("current_price") >= 10, 1)).as("b_ge_10"))
       .orderBy(col("shop_type"))
 
-  /** A9 — promotion share per shop (visualize-data.ts:167-180). */
+  /** A9 — promotion share per shop (visualize-data.ts:167-180).
+    * `promo_pct` is the reference's rounded display percentage;
+    * `promo_bp` is the same share in exact integer basis points — the
+    * cross-engine-stable column (2dp rounding of a binary double is
+    * engine-dependent on ties, integer division is not). */
   def promotionAnalysis(unified: DataFrame): DataFrame =
     unified.groupBy(col("shop_type"))
       .agg(count(lit(1)).as("n"),
         count(when(col("is_promotion"), 1)).as("n_promo"),
         round(avg(col("is_promotion").cast("int")) * 100, 2).as("promo_pct"))
+      .withColumn("promo_bp", expr("n_promo * 10000 div n"))
       .orderBy(col("shop_type"))
 
   /** A15 — issue statistics: counts by type/severity/shop + top-k

@@ -361,8 +361,13 @@ object Corpus {
       .withColumn("_cum", sum(col(wCol)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("_tot", sum(col(wCol)).over(wAll))
+    // decimal(38,0) cross-multiply: per-group total weight can pass
+    // Long/10⁴ (~9.2e14) at the 100 TB token-weight scale — same widening
+    // as liftCurve/hhiBp/diffInDiff
     val aggs = targetsBp.map { tgt =>
-      min(when(expr(s"_cum * 10000 >= _tot * $tgt"), col("_rk")))
+      min(when(expr(
+          s"CAST(_cum AS DECIMAL(38,0)) * 10000 >= " +
+          s"CAST(_tot AS DECIMAL(38,0)) * $tgt"), col("_rk")))
         .as(s"k_bp$tgt")
     }
     t.groupBy(col(groupCol))
@@ -379,8 +384,10 @@ object Corpus {
     *   rate_bp= ⌊take_s · 10⁴ / n_s⌋            (feed to mixtureSample)
     * A target source absent from the data drives T_max to 0 — the
     * honest "this blend is infeasible", never a silent renormalize;
-    * sources outside the target list are simply not in the plan (rate
-    * 0). Counts fold map-side; the target list and the one-row T_max
+    * sources outside the target list are simply not in the plan (absent
+    * rows, not rate-0 rows), and a zero-count target source emits
+    * take_rows 0 with rate_bp NULL (0 div 0 — there is nothing to
+    * sample from). Counts fold map-side; the target list and the one-row T_max
     * broadcast — no shuffle beyond the count. n·10⁶ passes a long to
     * ~9·10¹² rows per source. */
   def mixtureWeights(df: DataFrame, sourceCol: String,

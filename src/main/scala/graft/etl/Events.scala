@@ -268,7 +268,9 @@ object Events {
     * consumer actually queries). `n_ops` rides along so the snapshot
     * reports how much churn each surviving key absorbed. One
     * partitioned window, deterministic tiebreak, no state beyond the
-    * sort. */
+    * sort. A NULL delete flag is an upsert, not a delete — the flag is
+    * coalesced to false so three-valued logic can't silently drop a key
+    * whose last op has an unknown flag. */
   def cdcApply(log: DataFrame, keyCol: String, orderCols: Seq[String],
       deleteCol: Column, valueCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
@@ -277,7 +279,7 @@ object Events {
     log
       .withColumn("_rn", row_number().over(w))
       .withColumn("n_ops", count(lit(1)).over(wAll))
-      .filter(col("_rn") === 1 && !deleteCol)
+      .filter(col("_rn") === 1 && !coalesce(deleteCol, lit(false)))
       .select(col(keyCol) +: valueCols.map(col) :+ col("n_ops"): _*)
   }
 

@@ -401,17 +401,35 @@ object Similarity {
     * miss" — measured on a sample before the cheap path is trusted.
     * Both operands are the already-bounded pair plans; the audit itself
     * is one left-semi join plus three one-row folds. */
+  /** @param sampleOneIn audit a deterministic 1-in-`k` hash sample of the
+    *   docs (both detector and truth see the same subset) — the production
+    *   dial that keeps the exact-truth side affordable when the corpus is
+    *   far past audit scale (sf10+: truth cost grows with corpus, the
+    *   audit's value doesn't). None = full corpus (the oracle shape).
+    * @param truthPairs precomputed exact ground-truth pairs (id_a, id_b) —
+    *   pass when the truth set is already materialized (e.g. a prior audit
+    *   run, or goldens) so the expensive shingle-join side is skipped.
+    *
+    * Plan shape: ONE full-outer join of truth vs detected pairs + one
+    * global fold — each side is computed exactly once (the former
+    * 3-aggregate crossJoin assembly evaluated the truth plan twice). */
   def simhashRecallAudit(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, maxDist: Int = 3): DataFrame = {
-    val truth = ngramJaccardPairs(df, idCol, textCol, n)
-      .filter(col("inter") * 2 >= col("union_size"))
-      .select(col("id_a"), col("id_b"))
-    val det = simhashPairs(df, idCol, textCol, maxDist)
-      .select(col("id_a"), col("id_b"))
-    val hit = truth.join(det, Seq("id_a", "id_b"), "left_semi")
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(det.agg(count(lit(1)).as("n_detected")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_both")))
+      n: Int = 3, maxDist: Int = 3, sampleOneIn: Option[Int] = None,
+      truthPairs: Option[DataFrame] = None): DataFrame = {
+    val base = sampleOneIn match {
+      case Some(k) => df.filter(pmod(xxhash64(col(idCol)), lit(k)) === 0)
+      case None => df
+    }
+    val truth = truthPairs.getOrElse(
+        ngramJaccardPairs(base, idCol, textCol, n)
+          .filter(col("inter") * 2 >= col("union_size")))
+      .select(col("id_a"), col("id_b")).withColumn("_t", lit(1))
+    val det = simhashPairs(base, idCol, textCol, maxDist)
+      .select(col("id_a"), col("id_b")).withColumn("_d", lit(1))
+    truth.join(det, Seq("id_a", "id_b"), "full_outer")
+      .agg(count(col("_t")).as("n_truth"), count(col("_d")).as("n_detected"),
+        count(when(col("_t").isNotNull && col("_d").isNotNull, 1))
+          .as("n_both"))
       .select(col("n_truth"), col("n_detected"), col("n_both"),
         expr("CAST(n_both * 10000 div NULLIF(n_truth, 0) AS BIGINT)")
           .as("recall_bp"),
@@ -543,10 +561,14 @@ object Similarity {
     * the audit inherits its cost on the SAMPLE only, never the full
     * query load. One left-semi join on (query, neighbor) + two
     * per-query folds. */
+  /** @param exactTruth precomputed exact top-k (query_id, nn_id) — pass
+    *   when the brute-force side is already materialized (goldens or a
+    *   prior audit) so only the cheap approximate side runs. */
   def annRecallAudit(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 8): DataFrame =
+      vecCol: String, k: Int, bits: Int = 8,
+      exactTruth: Option[DataFrame] = None): DataFrame =
     recallOf(
-      bruteForceTopK(corpus, queries, idCol, vecCol, k),
+      exactTruth.getOrElse(bruteForceTopK(corpus, queries, idCol, vecCol, k)),
       lshBucketTopK(corpus, queries, idCol, vecCol, k, bits))
 
   /** [[annRecallAudit]] for the IVF-flat path: per sampled query, how
@@ -559,16 +581,17 @@ object Similarity {
       bruteForceTopK(corpus, queries, idCol, vecCol, k),
       ivfTopK(corpus, queries, idCol, vecCol, k, nlist, nprobe))
 
+  /** One left join + one aggregation — the exact (expensive) side is
+    * computed exactly once; the former semi-join + count assembly
+    * evaluated it twice. */
   private def recallOf(exactTopK: DataFrame,
       approxTopK: DataFrame): DataFrame = {
     val exact = exactTopK.select(col("query_id"), col("nn_id"))
     val approx = approxTopK.select(col("query_id"), col("nn_id"))
-    val hits = exact.join(approx, Seq("query_id", "nn_id"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
-    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_exact"),
-        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("_d", lit(1))
+    exact.join(approx, Seq("query_id", "nn_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("_d")).as("hits"))
       .withColumn("recall_bp", expr("hits * 10000 div n_exact"))
   }
 
@@ -650,7 +673,16 @@ object Similarity {
     * documents through. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       nodeCol: String, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    connectedComponentsRounds(nodes, edges, nodeCol, srcCol, dstCol,
+      maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took — surfaced so the star-contraction spec can assert the
+    * diameter-vs-log-diameter round counts side by side. */
+  private[graft] def connectedComponentsRounds(nodes: DataFrame,
+      edges: DataFrame, nodeCol: String, srcCol: String, dstCol: String,
+      maxIter: Int = 20): (DataFrame, Int) = {
     val spark = nodes.sparkSession
     import spark.implicits._
     // symmetric edge list, self-loops dropped
@@ -687,7 +719,88 @@ object Similarity {
       s"connectedComponents did not converge after $maxIter rounds " +
         s"($changed labels still changing) — raise maxIter (component " +
         "diameter exceeds it)")
-    labels
+    (labels, i)
+  }
+
+  /** Connected components by star contraction — the long-diameter-safe
+    * variant of [[connectedComponents]] (alternating large-star /
+    * small-star, the standard MapReduce CC construction from the public
+    * literature on components in MapReduce). Where min-label propagation
+    * needs one round per hop of component diameter, star contraction
+    * HALVES tree heights every alternation: a d-hop chain converges in
+    * O(log d) rounds, so a pathological 10⁶-hop path costs ~20 rounds,
+    * not 10⁶. Per round: two groupBy-min aggregations and two joins on
+    * the edge key — the same shuffle family as propagation, just fewer
+    * rounds. Use it when the dedup graph's diameter is unknown (entity
+    * resolution chains, citation graphs); plain propagation stays the
+    * default for LSH dedup output whose components are shallow cliques.
+    *
+    * Semantics are identical to [[connectedComponents]]: `edges` in
+    * either orientation, endpoints outside `nodes` ignored, isolated
+    * nodes keep their own id, output (node, component = min id in the
+    * cluster), IllegalStateException on non-convergence. */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+      nodeCol: String, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame =
+    connectedComponentsStarRounds(nodes, edges, nodeCol, srcCol, dstCol,
+      maxIter)._1
+
+  private[graft] def connectedComponentsStarRounds(nodes: DataFrame,
+      edges: DataFrame, nodeCol: String, srcCol: String, dstCol: String,
+      maxIter: Int = 25): (DataFrame, Int) = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val nodeSet = nodes.select(col(nodeCol).as("node")).distinct()
+      .localCheckpoint()
+    // undirected edge set, kept canonical as (u, v) with u > v;
+    // endpoints outside `nodes` dropped on BOTH sides (same contract as
+    // the propagation variant)
+    var e = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .filter($"x" =!= $"y")
+      .join(nodeSet.select($"node".as("x")), Seq("x"), "left_semi")
+      .join(nodeSet.select($"node".as("y")), Seq("y"), "left_semi")
+      .select(greatest($"x", $"y").as("u"), least($"x", $"y").as("v"))
+      .distinct().localCheckpoint()
+
+    // large-star(u): m = min(Γ(u) ∪ {u}); emit (w, m) for w ∈ Γ(u), w > u
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.select($"u".as("a"), $"v".as("b"))
+        .union(cur.select($"v".as("a"), $"u".as("b")))
+      val m = sym.groupBy($"a")
+        .agg(least(min($"b"), first($"a")).as("m"))
+      sym.filter($"b" > $"a").join(m, "a")
+        .select($"b".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v").distinct()
+    }
+
+    // small-star(u): over smaller neighbors Γ⁻(u), m = min(Γ⁻(u) ∪ {u})
+    // (= min neighbor, all are < u); emit (w, m) for w ∈ Γ⁻(u), w ≠ m,
+    // plus (u, m)
+    def smallStar(cur: DataFrame): DataFrame = {
+      val m = cur.groupBy($"u").agg(min($"v").as("m"))
+      val viaNbr = cur.join(m, "u")
+        .filter($"v" =!= $"m").select($"v".as("u"), $"m".as("v"))
+      val own = m.select($"u", $"m".as("v"))
+      viaNbr.union(own).filter($"u" =!= $"v").distinct()
+    }
+
+    var converged = e.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // fixed point: the canonical (u, v) edge set is unchanged — at
+      // that point every edge is (child, root-of-star)
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      i += 1
+    }
+    if (!converged && i >= maxIter) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge after $maxIter rounds " +
+        "— raise maxIter")
+    val labels = nodeSet
+      .join(e.select($"u".as("node"), $"v".as("_root")), Seq("node"), "left")
+      .select($"node", coalesce($"_root", $"node").as("component"))
+    (labels, i)
   }
 
   /** Phonetic blocking for entity resolution: candidate pairs share a

@@ -159,11 +159,17 @@ object Sinks {
 
   // ---------- K5 reports (driver-side formatting of small aggregates) ----------
 
-  /** A13 — error grouping with first-k examples (base.ts:626-667). */
+  /** A13 — error grouping with k examples (base.ts:626-667). The
+    * reference keeps the first k in arrival order; distributed
+    * collect_list order is nondeterministic, so the engine's analog is
+    * the k SMALLEST product_ids (sort_array then slice) — deterministic
+    * across runs, partitionings, and engines, which is what makes the
+    * report diffable between pipeline runs at all. */
   def errorReport(errors: DataFrame, k: Int = 5): DataFrame =
     errors.groupBy(col("error_type"))
       .agg(count(lit(1)).as("n"),
-        slice(collect_list(col("product_id")), 1, k).as("examples"))
+        slice(sort_array(collect_list(col("product_id"))), 1, k)
+          .as("examples"))
       .orderBy(col("n").desc, col("error_type"))
 
   /** A12 — schema-version stats (postgres-adapter.ts:1004-1023). */

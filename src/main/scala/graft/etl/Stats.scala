@@ -499,13 +499,22 @@ object Stats {
     * catches differential logging loss that a whole-experiment check
     * averages away. Units dedupe first (assignment is per unit, not
     * per event): one (group, unit) groupBy, then an enum-sized fold.
-    * (n₀−n₁)² passes a long to ~3·10⁹ units per group. */
+    * (n₀−n₁)² passes a long to ~3·10⁹ units per group.
+    *
+    * A unit observed in BOTH arms (a dual-assignment logging bug —
+    * exactly the failure family this gate exists to surface) is counted
+    * in arm 1 for n0/n1 AND reported in `n_mixed`; a nonzero n_mixed
+    * means the assignment log itself is broken and the chi-square is
+    * moot. */
   def srmCheck(df: DataFrame, groupCol: String, armCol: Column,
       unitCol: String): DataFrame = {
     val units = df.groupBy(col(groupCol), col(unitCol))
-      .agg(max(when(armCol, 1L).otherwise(0L)).as("_arm"))
+      .agg(max(when(armCol, 1L).otherwise(0L)).as("_arm"),
+        min(when(armCol, 1L).otherwise(0L)).as("_armMin"))
     units.groupBy(col(groupCol))
-      .agg(sum(lit(1L) - col("_arm")).as("n0"), sum(col("_arm")).as("n1"))
+      .agg(sum(lit(1L) - col("_arm")).as("n0"), sum(col("_arm")).as("n1"),
+        sum(when(col("_arm") =!= col("_armMin"), 1L).otherwise(0L))
+          .as("n_mixed"))
       .withColumn("chi2_milli",
         expr("(n0 - n1) * (n0 - n1) * 1000 div (n0 + n1)"))
       .withColumn("srm", col("chi2_milli") > 3841L)

@@ -132,6 +132,54 @@ object Domain {
       .orderBy($"p_partkey")
   }
 
+  /** A9 promotion share ([[graft.etl.Analytics.promotionAnalysis]]) on a
+    * shop/promo fixture synthesized from `part` by partkey bits. The
+    * oracle compares the exact integer columns (n, n_promo, promo_bp);
+    * the rounded display pct stays spec-only (2dp rounding of a binary
+    * double is engine-dependent on ties). */
+  def q340PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shops = array(lit("AH"), lit("JUMBO"), lit("ALDI"), lit("PLUS"))
+    val unified = Tables.part(spark, dir).select(
+      element_at(shops, ($"p_partkey" % 4).cast("int") + 1).as("shop_type"),
+      ($"p_partkey" % 7 === 0).as("is_promotion"))
+    graft.etl.Analytics.promotionAnalysis(unified)
+      .select($"shop_type", $"n", $"n_promo", $"promo_bp")
+      .orderBy($"shop_type")
+  }
+
+  /** A6 enricher deduct-from-100 rubric
+    * ([[graft.etl.Analytics.enricherScore]], product-enricher.ts:425-503)
+    * over the shared quality fixture extended with price columns — the
+    * score is integer-valued, so the oracle twin is exact. */
+  def q341EnricherScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    qualityFixture(spark, dir)
+      .withColumn("price_before_bonus",
+        when($"p_partkey" % 17 === 0, lit(0.0)).otherwise(lit(2.5)))
+      .withColumn("current_price",
+        when($"p_partkey" % 19 === 0, lit(-1.0)).otherwise(lit(2.0)))
+      .select($"p_partkey",
+        graft.etl.Analytics.enricherScore.cast("long").as("enricher_score"))
+      .orderBy($"p_partkey")
+  }
+
+  /** A13 error grouping with k deterministic examples
+    * ([[graft.etl.Sinks.errorReport]], base.ts:626-667): errors
+    * synthesized from `orders`, the examples array serialized via
+    * array_join so the harness can hash it. */
+  def q342ErrorReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val errs = Tables.orders(spark, dir)
+      .filter($"o_orderkey" % 7 < 3)
+      .select($"o_orderpriority".as("error_type"),
+        $"o_orderkey".cast("string").as("product_id"))
+    graft.etl.Sinks.errorReport(errs)
+      .select($"error_type", $"n",
+        array_join($"examples", ",").as("examples"))
+      .orderBy($"n".desc, $"error_type")
+  }
+
   /** A10 job-success-rate expression (postgres-adapter.ts:936-972) over the
     * events table treated as a job log: per event_type, percentage of
     * high-value events, ROUND(x,2) guarded by total>0. */
@@ -639,6 +687,9 @@ object Domain {
     "q22_category_normalize" -> q22CategoryNormalize _,
     "q23_quality_score" -> q23QualityScore _,
     "q24_success_rate" -> q24SuccessRate _,
+    "q340_promo_share" -> q340PromoShare _,
+    "q341_enricher_score" -> q341EnricherScore _,
+    "q342_error_report" -> q342ErrorReport _,
     "q33_props_parse" -> q33PropsParse _,
     "q34_asof_join" -> q34AsofJoin _,
     "q35_sessionize" -> q35Sessionize _,
@@ -654,6 +705,39 @@ object Domain {
     "q94_drawdown" -> q94Drawdown _)
 
   val oracleSql: Map[String, String] = Map(
+    "q340_promo_share" -> """
+      |WITH u AS (
+      |  SELECT CASE p_partkey % 4 WHEN 0 THEN 'AH' WHEN 1 THEN 'JUMBO'
+      |      WHEN 2 THEN 'ALDI' ELSE 'PLUS' END AS shop_type,
+      |    p_partkey % 7 = 0 AS is_promotion
+      |  FROM part)
+      |SELECT shop_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (WHERE is_promotion) AS BIGINT) AS n_promo,
+      |  CAST(count(*) FILTER (WHERE is_promotion) * 10000 // count(*)
+      |    AS BIGINT) AS promo_bp
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q341_enricher_score" -> """
+      |SELECT p_partkey,
+      |  CAST(greatest(100 - (
+      |    CASE WHEN p_partkey % 2 <> 0 THEN 5 ELSE 0 END +
+      |    CASE WHEN p_partkey % 3 <> 0 THEN 10 ELSE 0 END +
+      |    CASE WHEN p_partkey % 5 <> 0 THEN 10 ELSE 0 END +
+      |    CASE WHEN p_partkey % 17 = 0 THEN 20 ELSE 0 END +
+      |    CASE WHEN p_partkey % 19 = 0 THEN 15 ELSE 0 END +
+      |    CASE WHEN p_partkey % 11 = 0 THEN 10 ELSE 0 END +
+      |    CASE WHEN p_partkey % 13 = 0 THEN 5 ELSE 0 END +
+      |    CASE WHEN p_partkey % 2 <> 0 THEN 5 ELSE 0 END), 0)
+      |    AS BIGINT) AS enricher_score
+      |FROM part ORDER BY p_partkey""".stripMargin,
+    "q342_error_report" -> """
+      |WITH e AS (
+      |  SELECT o_orderpriority AS error_type,
+      |    CAST(o_orderkey AS VARCHAR) AS product_id
+      |  FROM orders WHERE o_orderkey % 7 < 3)
+      |SELECT error_type, CAST(count(*) AS BIGINT) AS n,
+      |  array_to_string(list_slice(list_sort(list(product_id)), 1, 5), ',')
+      |    AS examples
+      |FROM e GROUP BY 1 ORDER BY n DESC, error_type""".stripMargin,
     "q339_dead_stock" -> """
       |WITH o AS (SELECT DISTINCT l_partkey FROM lineitem)
       |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,

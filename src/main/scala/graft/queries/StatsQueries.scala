@@ -574,7 +574,8 @@ object StatsQueries {
     * median of the 3 PRIOR SAME-WEEKDAY values — the variant that
     * doesn't false-alarm every Monday on weekly-seasonal traffic,
     * where q318's calendar baseline would. Same helper, composite
-    * key. */
+    * key as a STRUCT (not a delimited concat — a free-form event_type
+    * containing the delimiter could collide two (type, dow) series). */
   def q338DowBurst(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val daily = Tables.events(spark, dir)
@@ -582,7 +583,7 @@ object StatsQueries {
         datediff(to_date($"ts"), to_date(lit("1970-01-01")))
           .cast("long").as("d"))
       .groupBy($"event_type", $"d").agg(count(lit(1)).as("cnt"))
-      .withColumn("k", concat($"event_type", lit("#"), ($"d" % 7)))
+      .withColumn("k", struct($"event_type", ($"d" % 7).as("dow")))
     graft.etl.Series.burstDays(daily, "k", "d", "cnt", n = 3)
       .select($"event_type", ($"d" % 7).as("dow"), $"d", $"cnt",
         $"baseline_med", $"burst")
@@ -882,15 +883,20 @@ object StatsQueries {
       |FROM w ORDER BY 1, 2""".stripMargin,
     "q312_srm" -> """
       |WITH u AS (
-      |  SELECT DISTINCT event_type, user_id,
-      |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS arm
-      |  FROM events),
+      |  SELECT event_type, user_id,
+      |    CAST(max(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS arm,
+      |    CAST(min(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS arm_min
+      |  FROM events GROUP BY 1, 2),
       |a AS (
       |  SELECT event_type,
       |    CAST(sum(1 - arm) AS BIGINT) AS n0,
-      |    CAST(sum(arm) AS BIGINT) AS n1
+      |    CAST(sum(arm) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN arm <> arm_min THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_mixed
       |  FROM u GROUP BY 1)
-      |SELECT event_type, n0, n1,
+      |SELECT event_type, n0, n1, n_mixed,
       |  CAST((n0 - n1) * (n0 - n1) * 1000 // (n0 + n1) AS BIGINT)
       |    AS chi2_milli,
       |  (n0 - n1) * (n0 - n1) * 1000 // (n0 + n1) > 3841 AS srm

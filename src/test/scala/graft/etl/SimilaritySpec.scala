@@ -310,6 +310,60 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("connectedComponentsStar: parity with propagation on bridged/clique/chain graphs") {
+    import spark.implicits._
+    // bridged chains + isolated (the propagation fixture), a 4-clique,
+    // and a chain with shuffled ids — star contraction must produce the
+    // identical (node, component) labeling on each
+    val fixtures = Seq(
+      (Seq(1L, 2L, 3L, 10L, 11L, 20L),
+        Seq((2L, 1L), (2L, 3L), (10L, 11L), (3L, 10L))),
+      (Seq(5L, 6L, 7L, 8L),
+        Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L))),
+      (Seq(4L, 9L, 2L, 7L, 5L),
+        Seq((4L, 9L), (9L, 2L), (2L, 7L), (7L, 5L))))
+    fixtures.foreach { case (ns, es) =>
+      val nodes = ns.toDF("id")
+      val edges = es.toDF("src", "dst")
+      val prop = Similarity.connectedComponents(nodes, edges, "id", "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Similarity.connectedComponentsStar(nodes, edges, "id", "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == prop, s"star/propagation disagree on nodes=$ns")
+    }
+  }
+
+  test("connectedComponentsStar: isolated nodes and out-of-set endpoints") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((99L, 1L), (2L, 99L)).toDF("src", "dst")
+    val out = Similarity.connectedComponentsStar(nodes, edges, "id", "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("connectedComponentsStar: log-diameter rounds where propagation pays full diameter") {
+    import spark.implicits._
+    // 17-node chain, diameter 16: propagation needs one round per hop
+    // (16 label-moving rounds + 1 to observe the fixed point); star
+    // contraction halves tree heights per alternation, so it must land
+    // in O(log d) — the concrete bound here is generous (8) and the
+    // real observed count is ~4-5
+    val n = 17L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val (propOut, propRounds) = Similarity.connectedComponentsRounds(
+      nodes, edges, "id", "src", "dst", maxIter = 20)
+    val (starOut, starRounds) = Similarity.connectedComponentsStarRounds(
+      nodes, edges, "id", "src", "dst")
+    assert(propOut.collect().map(_.getLong(1)).distinct.toSeq == Seq(0L))
+    assert(starOut.collect().map(_.getLong(1)).distinct.toSeq == Seq(0L))
+    assert(propRounds >= (n - 1).toInt,
+      s"propagation on a ${n - 1}-hop chain must pay the diameter, got $propRounds")
+    assert(starRounds <= 8,
+      s"star contraction must converge in O(log d) rounds, got $starRounds")
+  }
+
   test("soundexBlockedPairs: phonetic blocks, lev refine, junk-block cap") {
     import spark.implicits._
     val names = Seq(
