@@ -16,6 +16,12 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // pinned, not defaulted: the production skew posture is AQE runtime
+      // splitting (SkewAqeSpec proves it engages and agrees with the
+      // manual Skew.saltedJoin fallback); a Spark default flip must not
+      // silently change the engine's behavior
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

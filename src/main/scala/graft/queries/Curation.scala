@@ -74,17 +74,32 @@ object Curation {
   /** 3-iteration integer PageRank ([[Graph.pageRankInt]]) on a synthetic
     * out-degree-2 graph over m = (max key + 1)/50 nodes (edges v→(v+1)%m
     * and v→(13v+3)%m — same node-count recipe as q101 so density stays
-    * constant with SF). */
+    * constant with SF). m rides along as an inline broadcast scalar
+    * (one-row agg crossJoin, no driver .head() job); it feeds only
+    * projections, so nothing pushdown-relevant is lost. */
   def q113Pagerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val orders = Tables.orders(spark, dir)
-    val m = (orders.agg(max($"o_orderkey")).head().getLong(0) + 1) / 50
-    val nodes = orders.select(($"o_orderkey" % m).as("node")).distinct()
-    val edges = nodes.select($"node".as("src"), (($"node" + 1) % m).as("dst"))
-      .unionAll(nodes.select($"node".as("src"),
-        (($"node" * 13 + 3) % m).as("dst")))
+    val (nodes, edges) = q113Graph(spark, dir)
     Graph.pageRankInt(nodes, edges, "node", "src", "dst", iterations = 3)
       .orderBy($"node")
+  }
+
+  /** Shared builder for the q113 synthetic graph (also q252, q257):
+    * nodes = residues mod m, out-degree-2 edges, with m = (max key+1)/50
+    * as an inline broadcast scalar. */
+  private def q113Graph(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val mdf = broadcast(orders.agg(
+      expr("(max(o_orderkey) + 1) div 50").as("_m")))
+    val nodesM = orders.crossJoin(mdf)
+      .select(($"o_orderkey" % $"_m").as("node"), $"_m").distinct()
+    val edges = nodesM
+      .select($"node".as("src"), (($"node" + 1) % $"_m").as("dst"))
+      .unionAll(nodesM.select($"node".as("src"),
+        (($"node" * 13 + 3) % $"_m").as("dst")))
+    (nodesM.drop("_m"), edges)
   }
 
   /** 2-iteration integer HITS ([[Graph.hitsInt]]) on the q113 synthetic
@@ -92,12 +107,7 @@ object Curation {
     * every value a floor-division-exact long. */
   def q252Hits(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val orders = Tables.orders(spark, dir)
-    val m = (orders.agg(max($"o_orderkey")).head().getLong(0) + 1) / 50
-    val nodes = orders.select(($"o_orderkey" % m).as("node")).distinct()
-    val edges = nodes.select($"node".as("src"), (($"node" + 1) % m).as("dst"))
-      .unionAll(nodes.select($"node".as("src"),
-        (($"node" * 13 + 3) % m).as("dst")))
+    val (nodes, edges) = q113Graph(spark, dir)
     Graph.hitsInt(nodes, edges, "node", "src", "dst", iterations = 2)
       .orderBy($"node")
   }
@@ -108,13 +118,9 @@ object Curation {
     * null if still unreached. */
   def q257LabelProp(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val orders = Tables.orders(spark, dir)
-    val m = (orders.agg(max($"o_orderkey")).head().getLong(0) + 1) / 50
-    val nodes = orders.select(($"o_orderkey" % m).as("node")).distinct()
+    val (nodes0, edges) = q113Graph(spark, dir)
+    val nodes = nodes0
       .withColumn("lbl", when($"node" % 10 === 0, $"node" % 4))
-    val edges = nodes.select($"node".as("src"), (($"node" + 1) % m).as("dst"))
-      .unionAll(nodes.select($"node".as("src"),
-        (($"node" * 13 + 3) % m).as("dst")))
     Graph.labelPropagation(nodes, edges, "node", "lbl", "src", "dst",
         rounds = 2)
       .orderBy($"node")

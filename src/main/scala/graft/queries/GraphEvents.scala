@@ -24,20 +24,25 @@ object GraphEvents {
     * Both components vary with k div m, so each residue class contributes
     * ~|orders|/m distinct neighbors — constant expected degree 2·50 as the
     * data scales. */
-  private def triangleEdges(spark: SparkSession, dir: String): (DataFrame, Long) = {
+  private def triangleEdges(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
-    val m = (orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1) / 50
-    val e = orders.select(
-      (col("o_orderkey") % m).as("src"),
-      ((col("o_orderkey") * 13 + expr("o_orderkey div " + m) * 7 + 3) % m).as("dst"))
-    (e, m)
+    // m as an inline broadcast scalar (crossJoin with a one-row agg), not
+    // a driver-side .head(): one Spark job instead of two. m appears only
+    // in projections here, so no scan pushdown is lost (contrast q102,
+    // where m bounds a FILTER and the driver scalar keeps it pushable)
+    val m = broadcast(orders.agg(
+      expr("(max(o_orderkey) + 1) div 50").as("_m")))
+    orders.crossJoin(m).select(
+      (col("o_orderkey") % col("_m")).as("src"),
+      ((col("o_orderkey") * 13 + expr("o_orderkey div _m") * 7 + 3)
+        % col("_m")).as("dst"))
   }
 
   // -------------------------------------------------------- q101 triangles
 
   def q101Triangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (e, _) = triangleEdges(spark, dir)
+    val e = triangleEdges(spark, dir)
     Graph.triangleCounts(e, "src", "dst").orderBy($"node")
   }
 
@@ -49,7 +54,7 @@ object GraphEvents {
     * k-core, a hub cannot pass on degree alone. */
   def q285Ktruss(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (e, _) = triangleEdges(spark, dir)
+    val e = triangleEdges(spark, dir)
     Graph.kTruss(e, "src", "dst", k = 4, rounds = 3)
       .orderBy($"a", $"b")
   }
@@ -353,10 +358,12 @@ object GraphEvents {
   def q147Kcore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val orders = Tables.orders(spark, dir)
-    val m = (orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1) / 50
-    val e = orders.select(
-      (col("o_orderkey") % m).as("src"),
-      ((col("o_orderkey") * 7 + 1) % (col("o_orderkey") % m + 1)).as("dst"))
+    val mdf = broadcast(orders.agg(
+      expr("(max(o_orderkey) + 1) div 50").as("_m")))
+    val e = orders.crossJoin(mdf).select(
+      (col("o_orderkey") % col("_m")).as("src"),
+      ((col("o_orderkey") * 7 + 1) % (col("o_orderkey") % col("_m") + 1))
+        .as("dst"))
     val und = e.select(least($"src", $"dst").as("a"),
         greatest($"src", $"dst").as("b"))
       .filter($"a" =!= $"b").distinct().localCheckpoint()
@@ -698,7 +705,7 @@ object GraphEvents {
     * pseudo-random graph — one signed scaled-r² row; the hub-mixing screen
     * run before choosing a graph partitioning. */
   def q197Assortativity(spark: SparkSession, dir: String): DataFrame = {
-    val (e, _) = triangleEdges(spark, dir)
+    val e = triangleEdges(spark, dir)
     Graph.degreeAssortativityBp(e, "src", "dst")
   }
 
@@ -740,7 +747,7 @@ object GraphEvents {
     * graph — the per-node refinement of the q101 triangle count. */
   def q204ClusteringCoef(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (e, _) = triangleEdges(spark, dir)
+    val e = triangleEdges(spark, dir)
     Graph.clusteringCoefficientBp(e, "src", "dst").orderBy($"node")
   }
 

@@ -383,9 +383,21 @@ class StatsSpec extends SparkSpec {
     val out = Stats.srmCheck(rows, "grp", $"u" % 2 === 0, "u")
       .orderBy($"grp").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getBoolean(4)))
-    assert(out.toSeq == Seq(("g", 3L, 3L, 0L, false),
-      ("h", 0L, 10L, 10000L, true)))
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(("g", 3L, 3L, 0L, 0L, false),
+      ("h", 0L, 10L, 0L, 10000L, true)))
+  }
+
+  test("srmCheck: a unit observed in both arms surfaces as n_mixed") {
+    // unit 1 is logged under arm 0 AND arm 1 (the dual-assignment bug the
+    // gate exists to catch): it counts in arm 1 for n0/n1 (max semantics,
+    // documented) and MUST show up in n_mixed so the readout is not
+    // silently trusted
+    val rows = Seq(("g", 1L, false), ("g", 1L, true), ("g", 2L, false),
+      ("g", 3L, true)).toDF("grp", "u", "armed")
+    val r = Stats.srmCheck(rows, "grp", $"armed", "u").collect().head
+    assert(r.getAs[Long]("n0") == 1L && r.getAs[Long]("n1") == 2L)
+    assert(r.getAs[Long]("n_mixed") == 1L)
   }
 
   test("conformalRadius: finite-sample rank, too-small n yields NULL") {
