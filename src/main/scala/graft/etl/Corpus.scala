@@ -557,6 +557,68 @@ object Corpus {
                 div NULLIF(chars, 0)""").as("other_ppm"))
   }
 
+  /** Markup/noise density per document — the web-scrape curation signal
+    * [[charsetProfile]]'s character classes can't see: counts of
+    * HTML-ish tags (`<div ...>`, `</p>`, `<br/>`), entity references
+    * (`&amp;` / `&#233;`), and URL tokens, plus the total characters
+    * those matches cover (via the same length-delta-under-stripping
+    * trick as charsetProfile) and their share of the doc in basis
+    * points. High markup_bp means the extractor upstream failed and the
+    * "text" is still HTML — drop or re-extract, don't tokenize. The
+    * regexes are deliberately in the Java∩RE2 portable subset (no
+    * backrefs, no lookaround) so an SQL oracle reproduces them. Pure
+    * per-row projection: scan-only, codegen, streams unchanged. */
+  def markupDensity(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tagPat = "<[a-zA-Z/][^<>]*>"
+    val entPat = "&[a-zA-Z]+;|&#[0-9]+;"
+    val urlPat = "https?://[^ ]+"
+    def nMatches(pat: String) =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+    def coveredChars(pat: String) =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), pat, ""))).cast("long")
+    docs.select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        nMatches(tagPat).as("n_tags"),
+        nMatches(entPat).as("n_entities"),
+        nMatches(urlPat).as("n_urls"),
+        (coveredChars(tagPat) + coveredChars(entPat) + coveredChars(urlPat))
+          .as("markup_chars"))
+      .withColumn("markup_bp",
+        expr("markup_chars * 10000 div NULLIF(n_chars, 0)"))
+  }
+
+  /** Temperature-reweighted source sampling plan at α = ½ — the standard
+    * multilingual/multi-source rebalancing move (sample source s with
+    * probability ∝ n_s^α, α < 1 upweights small sources) at the one α
+    * where the plan stays integer-exact cross-engine: rate ∝ ⌊√n_s⌋
+    * (IEEE sqrt is correctly rounded, so both engines floor the same
+    * value; exact for n < 2⁵², far past any per-source doc count).
+    * Given a target total of `totalRows`:
+    *   take_s = min(n_s, ⌊totalRows · ⌊√n_s⌋ / Σ⌊√n⌋⌋)   (never
+    *            oversamples; `capped` marks sources that hit n_s)
+    *   rate_bp = ⌊take_s · 10⁴ / n_s⌋                     (feed to
+    *            [[mixtureSample]])
+    * Counts fold map-side; the one-row Σ⌊√n⌋ broadcasts back — the
+    * same shuffle shape as [[mixtureWeights]] (which plans an EXACT
+    * target blend; this derives the blend from corpus sizes). */
+  def temperatureWeights(df: DataFrame, sourceCol: String,
+      totalRows: Long): DataFrame = {
+    require(totalRows > 0, "totalRows must be positive")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .withColumn("isqrt_n", floor(sqrt(col("n").cast("double"))).cast("long"))
+    val denom = counts.agg(sum(col("isqrt_n")).as("_den"))
+    counts.crossJoin(broadcast(denom))
+      .withColumn("_raw", expr(
+        s"CAST(CAST($totalRows AS DECIMAL(38,0)) * isqrt_n div _den AS BIGINT)"))
+      .withColumn("take_rows", least(col("n"), col("_raw")))
+      .withColumn("capped", col("_raw") > col("n"))
+      .withColumn("rate_bp", expr("take_rows * 10000 div n"))
+      .select(col(sourceCol), col("n"), col("isqrt_n"), col("take_rows"),
+        col("capped"), col("rate_bp"))
+  }
+
   /** Kish effective sample size of a weighted sample per group:
     *   n_eff = (Σw)² / Σw²
     * — how many EQUAL-weight observations the weighted set is actually

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -245,6 +245,31 @@ object Similarity {
       .distinct()
   }
 
+  /** LSH banding S-curve plan — the tuning table that decides (bands,
+    * rowsPerBand) BEFORE a 100 TB signature build commits to them: for a
+    * grid of true Jaccard similarities s (step `stepBp` basis points),
+    * the probability that at least one of `bands` bands collides,
+    *   p(s) = 1 − (1 − s^r)^b ,
+    * evaluated as a fixed left-associated chain of IEEE double
+    * multiplications (no pow), so DuckDB running the identical chain
+    * produces bit-identical values and the floored collide_bp matches
+    * exactly. Read it as: everything above the curve's knee is found,
+    * everything below is missed — move b·r to slide the knee onto the
+    * dedup threshold. Driver-free and data-free (a `spark.range` over
+    * the grid); one row per grid point. */
+  def lshBandPlan(spark: SparkSession, bands: Int, rowsPerBand: Int,
+      stepBp: Int = 250): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0 && stepBp > 0 && 10000 % stepBp == 0)
+    def chainPow(base: Column, n: Int): Column =
+      (2 to n).foldLeft(base)((acc, _) => acc * base)
+    val s = col("id") * stepBp
+    val x = s.cast("double") / lit(10000.0)
+    val pNo = chainPow(lit(1.0) - chainPow(x, rowsPerBand), bands)
+    spark.range(10000L / stepBp + 1)
+      .select(s.cast("long").as("s_bp"),
+        floor((lit(1.0) - pNo) * lit(10000.0)).cast("long").as("collide_bp"))
+  }
+
   /** MinHash+LSH near-dup detection end to end: candidates from banding,
     * verified with exact shingle-set Jaccard ≥ `threshold`.
     *
@@ -405,7 +430,10 @@ object Similarity {
     *   docs (both detector and truth see the same subset) — the production
     *   dial that keeps the exact-truth side affordable when the corpus is
     *   far past audit scale (sf10+: truth cost grows with corpus, the
-    *   audit's value doesn't). None = full corpus (the oracle shape).
+    *   audit's value doesn't). None = full corpus. The sample uses the
+    *   repo-standard sha256-hex-prefix recipe (same as hashSample /
+    *   mixtureSample / the train split), so an SQL oracle can replicate
+    *   the subset exactly.
     * @param truthPairs precomputed exact ground-truth pairs (id_a, id_b) —
     *   pass when the truth set is already materialized (e.g. a prior audit
     *   run, or goldens) so the expensive shingle-join side is skipped.
@@ -417,7 +445,9 @@ object Similarity {
       n: Int = 3, maxDist: Int = 3, sampleOneIn: Option[Int] = None,
       truthPairs: Option[DataFrame] = None): DataFrame = {
     val base = sampleOneIn match {
-      case Some(k) => df.filter(pmod(xxhash64(col(idCol)), lit(k)) === 0)
+      case Some(k) => df.filter(
+        conv(substring(sha2(col(idCol).cast("string"), 256), 1, 4), 16, 10)
+          .cast("long") % k === 0)
       case None => df
     }
     val truth = truthPairs.getOrElse(

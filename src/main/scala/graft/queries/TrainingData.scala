@@ -708,6 +708,57 @@ object TrainingData {
       "doc_id", "text", n = 3, maxDist = 3)
   }
 
+  /** The q319 audit on its production setting: a deterministic 1-in-2
+    * sha256 sample of the corpus (the `sampleOneIn` dial that keeps the
+    * exact-truth side affordable past audit scale). The oracle replicates
+    * the sample with the same hex-prefix recipe, proving the dial
+    * end-to-end, not just in a spec. */
+  def q346SampledSimhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Similarity.simhashRecallAudit(corpus(spark, dir),
+      "doc_id", "text", n = 3, maxDist = 3, sampleOneIn = Some(2))
+  }
+
+  /** Markup/noise density ([[graft.etl.Corpus.markupDensity]]) over a
+    * fixture that plants HTML-ish wrappers on every 3rd doc and URL
+    * tails on every remaining 5th — the failed-extraction screen for
+    * web-scraped corpora. */
+  def q343MarkupDensity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id",
+      when($"doc_id" % 3 === 0,
+        concat(lit("<div class=\"x\">"), $"text",
+          lit("</div> &amp; <br/>")))
+        .when($"doc_id" % 5 === 0,
+          concat($"text", lit(" see https://example.com/a?b=1 now")))
+        .otherwise($"text").as("text"))
+    graft.etl.Corpus.markupDensity(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  /** LSH banding S-curve ([[graft.etl.Similarity.lshBandPlan]]) for the
+    * engine's own q27 setting (8 bands × 4 rows): the collision
+    * probability at each Jaccard level, the table that justifies the
+    * banding before a 100 TB signature build. Data-free; the oracle
+    * recomputes the identical IEEE multiplication chain. */
+  def q344LshBandPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Similarity.lshBandPlan(spark, bands = 8, rowsPerBand = 4,
+        stepBp = 250)
+      .orderBy($"s_bp")
+  }
+
+  /** α = ½ temperature-sampling plan
+    * ([[graft.etl.Corpus.temperatureWeights]]) over the documents table
+    * by language: rates ∝ ⌊√n⌋ toward a 30k-row blend — the
+    * small-source upweighting move, integer-exact end to end. */
+  def q345TemperatureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.temperatureWeights(Tables.documents(spark, dir),
+        "lang", totalRows = 30000L)
+      .orderBy($"lang")
+  }
+
   /** Held-out cross-entropy ([[graft.etl.Vocab.heldoutXent]]): per
     * language, a Laplace unigram LM fit on the q59 train split and
     * scored on the test split (val excluded) in floored-log₂
@@ -790,6 +841,10 @@ object TrainingData {
     "q314_textrank" -> q314Textrank _,
     "q315_ann_recall" -> q315AnnRecall _,
     "q319_simhash_recall" -> q319SimhashRecall _,
+    "q343_markup_density" -> q343MarkupDensity _,
+    "q344_lsh_band_plan" -> q344LshBandPlan _,
+    "q345_temperature_weights" -> q345TemperatureWeights _,
+    "q346_sampled_simhash_recall" -> q346SampledSimhashRecall _,
     "q321_vocab_knee" -> q321VocabKnee _,
     "q327_ivf_recall" -> q327IvfRecall _,
     "q329_dup_cluster_dist" -> q329DupClusterDist _,
@@ -1128,6 +1183,61 @@ object TrainingData {
       |       LATERAL (SELECT unnest(generate_series(1, greatest(len(tf)-2, 0))) AS i) g)"""
       .stripMargin
 
+  /** The q319 simhash-audit oracle body, parameterized by the corpus
+    * CTE so the sampled variant (q346) reuses it verbatim. */
+  private def simhashAuditOracle(corpusCte: String): String = s"""
+      |WITH $corpusCte,
+      |$shinglesSql,
+      |freq AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |truth AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+      |      max(CASE WHEN f.c <= 256 THEN 1 ELSE 0 END) AS has_kept
+      |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    JOIN freq f ON f.s = a.s
+      |    GROUP BY 1, 2) p
+      |  JOIN sizes sa ON sa.doc_id = p.id_a
+      |  JOIN sizes sb ON sb.doc_id = p.id_b
+      |  WHERE 2 * p.inter >= sa.n + sb.n - p.inter AND p.has_kept = 1),
+      |toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM corpus),
+      |bits AS (
+      |  SELECT doc_id, i,
+      |    sum(CASE WHEN ((strpos('0123456789abcdef',
+      |        substr(md5(tok), i//4 + 1, 1)) - 1 >> (3 - i%4)) & 1) = 1
+      |      THEN 1 ELSE -1 END) AS s
+      |  FROM toks, (SELECT unnest(generate_series(0, 63)) AS i)
+      |  GROUP BY doc_id, i),
+      |shh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+      |      ORDER BY i) AS h
+      |  FROM bits GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, h, b, substr(h, b * 16 + 1, 16) AS block
+      |  FROM shh, (SELECT unnest(generate_series(0, 3)) AS b)),
+      |det AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      a.h AS ha, b.h AS hb
+      |    FROM banded a JOIN banded b
+      |      ON a.b = b.b AND a.block = b.block AND a.doc_id < b.doc_id)
+      |  WHERE len(list_filter(generate_series(1, 64),
+      |    i -> substr(ha, i, 1) <> substr(hb, i, 1))) <= 3),
+      |sel AS (SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM det) AS n_detected,
+      |  (SELECT CAST(count(*) AS BIGINT)
+      |   FROM truth JOIN det USING (id_a, id_b)) AS n_both)
+      |SELECT n_truth, n_detected, n_both,
+      |  CAST(n_both * 10000 // NULLIF(n_truth, 0) AS BIGINT) AS recall_bp,
+      |  CAST(n_both * 10000 // NULLIF(n_detected, 0) AS BIGINT)
+      |    AS precision_bp
+      |FROM sel""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q331_source_overlap" -> """
       |WITH d AS (
@@ -1302,58 +1412,70 @@ object TrainingData {
       |      FROM d)
       |SELECT lang, x1, y1, x2, y2, knee_x, knee_y FROM k
       |WHERE rk = 1 ORDER BY lang""".stripMargin,
-    "q319_simhash_recall" -> s"""
-      |WITH $corpusSql,
-      |$shinglesSql,
-      |freq AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      |truth AS MATERIALIZED (
-      |  SELECT id_a, id_b FROM (
-      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
-      |      max(CASE WHEN f.c <= 256 THEN 1 ELSE 0 END) AS has_kept
-      |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |    JOIN freq f ON f.s = a.s
-      |    GROUP BY 1, 2) p
-      |  JOIN sizes sa ON sa.doc_id = p.id_a
-      |  JOIN sizes sb ON sb.doc_id = p.id_b
-      |  WHERE 2 * p.inter >= sa.n + sb.n - p.inter AND p.has_kept = 1),
-      |toks AS (
+    "q319_simhash_recall" -> simhashAuditOracle(corpusSql),
+    "q346_sampled_simhash_recall" -> simhashAuditOracle(
+      s"""sampled0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         |corpus AS (
+         |  SELECT doc_id, text FROM sampled0
+         |  WHERE ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4))
+         |    ::BIGINT % 2 = 0)""".stripMargin),
+    "q343_markup_density" -> """
+      |WITH d AS (
       |  SELECT doc_id,
-      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-      |  FROM corpus),
-      |bits AS (
-      |  SELECT doc_id, i,
-      |    sum(CASE WHEN ((strpos('0123456789abcdef',
-      |        substr(md5(tok), i//4 + 1, 1)) - 1 >> (3 - i%4)) & 1) = 1
-      |      THEN 1 ELSE -1 END) AS s
-      |  FROM toks, (SELECT unnest(generate_series(0, 63)) AS i)
-      |  GROUP BY doc_id, i),
-      |shh AS MATERIALIZED (
-      |  SELECT doc_id,
-      |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
-      |      ORDER BY i) AS h
-      |  FROM bits GROUP BY doc_id),
-      |banded AS (
-      |  SELECT doc_id, h, b, substr(h, b * 16 + 1, 16) AS block
-      |  FROM shh, (SELECT unnest(generate_series(0, 3)) AS b)),
-      |det AS MATERIALIZED (
-      |  SELECT id_a, id_b FROM (
-      |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-      |      a.h AS ha, b.h AS hb
-      |    FROM banded a JOIN banded b
-      |      ON a.b = b.b AND a.block = b.block AND a.doc_id < b.doc_id)
-      |  WHERE len(list_filter(generate_series(1, 64),
-      |    i -> substr(ha, i, 1) <> substr(hb, i, 1))) <= 3),
-      |sel AS (SELECT
-      |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
-      |  (SELECT CAST(count(*) AS BIGINT) FROM det) AS n_detected,
-      |  (SELECT CAST(count(*) AS BIGINT)
-      |   FROM truth JOIN det USING (id_a, id_b)) AS n_both)
-      |SELECT n_truth, n_detected, n_both,
-      |  CAST(n_both * 10000 // NULLIF(n_truth, 0) AS BIGINT) AS recall_bp,
-      |  CAST(n_both * 10000 // NULLIF(n_detected, 0) AS BIGINT)
-      |    AS precision_bp
-      |FROM sel""".stripMargin,
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN '<div class="x">' || text || '</div> &amp; <br/>'
+      |    WHEN doc_id % 5 = 0
+      |      THEN text || ' see https://example.com/a?b=1 now'
+      |    ELSE text END AS text
+      |  FROM documents)
+      |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(regexp_extract_all(text, '<[a-zA-Z/][^<>]*>'))
+      |    AS BIGINT) AS n_tags,
+      |  CAST(len(regexp_extract_all(text, '&[a-zA-Z]+;|&#[0-9]+;'))
+      |    AS BIGINT) AS n_entities,
+      |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+'))
+      |    AS BIGINT) AS n_urls,
+      |  CAST((length(text)
+      |      - length(regexp_replace(text, '<[a-zA-Z/][^<>]*>', '', 'g')))
+      |    + (length(text)
+      |      - length(regexp_replace(text, '&[a-zA-Z]+;|&#[0-9]+;', '', 'g')))
+      |    + (length(text)
+      |      - length(regexp_replace(text, 'https?://[^ ]+', '', 'g')))
+      |    AS BIGINT) AS markup_chars,
+      |  CAST(((length(text)
+      |      - length(regexp_replace(text, '<[a-zA-Z/][^<>]*>', '', 'g')))
+      |    + (length(text)
+      |      - length(regexp_replace(text, '&[a-zA-Z]+;|&#[0-9]+;', '', 'g')))
+      |    + (length(text)
+      |      - length(regexp_replace(text, 'https?://[^ ]+', '', 'g'))))
+      |    * 10000 // NULLIF(length(text), 0) AS BIGINT) AS markup_bp
+      |FROM d ORDER BY doc_id""".stripMargin,
+    "q344_lsh_band_plan" -> """
+      |WITH g AS (SELECT unnest(generate_series(0, 40)) AS i),
+      |x AS (SELECT i, CAST(i * 250 AS DOUBLE) / 10000.0 AS x FROM g),
+      |q AS (SELECT i, x, 1.0 - (x*x*x*x) AS q FROM x)
+      |SELECT CAST(i * 250 AS BIGINT) AS s_bp,
+      |  CAST(floor((1.0 - (q*q*q*q*q*q*q*q)) * 10000.0) AS BIGINT)
+      |    AS collide_bp
+      |FROM q ORDER BY s_bp""".stripMargin,
+    "q345_temperature_weights" -> """
+      |WITH c AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+      |  GROUP BY 1),
+      |s AS (SELECT lang, n,
+      |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS isqrt_n
+      |  FROM c),
+      |d AS (SELECT CAST(sum(isqrt_n) AS BIGINT) AS den FROM s),
+      |r AS (SELECT lang, n, isqrt_n,
+      |    CAST(CAST(30000 AS HUGEINT) * isqrt_n // den AS BIGINT) AS raw
+      |  FROM s, d)
+      |SELECT lang, n, isqrt_n,
+      |  least(n, raw) AS take_rows, raw > n AS capped,
+      |  CAST(least(n, raw) * 10000 // n AS BIGINT) AS rate_bp
+      |FROM r ORDER BY lang""".stripMargin,
     "q315_ann_recall" -> s"""
       |WITH $qembSql,
       |ex AS MATERIALIZED (

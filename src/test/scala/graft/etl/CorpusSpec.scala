@@ -294,4 +294,45 @@ class CorpusSpec extends SparkSpec {
     assert(miss.forall(_.getAs[Long]("take_rows") == 0L))
   }
 
+  test("markupDensity: tags, entities, urls counted with exact coverage") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<div class=\"x\">hello world</div> &amp; <br/>"),
+      (2L, "plain words only here"),
+      (3L, "go to https://a.b/c?d=1 now"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Corpus.markupDensity(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    // doc 1: 3 tags (<div...>, </div>, <br/>) cover 15+6+5=26 chars,
+    // one entity &amp; covers 5
+    assert(out(0) == (1L, 3L, 1L, 0L, 31L))
+    assert(out(1) == (2L, 0L, 0L, 0L, 0L))
+    // doc 3: the URL token runs to the space before 'now'
+    assert(out(2) == (3L, 0L, 0L, 1L, 17L))
+    // empty doc: markup_bp is NULL (0 div 0), not a crash
+    val bp4 = Corpus.markupDensity(docs, "doc_id", "text")
+      .filter($"doc_id" === 4L).collect().head
+    assert(bp4.isNullAt(bp4.fieldIndex("markup_bp")))
+  }
+
+  test("temperatureWeights: sqrt upweights small sources, never oversamples") {
+    import spark.implicits._
+    // a: 900 rows (isqrt 30), b: 100 rows (isqrt 10) -> b gets 1/4 of
+    // the blend at alpha=1/2 instead of 1/10 at alpha=1
+    val df = (Seq.fill(900)("a") ++ Seq.fill(100)("b")).toDF("src")
+    val out = Corpus.temperatureWeights(df, "src", totalRows = 400L)
+      .orderBy($"src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5)))
+    assert(out.toSeq == Seq(("a", 900L, 30L, 300L, false, 3333L),
+      ("b", 100L, 10L, 100L, false, 10000L)))
+    // a target bigger than the corpus: takes cap at n, capped flags set
+    val big = Corpus.temperatureWeights(df, "src", totalRows = 100000L)
+      .orderBy($"src").collect()
+    assert(big.forall(r => r.getAs[Long]("take_rows") == r.getAs[Long]("n")))
+    assert(big.forall(_.getAs[Boolean]("capped")))
+  }
+
 }

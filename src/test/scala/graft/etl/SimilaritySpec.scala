@@ -364,6 +364,34 @@ class SimilaritySpec extends SparkSpec {
       s"star contraction must converge in O(log d) rounds, got $starRounds")
   }
 
+  test("lshBandPlan: S-curve endpoints, monotone, knee near (1/b)^(1/r)") {
+    val plan = Similarity.lshBandPlan(spark, bands = 8, rowsPerBand = 4,
+        stepBp = 250)
+      .orderBy(col("s_bp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(plan.head == (0L, 0L) && plan.last == (10000L, 10000L))
+    assert(plan.sliding(2).forall(p => p(0)._2 <= p(1)._2), "must be monotone")
+    // the 50%-collision knee for b=8, r=4 sits at s = (1-(1/2)^(1/8))^(1/4)
+    // ~ 0.546; the grid points around it must straddle 5000 bp
+    val at5250 = plan.find(_._1 == 5250L).get._2
+    val at5750 = plan.find(_._1 == 5750L).get._2
+    assert(at5250 < 5000L && at5750 > 5000L,
+      s"knee misplaced: p(0.525)=$at5250, p(0.575)=$at5750")
+  }
+
+  test("simhashRecallAudit: sampled run audits the hash-selected subset only") {
+    import spark.implicits._
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other,
+      4L -> (base + " extra"), 5L -> other)
+    val full = Similarity.simhashRecallAudit(df, "doc_id", "text")
+      .collect().head
+    val sampled = Similarity.simhashRecallAudit(df, "doc_id", "text",
+      sampleOneIn = Some(2)).collect().head
+    // the sample is a strict subset, so neither side can grow
+    assert(sampled.getAs[Long]("n_truth") <= full.getAs[Long]("n_truth"))
+    assert(sampled.getAs[Long]("n_detected") <= full.getAs[Long]("n_detected"))
+  }
+
   test("soundexBlockedPairs: phonetic blocks, lev refine, junk-block cap") {
     import spark.implicits._
     val names = Seq(
