@@ -547,7 +547,7 @@ object Graph {
     * distances. */
   def shortestPaths(sources: DataFrame, edges: DataFrame,
       srcNodeCol: String, srcCol: String, dstCol: String, wCol: String,
-      maxRounds: Int = 10000, hopsPerRound: Int = 4): DataFrame = {
+      maxRounds: Int = 10000, hopsPerRound: Int = 2): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).as("w")).localCheckpoint()
     var dist = sources.select(col(srcNodeCol).as("node"))
@@ -570,7 +570,11 @@ object Graph {
       // candidates re-propagate values already propagated in an earlier
       // round, redundant but harmless under the final min), and the
       // per-hop groupBy-min keeps every intermediate bounded by the
-      // reachable-node count.
+      // reachable-node count. The default k=2 is measured, not guessed
+      // (dev.HopsBench on the q240 +1/×2 lattice at sf0.1: k=1 10.7 s,
+      // k=2 7.2 s, k=4 9.5 s, k=8 11.6 s): past k=2 the redundant
+      // dominated-candidate work of the extra in-plan hops outgrows the
+      // saved scheduler round-trips on wide wavefronts.
       var cand = e.join(frontier, col("src") === col("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))

@@ -303,6 +303,21 @@ object TrainingData {
       .orderBy($"doc_id")
   }
 
+  /** The q66 chain fixture through [[Similarity.connectedComponentsStar]]
+    * — the O(log d)-round large-star/small-star variant, gated by the
+    * SAME closed-form oracle as propagation, so both algorithms are
+    * independently proven against DuckDB, not just against each other. */
+  def q347StarComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id")
+    val edges = docs.filter($"doc_id" % 5 < 4)
+      .select($"doc_id".as("src"), ($"doc_id" + 1).as("dst"))
+      .join(docs.select($"doc_id".as("dst")), Seq("dst"), "left_semi")
+    Similarity.connectedComponentsStar(docs, edges, "doc_id", "src", "dst")
+      .select($"node".as("doc_id"), $"component")
+      .orderBy($"doc_id")
+  }
+
   /** Fuzzy match against a small dimension by edit distance (the C7
     * category-cascade shape, but with the built-in codegen `levenshtein`
     * and a broadcast dim instead of a UDF): argmin per row with a
@@ -875,6 +890,7 @@ object TrainingData {
     "q64_pack_sequences" -> q64PackSequences _,
     "q65_chunk_text" -> q65ChunkText _,
     "q66_connected_components" -> q66ConnectedComponents _,
+    "q347_star_components" -> q347StarComponents _,
     "q67_fuzzy_match" -> q67FuzzyMatch _,
     "q72_vocab_stats" -> q72VocabStats _,
     "q25_dedup_exact" -> q25DedupExact _,
@@ -1965,6 +1981,9 @@ object TrainingData {
       |  unnest(generate_series(0, length(text) - 1, 150)) AS i FROM documents)
       |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q66_connected_components" -> """
+      |SELECT doc_id, doc_id - doc_id % 5 AS component
+      |FROM documents ORDER BY doc_id""".stripMargin,
+    "q347_star_components" -> """
       |SELECT doc_id, doc_id - doc_id % 5 AS component
       |FROM documents ORDER BY doc_id""".stripMargin,
     "q305_charset_profile" -> """
