@@ -397,7 +397,12 @@ object Graph {
         .select(col("b").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hops", lit(h)).localCheckpoint()
-      dist = dist.union(next).localCheckpoint()
+      // dist stays a lazy union over the checkpointed frontiers: each
+      // round's settled set is only ever SCANNED (by the anti-join), so
+      // re-checkpointing the whole table every round would write O(V)
+      // blocks per round for no recompute saving — the union's leaves
+      // are already materialized and the plan stays `rounds` unions deep
+      dist = dist.union(next)
       frontier = next
     }
     dist

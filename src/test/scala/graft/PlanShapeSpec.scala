@@ -447,4 +447,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"))
   }
 
+  test("q343: markup density is scan-only — the lone Exchange is the output sort") {
+    val p = plan("q343_markup_density")
+    // exactly one Exchange, and it is the rangepartitioning of the
+    // query's deterministic orderBy, not an aggregation shuffle
+    assert("Exchange".r.findAllIn(p).size <= 2, "operator must not shuffle")
+    assert(p.contains("rangepartitioning"))
+    assert(!p.contains("HashAggregate"))
+    assert(p.contains("ReadSchema") && p.contains("text"))
+  }
+
+  test("q344: the band plan is data-free — a Range, no file scan") {
+    val p = plan("q344_lsh_band_plan")
+    assert(p.contains("Range"))
+    assert(!p.contains("FileScan") && !p.contains("parquet"),
+      "the S-curve must not read any table")
+  }
+
+  test("q345: temperature weights = one combine agg + one-row broadcast back") {
+    val p = plan("q345_temperature_weights")
+    assert(p.contains("partial_count"), "source counts must combine map-side")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), "the one-row denominator broadcasts")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q346: the sampled audit pushes the sample filter into the scan side") {
+    val p = plan("q346_sampled_simhash_recall")
+    // the sha-prefix sample is a deterministic row filter: it must sit in
+    // a Filter directly over the scans, before any explode or join
+    assert(p.contains("sha2"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
 }
