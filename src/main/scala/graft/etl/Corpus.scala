@@ -619,6 +619,39 @@ object Corpus {
         col("capped"), col("rate_bp"))
   }
 
+  /** Per-shard dataset manifest — the reproducibility artifact a training
+    * run pins its data to: for each deterministic shard (sha256-prefix of
+    * the id, the repo-standard recipe, so assignment survives repartition
+    * and engine changes), the doc count, character and whitespace-token
+    * masses, and an ORDER-INDEPENDENT content digest
+    *   digest = (Σ_docs first-8-hex-digits-of-sha256(text)) mod p,
+    * p = 9223372036854775783 (the largest prime < 2⁶³). Order
+    * independence is what makes the digest layout-stable: addition
+    * commutes, so any partitioning/merge order produces the same value,
+    * unlike a hash-of-concatenation. The sum is widened to decimal(38,0)
+    * before the mod (10¹² docs × 2³² per term overflows a long). Two
+    * identical manifests ⇒ byte-equivalent shard content with
+    * probability 1 − ~n²/p per shard. One combiner-friendly groupBy. */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0)
+    val h8 = conv(substring(sha2(col(textCol), 256), 1, 8), 16, 10)
+      .cast("long")
+    docs
+      .select(
+        (conv(substring(sha2(col(idCol).cast("string"), 256), 1, 4), 16, 10)
+          .cast("long") % nShards).as("shard"),
+        length(col(textCol)).cast("long").as("_c"),
+        size(filter(split(col(textCol), " "), t => t =!= ""))
+          .cast("long").as("_t"),
+        h8.as("_h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_c")).as("n_chars"),
+        sum(col("_t")).as("n_tokens"),
+        expr("CAST(CAST(sum(_h) AS DECIMAL(38,0)) % " +
+          "9223372036854775783 AS BIGINT)").as("digest"))
+  }
+
   /** Kish effective sample size of a weighted sample per group:
     *   n_eff = (Σw)² / Σw²
     * — how many EQUAL-weight observations the weighted set is actually

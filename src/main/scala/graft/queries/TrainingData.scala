@@ -318,6 +318,17 @@ object TrainingData {
       .orderBy($"doc_id")
   }
 
+  /** Per-shard dataset manifest ([[graft.etl.Corpus.shardManifest]]) over
+    * the documents table, 8 shards: counts, token/char masses, and the
+    * order-independent modular content digest — the artifact that makes
+    * "same data as last run" checkable in one scan. */
+  def q348ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.shardManifest(Tables.documents(spark, dir),
+        "doc_id", "text", nShards = 8)
+      .orderBy($"shard")
+  }
+
   /** Fuzzy match against a small dimension by edit distance (the C7
     * category-cascade shape, but with the built-in codegen `levenshtein`
     * and a broadcast dim instead of a UDF): argmin per row with a
@@ -891,6 +902,7 @@ object TrainingData {
     "q65_chunk_text" -> q65ChunkText _,
     "q66_connected_components" -> q66ConnectedComponents _,
     "q347_star_components" -> q347StarComponents _,
+    "q348_shard_manifest" -> q348ShardManifest _,
     "q67_fuzzy_match" -> q67FuzzyMatch _,
     "q72_vocab_stats" -> q72VocabStats _,
     "q25_dedup_exact" -> q25DedupExact _,
@@ -1983,6 +1995,22 @@ object TrainingData {
     "q66_connected_components" -> """
       |SELECT doc_id, doc_id - doc_id % 5 AS component
       |FROM documents ORDER BY doc_id""".stripMargin,
+    "q348_shard_manifest" -> """
+      |WITH d AS (
+      |  SELECT
+      |    ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4))
+      |      ::BIGINT % 8 AS shard,
+      |    CAST(length(text) AS BIGINT) AS c,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS t,
+      |    ('0x' || substring(sha256(text), 1, 8))::BIGINT AS h
+      |  FROM documents)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(c) AS BIGINT) AS n_chars,
+      |  CAST(sum(t) AS BIGINT) AS n_tokens,
+      |  CAST(CAST(sum(CAST(h AS HUGEINT)) AS HUGEINT)
+      |    % 9223372036854775783 AS BIGINT) AS digest
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q347_star_components" -> """
       |SELECT doc_id, doc_id - doc_id % 5 AS component
       |FROM documents ORDER BY doc_id""".stripMargin,

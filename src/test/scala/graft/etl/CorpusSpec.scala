@@ -294,6 +294,28 @@ class CorpusSpec extends SparkSpec {
     assert(miss.forall(_.getAs[Long]("take_rows") == 0L))
   }
 
+  test("shardManifest: layout-independent digest, exact masses, diff detection") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta eps zeta"),
+      (4L, "eta"), (5L, "theta iota")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Corpus.shardManifest(df, "doc_id", "text", nShards = 2)
+        .orderBy($"shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+    val base = rows(docs)
+    assert(base.map(_._2).sum == 5L, "every doc lands in exactly one shard")
+    assert(base.map(_._3).sum == docs.agg(sum(length($"text")))
+      .head().getLong(0))
+    // the digest must not depend on partitioning or row order
+    assert(rows(docs.repartition(7)) == base)
+    assert(rows(docs.orderBy($"text".desc)) == base)
+    // and must move when any shard's content changes
+    val tampered = docs.withColumn("text",
+      when($"doc_id" === 3L, lit("delta eps zetA")).otherwise($"text"))
+    assert(rows(tampered) != base)
+  }
+
   test("markupDensity: tags, entities, urls counted with exact coverage") {
     import spark.implicits._
     val docs = Seq(
