@@ -93,6 +93,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         LongestRun(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "jaro_winkler(a, b) takes exactly 2 arguments")
+        JaroWinkler(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("simhash"),
       new ExpressionInfo(classOf[Simhash].getName, "simhash"),
       (children: Seq[Expression]) => {

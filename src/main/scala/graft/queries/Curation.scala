@@ -420,6 +420,28 @@ object Curation {
     * corroborating field). The probabilistic-linkage shape with the
     * weights frozen so the decision is exactly reproducible; block
     * self-join only — never all-pairs. */
+  /** Jaro–Winkler record linkage over (brand, container) blocks — the
+    * native `jaro_winkler` codegen expression
+    * ([[graft.plans.JaroWinkler]]): exact integer ×10⁶ similarity (no
+    * double anywhere, so no cross-engine floor/round flips), name pairs
+    * above 0.80. Blocking bounds the pair fan-out exactly like q237's
+    * feature-score linkage; this is the string-similarity scorer
+    * Spark's built-ins lack (Levenshtein is the only native one). */
+  def q349JaroLinkage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = graft.Tables.part(spark, dir)
+      .select($"p_partkey", $"p_brand", expr("p_size div 10").as("szb"),
+        $"p_name")
+    val a = p.toDF("a_id", "blk_b", "blk_c", "a_name")
+    val b = p.toDF("b_id", "blk_b2", "blk_c2", "b_name")
+    a.join(b, $"blk_b" === $"blk_b2" && $"blk_c" === $"blk_c2" &&
+        $"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        call_function("jaro_winkler", $"a_name", $"b_name").as("jw_x1m"))
+      .filter($"jw_x1m" >= 800000L)
+      .orderBy($"a_id", $"b_id")
+  }
+
   def q237LinkageScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = graft.Tables.part(spark, dir).select(
@@ -442,6 +464,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_linkage_score" -> q237LinkageScore _,
+    "q349_jaro_linkage" -> q349JaroLinkage _,
     "q227_golden_record" -> q227GoldenRecord _,
     "q225_fingerprint_clusters" -> q225FingerprintClusters _,
     "q199_kmv" -> q199Kmv _,
@@ -468,6 +491,16 @@ object Curation {
     "q118_pmi_bigrams" -> q118PmiBigrams _)
 
   val oracleSql: Map[String, String] = Map(
+    "q349_jaro_linkage" -> """
+      |SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+      |  CAST(round(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000)
+      |    AS BIGINT) AS jw_x1m
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_size // 10 = b.p_size // 10
+      |  AND a.p_partkey < b.p_partkey
+      |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000)
+      |  >= 800000
+      |ORDER BY a_id, b_id""".stripMargin,
     "q237_linkage_score" -> """
       |WITH p AS (
       |  SELECT p_partkey AS id, p_brand,
