@@ -93,6 +93,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         LongestRun(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName,
+        "damerau_levenshtein"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "damerau_levenshtein(a, b) takes exactly 2 arguments")
+        DamerauLevenshtein(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (children: Seq[Expression]) => {

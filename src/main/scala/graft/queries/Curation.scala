@@ -442,6 +442,26 @@ object Curation {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Full Damerau–Levenshtein vs plain Levenshtein on deterministic
+    * typo'd names (chars 2/3 swapped) — the native
+    * `damerau_levenshtein` codegen expression
+    * ([[graft.plans.DamerauLevenshtein]]): the adjacent transposition
+    * that costs 2 under Spark's built-in Levenshtein costs 1 under DL,
+    * and `gain` exposes exactly where the typo-realistic metric wins.
+    * Pure per-row projection, both distances integer-exact. */
+  def q350DamerauTypos(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val typo = concat(substring($"p_name", 1, 1), substring($"p_name", 3, 1),
+      substring($"p_name", 2, 1), expr("substring(p_name, 4)"))
+    graft.Tables.part(spark, dir)
+      .select($"p_partkey", $"p_name", typo.as("typo"))
+      .select($"p_partkey",
+        call_function("damerau_levenshtein", $"p_name", $"typo").as("dl"),
+        levenshtein($"p_name", $"typo").as("lev"))
+      .withColumn("gain", $"lev" - $"dl")
+      .orderBy($"p_partkey")
+  }
+
   def q237LinkageScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = graft.Tables.part(spark, dir).select(
@@ -465,6 +485,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_linkage_score" -> q237LinkageScore _,
     "q349_jaro_linkage" -> q349JaroLinkage _,
+    "q350_damerau_typos" -> q350DamerauTypos _,
     "q227_golden_record" -> q227GoldenRecord _,
     "q225_fingerprint_clusters" -> q225FingerprintClusters _,
     "q199_kmv" -> q199Kmv _,
@@ -491,6 +512,18 @@ object Curation {
     "q118_pmi_bigrams" -> q118PmiBigrams _)
 
   val oracleSql: Map[String, String] = Map(
+    "q350_damerau_typos" -> """
+      |WITH t AS (
+      |  SELECT p_partkey, p_name,
+      |    substr(p_name, 1, 1) || substr(p_name, 3, 1) ||
+      |    substr(p_name, 2, 1) || substr(p_name, 4) AS typo
+      |  FROM part)
+      |SELECT p_partkey,
+      |  CAST(damerau_levenshtein(p_name, typo) AS INT) AS dl,
+      |  CAST(levenshtein(p_name, typo) AS INT) AS lev,
+      |  CAST(levenshtein(p_name, typo) - damerau_levenshtein(p_name, typo)
+      |    AS INT) AS gain
+      |FROM t ORDER BY p_partkey""".stripMargin,
     "q349_jaro_linkage" -> """
       |SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
       |  CAST(round(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000)
