@@ -188,5 +188,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => QDotRewrite)
     // length(bin(x)) → BitLen (see BitLenRewrite Scaladoc)
     ext.injectOptimizerRule(_ => BitLenRewrite)
+    // bounded levenshtein comparisons → built-in threshold form
+    ext.injectOptimizerRule(_ => LevThresholdRewrite)
   }
 }
