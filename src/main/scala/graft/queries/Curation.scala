@@ -462,6 +462,25 @@ object Curation {
       .orderBy($"p_partkey")
   }
 
+  /** Blocked fuzzy best-match resolution
+    * ([[graft.etl.Linkage.fuzzyBestMatch]]): every third part name gets a
+    * deterministic adjacent-swap typo and must link back to an original
+    * within its brand block at edit distance ≤ 3, distance ties broken by
+    * the exact-integer Jaro–Winkler then id. The composition query for
+    * this round's linkage pieces — the bounded-Levenshtein rewrite and
+    * both native string expressions all fire inside it. */
+  def q351FuzzyResolve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = graft.Tables.part(spark, dir)
+    val typo = concat(substring($"p_name", 1, 1), substring($"p_name", 3, 1),
+      substring($"p_name", 2, 1), expr("substring(p_name, 4)"))
+    val probes = parts.filter($"p_partkey" % 3 === 0)
+      .select($"p_partkey".as("probe_id"), $"p_brand", typo.as("probe_name"))
+    graft.etl.Linkage.fuzzyBestMatch(probes, parts, "p_brand",
+        "probe_id", "probe_name", "p_partkey", "p_name", maxDist = 3)
+      .orderBy($"left_id")
+  }
+
   def q237LinkageScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = graft.Tables.part(spark, dir).select(
@@ -486,6 +505,7 @@ object Curation {
     "q237_linkage_score" -> q237LinkageScore _,
     "q349_jaro_linkage" -> q349JaroLinkage _,
     "q350_damerau_typos" -> q350DamerauTypos _,
+    "q351_fuzzy_resolve" -> q351FuzzyResolve _,
     "q227_golden_record" -> q227GoldenRecord _,
     "q225_fingerprint_clusters" -> q225FingerprintClusters _,
     "q199_kmv" -> q199Kmv _,
@@ -512,6 +532,26 @@ object Curation {
     "q118_pmi_bigrams" -> q118PmiBigrams _)
 
   val oracleSql: Map[String, String] = Map(
+    "q351_fuzzy_resolve" -> """
+      |WITH probes AS (
+      |  SELECT p_partkey AS probe_id, p_brand,
+      |    substr(p_name, 1, 1) || substr(p_name, 3, 1) ||
+      |    substr(p_name, 2, 1) || substr(p_name, 4) AS probe_name
+      |  FROM part WHERE p_partkey % 3 = 0),
+      |cand AS (
+      |  SELECT pr.probe_id, p.p_partkey AS right_id,
+      |    levenshtein(pr.probe_name, p.p_name) AS dist,
+      |    CAST(round(jaro_winkler_similarity(pr.probe_name, p.p_name)
+      |      * 1000000) AS BIGINT) AS jw
+      |  FROM probes pr JOIN part p ON p.p_brand = pr.p_brand
+      |  WHERE levenshtein(pr.probe_name, p.p_name) <= 3),
+      |best AS (
+      |  SELECT probe_id AS left_id, right_id, dist, jw,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY dist, jw DESC, right_id) AS rk
+      |  FROM cand)
+      |SELECT left_id, right_id, CAST(dist AS INT) AS dist, jw AS jw_x1m
+      |FROM best WHERE rk = 1 ORDER BY left_id""".stripMargin,
     "q350_damerau_typos" -> """
       |WITH t AS (
       |  SELECT p_partkey, p_name,

@@ -1,0 +1,51 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** fuzzyBestMatch semantics: block confinement, the maxDist bar, and the
+  * (dist, −jw, id) tiebreak chain. */
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("best match per left row: distance first, jaro tiebreak, id last") {
+    val left = Seq((1L, "blk", "red gaer"), (2L, "blk", "zzzzzz"),
+      (3L, "other", "red gear")).toDF("id", "blk", "name")
+    val right = Seq(
+      (10L, "blk", "red gear"),  // dist 2 from 'red gaer' (swap = 2 subs)
+      (11L, "blk", "red bear"),  // dist 3
+      (12L, "blk", "ged raer"),  // dist 2, worse prefix (lower jw)
+      (13L, "blk", "red gaer")   // dist 0 — exact
+    ).toDF("id", "blk", "name")
+    val out = Linkage.fuzzyBestMatch(left, right, "blk", "id", "name",
+        "id", "name", maxDist = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // left 1: exact candidate 13 wins outright at dist 0
+    assert(out(1L) == (13L, 0))
+    // left 2: nothing within 3 edits -> absent
+    assert(!out.contains(2L))
+    // left 3: its name exists on the right but in ANOTHER block -> absent
+    assert(!out.contains(3L))
+  }
+
+  test("jaro-winkler breaks exact distance ties toward the shared prefix") {
+    val left = Seq((1L, "b", "abcdef")).toDF("id", "blk", "name")
+    // both at levenshtein distance 1; 'abcdex' shares the longer prefix
+    // so its jw is higher and must win despite the larger id
+    val right = Seq((20L, "b", "xbcdef"), (21L, "b", "abcdex"))
+      .toDF("id", "blk", "name")
+    val r = Linkage.fuzzyBestMatch(left, right, "blk", "id", "name",
+        "id", "name", maxDist = 2).collect().head
+    assert(r.getLong(1) == 21L, s"expected prefix-similar winner, got $r")
+  }
+
+  test("plan: block equi-join (no cartesian), thresholded lev, partial agg") {
+    val left = Seq((1L, "b", "abc")).toDF("id", "blk", "name")
+    val p = Linkage.fuzzyBestMatch(left, left, "blk", "id", "name",
+        "id", "name", maxDist = 2)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("Some(2)"),
+      s"bounded levenshtein must take the threshold form:\n$p")
+    assert(!p.contains("Cartesian"))
+  }
+}
