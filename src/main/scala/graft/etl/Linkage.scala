@@ -30,6 +30,56 @@ object Linkage {
     * matched at all. Left rows with no candidate within `maxDist` are
     * absent (inner semantics — the caller unions unmatched ids back if it
     * needs them). */
+  /** Blocking-quality audit — the two standard entity-resolution metrics
+    * for a blocking scheme, BEFORE trusting it at scale:
+    *
+    *  - reduction ratio (bp): 1 − candidates/(|L|·|R|) — how much of the
+    *    quadratic all-pairs space the blocks prune. The all-pairs count
+    *    is arithmetic (|L|·|R| as a cross of two one-row counts), never
+    *    a join.
+    *  - pair completeness (bp): the share of KNOWN true matches whose
+    *    two sides land in the same block — the recall ceiling any
+    *    downstream matcher inherits (a matcher cannot find a pair the
+    *    blocks never co-locate). Same audit family as the simhash/ANN
+    *    recall audits: measured on labeled truth, not assumed.
+    *
+    * `truth` is (left id, right id) labeled matches. Candidates are
+    * COUNTED via a block-key aggregation (Σ n_l·n_r per key), so the
+    * audit never materializes the candidate pairs it is counting —
+    * that is what makes it safe to run on a blocking scheme that might
+    * be bad. One combiner shuffle per side + a broadcast-joined truth
+    * check. */
+  def blockingAudit(left: DataFrame, right: DataFrame, blockCol: String,
+      leftId: String, rightId: String, truth: DataFrame): DataFrame = {
+    val lk = left.select(col(blockCol).as("_blk"), col(leftId).as("lid"))
+    val rk = right.select(col(blockCol).as("_blk"), col(rightId).as("rid"))
+    val perKey = lk.groupBy(col("_blk")).agg(count(lit(1)).as("nl"))
+      .join(rk.groupBy(col("_blk")).agg(count(lit(1)).as("nr")), Seq("_blk"))
+      .agg(coalesce(sum(expr(
+        "CAST(nl AS DECIMAL(38,0)) * nr")), lit(0)).as("_cand"))
+      .select(col("_cand").cast("decimal(38,0)").as("n_candidates"))
+    val totals = lk.agg(count(lit(1)).as("_nl"))
+      .crossJoin(rk.agg(count(lit(1)).as("_nr")))
+    val t = truth.select(col(leftId).as("lid"), col(rightId).as("rid"))
+    val found = t
+      .join(lk, Seq("lid"))
+      .join(rk.withColumnRenamed("_blk", "_blkR"), Seq("rid"))
+      .filter(col("_blk") === col("_blkR"))
+      .select(col("lid"), col("rid")).distinct()
+    val truthCounts = t.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(found.agg(count(lit(1)).as("n_colocated")))
+    perKey.crossJoin(broadcast(totals)).crossJoin(broadcast(truthCounts))
+      .select(
+        col("n_candidates").cast("long").as("n_candidates"),
+        (col("_nl") * col("_nr")).as("n_all_pairs"),
+        expr("""CAST((CAST(_nl AS DECIMAL(38,0)) * _nr - n_candidates)
+               * 10000 div NULLIF(CAST(_nl AS DECIMAL(38,0)) * _nr, 0)
+               AS BIGINT)""").as("reduction_bp"),
+        col("n_truth"), col("n_colocated"),
+        expr("CAST(n_colocated * 10000 div NULLIF(n_truth, 0) AS BIGINT)")
+          .as("completeness_bp"))
+  }
+
   def fuzzyBestMatch(left: DataFrame, right: DataFrame, blockCol: String,
       leftId: String, leftName: String, rightId: String, rightName: String,
       maxDist: Int): DataFrame = {

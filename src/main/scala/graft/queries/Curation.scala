@@ -481,6 +481,21 @@ object Curation {
       .orderBy($"left_id")
   }
 
+  /** Blocking-quality audit ([[graft.etl.Linkage.blockingAudit]]) of the
+    * q351 brand-block scheme against its planted typo truth: the
+    * reduction ratio the blocks buy and the completeness ceiling they
+    * impose (typos never change the brand here, so completeness must be
+    * a full 10000 bp — the audit proves it rather than assumes it). */
+  def q352BlockingAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = graft.Tables.part(spark, dir)
+    val probes = parts.filter($"p_partkey" % 3 === 0)
+      .select($"p_partkey".as("probe_id"), $"p_brand")
+    val truth = probes.select($"probe_id", $"probe_id".as("p_partkey"))
+    graft.etl.Linkage.blockingAudit(probes, parts, "p_brand",
+      "probe_id", "p_partkey", truth)
+  }
+
   def q237LinkageScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = graft.Tables.part(spark, dir).select(
@@ -506,6 +521,7 @@ object Curation {
     "q349_jaro_linkage" -> q349JaroLinkage _,
     "q350_damerau_typos" -> q350DamerauTypos _,
     "q351_fuzzy_resolve" -> q351FuzzyResolve _,
+    "q352_blocking_audit" -> q352BlockingAudit _,
     "q227_golden_record" -> q227GoldenRecord _,
     "q225_fingerprint_clusters" -> q225FingerprintClusters _,
     "q199_kmv" -> q199Kmv _,
@@ -532,6 +548,32 @@ object Curation {
     "q118_pmi_bigrams" -> q118PmiBigrams _)
 
   val oracleSql: Map[String, String] = Map(
+    "q352_blocking_audit" -> """
+      |WITH probes AS (
+      |  SELECT p_partkey AS probe_id, p_brand FROM part
+      |  WHERE p_partkey % 3 = 0),
+      |pk AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS nl
+      |  FROM probes GROUP BY 1),
+      |rk AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS nr
+      |  FROM part GROUP BY 1),
+      |cand AS (SELECT CAST(coalesce(sum(CAST(nl AS HUGEINT) * nr), 0)
+      |  AS BIGINT) AS n_candidates FROM pk JOIN rk USING (p_brand)),
+      |tot AS (SELECT
+      |  CAST((SELECT count(*) FROM probes) AS BIGINT) AS nl,
+      |  CAST((SELECT count(*) FROM part) AS BIGINT) AS nr),
+      |co AS (SELECT
+      |  CAST((SELECT count(*) FROM probes) AS BIGINT) AS n_truth,
+      |  CAST((SELECT count(*) FROM probes pr
+      |        JOIN part p ON p.p_partkey = pr.probe_id
+      |        WHERE p.p_brand = pr.p_brand) AS BIGINT) AS n_colocated)
+      |SELECT n_candidates, CAST(nl * nr AS BIGINT) AS n_all_pairs,
+      |  CAST((CAST(nl AS HUGEINT) * nr - n_candidates) * 10000
+      |    // NULLIF(CAST(nl AS HUGEINT) * nr, 0) AS BIGINT)
+      |    AS reduction_bp,
+      |  n_truth, n_colocated,
+      |  CAST(n_colocated * 10000 // NULLIF(n_truth, 0) AS BIGINT)
+      |    AS completeness_bp
+      |FROM cand, tot, co""".stripMargin,
     "q351_fuzzy_resolve" -> """
       |WITH probes AS (
       |  SELECT p_partkey AS probe_id, p_brand,

@@ -39,6 +39,25 @@ class LinkageSpec extends SparkSpec {
     assert(r.getLong(1) == 21L, s"expected prefix-similar winner, got $r")
   }
 
+  test("blockingAudit: reduction and completeness from a hand-built scheme") {
+    val left = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"))
+      .toDF("lid", "blk")
+    val right = Seq((10L, "A"), (11L, "B"), (12L, "B"), (13L, "D"))
+      .toDF("rid", "blk")
+    // truth: 1-10 co-located (A/A), 3-13 SPLIT by the blocks (B vs D),
+    // 4-10 split (C vs A)
+    val truth = Seq((1L, 10L), (3L, 13L), (4L, 10L)).toDF("lid", "rid")
+    val r = Linkage.blockingAudit(left, right, "blk", "lid", "rid", truth)
+      .collect().head
+    // candidates: A 2x1=2, B 1x2=2, C/D no counterpart -> 4 of 16 pairs
+    assert(r.getAs[Long]("n_candidates") == 4L)
+    assert(r.getAs[Long]("n_all_pairs") == 16L)
+    assert(r.getAs[Long]("reduction_bp") == 7500L)
+    assert(r.getAs[Long]("n_truth") == 3L)
+    assert(r.getAs[Long]("n_colocated") == 1L)
+    assert(r.getAs[Long]("completeness_bp") == 3333L)
+  }
+
   test("plan: block equi-join (no cartesian), thresholded lev, partial agg") {
     val left = Seq((1L, "b", "abc")).toDF("id", "blk", "name")
     val p = Linkage.fuzzyBestMatch(left, left, "blk", "id", "name",
