@@ -76,15 +76,23 @@ object Bench {
       // the first query of the run also gets a warmup: it would otherwise
       // absorb the whole JVM's first-job cost (codegen compiler init,
       // parquet footer caching) and report ~8x its steady state
+      // toRdd.count(), NOT df.count(): count() lets Catalyst prune the
+      // final aggregate/projection expressions (only output CARDINALITY
+      // is needed), so a query ending in a small aggregate would be
+      // timed with its actual compute optimized away — round 7 caught
+      // q168's 10×-data overflow hiding behind exactly this (the probe
+      // threw, the benched count() didn't). toRdd materializes every
+      // output column, so the timing covers the full query.
+      def runFully(): Unit = { fn(spark, sfDir).queryExecution.toRdd.count() }
       if (headline.contains(name) || results.isEmpty) {
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        try runFully() catch { case _: Throwable => }
         releaseStorage(spark)
       }
       val t0 = System.nanoTime()
       // a failing query records -1, not its elapsed time — breakage must be
       // visible in the JSON, not masked as a fast success
       val elapsed =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { runFully(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       results += name -> elapsed
       releaseStorage(spark)

@@ -80,6 +80,43 @@ object Linkage {
           .as("completeness_bp"))
   }
 
+  /** Blocking-key profiler — the PLANNING complement of
+    * [[blockingAudit]]: before any pairs are generated, rank candidate
+    * key expressions by the numbers that decide whether a self-join
+    * dedup under that key is tractable. Per candidate key:
+    *
+    *  - n_blocks, max_block: granularity and the worst hot block;
+    *  - pair_volume = Σ n·(n−1)/2 (decimal-widened): the EXACT number of
+    *    candidate pairs a self-join dedup would generate — the cost a
+    *    scheme commits to, computed without generating any of it;
+    *  - top_share_bp: the largest block's share of rows — the skew
+    *    number that predicts one straggler task doing half the join.
+    *
+    * One groupBy per candidate (candidates are enum-sized); rows with a
+    * NULL key are excluded from that key's profile (a NULL block never
+    * joins). */
+  def blockKeyProfile(df: DataFrame,
+      keys: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(keys.nonEmpty)
+    keys.map { case (name, kexpr) =>
+      df.select(kexpr.as("_k")).filter(col("_k").isNotNull)
+        .groupBy(col("_k")).agg(count(lit(1)).as("n"))
+        .agg(
+          sum(col("n")).as("_rows"),
+          count(lit(1)).as("n_blocks"),
+          max(col("n")).as("max_block"),
+          sum(expr("CAST(n AS DECIMAL(38,0)) * (n - 1) div 2"))
+            .as("_pairs"))
+        .select(lit(name).as("block_key"),
+          coalesce(col("_rows"), lit(0L)).as("n_rows"),
+          col("n_blocks"),
+          coalesce(col("max_block"), lit(0L)).as("max_block"),
+          coalesce(col("_pairs").cast("long"), lit(0L)).as("pair_volume"),
+          expr("CAST(max_block * 10000 div NULLIF(_rows, 0) AS BIGINT)")
+            .as("top_share_bp"))
+    }.reduce(_ unionByName _)
+  }
+
   def fuzzyBestMatch(left: DataFrame, right: DataFrame, blockCol: String,
       leftId: String, leftName: String, rightId: String, rightName: String,
       maxDist: Int): DataFrame = {

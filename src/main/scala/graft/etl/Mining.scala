@@ -781,11 +781,17 @@ object Mining {
   def negativeSample(users: DataFrame, interactions: DataFrame,
       userCol: String, itemCol: String, k: Int, nItems: Long): DataFrame = {
     require(k > 0 && nItems > 0, "k and nItems must be positive")
+    // the user id is folded to 31 bits BEFORE the Knuth multiply: the
+    // raw product overflows a long (ANSI failure) once ids pass ~3.4e9,
+    // which the 10× scale sweep hit; (2³¹−1)·2654435761 ≈ 5.7e18 stays
+    // exact, and ids below 2³¹ (every realistic id space, and every
+    // oracle fixture) hash identically to the unfolded form
     val cand = users.select(col(userCol))
       .withColumn("sample_idx",
         explode(sequence(lit(0L), lit(k - 1L))))
       .withColumn(itemCol,
-        (col(userCol) * 2654435761L + col("sample_idx") * 40503L)
+        ((col(userCol) % 2147483648L) * 2654435761L
+          + col("sample_idx") * 40503L)
           % nItems + 1L)
     cand.join(interactions.select(col(userCol), col(itemCol)).distinct(),
         Seq(userCol, itemCol), "left_anti")

@@ -195,7 +195,11 @@ object Sketches {
   private def hllHashed(df: DataFrame, keyCol: String): DataFrame =
     df.select(col(keyCol).cast("long").as("_k"))
       .filter(col("_k").isNotNull && col("_k") >= 0)
-      .select(expr("(_k * 2654435761L) % 4294967296L").as("_h0"))
+      // 31-bit key fold before the 32-bit Knuth mix: the raw product
+      // overflows a long under ANSI for ids past ~3.4e9 (seen at the
+      // 10× sweep's shifted keys); ids below 2³¹ hash identically
+      .select(expr("((_k % 2147483648L) * 2654435761L) % 4294967296L")
+        .as("_h0"))
       .select(expr("_h0 ^ (_h0 div 65536)").as("_h1"))
       .select(expr("(_h1 * 2146121005L) % 4294967296L").as("_h2"))
       .select(expr("_h2 ^ (_h2 div 8192)").as("_h"))
@@ -281,7 +285,9 @@ object Sketches {
     val hashed = df
       .select(col(groupCol).as("g"), col(keyCol).cast("long").as("_k"))
       .filter(col("_k").isNotNull && col("_k") >= 0)
-      .select(col("g"), expr("(_k * 2654435761L) % 4294967296L").as("_h0"))
+      // 31-bit fold first — same ANSI-overflow guard as hllHashed
+      .select(col("g"),
+        expr("((_k % 2147483648L) * 2654435761L) % 4294967296L").as("_h0"))
       .select(col("g"), expr("_h0 ^ (_h0 div 65536)").as("_h1"))
       .select(col("g"), expr("(_h1 * 2146121005L) % 4294967296L").as("_h2"))
       .select(col("g"), expr("_h2 ^ (_h2 div 8192)").as("_h"))

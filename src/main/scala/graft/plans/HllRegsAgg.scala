@@ -45,7 +45,11 @@ case class HllRegsAgg(
     if (v != null) {
       val k = v.asInstanceOf[Long]
       if (k >= 0) {
-        val h0 = (k * 2654435761L) % 4294967296L
+        // 31-bit key fold, in lockstep with Sketches.hllHashed: the raw
+        // multiply wraps (silently, in JVM arithmetic) past k ≈ 3.4e9
+        // and can go NEGATIVE, corrupting the register index — and the
+        // SQL twin throws under ANSI at the same point
+        val h0 = ((k % 2147483648L) * 2654435761L) % 4294967296L
         val h1 = h0 ^ (h0 / 65536)
         val h2 = (h1 * 2146121005L) % 4294967296L
         val h = h2 ^ (h2 / 8192)

@@ -496,6 +496,21 @@ object Curation {
       "probe_id", "p_partkey", truth)
   }
 
+  /** Blocking-key profiler ([[graft.etl.Linkage.blockKeyProfile]]) over
+    * four candidate part keys: the exact self-join pair volume, block
+    * granularity, and hot-block share each scheme would commit to —
+    * measured BEFORE any pairs exist. Orders the q351/q352 design
+    * decision (brand vs type vs size-band vs first name word). */
+  def q353BlockProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Linkage.blockKeyProfile(graft.Tables.part(spark, dir), Seq(
+        "brand" -> $"p_brand",
+        "type" -> $"p_type",
+        "size_band" -> expr("CAST(p_size div 10 AS STRING)"),
+        "first_word" -> substring_index($"p_name", " ", 1)))
+      .orderBy($"block_key")
+  }
+
   def q237LinkageScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = graft.Tables.part(spark, dir).select(
@@ -522,6 +537,7 @@ object Curation {
     "q350_damerau_typos" -> q350DamerauTypos _,
     "q351_fuzzy_resolve" -> q351FuzzyResolve _,
     "q352_blocking_audit" -> q352BlockingAudit _,
+    "q353_block_profile" -> q353BlockProfile _,
     "q227_golden_record" -> q227GoldenRecord _,
     "q225_fingerprint_clusters" -> q225FingerprintClusters _,
     "q199_kmv" -> q199Kmv _,
@@ -548,6 +564,26 @@ object Curation {
     "q118_pmi_bigrams" -> q118PmiBigrams _)
 
   val oracleSql: Map[String, String] = Map(
+    "q353_block_profile" -> """
+      |WITH ks AS (
+      |  SELECT 'brand' AS block_key, p_brand AS k FROM part
+      |  UNION ALL
+      |  SELECT 'type', p_type FROM part
+      |  UNION ALL
+      |  SELECT 'size_band', CAST(p_size // 10 AS VARCHAR) FROM part
+      |  UNION ALL
+      |  SELECT 'first_word', split_part(p_name, ' ', 1) FROM part),
+      |g AS (
+      |  SELECT block_key, k, CAST(count(*) AS BIGINT) AS n
+      |  FROM ks WHERE k IS NOT NULL GROUP BY 1, 2)
+      |SELECT block_key, CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_blocks,
+      |  CAST(max(n) AS BIGINT) AS max_block,
+      |  CAST(sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS BIGINT)
+      |    AS pair_volume,
+      |  CAST(max(n) * 10000 // NULLIF(sum(n), 0) AS BIGINT)
+      |    AS top_share_bp
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q352_blocking_audit" -> """
       |WITH probes AS (
       |  SELECT p_partkey AS probe_id, p_brand FROM part
@@ -673,7 +709,7 @@ object Curation {
       |FROM k GROUP BY fp HAVING count(*) >= 2 ORDER BY fp""".stripMargin,
     "q199_kmv" -> """
       |WITH h0 AS (SELECT DISTINCT l_returnflag AS g,
-      |              (l_partkey * 2654435761) % 4294967296 AS h
+      |              ((l_partkey % 2147483648) * 2654435761) % 4294967296 AS h
       |            FROM lineitem
       |            WHERE l_partkey IS NOT NULL AND l_partkey >= 0),
       |h1 AS (SELECT g, xor(h, h // 65536) AS h FROM h0),
@@ -751,7 +787,7 @@ object Curation {
       |      AS wk
       |  FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
       |h0 AS (SELECT DISTINCT wk,
-      |         (user_id * 2654435761) % 4294967296 AS h FROM e),
+      |         ((user_id % 2147483648) * 2654435761) % 4294967296 AS h FROM e),
       |h1 AS (SELECT wk, xor(h, h // 65536) AS h FROM h0),
       |h2 AS (SELECT wk, (h * 2146121005) % 4294967296 AS h FROM h1),
       |k AS (SELECT DISTINCT wk, xor(h, h // 8192) AS h FROM h2),
@@ -785,7 +821,7 @@ object Curation {
       |ORDER BY mon""".stripMargin,
     "q190_hll_agg" -> """
       |WITH h0 AS (SELECT DISTINCT event_type,
-      |              (user_id * 2654435761) % 4294967296 AS h
+      |              ((user_id % 2147483648) * 2654435761) % 4294967296 AS h
       |            FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
       |h1 AS (SELECT event_type, xor(h, h // 65536) AS h FROM h0),
       |h2 AS (SELECT event_type, (h * 2146121005) % 4294967296 AS h FROM h1),
@@ -803,7 +839,7 @@ object Curation {
       |                   AND rh.bucket = b.bucket
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q168_hll" -> """
-      |WITH h0 AS (SELECT DISTINCT (user_id * 2654435761) % 4294967296 AS h
+      |WITH h0 AS (SELECT DISTINCT ((user_id % 2147483648) * 2654435761) % 4294967296 AS h
       |            FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
       |h1 AS (SELECT xor(h, h // 65536) AS h FROM h0),
       |h2 AS (SELECT (h * 2146121005) % 4294967296 AS h FROM h1),

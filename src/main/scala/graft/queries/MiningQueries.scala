@@ -1685,7 +1685,7 @@ object MiningQueries {
       |WITH mx AS (SELECT max(p_partkey) AS m FROM part),
       |cand AS (
       |  SELECT c_custkey, i AS sample_idx,
-      |    (c_custkey * 2654435761 + i * 40503) % (SELECT m FROM mx) + 1
+      |    ((c_custkey % 2147483648) * 2654435761 + i * 40503) % (SELECT m FROM mx) + 1
       |      AS neg_partkey
       |  FROM customer,
       |       LATERAL (SELECT unnest(generate_series(0, 3)) AS i) g),

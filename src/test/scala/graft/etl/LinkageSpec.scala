@@ -58,6 +58,20 @@ class LinkageSpec extends SparkSpec {
     assert(r.getAs[Long]("completeness_bp") == 3333L)
   }
 
+  test("blockKeyProfile: exact pair volumes, skew share, null keys excluded") {
+    val df = Seq(("A", "x"), ("A", "y"), ("A", "x"), ("B", "x"),
+      (null, "x")).toDF("brand", "word")
+    val out = Linkage.blockKeyProfile(df, Seq(
+        "brand" -> col("brand"), "word" -> col("word")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // brand: A=3, B=1 (null excluded): pairs 3, top share 3/4
+    assert(out("brand") == (4L, 2L, 3L, 3L, 7500L))
+    // word: x=4, y=1: pairs 6, top share 4/5
+    assert(out("word") == (5L, 2L, 4L, 6L, 8000L))
+  }
+
   test("plan: block equi-join (no cartesian), thresholded lev, partial agg") {
     val left = Seq((1L, "b", "abc")).toDF("id", "blk", "name")
     val p = Linkage.fuzzyBestMatch(left, left, "blk", "id", "name",
