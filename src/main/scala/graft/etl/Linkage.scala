@@ -59,7 +59,7 @@ object Linkage {
         "CAST(nl AS DECIMAL(38,0)) * nr")), lit(0)).as("_cand"))
       .select(col("_cand").cast("decimal(38,0)").as("n_candidates"))
     val totals = lk.agg(count(lit(1)).as("_nl"))
-      .crossJoin(rk.agg(count(lit(1)).as("_nr")))
+      .crossJoin(broadcast(rk.agg(count(lit(1)).as("_nr"))))
     val t = truth.select(col(leftId).as("lid"), col(rightId).as("rid"))
     val found = t
       .join(lk, Seq("lid"))
@@ -67,7 +67,7 @@ object Linkage {
       .filter(col("_blk") === col("_blkR"))
       .select(col("lid"), col("rid")).distinct()
     val truthCounts = t.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(found.agg(count(lit(1)).as("n_colocated")))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_colocated"))))
     perKey.crossJoin(broadcast(totals)).crossJoin(broadcast(truthCounts))
       .select(
         col("n_candidates").cast("long").as("n_candidates"),
