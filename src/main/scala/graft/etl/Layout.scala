@@ -81,6 +81,92 @@ object Layout {
         min(col(idCol)).as("first_id"), max(col(idCol)).as("last_id"))
   }
 
+  /** Distributed total-order rank — `row_number() OVER (ORDER BY sort)`
+    * without the single-partition global window that form plans to (the
+    * known 100 TB trap this repo pins against for top-k): range-partition
+    * + sort within partitions, then `zipWithIndex` — Spark's one-extra-
+    * job global indexer (a per-partition count pass, then offset + local
+    * position on the SAME RDD instance).
+    *
+    * `sort` MUST be a total order (append a unique id as the last
+    * column): rank is then the row's global position — independent of
+    * where the range sampler put partition boundaries — and identical to
+    * any other engine's ORDER BY, which is what lets the DuckDB oracle
+    * check it.
+    *
+    * Why the RDD hop instead of the declarative two-branch form
+    * (per-pid counts + prefix sum + local row_number, joined back on
+    * `spark_partition_id()`): that form encodes the SAME range exchange
+    * in two plan branches and is only correct if they resolve to one
+    * exchange. Column pruning gives the branches different child
+    * projections, the exchanges stop being canonically equal, reuse
+    * does not fire, and each branch samples its own range boundaries —
+    * the pid→count map then describes the wrong partitioning and ranks
+    * walk off the end (dev.RankProbe reproduced exactly this: clean
+    * permutation when the frame is only the sort columns, 65/64 shards
+    * in q355 where carry columns prune differently). zipWithIndex pins
+    * ONE partitioner because there is one RDD object. Cost: the extra
+    * count job plus row-encode at this node — the honest price of a
+    * global rank; everything downstream is columnar again. */
+  def globalRank(df: DataFrame, sort: Seq[Column], rankCol: String = "rank",
+      nParts: Int = 64): DataFrame = {
+    require(sort.nonEmpty && nParts >= 1)
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.repartitionByRange(nParts, sort: _*)
+      .sortWithinPartitions(sort: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(rankCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Zone-map pruning audit — measures, per candidate physical layout,
+    * how much of the table a range predicate on `filterCol` would
+    * actually skip: rank the rows under the layout's sort order
+    * ([[globalRank]]), cut the ranked order into `nShards` contiguous
+    * equal shards (a stand-in for files written in that order), take
+    * each shard's min/max of the filter column (the zone map parquet
+    * footers would hold), and count, per predicate `[lo, hi]`, the
+    * shards whose zone overlaps it — the files a reader must open.
+    *
+    * The planning complement of [[zorderBy]]/[[hilbertBy]]: run this
+    * BEFORE rewriting 100 TB into a new order, on the candidate sort
+    * keys, and commit to the one whose `scan_bp` is lowest for the real
+    * workload's predicates. Each layout's sort list must end in a
+    * unique id (total order — same contract as [[globalRank]]).
+    *
+    * Cost: one ranked pass per layout (layouts are enum-sized), then
+    * zone/predicate work on nShards-row frames. `(rank−1)·nShards` is
+    * long arithmetic: safe to ~1.4e17 rows at nShards=64. */
+  def zonemapAudit(df: DataFrame, layouts: Seq[(String, Seq[String])],
+      filterCol: String, preds: Seq[(Long, Long)],
+      nShards: Int = 64): DataFrame = {
+    require(layouts.nonEmpty && preds.nonEmpty && nShards >= 1)
+    val predRows = preds.map { case (lo, hi) => (lo, hi) }
+    layouts.map { case (name, sortCols) =>
+      val ranked = globalRank(df, sortCols.map(col), "_rk")
+      val zones = ranked
+        .crossJoin(broadcast(ranked.agg(count(lit(1)).as("_tot"))))
+        .withColumn("_shard", expr(s"(_rk - 1) * $nShards div _tot"))
+        .groupBy(col("_shard"))
+        .agg(min(col(filterCol)).as("_lo"), max(col(filterCol)).as("_hi"))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val pf = predRows.toDF("p_lo", "p_hi")
+      pf.crossJoin(broadcast(zones))
+        .groupBy(col("p_lo"), col("p_hi"))
+        .agg(count(lit(1)).as("n_shards"),
+          sum(when(col("_hi") >= col("p_lo") && col("_lo") <= col("p_hi"),
+            1L).otherwise(0L)).as("shards_scanned"))
+        .select(lit(name).as("layout"), col("p_lo"), col("p_hi"),
+          col("n_shards"), col("shards_scanned"),
+          expr("CAST(shards_scanned * 10000 div n_shards AS BIGINT)")
+            .as("scan_bp"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Rendezvous (highest-random-weight) placement of keys onto `nodes`
     * shards, plus the resharding report for one joining node: each key
     * lands on argmax over nodes of sha256(key:node) — deterministic,

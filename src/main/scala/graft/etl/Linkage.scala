@@ -117,6 +117,48 @@ object Linkage {
     }.reduce(_ unionByName _)
   }
 
+  /** Sorted-neighborhood candidate generation — the classic alternative
+    * to equi-blocking ([[blockingAudit]]'s subject) for linkage keys
+    * that DON'T split cleanly into blocks: impose a total order on a
+    * sort key (name, address, normalized title), and emit exactly the
+    * pairs within `w` positions of each other in that order. Typo'd
+    * keys that equi-blocking separates (first-character block, wrong
+    * first character) still sort adjacently and get paired.
+    *
+    * Scale shape: the global order comes from [[Layout.globalRank]]
+    * (range-partitioned rank — no single-partition window), then the
+    * sliding window becomes a bounded equi-join: bucket `b = ⌊(rk−1)/w⌋`,
+    * the a-side exploded to {b, b+1}, join on bucket, keep
+    * `0 < rk_b − rk_a < w`. Every pair within w positions spans at most
+    * adjacent buckets, each bucket holds w rows, so the join does O(w²)
+    * work per bucket and O(n·w) total — never the n² self-join, with no
+    * skew (buckets are equal-sized by construction).
+    *
+    * Output: a_/b_ prefixed id and carry columns plus `gap` (rank
+    * distance, 1..w−1), a-side strictly first in the sort order. `sort`
+    * is column NAMES; the row id is appended as the tiebreak, making
+    * the order total (same contract as [[Layout.globalRank]]). */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      sort: Seq[String], w: Int, carry: Seq[String] = Nil): DataFrame = {
+    require(w >= 2, s"window must be >= 2, got $w")
+    val keep = (idCol +: (sort ++ carry)).distinct
+    val ranked = Layout.globalRank(
+        df.select(keep.map(col): _*), (sort :+ idCol).map(col), "_rk")
+      .select((idCol +: carry).distinct.map(col) :+ col("_rk"): _*)
+    val outCols = (idCol +: carry).distinct
+    def side(p: String) =
+      ranked.select(outCols.map(c => col(c).as(p + c)) :+
+        col("_rk").as(p + "rk"): _*)
+    val a = side("a_")
+      .withColumn("_jb", explode(array(expr(s"(a_rk - 1) div $w"),
+        expr(s"(a_rk - 1) div $w + 1"))))
+    val b = side("b_").withColumn("_jb", expr(s"(b_rk - 1) div $w"))
+    a.join(b, Seq("_jb"))
+      .filter(col("b_rk") > col("a_rk") && col("b_rk") - col("a_rk") < w)
+      .withColumn("gap", (col("b_rk") - col("a_rk")).cast("long"))
+      .drop("_jb", "a_rk", "b_rk")
+  }
+
   def fuzzyBestMatch(left: DataFrame, right: DataFrame, blockCol: String,
       leftId: String, leftName: String, rightId: String, rightName: String,
       maxDist: Int): DataFrame = {

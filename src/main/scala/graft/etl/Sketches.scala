@@ -279,19 +279,24 @@ object Sketches {
     * negated hashes — a bounded k-value buffer per (group, partition), so
     * map-side partials ship k longs however large the group, ONE shuffle
     * total after the distinct. No per-group window sort anywhere. */
-  def kmvCompare(df: DataFrame, groupCol: String, keyCol: String,
-      k: Int = 64): DataFrame = {
-    require(k >= 2, s"k must be >= 2, got $k")
-    val hashed = df
-      .select(col(groupCol).as("g"), col(keyCol).cast("long").as("_k"))
+  /** Per-group 32-bit multiply–xorshift hashes, distinct — the shared
+    * front of [[kmvCompare]] and [[kmvIntersect]]. 31-bit key fold
+    * first: same ANSI-overflow guard as [[hllHashed]]. */
+  private def kmvHashed(df: DataFrame, groupCol: String,
+      keyCol: String): DataFrame =
+    df.select(col(groupCol).as("g"), col(keyCol).cast("long").as("_k"))
       .filter(col("_k").isNotNull && col("_k") >= 0)
-      // 31-bit fold first — same ANSI-overflow guard as hllHashed
       .select(col("g"),
         expr("((_k % 2147483648L) * 2654435761L) % 4294967296L").as("_h0"))
       .select(col("g"), expr("_h0 ^ (_h0 div 65536)").as("_h1"))
       .select(col("g"), expr("(_h1 * 2146121005L) % 4294967296L").as("_h2"))
       .select(col("g"), expr("_h2 ^ (_h2 div 8192)").as("_h"))
       .distinct()
+
+  def kmvCompare(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashed = kmvHashed(df, groupCol, keyCol)
     val bottomK = udaf(graft.functions.TopKAgg(k))
     hashed
       .groupBy(col("g"))
@@ -308,6 +313,69 @@ object Sketches {
           .cast("long").as("kmv_est"))
       .withColumn("err_bp",
         expr("(kmv_est - exact_distinct) * 10000L div exact_distinct"))
+  }
+
+  /** KMV set-INTERSECTION estimates between every pair of groups — the
+    * sketch answer to "how much do these audiences overlap" when the
+    * exact pairwise distinct-join (q192's shape) is what you can't
+    * afford: per group keep the k smallest distinct hashes (one
+    * [[graft.functions.TopKAgg]] shuffle, k longs per group however big
+    * the group), then for each group pair merge the two sketches, take
+    * the k smallest of the union (θ = the k-th), and count how many of
+    * those are in BOTH sketches. Standard KMV algebra, all exact
+    * integers:
+    *
+    *  - jaccard_bp = n_common·10⁴ / n_k  (n_common of the combined
+    *    sketch's n_k values hit both sides);
+    *  - union_est = (k−1)·2³²/θ, or EXACT n_k when the merged sketch
+    *    holds < k values (both sketches saw their whole group);
+    *  - inter_est = jaccard · union_est.
+    *
+    * Everything after the per-group fold runs on |groups|·k rows —
+    * enum-sized groups make the pair stage metadata-scale, so the
+    * per-pair top-k window and the membership joins (broadcast) are
+    * bounded regardless of data size. */
+  def kmvIntersect(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val bottomK = udaf(graft.functions.TopKAgg(k))
+    val sk = kmvHashed(df, groupCol, keyCol)
+      .groupBy(col("g")).agg(bottomK(negate(col("_h"))).as("_negs"))
+      .select(col("g"), explode(col("_negs")).as("_neg"))
+      .select(col("g"), (-col("_neg")).as("h"))
+    val gs = sk.select(col("g")).distinct()
+    val pairs = gs.select(col("g").as("g1"))
+      .join(broadcast(gs.select(col("g").as("g2"))), col("g1") < col("g2"))
+    val merged = pairs.join(broadcast(sk.select(col("g").as("g1"), col("h"))),
+        Seq("g1"))
+      .select(col("g1"), col("g2"), col("h"))
+      .union(pairs.join(broadcast(sk.select(col("g").as("g2"), col("h"))),
+          Seq("g2"))
+        .select(col("g1"), col("g2"), col("h")))
+      .distinct()
+    val topm = merged
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("g1"), col("g2")).orderBy(col("h"))))
+      .filter(col("_rn") <= k)
+    topm
+      .join(broadcast(sk.select(col("g").as("g1"), col("h"),
+        lit(1L).as("_inA"))), Seq("g1", "h"), "left")
+      .join(broadcast(sk.select(col("g").as("g2"), col("h"),
+        lit(1L).as("_inB"))), Seq("g2", "h"), "left")
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_k"), max(col("h")).as("_theta"),
+        sum(when(col("_inA") === 1L && col("_inB") === 1L, 1L)
+          .otherwise(0L)).as("n_common"))
+      .withColumn("union_est",
+        when(col("n_k") < k, col("n_k"))
+          .otherwise(expr(s"(${k - 1}L * 4294967296L) div _theta"))
+          .cast("long"))
+      .select(col("g1"), col("g2"), col("n_k"), col("n_common"),
+        expr("CAST(n_common * 10000 div n_k AS BIGINT)").as("jaccard_bp"),
+        col("union_est"),
+        expr("CAST(n_common * union_est div n_k AS BIGINT)")
+          .as("inter_est"))
   }
 
   def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,

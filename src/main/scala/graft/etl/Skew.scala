@@ -39,4 +39,24 @@ object Skew {
       explode(sequence(lit(0L), lit(salts - 1L))))
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Salting PLANNER — the measurement step before [[saltedCount]] /
+    * [[saltedJoin]] commit to a salt factor (same planning-first family
+    * as the LSH band planner and the blocking-key profiler): one
+    * combiner-friendly count per key, then per key the salt factor
+    * `⌈n / targetPerTask⌉` that caps any one (key, salt) reducer at
+    * `targetPerTask` rows, and the residual per-task row count that
+    * factor actually achieves. `is_hot` marks the keys that need
+    * salting at all — on a healthy key distribution the plan is all 1s
+    * and the operator should skip salting entirely (the two-stage
+    * shuffle is pure overhead then). */
+  def saltPlan(df: DataFrame, key: Column,
+      targetPerTask: Long): DataFrame = {
+    require(targetPerTask > 0, "targetPerTask must be positive")
+    df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+      .withColumn("salt",
+        expr(s"(n + ${targetPerTask - 1}L) div ${targetPerTask}L"))
+      .withColumn("max_task_rows", expr("(n + salt - 1) div salt"))
+      .withColumn("is_hot", (col("salt") > 1L).cast("boolean"))
+  }
 }

@@ -511,6 +511,43 @@ object Curation {
       .orderBy($"block_key")
   }
 
+  /** Sorted-neighborhood window profile
+    * ([[graft.etl.Linkage.sortedNeighborhoodPairs]]): part names in
+    * lexical order, candidate pairs within 10 positions, rolled up per
+    * rank gap — candidates, matches within Levenshtein 2 (rides the
+    * banded LevThresholdRewrite), match density in bp. The decay of
+    * match_bp over gap is the number that justifies (or shrinks) the
+    * window width before an SN dedup commits to it. The ordering comes
+    * from the range-partitioned [[graft.etl.Layout.globalRank]] — no
+    * single-partition window — and the sliding window is a bucketed
+    * equi-join, O(n·w) total. */
+  def q354SortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Linkage.sortedNeighborhoodPairs(
+        graft.Tables.part(spark, dir).select($"p_partkey", $"p_name"),
+        "p_partkey", Seq("p_name"), w = 10, carry = Seq("p_name"))
+      .groupBy($"gap")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(levenshtein($"a_p_name", $"b_p_name") <= 2, 1L)
+          .otherwise(0L)).as("n_match"))
+      .select($"gap", $"n_pairs", $"n_match",
+        expr("CAST(n_match * 10000 div n_pairs AS BIGINT)").as("match_bp"))
+      .orderBy($"gap")
+  }
+
+  /** Pairwise audience-overlap estimates from KMV sketches
+    * ([[graft.etl.Sketches.kmvIntersect]]): per event type keep the 64
+    * smallest distinct user-id hashes; every pair of types gets
+    * Jaccard, union and intersection estimates from the merged sketch —
+    * the sketch answer to q192's exact overlap, one bounded-buffer
+    * shuffle instead of a pairwise distinct join. */
+  def q357KmvIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Sketches.kmvIntersect(
+        graft.Tables.events(spark, dir), "event_type", "user_id", k = 64)
+      .orderBy($"g1", $"g2")
+  }
+
   def q237LinkageScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = graft.Tables.part(spark, dir).select(
@@ -538,6 +575,8 @@ object Curation {
     "q351_fuzzy_resolve" -> q351FuzzyResolve _,
     "q352_blocking_audit" -> q352BlockingAudit _,
     "q353_block_profile" -> q353BlockProfile _,
+    "q354_sorted_neighborhood" -> q354SortedNeighborhood _,
+    "q357_kmv_intersect" -> q357KmvIntersect _,
     "q227_golden_record" -> q227GoldenRecord _,
     "q225_fingerprint_clusters" -> q225FingerprintClusters _,
     "q199_kmv" -> q199Kmv _,
@@ -564,6 +603,57 @@ object Curation {
     "q118_pmi_bigrams" -> q118PmiBigrams _)
 
   val oracleSql: Map[String, String] = Map(
+    "q354_sorted_neighborhood" -> """
+      |WITH r AS (
+      |  SELECT p_partkey AS id, p_name AS nm,
+      |    row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+      |  FROM part),
+      |pairs AS (
+      |  SELECT CAST(b.rk - a.rk AS BIGINT) AS gap,
+      |    CASE WHEN levenshtein(a.nm, b.nm) <= 2 THEN 1 ELSE 0 END AS m
+      |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 10)
+      |SELECT gap, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(m) AS BIGINT) AS n_match,
+      |  CAST(sum(m) * 10000 // count(*) AS BIGINT) AS match_bp
+      |FROM pairs GROUP BY gap ORDER BY gap""".stripMargin,
+    "q357_kmv_intersect" -> """
+      |WITH h0 AS (SELECT DISTINCT event_type AS g,
+      |              ((user_id % 2147483648) * 2654435761) % 4294967296 AS h
+      |            FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
+      |h1 AS (SELECT g, xor(h, h // 65536) AS h FROM h0),
+      |h2 AS (SELECT g, (h * 2146121005) % 4294967296 AS h FROM h1),
+      |hh AS (SELECT DISTINCT g, xor(h, h // 8192) AS h FROM h2),
+      |sk AS (SELECT g, h FROM (
+      |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      |    FROM hh) WHERE rn <= 64),
+      |gs AS (SELECT DISTINCT g FROM sk),
+      |pairs AS (SELECT a.g AS g1, b.g AS g2 FROM gs a JOIN gs b ON a.g < b.g),
+      |m AS (SELECT DISTINCT g1, g2, h FROM (
+      |    SELECT p.g1, p.g2, s.h FROM pairs p JOIN sk s ON s.g = p.g1
+      |    UNION ALL
+      |    SELECT p.g1, p.g2, s.h FROM pairs p JOIN sk s ON s.g = p.g2)),
+      |tm AS (SELECT g1, g2, h FROM (
+      |    SELECT g1, g2, h,
+      |      row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+      |    FROM m) WHERE rn <= 64),
+      |fl AS (SELECT t.g1, t.g2, t.h,
+      |         CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+      |              THEN 1 ELSE 0 END AS c
+      |       FROM tm t
+      |       LEFT JOIN sk a ON a.g = t.g1 AND a.h = t.h
+      |       LEFT JOIN sk b ON b.g = t.g2 AND b.h = t.h),
+      |agg AS (SELECT g1, g2, CAST(count(*) AS BIGINT) AS n_k,
+      |          max(h) AS theta, CAST(sum(c) AS BIGINT) AS n_common
+      |        FROM fl GROUP BY 1, 2),
+      |u AS (SELECT g1, g2, n_k, n_common,
+      |        CAST(CASE WHEN n_k < 64 THEN n_k
+      |             ELSE (63 * 4294967296) // theta END AS BIGINT) AS union_est
+      |      FROM agg)
+      |SELECT g1, g2, n_k, n_common,
+      |  CAST(n_common * 10000 // n_k AS BIGINT) AS jaccard_bp,
+      |  union_est,
+      |  CAST(n_common * union_est // n_k AS BIGINT) AS inter_est
+      |FROM u ORDER BY g1, g2""".stripMargin,
     "q353_block_profile" -> """
       |WITH ks AS (
       |  SELECT 'brand' AS block_key, p_brand AS k FROM part

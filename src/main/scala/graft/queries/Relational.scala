@@ -543,6 +543,39 @@ object Relational {
       .orderBy($"lang", $"bin")
   }
 
+  /** Q355 — zone-map pruning audit ([[graft.etl.Layout.zonemapAudit]]):
+    * three candidate lineitem layouts (arrival order, shipdate-sorted,
+    * partkey-sorted) cut into 64 rank-contiguous shards; for three
+    * 30-day shipdate windows, how many shards' min/max zones a reader
+    * would have to open. The measured case for rewriting the table
+    * shipdate-first before committing the 100 TB rewrite. */
+  def q355ZonemapAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select(
+      datediff(to_date($"l_shipdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("sd"),
+      $"l_orderkey", $"l_linenumber", $"l_partkey")
+    graft.etl.Layout.zonemapAudit(li, Seq(
+        "natural" -> Seq("l_orderkey", "l_linenumber"),
+        "by_shipdate" -> Seq("sd", "l_orderkey", "l_linenumber"),
+        "by_partkey" -> Seq("l_partkey", "l_orderkey", "l_linenumber")),
+      "sd", Seq((8400L, 8430L), (9200L, 9230L), (10000L, 10030L)),
+      nShards = 64)
+      .orderBy($"layout", $"p_lo")
+  }
+
+  /** Q356 — salting planner ([[graft.etl.Skew.saltPlan]]) for the
+    * events stream keyed by event type: per key, the salt factor that
+    * caps any one (key, salt) reducer at 500 rows and the residual
+    * per-task load it achieves — measured before q57/q58's salted
+    * operators commit to a factor. */
+  def q356SaltPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Skew.saltPlan(Tables.events(spark, dir), $"event_type",
+        targetPerTask = 500L)
+      .orderBy($"key")
+  }
+
   /** Q301 — fixed-basket Laspeyres price index per month
     * ([[graft.etl.Analytics.priceIndex]]): part-level minimum unit
     * prices against base-month quantities over the matched basket — the
@@ -821,6 +854,8 @@ object Relational {
     "q81_zorder" -> q81Zorder _,
     "q251_hilbert" -> q251Hilbert _,
     "q310_compaction_plan" -> q310CompactionPlan _,
+    "q355_zonemap_audit" -> q355ZonemapAudit _,
+    "q356_salt_plan" -> q356SaltPlan _,
     "q266_proximity_join" -> q266ProximityJoin _,
     "q301_price_index" -> q301PriceIndex _,
     "q302_eb_smoothing" -> q302EbSmoothing _,
@@ -837,6 +872,46 @@ object Relational {
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
     * round differently from Spark's double arithmetic. */
   val oracleSql: Map[String, String] = Map(
+    "q355_zonemap_audit" -> """
+      |WITH li AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', l_shipdate) AS sd,
+      |    l_orderkey, l_linenumber, l_partkey FROM lineitem),
+      |tot AS (SELECT count(*) AS t FROM li),
+      |pr AS (SELECT * FROM (VALUES (8400, 8430), (9200, 9230),
+      |        (10000, 10030)) v(p_lo, p_hi)),
+      |lay AS (
+      |  SELECT 'natural' AS layout,
+      |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rk, sd
+      |  FROM li
+      |  UNION ALL
+      |  SELECT 'by_shipdate',
+      |    row_number() OVER (ORDER BY sd, l_orderkey, l_linenumber), sd
+      |  FROM li
+      |  UNION ALL
+      |  SELECT 'by_partkey',
+      |    row_number() OVER (ORDER BY l_partkey, l_orderkey, l_linenumber),
+      |    sd
+      |  FROM li),
+      |z AS (SELECT layout, (rk - 1) * 64 // t AS shard,
+      |        min(sd) AS lo, max(sd) AS hi
+      |      FROM lay, tot GROUP BY 1, 2)
+      |SELECT z.layout, CAST(p.p_lo AS BIGINT) AS p_lo,
+      |  CAST(p.p_hi AS BIGINT) AS p_hi,
+      |  CAST(count(*) AS BIGINT) AS n_shards,
+      |  CAST(sum(CASE WHEN z.hi >= p.p_lo AND z.lo <= p.p_hi
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS shards_scanned,
+      |  CAST(sum(CASE WHEN z.hi >= p.p_lo AND z.lo <= p.p_hi
+      |           THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS scan_bp
+      |FROM pr p CROSS JOIN z
+      |GROUP BY 1, 2, 3 ORDER BY layout, p_lo""".stripMargin,
+    "q356_salt_plan" -> """
+      |WITH c AS (SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n
+      |           FROM events GROUP BY 1)
+      |SELECT key, n, CAST((n + 499) // 500 AS BIGINT) AS salt,
+      |  CAST((n + (n + 499) // 500 - 1) // ((n + 499) // 500) AS BIGINT)
+      |    AS max_task_rows,
+      |  (n + 499) // 500 > 1 AS is_hot
+      |FROM c ORDER BY key""".stripMargin,
     "q310_compaction_plan" -> """
       |WITH c AS (
       |  SELECT lang, doc_id, n_chars,

@@ -61,4 +61,22 @@ class SkewAqeSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("saltPlan: ceil factors, residual task load, hot flags") {
+    import spark.implicits._
+    val df = (Seq.fill(2500)("hot") ++ Seq.fill(500)("warm") ++
+      Seq.fill(7)("cold")).toDF("k")
+    val got = graft.etl.Skew.saltPlan(df, $"k", targetPerTask = 500L)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got("hot") == (2500L, 5L, 500L, true))
+    assert(got("warm") == (500L, 1L, 500L, false))
+    assert(got("cold") == (7L, 1L, 7L, false))
+    // 2501 rows need a 6th salt; residual load rebalances to ceil(2501/6)
+    val bumped = graft.etl.Skew
+      .saltPlan(df.union(Seq("hot").toDF("k")), $"k", 500L)
+      .filter($"key" === "hot").collect().head
+    assert(bumped.getLong(2) == 6L && bumped.getLong(3) == 417L)
+  }
 }

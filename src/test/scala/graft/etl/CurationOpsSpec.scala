@@ -535,6 +535,28 @@ class CurationOpsSpec extends SparkSpec {
       .orderBy($"g").as[(String, Long, Long, Long)].collect().toSeq
     assert(got2 == got)
   }
+
+  test("kmvIntersect: exact below k, zero-overlap estimate path, ordering") {
+    import spark.implicits._
+    // a = b = {1..40}, c = {101..140} disjoint, d = half-a half-c
+    val df = ((1L to 40L).map(("a", _)) ++ (1L to 40L).map(("b", _)) ++
+      (101L to 140L).map(("c", _)) ++
+      ((1L to 20L) ++ (101L to 120L)).map(("d", _))).toDF("g", "k")
+    val out = Sketches.kmvIntersect(df, "g", "k", k = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(out.size == 6 && out.keySet.forall { case (x, y) => x < y })
+    // identical 40-key groups: merged sketch < k → everything exact
+    assert(out(("a", "b")) == (40L, 40L, 10000L, 40L, 40L))
+    // half-overlap, union 60 < k → exact jaccard 20/60, intersection 20
+    assert(out(("a", "d")) == (60L, 20L, 3333L, 60L, 20L))
+    assert(out(("c", "d")) == (60L, 20L, 3333L, 60L, 20L))
+    // disjoint, union 80 > k → estimate path: no common, positive union
+    val (nk, common, jacc, union, inter) = out(("a", "c"))
+    assert(nk == 64L && common == 0L && jacc == 0L && inter == 0L)
+    assert(union > 0L)
+  }
   test("zipfFit: exact OLS over floored-log rank/frequency pairs") {
     // one lang; freqs 8,4,2 at ranks 1,2,3 -> x=(0,1,1), y=(3,2,1)
     // n=3 sx=2 sy=6 sxy=3 sxx=2 -> num = 9-12 = -3, den = 6-4 = 2

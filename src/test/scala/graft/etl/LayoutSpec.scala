@@ -139,4 +139,40 @@ class LayoutSpec extends SparkSpec {
         r.getLong(3))).toSet)
   }
 
+  test("globalRank: permutation of 1..n equal to a single-order row_number") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // duplicate-heavy sort key + extra carry column (the carry is what
+    // broke the two-branch form: different pruning per branch)
+    val rows = (1L to 500L).map(i =>
+      (i, rnd.nextInt(20).toLong, s"payload_$i"))
+    val df = rows.toDF("id", "k", "carry")
+    val got = Layout.globalRank(df, Seq(col("k"), col("id")), "rk",
+        nParts = 7)
+      .select($"id", $"rk").as[(Long, Long)].collect().toMap
+    val want = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case (r, i) => r._1 -> (i + 1L) }.toMap
+    assert(got == want)
+  }
+
+  test("zonemapAudit: sorted layout prunes, shuffled layout scans all") {
+    import spark.implicits._
+    // values 0..999 with a scrambled second ordering
+    val df = (0L until 1000L).map(i => (i, (i * 541L) % 1000L, i))
+      .toDF("v", "scrambled", "id")
+    val out = Layout.zonemapAudit(df, Seq(
+        "by_v" -> Seq("v", "id"),
+        "shuffled" -> Seq("scrambled", "id")),
+      "v", Seq((100L, 149L)), nShards = 20).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // sorted layout: 50 target rows live in exactly one 50-row shard
+    // (rows 100..149 = shard 2 of 20)
+    assert(out("by_v") == (20L, 1L, 500L))
+    // multiplicative scramble spreads every value range over all shards
+    assert(out("shuffled")._1 == 20L)
+    assert(out("shuffled")._2 == 20L)
+    assert(out("shuffled")._3 == 10000L)
+  }
+
 }

@@ -72,6 +72,34 @@ class LinkageSpec extends SparkSpec {
     assert(out("word") == (5L, 2L, 4L, 6L, 8000L))
   }
 
+  test("sortedNeighborhoodPairs: exact window pairs incl. bucket crossings") {
+    val df = ('a' to 'j').zipWithIndex
+      .map { case (c, i) => (i.toLong + 1L, c.toString, s"x$i") }
+      .toDF("id", "k", "extra")
+    val got = Linkage.sortedNeighborhoodPairs(df, "id", Seq("k"), w = 3,
+        carry = Seq("extra"))
+      .select(col("a_id"), col("b_id"), col("gap"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ranks are 1..10 in id order; w=3 → gaps 1 and 2, 9 + 8 pairs,
+    // including every bucket-boundary crossing (3|4, 6|7, 9|10)
+    val want = (1L to 9L).map(i => (i, i + 1, 1L)).toSet ++
+      (1L to 8L).map(i => (i, i + 2, 2L)).toSet
+    assert(got == want)
+    // carry columns ride along under a_/b_ prefixes
+    val cols = Linkage.sortedNeighborhoodPairs(df, "id", Seq("k"), w = 3,
+      carry = Seq("extra")).columns.toSet
+    assert(cols == Set("a_id", "a_extra", "b_id", "b_extra", "gap"))
+  }
+
+  test("sortedNeighborhoodPairs plan: bucketed equi-join, no cartesian") {
+    val df = ('a' to 'j').zipWithIndex
+      .map { case (c, i) => (i.toLong + 1L, c.toString) }.toDF("id", "k")
+    val plan = Linkage.sortedNeighborhoodPairs(df, "id", Seq("k"), w = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("plan: block equi-join (no cartesian), thresholded lev, partial agg") {
     val left = Seq((1L, "b", "abc")).toDF("id", "blk", "name")
     val p = Linkage.fuzzyBestMatch(left, left, "blk", "id", "name",
