@@ -139,17 +139,27 @@ object Layout {
     *
     * Cost: one ranked pass per layout (layouts are enum-sized), then
     * zone/predicate work on nShards-row frames. `(rank−1)·nShards` is
-    * long arithmetic: safe to ~1.4e17 rows at nShards=64. */
+    * long arithmetic: safe to ~1.4e17 rows at nShards=64.
+    *
+    * The row total is ONE driver-side `count()` on the input, shared by
+    * all layouts — an inline `crossJoin(broadcast(agg))` would put the
+    * total in a second plan branch under the rank, and because the rank
+    * is an RDD (exchange reuse can't see through it) that branch would
+    * re-run the whole range-sort-index pipeline per layout (measured 2×
+    * on q355). Each layout is also pruned to its sort keys + the filter
+    * column before ranking: rank shuffles bytes, carry nothing. */
   def zonemapAudit(df: DataFrame, layouts: Seq[(String, Seq[String])],
       filterCol: String, preds: Seq[(Long, Long)],
       nShards: Int = 64): DataFrame = {
     require(layouts.nonEmpty && preds.nonEmpty && nShards >= 1)
     val predRows = preds.map { case (lo, hi) => (lo, hi) }
+    val tot = df.count()
     layouts.map { case (name, sortCols) =>
-      val ranked = globalRank(df, sortCols.map(col), "_rk")
+      val needed = (sortCols :+ filterCol).distinct
+      val ranked = globalRank(df.select(needed.map(col): _*),
+        sortCols.map(col), "_rk")
       val zones = ranked
-        .crossJoin(broadcast(ranked.agg(count(lit(1)).as("_tot"))))
-        .withColumn("_shard", expr(s"(_rk - 1) * $nShards div _tot"))
+        .withColumn("_shard", expr(s"(_rk - 1) * $nShards div ${tot}L"))
         .groupBy(col("_shard"))
         .agg(min(col(filterCol)).as("_lo"), max(col(filterCol)).as("_hi"))
       val spark = df.sparkSession
