@@ -437,4 +437,81 @@ object Vocab {
     }
     matches.groupBy(col(idCol)).agg(count(lit(1)).as("n_matches"))
   }
+
+  /** Iterative BPE merge training — the loop q120's single pair-count
+    * round feeds: per round, pick the globally most frequent adjacent
+    * symbol pair (count weighted by word frequency, ties to the
+    * lexicographically smallest (a, b)), merge it throughout the
+    * vocabulary, and report the merge plus the corpus token count the
+    * merged vocabulary implies. Output: one row per executed round —
+    * `(round, sym_a, sym_b, pair_n, corpus_tokens)`.
+    *
+    * Scale shape: the only corpus-sized work is ONE word-count shuffle;
+    * every round after that runs on the cached DISTINCT-WORD table
+    * (vocabulary-sized, bounded by |vocab|, not |corpus|). The per-round
+    * argmax is orderBy+limit(1) (TakeOrderedAndProject) and its single
+    * row is collected to the driver — a bounded scalar per round, the
+    * same legitimacy class as the IVF centroid pull — so the merge is a
+    * literal codegen'd `replace` and round r never re-executes rounds
+    * 1..r−1 as joins.
+    *
+    * Conventions (pinned so the DuckDB oracle is bit-identical):
+    *  - symbols are space-delimited inside a space-bounded string
+    *    (words come from whitespace tokenization, so no symbol can
+    *    contain the delimiter);
+    *  - `pair_n` counts ALL adjacent occurrences, overlapping included
+    *    (standard BPE counting: `a a a` contributes (a,a) twice);
+    *  - the merge rewrites leftmost NON-overlapping delimited
+    *    occurrences in one pass (both engines' literal `replace`):
+    *    in a run like `a a a` only the first pair merges this round —
+    *    the remainder merges in a later round. Reference BPE
+    *    implementations differ here (they re-scan greedily within the
+    *    round); the one-pass form is deterministic and identical across
+    *    engines, which is what the oracle gate needs. */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in 1..16: $rounds")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(Corpus.tokensOf(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), concat_ws(" ", expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+        lit(" ")).as("rep"), col("freq"))
+      .cache()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Long)]
+    try {
+      var rep: Column = col("rep")
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val syms = split(trim(rep), " ")
+        val top = words
+          .select(col("freq"), explode(zip_with(
+            slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1),
+            (x, y) => concat_ws(" ", x, y))).as("pair"))
+          .select(col("freq"),
+            substring_index(col("pair"), " ", 1).as("a"),
+            substring_index(col("pair"), " ", -1).as("b"))
+          .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, n) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          rep = call_function("replace", rep,
+            lit(s" $a $b "), lit(s" $a$b "))
+          val toks = words
+            .agg(sum(col("freq") * size(split(trim(rep), " ")).cast("long")))
+            .head().getLong(0)
+          out += ((r.toLong, a, b, n, toks))
+          r += 1
+        }
+      }
+    } finally words.unpersist(blocking = false)
+    import spark.implicits._
+    out.toSeq.toDF("round", "sym_a", "sym_b", "pair_n", "corpus_tokens")
+  }
 }

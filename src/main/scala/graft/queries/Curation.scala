@@ -222,6 +222,63 @@ object Curation {
       .orderBy($"cnt".desc, $"pair").limit(20)
   }
 
+  // ------------------------------------------------- q358 bpe trainer
+
+  /** Iterative BPE merge training ([[graft.etl.Vocab.bpeTrain]]): four
+    * rounds of globally-most-frequent adjacent-pair merges over the
+    * corpus vocabulary, each row reporting the merged pair, its weighted
+    * count, and the corpus token count the merged vocabulary implies —
+    * the loop q120's single counting round feeds. Corpus-sized work is
+    * one word-count shuffle; the rounds run on the vocabulary table. */
+  def q358BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Vocab.bpeTrain(Tables.documents(spark, dir), "text",
+        rounds = 4)
+      .orderBy($"round")
+  }
+
+  /** Unrolled DuckDB twin of [[graft.etl.Vocab.bpeTrain]]: one
+    * (pairs → top-1 → replace) CTE block per round, all MATERIALIZED
+    * (DuckDB inlines CTEs otherwise — round N would re-expand every
+    * prior round). The empty-pair edge degrades identically: an empty
+    * top-1 makes the next round's cross join empty, so rows are simply
+    * absent, matching the operator's early stop. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val base = s"""
+      |WITH w0 AS MATERIALIZED (
+      |  SELECT ' ' || array_to_string(list_transform(
+      |           generate_series(1, length(w)), i -> substring(w, i, 1)),
+      |           ' ') || ' ' AS rep,
+      |         CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY 1)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""
+      |p$r AS MATERIALIZED (
+      |  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
+      |         freq
+      |  FROM (SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+      |            i -> s[i] || ' ' || s[i + 1])) AS pair, freq
+      |        FROM (SELECT string_split(trim(rep), ' ') AS s, freq
+      |              FROM w${r - 1}))),
+      |t$r AS MATERIALIZED (
+      |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+      |  FROM p$r GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+      |w$r AS MATERIALIZED (
+      |  SELECT replace(rep, ' ' || t.a || ' ' || t.b || ' ',
+      |           ' ' || t.a || t.b || ' ') AS rep, freq
+      |  FROM w${r - 1}, t$r t)""".stripMargin
+    }.mkString(",", ",", "")
+    val rows = (1 to rounds).map { r =>
+      s"""
+      |SELECT CAST($r AS BIGINT) AS round, a AS sym_a, b AS sym_b,
+      |  cnt AS pair_n,
+      |  (SELECT CAST(sum(freq * len(string_split(trim(rep), ' ')))
+      |     AS BIGINT) FROM w$r) AS corpus_tokens
+      |FROM t$r""".stripMargin
+    }.mkString("\nUNION ALL")
+    base + roundCtes + rows + "\nORDER BY round"
+  }
+
   // -------------------------------------------- q121 winsorized stats
 
   /** Interquartile-winsorized sums per order priority
@@ -587,6 +644,7 @@ object Curation {
     "q172_hist_quantiles" -> q172HistQuantiles _,
     "q119_decontaminate" -> q119Decontaminate _,
     "q120_bpe_pairs" -> q120BpePairs _,
+    "q358_bpe_train" -> q358BpeTrain _,
     "q121_winsorized" -> q121Winsorized _,
     "q122_mode" -> q122Mode _,
     "q123_bitmap_distinct" -> q123BitmapDistinct _,
@@ -967,6 +1025,7 @@ object Curation {
       |         AS contaminated
       |FROM documents d LEFT JOIN hits h USING (doc_id)
       |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "q358_bpe_train" -> bpeOracleSql(4),
     "q120_bpe_pairs" -> s"""
       |WITH w AS (SELECT x AS w, count(*) AS freq
       |           FROM (SELECT doc_id, unnest($toksSql) AS x FROM documents)

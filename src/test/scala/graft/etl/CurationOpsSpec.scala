@@ -557,6 +557,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(nk == 64L && common == 0L && jacc == 0L && inter == 0L)
     assert(union > 0L)
   }
+  test("bpeTrain: weighted argmax, merge cascade, token curve, early stop") {
+    import spark.implicits._
+    // words: "aa" x2, "ab" x1 → round 1 merges (a,a) with weight 2;
+    // round 2 merges the remaining (a,b); round 3 finds no pairs → stop
+    val got = Vocab.bpeTrain(Seq("aa ab", "aa").toDF("text"), "text", 3)
+      .orderBy("round")
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", "a", 2L, 4L), (2L, "a", "b", 1L, 3L)))
+  }
+
+  test("bpeTrain: overlap counting vs one-pass leftmost merge convention") {
+    import spark.implicits._
+    // " a a a a ": (a,a) counted 3 (overlaps), but one replace pass
+    // merges only the leftmost pair of the run → " aa a a "; the rest
+    // merges over later rounds (ties break to lexicographically least)
+    val got = Vocab.bpeTrain(Seq("aaaa").toDF("text"), "text", 4)
+      .orderBy("round")
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", "a", 3L, 3L), (2L, "a", "a", 1L, 2L),
+      (3L, "aa", "aa", 1L, 1L)))
+  }
+
   test("zipfFit: exact OLS over floored-log rank/frequency pairs") {
     // one lang; freqs 8,4,2 at ranks 1,2,3 -> x=(0,1,1), y=(3,2,1)
     // n=3 sx=2 sy=6 sxy=3 sxx=2 -> num = 9-12 = -3, den = 6-4 = 2
