@@ -222,6 +222,69 @@ object Curation {
       .orderBy($"cnt".desc, $"pair").limit(20)
   }
 
+  // ------------------------------------------- q359/q360 URL hygiene
+
+  /** Deterministic messy-URL synthesis from customer rows — mixed-case
+    * scheme/host, optional trailing slash, tracking parameters, and
+    * fragments keyed off c_custkey residues, so the canonicalizer has
+    * every noise class to strip. Shared by q359 and q360; the oracle SQL
+    * rebuilds the identical strings. */
+  private def messyUrls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir).select(concat(
+      when($"c_custkey" % 3 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      when($"c_custkey" % 6 < 3, lit("Shop-")).otherwise(lit("shop-")),
+      ($"c_custkey" % 20).cast("string"),
+      lit(".Example.com/seg/"), lower($"c_mktsegment"),
+      when($"c_custkey" % 2 === 0, lit("/")).otherwise(lit("")),
+      lit("?id="), ($"c_custkey" % 100).cast("string"),
+      when($"c_custkey" % 4 === 0, lit("&utm_source=mail&utm_campaign=x"))
+        .otherwise(lit("")),
+      when($"c_custkey" % 7 === 0, lit("&ref=feed")).otherwise(lit("")),
+      when($"c_custkey" % 5 === 0, lit("#frag")).otherwise(lit("")))
+      .as("url"))
+  }
+
+  /** DuckDB twin of [[messyUrls]] — must build byte-identical strings. */
+  private val messyUrlsSql: String =
+    "SELECT (CASE WHEN c_custkey % 3 = 0 THEN 'HTTPS://' " +
+    "ELSE 'https://' END) || " +
+    "(CASE WHEN c_custkey % 6 < 3 THEN 'Shop-' ELSE 'shop-' END) || " +
+    "CAST(c_custkey % 20 AS VARCHAR) || " +
+    "'.Example.com/seg/' || lower(c_mktsegment) || " +
+    "(CASE WHEN c_custkey % 2 = 0 THEN '/' ELSE '' END) || " +
+    "'?id=' || CAST(c_custkey % 100 AS VARCHAR) || " +
+    "(CASE WHEN c_custkey % 4 = 0 THEN '&utm_source=mail&utm_campaign=x' " +
+    "ELSE '' END) || " +
+    "(CASE WHEN c_custkey % 7 = 0 THEN '&ref=feed' ELSE '' END) || " +
+    "(CASE WHEN c_custkey % 5 = 0 THEN '#frag' ELSE '' END) AS url " +
+    "FROM customer"
+
+  /** URL canonicalization dedup audit ([[graft.etl.Web.urlDedupAudit]]):
+    * per host, raw URLs vs distinct canonical pages and the crawl-noise
+    * share in bp — how much of the crawl is case/tracking/fragment noise
+    * rather than content. */
+  def q359UrlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Web.urlDedupAudit(messyUrls(spark, dir), "url")
+      .orderBy($"host")
+  }
+
+  /** Domain blocklist audit ([[graft.etl.Web.blocklistAudit]]): hosts
+    * matched against a registrable-domain list via their bounded
+    * dot-suffix chains; each host counts only under its most specific
+    * entry, and zero-match entries still report. */
+  def q360DomainBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hosts = messyUrls(spark, dir).select(
+      regexp_extract(lower($"url"),
+        "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1).as("host"))
+    graft.etl.Web.blocklistAudit(hosts, "host", Seq(
+        "example.com", "shop-3.example.com", "shop-7.example.com",
+        "blocked.net"))
+      .orderBy($"entry")
+  }
+
   // ------------------------------------------------- q358 bpe trainer
 
   /** Iterative BPE merge training ([[graft.etl.Vocab.bpeTrain]]): four
@@ -645,6 +708,8 @@ object Curation {
     "q119_decontaminate" -> q119Decontaminate _,
     "q120_bpe_pairs" -> q120BpePairs _,
     "q358_bpe_train" -> q358BpeTrain _,
+    "q359_url_canonical" -> q359UrlCanonical _,
+    "q360_domain_blocklist" -> q360DomainBlocklist _,
     "q121_winsorized" -> q121Winsorized _,
     "q122_mode" -> q122Mode _,
     "q123_bitmap_distinct" -> q123BitmapDistinct _,
@@ -1026,6 +1091,57 @@ object Curation {
       |FROM documents d LEFT JOIN hits h USING (doc_id)
       |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
     "q358_bpe_train" -> bpeOracleSql(4),
+    "q359_url_canonical" -> s"""
+      |WITH u AS ($messyUrlsSql),
+      |c AS (
+      |  SELECT
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |      AS scheme,
+      |    lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+      |    regexp_replace(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '')
+      |      AS path,
+      |    array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p,
+      |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&') AS kept
+      |  FROM u),
+      |k AS (
+      |  SELECT host,
+      |    CASE WHEN scheme = '' OR host = '' THEN ''
+      |         ELSE scheme || '://' || host || path ||
+      |              CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+      |    END AS canon
+      |  FROM c)
+      |SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+      |  CAST((count(*) - count(DISTINCT canon)) * 10000 // count(*)
+      |    AS BIGINT) AS dup_bp
+      |FROM k WHERE canon <> '' GROUP BY host ORDER BY host""".stripMargin,
+    "q360_domain_blocklist" -> s"""
+      |WITH u AS ($messyUrlsSql),
+      |h AS (SELECT regexp_extract(lower(url),
+      |        '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host FROM u),
+      |b AS (SELECT * FROM (VALUES ('example.com'), ('shop-3.example.com'),
+      |        ('shop-7.example.com'), ('blocked.net')) v(entry)),
+      |ph AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls
+      |       FROM h GROUP BY 1),
+      |sfx AS (SELECT host, unnest(list_transform(
+      |          generate_series(1, len(string_split(host, '.'))),
+      |          i -> array_to_string(string_split(host, '.')[i:], '.')))
+      |          AS sfx
+      |        FROM ph),
+      |m AS (SELECT host, entry FROM (
+      |        SELECT s.host, b.entry, row_number() OVER (
+      |          PARTITION BY s.host ORDER BY length(b.entry) DESC) AS rn
+      |        FROM sfx s JOIN b ON s.sfx = b.entry) WHERE rn = 1),
+      |agg AS (SELECT m.entry, CAST(count(*) AS BIGINT) AS n_hosts,
+      |          CAST(sum(ph.n_urls) AS BIGINT) AS n_urls
+      |        FROM m JOIN ph USING (host) GROUP BY 1)
+      |SELECT b.entry, CAST(coalesce(agg.n_hosts, 0) AS BIGINT) AS n_hosts,
+      |  CAST(coalesce(agg.n_urls, 0) AS BIGINT) AS n_urls
+      |FROM b LEFT JOIN agg USING (entry) ORDER BY entry""".stripMargin,
     "q120_bpe_pairs" -> s"""
       |WITH w AS (SELECT x AS w, count(*) AS freq
       |           FROM (SELECT doc_id, unnest($toksSql) AS x FROM documents)
