@@ -706,4 +706,51 @@ object Corpus {
       .select(col(stratumCol), col("n_h"), col("weight"), col("alloc"),
         least(col("alloc"), col("n_h")).as("alloc_capped"))
   }
+
+  /** Line-level exact dedup (the CCNet-style boilerplate scrub that runs
+    * BEFORE document-level near-dup): every document is split on `\n`,
+    * each non-empty line's corpus-wide occurrence count is taken, and
+    * lines occurring more than `maxDf` times — nav bars, cookie banners,
+    * footers — are dropped from EVERY document (all copies, not
+    * keep-first: a line that common is boilerplate, not content). The
+    * surviving lines are reassembled in original order.
+    *
+    * Conventions (mirrored literally by the oracle): lines are matched
+    * byte-exact (no trim/case fold — normalize upstream if wanted);
+    * empty lines are dropped before counting and never count toward
+    * `n_lines`; a fully-scrubbed document reassembles to the empty
+    * string (its sha = sha256 of zero bytes), not NULL.
+    *
+    * Output per doc: `n_lines` (non-empty input lines), `n_kept`,
+    * `chars_kept` (newline separators excluded), and `clean_sha`
+    * (sha256 hex of the reassembled text) — the digest rather than the
+    * text so downstream compares stay narrow; callers wanting the text
+    * re-run the same plan minus the hash.
+    *
+    * Shape: one explode, one combiner-friendly line count, one equi-join
+    * back on the line, one per-doc fold — no self-joins, no windows. The
+    * line-count shuffle keys on the raw line string for cross-engine
+    * parity; a 100 TB run would key on xxhash64(line) and carry the
+    * string only through the map side (same plan, narrower exchange,
+    * collision odds ~n²/2⁶⁴). Per-doc collect_list is bounded by
+    * document size, the same bound chunkText already relies on. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Int): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1")
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(col("line") =!= "")
+    val freq = lines.groupBy(col("line")).agg(count(lit(1)).as("_df"))
+    lines.join(freq, Seq("line"))
+      .withColumn("_keep", col("_df") <= maxDf)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_keep"), length(col("line"))).otherwise(0L))
+          .as("chars_kept"),
+        sha2(concat_ws("\n", transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line"))), 256).as("clean_sha"))
+  }
 }

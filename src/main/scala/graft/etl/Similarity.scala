@@ -144,9 +144,20 @@ object Similarity {
   }
 
   private def ngramJaccardImpl(df: DataFrame, idCol: String, textCol: String,
-      n: Int, maxShingleFreq: Option[Int], materialize: Boolean): DataFrame = {
-    val sh0 = explodeShingles(df, idCol, textCol, n)
-    val sh = if (materialize) sh0.cache() else sh0
+      n: Int, maxShingleFreq: Option[Int], materialize: Boolean): DataFrame =
+    intersectionPairsFromTokens(explodeShingles(df, idCol, textCol, n),
+      maxShingleFreq, materialize)
+
+  /** The capped bucket-and-explode pair engine behind [[ngramJaccardPairs]]
+    * / [[containmentPairs]] / [[winnowOverlapPairs]], generic over any
+    * exploded (id, shingle) token frame: in-bucket pair emission bounded by
+    * the frequency cap, hot-token exact correction join, size assembly.
+    * Intersection counts are per (id, token) ROW — feed distinct tokens
+    * per id for set semantics. Same recall caveat as the callers: pairs
+    * sharing ONLY above-cap (boilerplate) tokens are not candidates. */
+  private[graft] def intersectionPairsFromTokens(tokens: DataFrame,
+      maxShingleFreq: Option[Int], materialize: Boolean): DataFrame = {
+    val sh = if (materialize) tokens.cache() else tokens
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
     // caches created in the capped branch, released after final assembly
     var branchCaches: List[DataFrame] = Nil
@@ -215,6 +226,37 @@ object Similarity {
       (sh :: branchCaches).foreach(_.unpersist())
       out
     }
+  }
+
+  /** Winnowing-fingerprint overlap pairs (the MOSS-style local-overlap
+    * detector): doc pairs sharing at least `minShared` winnow fingerprints
+    * ([[graft.functions.Text.winnow]]: k-char-gram rolling hashes,
+    * window-minima, distinct). Winnowing guarantees any shared substring
+    * of length ≥ k+window−1 leaves at least one common fingerprint, so
+    * this catches LOCAL verbatim overlap — a copied paragraph inside an
+    * otherwise-unrelated doc — that whole-doc Jaccard and MinHash dilute
+    * away; the position-based complement of [[containmentPairs]]' token-set
+    * test.
+    *
+    * `overlap_bp` = shared·10⁴ div min(n_fp) — the MOSS similarity,
+    * integer-exact. Fingerprinting is a per-doc sequential rolling hash
+    * (genuinely order-dependent, one of the few justified UDFs — same one
+    * q53 gates); candidate generation rides the exact same capped
+    * bucket-and-explode engine as [[ngramJaccardPairs]], with the same
+    * above-cap recall caveat (boilerplate fingerprints never pair-explode,
+    * their intersections are corrected exactly for pairs already found). */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, window: Int = 4, minShared: Int = 2,
+      maxFpFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame = {
+    val winnowUdf = udf((t: String) => graft.functions.Text.winnow(t, k, window))
+    val fps = docs.select(col(idCol).as("id"),
+      explode(winnowUdf(col(textCol))).as("shingle"))
+    intersectionPairsFromTokens(fps, maxFpFreq, materialize = false)
+      .filter(col("inter") >= minShared)
+      .select(col("id_a"), col("id_b"), col("inter").as("shared"),
+        col("size_a").as("n_fp_a"), col("size_b").as("n_fp_b"),
+        expr("CAST(inter * 10000 div least(size_a, size_b) AS BIGINT)")
+          .as("overlap_bp"))
   }
 
   // ---------- MinHash + LSH ----------

@@ -285,6 +285,44 @@ object Curation {
       .orderBy($"entry")
   }
 
+  // ------------------------------------------- q361 line-level dedup
+
+  /** Deterministic multi-line composite docs: each document's own text
+    * plus the texts of docs `doc_id % 97` and `doc_id % 13` as extra
+    * lines — the residue-shared lines are boilerplate by construction
+    * (the mod-13 line recurs in ~n/13 docs, the mod-97 line in ~n/97),
+    * giving [[graft.etl.Corpus.lineDedup]] a full frequency spectrum.
+    * Inner joins: composites whose residue doc is absent drop out, in
+    * both engines alike. */
+  private def compositeDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val b = d.select($"doc_id".as("_bid"), $"text".as("_bt"))
+      .filter($"_bid" < 97)
+    val c = d.select($"doc_id".as("_cid"), $"text".as("_ct"))
+      .filter($"_cid" < 13)
+    d.join(broadcast(b), $"doc_id" % 97 === $"_bid")
+      .join(broadcast(c), $"doc_id" % 13 === $"_cid")
+      .select($"doc_id", concat_ws("\n", $"text", $"_bt", $"_ct").as("text"))
+  }
+
+  private val compositeDocsSql: String =
+    "SELECT a.doc_id, a.text || chr(10) || b.text || chr(10) || c.text " +
+    "AS text FROM documents a " +
+    "JOIN documents b ON b.doc_id = a.doc_id % 97 " +
+    "JOIN documents c ON c.doc_id = a.doc_id % 13"
+
+  /** CCNet-style line-level boilerplate scrub
+    * ([[graft.etl.Corpus.lineDedup]], maxDf=10): per composite doc, the
+    * non-empty line count, survivors after dropping corpus-wide frequent
+    * lines, retained chars, and the sha256 of the reassembled text —
+    * digest-compared so the oracle proves byte-exact reassembly. */
+  def q361LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.lineDedup(compositeDocs(spark, dir), "doc_id", "text",
+      maxDf = 10).orderBy($"doc_id")
+  }
+
   // ------------------------------------------------- q358 bpe trainer
 
   /** Iterative BPE merge training ([[graft.etl.Vocab.bpeTrain]]): four
@@ -710,6 +748,7 @@ object Curation {
     "q358_bpe_train" -> q358BpeTrain _,
     "q359_url_canonical" -> q359UrlCanonical _,
     "q360_domain_blocklist" -> q360DomainBlocklist _,
+    "q361_line_dedup" -> q361LineDedup _,
     "q121_winsorized" -> q121Winsorized _,
     "q122_mode" -> q122Mode _,
     "q123_bitmap_distinct" -> q123BitmapDistinct _,
@@ -1142,6 +1181,24 @@ object Curation {
       |SELECT b.entry, CAST(coalesce(agg.n_hosts, 0) AS BIGINT) AS n_hosts,
       |  CAST(coalesce(agg.n_urls, 0) AS BIGINT) AS n_urls
       |FROM b LEFT JOIN agg USING (entry) ORDER BY entry""".stripMargin,
+    "q361_line_dedup" -> s"""
+      |WITH d AS ($compositeDocsSql),
+      |l0 AS (SELECT doc_id, unnest(list_transform(
+      |         generate_series(1, len(string_split(text, chr(10)))),
+      |         i -> {'pos': i, 'line': string_split(text, chr(10))[i]}))
+      |         AS s FROM d),
+      |l AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM l0
+      |      WHERE s.line <> ''),
+      |f AS (SELECT line, count(*) AS df FROM l GROUP BY 1),
+      |j AS (SELECT l.doc_id, l.pos, l.line, f.df <= 10 AS keep
+      |      FROM l JOIN f USING (line))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(coalesce(sum(CASE WHEN keep THEN length(line) END), 0)
+      |    AS BIGINT) AS chars_kept,
+      |  sha256(coalesce(string_agg(CASE WHEN keep THEN line END,
+      |    chr(10) ORDER BY pos), '')) AS clean_sha
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q120_bpe_pairs" -> s"""
       |WITH w AS (SELECT x AS w, count(*) AS freq
       |           FROM (SELECT doc_id, unnest($toksSql) AS x FROM documents)

@@ -190,6 +190,21 @@ object TrainingData {
       .orderBy($"doc_id")
   }
 
+  /** Local verbatim-overlap pairs via winnowing fingerprints
+    * ([[graft.etl.Similarity.winnowOverlapPairs]], k=16, window=12,
+    * minShared=3): doc pairs sharing ≥3 fingerprints, i.e. evidence of
+    * copied spans ≥ 27 chars — the MOSS-style detector whole-doc Jaccard
+    * dilutes away. k/window are sized to the corpus (k=5 fingerprints on
+    * the small-vocabulary synthetic text are near-universal and would
+    * pair everything); the oracle refolds the same rolling hash, window
+    * minima, and the engine's ≥1-below-cap candidate convention. */
+  def q362WinnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.winnowOverlapPairs(Tables.documents(spark, dir), "doc_id",
+        "text", k = 16, window = 12, minShared = 3)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Video frame-sampling plumbing (the partition-preserving explode
     * generator — no shuffle): documents stand in as video rows with a
     * deterministic duration; the REAL `Multimodal.sampleFrames` emits one
@@ -917,6 +932,7 @@ object TrainingData {
     "q51_ann_ivf" -> q51AnnIvf _,
     "q52_cosine_dups" -> q52CosineDups _,
     "q53_winnow" -> q53Winnow _,
+    "q362_winnow_overlap" -> q362WinnowOverlap _,
     "q54_frame_sample" -> q54FrameSample _,
     "q55_resize" -> q55Resize _,
     "q242_image_decode" -> q242ImageDecode _,
@@ -2533,6 +2549,45 @@ object TrainingData {
       |  list_max(fps) AS max_fp,
       |  CAST(list_sum(fps) AS BIGINT) AS sum_fp
       |FROM w ORDER BY doc_id""".stripMargin,
+    // Same winnow refold as q53 at k=16/window=12, then the pair engine's
+    // conventions: set intersection over distinct fingerprints, the
+    // >=1-below-cap candidate rule (has_kept — every bucket is far below
+    // 256 on the driver corpora, so this equals the exact pair set), and
+    // floored overlap_bp against the smaller fingerprint set.
+    "q362_winnow_overlap" -> """
+      |WITH g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) <= 15 THEN [text]
+      |         ELSE list_transform(range(1, length(text) - 14),
+      |                i -> substr(text, CAST(i AS INT), 16)) END AS grams
+      |  FROM documents WHERE length(text) > 0),
+      |h AS (
+      |  SELECT doc_id, list_transform(grams, s -> list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(split(s, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |    (a, c) -> (a*257 + c) % 2147483647)) AS hs
+      |  FROM g),
+      |w AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) <= 12 THEN [list_min(hs)]
+      |         ELSE list_distinct(list_transform(range(1, len(hs) - 10),
+      |                j -> list_min(hs[j:j+11]))) END AS fps
+      |  FROM h),
+      |e AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+      |s AS (SELECT doc_id, len(fps) AS n FROM w),
+      |f AS (SELECT fp, count(*) AS c FROM e GROUP BY 1),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        count(*) AS shared,
+      |        max(CASE WHEN f.c <= 256 THEN 1 ELSE 0 END) AS has_kept
+      |      FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |      JOIN f ON f.fp = a.fp
+      |      GROUP BY 1, 2)
+      |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+      |  CAST(sa.n AS BIGINT) AS n_fp_a, CAST(sb.n AS BIGINT) AS n_fp_b,
+      |  CAST(shared * 10000 // least(sa.n, sb.n) AS BIGINT) AS overlap_bp
+      |FROM p JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+      |WHERE shared >= 3 AND has_kept = 1
+      |ORDER BY id_a, id_b""".stripMargin,
     // sequence(0, dur, step) is inclusive of dur when divisible; DuckDB
     // range() excludes the stop, so stop = dur + 1.
     "q54_frame_sample" -> """

@@ -357,4 +357,35 @@ class CorpusSpec extends SparkSpec {
     assert(big.forall(_.getAs[Boolean]("capped")))
   }
 
+  test("lineDedup: frequent lines dropped everywhere, order-exact reassembly") {
+    import spark.implicits._
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "alpha\nFOOTER\nbeta"),
+      (2L, "FOOTER\ngamma"),
+      (3L, "FOOTER\n\ndelta\nFOOTER"),   // empty line + in-doc repeat
+      (4L, "FOOTER\nFOOTER"))            // fully boilerplate
+      .toDF("id", "text")
+    // FOOTER occurs 6x corpus-wide > maxDf=2 → dropped from every doc
+    val out = Corpus.lineDedup(docs, "id", "text", maxDf = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+         r.getAs[Long]("chars_kept"), r.getAs[String]("clean_sha"))).toMap
+    assert(out(1L) == (3L, 2L, 9L, sha("alpha\nbeta")))
+    assert(out(2L) == (2L, 1L, 5L, sha("gamma")))
+    // empty line never counted; both FOOTER copies dropped
+    assert(out(3L) == (3L, 1L, 5L, sha("delta")))
+    // fully scrubbed doc → empty string digest, not NULL
+    assert(out(4L) == (2L, 0L, 0L, sha("")))
+  }
+
+  test("lineDedup: lines at exactly maxDf survive") {
+    import spark.implicits._
+    val docs = Seq((1L, "x\ny"), (2L, "x\nz")).toDF("id", "text")
+    val out = Corpus.lineDedup(docs, "id", "text", maxDf = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_kept")).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L))
+  }
+
 }

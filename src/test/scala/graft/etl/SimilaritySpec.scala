@@ -220,6 +220,43 @@ class SimilaritySpec extends SparkSpec {
     assert(fa.nonEmpty)
   }
 
+  test("winnowOverlapPairs: shared span found, unrelated docs silent") {
+    import spark.implicits._
+    val span = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, "unique preamble one %s unique tail alpha".format(span)),
+      (2L, "different opening here %s and a different ending".format(span)),
+      (3L, "totally unrelated content with nothing in common zzz qqq"))
+      .toDF("doc_id", "text")
+    val out = Similarity.winnowOverlapPairs(docs, "doc_id", "text",
+      k = 8, window = 4, minShared = 2)
+    val rows = out.collect()
+    assert(rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet == Set((1L, 2L)))
+    val r = rows.head
+    // overlap_bp floored against the smaller fingerprint set
+    val expBp = r.getAs[Long]("shared") * 10000 /
+      math.min(r.getAs[Long]("n_fp_a"), r.getAs[Long]("n_fp_b"))
+    assert(r.getAs[Long]("overlap_bp") == expBp)
+    assert(r.getAs[Long]("shared") >= 2)
+  }
+
+  test("winnowOverlapPairs: matches a hand-built set intersection") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghijklmnopqrst"), (2L, "abcdefghijklmnopqrst"),
+      (3L, "abcdefghijk")).toDF("doc_id", "text")
+    // identical docs share ALL fingerprints; prefix doc shares some
+    val fa = Text.winnow("abcdefghijklmnopqrst", 5, 4).toSet
+    val fc = Text.winnow("abcdefghijk", 5, 4).toSet
+    val out = Similarity.winnowOverlapPairs(docs, "doc_id", "text",
+        k = 5, window = 4, minShared = 1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("shared")).toMap
+    assert(out((1L, 2L)) == fa.size)
+    assert(out.get((1L, 3L)) == (if (fa.intersect(fc).nonEmpty)
+      Some(fa.intersect(fc).size.toLong) else None))
+  }
+
   test("language id: marker tokens dominate, ties alphabetical") {
     assert(Text.languageId("the cat and the dog of a house")._1 == "en")
     assert(Text.languageId("de kat en het huis van een boom")._1 == "nl")
