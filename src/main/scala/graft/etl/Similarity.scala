@@ -460,6 +460,46 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Banded near-dup pairs over an integer perceptual-hash column
+    * (dHash / pHash / a simhash packed as a long): pairs with hamming
+    * distance ≤ `maxDist`, found by splitting the `bits`-wide hash into
+    * `bands` equal blocks and equi-joining per block. Recall is EXACT by
+    * pigeonhole — `maxDist < bands` flips can dirty at most `maxDist`
+    * blocks, so at least one block matches — which is why the oracle can
+    * be a brute-force hamming join while the engine never builds one:
+    * candidates are bounded by per-block collisions, the scale-safe shape
+    * of [[simhashPairs]] generalized to any integer hash.
+    *
+    * Feed DISTINCT hashes (e.g. one representative per exact-dup class)
+    * when collision groups are large: near-dup between classes is the
+    * same answer at 1/|class|² the pair volume. */
+  def hammingDupPairs(df: DataFrame, idCol: String, hashCol: String,
+      bits: Int = 64, bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    require(bands >= 1 && bits % bands == 0,
+      s"bands ($bands) must divide bits ($bits)")
+    require(maxDist < bands,
+      s"pigeonhole recall guarantee needs maxDist ($maxDist) < bands ($bands)")
+    val width = bits / bands
+    require(width < 64, "per-band width must be < 64 bits")
+    val mask = (1L << width) - 1
+    val h = df.select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
+    val banded = h.select(col("id"), col("h"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => call_function("shiftrightunsigned", col("h"), b * lit(width))
+            .bitwiseAND(lit(mask)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "block")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.block") === col("b.block") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.h").as("_ha"), col("b.h").as("_hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** SimHash detector audit — [[annRecallAudit]]'s text-side sibling:
     * pair-level recall AND precision of the banded hamming-≤`maxDist`
     * detector ([[simhashPairs]]) against exact shingle-Jaccard ≥ ½

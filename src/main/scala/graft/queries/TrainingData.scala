@@ -940,6 +940,7 @@ object TrainingData {
     "q250_mutual_nn" -> q250MutualNn _,
     "q253_bootstrap_ci" -> q253BootstrapCi _,
     "q255_image_dhash" -> q255ImageDhash _,
+    "q363_image_dup_classes" -> q363ImageDupClasses _,
     "q271_datasheet" -> q271Datasheet _,
     "q276_zipf" -> q276Zipf _,
     "q277_rendezvous" -> q277Rendezvous _,
@@ -1182,6 +1183,29 @@ object TrainingData {
       .orderBy($"media_id")
   }
 
+  /** Near-duplicate image classes ([[Similarity.hammingDupPairs]] over
+    * [[Multimodal.dhash]]): exact-dup collapse first (group by dhash,
+    * min-id representative — the synthetic gradients collide heavily, as
+    * real thumbnail corpora do), then banded hamming ≤ 3 pairs BETWEEN
+    * classes, each pair carrying both class sizes. The two-stage shape is
+    * the 100 TB design: near-dup candidate volume scales with distinct
+    * hashes, not images. */
+  def q363ImageDupClasses(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.mediaFromSyntheticGradientImages(
+      Tables.documents(spark, dir), "doc_id")
+    val dh = Multimodal.extractFeatures(media).toDF()
+      .select($"media_id", Multimodal.dhash($"feature").as("dhash"))
+    val classes = dh.groupBy($"dhash")
+      .agg(min($"media_id").as("rep_id"), count(lit(1)).as("n_members"))
+    Similarity.hammingDupPairs(classes, "rep_id", "dhash",
+        bits = 56, bands = 4, maxDist = 3)
+      .join(classes.select($"rep_id".as("id_a"), $"n_members".as("n_a")), "id_a")
+      .join(classes.select($"rep_id".as("id_b"), $"n_members".as("n_b")), "id_b")
+      .select($"id_a", $"id_b", $"hamming", $"n_a", $"n_b")
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Flesch–Kincaid readability fractions per document
     * ([[graft.etl.Corpus.readabilityScores]]): words/syllables/sentences
     * by cross-engine-identical heuristics, the grade as one exact
@@ -1218,6 +1242,32 @@ object TrainingData {
       |    + (CASE WHEN embedding[7] >= 0 THEN 2 ELSE 0 END)
       |    + (CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) AS bucket
       |  FROM embeddings)""".stripMargin
+
+  /** Synthetic-gradient dHash derivation (twin of `Multimodal.dhash` over
+    * the decoded 8×8 luma grid), shared by q255 and q363: per doc, the
+    * analytic luma lattice, 7 horizontal comparisons per row, packed into
+    * a 56-bit long. */
+  private val imageDhashSql =
+    """d AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+      |  FROM documents),
+      |cells AS (
+      |  SELECT doc_id, ri.range AS i, rj.range AS j,
+      |    ((rj.range * w // 8) * 7 + (ri.range * h // 8) * 3 + doc_id) % 251
+      |      AS luma
+      |  FROM d, range(0, 8) ri, range(0, 8) rj),
+      |bits AS (
+      |  SELECT a.doc_id, a.i, a.j,
+      |    CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.doc_id = b.doc_id AND a.i = b.i AND b.j = a.j + 1
+      |  WHERE a.j < 7),
+      |dh AS (
+      |  SELECT d.doc_id AS media_id, d.w, d.h,
+      |    CAST(sum(bit * (CAST(1 AS BIGINT) << (i * 7 + j))) AS BIGINT)
+      |      AS dhash
+      |  FROM d JOIN bits ON bits.doc_id = d.doc_id
+      |  GROUP BY d.doc_id, d.w, d.h)""".stripMargin
 
   private val shinglesSql =
     """sh AS (
@@ -2453,28 +2503,27 @@ object TrainingData {
     // the gradient fixture makes every SAMPLED pixel analytic:
     // luma(i,j) = ((j*w//8)*7 + (i*h//8)*3 + id) mod 251 — so the dhash
     // bits (is the right neighbor brighter?) re-derive without a decoder
-    "q255_image_dhash" -> """
-      |WITH d AS (
-      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
-      |  FROM documents),
-      |cells AS (
-      |  SELECT doc_id, ri.range AS i, rj.range AS j,
-      |    ((rj.range * w // 8) * 7 + (ri.range * h // 8) * 3 + doc_id) % 251
-      |      AS luma
-      |  FROM d, range(0, 8) ri, range(0, 8) rj),
-      |bits AS (
-      |  SELECT a.doc_id, a.i, a.j,
-      |    CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
-      |  FROM cells a JOIN cells b
-      |    ON a.doc_id = b.doc_id AND a.i = b.i AND b.j = a.j + 1
-      |  WHERE a.j < 7)
-      |SELECT d.doc_id AS media_id,
-      |  CAST(d.w AS BIGINT) AS decoded_width,
-      |  CAST(d.h AS BIGINT) AS decoded_height,
-      |  CAST(sum(bit * (CAST(1 AS BIGINT) << (i * 7 + j))) AS BIGINT)
-      |    AS dhash
-      |FROM d JOIN bits ON bits.doc_id = d.doc_id
-      |GROUP BY d.doc_id, d.w, d.h ORDER BY media_id""".stripMargin,
+    "q255_image_dhash" -> s"""
+      |WITH $imageDhashSql
+      |SELECT media_id,
+      |  CAST(w AS BIGINT) AS decoded_width,
+      |  CAST(h AS BIGINT) AS decoded_height,
+      |  dhash
+      |FROM dh ORDER BY media_id""".stripMargin,
+    // brute-force hamming join between exact-dup classes — legal as an
+    // oracle because the engine's 4x14-bit banding has EXACT recall for
+    // hamming <= 3 (pigeonhole); the engine never builds the all-pairs
+    // product.
+    "q363_image_dup_classes" -> s"""
+      |WITH $imageDhashSql,
+      |g AS (SELECT dhash, min(media_id) AS rep_id, count(*) AS n
+      |      FROM dh GROUP BY 1)
+      |SELECT a.rep_id AS id_a, b.rep_id AS id_b,
+      |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming,
+      |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+      |FROM g a JOIN g b ON a.rep_id < b.rep_id
+      |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin,
     "q249_readability" -> """
       |WITH x AS (
       |  SELECT doc_id,

@@ -257,6 +257,46 @@ class SimilaritySpec extends SparkSpec {
       Some(fa.intersect(fc).size.toLong) else None))
   }
 
+  test("hammingDupPairs: banded recall is exact for maxDist < bands") {
+    import spark.implicits._
+    val base = 0x00FF00FF00FF00FFL
+    val hashes = Seq(
+      (1L, base),
+      (2L, base ^ 7L),                        // 3 flips, one band
+      (3L, base ^ (1L | (1L << 16) | (1L << 32))), // 3 flips, 3 bands
+      (4L, base ^ 0x1FL),                     // 5 flips → outside
+      (5L, ~base))                            // far away
+      .toDF("id", "h")
+    val out = Similarity.hammingDupPairs(hashes, "id", "h",
+        bits = 64, bands = 4, maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    // pairs among {1,2,3}: all within 3 of base; 2-3 differ by up to 6
+    assert(out((1L, 2L)) == 3L)
+    assert(out((1L, 3L)) == 3L)  // flips spread across 3 bands still found
+    assert(!out.contains((1L, 4L)) && !out.contains((1L, 5L)))
+    // brute-force parity on the full candidate set
+    val brute = (for {
+      a <- hashes.collect(); b <- hashes.collect()
+      ia = a.getLong(0); ib = b.getLong(0)
+      if ia < ib
+      d = java.lang.Long.bitCount(a.getLong(1) ^ b.getLong(1))
+      if d <= 3
+    } yield (ia, ib) -> d.toLong).toMap
+    assert(out == brute)
+  }
+
+  test("hammingDupPairs: guardrails reject unsound band configs") {
+    import spark.implicits._
+    val df = Seq((1L, 5L)).toDF("id", "h")
+    intercept[IllegalArgumentException](
+      Similarity.hammingDupPairs(df, "id", "h", bits = 64, bands = 4,
+        maxDist = 4)) // recall not guaranteed
+    intercept[IllegalArgumentException](
+      Similarity.hammingDupPairs(df, "id", "h", bits = 56, bands = 5,
+        maxDist = 3)) // bands must divide bits
+  }
+
   test("language id: marker tokens dominate, ties alphabetical") {
     assert(Text.languageId("the cat and the dog of a house")._1 == "en")
     assert(Text.languageId("de kat en het huis van een boom")._1 == "nl")
