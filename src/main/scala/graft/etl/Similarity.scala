@@ -732,6 +732,32 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("dot"), col("cosine"))
   }
 
+  /** Cross-split embedding contamination pairs — the semantic complement
+    * of exact n-gram decontamination: (train, test) vectors in the same
+    * sign-LSH bucket with cosine ≥ `minCosine`, i.e. eval items that are
+    * near-paraphrases of training items even when no n-gram overlaps.
+    * Same candidate/verify split as [[cosineDupPairs]] (bucketed
+    * candidates, exact integer `qdot` verify), but the join is
+    * train×test only — the two big self-join quadrants never form, which
+    * is what makes a full-corpus leak scan affordable: cost scales with
+    * per-bucket |train|·|test|, not (|train|+|test|)². */
+  def embeddingLeak(train: DataFrame, test: DataFrame, idCol: String,
+      vecCol: String, minCosine: Double, bits: Int = 8): DataFrame = {
+    def prep(df: DataFrame) =
+      df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
+          signBucket(col(vecCol), bits).as("bucket"))
+        .withColumn("norm2", qdot(col("qv"), col("qv")))
+    prep(test).as("a").join(prep(train).as("b"),
+        col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("test_id"), col("b.id").as("train_id"),
+        qdot(col("a.qv"), col("b.qv")).as("dot"),
+        col("a.norm2").as("n2_a"), col("b.norm2").as("n2_b"))
+      .withColumn("cosine", col("dot").cast("double") /
+        sqrt((col("n2_a") * col("n2_b")).cast("double")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("test_id"), col("train_id"), col("dot"), col("cosine"))
+  }
+
   /** Reciprocal (mutual) nearest-neighbor pairs under maximum inner
     * product, the strictest embedding-dedup signal: a pair survives only
     * if each vector is the OTHER's best match — one-sided hub vectors

@@ -174,6 +174,20 @@ object TrainingData {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Train/test embedding contamination ([[Similarity.embeddingLeak]]):
+    * residue-deterministic 80/20 split of the embeddings table, then all
+    * (train, test) same-bucket pairs with cosine ≥ 0.3 — the semantic
+    * leak scan that catches paraphrased eval items exact n-gram
+    * decontamination (q119/q300) misses. */
+  def q364EmbeddingLeak(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    Similarity.embeddingLeak(
+        e.filter($"vec_id" % 10 < 8), e.filter($"vec_id" % 10 >= 8),
+        "vec_id", "embedding", minCosine = 0.3)
+      .orderBy($"test_id", $"train_id")
+  }
+
   /** Winnowing document fingerprints (k=5 char-grams, window 4): the REAL
     * `Text.winnow` runs per doc; the oracle refolds the rolling polynomial
     * hash and the per-window min selection in SQL (list_reduce over chars).
@@ -931,6 +945,7 @@ object TrainingData {
     "q50_ann_lsh" -> q50AnnLsh _,
     "q51_ann_ivf" -> q51AnnIvf _,
     "q52_cosine_dups" -> q52CosineDups _,
+    "q364_embedding_leak" -> q364EmbeddingLeak _,
     "q53_winnow" -> q53Winnow _,
     "q362_winnow_overlap" -> q362WinnowOverlap _,
     "q54_frame_sample" -> q54FrameSample _,
@@ -2569,6 +2584,20 @@ object TrainingData {
       |FROM p
       |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(n2a*n2b AS DOUBLE)) >= 0.3
       |ORDER BY id_a, id_b""".stripMargin,
+    "q364_embedding_leak" -> s"""
+      |WITH $qembSql,
+      |p AS (
+      |  SELECT a.vec_id AS test_id, b.vec_id AS train_id,
+      |    CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+      |    CAST(list_dot_product(a.q, a.q) AS BIGINT) AS n2a,
+      |    CAST(list_dot_product(b.q, b.q) AS BIGINT) AS n2b
+      |  FROM e a JOIN e b ON a.bucket = b.bucket
+      |  WHERE a.vec_id % 10 >= 8 AND b.vec_id % 10 < 8)
+      |SELECT test_id, train_id, dot,
+      |  CAST(dot AS DOUBLE) / sqrt(CAST(n2a*n2b AS DOUBLE)) AS cosine
+      |FROM p
+      |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(n2a*n2b AS DOUBLE)) >= 0.3
+      |ORDER BY test_id, train_id""".stripMargin,
     // Winnowing refolded in SQL: rolling hash h = (h*257 + char) mod 2^31-1
     // via list_reduce; k=5 grams (a short text is its own single gram, like
     // String.sliding); window-4 minima, distinct. Sums CAST to BIGINT

@@ -257,6 +257,28 @@ class SimilaritySpec extends SparkSpec {
       Some(fa.intersect(fc).size.toLong) else None))
   }
 
+  test("embeddingLeak: cross-split pairs only, threshold respected") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f, 0f)))   // near-dup of train 1 — must NOT pair
+      .toDF("vec_id", "embedding")
+    val test = Seq(
+      (10L, Array(0.95f, 0.05f, 0f, 0f)), // leaks against 1 and 3
+      (11L, Array(-1f, -1f, -1f, -1f)))   // same-sign bucket as nothing useful
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingLeak(train, test, "vec_id", "embedding",
+        minCosine = 0.9)
+      .collect().map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id")))
+      .toSet
+    assert(out == Set((10L, 1L), (10L, 3L)))
+    // exact integer dot carried alongside the float cosine
+    val r = Similarity.embeddingLeak(train, test, "vec_id", "embedding", 0.9)
+      .filter($"train_id" === 1L).collect().head
+    assert(r.getAs[Long]("dot") == 950L * 1000L + 50L * 0L)
+  }
+
   test("hammingDupPairs: banded recall is exact for maxDist < bands") {
     import spark.implicits._
     val base = 0x00FF00FF00FF00FFL
