@@ -514,4 +514,41 @@ object Vocab {
     import spark.implicits._
     out.toSeq.toDF("round", "sym_a", "sym_b", "pair_n", "corpus_tokens")
   }
+
+  /** Apply a trained BPE merge list ([[bpeTrain]]'s output, collected —
+    * merge tables are vocabulary-sized driver data, like IVF centroids)
+    * to a document set: per doc, word/token/char masses under the learned
+    * segmentation — the tokenizer-fit report (chars-per-token, fertility)
+    * for a held-out corpus.
+    *
+    * Merges fold in rank order over the same space-delimited symbol
+    * representation as training, with the same non-overlapping
+    * left-to-right `replace` convention, so train and apply cannot
+    * drift. The fold runs once per DISTINCT word type (the vocab-sized
+    * frame), never per occurrence; per-doc masses come from one join of
+    * the (doc, word, n) occurrence counts against the encoded types —
+    * at 100 TB the replace chain is proportional to the vocabulary, and
+    * the heavy table only ever carries integers. */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty && merges.size <= 64,
+      s"merges must be 1..64 entries: ${merges.size}")
+    val occ = docs
+      .select(col(idCol), explode(Corpus.tokensOf(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("_n"))
+    val rep0: Column = concat(lit(" "), concat_ws(" ", expr(
+      "transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+      lit(" "))
+    val rep = merges.foldLeft(rep0) { case (r, (a, b)) =>
+      call_function("replace", r, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    val enc = occ.select(col("w")).distinct()
+      .withColumn("_tok", size(split(trim(rep), " ")).cast("long"))
+      .withColumn("_chars", length(col("w")).cast("long"))
+    occ.join(enc, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_n")).as("n_words"),
+        sum(col("_n") * col("_tok")).as("n_tokens"),
+        sum(col("_n") * col("_chars")).as("n_chars"))
+  }
 }

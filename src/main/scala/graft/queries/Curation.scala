@@ -285,6 +285,23 @@ object Curation {
       .orderBy($"entry")
   }
 
+  // ------------------------------------------------ q365 bpe apply
+
+  /** Tokenizer-fit report ([[graft.etl.Vocab.bpeApply]]): the q358-trained
+    * 4-round merge list applied back over the corpus — per doc, word/
+    * token/char masses under the learned segmentation. Trains then
+    * encodes in one query so the oracle can re-derive the merges and the
+    * apply from the same CTE chain; the collected merge list is
+    * vocabulary-sized driver data (4 rows here). */
+  def q365BpeApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val merges = Vocab.bpeTrain(docs, "text", rounds = 4)
+      .orderBy($"round").collect()
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
+    Vocab.bpeApply(docs, "doc_id", "text", merges).orderBy($"doc_id")
+  }
+
   // ------------------------------------------- q361 line-level dedup
 
   /** Deterministic multi-line composite docs: each document's own text
@@ -344,15 +361,9 @@ object Curation {
     * prior round). The empty-pair edge degrades identically: an empty
     * top-1 makes the next round's cross join empty, so rows are simply
     * absent, matching the operator's early stop. */
-  private def bpeOracleSql(rounds: Int): String = {
-    val base = s"""
-      |WITH w0 AS MATERIALIZED (
-      |  SELECT ' ' || array_to_string(list_transform(
-      |           generate_series(1, length(w)), i -> substring(w, i, 1)),
-      |           ' ') || ' ' AS rep,
-      |         CAST(count(*) AS BIGINT) AS freq
-      |  FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY 1)""".stripMargin
-    val roundCtes = (1 to rounds).map { r =>
+  /** The w0 + per-round merge CTE chain shared by the q358 trainer oracle
+    * and the q365 apply oracle. */
+  private def bpeMergeCtes(rounds: Int): String = bpeBaseCte + (1 to rounds).map { r =>
       s"""
       |p$r AS MATERIALIZED (
       |  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
@@ -369,6 +380,16 @@ object Curation {
       |           ' ' || t.a || t.b || ' ') AS rep, freq
       |  FROM w${r - 1}, t$r t)""".stripMargin
     }.mkString(",", ",", "")
+
+  private def bpeBaseCte: String = s"""
+      |WITH w0 AS MATERIALIZED (
+      |  SELECT ' ' || array_to_string(list_transform(
+      |           generate_series(1, length(w)), i -> substring(w, i, 1)),
+      |           ' ') || ' ' AS rep,
+      |         CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY 1)""".stripMargin
+
+  private def bpeOracleSql(rounds: Int): String = {
     val rows = (1 to rounds).map { r =>
       s"""
       |SELECT CAST($r AS BIGINT) AS round, a AS sym_a, b AS sym_b,
@@ -377,7 +398,32 @@ object Curation {
       |     AS BIGINT) FROM w$r) AS corpus_tokens
       |FROM t$r""".stripMargin
     }.mkString("\nUNION ALL")
-    base + roundCtes + rows + "\nORDER BY round"
+    bpeMergeCtes(rounds) + rows + "\nORDER BY round"
+  }
+
+  /** Per-doc tokenizer-fit oracle: re-derives the same merges, then folds
+    * them over each word occurrence (scalar subselects against the tN
+    * CTEs — each holds exactly one row). */
+  private def bpeApplyOracleSql(rounds: Int): String = {
+    val rep = (1 to rounds).foldLeft("rep") { (acc, r) =>
+      s"replace($acc, ' ' || (SELECT a FROM t$r) || ' ' || " +
+        s"(SELECT b FROM t$r) || ' ', ' ' || (SELECT a FROM t$r) || " +
+        s"(SELECT b FROM t$r) || ' ')"
+    }
+    bpeMergeCtes(rounds) + s""",
+      |occ AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+      |r0 AS (SELECT doc_id, length(w) AS nc,
+      |         ' ' || array_to_string(list_transform(
+      |           generate_series(1, length(w)), i -> substring(w, i, 1)),
+      |           ' ') || ' ' AS rep
+      |       FROM occ),
+      |enc AS (SELECT doc_id, nc,
+      |          len(string_split(trim($rep), ' ')) AS ntok
+      |        FROM r0)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(nc) AS BIGINT) AS n_chars
+      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // -------------------------------------------- q121 winsorized stats
@@ -749,6 +795,7 @@ object Curation {
     "q359_url_canonical" -> q359UrlCanonical _,
     "q360_domain_blocklist" -> q360DomainBlocklist _,
     "q361_line_dedup" -> q361LineDedup _,
+    "q365_bpe_apply" -> q365BpeApply _,
     "q121_winsorized" -> q121Winsorized _,
     "q122_mode" -> q122Mode _,
     "q123_bitmap_distinct" -> q123BitmapDistinct _,
@@ -1130,6 +1177,7 @@ object Curation {
       |FROM documents d LEFT JOIN hits h USING (doc_id)
       |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
     "q358_bpe_train" -> bpeOracleSql(4),
+    "q365_bpe_apply" -> bpeApplyOracleSql(4),
     "q359_url_canonical" -> s"""
       |WITH u AS ($messyUrlsSql),
       |c AS (

@@ -579,6 +579,31 @@ class CurationOpsSpec extends SparkSpec {
       (3L, "aa", "aa", 1L, 1L)))
   }
 
+  test("bpeApply: rank-ordered merges, per-type fold, occurrence weights") {
+    import spark.implicits._
+    // merges (a,b) then (ab,c): "abc" -> 1 token, "cab" -> 2 ("c","ab"),
+    // "aab" -> 2 ("a","ab"), "dd" untouched -> 2 chars 2 tokens
+    val docs = Seq((1L, "abc cab abc"), (2L, "aab dd")).toDF("id", "text")
+    val out = Vocab.bpeApply(docs, "id", "text",
+        Seq(("a", "b"), ("ab", "c")))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+         r.getAs[Long]("n_chars"))).toMap
+    assert(out(1L) == (3L, 1L + 2L + 1L, 9L))
+    assert(out(2L) == (2L, 2L + 2L, 5L))
+  }
+
+  test("bpeApply: train-apply round trip reproduces the trainer's count") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa ab aa")).toDF("id", "text")
+    val merges = Vocab.bpeTrain(docs.select($"text"), "text", 2)
+      .orderBy($"round").collect()
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
+    val applied = Vocab.bpeApply(docs, "id", "text", merges).collect().head
+    // trainer reported corpus_tokens after its final merge — apply agrees
+    assert(applied.getAs[Long]("n_tokens") == 3L) // "aa","ab","aa" → 1 each
+  }
+
   test("zipfFit: exact OLS over floored-log rank/frequency pairs") {
     // one lang; freqs 8,4,2 at ranks 1,2,3 -> x=(0,1,1), y=(3,2,1)
     // n=3 sx=2 sy=6 sxy=3 sxx=2 -> num = 9-12 = -3, den = 6-4 = 2
