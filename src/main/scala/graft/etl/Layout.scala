@@ -217,4 +217,39 @@ object Layout {
         coalesce(col("load_after"), lit(0L)).as("load_after"),
         coalesce(col("gained"), lit(0L)).as("gained"))
   }
+
+  /** Clustering factor of `keyCol` under the physical order `sort` (the
+    * classic index/layout health metric): `n_runs` = maximal blocks of
+    * adjacent equal keys in that order, `clustering_bp` = n_distinct·10⁴
+    * div n_runs — 10000 means every key's rows are contiguous (zone maps
+    * and page caches work), small means the key is interleaved (a scan
+    * filtered on it touches everything). Run this against zonemapAudit's
+    * candidate layouts before paying for a 100 TB rewrite.
+    *
+    * Adjacency is counted by joining [[globalRank]] against itself at
+    * rank−1 — never a single-partition global window. The pruned
+    * (key, rank) frame is localCheckpointed: both join sides read it,
+    * and the rank is RDD-backed (exchange reuse cannot see through it —
+    * same constraint zonemapAudit documents), so without the barrier the
+    * whole range-sort-index pipeline would run twice. `sort` must be a
+    * total order (same contract as globalRank). */
+  def clusteringFactor(df: DataFrame, sort: Seq[Column], keyCol: String,
+      nParts: Int = 64): DataFrame = {
+    val pruned = df.select((col(keyCol).as("_k") +: sort): _*)
+    val ranked = globalRank(pruned, sort, nParts = nParts)
+      .select(col("_k"), col("rank")).localCheckpoint()
+    val prev = ranked.select((col("rank") + 1).as("rank"),
+      col("_k").as("_pk"))
+    val changes = ranked.join(prev, Seq("rank"))
+      .agg(coalesce(sum(when(col("_k") =!= col("_pk"), 1L).otherwise(0L)),
+        lit(0L)).as("_chg"))
+    val stats = df.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col(keyCol)).as("n_distinct"))
+    stats.crossJoin(broadcast(changes))
+      .select(lit(keyCol).as("key"), col("n_rows"), col("n_distinct"),
+        when(col("n_rows") === 0, 0L).otherwise(col("_chg") + 1)
+          .as("n_runs"))
+      .withColumn("clustering_bp", expr(
+        "CAST(n_distinct * 10000 div NULLIF(n_runs, 0) AS BIGINT)"))
+  }
 }

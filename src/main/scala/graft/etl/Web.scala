@@ -108,4 +108,24 @@ object Web {
         coalesce(col("n_hosts"), lit(0L)).as("n_hosts"),
         coalesce(col("n_urls"), lit(0L)).as("n_urls"))
   }
+
+  /** Per-host crawl budget cap (the politeness/anti-monoculture sampler):
+    * keep at most `perHost` URLs per host, selected by sha256(url) order
+    * — a deterministic uniform sample that every engine and every rerun
+    * agrees on, unlike "first N seen" which depends on crawl order.
+    * Emits the kept rows with their host and in-host rank; the window
+    * partitions on host (millions of independent groups at corpus
+    * scale), never globally. Ties on the full hash are broken by the url
+    * itself, so the order is total even for duplicate URLs. */
+  def hostCap(df: DataFrame, urlCol: String, perHost: Int): DataFrame = {
+    require(perHost >= 1, "perHost must be >= 1")
+    val host = lower(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("host"))
+      .orderBy(sha2(col(urlCol), 256), col(urlCol))
+    df.select(col(urlCol).as("url"), host.as("host"))
+      .filter(col("host") =!= "")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perHost)
+  }
 }

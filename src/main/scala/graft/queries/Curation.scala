@@ -285,6 +285,18 @@ object Curation {
       .orderBy($"entry")
   }
 
+  // ------------------------------------------------ q367 host cap
+
+  /** Per-host crawl budget ([[graft.etl.Web.hostCap]], 25/host): the
+    * deterministic sha-ordered keep set over the messy-URL corpus —
+    * hosts over budget are uniformly downsampled, small hosts keep
+    * everything, and the selection is rerun-stable. */
+  def q367HostCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Web.hostCap(messyUrls(spark, dir), "url", perHost = 25)
+      .orderBy($"host", $"rk")
+  }
+
   // ------------------------------------------------ q365 bpe apply
 
   /** Tokenizer-fit report ([[graft.etl.Vocab.bpeApply]]): the q358-trained
@@ -796,6 +808,7 @@ object Curation {
     "q360_domain_blocklist" -> q360DomainBlocklist _,
     "q361_line_dedup" -> q361LineDedup _,
     "q365_bpe_apply" -> q365BpeApply _,
+    "q367_host_cap" -> q367HostCap _,
     "q121_winsorized" -> q121Winsorized _,
     "q122_mode" -> q122Mode _,
     "q123_bitmap_distinct" -> q123BitmapDistinct _,
@@ -1178,6 +1191,16 @@ object Curation {
       |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
     "q358_bpe_train" -> bpeOracleSql(4),
     "q365_bpe_apply" -> bpeApplyOracleSql(4),
+    "q367_host_cap" -> s"""
+      |WITH u AS ($messyUrlsSql),
+      |h AS (SELECT url, lower(regexp_extract(url,
+      |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host FROM u),
+      |r AS (SELECT url, host, CAST(row_number() OVER (
+      |        PARTITION BY host ORDER BY sha256(url), url) AS BIGINT)
+      |        AS rk
+      |      FROM h WHERE host <> '')
+      |SELECT url, host, rk FROM r WHERE rk <= 25
+      |ORDER BY host, rk""".stripMargin,
     "q359_url_canonical" -> s"""
       |WITH u AS ($messyUrlsSql),
       |c AS (

@@ -564,6 +564,22 @@ object Relational {
       .orderBy($"layout", $"p_lo")
   }
 
+  /** Q366 — clustering factor ([[graft.etl.Layout.clusteringFactor]]) of
+    * two candidate filter keys under lineitem's arrival order: the order
+    * key (contiguous by construction → bp 10000) vs the supplier key
+    * (interleaved → bp collapses). The run-count companion to q355's
+    * zone-map audit: zonemaps say what a layout would prune, this says
+    * how badly the CURRENT layout serves each key. */
+  def q366ClusteringFactor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_linenumber")
+    val order = Seq($"l_orderkey", $"l_linenumber")
+    graft.etl.Layout.clusteringFactor(li, order, "l_orderkey")
+      .unionByName(graft.etl.Layout.clusteringFactor(li, order, "l_suppkey"))
+      .orderBy($"key")
+  }
+
   /** Q356 — salting planner ([[graft.etl.Skew.saltPlan]]) for the
     * events stream keyed by event type: per key, the salt factor that
     * caps any one (key, salt) reducer at 500 rows and the residual
@@ -855,6 +871,7 @@ object Relational {
     "q251_hilbert" -> q251Hilbert _,
     "q310_compaction_plan" -> q310CompactionPlan _,
     "q355_zonemap_audit" -> q355ZonemapAudit _,
+    "q366_clustering_factor" -> q366ClusteringFactor _,
     "q356_salt_plan" -> q356SaltPlan _,
     "q266_proximity_join" -> q266ProximityJoin _,
     "q301_price_index" -> q301PriceIndex _,
@@ -872,6 +889,28 @@ object Relational {
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
     * round differently from Spark's double arithmetic. */
   val oracleSql: Map[String, String] = Map(
+    "q366_clustering_factor" -> """
+      |WITH s AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    lag(l_orderkey) OVER (ORDER BY l_orderkey, l_linenumber) AS p1,
+      |    lag(l_suppkey) OVER (ORDER BY l_orderkey, l_linenumber) AS p2
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT 'l_orderkey' AS key, count(*) AS n_rows,
+      |    count(DISTINCT l_orderkey) AS n_distinct,
+      |    1 + sum(CASE WHEN p1 IS NOT NULL AND l_orderkey <> p1
+      |            THEN 1 ELSE 0 END) AS n_runs
+      |  FROM s
+      |  UNION ALL
+      |  SELECT 'l_suppkey', count(*), count(DISTINCT l_suppkey),
+      |    1 + sum(CASE WHEN p2 IS NOT NULL AND l_suppkey <> p2
+      |            THEN 1 ELSE 0 END)
+      |  FROM s)
+      |SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  CAST(n_runs AS BIGINT) AS n_runs,
+      |  CAST(n_distinct * 10000 // n_runs AS BIGINT) AS clustering_bp
+      |FROM a ORDER BY key""".stripMargin,
     "q355_zonemap_audit" -> """
       |WITH li AS (
       |  SELECT date_diff('day', DATE '1970-01-01', l_shipdate) AS sd,

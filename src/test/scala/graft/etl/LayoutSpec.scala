@@ -175,4 +175,26 @@ class LayoutSpec extends SparkSpec {
     assert(out("shuffled")._3 == 10000L)
   }
 
+  test("clusteringFactor: contiguous key scores 10000, interleaved collapses") {
+    import spark.implicits._
+    // physical order pos 1..8; a: 1,1,2,2,3,3,4,4 (4 runs = 4 distinct)
+    // b: alternating x,y,x,y,... (8 runs, 2 distinct)
+    val rows = (1 to 8).map(p => (p.toLong, (p + 1) / 2,
+      if (p % 2 == 0) "y" else "x")).toDF("pos", "a", "b")
+    val fa = Layout.clusteringFactor(rows, Seq($"pos"), "a", nParts = 3)
+      .collect().head
+    assert(fa.getAs[Long]("n_rows") == 8L)
+    assert(fa.getAs[Long]("n_distinct") == 4L)
+    assert(fa.getAs[Long]("n_runs") == 4L)
+    assert(fa.getAs[Long]("clustering_bp") == 10000L)
+    val fb = Layout.clusteringFactor(rows, Seq($"pos"), "b", nParts = 3)
+      .collect().head
+    assert(fb.getAs[Long]("n_runs") == 8L)
+    assert(fb.getAs[Long]("clustering_bp") == 2L * 10000L / 8L)
+    // partition-count independence: runs cross shard boundaries correctly
+    val fb1 = Layout.clusteringFactor(rows, Seq($"pos"), "b", nParts = 1)
+      .collect().head
+    assert(fb1.getAs[Long]("n_runs") == 8L)
+  }
+
 }

@@ -70,4 +70,23 @@ class WebSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
+
+  test("hostCap: per-host budget, deterministic sha order, malformed dropped") {
+    import spark.implicits._
+    val urls = ((1 to 10).map(i => s"https://big.example/page$i") ++
+      Seq("https://small.example/only", "not a url")).toDF("url")
+    val out = Web.hostCap(urls, "url", perHost = 3).collect()
+    val byHost = out.groupBy(_.getAs[String]("host"))
+    assert(byHost("big.example").length == 3)
+    assert(byHost("small.example").length == 1)
+    assert(!byHost.contains(""))
+    // selection is the sha256-least URLs, rerun-stable
+    val expect = (1 to 10).map(i => s"https://big.example/page$i")
+      .sortBy(u => java.security.MessageDigest.getInstance("SHA-256")
+        .digest(u.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .take(3).toSet
+    assert(byHost("big.example").map(_.getAs[String]("url")).toSet == expect)
+    assert(byHost("big.example").map(_.getAs[Long]("rk")).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
 }
