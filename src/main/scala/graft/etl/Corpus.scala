@@ -707,6 +707,36 @@ object Corpus {
         least(col("alloc"), col("n_h")).as("alloc_capped"))
   }
 
+  /** Nucleus (top-p) filter per group: the SMALLEST weight-desc prefix
+    * whose cumulative weight reaches `pBp`/10⁴ of the group total — the
+    * mass-coverage truncation used for vocab cutoffs, sampler nucleus
+    * sets, and "which sources carry 95% of the corpus" reports. A row is
+    * kept iff the mass BEFORE it is still short of the target, so the
+    * crossing row is included and the kept set is minimal; ordering ties
+    * break by id for a total order. Exact integer test
+    * (cum_before·10⁴ < total·pBp, decimal-widened); one per-group window
+    * over (weight desc, id) plus a broadcast of enum-sized group totals.
+    * Output: kept rows with rank, cumulative weight, and the group
+    * total. */
+  def nucleusFilter(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, pBp: Int): DataFrame = {
+    require(pBp >= 1 && pBp <= 10000, s"pBp must be in 1..10000: $pBp")
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(weightCol).desc, col(idCol))
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol).cast(d38)).as("_tot"))
+    df.select(col(groupCol), col(idCol), col(weightCol))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col(weightCol).cast(d38)).over(w))
+      .join(broadcast(totals), Seq(groupCol))
+      .filter((col("cum") - col(weightCol)) * lit(10000) <
+        col("_tot") * lit(pBp))
+      .select(col(groupCol), col(idCol), col(weightCol), col("rank"),
+        col("cum").cast("long").as("cum_weight"),
+        col("_tot").cast("long").as("total_weight"))
+  }
+
   /** Line-level exact dedup (the CCNet-style boilerplate scrub that runs
     * BEFORE document-level near-dup): every document is split on `\n`,
     * each non-empty line's corpus-wide occurrence count is taken, and

@@ -732,6 +732,45 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("dot"), col("cosine"))
   }
 
+  /** Deterministic ±1 sign matrix for [[signProject]]: entry (i,j) is the
+    * low bit of sha256("i:j") — a pure public recipe any engine replays,
+    * no RNG state to ship. */
+  def signMatrix(outDim: Int, inDim: Int): Array[Array[Int]] =
+    Array.tabulate(outDim, inDim) { (i, j) =>
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"$i:$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1 else -1
+    }
+
+  /** Johnson–Lindenstrauss sign projection: each output coordinate is an
+    * exact integer dot of the quantized vector with a deterministic ±1
+    * row of [[signMatrix]] — the dimensionality-reduction step that runs
+    * BEFORE a 100 TB ANN build (distance work shrinks by inDim/outDim
+    * while JL keeps relative distances to within the usual ε). Integer
+    * end to end: quantize ×1000, ±1 weights, so projections are
+    * bit-stable across engines. Emits the input and output squared norms
+    * (`n2_in`, `n2_out`) so a caller can audit the distortion per vector
+    * — E[n2_out] = outDim/1 · n2_in is the sanity line. Pure scan, zero
+    * shuffles; the matrix is compile-time data unrolled into the
+    * projection expressions (codegen sees a flat multiply-add chain). */
+  def signProject(emb: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int): DataFrame = {
+    require(inDim >= 1 && outDim >= 1 && outDim <= inDim)
+    val m = signMatrix(outDim, inDim)
+    val base = emb.select(col(idCol), quantize(col(vecCol)).as("_q"))
+    val projCols = (0 until outDim).map { i =>
+      (0 until inDim).map { j =>
+        if (m(i)(j) == 1) element_at(col("_q"), j + 1)
+        else -element_at(col("_q"), j + 1)
+      }.reduce(_ + _).as(s"p$i")
+    }
+    val n2Out = (0 until outDim).map(i => col(s"p$i") * col(s"p$i"))
+      .reduce(_ + _)
+    base.select((col(idCol) +: qdot(col("_q"), col("_q")).as("n2_in") +:
+        projCols): _*)
+      .withColumn("n2_out", n2Out)
+  }
+
   /** Cross-split embedding contamination pairs — the semantic complement
     * of exact n-gram decontamination: (train, test) vectors in the same
     * sign-LSH bucket with cosine ≥ `minCosine`, i.e. eval items that are

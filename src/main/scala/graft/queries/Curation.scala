@@ -285,6 +285,20 @@ object Curation {
       .orderBy($"entry")
   }
 
+  // ------------------------------------------------ q368 nucleus
+
+  /** Nucleus (top-p) mass coverage per language
+    * ([[graft.etl.Corpus.nucleusFilter]], p=0.8): the smallest
+    * char-mass-desc prefix of docs covering 80% of each language's
+    * characters — the "which docs carry the corpus" truncation. */
+  def q368Nucleus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.nucleusFilter(
+        Tables.documents(spark, dir).select($"lang", $"doc_id", $"n_chars"),
+        "lang", "doc_id", "n_chars", pBp = 8000)
+      .orderBy($"lang", $"rank")
+  }
+
   // ------------------------------------------------ q367 host cap
 
   /** Per-host crawl budget ([[graft.etl.Web.hostCap]], 25/host): the
@@ -809,6 +823,7 @@ object Curation {
     "q361_line_dedup" -> q361LineDedup _,
     "q365_bpe_apply" -> q365BpeApply _,
     "q367_host_cap" -> q367HostCap _,
+    "q368_nucleus" -> q368Nucleus _,
     "q121_winsorized" -> q121Winsorized _,
     "q122_mode" -> q122Mode _,
     "q123_bitmap_distinct" -> q123BitmapDistinct _,
@@ -1191,6 +1206,20 @@ object Curation {
       |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
     "q358_bpe_train" -> bpeOracleSql(4),
     "q365_bpe_apply" -> bpeApplyOracleSql(4),
+    "q368_nucleus" -> """
+      |WITH t AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS tot
+      |           FROM documents GROUP BY 1),
+      |r AS (SELECT lang, doc_id, n_chars,
+      |        CAST(row_number() OVER (PARTITION BY lang
+      |          ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank,
+      |        CAST(sum(n_chars) OVER (PARTITION BY lang
+      |          ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum
+      |      FROM documents)
+      |SELECT r.lang, doc_id, n_chars, rank, cum AS cum_weight,
+      |  t.tot AS total_weight
+      |FROM r JOIN t USING (lang)
+      |WHERE (cum - n_chars) * 10000 < tot * 8000
+      |ORDER BY lang, rank""".stripMargin,
     "q367_host_cap" -> s"""
       |WITH u AS ($messyUrlsSql),
       |h AS (SELECT url, lower(regexp_extract(url,

@@ -174,6 +174,18 @@ object TrainingData {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Johnson–Lindenstrauss sign projection 64→16
+    * ([[Similarity.signProject]]): integer-exact projected coordinates
+    * plus input/output squared norms, the dimensionality-reduction pass
+    * that would run before a 100 TB ANN build. The oracle replays the
+    * identical sha-derived ±1 matrix, unrolled into SQL. */
+  def q369SignProjection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.signProject(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", inDim = 64, outDim = 16)
+      .orderBy($"vec_id")
+  }
+
   /** Train/test embedding contamination ([[Similarity.embeddingLeak]]):
     * residue-deterministic 80/20 split of the embeddings table, then all
     * (train, test) same-bucket pairs with cosine ≥ 0.3 — the semantic
@@ -946,6 +958,7 @@ object TrainingData {
     "q51_ann_ivf" -> q51AnnIvf _,
     "q52_cosine_dups" -> q52CosineDups _,
     "q364_embedding_leak" -> q364EmbeddingLeak _,
+    "q369_sign_projection" -> q369SignProjection _,
     "q53_winnow" -> q53Winnow _,
     "q362_winnow_overlap" -> q362WinnowOverlap _,
     "q54_frame_sample" -> q54FrameSample _,
@@ -1291,6 +1304,30 @@ object TrainingData {
       |        FROM corpus),
       |       LATERAL (SELECT unnest(generate_series(1, greatest(len(tf)-2, 0))) AS i) g)"""
       .stripMargin
+
+  /** The q369 oracle: the SAME sha-derived ±1 matrix as
+    * [[Similarity.signMatrix]], unrolled into literal SQL sums over the
+    * quantized vectors — matrix entries are compile-time data, so the
+    * twin cannot drift from the engine. */
+  private def signProjOracleSql(inDim: Int, outDim: Int): String = {
+    val m = Similarity.signMatrix(outDim, inDim)
+    val pExprs = (0 until outDim).map { i =>
+      val terms = (0 until inDim).map { j =>
+        s"${if (m(i)(j) == 1) "+" else "-"} q[${j + 1}]"
+      }.mkString(" ")
+      s"CAST((0 $terms) AS BIGINT) AS p$i"
+    }.mkString(",\n|        ")
+    val n2Out = (0 until outDim).map(i => s"p$i*p$i").mkString(" + ")
+    s"""
+      |WITH $qembSql,
+      |p AS (SELECT vec_id,
+      |        CAST(list_dot_product(q, q) AS BIGINT) AS n2_in,
+      |        $pExprs
+      |      FROM e)
+      |SELECT vec_id, n2_in, ${(0 until outDim).map(i => s"p$i").mkString(", ")},
+      |  CAST($n2Out AS BIGINT) AS n2_out
+      |FROM p ORDER BY vec_id""".stripMargin
+  }
 
   /** The q319 simhash-audit oracle body, parameterized by the corpus
     * CTE so the sampled variant (q346) reuses it verbatim. */
@@ -2584,6 +2621,7 @@ object TrainingData {
       |FROM p
       |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(n2a*n2b AS DOUBLE)) >= 0.3
       |ORDER BY id_a, id_b""".stripMargin,
+    "q369_sign_projection" -> signProjOracleSql(64, 16),
     "q364_embedding_leak" -> s"""
       |WITH $qembSql,
       |p AS (

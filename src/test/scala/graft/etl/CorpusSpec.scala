@@ -357,6 +357,23 @@ class CorpusSpec extends SparkSpec {
     assert(big.forall(_.getAs[Boolean]("capped")))
   }
 
+  test("nucleusFilter: minimal prefix, crossing row included, ties by id") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 50), ("g", 2L, 30), ("g", 3L, 15), ("g", 4L, 5),
+      ("h", 5L, 10), ("h", 6L, 10)).toDF("grp", "id", "w")
+    // g total 100, p=0.8: 50 (cum 50) + 30 (cum 80 crosses) → stop; row 3
+    // has cum_before 80 = target → excluded (strict <)
+    val out = Corpus.nucleusFilter(df, "grp", "id", "w", pBp = 8000)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("rank"), r.getAs[Long]("cum_weight"))).toMap
+    assert(out.keySet == Set(1L, 2L, 5L, 6L))
+    assert(out(1L) == (1L, 50L) && out(2L) == (2L, 80L))
+    // h: equal weights tie-break by id; 10+10=20, target 16 → both kept
+    assert(out(5L) == (1L, 10L) && out(6L) == (2L, 20L))
+    // p=1.0 keeps everything
+    assert(Corpus.nucleusFilter(df, "grp", "id", "w", 10000).count() == 6L)
+  }
+
   test("lineDedup: frequent lines dropped everywhere, order-exact reassembly") {
     import spark.implicits._
     def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")

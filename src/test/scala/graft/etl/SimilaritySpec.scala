@@ -257,6 +257,25 @@ class SimilaritySpec extends SparkSpec {
       Some(fa.intersect(fc).size.toLong) else None))
   }
 
+  test("signProject: hand-checked projection, norms exact, matrix stable") {
+    import spark.implicits._
+    val m = Similarity.signMatrix(2, 4)
+    // matrix is a pure function — same call, same entries
+    assert(Similarity.signMatrix(2, 4).map(_.toSeq).toSeq ==
+      m.map(_.toSeq).toSeq)
+    assert(m.flatten.forall(v => v == 1 || v == -1))
+    val emb = Seq((1L, Array(0.5f, -0.25f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.signProject(emb, "vec_id", "embedding", 4, 2)
+      .collect().head
+    val q = Seq(500L, -250L, 1000L, 0L)
+    val exp = (0 until 2).map(i =>
+      (0 until 4).map(j => q(j) * m(i)(j)).sum)
+    assert(r.getAs[Long]("p0") == exp(0) && r.getAs[Long]("p1") == exp(1))
+    assert(r.getAs[Long]("n2_in") == q.map(x => x * x).sum)
+    assert(r.getAs[Long]("n2_out") == exp.map(x => x * x).sum)
+  }
+
   test("embeddingLeak: cross-split pairs only, threshold respected") {
     import spark.implicits._
     val train = Seq(
