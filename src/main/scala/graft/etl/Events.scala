@@ -283,6 +283,39 @@ object Events {
       .select(col(keyCol) +: valueCols.map(col) :+ col("n_ops"): _*)
   }
 
+  /** Idempotency / burst dedup: collapse retry storms and double-fires
+    * into one logical event — events with the same key within `gapUs`
+    * micros of the PREVIOUS event chain into one burst (gap-based, so a
+    * long retry storm stays one burst however long it runs), and each
+    * burst reports its first event plus the collapse count. The telemetry
+    * twin of exact content dedup: duplicate SENDS have distinct payload
+    * hashes but the same cause.
+    *
+    * Two key-partitioned windows (chain flag, then running burst id via
+    * an explicit rows frame) and one burst-grain aggregate; ties on the
+    * timestamp break by `tieCol` so burst boundaries are deterministic.
+    * `tsUsCol` must be integral micros (same contract as scd2History). */
+  def burstDedup(df: DataFrame, keyCols: Seq[String], tsUsCol: String,
+      tieCol: String, gapUs: Long): DataFrame = {
+    require(keyCols.nonEmpty && gapUs >= 0)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsUsCol), col(tieCol))
+    val started = df
+      .withColumn("_prev", lag(col(tsUsCol), 1).over(w))
+      .withColumn("_start", col("_prev").isNull ||
+        col(tsUsCol) - col("_prev") > gapUs)
+    val withBurst = started.withColumn("burst_id",
+      sum(when(col("_start"), 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withBurst
+      .groupBy((keyCols.map(col) :+ col("burst_id")): _*)
+      .agg(min(col(tsUsCol)).as("ts_us"),
+        min(struct(col(tsUsCol), col(tieCol))).as("_f"),
+        count(lit(1)).as("burst_n"))
+      .select((keyCols.map(col) :+ col("burst_id") :+ col("ts_us") :+
+        col("_f").getField(tieCol).as(tieCol) :+ col("burst_n")): _*)
+  }
+
   /** SCD-2 history build: each change event becomes a version row with a
     * half-open validity interval `[valid_from_us, valid_to_us)` in integer
     * micros — `valid_to_us` is the key's next change (exclusive), NULL with

@@ -44,4 +44,28 @@ object Quality {
       count(when(col("quality_score") >= 50 && col("quality_score") < 60, 1)).as("b_50_59"),
       count(when(col("quality_score") < 50, 1)).as("b_lt_50"))
   }
+
+  /** Functional-dependency audit: does `lhs → rhs` actually hold in the
+    * data? One row per claimed dependency: determinant groups, the groups
+    * where the rhs is NOT single-valued, the row mass trapped in those
+    * groups, and the worst fan-out — the schema-contract check (natural
+    * keys, denormalization assumptions, dimension hierarchies) run as one
+    * combiner-friendly groupBy plus a one-row fold. NULL lhs values group
+    * together; NULL rhs values don't count as a distinct value
+    * (count(DISTINCT) semantics, identical in the oracle). */
+  def functionalDependency(df: DataFrame, lhsCols: Seq[String],
+      rhsCol: String, name: String): DataFrame = {
+    require(lhsCols.nonEmpty)
+    df.groupBy(lhsCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"), countDistinct(col(rhsCol)).as("_d"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("_n")).as("n_rows"),
+        sum(when(col("_d") > 1, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("_d") > 1, col("_n")).otherwise(0L))
+          .as("rows_in_violating"),
+        max(col("_d")).as("max_fanout"))
+      .select(lit(name).as("fd"), col("n_groups"), col("n_rows"),
+        col("n_violating"), col("rows_in_violating"), col("max_fanout"),
+        expr("CAST(n_violating * 10000 div n_groups AS BIGINT)")
+          .as("violation_bp"))
+  }
 }

@@ -172,6 +172,22 @@ object GraphEvents {
         "CAST(reached_purchase * 10000 div NULLIF(n_sessions, 0) AS BIGINT)"))
   }
 
+  // -------------------------------------------- q370 burst dedup
+
+  /** Idempotency dedup ([[Events.burstDedup]], 30-min gap): per
+    * (user, event type), retry storms and double-fires collapse to one
+    * logical event carrying its burst size — the telemetry-side dedup
+    * (duplicate SENDS differ in payload, so content hashing can't
+    * catch them). */
+  def q370BurstDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"user_id", $"event_type",
+      expr("unix_micros(ts)").as("ts_us"), $"event_id")
+    Events.burstDedup(e, Seq("user_id", "event_type"), "ts_us", "event_id",
+        gapUs = 30L * 60 * 1000000)
+      .orderBy($"user_id", $"event_type", $"burst_id")
+  }
+
   // -------------------------------------------- q332 CDC apply
 
   /** CDC-log materialization ([[Events.cdcApply]]): events replayed as
@@ -1151,6 +1167,7 @@ object GraphEvents {
     "q325_entropy_rate" -> q325EntropyRate _,
     "q328_path_anomaly" -> q328PathAnomaly _,
     "q332_cdc_apply" -> q332CdcApply _,
+    "q370_burst_dedup" -> q370BurstDedup _,
     "q337_session_funnel" -> q337SessionFunnel _,
     "q104_interval_merge" -> q104IntervalMerge _,
     "q105_skyline" -> q105Skyline _,
@@ -1193,6 +1210,28 @@ object GraphEvents {
       |  CAST(reached_purchase * 10000 // NULLIF(n_sessions, 0) AS BIGINT)
       |    AS conv_bp
       |FROM a""".stripMargin,
+    "q370_burst_dedup" -> """
+      |WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+      |             event_id FROM events),
+      |s AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id, event_type
+      |        ORDER BY ts_us, event_id) AS prev FROM e),
+      |b AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL
+      |          OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY user_id, event_type
+      |          ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+      |        AS BIGINT) AS burst_id
+      |      FROM s),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY user_id, event_type, burst_id
+      |        ORDER BY ts_us, event_id) AS rn,
+      |        CAST(count(*) OVER (
+      |          PARTITION BY user_id, event_type, burst_id) AS BIGINT)
+      |          AS burst_n
+      |      FROM b)
+      |SELECT user_id, event_type, burst_id, CAST(ts_us AS BIGINT) AS ts_us,
+      |  event_id, burst_n
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id, event_type, burst_id""".stripMargin,
     "q332_cdc_apply" -> """
       |WITH log AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,

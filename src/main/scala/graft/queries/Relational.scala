@@ -564,6 +564,29 @@ object Relational {
       .orderBy($"layout", $"p_lo")
   }
 
+  /** Q371 — functional-dependency audit
+    * ([[graft.etl.Quality.functionalDependency]]) of four schema claims:
+    * the two key claims (p_partkey→p_brand, o_orderkey→o_custkey) hold,
+    * and the two plausible-but-false assumptions (brand determines type,
+    * customer determines priority) get their violation mass quantified —
+    * the contract check run before anyone denormalizes on a "determined"
+    * column. */
+  def q371FdAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir)
+    val o = Tables.orders(spark, dir)
+    graft.etl.Quality
+      .functionalDependency(p, Seq("p_partkey"), "p_brand",
+        "p_partkey->p_brand")
+      .unionByName(graft.etl.Quality.functionalDependency(
+        p, Seq("p_brand"), "p_type", "p_brand->p_type"))
+      .unionByName(graft.etl.Quality.functionalDependency(
+        o, Seq("o_orderkey"), "o_custkey", "o_orderkey->o_custkey"))
+      .unionByName(graft.etl.Quality.functionalDependency(
+        o, Seq("o_custkey"), "o_orderpriority", "o_custkey->o_orderpriority"))
+      .orderBy($"fd")
+  }
+
   /** Q366 — clustering factor ([[graft.etl.Layout.clusteringFactor]]) of
     * two candidate filter keys under lineitem's arrival order: the order
     * key (contiguous by construction → bp 10000) vs the supplier key
@@ -872,6 +895,7 @@ object Relational {
     "q310_compaction_plan" -> q310CompactionPlan _,
     "q355_zonemap_audit" -> q355ZonemapAudit _,
     "q366_clustering_factor" -> q366ClusteringFactor _,
+    "q371_fd_audit" -> q371FdAudit _,
     "q356_salt_plan" -> q356SaltPlan _,
     "q266_proximity_join" -> q266ProximityJoin _,
     "q301_price_index" -> q301PriceIndex _,
@@ -889,6 +913,27 @@ object Relational {
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
     * round differently from Spark's double arithmetic. */
   val oracleSql: Map[String, String] = Map(
+    "q371_fd_audit" -> {
+      def one(name: String, table: String, lhs: String, rhs: String) =
+        s"""SELECT '$name' AS fd, CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(sum(n) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  CAST(sum(CASE WHEN d > 1 THEN n ELSE 0 END) AS BIGINT)
+           |    AS rows_in_violating,
+           |  CAST(max(d) AS BIGINT) AS max_fanout,
+           |  CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) * 10000
+           |    // count(*) AS BIGINT) AS violation_bp
+           |FROM (SELECT $lhs, count(*) AS n, count(DISTINCT $rhs) AS d
+           |      FROM $table GROUP BY 1)""".stripMargin
+      Seq(
+        one("p_partkey->p_brand", "part", "p_partkey", "p_brand"),
+        one("p_brand->p_type", "part", "p_brand", "p_type"),
+        one("o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+        one("o_custkey->o_orderpriority", "orders", "o_custkey",
+          "o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    },
     "q366_clustering_factor" -> """
       |WITH s AS (
       |  SELECT l_orderkey, l_suppkey,

@@ -456,4 +456,45 @@ class GraphEventsSpec extends SparkSpec {
     assert(total == 101L)
   }
 
+  test("burstDedup: gap chaining, first-event keep, per-key isolation") {
+    import spark.implicits._
+    // key A: events at 0, 5, 9, 100, 103 with gap 10 → bursts
+    // {0,5,9} (5 chains to 0, 9 chains to 5) and {100,103}
+    val e = Seq(
+      ("A", 0L, 1L), ("A", 5L, 2L), ("A", 9L, 3L),
+      ("A", 100L, 4L), ("A", 103L, 5L),
+      ("B", 7L, 6L))
+      .toDF("k", "ts_us", "event_id")
+    val out = Events.burstDedup(e, Seq("k"), "ts_us", "event_id", gapUs = 10L)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("burst_id")) ->
+        (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"),
+         r.getAs[Long]("burst_n"))).toMap
+    assert(out == Map(
+      ("A", 1L) -> (0L, 1L, 3L),
+      ("A", 2L) -> (100L, 4L, 2L),
+      ("B", 1L) -> (7L, 6L, 1L)))
+    // simultaneous events: tie broken by id, both in one burst
+    val tied = Seq(("C", 50L, 9L), ("C", 50L, 8L)).toDF("k", "ts_us", "event_id")
+    val t = Events.burstDedup(tied, Seq("k"), "ts_us", "event_id", 10L)
+      .collect().head
+    assert(t.getAs[Long]("event_id") == 8L && t.getAs[Long]("burst_n") == 2L)
+  }
+
+  test("functionalDependency: holding and violated claims measured exactly") {
+    import spark.implicits._
+    val df = Seq(("b1", "m1", 1), ("b1", "m1", 2), ("b2", "m1", 3),
+      ("b2", "m2", 4)).toDF("brand", "mfgr", "size")
+    val ok = Quality.functionalDependency(df, Seq("brand"), "mfgr",
+      "brand->mfgr").collect().head
+    assert(ok.getAs[Long]("n_groups") == 2L &&
+      ok.getAs[Long]("n_violating") == 1L &&
+      ok.getAs[Long]("rows_in_violating") == 2L &&
+      ok.getAs[Long]("max_fanout") == 2L &&
+      ok.getAs[Long]("violation_bp") == 5000L)
+    val key = Quality.functionalDependency(df, Seq("size"), "brand",
+      "size->brand").collect().head
+    assert(key.getAs[Long]("n_violating") == 0L &&
+      key.getAs[Long]("violation_bp") == 0L)
+  }
+
 }
