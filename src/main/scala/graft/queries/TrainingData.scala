@@ -223,11 +223,15 @@ object TrainingData {
     * dilutes away. k/window are sized to the corpus (k=5 fingerprints on
     * the small-vocabulary synthetic text are near-universal and would
     * pair everything); the oracle refolds the same rolling hash, window
-    * minima, and the engine's ≥1-below-cap candidate convention. */
+    * minima, and the engine's ≥1-below-cap candidate convention. The cap
+    * is 64, tighter than the dedup family's 256: a 16-char fingerprint
+    * shared by >64 docs is boilerplate, and the cap bounds in-bucket pair
+    * volume at 64²/2 per fingerprint — the 10× sweep showed the 256-cap
+    * variant scaling with Σ bucket² instead (26× time for 10× docs). */
   def q362WinnowOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Similarity.winnowOverlapPairs(Tables.documents(spark, dir), "doc_id",
-        "text", k = 16, window = 12, minShared = 3)
+        "text", k = 16, window = 12, minShared = 3, maxFpFreq = Some(64))
       .orderBy($"id_a", $"id_b")
   }
 
@@ -2667,9 +2671,10 @@ object TrainingData {
       |FROM w ORDER BY doc_id""".stripMargin,
     // Same winnow refold as q53 at k=16/window=12, then the pair engine's
     // conventions: set intersection over distinct fingerprints, the
-    // >=1-below-cap candidate rule (has_kept — every bucket is far below
-    // 256 on the driver corpora, so this equals the exact pair set), and
-    // floored overlap_bp against the smaller fingerprint set.
+    // >=1-below-cap candidate rule (has_kept at the query's cap of 64 —
+    // every bucket is far below it on the driver corpora, so this equals
+    // the exact pair set), and floored overlap_bp against the smaller
+    // fingerprint set.
     "q362_winnow_overlap" -> """
       |WITH g AS (
       |  SELECT doc_id,
@@ -2694,7 +2699,7 @@ object TrainingData {
       |f AS (SELECT fp, count(*) AS c FROM e GROUP BY 1),
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |        count(*) AS shared,
-      |        max(CASE WHEN f.c <= 256 THEN 1 ELSE 0 END) AS has_kept
+      |        max(CASE WHEN f.c <= 64 THEN 1 ELSE 0 END) AS has_kept
       |      FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
       |      JOIN f ON f.fp = a.fp
       |      GROUP BY 1, 2)
