@@ -693,6 +693,37 @@ object Similarity {
       bruteForceTopK(corpus, queries, idCol, vecCol, k),
       ivfTopK(corpus, queries, idCol, vecCol, k, nlist, nprobe))
 
+  /** Retrieval-quality metrics of an approximate ANN run against exact
+    * truth (both in the (query_id, rank, nn_id) shape of
+    * [[bruteForceTopK]]/[[lshBucketTopK]]/[[ivfTopK]]): where does each
+    * query's TRUE nearest neighbor land in the approximate list?
+    * `hits_at_1`, `hits_at_k` (found anywhere in the approx top-k),
+    * `n_missed`, and `mrr_ppm` — mean reciprocal rank as floored
+    * parts-per-million (per-query rr_ppm = 10⁶ div pos, missed = 0,
+    * then the floored mean), integer-exact end to end. The
+    * ranking-quality companion to [[annRecallAudit]]'s set recall:
+    * recall says how much of the top-k survives, MRR says whether the
+    * best answer is still FIRST. One equi-join on (query, true-NN) plus
+    * a one-row fold. */
+  def retrievalMetrics(approx: DataFrame, truth: DataFrame,
+      k: Int): DataFrame = {
+    val t1 = truth.filter(col("rank") === 1)
+      .select(col("query_id"), col("nn_id"))
+    val pos = approx.select(col("query_id"), col("nn_id"),
+      col("rank").as("_pos"))
+    t1.join(pos, Seq("query_id", "nn_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("_pos") === 1, 1L).otherwise(0L)).as("hits_at_1"),
+        sum(when(col("_pos").isNotNull && col("_pos") <= k, 1L)
+          .otherwise(0L)).as("hits_at_k"),
+        sum(when(col("_pos").isNull, 1L).otherwise(0L)).as("n_missed"),
+        sum(when(col("_pos").isNotNull, expr("1000000 div _pos"))
+          .otherwise(0L)).as("_rr"))
+      .select(col("n_queries"), col("hits_at_1"), col("hits_at_k"),
+        col("n_missed"),
+        expr("CAST(_rr div n_queries AS BIGINT)").as("mrr_ppm"))
+  }
+
   /** One left join + one aggregation — the exact (expensive) side is
     * computed exactly once; the former semi-join + count assembly
     * evaluated it twice. */

@@ -174,6 +174,20 @@ object TrainingData {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** MRR / hits@k of the sign-LSH ANN path against brute-force truth
+    * ([[Similarity.retrievalMetrics]]): does each query's TRUE nearest
+    * neighbor still come back, and does it still come back FIRST — the
+    * ranking-quality line next to the q315 set-recall audit. */
+  def q372RetrievalMrr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter($"vec_id" % 400 === 0)
+    Similarity.retrievalMetrics(
+      Similarity.lshBucketTopK(e, q, "vec_id", "embedding", k = 10),
+      Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10),
+      k = 10)
+  }
+
   /** Johnson–Lindenstrauss sign projection 64→16
     * ([[Similarity.signProject]]): integer-exact projected coordinates
     * plus input/output squared norms, the dimensionality-reduction pass
@@ -963,6 +977,7 @@ object TrainingData {
     "q52_cosine_dups" -> q52CosineDups _,
     "q364_embedding_leak" -> q364EmbeddingLeak _,
     "q369_sign_projection" -> q369SignProjection _,
+    "q372_retrieval_mrr" -> q372RetrievalMrr _,
     "q53_winnow" -> q53Winnow _,
     "q362_winnow_overlap" -> q362WinnowOverlap _,
     "q54_frame_sample" -> q54FrameSample _,
@@ -2626,6 +2641,40 @@ object TrainingData {
       |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(n2a*n2b AS DOUBLE)) >= 0.3
       |ORDER BY id_a, id_b""".stripMargin,
     "q369_sign_projection" -> signProjOracleSql(64, 16),
+    "q372_retrieval_mrr" -> s"""
+      |WITH $qembSql,
+      |bt AS (
+      |  SELECT query_id, nn_id FROM (
+      |    SELECT qe.vec_id AS query_id, ce.vec_id AS nn_id,
+      |      row_number() OVER (PARTITION BY qe.vec_id
+      |        ORDER BY CAST(list_dot_product(qe.q, ce.q) AS BIGINT) DESC,
+      |          ce.vec_id) AS r
+      |    FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id
+      |    WHERE qe.vec_id % 400 = 0)
+      |  WHERE r = 1),
+      |ap AS (
+      |  SELECT query_id, nn_id, rank FROM (
+      |    SELECT qe.vec_id AS query_id, ce.vec_id AS nn_id,
+      |      row_number() OVER (PARTITION BY qe.vec_id
+      |        ORDER BY CAST(list_dot_product(qe.q, ce.q) AS BIGINT) DESC,
+      |          ce.vec_id) AS rank
+      |    FROM e qe JOIN e ce
+      |      ON ce.bucket = qe.bucket AND ce.vec_id <> qe.vec_id
+      |    WHERE qe.vec_id % 400 = 0)
+      |  WHERE rank <= 10),
+      |pos AS (SELECT bt.query_id, ap.rank AS p
+      |        FROM bt LEFT JOIN ap
+      |          ON ap.query_id = bt.query_id AND ap.nn_id = bt.nn_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hits_at_1,
+      |  CAST(sum(CASE WHEN p IS NOT NULL AND p <= 10 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS hits_at_k,
+      |  CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_missed,
+      |  CAST(sum(CASE WHEN p IS NOT NULL THEN 1000000 // p ELSE 0 END)
+      |    // count(*) AS BIGINT) AS mrr_ppm
+      |FROM pos""".stripMargin,
     "q364_embedding_leak" -> s"""
       |WITH $qembSql,
       |p AS (

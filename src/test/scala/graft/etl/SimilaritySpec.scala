@@ -257,6 +257,26 @@ class SimilaritySpec extends SparkSpec {
       Some(fa.intersect(fc).size.toLong) else None))
   }
 
+  test("retrievalMetrics: positions, misses, floored ppm arithmetic") {
+    import spark.implicits._
+    // truth top-1s: q1→a, q2→b, q3→c, q4→d
+    val truth = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"),
+      (4L, 1L, "d")).toDF("query_id", "rank", "nn_id")
+    // approx: q1 has a at pos 1; q2 has b at pos 3; q3 misses c entirely;
+    // q4 has d at pos 7
+    val approx = Seq((1L, 1L, "a"), (1L, 2L, "x"), (2L, 1L, "x"),
+      (2L, 2L, "y"), (2L, 3L, "b"), (3L, 1L, "z"), (4L, 7L, "d"))
+      .toDF("query_id", "rank", "nn_id")
+    val r = Similarity.retrievalMetrics(approx, truth, k = 10)
+      .collect().head
+    assert(r.getAs[Long]("n_queries") == 4L)
+    assert(r.getAs[Long]("hits_at_1") == 1L)
+    assert(r.getAs[Long]("hits_at_k") == 3L)
+    assert(r.getAs[Long]("n_missed") == 1L)
+    // rr_ppm: 1000000 + 333333 + 0 + 142857 = 1476190; /4 = 369047
+    assert(r.getAs[Long]("mrr_ppm") == 369047L)
+  }
+
   test("signProject: hand-checked projection, norms exact, matrix stable") {
     import spark.implicits._
     val m = Similarity.signMatrix(2, 4)
