@@ -239,18 +239,19 @@ object Similarity {
     * test.
     *
     * `overlap_bp` = shared·10⁴ div min(n_fp) — the MOSS similarity,
-    * integer-exact. Fingerprinting is a per-doc sequential rolling hash
-    * (genuinely order-dependent, one of the few justified UDFs — same one
-    * q53 gates); candidate generation rides the exact same capped
+    * integer-exact. Fingerprinting is the native codegen `winnow_fps`
+    * expression (`graft.plans.Winnow`, registered by GraftExtensions) —
+    * a per-doc sequential rolling hash that used to be the one justified
+    * UDF in this family; candidate generation rides the exact same capped
     * bucket-and-explode engine as [[ngramJaccardPairs]], with the same
     * above-cap recall caveat (boilerplate fingerprints never pair-explode,
     * their intersections are corrected exactly for pairs already found). */
   def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, window: Int = 4, minShared: Int = 2,
       maxFpFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame = {
-    val winnowUdf = udf((t: String) => graft.functions.Text.winnow(t, k, window))
     val fps = docs.select(col(idCol).as("id"),
-      explode(winnowUdf(col(textCol))).as("shingle"))
+      explode(call_function("winnow_fps", col(textCol), lit(k), lit(window)))
+        .as("shingle"))
     intersectionPairsFromTokens(fps, maxFpFreq, materialize = false)
       .filter(col("inter") >= minShared)
       .select(col("id_a"), col("id_b"), col("inter").as("shared"),

@@ -153,6 +153,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordShingles(children.head, n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[Winnow].getName, "winnow_fps"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "winnow_fps(text, k, window) takes exactly 3 arguments")
+        def intLit(e: Expression, name: String): Int = e match {
+          case l if l.foldable => l.eval() match {
+            case i: Int => i
+            case lo: Long => lo.toInt
+            case other => throw new IllegalArgumentException(
+              s"winnow_fps $name must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"winnow_fps $name must be a literal")
+        }
+        Winnow(children.head, intLit(children(1), "k"),
+          intLit(children(2), "window"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("ws_tokens"),
       new ExpressionInfo(classOf[WsTokens].getName, "ws_tokens"),
       (children: Seq[Expression]) => {

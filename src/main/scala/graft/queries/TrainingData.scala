@@ -214,16 +214,18 @@ object TrainingData {
       .orderBy($"test_id", $"train_id")
   }
 
-  /** Winnowing document fingerprints (k=5 char-grams, window 4): the REAL
-    * `Text.winnow` runs per doc; the oracle refolds the rolling polynomial
-    * hash and the per-window min selection in SQL (list_reduce over chars).
+  /** Winnowing document fingerprints (k=5 char-grams, window 4) via the
+    * native codegen `winnow_fps` expression (spec-pinned to
+    * `Text.winnow`); the oracle refolds the rolling polynomial hash and
+    * the per-window min selection in SQL (list_reduce over chars).
     * Corpus is ASCII so UTF-16-unit (Scala) and code-point (SQL) folds
     * agree. */
   def q53Winnow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val winnowUdf = udf((t: String) => graft.functions.Text.winnow(t, 5, 4))
     Tables.documents(spark, dir)
-      .select($"doc_id", explode(winnowUdf($"text")).as("fp"))
+      .select($"doc_id",
+        explode(call_function("winnow_fps", $"text", lit(5), lit(4)))
+          .as("fp"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_fp"), min($"fp").as("min_fp"),
         max($"fp").as("max_fp"), sum($"fp").as("sum_fp"))
