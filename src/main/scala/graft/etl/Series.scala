@@ -288,14 +288,20 @@ object Series {
       explode(sequence(col("_lo"), col("_hi"))).as(dCol))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(dCol))
     val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // next-observation lookups as a running window over the reversed day
+    // order — an UnboundedFollowing frame re-aggregates [current, end]
+    // per row, O(n²) per partition (see TimeJoins.asofJoinNearest); the
+    // grid's days are unique per key, so the reversal is an exact total
+    // order and `last` here equals `first` over the forward frame.
+    val fwdRev = Window.partitionBy(col(keyCol)).orderBy(col(dCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(daily, Seq(keyCol, dCol), "left")
       .withColumn("_pv", last(col(xCol), ignoreNulls = true).over(back))
       .withColumn("_pd", last(when(col(xCol).isNotNull, col(dCol)),
         ignoreNulls = true).over(back))
-      .withColumn("_nv", first(col(xCol), ignoreNulls = true).over(fwd))
-      .withColumn("_nd", first(when(col(xCol).isNotNull, col(dCol)),
-        ignoreNulls = true).over(fwd))
+      .withColumn("_nv", last(col(xCol), ignoreNulls = true).over(fwdRev))
+      .withColumn("_nd", last(when(col(xCol).isNotNull, col(dCol)),
+        ignoreNulls = true).over(fwdRev))
       .select(col(keyCol), col(dCol).as("day"),
         when(col(xCol).isNotNull, col(xCol))
           .otherwise(col("_pv") + expr(

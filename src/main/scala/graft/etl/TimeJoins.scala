@@ -98,12 +98,19 @@ object TimeJoins {
     val r = right.select(col(key), col(rightTime).as("_time"),
       col(pick).as("_pick")).withColumn("_tag", lit(2))
     // right rows sort after left rows at equal time (>= semantics);
-    // multiple right rows at one time resolve to the min pick
+    // multiple right rows at one time resolve to the min pick.
+    // Running `last` over the reversed total order, NOT
+    // `first over (currentRow..unboundedFollowing)` — the latter frame
+    // re-aggregates [current, end] per row, O(n²) per partition (see
+    // [[asofJoinNearest]]); this is the O(n) streaming form with
+    // identical tie semantics (equal-time rights, _tag 2, sort before
+    // the left row descending → still visible; equal-time right ties
+    // still resolve to the min pick).
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_time"), col("_tag"), col("_pick"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("_time").desc, col("_tag").desc, col("_pick").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn(s"asoff_$pick", first(col("_pick"), ignoreNulls = true).over(w))
+      .withColumn(s"asoff_$pick", last(col("_pick"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
       .drop("_time", "_tag", "_pick")
   }
@@ -139,17 +146,27 @@ object TimeJoins {
     val back = Window.partitionBy(col(key))
       .orderBy(col("_time"), col("_tag"), col("_pick"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(col(key))
-      .orderBy(col("_time"), col("_tag"), col("_pick"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward candidate as a RUNNING window over the exact reversed total
+    // order — semantically `first(..) over (currentRow..unboundedFollowing)`
+    // on the ascending order, but Spark executes an UnboundedFollowing
+    // frame by re-aggregating [current, end] for EVERY row: O(n²) per
+    // partition (measured 74 s on q322's 1M-row/6-key input; 1.5 s this
+    // way). The reversed running `last` is the O(n) streaming frame.
+    // Tie sets agree: at equal _time the right rows (_tag 0) sort before
+    // the left row ascending and after it descending, so neither variant
+    // sees an equal-time right row, and among equal-time right rows both
+    // resolve to the min _pick.
+    val fwdRev = Window.partitionBy(col(key))
+      .orderBy(col("_time").desc, col("_tag").desc, col("_pick").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nearer = col("_bt").isNotNull &&
       (col("_ft").isNull ||
         (col("_time") - col("_bt")) <= (col("_ft") - col("_time")))
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("_bp", last(col("_pick"), ignoreNulls = true).over(back))
       .withColumn("_bt", last(col("_rt"), ignoreNulls = true).over(back))
-      .withColumn("_fp", first(col("_pick"), ignoreNulls = true).over(fwd))
-      .withColumn("_ft", first(col("_rt"), ignoreNulls = true).over(fwd))
+      .withColumn("_fp", last(col("_pick"), ignoreNulls = true).over(fwdRev))
+      .withColumn("_ft", last(col("_rt"), ignoreNulls = true).over(fwdRev))
       .filter(col("_tag") === 1)
       .withColumn(s"asofn_$pick",
         when(nearer, col("_bp"))
