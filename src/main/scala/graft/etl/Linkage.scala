@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Blocked fuzzy entity resolution — the end-to-end composition of the
@@ -176,5 +176,50 @@ object Linkage {
         col("right_id"))).as("_best"))
       .select(col("left_id"), col("_best.right_id").as("right_id"),
         col("_best.dist").as("dist"), (-col("_best.njw")).as("jw_x1m"))
+  }
+
+  /** Fellegi–Sunter per-field match weights from a labeled pair sample:
+    * for each boolean agreement field, m = P(agree | match) and
+    * u = P(agree | non-match) as exact floored ppm, plus the
+    * floored-log₂ agreement/disagreement weights in centibits under the
+    * house convention (`(bitlen(m_ppm) − bitlen(u_ppm))·100` — the same
+    * bl() approximation the surprisal family uses, integer-exact and
+    * engine-portable). These weights are what turns [[fuzzyBestMatch]]'s
+    * per-field comparisons into a calibrated match score: fields that
+    * rarely agree by chance (phone) earn large weights, fields that
+    * often agree anyway (city) earn small ones.
+    *
+    * One aggregation pass over the pairs (per-field sums fold into one
+    * row) and an enum-sized unpivot — the labeled sample is scanned
+    * once however many fields are scored. Zero-count edges keep their
+    * honest degenerate values (bitlen(0) = 0) rather than smoothing
+    * silently; callers wanting Laplace smoothing add it upstream. */
+  def fellegiSunter(pairs: DataFrame, matchCol: Column,
+      agreeCols: Seq[String]): DataFrame = {
+    require(agreeCols.nonEmpty)
+    val perField = agreeCols.flatMap { f =>
+      Seq(sum(when(matchCol && col(f), 1L).otherwise(0L)).as(s"_ma_$f"),
+        sum(when(!matchCol && col(f), 1L).otherwise(0L)).as(s"_ua_$f"))
+    }
+    val one = pairs.agg(
+      sum(when(matchCol, 1L).otherwise(0L)).as("_nm"),
+      (sum(when(!matchCol, 1L).otherwise(0L)).as("_nu") +: perField): _*)
+    val stacked = explode(array(agreeCols.map(f =>
+      struct(lit(f).as("field"), col(s"_ma_$f").as("_ma"),
+        col(s"_ua_$f").as("_ua"))): _*))
+    one.select(col("_nm"), col("_nu"), stacked.as("_s"))
+      .select(col("_s.field").as("field"), col("_s._ma").as("_ma"),
+        col("_s._ua").as("_ua"), col("_nm"), col("_nu"))
+      .select(col("field"), col("_nm").as("n_match"),
+        col("_nu").as("n_unmatch"),
+        expr("CAST(_ma * 1000000 div NULLIF(_nm, 0) AS BIGINT)")
+          .as("m_ppm"),
+        expr("CAST(_ua * 1000000 div NULLIF(_nu, 0) AS BIGINT)")
+          .as("u_ppm"))
+      .withColumn("agree_w_cb", expr(
+        "CAST((bitlen(m_ppm) - bitlen(u_ppm)) * 100 AS BIGINT)"))
+      .withColumn("disagree_w_cb", expr(
+        """CAST((bitlen(1000000 - m_ppm) - bitlen(1000000 - u_ppm)) * 100
+           AS BIGINT)"""))
   }
 }

@@ -285,6 +285,29 @@ object Curation {
       .orderBy($"entry")
   }
 
+  // --------------------------------------- q373 fellegi-sunter
+
+  /** Fellegi–Sunter weight estimation
+    * ([[graft.etl.Linkage.fellegiSunter]]) over a deterministic labeled
+    * pair sample from customers: a third of pairs labeled matches;
+    * per-field agreement flags synthesized at distinct m/u rates by key
+    * residues (name ≈90/5%, segment ≈70/20%, phone ≈99/1%), so each
+    * field earns a visibly different weight — the calibration table an
+    * ER pipeline feeds into its match scorer. */
+  def q373FellegiSunter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = $"c_custkey"
+    val isM = k % 3 === 0
+    val pairs = Tables.customer(spark, dir).select(
+      isM.as("is_match"),
+      when(isM, k % 10 =!= 0).otherwise(k % 20 === 0).as("name_agree"),
+      when(isM, k % 10 < 7).otherwise(k % 5 === 0).as("segment_agree"),
+      when(isM, k % 100 =!= 0).otherwise(k % 100 === 50).as("phone_agree"))
+    graft.etl.Linkage.fellegiSunter(pairs, $"is_match",
+        Seq("name_agree", "segment_agree", "phone_agree"))
+      .orderBy($"field")
+  }
+
   // ------------------------------------------------ q368 nucleus
 
   /** Nucleus (top-p) mass coverage per language
@@ -824,6 +847,7 @@ object Curation {
     "q365_bpe_apply" -> q365BpeApply _,
     "q367_host_cap" -> q367HostCap _,
     "q368_nucleus" -> q368Nucleus _,
+    "q373_fellegi_sunter" -> q373FellegiSunter _,
     "q121_winsorized" -> q121Winsorized _,
     "q122_mode" -> q122Mode _,
     "q123_bitmap_distinct" -> q123BitmapDistinct _,
@@ -1206,6 +1230,44 @@ object Curation {
       |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
     "q358_bpe_train" -> bpeOracleSql(4),
     "q365_bpe_apply" -> bpeApplyOracleSql(4),
+    "q373_fellegi_sunter" -> """
+      |WITH p AS (
+      |  SELECT (c_custkey % 3 = 0) AS im,
+      |    CASE WHEN c_custkey % 3 = 0 THEN c_custkey % 10 <> 0
+      |         ELSE c_custkey % 20 = 0 END AS name_agree,
+      |    CASE WHEN c_custkey % 3 = 0 THEN c_custkey % 10 < 7
+      |         ELSE c_custkey % 5 = 0 END AS segment_agree,
+      |    CASE WHEN c_custkey % 3 = 0 THEN c_custkey % 100 <> 0
+      |         ELSE c_custkey % 100 = 50 END AS phone_agree
+      |  FROM customer),
+      |a AS (
+      |  SELECT 'name_agree' AS field,
+      |    sum(CASE WHEN im AND name_agree THEN 1 ELSE 0 END) AS ma,
+      |    sum(CASE WHEN NOT im AND name_agree THEN 1 ELSE 0 END) AS ua
+      |  FROM p
+      |  UNION ALL
+      |  SELECT 'segment_agree',
+      |    sum(CASE WHEN im AND segment_agree THEN 1 ELSE 0 END),
+      |    sum(CASE WHEN NOT im AND segment_agree THEN 1 ELSE 0 END)
+      |  FROM p
+      |  UNION ALL
+      |  SELECT 'phone_agree',
+      |    sum(CASE WHEN im AND phone_agree THEN 1 ELSE 0 END),
+      |    sum(CASE WHEN NOT im AND phone_agree THEN 1 ELSE 0 END)
+      |  FROM p),
+      |t AS (SELECT sum(CASE WHEN im THEN 1 ELSE 0 END) AS nm,
+      |        sum(CASE WHEN NOT im THEN 1 ELSE 0 END) AS nu FROM p)
+      |SELECT field, CAST(nm AS BIGINT) AS n_match,
+      |  CAST(nu AS BIGINT) AS n_unmatch,
+      |  CAST(ma * 1000000 // nm AS BIGINT) AS m_ppm,
+      |  CAST(ua * 1000000 // nu AS BIGINT) AS u_ppm,
+      |  CAST((length(bin(ma * 1000000 // nm))
+      |      - length(bin(ua * 1000000 // nu))) * 100 AS BIGINT)
+      |    AS agree_w_cb,
+      |  CAST((length(bin(1000000 - ma * 1000000 // nm))
+      |      - length(bin(1000000 - ua * 1000000 // nu))) * 100 AS BIGINT)
+      |    AS disagree_w_cb
+      |FROM a, t ORDER BY field""".stripMargin,
     "q368_nucleus" -> """
       |WITH t AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS tot
       |           FROM documents GROUP BY 1),

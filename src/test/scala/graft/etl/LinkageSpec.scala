@@ -109,4 +109,20 @@ class LinkageSpec extends SparkSpec {
       s"bounded levenshtein must take the threshold form:\n$p")
     assert(!p.contains("Cartesian"))
   }
+
+  test("fellegiSunter: exact m/u rates and floored-log weights") {
+    import spark.implicits._
+    // 4 matches: field agrees 3/4 (m = 750000); 8 non-matches: agrees 2/8
+    // (u = 250000). bitlen(750000)=20, bitlen(250000)=18 → +200 cb;
+    // complements 250000/750000 → -200 cb.
+    val pairs = ((1 to 4).map(i => (true, i <= 3)) ++
+      (1 to 8).map(i => (false, i <= 2))).toDF("m", "f_agree")
+    val r = Linkage.fellegiSunter(pairs, $"m", Seq("f_agree"))
+      .collect().head
+    assert(r.getAs[Long]("n_match") == 4L && r.getAs[Long]("n_unmatch") == 8L)
+    assert(r.getAs[Long]("m_ppm") == 750000L)
+    assert(r.getAs[Long]("u_ppm") == 250000L)
+    assert(r.getAs[Long]("agree_w_cb") == 200L)
+    assert(r.getAs[Long]("disagree_w_cb") == -200L)
+  }
 }
