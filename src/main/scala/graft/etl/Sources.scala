@@ -70,6 +70,29 @@ object Sources {
       .drop("_cat", "ml_category", "ml_confidence")
   }
 
+  /** Schema-on-read field profile of a raw JSON column: which top-level
+    * keys actually occur, in how many parseable documents, and each key's
+    * coverage in bp — the first report run on ANY new scraper feed,
+    * before anyone writes an adapter against fields that exist in 3% of
+    * rows. `n_docs` counts parseable JSON objects only (the denominator
+    * an adapter cares about); malformed rows are reported separately so
+    * feed rot is visible, not averaged away. One key-explode + one
+    * combiner-friendly count; key cardinality is schema-sized, so the
+    * result is tiny at any corpus scale. */
+  def jsonFieldProfile(raw: DataFrame, jsonCol: String): DataFrame = {
+    val keys = raw.select(json_object_keys(col(jsonCol)).as("_ks"))
+    val totals = keys.agg(
+      sum(when(col("_ks").isNotNull, 1L).otherwise(0L)).as("n_docs"),
+      sum(when(col("_ks").isNull, 1L).otherwise(0L)).as("n_malformed"))
+    keys.select(explode(col("_ks")).as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n_present"))
+      .crossJoin(broadcast(totals))
+      .select(col("key"), col("n_present"), col("n_docs"),
+        col("n_malformed"),
+        expr("CAST(n_present * 10000 div n_docs AS BIGINT)")
+          .as("presence_bp"))
+  }
+
   /** F7 — input-file gating (index.ts:27-48): only shops whose input file
     * exists and is bigger than 2 bytes get processed. */
   def gateInputs(spark: SparkSession, inputs: Map[String, String]): Map[String, String] =

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.etl.{Analytics, Dedupe, GenericAdapter, Quality, Sinks}
+import graft.etl.{Analytics, Dedupe, GenericAdapter, Quality, Sinks, Sources}
 
 /** Oracle rows for the small reporting aggregates that previously had only
   * ScalaTest pins (SURVEY.md §2.9 A2/A5/A12/A15, §2.10 J4/J5, §2.4 T7):
@@ -87,6 +87,30 @@ object Reports {
       .orderBy($"unified_id")
   }
 
+  /** Schema-on-read field profile ([[graft.etl.Sources.jsonFieldProfile]])
+    * over a q48-style raw feed with 1-in-11 malformed rows and an
+    * optional field: key coverage in bp over PARSEABLE docs plus the
+    * malformed count — the first report run on a new scraper feed. The
+    * oracle derives every count arithmetically, so it genuinely gates the
+    * engine's key extraction and malformed handling. */
+  def q374JsonProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = $"o_orderkey"
+    val promo = when(k % 4 === 0, lit("\"false\""))
+      .when(k % 4 === 1, lit("\"0\""))
+      .when(k % 4 === 2, lit("\"yes\""))
+    val raw = Tables.orders(spark, dir).select(
+      when(k % 11 === 0, lit("{not json"))
+        .otherwise(concat(
+          lit("{\"name\":\"Gen "), k.cast("string"),
+          lit("\",\"price\":\"1.00\",\"articleNumber\":\"X"),
+          k.cast("string"), lit("\",\"category\":\"c\""),
+          when(promo.isNotNull, concat(lit(",\"is_promotion\":"), promo))
+            .otherwise(lit("")),
+          lit("}"))).as("raw_data"))
+    Sources.jsonFieldProfile(raw, "raw_data").orderBy($"key")
+  }
+
   /** A5 — the quality report histogram (product-quality-service.ts:163-278)
     * through `Quality.report` on the q23 fixture. The 2dp-rounded avg_score
     * is excluded from the cross-engine compare (a decimal-representation
@@ -118,6 +142,7 @@ object Reports {
     "q46_schema_version_stats" -> q46SchemaVersionStats _,
     "q47_issue_stats" -> q47IssueStats _,
     "q48_generic_lineage" -> q48GenericLineage _,
+    "q374_json_profile" -> q374JsonProfile _,
     "q49_quality_report" -> q49QualityReport _)
 
   val oracleSql: Map[String, String] = Map(
@@ -172,6 +197,23 @@ object Reports {
       |  'none' AS promotion_type,
       |  TRUE AS is_active
       |FROM orders ORDER BY unified_id""".stripMargin,
+    "q374_json_profile" -> """
+      |WITH t AS (SELECT count(*) AS n_total,
+      |    sum(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END) AS n_mal
+      |  FROM orders),
+      |k AS (
+      |  SELECT 'name' AS key, n_total - n_mal AS np FROM t
+      |  UNION ALL SELECT 'price', n_total - n_mal FROM t
+      |  UNION ALL SELECT 'articleNumber', n_total - n_mal FROM t
+      |  UNION ALL SELECT 'category', n_total - n_mal FROM t
+      |  UNION ALL SELECT 'is_promotion',
+      |    (SELECT count(*) FROM orders
+      |     WHERE o_orderkey % 11 <> 0 AND o_orderkey % 4 <> 3) FROM t)
+      |SELECT key, CAST(np AS BIGINT) AS n_present,
+      |  CAST(n_total - n_mal AS BIGINT) AS n_docs,
+      |  CAST(n_mal AS BIGINT) AS n_malformed,
+      |  CAST(np * 10000 // (n_total - n_mal) AS BIGINT) AS presence_bp
+      |FROM k, t ORDER BY key""".stripMargin,
     "q49_quality_report" -> """
       |WITH sc AS (
       |  SELECT least(50

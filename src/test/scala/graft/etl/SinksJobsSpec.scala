@@ -121,4 +121,19 @@ class SinksJobsSpec extends SparkSpec {
       "ALDI" -> tmp.resolve("missing.json").toString))
     assert(gated.keySet == Set("AH"))
   }
+
+  test("jsonFieldProfile: key coverage, optional fields, malformed separated") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"a":1,"b":"x"}""", """{"a":2}""", """{"a":3,"c":true}""",
+      "not json at all", "").toDF("raw_data")
+    val out = Sources.jsonFieldProfile(raw, "raw_data")
+      .collect().map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("n_present"), r.getAs[Long]("n_docs"),
+         r.getAs[Long]("n_malformed"), r.getAs[Long]("presence_bp"))).toMap
+    assert(out.keySet == Set("a", "b", "c"))
+    assert(out("a") == (3L, 3L, 2L, 10000L))
+    assert(out("b") == (1L, 3L, 2L, 3333L))
+    assert(out("c") == (1L, 3L, 2L, 3333L))
+  }
 }
