@@ -481,4 +481,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q362/q363: banded pair generation never plans a cartesian product") {
+    val pw = plan("q362_winnow_overlap")
+    assert(!pw.contains("CartesianProduct") &&
+      !pw.contains("BroadcastNestedLoopJoin"), pw)
+    val pi = plan("q363_image_dup_classes")
+    assert(!pi.contains("CartesianProduct") &&
+      !pi.contains("BroadcastNestedLoopJoin"), pi)
+    // the dhash class pairs join on (band, block), an equi-join
+    assert(pi.contains("hamming") || pi.contains("bit_count"), pi)
+  }
+
+  test("q364: the leak scan joins train x test on the bucket, no self-join quadrants") {
+    val p = plan("q364_embedding_leak")
+    assert(!p.contains("CartesianProduct"), p)
+    // both sides filtered BEFORE the join: the residue split reaches the scan
+    assert(p.contains("PushedFilters"), p)
+  }
+
+  test("q369: the JL projection is scan-shaped — no Exchange at all") {
+    val p = plan("q369_sign_projection")
+    // the orderBy's range exchange is the only allowed one (formatted
+    // mode prints each node once in the tree and once in the details,
+    // so count detail entries)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q53: winnow fingerprinting runs the native expression, not a UDF") {
+    val p = plan("q53_winnow")
+    assert(p.contains("winnow_fps"), p)
+    assert(!p.toLowerCase.contains("batchevalpython") &&
+      !p.contains("ScalaUDF"), p)
+  }
+
+  test("q48: the generic adapter parses the document once per side") {
+    val p = plan("q48_generic_lineage")
+    // a handful of from_json mentions (shared-subexpression copies across
+    // projections), never the ~45 per-candidate get_json_object parses
+    assert("from_json".r.findAllIn(p).size <= 8, p)
+    assert(!p.contains("get_json_object"), p)
+  }
+
+  test("q322: the as-of windows are running frames, not UnboundedFollowing") {
+    val p = plan("q322_score_match")
+    assert(!p.contains("unboundedfollowing$()"), p)
+  }
+
 }
