@@ -375,6 +375,99 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Encode a real PCM16 mono WAV whose energy ALTERNATES between voiced
+    * and silent 1/8-blocks: frame count is a multiple of 8, and block b
+    * (0..7) carries the [[syntheticWav]] square wave iff bit b of
+    * `pattern` is set, silence (all-zero samples) otherwise. Because the
+    * blocks align exactly with [[AudioCodec]]'s 8 RMS envelope buckets
+    * (bucket = i·8/nFrames), the decoded envelope is analytically
+    * `amp` on voiced buckets and 0 on silent ones — the fixture that lets
+    * a voice-activity oracle predict segmentation without parsing WAV. */
+  def syntheticVadWav(nFrames: Int, period: Int, amp: Int, pattern: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    require(nFrames % 8 == 0, s"nFrames must be a multiple of 8: $nFrames")
+    val data = new Array[Byte](nFrames * 2)
+    val block = nFrames / 8
+    var i = 0
+    while (i < nFrames) {
+      val voiced = ((pattern >> (i / block)) & 1) == 1
+      val s =
+        if (!voiced) 0.toShort
+        else (if (i % period < (period + 1) / 2) amp else -amp).toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Media table of VAD fixtures: voiced-block pattern `1 + id % 255`
+    * (never all-silent), square period `2 + id % 6`, amplitude
+    * `1000 + id % 20 · 500` — all pure functions of the id, same
+    * convention as [[mediaFromSyntheticAudio]]. */
+  def mediaFromSyntheticVadAudio(df: DataFrame,
+      idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    val wavUdf = udf((id: Long) =>
+      syntheticVadWav(800, (2 + id % 6).toInt, (1000 + id % 20 * 500).toInt,
+        (1 + id % 255).toInt))
+    df.select(
+        col(idCol).cast("long").as("media_id"),
+        lit("audio").as("media_type"),
+        wavUdf(col(idCol).cast("long")).as("payload"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(100L).as("duration_ms"))
+      .as[MediaRecord]
+  }
+
+  /** Energy-threshold voice-activity segmentation over the decoded RMS
+    * envelope — the distributed form of the classic VAD pass that
+    * trims silence and counts speech segments before a corpus ships to
+    * ASR/TTS training. A bucket is voiced when its quantized RMS
+    * (round(rms·32768)) clears `thresholdQ`; consecutive voiced buckets
+    * chain into one segment (run-length via the lag-mismatch window —
+    * one shuffle on media_id, windows over the fixed 8-bucket envelope,
+    * never over raw frames).
+    *
+    * Per media row: voiced bucket count, segment count, longest voiced
+    * run, and the first voiced bucket index (0-based, -1 if silent). */
+  def vadSegments(feats: DataFrame, thresholdQ: Long = 500L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("media_id")).orderBy(col("bucket"))
+    val b = feats
+      .select(col("media_id"), posexplode(col("feature")).as(Seq("bucket", "_rms")))
+      .withColumn("_v",
+        (round(col("_rms") * 32768).cast("long") > thresholdQ).cast("int"))
+      .withColumn("_newSeg",
+        when(col("_v") === 1 &&
+          coalesce(lag(col("_v"), 1).over(w), lit(0)) === 0, 1).otherwise(0))
+      .withColumn("_seg", sum(col("_newSeg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = b.filter(col("_v") === 1)
+      .groupBy(col("media_id"), col("_seg"))
+      .agg(count(lit(1)).as("_len"), min(col("bucket")).as("_start"))
+    val agg = runs.groupBy(col("media_id"))
+      .agg(sum(col("_len")).as("n_voiced"),
+        count(lit(1)).as("n_segments"),
+        max(col("_len")).as("longest_run"),
+        min(col("_start")).cast("long").as("first_voiced"))
+    feats.select(col("media_id")).distinct()
+      .join(agg, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("n_voiced"), lit(0L)).as("n_voiced"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        coalesce(col("first_voiced"), lit(-1L)).as("first_voiced"))
+  }
+
   /** Frame-sampling shape for video rows: explode a payload into N frame
     * stubs (deterministic offsets) — the partition-preserving generator
     * pattern (`explode`, no shuffle). */

@@ -529,6 +529,64 @@ object Vocab {
     * the (doc, word, n) occurrence counts against the encoded types —
     * at 100 TB the replace chain is proportional to the vocabulary, and
     * the heavy table only ever carries integers. */
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each raw document
+    * by how much more likely its hashed-unigram feature vector is under
+    * the TARGET distribution (the high-quality slice, `targetCol`) than
+    * under the raw corpus, so downstream sampling can tilt the mixture
+    * toward target-like text without training a classifier.
+    *
+    * House integer-exact adaptation: per feature bucket b (the same
+    * sha256-prefix bucketing as [[featureHash]]), both distributions are
+    * add-one smoothed and their −log₂ probabilities floored via bit
+    * length L(x) = ⌊log₂x⌋+1:
+    *
+    *   bits_X(b)  = L(tot_X + buckets) − L(c_X(b) + 1)
+    *   gain(b)    = bits_raw(b) − bits_tgt(b)
+    *   weight(d)  = Σ_b n_b(d) · gain(b)
+    *
+    * gain > 0 ⇔ the bucket is (dyadically) more probable in the target
+    * than in the raw pool; a document's weight is its token-weighted sum
+    * — the floored log importance ratio log₂(p_tgt/p_raw) of the paper,
+    * exactly reproducible by the DuckDB oracle (no floats).
+    *
+    * Scale shape: one explode + (doc, bucket) count (map-side combine),
+    * a `buckets`-row stats table broadcast back onto it, one per-doc
+    * sum. The stats table is O(buckets) regardless of corpus size; the
+    * heavy path shuffles once on (doc, bucket) and once on doc. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetCol: Column, buckets: Int = 64): DataFrame = {
+    require(buckets > 0 && buckets <= 4096, s"buckets out of range: $buckets")
+    val bucket = conv(substring(sha2(col("token"), 256), 1, 4), 16, 10)
+      .cast("long") % buckets
+    val perDoc = docs
+      .select(col(idCol), targetCol.cast("boolean").as("_tgt"),
+        explode(Corpus.tokensOf(col(textCol))).as("token"))
+      .select(col(idCol), col("_tgt"), bucket.as("_b"))
+      .groupBy(col(idCol), col("_b"))
+      .agg(count(lit(1)).as("_n"), first(col("_tgt")).as("_tgt"))
+    val stats = perDoc.groupBy(col("_b"))
+      .agg(sum(col("_n")).as("_raw"),
+        sum(when(col("_tgt"), col("_n")).otherwise(0L)).as("_tgtc"))
+    val tot = stats.agg(sum(col("_raw")).as("_rawTot"),
+      sum(col("_tgtc")).as("_tgtTot"))
+    def bitLen(c: Column) = length(bin(c))
+    val gains = stats.join(broadcast(tot))
+      .select(col("_b"),
+        ((bitLen(col("_rawTot") + buckets) - bitLen(col("_raw") + 1)) -
+          (bitLen(col("_tgtTot") + buckets) - bitLen(col("_tgtc") + 1)))
+          .cast("long").as("_gain"))
+    val w = perDoc.join(broadcast(gains), Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_n")).as("n_tokens"),
+        sum(col("_n") * col("_gain")).as("weight_bits"))
+    docs.select(col(idCol), targetCol.cast("boolean").as("is_target"))
+      .join(w, Seq(idCol), "left")
+      .select(col(idCol), col("is_target"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("weight_bits"), lit(0L)).as("weight_bits"))
+  }
+
   def bpeApply(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     require(merges.nonEmpty && merges.size <= 64,

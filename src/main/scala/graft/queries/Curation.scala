@@ -154,6 +154,20 @@ object Curation {
       .orderBy($"event_id")
   }
 
+  // ------------------------------------------------ q375 DSIR weights
+
+  /** DSIR importance-resampling weights ([[Vocab.dsirWeights]]): score
+    * every document by the floored log importance ratio of its hashed
+    * unigram features under the target slice (here the `en` corpus)
+    * vs the raw pool — the data-selection scoring pass of Xie et al.
+    * 2023, with the bucket-stats table O(buckets) and broadcast. */
+  def q375DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Vocab.dsirWeights(Tables.documents(spark, dir), "doc_id", "text",
+        $"lang" === "en", buckets = 64)
+      .orderBy($"doc_id")
+  }
+
   // ------------------------------------------------ q116 feature hash
 
   /** Hashing-trick bag-of-words ([[Vocab.featureHash]]), 64 buckets via
@@ -860,6 +874,7 @@ object Curation {
     "q114_ewma" -> q114Ewma _,
     "q115_anomaly" -> q115Anomaly _,
     "q116_feature_hash" -> q116FeatureHash _,
+    "q375_dsir_weights" -> q375DsirWeights _,
     "q117_vocab_encode" -> q117VocabEncode _,
     "q118_pmi_bigrams" -> q118PmiBigrams _)
 
@@ -1555,6 +1570,30 @@ object Curation {
       |  CAST(CASE WHEN m = 16 AND (m * c - s) * (m * c - s) > 9 * (m * q - s * s)
       |            THEN 1 ELSE 0 END AS INT) AS anomaly
       |FROM w ORDER BY event_id""".stripMargin,
+    "q375_dsir_weights" -> s"""
+      |WITH t AS (
+      |  SELECT doc_id, tgt,
+      |    ('0x' || substring(sha256(token), 1, 4))::BIGINT % 64 AS b
+      |  FROM (SELECT doc_id, lang = 'en' AS tgt,
+      |          unnest($toksSql) AS token FROM documents)),
+      |pd AS (SELECT doc_id, b, any_value(tgt) AS tgt, count(*) AS n
+      |       FROM t GROUP BY 1, 2),
+      |bs AS (SELECT b, sum(n) AS raw,
+      |         sum(CASE WHEN tgt THEN n ELSE 0 END) AS tgtc
+      |       FROM pd GROUP BY 1),
+      |tot AS (SELECT sum(raw) AS rawtot, sum(tgtc) AS tgttot FROM bs),
+      |g AS (SELECT b,
+      |        (length(bin(rawtot + 64)) - length(bin(raw + 1)))
+      |      - (length(bin(tgttot + 64)) - length(bin(tgtc + 1))) AS gain
+      |      FROM bs CROSS JOIN tot),
+      |w AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |        CAST(sum(n * gain) AS BIGINT) AS weight_bits
+      |      FROM pd JOIN g USING (b) GROUP BY 1)
+      |SELECT d.doc_id, d.lang = 'en' AS is_target,
+      |  coalesce(w.n_tokens, 0) AS n_tokens,
+      |  coalesce(w.weight_bits, 0) AS weight_bits
+      |FROM documents d LEFT JOIN w USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin,
     "q116_feature_hash" -> s"""
       |WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents)
       |SELECT doc_id,

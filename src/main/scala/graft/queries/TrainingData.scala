@@ -995,6 +995,7 @@ object TrainingData {
     "q277_rendezvous" -> q277Rendezvous _,
     "q281_dim_profile" -> q281DimProfile _,
     "q282_audio_decode" -> q282AudioDecode _,
+    "q376_vad_segments" -> q376VadSegments _,
     "q293_split_balance" -> q293SplitBalance _,
     "q294_capture_recapture" -> q294CaptureRecapture _,
     "q299_unseen_mass" -> q299UnseenMass _,
@@ -1107,6 +1108,22 @@ object TrainingData {
         abs(expr("n * 1000000 div n_split") -
           expr("n_lang * 1000000 div n_tot")).as("gap_ppm"))
       .orderBy($"split", $"lang")
+  }
+
+  /** Voice-activity segmentation over REAL WAV decode
+    * ([[Multimodal.vadSegments]]): synthesize PCM16 WAVs whose eight
+    * 1/8-blocks alternate square-wave voice and true silence by a
+    * per-id bit pattern, decode distributed, threshold the RMS
+    * envelope, and run-length the voiced buckets into segments — the
+    * silence-trim/segment-count pass an ASR/TTS corpus runs before
+    * training, with the oracle predicting every segment analytically
+    * from the id's bit pattern. */
+  def q376VadSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.mediaFromSyntheticVadAudio(
+      Tables.documents(spark, dir).filter($"doc_id" % 10 === 0), "doc_id")
+    Multimodal.vadSegments(Multimodal.extractAudioFeatures(media).toDF())
+      .orderBy($"media_id")
   }
 
   /** REAL WAV decode through the JDK codec
@@ -2275,6 +2292,30 @@ object TrainingData {
       |JOIN bl ON bl.lang = cell.lang
       |CROSS JOIN tt
       |ORDER BY cell.split, cell.lang""".stripMargin,
+    "q376_vad_segments" -> """
+      |WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+      |p AS (SELECT doc_id, 1 + doc_id % 255 AS pat FROM d),
+      |bits AS (SELECT doc_id, b, (pat >> b) & 1 AS v
+      |         FROM p CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b)),
+      |m AS (SELECT doc_id, b, v,
+      |        CASE WHEN v = 1 AND coalesce(lag(v) OVER
+      |            (PARTITION BY doc_id ORDER BY b), 0) = 0
+      |          THEN 1 ELSE 0 END AS ns
+      |      FROM bits),
+      |s AS (SELECT doc_id, b, v,
+      |        sum(ns) OVER (PARTITION BY doc_id ORDER BY b) AS seg
+      |      FROM m),
+      |runs AS (SELECT doc_id, seg, count(*) AS len, min(b) AS strt
+      |         FROM s WHERE v = 1 GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, sum(len) AS n_voiced, count(*) AS n_segments,
+      |          max(len) AS longest_run, min(strt) AS first_voiced
+      |        FROM runs GROUP BY 1)
+      |SELECT d.doc_id AS media_id,
+      |  CAST(coalesce(a.n_voiced, 0) AS BIGINT) AS n_voiced,
+      |  CAST(coalesce(a.n_segments, 0) AS BIGINT) AS n_segments,
+      |  CAST(coalesce(a.longest_run, 0) AS BIGINT) AS longest_run,
+      |  CAST(coalesce(a.first_voiced, -1) AS BIGINT) AS first_voiced
+      |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY media_id""".stripMargin,
     "q282_audio_decode" -> """
       |WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
       |p AS (SELECT doc_id, 800 + (doc_id % 5) * 160 AS n_frames,

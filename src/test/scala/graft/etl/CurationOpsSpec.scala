@@ -644,4 +644,51 @@ class CurationOpsSpec extends SparkSpec {
       out.getAs[Long]("ttr_ppm") == 300000L)
   }
 
+  test("dsirWeights matches a from-scratch model of the dyadic gain formula") {
+    // independent reimplementation: same sha256-prefix bucketing, add-one
+    // dyadic floors via bit length — any drift in the operator's hashing,
+    // smoothing, or aggregation breaks the exact comparison
+    val docs = Seq(
+      (1L, "alpha alpha beta", true),
+      (2L, "alpha gamma", true),
+      (3L, "delta delta delta", false),
+      (4L, "beta delta epsilon", false)).toDF("doc_id", "text", "tgt")
+    val buckets = 64
+    def bucketOf(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(tok.getBytes("UTF-8")).take(2)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % buckets
+    }
+    def bitLen(x: Long): Long = if (x == 0L) 1L else 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val corpus = Seq(
+      (1L, "alpha alpha beta", true), (2L, "alpha gamma", true),
+      (3L, "delta delta delta", false), (4L, "beta delta epsilon", false))
+    val perDoc = corpus.flatMap { case (id, text, tgt) =>
+      text.split("\\s+").filter(_.nonEmpty).map(t => (id, bucketOf(t), tgt))
+    }.groupBy(x => (x._1, x._2)).map { case ((id, b), xs) =>
+      (id, b, xs.size.toLong, xs.head._3)
+    }.toSeq
+    val byBucket = perDoc.groupBy(_._2).map { case (b, xs) =>
+      b -> (xs.map(_._3).sum, xs.filter(_._4).map(_._3).sum)
+    }
+    val rawTot = byBucket.values.map(_._1).sum
+    val tgtTot = byBucket.values.map(_._2).sum
+    val gain = byBucket.map { case (b, (raw, tg)) =>
+      b -> ((bitLen(rawTot + buckets) - bitLen(raw + 1)) -
+            (bitLen(tgtTot + buckets) - bitLen(tg + 1)))
+    }
+    val expected = corpus.map { case (id, _, tgt) =>
+      val mine = perDoc.filter(_._1 == id)
+      id -> (tgt, mine.map(_._3).sum, mine.map(x => x._3 * gain(x._2)).sum)
+    }.toMap
+    val got = Vocab.dsirWeights(docs, "doc_id", "text", $"tgt", buckets)
+      .as[(Long, Boolean, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == expected)
+    // direction sanity on this fixture: target-only vocabulary scores above
+    // raw-only vocabulary per token
+    assert(got(2L)._3 / got(2L)._2 >= got(3L)._3 / got(3L)._2)
+  }
+
 }

@@ -686,4 +686,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("vadSegments run-lengths decoded envelopes per the id's bit pattern") {
+    val sq = spark
+    import sq.implicits._
+    // pattern 1+id%255 sets which 1/8-blocks carry signal; the analytic
+    // model below reads the same bits, so every segment statistic is exact
+    val ids = Seq(0L, 4L, 6L, 84L, 169L, 254L)
+    def model(id: Long): (Long, Long, Long, Long) = {
+      val bits = (0 until 8).map(b => ((1 + id % 255) >> b) & 1L)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var i = 0
+      while (i < 8) {
+        if (bits(i) == 1L) {
+          val start = i
+          while (i < 8 && bits(i) == 1L) i += 1
+          runs += ((start, i - start))
+        } else i += 1
+      }
+      (bits.sum, runs.size.toLong, runs.map(_._2).max.toLong,
+        runs.map(_._1).min.toLong)
+    }
+    val media = Multimodal.mediaFromSyntheticVadAudio(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.vadSegments(Multimodal.extractAudioFeatures(media).toDF())
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    ids.foreach(id => assert(got(id) == model(id), s"id=$id pattern=${1 + id % 255}"))
+  }
+
+  test("vadSegments reports all-silent media as zero segments, first=-1") {
+    val sq = spark
+    import sq.implicits._
+    // hand-built feature rows (envelope already decoded): one silent row
+    val feats = Seq(
+      (1L, Seq.fill(8)(0.0f)),
+      (2L, Seq(0.0f, 0.5f, 0.5f, 0.0f, 0.0f, 0.5f, 0.0f, 0.0f)))
+      .toDF("media_id", "feature")
+    val got = Multimodal.vadSegments(feats)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L, 0L, 0L, -1L), (2L, 3L, 2L, 2L, 1L)))
+  }
+
 }
