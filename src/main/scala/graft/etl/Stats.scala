@@ -808,4 +808,103 @@ object Stats {
           .cast("long").as("pmi_bits"))
       .withColumn("mi_num", col("n_xy") * col("pmi_bits"))
   }
+
+  /** Welch's unequal-variance t statistic per group, integer-exact.
+    *
+    * For arms 1/2 with counts nᵢ, sums sᵢ, sum-of-squares qᵢ (all integral
+    * — cents), Welch's t² is the exact rational
+    *
+    *   t² = (m₁−m₂)² / (v₁/n₁ + v₂/n₂)
+    *      = (s₁n₂ − s₂n₁)²·(n₁−1)(n₂−1) / C ,
+    *   C  = (n₁q₁ − s₁²)·n₂²(n₂−1) + (n₂q₂ − s₂²)·n₁²(n₁−1) ,
+    *
+    * emitted as the floored basis-point value `t2_bp = 10⁴·num div C` in
+    * decimal(38,0) arithmetic — no float means, no float variances, so the
+    * DuckDB twin matches bit-for-bit. `diff_num = s₁n₂ − s₂n₁` carries the
+    * direction (its sign is the sign of m₁−m₂). Degenerate groups are
+    * explicit, not silent: an arm with < 2 observations drops the group
+    * (no variance estimate exists), and C = 0 (both arms constant) yields
+    * NULL t2_bp rather than a division blow-up.
+    *
+    * Magnitude bound (decimal 38): num ≈ (Σ|x|)²·n⁴ must stay below
+    * 10³⁴ — with cent values ≤10⁶ that holds for arm sizes up to ~10⁴;
+    * shard larger cohorts into subgroups first (t² is shift-invariant, so
+    * callers can also center values to shrink Σ|x|). One combiner-friendly
+    * groupBy — a single shuffle at any scale. */
+  def welchT(df: DataFrame, groupCol: String, armCol: Column,
+      valueCol: Column): DataFrame = {
+    val d = df.select(col(groupCol), armCol.as("_arm"),
+      valueCol.cast("long").as("_v"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = d.groupBy(col(groupCol)).agg(
+      count(when(col("_arm") === 1, 1)).as("n1"),
+      count(when(col("_arm") === 2, 1)).as("n2"),
+      sum(when(col("_arm") === 1, col("_v")).otherwise(0L)).as("s1"),
+      sum(when(col("_arm") === 2, col("_v")).otherwise(0L)).as("s2"),
+      sum(when(col("_arm") === 1, dec(col("_v")) * dec(col("_v")))
+        .otherwise(dec(lit(0)))).as("q1"),
+      sum(when(col("_arm") === 2, dec(col("_v")) * dec(col("_v")))
+        .otherwise(dec(lit(0)))).as("q2"))
+    g.filter(col("n1") >= 2 && col("n2") >= 2)
+      .withColumn("diff_num", col("s1") * col("n2") - col("s2") * col("n1"))
+      .withColumn("_c",
+        (dec(col("n1")) * col("q1") - dec(col("s1")) * dec(col("s1"))) *
+          dec(col("n2")) * dec(col("n2")) * dec(col("n2") - 1) +
+        (dec(col("n2")) * col("q2") - dec(col("s2")) * dec(col("s2"))) *
+          dec(col("n1")) * dec(col("n1")) * dec(col("n1") - 1))
+      .withColumn("_num", dec(col("diff_num")) * dec(col("diff_num")) *
+        dec(col("n1") - 1) * dec(col("n2") - 1))
+      .select(col(groupCol), col("n1"), col("n2"), col("diff_num"),
+        when(col("_c") > 0,
+          expr("CAST(_num * 10000 div _c AS BIGINT)")).as("t2_bp"))
+  }
+
+  /** Offline single change-point detection per group (binary-segmentation
+    * step 1): over the group's series in `orderCol` order with integral
+    * `valueCol`, pick the split after position k (1 ≤ k < D) maximizing
+    * the between-segment sum of squares
+    *
+    *   G(k) = (S_k·D − T·k)² / (k·(D−k)·D) ,    S_k = prefix sum, T = S_D,
+    *
+    * quantized as `score_q = 10⁴·(S_k·D − T·k)² div (k·(D−k)·D)` in
+    * decimal(38,0) (the cross-product reaches (T·D)², far past long at
+    * realistic daily volumes). Argmax is decided ON THE QUANTIZED score
+    * with smallest-k tie-break, so the selection itself is cross-engine
+    * deterministic — no float comparisons anywhere. Emits the split
+    * position, the `orderCol` value at the split, the score, and both
+    * segment means (floored ×100).
+    *
+    * Plan: one key-partitioned running-sum window, one row_number argmax
+    * window, both on the group key — two shuffles total, no global sort,
+    * no driver iteration; D per group is the series length (days), never
+    * raw row counts. */
+  def changePoint(df: DataFrame, groupCol: String, orderCol: Column,
+      valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_idx"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val pre = df.select(col(groupCol), orderCol.as("_idx"),
+        valueCol.cast("long").as("_y"))
+      .withColumn("_k", row_number().over(w))
+      .withColumn("_sk", sum(col("_y")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = pre.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_d"), sum(col("_y")).as("_t"))
+    val scored = pre.join(tot, Seq(groupCol))
+      .filter(col("_k") < col("_d"))
+      .withColumn("_num",
+        (dec(col("_sk")) * dec(col("_d")) - dec(col("_t")) * dec(col("_k"))))
+      .withColumn("score_q", expr(
+        """CAST(_num * _num * 10000 div
+          |(CAST(_k AS DECIMAL(38,0)) * (_d - _k) * _d) AS BIGINT)"""
+          .stripMargin))
+    val pick = Window.partitionBy(col(groupCol))
+      .orderBy(col("score_q").desc, col("_k").asc)
+    scored.withColumn("_rn", row_number().over(pick))
+      .filter(col("_rn") === 1)
+      .select(col(groupCol), col("_d").as("n_points"),
+        col("_k").cast("long").as("split_k"), col("_idx").as("split_idx"),
+        col("score_q"),
+        expr("_sk * 100 div _k").as("left_mean_x100"),
+        expr("(_t - _sk) * 100 div (_d - _k)").as("right_mean_x100"))
+  }
 }

@@ -758,7 +758,44 @@ object StatsQueries {
       .orderBy($"event_type", $"d")
   }
 
+  // ------------------------------------------- q377 Welch t-test
+
+  /** Per-cohort Welch unequal-variance t² ([[Stats.welchT]]) between
+    * purchase (arm 1) and click (arm 2) amounts — the workhorse two-sample
+    * mean test next to q216's rank test, integer-exact end to end (t² as
+    * a floored-bp decimal(38,0) rational; see the operator's magnitude
+    * bound — the %64 cohorts keep the cross-products inside decimal 38). */
+  def q377WelchT(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.events(spark, dir)
+      .filter($"event_type".isin("purchase", "click") && $"value".isNotNull)
+      .select(($"user_id" % 64).as("cohort"),
+        when($"event_type" === "purchase", 1).otherwise(2).as("arm"),
+        cents.as("v"))
+    Stats.welchT(x, "cohort", $"arm", $"v").orderBy($"cohort")
+  }
+
+  // ------------------------------------------- q378 change point
+
+  /** Offline single change-point per event type ([[Stats.changePoint]])
+    * over the daily event-count series: the binary-segmentation split
+    * maximizing between-segment sum of squares, argmax decided on the
+    * quantized score so engine float semantics never touch the selection.
+    * The feed-level "did the volume level-shift, and when" audit. */
+  def q378ChangePoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      .agg(count(lit(1)).as("n"))
+    Stats.changePoint(daily, "event_type", $"d", $"n")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q377_welch_t" -> q377WelchT _,
+    "q378_changepoint" -> q378ChangePoint _,
     "q272_stl_lite" -> q272StlLite _,
     "q265_cmh" -> q265Cmh _,
     "q262_mase" -> q262Mase _,
@@ -798,6 +835,67 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q377_welch_t" -> """
+      |WITH x AS (
+      |  SELECT user_id % 64 AS cohort,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS arm,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+      |g AS (
+      |  SELECT cohort,
+      |    CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n1,
+      |    CAST(count(*) FILTER (WHERE arm = 2) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(sum(CASE WHEN arm = 2 THEN v ELSE 0 END) AS BIGINT) AS s2,
+      |    sum(CASE WHEN arm = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q1,
+      |    sum(CASE WHEN arm = 2 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q2
+      |  FROM x GROUP BY 1),
+      |t AS (
+      |  SELECT cohort, n1, n2,
+      |    CAST(s1 * n2 - s2 * n1 AS BIGINT) AS diff_num,
+      |    (CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1)
+      |      * n2 * n2 * (n2 - 1)
+      |  + (CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2)
+      |      * n1 * n1 * (n1 - 1) AS c
+      |  FROM g WHERE n1 >= 2 AND n2 >= 2)
+      |SELECT cohort, n1, n2, diff_num,
+      |  CASE WHEN c > 0 THEN CAST(CAST(diff_num AS HUGEINT) * diff_num
+      |    * (n1 - 1) * (n2 - 1) * 10000 // c AS BIGINT) END AS t2_bp
+      |FROM t ORDER BY cohort""".stripMargin,
+    "q378_changepoint" -> """
+      |WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |pre AS (
+      |  SELECT event_type, d AS idx,
+      |    CAST(row_number() OVER w AS BIGINT) AS k,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sk
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+      |tot AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS dd,
+      |    CAST(sum(n) AS BIGINT) AS t
+      |  FROM daily GROUP BY 1),
+      |scored AS (
+      |  SELECT pre.event_type, idx, k, sk, dd, t,
+      |    CAST((CAST(sk AS HUGEINT) * dd - CAST(t AS HUGEINT) * k)
+      |       * (CAST(sk AS HUGEINT) * dd - CAST(t AS HUGEINT) * k) * 10000
+      |       // (CAST(k AS HUGEINT) * (dd - k) * dd) AS BIGINT) AS score_q
+      |  FROM pre JOIN tot ON tot.event_type = pre.event_type
+      |  WHERE k < dd),
+      |pick AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY score_q DESC, k) AS rn
+      |  FROM scored)
+      |SELECT event_type, dd AS n_points, k AS split_k, idx AS split_idx,
+      |  score_q,
+      |  CAST(sk * 100 // k AS BIGINT) AS left_mean_x100,
+      |  CAST((t - sk) * 100 // (dd - k) AS BIGINT) AS right_mean_x100
+      |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q338_dow_burst" -> """
       |WITH daily AS (
       |  SELECT event_type,

@@ -425,4 +425,42 @@ class StatsSpec extends SparkSpec {
       out.getAs[Long]("qte_p90") == 30L)
   }
 
+  test("welchT: hand-computed t2, zero-variance NULL, small arms dropped") {
+    // g1: arm1 {10,20}, arm2 {10,10,40}: m=(15,20), v=(50,300)
+    // t2 = 25/(50/2 + 300/3) = 0.2 -> 2000 bp; diff_num = 30*3-60*2 = -30
+    // g2: both arms constant -> C = 0 -> NULL t2_bp
+    // g3: arm2 has 1 row -> dropped
+    val df = Seq(
+      (1L, 1, 10L), (1L, 1, 20L), (1L, 2, 10L), (1L, 2, 10L), (1L, 2, 40L),
+      (2L, 1, 5L), (2L, 1, 5L), (2L, 2, 7L), (2L, 2, 7L),
+      (3L, 1, 1L), (3L, 1, 2L), (3L, 2, 9L)).toDF("g", "arm", "v")
+    val out = Stats.welchT(df, "g", col("arm"), col("v"))
+      .collect().map(r => r.getAs[Long]("g") -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L).getAs[Long]("n1") == 2L && out(1L).getAs[Long]("n2") == 3L)
+    assert(out(1L).getAs[Long]("diff_num") == -30L)
+    assert(out(1L).getAs[Long]("t2_bp") == 2000L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("t2_bp")))
+  }
+
+  test("changePoint: argmax lands on the level shift, exact segment means") {
+    // series 1,1,1,5,5: scores (x1e4/den) k=1: 32000, k=2: 85333,
+    // k=3: 192000, k=4: 72000 -> split after k=3
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 5L), (5L, 5L))
+      .map { case (d, y) => ("a", d, y) }.toDF("g", "d", "y")
+    val out = Stats.changePoint(df, "g", col("d"), col("y")).collect().head
+    assert(out.getAs[Long]("n_points") == 5L &&
+      out.getAs[Long]("split_k") == 3L && out.getAs[Long]("split_idx") == 3L)
+    assert(out.getAs[Long]("score_q") == 192000L)
+    assert(out.getAs[Long]("left_mean_x100") == 100L &&
+      out.getAs[Long]("right_mean_x100") == 500L)
+  }
+
+  test("changePoint: constant series ties break to the earliest split") {
+    val df = (1L to 4L).map(d => ("a", d, 3L)).toDF("g", "d", "y")
+    val out = Stats.changePoint(df, "g", col("d"), col("y")).collect().head
+    assert(out.getAs[Long]("split_k") == 1L &&
+      out.getAs[Long]("score_q") == 0L)
+  }
+
 }
