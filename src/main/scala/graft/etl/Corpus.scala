@@ -783,4 +783,60 @@ object Corpus {
             struct(col("pos"), col("line"))))),
           s => s.getField("line"))), 256).as("clean_sha"))
   }
+
+  /** Marker-hit language argmax over per-language score columns `p(lang)`
+    * — the exact tie policy of `graft.functions.Text.languageId`
+    * (alphabetically first wins), shared by doc- and chunk-granularity
+    * language ID so the two can never drift. */
+  private def langArgmax(p: String => Column): Column =
+    when(p("de") >= p("en") && p("de") >= p("es") &&
+         p("de") >= p("fr") && p("de") >= p("nl"), "de")
+      .when(p("en") >= p("es") && p("en") >= p("fr") && p("en") >= p("nl"), "en")
+      .when(p("es") >= p("fr") && p("es") >= p("nl"), "es")
+      .when(p("fr") >= p("nl"), "fr")
+      .otherwise("nl")
+
+  /** Chunk-granularity code-switching detector: split each document into
+    * fixed `chunkTokens`-token windows, language-ID each chunk with the same
+    * marker profiles as the doc-level operator (q30), and report how many
+    * chunks disagree with the document's overall prediction — the
+    * mixed-language screen a multilingual curation pipeline runs before
+    * trusting one doc-level language tag (embedded boilerplate, quoted
+    * passages, concatenated crawls).
+    *
+    * The doc-level prediction is the argmax over SUMMED chunk marker
+    * counts — identical to scoring the whole text, since token windows
+    * never split tokens — so one explode feeds both granularities. Plan:
+    * one generator + two combiner-friendly aggregations + one doc-key
+    * join; zero-token documents are absent (nothing to classify).
+    * Returns (id, lang_pred, n_chunks, n_switched, mix_bp). */
+  def langMixChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 16): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    val profiles = graft.functions.Text.langProfiles
+    val toks = docs.select(col(idCol),
+        posexplode(filter(split(col(textCol), " "), t => t =!= ""))
+          .as(Seq("pos", "tok")))
+      .select(col(idCol), expr(s"CAST(pos div $chunkTokens AS BIGINT)").as("chunk"),
+        lower(col("tok")).as("tok"))
+    val chunkAggs = profiles.map { case (lang, set) =>
+      sum(when(col("tok").isInCollection(set.toSeq), 1L).otherwise(0L))
+        .as(s"s_$lang")
+    }
+    val perChunk = toks.groupBy(col(idCol), col("chunk"))
+      .agg(chunkAggs.head, chunkAggs.tail: _*)
+      .withColumn("chunk_pred", langArgmax(l => col(s"s_$l")))
+    val docAggs = profiles.map { case (lang, _) =>
+      sum(col(s"s_$lang")).as(s"d_$lang")
+    }
+    val docPred = perChunk.groupBy(col(idCol))
+      .agg(docAggs.head, docAggs.tail: _*)
+      .select(col(idCol), langArgmax(l => col(s"d_$l")).as("lang_pred"))
+    perChunk.join(docPred, Seq(idCol))
+      .groupBy(col(idCol), col("lang_pred"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_pred") =!= col("lang_pred"), 1L).otherwise(0L))
+          .as("n_switched"))
+      .withColumn("mix_bp", expr("n_switched * 10000 div n_chunks"))
+  }
 }

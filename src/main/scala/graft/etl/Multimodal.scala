@@ -468,6 +468,54 @@ object Multimodal {
         coalesce(col("first_voiced"), lit(-1L)).as("first_voiced"))
   }
 
+  /** Aspect-ratio bucket assignment over DECODED image dimensions — the
+    * resolution-bucketing pass a vision-training pipeline runs so batches
+    * share a shape (SDXL-style bucketed batching): each image goes to the
+    * bucket whose aspect ratio is nearest its own, and the report carries
+    * how much of the image a center-crop to the bucket's ratio keeps.
+    *
+    * Nearness is decided in integers: |w/h − wb/hb| ordering is preserved
+    * under cross-multiplication by h·hb, so score = |w·hb − wb·h|·(L/hb)
+    * (L = lcm of bucket heights) ranks buckets exactly; ties break to
+    * list order via an (score, ord) struct min. kept_bp is the floored
+    * pixel fraction a center-crop retains: (wb·h)/(hb·w) when the image
+    * is wider than the bucket, (w·hb)/(wb·h) when taller.
+    *
+    * Scan + one combiner-friendly groupBy on the bucket label — no joins,
+    * no windows; the bucket list is a compile-time literal folded into the
+    * row expression, so the assignment is pure per-row codegen at any
+    * scale. Buckets no image maps to are absent from the output. */
+  def arBuckets(feats: DataFrame,
+      buckets: Seq[(String, Int, Int)] = Seq(
+        ("1:1", 1, 1), ("4:3", 4, 3), ("3:4", 3, 4),
+        ("16:9", 16, 9), ("9:16", 9, 16))): DataFrame = {
+    require(buckets.nonEmpty && buckets.forall(b => b._2 > 0 && b._3 > 0))
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmH = buckets.map(_._3.toLong).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val w = col("decoded_width").cast("long")
+    val h = col("decoded_height").cast("long")
+    val cand = array(buckets.zipWithIndex.map { case ((lbl, wb, hb), i) =>
+      struct(
+        (abs(w * hb - lit(wb.toLong) * h) * lit(lcmH / hb)).as("score"),
+        lit(i).as("ord"), lit(lbl).as("bucket"),
+        lit(wb.toLong).as("wb"), lit(hb.toLong).as("hb"))
+    }: _*)
+    feats
+      .select(col("media_id"), w.as("w"), h.as("h"),
+        array_min(cand).as("b"))
+      .select(col("media_id"), col("w"), col("h"),
+        col("b.bucket").as("bucket"), col("b.wb").as("wb"), col("b.hb").as("hb"))
+      .withColumn("kept_bp",
+        when(col("w") * col("hb") >= col("wb") * col("h"),
+          expr("wb * h * 10000 div (hb * w)"))
+        .otherwise(expr("w * hb * 10000 div (wb * h)")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("kept_bp")).as("sum_kept_bp"),
+        min(col("kept_bp")).as("min_kept_bp"))
+  }
+
   /** Frame-sampling shape for video rows: explode a payload into N frame
     * stubs (deterministic offsets) — the partition-preserving generator
     * pattern (`explode`, no shuffle). */

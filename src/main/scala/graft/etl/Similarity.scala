@@ -587,6 +587,56 @@ object Similarity {
     * dispatch in the ANN hot loop. */
   def qdot(a: Column, b: Column): Column = call_function("qdot", a, b)
 
+  /** Product-quantization encoding with integer-exact assignment — the
+    * memory side of the ANN stack (IVF-PQ): each quantized vector splits
+    * into `m` subvectors, each assigned to the nearest of `ks` codebook
+    * entries, and the whole vector compresses to one packed 4·m-bit code
+    * plus its exact squared quantization error.
+    *
+    * The codebook is the first `ks` corpus vectors by id (the same
+    * deterministic seeding as [[ivfTopK]]'s centroids — a k-means refit
+    * would drop in without changing the plan). Per subspace, nearness is
+    * argmin of ‖x−c‖² = x·x + (c·c − 2·x·c); x·x is constant across
+    * codewords, so each candidate carries only `cc − 2·qdot(x, c)` — one
+    * native codegen dot per codeword against a literal subvector — and a
+    * (rel, code) struct min settles ties toward the lowest code, exactly
+    * like the SQL twin's (dist, k) ordering.
+    *
+    * Plan shape: the ks-row codebook collect is bounded (same legitimacy
+    * as IVF's nlist rows); everything after is a pure per-row codegen
+    * projection — no join, no shuffle, scan-bound at any corpus size,
+    * which is the property that makes PQ the 100 TB compression path
+    * (code + error: 12 bytes/vector instead of 4·dim). */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ks: Int = 16): DataFrame = {
+    require(m >= 1 && ks >= 1 && ks <= 16, s"need 1 <= ks <= 16, got $ks")
+    val seeds: Seq[Seq[Long]] = emb.orderBy(col(idCol)).limit(ks)
+      .select(quantize(col(vecCol)).as("qv")).collect()
+      .map(_.getSeq[Long](0).toSeq).toSeq
+    require(seeds.size == ks, s"corpus has fewer than $ks vectors")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val q = emb.select(col(idCol), quantize(col(vecCol)).as("qv"))
+    val best = (0 until m).map { s =>
+      val xs = slice(col("qv"), s * sub + 1, sub)
+      val cand = array((0 until ks).map { k =>
+        val c = seeds(k).slice(s * sub, (s + 1) * sub)
+        val cc = c.map(v => v * v).sum
+        struct((lit(cc) - lit(2L) * qdot(xs, typedLit(c))).as("rel"),
+          lit(k.toLong).as("code"))
+      }: _*)
+      (array_min(cand), qdot(xs, xs))
+    }
+    val code = best.zipWithIndex
+      .map { case ((b, _), s) =>
+        b.getField("code") * lit(1L << (4 * (m - 1 - s))) }
+      .reduce(_ + _)
+    val distortion = best.map { case (b, xx) => xx + b.getField("rel") }
+      .reduce(_ + _)
+    q.select(col(idCol), code.as("pq_code"), distortion.as("distortion"))
+  }
+
   /** Brute-force top-k neighbors for each query id: broadcast the query
     * set, score the whole corpus map-side, take k per query. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

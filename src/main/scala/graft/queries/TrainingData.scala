@@ -996,6 +996,9 @@ object TrainingData {
     "q281_dim_profile" -> q281DimProfile _,
     "q282_audio_decode" -> q282AudioDecode _,
     "q376_vad_segments" -> q376VadSegments _,
+    "q379_ar_buckets" -> q379ArBuckets _,
+    "q380_lang_mix" -> q380LangMix _,
+    "q381_pq_encode" -> q381PqEncode _,
     "q293_split_balance" -> q293SplitBalance _,
     "q294_capture_recapture" -> q294CaptureRecapture _,
     "q299_unseen_mass" -> q299UnseenMass _,
@@ -1124,6 +1127,44 @@ object TrainingData {
       Tables.documents(spark, dir).filter($"doc_id" % 10 === 0), "doc_id")
     Multimodal.vadSegments(Multimodal.extractAudioFeatures(media).toDF())
       .orderBy($"media_id")
+  }
+
+  /** Product-quantization encode ([[Similarity.pqEncode]]): every
+    * embedding compressed to a packed 8x4-bit code against the
+    * deterministic 16-entry codebook, with exact integer distortion —
+    * the IVF-PQ memory path; assignment is 128 native codegen dots per
+    * row against literal subvectors, no join, no shuffle. */
+  def q381PqEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.pqEncode(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        m = 8, ks = 16)
+      .orderBy($"vec_id")
+  }
+
+  /** Chunk-level code-switching screen ([[graft.etl.Corpus.langMixChunks]]):
+    * 16-token windows language-ID'd with q30's marker profiles, scored
+    * against the doc-level argmax — flags documents whose language tag
+    * hides embedded foreign-language spans. */
+  def q380LangMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.langMixChunks(Tables.documents(spark, dir),
+        "doc_id", "text", chunkTokens = 16)
+      .orderBy($"doc_id")
+  }
+
+  /** Aspect-ratio bucketing over REAL decoded dimensions
+    * ([[Multimodal.arBuckets]]): every synthetic PNG is decoded
+    * distributed (`ImageIO`), its true width x height assigned to the
+    * nearest of five training buckets by exact cross-multiplied ratio
+    * distance, with center-crop retention per bucket — the batch-shape
+    * planning pass of a vision-training pipeline, oracle-predicted from
+    * the id's analytic dims. */
+  def q379ArBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.mediaFromSyntheticImages(
+      Tables.documents(spark, dir), "doc_id")
+    Multimodal.arBuckets(Multimodal.extractFeatures(media).toDF())
+      .orderBy($"bucket")
   }
 
   /** REAL WAV decode through the JDK codec
@@ -2292,6 +2333,105 @@ object TrainingData {
       |JOIN bl ON bl.lang = cell.lang
       |CROSS JOIN tt
       |ORDER BY cell.split, cell.lang""".stripMargin,
+    "q381_pq_encode" -> """
+      |WITH e AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, q
+      |  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 16)),
+      |subs AS (
+      |  SELECT vec_id, s, q[s*8+1 : s*8+8] AS x
+      |  FROM e, (SELECT unnest(generate_series(0, 7)) AS s)),
+      |csubs AS (
+      |  SELECT k, s, q[s*8+1 : s*8+8] AS c
+      |  FROM seeds, (SELECT unnest(generate_series(0, 7)) AS s)),
+      |d AS (
+      |  SELECT vec_id, subs.s, k,
+      |    CAST(list_dot_product(x, x) AS BIGINT)
+      |      - 2 * CAST(list_dot_product(x, c) AS BIGINT)
+      |      + CAST(list_dot_product(c, c) AS BIGINT) AS dist
+      |  FROM subs JOIN csubs ON csubs.s = subs.s),
+      |b AS (
+      |  SELECT vec_id, s, k, dist,
+      |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, k) AS rn
+      |  FROM d)
+      |SELECT vec_id,
+      |  CAST(sum(k * (CAST(1 AS BIGINT) << (4 * (7 - s)))) AS BIGINT)
+      |    AS pq_code,
+      |  CAST(sum(dist) AS BIGINT) AS distortion
+      |FROM b WHERE rn = 1 GROUP BY 1 ORDER BY vec_id""".stripMargin,
+    "q380_lang_mix" -> """
+      |WITH tk AS (
+      |  SELECT doc_id, list_transform(
+      |    list_filter(string_split(text, ' '), x -> x <> ''),
+      |    x -> lower(x)) AS t
+      |  FROM documents),
+      |pe AS (
+      |  SELECT doc_id, t[pos] AS tok, CAST((pos - 1) // 16 AS BIGINT) AS chunk
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos
+      |        FROM tk)),
+      |pc AS (
+      |  SELECT doc_id, chunk,
+      |    count(*) FILTER (WHERE tok IN ('der','die','das','und','ein','nicht','ist')) AS de,
+      |    count(*) FILTER (WHERE tok IN ('the','and','of','to','a','in','is')) AS en,
+      |    count(*) FILTER (WHERE tok IN ('el','los','las','y','un','que','es')) AS es,
+      |    count(*) FILTER (WHERE tok IN ('le','la','les','et','un','est','que')) AS fr,
+      |    count(*) FILTER (WHERE tok IN ('de','het','een','en','van','niet','is')) AS nl
+      |  FROM pe GROUP BY 1, 2),
+      |cp AS (
+      |  SELECT doc_id, chunk,
+      |    CASE WHEN de >= en AND de >= es AND de >= fr AND de >= nl THEN 'de'
+      |         WHEN en >= es AND en >= fr AND en >= nl THEN 'en'
+      |         WHEN es >= fr AND es >= nl THEN 'es'
+      |         WHEN fr >= nl THEN 'fr' ELSE 'nl' END AS chunk_pred
+      |  FROM pc),
+      |dp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN de >= en AND de >= es AND de >= fr AND de >= nl THEN 'de'
+      |         WHEN en >= es AND en >= fr AND en >= nl THEN 'en'
+      |         WHEN es >= fr AND es >= nl THEN 'es'
+      |         WHEN fr >= nl THEN 'fr' ELSE 'nl' END AS lang_pred
+      |  FROM (SELECT doc_id, sum(de) AS de, sum(en) AS en, sum(es) AS es,
+      |          sum(fr) AS fr, sum(nl) AS nl
+      |        FROM pc GROUP BY 1)),
+      |agg AS (
+      |  SELECT c.doc_id, d.lang_pred,
+      |    CAST(count(*) AS BIGINT) AS n_chunks,
+      |    CAST(count(*) FILTER (WHERE c.chunk_pred <> d.lang_pred) AS BIGINT)
+      |      AS n_switched
+      |  FROM cp c JOIN dp d ON d.doc_id = c.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, lang_pred, n_chunks, n_switched,
+      |  CAST(n_switched * 10000 // n_chunks AS BIGINT) AS mix_bp
+      |FROM agg ORDER BY doc_id""".stripMargin,
+    "q379_ar_buckets" -> """
+      |WITH img AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(4 + doc_id % 13 AS BIGINT) AS w,
+      |    CAST(3 + doc_id % 7 AS BIGINT) AS h
+      |  FROM documents),
+      |b(ord, bucket, wb, hb) AS (VALUES
+      |  (0, '1:1', 1, 1), (1, '4:3', 4, 3), (2, '3:4', 3, 4),
+      |  (3, '16:9', 16, 9), (4, '9:16', 9, 16)),
+      |scored AS (
+      |  SELECT media_id, w, h, bucket, wb, hb, ord,
+      |    abs(w * hb - wb * h) * (144 // hb) AS score
+      |  FROM img CROSS JOIN b),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY media_id
+      |    ORDER BY score, ord) AS rn
+      |  FROM scored),
+      |k AS (
+      |  SELECT media_id, bucket,
+      |    CASE WHEN w * hb >= wb * h THEN wb * h * 10000 // (hb * w)
+      |         ELSE w * hb * 10000 // (wb * h) END AS kept_bp
+      |  FROM best WHERE rn = 1)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n_images,
+      |  CAST(sum(kept_bp) AS BIGINT) AS sum_kept_bp,
+      |  CAST(min(kept_bp) AS BIGINT) AS min_kept_bp
+      |FROM k GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q376_vad_segments" -> """
       |WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
       |p AS (SELECT doc_id, 1 + doc_id % 255 AS pat FROM d),

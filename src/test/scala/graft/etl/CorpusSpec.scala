@@ -405,4 +405,24 @@ class CorpusSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 2L))
   }
 
+  test("langMixChunks: per-chunk argmax vs doc argmax, q30 tie policy") {
+    val sq = spark
+    import sq.implicits._
+    // doc 1, chunks of 4: [the and of to] -> en, [le la les et] -> fr;
+    // doc sums tie en=4 fr=4 -> doc pred 'en' (alphabetical-first chain),
+    // so 1 of 2 chunks switched -> mix_bp 5000.
+    // doc 2: pure Dutch markers ('de' is an nl marker, not a de one).
+    // doc 3: zero tokens -> absent.
+    val docs = Seq(
+      (1L, "the and of to le la les et"),
+      (2L, "de het een van"),
+      (3L, "")).toDF("id", "text")
+    val got = Corpus.langMixChunks(docs, "id", "text", chunkTokens = 4)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got == Map(
+      1L -> (("en", 2L, 1L, 5000L)),
+      2L -> (("nl", 1L, 0L, 0L))))
+  }
+
 }

@@ -713,6 +713,43 @@ class SimilaritySpec extends SparkSpec {
     ids.foreach(id => assert(got(id) == model(id), s"id=$id pattern=${1 + id % 255}"))
   }
 
+  test("pqEncode: per-subspace argmin, tie to low code, exact distortion") {
+    val sq = spark
+    import sq.implicits._
+    // seeds (first 2 by id): v1 -> sub-codebooks s0 {(1000,0),(0,1000)},
+    // s1 {(0,0),(0,1000)}. v3 picks (0,1) -> code 1, distortion
+    // 20000+10000; v4 is all-zero: s0 ties both at 1e6 -> code 0 wins.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1.0f, 0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f, 0f, 0.9f)),
+      (4L, Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(emb, "vec_id", "embedding", m = 2, ks = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> ((0L, 0L)), 2L -> ((17L, 0L)),
+      3L -> ((1L, 30000L)), 4L -> ((0L, 1000000L))))
+  }
+
+  test("arBuckets: exact ratio argmin, crop retention, tie to list order") {
+    val sq = spark
+    import sq.implicits._
+    // (8,8) and (12,9) are exact bucket ratios (kept 10000);
+    // (4,9) is nearest 9:16 (scores 720/1152/396/1728/153), taller than
+    // the bucket -> kept = 4*16*1e4 div 81 = 7901;
+    // (7,6) ties 1:1 and 4:3 at score 144 -> list order picks 1:1,
+    // wider -> kept = 6*1e4 div 7 = 8571
+    val feats = Seq((1L, 8, 8), (2L, 12, 9), (3L, 4, 9), (4L, 7, 6))
+      .toDF("media_id", "decoded_width", "decoded_height")
+    val got = Multimodal.arBuckets(feats)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      "1:1" -> ((2L, 18571L, 8571L)),
+      "4:3" -> ((1L, 10000L, 10000L)),
+      "9:16" -> ((1L, 7901L, 7901L))))
+  }
+
   test("vadSegments reports all-silent media as zero segments, first=-1") {
     val sq = spark
     import sq.implicits._
