@@ -859,6 +859,57 @@ object Stats {
           expr("CAST(_num * 10000 div _c AS BIGINT)")).as("t2_bp"))
   }
 
+  /** Copeland aggregation of pairwise preferences — the tournament-style
+    * ranking pass a preference-data pipeline (RLHF comparisons, A/B
+    * product face-offs) runs before trusting any scalar score: for every
+    * unordered item pair, the majority direction across all observed
+    * (winner, loser) duels; per item, majority wins/losses/ties and the
+    * Copeland score (wins − losses). Majority ties are REPORTED, not
+    * silently dropped — a heavily-contested pair is exactly what this
+    * audit exists to surface (a Bradley–Terry fit would hide it in a
+    * mid-range weight).
+    *
+    * Plan: raw duel counts are two combiner-friendly aggregations; the
+    * majority table is one aggregation on the canonical (least, greatest)
+    * pair key; the per-item fold is a union of the two pair sides — item
+    * cardinality output, duel-count shuffle, no self-joins (the caller
+    * materializes duels; see q383 for the bounded per-group generation
+    * shape). */
+  def copelandPrefs(prefs: DataFrame, winCol: String,
+      loseCol: String): DataFrame = {
+    val p = prefs.select(col(winCol).as("_w"), col(loseCol).as("_l"))
+    val rawW = p.groupBy(col("_w").as("item"))
+      .agg(count(lit(1)).as("raw_wins"))
+    val rawL = p.groupBy(col("_l").as("item"))
+      .agg(count(lit(1)).as("raw_losses"))
+    val pair = p.select(least(col("_w"), col("_l")).as("a"),
+        greatest(col("_w"), col("_l")).as("b"),
+        when(col("_w") < col("_l"), 1L).otherwise(0L).as("_lo"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("_lo")).as("w_lo"),
+        (count(lit(1)) - sum(col("_lo"))).as("w_hi"))
+    val sideA = pair.select(col("a").as("item"),
+      when(col("w_lo") > col("w_hi"), 1L).otherwise(0L).as("_mw"),
+      when(col("w_lo") < col("w_hi"), 1L).otherwise(0L).as("_ml"),
+      when(col("w_lo") === col("w_hi"), 1L).otherwise(0L).as("_mt"))
+    val sideB = pair.select(col("b").as("item"),
+      when(col("w_hi") > col("w_lo"), 1L).otherwise(0L).as("_mw"),
+      when(col("w_hi") < col("w_lo"), 1L).otherwise(0L).as("_ml"),
+      when(col("w_lo") === col("w_hi"), 1L).otherwise(0L).as("_mt"))
+    val maj = sideA.unionByName(sideB).groupBy(col("item"))
+      .agg(sum(col("_mw")).as("maj_wins"), sum(col("_ml")).as("maj_losses"),
+        sum(col("_mt")).as("maj_ties"))
+    rawW.join(rawL, Seq("item"), "full_outer")
+      .join(maj, Seq("item"), "full_outer")
+      .select(col("item"),
+        coalesce(col("raw_wins"), lit(0L)).as("raw_wins"),
+        coalesce(col("raw_losses"), lit(0L)).as("raw_losses"),
+        coalesce(col("maj_wins"), lit(0L)).as("maj_wins"),
+        coalesce(col("maj_losses"), lit(0L)).as("maj_losses"),
+        coalesce(col("maj_ties"), lit(0L)).as("maj_ties"))
+      .withColumn("copeland", col("maj_wins") - col("maj_losses"))
+  }
+
   /** Offline single change-point detection per group (binary-segmentation
     * step 1): over the group's series in `orderCol` order with integral
     * `valueCol`, pick the split after position k (1 ≤ k < D) maximizing

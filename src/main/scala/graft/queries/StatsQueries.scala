@@ -793,7 +793,29 @@ object StatsQueries {
       .orderBy($"event_type")
   }
 
+  // ------------------------------------------- q383 Copeland prefs
+
+  /** Copeland preference aggregation ([[Stats.copelandPrefs]]) over
+    * within-order brand duels (higher line value wins): raw duel counts,
+    * majority wins/losses with contested ties surfaced, and the Copeland
+    * score — the tournament ranking a preference-data pipeline runs
+    * before trusting scalar scores. Duel generation is a per-order
+    * self-join (bounded by lines-per-order), never cross-order. */
+  def q383Copeland(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), $"p_partkey" === $"l_partkey")
+      .select($"l_orderkey".as("ok"), $"p_brand".as("b"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+    val prefs = li.as("x").join(li.as("y"),
+        col("y.ok") === col("x.ok") && col("x.c") > col("y.c") &&
+          col("x.b") =!= col("y.b"))
+      .select(col("x.b").as("w"), col("y.b").as("l"))
+    Stats.copelandPrefs(prefs, "w", "l").orderBy($"item")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q383_copeland" -> q383Copeland _,
     "q377_welch_t" -> q377WelchT _,
     "q378_changepoint" -> q378ChangePoint _,
     "q272_stl_lite" -> q272StlLite _,
@@ -835,6 +857,51 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q383_copeland" -> """
+      |WITH li AS (
+      |  SELECT l_orderkey AS ok, p_brand AS b,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+      |pr AS (
+      |  SELECT x.b AS w, y.b AS l
+      |  FROM li x JOIN li y ON y.ok = x.ok AND x.c > y.c AND x.b <> y.b),
+      |rw AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS raw_wins
+      |       FROM pr GROUP BY 1),
+      |rl AS (SELECT l AS item, CAST(count(*) AS BIGINT) AS raw_losses
+      |       FROM pr GROUP BY 1),
+      |pair AS (
+      |  SELECT least(w, l) AS a, greatest(w, l) AS b,
+      |    CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS w_lo,
+      |    CAST(sum(CASE WHEN w < l THEN 0 ELSE 1 END) AS BIGINT) AS w_hi
+      |  FROM pr GROUP BY 1, 2),
+      |sides AS (
+      |  SELECT a AS item,
+      |    CASE WHEN w_lo > w_hi THEN 1 ELSE 0 END AS mw,
+      |    CASE WHEN w_lo < w_hi THEN 1 ELSE 0 END AS ml,
+      |    CASE WHEN w_lo = w_hi THEN 1 ELSE 0 END AS mt
+      |  FROM pair
+      |  UNION ALL
+      |  SELECT b AS item,
+      |    CASE WHEN w_hi > w_lo THEN 1 ELSE 0 END,
+      |    CASE WHEN w_hi < w_lo THEN 1 ELSE 0 END,
+      |    CASE WHEN w_lo = w_hi THEN 1 ELSE 0 END
+      |  FROM pair),
+      |maj AS (
+      |  SELECT item, CAST(sum(mw) AS BIGINT) AS maj_wins,
+      |    CAST(sum(ml) AS BIGINT) AS maj_losses,
+      |    CAST(sum(mt) AS BIGINT) AS maj_ties
+      |  FROM sides GROUP BY 1)
+      |SELECT item,
+      |  coalesce(raw_wins, 0) AS raw_wins,
+      |  coalesce(raw_losses, 0) AS raw_losses,
+      |  coalesce(maj_wins, 0) AS maj_wins,
+      |  coalesce(maj_losses, 0) AS maj_losses,
+      |  coalesce(maj_ties, 0) AS maj_ties,
+      |  coalesce(maj_wins, 0) - coalesce(maj_losses, 0) AS copeland
+      |FROM rw
+      |FULL OUTER JOIN rl USING (item)
+      |FULL OUTER JOIN maj USING (item)
+      |ORDER BY item""".stripMargin,
     "q377_welch_t" -> """
       |WITH x AS (
       |  SELECT user_id % 64 AS cohort,

@@ -999,6 +999,8 @@ object TrainingData {
     "q379_ar_buckets" -> q379ArBuckets _,
     "q380_lang_mix" -> q380LangMix _,
     "q381_pq_encode" -> q381PqEncode _,
+    "q382_pq_adc_recall" -> q382PqAdcRecall _,
+    "q384_embedding_mmd" -> q384EmbeddingMmd _,
     "q293_split_balance" -> q293SplitBalance _,
     "q294_capture_recapture" -> q294CaptureRecapture _,
     "q299_unseen_mass" -> q299UnseenMass _,
@@ -1139,6 +1141,29 @@ object TrainingData {
     Similarity.pqEncode(Tables.embeddings(spark, dir), "vec_id", "embedding",
         m = 8, ks = 16)
       .orderBy($"vec_id")
+  }
+
+  /** Embedding-space drift per label ([[Similarity.embeddingMmd]]):
+    * linear-kernel MMD² = exact squared distance between each label's
+    * mean embedding and the corpus mean, in quantized integer units —
+    * the "did this cluster/source move" audit with no float mean ever
+    * formed. */
+  def q384EmbeddingMmd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.embeddingMmd(Tables.embeddings(spark, dir), "label",
+        "embedding")
+      .orderBy($"label")
+  }
+
+  /** PQ asymmetric-distance serving audit ([[Similarity.pqAdcAudit]]):
+    * per query, the nearest neighbor found by scanning only q381's
+    * packed codes vs the exact-dot truth, with integer regret — the
+    * recall measurement that gates PQ compression for serving. */
+  def q382PqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.pqAdcAudit(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", $"vec_id" % 100 === 0, m = 8, ks = 16)
+      .orderBy($"query_id")
   }
 
   /** Chunk-level code-switching screen ([[graft.etl.Corpus.langMixChunks]]):
@@ -2333,6 +2358,87 @@ object TrainingData {
       |JOIN bl ON bl.lang = cell.lang
       |CROSS JOIN tt
       |ORDER BY cell.split, cell.lang""".stripMargin,
+    "q384_embedding_mmd" -> """
+      |WITH e AS (
+      |  SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |pd AS (
+      |  SELECT label, pos AS dim, CAST(sum(q[pos]) AS BIGINT) AS s_g,
+      |    CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM (SELECT label, q, unnest(generate_series(1, len(q))) AS pos
+      |        FROM e)
+      |  GROUP BY 1, 2),
+      |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+      |gl AS (SELECT dim, CAST(sum(s_g) AS BIGINT) AS s_all
+      |        FROM pd GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM e),
+      |terms AS (
+      |  SELECT pd.label, cnt.n, tot.n_all,
+      |    CAST(pd.s_g AS HUGEINT) * tot.n_all
+      |      - CAST(gl.s_all AS HUGEINT) * cnt.n AS t
+      |  FROM pd
+      |  JOIN gl ON gl.dim = pd.dim
+      |  JOIN cnt ON cnt.label = pd.label
+      |  CROSS JOIN tot)
+      |SELECT label, n,
+      |  CAST(sum(t * t) // (CAST(n AS HUGEINT) * n * n_all * n_all)
+      |    AS BIGINT) AS mmd2_q
+      |FROM terms GROUP BY label, n, n_all ORDER BY label""".stripMargin,
+    "q382_pq_adc_recall" -> """
+      |WITH e AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, q
+      |  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 16)),
+      |sgrid AS (SELECT unnest(generate_series(0, 7)) AS s),
+      |subs AS (SELECT vec_id, s, q[s*8+1 : s*8+8] AS x FROM e, sgrid),
+      |csubs AS (SELECT k, s, q[s*8+1 : s*8+8] AS c FROM seeds, sgrid),
+      |d AS (
+      |  SELECT vec_id, subs.s, k,
+      |    CAST(list_dot_product(x, x) AS BIGINT)
+      |      - 2 * CAST(list_dot_product(x, c) AS BIGINT)
+      |      + CAST(list_dot_product(c, c) AS BIGINT) AS dist
+      |  FROM subs JOIN csubs ON csubs.s = subs.s),
+      |asg AS (
+      |  SELECT vec_id, s, k FROM (
+      |    SELECT vec_id, s, k,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, k) AS rn
+      |    FROM d) WHERE rn = 1),
+      |adc AS (
+      |  SELECT qe.vec_id AS query_id, a.vec_id AS nn_id,
+      |    CAST(sum(CAST(list_dot_product(cs.c, cs.c) AS BIGINT)
+      |      - 2 * CAST(list_dot_product(qs.x, cs.c) AS BIGINT)) AS BIGINT)
+      |      AS adc
+      |  FROM (SELECT vec_id FROM e WHERE vec_id % 100 = 0) qe
+      |  JOIN asg a ON a.vec_id <> qe.vec_id
+      |  JOIN subs qs ON qs.vec_id = qe.vec_id AND qs.s = a.s
+      |  JOIN csubs cs ON cs.s = a.s AND cs.k = a.k
+      |  GROUP BY 1, 2),
+      |dots AS (
+      |  SELECT qe.vec_id AS query_id, ce.vec_id AS nn_id,
+      |    CAST(list_dot_product(qe.q, ce.q) AS BIGINT) AS dot
+      |  FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id
+      |  WHERE qe.vec_id % 100 = 0),
+      |pairs AS (
+      |  SELECT adc.query_id, adc.nn_id, adc.adc, dots.dot
+      |  FROM adc JOIN dots ON dots.query_id = adc.query_id
+      |    AND dots.nn_id = adc.nn_id),
+      |aw AS (
+      |  SELECT query_id, nn_id AS adc_nn, dot AS adc_dot FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc, nn_id) AS rn FROM pairs) WHERE rn = 1),
+      |tw AS (
+      |  SELECT query_id, nn_id AS true_nn, dot AS true_dot FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dot DESC, nn_id) AS rn FROM pairs) WHERE rn = 1)
+      |SELECT tw.query_id, true_nn, true_dot, adc_nn, adc_dot,
+      |  CAST(CASE WHEN adc_nn = true_nn THEN 1 ELSE 0 END AS BIGINT) AS hit,
+      |  CAST(true_dot - adc_dot AS BIGINT) AS regret
+      |FROM tw JOIN aw ON aw.query_id = tw.query_id
+      |ORDER BY tw.query_id""".stripMargin,
     "q381_pq_encode" -> """
       |WITH e AS (
       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),

@@ -731,6 +731,41 @@ class SimilaritySpec extends SparkSpec {
       3L -> ((1L, 30000L)), 4L -> ((0L, 1000000L))))
   }
 
+  test("embeddingMmd: exact squared mean displacement per group") {
+    val sq = spark
+    import sq.implicits._
+    // g1 = {(1,0),(1,0)}, g2 = {(0,1)}: S_all = (2000,1000), N = 3
+    // g1: t = (2000, -2000) -> 8e6 div 36 = 222222
+    // g2: t = (-2000, 2000) -> 8e6 div 9  = 888888
+    val emb = Seq((1L, "g1", Seq(1.0f, 0f)), (2L, "g1", Seq(1.0f, 0f)),
+      (3L, "g2", Seq(0f, 1.0f))).toDF("vec_id", "grp", "embedding")
+    val got = Similarity.embeddingMmd(emb, "grp", "embedding")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map("g1" -> ((2L, 222222L)), "g2" -> ((1L, 888888L))))
+  }
+
+  test("pqAdcAudit: ADC winner vs exact winner, integer regret") {
+    val sq = spark
+    import sq.implicits._
+    // same codebook as the pqEncode spec. Query v3 = (.9,.1,0,.9):
+    // ADC(v1)=-800000+0, ADC(v2)=800000-800000=0, ADC(v4)=-800000+0
+    // -> ADC tie v1/v4 breaks to v1; exact dots 9e5 / 1e6 / 0 -> true v2.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1.0f, 0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f, 0f, 0.9f)),
+      (4L, Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.pqAdcAudit(emb, "vec_id", "embedding",
+      col("vec_id") === 3, m = 2, ks = 2).collect().head
+    assert(out.getAs[Long]("query_id") == 3L)
+    assert(out.getAs[Long]("true_nn") == 2L &&
+      out.getAs[Long]("true_dot") == 1000000L)
+    assert(out.getAs[Long]("adc_nn") == 1L &&
+      out.getAs[Long]("adc_dot") == 900000L)
+    assert(out.getAs[Long]("hit") == 0L &&
+      out.getAs[Long]("regret") == 100000L)
+  }
+
   test("arBuckets: exact ratio argmin, crop retention, tie to list order") {
     val sq = spark
     import sq.implicits._

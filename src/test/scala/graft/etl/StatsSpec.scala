@@ -456,6 +456,21 @@ class StatsSpec extends SparkSpec {
       out.getAs[Long]("right_mean_x100") == 500L)
   }
 
+  test("copelandPrefs: majority edges, surfaced ties, raw duel counts") {
+    // a beats b 2-1 (majority a), a-c split 1-1 (tie), b beats c 1-0
+    val prefs = Seq(("a", "b"), ("a", "b"), ("b", "a"),
+      ("a", "c"), ("c", "a"), ("b", "c")).toDF("w", "l")
+    val out = Stats.copelandPrefs(prefs, "w", "l").collect()
+      .map(r => r.getAs[String]("item") ->
+        (r.getAs[Long]("raw_wins"), r.getAs[Long]("raw_losses"),
+         r.getAs[Long]("maj_wins"), r.getAs[Long]("maj_losses"),
+         r.getAs[Long]("maj_ties"), r.getAs[Long]("copeland"))).toMap
+    assert(out == Map(
+      "a" -> ((3L, 2L, 1L, 0L, 1L, 1L)),
+      "b" -> ((2L, 2L, 1L, 1L, 0L, 0L)),
+      "c" -> ((1L, 2L, 0L, 1L, 1L, -1L))))
+  }
+
   test("changePoint: constant series ties break to the earliest split") {
     val df = (1L to 4L).map(d => ("a", d, 3L)).toDF("g", "d", "y")
     val out = Stats.changePoint(df, "g", col("d"), col("y")).collect().head
