@@ -637,6 +637,101 @@ object Similarity {
     q.select(col(idCol), code.as("pq_code"), distortion.as("distortion"))
   }
 
+  /** Nearest-class-mean confusion audit — the label-noise screen a
+    * labeled embedding corpus gets before its labels are trusted for
+    * training: classify every vector by its nearest class centroid and
+    * cross-tabulate predicted vs given labels; heavy off-diagonal cells
+    * are the mislabeled (or genuinely entangled) classes.
+    *
+    * Centroids are never materialized as float means: with per-class
+    * integer sums S_c and counts n_c, ‖x − S_c/n_c‖² ranks classes by the
+    * exact integer `raw_c = n_c²·x·x − 2n_c·x·S_c + S_c·S_c` normalized as
+    * the FLOORED `score_c = raw_c div n_c²` — the floor is part of the
+    * operator's definition (mirrored in the oracle), so the argmin is
+    * engine-deterministic; ties break to the lowest label. Magnitude
+    * bound: n_c·|x_d| must stay under ~3·10⁸ per dim for raw_c to fit a
+    * long — shard-and-average class sums first beyond ~10⁵ rows/class.
+    *
+    * Plan: one posexplode + (class, dim) combiner agg for the sums (a
+    * classes×dims frame), a bounded collect (classes ≤ 64, the ivfTopK
+    * seeding legitimacy), then a pure per-row codegen argmin over literal
+    * sums + one confusion-cell aggregation — no joins on the heavy side. */
+  def classMeanConfusion(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val q = emb.select(col(labelCol).cast("long").as("lab"),
+      quantize(col(vecCol)).as("qv"))
+    val sums = q.select(col("lab"), posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy(col("lab"), col("dim")).agg(sum(col("v")).as("s"))
+      .groupBy(col("lab"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("s")))).as("sv"))
+      .select(col("lab"), transform(col("sv"), x => x.getField("s")).as("s"))
+    val counts = q.groupBy(col("lab")).agg(count(lit(1)).as("n"))
+    val cents: Seq[(Long, Long, Seq[Long])] = sums.join(counts, "lab")
+      .collect().map(r => (r.getAs[Long]("lab"), r.getAs[Long]("n"),
+        r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+    require(cents.size <= 64, s"too many classes for literal argmin: ${cents.size}")
+    val cand = array(cents.map { case (lab, n, s) =>
+      val ss = s.map(v => v * v).sum
+      val raw = lit(n * n) * qdot(col("qv"), col("qv")) -
+        lit(2L * n) * qdot(col("qv"), typedLit(s)) + lit(ss)
+      // floored raw/n² in decimal (raw >= 0): floor on decimal is exact,
+      // unlike a double divide (precision) or a decimal cast (HALF_UP)
+      struct(floor(raw.cast("decimal(38,0)") /
+          lit(n * n).cast("decimal(38,0)")).cast("long").as("score"),
+        lit(lab).as("pred"))
+    }: _*)
+    q.withColumn("pred", array_min(cand).getField("pred"))
+      .groupBy(col("lab").as(labelCol), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_diag",
+        when(col(labelCol) === col("pred"), 1L).otherwise(0L))
+  }
+
+  /** Greedy k-center coreset selection over embeddings (farthest-point
+    * traversal) — the classic coverage-maximizing subset pick a curation
+    * pipeline uses to choose k diverse exemplars (annotation seeds,
+    * eval-probe selection, diversity-aware distillation): start from the
+    * lowest-id vector, then repeatedly add the point FARTHEST from the
+    * current set; the emitted per-round radius = max-min-distance is the
+    * textbook 2-approximation certificate for the k-center objective.
+    *
+    * All distances are exact integers over quantized vectors (‖x−c‖² =
+    * x·x − 2x·c + c·c via native qdot against literal centers), argmax
+    * ties break to the lowest id through a (dist, −id) struct max, and
+    * the per-round driver pull is ONE row (the same bounded-round shape
+    * as bpeTrain/ivfTopK seeding). k scans of the corpus, each a pure
+    * map-side aggregation with ≤ k literal distance terms — no joins, no
+    * windows, no shuffle beyond the one-row agg; at 100 TB that is k
+    * passes over a columnar scan, the optimal access pattern for this
+    * algorithm (its data dependence is inherently sequential in k).
+    *
+    * Returns one row per round r: (round, vec_id of the r-th selected
+    * center, radius after covering with r centers). */
+  def kCenterGreedy(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, s"k out of range: $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("qv"))
+    val first = q.orderBy(col("id")).limit(1).collect().head
+    var sel = Vector((first.getLong(0), first.getSeq[Long](1).toSeq))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (r <- 1 to k) {
+      val minD = sel.map { case (_, c) =>
+        val cc = c.map(v => v * v).sum
+        qdot(col("qv"), col("qv")) - lit(2L) * qdot(col("qv"), typedLit(c)) +
+          lit(cc)
+      }.reduce(least(_, _))
+      val top = q.select(col("id"), col("qv"), minD.as("md"))
+        .agg(max(struct(col("md"), (-col("id")).as("nid"), col("qv"))))
+        .collect().head.getStruct(0)
+      rows += ((r.toLong, sel(r - 1)._1, top.getLong(0)))
+      if (r < k) sel = sel :+ ((-top.getLong(1), top.getSeq[Long](2).toSeq))
+    }
+    rows.toSeq.toDF("round", "vec_id", "radius")
+  }
+
   /** Linear-kernel MMD² between each group's embedding distribution and
     * the full corpus — the embedding-space drift line next to the
     * histogram drifts (q131/q239/q256): for the linear kernel, MMD² is

@@ -1001,6 +1001,9 @@ object TrainingData {
     "q381_pq_encode" -> q381PqEncode _,
     "q382_pq_adc_recall" -> q382PqAdcRecall _,
     "q384_embedding_mmd" -> q384EmbeddingMmd _,
+    "q385_kcenter" -> q385Kcenter _,
+    "q386_label_noise" -> q386LabelNoise _,
+    "q387_luhn_pii" -> q387LuhnPii _,
     "q293_split_balance" -> q293SplitBalance _,
     "q294_capture_recapture" -> q294CaptureRecapture _,
     "q299_unseen_mass" -> q299UnseenMass _,
@@ -1141,6 +1144,87 @@ object TrainingData {
     Similarity.pqEncode(Tables.embeddings(spark, dir), "vec_id", "embedding",
         m = 8, ks = 16)
       .orderBy($"vec_id")
+  }
+
+  /** Greedy k-center coreset ([[Similarity.kCenterGreedy]]): 8 rounds of
+    * farthest-point traversal over the embeddings with the per-round
+    * coverage radius — the diversity-maximizing exemplar pick, integer
+    * distances end to end; the oracle unrolls the same 8 rounds as
+    * MATERIALIZED CTEs. */
+  def q385Kcenter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.kCenterGreedy(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", k = 8)
+      .orderBy($"round")
+  }
+
+  /** Unrolled DuckDB twin of the k-round farthest-point traversal: per
+    * round, a min-distance fold over the current selected set and an
+    * (md DESC, vec_id) argmax pick; CTEs MATERIALIZED so DuckDB's CTE
+    * inlining cannot re-expand earlier rounds exponentially. */
+  private def kCenterOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |pick1 AS MATERIALIZED (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 1),
+      |sel1 AS MATERIALIZED (SELECT * FROM pick1)""".stripMargin
+    for (r <- 1 to k) {
+      sb ++= s""",
+      |d$r AS MATERIALIZED (
+      |  SELECT e.vec_id, e.q,
+      |    min(CAST(list_dot_product(e.q, e.q) AS BIGINT)
+      |      - 2 * CAST(list_dot_product(e.q, s.q) AS BIGINT)
+      |      + CAST(list_dot_product(s.q, s.q) AS BIGINT)) AS md
+      |  FROM e, sel$r s GROUP BY 1, 2),
+      |r$r AS MATERIALIZED (
+      |  SELECT CAST($r AS BIGINT) AS round,
+      |    (SELECT vec_id FROM pick$r) AS vec_id,
+      |    CAST(max(md) AS BIGINT) AS radius
+      |  FROM d$r)""".stripMargin
+      if (r < k) {
+        sb ++= s""",
+      |pick${r + 1} AS MATERIALIZED (
+      |  SELECT vec_id, q FROM d$r ORDER BY md DESC, vec_id LIMIT 1),
+      |sel${r + 1} AS MATERIALIZED (
+      |  SELECT * FROM sel$r UNION ALL SELECT * FROM pick${r + 1})""".stripMargin
+      }
+    }
+    sb ++= "\n"
+    sb ++= (1 to k).map(r => s"SELECT * FROM r$r")
+      .mkString("", " UNION ALL ", " ORDER BY round")
+    sb.toString
+  }
+
+  /** Luhn-validated card-PII audit ([[graft.etl.Privacy.luhnAudit]]):
+    * deterministic order-derived texts embed a 13-digit and a 16-digit
+    * run each; only runs passing the mod-10 checksum count as card PII —
+    * the precision layer q80's regex redaction lacks. */
+  def q387LuhnPii(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.orders(spark, dir)
+      .filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey",
+        concat(lit("inv "),
+          lpad(($"o_orderkey" % 10000000000000L).cast("string"), 13, "0"),
+          lit(" ref "), $"o_custkey".cast("string"), lit(" card "),
+          lpad((($"o_orderkey" * 7919) % 10000000000000000L).cast("string"),
+            16, "0")).as("text"))
+    graft.etl.Privacy.luhnAudit(docs, "o_orderkey", "text")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Label-noise confusion audit ([[Similarity.classMeanConfusion]]):
+    * nearest-class-mean prediction vs given label, cross-tabulated —
+    * heavy off-diagonal cells flag mislabeled or entangled classes
+    * before the labels feed training; centroids never exist as float
+    * means (integer sums + floored normalized distance). */
+  def q386LabelNoise(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.classMeanConfusion(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", "label")
+      .orderBy($"label", $"pred")
   }
 
   /** Embedding-space drift per label ([[Similarity.embeddingMmd]]):
@@ -2358,6 +2442,65 @@ object TrainingData {
       |JOIN bl ON bl.lang = cell.lang
       |CROSS JOIN tt
       |ORDER BY cell.split, cell.lang""".stripMargin,
+    "q385_kcenter" -> kCenterOracleSql(8),
+    "q387_luhn_pii" -> """
+      |WITH d AS (
+      |  SELECT o_orderkey,
+      |    'inv ' || lpad(CAST(o_orderkey % 10000000000000 AS VARCHAR), 13, '0')
+      |    || ' ref ' || CAST(o_custkey AS VARCHAR)
+      |    || ' card '
+      |    || lpad(CAST((o_orderkey * 7919) % 10000000000000000 AS VARCHAR),
+      |         16, '0') AS text
+      |  FROM orders WHERE o_orderkey % 10 = 0),
+      |r AS (
+      |  SELECT o_orderkey,
+      |    list_filter(regexp_extract_all(text, '[0-9]+'),
+      |      x -> length(x) >= 13 AND length(x) <= 19) AS runs
+      |  FROM d),
+      |v AS (
+      |  SELECT o_orderkey,
+      |    CAST(len(runs) AS BIGINT) AS n_candidates,
+      |    CAST(len(list_filter(runs, x ->
+      |      list_sum(list_transform(generate_series(1, length(x)), i ->
+      |        CASE WHEN i % 2 = 0 THEN
+      |          CAST(substring(reverse(x), i, 1) AS BIGINT) * 2
+      |            - CASE WHEN CAST(substring(reverse(x), i, 1) AS BIGINT) * 2 > 9
+      |                   THEN 9 ELSE 0 END
+      |        ELSE CAST(substring(reverse(x), i, 1) AS BIGINT) END))
+      |      % 10 = 0)) AS BIGINT) AS n_luhn_valid
+      |  FROM r)
+      |SELECT o_orderkey, n_candidates, n_luhn_valid,
+      |  CAST(CASE WHEN n_luhn_valid > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_pii
+      |FROM v ORDER BY o_orderkey""".stripMargin,
+    "q386_label_noise" -> """
+      |WITH e AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |pd AS (
+      |  SELECT label, pos AS dim, CAST(sum(q[pos]) AS BIGINT) AS s
+      |  FROM (SELECT label, q, unnest(generate_series(1, len(q))) AS pos
+      |        FROM e)
+      |  GROUP BY 1, 2),
+      |cent AS (SELECT label AS lab, list(s ORDER BY dim) AS sv
+      |         FROM pd GROUP BY 1),
+      |cnt AS (SELECT label AS lab, CAST(count(*) AS BIGINT) AS n
+      |        FROM e GROUP BY 1),
+      |sc AS (
+      |  SELECT e.vec_id, e.label, c.lab AS pred,
+      |    (cnt.n * cnt.n * CAST(list_dot_product(e.q, e.q) AS BIGINT)
+      |     - 2 * cnt.n * CAST(list_dot_product(e.q, c.sv) AS BIGINT)
+      |     + CAST(list_dot_product(c.sv, c.sv) AS BIGINT))
+      |      // (cnt.n * cnt.n) AS score
+      |  FROM e CROSS JOIN cent c JOIN cnt ON cnt.lab = c.lab),
+      |pk AS (
+      |  SELECT vec_id, label, pred FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY score, pred) AS rn FROM sc) WHERE rn = 1)
+      |SELECT label, pred, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(CASE WHEN label = pred THEN 1 ELSE 0 END AS BIGINT) AS is_diag
+      |FROM pk GROUP BY 1, 2 ORDER BY label, pred""".stripMargin,
     "q384_embedding_mmd" -> """
       |WITH e AS (
       |  SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]),

@@ -185,4 +185,22 @@ class HelpersSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, "not-a-phone 906-12345678 and 06-1234567 (7 digits)")))
     assert(out(4L) == ((0L, 0L, "plain text, no pii")))
   }
+
+  test("luhnAudit: checksum separates card numbers from plain digit runs") {
+    import spark.implicits._
+    // 4539148803436467 is Luhn-valid; flipping the check digit breaks it;
+    // 12345 is too short to be a candidate; a 20-digit run is too long
+    val df = Seq(
+      (1L, "pay 4539148803436467 now"),
+      (2L, "ref 4539148803436468 and 12345"),
+      (3L, "long 12345678901234567890 run"),
+      (4L, "two 4539148803436467 4539148803436467")).toDF("id", "text")
+    val out = Privacy.luhnAudit(df, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_candidates"), r.getAs[Long]("n_luhn_valid"),
+          r.getAs[Long]("has_pii")))).toMap
+    assert(out == Map(
+      1L -> ((1L, 1L, 1L)), 2L -> ((1L, 0L, 0L)),
+      3L -> ((0L, 0L, 0L)), 4L -> ((2L, 2L, 1L))))
+  }
 }

@@ -731,6 +731,32 @@ class SimilaritySpec extends SparkSpec {
       3L -> ((1L, 30000L)), 4L -> ((0L, 1000000L))))
   }
 
+  test("classMeanConfusion: mislabeled point lands off-diagonal") {
+    val sq = spark
+    import sq.implicits._
+    // class 1 = {(1,0),(1,0)}; class 2 = {(0,1),(0.9,0)} — the last point
+    // is 'mislabeled': nearer class 1's mean (score 10000 vs 452500)
+    val emb = Seq((1L, 1, Seq(1.0f, 0f)), (2L, 1, Seq(1.0f, 0f)),
+      (3L, 2, Seq(0f, 1.0f)), (4L, 2, Seq(0.9f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.classMeanConfusion(emb, "vec_id", "embedding", "label")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 2L, 1L), (2L, 1L, 1L, 0L), (2L, 2L, 1L, 1L)))
+  }
+
+  test("kCenterGreedy: farthest-point picks and shrinking radii") {
+    val sq = spark
+    import sq.implicits._
+    // seed v1=(0,0); v2=(10,0) is farthest (1e8), then v3=(5,0) (25e6),
+    // leaving v4=(0,1) at 1e6 — radii certify the 2-approx each round
+    val emb = Seq((1L, Seq(0f, 0f)), (2L, Seq(10f, 0f)),
+      (3L, Seq(5f, 0f)), (4L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterGreedy(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 100000000L), (2L, 2L, 25000000L),
+      (3L, 3L, 1000000L)))
+  }
+
   test("embeddingMmd: exact squared mean displacement per group") {
     val sq = spark
     import sq.implicits._
