@@ -191,6 +191,116 @@ object Multimodal {
     }
   }
 
+  /** Per-row clipping/loudness integrity stats from REAL PCM decode —
+    * the waveform-health screen an audio corpus runs before feature
+    * extraction: clipped-sample count (|s| ≥ threshold), true peak, and
+    * the exact DC sum (a nonzero DC offset flags a recording chain
+    * fault). All three are exact integers over the decoded samples; only
+    * decodable 16-bit PCM rows carry values, everything else reports
+    * NULL frames loudly rather than fake zeros. */
+  final case class AudioClipStats(
+      media_id: Long,
+      n_frames: Option[Long],
+      n_clipped: Option[Long],
+      peak: Option[Long],
+      dc_sum: Option[Long])
+
+  /** Scan-only `mapPartitions` decode (same batch seam as [[AudioCodec]]);
+    * channel 0 of each frame, little/big-endian per the container. */
+  def audioClipStats(media: Dataset[MediaRecord],
+      clipThreshold: Int = 32000): Dataset[AudioClipStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val st =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: Exception => null }
+      val fmt = if (st == null) null else st.getFormat
+      if (fmt == null || fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+        AudioClipStats(r.media_id, None, None, None, None)
+      } else {
+        val bytes = st.readAllBytes()
+        val ch = fmt.getChannels
+        val be = fmt.isBigEndian
+        val nFrames = bytes.length / (2 * ch)
+        var clipped = 0L; var peak = 0L; var dc = 0L
+        var i = 0
+        while (i < nFrames) {
+          val off = i * 2 * ch
+          val s =
+            (if (be) (bytes(off) << 8) | (bytes(off + 1) & 0xff)
+             else (bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+          val a = math.abs(s.toLong)
+          if (a >= clipThreshold) clipped += 1
+          if (a > peak) peak = a
+          dc += s
+          i += 1
+        }
+        AudioClipStats(r.media_id, Some(nFrames.toLong), Some(clipped),
+          Some(peak), Some(dc))
+      }
+    })
+  }
+
+  /** Stats of a REAL pixel resize: decode, resample to exactly
+    * (targetW × targetH) with PINNED nearest-neighbor semantics —
+    * src(x,y) = (⌊j·w/tw⌋, ⌊i·h/th⌋) — and fold the resized lumas into
+    * exact integers (sum + two corners). The kernel is implemented here
+    * rather than delegated to AWT's AffineTransformOp precisely so the
+    * resample mapping is REPRODUCIBLE: production vision pipelines pin
+    * their resize kernel for exactly this reason (a training corpus
+    * resized under two kernels is two different corpora). Undecodable
+    * rows report NULLs. */
+  final case class ResizedStats(
+      media_id: Long,
+      src_w: Option[Long],
+      src_h: Option[Long],
+      out_w: Long,
+      out_h: Long,
+      luma_sum: Option[Long],
+      luma00: Option[Long],
+      luma_last: Option[Long])
+
+  def resizeDecode(media: Dataset[MediaRecord], targetW: Int,
+      targetH: Int): Dataset[ResizedStats] = {
+    require(targetW >= 1 && targetH >= 1)
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null)
+          ResizedStats(r.media_id, None, None, targetW.toLong, targetH.toLong,
+            None, None, None)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          def lumaAt(x: Int, y: Int): Long = {
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3L
+          }
+          var sum = 0L
+          var i = 0
+          while (i < targetH) {
+            var j = 0
+            while (j < targetW) {
+              sum += lumaAt(j * w / targetW, i * h / targetH)
+              j += 1
+            }
+            i += 1
+          }
+          ResizedStats(r.media_id, Some(w.toLong), Some(h.toLong),
+            targetW.toLong, targetH.toLong, Some(sum), Some(lumaAt(0, 0)),
+            Some(lumaAt((targetW - 1) * w / targetW,
+              (targetH - 1) * h / targetH)))
+        }
+      }
+    }
+  }
+
   /** [[extractFeatures]]' audio twin: one codec init per partition,
     * streamed decode — same 100 TB batch shape, typed to
     * [[AudioFeatures]]. */

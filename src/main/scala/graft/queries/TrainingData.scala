@@ -1004,6 +1004,8 @@ object TrainingData {
     "q385_kcenter" -> q385Kcenter _,
     "q386_label_noise" -> q386LabelNoise _,
     "q387_luhn_pii" -> q387LuhnPii _,
+    "q388_audio_clip" -> q388AudioClip _,
+    "q389_resize_decode" -> q389ResizeDecode _,
     "q293_split_balance" -> q293SplitBalance _,
     "q294_capture_recapture" -> q294CaptureRecapture _,
     "q299_unseen_mass" -> q299UnseenMass _,
@@ -1195,6 +1197,32 @@ object TrainingData {
     sb ++= (1 to k).map(r => s"SELECT * FROM r$r")
       .mkString("", " UNION ALL ", " ORDER BY round")
     sb.toString
+  }
+
+  /** Waveform-integrity stats over REAL WAV decode
+    * ([[Multimodal.audioClipStats]]): clipped-sample count against an
+    * 8000 threshold, true peak, exact DC sum — all analytic functions of
+    * the square-wave fixtures' (frames, period, amp), including the
+    * partial-cycle DC remainder. */
+  def q388AudioClip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.mediaFromSyntheticAudio(
+      Tables.documents(spark, dir).filter($"doc_id" % 5 === 0), "doc_id")
+    Multimodal.audioClipStats(media, clipThreshold = 8000).toDF()
+      .orderBy($"media_id")
+  }
+
+  /** REAL pixel resize with a pinned nearest-neighbor kernel
+    * ([[Multimodal.resizeDecode]]): decode the gradient PNGs, resample
+    * to 8x6, emit exact integer luma sums/corners the oracle predicts
+    * from the closed-form pixel model — reproducible resize semantics as
+    * a tested contract, not an AWT implementation detail. */
+  def q389ResizeDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.mediaFromSyntheticGradientImages(
+      Tables.documents(spark, dir), "doc_id")
+    Multimodal.resizeDecode(media, targetW = 8, targetH = 6).toDF()
+      .orderBy($"media_id")
   }
 
   /** Luhn-validated card-PII audit ([[graft.etl.Privacy.luhnAudit]]):
@@ -2443,6 +2471,40 @@ object TrainingData {
       |CROSS JOIN tt
       |ORDER BY cell.split, cell.lang""".stripMargin,
     "q385_kcenter" -> kCenterOracleSql(8),
+    "q388_audio_clip" -> """
+      |WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(800 + doc_id % 5 * 160 AS BIGINT) AS n,
+      |    CAST(2 + doc_id % 6 AS BIGINT) AS p,
+      |    CAST(1000 + doc_id % 20 * 500 AS BIGINT) AS amp
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |m AS (
+      |  SELECT doc_id, n, p, amp,
+      |    (n // p) * ((p + 1) // 2)
+      |      + least(n % p, (p + 1) // 2) AS n_pos
+      |  FROM p)
+      |SELECT doc_id AS media_id, n AS n_frames,
+      |  CAST(CASE WHEN amp >= 8000 THEN n ELSE 0 END AS BIGINT) AS n_clipped,
+      |  amp AS peak,
+      |  CAST(amp * (2 * n_pos - n) AS BIGINT) AS dc_sum
+      |FROM m ORDER BY media_id""".stripMargin,
+    "q389_resize_decode" -> """
+      |WITH g AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS w,
+      |    CAST(8 + doc_id % 5 AS BIGINT) AS h
+      |  FROM documents),
+      |cells AS (
+      |  SELECT doc_id, w, h,
+      |    (7 * ((j * w) // 8) + 3 * ((i * h) // 6) + doc_id) % 251 AS l
+      |  FROM g, (SELECT unnest(generate_series(0, 5)) AS i),
+      |       (SELECT unnest(generate_series(0, 7)) AS j))
+      |SELECT doc_id AS media_id, w AS src_w, h AS src_h,
+      |  CAST(8 AS BIGINT) AS out_w, CAST(6 AS BIGINT) AS out_h,
+      |  CAST(sum(l) AS BIGINT) AS luma_sum,
+      |  CAST(doc_id % 251 AS BIGINT) AS luma00,
+      |  CAST((7 * ((7 * w) // 8) + 3 * ((5 * h) // 6) + doc_id) % 251
+      |    AS BIGINT) AS luma_last
+      |FROM cells GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
     "q387_luhn_pii" -> """
       |WITH d AS (
       |  SELECT o_orderkey,

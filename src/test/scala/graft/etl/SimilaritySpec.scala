@@ -686,6 +686,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("audioClipStats: clip count, peak, exact DC incl. partial cycle") {
+    val sq = spark
+    import sq.implicits._
+    // 8 frames, period 3, amp 9000: + + - + + - + + -> 6 pos, 2 neg
+    // -> dc = 9000*4; all 8 samples clip at threshold 8000.
+    // amp 500 clips nothing; garbage payload reports NULLs.
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio",
+        Multimodal.syntheticWav(8, 3, 9000), None, None, Some(1L)),
+      Multimodal.MediaRecord(2L, "audio",
+        Multimodal.syntheticWav(8, 2, 500), None, None, Some(1L)),
+      Multimodal.MediaRecord(3L, "audio",
+        Array[Byte](1, 2, 3), None, None, Some(1L))).toDS()
+    val got = Multimodal.audioClipStats(media, clipThreshold = 8000)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(got(1L) == Multimodal.AudioClipStats(1L, Some(8L), Some(8L),
+      Some(9000L), Some(36000L)))
+    assert(got(2L) == Multimodal.AudioClipStats(2L, Some(8L), Some(0L),
+      Some(500L), Some(0L)))
+    assert(got(3L) == Multimodal.AudioClipStats(3L, None, None, None, None))
+  }
+
+  test("resizeDecode: pinned nearest-neighbor resample matches the model") {
+    val sq = spark
+    import sq.implicits._
+    // gradient pixel luma(x,y) = (7x + 3y + id) mod 251; resample maps
+    // (i,j) -> (j*w/4, i*h/4); verify sum + corners for several ids
+    val ids = Seq(7L, 190L, 200L)
+    def dims(id: Long) = ((8 + id % 9).toInt, (8 + id % 5).toInt)
+    def luma(id: Long, x: Int, y: Int) = (7L * x + 3L * y + id) % 251
+    val media = Multimodal.mediaFromSyntheticGradientImages(
+      ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.resizeDecode(media, 4, 4)
+      .collect().map(r => r.media_id -> r).toMap
+    ids.foreach { id =>
+      val (w, h) = dims(id)
+      val cells = for { i <- 0 until 4; j <- 0 until 4 }
+        yield luma(id, j * w / 4, i * h / 4)
+      val r = got(id)
+      assert(r.src_w.contains(w.toLong) && r.src_h.contains(h.toLong))
+      assert(r.luma_sum.contains(cells.sum), s"id=$id")
+      assert(r.luma00.contains(luma(id, 0, 0)))
+      assert(r.luma_last.contains(luma(id, 3 * w / 4, 3 * h / 4)))
+    }
+  }
+
   test("vadSegments run-lengths decoded envelopes per the id's bit pattern") {
     val sq = spark
     import sq.implicits._
