@@ -784,6 +784,75 @@ object Corpus {
           s => s.getField("line"))), 256).as("clean_sha"))
   }
 
+  /** Epoch/oversampling plan for a token-budgeted training mix: given
+    * per-source available tokens and target mixture shares (basis
+    * points), how many tokens each source must contribute, how many
+    * EPOCHS of it that means (ceil), and the oversampling rate — the
+    * table a pretraining run signs off on before the dataloader is
+    * built (a 40-epoch small source is a memorization risk the plan
+    * must surface, not hide).
+    *
+    * All integral: needed = budget·bp div 10⁴, epochs = ceil-div,
+    * oversample_bp = needed·10⁴ div available. Sources in the target
+    * list but absent from the corpus emit NULL epochs (loudly
+    * unplannable); corpus sources outside the target get share 0. One
+    * combiner-friendly aggregation + a broadcast of the (tiny) target
+    * table. */
+  def epochPlan(docs: DataFrame, sourceCol: String, textCol: String,
+      targets: Seq[(String, Int)], budgetTokens: Long): DataFrame = {
+    require(targets.nonEmpty && targets.map(_._2).forall(_ >= 0) &&
+      targets.map(_._2).sum == 10000, "target shares must sum to 10000 bp")
+    require(budgetTokens > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val avail = docs.select(col(sourceCol).as("source"),
+        size(tokensOf(col(textCol))).cast("long").as("_t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("tokens_avail"))
+    val tgt = targets.toDF("source", "target_bp")
+      .select(col("source"), col("target_bp").cast("long"))
+    avail.join(broadcast(tgt), Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("tokens_avail"), lit(0L)).as("tokens_avail"),
+        coalesce(col("target_bp"), lit(0L)).as("target_bp"))
+      .withColumn("tokens_needed",
+        expr(s"$budgetTokens * target_bp div 10000"))
+      .withColumn("epochs", when(col("tokens_needed") === 0, lit(0L))
+        .otherwise(when(col("tokens_avail") > 0,
+          expr("(tokens_needed + tokens_avail - 1) div tokens_avail"))))
+      .withColumn("oversample_bp", when(col("tokens_avail") > 0,
+        expr("tokens_needed * 10000 div tokens_avail")))
+  }
+
+  /** Context-window waste audit: for window size W, what truncation
+    * throws away versus what chunk-padding burns — the two standard
+    * policies' cost, per source, from one aggregation:
+    *
+    *   trunc_waste = Σ max(tokens − W, 0)      (tail tokens dropped)
+    *   n_chunks    = Σ ⌈tokens / W⌉
+    *   pad_waste   = Σ (⌈tokens/W⌉·W − tokens)  (padding burned)
+    *
+    * plus the over-window doc count. Empty docs contribute one empty
+    * chunk under the convention ⌈0/W⌉ = 0 (they vanish — both engines
+    * agree because the ceil-div identity (t + W − 1) div W is 0 at
+    * t = 0). The numbers that decide whether a corpus ships truncated,
+    * chunked, or packed (q64). */
+  def windowWaste(docs: DataFrame, sourceCol: String, textCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1)
+    docs.select(col(sourceCol).as("source"),
+        size(tokensOf(col(textCol))).cast("long").as("_t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_t")).as("tokens"),
+        sum(when(col("_t") > window, 1L).otherwise(0L)).as("n_over"),
+        sum(greatest(col("_t") - window, lit(0L))).as("trunc_waste"),
+        sum(expr(s"(_t + $window - 1) div $window")).as("n_chunks"))
+      .withColumn("pad_waste",
+        col("n_chunks") * window - col("tokens"))
+  }
+
   /** Marker-hit language argmax over per-language score columns `p(lang)`
     * — the exact tie policy of `graft.functions.Text.languageId`
     * (alphabetically first wins), shared by doc- and chunk-granularity

@@ -168,6 +168,34 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  // ------------------------------------------------ q390 epoch plan
+
+  /** Token-budget epoch plan ([[graft.etl.Corpus.epochPlan]]): a skewed
+    * 4-source target mix (including one source that does not exist in
+    * the corpus → NULL epochs) against a 10M-token budget — the
+    * oversampling sign-off table for a pretraining dataloader. */
+  def q390EpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.epochPlan(Tables.documents(spark, dir), "source",
+        "text",
+        Seq("src0" -> 4000, "src1" -> 3000, "src2" -> 2000,
+          "srcX" -> 1000),
+        budgetTokens = 10000000L)
+      .orderBy($"source")
+  }
+
+  // ------------------------------------------------ q391 window waste
+
+  /** Context-window waste audit ([[graft.etl.Corpus.windowWaste]]) at
+    * W = 64: truncation loss vs chunk-padding burn per source — the
+    * policy-decision numbers before a corpus ships to packing (q64). */
+  def q391WindowWaste(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.windowWaste(Tables.documents(spark, dir), "source",
+        "text", window = 64)
+      .orderBy($"source")
+  }
+
   // ------------------------------------------------ q116 feature hash
 
   /** Hashing-trick bag-of-words ([[Vocab.featureHash]]), 64 buckets via
@@ -874,6 +902,8 @@ object Curation {
     "q114_ewma" -> q114Ewma _,
     "q115_anomaly" -> q115Anomaly _,
     "q116_feature_hash" -> q116FeatureHash _,
+    "q390_epoch_plan" -> q390EpochPlan _,
+    "q391_window_waste" -> q391WindowWaste _,
     "q375_dsir_weights" -> q375DsirWeights _,
     "q117_vocab_encode" -> q117VocabEncode _,
     "q118_pmi_bigrams" -> q118PmiBigrams _)
@@ -1594,6 +1624,41 @@ object Curation {
       |  coalesce(w.weight_bits, 0) AS weight_bits
       |FROM documents d LEFT JOIN w USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin,
+    "q390_epoch_plan" -> s"""
+      |WITH a AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len($toksSql)) AS BIGINT) AS tokens_avail
+      |  FROM documents GROUP BY 1),
+      |t(source, target_bp) AS (VALUES
+      |  ('src0', CAST(4000 AS BIGINT)), ('src1', 3000), ('src2', 2000),
+      |  ('srcX', 1000)),
+      |j AS (
+      |  SELECT coalesce(a.source, t.source) AS source,
+      |    coalesce(n_docs, 0) AS n_docs,
+      |    coalesce(tokens_avail, 0) AS tokens_avail,
+      |    coalesce(target_bp, 0) AS target_bp
+      |  FROM a FULL OUTER JOIN t ON t.source = a.source)
+      |SELECT source, n_docs, tokens_avail, target_bp,
+      |  CAST(10000000 * target_bp // 10000 AS BIGINT) AS tokens_needed,
+      |  CAST(CASE WHEN 10000000 * target_bp // 10000 = 0 THEN 0
+      |       WHEN tokens_avail > 0 THEN
+      |         (10000000 * target_bp // 10000 + tokens_avail - 1)
+      |           // tokens_avail END AS BIGINT) AS epochs,
+      |  CAST(CASE WHEN tokens_avail > 0 THEN
+      |    (10000000 * target_bp // 10000) * 10000 // tokens_avail
+      |    END AS BIGINT) AS oversample_bp
+      |FROM j ORDER BY source""".stripMargin,
+    "q391_window_waste" -> s"""
+      |WITH d AS (
+      |  SELECT source, CAST(len($toksSql) AS BIGINT) AS t
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(t) AS BIGINT) AS tokens,
+      |  CAST(sum(CASE WHEN t > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+      |  CAST(sum(greatest(t - 64, 0)) AS BIGINT) AS trunc_waste,
+      |  CAST(sum((t + 63) // 64) AS BIGINT) AS n_chunks,
+      |  CAST(sum((t + 63) // 64) * 64 - sum(t) AS BIGINT) AS pad_waste
+      |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
     "q116_feature_hash" -> s"""
       |WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents)
       |SELECT doc_id,

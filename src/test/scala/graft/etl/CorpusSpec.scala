@@ -405,6 +405,44 @@ class CorpusSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 2L))
   }
 
+  test("epochPlan: ceil epochs, oversample rate, absent source is NULL") {
+    val sq = spark
+    import sq.implicits._
+    val docs = Seq(("a", "x y z"), ("a", "x y z"), ("b", "x"),
+      ("d", "x y")).toDF("source", "text")
+    val out = Corpus.epochPlan(docs, "source", "text",
+        Seq("a" -> 7000, "b" -> 2000, "c" -> 1000), budgetTokens = 100L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // a: avail 6, needed 70 -> 12 epochs, 116666 bp oversample
+    assert(out("a").getAs[Long]("tokens_needed") == 70L)
+    assert(out("a").getAs[Long]("epochs") == 12L &&
+      out("a").getAs[Long]("oversample_bp") == 116666L)
+    // b: avail 1, needed 20 -> 20 epochs
+    assert(out("b").getAs[Long]("epochs") == 20L)
+    // c: in target but absent from corpus -> loud NULL epochs
+    assert(out("c").getAs[Long]("tokens_needed") == 10L &&
+      out("c").isNullAt(out("c").fieldIndex("epochs")))
+    // d: in corpus but not targeted -> zero everywhere
+    assert(out("d").getAs[Long]("target_bp") == 0L &&
+      out("d").getAs[Long]("epochs") == 0L)
+  }
+
+  test("windowWaste: truncation loss vs padding burn at W=4") {
+    val sq = spark
+    import sq.implicits._
+    // 6 tokens: over, trunc 2, 2 chunks, pad 2; 3 tokens: 1 chunk, pad 1;
+    // empty doc: zero chunks, still counted
+    val docs = Seq(("a", "t t t t t t"), ("a", "t t t"), ("a", ""))
+      .toDF("source", "text")
+    val out = Corpus.windowWaste(docs, "source", "text", window = 4)
+      .collect().head
+    assert(out.getAs[Long]("n_docs") == 3L && out.getAs[Long]("tokens") == 9L)
+    assert(out.getAs[Long]("n_over") == 1L &&
+      out.getAs[Long]("trunc_waste") == 2L)
+    assert(out.getAs[Long]("n_chunks") == 3L &&
+      out.getAs[Long]("pad_waste") == 3L)
+  }
+
   test("langMixChunks: per-chunk argmax vs doc argmax, q30 tie policy") {
     val sq = spark
     import sq.implicits._
