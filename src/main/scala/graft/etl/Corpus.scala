@@ -908,4 +908,55 @@ object Corpus {
           .as("n_switched"))
       .withColumn("mix_bp", expr("n_switched * 10000 div n_chunks"))
   }
+
+  /** ROUGE-N clipped n-gram overlap between paired texts — the standard
+    * summarization/paraphrase overlap metric, used in a data pipeline to
+    * score candidate-reference pairs (distillation outputs vs sources,
+    * rewrite quality, near-dup triage beyond set-Jaccard: ROUGE keeps
+    * MULTIPLICITY, so "the the the" can't fake overlap the way a distinct
+    * shingle set can).
+    *
+    * Input is one row per pair (id, candidate text, reference text).
+    * Returns per pair the clipped overlap Σ_g min(tf_cand(g), tf_ref(g))
+    * over word n-grams, both gram totals, and floored-bp precision
+    * (clipped/cand), recall (clipped/ref) and F1 — which for counts is
+    * EXACTLY 2·clipped/(cand+ref), so all three are integer rationals
+    * with no float in the fixture. Sides with fewer than n words have 0
+    * grams and NULL for the affected ratios (0/0 is surfaced, not 0).
+    *
+    * Shape: ONE tagged explode over both sides' native `word_ngrams`
+    * (two arrays concat'ed per row — not a per-side scan-and-union,
+    * which would re-run the possibly-expensive pair input twice), one
+    * (pair, gram) combiner groupBy for the clipped sum, and a spine
+    * scan that carries only the two gram COUNTS per row (array sizes,
+    * no gram strings) — work linear in text length, partitioned by
+    * pair id; the left join from the spine restores gram-less pairs. */
+  def rougeN(pairs: DataFrame, pairIdCol: String, candCol: String,
+      refCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    def ngrams(c: Column) = call_function("word_ngrams", c, lit(n))
+    val base = pairs.select(col(pairIdCol).as("pair_id"),
+      col(candCol).as("_c"), col(refCol).as("_r"))
+    val perGram = base.select(col("pair_id"), explode(concat(
+        transform(ngrams(col("_c")),
+          g => struct(g.as("g"), lit(0).as("s"))),
+        transform(ngrams(col("_r")),
+          g => struct(g.as("g"), lit(1).as("s"))))).as("e"))
+      .groupBy(col("pair_id"), col("e.g").as("g"))
+      .agg(sum(when(col("e.s") === 0, 1L).otherwise(0L)).as("_cc"),
+        sum(when(col("e.s") === 1, 1L).otherwise(0L)).as("_rc"))
+    val clippedPerPair = perGram.groupBy(col("pair_id"))
+      .agg(sum(least(col("_cc"), col("_rc"))).as("_cl"))
+    base.select(col("pair_id"),
+        size(ngrams(col("_c"))).cast("long").as("cand_grams"),
+        size(ngrams(col("_r"))).cast("long").as("ref_grams"))
+      .join(clippedPerPair, Seq("pair_id"), "left")
+      .select(col("pair_id"),
+        coalesce(col("_cl"), lit(0L)).as("clipped"),
+        col("cand_grams"), col("ref_grams"))
+      .withColumn("p_bp", expr("clipped * 10000 div NULLIF(cand_grams, 0)"))
+      .withColumn("r_bp", expr("clipped * 10000 div NULLIF(ref_grams, 0)"))
+      .withColumn("f1_bp",
+        expr("clipped * 20000 div NULLIF(cand_grams + ref_grams, 0)"))
+  }
 }

@@ -1335,6 +1335,45 @@ object Similarity {
           .as("dead"))
   }
 
+  /** k-NN hubness audit — the embedding-space pathology check that runs
+    * BEFORE trusting any k-NN-derived signal (mutual-NN dedup, retrieval
+    * eval, SemDeDup): in high-dimensional or badly-trained embedding
+    * spaces a few "hub" points appear in everyone's neighbor list while
+    * "antihubs" appear in nobody's, silently biasing every downstream
+    * neighbor-based decision. Builds the directed k-NN graph inside
+    * sign-LSH buckets (the same bucket-local self-join as
+    * [[mutualNnPairs]] — never an all-pairs join) and returns the
+    * in-degree histogram: `(in_degree, n_vectors)`, including the
+    * in_degree = 0 antihub row (vectors nobody selected, plus
+    * singleton-bucket vectors — both genuinely unreachable under the
+    * bucketed serving path, which is exactly what the audit measures).
+    *
+    * A healthy space concentrates mass near in_degree = k; a long right
+    * tail (max in-degree ≫ k) flags hubness. At 100 TB the corpus is
+    * hash-partitioned by bucket so the self-join is partition-local;
+    * the histogram is two combiner-friendly groupBys (≤ corpus rows,
+    * then ≤ distinct degrees). Integer-exact end to end (quantized dot,
+    * deterministic nn-id tiebreak). */
+  def knnHubness(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, bits: Int = 8): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val v = corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val pairs = v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("nn"),
+        qdot(col("a.qv"), col("b.qv")).as("dot"))
+    val w = Window.partitionBy(col("id")).orderBy(col("dot").desc, col("nn"))
+    val edges = pairs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+    val indeg = edges.groupBy(col("nn").as("id"))
+      .agg(count(lit(1)).as("in_degree"))
+    v.select(col("id")).join(indeg, Seq("id"), "left")
+      .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree"))
+      .agg(count(lit(1)).as("n_vectors"))
+  }
+
   /** True double-precision cosine (unit-norm corpus ⇒ plain dot), for
     * in-engine use where cross-engine bit-stability doesn't matter. */
   def cosine(a: Column, b: Column): Column = {

@@ -52,6 +52,15 @@ object Text {
     else t.sliding(n).map(_.mkString(" ")).toArray.distinct
   }
 
+  /** Word n-grams WITH multiplicity (same tokenization as [[shingles]],
+    * no distinct) — for count-based overlap metrics (ROUGE) where
+    * repeated grams must keep their term frequency. */
+  def ngrams(text: String, n: Int): Array[String] = {
+    val t = tokens(text)
+    if (t.length < n) Array.empty
+    else t.sliding(n).map(_.mkString(" ")).toArray
+  }
+
   /** 64-bit SimHash over whitespace tokens (multiplicity kept), built from
     * the first 16 hex digits of each token's MD5 — chosen so a SQL oracle
     * can recompute it with `md5()` alone. Output: 64-char bit string, bit i

@@ -153,6 +153,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordShingles(children.head, n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "word_ngrams(text, n) takes exactly 2 arguments")
+        val n = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"word_ngrams n must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "word_ngrams n must be a literal")
+        }
+        WordNgrams(children.head, n)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[Winnow].getName, "winnow_fps"),
       (children: Seq[Expression]) => {

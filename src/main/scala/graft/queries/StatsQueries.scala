@@ -814,8 +814,29 @@ object StatsQueries {
     Stats.copelandPrefs(prefs, "w", "l").orderBy($"item")
   }
 
+  // ------------------------------------------- q393 Bradley-Terry
+
+  /** Bradley–Terry strength fit ([[Stats.bradleyTerry]], 2 quantized MM
+    * steps) over the SAME within-order brand duels as q383 — Copeland's
+    * majority ranking next to the model-based strengths that weigh how
+    * often and against whom each brand wins. Fully integer (ppm
+    * strengths, every division floored) so the fit is engine-exact. */
+  def q393BradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), $"p_partkey" === $"l_partkey")
+      .select($"l_orderkey".as("ok"), $"p_brand".as("b"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+    val prefs = li.as("x").join(li.as("y"),
+        col("y.ok") === col("x.ok") && col("x.c") > col("y.c") &&
+          col("x.b") =!= col("y.b"))
+      .select(col("x.b").as("w"), col("y.b").as("l"))
+    Stats.bradleyTerry(prefs, "w", "l", iters = 2).orderBy($"item")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q383_copeland" -> q383Copeland _,
+    "q393_bradley_terry" -> q393BradleyTerry _,
     "q377_welch_t" -> q377WelchT _,
     "q378_changepoint" -> q378ChangePoint _,
     "q272_stl_lite" -> q272StlLite _,
@@ -857,6 +878,60 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q393_bradley_terry" -> """
+      |WITH li AS (
+      |  SELECT l_orderkey AS ok, p_brand AS b,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+      |pr AS (
+      |  SELECT x.b AS w, y.b AS l
+      |  FROM li x JOIN li y ON y.ok = x.ok AND x.c > y.c AND x.b <> y.b),
+      |pair AS (
+      |  SELECT least(w, l) AS a, greatest(w, l) AS b,
+      |    CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM pr GROUP BY 1, 2),
+      |wn AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS wins
+      |       FROM pr GROUP BY 1),
+      |gm AS (SELECT item, CAST(count(*) AS BIGINT) AS games FROM
+      |       (SELECT w AS item FROM pr UNION ALL SELECT l FROM pr)
+      |       GROUP BY 1),
+      |base AS (SELECT gm.item, coalesce(wn.wins, 0) AS wins, gm.games
+      |         FROM gm LEFT JOIN wn USING (item)),
+      |s0 AS (SELECT item, CAST(1000000 AS HUGEINT) AS s FROM base),
+      |t1 AS (
+      |  SELECT pair.a, pair.b,
+      |    CAST(n_ab AS HUGEINT) * 1000000000 // (sa.s + sb.s) AS tq
+      |  FROM pair JOIN s0 sa ON sa.item = pair.a
+      |            JOIN s0 sb ON sb.item = pair.b),
+      |d1 AS (SELECT item, sum(tq) AS den FROM
+      |       (SELECT a AS item, tq FROM t1 UNION ALL SELECT b, tq FROM t1)
+      |       GROUP BY 1),
+      |r1 AS (
+      |  SELECT base.item,
+      |    coalesce(CAST(wins AS HUGEINT) * 1000000000 // den, 0) AS raw
+      |  FROM base LEFT JOIN d1 USING (item)),
+      |n1 AS (SELECT sum(raw) AS tot, CAST(count(*) AS HUGEINT) AS n FROM r1),
+      |s1 AS (SELECT item, CAST(raw AS HUGEINT) * n * 1000000
+      |         // NULLIF(tot, 0) AS s FROM r1, n1),
+      |t2 AS (
+      |  SELECT pair.a, pair.b,
+      |    CAST(n_ab AS HUGEINT) * 1000000000 // (sa.s + sb.s) AS tq
+      |  FROM pair JOIN s1 sa ON sa.item = pair.a
+      |            JOIN s1 sb ON sb.item = pair.b),
+      |d2 AS (SELECT item, sum(tq) AS den FROM
+      |       (SELECT a AS item, tq FROM t2 UNION ALL SELECT b, tq FROM t2)
+      |       GROUP BY 1),
+      |r2 AS (
+      |  SELECT base.item,
+      |    coalesce(CAST(wins AS HUGEINT) * 1000000000 // den, 0) AS raw
+      |  FROM base LEFT JOIN d2 USING (item)),
+      |n2 AS (SELECT sum(raw) AS tot, CAST(count(*) AS HUGEINT) AS n FROM r2),
+      |s2 AS (SELECT item, CAST(raw AS HUGEINT) * n * 1000000
+      |         // NULLIF(tot, 0) AS s FROM r2, n2)
+      |SELECT base.item, wins, games,
+      |  CAST(s2.s AS BIGINT) AS strength_ppm
+      |FROM base JOIN s2 USING (item)
+      |ORDER BY item""".stripMargin,
     "q383_copeland" -> """
       |WITH li AS (
       |  SELECT l_orderkey AS ok, p_brand AS b,

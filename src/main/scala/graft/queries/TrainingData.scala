@@ -1004,6 +1004,8 @@ object TrainingData {
     "q385_kcenter" -> q385Kcenter _,
     "q386_label_noise" -> q386LabelNoise _,
     "q387_luhn_pii" -> q387LuhnPii _,
+    "q392_knn_hubness" -> q392KnnHubness _,
+    "q394_rouge2" -> q394Rouge2 _,
     "q388_audio_clip" -> q388AudioClip _,
     "q389_resize_decode" -> q389ResizeDecode _,
     "q293_split_balance" -> q293SplitBalance _,
@@ -1241,6 +1243,32 @@ object TrainingData {
             16, "0")).as("text"))
     graft.etl.Privacy.luhnAudit(docs, "o_orderkey", "text")
       .orderBy($"o_orderkey")
+  }
+
+  /** k-NN hubness audit ([[Similarity.knnHubness]]): in-degree histogram
+    * of the bucket-local k-NN graph at k=5 — the embedding-space
+    * pathology screen run before any neighbor-based signal (mutual-NN,
+    * SemDeDup, retrieval eval) is trusted. in_degree = 0 counts the
+    * antihubs unreachable under the bucketed serving path. */
+  def q392KnnHubness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.knnHubness(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", k = 5)
+      .orderBy($"in_degree")
+  }
+
+  /** ROUGE-2 clipped bigram overlap ([[graft.etl.Corpus.rougeN]]) between
+    * each document and its successor within the same source — the
+    * multiplicity-aware overlap score next to q26's set-Jaccard; floored
+    * bp precision/recall/F1 are exact integer rationals. */
+  def q394Rouge2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    val pairs = Tables.documents(spark, dir)
+      .withColumn("ref_text", lead($"text", 1).over(w))
+      .filter($"ref_text".isNotNull)
+    graft.etl.Corpus.rougeN(pairs, "doc_id", "text", "ref_text", 2)
+      .orderBy($"pair_id")
   }
 
   /** Label-noise confusion audit ([[Similarity.classMeanConfusion]]):
@@ -3135,6 +3163,68 @@ object TrainingData {
       |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(n2a*n2b AS DOUBLE)) >= 0.3
       |ORDER BY id_a, id_b""".stripMargin,
     "q369_sign_projection" -> signProjOracleSql(64, 16),
+    "q392_knn_hubness" -> s"""
+      |WITH $qembSql,
+      |p AS (
+      |  SELECT a.vec_id AS id, b.vec_id AS nn,
+      |    CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+      |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |r AS (
+      |  SELECT nn, row_number() OVER (PARTITION BY id
+      |    ORDER BY dot DESC, nn) AS rn
+      |  FROM p),
+      |ind AS (
+      |  SELECT nn AS vec_id, CAST(count(*) AS BIGINT) AS ind
+      |  FROM r WHERE rn <= 5 GROUP BY 1),
+      |d AS (
+      |  SELECT coalesce(ind.ind, 0) AS in_degree
+      |  FROM e LEFT JOIN ind USING (vec_id))
+      |SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vectors
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q394_rouge2" -> """
+      |WITH pp AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id AS pair_id, text AS c,
+      |      lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS r
+      |    FROM documents)
+      |  WHERE r IS NOT NULL),
+      |cg AS (
+      |  SELECT pair_id, tf[i] || ' ' || tf[i+1] AS g, 0 AS side
+      |  FROM (SELECT pair_id,
+      |          list_filter(string_split(c, ' '), x -> x <> '') AS tf
+      |        FROM pp),
+      |    LATERAL (SELECT unnest(generate_series(1,
+      |      greatest(len(tf) - 1, 0))) AS i) gi
+      |  UNION ALL
+      |  SELECT pair_id, tf[i] || ' ' || tf[i+1] AS g, 1 AS side
+      |  FROM (SELECT pair_id,
+      |          list_filter(string_split(r, ' '), x -> x <> '') AS tf
+      |        FROM pp),
+      |    LATERAL (SELECT unnest(generate_series(1,
+      |      greatest(len(tf) - 1, 0))) AS i) gi),
+      |pg AS (
+      |  SELECT pair_id, g,
+      |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+      |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rc
+      |  FROM cg GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT pair_id, CAST(sum(least(cc, rc)) AS BIGINT) AS clipped,
+      |    CAST(sum(cc) AS BIGINT) AS cand_grams,
+      |    CAST(sum(rc) AS BIGINT) AS ref_grams
+      |  FROM pg GROUP BY 1)
+      |SELECT pp.pair_id,
+      |  coalesce(clipped, 0) AS clipped,
+      |  coalesce(cand_grams, 0) AS cand_grams,
+      |  coalesce(ref_grams, 0) AS ref_grams,
+      |  coalesce(clipped, 0) * 10000 // NULLIF(coalesce(cand_grams, 0), 0)
+      |    AS p_bp,
+      |  coalesce(clipped, 0) * 10000 // NULLIF(coalesce(ref_grams, 0), 0)
+      |    AS r_bp,
+      |  coalesce(clipped, 0) * 20000
+      |    // NULLIF(coalesce(cand_grams, 0) + coalesce(ref_grams, 0), 0)
+      |    AS f1_bp
+      |FROM pp LEFT JOIN agg USING (pair_id)
+      |ORDER BY pair_id""".stripMargin,
     "q372_retrieval_mrr" -> s"""
       |WITH $qembSql,
       |bt AS (

@@ -443,6 +443,26 @@ class CorpusSpec extends SparkSpec {
       out.getAs[Long]("pad_waste") == 3L)
   }
 
+  test("rougeN: clipped bigram counts, exact bp ratios, 0-gram NULLs") {
+    val sq = spark
+    import sq.implicits._
+    // pair 1: cand tf {a b:2, b a:2} (4 grams), ref tf {a b:1, b b:1, b a:1}
+    // (3 grams) -> clipped 2, p=5000, r=6666, f1=floor(40000/7)=5714.
+    // pair 2: cand too short (0 grams) -> p NULL, r 0, f1 0.
+    // pair 3: both too short -> all-NULL ratios, zero counts survive the
+    // left join back to the pair spine.
+    val pairs = Seq((1L, "a b a b a", "a b b a"), (2L, "x", "x y"),
+      (3L, "x", "y")).toDF("pair_id", "cand", "ref")
+    val out = Corpus.rougeN(pairs, "pair_id", "cand", "ref", n = 2)
+      .collect().map(r => r.getAs[Long]("pair_id") ->
+        (r.getAs[Long]("clipped"), r.getAs[Long]("cand_grams"),
+         r.getAs[Long]("ref_grams"), Option(r.getAs[Any]("p_bp")),
+         Option(r.getAs[Any]("r_bp")), Option(r.getAs[Any]("f1_bp")))).toMap
+    assert(out(1L) == ((2L, 4L, 3L, Some(5000L), Some(6666L), Some(5714L))))
+    assert(out(2L) == ((0L, 0L, 1L, None, Some(0L), Some(0L))))
+    assert(out(3L) == ((0L, 0L, 0L, None, None, None)))
+  }
+
   test("langMixChunks: per-chunk argmax vs doc argmax, q30 tie policy") {
     val sq = spark
     import sq.implicits._

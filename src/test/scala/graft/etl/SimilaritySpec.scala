@@ -790,6 +790,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set((1L, 1L, 2L, 1L), (2L, 1L, 1L, 0L), (2L, 2L, 1L, 1L)))
   }
 
+  test("knnHubness: in-degree histogram with antihub and singleton-bucket rows") {
+    val sq = spark
+    import sq.implicits._
+    // bits=2 buckets on the first two dims' signs: v1-v3 share (+,+);
+    // v4's (-,+) bucket is a singleton -> unreachable antihub. k=1 dots:
+    // v1<->v2 (92e6) beat v1-v3 (12e6) and v2-v3 (11e6), v3 -> v1.
+    // in-degrees: v1=2, v2=1, v3=0, v4=0.
+    val emb = Seq((1L, Seq(1f, 1f, 10f)), (2L, Seq(1f, 1f, 9f)),
+      (3L, Seq(1f, 1f, 1f)), (4L, Seq(-1f, 1f, 5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.knnHubness(emb, "vec_id", "embedding", k = 1, bits = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("kCenterGreedy: farthest-point picks and shrinking radii") {
     val sq = spark
     import sq.implicits._

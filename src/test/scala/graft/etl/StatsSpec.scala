@@ -471,6 +471,38 @@ class StatsSpec extends SparkSpec {
       "c" -> ((1L, 2L, 0L, 1L, 1L, -1L))))
   }
 
+  test("bradleyTerry: quantized MM parity with a BigInt model; zero-win collapse") {
+    // a beats b 3-0, b beats c 1-0: a strongest, c never wins -> strength 0
+    val prefs = Seq(("a", "b"), ("a", "b"), ("a", "b"), ("b", "c"))
+      .toDF("w", "l")
+    val out = Stats.bradleyTerry(prefs, "w", "l", iters = 2).collect()
+      .map(r => r.getAs[String]("item") ->
+        (r.getAs[Long]("wins"), r.getAs[Long]("games"),
+         r.getAs[Long]("strength_ppm"))).toMap
+
+    // from-scratch model of the documented quantized MM recurrence
+    val items = Seq("a", "b", "c")
+    val wins = Map("a" -> BigInt(3), "b" -> BigInt(1), "c" -> BigInt(0))
+    val nAb = Map(("a", "b") -> BigInt(3), ("b", "c") -> BigInt(1))
+    var s = items.map(_ -> BigInt(1000000)).toMap
+    for (_ <- 1 to 2) {
+      val tq = nAb.map { case ((x, y), n) =>
+        (x, y) -> n * BigInt(1000000000) / (s(x) + s(y)) }
+      val den = items.map { i => i -> tq.collect {
+        case ((x, y), t) if x == i || y == i => t }.sum }.toMap
+      val raw = items.map { i =>
+        i -> (if (den(i) == 0) BigInt(0)
+              else wins(i) * BigInt(1000000000) / den(i)) }.toMap
+      val tot = raw.values.sum
+      s = items.map { i => i -> raw(i) * items.length * 1000000 / tot }.toMap
+    }
+    assert(out == Map(
+      "a" -> ((3L, 3L, s("a").toLong)),
+      "b" -> ((1L, 4L, s("b").toLong)),
+      "c" -> ((0L, 1L, 0L))))
+    assert(s("c") == 0 && s("a") > s("b") && s("b") > 0)
+  }
+
   test("changePoint: constant series ties break to the earliest split") {
     val df = (1L to 4L).map(d => ("a", d, 3L)).toDF("g", "d", "y")
     val out = Stats.changePoint(df, "g", col("d"), col("y")).collect().head

@@ -37,6 +37,17 @@ class WordShinglesSpec extends SparkSpec {
     rows.foreach { case (t, a, b) => assert(a == b, s"for <$t>") }
   }
 
+  test("word_ngrams keeps multiplicity and order (Text.ngrams parity)") {
+    val got = texts.toDF("t")
+      .select($"t", call_function("word_ngrams", $"t", lit(2)).as("g"))
+      .as[(String, Seq[String])].collect().toMap
+    texts.foreach { t =>
+      assert(got(t) == graft.functions.Text.ngrams(t, 2).toSeq, s"for <$t>")
+    }
+    assert(got("a b a b a b") ==
+      Seq("a b", "b a", "a b", "b a", "a b"))
+  }
+
   test("null in, null out; interpreted eval agrees") {
     val r = spark.sql("SELECT word_shingles(CAST(NULL AS STRING), 3) AS v")
       .collect().head
