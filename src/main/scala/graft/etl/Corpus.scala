@@ -290,6 +290,52 @@ object Corpus {
       .filter(col("rk") <= k)
   }
 
+  /** Priority sampling (Duffield–Lund–Thorup) — the weighted
+    * without-replacement sample with per-item ESTIMATION weights, the
+    * one-pass answer to "keep k docs but let token-weighted aggregates
+    * stay unbiased": each kept item's `est_w = max(w, τ)` (τ = the
+    * (k+1)-th priority) makes Σ est_w over the sample an unbiased
+    * estimator of the population's total weight for ANY subset query.
+    *
+    * Seedless and engine-exact: the uniform is the 28-bit
+    * sha256-hex-prefix of the id (the repo-standard recipe, +1 so it is
+    * never zero), and the priority w/u is the floored integer
+    * `w·2²⁸ div (h+1)` — deterministic ordering with an id tiebreak, no
+    * floats anywhere, so an SQL oracle reproduces the exact sample AND
+    * the exact estimator. Weights must be positive (`require`d ≥ 1 after
+    * the cast); w ≤ ~3·10¹⁰ keeps the scaled priority in a long.
+    *
+    * Shape: one map-side priority projection + a global top-(k+1)
+    * (TakeOrderedAndProject — never a full sort), localCheckpoint'ed at
+    * ≤ k+1 rows so the threshold fold and the sample filter don't re-run
+    * the scan; the k+1-row window is bounded by construction. Fewer than
+    * k+1 input rows ⇒ τ = 0 and every row survives with est_w = w (the
+    * exact-census degenerate case, surfaced not special-cased). */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val pri = df.select(col(idCol).as("id"),
+        col(weightCol).cast("long").as("w"))
+      .withColumn("w", when(col("w") >= 1L && col("w") <= 30000000000L,
+          col("w"))
+        .otherwise(raise_error(concat(
+          lit("prioritySample: weight must be in [1, 3e10], got "),
+          col("w"), lit(" for id "), col("id").cast("string")))))
+      .withColumn("_h", conv(substring(
+        sha2(col("id").cast("string"), 256), 1, 7), 16, 10).cast("long") + 1)
+      .withColumn("priority", expr("w * 268435456 div _h"))
+    val top = pri.orderBy(col("priority").desc, col("id")).limit(k + 1)
+      .localCheckpoint()
+    val w0 = Window.orderBy(col("priority").desc, col("id"))
+    val ranked = top.withColumn("_rn", row_number().over(w0))
+    val tau = ranked.agg(
+      max(when(col("_rn") === k + 1, col("priority"))).as("_tau"))
+    ranked.filter(col("_rn") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col("id"), col("w"), col("priority"),
+        greatest(col("w"), coalesce(col("_tau"), lit(0L))).as("est_w"))
+  }
+
   /** Deterministic global corpus shuffle + round-robin sharding — the
     * "shuffle before you shard" step every training run needs, seedless:
     * the permutation is the (sha256(id), id) order, so any engine, any

@@ -639,6 +639,66 @@ object Graph {
       .agg(count(lit(1)).as("n_co"))
   }
 
+  /** Newman modularity of a GIVEN node partition, per community — the
+    * quality score that turns "we clustered the graph" into a number:
+    * Q = Σ_c [e_c/m − (deg_c/2m)²], where e_c counts intra-community
+    * edges and deg_c sums the degrees of c's members. Positive
+    * contribution = the community holds more of its edges than a
+    * degree-preserving random graph would give it. Scores any upstream
+    * assignment (label propagation, connected components, or a plain
+    * attribute like brand) without re-running it.
+    *
+    * Exact integers end to end: per community the contribution's
+    * numerator 4m·e_c − deg_c² and denominator 4m² are exact longs
+    * (m ≤ ~10⁹ before 4m² needs decimal — widened anyway), and the ppm
+    * is floored TOWARD ZERO on the |numerator| with the sign reattached,
+    * because Spark's `div` truncates while DuckDB's `//` floors — signed
+    * floored division is exactly the cross-engine trap, so neither
+    * engine's native signed div is used.
+    *
+    * Shape: edges canonicalized+distinct once, two broadcast-or-shuffle
+    * joins onto the (node → community) map, one edge-level groupBy for
+    * e_c, one node-level groupBy for deg_c, and a one-row broadcast m —
+    * all combiner-friendly; output is |communities| rows. Edges whose
+    * endpoint is missing from the community map are dropped by the inner
+    * join (document upstream; a loud variant would left-join and land
+    * them in a '(unmapped)' community). */
+  def modularityPpm(edges: DataFrame, srcCol: String, dstCol: String,
+      communities: DataFrame, nodeCol: String, commCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cm = communities.select(col(nodeCol).as("_n"), col(commCol).as("_c"))
+    // localCheckpoint: e_intra, deg_sum and m all fold this same edge
+    // table — without the barrier the (possibly self-join-derived)
+    // upstream runs three times (measured 6.5 → 5.2 s on q397's 1M-pair
+    // co-purchase projection at sf0.1; the remainder is the projection
+    // self-join itself, paid once)
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .join(cm.select(col("_n").as("a"), col("_c").as("ca")), Seq("a"))
+      .join(cm.select(col("_n").as("b"), col("_c").as("cb")), Seq("b"))
+      .localCheckpoint()
+    val eIntra = und.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_intra"))
+    val degC = und.select(col("ca").as("community"))
+      .unionByName(und.select(col("cb").as("community")))
+      .groupBy(col("community")).agg(count(lit(1)).as("deg_sum"))
+    val m = und.agg(count(lit(1)).as("m_edges"))
+    degC.join(eIntra, Seq("community"), "left")
+      .select(col("community"),
+        coalesce(col("e_intra"), lit(0L)).as("e_intra"), col("deg_sum"))
+      .crossJoin(broadcast(m))
+      .withColumn("_num", expr(
+        s"CAST(4 AS $d38) * m_edges * e_intra - CAST(deg_sum AS $d38) * deg_sum"))
+      .withColumn("contrib_ppm", expr(s"""CAST(CASE WHEN _num >= 0
+          THEN (_num * 1000000) div (CAST(4 AS $d38) * m_edges * m_edges)
+          ELSE -((-_num * 1000000) div (CAST(4 AS $d38) * m_edges * m_edges))
+          END AS BIGINT)"""))
+      .select(col("community"), col("e_intra"), col("deg_sum"),
+        col("m_edges"), col("contrib_ppm"))
+  }
+
   /** Item-item collaborative-filtering neighborhoods on top of the
     * [[bipartiteProjection]] candidate plan: co-occurrence counts
     * normalized to the SQUARED cosine (cos² = n_co²/(n_a·n_b), exact in

@@ -1374,6 +1374,50 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"))
   }
 
+  /** Rank-biased overlap (Webber et al. 2010, truncated at depth k) between
+    * two rankings of the same query set — the rank-AWARE serving audit next
+    * to the set-level recall audits (q315/q327): recall@k treats a hit at
+    * rank 1 and rank 10 the same; RBO top-weights agreement, which is what
+    * a serving cutover actually changes for users.
+    *
+    * Inputs are two (query_id, rank, nn_id) rankings (the exact shape
+    * [[bruteForceTopK]] / [[lshBucketTopK]] / [[ivfTopK]] emit). For each
+    * query, RBO@k = (1−p)·Σ_{d=1..k} p^(d−1)·|A_{1:d} ∩ B_{1:d}|/d with
+    * p = 9/10, quantized exactly: weight w_d = 9^(d−1)·10^(12−d) is an
+    * integer for every d ≤ 12 (hence the k ≤ 12 bound), and each depth
+    * term is the floored `w_d·X_d div d` — engine-deterministic, no
+    * floats, perfect agreement tops out just below 10^12 (1−p^k mass).
+    *
+    * Shape: one equi-join of the two rankings on (query, neighbor) —
+    * ≤ k rows per query each side — then a bounded ≤ k-row explode
+    * (each agreeing pair contributes to depths ≥ its max rank) and two
+    * combiner groupBys; the left join back to the query spine restores
+    * zero-overlap queries as rbo 0, not absent rows. */
+  def rankBiasedOverlap(rankA: DataFrame, rankB: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 12,
+      "k must be in [1,12]: 9^(d-1)*10^(12-d) weights are integral there")
+    val wd = map((1 to k).flatMap(d => Seq(lit(d),
+      lit((BigInt(9).pow(d - 1) * BigInt(10).pow(12 - d)).toLong))): _*)
+    def side(r: DataFrame, as: String) = r
+      .select(col("query_id"), col("nn_id"), col("rank").cast("int").as(as))
+      .filter(col(as) <= k)
+    val agree = side(rankA, "_ra").join(side(rankB, "_rb"),
+        Seq("query_id", "nn_id"))
+      .select(col("query_id"), greatest(col("_ra"), col("_rb")).as("_m"))
+    val perQuery = agree
+      .select(col("query_id"), explode(sequence(col("_m"), lit(k))).as("d"))
+      .groupBy(col("query_id"), col("d")).agg(count(lit(1)).as("_x"))
+      .withColumn("_w", element_at(wd, col("d")))
+      .groupBy(col("query_id"))
+      .agg(sum(expr("_w * _x div d")).as("rbo_p12"),
+        max(when(col("d") === k, col("_x"))).as("_ok"))
+    rankA.select(col("query_id")).distinct()
+      .join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("_ok"), lit(0L)).as("overlap_at_k"),
+        coalesce(col("rbo_p12"), lit(0L)).as("rbo_p12"))
+  }
+
   /** True double-precision cosine (unit-norm corpus ⇒ plain dot), for
     * in-engine use where cross-engine bit-stability doesn't matter. */
   def cosine(a: Column, b: Column): Column = {

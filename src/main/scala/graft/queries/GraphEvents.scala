@@ -875,6 +875,26 @@ object GraphEvents {
       .orderBy($"brand_a", $"brand_b")
   }
 
+  // ------------------------------------------- q397 modularity
+
+  /** Newman modularity ([[Graph.modularityPpm]]) of the BRAND partition
+    * on the part co-purchase graph (parts sharing an order, degree cap
+    * 10): does purchasing cluster by brand more than a degree-preserving
+    * random graph predicts? Per-brand e_intra / degree mass / signed
+    * floored-ppm contribution — the partition-quality score any upstream
+    * clustering (label prop, components, or a plain attribute) can be
+    * held against. */
+  def q397Modularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Graph.bipartiteProjection(
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey".as("u"), $"l_partkey".as("p")),
+      "u", "p", maxDegree = 10)
+    val comm = Tables.part(spark, dir).select($"p_partkey", $"p_brand")
+    Graph.modularityPpm(edges, "r_a", "r_b", comm, "p_partkey", "p_brand")
+      .orderBy($"community")
+  }
+
   // --------------------------------------- q288 item-CF neighbors
 
   /** Top-5 cosine²-normalized co-purchase neighbors per brand
@@ -1130,6 +1150,7 @@ object GraphEvents {
     "q270_temporal_reach" -> q270TemporalReach _,
     "q240_converged_paths" -> q240ConvergedPaths _,
     "q223_brand_copurchase" -> q223BrandCopurchase _,
+    "q397_modularity" -> q397Modularity _,
     "q224_path_trigrams" -> q224PathTrigrams _,
     "q213_active_streaks" -> q213ActiveStreaks _,
     "q214_rolling_overlap" -> q214RollingOverlap _,
@@ -1632,6 +1653,39 @@ object GraphEvents {
       |        ORDER BY cos2_ppm DESC, n_co DESC, nbr) AS rk
       |      FROM sc)
       |WHERE rk <= 5 ORDER BY item, rk""".stripMargin,
+    "q397_modularity" -> """
+      |WITH e0 AS (SELECT DISTINCT l_orderkey AS l, l_partkey AS r
+      |            FROM lineitem),
+      |kept AS MATERIALIZED (
+      |  SELECT l, r FROM e0 WHERE l IN (
+      |    SELECT l FROM e0 GROUP BY l HAVING count(*) <= 10)),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT a.r AS a, b.r AS b
+      |  FROM kept a JOIN kept b ON a.l = b.l AND a.r < b.r),
+      |cm AS (SELECT p_partkey AS n, p_brand AS c FROM part),
+      |ue AS MATERIALIZED (
+      |  SELECT ca.c AS ca, cb.c AS cb
+      |  FROM und JOIN cm ca ON ca.n = und.a JOIN cm cb ON cb.n = und.b),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM ue),
+      |ei AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS e_intra
+      |       FROM ue WHERE ca = cb GROUP BY 1),
+      |dg AS (SELECT community, CAST(count(*) AS BIGINT) AS deg_sum FROM
+      |       (SELECT ca AS community FROM ue UNION ALL SELECT cb FROM ue)
+      |       GROUP BY 1)
+      |SELECT dg.community,
+      |  CAST(coalesce(ei.e_intra, 0) AS BIGINT) AS e_intra,
+      |  dg.deg_sum, m.m_edges,
+      |  CAST(CASE WHEN 4 * CAST(m_edges AS HUGEINT) * coalesce(e_intra, 0)
+      |      - CAST(deg_sum AS HUGEINT) * deg_sum >= 0
+      |    THEN ((4 * CAST(m_edges AS HUGEINT) * coalesce(e_intra, 0)
+      |      - CAST(deg_sum AS HUGEINT) * deg_sum) * 1000000)
+      |      // (4 * CAST(m_edges AS HUGEINT) * m_edges)
+      |    ELSE -((-(4 * CAST(m_edges AS HUGEINT) * coalesce(e_intra, 0)
+      |      - CAST(deg_sum AS HUGEINT) * deg_sum) * 1000000)
+      |      // (4 * CAST(m_edges AS HUGEINT) * m_edges))
+      |    END AS BIGINT) AS contrib_ppm
+      |FROM dg LEFT JOIN ei USING (community), m
+      |ORDER BY community""".stripMargin,
     "q223_brand_copurchase" -> """
       |WITH ub AS (
       |  SELECT DISTINCT o_custkey AS u, p_brand AS b

@@ -1006,6 +1006,8 @@ object TrainingData {
     "q387_luhn_pii" -> q387LuhnPii _,
     "q392_knn_hubness" -> q392KnnHubness _,
     "q394_rouge2" -> q394Rouge2 _,
+    "q395_rbo" -> q395Rbo _,
+    "q396_priority_sample" -> q396PrioritySample _,
     "q388_audio_clip" -> q388AudioClip _,
     "q389_resize_decode" -> q389ResizeDecode _,
     "q293_split_balance" -> q293SplitBalance _,
@@ -1250,6 +1252,35 @@ object TrainingData {
     * pathology screen run before any neighbor-based signal (mutual-NN,
     * SemDeDup, retrieval eval) is trusted. in_degree = 0 counts the
     * antihubs unreachable under the bucketed serving path. */
+  /** Rank-biased overlap ([[Similarity.rankBiasedOverlap]], p = 0.9,
+    * k = 10) between the exact brute-force ranking and the sign-LSH
+    * serving ranking for the SAME queries as q315 — the rank-aware
+    * cutover audit next to q315's set-level recall (a miss at rank 1
+    * costs more rbo mass than one at rank 10). */
+  def q395Rbo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" % 400 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k = 10)
+    val approx = Similarity.lshBucketTopK(emb, queries, "vec_id",
+      "embedding", k = 10, bits = 8)
+    Similarity.rankBiasedOverlap(exact, approx, k = 10)
+      .orderBy($"query_id")
+  }
+
+  /** Priority sample ([[graft.etl.Corpus.prioritySample]], k = 200) of
+    * parts weighted by retail-price cents — the weighted
+    * without-replacement sample whose `est_w` column keeps
+    * weight-totals unbiased for any downstream slice. */
+  def q396PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir).select($"p_partkey",
+      expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("w_cents"))
+    graft.etl.Corpus.prioritySample(parts, "p_partkey", "w_cents", k = 200)
+      .orderBy($"id")
+  }
+
   def q392KnnHubness(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Similarity.knnHubness(Tables.embeddings(spark, dir), "vec_id",
@@ -3163,6 +3194,65 @@ object TrainingData {
       |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(n2a*n2b AS DOUBLE)) >= 0.3
       |ORDER BY id_a, id_b""".stripMargin,
     "q369_sign_projection" -> signProjOracleSql(64, 16),
+    "q395_rbo" -> s"""
+      |WITH $qembSql,
+      |ex AS MATERIALIZED (
+      |  SELECT query_id, nn_id, rank FROM (
+      |    SELECT qe.vec_id AS query_id, ce.vec_id AS nn_id,
+      |      row_number() OVER (PARTITION BY qe.vec_id
+      |        ORDER BY CAST(list_dot_product(qe.q, ce.q) AS BIGINT) DESC,
+      |          ce.vec_id) AS rank
+      |    FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id
+      |    WHERE qe.vec_id % 400 = 0)
+      |  WHERE rank <= 10),
+      |ap AS MATERIALIZED (
+      |  SELECT query_id, nn_id, rank FROM (
+      |    SELECT qe.vec_id AS query_id, ce.vec_id AS nn_id,
+      |      row_number() OVER (PARTITION BY qe.vec_id
+      |        ORDER BY CAST(list_dot_product(qe.q, ce.q) AS BIGINT) DESC,
+      |          ce.vec_id) AS rank
+      |    FROM e qe JOIN e ce ON ce.bucket = qe.bucket
+      |      AND ce.vec_id <> qe.vec_id
+      |    WHERE qe.vec_id % 400 = 0)
+      |  WHERE rank <= 10),
+      |ag AS (
+      |  SELECT ex.query_id, greatest(ex.rank, ap.rank) AS m
+      |  FROM ex JOIN ap
+      |    ON ap.query_id = ex.query_id AND ap.nn_id = ex.nn_id),
+      |xd AS (
+      |  SELECT query_id, gs.d, CAST(count(*) AS BIGINT) AS x
+      |  FROM ag, LATERAL (SELECT unnest(generate_series(m, 10)) AS d) gs
+      |  GROUP BY 1, 2),
+      |t AS (
+      |  SELECT query_id,
+      |    CAST(sum((CASE d
+      |      WHEN 1 THEN 100000000000 WHEN 2 THEN 90000000000
+      |      WHEN 3 THEN 81000000000 WHEN 4 THEN 72900000000
+      |      WHEN 5 THEN 65610000000 WHEN 6 THEN 59049000000
+      |      WHEN 7 THEN 53144100000 WHEN 8 THEN 47829690000
+      |      WHEN 9 THEN 43046721000 ELSE 38742048900 END) * x // d)
+      |      AS BIGINT) AS rbo,
+      |    max(CASE WHEN d = 10 THEN x END) AS ok
+      |  FROM xd GROUP BY 1),
+      |q AS (SELECT DISTINCT query_id FROM ex)
+      |SELECT q.query_id,
+      |  CAST(coalesce(ok, 0) AS BIGINT) AS overlap_at_k,
+      |  CAST(coalesce(rbo, 0) AS BIGINT) AS rbo_p12
+      |FROM q LEFT JOIN t USING (query_id) ORDER BY query_id""".stripMargin,
+    "q396_priority_sample" -> """
+      |WITH b AS (SELECT p_partkey AS id,
+      |    CAST(round(p_retailprice * 100) AS BIGINT) AS w FROM part),
+      |p AS (SELECT id, w,
+      |    ('0x' || substring(sha256(CAST(id AS VARCHAR)), 1, 7))::BIGINT + 1
+      |      AS h FROM b),
+      |pr AS (SELECT id, w, CAST(w * 268435456 // h AS BIGINT) AS priority
+      |       FROM p),
+      |r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, id) AS rn
+      |      FROM pr),
+      |tau AS (SELECT max(CASE WHEN rn = 201 THEN priority END) AS t FROM r)
+      |SELECT id, w, priority,
+      |  CAST(greatest(w, coalesce(t, 0)) AS BIGINT) AS est_w
+      |FROM r, tau WHERE rn <= 200 ORDER BY id""".stripMargin,
     "q392_knn_hubness" -> s"""
       |WITH $qembSql,
       |p AS (

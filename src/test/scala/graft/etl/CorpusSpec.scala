@@ -443,6 +443,39 @@ class CorpusSpec extends SparkSpec {
       out.getAs[Long]("pad_waste") == 3L)
   }
 
+  test("prioritySample: top-k by exact priority, tau estimator, census case") {
+    val sq = spark
+    import sq.implicits._
+    // priorities are deterministic (28-bit sha prefix); recompute them
+    // with the same projection and check the operator's top-k/tau/est_w
+    // logic against a collected reference ordering
+    val rows = (1L to 20L).map(i => (i, i * 100L)).toDF("id", "w")
+    val ref = rows.select($"id", $"w",
+        expr("""w * 268435456 div (CAST(conv(substring(
+          sha2(CAST(id AS STRING), 256), 1, 7), 16, 10) AS BIGINT) + 1)""")
+          .as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, _, p) => (-p, id) }
+    val tau = ref(5)._3
+    val expect = ref.take(5)
+      .map { case (id, w, p) => (id, w, p, math.max(w, tau)) }.toSet
+    val got = Corpus.prioritySample(rows, "id", "w", k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    // census: fewer rows than k -> everything kept, est_w = w exactly
+    val small = Seq((1L, 7L), (2L, 9L)).toDF("id", "w")
+    val census = Corpus.prioritySample(small, "id", "w", k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(census.map(r => (r._1, r._2, r._4)) ==
+      Set((1L, 7L, 7L), (2L, 9L, 9L)))
+    // non-positive weight raises rather than silently dropping
+    val bad = Seq((1L, 0L)).toDF("id", "w")
+    val ex = intercept[Exception] {
+      Corpus.prioritySample(bad, "id", "w", k = 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("rougeN: clipped bigram counts, exact bp ratios, 0-gram NULLs") {
     val sq = spark
     import sq.implicits._

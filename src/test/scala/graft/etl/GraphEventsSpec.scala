@@ -282,6 +282,25 @@ class GraphEventsSpec extends SparkSpec {
     assert(got == Seq((6L, 0L, None)))
   }
 
+  // --------------------------------------------------- modularity
+
+  test("modularityPpm: hand graph with positive, larger, and negative contributions") {
+    // m=7: A={1,2,3} triangle + B={4,5} edge + bridges 3-4, 5-1, 1-8.
+    // degrees 1:4 2:2 3:3 4:2 5:2 8:1; den = 4m² = 196.
+    // A: (28·3−81)·1e6/196 = 15306.12 → 15306
+    // B: (28·1−16)·1e6/196 = 61224.49 → 61224
+    // C={8}: (0−1)·1e6/196 → −5102 (trunc toward zero, NOT floor −5103 —
+    // the signed-div cross-engine trap this operator routes around)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (3L, 4L),
+      (5L, 1L), (1L, 8L)).toDF("src", "dst")
+    val cm = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"),
+      (8L, "C")).toDF("node", "comm")
+    val got = Graph.modularityPpm(e, "src", "dst", cm, "node", "comm")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(("A", 3L, 9L, 7L, 15306L), ("B", 1L, 4L, 7L, 61224L),
+      ("C", 0L, 1L, 7L, -5102L)))
+  }
+
   // --------------------------------------------------- activity streaks
 
   test("activeStreaks: islands fold to longest run, multi-event days dedup") {

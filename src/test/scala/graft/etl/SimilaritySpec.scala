@@ -790,6 +790,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set((1L, 1L, 2L, 1L), (2L, 1L, 1L, 0L), (2L, 2L, 1L, 1L)))
   }
 
+  test("rankBiasedOverlap: hand-computed depths, swap discount, zero-overlap spine") {
+    val sq = spark
+    import sq.implicits._
+    // k=3 weights: w1=1e11, w2=9e10, w3=8.1e10.
+    // q1 identical lists -> X_d = d, rbo = 271e9 (the k=3 ceiling).
+    // q2 top-2 swapped  -> X=(0,2,3), rbo = 9e10 + 8.1e10 = 171e9.
+    // q3 disjoint       -> restored by the spine as (0, 0).
+    val a = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 20L), (2L, 2, 21L), (2L, 3, 22L),
+      (3L, 1, 30L), (3L, 2, 31L), (3L, 3, 32L))
+      .toDF("query_id", "rank", "nn_id")
+    val b = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 21L), (2L, 2, 20L), (2L, 3, 22L),
+      (3L, 1, 40L), (3L, 2, 41L), (3L, 3, 42L))
+      .toDF("query_id", "rank", "nn_id")
+    val got = Similarity.rankBiasedOverlap(a, b, k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 271000000000L), (2L, 3L, 171000000000L),
+      (3L, 0L, 0L)))
+  }
+
   test("knnHubness: in-degree histogram with antihub and singleton-bucket rows") {
     val sq = spark
     import sq.implicits._
