@@ -244,6 +244,70 @@ object Multimodal {
     })
   }
 
+  /** Per-row zero-crossing / periodicity stats from REAL PCM decode —
+    * the cheap time-domain screen an audio corpus runs to separate
+    * voiced/tonal content (low crossing rate) from noise or silence-gated
+    * garbage (very high or near-zero rate) before any expensive feature
+    * extraction. All fields are exact integers over the decoded samples:
+    * `n_sign_changes` counts i ≥ 1 with (s_i ≥ 0) ≠ (s_{i−1} ≥ 0) — the
+    * non-negative/negative convention is the pinned contract, so a
+    * zero-valued sample sits on the non-negative side; `zcr_ppm` is the
+    * floored rate per million sample transitions; `longest_run` is the
+    * longest same-sign run (a direct half-period estimate for periodic
+    * content); `energy_sum` is Σ s² (Long: 16-bit samples bound each term
+    * by 2³⁰, safe past 10⁹ frames). Undecodable / non-PCM16 rows report
+    * NULLs loudly, mirroring [[audioClipStats]]. */
+  final case class AudioZcrStats(
+      media_id: Long,
+      n_frames: Option[Long],
+      n_sign_changes: Option[Long],
+      zcr_ppm: Option[Long],
+      longest_run: Option[Long],
+      energy_sum: Option[Long])
+
+  /** Scan-only `mapPartitions` decode (same batch seam as [[AudioCodec]]);
+    * channel 0 of each frame, little/big-endian per the container. */
+  def audioZcr(media: Dataset[MediaRecord]): Dataset[AudioZcrStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val st =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: Exception => null }
+      val fmt = if (st == null) null else st.getFormat
+      if (fmt == null || fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+        AudioZcrStats(r.media_id, None, None, None, None, None)
+      } else {
+        val bytes = st.readAllBytes()
+        val ch = fmt.getChannels
+        val be = fmt.isBigEndian
+        val nFrames = bytes.length / (2 * ch)
+        var changes = 0L; var run = 0L; var longest = 0L; var energy = 0L
+        var prevNonNeg = false
+        var i = 0
+        while (i < nFrames) {
+          val off = i * 2 * ch
+          val s =
+            (if (be) (bytes(off) << 8) | (bytes(off + 1) & 0xff)
+             else (bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+          val nonNeg = s >= 0
+          if (i == 0 || nonNeg == prevNonNeg) run += 1
+          else { if (run > longest) longest = run; changes += 1; run = 1 }
+          prevNonNeg = nonNeg
+          energy += s.toLong * s.toLong
+          i += 1
+        }
+        if (run > longest) longest = run
+        val zcr =
+          if (nFrames > 1) changes * 1000000L / (nFrames - 1) else 0L
+        AudioZcrStats(r.media_id, Some(nFrames.toLong), Some(changes),
+          Some(zcr), Some(longest), Some(energy))
+      }
+    })
+  }
+
   /** Stats of a REAL pixel resize: decode, resample to exactly
     * (targetW × targetH) with PINNED nearest-neighbor semantics —
     * src(x,y) = (⌊j·w/tw⌋, ⌊i·h/th⌋) — and fold the resized lumas into

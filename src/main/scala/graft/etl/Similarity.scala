@@ -869,6 +869,89 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), col("dot"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query row,
+    * the top-k most-similar corpus rows with a DIFFERENT label — the
+    * near-misses a contrastive or retrieval model learns the most from
+    * (same-label rows are positives, low-similarity rows are easy).
+    * Same plan family as [[bruteForceTopK]]: the query set broadcasts
+    * (queries ≪ corpus — a mining batch, not the corpus itself), the
+    * label inequality rides the broadcast nested-loop join's condition,
+    * and each query reduces to k rows. Exact over quantized vectors with
+    * a deterministic (dot desc, id asc) tiebreak. At 100 TB the corpus
+    * side streams partition-parallel; nothing but the k·|queries| result
+    * ever concentrates. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neg_id"),
+      quantize(col(vecCol)).as("qv"), col(labelCol).as("_cl"))
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qq"), col(labelCol).as("_ql"))
+    val scored = c.join(broadcast(q), col("_cl") =!= col("_ql"))
+      .withColumn("dot", qdot(col("qq"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neg_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neg_id"), col("dot"))
+  }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998): greedily pick k items maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d,s)` — the serving-side
+    * answer to "the top-k are all near-duplicates of each other" that the
+    * dedup family measures offline. λ is an integer percent so every
+    * score is exact: `score = lambdaPct·rel − (100−lambdaPct)·maxSim`
+    * over quantized dot products, ties to the smaller id. The first pick
+    * has no selected set: score = lambdaPct·rel, max_sim NULL.
+    *
+    * Plan: relevance against the query vector is a scan-wide codegen dot
+    * ([[qdot]]); the candidate pool is the global top-`poolSize` by
+    * relevance via TakeOrderedAndProject (per-partition top-k + driver
+    * merge — never a full sort); the greedy reranking then runs
+    * driver-side over the ≤64-row pool (the bounded-collect convention,
+    * same as the IVF centroid pull) — O(k·poolSize) dots on ≤64 rows is
+    * noise next to the scan, and no distributed k-round loop can beat a
+    * 64-row local argmax. The query vector is the corpus row with the
+    * smallest id (excluded from the pool). */
+  def mmrTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int = 6,
+      poolSize: Int = 16, lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1 && k <= poolSize && poolSize <= 64,
+      s"need 1 <= k <= poolSize <= 64, got k=$k pool=$poolSize")
+    require(lambdaPct >= 0 && lambdaPct <= 100, s"lambdaPct: $lambdaPct")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("qv"))
+    val first = q.orderBy(col("id")).limit(1).collect().head
+    val qid = first.getLong(0)
+    val qvec = first.getSeq[Long](1).toSeq
+    val pool = q.filter(col("id") =!= qid)
+      .withColumn("rel", qdot(col("qv"), typedLit(qvec)))
+      .orderBy(col("rel").desc, col("id").asc).limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2)))
+    // (id, qv, rel), pool already (rel desc, id asc)-ordered
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Option[Long], Long)]
+    for (r <- 1 to math.min(k, pool.length)) {
+      val cands = pool.filter(p => !sel.exists(_._1 == p._1))
+      val scored = cands.map { case (id, v, rel) =>
+        val maxSim =
+          if (sel.isEmpty) None else Some(sel.map(s => dot(v, s._2)).max)
+        val score = lambdaPct * rel -
+          (100L - lambdaPct) * maxSim.getOrElse(0L)
+        (id, v, rel, maxSim, score)
+      }
+      val best = scored.minBy(c => (-c._5, c._1))
+      sel += ((best._1, best._2))
+      out += ((r.toLong, best._1, best._3, best._4, best._5))
+    }
+    out.toSeq.toDF("rank", "vec_id", "rel", "max_sim", "score")
+  }
+
   /** Sign-LSH bucket id: the sign bits of the first `bits` dims, folded
     * as acc*2 + bit. */
   def signBucket(vec: Column, bits: Int): Column =

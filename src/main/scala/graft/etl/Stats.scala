@@ -859,6 +859,136 @@ object Stats {
           expr("CAST(_num * 10000 div _c AS BIGINT)")).as("t2_bp"))
   }
 
+  /** Brown–Forsythe variance-homogeneity test per series, integer-exact
+    * up to a documented quantization.
+    *
+    * Per series, across its groups: zᵢⱼ = |xᵢⱼ − med(group j)| with the
+    * LOWER median (exact integer, engine-deterministic), then the
+    * one-way-ANOVA F on z via
+    *
+    *   ssb_q = Σⱼ ⌊Sⱼ²/nⱼ⌋ − ⌊S²/N⌋  (clamped at 0),
+    *   ssw_q = Σⱼ Qⱼ − Σⱼ ⌊Sⱼ²/nⱼ⌋,
+    *   f_milli = ⌊1000·(N−k)·ssb_q / ((k−1)·ssw_q)⌋ ,
+    *
+    * with Sⱼ = Σz, Qⱼ = Σz² per group, all products decimal(38,0). The
+    * per-group floors quantize SSB/SSW by < k absolute — harmless at test
+    * scale and the price of a bit-exact cross-engine statistic (no float
+    * means ever form). The clamp keeps every division's operands
+    * non-negative, so Spark's trunc-toward-zero `div` and the oracle's
+    * floor agree (q397's negative-division pitfall, routed around the
+    * same way). k = 1 series drop (no between-group variance exists);
+    * ssw_q = 0 (every group constant) yields NULL f_milli loudly.
+    *
+    * Why this test: the variance-equality gate run before trusting a
+    * pooled-variance readout (q308/q311/q377 feed on the same arms) —
+    * median-centered, so heavy tails don't fake a variance difference
+    * the way Levene-on-means would. Plan: one window pass for medians
+    * (key-partitioned, same key as the join that follows), two
+    * combiner-friendly aggregations — two key shuffles total. */
+  def brownForsythe(df: DataFrame, seriesCol: String, groupCol: String,
+      valueCol: Column): DataFrame = {
+    val d = df.select(col(seriesCol).as("_s"), col(groupCol).as("_g"),
+      valueCol.cast("long").as("_v"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(col("_s"), col("_g")).orderBy(col("_v"))
+    val wn = Window.partitionBy(col("_s"), col("_g"))
+    val med = d.withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wn))
+      .filter(col("_rn") === expr("(_n + 1) div 2"))
+      .select(col("_s"), col("_g"), col("_v").as("_med"))
+    val z = d.join(med, Seq("_s", "_g"))
+      .withColumn("_z", abs(col("_v") - col("_med")))
+    val g = z.groupBy(col("_s"), col("_g"))
+      .agg(count(lit(1)).as("nj"), sum(col("_z")).as("sj"),
+        sum(dec(col("_z")) * dec(col("_z"))).as("qj"))
+      .withColumn("_t", expr(
+        "CAST(CAST(sj AS DECIMAL(38,0)) * sj div nj AS DECIMAL(38,0))"))
+    g.groupBy(col("_s"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("nj")).as("n_total"),
+        sum(col("sj")).as("_s_all"), sum(col("_t")).as("_t_all"),
+        sum(col("qj")).as("_q_all"))
+      .filter(col("n_groups") >= 2)
+      .withColumn("_ssb", greatest(col("_t_all") -
+        expr("CAST(_s_all AS DECIMAL(38,0)) * _s_all div n_total"),
+        lit(0).cast("decimal(38,0)")))
+      .withColumn("_ssw", col("_q_all") - col("_t_all"))
+      .select(col("_s").as(seriesCol), col("n_groups"), col("n_total"),
+        col("_ssb").cast("long").as("ssb_q"),
+        col("_ssw").cast("long").as("ssw_q"),
+        when(col("_ssw") > 0, expr(
+          """CAST(_ssb * 1000 * (n_total - n_groups)
+             div ((n_groups - 1) * _ssw) AS BIGINT)""")).as("f_milli"))
+  }
+
+  /** Exact binomial sign test per (family, key) cell — a REAL p-value
+    * with zero distributional approximation, computable bit-exactly in
+    * both engines: among the cell's trials, ties with the reference are
+    * discarded (the standard sign-test convention), m = kept trials,
+    * x = trials strictly above the reference, and the one-sided upper
+    * tail under H₀: P(X ≥ x | Bin(m, ½)) is the exact rational
+    *
+    *   p_ppm = ⌊10⁶ · Σ_{j=x}^{m} C(m,j) / 2^m⌋ ,
+    *
+    * every term an exact Long (factorials stay integral through m = 20 —
+    * the `maxN` guard raises loudly past that rather than silently
+    * overflow). m = 0 (all ties) gives p_ppm = 10⁶: no evidence, never a
+    * fake rejection. The caller caps trials per cell upstream (earliest-k
+    * by a deterministic order — see q402); small-m exactness is the
+    * point: this is the test that stays honest exactly where the normal
+    * approximation lies. One combiner-friendly groupBy. */
+  def signTestPpm(df: DataFrame, familyCol: String, keyCol: String,
+      valueCol: Column, refCol: Column, maxN: Int = 20): DataFrame = {
+    require(maxN >= 1 && maxN <= 20, s"maxN must be in [1,20]: $maxN")
+    val d = df.select(col(familyCol).as("family"), col(keyCol).as("key"),
+      valueCol.cast("long").as("_v"), refCol.cast("long").as("_ref"))
+    d.groupBy(col("family"), col("key"))
+      .agg(count(when(col("_v") =!= col("_ref"), 1)).as("_m"),
+        count(when(col("_v") > col("_ref"), 1)).as("x"))
+      .withColumn("m", when(col("_m") > maxN, expr(
+          s"CAST(raise_error('signTestPpm: cell exceeds maxN=$maxN trials') AS BIGINT)"))
+        .otherwise(col("_m")))
+      .withColumn("p_ppm",
+        expr("""CAST(aggregate(sequence(x, m), 0L, (acc, j) ->
+                 acc + factorial(CAST(m AS INT))
+                   div (factorial(CAST(j AS INT))
+                        * factorial(CAST(m - j AS INT))))
+               * 1000000L div shiftleft(1L, CAST(m AS INT)) AS BIGINT)"""))
+      .select(col("family"), col("key"), col("m"), col("x"), col("p_ppm"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR control over ppm-quantized p-values,
+    * per family: rank hypotheses by (p asc, key asc), find the largest
+    * rank i with pᵢ·m_tests ≤ i·α (all-integer cross-multiply — no
+    * division ever happens), and reject every rank ≤ that cutoff —
+    * including hypotheses whose own p missed the line (the step-up
+    * property naive per-row thresholding gets wrong). The multiple-
+    * comparisons gate run over a metrics panel before any single
+    * "significant" cell is believed; controls FDR at α under
+    * independence / PRDS.
+    *
+    * Plan: two window passes per family (rank, then the family-wide
+    * cutoff max) — the family is the hypothesis panel, thousands of rows
+    * at most by construction; data-scale work happened upstream in
+    * whatever produced the p-values. */
+  def bhFdr(df: DataFrame, familyCol: String, keyCol: String,
+      pCol: Column, alphaPpm: Long = 100000L): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm <= 1000000L, s"alphaPpm: $alphaPpm")
+    val d = df.select(col(familyCol).as("family"), col(keyCol).as("key"),
+      pCol.cast("long").as("p_ppm"))
+    val wr = Window.partitionBy(col("family"))
+      .orderBy(col("p_ppm").asc, col("key").asc)
+    val wf = Window.partitionBy(col("family"))
+    d.withColumn("rank", row_number().over(wr).cast("long"))
+      .withColumn("m_tests", count(lit(1)).over(wf))
+      .withColumn("_ok",
+        when(col("p_ppm") * col("m_tests") <= col("rank") * alphaPpm,
+          col("rank")))
+      .withColumn("_cut", max(col("_ok")).over(wf))
+      .select(col("family"), col("key"), col("p_ppm"), col("rank"),
+        col("m_tests"),
+        (col("rank") <= coalesce(col("_cut"), lit(0L))).as("rejected"))
+  }
+
   /** Copeland aggregation of pairwise preferences — the tournament-style
     * ranking pass a preference-data pipeline (RLHF comparisons, A/B
     * product face-offs) runs before trusting any scalar score: for every

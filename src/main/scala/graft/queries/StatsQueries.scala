@@ -834,7 +834,62 @@ object StatsQueries {
     Stats.bradleyTerry(prefs, "w", "l", iters = 2).orderBy($"item")
   }
 
+  // ------------------------------------------- q401 Brown-Forsythe
+
+  /** Brown–Forsythe variance-homogeneity gate
+    * ([[Stats.brownForsythe]]): are the four user-arm cent
+    * distributions equally dispersed within each event type? The
+    * median-centered variance check that must pass before the
+    * pooled-variance readouts (q308/q311/q377) on the same arms are
+    * trusted. */
+  def q401BrownForsythe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"value".isNotNull && $"user_id".isNotNull && $"user_id" >= 0)
+      .select($"event_type", ($"user_id" % 4).as("arm"), cents.as("v"))
+    Stats.brownForsythe(e, "event_type", "arm", $"v")
+      .orderBy($"event_type")
+  }
+
+  // ------------------------------------------- q402 sign test + BH
+
+  /** Exact sign test per (event_type, weekday) × Benjamini–Hochberg
+    * step-up ([[Stats.signTestPpm]] → [[Stats.bhFdr]]): each weekday's
+    * 12 earliest amounts test against the type's overall lower median
+    * with an EXACT binomial tail (no normal approximation at n=12 —
+    * exactly where the approximation lies), then the 7-weekday panel
+    * per type passes FDR control at α=10% before any single
+    * "significant weekday" is believed. */
+  def q402SignBh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type", $"event_id", $"ts", cents.as("v"))
+    val wv = Window.partitionBy($"event_type").orderBy($"v")
+    val wn = Window.partitionBy($"event_type")
+    val med = e.withColumn("_rn", row_number().over(wv))
+      .withColumn("_n", count(lit(1)).over(wn))
+      .filter($"_rn" === expr("(_n + 1) div 2"))
+      .select($"event_type", $"v".as("med"))
+    val wt = Window.partitionBy($"event_type", $"d")
+      .orderBy($"ts", $"event_id")
+    val trials = e
+      .withColumn("d",
+        expr("CAST(datediff(to_date(ts), DATE'1970-01-01') AS LONG) % 7"))
+      .withColumn("_rn", row_number().over(wt)).filter($"_rn" <= 12)
+      .join(broadcast(med), "event_type")
+    val p = Stats.signTestPpm(trials, "event_type", "d", $"v", $"med",
+      maxN = 12)
+    Stats.bhFdr(p, "family", "key", $"p_ppm", alphaPpm = 100000L)
+      .select($"family".as("event_type"), $"key".as("dow"), $"p_ppm",
+        $"rank", $"m_tests", $"rejected")
+      .orderBy($"event_type", $"dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q401_brown_forsythe" -> q401BrownForsythe _,
+    "q402_sign_bh" -> q402SignBh _,
     "q383_copeland" -> q383Copeland _,
     "q393_bradley_terry" -> q393BradleyTerry _,
     "q377_welch_t" -> q377WelchT _,
@@ -878,6 +933,87 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q401_brown_forsythe" -> """
+      |WITH d AS (
+      |  SELECT event_type AS s, user_id % 4 AS g,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE value IS NOT NULL AND user_id IS NOT NULL AND user_id >= 0),
+      |r AS (
+      |  SELECT s, g, v,
+      |    row_number() OVER (PARTITION BY s, g ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY s, g) AS n
+      |  FROM d),
+      |med AS (SELECT s, g, v AS m FROM r WHERE rn = (n + 1) // 2),
+      |z AS (
+      |  SELECT d.s, d.g, abs(d.v - med.m) AS z
+      |  FROM d JOIN med ON d.s = med.s AND d.g = med.g),
+      |gs AS (
+      |  SELECT s, g, count(*) AS nj, sum(z) AS sj,
+      |    sum(CAST(z AS HUGEINT) * z) AS qj,
+      |    CAST(sum(z) AS HUGEINT) * sum(z) // count(*) AS t
+      |  FROM z GROUP BY 1, 2),
+      |a AS (
+      |  SELECT s, count(*) AS k, sum(nj) AS n_total, sum(sj) AS s_all,
+      |    sum(t) AS t_all, sum(qj) AS q_all
+      |  FROM gs GROUP BY 1)
+      |SELECT s AS event_type, CAST(k AS BIGINT) AS n_groups,
+      |  CAST(n_total AS BIGINT) AS n_total,
+      |  CAST(greatest(t_all - CAST(s_all AS HUGEINT) * s_all // n_total,
+      |    0) AS BIGINT) AS ssb_q,
+      |  CAST(q_all - t_all AS BIGINT) AS ssw_q,
+      |  CASE WHEN q_all - t_all > 0 THEN
+      |    CAST(greatest(t_all - CAST(s_all AS HUGEINT) * s_all // n_total,
+      |        0) * 1000 * (n_total - k) // ((k - 1) * (q_all - t_all))
+      |      AS BIGINT)
+      |  END AS f_milli
+      |FROM a WHERE k >= 2 ORDER BY event_type""".stripMargin,
+    "q402_sign_bh" -> """
+      |WITH e AS (
+      |  SELECT event_type, event_id, ts,
+      |    CAST(round(value * 100) AS BIGINT) AS v,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) % 7 AS d
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e),
+      |med AS (SELECT event_type, v AS med FROM r WHERE rn = (n + 1) // 2),
+      |t AS (
+      |  SELECT event_type, d, v,
+      |    row_number() OVER (PARTITION BY event_type, d
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM e),
+      |cell AS (
+      |  SELECT t.event_type, t.d,
+      |    count(*) FILTER (WHERE t.v <> med.med) AS m,
+      |    count(*) FILTER (WHERE t.v > med.med) AS x
+      |  FROM t JOIN med USING (event_type) WHERE t.rn <= 12
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, d,
+      |    CAST(list_sum(list_transform(range(x, m + 1), j ->
+      |        factorial(CAST(m AS INT)) // (factorial(CAST(j AS INT))
+      |          * factorial(CAST(m - j AS INT)))))
+      |      * 1000000 // (1 << m) AS BIGINT) AS p_ppm
+      |  FROM cell),
+      |b AS (
+      |  SELECT event_type, d, p_ppm,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY p_ppm, d) AS rank,
+      |    count(*) OVER (PARTITION BY event_type) AS m_tests
+      |  FROM p),
+      |c AS (
+      |  SELECT *, max(CASE WHEN p_ppm * m_tests <= rank * 100000
+      |      THEN rank END)
+      |      OVER (PARTITION BY event_type) AS cut
+      |  FROM b)
+      |SELECT event_type, d AS dow, p_ppm, CAST(rank AS BIGINT) AS rank,
+      |  CAST(m_tests AS BIGINT) AS m_tests,
+      |  rank <= coalesce(cut, 0) AS rejected
+      |FROM c ORDER BY event_type, dow""".stripMargin,
     "q393_bradley_terry" -> """
       |WITH li AS (
       |  SELECT l_orderkey AS ok, p_brand AS b,

@@ -1010,6 +1010,9 @@ object TrainingData {
     "q396_priority_sample" -> q396PrioritySample _,
     "q388_audio_clip" -> q388AudioClip _,
     "q389_resize_decode" -> q389ResizeDecode _,
+    "q398_audio_zcr" -> q398AudioZcr _,
+    "q399_mmr_topk" -> q399MmrTopK _,
+    "q400_hard_negatives" -> q400HardNegatives _,
     "q293_split_balance" -> q293SplitBalance _,
     "q294_capture_recapture" -> q294CaptureRecapture _,
     "q299_unseen_mass" -> q299UnseenMass _,
@@ -1168,6 +1171,51 @@ object TrainingData {
     * round, a min-distance fold over the current selected set and an
     * (md DESC, vec_id) argmax pick; CTEs MATERIALIZED so DuckDB's CTE
     * inlining cannot re-expand earlier rounds exponentially. */
+  /** Unrolled greedy-MMR oracle: one MATERIALIZED (cand, pick, sel)
+    * round per rank, mirroring [[Similarity.mmrTopK]]'s driver greedy
+    * exactly (same pool cut, same integer score, same smaller-id ties).
+    * Same construction as [[kCenterOracleSql]]. */
+  private def mmrOracleSql(k: Int, pool: Int, lam: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |qv AS MATERIALIZED (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 1),
+      |pool AS MATERIALIZED (
+      |  SELECT e.vec_id, e.q,
+      |    CAST(list_dot_product(e.q, (SELECT q FROM qv)) AS BIGINT) AS rel
+      |  FROM e WHERE e.vec_id <> (SELECT vec_id FROM qv)
+      |  ORDER BY rel DESC, e.vec_id LIMIT $pool),
+      |pick1 AS MATERIALIZED (
+      |  SELECT vec_id, q, rel, CAST(NULL AS BIGINT) AS max_sim,
+      |    CAST($lam * rel AS BIGINT) AS score
+      |  FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+      |sel1 AS MATERIALIZED (SELECT vec_id, q FROM pick1)""".stripMargin
+    for (r <- 2 to k) {
+      sb ++= s""",
+      |cand$r AS MATERIALIZED (
+      |  SELECT p.vec_id, p.q, p.rel,
+      |    max(CAST(list_dot_product(p.q, s.q) AS BIGINT)) AS max_sim
+      |  FROM pool p, sel${r - 1} s
+      |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+      |  GROUP BY 1, 2, 3),
+      |pick$r AS MATERIALIZED (
+      |  SELECT vec_id, q, rel, max_sim,
+      |    CAST($lam * rel - ${100 - lam} * max_sim AS BIGINT) AS score
+      |  FROM cand$r ORDER BY score DESC, vec_id LIMIT 1),
+      |sel$r AS MATERIALIZED (
+      |  SELECT vec_id, q FROM sel${r - 1} UNION ALL
+      |  SELECT vec_id, q FROM pick$r)""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (1 to k).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rank, vec_id, rel, max_sim, " +
+          s"score FROM pick$r")
+      .mkString("", " UNION ALL ", " ORDER BY rank")
+    sb.toString
+  }
+
   private def kCenterOracleSql(k: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH e AS (
@@ -1227,6 +1275,44 @@ object TrainingData {
       Tables.documents(spark, dir), "doc_id")
     Multimodal.resizeDecode(media, targetW = 8, targetH = 6).toDF()
       .orderBy($"media_id")
+  }
+
+  /** Maximal-marginal-relevance diversified top-k
+    * ([[Similarity.mmrTopK]]): rerank the 16-strong relevance pool
+    * against the smallest-id query vector at λ=70% — the serving-side
+    * diversity knob audited exactly (integer scores, smaller-id ties);
+    * pairs with q395's RBO as the rank-quality line for diversified
+    * lists. */
+  def q399MmrTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.mmrTopK(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", k = 6, poolSize = 16, lambdaPct = 70)
+      .orderBy($"rank")
+  }
+
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): for each
+    * mining-batch query (vec_id % 400 = 0), the 10 most-similar
+    * DIFFERENT-label corpus vectors — the contrastive-training batch
+    * builder next to q163's random negative sampler. */
+  def q400HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.hardNegatives(emb, emb.filter($"vec_id" % 400 === 0),
+        "vec_id", "embedding", "label", k = 10)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Zero-crossing / periodicity stats over REAL WAV decode
+    * ([[Multimodal.audioZcr]]): sign-change count, floored ppm rate,
+    * longest same-sign run, and exact Σs² energy — all analytic
+    * functions of the square-wave fixtures' (frames, period, amp). The
+    * fixture slice (doc_id % 5 = 1) is disjoint from q388's so the two
+    * audio screens gate different rows. */
+  def q398AudioZcr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.mediaFromSyntheticAudio(
+      Tables.documents(spark, dir).filter($"doc_id" % 5 === 1), "doc_id")
+    Multimodal.audioZcr(media).toDF().orderBy($"media_id")
   }
 
   /** Luhn-validated card-PII audit ([[graft.etl.Privacy.luhnAudit]]):
@@ -2530,6 +2616,43 @@ object TrainingData {
       |CROSS JOIN tt
       |ORDER BY cell.split, cell.lang""".stripMargin,
     "q385_kcenter" -> kCenterOracleSql(8),
+    "q399_mmr_topk" -> mmrOracleSql(6, 16, 70),
+    "q400_hard_negatives" -> """
+      |WITH e AS (
+      |  SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT qe.vec_id AS query_id, ce.vec_id AS neg_id,
+      |    CAST(list_dot_product(qe.q, ce.q) AS BIGINT) AS dot
+      |  FROM e qe JOIN e ce ON ce.label <> qe.label
+      |  WHERE qe.vec_id % 400 = 0),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dot DESC, neg_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neg_id, dot FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q398_audio_zcr" -> """
+      |WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(800 + doc_id % 5 * 160 AS BIGINT) AS n,
+      |    CAST(2 + doc_id % 6 AS BIGINT) AS p,
+      |    CAST(1000 + doc_id % 20 * 500 AS BIGINT) AS amp,
+      |    CAST((2 + doc_id % 6 + 1) // 2 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 5 = 1),
+      |m AS (
+      |  SELECT doc_id, n, p, amp, h,
+      |    (n - 1) // p
+      |      + CASE WHEN n - 1 >= h THEN (n - 1 - h) // p + 1
+      |             ELSE 0 END AS chg
+      |  FROM p)
+      |SELECT doc_id AS media_id, n AS n_frames,
+      |  CAST(chg AS BIGINT) AS n_sign_changes,
+      |  CAST(chg * 1000000 // (n - 1) AS BIGINT) AS zcr_ppm,
+      |  h AS longest_run,
+      |  CAST(n * amp * amp AS BIGINT) AS energy_sum
+      |FROM m ORDER BY media_id""".stripMargin,
     "q388_audio_clip" -> """
       |WITH p AS (
       |  SELECT doc_id,

@@ -82,6 +82,52 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
   }
 
+  test("hardNegatives: same-label excluded, dot ties to smaller id") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f)),  // query
+      (1L, 0, Array(0.99f, 0.0f)), // same label -> never a negative
+      (2L, 1, Array(0.9f, 0.1f)),
+      (3L, 1, Array(0.8f, 0.2f)),
+      (4L, 2, Array(0.95f, 0.0f)),
+      (5L, 1, Array(0.9f, 0.1f))   // dot-ties with 2 -> id order
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegatives(vecs, vecs.filter($"vec_id" === 0),
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getAs[Long]("neg_id")).toSeq == Seq(4L, 2L, 5L))
+    assert(out.map(_.getAs[Long]("dot")).toSeq ==
+      Seq(950000L, 900000L, 900000L))
+  }
+
+  test("mmrTopK: lambda trades relevance for diversity, pool caps") {
+    import spark.implicits._
+    // query = id 0 (smallest). id 2 is a near-dup of id 1; id 3 diverse.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),   // rel 900k
+      (2L, Array(0.89f, 0.11f)), // rel 890k, dot(2,1)=812k
+      (3L, Array(0.1f, 0.9f))    // rel 100k, dot(3,1)=180k
+    ).toDF("vec_id", "embedding")
+    // lambda=100: pure relevance order
+    val pure = Similarity.mmrTopK(vecs, "vec_id", "embedding",
+      k = 2, poolSize = 3, lambdaPct = 100).orderBy($"rank").collect()
+    assert(pure.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L))
+    // lambda=30: round 2 penalizes the near-dup (30*890k-70*812k < 0)
+    // below the diverse pick (30*100k-70*180k) -> id 3 wins rank 2
+    val div = Similarity.mmrTopK(vecs, "vec_id", "embedding",
+      k = 2, poolSize = 3, lambdaPct = 30).orderBy($"rank").collect()
+    assert(div.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L))
+    assert(div(0).isNullAt(div(0).fieldIndex("max_sim")))
+    assert(div(1).getAs[Long]("max_sim") == 180000L)
+    assert(div(1).getAs[Long]("score") ==
+      30L * 100000 - 70L * 180000)
+    // poolSize=2 cuts id 3 from the pool entirely
+    val cut = Similarity.mmrTopK(vecs, "vec_id", "embedding",
+      k = 2, poolSize = 2, lambdaPct = 30).orderBy($"rank").collect()
+    assert(cut.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L))
+  }
+
   test("LSH-bucket ANN agrees with brute force for same-bucket vectors") {
     import spark.implicits._
     // all positive first-8-dims → same sign bucket → full recall here
@@ -706,6 +752,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L) == Multimodal.AudioClipStats(2L, Some(8L), Some(0L),
       Some(500L), Some(0L)))
     assert(got(3L) == Multimodal.AudioClipStats(3L, None, None, None, None))
+  }
+
+  test("audioZcr: sign changes, longest run, exact energy, NULL garbage") {
+    val sq = spark
+    import sq.implicits._
+    // 8 frames, period 3, amp 9000: + + - + + - + + -> changes at
+    // i=2,3,5,6 (4 total), runs 2,1,2,1,2 (longest 2), zcr=4e6/7.
+    // period 2 alternates every frame: 7 changes, runs all 1, zcr=1e6.
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio",
+        Multimodal.syntheticWav(8, 3, 9000), None, None, Some(1L)),
+      Multimodal.MediaRecord(2L, "audio",
+        Multimodal.syntheticWav(8, 2, 500), None, None, Some(1L)),
+      Multimodal.MediaRecord(3L, "audio",
+        Array[Byte](1, 2, 3), None, None, Some(1L))).toDS()
+    val got = Multimodal.audioZcr(media)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(got(1L) == Multimodal.AudioZcrStats(1L, Some(8L), Some(4L),
+      Some(4000000L / 7), Some(2L), Some(8L * 9000 * 9000)))
+    assert(got(2L) == Multimodal.AudioZcrStats(2L, Some(8L), Some(7L),
+      Some(1000000L), Some(1L), Some(8L * 500 * 500)))
+    assert(got(3L) ==
+      Multimodal.AudioZcrStats(3L, None, None, None, None, None))
   }
 
   test("resizeDecode: pinned nearest-neighbor resample matches the model") {

@@ -443,6 +443,60 @@ class StatsSpec extends SparkSpec {
     assert(out(2L).isNullAt(out(2L).fieldIndex("t2_bp")))
   }
 
+  test("brownForsythe: hand-computed F, constant series NULL, k=1 drop") {
+    // series a: g1 {0,2,10} med 2 -> z {2,0,8}: S=10, Q=68, t=33
+    //           g2 {5,5,5,5} med 5 -> z all 0
+    // N=7 k=2: ssb = 33 - 100//7 = 19, ssw = 68-33 = 35
+    // f_milli = 19*1000*5 // 35 = 2714
+    // series b: single group -> dropped; series c: all z=0 -> NULL f
+    val df = Seq(
+      ("a", 1L, 0L), ("a", 1L, 2L), ("a", 1L, 10L),
+      ("a", 2L, 5L), ("a", 2L, 5L), ("a", 2L, 5L), ("a", 2L, 5L),
+      ("b", 1L, 3L), ("b", 1L, 9L),
+      ("c", 1L, 3L), ("c", 1L, 3L), ("c", 2L, 7L)).toDF("s", "g", "v")
+    val out = Stats.brownForsythe(df, "s", "g", col("v"))
+      .collect().map(r => r.getAs[String]("s") -> r).toMap
+    assert(out.keySet == Set("a", "c"))
+    assert(out("a").getAs[Long]("n_groups") == 2L &&
+      out("a").getAs[Long]("n_total") == 7L)
+    assert(out("a").getAs[Long]("ssb_q") == 19L &&
+      out("a").getAs[Long]("ssw_q") == 35L)
+    assert(out("a").getAs[Long]("f_milli") == 2714L)
+    assert(out("c").isNullAt(out("c").fieldIndex("f_milli")))
+  }
+
+  test("signTestPpm: exact binomial tail, tie discard, maxN guard") {
+    // k1: {3,5,9,9} vs ref 5 -> m=3 kept, x=2 above
+    //     p = (C(3,2)+C(3,3)) * 1e6 // 8 = 500000
+    // k2: all ties -> m=0 -> p = 1e6
+    val df = Seq(
+      ("f", "k1", 3L, 5L), ("f", "k1", 5L, 5L),
+      ("f", "k1", 9L, 5L), ("f", "k1", 9L, 5L),
+      ("f", "k2", 4L, 4L), ("f", "k2", 4L, 4L)).toDF("fam", "k", "v", "ref")
+    val out = Stats.signTestPpm(df, "fam", "k", col("v"), col("ref"))
+      .collect().map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("m"), r.getAs[Long]("x"),
+          r.getAs[Long]("p_ppm"))).toMap
+    assert(out == Map("k1" -> ((3L, 2L, 500000L)), "k2" -> ((0L, 0L, 1000000L))))
+    val boom = intercept[Exception] {
+      Stats.signTestPpm(df, "fam", "k", col("v"), col("ref"), maxN = 2)
+        .collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
+  test("bhFdr: step-up rejects a rank whose own p missed the line") {
+    // alpha=10%, m=3: p {10k, 95k, 96k}: rank2 fails its own line
+    // (285k > 200k) but rank3 passes (288k <= 300k) -> cut=3, ALL reject
+    val df = Seq(("f", "a", 10000L), ("f", "b", 95000L), ("f", "c", 96000L),
+      ("g", "a", 900000L)).toDF("fam", "k", "p")
+    val out = Stats.bhFdr(df, "fam", "k", col("p"))
+      .collect().map(r => (r.getAs[String]("family"),
+        r.getAs[String]("key")) -> r.getAs[Boolean]("rejected")).toMap
+    assert(out(("f", "a")) && out(("f", "b")) && out(("f", "c")))
+    assert(!out(("g", "a"))) // 900k*1 > 1*100k -> no cut in family g
+  }
+
   test("changePoint: argmax lands on the level shift, exact segment means") {
     // series 1,1,1,5,5: scores (x1e4/den) k=1: 32000, k=2: 85333,
     // k=3: 192000, k=4: 72000 -> split after k=3
