@@ -952,6 +952,56 @@ object Similarity {
     out.toSeq.toDF("rank", "vec_id", "rel", "max_sim", "score")
   }
 
+  /** Serving-diversity audit over retrieved lists: per list the exact
+    * mean pairwise dot between its items (intra-list similarity — the
+    * "top-k is five copies of the same item" pathology [[mmrTopK]]
+    * exists to fix, measured), plus one `(catalog)` row with aggregate
+    * catalog coverage in bp (distinct items served / corpus) — the two
+    * standard beyond-accuracy serving metrics next to q128/q195/q395's
+    * rank-quality lines.
+    *
+    * `lists` is (queryCol, itemCol) — typically an ANN top-k result.
+    * Pairs are generated per list by an equi-join on the list key with
+    * `itemA < itemB` — bounded at C(k,2) pairs per list by construction,
+    * never corpus-shaped. Items join their quantized vectors via two
+    * equi-joins on the item id. The per-list similarity is emitted as
+    * the exact (pair_dot_sum, n_pairs) pair rather than a floored mean:
+    * dots can be negative, where Spark's `div` (trunc) and the oracle's
+    * `//` (floor) disagree — the division is the caller's, with full
+    * precision in hand. Singleton lists report NULL sums (no pair
+    * exists — loud, not 0). */
+  def servingDiversity(lists: DataFrame, queryCol: String, itemCol: String,
+      emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = emb.select(col(idCol).cast("long").as("_iid"),
+      quantize(col(vecCol)).as("_qv"))
+    val l = lists.select(col(queryCol).cast("long").as("_lq"),
+      col(itemCol).cast("long").as("_li"))
+    val pairs = l.as("a").join(l.as("b"),
+        col("a._lq") === col("b._lq") && col("a._li") < col("b._li"))
+      .select(col("a._lq").as("_lq"), col("a._li").as("_ia"),
+        col("b._li").as("_ib"))
+      .join(q.withColumnRenamed("_iid", "_ia")
+        .withColumnRenamed("_qv", "_qa"), Seq("_ia"))
+      .join(q.withColumnRenamed("_iid", "_ib")
+        .withColumnRenamed("_qv", "_qb"), Seq("_ib"))
+      .select(col("_lq"), qdot(col("_qa"), col("_qb")).as("_dot"))
+    val perList = l.groupBy(col("_lq")).agg(count(lit(1)).as("n_items"))
+      .join(pairs.groupBy(col("_lq")).agg(sum(col("_dot")).as("_sd"),
+        count(lit(1)).as("_np")), Seq("_lq"), "left")
+      .select(col("_lq").cast("string").as("list_id"), col("n_items"),
+        col("_np").as("n_pairs"), col("_sd").as("pair_dot_sum"),
+        lit(null).cast("long").as("coverage_bp"))
+    val corpusN = q.agg(count(lit(1)).as("_cn"))
+    val catalog = l.agg(countDistinct(col("_li")).as("_served"),
+        count(lit(1)).cast("long").as("n_items"))
+      .crossJoin(broadcast(corpusN))
+      .select(lit("(catalog)").as("list_id"), col("n_items"),
+        lit(null).cast("long").as("n_pairs"),
+        lit(null).cast("long").as("pair_dot_sum"),
+        expr("CAST(_served * 10000 div _cn AS BIGINT)").as("coverage_bp"))
+    perList.unionByName(catalog)
+  }
+
   /** Sign-LSH bucket id: the sign bits of the first `bits` dims, folded
     * as acc*2 + bit. */
   def signBucket(vec: Column, bits: Int): Column =

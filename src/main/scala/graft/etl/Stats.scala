@@ -920,6 +920,100 @@ object Stats {
              div ((n_groups - 1) * _ssw) AS BIGINT)""")).as("f_milli"))
   }
 
+  /** Delete-one-group jackknife for a ratio metric θ = ΣY/ΣN per series
+    * — the standard-error machinery for the ratio readouts (revenue per
+    * session, tokens per doc) where the naive per-row variance is wrong
+    * because both numerator and denominator are random. Groups are the
+    * independence units (user buckets, shards); per series:
+    *
+    *   θ̂_milli     = ⌊10³·S/N⌋
+    *   θ̂₍g₎_milli  = ⌊10³·(S−s_g)/(N−n_g)⌋    (leave group g out)
+    *   var_jk_q    = ⌊(G−1)·(Σθ̂₍g₎² − ⌊(Σθ̂₍g₎)²/G⌋) / G⌋
+    *
+    * (the Σ(θ−θ̄)² identity form — no float mean ever forms), all in
+    * milli and milli² — the scale is chosen so var_jk_q stays inside
+    * BIGINT for cent-sized ratios (ppm² overflows Long at θ ~ 10¹⁰,
+    * measured on the events feed) — integer-exact up to the per-term
+    * floors
+    * (sub-ppm, far below any real sampling noise). Numerator and
+    * denominator must be non-negative (cents/counts) so every floored
+    * division has non-negative operands and the two engines' division
+    * semantics agree. A group that carries
+    * the WHOLE denominator (N = n_g) makes θ̂₍g₎ undefined: the series
+    * reports NULL variance and a nonzero n_degenerate rather than a
+    * fake number. Plan: one (series, group) combiner aggregation, one
+    * series-level fold of G-row partials — two shuffles, both tiny. */
+  def jackknifeRatio(df: DataFrame, seriesCol: String, groupCol: String,
+      numCol: Column, denCol: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = df.select(col(seriesCol).as("_s"), col(groupCol).as("_g"),
+        numCol.cast("long").as("_y"), denCol.cast("long").as("_n"))
+      .groupBy(col("_s"), col("_g"))
+      .agg(sum(col("_y")).as("sg"), sum(col("_n")).as("ng"))
+    val tot = g.groupBy(col("_s"))
+      .agg(sum(col("sg")).as("s_all"), sum(col("ng")).as("n_all"),
+        count(lit(1)).as("g_cnt"))
+    val loo = g.join(tot, Seq("_s"))
+      .withColumn("theta_g", when(col("n_all") =!= col("ng"), expr(
+        """CAST(CAST(s_all - sg AS DECIMAL(38,0)) * 1000
+           div (n_all - ng) AS BIGINT)""")))
+    loo.groupBy(col("_s"), col("s_all"), col("n_all"), col("g_cnt"))
+      .agg(count(when(col("theta_g").isNull, 1)).as("n_degenerate"),
+        sum(col("theta_g")).as("_st"),
+        sum(dec(col("theta_g")) * dec(col("theta_g"))).as("_qt"))
+      .withColumn("theta_milli", expr(
+        "CAST(CAST(s_all AS DECIMAL(38,0)) * 1000 div n_all AS BIGINT)"))
+      .withColumn("var_jk_q", when(col("n_degenerate") === 0, expr(
+        """CAST((g_cnt - 1) * (_qt - CAST(_st AS DECIMAL(38,0)) * _st
+           div g_cnt) div g_cnt AS BIGINT)""")))
+      .select(col("_s").as(seriesCol), col("g_cnt").as("n_groups"),
+        col("n_degenerate"), col("theta_milli"), col("var_jk_q"))
+  }
+
+  /** Mann–Kendall trend test per series, integer-exact: over the
+    * time-ordered values, S = Σ_{i<j} sign(xⱼ − xᵢ) (positive S = rising
+    * trend), with the exact tie-corrected null variance scaled by 18 to
+    * stay integral:
+    *
+    *   var18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5) ,
+    *   trend_milli = sign(S)·⌊1000·18·S² / var18⌋   (≈ 1000·z², signed)
+    *
+    * — the distribution-free "is this metric drifting" gate that needs
+    * no level assumption (complements q157's CUSUM, which needs a
+    * baseline, and q165's Theil–Sen, which estimates the slope this
+    * test decides is real). Pair generation is a within-series
+    * self-join on the time index — O(n²) per series where n is the
+    * SERIES LENGTH (calendar-bounded: daily grain ⇒ n stays O(10²-10³)
+    * no matter how many raw rows fed the daily aggregate upstream, so
+    * the quadratic is in time, not data). All-tied series (var18 = 0)
+    * report NULL loudly. */
+  def mannKendall(df: DataFrame, seriesCol: String, timeCol: Column,
+      valueCol: Column): DataFrame = {
+    val d = df.select(col(seriesCol).as("_s"), timeCol.cast("long").as("_t"),
+      valueCol.cast("long").as("_v"))
+    val s = d.as("a").join(d.as("b"),
+        col("a._s") === col("b._s") && col("a._t") < col("b._t"))
+      .select(col("a._s").as("_s"),
+        signum(col("b._v") - col("a._v")).cast("long").as("_sgn"))
+      .groupBy(col("_s")).agg(sum(col("_sgn")).as("s_stat"))
+    val base = d.groupBy(col("_s")).agg(count(lit(1)).as("n"))
+    val ties = d.groupBy(col("_s"), col("_v"))
+      .agg(count(lit(1)).as("_t_sz"))
+      .filter(col("_t_sz") > 1)
+      .groupBy(col("_s"))
+      .agg(sum(col("_t_sz") * (col("_t_sz") - 1) *
+        (lit(2) * col("_t_sz") + 5)).as("_tie_mass"))
+    base.join(s, Seq("_s"), "left").join(ties, Seq("_s"), "left")
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("var18", col("n") * (col("n") - 1) *
+        (lit(2) * col("n") + 5) - coalesce(col("_tie_mass"), lit(0L)))
+      .select(col("_s").as(seriesCol), col("n"), col("s_stat"),
+        col("var18"),
+        when(col("var18") > 0, signum(col("s_stat")).cast("long") *
+          expr("CAST(18000 * s_stat * s_stat div var18 AS BIGINT)"))
+          .as("trend_milli"))
+  }
+
   /** Exact binomial sign test per (family, key) cell — a REAL p-value
     * with zero distributional approximation, computable bit-exactly in
     * both engines: among the cell's trials, ties with the reference are

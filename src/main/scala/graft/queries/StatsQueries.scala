@@ -887,9 +887,48 @@ object StatsQueries {
       .orderBy($"event_type", $"dow")
   }
 
+  // ------------------------------------------- q404 jackknife ratio
+
+  /** Delete-one-bucket jackknife ([[Stats.jackknifeRatio]]) for
+    * revenue-per-user by event type: users pre-aggregate (the
+    * independence unit), 32 user buckets are the jackknife groups, and
+    * the ratio's variance comes out exact in milli² — the standard error
+    * the per-event variance would get WRONG for a ratio metric. */
+  def q404JackknifeRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables.events(spark, dir)
+      .filter($"value".isNotNull && $"value" >= 0 &&
+        $"user_id".isNotNull && $"user_id" >= 0)
+      .groupBy($"event_type", $"user_id")
+      .agg(sum(cents).as("y"))
+      .withColumn("bucket", $"user_id" % 32)
+    Stats.jackknifeRatio(perUser, "event_type", "bucket",
+        $"y", lit(1L))
+      .orderBy($"event_type")
+  }
+
+  // ------------------------------------------- q405 Mann-Kendall
+
+  /** Mann–Kendall trend gate ([[Stats.mannKendall]]) on daily event
+    * counts per type: the distribution-free is-it-drifting decision
+    * (exact S, tie-corrected var×18, signed milli-z²) that tells q165's
+    * Theil–Sen slope whether there is a trend to estimate at all. */
+  def q405MannKendall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        expr("CAST(datediff(to_date(ts), DATE'1970-01-01') AS LONG)")
+          .as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    Stats.mannKendall(daily, "event_type", $"d", $"cnt")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q401_brown_forsythe" -> q401BrownForsythe _,
     "q402_sign_bh" -> q402SignBh _,
+    "q404_jackknife_ratio" -> q404JackknifeRatio _,
+    "q405_mann_kendall" -> q405MannKendall _,
     "q383_copeland" -> q383Copeland _,
     "q393_bradley_terry" -> q393BradleyTerry _,
     "q377_welch_t" -> q377WelchT _,
@@ -933,6 +972,70 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q404_jackknife_ratio" -> """
+      |WITH u AS (
+      |  SELECT event_type AS s, user_id AS uid,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS y
+      |  FROM events
+      |  WHERE value IS NOT NULL AND value >= 0
+      |    AND user_id IS NOT NULL AND user_id >= 0
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT s, uid % 32 AS gk, sum(y) AS sg, count(*) AS ng
+      |  FROM u GROUP BY 1, 2),
+      |t AS (
+      |  SELECT s, sum(sg) AS s_all, sum(ng) AS n_all, count(*) AS g_cnt
+      |  FROM g GROUP BY 1),
+      |loo AS (
+      |  SELECT g.s, t.s_all, t.n_all, t.g_cnt,
+      |    CASE WHEN t.n_all <> g.ng THEN
+      |      CAST(t.s_all - g.sg AS HUGEINT) * 1000 // (t.n_all - g.ng)
+      |    END AS th
+      |  FROM g JOIN t ON g.s = t.s),
+      |f AS (
+      |  SELECT s, s_all, n_all, g_cnt,
+      |    count(*) FILTER (WHERE th IS NULL) AS n_degenerate,
+      |    sum(th) AS st, sum(CAST(th AS HUGEINT) * th) AS qt
+      |  FROM loo GROUP BY 1, 2, 3, 4)
+      |SELECT s AS event_type, CAST(g_cnt AS BIGINT) AS n_groups,
+      |  CAST(n_degenerate AS BIGINT) AS n_degenerate,
+      |  CAST(CAST(s_all AS HUGEINT) * 1000 // n_all AS BIGINT)
+      |    AS theta_milli,
+      |  CASE WHEN n_degenerate = 0 THEN
+      |    CAST((g_cnt - 1) * (qt - CAST(st AS HUGEINT) * st // g_cnt)
+      |      // g_cnt AS BIGINT)
+      |  END AS var_jk_q
+      |FROM f ORDER BY event_type""".stripMargin,
+    "q405_mann_kendall" -> """
+      |WITH daily AS (
+      |  SELECT event_type AS s,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS t,
+      |    CAST(count(*) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.s, CAST(sign(b.v - a.v) AS BIGINT) AS sgn
+      |  FROM daily a JOIN daily b ON a.s = b.s AND a.t < b.t),
+      |sstat AS (SELECT s, CAST(sum(sgn) AS BIGINT) AS s_stat
+      |  FROM p GROUP BY 1),
+      |base AS (SELECT s, count(*) AS n FROM daily GROUP BY 1),
+      |tie AS (
+      |  SELECT s, sum(c * (c - 1) * (2 * c + 5)) AS tm
+      |  FROM (SELECT s, v, count(*) AS c FROM daily GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT b.s AS event_type, CAST(b.n AS BIGINT) AS n,
+      |  CAST(coalesce(ss.s_stat, 0) AS BIGINT) AS s_stat,
+      |  CAST(b.n * (b.n - 1) * (2 * b.n + 5) - coalesce(tm, 0) AS BIGINT)
+      |    AS var18,
+      |  CASE WHEN b.n * (b.n - 1) * (2 * b.n + 5) - coalesce(tm, 0) > 0
+      |  THEN CAST(sign(ss.s_stat) AS BIGINT)
+      |    * CAST(18000 * ss.s_stat * ss.s_stat
+      |        // (b.n * (b.n - 1) * (2 * b.n + 5) - coalesce(tm, 0))
+      |      AS BIGINT)
+      |  END AS trend_milli
+      |FROM base b LEFT JOIN sstat ss ON b.s = ss.s
+      |LEFT JOIN tie ON b.s = tie.s
+      |ORDER BY event_type""".stripMargin,
     "q401_brown_forsythe" -> """
       |WITH d AS (
       |  SELECT event_type AS s, user_id % 4 AS g,

@@ -1013,6 +1013,7 @@ object TrainingData {
     "q398_audio_zcr" -> q398AudioZcr _,
     "q399_mmr_topk" -> q399MmrTopK _,
     "q400_hard_negatives" -> q400HardNegatives _,
+    "q403_serving_diversity" -> q403ServingDiversity _,
     "q293_split_balance" -> q293SplitBalance _,
     "q294_capture_recapture" -> q294CaptureRecapture _,
     "q299_unseen_mass" -> q299UnseenMass _,
@@ -1300,6 +1301,21 @@ object TrainingData {
     Similarity.hardNegatives(emb, emb.filter($"vec_id" % 400 === 0),
         "vec_id", "embedding", "label", k = 10)
       .orderBy($"query_id", $"rank")
+  }
+
+  /** Serving-diversity audit ([[Similarity.servingDiversity]]) over the
+    * q29 retrieval lists at k=5: exact intra-list pairwise-dot mass per
+    * list plus aggregate catalog coverage — the beyond-accuracy serving
+    * metrics (a top-k of near-identical items scores high dot mass;
+    * a popularity-collapsed index scores low coverage). */
+  def q403ServingDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val lists = Similarity.bruteForceTopK(emb,
+      emb.filter($"vec_id" % 400 === 0), "vec_id", "embedding", 5)
+    Similarity.servingDiversity(lists, "query_id", "nn_id",
+        emb, "vec_id", "embedding")
+      .orderBy($"list_id")
   }
 
   /** Zero-crossing / periodicity stats over REAL WAV decode
@@ -2617,6 +2633,47 @@ object TrainingData {
       |ORDER BY cell.split, cell.lang""".stripMargin,
     "q385_kcenter" -> kCenterOracleSql(8),
     "q399_mmr_topk" -> mmrOracleSql(6, 16, 70),
+    "q403_serving_diversity" -> """
+      |WITH e AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT qe.vec_id AS query_id, ce.vec_id AS nn_id,
+      |    CAST(list_dot_product(qe.q, ce.q) AS BIGINT) AS dot
+      |  FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id
+      |  WHERE qe.vec_id % 400 = 0),
+      |l AS (
+      |  SELECT query_id, nn_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dot DESC, nn_id) AS rank
+      |    FROM scored) WHERE rank <= 5),
+      |pairs AS (
+      |  SELECT a.query_id,
+      |    CAST(list_dot_product(ea.q, eb.q) AS BIGINT) AS dot
+      |  FROM l a JOIN l b
+      |    ON a.query_id = b.query_id AND a.nn_id < b.nn_id
+      |  JOIN e ea ON ea.vec_id = a.nn_id
+      |  JOIN e eb ON eb.vec_id = b.nn_id),
+      |per AS (
+      |  SELECT CAST(query_id AS VARCHAR) AS list_id,
+      |    CAST(count(*) AS BIGINT) AS n_items
+      |  FROM l GROUP BY 1),
+      |pa AS (
+      |  SELECT CAST(query_id AS VARCHAR) AS list_id,
+      |    CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(dot) AS BIGINT) AS pair_dot_sum
+      |  FROM pairs GROUP BY 1)
+      |SELECT per.list_id, per.n_items, pa.n_pairs, pa.pair_dot_sum,
+      |  CAST(NULL AS BIGINT) AS coverage_bp
+      |FROM per LEFT JOIN pa USING (list_id)
+      |UNION ALL
+      |SELECT '(catalog)' AS list_id, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(NULL AS BIGINT) AS n_pairs, CAST(NULL AS BIGINT) AS pair_dot_sum,
+      |  CAST(count(DISTINCT nn_id) * 10000 // (SELECT count(*) FROM e)
+      |    AS BIGINT) AS coverage_bp
+      |FROM l
+      |ORDER BY list_id""".stripMargin,
     "q400_hard_negatives" -> """
       |WITH e AS (
       |  SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]),

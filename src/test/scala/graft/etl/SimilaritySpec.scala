@@ -128,6 +128,30 @@ class SimilaritySpec extends SparkSpec {
     assert(cut.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L))
   }
 
+  test("servingDiversity: exact pair mass, singleton NULL, coverage row") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0.3f, 0.3f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.5f, 0.5f)), (4L, Array(0.0f, 1.0f)),
+      (5L, Array(0.2f, 0.0f)), (6L, Array(0.1f, 0.1f)),
+      (7L, Array(0.0f, 0.2f)), (8L, Array(0.4f, 0.4f))
+    ).toDF("vec_id", "embedding")
+    val lists = Seq((1L, 2L), (1L, 3L), (1L, 4L), (9L, 5L))
+      .toDF("query_id", "nn_id")
+    val out = Similarity.servingDiversity(lists, "query_id", "nn_id",
+        emb, "vec_id", "embedding")
+      .collect().map(r => r.getAs[String]("list_id") -> r).toMap
+    // pairs of list 1: (2,3)=500000, (2,4)=0, (3,4)=500000
+    assert(out("1").getAs[Long]("n_items") == 3L)
+    assert(out("1").getAs[Long]("n_pairs") == 3L)
+    assert(out("1").getAs[Long]("pair_dot_sum") == 1000000L)
+    assert(out("9").getAs[Long]("n_items") == 1L)
+    assert(out("9").isNullAt(out("9").fieldIndex("pair_dot_sum")))
+    // catalog: 4 distinct served of 8 corpus -> 5000 bp, 4 list rows
+    assert(out("(catalog)").getAs[Long]("n_items") == 4L)
+    assert(out("(catalog)").getAs[Long]("coverage_bp") == 5000L)
+  }
+
   test("LSH-bucket ANN agrees with brute force for same-bucket vectors") {
     import spark.implicits._
     // all positive first-8-dims → same sign bucket → full recall here

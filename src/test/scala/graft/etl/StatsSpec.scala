@@ -497,6 +497,46 @@ class StatsSpec extends SparkSpec {
     assert(!out(("g", "a"))) // 900k*1 > 1*100k -> no cut in family g
   }
 
+  test("jackknifeRatio: hand-computed LOO variance, degenerate NULL") {
+    // series a, den=1 per row: g1 {10,20}, g2 {30}, g3 {0,0}
+    // theta = 60000//5 = 12000; LOO thetas 10000, 7500, 20000
+    // var = 2*(556250000 - 1406250000//3)//3 = 58333333
+    // series b: one group holds the whole denominator -> degenerate
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 1L, 20L), ("a", 2L, 30L),
+      ("a", 3L, 0L), ("a", 3L, 0L),
+      ("b", 1L, 7L), ("b", 1L, 9L)).toDF("s", "g", "y")
+    val out = Stats.jackknifeRatio(df, "s", "g", col("y"), lit(1L))
+      .collect().map(r => r.getAs[String]("s") -> r).toMap
+    assert(out("a").getAs[Long]("n_groups") == 3L &&
+      out("a").getAs[Long]("n_degenerate") == 0L)
+    assert(out("a").getAs[Long]("theta_milli") == 12000L)
+    assert(out("a").getAs[Long]("var_jk_q") == 58333333L)
+    assert(out("b").getAs[Long]("n_degenerate") == 1L)
+    assert(out("b").getAs[Long]("theta_milli") == 8000L)
+    assert(out("b").isNullAt(out("b").fieldIndex("var_jk_q")))
+  }
+
+  test("mannKendall: exact S, tie-corrected var18, signed trend") {
+    // up: 1,2,2,3 -> S=5, var18 = 156-18 = 138, trend = +450000//138
+    // flat: all ties -> var18 = 0 -> NULL; down: 5,3,1 -> S=-3
+    val df = Seq(
+      ("up", 1L, 1L), ("up", 2L, 2L), ("up", 3L, 2L), ("up", 4L, 3L),
+      ("flat", 1L, 7L), ("flat", 2L, 7L), ("flat", 3L, 7L),
+      ("down", 1L, 5L), ("down", 2L, 3L), ("down", 3L, 1L))
+      .toDF("s", "t", "v")
+    val out = Stats.mannKendall(df, "s", col("t"), col("v"))
+      .collect().map(r => r.getAs[String]("s") -> r).toMap
+    assert(out("up").getAs[Long]("s_stat") == 5L &&
+      out("up").getAs[Long]("var18") == 138L &&
+      out("up").getAs[Long]("trend_milli") == 450000L / 138)
+    assert(out("flat").getAs[Long]("s_stat") == 0L &&
+      out("flat").getAs[Long]("var18") == 0L &&
+      out("flat").isNullAt(out("flat").fieldIndex("trend_milli")))
+    assert(out("down").getAs[Long]("s_stat") == -3L &&
+      out("down").getAs[Long]("trend_milli") == -(162000L / 66))
+  }
+
   test("changePoint: argmax lands on the level shift, exact segment means") {
     // series 1,1,1,5,5: scores (x1e4/den) k=1: 32000, k=2: 85333,
     // k=3: 192000, k=4: 72000 -> split after k=3
