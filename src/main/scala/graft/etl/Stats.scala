@@ -1259,4 +1259,182 @@ object Stats {
       .select(col("item"), col("wins"), col("games"),
         col("s").as("strength_ppm"))
   }
+
+  /** Kruskal–Wallis H per series: the k-sample generalization of
+    * [[mannWhitneyU]] — "do the k arms draw from the same distribution?"
+    * on ranks, so a single heavy-tailed arm can't dominate the way it
+    * does in the pooled-variance F readouts.
+    *
+    * Integer-exact via the doubled-mid-rank trick (`hr = 2·rank + ties − 1`
+    * — same as Mann–Whitney, so tied values contribute whole numbers):
+    * with HRg = Σ hr over arm g,
+    *   Σ R²/n = Σ HRg²/(4·ng)   →   qg = HRg²·1000 div ng   (milli, floored
+    *   identically by both engines), and the tie-corrected readout is
+    *   h_milli = (3·Σqg − 3000·N(N+1)²)·(N³−N)
+    *               div (N(N+1)·(N³−N−ΣT)),  T = t³−t per tie group.
+    * All cross-multiplies in decimal(38,0); per-arm floors are
+    * engine-identical (`div` here, `//` in the oracle), so the result is
+    * reproducible bit-for-bit. One shuffle on the series key; the rank
+    * window is series-partitioned, never global. */
+  def kruskalWallis(df: DataFrame, seriesCol: String, groupCol: String,
+      valueCol: Column): DataFrame = {
+    val d = df.select(col(seriesCol).as("_s"), col(groupCol).as("_g"),
+      valueCol.cast("long").as("_v"))
+    val w = Window.partitionBy(col("_s")).orderBy(col("_v"))
+    val wTies = Window.partitionBy(col("_s"), col("_v"))
+    val ranked = d.withColumn("_hr",
+      rank().over(w).cast("long") * 2 + count(lit(1)).over(wTies) - 1)
+    val arms = ranked.groupBy(col("_s"), col("_g"))
+      .agg(count(lit(1)).as("_n"), sum(col("_hr")).as("_hrs"))
+      .withColumn("_q", expr(
+        "CAST(CAST(_hrs AS DECIMAL(38,0)) * _hrs * 1000 div _n " +
+          "AS DECIMAL(38,0))"))
+    val ties = d.groupBy(col("_s"), col("_v"))
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(col("_s"))
+      .agg(sum(expr("CAST(_t AS DECIMAL(38,0)) * _t * _t - _t")).as("_tsum"))
+    arms.groupBy(col("_s"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("_n")).as("n_total"),
+        sum(col("_q")).as("_qsum"))
+      .filter(col("n_groups") >= 2)
+      .join(ties, Seq("_s"))
+      .withColumn("_nn", col("n_total").cast("decimal(38,0)"))
+      .withColumn("_cube", expr("_nn * _nn * _nn - _nn"))
+      .filter(col("_cube") > col("_tsum")) // all-tied series: H undefined
+      .select(col("_s").as(seriesCol), col("n_groups"), col("n_total"),
+        col("_tsum").cast("long").as("tie_t"),
+        // greatest(…, 0): per-arm floors can push the numerator a few
+        // milli-units below zero where H ≈ 0, and Spark's `div` truncates
+        // toward zero while DuckDB's `//` floors — clamping (H is
+        // mathematically ≥ 0) keeps both engines identical
+        expr("CAST(greatest(3 * _qsum - 3000 * _nn * (_nn + 1) * (_nn + 1), " +
+          "CAST(0 AS DECIMAL(38,0))) " +
+          "* _cube div (_nn * (_nn + 1) * (_cube - _tsum)) AS BIGINT)")
+          .as("h_milli"))
+  }
+
+  /** Cochran–Armitage trend test per series: is a binary outcome rate
+    * MONOTONICALLY drifting across ordered dose groups (scores 0..k−1)?
+    * The gate between "rates differ somewhere" (chi², q130) and "rates
+    * drift WITH the ordering" — the question that matters for bucketed
+    * exposure ladders (spend tiers, latency buckets, model-size rungs).
+    *
+    * Exact integer form: with per-group size n_g, positives r_g, totals
+    * N, R, and score moments Sx = Σ x·n, Sxx = Σ x²·n, Sr = Σ x·r:
+    *   U = N·Sr − R·Sx          (trend numerator; sign = direction)
+    *   V = R·(N−R)·(N·Sxx − Sx²)
+    *   Z² = N·U²/V  →  z2_milli = 1000·N·U² div V  in decimal(38,0).
+    * Single aggregate per series — one shuffle, map-side partial. */
+  def cochranArmitage(df: DataFrame, seriesCol: String, scoreCol: Column,
+      positiveCol: Column): DataFrame = {
+    val d = df.select(col(seriesCol).as("_s"),
+      scoreCol.cast("long").as("_x"),
+      when(positiveCol, lit(1L)).otherwise(lit(0L)).as("_y"))
+    d.groupBy(col("_s"))
+      .agg(count(lit(1)).as("n_total"), sum(col("_y")).as("n_pos"),
+        sum(col("_x")).as("_sx"),
+        sum(expr("CAST(_x AS DECIMAL(38,0)) * _x")).as("_sxx"),
+        sum(expr("CAST(_x AS DECIMAL(38,0)) * _y")).as("_sr"))
+      .withColumn("_u", expr(
+        "CAST(n_total AS DECIMAL(38,0)) * _sr - CAST(n_pos AS DECIMAL(38,0)) * _sx"))
+      .withColumn("_v", expr(
+        "CAST(n_pos AS DECIMAL(38,0)) * (n_total - n_pos) " +
+          "* (CAST(n_total AS DECIMAL(38,0)) * _sxx - _sx * _sx)"))
+      .filter(col("_v") > 0)
+      .select(col("_s").as(seriesCol), col("n_total"), col("n_pos"),
+        signum(col("_u")).cast("int").as("trend_sign"),
+        expr("CAST(1000 * CAST(n_total AS DECIMAL(38,0)) * _u * _u div _v " +
+          "AS BIGINT)").as("z2_milli"))
+  }
+
+  /** Krippendorff's alpha (nominal) per series: chance-corrected
+    * agreement for ≥2 raters with missing ratings allowed — the
+    * label-quality gate for crowd/model-ensemble annotation that Cohen's
+    * kappa (q142, exactly 2 fixed raters) can't cover. Units with a
+    * single rating drop out (they carry no pair information), exactly as
+    * the coincidence-matrix construction prescribes.
+    *
+    * Exact integer form: with n_uc ratings of category c on unit u,
+    * m_u = Σ_c n_uc (only m_u ≥ 2 kept), n = Σ m_u, n_c category totals:
+    *   S  = Σ_u [ 10⁶ · Σ_c n_uc·(m_u − n_uc) div (m_u − 1) ]
+    *        (observed-disagreement mass, floored per unit — engine-equal)
+    *   E  = Σ_c n_c·(n − n_c)       (expected-disagreement mass)
+    * and since D_o = S/(10⁶·n), D_e = E/(n·(n−1)):
+    *   alpha_ppm = 10⁶ − (S·(n−1) div E).
+    * Two shuffles (unit-grain then series-grain), both combiner-friendly;
+    * the per-unit m_u window is (series, unit)-partitioned, never global. */
+  def krippendorffAlpha(df: DataFrame, seriesCol: String, unitCol: String,
+      categoryCol: Column): DataFrame = {
+    val cell = df.select(col(seriesCol).as("_s"), col(unitCol).as("_u"),
+        categoryCol.cast("string").as("_c"))
+      .groupBy(col("_s"), col("_u"), col("_c"))
+      .agg(count(lit(1)).as("_nuc"))
+    val wu = Window.partitionBy(col("_s"), col("_u"))
+    val units = cell.withColumn("_m", sum(col("_nuc")).over(wu))
+      .filter(col("_m") >= 2)
+    val so = units.groupBy(col("_s"), col("_u"), col("_m"))
+      .agg(sum(expr("CAST(_nuc AS DECIMAL(38,0)) * (_m - _nuc)")).as("_dis"))
+      .withColumn("_su", expr(
+        "CAST(1000000 * _dis div (_m - 1) AS DECIMAL(38,0))"))
+      .groupBy(col("_s"))
+      .agg(sum(col("_su")).as("_ss"), sum(col("_m")).as("n_ratings"),
+        count(lit(1)).as("n_units"))
+    val ws = Window.partitionBy(col("_s"))
+    val e = units.groupBy(col("_s"), col("_c"))
+      .agg(sum(col("_nuc")).as("_nc"))
+      .withColumn("_n", sum(col("_nc")).over(ws))
+      .groupBy(col("_s"))
+      .agg(sum(expr("CAST(_nc AS DECIMAL(38,0)) * (_n - _nc)")).as("_e"))
+    so.join(e, Seq("_s"))
+      .filter(col("_e") > 0)
+      .select(col("_s").as(seriesCol), col("n_units"), col("n_ratings"),
+        expr("CAST(1000000 - _ss * (n_ratings - 1) div _e AS BIGINT)")
+          .as("alpha_ppm"))
+  }
+
+  /** Simpson-reversal detector per series: does the pooled
+    * treatment-vs-control success-rate comparison point the OPPOSITE way
+    * from every stratum's own comparison? The confounding tripwire that
+    * must fire before any pooled uplift number (q308/q311/q316) is read
+    * across a shifted mix — the aggregation-bias twin of q264's mix-shift
+    * decomposition.
+    *
+    * Sign of a rate comparison a/n vs b/m is sign(a·m − b·n): integer
+    * cross-multiply, no division anywhere. Emits the pooled sign, the
+    * per-stratum sign census (pos/neg/zero), and `reversal` = pooled
+    * nonzero AND every nonzero stratum sign opposite to it (the classic
+    * full paradox, not mere heterogeneity). Two combiner-friendly
+    * aggregates on (series, stratum) then series. */
+  def simpsonReversal(df: DataFrame, seriesCol: String, stratumCol: String,
+      treatedCol: Column, successCol: Column): DataFrame = {
+    val d = df.select(col(seriesCol).as("_s"), col(stratumCol).as("_g"),
+      when(treatedCol, lit(1L)).otherwise(lit(0L)).as("_t"),
+      when(successCol, lit(1L)).otherwise(lit(0L)).as("_y"))
+    val strata = d.groupBy(col("_s"), col("_g"))
+      .agg(sum(when(col("_t") === 1, col("_y"))).as("a"),
+        sum(when(col("_t") === 1, lit(1L))).as("n1"),
+        sum(when(col("_t") === 0, col("_y"))).as("b"),
+        sum(when(col("_t") === 0, lit(1L))).as("n0"))
+      .filter(col("n1") > 0 && col("n0") > 0)
+      .withColumn("_sg", signum(expr(
+        "CAST(a AS DECIMAL(38,0)) * n0 - CAST(b AS DECIMAL(38,0)) * n1"))
+        .cast("int"))
+    val pooled = strata.groupBy(col("_s"))
+      .agg(sum(col("a")).as("_a"), sum(col("n1")).as("_n1"),
+        sum(col("b")).as("_b"), sum(col("n0")).as("_n0"),
+        sum(when(col("_sg") > 0, lit(1L)).otherwise(lit(0L))).as("strata_pos"),
+        sum(when(col("_sg") < 0, lit(1L)).otherwise(lit(0L))).as("strata_neg"),
+        sum(when(col("_sg") === 0, lit(1L)).otherwise(lit(0L))).as("strata_zero"),
+        count(lit(1)).as("n_strata"))
+      .withColumn("pooled_sign", signum(expr(
+        "CAST(_a AS DECIMAL(38,0)) * _n0 - CAST(_b AS DECIMAL(38,0)) * _n1"))
+        .cast("int"))
+    pooled.select(col("_s").as(seriesCol), col("n_strata"),
+      col("strata_pos"), col("strata_neg"), col("strata_zero"),
+      col("pooled_sign"),
+      (col("pooled_sign") === 1 && col("strata_pos") === 0 &&
+        col("strata_neg") > 0 ||
+        col("pooled_sign") === -1 && col("strata_neg") === 0 &&
+          col("strata_pos") > 0).as("reversal"))
+  }
 }

@@ -924,7 +924,94 @@ object StatsQueries {
       .orderBy($"event_type")
   }
 
+  // ------------------------------------------- q406 Kruskal-Wallis
+
+  /** Kruskal–Wallis H ([[Stats.kruskalWallis]]) on the SAME four
+    * user-arm cent distributions as q401: the rank-based k-sample gate
+    * that stays honest when one arm is heavy-tailed — read next to
+    * Brown–Forsythe's dispersion check before trusting any
+    * pooled-variance comparison across the arms. */
+  def q406KruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"value".isNotNull && $"user_id".isNotNull && $"user_id" >= 0)
+      .select($"event_type", ($"user_id" % 4).as("arm"), cents.as("v"))
+    Stats.kruskalWallis(e, "event_type", "arm", $"v")
+      .orderBy($"event_type")
+  }
+
+  // ------------------------------------------- q407 Cochran-Armitage
+
+  /** Cochran–Armitage trend test ([[Stats.cochranArmitage]]): does the
+    * purchase share drift monotonically across the week (engine-neutral
+    * weekday 0–6 as the ordered dose score) inside each user cohort?
+    * The ordered-alternative refinement of the chi² independence check
+    * (q130) — a flat-vs-trending distinction chi² cannot make. */
+  def q407CochranArmitage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"user_id" >= 0)
+      .select(($"user_id" % 4).as("cohort"),
+        (datediff(to_date($"ts"), to_date(lit("1970-01-01"))) % 7)
+          .cast("long").as("dow"),
+        ($"event_type" === "purchase").as("is_purchase"))
+    Stats.cochranArmitage(e, "cohort", $"dow", $"is_purchase")
+      .orderBy($"cohort")
+  }
+
+  // ------------------------------------------- q408 Krippendorff alpha
+
+  /** Krippendorff's alpha ([[Stats.krippendorffAlpha]]) over a
+    * three-annotator language-labeling panel per source: annotator A
+    * labels every document with its lang, annotator B labels the even
+    * half (with a deterministic source-bucket error on every 5th doc),
+    * annotator C labels every 3rd doc (defecting to 'xx' on every 11th)
+    * — uneven coverage and systematic disagreement, exactly the missing-
+    * data shape Cohen's kappa (q142) cannot score. Single-rating units
+    * drop out per the coincidence-matrix construction. */
+  def q408Krippendorff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source")
+    val a = docs.select($"source", $"doc_id", $"lang".as("label"))
+    val b = docs.filter($"doc_id" % 2 === 0)
+      .select($"source", $"doc_id",
+        when($"doc_id" % 5 === 0,
+          concat(lit("l"), ($"doc_id" % 3).cast("string")))
+          .otherwise($"lang").as("label"))
+    val c = docs.filter($"doc_id" % 3 === 0)
+      .select($"source", $"doc_id",
+        when($"doc_id" % 11 === 0, lit("xx")).otherwise($"lang").as("label"))
+    Stats.krippendorffAlpha(a.unionByName(b).unionByName(c),
+        "source", "doc_id", $"label")
+      .orderBy($"source")
+  }
+
+  // ------------------------------------------- q409 Simpson reversal
+
+  /** Simpson-reversal tripwire ([[Stats.simpsonReversal]]): per event
+    * type, does the pooled even-vs-odd-user high-amount comparison
+    * (cents ≥ 3500) point the opposite way from every weekday stratum?
+    * The confounding check that must pass before q264's mix-shift or
+    * any pooled uplift is read across a week boundary. */
+  def q409SimpsonReversal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"value".isNotNull && $"user_id".isNotNull && $"user_id" >= 0)
+      .select($"event_type",
+        (datediff(to_date($"ts"), to_date(lit("1970-01-01"))) % 7)
+          .cast("long").as("dow"),
+        ($"user_id" % 2 === 0).as("treated"),
+        (cents >= 3500).as("hi"))
+    Stats.simpsonReversal(e, "event_type", "dow", $"treated", $"hi")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q406_kruskal_wallis" -> q406KruskalWallis _,
+    "q407_cochran_armitage" -> q407CochranArmitage _,
+    "q408_krippendorff" -> q408Krippendorff _,
+    "q409_simpson_reversal" -> q409SimpsonReversal _,
     "q401_brown_forsythe" -> q401BrownForsythe _,
     "q402_sign_bh" -> q402SignBh _,
     "q404_jackknife_ratio" -> q404JackknifeRatio _,
@@ -972,6 +1059,138 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q406_kruskal_wallis" -> """
+      |WITH d AS (
+      |  SELECT event_type AS s, user_id % 4 AS g,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE value IS NOT NULL AND user_id IS NOT NULL AND user_id >= 0),
+      |r AS (
+      |  SELECT s, g, v,
+      |    rank() OVER (PARTITION BY s ORDER BY v) * 2
+      |      + count(*) OVER (PARTITION BY s, v) - 1 AS hr
+      |  FROM d),
+      |arms AS (
+      |  SELECT s, g, count(*) AS n, sum(hr) AS hrs FROM r GROUP BY 1, 2),
+      |qs AS (
+      |  SELECT s, count(*) AS n_groups, sum(n) AS n_total,
+      |    sum(CAST(hrs AS HUGEINT) * hrs * 1000 // n) AS qsum
+      |  FROM arms GROUP BY 1),
+      |ties AS (
+      |  SELECT s, sum(CAST(t AS HUGEINT) * t * t - t) AS tsum
+      |  FROM (SELECT s, v, count(*) AS t FROM d GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |f AS (
+      |  SELECT qs.s, n_groups, n_total, qsum, tsum,
+      |    CAST(n_total AS HUGEINT) AS nn,
+      |    CAST(n_total AS HUGEINT) * n_total * n_total - n_total AS cube
+      |  FROM qs JOIN ties ON qs.s = ties.s WHERE n_groups >= 2)
+      |SELECT s AS event_type, CAST(n_groups AS BIGINT) AS n_groups,
+      |  CAST(n_total AS BIGINT) AS n_total, CAST(tsum AS BIGINT) AS tie_t,
+      |  CAST(greatest(3 * qsum - 3000 * nn * (nn + 1) * (nn + 1),
+      |      CAST(0 AS HUGEINT))
+      |    * cube // (nn * (nn + 1) * (cube - tsum)) AS BIGINT) AS h_milli
+      |FROM f WHERE cube > tsum ORDER BY event_type""".stripMargin,
+    "q407_cochran_armitage" -> """
+      |WITH d AS (
+      |  SELECT user_id % 4 AS s,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+      |      AS BIGINT) AS x,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
+      |a AS (
+      |  SELECT s, count(*) AS n_total, sum(y) AS n_pos, sum(x) AS sx,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * y) AS sr
+      |  FROM d GROUP BY 1),
+      |u AS (
+      |  SELECT s, n_total, n_pos,
+      |    CAST(n_total AS HUGEINT) * sr - CAST(n_pos AS HUGEINT) * sx AS uu,
+      |    CAST(n_pos AS HUGEINT) * (n_total - n_pos)
+      |      * (CAST(n_total AS HUGEINT) * sxx
+      |         - CAST(sx AS HUGEINT) * sx) AS vv
+      |  FROM a)
+      |SELECT s AS cohort, CAST(n_total AS BIGINT) AS n_total,
+      |  CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(sign(uu) AS INTEGER) AS trend_sign,
+      |  CAST(1000 * CAST(n_total AS HUGEINT) * uu * uu // vv AS BIGINT)
+      |    AS z2_milli
+      |FROM u WHERE vv > 0 ORDER BY cohort""".stripMargin,
+    "q408_krippendorff" -> """
+      |WITH r AS (
+      |  SELECT source AS s, doc_id AS u, lang AS c FROM documents
+      |  UNION ALL
+      |  SELECT source, doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'l' || CAST(doc_id % 3 AS VARCHAR)
+      |      ELSE lang END
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT source, doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |cell AS (SELECT s, u, c, count(*) AS nuc FROM r GROUP BY 1, 2, 3),
+      |units AS (
+      |  SELECT s, u, c, nuc, sum(nuc) OVER (PARTITION BY s, u) AS m
+      |  FROM cell QUALIFY m >= 2),
+      |u2 AS (
+      |  SELECT s, u, m, sum(CAST(nuc AS HUGEINT) * (m - nuc)) AS dis
+      |  FROM units GROUP BY 1, 2, 3),
+      |so AS (
+      |  SELECT s, sum(1000000 * dis // (m - 1)) AS ss,
+      |    sum(m) AS n_ratings, count(*) AS n_units
+      |  FROM u2 GROUP BY 1),
+      |ct AS (SELECT s, c, sum(nuc) AS nc FROM units GROUP BY 1, 2),
+      |e AS (
+      |  SELECT s, sum(CAST(nc AS HUGEINT) * (n - nc)) AS ee
+      |  FROM (SELECT s, nc, sum(nc) OVER (PARTITION BY s) AS n FROM ct)
+      |  GROUP BY 1)
+      |SELECT so.s AS source, CAST(n_units AS BIGINT) AS n_units,
+      |  CAST(n_ratings AS BIGINT) AS n_ratings,
+      |  CAST(1000000 - ss * (n_ratings - 1) // ee AS BIGINT) AS alpha_ppm
+      |FROM so JOIN e ON so.s = e.s WHERE ee > 0
+      |ORDER BY source""".stripMargin,
+    "q409_simpson_reversal" -> """
+      |WITH d AS (
+      |  SELECT event_type AS s,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+      |      AS BIGINT) AS g,
+      |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+      |    CASE WHEN CAST(round(value * 100) AS BIGINT) >= 3500
+      |      THEN 1 ELSE 0 END AS y
+      |  FROM events
+      |  WHERE value IS NOT NULL AND user_id IS NOT NULL AND user_id >= 0),
+      |st AS (
+      |  SELECT s, g,
+      |    sum(CASE WHEN t = 1 THEN y END) AS a,
+      |    sum(CASE WHEN t = 1 THEN 1 END) AS n1,
+      |    sum(CASE WHEN t = 0 THEN y END) AS b,
+      |    sum(CASE WHEN t = 0 THEN 1 END) AS n0
+      |  FROM d GROUP BY 1, 2),
+      |sg AS (
+      |  SELECT s, g, a, n1, b, n0,
+      |    CAST(sign(CAST(a AS HUGEINT) * n0 - CAST(b AS HUGEINT) * n1)
+      |      AS INTEGER) AS sgn
+      |  FROM st WHERE n1 > 0 AND n0 > 0),
+      |p AS (
+      |  SELECT s, sum(a) AS aa, sum(n1) AS nn1, sum(b) AS bb,
+      |    sum(n0) AS nn0,
+      |    sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS strata_pos,
+      |    sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS strata_neg,
+      |    sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS strata_zero,
+      |    count(*) AS n_strata
+      |  FROM sg GROUP BY 1),
+      |ps AS (
+      |  SELECT *, CAST(sign(CAST(aa AS HUGEINT) * nn0
+      |    - CAST(bb AS HUGEINT) * nn1) AS INTEGER) AS pooled_sign
+      |  FROM p)
+      |SELECT s AS event_type, CAST(n_strata AS BIGINT) AS n_strata,
+      |  CAST(strata_pos AS BIGINT) AS strata_pos,
+      |  CAST(strata_neg AS BIGINT) AS strata_neg,
+      |  CAST(strata_zero AS BIGINT) AS strata_zero, pooled_sign,
+      |  (pooled_sign = 1 AND strata_pos = 0 AND strata_neg > 0)
+      |    OR (pooled_sign = -1 AND strata_neg = 0 AND strata_pos > 0)
+      |    AS reversal
+      |FROM ps ORDER BY event_type""".stripMargin,
     "q404_jackknife_ratio" -> """
       |WITH u AS (
       |  SELECT event_type AS s, user_id AS uid,

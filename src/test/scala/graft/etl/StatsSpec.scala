@@ -604,4 +604,53 @@ class StatsSpec extends SparkSpec {
       out.getAs[Long]("score_q") == 0L)
   }
 
+  test("kruskalWallis matches the hand-ranked no-tie example; " +
+    "all-tied series drops") {
+    // series a: arms {1,2} vs {3,4}: ranks 1..4, doubled 2,4,6,8
+    // HR_A=6, HR_B=14 -> q=18000+98000; H = 0.6*(4.5+24.5)-15 = 2.4
+    // series b: all values equal -> cube == tsum -> undefined, dropped
+    val df = Seq(("a", 0, 1L), ("a", 0, 2L), ("a", 1, 3L), ("a", 1, 4L),
+      ("b", 0, 5L), ("b", 1, 5L)).toDF("s", "g", "v")
+    val out = Stats.kruskalWallis(df, "s", "g", col("v")).collect()
+    assert(out.toSeq == Seq(Row("a", 2L, 4L, 0L, 2400L)))
+  }
+
+  test("cochranArmitage matches the hand-computed dose ladder") {
+    // x=0: 2/10, x=1: 5/10, x=2: 8/10 -> Z^2 = 7.2, upward trend
+    val rows = for {
+      (x, pos) <- Seq((0L, 2), (1L, 5), (2L, 8))
+      i <- 0 until 10
+    } yield ("s", x, i < pos)
+    val df = rows.toDF("s", "x", "y")
+    val out = Stats.cochranArmitage(df, "s", col("x"), col("y")).collect()
+    assert(out.toSeq == Seq(Row("s", 30L, 15L, 1, 7200L)))
+  }
+
+  test("krippendorffAlpha: two-rater example with a single-rating unit") {
+    // u1 {a,a}, u2 {a,b}, u3 {b,b}, u4 {a} (drops: no pair info)
+    // S = 2e6 (only u2 disagrees), n = 6, E = 3*3 + 3*3 = 18
+    // alpha_ppm = 1e6 - 2e6*5 // 18 = 444445
+    val df = Seq(("g", 1L, "a"), ("g", 1L, "a"), ("g", 2L, "a"),
+      ("g", 2L, "b"), ("g", 3L, "b"), ("g", 3L, "b"), ("g", 4L, "a"))
+      .toDF("s", "u", "c")
+    val out = Stats.krippendorffAlpha(df, "s", "u", col("c")).collect()
+    assert(out.toSeq == Seq(Row("g", 3L, 6L, 444445L)))
+  }
+
+  test("simpsonReversal fires on the classic two-stratum paradox") {
+    // stratum 1: T 81/87 vs C 234/270; stratum 2: T 192/263 vs C 55/80
+    // treatment wins both strata, loses pooled (273/350 vs 289/350)
+    val cells = Seq(
+      (1L, true, 81, 6), (1L, false, 234, 36),
+      (2L, true, 192, 71), (2L, false, 55, 25))
+    val rows = cells.flatMap { case (g, t, succ, fail) =>
+      Seq.fill(succ)(("s", g, t, true)) ++ Seq.fill(fail)(("s", g, t, false))
+    }
+    val df = rows.toDF("s", "g", "t", "y")
+    val out = Stats.simpsonReversal(df, "s", "g", col("t"), col("y"))
+      .collect()
+    assert(out.toSeq ==
+      Seq(Row("s", 2L, 2L, 0L, 0L, -1, true)))
+  }
+
 }
