@@ -1005,4 +1005,64 @@ object Corpus {
       .withColumn("f1_bp",
         expr("clipped * 20000 div NULLIF(cand_grams + ref_grams, 0)"))
   }
+
+  /** Budgeted quality-first corpus selection: fill a global token budget
+    * with the best-scoring documents, subject to a per-source token cap
+    * — the "take the best data we can afford, but let no source dominate"
+    * step that sits between scoring (quality/DSIR weights) and the final
+    * shard write. Deterministic two-constraint greedy:
+    *
+    *  1. per-source pass: inside each source, rank by (score desc, id)
+    *     and keep the prefix whose running cost stays ≤ `perSourceCap`
+    *     (a source-partitioned window — one shuffle on source);
+    *  2. global pass: over the survivors, rank globally by (score desc,
+    *     id) and keep the prefix whose running cost stays ≤ `budget`.
+    *
+    * The global prefix sum is NOT a single-partition window: survivors
+    * are range-partitioned on the rank key (the [[deterministicShuffle]]
+    * two-phase construction), each partition cumsums in parallel, and
+    * the per-partition totals (one row per partition, broadcast) supply
+    * the offsets — the only single-partition step is the O(#partitions)
+    * offset cumsum. Returns per source: candidate and selected counts
+    * and token mass — the report a mixture planner reads next to
+    * [[mixtureWeights]]. */
+  def budgetedSelect(df: DataFrame, sourceCol: String, idCol: String,
+      costCol: Column, scoreCol: Column, budget: Long, perSourceCap: Long,
+      rankPartitions: Int = 32): DataFrame = {
+    require(budget > 0 && perSourceCap > 0)
+    val d = df.select(col(sourceCol).as("_src"), col(idCol).as("_id"),
+      costCol.cast("long").as("_c"), scoreCol.cast("long").as("_sc"))
+    val wSrc = Window.partitionBy(col("_src"))
+      .orderBy(col("_sc").desc, col("_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val capped = d.withColumn("_run", sum(col("_c")).over(wSrc))
+      .filter(col("_run") <= perSourceCap)
+      .drop("_run")
+    val bucketed = capped
+      .repartitionByRange(rankPartitions, col("_sc").desc, col("_id").asc)
+      .withColumn("_b", spark_partition_id())
+      .localCheckpoint()
+    val wLoc = Window.partitionBy(col("_b"))
+      .orderBy(col("_sc").desc, col("_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketed.groupBy(col("_b"))
+      .agg(sum(col("_c")).as("_sz"))
+      .withColumn("_off", coalesce(
+        sum(col("_sz")).over(Window.orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_b"), col("_off"))
+    val selected = bucketed
+      .withColumn("_lrun", sum(col("_c")).over(wLoc))
+      .join(broadcast(offsets), "_b")
+      .filter(col("_off") + col("_lrun") <= budget)
+    val candAgg = capped.groupBy(col("_src"))
+      .agg(count(lit(1)).as("n_candidates"), sum(col("_c")).as("cost_candidates"))
+    val selAgg = selected.groupBy(col("_src"))
+      .agg(count(lit(1)).as("n_selected"), sum(col("_c")).as("cost_selected"))
+    candAgg.join(selAgg, Seq("_src"), "left")
+      .select(col("_src").as(sourceCol), col("n_candidates"),
+        col("cost_candidates"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("cost_selected"), lit(0L)).as("cost_selected"))
+  }
 }

@@ -252,4 +252,26 @@ object Layout {
       .withColumn("clustering_bp", expr(
         "CAST(n_distinct * 10000 div NULLIF(n_runs, 0) AS BIGINT)"))
   }
+
+  /** Bloom-filter sizing plan per partition: the capacity table a
+    * runtime filter build consults BEFORE materializing per-partition
+    * blooms for a semi-join (the planning companion to the bloom-join
+    * operator itself, q124) — for each partition, the exact distinct key
+    * count, the bit-array size at the target false-positive rate, and
+    * the 64-bit word footprint.
+    *
+    * `bitsPerKeyMilli` defaults to 9585 = ⌈1000·(−ln 0.01 / ln²2)⌉, the
+    * optimal-bloom bits/key at 1% FPP, with `nHashes` = 7 ≈ 0.693·9.585
+    * — constants precomputed so the plan is pure integer arithmetic
+    * (`bits = ⌈n·9585/1000⌉`), no libm in either engine. One exact
+    * distinct-count aggregate per partition; at 100 TB swap the exact
+    * count for HLL (q168/q190) and keep the same sizing arithmetic. */
+  def bloomPlan(df: DataFrame, partCol: String, keyCol: String,
+      bitsPerKeyMilli: Long = 9585L, nHashes: Int = 7): DataFrame =
+    df.groupBy(col(partCol))
+      .agg(countDistinct(col(keyCol)).as("n_keys"))
+      .withColumn("bits", expr(
+        s"CAST((n_keys * $bitsPerKeyMilli + 999) div 1000 AS BIGINT)"))
+      .withColumn("words64", expr("CAST((bits + 63) div 64 AS BIGINT)"))
+      .withColumn("k_hashes", lit(nHashes))
 }

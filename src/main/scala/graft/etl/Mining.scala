@@ -945,4 +945,50 @@ object Mining {
         col("_best").getField("tl").as("n_left"),
         col("_best").getField("pl").as("pos_left"))
   }
+
+  /** Expected Reciprocal Rank at k (cascade-model ranking quality, the
+    * graded companion to MRR/NDCG): a simulated user scans the ranking
+    * top-down, stops at rank r with probability R_r = (2^g − 1)/2^gmax,
+    * and ERR = Σ_r (1/r)·R_r·Π_{i<r}(1 − R_i). Unlike NDCG, a
+    * highly-relevant early hit SHADES everything below it — the metric
+    * that tells serving whether rank 1 actually answers the query.
+    *
+    * Integer-exact through dyadic rationals: with gmax = 3 every R_r has
+    * denominator 8, so scaling by lcm(1..k)·8^k clears ALL fractions:
+    *   err_scaled = Σ_r (2520 div r)·(2^g − 1)·Π_{i<r}(8 − (2^g_i −1))
+    *                 ·8^(k−r)              (k ≤ 10, lcm(1..10) = 2520)
+    * and err_ppm = err_scaled·10⁶ div (2520·8^k) via decimal(38,0).
+    * The prefix product Π(8 − Rnum) rides collect_list over the
+    * group-partitioned rank window + an `aggregate` fold — exact 64-bit
+    * integers (≤ 8^(k−1)), mirrored by DuckDB's product() window (double,
+    * but exact below 2^53). One shuffle on the group key. */
+  def errAtK(ranked: DataFrame, groupCol: String, rankCol: String,
+      gradeCol: Column, k: Int = 10, gmax: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 10, "k <= 10: the lcm constant is 2520")
+    require(gmax >= 1 && gmax <= 6, "gmax in 1..6 keeps 2^g in int range")
+    val d = ranked.filter(col(rankCol) <= k)
+      .select(col(groupCol).as("_g"), col(rankCol).cast("int").as("_r"),
+        least(greatest(gradeCol.cast("long"), lit(0L)), lit(gmax.toLong))
+          .as("_grade"))
+      .withColumn("_rnum",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(_grade AS INT)) - 1"))
+      .withColumn("_nstop", lit(1L << gmax) - col("_rnum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_r"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val denomBase = 1L << gmax
+    d.withColumn("_prevs", collect_list(col("_nstop")).over(w))
+      .withColumn("_pre",
+        expr("aggregate(_prevs, CAST(1 AS BIGINT), (acc, x) -> acc * x)"))
+      .withColumn("_term", expr(
+        s"(2520 div _r) * _rnum * _pre " +
+          s"* shiftleft(CAST(1 AS BIGINT), ($k - _r) * $gmax)"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_ranked"), sum(col("_term")).as("_e"))
+      .select(col("_g").as(groupCol), col("n_ranked"),
+        expr(s"CAST(CAST(_e AS DECIMAL(38,0)) * 1000000 " +
+          s"div (CAST(2520 AS DECIMAL(38,0)) " +
+          s"* ${BigInt(denomBase).pow(k)}) AS BIGINT)").as("err_ppm"))
+  }
 }

@@ -412,4 +412,50 @@ object Series {
         col("det_num") * expr("seas_den div 7") - col("seas_num"))
       .withColumn("res_den", col("seas_den"))
   }
+
+  /** Epoch-folding periodicity scan: for each candidate period p, fold
+    * the per-tick series onto phase buckets `d mod p` and score how much
+    * of the total variance the bucket means explain —
+    * `score_milli ≈ 1000·SSB/SST`. A true period-p signal concentrates
+    * variance between phase buckets (score → 1000); white noise spreads
+    * it (score → 0). The integer-exact spectral proxy: folding is the
+    * astronomy-standard period test and needs no sin/cos, so there is no
+    * libm divergence between engines — the reason this is used here
+    * instead of a periodogram.
+    *
+    * Arithmetic: A = Σ_b (S_b²·10⁶ div c_b) (ppm-scaled Σ S_b²/c_b,
+    * floored per bucket — engine-identical), B = S²·10⁶ div n,
+    * SSB_ppm = max(A − B, 0), SST_ppm = Q·10⁶ − B, score = SSB·1000 div
+    * SST. Candidate periods broadcast; one aggregate per (key, period,
+    * phase) then (key, period) — combiner-friendly, ticks×|periods| rows
+    * in flight, never a global window. */
+  def foldedPeriodScan(daily: DataFrame, keyCol: String, dCol: String,
+      xCol: String, periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2),
+      "candidate periods must be >= 2")
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val d = daily.select(col(keyCol).as("_k"), col(dCol).cast("long").as("_d"),
+      col(xCol).cast("long").as("_x"))
+    val per = periods.toDF("period")
+    val buckets = d.crossJoin(broadcast(per))
+      .groupBy(col("_k"), col("period"), pmod(col("_d"), col("period")).as("_b"))
+      .agg(count(lit(1)).as("_c"), sum(col("_x")).as("_s"))
+      .groupBy(col("_k"), col("period"))
+      .agg(sum(expr(
+        "CAST(CAST(_s AS DECIMAL(38,0)) * _s * 1000000 div _c AS DECIMAL(38,0))"))
+        .as("_a"))
+    val tot = d.groupBy(col("_k"))
+      .agg(count(lit(1)).as("n_ticks"), sum(col("_x")).as("_sum"),
+        sum(expr("CAST(_x AS DECIMAL(38,0)) * _x")).as("_q"))
+      .withColumn("_bb", expr(
+        "CAST(CAST(_sum AS DECIMAL(38,0)) * _sum * 1000000 div n_ticks " +
+          "AS DECIMAL(38,0))"))
+    buckets.join(tot, Seq("_k"))
+      .withColumn("_sst", expr("_q * 1000000 - _bb"))
+      .filter(col("_sst") > 0)
+      .select(col("_k").as(keyCol), col("period"), col("n_ticks"),
+        expr("CAST(greatest(_a - _bb, CAST(0 AS DECIMAL(38,0))) * 1000 " +
+          "div _sst AS BIGINT)").as("score_milli"))
+  }
 }

@@ -1139,6 +1139,40 @@ object Similarity {
       .withColumn("recall_bp", expr("hits * 10000 div n_exact"))
   }
 
+  /** Matryoshka-truncation recall audit: for each prefix dimensionality
+    * d, how much of the FULL-dimension exact top-k does a search over
+    * only the first d coordinates recover? The measured dial for
+    * matryoshka-style embeddings (nested prefixes trained to be usable
+    * truncations): serving at d=16 instead of 64 cuts index bytes and
+    * dot-product work 4× — this table says what recall that buys at each
+    * rung, per the same micro-averaged protocol as [[annRecallAudit]]
+    * (which audits the LSH bucketing loss; this audits the dimension
+    * loss — orthogonal knives).
+    *
+    * Per dim: one [[bruteForceTopK]] over `slice(vec, 1, d)` joined to
+    * the full-dim truth; the truncated scans get CHEAPER as d shrinks.
+    * The truth plan is referenced by every rung — on a large corpus
+    * cache/checkpoint it first (at audit scale here the recompute is the
+    * cheaper trade; flagged rather than hidden). Output one row per dim:
+    * `(dim, n_queries, hits, n_exact, recall_bp)` micro-averaged. */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1))
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    dims.map { dd =>
+      val approx = bruteForceTopK(
+        corpus.withColumn(vecCol, slice(col(vecCol), 1, dd)),
+        queries.withColumn(vecCol, slice(col(vecCol), 1, dd)),
+        idCol, vecCol, k)
+      recallOf(truth, approx)
+        .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("hits"),
+          sum(col("n_exact")).as("n_exact"))
+        .select(lit(dd).as("dim"), col("n_queries"), col("hits"),
+          col("n_exact"),
+          expr("CAST(hits * 10000 div n_exact AS BIGINT)").as("recall_bp"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Embedding-cosine near-duplicate PAIRS (the dedup-flavored companion to
     * the top-k searches): candidates share a sign-LSH bucket (never an
     * all-pairs join — at 100 TB the corpus is hash-partitioned by bucket and

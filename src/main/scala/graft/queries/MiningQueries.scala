@@ -865,6 +865,27 @@ object MiningQueries {
   private val NdcgWeights = Seq(1000000L, 630930L, 500000L, 430677L,
     386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
 
+  // ------------------------------------------------- q412 ERR
+
+  /** Expected Reciprocal Rank ([[Mining.errAtK]]) of each order's
+    * price-ranked lineitems with graded relevance `l_partkey mod 4`:
+    * the cascade-model serving metric where an early relevant hit
+    * shades everything ranked below it — the stop-probability
+    * complement to q195's positional-discount NDCG, integer-exact via
+    * dyadic stop probabilities scaled by lcm(1..k)·8^k. */
+  def q412Err(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", ($"l_partkey" % 4).as("g"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy($"c".desc, $"l_linenumber".asc)
+    val ranked = li.withColumn("rnk", row_number().over(w))
+    Mining.errAtK(ranked, "l_orderkey", "rnk", $"g", k = 7, gmax = 3)
+      .orderBy($"l_orderkey")
+  }
+
   // ------------------------------------------------- q196 l-diversity
 
   /** l-diversity audit ([[Privacy.lDiversity]]) over the q148 QI grid
@@ -1025,6 +1046,7 @@ object MiningQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q412_err" -> q412Err _,
     "q210_ref_percentile" -> q210RefPercentile _,
     "q211_proration" -> q211Proration _,
     "q207_histogram_2d" -> q207Histogram2d _,
@@ -1199,6 +1221,33 @@ object MiningQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q412_err" -> """
+      |WITH r AS (
+      |  SELECT l_orderkey AS g, l_partkey % 4 AS grade,
+      |    row_number() OVER (PARTITION BY l_orderkey
+      |      ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT) DESC,
+      |        l_linenumber) AS rnk
+      |  FROM lineitem),
+      |d AS (
+      |  SELECT g, rnk,
+      |    (CAST(1 AS BIGINT) << CAST(grade AS INTEGER)) - 1 AS rnum,
+      |    8 - ((CAST(1 AS BIGINT) << CAST(grade AS INTEGER)) - 1) AS nstop
+      |  FROM r WHERE rnk <= 7),
+      |p AS (
+      |  SELECT g, rnk, rnum,
+      |    CAST(coalesce(product(nstop) OVER (PARTITION BY g ORDER BY rnk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1)
+      |      AS BIGINT) AS pre
+      |  FROM d),
+      |t AS (
+      |  SELECT g, count(*) AS n_ranked,
+      |    sum((2520 // rnk) * rnum * pre
+      |      * (CAST(1 AS BIGINT) << ((7 - rnk) * 3))) AS e
+      |  FROM p GROUP BY 1)
+      |SELECT g AS l_orderkey, CAST(n_ranked AS BIGINT) AS n_ranked,
+      |  CAST(CAST(e AS HUGEINT) * 1000000
+      |    // (2520 * CAST(2097152 AS BIGINT)) AS BIGINT) AS err_ppm
+      |FROM t ORDER BY l_orderkey""".stripMargin,
     "q316_qini_curve" -> """
       |WITH e AS (
       |  SELECT event_type, event_id,

@@ -853,7 +853,24 @@ object Relational {
       .orderBy($"month", $"rk")
   }
 
+  /** Q411 — per-partition Bloom-filter sizing plan
+    * ([[graft.etl.Layout.bloomPlan]]): for each order month, the exact
+    * distinct customer count and the 1%-FPP bit/word footprint a
+    * runtime-filter build would allocate — the capacity table consulted
+    * before materializing per-partition blooms for the q124-style
+    * pruned semi-join. Pure integer sizing (9585 milli-bits/key, k=7):
+    * no libm in either engine. */
+  def q411BloomPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select(date_format($"o_orderdate", "yyyy-MM").as("month"),
+        $"o_custkey")
+    graft.etl.Layout.bloomPlan(o, "month", "o_custkey")
+      .orderBy($"month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q411_bloom_plan" -> q411BloomPlan _,
     "q215_leaderboard" -> q215Leaderboard _,
     "q191_pop_growth" -> q191PopGrowth _,
     "q1_agg" -> q1Agg _,
@@ -913,6 +930,21 @@ object Relational {
     * instead of `100.0` because DuckDB parses `100.0` as DECIMAL and would
     * round differently from Spark's double arithmetic. */
   val oracleSql: Map[String, String] = Map(
+    "q411_bloom_plan" -> """
+      |WITH p AS (
+      |  SELECT substring(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 7)
+      |    AS month,
+      |    count(DISTINCT o_custkey) AS n_keys
+      |  FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT month, n_keys,
+      |    (n_keys * 9585 + 999) // 1000 AS bits
+      |  FROM p)
+      |SELECT month, CAST(n_keys AS BIGINT) AS n_keys,
+      |  CAST(bits AS BIGINT) AS bits,
+      |  CAST((bits + 63) // 64 AS BIGINT) AS words64,
+      |  7 AS k_hashes
+      |FROM b ORDER BY month""".stripMargin,
     "q371_fd_audit" -> {
       def one(name: String, table: String, lhs: String, rhs: String) =
         s"""SELECT '$name' AS fd, CAST(count(*) AS BIGINT) AS n_groups,

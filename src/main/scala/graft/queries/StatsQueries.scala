@@ -1007,7 +1007,29 @@ object StatsQueries {
       .orderBy($"event_type")
   }
 
+  // ------------------------------------------- q410 folded period scan
+
+  /** Epoch-folding periodicity scan ([[Series.foldedPeriodScan]]):
+    * fold each type's daily counts onto candidate periods 2–14 and
+    * score the between-phase variance share — the integer spectral
+    * proxy (no sin/cos, no libm divergence) that finds the weekly
+    * cycle q338's burst detector ASSUMES, instead of assuming it.
+    * The p=7 row should dominate for seasonal traffic; a flat scan
+    * says calendar folding adds nothing. */
+  def q410PeriodScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.etl.Series.foldedPeriodScan(daily, "event_type", "d", "cnt",
+        periods = Seq(2, 3, 4, 5, 6, 7, 8, 9, 10, 14))
+      .orderBy($"event_type", $"period")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q410_period_scan" -> q410PeriodScan _,
     "q406_kruskal_wallis" -> q406KruskalWallis _,
     "q407_cochran_armitage" -> q407CochranArmitage _,
     "q408_krippendorff" -> q408Krippendorff _,
@@ -1059,6 +1081,36 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q410_period_scan" -> """
+      |WITH daily AS (
+      |  SELECT event_type AS k,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |pers AS (SELECT * FROM (VALUES (2), (3), (4), (5), (6), (7), (8),
+      |  (9), (10), (14)) t(period)),
+      |b AS (
+      |  SELECT k, period, d % period AS ph, count(*) AS c, sum(x) AS s
+      |  FROM daily CROSS JOIN pers GROUP BY 1, 2, 3),
+      |a AS (
+      |  SELECT k, period,
+      |    sum(CAST(s AS HUGEINT) * s * 1000000 // c) AS aa
+      |  FROM b GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT k, count(*) AS n_ticks, sum(x) AS sm,
+      |    sum(CAST(x AS HUGEINT) * x) AS q
+      |  FROM daily GROUP BY 1),
+      |t2 AS (
+      |  SELECT k, n_ticks, q,
+      |    CAST(sm AS HUGEINT) * sm * 1000000 // n_ticks AS bb
+      |  FROM tot)
+      |SELECT a.k AS event_type, a.period, CAST(n_ticks AS BIGINT) AS n_ticks,
+      |  CAST(greatest(aa - bb, CAST(0 AS HUGEINT)) * 1000
+      |    // (q * 1000000 - bb) AS BIGINT) AS score_milli
+      |FROM a JOIN t2 ON a.k = t2.k
+      |WHERE q * 1000000 - bb > 0
+      |ORDER BY event_type, period""".stripMargin,
     "q406_kruskal_wallis" -> """
       |WITH d AS (
       |  SELECT event_type AS s, user_id % 4 AS g,

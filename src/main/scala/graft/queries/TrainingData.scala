@@ -733,6 +733,37 @@ object TrainingData {
       .orderBy($"query_id")
   }
 
+  /** Matryoshka truncation-recall ladder
+    * ([[graft.etl.Similarity.matryoshkaRecall]]): micro-averaged recall
+    * of the full-64-dim exact top-10 when the search runs over only the
+    * first 8/16/32 coordinates — the dimension-vs-recall dial read
+    * before serving truncated embeddings, orthogonal to q315's
+    * LSH-bucketing recall on the same protocol. */
+  def q413MatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" % 400 === 0)
+    graft.etl.Similarity.matryoshkaRecall(emb, queries, "vec_id",
+        "embedding", k = 10, dims = Seq(8, 16, 32))
+      .orderBy($"dim")
+  }
+
+  /** Budgeted quality-first selection
+    * ([[graft.etl.Corpus.budgetedSelect]]): fill a 300k-char global
+    * budget with the best-scoring documents (deterministic
+    * `length(text) mod 997` score) while no source spends more than
+    * 40k chars — the per-source report of what the greedy
+    * two-constraint plan admits, next to q313's exact-blend planner. */
+  def q414BudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"source", $"doc_id", $"n_chars",
+        (length($"text") % 997).as("score"))
+    graft.etl.Corpus.budgetedSelect(docs, "source", "doc_id",
+        $"n_chars", $"score", budget = 300000L, perSourceCap = 40000L)
+      .orderBy($"source")
+  }
+
   /** Cross-source duplication matrix ([[graft.etl.Dedupe.sourceOverlap]])
     * with a synthetic "mirror" feed republishing every 7th document:
     * which source pairs share byte-identical texts — the provenance map
@@ -927,6 +958,8 @@ object TrainingData {
     "q313_mixture_weights" -> q313MixtureWeights _,
     "q314_textrank" -> q314Textrank _,
     "q315_ann_recall" -> q315AnnRecall _,
+    "q413_matryoshka_recall" -> q413MatryoshkaRecall _,
+    "q414_budget_select" -> q414BudgetSelect _,
     "q319_simhash_recall" -> q319SimhashRecall _,
     "q343_markup_density" -> q343MarkupDensity _,
     "q344_lsh_band_plan" -> q344LshBandPlan _,
@@ -1999,6 +2032,71 @@ object TrainingData {
       |  least(n, raw) AS take_rows, raw > n AS capped,
       |  CAST(least(n, raw) * 10000 // n AS BIGINT) AS rate_bp
       |FROM r ORDER BY lang""".stripMargin,
+    "q413_matryoshka_recall" -> """
+      |WITH e AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |dims AS (SELECT * FROM (VALUES (8), (16), (32)) t(dim)),
+      |truth AS (
+      |  SELECT query_id, nn_id FROM (
+      |    SELECT qe.vec_id AS query_id, ce.vec_id AS nn_id,
+      |      row_number() OVER (PARTITION BY qe.vec_id
+      |        ORDER BY CAST(list_dot_product(qe.q, ce.q) AS BIGINT) DESC,
+      |          ce.vec_id) AS rnk
+      |    FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id
+      |    WHERE qe.vec_id % 400 = 0)
+      |  WHERE rnk <= 10),
+      |a10 AS (
+      |  SELECT dim, query_id, nn_id FROM (
+      |    SELECT d.dim, qe.vec_id AS query_id, ce.vec_id AS nn_id,
+      |      row_number() OVER (PARTITION BY d.dim, qe.vec_id
+      |        ORDER BY CAST(list_dot_product(list_slice(qe.q, 1, d.dim),
+      |          list_slice(ce.q, 1, d.dim)) AS BIGINT) DESC,
+      |          ce.vec_id) AS rnk
+      |    FROM dims d CROSS JOIN e qe JOIN e ce ON ce.vec_id <> qe.vec_id
+      |    WHERE qe.vec_id % 400 = 0)
+      |  WHERE rnk <= 10),
+      |per AS (
+      |  SELECT d.dim,
+      |    count(*) AS n_pairs, count(a.nn_id) AS hits,
+      |    count(DISTINCT t.query_id) AS n_queries
+      |  FROM dims d CROSS JOIN truth t
+      |  LEFT JOIN a10 a ON a.dim = d.dim AND a.query_id = t.query_id
+      |    AND a.nn_id = t.nn_id
+      |  GROUP BY 1)
+      |SELECT dim, CAST(n_queries AS BIGINT) AS n_queries,
+      |  CAST(hits AS BIGINT) AS hits, CAST(n_pairs AS BIGINT) AS n_exact,
+      |  CAST(hits * 10000 // n_pairs AS BIGINT) AS recall_bp
+      |FROM per ORDER BY dim""".stripMargin,
+    "q414_budget_select" -> """
+      |WITH d AS (
+      |  SELECT source, doc_id, n_chars, length(text) % 997 AS score
+      |  FROM documents),
+      |capped AS (
+      |  SELECT * FROM (
+      |    SELECT source, doc_id, n_chars, score,
+      |      sum(n_chars) OVER (PARTITION BY source
+      |        ORDER BY score DESC, doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |    FROM d)
+      |  WHERE run <= 40000),
+      |sel AS (
+      |  SELECT * FROM (
+      |    SELECT source, doc_id, n_chars,
+      |      sum(n_chars) OVER (ORDER BY score DESC, doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grun
+      |    FROM capped)
+      |  WHERE grun <= 300000)
+      |SELECT c.source, CAST(c.n AS BIGINT) AS n_candidates,
+      |  CAST(c.tok AS BIGINT) AS cost_candidates,
+      |  CAST(coalesce(s.n, 0) AS BIGINT) AS n_selected,
+      |  CAST(coalesce(s.tok, 0) AS BIGINT) AS cost_selected
+      |FROM (SELECT source, count(*) AS n, sum(n_chars) AS tok
+      |      FROM capped GROUP BY 1) c
+      |LEFT JOIN (SELECT source, count(*) AS n, sum(n_chars) AS tok
+      |      FROM sel GROUP BY 1) s ON s.source = c.source
+      |ORDER BY c.source""".stripMargin,
     "q315_ann_recall" -> s"""
       |WITH $qembSql,
       |ex AS MATERIALIZED (

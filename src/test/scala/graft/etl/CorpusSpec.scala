@@ -516,4 +516,21 @@ class CorpusSpec extends SparkSpec {
       2L -> (("nl", 1L, 0L, 0L))))
   }
 
+  test("budgetedSelect enforces the per-source cap then the global budget") {
+    import spark.implicits._
+    // cap 10: A keeps id1,id2 (drops id3); B keeps id4 (id5 would pass 10)
+    // budget 12 over survivors by score: id1 (5), id2 (10), id4 stops (15)
+    val df = Seq(
+      ("A", 1L, 5L, 10L), ("A", 2L, 5L, 9L), ("A", 3L, 5L, 1L),
+      ("B", 4L, 5L, 8L), ("B", 5L, 20L, 7L))
+      .toDF("src", "id", "cost", "score")
+    val out = Corpus.budgetedSelect(df, "src", "id", col("cost"),
+        col("score"), budget = 12L, perSourceCap = 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      "A" -> ((2L, 10L, 2L, 10L)),
+      "B" -> ((1L, 5L, 0L, 0L))))
+  }
+
 }

@@ -197,4 +197,14 @@ class LayoutSpec extends SparkSpec {
     assert(fb1.getAs[Long]("n_runs") == 8L)
   }
 
+  test("bloomPlan sizes 1000 keys at 9585 bits, 150 words, k=7") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(k => ("p", k)).toSeq.toDF("part", "key")
+    val out = Layout.bloomPlan(df, "part", "key").collect().head
+    assert(out.getAs[Long]("n_keys") == 1000L &&
+      out.getAs[Long]("bits") == 9585L &&
+      out.getAs[Long]("words64") == 150L &&
+      out.getAs[Int]("k_hashes") == 7)
+  }
+
 }

@@ -960,4 +960,14 @@ class MiningSpec extends SparkSpec {
       ("t", 9L, 1L, 7L, false)))
   }
 
+  test("errAtK matches the two-rank dyadic hand example") {
+    import spark.implicits._
+    // r1 g=3 (R=7/8), r2 g=1 (R=1/8):
+    // ERR = 7/8 + (1/2)(1/8)(1/8) = 0.8828125 -> 882812 ppm floored
+    val df = Seq(("q", 1, 3L), ("q", 2, 1L)).toDF("g", "rnk", "grade")
+    val out = Mining.errAtK(df, "g", "rnk", col("grade"), k = 2)
+      .collect()
+    assert(out.toSeq == Seq(Row("q", 2L, 882812L)))
+  }
+
 }

@@ -999,4 +999,18 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 0L, 0L, 0L, -1L), (2L, 3L, 2L, 2L, 1L)))
   }
 
+  test("matryoshkaRecall: truncation flips the winner, full dim recovers") {
+    import spark.implicits._
+    // query 0 = (1,1); full-dim top1 = c (dot 2); first-dim top1 = a (dot 2)
+    val emb = Seq(
+      (0L, Seq(1.0f, 1.0f)), (1L, Seq(2.0f, -5.0f)),
+      (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0)
+    val out = Similarity.matryoshkaRecall(emb, q, "vec_id", "embedding",
+        k = 1, dims = Seq(1, 2))
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("recall_bp")).toMap
+    assert(out == Map(1 -> 0L, 2 -> 10000L))
+  }
+
 }

@@ -637,6 +637,16 @@ class StatsSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row("g", 3L, 6L, 444445L)))
   }
 
+  test("foldedPeriodScan scores a pure period-2 signal 1000 at p=2, " +
+    "500 at p=3") {
+    // x = 10,0,10,0 over d=0..3: p=2 explains all variance, p=3 half
+    val daily = Seq(("e", 0L, 10L), ("e", 1L, 0L), ("e", 2L, 10L),
+      ("e", 3L, 0L)).toDF("k", "d", "x")
+    val out = Series.foldedPeriodScan(daily, "k", "d", "x", Seq(2, 3))
+      .collect().map(r => r.getInt(1) -> r.getLong(3)).toMap
+    assert(out == Map(2 -> 1000L, 3 -> 500L))
+  }
+
   test("simpsonReversal fires on the classic two-stratum paradox") {
     // stratum 1: T 81/87 vs C 234/270; stratum 2: T 192/263 vs C 55/80
     // treatment wins both strata, loses pooled (273/350 vs 289/350)
