@@ -1437,4 +1437,120 @@ object Stats {
         col("pooled_sign") === -1 && col("strata_neg") === 0 &&
           col("strata_pos") > 0).as("reversal"))
   }
+
+  /** Subgroup fairness gaps of a binary decision per series: for each
+    * protected group, the selection rate, true-positive rate, and
+    * false-positive rate in basis points, each with its gap against the
+    * series-overall rate — demographic-parity and equalized-odds reads
+    * in one table. The audit a curation gate (or any classifier whose
+    * output feeds training data) must pass per language/source before
+    * its decisions ship: a length-based keep rule that silently selects
+    * one language 30 bp harder IS a dataset bias.
+    *
+    * Integer-exact: every rate is `hits·10⁴ div n` and every gap a
+    * difference of two such floored rates; overall rates come from a
+    * series-partitioned window over the group aggregates (no second
+    * shuffle). TPR/FPR are NULL where the group has no positives /
+    * negatives — surfaced, not coalesced to 0, so an all-positive group
+    * can't masquerade as fpr_gap = 0. */
+  def fairnessGaps(df: DataFrame, seriesCol: String, groupCol: String,
+      predCol: Column, labelCol: Column): DataFrame = {
+    val d = df.select(col(seriesCol).as("_s"), col(groupCol).as("_g"),
+      when(predCol, lit(1L)).otherwise(lit(0L)).as("_p"),
+      when(labelCol, lit(1L)).otherwise(lit(0L)).as("_y"))
+    val g = d.groupBy(col("_s"), col("_g"))
+      .agg(count(lit(1)).as("n"), sum(col("_p")).as("_np"),
+        sum(col("_y")).as("_ny"),
+        sum(col("_p") * col("_y")).as("_tp"),
+        sum(col("_p") * (lit(1L) - col("_y"))).as("_fp"))
+    val ws = Window.partitionBy(col("_s"))
+    g.withColumn("_tn", sum(col("n")).over(ws))
+      .withColumn("_tnp", sum(col("_np")).over(ws))
+      .withColumn("_tny", sum(col("_ny")).over(ws))
+      .withColumn("_ttp", sum(col("_tp")).over(ws))
+      .withColumn("_tfp", sum(col("_fp")).over(ws))
+      .select(col("_s").as(seriesCol), col("_g").as(groupCol), col("n"),
+        expr("_np * 10000 div n").as("sel_bp"),
+        expr("_tp * 10000 div NULLIF(_ny, 0)").as("tpr_bp"),
+        expr("_fp * 10000 div NULLIF(n - _ny, 0)").as("fpr_bp"),
+        expr("_np * 10000 div n - _tnp * 10000 div _tn").as("sel_gap_bp"),
+        expr("_tp * 10000 div NULLIF(_ny, 0) " +
+          "- _ttp * 10000 div NULLIF(_tny, 0)").as("tpr_gap_bp"),
+        expr("_fp * 10000 div NULLIF(n - _ny, 0) " +
+          "- _tfp * 10000 div NULLIF(_tn - _tny, 0)").as("fpr_gap_bp"))
+  }
+
+  /** Standardized-mean-difference covariate balance per series: did the
+    * randomization actually balance a pre-treatment covariate across the
+    * two arms? The gate read BEFORE trusting CUPED (q311) or
+    * diff-in-diff (q308) adjustments built on that covariate —
+    * |SMD| > 0.1 (smd2_milli > 10) is the standard imbalance flag.
+    *
+    * Milli-scaled exact pipeline (floors engine-identical):
+    *   m_milli  = S·10³ div n                   (per-arm mean)
+    *   v_milli  = (Q·10³·n − S²·10³) div (n·(n−1))   (sample variance)
+    *   d_milli  = m1 − m0,  vp_milli = (v1+v0) div 2
+    *   smd2_milli = d_milli² div (vp_milli·10³)·10³ → d_milli² div
+    *   vp_milli, since (d·10⁻³)²/(vp·10⁻³) = d²/(10³·vp).
+    * One combiner-friendly aggregate on (series, arm); decimal(38,0)
+    * cross-multiplies for the variance numerator. */
+  def smdBalance(df: DataFrame, seriesCol: String, treatedCol: Column,
+      valueCol: Column): DataFrame = {
+    val d = df.select(col(seriesCol).as("_s"),
+      when(treatedCol, lit(1)).otherwise(lit(0)).as("_t"),
+      valueCol.cast("long").as("_v"))
+    val arms = d.groupBy(col("_s"), col("_t"))
+      .agg(count(lit(1)).as("_n"), sum(col("_v")).as("_sum"),
+        sum(expr("CAST(_v AS DECIMAL(38,0)) * _v")).as("_q"))
+      .filter(col("_n") >= 2)
+      .withColumn("_m_milli", expr(
+        "CAST(CAST(_sum AS DECIMAL(38,0)) * 1000 div _n AS BIGINT)"))
+      .withColumn("_v_milli", expr(
+        "CAST((_q * 1000 * _n - CAST(_sum AS DECIMAL(38,0)) * _sum * 1000) " +
+          "div (CAST(_n AS DECIMAL(38,0)) * (_n - 1)) AS BIGINT)"))
+    val t1 = arms.filter(col("_t") === 1).select(col("_s"),
+      col("_n").as("n1"), col("_m_milli").as("_m1"), col("_v_milli").as("_v1"))
+    val t0 = arms.filter(col("_t") === 0).select(col("_s"),
+      col("_n").as("n0"), col("_m_milli").as("_m0"), col("_v_milli").as("_v0"))
+    t1.join(t0, Seq("_s"))
+      .withColumn("_vp", expr("(_v1 + _v0) div 2"))
+      .filter(col("_vp") > 0)
+      .select(col("_s").as(seriesCol), col("n1"), col("n0"),
+        (col("_m1") - col("_m0")).as("d_milli"),
+        expr("CAST(CAST(_m1 - _m0 AS DECIMAL(38,0)) * (_m1 - _m0) " +
+          "div _vp AS BIGINT)").as("smd2_milli"))
+  }
+
+  /** Two-arm sample-size (power) plan per series: the n-per-arm a 5%-MDE
+    * two-sided test at α=0.05 / power 0.80 needs, from the series' own
+    * observed variance — the "can this experiment even resolve a 5%
+    * lift?" table read before any A/B on the metric is launched.
+    *
+    * n = C·σ²/δ² with C = 2·(z₀.₉₇₅ + z₀.₈)² ≈ 15.697 precomputed as a
+    * cross-engine milli literal (same treatment as the NDCG log weights:
+    * constants, not libm calls). With C = c_milli/10³, σ² = v_milli/10³
+    * and δ² = d_milli²/10⁶ the milli scales cancel exactly:
+    *   n_required = c_milli·v_milli div δ_milli².
+    * Zero-mean series (δ = 0) are surfaced with NULL, not dropped. */
+  def samplePowerPlan(df: DataFrame, seriesCol: String, valueCol: Column,
+      mdeMilli: Long = 50L, cMilli: Long = 15697L): DataFrame = {
+    val d = df.select(col(seriesCol).as("_s"), valueCol.cast("long").as("_v"))
+    d.groupBy(col("_s"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("_v")).as("_sum"),
+        sum(expr("CAST(_v AS DECIMAL(38,0)) * _v")).as("_q"))
+      .filter(col("n_obs") >= 2)
+      .withColumn("mean_milli", expr(
+        "CAST(CAST(_sum AS DECIMAL(38,0)) * 1000 div n_obs AS BIGINT)"))
+      .withColumn("var_milli", expr(
+        "CAST((_q * 1000 * n_obs - CAST(_sum AS DECIMAL(38,0)) * _sum * 1000)" +
+          " div (CAST(n_obs AS DECIMAL(38,0)) * (n_obs - 1)) " +
+          "AS BIGINT)"))
+      .withColumn("delta_milli",
+        expr(s"abs(mean_milli) * $mdeMilli div 1000"))
+      .select(col("_s").as(seriesCol), col("n_obs"), col("mean_milli"),
+        col("var_milli"), col("delta_milli"),
+        expr(s"CAST(CAST($cMilli AS DECIMAL(38,0)) * var_milli " +
+          "div NULLIF(CAST(delta_milli AS DECIMAL(38,0)) * delta_milli, 0) " +
+          "AS BIGINT)").as("n_required"))
+  }
 }

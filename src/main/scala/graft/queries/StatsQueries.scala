@@ -1028,7 +1028,58 @@ object StatsQueries {
       .orderBy($"event_type", $"period")
   }
 
+  // ------------------------------------------- q415 fairness gaps
+
+  /** Subgroup fairness audit ([[Stats.fairnessGaps]]) of a length-based
+    * curation keep rule (n_chars ≥ 500) per source, grouped by language:
+    * selection-rate, TPR and FPR gaps vs each source's overall rates,
+    * against a deterministic usefulness label. The demographic-parity /
+    * equalized-odds read a keep gate must pass before its decisions
+    * reshape the language mix of the corpus. */
+  def q415FairnessGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"source", $"lang", ($"n_chars" >= 500).as("pred"),
+        ($"doc_id" % 4 =!= 0).as("label"))
+    Stats.fairnessGaps(docs, "source", "lang", $"pred", $"label")
+      .orderBy($"source", $"lang")
+  }
+
+  // ------------------------------------------- q416 SMD balance
+
+  /** Covariate-balance SMD ([[Stats.smdBalance]]): are the even/odd
+    * user arms balanced on spend (cents) inside each event type?
+    * smd2_milli > 10 (|SMD| > 0.1) flags an imbalance that invalidates
+    * the pooled uplift reads (q308/q311) built on these arms. */
+  def q416SmdBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"value".isNotNull && $"value" >= 0 &&
+        $"user_id".isNotNull && $"user_id" >= 0)
+      .select($"event_type", ($"user_id" % 2 === 0).as("t"), cents.as("v"))
+    Stats.smdBalance(e, "event_type", $"t", $"v")
+      .orderBy($"event_type")
+  }
+
+  // ------------------------------------------- q418 power plan
+
+  /** Two-arm sample-size plan ([[Stats.samplePowerPlan]]) for a 5% MDE
+    * on mean spend per event type at α=0.05 / power 0.80 — the
+    * "how long must this A/B run" table, from each type's own observed
+    * variance, with the z-constant precomputed as a milli literal. */
+  def q418PowerPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"value".isNotNull && $"value" >= 0)
+      .select($"event_type", cents.as("v"))
+    Stats.samplePowerPlan(e, "event_type", $"v")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q415_fairness_gaps" -> q415FairnessGaps _,
+    "q416_smd_balance" -> q416SmdBalance _,
+    "q418_power_plan" -> q418PowerPlan _,
     "q410_period_scan" -> q410PeriodScan _,
     "q406_kruskal_wallis" -> q406KruskalWallis _,
     "q407_cochran_armitage" -> q407CochranArmitage _,
@@ -1081,6 +1132,84 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q415_fairness_gaps" -> """
+      |WITH d AS (
+      |  SELECT source AS s, lang AS g,
+      |    CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS p,
+      |    CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |gr AS (
+      |  SELECT s, g, count(*) AS n, sum(p) AS np, sum(y) AS ny,
+      |    sum(p * y) AS tp, sum(p * (1 - y)) AS fp
+      |  FROM d GROUP BY 1, 2),
+      |w AS (
+      |  SELECT *, sum(n) OVER (PARTITION BY s) AS tn,
+      |    sum(np) OVER (PARTITION BY s) AS tnp,
+      |    sum(ny) OVER (PARTITION BY s) AS tny,
+      |    sum(tp) OVER (PARTITION BY s) AS ttp,
+      |    sum(fp) OVER (PARTITION BY s) AS tfp
+      |  FROM gr)
+      |SELECT s AS source, g AS lang, CAST(n AS BIGINT) AS n,
+      |  CAST(np * 10000 // n AS BIGINT) AS sel_bp,
+      |  CAST(tp * 10000 // NULLIF(ny, 0) AS BIGINT) AS tpr_bp,
+      |  CAST(fp * 10000 // NULLIF(n - ny, 0) AS BIGINT) AS fpr_bp,
+      |  CAST(np * 10000 // n - tnp * 10000 // tn AS BIGINT) AS sel_gap_bp,
+      |  CAST(tp * 10000 // NULLIF(ny, 0)
+      |    - ttp * 10000 // NULLIF(tny, 0) AS BIGINT) AS tpr_gap_bp,
+      |  CAST(fp * 10000 // NULLIF(n - ny, 0)
+      |    - tfp * 10000 // NULLIF(tn - tny, 0) AS BIGINT) AS fpr_gap_bp
+      |FROM w ORDER BY source, lang""".stripMargin,
+    "q416_smd_balance" -> """
+      |WITH d AS (
+      |  SELECT event_type AS s,
+      |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE value IS NOT NULL AND value >= 0
+      |    AND user_id IS NOT NULL AND user_id >= 0),
+      |arms AS (
+      |  SELECT s, t, count(*) AS n, sum(v) AS sm,
+      |    sum(CAST(v AS HUGEINT) * v) AS q
+      |  FROM d GROUP BY 1, 2 HAVING count(*) >= 2),
+      |mv AS (
+      |  SELECT s, t, n,
+      |    CAST(CAST(sm AS HUGEINT) * 1000 // n AS BIGINT) AS m_milli,
+      |    CAST((q * 1000 * n - CAST(sm AS HUGEINT) * sm * 1000)
+      |      // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS v_milli
+      |  FROM arms),
+      |j AS (
+      |  SELECT a.s, a.n AS n1, b.n AS n0,
+      |    a.m_milli - b.m_milli AS d_milli,
+      |    (a.v_milli + b.v_milli) // 2 AS vp
+      |  FROM mv a JOIN mv b ON a.s = b.s AND a.t = 1 AND b.t = 0)
+      |SELECT s AS event_type, CAST(n1 AS BIGINT) AS n1,
+      |  CAST(n0 AS BIGINT) AS n0, CAST(d_milli AS BIGINT) AS d_milli,
+      |  CAST(CAST(d_milli AS HUGEINT) * d_milli // vp AS BIGINT)
+      |    AS smd2_milli
+      |FROM j WHERE vp > 0 ORDER BY event_type""".stripMargin,
+    "q418_power_plan" -> """
+      |WITH d AS (
+      |  SELECT event_type AS s, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL AND value >= 0),
+      |a AS (
+      |  SELECT s, count(*) AS n_obs, sum(v) AS sm,
+      |    sum(CAST(v AS HUGEINT) * v) AS q
+      |  FROM d GROUP BY 1 HAVING count(*) >= 2),
+      |m AS (
+      |  SELECT s, n_obs,
+      |    CAST(CAST(sm AS HUGEINT) * 1000 // n_obs AS BIGINT) AS mean_milli,
+      |    CAST((q * 1000 * n_obs - CAST(sm AS HUGEINT) * sm * 1000)
+      |      // (CAST(n_obs AS HUGEINT) * (n_obs - 1)) AS BIGINT)
+      |      AS var_milli
+      |  FROM a),
+      |p AS (
+      |  SELECT *, abs(mean_milli) * 50 // 1000 AS delta_milli FROM m)
+      |SELECT s AS event_type, CAST(n_obs AS BIGINT) AS n_obs,
+      |  mean_milli, var_milli, CAST(delta_milli AS BIGINT) AS delta_milli,
+      |  CAST(CAST(15697 AS HUGEINT) * var_milli
+      |    // NULLIF(CAST(delta_milli AS HUGEINT) * delta_milli, 0)
+      |    AS BIGINT) AS n_required
+      |FROM p ORDER BY event_type""".stripMargin,
     "q410_period_scan" -> """
       |WITH daily AS (
       |  SELECT event_type AS k,

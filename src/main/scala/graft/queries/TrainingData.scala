@@ -764,6 +764,27 @@ object TrainingData {
       .orderBy($"source")
   }
 
+  /** Tokenizer fertility by language: characters per token and tokens
+    * per document, milli-scaled — the multilingual cost table (a
+    * language whose text yields 2× the tokens per character pays 2× the
+    * context budget) read next to the vocab-coverage curve (q151) when
+    * sizing a shared tokenizer. Whitespace tokens via the native
+    * `ws_tokens` codegen expression; one scan, one aggregate. */
+  def q417Fertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"lang", $"n_chars",
+        size(graft.etl.Corpus.tokensOf($"text")).cast("long").as("toks"))
+    docs.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"),
+        sum($"toks").as("tokens"))
+      .select($"lang", $"n_docs", $"chars", $"tokens",
+        expr("chars * 1000 div NULLIF(tokens, 0)")
+          .as("chars_per_token_milli"),
+        expr("tokens * 1000 div n_docs").as("tokens_per_doc_milli"))
+      .orderBy($"lang")
+  }
+
   /** Cross-source duplication matrix ([[graft.etl.Dedupe.sourceOverlap]])
     * with a synthetic "mirror" feed republishing every 7th document:
     * which source pairs share byte-identical texts — the provenance map
@@ -960,6 +981,7 @@ object TrainingData {
     "q315_ann_recall" -> q315AnnRecall _,
     "q413_matryoshka_recall" -> q413MatryoshkaRecall _,
     "q414_budget_select" -> q414BudgetSelect _,
+    "q417_fertility" -> q417Fertility _,
     "q319_simhash_recall" -> q319SimhashRecall _,
     "q343_markup_density" -> q343MarkupDensity _,
     "q344_lsh_band_plan" -> q344LshBandPlan _,
@@ -2032,6 +2054,19 @@ object TrainingData {
       |  least(n, raw) AS take_rows, raw > n AS capped,
       |  CAST(least(n, raw) * 10000 // n AS BIGINT) AS rate_bp
       |FROM r ORDER BY lang""".stripMargin,
+    "q417_fertility" -> """
+      |WITH t AS (
+      |  SELECT lang, n_chars,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  CAST(sum(toks) AS BIGINT) AS tokens,
+      |  CAST(sum(n_chars) * 1000 // NULLIF(sum(toks), 0) AS BIGINT)
+      |    AS chars_per_token_milli,
+      |  CAST(sum(toks) * 1000 // count(*) AS BIGINT)
+      |    AS tokens_per_doc_milli
+      |FROM t GROUP BY 1 ORDER BY lang""".stripMargin,
     "q413_matryoshka_recall" -> """
       |WITH e AS (
       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),

@@ -637,6 +637,40 @@ class StatsSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row("g", 3L, 6L, 444445L)))
   }
 
+  test("fairnessGaps: balanced groups read zero gaps; empty-negative " +
+    "group reads NULL fpr") {
+    val df = Seq(
+      ("s", "A", true, true), ("s", "A", true, false),
+      ("s", "A", false, true), ("s", "A", false, false),
+      ("s", "B", true, true), ("s", "B", false, true))
+      .toDF("src", "g", "p", "y")
+    val out = Stats.fairnessGaps(df, "src", "g", col("p"), col("y"))
+      .collect().map(r => r.getString(1) -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("sel_bp") == 5000L &&
+      a.getAs[Long]("tpr_bp") == 5000L && a.getAs[Long]("fpr_bp") == 5000L &&
+      a.getAs[Long]("sel_gap_bp") == 0L && a.getAs[Long]("tpr_gap_bp") == 0L &&
+      a.getAs[Long]("fpr_gap_bp") == 0L)
+    val b = out("B")
+    assert(b.getAs[Long]("sel_bp") == 5000L && b.isNullAt(b.fieldIndex("fpr_bp")))
+  }
+
+  test("smdBalance matches the hand example: arms {1,3} vs {5,9}") {
+    // m1=2, v1=2; m0=7, v0=8; d=-5, vp=5, smd^2=5 -> 5000 milli
+    val df = Seq(("s", true, 1L), ("s", true, 3L),
+      ("s", false, 5L), ("s", false, 9L)).toDF("s", "t", "v")
+    val out = Stats.smdBalance(df, "s", col("t"), col("v")).collect()
+    assert(out.toSeq == Seq(Row("s", 2L, 2L, -5000L, 5000L)))
+  }
+
+  test("samplePowerPlan: n = C*var/delta^2 on the {10,20} series") {
+    // mean 15, var 50, delta 0.75 -> n = 15.697*50/0.5625 = 1395 (floored)
+    val df = Seq(("s", 10L), ("s", 20L)).toDF("s", "v")
+    val out = Stats.samplePowerPlan(df, "s", col("v")).collect()
+    assert(out.toSeq ==
+      Seq(Row("s", 2L, 15000L, 50000L, 750L, 1395L)))
+  }
+
   test("foldedPeriodScan scores a pure period-2 signal 1000 at p=2, " +
     "500 at p=3") {
     // x = 10,0,10,0 over d=0..3: p=2 explains all variance, p=3 half
