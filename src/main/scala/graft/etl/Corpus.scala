@@ -1006,6 +1006,44 @@ object Corpus {
         expr("clipped * 20000 div NULLIF(cand_grams + ref_grams, 0)"))
   }
 
+  /** Shuffle mixing audit: does the [[deterministicShuffle]] order
+    * actually interleave the groups (sources), or do runs of same-source
+    * documents survive into the shards? Homogeneous stretches in a
+    * training shard correlate adjacent gradients — this measures the
+    * residual clumping per shard against the exact expected run count of
+    * a uniform random permutation of the same composition:
+    *   E[runs] = n − Σ_s n_s(n_s−1)/n
+    * (adjacent-equal probability summed over pairs). Emits per shard the
+    * observed runs, `exp_runs_milli`, and `ratio_milli` =
+    * observed/expected ×1000 — a healthy shuffle reads ≈1000; well below
+    * means clumped input survived. Shard-partitioned windows only; the
+    * single global step is the O(#rank-partitions) offset fold inside
+    * the shuffle itself. */
+  def shuffleMixAudit(df: DataFrame, idCol: String, groupCol: String,
+      shards: Int): DataFrame = {
+    val keyed = df.select(col(idCol), col(groupCol))
+    val sh = deterministicShuffle(keyed, idCol, shards).join(keyed, Seq(idCol))
+    val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_idx"))
+    val runs = sh
+      .withColumn("_prev", lag(col(groupCol), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("_prev") =!= col(groupCol), 1L)
+          .otherwise(0L))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("_new")).as("n_runs"))
+    val comp = sh.groupBy(col("shard"), col(groupCol))
+      .agg(count(lit(1)).as("_ns"))
+      .groupBy(col("shard"))
+      .agg(sum(expr("CAST(_ns AS DECIMAL(38,0)) * (_ns - 1)")).as("_same"))
+    runs.join(comp, Seq("shard"))
+      .withColumn("_exp_milli", expr(
+        "CAST((CAST(n AS DECIMAL(38,0)) * n - _same) * 1000 div n AS BIGINT)"))
+      .select(col("shard"), col("n"), col("n_runs"), col("_exp_milli")
+        .as("exp_runs_milli"),
+        expr("CAST(CAST(n_runs AS DECIMAL(38,0)) * 1000000 " +
+          "div NULLIF(_exp_milli, 0) AS BIGINT)").as("ratio_milli"))
+  }
+
   /** Budgeted quality-first corpus selection: fill a global token budget
     * with the best-scoring documents, subject to a per-source token cap
     * — the "take the best data we can afford, but let no source dominate"

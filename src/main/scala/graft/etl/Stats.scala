@@ -1521,6 +1521,36 @@ object Stats {
           "div _vp AS BIGINT)").as("smd2_milli"))
   }
 
+  /** Matthews correlation per series: the single balanced summary of a
+    * binary confusion matrix that stays honest under class imbalance
+    * (where accuracy and even F1 — q202 — flatter the majority class).
+    * MCC needs a square root, so the exact emission is the SIGNED SQUARE
+    * in milli: `mcc_sign = sign(TP·TN − FP·FN)` and
+    * `mcc2_milli = (TP·TN − FP·FN)²·1000 div
+    * ((TP+FP)(TP+FN)(TN+FP)(TN+FN))` — |MCC| ≥ 0.3 reads as
+    * mcc2_milli ≥ 90. NULL (not 0) when any margin is empty: an
+    * all-one-class slice has no correlation to report. One
+    * combiner-friendly aggregate. */
+  def matthewsCorr(df: DataFrame, seriesCol: String, predCol: Column,
+      labelCol: Column): DataFrame = {
+    val d = df.select(col(seriesCol).as("_s"),
+      when(predCol, lit(1L)).otherwise(lit(0L)).as("_p"),
+      when(labelCol, lit(1L)).otherwise(lit(0L)).as("_y"))
+    d.groupBy(col("_s"))
+      .agg(sum(col("_p") * col("_y")).as("tp"),
+        sum(col("_p") * (lit(1L) - col("_y"))).as("fp"),
+        sum((lit(1L) - col("_p")) * col("_y")).as("fn"),
+        sum((lit(1L) - col("_p")) * (lit(1L) - col("_y"))).as("tn"))
+      .withColumn("_num", expr(
+        "CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn"))
+      .withColumn("_den", expr(
+        "CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn) * (tn + fp) * (tn + fn)"))
+      .select(col("_s").as(seriesCol), col("tp"), col("fp"), col("fn"),
+        col("tn"), signum(col("_num")).cast("int").as("mcc_sign"),
+        expr("CAST(CASE WHEN _den > 0 THEN _num * _num * 1000 div _den " +
+          "END AS BIGINT)").as("mcc2_milli"))
+  }
+
   /** Two-arm sample-size (power) plan per series: the n-per-arm a 5%-MDE
     * two-sided test at α=0.05 / power 0.80 needs, from the series' own
     * observed variance — the "can this experiment even resolve a 5%

@@ -1076,7 +1076,24 @@ object StatsQueries {
       .orderBy($"event_type")
   }
 
+  // ------------------------------------------- q420 Matthews correlation
+
+  /** Matthews correlation ([[Stats.matthewsCorr]]) of the q415 keep rule
+    * (n_chars ≥ 500) against the deterministic usefulness label, per
+    * source: the imbalance-honest single-number confusion summary
+    * (signed square in milli — sqrt-free) next to F1 (q202) and the
+    * per-group fairness gaps computed from the same decisions. */
+  def q420Mcc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"source", ($"n_chars" >= 500).as("pred"),
+        ($"doc_id" % 4 =!= 0).as("label"))
+    Stats.matthewsCorr(docs, "source", $"pred", $"label")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q420_mcc" -> q420Mcc _,
     "q415_fairness_gaps" -> q415FairnessGaps _,
     "q416_smd_balance" -> q416SmdBalance _,
     "q418_power_plan" -> q418PowerPlan _,
@@ -1132,6 +1149,26 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q420_mcc" -> """
+      |WITH d AS (
+      |  SELECT source AS s,
+      |    CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS p,
+      |    CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |c AS (
+      |  SELECT s, sum(p * y) AS tp, sum(p * (1 - y)) AS fp,
+      |    sum((1 - p) * y) AS fn, sum((1 - p) * (1 - y)) AS tn
+      |  FROM d GROUP BY 1),
+      |m AS (
+      |  SELECT *, CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS num,
+      |    CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn) AS den
+      |  FROM c)
+      |SELECT s AS source, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+      |  CAST(sign(num) AS INTEGER) AS mcc_sign,
+      |  CAST(CASE WHEN den > 0 THEN num * num * 1000 // den END AS BIGINT)
+      |    AS mcc2_milli
+      |FROM m ORDER BY source""".stripMargin,
     "q415_fairness_gaps" -> """
       |WITH d AS (
       |  SELECT source AS s, lang AS g,

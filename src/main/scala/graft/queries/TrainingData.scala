@@ -764,6 +764,71 @@ object TrainingData {
       .orderBy($"source")
   }
 
+  /** Kneser–Ney continuation counts: for the top-50 tokens by context
+    * diversity, the raw frequency next to N1+(·w) — the number of
+    * DISTINCT left contexts — and the continuation probability
+    * N1+(·w)/|bigram types| in ppm. The KN insight made countable: a
+    * token that appears 10k times after one fixed word ("Francisco")
+    * carries less open-vocabulary mass than a rarer token seen after
+    * hundreds of contexts; this is the smoothing-side companion to the
+    * MLE bigram LM (q189) and PMI (q118) on the same bigram explode. */
+  def q419KnContinuation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(graft.etl.Corpus.tokensOf($"text").as("t"))
+    val big = toks.select(explode(graft.etl.Corpus.bigramsOf($"t")).as("bg"))
+      .select(split($"bg", " ").getItem(0).as("w1"),
+        split($"bg", " ").getItem(1).as("w2"))
+    val uni = toks.select(explode($"t").as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("freq"))
+    val ctx = big.groupBy($"w2".as("term"))
+      .agg(countDistinct($"w1").as("n_contexts"))
+    val totalTypes = big.select($"w1", $"w2").distinct()
+      .agg(count(lit(1)).as("_b"))
+    ctx.join(uni, Seq("term"))
+      .crossJoin(broadcast(totalTypes))
+      .select($"term", $"freq", $"n_contexts",
+        expr("n_contexts * 1000000 div _b").as("pcont_ppm"))
+      .orderBy($"n_contexts".desc, $"term")
+      .limit(50)
+  }
+
+  /** Shuffle mixing audit ([[graft.etl.Corpus.shuffleMixAudit]]): after
+    * the deterministic sha256 shuffle into 8 shards, do same-source runs
+    * survive? Observed runs vs the exact expected run count of a random
+    * permutation of each shard's composition, ratio ≈ 1000 = healthy. */
+  def q421ShuffleMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Corpus.shuffleMixAudit(
+        Tables.documents(spark, dir).select($"doc_id", $"source"),
+        "doc_id", "source", shards = 8)
+      .orderBy($"shard")
+  }
+
+  /** Dedup threshold sweep: the q26 candidate-pair engine swept over
+    * Jaccard cutoffs 50–100% — pairs flagged and documents touched at
+    * each τ, the tuning table that picks the dedup threshold BEFORE the
+    * full run commits to one (the dial q330's cap audit measures from
+    * the other side). */
+  def q422DedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Similarity.ngramJaccardPairs(corpus(spark, dir),
+        "doc_id", "text", 3)
+      .filter($"inter" * 2 >= $"union_size")
+      .select($"id_a", $"id_b",
+        expr("inter * 10000 div union_size").as("jbp"))
+    val taus = Seq(5000, 6000, 7000, 8000, 9000, 10000).toDF("tau")
+    val hit = pairs.crossJoin(broadcast(taus)).filter($"jbp" >= $"tau")
+    val np = hit.groupBy($"tau").agg(count(lit(1)).as("_np"))
+    val nd = hit.select($"tau", $"id_a".as("d"))
+      .unionByName(hit.select($"tau", $"id_b".as("d")))
+      .groupBy($"tau").agg(countDistinct($"d").as("_nd"))
+    taus.join(np, Seq("tau"), "left").join(nd, Seq("tau"), "left")
+      .select($"tau", coalesce($"_np", lit(0L)).as("n_pairs"),
+        coalesce($"_nd", lit(0L)).as("n_docs"))
+      .orderBy($"tau")
+  }
+
   /** Tokenizer fertility by language: characters per token and tokens
     * per document, milli-scaled — the multilingual cost table (a
     * language whose text yields 2× the tokens per character pays 2× the
@@ -982,6 +1047,9 @@ object TrainingData {
     "q413_matryoshka_recall" -> q413MatryoshkaRecall _,
     "q414_budget_select" -> q414BudgetSelect _,
     "q417_fertility" -> q417Fertility _,
+    "q419_kn_continuation" -> q419KnContinuation _,
+    "q421_shuffle_mix" -> q421ShuffleMix _,
+    "q422_dedup_sweep" -> q422DedupSweep _,
     "q319_simhash_recall" -> q319SimhashRecall _,
     "q343_markup_density" -> q343MarkupDensity _,
     "q344_lsh_band_plan" -> q344LshBandPlan _,
@@ -2054,6 +2122,88 @@ object TrainingData {
       |  least(n, raw) AS take_rows, raw > n AS capped,
       |  CAST(least(n, raw) * 10000 // n AS BIGINT) AS rate_bp
       |FROM r ORDER BY lang""".stripMargin,
+    "q419_kn_continuation" -> """
+      |WITH tk AS (
+      |  SELECT list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |    x -> x <> '') AS t
+      |  FROM documents),
+      |big AS (
+      |  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+      |  FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i + 1])) AS bg FROM tk)),
+      |uf AS (
+      |  SELECT term, count(*) AS freq
+      |  FROM (SELECT unnest(t) AS term FROM tk) GROUP BY 1),
+      |ctx AS (
+      |  SELECT w2 AS term, count(DISTINCT w1) AS n_contexts
+      |  FROM big GROUP BY 1),
+      |tt AS (SELECT count(*) AS b FROM (SELECT DISTINCT w1, w2 FROM big))
+      |SELECT c.term, CAST(freq AS BIGINT) AS freq,
+      |  CAST(n_contexts AS BIGINT) AS n_contexts,
+      |  CAST(n_contexts * 1000000 // b AS BIGINT) AS pcont_ppm
+      |FROM ctx c JOIN uf USING (term) CROSS JOIN tt
+      |ORDER BY n_contexts DESC, term LIMIT 50""".stripMargin,
+    "q421_shuffle_mix" -> """
+      |WITH r AS (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (ORDER BY sha256(CAST(doc_id AS VARCHAR)),
+      |      doc_id) AS BIGINT) AS idx
+      |  FROM documents),
+      |s AS (SELECT doc_id, source, idx, (idx - 1) % 8 AS shard FROM r),
+      |l AS (
+      |  SELECT shard, source,
+      |    lag(source) OVER (PARTITION BY shard ORDER BY idx) AS prev
+      |  FROM s),
+      |runs AS (
+      |  SELECT shard, count(*) AS n,
+      |    sum(CASE WHEN prev IS NULL OR prev <> source THEN 1 ELSE 0 END)
+      |      AS n_runs
+      |  FROM l GROUP BY 1),
+      |comp AS (
+      |  SELECT shard, sum(CAST(ns AS HUGEINT) * (ns - 1)) AS same
+      |  FROM (SELECT shard, source, count(*) AS ns FROM s GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |e AS (
+      |  SELECT runs.shard, n, n_runs,
+      |    CAST((CAST(n AS HUGEINT) * n - same) * 1000 // n AS BIGINT)
+      |      AS exp_runs_milli
+      |  FROM runs JOIN comp USING (shard))
+      |SELECT shard, CAST(n AS BIGINT) AS n, CAST(n_runs AS BIGINT) AS n_runs,
+      |  exp_runs_milli,
+      |  CAST(CAST(n_runs AS HUGEINT) * 1000000 // NULLIF(exp_runs_milli, 0)
+      |    AS BIGINT) AS ratio_milli
+      |FROM e ORDER BY shard""".stripMargin,
+    "q422_dedup_sweep" -> s"""
+      |WITH $corpusSql,
+      |$shinglesSql,
+      |freq AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+      |    max(CASE WHEN f.c <= 256 THEN 1 ELSE 0 END) AS has_kept
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN freq f ON f.s = a.s
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT id_a, id_b,
+      |    inter * 10000 // (sa.n + sb.n - inter) AS jbp
+      |  FROM pairs
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE 2 * inter >= sa.n + sb.n - inter AND has_kept = 1),
+      |taus AS (SELECT * FROM (VALUES (5000), (6000), (7000), (8000),
+      |  (9000), (10000)) t(tau)),
+      |hit AS (SELECT tau, id_a, id_b FROM taus JOIN jp ON jbp >= tau),
+      |np AS (SELECT tau, count(*) AS n_pairs FROM hit GROUP BY 1),
+      |nd AS (
+      |  SELECT tau, count(DISTINCT d) AS n_docs
+      |  FROM (SELECT tau, id_a AS d FROM hit
+      |        UNION ALL SELECT tau, id_b FROM hit)
+      |  GROUP BY 1)
+      |SELECT t.tau, CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
+      |FROM taus t LEFT JOIN np USING (tau) LEFT JOIN nd USING (tau)
+      |ORDER BY tau""".stripMargin,
     "q417_fertility" -> """
       |WITH t AS (
       |  SELECT lang, n_chars,

@@ -516,6 +516,20 @@ class CorpusSpec extends SparkSpec {
       2L -> (("nl", 1L, 0L, 0L))))
   }
 
+  test("shuffleMixAudit: a single-source shard reads exactly one run, " +
+    "ratio 1000") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, "only")).toSeq.toDF("id", "src")
+    val out = Corpus.shuffleMixAudit(df, "id", "src", shards = 2).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      // one run of 20; E[runs] for a 1-source composition is exactly 1
+      assert(r.getAs[Long]("n") == 20L && r.getAs[Long]("n_runs") == 1L &&
+        r.getAs[Long]("exp_runs_milli") == 1000L &&
+        r.getAs[Long]("ratio_milli") == 1000L)
+    }
+  }
+
   test("budgetedSelect enforces the per-source cap then the global budget") {
     import spark.implicits._
     // cap 10: A keeps id1,id2 (drops id3); B keeps id4 (id5 would pass 10)

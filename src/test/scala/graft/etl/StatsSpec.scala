@@ -671,6 +671,18 @@ class StatsSpec extends SparkSpec {
       Seq(Row("s", 2L, 15000L, 50000L, 750L, 1395L)))
   }
 
+  test("matthewsCorr: perfect classifier reads 1000, empty margin NULL") {
+    val df = Seq(("a", true, true), ("a", false, false),
+      ("b", true, true), ("b", true, true)).toDF("s", "p", "y")
+    val out = Stats.matthewsCorr(df, "s", col("p"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Int]("mcc_sign") == 1 &&
+      a.getAs[Long]("mcc2_milli") == 1000L)
+    // b: all predicted-positive, all positive -> den = 0 -> NULL
+    assert(out("b").isNullAt(out("b").fieldIndex("mcc2_milli")))
+  }
+
   test("foldedPeriodScan scores a pure period-2 signal 1000 at p=2, " +
     "500 at p=3") {
     // x = 10,0,10,0 over d=0..3: p=2 explains all variance, p=3 half
