@@ -527,4 +527,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("unboundedfollowing$()"), p)
   }
 
+  test("q410: candidate periods broadcast, never a shuffled join") {
+    val p = plan("q410_period_scan")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q413: every recall rung broadcasts the query side against the " +
+    "corpus scan") {
+    // 2 BNLJ per rung (truth + truncated approx) x 3 rungs; the remaining
+    // joins are the recallOf audit joins over (queries x k) rows — tiny at
+    // any corpus scale, so their strategy is immaterial
+    val p = plan("q413_matryoshka_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 6, p)
+  }
+
+  test("q415/q416: fairness and balance are agg+window only — no joins " +
+    "beyond the arm assembly") {
+    val pf = plan("q415_fairness_gaps")
+    assert(!pf.contains("SortMergeJoin") && !pf.contains("CartesianProduct"),
+      pf)
+    val pb = plan("q416_smd_balance")
+    assert(!pb.contains("CartesianProduct"), pb)
+  }
+
+  test("q422: the threshold sweep broadcasts the tau table over the " +
+    "pair engine") {
+    val p = plan("q422_dedup_sweep")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q419: the top-50 plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q419_kn_continuation")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
 }
