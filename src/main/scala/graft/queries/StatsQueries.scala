@@ -1092,7 +1092,46 @@ object StatsQueries {
       .orderBy($"source")
   }
 
+  // ------------------------------------------- q423 rank churn
+
+  /** Day-over-day leaderboard churn: per event type, how much of the
+    * daily top-10 spender list survives from the previous day —
+    * `churn_bp` = replaced share. The serving-stability read for any
+    * ranked surface (recommendations, trending, leaderboards): a
+    * healthy ranking churns some; churn ≈ 10000 means yesterday's list
+    * is noise. Days whose predecessor has no data are excluded (churn
+    * undefined), not emitted as 10000. Keyed windows and a keyed
+    * next-day self-join only — no global ordering anywhere. */
+  def q423RankChurn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .filter($"value".isNotNull && $"user_id".isNotNull && $"user_id" >= 0)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"),
+        $"user_id")
+      .agg(sum(cents).as("amt"))
+    val w = Window.partitionBy($"event_type", $"d")
+      .orderBy($"amt".desc, $"user_id")
+    val top = daily.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10).select($"event_type", $"d", $"user_id")
+    val prev = top.select($"event_type", ($"d" + 1).as("d"), $"user_id")
+    val prevDays = prev.select($"event_type", $"d").distinct()
+    val overlap = top.join(prev, Seq("event_type", "d", "user_id"))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("_ov"))
+    top.groupBy($"event_type", $"d").agg(count(lit(1)).as("n_curr"))
+      .join(prevDays, Seq("event_type", "d"))
+      .join(overlap, Seq("event_type", "d"), "left")
+      .select($"event_type", $"d", $"n_curr",
+        coalesce($"_ov", lit(0L)).as("n_kept"),
+        expr("(n_curr - coalesce(_ov, 0)) * 10000 div n_curr")
+          .as("churn_bp"))
+      .orderBy($"event_type", $"d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q423_rank_churn" -> q423RankChurn _,
     "q420_mcc" -> q420Mcc _,
     "q415_fairness_gaps" -> q415FairnessGaps _,
     "q416_smd_balance" -> q416SmdBalance _,
@@ -1149,6 +1188,34 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q423_rank_churn" -> """
+      |WITH daily AS (
+      |  SELECT event_type, CAST(date_diff('day', DATE '1970-01-01',
+      |      CAST(ts AS DATE)) AS BIGINT) AS d, user_id,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS amt
+      |  FROM events
+      |  WHERE value IS NOT NULL AND user_id IS NOT NULL AND user_id >= 0
+      |  GROUP BY 1, 2, 3),
+      |top AS (
+      |  SELECT event_type, d, user_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY event_type, d
+      |      ORDER BY amt DESC, user_id) AS rk FROM daily)
+      |  WHERE rk <= 10),
+      |prev AS (SELECT event_type, d + 1 AS d, user_id FROM top),
+      |pd AS (SELECT DISTINCT event_type, d FROM prev),
+      |ov AS (
+      |  SELECT t.event_type, t.d, count(*) AS ov
+      |  FROM top t JOIN prev p USING (event_type, d, user_id)
+      |  GROUP BY 1, 2),
+      |cur AS (
+      |  SELECT event_type, d, count(*) AS n_curr FROM top GROUP BY 1, 2)
+      |SELECT c.event_type, c.d, CAST(n_curr AS BIGINT) AS n_curr,
+      |  CAST(coalesce(ov, 0) AS BIGINT) AS n_kept,
+      |  CAST((n_curr - coalesce(ov, 0)) * 10000 // n_curr AS BIGINT)
+      |    AS churn_bp
+      |FROM cur c JOIN pd USING (event_type, d)
+      |LEFT JOIN ov USING (event_type, d)
+      |ORDER BY event_type, d""".stripMargin,
     "q420_mcc" -> """
       |WITH d AS (
       |  SELECT source AS s,

@@ -829,6 +829,74 @@ object TrainingData {
       .orderBy($"tau")
   }
 
+  /** Context-length packing sweep: for max_len ∈ {128, 256, 512, 1024},
+    * the window count and padding waste of greedy per-document chunking
+    * (⌈tokens/L⌉ windows per doc) — the L-vs-waste tuning curve read
+    * before committing a packing length, generalizing q391's single-L
+    * waste audit to the sweep that actually picks L. Scan + one
+    * broadcast fan-out aggregate. */
+  def q424PackingSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lens = Tables.documents(spark, dir)
+      .select(size(graft.etl.Corpus.tokensOf($"text")).cast("long").as("t"))
+    val ls = Seq(128, 256, 512, 1024).toDF("max_len")
+    lens.crossJoin(broadcast(ls))
+      .groupBy($"max_len")
+      .agg(count(lit(1)).as("n_docs"), sum($"t").as("tokens"),
+        sum(expr("(t + max_len - 1) div max_len")).as("n_windows"))
+      .select($"max_len", $"n_docs", $"tokens", $"n_windows",
+        expr("n_windows * max_len - tokens").as("padding"),
+        expr("(n_windows * max_len - tokens) * 10000 " +
+          "div (n_windows * max_len)").as("waste_bp"))
+      .orderBy($"max_len")
+  }
+
+  /** Hash-partition balance forecast: for P ∈ {32, 128, 512} reducers,
+    * the per-partition load distribution the repo-standard sha256-prefix
+    * key hash would produce on the user-event stream — max load, exact
+    * mean in milli, and imbalance (max/mean in bp). The skew forecast
+    * read before sizing `spark.sql.shuffle.partitions` for a keyed
+    * stage; 4 hex chars = 65536 buckets divides every power-of-two P,
+    * so the recipe itself adds zero modulo bias. */
+  def q425PartitionBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"user_id" >= 0)
+      .select(expr("conv(substring(sha2(CAST(user_id AS STRING), 256), " +
+        "1, 4), 16, 10)").cast("long").as("h"))
+    val ps = Seq(32, 128, 512).toDF("n_part")
+    keys.crossJoin(broadcast(ps))
+      .groupBy($"n_part", ($"h" % $"n_part").as("part"))
+      .agg(count(lit(1)).as("load"))
+      .groupBy($"n_part")
+      .agg(count(lit(1)).as("parts_hit"), sum($"load").as("n_rows"),
+        max($"load").as("max_load"))
+      .select($"n_part", $"parts_hit", $"n_rows", $"max_load",
+        expr("n_rows * 1000 div n_part").as("mean_load_milli"),
+        expr("CAST(max_load AS DECIMAL(38,0)) * n_part * 10000 div n_rows")
+          .cast("long").as("imbalance_bp"))
+      .orderBy($"n_part")
+  }
+
+  /** Language-ID confusion matrix: the q30 stopword-profile classifier
+    * scored against the labeled `lang` column — per (true, predicted)
+    * cell the count and row share in bp. The eval that shows WHERE the
+    * heuristic fails (zh has no profile and must land somewhere) rather
+    * than a single accuracy number. */
+  def q426LangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pred = q30LangId(spark, dir).select($"doc_id", $"lang_pred")
+    val truth = Tables.documents(spark, dir).select($"doc_id", $"lang")
+    val cells = truth.join(pred, Seq("doc_id"))
+      .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+    val wl = Window.partitionBy($"lang")
+    cells.withColumn("_tot", sum($"n").over(wl))
+      .select($"lang", $"lang_pred", $"n",
+        expr("n * 10000 div _tot").as("share_bp"))
+      .orderBy($"lang", $"lang_pred")
+  }
+
   /** Tokenizer fertility by language: characters per token and tokens
     * per document, milli-scaled — the multilingual cost table (a
     * language whose text yields 2× the tokens per character pays 2× the
@@ -1050,6 +1118,9 @@ object TrainingData {
     "q419_kn_continuation" -> q419KnContinuation _,
     "q421_shuffle_mix" -> q421ShuffleMix _,
     "q422_dedup_sweep" -> q422DedupSweep _,
+    "q424_packing_sweep" -> q424PackingSweep _,
+    "q425_partition_balance" -> q425PartitionBalance _,
+    "q426_langid_confusion" -> q426LangidConfusion _,
     "q319_simhash_recall" -> q319SimhashRecall _,
     "q343_markup_density" -> q343MarkupDensity _,
     "q344_lsh_band_plan" -> q344LshBandPlan _,
@@ -2204,6 +2275,69 @@ object TrainingData {
       |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
       |FROM taus t LEFT JOIN np USING (tau) LEFT JOIN nd USING (tau)
       |ORDER BY tau""".stripMargin,
+    "q424_packing_sweep" -> """
+      |WITH lens AS (
+      |  SELECT CAST(len(list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |    x -> x <> '')) AS BIGINT) AS t
+      |  FROM documents),
+      |ls AS (SELECT * FROM (VALUES (128), (256), (512), (1024)) t(max_len)),
+      |a AS (
+      |  SELECT max_len, count(*) AS n_docs, sum(t) AS tokens,
+      |    sum((t + max_len - 1) // max_len) AS n_windows
+      |  FROM lens CROSS JOIN ls GROUP BY 1)
+      |SELECT max_len, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(tokens AS BIGINT) AS tokens,
+      |  CAST(n_windows AS BIGINT) AS n_windows,
+      |  CAST(n_windows * max_len - tokens AS BIGINT) AS padding,
+      |  CAST((n_windows * max_len - tokens) * 10000
+      |    // (n_windows * max_len) AS BIGINT) AS waste_bp
+      |FROM a ORDER BY max_len""".stripMargin,
+    "q425_partition_balance" -> """
+      |WITH k AS (
+      |  SELECT ('0x' || substring(sha256(CAST(user_id AS VARCHAR)), 1, 4))
+      |    ::BIGINT AS h
+      |  FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
+      |ps AS (SELECT * FROM (VALUES (32), (128), (512)) t(n_part)),
+      |loads AS (
+      |  SELECT n_part, h % n_part AS part, count(*) AS load
+      |  FROM k CROSS JOIN ps GROUP BY 1, 2),
+      |a AS (
+      |  SELECT n_part, count(*) AS parts_hit, sum(load) AS n_rows,
+      |    max(load) AS max_load
+      |  FROM loads GROUP BY 1)
+      |SELECT n_part, CAST(parts_hit AS BIGINT) AS parts_hit,
+      |  CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(max_load AS BIGINT) AS max_load,
+      |  CAST(n_rows * 1000 // n_part AS BIGINT) AS mean_load_milli,
+      |  CAST(CAST(max_load AS HUGEINT) * n_part * 10000 // n_rows AS BIGINT)
+      |    AS imbalance_bp
+      |FROM a ORDER BY n_part""".stripMargin,
+    "q426_langid_confusion" -> """
+      |WITH t AS (
+      |  SELECT doc_id, lang, list_transform(
+      |    list_filter(string_split(text,' '), x -> x <> ''),
+      |    x -> lower(x)) AS tk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(tk, x -> x IN ('der','die','das','und','ein','nicht','ist'))) AS de,
+      |    len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is'))) AS en,
+      |    len(list_filter(tk, x -> x IN ('el','los','las','y','un','que','es'))) AS es,
+      |    len(list_filter(tk, x -> x IN ('le','la','les','et','un','est','que'))) AS fr,
+      |    len(list_filter(tk, x -> x IN ('de','het','een','en','van','niet','is'))) AS nl
+      |  FROM t),
+      |p AS (
+      |  SELECT lang,
+      |    CASE WHEN de >= en AND de >= es AND de >= fr AND de >= nl THEN 'de'
+      |         WHEN en >= es AND en >= fr AND en >= nl THEN 'en'
+      |         WHEN es >= fr AND es >= nl THEN 'es'
+      |         WHEN fr >= nl THEN 'fr' ELSE 'nl' END AS lang_pred
+      |  FROM s),
+      |c AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2),
+      |w AS (SELECT *, sum(n) OVER (PARTITION BY lang) AS tot FROM c)
+      |SELECT lang, lang_pred, CAST(n AS BIGINT) AS n,
+      |  CAST(n * 10000 // tot AS BIGINT) AS share_bp
+      |FROM w ORDER BY lang, lang_pred""".stripMargin,
     "q417_fertility" -> """
       |WITH t AS (
       |  SELECT lang, n_chars,
