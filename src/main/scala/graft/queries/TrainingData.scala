@@ -829,6 +829,59 @@ object TrainingData {
       .orderBy($"tau")
   }
 
+  /** Epoch-decorrelation audit: Spearman rank correlation (exact,
+    * tie-free by construction) between two epochs' deterministic shuffle
+    * orders, per source — adjacent training epochs must see the data in
+    * UNCORRELATED orders or epoch-boundary gradients correlate; rho_ppm
+    * ≈ 0 is healthy, high |rho| means the epoch salt isn't mixing. The
+    * epoch order is the q206 sha256 recipe salted with the epoch tag
+    * (`sha256('e0:'||id)`), ranks are within-source windows (keyed, no
+    * global sort), and ρ = 1 − 6Σd²/(n(n²−1)) is emitted in ppm via one
+    * decimal(38,0) cross-multiply. */
+  def q427EpochDecorrelation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def h(tag: String) =
+      sha2(concat(lit(tag), lit(":"), $"doc_id".cast("string")), 256)
+    val w0 = Window.partitionBy($"source").orderBy(h("e0"), $"doc_id")
+    val w1 = Window.partitionBy($"source").orderBy(h("e1"), $"doc_id")
+    Tables.documents(spark, dir).select($"doc_id", $"source")
+      .withColumn("r0", row_number().over(w0).cast("long"))
+      .withColumn("r1", row_number().over(w1).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(r0 - r1 AS DECIMAL(38,0)) * (r0 - r1)")).as("_d2"))
+      .filter($"n" >= 2)
+      .select($"source", $"n", $"_d2".cast("long").as("sum_d2"),
+        expr("1000000 - CAST(6 * _d2 * 1000000 " +
+          "div (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n " +
+          "- 1)) AS BIGINT)").as("rho_ppm"))
+      .orderBy($"source")
+  }
+
+  /** Content-defined chunking profile: token-hash boundaries
+    * (`sha256-prefix(token) mod 64 = 0` — boundaries follow CONTENT, so
+    * an insertion only reshapes its local chunk, unlike fixed-length
+    * chunking q65 where one shift re-chunks the whole tail; the rsync/
+    * dedup-storage construction applied to text). Per doc: tokens,
+    * chunks, mean chunk length in milli — pure scan (the hash runs
+    * inside an array HOF, no explode, no shuffle but the output sort). */
+  def q428CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(graft.etl.Corpus.tokensOf($"text")).cast("long").as("n_tokens"),
+        expr("CAST(size(filter(transform(ws_tokens(text), " +
+          "t -> CAST(conv(substring(sha2(t, 256), 1, 4), 16, 10) AS BIGINT)" +
+          " % 64), h -> h = 0)) AS BIGINT)").as("n_boundaries"))
+      .filter($"n_tokens" > 0)
+      .select($"doc_id", $"n_tokens", $"n_boundaries",
+        ($"n_boundaries" + 1).as("n_chunks"),
+        expr("n_tokens * 1000 div (n_boundaries + 1)")
+          .as("mean_chunk_milli"))
+      .orderBy($"doc_id")
+  }
+
   /** Context-length packing sweep: for max_len ∈ {128, 256, 512, 1024},
     * the window count and padding waste of greedy per-document chunking
     * (⌈tokens/L⌉ windows per doc) — the L-vs-waste tuning curve read
@@ -1119,6 +1172,8 @@ object TrainingData {
     "q421_shuffle_mix" -> q421ShuffleMix _,
     "q422_dedup_sweep" -> q422DedupSweep _,
     "q424_packing_sweep" -> q424PackingSweep _,
+    "q427_epoch_decorrelation" -> q427EpochDecorrelation _,
+    "q428_cdc_chunks" -> q428CdcChunks _,
     "q425_partition_balance" -> q425PartitionBalance _,
     "q426_langid_confusion" -> q426LangidConfusion _,
     "q319_simhash_recall" -> q319SimhashRecall _,
@@ -2275,6 +2330,41 @@ object TrainingData {
       |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
       |FROM taus t LEFT JOIN np USING (tau) LEFT JOIN nd USING (tau)
       |ORDER BY tau""".stripMargin,
+    "q427_epoch_decorrelation" -> """
+      |WITH r AS (
+      |  SELECT source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY sha256('e0:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS BIGINT) AS r0,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY sha256('e1:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS BIGINT) AS r1
+      |  FROM documents),
+      |a AS (
+      |  SELECT source, count(*) AS n,
+      |    sum(CAST(r0 - r1 AS HUGEINT) * (r0 - r1)) AS d2
+      |  FROM r GROUP BY 1 HAVING count(*) >= 2)
+      |SELECT source, CAST(n AS BIGINT) AS n, CAST(d2 AS BIGINT) AS sum_d2,
+      |  1000000 - CAST(6 * d2 * 1000000
+      |    // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)) AS BIGINT)
+      |    AS rho_ppm
+      |FROM a ORDER BY source""".stripMargin,
+    "q428_cdc_chunks" -> """
+      |WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |      x -> x <> '')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(
+      |      list_transform(
+      |        list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |          x -> x <> ''),
+      |        tk -> ('0x' || substring(sha256(tk), 1, 4))::BIGINT % 64),
+      |      h -> h = 0)) AS BIGINT) AS n_boundaries
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, n_boundaries,
+      |  n_boundaries + 1 AS n_chunks,
+      |  n_tokens * 1000 // (n_boundaries + 1) AS mean_chunk_milli
+      |FROM t WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
     "q424_packing_sweep" -> """
       |WITH lens AS (
       |  SELECT CAST(len(list_filter(string_split_regex(text, '[ \t\n\r]+'),
