@@ -829,6 +829,121 @@ object TrainingData {
       .orderBy($"tau")
   }
 
+  /** Compressibility proxy: distinct-to-total character 4-gram ratio per
+    * document — the cheap stand-in for "would gzip crush this?" that
+    * screens template/boilerplate junk BEFORE paying for tokenization
+    * (low ratio = highly repetitive). Complements the token-level
+    * repetition stats (q75): char grams catch sub-token repetition
+    * (AAAA…, markup runs) that whitespace tokens hide. Pure scan — the
+    * gram set builds inside an array HOF per row; the lambda references
+    * only raw attributes, so Catalyst does not re-inline per element
+    * (the q26-era O(n²) alias trap documented in Corpus.bigramsOf). */
+  def q429CompressProxy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(length($"text") >= 4)
+      .select($"doc_id",
+        (length($"text") - 3).cast("long").as("n_grams"),
+        expr("CAST(size(array_distinct(transform(" +
+          "sequence(1, length(text) - 3), i -> substring(text, i, 4)))) " +
+          "AS BIGINT)").as("n_distinct"))
+      .select($"doc_id", $"n_grams", $"n_distinct",
+        expr("n_distinct * 10000 div n_grams").as("distinct_bp"))
+      .orderBy($"doc_id")
+  }
+
+  /** One Dawid–Skene half-step over the q408 annotator panel: resolve
+    * each unit's label by majority vote (ties to the lexicographically
+    * smallest candidate — deterministic), then score each annotator's
+    * agreement with the consensus in bp. Where Krippendorff (q408)
+    * MEASURES panel quality, this RESOLVES the labels and ranks the
+    * raters — the step that decides whose labels to trust at weight > 0
+    * in the next pass. */
+  def q430LabelResolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source")
+    val a = docs.select(lit("a").as("rater"), $"doc_id", $"lang".as("label"))
+    val b = docs.filter($"doc_id" % 2 === 0)
+      .select(lit("b").as("rater"), $"doc_id",
+        when($"doc_id" % 5 === 0,
+          concat(lit("l"), ($"doc_id" % 3).cast("string")))
+          .otherwise($"lang").as("label"))
+    val c = docs.filter($"doc_id" % 3 === 0)
+      .select(lit("c").as("rater"), $"doc_id",
+        when($"doc_id" % 11 === 0, lit("xx")).otherwise($"lang").as("label"))
+    val ratings = a.unionByName(b).unionByName(c)
+    val wv = Window.partitionBy($"doc_id")
+      .orderBy($"cnt".desc, $"label".asc)
+    val consensus = ratings.groupBy($"doc_id", $"label")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wv))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"label".as("consensus"))
+    ratings.join(consensus, Seq("doc_id"))
+      .groupBy($"rater")
+      .agg(count(lit(1)).as("n_rated"),
+        sum(when($"label" === $"consensus", 1L).otherwise(0L)).as("n_agree"))
+      .select($"rater", $"n_rated", $"n_agree",
+        expr("n_agree * 10000 div n_rated").as("agree_bp"))
+      .orderBy($"rater")
+  }
+
+  /** Per-label embedding centroid shift between the even/odd vector
+    * halves: ‖μ_even − μ_odd‖² as an exact integer cross-multiply over
+    * the quantized vectors — Σ_d (s1_d·n2 − s2_d·n1)² with the (n1·n2)²
+    * denominator reported alongside. The per-class twin of the global
+    * MMD screen (q384): a label whose halves disagree is drifting or
+    * mislabeled. One posexplode to (label, dim) partial sums — linear
+    * in rows×dims, combiner-friendly, no vector ever collected. */
+  def q431CentroidShift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, dir)
+      .select($"label", ($"vec_id" % 2 === 0).as("even"),
+        Similarity.quantize($"embedding").as("q"))
+    val counts = base.groupBy($"label")
+      .agg(sum(when($"even", 1L).otherwise(0L)).as("n1"),
+        sum(when(!$"even", 1L).otherwise(0L)).as("n2"))
+      .filter($"n1" > 0 && $"n2" > 0)
+    val sums = base
+      .select($"label", $"even", posexplode($"q").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg(coalesce(sum(when($"even", $"v")), lit(0L)).as("s1"),
+        coalesce(sum(when(!$"even", $"v")), lit(0L)).as("s2"))
+    sums.join(counts, Seq("label"))
+      .withColumn("_t", expr(
+        "CAST(s1 AS DECIMAL(38,0)) * n2 - CAST(s2 AS DECIMAL(38,0)) * n1"))
+      .groupBy($"label", $"n1", $"n2")
+      .agg(count(lit(1)).as("n_dims"), sum(expr("_t * _t")).as("_num"))
+      .select($"label", $"n1", $"n2", $"n_dims",
+        expr("CAST(_num * 1000 div (CAST(n1 AS DECIMAL(38,0)) * n2 " +
+          "* n1 * n2) AS BIGINT)").as("shift_milli"))
+      .orderBy($"label")
+  }
+
+  /** Shared-prefix mass: group documents by their first-8-token prefix
+    * and report the biggest prefix families — count, member tokens, and
+    * the token mass a prefix cache would serve from one entry
+    * ((count−1)·prefix_len). The KV-cache-sharing forecast for prompt
+    * corpora where many requests open identically. Top-20 by savings. */
+  def q432PrefixSharing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(graft.etl.Corpus.tokensOf($"text")).cast("long").as("n_toks"),
+        array_join(slice(graft.etl.Corpus.tokensOf($"text"), 1, 8), " ")
+          .as("prefix"))
+      .filter($"n_toks" >= 8)
+    d.groupBy($"prefix")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("tokens"))
+      .filter($"n_docs" >= 2)
+      .select($"prefix", $"n_docs", $"tokens",
+        (($"n_docs" - 1) * 8).as("cached_tokens"))
+      .orderBy($"cached_tokens".desc, $"prefix")
+      .limit(20)
+  }
+
   /** Epoch-decorrelation audit: Spearman rank correlation (exact,
     * tie-free by construction) between two epochs' deterministic shuffle
     * orders, per source — adjacent training epochs must see the data in
@@ -1174,6 +1289,10 @@ object TrainingData {
     "q424_packing_sweep" -> q424PackingSweep _,
     "q427_epoch_decorrelation" -> q427EpochDecorrelation _,
     "q428_cdc_chunks" -> q428CdcChunks _,
+    "q429_compress_proxy" -> q429CompressProxy _,
+    "q430_label_resolution" -> q430LabelResolution _,
+    "q431_centroid_shift" -> q431CentroidShift _,
+    "q432_prefix_sharing" -> q432PrefixSharing _,
     "q425_partition_balance" -> q425PartitionBalance _,
     "q426_langid_confusion" -> q426LangidConfusion _,
     "q319_simhash_recall" -> q319SimhashRecall _,
@@ -2330,6 +2449,89 @@ object TrainingData {
       |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
       |FROM taus t LEFT JOIN np USING (tau) LEFT JOIN nd USING (tau)
       |ORDER BY tau""".stripMargin,
+    "q429_compress_proxy" -> """
+      |WITH g AS (
+      |  SELECT doc_id, CAST(length(text) - 3 AS BIGINT) AS n_grams,
+      |    CAST(len(list_distinct(list_transform(
+      |      generate_series(1, length(text) - 3),
+      |      i -> substring(text, i, 4)))) AS BIGINT) AS n_distinct
+      |  FROM documents WHERE length(text) >= 4)
+      |SELECT doc_id, n_grams, n_distinct,
+      |  n_distinct * 10000 // n_grams AS distinct_bp
+      |FROM g ORDER BY doc_id""".stripMargin,
+    "q430_label_resolution" -> """
+      |WITH r AS (
+      |  SELECT 'a' AS rater, doc_id, lang AS label FROM documents
+      |  UNION ALL
+      |  SELECT 'b', doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'l' || CAST(doc_id % 3 AS VARCHAR)
+      |      ELSE lang END
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'c', doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |cons AS (
+      |  SELECT doc_id, label AS consensus FROM (
+      |    SELECT doc_id, label, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY count(*) DESC, label) AS rk
+      |    FROM r GROUP BY doc_id, label)
+      |  WHERE rk = 1),
+      |j AS (
+      |  SELECT rater, count(*) AS n_rated,
+      |    sum(CASE WHEN label = consensus THEN 1 ELSE 0 END) AS n_agree
+      |  FROM r JOIN cons USING (doc_id) GROUP BY 1)
+      |SELECT rater, CAST(n_rated AS BIGINT) AS n_rated,
+      |  CAST(n_agree AS BIGINT) AS n_agree,
+      |  CAST(n_agree * 10000 // n_rated AS BIGINT) AS agree_bp
+      |FROM j ORDER BY rater""".stripMargin,
+    "q431_centroid_shift" -> """
+      |WITH e AS (
+      |  SELECT label, vec_id % 2 = 0 AS even,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |counts AS (
+      |  SELECT label,
+      |    sum(CASE WHEN even THEN 1 ELSE 0 END) AS n1,
+      |    sum(CASE WHEN NOT even THEN 1 ELSE 0 END) AS n2
+      |  FROM e GROUP BY 1
+      |  HAVING sum(CASE WHEN even THEN 1 ELSE 0 END) > 0
+      |    AND sum(CASE WHEN NOT even THEN 1 ELSE 0 END) > 0),
+      |sums AS (
+      |  SELECT label, i AS dim,
+      |    coalesce(sum(CASE WHEN even THEN q[i] END), 0) AS s1,
+      |    coalesce(sum(CASE WHEN NOT even THEN q[i] END), 0) AS s2
+      |  FROM e, unnest(generate_series(1, len(q))) AS t(i)
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT s.label, n1, n2, count(*) AS n_dims,
+      |    sum((CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+      |      * (CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)) AS num
+      |  FROM sums s JOIN counts c ON s.label = c.label
+      |  GROUP BY 1, 2, 3)
+      |SELECT label, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(n_dims AS BIGINT) AS n_dims,
+      |  CAST(num * 1000 // (CAST(n1 AS HUGEINT) * n2 * n1 * n2) AS BIGINT)
+      |    AS shift_milli
+      |FROM agg ORDER BY label""".stripMargin,
+    "q432_prefix_sharing" -> """
+      |WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |      x -> x <> '') AS tk
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+      |    array_to_string(tk[1:8], ' ') AS prefix
+      |  FROM t WHERE len(tk) >= 8),
+      |g AS (
+      |  SELECT prefix, count(*) AS n_docs, sum(n_toks) AS tokens
+      |  FROM p GROUP BY 1 HAVING count(*) >= 2)
+      |SELECT prefix, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(tokens AS BIGINT) AS tokens,
+      |  CAST((n_docs - 1) * 8 AS BIGINT) AS cached_tokens
+      |FROM g ORDER BY cached_tokens DESC, prefix LIMIT 20""".stripMargin,
     "q427_epoch_decorrelation" -> """
       |WITH r AS (
       |  SELECT source,
