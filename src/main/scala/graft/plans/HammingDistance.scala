@@ -171,6 +171,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordNgrams(children.head, n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("distinct_ngrams"),
+      new ExpressionInfo(classOf[DistinctNgrams].getName, "distinct_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "distinct_ngrams(text, n) takes exactly 2 arguments")
+        val n = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"distinct_ngrams n must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "distinct_ngrams n must be a literal")
+        }
+        DistinctNgrams(children.head, n)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[Winnow].getName, "winnow_fps"),
       (children: Seq[Expression]) => {

@@ -834,19 +834,17 @@ object TrainingData {
     * screens template/boilerplate junk BEFORE paying for tokenization
     * (low ratio = highly repetitive). Complements the token-level
     * repetition stats (q75): char grams catch sub-token repetition
-    * (AAAA…, markup runs) that whitespace tokens hide. Pure scan — the
-    * gram set builds inside an array HOF per row; the lambda references
-    * only raw attributes, so Catalyst does not re-inline per element
-    * (the q26-era O(n²) alias trap documented in Corpus.bigramsOf). */
+    * (AAAA…, markup runs) that whitespace tokens hide. Pure scan via the
+    * native codegen expression [[graft.plans.DistinctNgrams]] (grams
+    * pack exactly into longs — the HOF spelling it replaces was the
+    * slowest per-row cost of the session at 4.0 s on sf0.1). */
   def q429CompressProxy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .filter(length($"text") >= 4)
       .select($"doc_id",
         (length($"text") - 3).cast("long").as("n_grams"),
-        expr("CAST(size(array_distinct(transform(" +
-          "sequence(1, length(text) - 3), i -> substring(text, i, 4)))) " +
-          "AS BIGINT)").as("n_distinct"))
+        call_function("distinct_ngrams", $"text", lit(4)).as("n_distinct"))
       .select($"doc_id", $"n_grams", $"n_distinct",
         expr("n_distinct * 10000 div n_grams").as("distinct_bp"))
       .orderBy($"doc_id")
