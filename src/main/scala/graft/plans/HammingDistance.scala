@@ -171,6 +171,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordNgrams(children.head, n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("lang_hits"),
+      new ExpressionInfo(classOf[LangHits].getName, "lang_hits"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "lang_hits(text) takes exactly 1 argument")
+        LangHits(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("distinct_ngrams"),
       new ExpressionInfo(classOf[DistinctNgrams].getName, "distinct_ngrams"),
       (children: Seq[Expression]) => {

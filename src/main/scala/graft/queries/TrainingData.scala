@@ -87,14 +87,15 @@ object TrainingData {
     * first-wins on ties). */
   def q30LangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = transform(
-      filter(split($"text", " "), t => t =!= ""), t => lower(t))
-    def hits(words: Set[String]) =
-      size(filter(toks, t => t.isInCollection(words.toSeq)))
-    val scored = graft.functions.Text.langProfiles.foldLeft(
-      Tables.documents(spark, dir).select($"doc_id", $"text")) {
-      case (df, (lang, set)) => df.withColumn(s"s_$lang", hits(set))
-    }
+    // one-pass native scorer (graft.plans.LangHits): the former
+    // five-HOF spelling re-evaluated the split+lower token chain per
+    // language because Catalyst inlines the shared alias
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id", call_function("lang_hits", $"text").as("_h"))
+      .select($"doc_id" +:
+        graft.functions.Text.langProfiles.zipWithIndex.map {
+          case ((lang, _), i) => element_at($"_h", i + 1).as(s"s_$lang")
+        }: _*)
     // first (alphabetical) strict argmax — mirrors Text.languageId
     val pred =
       when($"s_de" >= $"s_en" && $"s_de" >= $"s_es" && $"s_de" >= $"s_fr" && $"s_de" >= $"s_nl", "de")
