@@ -830,6 +830,86 @@ object TrainingData {
       .orderBy($"tau")
   }
 
+  /** Late-interaction MaxSim retrieval (the ColBERT scoring shape): each
+    * 64-dim vector splits into 8 contiguous 8-dim sub-vectors ("token"
+    * vectors); score(q, d) = Σ_i max_j ⟨q_i, d_j⟩ — every query
+    * sub-vector finds its best document sub-vector, then the maxima sum.
+    * Catches partial/aspect matches a single pooled dot flattens. Top-5
+    * per sampled query; integer dots via the quantized vectors, queries
+    * broadcast, corpus scanned once — the sub-vector max runs inside a
+    * per-pair HOF fold, no explode of the corpus side. */
+  def q433Maxsim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", Similarity.quantize($"embedding").as("q"))
+    val queries = emb.filter($"vec_id" % 400 === 0)
+      .select($"vec_id".as("query_id"), $"q".as("qq"))
+    // Σ_i max_j dot(slice(qq, i), slice(dq, j)) as one nested fold
+    val score = expr(
+      "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+        "aggregate(sequence(0, 7), CAST(-4611686018427387904 AS BIGINT), " +
+        "(m, j) -> greatest(m, qdot(slice(qq, i * 8 + 1, 8), " +
+        "slice(q, j * 8 + 1, 8)))))")
+    val scored = emb.join(broadcast(queries), $"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id".as("nn_id"), score.as("maxsim"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"maxsim".desc, $"nn_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"nn_id", $"maxsim")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Transitivity audit of the near-dup relation: at the q26 Jaccard-0.5
+    * threshold, how often does a~b ∧ b~c come WITHOUT a~c? The open-
+    * wedge rate is the honest measure of how much a threshold relation
+    * deviates from the equivalence the dedup-cluster step (q66) then
+    * imposes on it — high openness means cluster resolution is merging
+    * documents no pairwise test ever matched. Wedge counting per center
+    * node (Σ C(deg,2)) plus one pair-set self-join for closed wedges —
+    * never an explicit triple enumeration. */
+  def q434DedupTransitivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Similarity.ngramJaccardPairs(corpus(spark, dir),
+        "doc_id", "text", 3)
+      .filter($"inter" * 2 >= $"union_size")
+      .select($"id_a", $"id_b")
+    // skew-safe per-node triangle counts (compact-forward orientation);
+    // each triangle is counted once at each of its 3 nodes, so the sum
+    // IS the closed-wedge count
+    val closed = graft.etl.Graph.triangleCounts(pairs, "id_a", "id_b")
+      .agg(coalesce(sum($"triangles"), lit(0L)).as("n_closed"))
+    val deg = pairs.select($"id_a".as("u"))
+      .unionByName(pairs.select($"id_b".as("u")))
+      .groupBy($"u").agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(coalesce(
+      sum(expr("CAST(d AS DECIMAL(38,0)) * (d - 1) div 2")), lit(0))
+      .cast("long").as("n_wedges"))
+    pairs.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(wedges)).crossJoin(broadcast(closed))
+      .select($"n_edges", $"n_wedges", $"n_closed",
+        expr("CASE WHEN n_wedges > 0 THEN " +
+          "(n_wedges - n_closed) * 10000 div n_wedges END").as("open_bp"))
+  }
+
+  /** Uncertainty sampling for annotation: the 30 documents whose q30
+    * language-ID margin (top score minus runner-up, via the native
+    * `lang_hits` scorer) is smallest — the active-learning batch a
+    * labeling budget buys first, where the classifier is least sure.
+    * Ties break on doc_id; margin and top score emitted for the
+    * annotator triage view. */
+  def q435UncertainSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        expr("sort_array(lang_hits(text), false)").as("_s"))
+      .select($"doc_id", element_at($"_s", 1).as("top_score"),
+        (element_at($"_s", 1) - element_at($"_s", 2)).as("margin"))
+      .orderBy($"margin".asc, $"top_score".desc, $"doc_id")
+      .limit(30)
+  }
+
   /** Compressibility proxy: distinct-to-total character 4-gram ratio per
     * document — the cheap stand-in for "would gzip crush this?" that
     * screens template/boilerplate junk BEFORE paying for tokenization
@@ -1289,6 +1369,9 @@ object TrainingData {
     "q427_epoch_decorrelation" -> q427EpochDecorrelation _,
     "q428_cdc_chunks" -> q428CdcChunks _,
     "q429_compress_proxy" -> q429CompressProxy _,
+    "q433_maxsim" -> q433Maxsim _,
+    "q434_dedup_transitivity" -> q434DedupTransitivity _,
+    "q435_uncertain_sample" -> q435UncertainSample _,
     "q430_label_resolution" -> q430LabelResolution _,
     "q431_centroid_shift" -> q431CentroidShift _,
     "q432_prefix_sharing" -> q432PrefixSharing _,
@@ -2448,6 +2531,87 @@ object TrainingData {
       |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
       |FROM taus t LEFT JOIN np USING (tau) LEFT JOIN nd USING (tau)
       |ORDER BY tau""".stripMargin,
+    "q433_maxsim" -> """
+      |WITH e AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |qs AS (SELECT vec_id AS query_id, q AS qq FROM e
+      |       WHERE vec_id % 400 = 0),
+      |pairs AS (
+      |  SELECT query_id, qq, e.vec_id AS nn_id, e.q
+      |  FROM qs JOIN e ON e.vec_id <> query_id),
+      |ij AS (SELECT i, j FROM generate_series(0, 7) a(i),
+      |       generate_series(0, 7) b(j)),
+      |dots AS (
+      |  SELECT query_id, nn_id, i,
+      |    max(CAST(list_dot_product(
+      |      list_slice(qq, i * 8 + 1, i * 8 + 8),
+      |      list_slice(q, j * 8 + 1, j * 8 + 8)) AS BIGINT)) AS mx
+      |  FROM pairs CROSS JOIN ij GROUP BY 1, 2, 3),
+      |ms AS (
+      |  SELECT query_id, nn_id, CAST(sum(mx) AS BIGINT) AS maxsim
+      |  FROM dots GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY maxsim DESC, nn_id) AS rank
+      |  FROM ms)
+      |SELECT query_id, rank, nn_id, maxsim FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q434_dedup_transitivity" -> s"""
+      |WITH $corpusSql,
+      |$shinglesSql,
+      |freq AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+      |    max(CASE WHEN f.c <= 256 THEN 1 ELSE 0 END) AS has_kept
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN freq f ON f.s = a.s
+      |  GROUP BY 1, 2),
+      |und AS (
+      |  SELECT id_a AS a, id_b AS b
+      |  FROM cand
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE 2 * inter >= sa.n + sb.n - inter AND has_kept = 1),
+      |deg AS (
+      |  SELECT u, count(*) AS d
+      |  FROM (SELECT a AS u FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY 1),
+      |w AS (
+      |  SELECT coalesce(sum(CAST(d AS HUGEINT) * (d - 1) // 2), 0)
+      |    AS n_wedges FROM deg),
+      |t AS (
+      |  SELECT count(*) AS n_tri
+      |  FROM und e1
+      |  JOIN und e2 ON e2.a = e1.b
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |ec AS (SELECT count(*) AS n_edges FROM und)
+      |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+      |  CAST(n_wedges AS BIGINT) AS n_wedges,
+      |  CAST(n_tri * 3 AS BIGINT) AS n_closed,
+      |  CASE WHEN n_wedges > 0 THEN
+      |    CAST((n_wedges - n_tri * 3) * 10000 // n_wedges AS BIGINT)
+      |  END AS open_bp
+      |FROM ec, w, t""".stripMargin,
+    "q435_uncertain_sample" -> """
+      |WITH t AS (
+      |  SELECT doc_id, list_transform(
+      |    list_filter(string_split(text,' '), x -> x <> ''),
+      |    x -> lower(x)) AS tk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_reverse_sort([
+      |    len(list_filter(tk, x -> x IN ('der','die','das','und','ein','nicht','ist'))),
+      |    len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is'))),
+      |    len(list_filter(tk, x -> x IN ('el','los','las','y','un','que','es'))),
+      |    len(list_filter(tk, x -> x IN ('le','la','les','et','un','est','que'))),
+      |    len(list_filter(tk, x -> x IN ('de','het','een','en','van','niet','is')))])
+      |    AS sc
+      |  FROM t)
+      |SELECT doc_id, sc[1] AS top_score, sc[1] - sc[2] AS margin
+      |FROM s ORDER BY margin, top_score DESC, doc_id LIMIT 30""".stripMargin,
     "q429_compress_proxy" -> """
       |WITH g AS (
       |  SELECT doc_id, CAST(length(text) - 3 AS BIGINT) AS n_grams,
