@@ -830,6 +830,68 @@ object TrainingData {
       .orderBy($"tau")
   }
 
+  /** Trending-term drift: χ² of each term's document frequency between
+    * the even/odd document halves, top-50 movers — the corpus-monitoring
+    * readout that names WHICH terms a distribution shift (q256/q273
+    * measure only how much) is made of. Exact integer χ² cross-multiply
+    * (same 2×2 construction as q130) over per-half df counts; terms
+    * must appear in ≥ 5 docs so one-off tokens can't crowd the board. */
+  def q436TermDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = Tables.documents(spark, dir)
+      .select($"doc_id", ($"doc_id" % 2 === 0).as("even"),
+        explode(array_distinct(graft.etl.Corpus.tokensOf($"text")))
+          .as("term"))
+    val halves = Tables.documents(spark, dir)
+      .agg(sum(when($"doc_id" % 2 === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when($"doc_id" % 2 =!= 0, 1L).otherwise(0L)).as("n2"))
+    df.groupBy($"term")
+      .agg(sum(when($"even", 1L).otherwise(0L)).as("df1"),
+        sum(when(!$"even", 1L).otherwise(0L)).as("df2"))
+      .filter($"df1" + $"df2" >= 5)
+      .crossJoin(broadcast(halves))
+      // chi2 = N (ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) on the 2x2
+      // [df1, n1-df1; df2, n2-df2], milli-scaled
+      .withColumn("_num", expr(
+        "CAST(df1 AS DECIMAL(38,0)) * (n2 - df2) " +
+          "- CAST(df2 AS DECIMAL(38,0)) * (n1 - df1)"))
+      .withColumn("_den", expr(
+        "CAST(df1 + df2 AS DECIMAL(38,0)) * (n1 + n2 - df1 - df2) " +
+          "* n1 * n2"))
+      .filter($"_den" > 0)
+      .select($"term", $"df1", $"df2",
+        expr("CAST(CAST(n1 + n2 AS DECIMAL(38,0)) * _num * _num * 1000 " +
+          "div _den AS BIGINT)").as("chi2_milli"))
+      .orderBy($"chi2_milli".desc, $"term")
+      .limit(50)
+  }
+
+  /** CSV ingestion with quarantine — the PERMISSIVE-parse contract a
+    * file-feed pipeline needs: rows round-trip through real CSV text
+    * (synthesized in-memory, the q40–q43 JSON-adapter trick), every
+    * 97th order's price field is corrupted to a non-numeric token, and
+    * `from_csv` must park exactly those rows in the corrupt-record
+    * column while parsing the rest — reported as a (status, rows,
+    * example) quarantine summary. Scan-shaped; no UDFs, the parser is
+    * Spark's native CSV reader. */
+  def q437CsvQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Tables.orders(spark, dir)
+      .select(concat_ws(",", $"o_orderkey", $"o_custkey",
+        when($"o_orderkey" % 97 === 0, lit("xx"))
+          .otherwise(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            .cast("string"))).as("line"))
+    val parsed = lines.select(from_csv($"line",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, c BIGINT, p BIGINT, _corrupt_record STRING"),
+      Map("mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+    parsed.select($"r.k", $"r._corrupt_record".isNotNull.as("corrupt"))
+      .groupBy($"corrupt")
+      .agg(count(lit(1)).as("n_rows"), min($"k").as("min_key"))
+      .orderBy($"corrupt")
+  }
+
   /** Late-interaction MaxSim retrieval (the ColBERT scoring shape): each
     * 64-dim vector splits into 8 contiguous 8-dim sub-vectors ("token"
     * vectors); score(q, d) = Σ_i max_j ⟨q_i, d_j⟩ — every query
@@ -1372,6 +1434,8 @@ object TrainingData {
     "q433_maxsim" -> q433Maxsim _,
     "q434_dedup_transitivity" -> q434DedupTransitivity _,
     "q435_uncertain_sample" -> q435UncertainSample _,
+    "q436_term_drift" -> q436TermDrift _,
+    "q437_csv_quarantine" -> q437CsvQuarantine _,
     "q430_label_resolution" -> q430LabelResolution _,
     "q431_centroid_shift" -> q431CentroidShift _,
     "q432_prefix_sharing" -> q432PrefixSharing _,
@@ -2531,6 +2595,39 @@ object TrainingData {
       |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
       |FROM taus t LEFT JOIN np USING (tau) LEFT JOIN nd USING (tau)
       |ORDER BY tau""".stripMargin,
+    "q436_term_drift" -> """
+      |WITH h AS (
+      |  SELECT sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n1,
+      |    sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS n2
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id % 2 = 0 AS even,
+      |    unnest(list_distinct(list_filter(
+      |      string_split_regex(text, '[ \t\n\r]+'), x -> x <> ''))) AS term
+      |  FROM documents),
+      |d AS (
+      |  SELECT term,
+      |    sum(CASE WHEN even THEN 1 ELSE 0 END) AS df1,
+      |    sum(CASE WHEN NOT even THEN 1 ELSE 0 END) AS df2
+      |  FROM t GROUP BY 1 HAVING count(*) >= 5),
+      |x AS (
+      |  SELECT term, df1, df2, n1, n2,
+      |    CAST(df1 AS HUGEINT) * (n2 - df2)
+      |      - CAST(df2 AS HUGEINT) * (n1 - df1) AS num,
+      |    CAST(df1 + df2 AS HUGEINT) * (n1 + n2 - df1 - df2) * n1 * n2
+      |      AS den
+      |  FROM d, h)
+      |SELECT term, CAST(df1 AS BIGINT) AS df1, CAST(df2 AS BIGINT) AS df2,
+      |  CAST(CAST(n1 + n2 AS HUGEINT) * num * num * 1000 // den AS BIGINT)
+      |    AS chi2_milli
+      |FROM x WHERE den > 0
+      |ORDER BY chi2_milli DESC, term LIMIT 50""".stripMargin,
+    "q437_csv_quarantine" -> """
+      |WITH f AS (
+      |  SELECT o_orderkey AS k, o_orderkey % 97 = 0 AS corrupt FROM orders)
+      |SELECT corrupt, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(min(k) AS BIGINT) AS min_key
+      |FROM f GROUP BY 1 ORDER BY corrupt""".stripMargin,
     "q433_maxsim" -> """
       |WITH e AS (
       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
