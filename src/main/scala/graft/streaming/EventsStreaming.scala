@@ -31,6 +31,22 @@ object EventsStreaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Exact streaming dedup — the streaming twin of the batch q25
+    * content dedup: `dropDuplicatesWithinWatermark` on the content key
+    * keeps each key's FIRST arrival and drops every duplicate that
+    * lands inside the watermark horizon, with per-key state evicted
+    * once the watermark passes (bounded state — the property plain
+    * `dropDuplicates` on a stream does not have; its state grows
+    * forever). Duplicates separated by more than the horizon are
+    * re-admitted by design: that is the contract of horizon-bounded
+    * dedup, and the batch backstop (q25 over the full corpus) catches
+    * the long-range stragglers — exactly the production lambda split. */
+  def dedupStream(events: DataFrame, keyCol: String = "content_key",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Gap-based session aggregation on the stream — `session_window`
     * with a watermark, the streaming twin of the batch q35 sessionize:
     * a session closes once the watermark passes its last event + gap,

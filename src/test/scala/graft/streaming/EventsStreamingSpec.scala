@@ -549,4 +549,40 @@ class EventsStreamingSpec extends SparkSpec {
     assert(!rows.exists(_.head == 9L)) // still open -> not emitted yet
   }
 
+  test("dedupStream: first arrival survives, in-horizon duplicates drop, " +
+    "post-horizon repeat re-admits") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = EventsStreaming.dedupStream(
+        input.toDF().withColumn("content_key", col("event_type")),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    input.addData(
+      EventRow(1, ts("2026-01-01 10:00:00"), 1, "alpha", 1.0),
+      EventRow(2, ts("2026-01-01 10:01:00"), 2, "alpha", 2.0), // dup, drops
+      EventRow(3, ts("2026-01-01 10:02:00"), 3, "beta", 3.0))
+    q.processAllAvailable()
+    // same key again INSIDE the horizon of the state -> still dropped
+    input.addData(EventRow(4, ts("2026-01-01 10:05:00"), 4, "alpha", 4.0))
+    q.processAllAvailable()
+    // watermark jumps far ahead; alpha's state evicts, a later repeat
+    // re-admits (the documented horizon contract). The watermark a batch
+    // COMMITS only takes effect on the NEXT trigger, so push one more
+    // batch before the repeat — without it the eviction races the repeat
+    // and the test flakes with suite-order timing.
+    input.addData(EventRow(5, ts("2026-01-01 12:00:00"), 5, "gamma", 5.0))
+    q.processAllAvailable()
+    input.addData(EventRow(7, ts("2026-01-01 12:00:30"), 7, "delta", 7.0))
+    q.processAllAvailable()
+    input.addData(EventRow(6, ts("2026-01-01 12:01:00"), 6, "alpha", 6.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup").select($"event_id").as[Long]
+      .collect().toSet
+    assert(got == Set(1L, 3L, 5L, 6L, 7L), got)
+  }
+
 }
