@@ -688,7 +688,7 @@ object Corpus {
         (conv(substring(sha2(col(idCol).cast("string"), 256), 1, 4), 16, 10)
           .cast("long") % nShards).as("shard"),
         length(col(textCol)).cast("long").as("_c"),
-        size(filter(split(col(textCol), " "), t => t =!= ""))
+        size(call_function("sp_tokens", col(textCol)))
           .cast("long").as("_t"),
         h8.as("_h"))
       .groupBy(col("shard"))
@@ -930,7 +930,7 @@ object Corpus {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
     val profiles = graft.functions.Text.langProfiles
     val toks = docs.select(col(idCol),
-        posexplode(filter(split(col(textCol), " "), t => t =!= ""))
+        posexplode(call_function("sp_tokens", col(textCol)))
           .as(Seq("pos", "tok")))
       .select(col(idCol), expr(s"CAST(pos div $chunkTokens AS BIGINT)").as("chunk"),
         lower(col("tok")).as("tok"))

@@ -171,6 +171,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordNgrams(children.head, n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("sp_tokens"),
+      new ExpressionInfo(classOf[SpTokens].getName, "sp_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "sp_tokens(text) takes exactly 1 argument")
+        SpTokens(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("lang_hits"),
       new ExpressionInfo(classOf[LangHits].getName, "lang_hits"),
       (children: Seq[Expression]) => {

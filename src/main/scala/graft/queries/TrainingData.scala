@@ -68,7 +68,7 @@ object TrainingData {
     // explicitly so an empty text in a future corpus can't skew row counts
     Similarity.withSimhash(
         Tables.documents(spark, dir)
-          .filter(size(filter(split($"text", " "), t => t =!= "")) > 0), "text")
+          .filter(size(call_function("sp_tokens", $"text")) > 0), "text")
       .select($"doc_id", $"simhash")
       .orderBy($"doc_id")
   }
@@ -112,7 +112,7 @@ object TrainingData {
     * count, stopword hits — all integers, all codegen column expressions. */
   def q31TextQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = filter(split($"text", " "), t => t =!= "")
+    val toks = call_function("sp_tokens", $"text")
     val stop = Seq("the", "a", "of", "and", "to", "in", "is")
     Tables.documents(spark, dir).select(
         $"doc_id",
@@ -332,7 +332,7 @@ object TrainingData {
   def q64PackSequences(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id",
-      size(filter(split($"text", " "), t => t =!= "")).as("n_tokens"))
+      size(call_function("sp_tokens", $"text")).as("n_tokens"))
     graft.etl.Corpus.packSequences(docs, "doc_id", "n_tokens",
         budget = 2048, shardCol = ($"doc_id" % 8).cast("long"))
       .select($"doc_id", $"n_tokens", $"shard", $"seq_in_shard")
@@ -420,7 +420,7 @@ object TrainingData {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id",
-        explode(filter(split($"text", " "), t => t =!= "")).as("term"))
+        explode(call_function("sp_tokens", $"text")).as("term"))
       .groupBy($"term")
       .agg(countDistinct($"doc_id").as("doc_freq"),
         count(lit(1)).as("term_freq"))
@@ -520,7 +520,7 @@ object TrainingData {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select($"doc_id",
-        explode(filter(split($"text", " "), t => t =!= "")).as("term"))
+        explode(call_function("sp_tokens", $"text")).as("term"))
       .distinct()
     val top = toks.groupBy($"term").agg(count(lit(1)).as("df"))
       .orderBy($"df".desc, $"term").limit(10)
@@ -556,7 +556,7 @@ object TrainingData {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val toks = docs.select($"doc_id", $"source",
-      explode(filter(split($"text", " "), t => t =!= "")).as("term"))
+      explode(call_function("sp_tokens", $"text")).as("term"))
     val dfreq = toks.select($"doc_id", $"term").distinct()
       .groupBy($"term").agg(count(lit(1)).as("df"))
     val tf = toks.groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
