@@ -1173,6 +1173,49 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Diagonal-Mahalanobis embedding outliers: per label, score every
+    * vector by Σ_d (x_d − μ_d)²/σ²_d over the label's own per-dimension
+    * moments — the multivariate data-quality screen that catches vectors
+    * whose every coordinate is individually plausible but jointly wrong
+    * (mislabeled rows, encoder-version strays), where a norm check
+    * (q281) sees nothing. Diagonal covariance only: the full-matrix
+    * inverse is a driver-side O(d³) nobody needs for screening, and the
+    * diagonal keeps the arithmetic integer-exact.
+    *
+    * Milli floors, engine-identical: per (label, dim) m_milli = S·10³
+    * div n and v_milli = (Q·10³·n − S²·10³) div (n·(n−1)); per vector
+    * term_milli = (x·10³ − m_milli)² div v_milli (the 10⁶/10³ scales
+    * cancel to an exact milli z²), summed over dims. Plan: one
+    * posexplode aggregate for the moments (combiner-friendly), one
+    * broadcast join of the tiny (label × dims) stats table back onto the
+    * exploded vectors, top-k via TakeOrdered. */
+  def diagMahalanobisOutliers(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val exploded = df.select(col(idCol).as("_id"), col(labelCol).as("_l"),
+        posexplode(quantize(col(vecCol))).as(Seq("_dim", "_x")))
+    val stats = exploded.groupBy(col("_l"), col("_dim"))
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
+        sum(expr("CAST(_x AS DECIMAL(38,0)) * _x")).as("_q"))
+      .filter(col("_n") >= 2)
+      .select(col("_l"), col("_dim"),
+        expr("CAST(CAST(_s AS DECIMAL(38,0)) * 1000 div _n AS BIGINT)")
+          .as("_m_milli"),
+        expr("CAST((_q * 1000 * _n - CAST(_s AS DECIMAL(38,0)) * _s * 1000)" +
+          " div (CAST(_n AS DECIMAL(38,0)) * (_n - 1)) AS BIGINT)")
+          .as("_v_milli"))
+      .filter(col("_v_milli") > 0)
+    exploded.join(broadcast(stats), Seq("_l", "_dim"))
+      .withColumn("_t", expr(
+        "CAST(CAST(_x * 1000 - _m_milli AS DECIMAL(38,0)) " +
+          "* (_x * 1000 - _m_milli) div _v_milli AS BIGINT)"))
+      .groupBy(col("_id"), col("_l"))
+      .agg(count(lit(1)).as("n_dims"), sum(col("_t")).as("z2_milli"))
+      .select(col("_id").as(idCol), col("_l").as(labelCol), col("n_dims"),
+        col("z2_milli"))
+      .orderBy(col("z2_milli").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate PAIRS (the dedup-flavored companion to
     * the top-k searches): candidates share a sign-LSH bucket (never an
     * all-pairs join — at 100 TB the corpus is hash-partitioned by bucket and

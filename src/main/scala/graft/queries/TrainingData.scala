@@ -830,6 +830,17 @@ object TrainingData {
       .orderBy($"tau")
   }
 
+  /** Diagonal-Mahalanobis outlier screen
+    * ([[graft.etl.Similarity.diagMahalanobisOutliers]]): the 20 vectors
+    * farthest from their OWN label's per-dimension moments — the
+    * mislabeled-row / encoder-stray shortlist a cleaning pass reviews
+    * first, integer-exact milli z² per the helper contract. */
+  def q438MahalanobisOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.diagMahalanobisOutliers(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", "label", k = 20)
+  }
+
   /** Trending-term drift: χ² of each term's document frequency between
     * the even/odd document halves, top-50 movers — the corpus-monitoring
     * readout that names WHICH terms a distribution shift (q256/q273
@@ -1436,6 +1447,7 @@ object TrainingData {
     "q435_uncertain_sample" -> q435UncertainSample _,
     "q436_term_drift" -> q436TermDrift _,
     "q437_csv_quarantine" -> q437CsvQuarantine _,
+    "q438_mahalanobis_outliers" -> q438MahalanobisOutliers _,
     "q430_label_resolution" -> q430LabelResolution _,
     "q431_centroid_shift" -> q431CentroidShift _,
     "q432_prefix_sharing" -> q432PrefixSharing _,
@@ -2595,6 +2607,36 @@ object TrainingData {
       |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
       |FROM taus t LEFT JOIN np USING (tau) LEFT JOIN nd USING (tau)
       |ORDER BY tau""".stripMargin,
+    "q438_mahalanobis_outliers" -> """
+      |WITH e AS (
+      |  SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT vec_id, label, i AS dim, q[i] AS v
+      |  FROM e, unnest(generate_series(1, len(q))) AS t(i)),
+      |st AS (
+      |  SELECT label, dim, count(*) AS n, sum(v) AS s,
+      |    sum(CAST(v AS HUGEINT) * v) AS qq
+      |  FROM x GROUP BY 1, 2 HAVING count(*) >= 2),
+      |mv AS (
+      |  SELECT label, dim,
+      |    CAST(CAST(s AS HUGEINT) * 1000 // n AS BIGINT) AS m_milli,
+      |    CAST((qq * 1000 * n - CAST(s AS HUGEINT) * s * 1000)
+      |      // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS v_milli
+      |  FROM st),
+      |terms AS (
+      |  SELECT x.vec_id, x.label,
+      |    CAST((CAST(x.v * 1000 - m_milli AS HUGEINT)
+      |      * (x.v * 1000 - m_milli)) // v_milli AS BIGINT) AS t
+      |  FROM x JOIN mv ON x.label = mv.label AND x.dim = mv.dim
+      |  WHERE v_milli > 0),
+      |z AS (
+      |  SELECT vec_id, label, count(*) AS n_dims, sum(t) AS z2_milli
+      |  FROM terms GROUP BY 1, 2)
+      |SELECT vec_id, label, CAST(n_dims AS BIGINT) AS n_dims,
+      |  CAST(z2_milli AS BIGINT) AS z2_milli
+      |FROM z ORDER BY z2_milli DESC, vec_id LIMIT 20""".stripMargin,
     "q436_term_drift" -> """
       |WITH h AS (
       |  SELECT sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n1,
