@@ -1130,7 +1130,47 @@ object StatsQueries {
       .orderBy($"event_type", $"d")
   }
 
+  // ------------------------------------------- q439 bot regularity
+
+  /** Bot/automation screen by inter-arrival regularity: humans are
+    * bursty, schedulers are metronomes — per user (≥ 10 events) the
+    * mean and variance of inter-event gaps (whole SECONDS — µs gaps
+    * square past int64 on year-sparse users; measured) and the
+    * squared coefficient of variation `cv2_milli = var/mean²·1000`;
+    * cv² ≪ 1000 (sub-Poisson) flags clockwork traffic for the crawler/
+    * abuse review that feeds the host-cap policy (q367). One user-keyed
+    * lag window + one combiner aggregate; variance via the same exact
+    * milli pipeline as [[Stats.smdBalance]]. */
+  def q439BotRegularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val gaps = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"user_id" >= 0)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+      .withColumn("_prev", lag($"us", 1).over(w))
+      .filter($"_prev".isNotNull)
+      .select($"user_id", expr("(us - _prev) div 1000000").as("g"))
+    gaps.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum($"g").as("_s"),
+        sum(expr("CAST(g AS DECIMAL(38,0)) * g")).as("_q"))
+      .filter($"n_gaps" >= 10)
+      .withColumn("mean_s_milli", expr(
+        "CAST(CAST(_s AS DECIMAL(38,0)) * 1000 div n_gaps AS BIGINT)"))
+      .withColumn("var_milli", expr(
+        "CAST((_q * 1000 * n_gaps - CAST(_s AS DECIMAL(38,0)) * _s * 1000)" +
+          " div (CAST(n_gaps AS DECIMAL(38,0)) * (n_gaps - 1)) AS BIGINT)"))
+      .filter($"mean_s_milli" > 0)
+      .select($"user_id", $"n_gaps", $"mean_s_milli", $"var_milli",
+        expr("CAST(CAST(var_milli AS DECIMAL(38,0)) * 1000 * 1000 " +
+          "div (CAST(mean_s_milli AS DECIMAL(38,0)) * mean_s_milli) " +
+          "AS BIGINT)").as("cv2_milli"))
+      .orderBy($"cv2_milli".asc, $"user_id")
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q439_bot_regularity" -> q439BotRegularity _,
     "q423_rank_churn" -> q423RankChurn _,
     "q420_mcc" -> q420Mcc _,
     "q415_fairness_gaps" -> q415FairnessGaps _,
@@ -1188,6 +1228,32 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q439_bot_regularity" -> """
+      |WITH g AS (
+      |  SELECT user_id,
+      |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id)) // 1000000 AS g
+      |  FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
+      |a AS (
+      |  SELECT user_id, count(*) AS n_gaps, sum(g) AS s,
+      |    sum(CAST(g AS HUGEINT) * g) AS q
+      |  FROM g WHERE g IS NOT NULL
+      |  GROUP BY 1 HAVING count(*) >= 10),
+      |m AS (
+      |  SELECT user_id, n_gaps,
+      |    CAST(CAST(s AS HUGEINT) * 1000 // n_gaps AS BIGINT)
+      |      AS mean_s_milli,
+      |    CAST((q * 1000 * n_gaps - CAST(s AS HUGEINT) * s * 1000)
+      |      // (CAST(n_gaps AS HUGEINT) * (n_gaps - 1)) AS BIGINT)
+      |      AS var_milli
+      |  FROM a)
+      |SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps, mean_s_milli,
+      |  var_milli,
+      |  CAST(CAST(var_milli AS HUGEINT) * 1000 * 1000
+      |    // (CAST(mean_s_milli AS HUGEINT) * mean_s_milli) AS BIGINT)
+      |    AS cv2_milli
+      |FROM m WHERE mean_s_milli > 0
+      |ORDER BY cv2_milli, user_id LIMIT 50""".stripMargin,
     "q423_rank_churn" -> """
       |WITH daily AS (
       |  SELECT event_type, CAST(date_diff('day', DATE '1970-01-01',

@@ -830,6 +830,50 @@ object TrainingData {
       .orderBy($"tau")
   }
 
+  /** Simpson diversity of the language mix per source:
+    * λ_ppm = Σ n_i(n_i−1) · 10⁶ div (N(N−1)) — the probability two
+    * random documents from the source share a language, integer-exact
+    * with NO logarithms (the reason to read it next to the Shannon
+    * readouts q145/q325, which quantize through log₂ floors). High λ =
+    * a monoculture source; `richness` counts the languages present. */
+  def q440SimpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("_n"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("richness"), sum($"_n").as("n_docs"),
+        sum(expr("CAST(_n AS DECIMAL(38,0)) * (_n - 1)")).as("_same"))
+      .filter($"n_docs" >= 2)
+      .select($"source", $"richness", $"n_docs",
+        expr("CAST(_same * 1000000 div (CAST(n_docs AS DECIMAL(38,0)) " +
+          "* (n_docs - 1)) AS BIGINT)").as("lambda_ppm"))
+      .orderBy($"source")
+  }
+
+  /** Duplicate-mass attribution: which SOURCES contribute the exact-dup
+    * losses the q25 dedup removes? Per source: docs, survivors (first
+    * doc_id per byte-identical text keeps), dropped count and share bp,
+    * plus the chars the drop saves — the table that turns "dedup removed
+    * 7%" into "feed X republishes feed Y". One hash-group window, one
+    * aggregate. */
+  def q441DupAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"text").orderBy($"doc_id")
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id", $"text", $"n_chars")
+      .withColumn("_rk", row_number().over(w))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"_rk" === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"_rk" =!= 1, $"n_chars").otherwise(0L)).as("chars_dropped"))
+      .select($"source", $"n_docs", $"n_kept",
+        ($"n_docs" - $"n_kept").as("n_dropped"),
+        expr("(n_docs - n_kept) * 10000 div n_docs").as("dropped_bp"),
+        $"chars_dropped")
+      .orderBy($"source")
+  }
+
   /** Diagonal-Mahalanobis outlier screen
     * ([[graft.etl.Similarity.diagMahalanobisOutliers]]): the 20 vectors
     * farthest from their OWN label's per-dimension moments — the
@@ -1448,6 +1492,8 @@ object TrainingData {
     "q436_term_drift" -> q436TermDrift _,
     "q437_csv_quarantine" -> q437CsvQuarantine _,
     "q438_mahalanobis_outliers" -> q438MahalanobisOutliers _,
+    "q440_simpson_diversity" -> q440SimpsonDiversity _,
+    "q441_dup_attribution" -> q441DupAttribution _,
     "q430_label_resolution" -> q430LabelResolution _,
     "q431_centroid_shift" -> q431CentroidShift _,
     "q432_prefix_sharing" -> q432PrefixSharing _,
@@ -2607,6 +2653,34 @@ object TrainingData {
       |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
       |FROM taus t LEFT JOIN np USING (tau) LEFT JOIN nd USING (tau)
       |ORDER BY tau""".stripMargin,
+    "q440_simpson_diversity" -> """
+      |WITH c AS (
+      |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+      |a AS (
+      |  SELECT source, count(*) AS richness, sum(n) AS n_docs,
+      |    sum(CAST(n AS HUGEINT) * (n - 1)) AS same
+      |  FROM c GROUP BY 1 HAVING sum(n) >= 2)
+      |SELECT source, CAST(richness AS BIGINT) AS richness,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(same * 1000000 // (CAST(n_docs AS HUGEINT) * (n_docs - 1))
+      |    AS BIGINT) AS lambda_ppm
+      |FROM a ORDER BY source""".stripMargin,
+    "q441_dup_attribution" -> """
+      |WITH r AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+      |  FROM documents),
+      |a AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS n_kept,
+      |    sum(CASE WHEN rk <> 1 THEN n_chars ELSE 0 END) AS chars_dropped
+      |  FROM r GROUP BY 1)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_kept AS BIGINT) AS n_kept,
+      |  CAST(n_docs - n_kept AS BIGINT) AS n_dropped,
+      |  CAST((n_docs - n_kept) * 10000 // n_docs AS BIGINT) AS dropped_bp,
+      |  CAST(chars_dropped AS BIGINT) AS chars_dropped
+      |FROM a ORDER BY source""".stripMargin,
     "q438_mahalanobis_outliers" -> """
       |WITH e AS (
       |  SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]),
