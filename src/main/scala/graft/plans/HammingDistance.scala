@@ -259,5 +259,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => BitLenRewrite)
     // bounded levenshtein comparisons → built-in threshold form
     ext.injectOptimizerRule(_ => LevThresholdRewrite)
+    // filter(split(s, ' '), t -> t <> '') → SpTokens (see its Scaladoc)
+    ext.injectOptimizerRule(_ => SpTokensRewrite)
   }
 }

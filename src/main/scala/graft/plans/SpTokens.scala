@@ -59,3 +59,54 @@ case class SpTokens(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Optimizer rule: `filter(split(s, ' '[, limit<0]), t → t ≠ '')` →
+  * [[SpTokens]] — the portable space-tokenization spelling (which the
+  * DuckDB oracles share as `string_split(text, ' ')` + filter) silently
+  * gets the one-scan native form in EVERY query plan, including ad-hoc
+  * user SQL — the same keep-the-portable-spelling contract as
+  * [[QDotRewrite]]/[[BitLenRewrite]]. The separator must be the literal
+  * single space and the predicate exactly `arg <> ''` (either operand
+  * order); `split`'s limit must be absent or negative (unlimited), since
+  * a positive limit changes semantics. */
+object SpTokensRewrite
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.types.IntegerType
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case f @ ArrayFilter(
+            StringSplit(text, Literal(sep, StringType), limit),
+            LambdaFunction(pred, Seq(arg), _))
+          if sep != null && sep.toString == " " &&
+            isUnlimited(limit) && isNotEmpty(pred, arg) =>
+        logDebug(s"rewriting split+filter to sp_tokens: ${f.sql}")
+        SpTokens(text)
+    }
+
+  private def isUnlimited(limit: Expression): Boolean = limit match {
+    case Literal(v: Int, IntegerType) => v < 0
+    case _ => false
+  }
+
+  /** pred is `arg <> ''` (either operand order), possibly spelled
+    * Not(EqualTo(...)). */
+  private def isNotEmpty(pred: Expression,
+      arg: NamedExpression): Boolean = pred match {
+    case Not(EqualTo(l, r)) => isArgVsEmpty(l, r, arg)
+    case _ => false
+  }
+
+  private def isArgVsEmpty(l: Expression, r: Expression,
+      arg: NamedExpression): Boolean = {
+    def isArg(e: Expression) = e semanticEquals arg
+    def isEmpty(e: Expression) = e match {
+      case Literal(s, StringType) => s != null && s.toString.isEmpty
+      case _ => false
+    }
+    (isArg(l) && isEmpty(r)) || (isArg(r) && isEmpty(l))
+  }
+}
