@@ -830,6 +830,98 @@ object TrainingData {
       .orderBy($"tau")
   }
 
+  /** MinHash ESTIMATOR error audit: on the exact-verified q26 near-dup
+    * pairs, compare the 32-perm MinHash Jaccard estimate
+    * (matching-mins/32) against exact Jaccard, per pair — the audit
+    * that separates "banding missed it" (q27's recall story) from "the
+    * estimate itself is off at 32 perms" (this one; ±1/32 ≈ 312 bp
+    * granularity is the theory floor). Permutation hashes use the
+    * engine-neutral sha256-prefix recipe, long-format (doc, perm, min)
+    * signatures so both engines join/aggregate identically; an audit
+    * runs on candidates, never the full corpus. */
+  def q442MinhashEstError(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = corpus(spark, dir)
+    val pairs = Similarity.ngramJaccardPairs(docs, "doc_id", "text", 3)
+      .filter($"inter" * 2 >= $"union_size")
+      .select($"id_a", $"id_b",
+        expr("inter * 10000 div union_size").as("exact_bp"))
+    val shingles = docs.select($"doc_id",
+        explode(array_distinct(call_function("word_shingles", $"text",
+          lit(3)))).as("s"))
+    val perms = spark.range(32).select($"id".cast("int").as("i"))
+    val sigs = shingles.crossJoin(broadcast(perms))
+      .groupBy($"doc_id", $"i")
+      .agg(min(expr("CAST(conv(substring(sha2(concat(CAST(i AS STRING), " +
+        "':', s), 256), 1, 8), 16, 10) AS BIGINT)")).as("mh"))
+    val est = pairs
+      .join(sigs.select($"doc_id".as("id_a"), $"i", $"mh".as("ha")), Seq("id_a"))
+      .join(sigs.select($"doc_id".as("id_b"), $"i", $"mh".as("hb")),
+        Seq("id_b", "i"))
+      .groupBy($"id_a", $"id_b", $"exact_bp")
+      .agg(sum(when($"ha" === $"hb", 1L).otherwise(0L)).as("matches"))
+    est.select($"id_a", $"id_b", $"exact_bp",
+        expr("matches * 10000 div 32").as("est_bp"),
+        expr("abs(matches * 10000 div 32 - exact_bp)").as("abs_err_bp"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Split-document reassembly candidates: documents whose LAST 8 tokens
+    * equal another document's FIRST 8 tokens — the seam signature of a
+    * crawler or chunker that split one source document into consecutive
+    * pieces. A keyed equi-join on the seam string (no hashing needed —
+    * the string IS the key), ≥16-token docs only so head and tail can't
+    * overlap inside one doc. */
+  def q443SplitReassembly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val whole = Tables.documents(spark, dir)
+      .select($"doc_id", graft.etl.Corpus.tokensOf($"text").as("tk"))
+      .withColumn("n", size($"tk"))
+    // synthetic split feed (the corpusSql-mirror trick): every ≥32-token
+    // doc also arrives as two overlapping pieces — [1..20] and [13..n] —
+    // whose 8-token seam the reassembly join must recover
+    val base = whole.filter($"n" >= 32)
+    val p1 = base.select(($"doc_id" + 2000000).as("doc_id"),
+      slice($"tk", 1, 20).as("tk"))
+    val p2 = base.select(($"doc_id" + 3000000).as("doc_id"),
+      expr("slice(tk, 13, n - 12)").as("tk"))
+    val t = whole.select($"doc_id", $"tk").unionByName(p1).unionByName(p2)
+      .filter(size($"tk") >= 16)
+    val heads = t.select($"doc_id".as("next_id"),
+      array_join(slice($"tk", 1, 8), " ").as("seam"))
+    val tails = t.select($"doc_id".as("prev_id"),
+      array_join(slice($"tk", -8, 8), " ").as("seam"))
+    tails.join(heads, Seq("seam"))
+      .filter($"prev_id" =!= $"next_id")
+      .select($"prev_id", $"next_id", $"seam")
+      .orderBy($"prev_id", $"next_id")
+  }
+
+  /** Attribute-filtered ANN: exact top-5 nearest SAME-LABEL vectors per
+    * sampled query — the filtered-vector-search shape every retrieval
+    * stack needs (metadata predicate + similarity), where post-filtering
+    * a global top-k silently under-fills. The label filter rides in the
+    * join condition so pruning happens before scoring, queries
+    * broadcast. */
+  def q444FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", Similarity.quantize($"embedding").as("q"))
+    val queries = emb.filter($"vec_id" % 400 === 0)
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+        $"q".as("qq"))
+    val scored = emb.join(broadcast(queries),
+        $"label" === $"qlabel" && $"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id".as("nn_id"), $"label",
+        Similarity.qdot($"qq", $"q").as("dot"))
+    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"nn_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"nn_id", $"label", $"dot")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Simpson diversity of the language mix per source:
     * λ_ppm = Σ n_i(n_i−1) · 10⁶ div (N(N−1)) — the probability two
     * random documents from the source share a language, integer-exact
@@ -1494,6 +1586,9 @@ object TrainingData {
     "q438_mahalanobis_outliers" -> q438MahalanobisOutliers _,
     "q440_simpson_diversity" -> q440SimpsonDiversity _,
     "q441_dup_attribution" -> q441DupAttribution _,
+    "q442_minhash_est_error" -> q442MinhashEstError _,
+    "q443_split_reassembly" -> q443SplitReassembly _,
+    "q444_filtered_ann" -> q444FilteredAnn _,
     "q430_label_resolution" -> q430LabelResolution _,
     "q431_centroid_shift" -> q431CentroidShift _,
     "q432_prefix_sharing" -> q432PrefixSharing _,
@@ -2653,6 +2748,81 @@ object TrainingData {
       |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
       |FROM taus t LEFT JOIN np USING (tau) LEFT JOIN nd USING (tau)
       |ORDER BY tau""".stripMargin,
+    "q442_minhash_est_error" -> s"""
+      |WITH $corpusSql,
+      |$shinglesSql,
+      |freq AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+      |    max(CASE WHEN f.c <= 256 THEN 1 ELSE 0 END) AS has_kept
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN freq f ON f.s = a.s
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT id_a, id_b,
+      |    inter * 10000 // (sa.n + sb.n - inter) AS exact_bp
+      |  FROM cand
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE 2 * inter >= sa.n + sb.n - inter AND has_kept = 1),
+      |perms AS (SELECT unnest(generate_series(0, 31)) AS i),
+      |sigs AS (
+      |  SELECT doc_id, i,
+      |    min(('0x' || substring(sha256(CAST(i AS VARCHAR) || ':' || s),
+      |      1, 8))::BIGINT) AS mh
+      |  FROM sh CROSS JOIN perms GROUP BY 1, 2),
+      |est AS (
+      |  SELECT id_a, id_b, exact_bp,
+      |    sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS matches
+      |  FROM jp
+      |  JOIN sigs a ON a.doc_id = id_a
+      |  JOIN sigs b ON b.doc_id = id_b AND b.i = a.i
+      |  GROUP BY 1, 2, 3)
+      |SELECT id_a, id_b, CAST(exact_bp AS BIGINT) AS exact_bp,
+      |  CAST(matches * 10000 // 32 AS BIGINT) AS est_bp,
+      |  CAST(abs(matches * 10000 // 32 - exact_bp) AS BIGINT) AS abs_err_bp
+      |FROM est ORDER BY id_a, id_b""".stripMargin,
+    "q443_split_reassembly" -> """
+      |WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |      x -> x <> '') AS tk
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, tk FROM w
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, tk[1:20] FROM w WHERE len(tk) >= 32
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, tk[13:] FROM w WHERE len(tk) >= 32),
+      |f AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 16),
+      |heads AS (
+      |  SELECT doc_id AS next_id, array_to_string(tk[1:8], ' ') AS seam
+      |  FROM f),
+      |tails AS (
+      |  SELECT doc_id AS prev_id, array_to_string(tk[-8:], ' ') AS seam
+      |  FROM f)
+      |SELECT prev_id, next_id, seam
+      |FROM tails JOIN heads USING (seam)
+      |WHERE prev_id <> next_id ORDER BY prev_id, next_id""".stripMargin,
+    "q444_filtered_ann" -> """
+      |WITH e AS (
+      |  SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |qs AS (
+      |  SELECT vec_id AS query_id, label AS qlabel, q AS qq FROM e
+      |  WHERE vec_id % 400 = 0),
+      |scored AS (
+      |  SELECT query_id, e.vec_id AS nn_id, e.label,
+      |    CAST(list_dot_product(qq, e.q) AS BIGINT) AS dot
+      |  FROM qs JOIN e ON e.label = qlabel AND e.vec_id <> query_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dot DESC, nn_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, nn_id, label, dot FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q440_simpson_diversity" -> """
       |WITH c AS (
       |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
