@@ -1040,7 +1040,7 @@ object StatsQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"source", $"lang", ($"n_chars" >= 500).as("pred"),
-        ($"doc_id" % 4 =!= 0).as("label"))
+        (expr("conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 4), 16, 10)").cast("long") % 4 =!= 0).as("label"))
     Stats.fairnessGaps(docs, "source", "lang", $"pred", $"label")
       .orderBy($"source", $"lang")
   }
@@ -1087,7 +1087,7 @@ object StatsQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"source", ($"n_chars" >= 500).as("pred"),
-        ($"doc_id" % 4 =!= 0).as("label"))
+        (expr("conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 4), 16, 10)").cast("long") % 4 =!= 0).as("label"))
     Stats.matthewsCorr(docs, "source", $"pred", $"label")
       .orderBy($"source")
   }
@@ -1286,7 +1286,7 @@ object StatsQueries {
       |WITH d AS (
       |  SELECT source AS s,
       |    CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS p,
-      |    CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END AS y
+      |    CASE WHEN ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4 <> 0 THEN 1 ELSE 0 END AS y
       |  FROM documents),
       |c AS (
       |  SELECT s, sum(p * y) AS tp, sum(p * (1 - y)) AS fp,
@@ -1306,7 +1306,7 @@ object StatsQueries {
       |WITH d AS (
       |  SELECT source AS s, lang AS g,
       |    CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS p,
-      |    CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END AS y
+      |    CASE WHEN ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4 <> 0 THEN 1 ELSE 0 END AS y
       |  FROM documents),
       |gr AS (
       |  SELECT s, g, count(*) AS n, sum(p) AS np, sum(y) AS ny,

@@ -830,6 +830,59 @@ object TrainingData {
       .orderBy($"tau")
   }
 
+  /** Per-source ranking AUC of the length score against the usefulness
+    * label — AUC = U/(n₁n₀) through the exact Mann–Whitney rank-sum
+    * identity (doubled mid-ranks, so ties stay integral and
+    * auc_bp = (2R₁ − n₁(n₁+1))·10⁴ div (2n₁n₀) is engine-exact). The
+    * global AUC (q140) says the ranker works; this per-source table
+    * says FOR WHOM — the ranking companion to the q415 rate gaps. */
+  def q445GroupAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select($"source", $"n_chars".as("score"),
+        (expr("conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 4), 16, 10)").cast("long") % 4 =!= 0).as("y"))
+    val w = Window.partitionBy($"source").orderBy($"score")
+    val wt = Window.partitionBy($"source", $"score")
+    val ranked = d.withColumn("r_x2",
+      rank().over(w).cast("long") * 2 + count(lit(1)).over(wt) - 1)
+    ranked.groupBy($"source")
+      .agg(sum(when($"y", 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!$"y", 1L).otherwise(0L)).as("n_neg"),
+        sum(when($"y", $"r_x2")).as("_r1"))
+      .filter($"n_pos" > 0 && $"n_neg" > 0)
+      .select($"source", $"n_pos", $"n_neg",
+        expr("(_r1 - n_pos * (n_pos + 1)) * 10000 " +
+          "div (2 * n_pos * n_neg)").as("auc_bp"))
+      .orderBy($"source")
+  }
+
+  /** Embedding isotropy per label: ‖Σx‖²·10⁶ div (n·Σ‖x‖²) — the share
+    * of total vector energy living in the mean direction. Isotropic
+    * (healthy, spread-out) embeddings read near 0; a collapsed cluster
+    * reads toward 10⁶ — the cheap rank-collapse tripwire read before
+    * any cosine-based retrieval is trusted, exact over the quantized
+    * vectors (both norms are integer dots). One posexplode aggregate
+    * for Σx per dim, one scan for Σ‖x‖². */
+  def q446Isotropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, dir)
+      .select($"label", Similarity.quantize($"embedding").as("q"))
+    val norms = base.groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        sum(Similarity.qdot($"q", $"q")).as("_e"))
+    val mean2 = base
+      .select($"label", posexplode($"q").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim").agg(sum($"v").as("s"))
+      .groupBy($"label")
+      .agg(sum(expr("CAST(s AS DECIMAL(38,0)) * s")).as("_m2"))
+    norms.join(mean2, Seq("label"))
+      .select($"label", $"n", $"_e".as("energy"),
+        expr("CAST(_m2 * 1000000 div (CAST(n AS DECIMAL(38,0)) * _e) " +
+          "AS BIGINT)").as("isotropy_ppm"))
+      .orderBy($"label")
+  }
+
   /** MinHash ESTIMATOR error audit: on the exact-verified q26 near-dup
     * pairs, compare the 32-perm MinHash Jaccard estimate
     * (matching-mins/32) against exact Jaccard, per pair — the audit
@@ -1589,6 +1642,8 @@ object TrainingData {
     "q442_minhash_est_error" -> q442MinhashEstError _,
     "q443_split_reassembly" -> q443SplitReassembly _,
     "q444_filtered_ann" -> q444FilteredAnn _,
+    "q445_group_auc" -> q445GroupAuc _,
+    "q446_isotropy" -> q446Isotropy _,
     "q430_label_resolution" -> q430LabelResolution _,
     "q431_centroid_shift" -> q431CentroidShift _,
     "q432_prefix_sharing" -> q432PrefixSharing _,
@@ -2748,6 +2803,50 @@ object TrainingData {
       |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
       |FROM taus t LEFT JOIN np USING (tau) LEFT JOIN nd USING (tau)
       |ORDER BY tau""".stripMargin,
+    "q445_group_auc" -> """
+      |WITH d AS (
+      |  SELECT source, n_chars AS score,
+      |    ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4 <> 0 AS y
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, y,
+      |    rank() OVER (PARTITION BY source ORDER BY score) * 2
+      |      + count(*) OVER (PARTITION BY source, score) - 1 AS r_x2
+      |  FROM d),
+      |a AS (
+      |  SELECT source,
+      |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+      |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS n_neg,
+      |    sum(CASE WHEN y THEN r_x2 END) AS r1
+      |  FROM r GROUP BY 1)
+      |SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(n_neg AS BIGINT) AS n_neg,
+      |  CAST((r1 - n_pos * (n_pos + 1)) * 10000
+      |    // (2 * n_pos * n_neg) AS BIGINT) AS auc_bp
+      |FROM a WHERE n_pos > 0 AND n_neg > 0
+      |ORDER BY source""".stripMargin,
+    "q446_isotropy" -> """
+      |WITH e AS (
+      |  SELECT label, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT label, count(*) AS n,
+      |    sum(CAST(list_dot_product(q, q) AS BIGINT)) AS energy
+      |  FROM e GROUP BY 1),
+      |m AS (
+      |  SELECT label, sum(CAST(s AS HUGEINT) * s) AS m2
+      |  FROM (
+      |    SELECT label, i AS dim, sum(q[i]) AS s
+      |    FROM e, unnest(generate_series(1, len(q))) AS t(i)
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT n.label, CAST(n AS BIGINT) AS n,
+      |  CAST(energy AS BIGINT) AS energy,
+      |  CAST(m2 * 1000000 // (CAST(n AS HUGEINT) * energy) AS BIGINT)
+      |    AS isotropy_ppm
+      |FROM n JOIN m ON n.label = m.label
+      |ORDER BY n.label""".stripMargin,
     "q442_minhash_est_error" -> s"""
       |WITH $corpusSql,
       |$shinglesSql,
