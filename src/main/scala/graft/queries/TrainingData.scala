@@ -1133,10 +1133,15 @@ object TrainingData {
     * never an explicit triple enumeration. */
   def q434DedupTransitivity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // localCheckpoint: the pair plan feeds FOUR consumers (degree census,
+    // the two triangle passes, the edge count) — without the barrier each
+    // re-runs the whole shingle pipeline (measured 8.5 s -> the pair cost
+    // once)
     val pairs = Similarity.ngramJaccardPairs(corpus(spark, dir),
         "doc_id", "text", 3)
       .filter($"inter" * 2 >= $"union_size")
       .select($"id_a", $"id_b")
+      .localCheckpoint()
     // skew-safe per-node triangle counts (compact-forward orientation);
     // each triangle is counted once at each of its 3 nodes, so the sum
     // IS the closed-wedge count
