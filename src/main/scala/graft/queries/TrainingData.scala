@@ -830,6 +830,77 @@ object TrainingData {
       .orderBy($"tau")
   }
 
+  /** Int8-quantization recall audit: exact top-10 (milli-quantized
+    * dots, the corpus standard) vs top-10 scored on the SERVING int8
+    * vectors (q79's 127/max|x| floor quantization) — the third rung of
+    * the compression-dial trilogy next to dimension truncation (q413)
+    * and LSH bucketing (q315): dims, bits, buckets each trade recall
+    * for bytes, and each gets measured, not assumed. Micro-averaged
+    * one-row readout; int8 scoring reuses the native qdot path. */
+  def q447Int8Recall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" % 400 === 0)
+    val truth = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 10)
+    val int8 = emb.select($"vec_id",
+      expr("transform(embedding, x -> CAST(floor(x * (CASE WHEN " +
+        "array_max(transform(embedding, y -> abs(y))) = 0 THEN 0.0 ELSE " +
+        "CAST(127.0 AS DOUBLE) / array_max(transform(embedding, " +
+        "y -> abs(y))) END)) AS BIGINT))").as("q8"))
+    val q8q = int8.join(queries.select($"vec_id"), Seq("vec_id"))
+      .select($"vec_id".as("query_id"), $"q8".as("qq"))
+    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"nn_id")
+    val approx = int8.join(broadcast(q8q), $"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id".as("nn_id"),
+        Similarity.qdot($"qq", $"q8").as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"nn_id")
+    truth.select($"query_id", $"nn_id")
+      .join(approx.withColumn("_d", lit(1)), Seq("query_id", "nn_id"),
+        "left")
+      .agg(countDistinct($"query_id").as("n_queries"),
+        count($"_d").as("hits"), count(lit(1)).as("n_exact"))
+      .select($"n_queries", $"hits", $"n_exact",
+        expr("hits * 10000 div n_exact").as("recall_bp"))
+  }
+
+  /** Hash-uniformity meta-audit: χ² of the repo-standard sha256-prefix
+    * bucket recipe against uniform over 100 buckets, for the two key
+    * populations every sampler/splitter in this engine hashes (doc_id,
+    * distinct user_id) — the audit that EARNS the "deterministic hash ≈
+    * uniform" assumption the train splits, samplers, and partition
+    * forecasts all stand on. χ²(df=99) ≈ 99 ± 14, so chi2_milli far
+    * above ~130000 means the recipe is biased for that key shape.
+    * Exact: Σ(100·o − n)²·1000 div (100·n). */
+  def q448HashUniformity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def audit(keys: DataFrame, name: String) = {
+      val b = keys.select(expr(
+        "CAST(conv(substring(sha2(CAST(k AS STRING), 256), 1, 4), 16, 10)" +
+          " AS BIGINT) % 100").as("b"))
+        .groupBy($"b").agg(count(lit(1)).as("o"))
+      b.agg(count(lit(1)).as("n_buckets"), sum($"o").as("n"),
+          sum(expr("CAST(100 * o AS DECIMAL(38,0)) * (100 * o)")).as("_so2"),
+          sum(expr("CAST(o AS DECIMAL(38,0))")).as("_s1"))
+        .select(lit(name).as("population"), $"n_buckets", $"n",
+          // over ALL 100 cells (absent buckets contribute n² each):
+          // Σ(100o − n)² = 10⁴Σo² − 200n·Σo + 100n², Σo = n
+          expr("CAST((_so2 - 2 * 100 * CAST(n AS DECIMAL(38,0)) * n " +
+            "+ 100 * CAST(n AS DECIMAL(38,0)) * n) * 1000 " +
+            "div (100 * CAST(n AS DECIMAL(38,0))) AS BIGINT)")
+            .as("chi2_milli"))
+    }
+    val docs = Tables.documents(spark, dir).select($"doc_id".as("k"))
+    val users = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"user_id" >= 0)
+      .select($"user_id".as("k")).distinct()
+    audit(docs, "doc_id").unionByName(audit(users, "user_id"))
+      .orderBy($"population")
+  }
+
   /** Per-source ranking AUC of the length score against the usefulness
     * label — AUC = U/(n₁n₀) through the exact Mann–Whitney rank-sum
     * identity (doubled mid-ranks, so ties stay integral and
@@ -1649,6 +1720,8 @@ object TrainingData {
     "q444_filtered_ann" -> q444FilteredAnn _,
     "q445_group_auc" -> q445GroupAuc _,
     "q446_isotropy" -> q446Isotropy _,
+    "q447_int8_recall" -> q447Int8Recall _,
+    "q448_hash_uniformity" -> q448HashUniformity _,
     "q430_label_resolution" -> q430LabelResolution _,
     "q431_centroid_shift" -> q431CentroidShift _,
     "q432_prefix_sharing" -> q432PrefixSharing _,
@@ -2808,6 +2881,67 @@ object TrainingData {
       |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
       |FROM taus t LEFT JOIN np USING (tau) LEFT JOIN nd USING (tau)
       |ORDER BY tau""".stripMargin,
+    "q447_int8_recall" -> """
+      |WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |em AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> CAST(round(x*1000) AS BIGINT)) AS q,
+      |    list_transform(v, x -> CAST(floor(x * (CASE WHEN
+      |      list_max(list_transform(v, y -> abs(y))) = 0 THEN 0.0 ELSE
+      |      127.0 / list_max(list_transform(v, y -> abs(y))) END))
+      |      AS BIGINT)) AS q8
+      |  FROM e),
+      |truth AS (
+      |  SELECT query_id, nn_id FROM (
+      |    SELECT qe.vec_id AS query_id, ce.vec_id AS nn_id,
+      |      row_number() OVER (PARTITION BY qe.vec_id
+      |        ORDER BY CAST(list_dot_product(qe.q, ce.q) AS BIGINT) DESC,
+      |          ce.vec_id) AS rnk
+      |    FROM em qe JOIN em ce ON ce.vec_id <> qe.vec_id
+      |    WHERE qe.vec_id % 400 = 0)
+      |  WHERE rnk <= 10),
+      |approx AS (
+      |  SELECT query_id, nn_id FROM (
+      |    SELECT qe.vec_id AS query_id, ce.vec_id AS nn_id,
+      |      row_number() OVER (PARTITION BY qe.vec_id
+      |        ORDER BY CAST(list_dot_product(qe.q8, ce.q8) AS BIGINT) DESC,
+      |          ce.vec_id) AS rnk
+      |    FROM em qe JOIN em ce ON ce.vec_id <> qe.vec_id
+      |    WHERE qe.vec_id % 400 = 0)
+      |  WHERE rnk <= 10)
+      |SELECT CAST(count(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+      |  CAST(count(a.nn_id) AS BIGINT) AS hits,
+      |  CAST(count(*) AS BIGINT) AS n_exact,
+      |  CAST(count(a.nn_id) * 10000 // count(*) AS BIGINT) AS recall_bp
+      |FROM truth t
+      |LEFT JOIN approx a ON a.query_id = t.query_id
+      |  AND a.nn_id = t.nn_id""".stripMargin,
+    "q448_hash_uniformity" -> """
+      |WITH dk AS (SELECT doc_id AS k FROM documents),
+      |uk AS (SELECT DISTINCT user_id AS k FROM events
+      |       WHERE user_id IS NOT NULL AND user_id >= 0),
+      |f AS (
+      |  SELECT 'doc_id' AS population,
+      |    ('0x' || substring(sha256(CAST(k AS VARCHAR)), 1, 4))::BIGINT
+      |      % 100 AS b
+      |  FROM dk
+      |  UNION ALL
+      |  SELECT 'user_id',
+      |    ('0x' || substring(sha256(CAST(k AS VARCHAR)), 1, 4))::BIGINT
+      |      % 100
+      |  FROM uk),
+      |o AS (SELECT population, b, count(*) AS o FROM f GROUP BY 1, 2),
+      |a AS (
+      |  SELECT population, count(*) AS n_buckets, sum(o) AS n,
+      |    sum(CAST(100 * o AS HUGEINT) * (100 * o)) AS so2
+      |  FROM o GROUP BY 1)
+      |SELECT population, CAST(n_buckets AS BIGINT) AS n_buckets,
+      |  CAST(n AS BIGINT) AS n,
+      |  CAST((so2 - 2 * 100 * CAST(n AS HUGEINT) * n
+      |    + 100 * CAST(n AS HUGEINT) * n) * 1000
+      |    // (100 * CAST(n AS HUGEINT)) AS BIGINT) AS chi2_milli
+      |FROM a ORDER BY population""".stripMargin,
     "q445_group_auc" -> """
       |WITH d AS (
       |  SELECT source, n_chars AS score,
