@@ -830,6 +830,73 @@ object TrainingData {
       .orderBy($"tau")
   }
 
+  /** Empirical LSH S-curve: for the 8-band × 4-row MinHash banding
+    * (q27's parameters), the MEASURED collision rate per exact-Jaccard
+    * decile — the empirical answer the theoretical band plan (q344,
+    * 1−(1−s^r)^b) predicts, on this corpus's actual pairs. ALL candidate
+    * pairs enter (no Jaccard floor) so the low deciles the banding
+    * SHOULD reject are measured too — that rejection rate is the left
+    * half of the S; a pair collides when ALL 4 rows of any band match.
+    * Engine-neutral sha-prefix permutations, long-format signatures
+    * (same recipe as q442 — the two audits share one contract). */
+  def q450ScurveEmpirical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = corpus(spark, dir)
+    val pairs = Similarity.ngramJaccardPairs(docs, "doc_id", "text", 3)
+      .select($"id_a", $"id_b",
+        expr("inter * 10000 div union_size").as("jbp"))
+      .localCheckpoint()
+    val shingles = docs.select($"doc_id",
+      explode(array_distinct(call_function("word_shingles", $"text",
+        lit(3)))).as("s"))
+    val perms = spark.range(32).select($"id".cast("int").as("i"))
+    val sigs = shingles.crossJoin(broadcast(perms))
+      .groupBy($"doc_id", $"i")
+      .agg(min(expr("CAST(conv(substring(sha2(concat(CAST(i AS STRING), " +
+        "':', s), 256), 1, 8), 16, 10) AS BIGINT)")).as("mh"))
+    val banded = pairs
+      .join(sigs.select($"doc_id".as("id_a"), $"i", $"mh".as("ha")),
+        Seq("id_a"))
+      .join(sigs.select($"doc_id".as("id_b"), $"i", $"mh".as("hb")),
+        Seq("id_b", "i"))
+      .groupBy($"id_a", $"id_b", $"jbp", expr("i div 4").as("band"))
+      .agg(sum(when($"ha" === $"hb", 1L).otherwise(0L)).as("eq"))
+      .groupBy($"id_a", $"id_b", $"jbp")
+      .agg(max(when($"eq" === 4, 1L).otherwise(0L)).as("collided"))
+    banded.groupBy(expr("least(jbp div 1000, 9)").as("decile"))
+      .agg(count(lit(1)).as("n_pairs"), sum($"collided").as("n_collided"))
+      .select($"decile", $"n_pairs", $"n_collided",
+        expr("n_collided * 10000 div n_pairs").as("rate_bp"))
+      .orderBy($"decile")
+  }
+
+  /** Dedup-induced mixture drift: exact dedup removes more from the
+    * sources that duplicate more, silently RESHAPING the training blend
+    * — per source, the corpus share before and after the q25 keep-first
+    * pass and the signed delta in bp. The q441 attribution says who
+    * lost documents; this says what that did to the mixture the
+    * (q313) blend planner was tuned against. One hash-group window +
+    * one aggregate + two one-row broadcast totals. */
+  def q449DedupMixShift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"text").orderBy($"doc_id")
+    val marked = Tables.documents(spark, dir)
+      .select($"source", $"doc_id", $"text")
+      .withColumn("_keep", row_number().over(w) === 1)
+    val per = marked.groupBy($"source")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when($"_keep", 1L).otherwise(0L)).as("n_after"))
+    val tot = per.agg(sum($"n_before").as("_tb"), sum($"n_after").as("_ta"))
+    per.crossJoin(broadcast(tot))
+      .select($"source", $"n_before", $"n_after",
+        expr("n_before * 10000 div _tb").as("share_before_bp"),
+        expr("n_after * 10000 div _ta").as("share_after_bp"),
+        expr("n_after * 10000 div _ta - n_before * 10000 div _tb")
+          .as("delta_bp"))
+      .orderBy($"source")
+  }
+
   /** Int8-quantization recall audit: exact top-10 (milli-quantized
     * dots, the corpus standard) vs top-10 scored on the SERVING int8
     * vectors (q79's 127/max|x| floor quantization) — the third rung of
@@ -1722,6 +1789,8 @@ object TrainingData {
     "q446_isotropy" -> q446Isotropy _,
     "q447_int8_recall" -> q447Int8Recall _,
     "q448_hash_uniformity" -> q448HashUniformity _,
+    "q449_dedup_mix_shift" -> q449DedupMixShift _,
+    "q450_scurve_empirical" -> q450ScurveEmpirical _,
     "q430_label_resolution" -> q430LabelResolution _,
     "q431_centroid_shift" -> q431CentroidShift _,
     "q432_prefix_sharing" -> q432PrefixSharing _,
@@ -2881,6 +2950,64 @@ object TrainingData {
       |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
       |FROM taus t LEFT JOIN np USING (tau) LEFT JOIN nd USING (tau)
       |ORDER BY tau""".stripMargin,
+    "q450_scurve_empirical" -> s"""
+      |WITH $corpusSql,
+      |$shinglesSql,
+      |freq AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+      |    max(CASE WHEN f.c <= 256 THEN 1 ELSE 0 END) AS has_kept
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN freq f ON f.s = a.s
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT id_a, id_b,
+      |    inter * 10000 // (sa.n + sb.n - inter) AS jbp
+      |  FROM cand
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE has_kept = 1),
+      |perms AS (SELECT unnest(generate_series(0, 31)) AS i),
+      |sigs AS (
+      |  SELECT doc_id, i,
+      |    min(('0x' || substring(sha256(CAST(i AS VARCHAR) || ':' || s),
+      |      1, 8))::BIGINT) AS mh
+      |  FROM sh CROSS JOIN perms GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT id_a, id_b, jbp, a.i // 4 AS band,
+      |    sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS eq
+      |  FROM jp
+      |  JOIN sigs a ON a.doc_id = id_a
+      |  JOIN sigs b ON b.doc_id = id_b AND b.i = a.i
+      |  GROUP BY 1, 2, 3, 4),
+      |coll AS (
+      |  SELECT id_a, id_b, jbp,
+      |    max(CASE WHEN eq = 4 THEN 1 ELSE 0 END) AS collided
+      |  FROM bands GROUP BY 1, 2, 3)
+      |SELECT least(jbp // 1000, 9) AS decile,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(collided) AS BIGINT) AS n_collided,
+      |  CAST(sum(collided) * 10000 // count(*) AS BIGINT) AS rate_bp
+      |FROM coll GROUP BY 1 ORDER BY decile""".stripMargin,
+    "q449_dedup_mix_shift" -> """
+      |WITH m AS (
+      |  SELECT source,
+      |    row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+      |      AS keep
+      |  FROM documents),
+      |per AS (
+      |  SELECT source, count(*) AS n_before,
+      |    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_after
+      |  FROM m GROUP BY 1),
+      |t AS (SELECT sum(n_before) AS tb, sum(n_after) AS ta FROM per)
+      |SELECT source, CAST(n_before AS BIGINT) AS n_before,
+      |  CAST(n_after AS BIGINT) AS n_after,
+      |  CAST(n_before * 10000 // tb AS BIGINT) AS share_before_bp,
+      |  CAST(n_after * 10000 // ta AS BIGINT) AS share_after_bp,
+      |  CAST(n_after * 10000 // ta - n_before * 10000 // tb AS BIGINT)
+      |    AS delta_bp
+      |FROM per CROSS JOIN t ORDER BY source""".stripMargin,
     "q447_int8_recall" -> """
       |WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
