@@ -833,10 +833,15 @@ object TrainingData {
   /** Empirical LSH S-curve: for the 8-band × 4-row MinHash banding
     * (q27's parameters), the MEASURED collision rate per exact-Jaccard
     * decile — the empirical answer the theoretical band plan (q344,
-    * 1−(1−s^r)^b) predicts, on this corpus's actual pairs. ALL candidate
-    * pairs enter (no Jaccard floor) so the low deciles the banding
-    * SHOULD reject are measured too — that rejection rate is the left
-    * half of the S; a pair collides when ALL 4 rows of any band match.
+    * 1−(1−s^r)^b) predicts, on this corpus's actual pairs. No Jaccard
+    * floor — the low deciles the banding SHOULD reject are measured too
+    * (that rejection rate is the left half of the S) — but the pair set
+    * enters through a 1-in-20 deterministic hash sample, and signatures
+    * are computed only for docs the sample touches: an audit estimates a
+    * RATE per decile, so sampling pairs is the honest scale lever (the
+    * unsampled spelling measured 27 s at sf0.1 / 243 s at 10×; this one
+    * is bounded by the sampled-pair join). A pair collides when ALL 4
+    * rows of any band match.
     * Engine-neutral sha-prefix permutations, long-format signatures
     * (same recipe as q442 — the two audits share one contract). */
   def q450ScurveEmpirical(spark: SparkSession, dir: String): DataFrame = {
@@ -845,10 +850,16 @@ object TrainingData {
     val pairs = Similarity.ngramJaccardPairs(docs, "doc_id", "text", 3)
       .select($"id_a", $"id_b",
         expr("inter * 10000 div union_size").as("jbp"))
+      .filter(expr("CAST(conv(substring(sha2(concat(CAST(id_a AS STRING)," +
+        " ':', CAST(id_b AS STRING)), 256), 1, 4), 16, 10) AS BIGINT) " +
+        "% 20 = 0"))
       .localCheckpoint()
-    val shingles = docs.select($"doc_id",
-      explode(array_distinct(call_function("word_shingles", $"text",
-        lit(3)))).as("s"))
+    val touched = pairs.select($"id_a".as("doc_id"))
+      .unionByName(pairs.select($"id_b".as("doc_id"))).distinct()
+    val shingles = docs.join(touched, Seq("doc_id"), "left_semi")
+      .select($"doc_id",
+        explode(array_distinct(call_function("word_shingles", $"text",
+          lit(3)))).as("s"))
     val perms = spark.range(32).select($"id".cast("int").as("i"))
     val sigs = shingles.crossJoin(broadcast(perms))
       .groupBy($"doc_id", $"i")
@@ -2967,13 +2978,17 @@ object TrainingData {
       |  FROM cand
       |  JOIN sizes sa ON sa.doc_id = id_a
       |  JOIN sizes sb ON sb.doc_id = id_b
-      |  WHERE has_kept = 1),
+      |  WHERE has_kept = 1
+      |    AND ('0x' || substring(sha256(CAST(id_a AS VARCHAR) || ':'
+      |      || CAST(id_b AS VARCHAR)), 1, 4))::BIGINT % 20 = 0),
       |perms AS (SELECT unnest(generate_series(0, 31)) AS i),
       |sigs AS (
       |  SELECT doc_id, i,
       |    min(('0x' || substring(sha256(CAST(i AS VARCHAR) || ':' || s),
       |      1, 8))::BIGINT) AS mh
-      |  FROM sh CROSS JOIN perms GROUP BY 1, 2),
+      |  FROM sh CROSS JOIN perms
+      |  WHERE doc_id IN (SELECT id_a FROM jp UNION SELECT id_b FROM jp)
+      |  GROUP BY 1, 2),
       |bands AS (
       |  SELECT id_a, id_b, jbp, a.i // 4 AS band,
       |    sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS eq
