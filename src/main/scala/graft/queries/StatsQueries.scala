@@ -1169,7 +1169,64 @@ object StatsQueries {
       .limit(50)
   }
 
+  // ------------------------------------------- q451 reciprocity
+
+  /** Directed-graph reciprocity of the user transition graph (q103's
+    * edges): Σ min(c_ab, c_ba) over ordered type pairs vs total
+    * transition mass — how much of the flow runs both ways. Near 0 =
+    * a funnel (flow is one-directional); near 10⁴ = ping-pong traffic.
+    * One full-outer self-join on the reversed key, integer mins. */
+  def q451Reciprocity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = graft.etl.Events.transitionCounts(Tables.events(spark, dir),
+        "user_id", "event_type", "ts")
+      .select($"prev_type".as("a"), $"curr_type".as("b"), $"n")
+      .filter($"a" =!= $"b")
+    val rev = t.select($"b".as("a"), $"a".as("b"), $"n".as("n_rev"))
+    t.join(rev, Seq("a", "b"), "left")
+      .agg(sum($"n").as("total_flow"),
+        sum(least($"n", coalesce($"n_rev", lit(0L)))).as("recip_flow"))
+      .select($"total_flow", $"recip_flow",
+        expr("recip_flow * 10000 div total_flow").as("reciprocity_bp"))
+  }
+
+  // ------------------------------------------- q452 degree histogram
+
+  /** Log₂-bucketed degree distribution of the transition graph's
+    * out-degree per (user-visited) event type — the scale-free-or-not
+    * readout whose bucket boundaries ride the native `bitlen`
+    * expression (`length(bin(x))` spelled portably, rewritten to
+    * codegen by BitLenRewrite). */
+  def q452DegreeHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val deg = graft.etl.Events.transitionCounts(Tables.events(spark, dir),
+        "user_id", "event_type", "ts")
+      .groupBy($"prev_type").agg(sum($"n").as("d"))
+    deg.groupBy(expr("length(bin(d))").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum($"d").as("edge_mass"))
+      .orderBy($"bucket")
+  }
+
+  // ------------------------------------------- q453 engagement gini
+
+  /** Engagement inequality ([[Analytics.giniCoefficientBp]]): Gini of
+    * per-user event counts inside each event type — "do 1% of users
+    * generate 50% of the clicks?" — the user-side companion to the
+    * revenue Lorenz read (q171), same exact integer Gini. */
+  def q453EngagementGini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"user_id" >= 0)
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("cnt"))
+    graft.etl.Analytics.giniCoefficientBp(perUser, "event_type", "cnt",
+        "user_id")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q451_reciprocity" -> q451Reciprocity _,
+    "q452_degree_hist" -> q452DegreeHist _,
+    "q453_engagement_gini" -> q453EngagementGini _,
     "q439_bot_regularity" -> q439BotRegularity _,
     "q423_rank_churn" -> q423RankChurn _,
     "q420_mcc" -> q420Mcc _,
@@ -1228,6 +1285,56 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q451_reciprocity" -> """
+      |WITH t AS (
+      |  SELECT user_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+      |      AS prev_type,
+      |    event_type AS curr_type
+      |  FROM events),
+      |c AS (
+      |  SELECT prev_type AS a, curr_type AS b, CAST(count(*) AS BIGINT) AS n
+      |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |cf AS (SELECT * FROM c WHERE a <> b),
+      |j AS (
+      |  SELECT cf.a, cf.b, cf.n, r.n AS n_rev
+      |  FROM cf LEFT JOIN cf r ON r.a = cf.b AND r.b = cf.a)
+      |SELECT CAST(sum(n) AS BIGINT) AS total_flow,
+      |  CAST(sum(least(n, coalesce(n_rev, 0))) AS BIGINT) AS recip_flow,
+      |  CAST(sum(least(n, coalesce(n_rev, 0))) * 10000 // sum(n) AS BIGINT)
+      |    AS reciprocity_bp
+      |FROM j""".stripMargin,
+    "q452_degree_hist" -> """
+      |WITH t AS (
+      |  SELECT user_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+      |      AS prev_type,
+      |    event_type AS curr_type
+      |  FROM events),
+      |c AS (
+      |  SELECT prev_type, curr_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |deg AS (SELECT prev_type, sum(n) AS d FROM c GROUP BY 1)
+      |SELECT CAST(length(bin(d)) AS INTEGER) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(sum(d) AS BIGINT) AS edge_mass
+      |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q453_engagement_gini" -> """
+      |WITH pu AS (
+      |  SELECT event_type, user_id, count(*) AS cnt FROM events
+      |  WHERE user_id IS NOT NULL AND user_id >= 0 GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, cnt, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY cnt, user_id) AS i
+      |  FROM pu),
+      |a AS (
+      |  SELECT event_type, count(*) AS n, sum(cnt) AS s,
+      |    sum(CAST(i AS HUGEINT) * cnt) AS isum
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  CAST(((2 * isum) - ((CAST(n AS HUGEINT) + 1) * s)) * 10000
+      |    // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_bp
+      |FROM a ORDER BY event_type""".stripMargin,
     "q439_bot_regularity" -> """
       |WITH g AS (
       |  SELECT user_id,
