@@ -881,6 +881,65 @@ object TrainingData {
       .orderBy($"decile")
   }
 
+  /** Cross-language vocabulary overlap: Jaccard (bp) of the top-100
+    * token vocabularies per language pair — the shared-subword signal
+    * that decides whether two languages can share a tokenizer budget
+    * (and the confusability map under the q30 stopword classifier:
+    * high-overlap pairs are exactly where it errs). Top-100 per lang is
+    * a bounded set, so the pair join is trivially broadcastable. */
+  def q454VocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select($"lang", explode(graft.etl.Corpus.tokensOf($"text")).as("term"))
+      .groupBy($"lang", $"term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy($"lang").orderBy($"tf".desc, $"term")
+    val top = tf.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 100).select($"lang", $"term")
+    val a = top.select($"lang".as("lang_a"), $"term")
+    val b = top.select($"lang".as("lang_b"), $"term")
+    val inter = a.join(b, Seq("term")).filter($"lang_a" < $"lang_b")
+      .groupBy($"lang_a", $"lang_b").agg(count(lit(1)).as("n_shared"))
+    val sizes = top.groupBy($"lang").agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select($"lang".as("lang_a"), $"n".as("na")), Seq("lang_a"))
+      .join(sizes.select($"lang".as("lang_b"), $"n".as("nb")), Seq("lang_b"))
+      .select($"lang_a", $"lang_b", $"n_shared",
+        expr("n_shared * 10000 div (na + nb - n_shared)").as("jaccard_bp"))
+      .orderBy($"lang_a", $"lang_b")
+  }
+
+  /** Whale-impact audit: per event type, the mean spend with and
+    * without the top-10 largest events — `impact_bp` is how much of
+    * the headline mean those whales carry. A metric whose mean moves
+    * hundreds of bp when 10 rows leave is a metric the experiment
+    * readouts (q377/q311) cannot trust without winsorization (q121) —
+    * this is the table that says WHICH metrics those are. Exact milli
+    * means, one type-keyed rank window. */
+  def q455WhaleImpact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .filter($"value".isNotNull && $"value" >= 0)
+      .select($"event_type", $"event_id",
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    val w = Window.partitionBy($"event_type").orderBy($"v".desc, $"event_id")
+    e.withColumn("rk", row_number().over(w))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v").as("_s"),
+        sum(when($"rk" > 10, $"v").otherwise(0L)).as("_s_trim"),
+        sum(when($"rk" > 10, 1L).otherwise(0L)).as("_n_trim"))
+      .filter($"_n_trim" > 0)
+      .withColumn("mean_milli", expr(
+        "CAST(CAST(_s AS DECIMAL(38,0)) * 1000 div n AS BIGINT)"))
+      .withColumn("mean_trim_milli", expr(
+        "CAST(CAST(_s_trim AS DECIMAL(38,0)) * 1000 div _n_trim AS BIGINT)"))
+      .select($"event_type", $"n", $"mean_milli", $"mean_trim_milli",
+        expr("CAST((CAST(mean_milli - mean_trim_milli AS DECIMAL(38,0))) " +
+          "* 10000 div NULLIF(mean_milli, 0) AS BIGINT)").as("impact_bp"))
+      .orderBy($"event_type")
+  }
+
   /** Dedup-induced mixture drift: exact dedup removes more from the
     * sources that duplicate more, silently RESHAPING the training blend
     * — per source, the corpus share before and after the q25 keep-first
@@ -1802,6 +1861,8 @@ object TrainingData {
     "q448_hash_uniformity" -> q448HashUniformity _,
     "q449_dedup_mix_shift" -> q449DedupMixShift _,
     "q450_scurve_empirical" -> q450ScurveEmpirical _,
+    "q454_vocab_overlap" -> q454VocabOverlap _,
+    "q455_whale_impact" -> q455WhaleImpact _,
     "q430_label_resolution" -> q430LabelResolution _,
     "q431_centroid_shift" -> q431CentroidShift _,
     "q432_prefix_sharing" -> q432PrefixSharing _,
@@ -3005,6 +3066,55 @@ object TrainingData {
       |  CAST(sum(collided) AS BIGINT) AS n_collided,
       |  CAST(sum(collided) * 10000 // count(*) AS BIGINT) AS rate_bp
       |FROM coll GROUP BY 1 ORDER BY decile""".stripMargin,
+    "q454_vocab_overlap" -> """
+      |WITH tf AS (
+      |  SELECT lang, term, count(*) AS tf FROM (
+      |    SELECT lang, unnest(list_filter(
+      |      string_split_regex(text, '[ \t\n\r]+'), x -> x <> '')) AS term
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT lang, term FROM (
+      |    SELECT lang, term, row_number() OVER (PARTITION BY lang
+      |      ORDER BY tf DESC, term) AS rk
+      |    FROM tf)
+      |  WHERE rk <= 100),
+      |inter AS (
+      |  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared
+      |  FROM top a JOIN top b ON a.term = b.term AND a.lang < b.lang
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT lang, count(*) AS n FROM top GROUP BY 1)
+      |SELECT lang_a, lang_b, CAST(n_shared AS BIGINT) AS n_shared,
+      |  CAST(n_shared * 10000 // (sa.n + sb.n - n_shared) AS BIGINT)
+      |    AS jaccard_bp
+      |FROM inter
+      |JOIN sizes sa ON sa.lang = lang_a
+      |JOIN sizes sb ON sb.lang = lang_b
+      |ORDER BY lang_a, lang_b""".stripMargin,
+    "q455_whale_impact" -> """
+      |WITH e AS (
+      |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL AND value >= 0),
+      |r AS (
+      |  SELECT event_type, v, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY v DESC, event_id) AS rk
+      |  FROM e),
+      |a AS (
+      |  SELECT event_type, count(*) AS n, sum(v) AS s,
+      |    sum(CASE WHEN rk > 10 THEN v ELSE 0 END) AS s_trim,
+      |    sum(CASE WHEN rk > 10 THEN 1 ELSE 0 END) AS n_trim
+      |  FROM r GROUP BY 1 HAVING sum(CASE WHEN rk > 10 THEN 1 ELSE 0 END) > 0),
+      |m AS (
+      |  SELECT event_type, n,
+      |    CAST(CAST(s AS HUGEINT) * 1000 // n AS BIGINT) AS mean_milli,
+      |    CAST(CAST(s_trim AS HUGEINT) * 1000 // n_trim AS BIGINT)
+      |      AS mean_trim_milli
+      |  FROM a)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, mean_milli,
+      |  mean_trim_milli,
+      |  CAST(CAST(mean_milli - mean_trim_milli AS HUGEINT) * 10000
+      |    // NULLIF(mean_milli, 0) AS BIGINT) AS impact_bp
+      |FROM m ORDER BY event_type""".stripMargin,
     "q449_dedup_mix_shift" -> """
       |WITH m AS (
       |  SELECT source,
