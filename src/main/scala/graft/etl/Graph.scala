@@ -149,6 +149,54 @@ object Graph {
     r
   }
 
+  /** Fixed-iteration personalized PageRank (random walk with restart) in
+    * exact integer arithmetic — [[pageRankInt]] with the teleport mass
+    * routed to a SEED SET instead of uniformly:
+    *
+    *   r'(v) = (restartPct·r0·seed(v)) div 100
+    *         + ((100−restartPct) · Σ_{u→v} (r(u) div outdeg(u))) div 100
+    *
+    * with ranks starting at r0 on seeds and 0 elsewhere. Same
+    * reproducibility contract as the siblings (every step an integer sum
+    * or floor division, bit-identical cross-engine) and the same
+    * per-iteration shape: one edges⋈ranks join shuffled on src, one
+    * aggregation shuffled on dst, localCheckpoint lineage barrier. This
+    * is the "related items from THESE items" scorer — seed a user's
+    * history (or one node) and the stationary-ish mass after a few
+    * iterations ranks proximity to the seeds, where global PageRank
+    * would rank global importance.
+    *
+    * `seedCol` is evaluated against the node frame (bring any columns the
+    * predicate needs); dangling nodes leak mass exactly as in
+    * [[pageRankInt]]. */
+  def personalizedPageRankInt(nodes: DataFrame, edges: DataFrame,
+      nodeCol: String, srcCol: String, dstCol: String, seedCol: Column,
+      iterations: Int = 2, restartPct: Int = 20,
+      r0: Long = 1L << 40): DataFrame = {
+    require(restartPct >= 1 && restartPct <= 99, "restartPct in [1,99]")
+    val n = nodes.select(col(nodeCol).as("node"),
+        when(seedCol, lit(1L)).otherwise(lit(0L)).as("seed"))
+      .distinct().localCheckpoint()
+    val outdeg = edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .join(outdeg.withColumnRenamed("node", "src"), "src")
+      .localCheckpoint()
+    var r = n.select(col("node"), (col("seed") * r0).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = n.join(contrib, n("node") === contrib("dst"), "left")
+        .select(n("node"),
+          (expr(s"(seed * ${restartPct}L * $r0) div 100") +
+            expr(s"(coalesce(s, 0L) * ${100 - restartPct}) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    n.join(r, "node").select(col("node"), col("seed"), col("rank"))
+  }
+
   /** Fixed-iteration HITS hubs & authorities in exact integer arithmetic
     * — the "good pointer / good pointee" dual of [[pageRankInt]] (same
     * reproducibility contract: every step an integer sum or floor

@@ -126,6 +126,22 @@ object Curation {
       .orderBy($"node")
   }
 
+  // -------------------------------------------------------- q456 ppr
+
+  /** 2-iteration personalized PageRank
+    * ([[Graph.personalizedPageRankInt]]) on the q113 synthetic graph,
+    * seeded at every node ≡ 0 (mod 10): the random-walk-with-restart
+    * proximity scorer — "related to THESE nodes" — next to q113's global
+    * importance. Restart mass 20%, every step integer-exact, same
+    * join/agg/checkpoint shape per iteration as the PageRank sibling. */
+  def q456Ppr2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (nodes, edges) = q113Graph(spark, dir)
+    Graph.personalizedPageRankInt(nodes, edges, "node", "src", "dst",
+        seedCol = col("node") % 10 === 0, iterations = 2, restartPct = 20)
+      .orderBy($"node")
+  }
+
   // -------------------------------------------------------- q114 ewma
 
   /** Dyadic-weight truncated EWMA over each user's event values
@@ -864,6 +880,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q456_ppr2" -> q456Ppr2 _,
     "q237_linkage_score" -> q237LinkageScore _,
     "q349_jaro_linkage" -> q349JaroLinkage _,
     "q350_damerau_typos" -> q350DamerauTypos _,
@@ -909,6 +926,31 @@ object Curation {
     "q118_pmi_bigrams" -> q118PmiBigrams _)
 
   val oracleSql: Map[String, String] = Map(
+    "q456_ppr2" -> """
+      |WITH mm AS (SELECT (max(o_orderkey) + 1) // 50 AS m FROM orders),
+      |nodes AS (SELECT DISTINCT o_orderkey % m AS node FROM orders, mm),
+      |sd AS (SELECT node,
+      |         CASE WHEN node % 10 = 0 THEN 1 ELSE 0 END AS seed
+      |       FROM nodes),
+      |e AS (SELECT node AS src, (node + 1) % m AS dst FROM nodes, mm
+      |      UNION ALL
+      |      SELECT node, (node * 13 + 3) % m FROM nodes, mm),
+      |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+      |r0 AS (SELECT node, seed, seed * 1099511627776 AS r FROM sd),
+      |s1 AS (SELECT e.dst, sum(r0.r // d.outdeg) AS s
+      |       FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+      |r1 AS (SELECT n.node, n.seed,
+      |         (n.seed * 20 * 1099511627776) // 100
+      |           + (coalesce(s.s, 0) * 80) // 100 AS r
+      |       FROM sd n LEFT JOIN s1 s ON s.dst = n.node),
+      |s2 AS (SELECT e.dst, sum(r1.r // d.outdeg) AS s
+      |       FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+      |r2 AS (SELECT n.node, n.seed,
+      |         (n.seed * 20 * 1099511627776) // 100
+      |           + (coalesce(s.s, 0) * 80) // 100 AS r
+      |       FROM sd n LEFT JOIN s2 s ON s.dst = n.node)
+      |SELECT node, CAST(seed AS BIGINT) AS seed, CAST(r AS BIGINT) AS rank
+      |FROM r2 ORDER BY node""".stripMargin,
     "q354_sorted_neighborhood" -> """
       |WITH r AS (
       |  SELECT p_partkey AS id, p_name AS nm,

@@ -1046,6 +1046,8 @@ object MiningQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q458_join_card_audit" -> q458JoinCardAudit _,
+    "q460_doubly_robust" -> q460DoublyRobust _,
     "q412_err" -> q412Err _,
     "q210_ref_percentile" -> q210RefPercentile _,
     "q211_proration" -> q211Proration _,
@@ -1196,6 +1198,27 @@ object MiningQueries {
     * with power-of-two propensities (w = 2^action): per user-context
     * cohort the exact IPS and SNIPS estimates of the purchase rate the
     * new policy WOULD have achieved on last month's log. */
+  /** Join-cardinality ESTIMATOR audit: per hash bucket of l_partkey,
+    * the optimizer-style uniform-per-key self-join estimate n²/d (n
+    * rows, d distinct keys) against the exact Σc² output cardinality,
+    * error in bp — the audit that tells a shuffle planner WHERE the
+    * uniformity assumption its sizing rests on breaks (a skewed bucket
+    * under-estimates, so its reducer blows past the plan). One groupBy
+    * per key + one per bucket, every quantity a nonnegative integer. */
+  def q458JoinCardAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+      .select(($"l_partkey" % 64).as("bucket"), $"c")
+    k.groupBy($"bucket")
+      .agg(sum($"c").as("n_rows"), count(lit(1)).as("n_keys"),
+        sum($"c" * $"c").as("exact_pairs"))
+      .withColumn("est_pairs", expr("(n_rows * n_rows) div n_keys"))
+      .withColumn("err_bp",
+        expr("abs(est_pairs - exact_pairs) * 10000 div exact_pairs"))
+      .orderBy($"bucket")
+  }
+
   def q280IpsEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, dir).select(
@@ -1205,6 +1228,46 @@ object MiningQueries {
       expr("shiftleft(1L, CAST(event_id % 3 AS INT))").as("w"))
     Mining.ipsEval(e, "context",
         ($"context" + 1) % 3 === $"action", $"r", $"w")
+      .orderBy($"context")
+  }
+
+  /** Doubly-robust off-policy value estimate on the q280 logging
+    * scenario: DR(x) = q̂(x, π(x)) + 1{a=π(x)}·w·(r − q̂(x,a)) with the
+    * direct model q̂ the empirical cell mean (milli) from the same
+    * logs — the estimator that stays consistent if EITHER the
+    * propensities (w) or the model (q̂) is right, next to q280's
+    * IPS/SNIPS which need the propensities alone. The per-row
+    * correction is bounded below by −w_max·1000 = −4000 milli, so the
+    * final mean shifts by +4000 before the floor division and back
+    * after — every division in both engines stays on nonnegative
+    * operands. Cell means broadcast (≤9 rows); one shuffle total. */
+  def q460DoublyRobust(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"user_id" >= 0)
+      .select(($"user_id" % 3).as("context"),
+        ($"event_id" % 3).as("action"),
+        when($"event_type" === "purchase", 1000L).otherwise(0L)
+          .as("r_milli"),
+        expr("shiftleft(1L, CAST(event_id % 3 AS INT))").as("w"))
+    val qhat = e.groupBy($"context", $"action")
+      .agg(expr("sum(r_milli) div count(1)").as("q_milli"))
+    val tgt = qhat.filter($"action" === ($"context" + 1) % 3)
+      .select($"context", $"q_milli".as("q_pi"))
+    val sc = e
+      .join(broadcast(qhat), Seq("context", "action"), "left")
+      .join(broadcast(tgt), Seq("context"), "left")
+      .select($"context", coalesce($"q_pi", lit(0L)).as("q_pi"),
+        (coalesce($"q_pi", lit(0L)) +
+          when($"action" === ($"context" + 1) % 3,
+            $"w" * ($"r_milli" - coalesce($"q_milli", lit(0L))))
+            .otherwise(0L)).as("contrib"))
+    sc.groupBy($"context")
+      .agg(count(lit(1)).as("n"), max($"q_pi").as("dm_milli"),
+        sum($"contrib").as("num"))
+      .withColumn("dr_milli",
+        expr("(num + 4000 * n) div n - 4000"))
+      .select($"context", $"n", $"dm_milli", $"dr_milli")
       .orderBy($"context")
   }
 
@@ -1221,6 +1284,49 @@ object MiningQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q458_join_card_audit" -> """
+      |WITH k AS (
+      |  SELECT l_partkey % 64 AS bucket, count(*) AS c
+      |  FROM lineitem GROUP BY l_partkey),
+      |per AS (
+      |  SELECT bucket, sum(c) AS n_rows, count(*) AS n_keys,
+      |    sum(c * c) AS exact_pairs
+      |  FROM k GROUP BY 1)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_keys AS BIGINT) AS n_keys,
+      |  CAST(exact_pairs AS BIGINT) AS exact_pairs,
+      |  CAST((n_rows * n_rows) // n_keys AS BIGINT) AS est_pairs,
+      |  CAST(abs((n_rows * n_rows) // n_keys - exact_pairs) * 10000
+      |    // exact_pairs AS BIGINT) AS err_bp
+      |FROM per ORDER BY bucket""".stripMargin,
+    "q460_doubly_robust" -> """
+      |WITH e AS (
+      |  SELECT user_id % 3 AS context, event_id % 3 AS action,
+      |    CASE WHEN event_type = 'purchase' THEN 1000 ELSE 0 END
+      |      AS r_milli,
+      |    (CAST(1 AS BIGINT) << CAST(event_id % 3 AS INTEGER)) AS w
+      |  FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
+      |qhat AS (SELECT context, action,
+      |           sum(r_milli) // count(*) AS q_milli
+      |         FROM e GROUP BY 1, 2),
+      |tgt AS (SELECT context, q_milli AS q_pi FROM qhat
+      |        WHERE action = (context + 1) % 3),
+      |sc AS (
+      |  SELECT e.context, coalesce(t.q_pi, 0) AS q_pi,
+      |    coalesce(t.q_pi, 0)
+      |      + CASE WHEN e.action = (e.context + 1) % 3
+      |          THEN e.w * (e.r_milli - coalesce(q.q_milli, 0))
+      |          ELSE 0 END AS contrib
+      |  FROM e
+      |  LEFT JOIN qhat q ON q.context = e.context AND q.action = e.action
+      |  LEFT JOIN tgt t ON t.context = e.context)
+      |SELECT CAST(context AS BIGINT) AS context,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(max(q_pi) AS BIGINT) AS dm_milli,
+      |  CAST((sum(contrib) + 4000 * count(*)) // count(*) - 4000
+      |    AS BIGINT) AS dr_milli
+      |FROM sc GROUP BY context ORDER BY context""".stripMargin,
     "q412_err" -> """
       |WITH r AS (
       |  SELECT l_orderkey AS g, l_partkey % 4 AS grade,

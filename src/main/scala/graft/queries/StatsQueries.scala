@@ -1169,6 +1169,54 @@ object StatsQueries {
       .limit(50)
   }
 
+  // ------------------------------------------- q457 stratified ATE
+
+  /** Propensity-stratified average treatment effect: users stratify by
+    * PRE-period activity (event count up to the observed mid-date,
+    * floored into 4 fixed buckets), and the treatment/control outcome
+    * gap (post-period purchase cents) is estimated WITHIN each stratum,
+    * then combined with stratum-size weights — the classic
+    * stratification estimator that removes confounding carried by the
+    * stratification variable, next to CUPED (q311) which removes its
+    * variance and DiD (q308) which removes its time trend. The overall
+    * ATE is formed as a DIFFERENCE of two nonnegative weighted means
+    * (never dividing a negative), and strata missing an arm drop from
+    * the combined estimate in both engines identically. Two shuffles
+    * (user panel, stratum agg) + one broadcast scalar each for the
+    * mid-date and the combined row. */
+  def q457StratifiedAte(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"user_id" >= 0)
+      .select($"user_id", ($"user_id" % 2).as("arm"),
+        expr("CAST(datediff(to_date(ts), DATE'1970-01-01') AS LONG)")
+          .as("d"),
+        $"event_type", coalesce(cents, lit(0L)).as("c"))
+    val mid = broadcast(e.agg(expr("(min(d) + max(d)) div 2").as("mid")))
+    val panel = e.crossJoin(mid)
+      .groupBy($"user_id", $"arm")
+      .agg(sum(when($"d" <= $"mid", 1L).otherwise(0L)).as("pre_cnt"),
+        sum(when($"d" > $"mid" && $"event_type" === "purchase", $"c")
+          .otherwise(0L)).as("y"))
+      .filter($"pre_cnt" >= 1)
+      .withColumn("stratum", least(lit(3L), expr("pre_cnt div 16")))
+    val per = panel.groupBy($"stratum")
+      .agg(count(lit(1)).as("n"), sum($"arm").as("n_t"),
+        (count(lit(1)) - sum($"arm")).as("n_c"),
+        sum(when($"arm" === 1, $"y").otherwise(0L)).as("sum_t"),
+        sum(when($"arm" === 0, $"y").otherwise(0L)).as("sum_c"))
+      .withColumn("mean_t_milli", expr("sum_t * 1000 div NULLIF(n_t, 0)"))
+      .withColumn("mean_c_milli", expr("sum_c * 1000 div NULLIF(n_c, 0)"))
+      .withColumn("diff_milli", $"mean_t_milli" - $"mean_c_milli")
+    val tot = broadcast(per.filter($"n_t" > 0 && $"n_c" > 0)
+      .agg((expr("sum(mean_t_milli * n) div sum(n)") -
+        expr("sum(mean_c_milli * n) div sum(n)")).as("ate_milli")))
+    per.crossJoin(tot)
+      .select($"stratum", $"n", $"n_t", $"n_c", $"mean_t_milli",
+        $"mean_c_milli", $"diff_milli", $"ate_milli")
+      .orderBy($"stratum")
+  }
+
   // ------------------------------------------- q451 reciprocity
 
   /** Directed-graph reciprocity of the user transition graph (q103's
@@ -1224,6 +1272,7 @@ object StatsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q457_stratified_ate" -> q457StratifiedAte _,
     "q451_reciprocity" -> q451Reciprocity _,
     "q452_degree_hist" -> q452DegreeHist _,
     "q453_engagement_gini" -> q453EngagementGini _,
@@ -1285,6 +1334,40 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q457_stratified_ate" -> """
+      |WITH e AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |    event_type,
+      |    coalesce(CAST(round(value * 100) AS BIGINT), 0) AS c
+      |  FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
+      |b AS (SELECT (min(d) + max(d)) // 2 AS mid FROM e),
+      |panel AS (
+      |  SELECT user_id, arm,
+      |    sum(CASE WHEN d <= mid THEN 1 ELSE 0 END) AS pre_cnt,
+      |    sum(CASE WHEN d > mid AND event_type = 'purchase'
+      |        THEN c ELSE 0 END) AS y
+      |  FROM e, b GROUP BY 1, 2),
+      |s AS (SELECT *, least(3, pre_cnt // 16) AS stratum
+      |      FROM panel WHERE pre_cnt >= 1),
+      |per AS (
+      |  SELECT stratum, count(*) AS n, sum(arm) AS n_t,
+      |    count(*) - sum(arm) AS n_c,
+      |    sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS sum_t,
+      |    sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sum_c
+      |  FROM s GROUP BY 1),
+      |m AS (SELECT *, sum_t * 1000 // NULLIF(n_t, 0) AS mean_t_milli,
+      |        sum_c * 1000 // NULLIF(n_c, 0) AS mean_c_milli FROM per),
+      |t AS (SELECT sum(mean_t_milli * n) // sum(n)
+      |        - sum(mean_c_milli * n) // sum(n) AS ate_milli
+      |      FROM m WHERE n_t > 0 AND n_c > 0)
+      |SELECT CAST(stratum AS BIGINT) AS stratum, CAST(n AS BIGINT) AS n,
+      |  CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+      |  CAST(mean_t_milli AS BIGINT) AS mean_t_milli,
+      |  CAST(mean_c_milli AS BIGINT) AS mean_c_milli,
+      |  CAST(mean_t_milli - mean_c_milli AS BIGINT) AS diff_milli,
+      |  CAST(ate_milli AS BIGINT) AS ate_milli
+      |FROM m, t ORDER BY stratum""".stripMargin,
     "q451_reciprocity" -> """
       |WITH t AS (
       |  SELECT user_id,

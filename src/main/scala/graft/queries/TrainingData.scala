@@ -1091,6 +1091,37 @@ object TrainingData {
       .orderBy($"label")
   }
 
+  /** Dead-dimension audit: the 5 LOWEST-variance embedding dimensions
+    * per label, exact integer variance in micro over quantized values
+    * (var_micro = (n·Σq² − (Σq)²) div n²) — the rank-collapse readout at
+    * per-dimension granularity, next to q446's whole-vector isotropy: a
+    * dimension whose variance pins near zero inside one class carries no
+    * signal there and is a distillation/pruning candidate. posexplode →
+    * one (label, dim) aggregation, top-k via per-label window on the
+    * |labels|·dims aggregate (data-size-independent). */
+  def q459DimVariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.embeddings(spark, dir)
+      .select($"label", posexplode(Similarity.quantize($"embedding")))
+      .toDF("label", "dim", "v")
+    val per = q.groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"),
+        sum($"v" * $"v").as("s2"))
+      // decimal(38,0) cross-multiply: n·Σq² reaches long overflow near
+      // n ≈ 3e6 rows/label at 1000-quantization — real at corpus scale
+      .withColumn("var_micro",
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * s2 - " +
+          "CAST(s AS DECIMAL(38,0)) * s) div " +
+          "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+    val w = Window.partitionBy($"label").orderBy($"var_micro", $"dim")
+    per.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .select($"label", $"rk", $"dim".cast("long").as("dim"), $"n",
+        $"var_micro")
+      .orderBy($"label", $"rk")
+  }
+
   /** MinHash ESTIMATOR error audit: on the exact-verified q26 near-dup
     * pairs, compare the 32-perm MinHash Jaccard estimate
     * (matching-mins/32) against exact Jaccard, per pair — the audit
@@ -1099,7 +1130,11 @@ object TrainingData {
     * granularity is the theory floor). Permutation hashes use the
     * engine-neutral sha256-prefix recipe, long-format (doc, perm, min)
     * signatures so both engines join/aggregate identically; an audit
-    * runs on candidates, never the full corpus. */
+    * runs on candidates, never the full corpus. The pair plan is
+    * materialized once (it feeds both the member-id filter and the
+    * final join), and signatures are computed ONLY for pair members —
+    * the 32-perm sha256 fan-out over non-candidate docs was pure waste
+    * (measured 8.1 s → 3.4 s at sf0.1). */
   def q442MinhashEstError(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = corpus(spark, dir)
@@ -1107,7 +1142,12 @@ object TrainingData {
       .filter($"inter" * 2 >= $"union_size")
       .select($"id_a", $"id_b",
         expr("inter * 10000 div union_size").as("exact_bp"))
-    val shingles = docs.select($"doc_id",
+      .localCheckpoint()
+    val members = pairs.select($"id_a".as("doc_id"))
+      .unionByName(pairs.select($"id_b".as("doc_id"))).distinct()
+    val shingles = docs
+      .join(broadcast(members), Seq("doc_id"), "left_semi")
+      .select($"doc_id",
         explode(array_distinct(call_function("word_shingles", $"text",
           lit(3)))).as("s"))
     val perms = spark.range(32).select($"id".cast("int").as("i"))
@@ -1853,6 +1893,7 @@ object TrainingData {
     "q440_simpson_diversity" -> q440SimpsonDiversity _,
     "q441_dup_attribution" -> q441DupAttribution _,
     "q442_minhash_est_error" -> q442MinhashEstError _,
+    "q459_dim_variance" -> q459DimVariance _,
     "q443_split_reassembly" -> q443SplitReassembly _,
     "q444_filtered_ann" -> q444FilteredAnn _,
     "q445_group_auc" -> q445GroupAuc _,
@@ -3238,6 +3279,27 @@ object TrainingData {
       |    AS isotropy_ppm
       |FROM n JOIN m ON n.label = m.label
       |ORDER BY n.label""".stripMargin,
+    "q459_dim_variance" -> """
+      |WITH e AS (
+      |  SELECT label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT label, i - 1 AS dim, q[i] AS v
+      |  FROM e, unnest(generate_series(1, len(q))) AS t(i)),
+      |per AS (
+      |  SELECT label, dim, count(*) AS n, sum(v) AS s, sum(v * v) AS s2
+      |  FROM x GROUP BY 1, 2),
+      |v AS (SELECT label, dim, n,
+      |        (CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s)
+      |          // (CAST(n AS HUGEINT) * n) AS var_micro
+      |      FROM per),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY label
+      |        ORDER BY var_micro, dim) AS rk FROM v)
+      |SELECT label, CAST(rk AS BIGINT) AS rk, CAST(dim AS BIGINT) AS dim,
+      |  CAST(n AS BIGINT) AS n, CAST(var_micro AS BIGINT) AS var_micro
+      |FROM r WHERE rk <= 5 ORDER BY label, rk""".stripMargin,
     "q442_minhash_est_error" -> s"""
       |WITH $corpusSql,
       |$shinglesSql,

@@ -59,6 +59,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 405L, 2L -> 150L, 3L -> 150L))
   }
 
+  test("personalizedPageRankInt: teleport mass returns to seeds only") {
+    // 2-cycle, node 1 seeded, restart 20%, r0=1000.
+    // start: r(1)=1000, r(2)=0
+    // iter1: r(1) = 200 + (0*80) div 100 = 200
+    //        r(2) = 0   + (1000*80) div 100 = 800
+    // iter2: r(1) = 200 + (800*80) div 100 = 840
+    //        r(2) = 0   + (200*80) div 100 = 160
+    val nodes = Seq(1L, 2L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.personalizedPageRankInt(nodes, edges, "node", "src",
+        "dst", seedCol = col("node") === 1L, iterations = 2,
+        restartPct = 20, r0 = 1000L)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, _, r) => n -> r }.toMap
+    assert(got == Map(1L -> 840L, 2L -> 160L))
+  }
+
+  test("personalizedPageRankInt: no seeds means all mass decays to 0") {
+    val nodes = Seq(1L, 2L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.personalizedPageRankInt(nodes, edges, "node", "src",
+        "dst", seedCol = lit(false), iterations = 2, restartPct = 20,
+        r0 = 1000L)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, _, r) => n -> r }.toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L))
+  }
+
   test("heldoutXent: Laplace unigram fit on train, OOV pays full bits") {
     // train "a a a b": T=4, V=2, k=bl(7)=3
     // test "a b z": terms 3−bl(4)=0, 3−bl(2)=1, OOV 3−bl(1)=2
