@@ -405,6 +405,87 @@ object GraphEvents {
       .orderBy($"event_id")
   }
 
+  // ------------------------------------------------- q461 seq patterns
+
+  /** Sequential-pattern support (PrefixSpan-style EXISTS semantics):
+    * distinct-user support of every ordered event-type pair a→b and
+    * triple a→b→c — SUBSEQUENCE occurrence (gaps allowed), not the
+    * contiguous n-grams q224 counts. A user supports a→b iff
+    * min_ts(a) < max_ts(b), and a→b→c iff SOME b-occurrence falls
+    * strictly between min_ts(a) and max_ts(c) — so the whole search
+    * runs on per-(user, type) min/max stats (≤|types| rows per user)
+    * plus one events⋈stats⋈stats pass bounded by |types|² matches per
+    * event: linear in events with a constant fan-out, never a
+    * per-user sequence blow-up. */
+  def q461SeqPatterns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"user_id" >= 0)
+      .select($"user_id", $"event_type".as("t"), $"ts")
+    val stats = e.groupBy($"user_id", $"t")
+      .agg(min($"ts").as("mn"), max($"ts").as("mx"))
+    val sa = stats.select($"user_id", $"t".as("a"), $"mn".as("a_mn"))
+    val sb = stats.select($"user_id", $"t".as("b"), $"mx".as("b_mx"))
+    val pairs = sa.join(sb, Seq("user_id"))
+      .filter($"a" =!= $"b" && $"a_mn" < $"b_mx")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_users"))
+      .select(lit(2L).as("len"), concat_ws(">", $"a", $"b").as("pattern"),
+        $"n_users")
+    val sc = stats.select($"user_id", $"t".as("c"), $"mx".as("c_mx"))
+    val triples = e.select($"user_id", $"t".as("b"), $"ts")
+      .join(sa, Seq("user_id")).filter($"a" =!= $"b" && $"a_mn" < $"ts")
+      .join(sc, Seq("user_id"))
+      .filter($"c" =!= $"b" && $"c" =!= $"a" && $"c_mx" > $"ts")
+      .select($"user_id", $"a", $"b", $"c").distinct()
+      .groupBy($"a", $"b", $"c").agg(count(lit(1)).as("n_users"))
+      .select(lit(3L).as("len"),
+        concat_ws(">", $"a", $"b", $"c").as("pattern"), $"n_users")
+    pairs.unionByName(triples).orderBy($"len", $"pattern")
+  }
+
+  // ------------------------------------------ q462 shapley attribution
+
+  /** Exact Shapley-value channel attribution over the 3 acquisition
+    * channels {click, signup, view}: each converter's coalition is the
+    * set of channels they touched STRICTLY BEFORE their first purchase,
+    * v(T) = converters whose set ⊆ T, and the Shapley value reduces —
+    * because v is additive over converters and symmetric within each
+    * one — to splitting each converter's credit evenly across their
+    * |S| touched channels (the reduction the docline states rather than
+    * hides; the sixths scale keeps |S| ∈ {1,2,3} exact). Reported per
+    * channel: converters touched, φ in sixths, and credit share bp.
+    * One panel shuffle; the mask roll-up is 7 rows. */
+  def q462ShapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"user_id" >= 0)
+    val fp = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"ts").as("fp"))
+    val masks = e.join(fp, "user_id").filter($"ts" < $"fp")
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "click", 1L).otherwise(0L)).as("h1"),
+        max(when($"event_type" === "signup", 1L).otherwise(0L)).as("h2"),
+        max(when($"event_type" === "view", 1L).otherwise(0L)).as("h3"))
+      .withColumn("sz", $"h1" + $"h2" + $"h3")
+      .filter($"sz" >= 1)
+      .withColumn("credit_sixths", expr("6 div sz"))
+    // one pass over the panel; the 1-row aggregate is checkpointed so
+    // the three per-channel projections don't re-scan events
+    val a = masks.agg(count(lit(1)).as("v_full"),
+        sum($"h1").as("t1"), sum($"h2").as("t2"), sum($"h3").as("t3"),
+        sum($"h1" * $"credit_sixths").as("p1"),
+        sum($"h2" * $"credit_sixths").as("p2"),
+        sum($"h3" * $"credit_sixths").as("p3"))
+      .localCheckpoint()
+    Seq(("click", "t1", "p1"), ("signup", "t2", "p2"), ("view", "t3", "p3"))
+      .map { case (name, t, p) =>
+        a.select(lit(name).as("channel"),
+          col(t).as("converters_touched"), col(p).as("phi_sixths"),
+          expr(s"$p * 10000 div (6 * v_full)").as("share_bp"))
+      }.reduce(_ unionByName _)
+      .orderBy($"channel")
+  }
+
   // ----------------------------------------------------- q155 attribution
 
   /** First-touch attribution: purchases credited to the entry event type
@@ -1140,6 +1221,8 @@ object GraphEvents {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q461_seq_patterns" -> q461SeqPatterns _,
+    "q462_shapley_attribution" -> q462ShapleyAttribution _,
     "q238_rolling_corr" -> q238RollingCorr _,
     "q236_markov_accuracy" -> q236MarkovAccuracy _,
     "q234_group_split" -> q234GroupSplit _,
@@ -1198,6 +1281,66 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q461_seq_patterns" -> """
+      |WITH e AS (
+      |  SELECT user_id, event_type AS t, ts FROM events
+      |  WHERE user_id IS NOT NULL AND user_id >= 0),
+      |st AS (
+      |  SELECT user_id, t, min(ts) AS mn, max(ts) AS mx
+      |  FROM e GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT CAST(2 AS BIGINT) AS len,
+      |    concat(a.t, '>', b.t) AS pattern,
+      |    CAST(count(*) AS BIGINT) AS n_users
+      |  FROM st a JOIN st b ON a.user_id = b.user_id
+      |    AND a.t <> b.t AND a.mn < b.mx
+      |  GROUP BY 1, 2),
+      |trip AS (
+      |  SELECT DISTINCT e.user_id, a.t AS ta, e.t AS tb, c.t AS tc
+      |  FROM e
+      |  JOIN st a ON a.user_id = e.user_id AND a.t <> e.t AND a.mn < e.ts
+      |  JOIN st c ON c.user_id = e.user_id AND c.t <> e.t AND c.t <> a.t
+      |    AND c.mx > e.ts),
+      |triples AS (
+      |  SELECT CAST(3 AS BIGINT) AS len,
+      |    concat(ta, '>', tb, '>', tc) AS pattern,
+      |    CAST(count(*) AS BIGINT) AS n_users
+      |  FROM trip GROUP BY 1, 2)
+      |SELECT * FROM (SELECT * FROM pairs UNION ALL SELECT * FROM triples)
+      |ORDER BY len, pattern""".stripMargin,
+    "q462_shapley_attribution" -> """
+      |WITH e AS (
+      |  SELECT user_id, event_type, ts FROM events
+      |  WHERE user_id IS NOT NULL AND user_id >= 0),
+      |fp AS (
+      |  SELECT user_id, min(ts) AS fp FROM e
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |masks AS (
+      |  SELECT e.user_id,
+      |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS h1,
+      |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS h2,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS h3
+      |  FROM e JOIN fp ON fp.user_id = e.user_id AND e.ts < fp.fp
+      |  GROUP BY 1),
+      |m2 AS (
+      |  SELECT *, h1 + h2 + h3 AS sz, 6 // (h1 + h2 + h3) AS credit
+      |  FROM masks WHERE h1 + h2 + h3 >= 1),
+      |a AS (
+      |  SELECT count(*) AS v_full,
+      |    sum(h1) AS t1, sum(h2) AS t2, sum(h3) AS t3,
+      |    sum(h1 * credit) AS p1, sum(h2 * credit) AS p2,
+      |    sum(h3 * credit) AS p3
+      |  FROM m2),
+      |u AS (
+      |  SELECT 'click' AS channel, t1 AS tt, p1 AS pp, v_full FROM a
+      |  UNION ALL
+      |  SELECT 'signup', t2, p2, v_full FROM a
+      |  UNION ALL
+      |  SELECT 'view', t3, p3, v_full FROM a)
+      |SELECT channel, CAST(tt AS BIGINT) AS converters_touched,
+      |  CAST(pp AS BIGINT) AS phi_sixths,
+      |  CAST(pp * 10000 // (6 * v_full) AS BIGINT) AS share_bp
+      |FROM u ORDER BY channel""".stripMargin,
     "q337_session_funnel" -> """
       |WITH x AS (
       |  SELECT user_id, ts, event_type,

@@ -1217,6 +1217,49 @@ object StatsQueries {
       .orderBy($"stratum")
   }
 
+  // ------------------------------------------- q463 IV / Wald LATE
+
+  /** Instrumental-variable Wald estimator (LATE): encouragement
+    * z = user_id%2, synthetic imperfect compliance (encouraged users
+    * take up unless user_id%7=0; controls cross over when user_id%11=0
+    * — never/always-takers, the real-world shape), outcome = per-user
+    * purchase cents. LATE = ITT_y / ITT_d — the effect on COMPLIERS,
+    * which the naive per-protocol comparison (q457's strata, q311's
+    * CUPED) gets wrong under selective take-up. Both ITTs are signed
+    * DIFFERENCES of nonnegative floor-divided means; the final ratio
+    * divides |ITT_y| by the positive ITT_d and reapplies the sign, so
+    * no engine ever floor-divides a negative. NULL when take-up didn't
+    * move (ITT_d ≤ 0): the instrument is dead and no LATE exists. */
+  def q463IvWald(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val panel = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"user_id" >= 0)
+      .select($"user_id", ($"user_id" % 2).as("z"), $"event_type",
+        coalesce(cents, lit(0L)).as("c"))
+      .groupBy($"user_id", $"z")
+      .agg(sum(when($"event_type" === "purchase", $"c").otherwise(0L))
+        .as("y"))
+      .withColumn("d",
+        when(($"z" === 1 && $"user_id" % 7 =!= 0) ||
+          ($"z" === 0 && $"user_id" % 11 === 0), 1L).otherwise(0L))
+    panel.agg(
+        sum(when($"z" === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when($"z" === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when($"z" === 1, $"y").otherwise(0L)).as("y_t"),
+        sum(when($"z" === 0, $"y").otherwise(0L)).as("y_c"),
+        sum(when($"z" === 1, $"d").otherwise(0L)).as("d_t"),
+        sum(when($"z" === 0, $"d").otherwise(0L)).as("d_c"))
+      .withColumn("itt_y_milli",
+        expr("y_t * 1000 div n_t - y_c * 1000 div n_c"))
+      .withColumn("itt_d_bp",
+        expr("d_t * 10000 div n_t - d_c * 10000 div n_c"))
+      .withColumn("late_milli", expr(
+        "CASE WHEN itt_d_bp > 0 THEN " +
+          "CASE WHEN itt_y_milli >= 0 THEN 1 ELSE -1 END * " +
+          "(abs(itt_y_milli) * 10000 div itt_d_bp) END"))
+      .select($"n_t", $"n_c", $"itt_y_milli", $"itt_d_bp", $"late_milli")
+  }
+
   // ------------------------------------------- q451 reciprocity
 
   /** Directed-graph reciprocity of the user transition graph (q103's
@@ -1273,6 +1316,7 @@ object StatsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q457_stratified_ate" -> q457StratifiedAte _,
+    "q463_iv_wald" -> q463IvWald _,
     "q451_reciprocity" -> q451Reciprocity _,
     "q452_degree_hist" -> q452DegreeHist _,
     "q453_engagement_gini" -> q453EngagementGini _,
@@ -1334,6 +1378,41 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q463_iv_wald" -> """
+      |WITH e AS (
+      |  SELECT user_id, user_id % 2 AS z, event_type,
+      |    coalesce(CAST(round(value * 100) AS BIGINT), 0) AS c
+      |  FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
+      |panel AS (
+      |  SELECT user_id, z,
+      |    sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS y
+      |  FROM e GROUP BY 1, 2),
+      |p2 AS (
+      |  SELECT *, CASE WHEN (z = 1 AND user_id % 7 <> 0)
+      |      OR (z = 0 AND user_id % 11 = 0) THEN 1 ELSE 0 END AS d
+      |  FROM panel),
+      |a AS (
+      |  SELECT
+      |    sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS n_t,
+      |    sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS n_c,
+      |    sum(CASE WHEN z = 1 THEN y ELSE 0 END) AS y_t,
+      |    sum(CASE WHEN z = 0 THEN y ELSE 0 END) AS y_c,
+      |    sum(CASE WHEN z = 1 THEN d ELSE 0 END) AS d_t,
+      |    sum(CASE WHEN z = 0 THEN d ELSE 0 END) AS d_c
+      |  FROM p2),
+      |m AS (
+      |  SELECT n_t, n_c,
+      |    y_t * 1000 // n_t - y_c * 1000 // n_c AS itt_y_milli,
+      |    d_t * 10000 // n_t - d_c * 10000 // n_c AS itt_d_bp
+      |  FROM a)
+      |SELECT CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+      |  CAST(itt_y_milli AS BIGINT) AS itt_y_milli,
+      |  CAST(itt_d_bp AS BIGINT) AS itt_d_bp,
+      |  CAST(CASE WHEN itt_d_bp > 0 THEN
+      |    (CASE WHEN itt_y_milli >= 0 THEN 1 ELSE -1 END)
+      |      * (abs(itt_y_milli) * 10000 // itt_d_bp) END AS BIGINT)
+      |    AS late_milli
+      |FROM m""".stripMargin,
     "q457_stratified_ate" -> """
       |WITH e AS (
       |  SELECT user_id, user_id % 2 AS arm,

@@ -1134,7 +1134,8 @@ object TrainingData {
     * materialized once (it feeds both the member-id filter and the
     * final join), and signatures are computed ONLY for pair members —
     * the 32-perm sha256 fan-out over non-candidate docs was pure waste
-    * (measured 8.1 s → 3.4 s at sf0.1). */
+    * (measured 8.1 s → 5.9 s at sf0.1; the floor left is the exact
+    * pair engine itself). */
   def q442MinhashEstError(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = corpus(spark, dir)
