@@ -566,4 +566,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q461: the subsequence search is keyed equi-joins — never a " +
+    "cartesian or nested-loop pass over event pairs") {
+    val p = plan("q461_seq_patterns")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q458: the estimator audit partial-aggregates before both shuffles") {
+    val p = plan("q458_join_card_audit")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q460: the DR cell-mean and target models broadcast onto the logs") {
+    val p = plan("q460_doubly_robust")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
 }
