@@ -486,6 +486,42 @@ object GraphEvents {
       .orderBy($"channel")
   }
 
+  // --------------------------------------------------- q464 churn labels
+
+  /** Churn-label factory (the training-label side of the retention
+    * readouts): per active user-week, label churn = no activity in the
+    * NEXT 2 epoch-weeks, with the right-censored tail handled
+    * explicitly — weeks within 2 of the data horizon are counted as
+    * unlabelable instead of silently labeled churned (the leakage that
+    * poisons a churn model at the exact rows nearest to serving time).
+    * One distinct user-week panel, one user-keyed lead window, one
+    * inline broadcast horizon scalar; reports per-week labelable /
+    * churned counts and the churn rate bp. */
+  def q464ChurnLabels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val uw = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"user_id" >= 0)
+      .select($"user_id",
+        expr("CAST(datediff(to_date(ts), DATE'1970-01-01') AS LONG) div 7")
+          .as("w"))
+      .distinct()
+    val horizon = broadcast(uw.agg(max($"w").as("max_w")))
+    val lw = Window.partitionBy($"user_id").orderBy($"w")
+    uw.withColumn("next_w", lead($"w", 1).over(lw))
+      .crossJoin(horizon)
+      .withColumn("labelable", $"w" <= $"max_w" - 2)
+      .withColumn("churn",
+        $"labelable" && ($"next_w".isNull || $"next_w" - $"w" > 2))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when($"labelable", 1L).otherwise(0L)).as("n_labelable"),
+        sum(when($"churn", 1L).otherwise(0L)).as("n_churned"))
+      .withColumn("churn_bp",
+        expr("n_churned * 10000 div NULLIF(n_labelable, 0)"))
+      .orderBy($"w")
+  }
+
   // ----------------------------------------------------- q155 attribution
 
   /** First-touch attribution: purchases credited to the entry event type
@@ -1223,6 +1259,7 @@ object GraphEvents {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q461_seq_patterns" -> q461SeqPatterns _,
     "q462_shapley_attribution" -> q462ShapleyAttribution _,
+    "q464_churn_labels" -> q464ChurnLabels _,
     "q238_rolling_corr" -> q238RollingCorr _,
     "q236_markov_accuracy" -> q236MarkovAccuracy _,
     "q234_group_split" -> q234GroupSplit _,
@@ -1281,6 +1318,30 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q464_churn_labels" -> """
+      |WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w
+      |  FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
+      |h AS (SELECT max(w) AS max_w FROM uw),
+      |p AS (
+      |  SELECT user_id, w,
+      |    lead(w) OVER (PARTITION BY user_id ORDER BY w) AS next_w
+      |  FROM uw),
+      |l AS (
+      |  SELECT p.w, (p.w <= h.max_w - 2) AS labelable,
+      |    ((p.w <= h.max_w - 2) AND
+      |     (next_w IS NULL OR next_w - p.w > 2)) AS churn
+      |  FROM p, h)
+      |SELECT CAST(w AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(CASE WHEN labelable THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_labelable,
+      |  CAST(sum(CASE WHEN churn THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_churned,
+      |  CAST(sum(CASE WHEN churn THEN 1 ELSE 0 END) * 10000
+      |    // NULLIF(sum(CASE WHEN labelable THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS churn_bp
+      |FROM l GROUP BY w ORDER BY w""".stripMargin,
     "q461_seq_patterns" -> """
       |WITH e AS (
       |  SELECT user_id, event_type AS t, ts FROM events
