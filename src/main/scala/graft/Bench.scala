@@ -65,10 +65,14 @@ object Bench {
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     def jsonMap(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // "timing":"toRdd" marks the methodology switch (round 7, commit
+    // aee88b8): numbers before it were df.count()-timed (Catalyst prunes
+    // unevaluated output columns) and are NOT comparable — a regression
+    // tool diffing across the switch would misread a ~1.8x "slowdown"
     def writeFull(rs: Seq[(String, Double)]): Unit =
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_full.json"),
-        s"""{"total":${fmt(rs.map(_._2).sum)},"queries":${jsonMap(rs)}}""")
+        s"""{"total":${fmt(rs.map(_._2).sum)},"timing":"toRdd","queries":${jsonMap(rs)}}""")
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var done = 0
@@ -103,7 +107,7 @@ object Bench {
     val total = results.map(_._2).sum
     val failed = results.count(_._2 < 0)
     val head = results.filter { case (k, _) => headline.contains(k) }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":${jsonMap(head.toSeq)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"toRdd","n_queries":${results.size},"failed":$failed,"queries":${jsonMap(head.toSeq)},"sf":"$sfDir"}""")
     Console.out.flush()
     spark.stop()
   }

@@ -497,16 +497,21 @@ object Analytics {
     * keys with their share (bp) plus the table-level skew factor
     * `max·n_keys div total` (1·10⁴ = perfectly even; the factor IS the
     * slowdown a naive hash partitioning eats). Two combiner-friendly
-    * aggs + one broadcast one-row totals join; the top-k rank is over
-    * per-KEY counts (cardinality = distinct keys, not rows). */
+    * aggs + one broadcast one-row totals join; the top-k is
+    * orderBy+limit over the per-key counts (a high-cardinality key
+    * column makes that table itself huge — never a global window). */
   def skewReport(df: DataFrame, keyCol: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
     val tot = counts.agg(sum(col("n")).as("_total"),
       count(lit(1)).as("n_keys"), max(col("n")).as("max_n"))
+    // top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps, never a single-partition window over every key; for the
+    // skewed tables this op exists to audit, the per-key count table is
+    // itself huge); the rank window then covers only the k survivors
+    val top = counts.orderBy(col("n").desc, col(keyCol)).limit(k)
     val w = Window.orderBy(col("n").desc, col(keyCol))
-    counts.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    top.withColumn("rk", row_number().over(w).cast("long"))
       .crossJoin(broadcast(tot))
       .select(col("rk"), col(keyCol), col("n"),
         expr("n * 10000 div _total").as("share_bp"),

@@ -225,8 +225,8 @@ object Corpus {
     * Shape: one token explode filtered TO THE QUERY TERMS before any
     * shuffle (the per-doc tf agg only ever sees |query| terms per doc),
     * df + corpus stats as two broadcast one-row/terms-row sides, then a
-    * global top-k (rank over score desc, doc_id — a single-partition sort
-    * of per-doc SCORES; bound k, and pre-aggregate if k must grow).
+    * global top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    * heaps + driver merge; the rank window runs over only the k rows).
     * Output: (rk, doc_id, n_terms, score_c). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int): DataFrame = {
@@ -251,9 +251,13 @@ object Corpus {
         "_idf_q * ((_tf * 220L * 100L) div (_tf * 100L + (120L * _norm_c) div 100L))"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("_s")).as("score_c"))
+    // top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps + driver merge, never a single-partition window over every
+    // matched doc; with a common query term that table is the corpus);
+    // the rank window then covers only the k survivors
+    val top = scored.orderBy(col("score_c").desc, col("doc_id")).limit(k)
     val w = Window.orderBy(col("score_c").desc, col("doc_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    top.withColumn("rk", row_number().over(w).cast("long"))
       .select(col("rk"), col("doc_id"), col("n_terms"), col("score_c"))
   }
 

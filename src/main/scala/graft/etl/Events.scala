@@ -295,6 +295,45 @@ object Events {
     * an explicit rows frame) and one burst-grain aggregate; ties on the
     * timestamp break by `tieCol` so burst boundaries are deterministic.
     * `tsUsCol` must be integral micros (same contract as scd2History). */
+  /** Anchored horizon dedup — the BATCH TWIN of
+    * [[graft.streaming.EventsStreaming.dedupStream]]'s
+    * `dropDuplicatesWithinWatermark` contract (for in-event-time-order
+    * arrival): per key, the first row is kept and becomes the anchor;
+    * every later row within `horizonUs` of the anchor is a duplicate;
+    * the first row MORE than `horizonUs` after the anchor is re-admitted
+    * and becomes the new anchor. NOT the same as [[burstDedup]] (gap
+    * from the PREVIOUS row — session semantics): a slow drip of
+    * duplicates 1 min apart never re-admits under burst/session rules
+    * but re-admits every horizon here, exactly like the streaming op
+    * whose per-key state expires `horizonUs` after the KEPT arrival.
+    *
+    * The anchor recurrence is prefix-dependent (no closed window form),
+    * so it rides a per-key sort_array(collect_list) + `aggregate` fold —
+    * per-key state is that key's OWN occurrence list, i.e. the
+    * duplicate multiplicity of one content key, not the table (same
+    * boundedness class as every collect_list site here; a pathological
+    * hot key needs the usual pre-cap). One shuffle on the key.
+    * Output: the kept rows as (key, event id), exploded back out. */
+  def horizonDedup(df: DataFrame, keyCol: String, tsUsCol: String,
+      idCol: String, horizonUs: Long): DataFrame = {
+    require(horizonUs >= 0)
+    val occ = df
+      .select(col(keyCol).as("k"), col(tsUsCol).as("_us"),
+        col(idCol).as("_id"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("_us").as("us"),
+        col("_id").as("id")))).as("_occ"))
+      .withColumn("_st", expr(
+        s"""aggregate(
+           |  slice(_occ, 2, size(_occ)),
+           |  struct(_occ[0].us AS us, array(_occ[0].id) AS ids),
+           |  (acc, x) -> IF(x.us - acc.us > ${horizonUs}L,
+           |    struct(x.us AS us, concat(acc.ids, array(x.id)) AS ids),
+           |    acc))""".stripMargin))
+    occ.select(col("k").as(keyCol),
+      explode(col("_st.ids")).as(idCol))
+  }
+
   def burstDedup(df: DataFrame, keyCols: Seq[String], tsUsCol: String,
       tieCol: String, gapUs: Long): DataFrame = {
     require(keyCols.nonEmpty && gapUs >= 0)

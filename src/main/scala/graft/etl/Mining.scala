@@ -966,6 +966,11 @@ object Mining {
       gradeCol: Column, k: Int = 10, gmax: Int = 3): DataFrame = {
     require(k >= 1 && k <= 10, "k <= 10: the lcm constant is 2520")
     require(gmax >= 1 && gmax <= 6, "gmax in 1..6 keeps 2^g in int range")
+    // per-rank term ≤ 2520·2^(gmax·k) and the k-term sum rides a LONG
+    // accumulator: gmax·k ≤ 48 bounds the sum at ~7.1e18 < 2^63.
+    // Without this, gmax=6 ∧ k≥9 silently overflows to a wrong err_ppm.
+    require(gmax * k <= 48,
+      "gmax*k <= 48: the 2520*2^(gmax*k) per-rank terms must sum in 63 bits")
     val d = ranked.filter(col(rankCol) <= k)
       .select(col(groupCol).as("_g"), col(rankCol).cast("int").as("_r"),
         least(greatest(gradeCol.cast("long"), lit(0L)), lit(gmax.toLong))

@@ -103,6 +103,22 @@ object Similarity {
       maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame =
     ngramJaccardImpl(df, idCol, textCol, n, maxShingleFreq, materialize = false)
 
+  /** [[ngramJaccardPairs]] with a pair-level sample predicate applied AT
+    * CANDIDATE-PAIR STAGE — right after the in-bucket pair emission,
+    * BEFORE the intersection aggregation — so a 1-in-m hash sample cuts
+    * the pair-count shuffle (the engine's heaviest post-bucket stage) to
+    * 1/m instead of filtering the finished pair table. Sound for any
+    * predicate over (id_a, id_b) ONLY: it commutes with the per-pair
+    * aggregation because it is a pure function of the group key (every
+    * shingle row of a surviving pair survives; the hot-boilerplate
+    * correction join starts from the already-filtered candidates). The
+    * audits that measure per-pair RATES (q450's S-curve) ride this. */
+  def ngramJaccardPairsSampled(df: DataFrame, idCol: String, textCol: String,
+      n: Int, pairFilter: (Column, Column) => Column,
+      maxShingleFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame =
+    ngramJaccardImpl(df, idCol, textCol, n, maxShingleFreq,
+      materialize = false, pairFilter = Some(pairFilter))
+
   /** Alias kept for plan-shape assertions (historically the no-checkpoint
     * variant; since round 7 the public entry point IS the pure plan). */
   private[graft] def ngramJaccardPlan(df: DataFrame, idCol: String,
@@ -144,9 +160,10 @@ object Similarity {
   }
 
   private def ngramJaccardImpl(df: DataFrame, idCol: String, textCol: String,
-      n: Int, maxShingleFreq: Option[Int], materialize: Boolean): DataFrame =
+      n: Int, maxShingleFreq: Option[Int], materialize: Boolean,
+      pairFilter: Option[(Column, Column) => Column] = None): DataFrame =
     intersectionPairsFromTokens(explodeShingles(df, idCol, textCol, n),
-      maxShingleFreq, materialize)
+      maxShingleFreq, materialize, pairFilter)
 
   /** The capped bucket-and-explode pair engine behind [[ngramJaccardPairs]]
     * / [[containmentPairs]] / [[winnowOverlapPairs]], generic over any
@@ -156,7 +173,8 @@ object Similarity {
     * per id for set semantics. Same recall caveat as the callers: pairs
     * sharing ONLY above-cap (boilerplate) tokens are not candidates. */
   private[graft] def intersectionPairsFromTokens(tokens: DataFrame,
-      maxShingleFreq: Option[Int], materialize: Boolean): DataFrame = {
+      maxShingleFreq: Option[Int], materialize: Boolean,
+      pairFilter: Option[(Column, Column) => Column] = None): DataFrame = {
     val sh = if (materialize) tokens.cache() else tokens
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
     // caches created in the capped branch, released after final assembly
@@ -164,8 +182,13 @@ object Similarity {
     val pairs = maxShingleFreq match {
       case None =>
         // exact path: one self-join on shingle + pair-count aggregation
-        sh.as("a").join(sh.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        val joined = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        val sampled = pairFilter match {
+          case Some(p) => joined.filter(p(col("a.id"), col("b.id")))
+          case None => joined
+        }
+        sampled
           .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
           .agg(count(lit(1)).as("inter"))
       case Some(cap) =>
@@ -178,12 +201,19 @@ object Similarity {
         // cached: referenced by both the hot-correction join and the final
         // assembly — without it the bucket groupBy + pair explode (the
         // heaviest stage) would be recomputed per consumer
-        val interCapped0 = buckets
+        val emitted = buckets
           .filter(size(col("ids")) >= 2 && size(col("ids")) <= cap)
           .select(explode(flatten(
             transform(col("ids"), (x, i) =>
               transform(slice(col("ids"), i + 2, size(col("ids"))),
                 y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+        // the pair sample lands HERE — post-emission, pre-aggregation —
+        // so the pair-count shuffle only ever carries surviving pairs
+        val emittedSampled = pairFilter match {
+          case Some(p) => emitted.filter(p(col("p.id_a"), col("p.id_b")))
+          case None => emitted
+        }
+        val interCapped0 = emittedSampled
           .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
           .agg(count(lit(1)).as("inter_capped"))
         val interCapped =
@@ -1353,15 +1383,25 @@ object Similarity {
     *
     * `edges` is (src, dst) in either orientation; output (node, component)
     * where component = min node id in the cluster. Isolated nodes keep
-    * their own id (pass them in `nodes`). Throws IllegalStateException if
-    * labels are still changing after `maxIter` rounds — a silently
-    * half-propagated labeling would split real clusters and let duplicate
-    * documents through. */
+    * their own id (pass them in `nodes`).
+    *
+    * If labels are still changing after `maxIter` propagation rounds —
+    * a component whose diameter exceeds the rail, which LSH dedup output
+    * never produces but entity-resolution chains can — the computation
+    * ESCALATES to [[connectedComponentsStar]] (O(log d) rounds) instead
+    * of failing: the caller always gets a fully-converged labeling, pays
+    * the cheaper propagation cost on the overwhelmingly-common shallow
+    * graphs, and only a genuinely pathological graph pays the star
+    * rounds. Star's own rail still throws, so a half-propagated labeling
+    * can never escape silently. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       nodeCol: String, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame =
-    connectedComponentsRounds(nodes, edges, nodeCol, srcCol, dstCol,
-      maxIter)._1
+      maxIter: Int = 20): DataFrame = {
+    val (labels, _, converged) = connectedComponentsAttempt(nodes, edges,
+      nodeCol, srcCol, dstCol, maxIter)
+    if (converged) labels
+    else connectedComponentsStar(nodes, edges, nodeCol, srcCol, dstCol)
+  }
 
   /** [[connectedComponents]] plus the number of propagation rounds it
     * took — surfaced so the star-contraction spec can assert the
@@ -1369,6 +1409,22 @@ object Similarity {
   private[graft] def connectedComponentsRounds(nodes: DataFrame,
       edges: DataFrame, nodeCol: String, srcCol: String, dstCol: String,
       maxIter: Int = 20): (DataFrame, Int) = {
+    val (labels, rounds, converged) = connectedComponentsAttempt(nodes,
+      edges, nodeCol, srcCol, dstCol, maxIter)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge after $maxIter rounds " +
+        "(component diameter exceeds it) — raise maxIter or use " +
+        "connectedComponentsStar")
+    (labels, rounds)
+  }
+
+  /** Propagation rounds without the fail-loud rail: returns the labels,
+    * round count, and whether they converged — the primitive both the
+    * throwing [[connectedComponentsRounds]] and the star-escalating
+    * [[connectedComponents]] build on. */
+  private def connectedComponentsAttempt(nodes: DataFrame,
+      edges: DataFrame, nodeCol: String, srcCol: String, dstCol: String,
+      maxIter: Int): (DataFrame, Int, Boolean) = {
     val spark = nodes.sparkSession
     import spark.implicits._
     // symmetric edge list, self-loops dropped
@@ -1401,11 +1457,7 @@ object Similarity {
       labels = next
       i += 1
     }
-    if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents did not converge after $maxIter rounds " +
-        s"($changed labels still changing) — raise maxIter (component " +
-        "diameter exceeds it)")
-    (labels, i)
+    (labels, i, changed == 0)
   }
 
   /** Connected components by star contraction — the long-diameter-safe

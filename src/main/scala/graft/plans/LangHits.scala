@@ -33,6 +33,13 @@ object LangHitsKernel {
     while (i <= len) {
       if (i == len || str.charAt(i) == ' ') {
         if (i > start) {
+          // default-locale toLowerCase ON PURPOSE: the kernel replaces a
+          // HOF spelling built on Spark's lower(), which has the same
+          // default-locale semantics — parity with the portable spelling
+          // is the contract here, not JVM-locale independence. (Under
+          // tr_TR 'I'→'ı' both paths shift identically; the oracle
+          // harness runs on a ROOT-locale JVM where both match DuckDB.)
+          // Do NOT "fix" to Locale.ROOT one-sidedly.
           val tok = str.substring(start, i).toLowerCase
           var p = 0
           while (p < profiles.length) {

@@ -1256,7 +1256,28 @@ object GraphEvents {
       .orderBy($"d")
   }
 
+  // ------------------------------------ q465 horizon dedup (batch twin)
+
+  /** Horizon-bounded dedup ([[Events.horizonDedup]], 1 h horizon) over
+    * per-(user, type) event streams — the hashable BATCH TWIN of the
+    * streaming `dropDuplicatesWithinWatermark` contract: first arrival
+    * kept, in-horizon repeats dropped, post-horizon repeats re-admitted
+    * (anchored on the last KEPT row, not the previous row — the exact
+    * semantics EventsStreamingSpec pins on the streaming side; this
+    * oracle row makes the contract cross-engine-checkable where the
+    * streaming op itself cannot cross the DuckDB gate). */
+  def q465HorizonDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull)
+      .select(concat($"user_id".cast("string"), lit(":"), $"event_type")
+        .as("k"), unix_micros($"ts").as("us"), $"event_id")
+    Events.horizonDedup(e, "k", "us", "event_id", 3600000000L)
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q465_horizon_dedup" -> q465HorizonDedup _,
     "q461_seq_patterns" -> q461SeqPatterns _,
     "q462_shapley_attribution" -> q462ShapleyAttribution _,
     "q464_churn_labels" -> q464ChurnLabels _,
@@ -1318,6 +1339,23 @@ object GraphEvents {
     "q109_decorrelate" -> q109Decorrelate _)
 
   val oracleSql: Map[String, String] = Map(
+    "q465_horizon_dedup" -> """
+      |WITH RECURSIVE e AS (
+      |  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS k,
+      |    epoch_us(ts) AS us, event_id,
+      |    row_number() OVER (
+      |      PARTITION BY CAST(user_id AS VARCHAR) || ':' || event_type
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events WHERE user_id IS NOT NULL),
+      |kept AS (
+      |  SELECT k, us, event_id FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.k, n.us, n.event_id
+      |  FROM kept a JOIN e n ON n.k = a.k AND n.us > a.us + 3600000000
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM e p WHERE p.k = a.k AND p.us > a.us + 3600000000
+      |      AND (p.us < n.us OR (p.us = n.us AND p.event_id < n.event_id))))
+      |SELECT k, event_id FROM kept ORDER BY event_id""".stripMargin,
     "q464_churn_labels" -> """
       |WITH uw AS (
       |  SELECT DISTINCT user_id,

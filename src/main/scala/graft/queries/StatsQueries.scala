@@ -1186,8 +1186,12 @@ object StatsQueries {
     * mid-date and the combined row. */
   def q457StratifiedAte(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // value >= 0 (nulls kept as 0-cent events): keeps every floor-divided
+    // sum nonnegative, so Spark's truncating div and DuckDB's flooring //
+    // can never disagree on a future corpus with refunds
     val e = Tables.events(spark, dir)
-      .filter($"user_id".isNotNull && $"user_id" >= 0)
+      .filter($"user_id".isNotNull && $"user_id" >= 0 &&
+        ($"value".isNull || $"value" >= 0))
       .select($"user_id", ($"user_id" % 2).as("arm"),
         expr("CAST(datediff(to_date(ts), DATE'1970-01-01') AS LONG)")
           .as("d"),
@@ -1232,8 +1236,11 @@ object StatsQueries {
     * move (ITT_d ≤ 0): the instrument is dead and no LATE exists. */
   def q463IvWald(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // value >= 0 (nulls kept as 0-cent events): see q457 — keeps the
+    // floor-divided ITT_y means nonnegative per arm on any corpus
     val panel = Tables.events(spark, dir)
-      .filter($"user_id".isNotNull && $"user_id" >= 0)
+      .filter($"user_id".isNotNull && $"user_id" >= 0 &&
+        ($"value".isNull || $"value" >= 0))
       .select($"user_id", ($"user_id" % 2).as("z"), $"event_type",
         coalesce(cents, lit(0L)).as("c"))
       .groupBy($"user_id", $"z")
@@ -1382,7 +1389,8 @@ object StatsQueries {
       |WITH e AS (
       |  SELECT user_id, user_id % 2 AS z, event_type,
       |    coalesce(CAST(round(value * 100) AS BIGINT), 0) AS c
-      |  FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
+      |  FROM events WHERE user_id IS NOT NULL AND user_id >= 0
+      |    AND (value IS NULL OR value >= 0)),
       |panel AS (
       |  SELECT user_id, z,
       |    sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS y
@@ -1419,7 +1427,8 @@ object StatsQueries {
       |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
       |    event_type,
       |    coalesce(CAST(round(value * 100) AS BIGINT), 0) AS c
-      |  FROM events WHERE user_id IS NOT NULL AND user_id >= 0),
+      |  FROM events WHERE user_id IS NOT NULL AND user_id >= 0
+      |    AND (value IS NULL OR value >= 0)),
       |b AS (SELECT (min(d) + max(d)) // 2 AS mid FROM e),
       |panel AS (
       |  SELECT user_id, arm,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -839,20 +839,26 @@ object TrainingData {
     * enters through a 1-in-20 deterministic hash sample, and signatures
     * are computed only for docs the sample touches: an audit estimates a
     * RATE per decile, so sampling pairs is the honest scale lever (the
-    * unsampled spelling measured 27 s at sf0.1 / 243 s at 10×; this one
-    * is bounded by the sampled-pair join). A pair collides when ALL 4
-    * rows of any band match.
+    * unsampled spelling measured 27 s at sf0.1 / 243 s at 10×). Since
+    * round 8 the sample predicate rides
+    * [[graft.etl.Similarity.ngramJaccardPairsSampled]], which applies it
+    * INSIDE the pair engine — post-bucket-emission, pre-intersection-agg
+    * — so the pair-count shuffle itself carries only 1/20 of the pairs
+    * (a post-hoc filter on the finished pair table cannot be pushed by
+    * Catalyst below the Generate that emits them). A pair collides when
+    * ALL 4 rows of any band match.
     * Engine-neutral sha-prefix permutations, long-format signatures
     * (same recipe as q442 — the two audits share one contract). */
   def q450ScurveEmpirical(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = corpus(spark, dir)
-    val pairs = Similarity.ngramJaccardPairs(docs, "doc_id", "text", 3)
+    val sample = (a: Column, b: Column) =>
+      (conv(substring(sha2(concat(a.cast("string"), lit(":"),
+        b.cast("string")), 256), 1, 4), 16, 10).cast("long") % 20) === 0
+    val pairs = Similarity.ngramJaccardPairsSampled(docs, "doc_id", "text", 3,
+        sample)
       .select($"id_a", $"id_b",
         expr("inter * 10000 div union_size").as("jbp"))
-      .filter(expr("CAST(conv(substring(sha2(concat(CAST(id_a AS STRING)," +
-        " ':', CAST(id_b AS STRING)), 256), 1, 4), 16, 10) AS BIGINT) " +
-        "% 20 = 0"))
       .localCheckpoint()
     val touched = pairs.select($"id_a".as("doc_id"))
       .unionByName(pairs.select($"id_b".as("doc_id"))).distinct()

@@ -19,11 +19,15 @@ object QueryBench {
       System.gc()
     }
     val fn = SparkEntry.queries(name)
-    fn(spark, sfDir).count()
+    // toRdd.count(), matching Bench's timing exactly (df.count() lets
+    // Catalyst prune unevaluated output columns — isolation minima would
+    // undercut the toRdd-based budgets they are folded against)
+    def runFully(): Unit = { fn(spark, sfDir).queryExecution.toRdd.count() }
+    runFully()
     release()
     val times = (1 to reps).map { i =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      runFully()
       val t = (System.nanoTime() - t0) / 1e9
       println(f"QBENCH rep $i: $t%.2f s (uptime ${java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000.0}%.1f)")
       release()

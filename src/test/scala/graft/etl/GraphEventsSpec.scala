@@ -499,6 +499,38 @@ class GraphEventsSpec extends SparkSpec {
     assert(t.getAs[Long]("event_id") == 8L && t.getAs[Long]("burst_n") == 2L)
   }
 
+  test("horizonDedup: anchored re-admission — the streaming dedup contract, " +
+    "and NOT burst/session semantics") {
+    import spark.implicits._
+    // the exact event set EventsStreamingSpec feeds dropDuplicatesWithinWatermark
+    // (10-minute horizon): alpha@10:00/10:01/10:05/12:01, beta@10:02,
+    // gamma@12:00, delta@12:00:30 — streaming keeps {1,3,5,6,7}
+    val m = 60000000L // one minute in us
+    val e = Seq(
+      ("alpha", 0L * m, 1L), ("alpha", 1L * m, 2L), ("beta", 2L * m, 3L),
+      ("alpha", 5L * m, 4L), ("gamma", 120L * m, 5L),
+      ("delta", 120L * m + 30000000L, 7L), ("alpha", 121L * m, 6L))
+      .toDF("k", "us", "event_id")
+    val kept = Events.horizonDedup(e, "k", "us", "event_id", 10L * m)
+      .select($"event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L, 6L, 7L), kept)
+
+    // a slow drip 6 min apart: burst/session semantics would NEVER re-admit
+    // (every gap < 10 min chains); anchored semantics re-admits at the
+    // first row > 10 min after the last KEPT one — t=0 and t=12 min
+    val drip = Seq(("d", 0L * m, 1L), ("d", 6L * m, 2L),
+      ("d", 12L * m, 3L), ("d", 18L * m, 4L)).toDF("k", "us", "event_id")
+    val dripKept = Events.horizonDedup(drip, "k", "us", "event_id", 10L * m)
+      .select($"event_id").as[Long].collect().toSet
+    assert(dripKept == Set(1L, 3L), dripKept)
+
+    // tie at identical us: id order decides the anchor, the other drops
+    val tied = Seq(("t", 5L, 9L), ("t", 5L, 8L)).toDF("k", "us", "event_id")
+    val t = Events.horizonDedup(tied, "k", "us", "event_id", 10L)
+      .select($"event_id").as[Long].collect().toSet
+    assert(t == Set(8L), t)
+  }
+
   test("functionalDependency: holding and violated claims measured exactly") {
     import spark.implicits._
     val df = Seq(("b1", "m1", 1), ("b1", "m1", 2), ("b2", "m1", 3),

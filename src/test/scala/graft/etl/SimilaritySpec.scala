@@ -496,15 +496,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq(0L), "one chain must collapse to component 0")
   }
 
-  test("connectedComponents: throws instead of returning a half-propagated labeling") {
+  test("connectedComponents: a chain past the propagation rail completes " +
+    "via the star-contraction fallback") {
     import spark.implicits._
+    // diameter 7 with maxIter=3: propagation alone CANNOT finish (the
+    // throwing connectedComponentsRounds proves it below); the public
+    // entry point escalates to star contraction and still returns the
+    // fully-converged labeling
     val n = 8L
     val nodes = (0L until n).toDF("id")
     val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Similarity.connectedComponents(nodes, edges, "id", "src",
+        "dst", maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (0L until n).map(_ -> 0L).toMap, out)
+    // the raw rounds primitive keeps the fail-loud contract — a
+    // half-propagated labeling can never escape as a result
     val e = intercept[IllegalStateException] {
-      Similarity.connectedComponents(nodes, edges, "id", "src", "dst", maxIter = 3)
+      Similarity.connectedComponentsRounds(nodes, edges, "id", "src",
+        "dst", maxIter = 3)
     }
     assert(e.getMessage.contains("did not converge"))
+    // and star's own rail still throws when ITS budget is absurd
+    val e2 = intercept[IllegalStateException] {
+      Similarity.connectedComponentsStar(nodes, edges, "id", "src",
+        "dst", maxIter = 1)
+    }
+    assert(e2.getMessage.toLowerCase.contains("converge"), e2.getMessage)
   }
 
   test("connectedComponents: edge endpoints outside the node set are ignored") {
