@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Curation, Domain, GraphEvents, MiningQueries, Relational, Reports, ShopQueries, StatsQueries, TrainingData}
+import graft.queries.{Curation, Domain, EvalQueries, GraphEvents, MiningQueries, Relational, Reports, ShopQueries, StatsQueries, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Domain.queries ++ TrainingData.queries ++
       ShopQueries.queries ++ Reports.queries ++ GraphEvents.queries ++
-      Curation.queries ++ MiningQueries.queries ++ StatsQueries.queries
+      Curation.queries ++ MiningQueries.queries ++ StatsQueries.queries ++
+      EvalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Domain.oracleSql ++ TrainingData.oracleSql ++
       ShopQueries.oracleSql ++ Reports.oracleSql ++ GraphEvents.oracleSql ++
-      Curation.oracleSql ++ MiningQueries.oracleSql ++ StatsQueries.oracleSql
+      Curation.oracleSql ++ MiningQueries.oracleSql ++ StatsQueries.oracleSql ++
+      EvalQueries.oracleSql
 }

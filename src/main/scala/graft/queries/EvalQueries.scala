@@ -1,0 +1,588 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Model-evaluation and serving analytics — the readouts an LLM team
+  * runs AFTER training on sampled generations, reward scores, and A/B
+  * exposure logs (pass@k, best-of-n scaling, conformal calibration,
+  * sequential tests, group-relative advantages). The reference has no
+  * analogue; this is beyond-reference surface in the same spirit as the
+  * training-data families: every statistic exact-integer with a DuckDB
+  * oracle twin, every plan one-or-two keyed shuffles, nothing global.
+  *
+  * The synthetic mapping (events as samples): a user's events are that
+  * "task"'s generated samples, purchases are "correct" completions, and
+  * amounts are "reward scores" — the shapes, cardinalities, and skew
+  * match real eval logs (many tasks × bounded samples each).
+  */
+object EvalQueries {
+
+  import TrainingData.{corpusSql, shinglesSql}
+
+  private def cents = expr("CAST(round(value * 100) AS BIGINT)")
+
+  // -------------------------------------------------- q466 pass@k
+
+  /** Exact pass@k (the unbiased HumanEval estimator): per task with n
+    * samples and c correct, pass@k = 1 − C(n−c,k)/C(n,k), computed as
+    * the telescoped product Π_{i<k}(n−c−i)/Π_{i<k}(n−i) — UNROLLED per
+    * literal k (no HOF folds: the products are plain integer factor
+    * chains both engines evaluate identically; a factor hitting zero is
+    * exactly the n−c<k ⇒ pass=1 case). Samples are capped at the first
+    * 50 per task by (ts, id) — the cap bounds the k=10 product at
+    * 50!/40! ≈ 3.7e16 (long-safe; the ×10⁶ scaling rides decimal) and
+    * is the honest eval shape anyway (eval harnesses sample a FIXED n
+    * per task, they don't stream unbounded samples). One partitioned
+    * rank window + one task aggregate; the per-k readout is a 3-row
+    * broadcast-size table. */
+  def q466PassAtK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val t = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull)
+      .withColumn("_rk", row_number().over(w))
+      .filter($"_rk" <= 50)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c"))
+    val perK = Seq(1, 5, 10).map { k =>
+      val num = (0 until k).map(i => s"(n - c - $i)").mkString(" * ")
+      val den = (0 until k).map(i => s"(n - $i)").mkString(" * ")
+      t.filter($"n" >= k)
+        .withColumn("_pass_ppm", expr(
+          s"1000000 - CAST(greatest(CAST($num AS DECIMAL(38,0)), 0) " +
+            s"* 1000000 div ($den) AS BIGINT)"))
+        .agg(count(lit(1)).as("n_tasks"),
+          expr("CAST(CAST(sum(_pass_ppm) AS DECIMAL(38,0)) " +
+            "* 1 div count(1) AS BIGINT)").as("mean_pass_ppm"),
+          min($"_pass_ppm").as("min_pass_ppm"),
+          max($"_pass_ppm").as("max_pass_ppm"))
+        .select(lit(k.toLong).as("k"), $"n_tasks", $"mean_pass_ppm",
+          $"min_pass_ppm", $"max_pass_ppm")
+    }
+    perK.reduce(_ unionByName _).orderBy($"k")
+  }
+
+  // -------------------------------------------- q467 best-of-n curve
+
+  /** Empirical best-of-n scaling curve: per prompt group, scores are
+    * split into DISJOINT batches of n by deterministic sha order, each
+    * batch contributes max(score), and the curve point is the mean of
+    * batch maxima — the estimator serving teams actually plot (disjoint
+    * batches keep it unbiased without C(N,n) combinatorics, and the
+    * sha-rank makes it seedless and engine-exact). One rank window per
+    * group + a broadcast 4-row n table; partial batches are dropped
+    * (count = n) so every max is a true best-of-n. */
+  def q467BonCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy(sha2($"event_id".cast("string"), 256), $"event_id")
+    val scored = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type", $"event_id", cents.as("s"))
+      .withColumn("_rk", row_number().over(w).cast("long"))
+    val ns = Seq(1L, 2L, 4L, 8L).toDF("n")
+    scored.crossJoin(broadcast(ns))
+      .withColumn("_batch", expr("(_rk - 1) div n"))
+      .groupBy($"event_type", $"n", $"_batch")
+      .agg(count(lit(1)).as("_sz"), max($"s").as("_mx"))
+      .filter($"_sz" === $"n")
+      .groupBy($"event_type", $"n")
+      .agg(count(lit(1)).as("n_batches"),
+        expr("CAST(CAST(sum(_mx) AS DECIMAL(38,0)) * 1000 " +
+          "div count(1) AS BIGINT)").as("mean_max_milli"))
+      .orderBy($"event_type", $"n")
+  }
+
+  // --------------------------------------- q468 conformal coverage
+
+  /** Split-conformal calibration + coverage audit: per group, the even
+    * sha half calibrates (q̂ = the ⌈0.9·(n_cal+1)⌉-th smallest score —
+    * the finite-sample-valid nearest-rank quantile, NOT the n·0.9
+    * plug-in) and the odd half tests; coverage_ppm = share of test
+    * scores ≤ q̂. Split-conformal's guarantee is coverage ≥ 90% in
+    * expectation — this query is the audit that checks it held on the
+    * actual data. Rank window partitioned by group on the calibration
+    * half only; q̂ joins back as a per-group scalar. Groups with
+    * n_cal < 20 drop (the ceil-rank would exceed n_cal). */
+  def q468ConformalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type", $"event_id", cents.as("s"),
+        (conv(substring(sha2($"event_id".cast("string"), 256), 1, 4),
+          16, 10).cast("long") % 2).as("_half"))
+    val cal = e.filter($"_half" === 0)
+    val nCal = cal.groupBy($"event_type").agg(count(lit(1)).as("n_cal"))
+      .filter($"n_cal" >= 20)
+      .withColumn("_r", expr("(9 * (n_cal + 1) + 9) div 10"))
+    val wr = Window.partitionBy($"event_type").orderBy($"s", $"event_id")
+    val qhat = cal.withColumn("_rk", row_number().over(wr).cast("long"))
+      .join(broadcast(nCal), "event_type")
+      .filter($"_rk" === $"_r")
+      .select($"event_type", $"n_cal", $"s".as("qhat_cents"))
+    e.filter($"_half" === 1)
+      .join(broadcast(qhat), "event_type")
+      .groupBy($"event_type", $"n_cal", $"qhat_cents")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when($"s" <= $"qhat_cents", 1L).otherwise(0L)).as("_cov"))
+      .select($"event_type", $"n_cal", $"n_test", $"qhat_cents",
+        expr("_cov * 1000000 div n_test").as("coverage_ppm"))
+      .orderBy($"event_type")
+  }
+
+  // -------------------------------------- q469 dedup split leakage
+
+  /** Near-dup pairs straddling the train/val/test split — the leakage
+    * dedup exists to prevent, measured directly: every ≥50%-Jaccard
+    * pair from the q26 engine is labeled with its endpoints' q59 splits,
+    * and the per-Jaccard-decile straddle share says how much near-dup
+    * mass crosses split boundaries (a healthy pipeline dedups BEFORE
+    * splitting, driving this to 0; ~20% straddle_bp ≈ the 80/10/10
+    * random-split expectation when it didn't). Pair engine + two hash
+    * projections — no new shuffle beyond the engine's own. */
+  def q469SplitLeak(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val split = (c: Column) => TrainingData.splitColumn(c)
+    graft.etl.Similarity.ngramJaccardPairs(
+        TrainingData.corpus(spark, dir), "doc_id", "text", 3)
+      .filter($"inter" * 2 >= $"union_size")
+      .select(expr("least(inter * 10000 div union_size div 1000, 9)")
+        .as("decile"),
+        (split($"id_a") =!= split($"id_b")).as("_straddle"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"_straddle", 1L).otherwise(0L)).as("n_straddle"))
+      .select($"decile", $"n_pairs", $"n_straddle",
+        expr("n_straddle * 10000 div n_pairs").as("straddle_bp"))
+      .orderBy($"decile")
+  }
+
+  // ------------------------------------------------ q470 SPRT walk
+
+  /** Wald's SPRT on the daily conversion rate — the sequential test
+    * that answers "could we have stopped this experiment early": H₀
+    * p=2%, H₁ p=3%, per-day log-likelihood increment
+    * k·ln(p₁/p₀) + (m−k)·ln((1−p₁)/(1−p₀)) with the four logs as
+    * FIXED milli-nat literals (405, −10; boundaries ln((1−β)/α)=2890,
+    * ln(β/(1−α))=−2251 at α=5%, β=10%) — quantizing the constants
+    * (not the data) keeps both engines bit-identical and is how
+    * fixed-point SPRT ships in production monitors anyway. The
+    * cumulative walk is a global cumsum over the per-DAY aggregate —
+    * calendar-bounded (WindowLintSpec allowlist). Output: the daily
+    * walk with the first-crossing decision per day. */
+  def q470SprtWalk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val day = Tables.events(spark, dir)
+      .select(datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+        .cast("long").as("d"), $"event_type")
+      .groupBy($"d")
+      .agg(count(lit(1)).as("m"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("k"))
+    val w = Window.orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    day
+      .withColumn("llr_milli", $"k" * 405L + ($"m" - $"k") * -10L)
+      .withColumn("cum_llr_milli", sum($"llr_milli").over(w))
+      .withColumn("decision",
+        when($"cum_llr_milli" >= 2890L, "accept_h1")
+          .when($"cum_llr_milli" <= -2251L, "accept_h0")
+          .otherwise("continue"))
+      .select($"d", $"m", $"k", $"llr_milli", $"cum_llr_milli", $"decision")
+      .orderBy($"d")
+  }
+
+  // ------------------------------------ q471 group-relative advantage
+
+  /** GRPO-style group-relative advantage panel: per prompt group the
+    * reward baseline is the GROUP mean (no value model), and each
+    * sample's advantage is (r − mean), normalized by the group's mean
+    * absolute deviation — MAD, not σ, because MAD stays in exact
+    * integer arithmetic (no square root) and is the robust scale
+    * serving teams prefer under reward outliers anyway. Output per
+    * group: n, mean, MAD (milli-cents), and the clip fraction
+    * |adv/MAD| > 2 (bp) — the knob that says how often a PPO-style
+    * clip would bite. Two aggregates over one group shuffle (mean
+    * first, then |r−mean| stats); divisions sign-factored so floored
+    * quotients agree cross-engine. */
+  def q471GrpoAdvantage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type", cents.as("r"))
+    val m = r.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"r").as("_sr"))
+      .withColumn("mean_milli", expr(
+        "CAST(CAST(_sr AS DECIMAL(38,0)) * 1000 div n AS BIGINT)"))
+      .select($"event_type", $"n", $"mean_milli")
+    val dev = r.join(broadcast(m), "event_type")
+      .withColumn("_dev", $"r" * 1000L - $"mean_milli")
+    val stats = dev.groupBy($"event_type", $"n", $"mean_milli")
+      .agg(expr("CAST(sum(CAST(abs(_dev) AS DECIMAL(38,0))) " +
+        "div count(1) AS BIGINT)").as("mad_milli"))
+    // clip test is |dev| > 2·MAD — a pure integer comparison, no division
+    // by MAD (which can be 0 on a constant group) ever happens
+    val clip = dev
+      .join(broadcast(stats.select($"event_type", $"mad_milli")),
+        "event_type")
+      .groupBy($"event_type")
+      .agg(sum(when(abs($"_dev") > $"mad_milli" * 2, 1L).otherwise(0L))
+        .as("_nclip"), count(lit(1)).as("_nn"))
+    stats.join(clip, "event_type")
+      .select($"event_type", $"n", $"mean_milli", $"mad_milli",
+        expr("_nclip * 10000 div _nn").as("clip_bp"))
+      .orderBy($"event_type")
+  }
+
+  // ------------------------------------------ q472 1-bit MinHash
+
+  /** b-bit MinHash (b=1, Li & König) estimator audit on the q442
+    * verified pair set: keeping only the LOWEST BIT of each of the 32
+    * permutation minima shrinks signatures 64×, and Ĵ = 2·(m̂ − ½)
+    * corrects the ½ random-collision floor. Per exact-Jaccard decile:
+    * mean |err| of the 1-bit estimator NEXT TO the full-width one —
+    * the table that says what the 64× compression costs in estimator
+    * noise (theory: Var grows ≈ (1−J)⁻¹-ish at the low end — visible
+    * in the low deciles). Same pair-members-only signature plan as
+    * q442/q450. */
+  def q472BbitMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = TrainingData.corpus(spark, dir)
+    val pairs = graft.etl.Similarity
+      .ngramJaccardPairs(docs, "doc_id", "text", 3)
+      .filter($"inter" * 2 >= $"union_size")
+      .select($"id_a", $"id_b",
+        expr("inter * 10000 div union_size").as("exact_bp"))
+      .localCheckpoint()
+    val members = pairs.select($"id_a".as("doc_id"))
+      .unionByName(pairs.select($"id_b".as("doc_id"))).distinct()
+    val shingles = docs
+      .join(broadcast(members), Seq("doc_id"), "left_semi")
+      .select($"doc_id",
+        explode(array_distinct(call_function("word_shingles", $"text",
+          lit(3)))).as("s"))
+    val perms = spark.range(32).select($"id".cast("int").as("i"))
+    val sigs = shingles.crossJoin(broadcast(perms))
+      .groupBy($"doc_id", $"i")
+      .agg(min(expr("CAST(conv(substring(sha2(concat(CAST(i AS STRING), " +
+        "':', s), 256), 1, 8), 16, 10) AS BIGINT)")).as("mh"))
+    val est = pairs
+      .join(sigs.select($"doc_id".as("id_a"), $"i", $"mh".as("ha")),
+        Seq("id_a"))
+      .join(sigs.select($"doc_id".as("id_b"), $"i", $"mh".as("hb")),
+        Seq("id_b", "i"))
+      .groupBy($"id_a", $"id_b", $"exact_bp")
+      .agg(sum(when($"ha" === $"hb", 1L).otherwise(0L)).as("_mfull"),
+        sum(when($"ha" % 2 === $"hb" % 2, 1L).otherwise(0L)).as("_m1"))
+      // full: Ĵ = m/32. 1-bit: Ĵ = 2·(m/32 − 1/2) = (2m − 32)/32,
+      // clamped at 0 (below-floor noise estimates negative J)
+      .withColumn("_est_full_bp", expr("_mfull * 10000 div 32"))
+      .withColumn("_est1_bp",
+        expr("greatest((_m1 * 2 - 32) * 10000 div 32, 0)"))
+    est.groupBy(expr("least(exact_bp div 1000, 9)").as("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(CAST(sum(abs(_est_full_bp - exact_bp)) " +
+          "AS DECIMAL(38,0)) div count(1) AS BIGINT)")
+          .as("mae_full_bp"),
+        expr("CAST(CAST(sum(abs(_est1_bp - exact_bp)) " +
+          "AS DECIMAL(38,0)) div count(1) AS BIGINT)")
+          .as("mae_1bit_bp"))
+      .orderBy($"decile")
+  }
+
+  // ------------------------------------------- q473 curation ROI
+
+  /** Token-budget curation ROI curve: documents bucketed into 100
+    * quality bins (the q414 score proxy), and for each bin the
+    * cumulative-from-best docs/chars/mean-quality — "what average
+    * quality does each extra token of budget buy" read directly off
+    * the table (the marginal-quality curve whose knee picks the
+    * budget). The cumsum runs over the 100-row bin aggregate
+    * (bounded domain — WindowLintSpec allowlist), never over docs. */
+  def q473CurationRoi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bins = Tables.documents(spark, dir)
+      .select((length($"text") % 997).cast("long").as("_score"),
+        $"n_chars")
+      .groupBy(expr("_score div 10").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"),
+        sum($"_score").as("_ssc"))
+    val w = Window.orderBy($"bin".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cum_docs", sum($"n_docs").over(w))
+      .withColumn("cum_chars", sum($"chars").over(w))
+      .withColumn("cum_mean_score_milli", expr(
+        "CAST(CAST(sum(_ssc) OVER (ORDER BY bin DESC " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+          "AS DECIMAL(38,0)) * 1000 div (sum(n_docs) OVER (ORDER BY " +
+          "bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+          "AS BIGINT)"))
+      .select($"bin", $"n_docs", $"chars", $"cum_docs", $"cum_chars",
+        $"cum_mean_score_milli")
+      .orderBy($"bin".desc)
+  }
+
+  // ------------------------------------------- q474 length bias
+
+  /** Reward length-bias audit: the exact integer OLS slope of score on
+    * document length per source ([[graft.etl.Mining.groupedSlope]]
+    * convention inlined: slope = (nΣxy − ΣxΣy)·10⁶ div (nΣx² − (Σx)²),
+    * decimal(38,0) throughout) — the one-number check that a "quality"
+    * scorer isn't just a length detector (the classic reward-model
+    * failure; a big positive slope here means long docs buy score
+    * regardless of content). One combiner-friendly aggregate per
+    * source. */
+  def q474LengthBias(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    Tables.documents(spark, dir)
+      .select($"source", $"n_chars".cast(d38).as("x"),
+        (length($"text") % 997).cast(d38).as("y"))
+      .groupBy($"source")
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"source", $"n".cast("long").as("n"),
+        expr("CAST(((n * sxy - sx * sy) * 1000000) div " +
+          "NULLIF(n * sxx - sx * sx, 0) AS BIGINT)").as("slope_micro"))
+      .orderBy($"source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q466_pass_at_k" -> q466PassAtK _,
+    "q467_bon_curve" -> q467BonCurve _,
+    "q468_conformal_coverage" -> q468ConformalCoverage _,
+    "q469_split_leak" -> q469SplitLeak _,
+    "q470_sprt_walk" -> q470SprtWalk _,
+    "q471_grpo_advantage" -> q471GrpoAdvantage _,
+    "q472_bbit_minhash" -> q472BbitMinhash _,
+    "q473_curation_roi" -> q473CurationRoi _,
+    "q474_length_bias" -> q474LengthBias _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q466_pass_at_k" -> passAtKSql,
+    "q467_bon_curve" -> """
+      |WITH s AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS s,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY sha256(CAST(event_id AS VARCHAR)), event_id) AS rk
+      |  FROM events WHERE value IS NOT NULL),
+      |b AS (
+      |  SELECT event_type, n, (rk - 1) // n AS batch,
+      |    count(*) AS sz, max(s) AS mx
+      |  FROM s CROSS JOIN (VALUES (1), (2), (4), (8)) AS t(n)
+      |  GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS n_batches,
+      |  CAST(CAST(sum(mx) AS HUGEINT) * 1000 // count(*) AS BIGINT)
+      |    AS mean_max_milli
+      |FROM b WHERE sz = n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q468_conformal_coverage" -> """
+      |WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS s,
+      |    ('0x' || substring(sha256(CAST(event_id AS VARCHAR)), 1, 4))
+      |      ::BIGINT % 2 AS half
+      |  FROM events WHERE value IS NOT NULL),
+      |nc AS (
+      |  SELECT event_type, count(*) AS n_cal,
+      |    (9 * (count(*) + 1) + 9) // 10 AS r
+      |  FROM e WHERE half = 0 GROUP BY 1 HAVING count(*) >= 20),
+      |rk AS (
+      |  SELECT event_type, s,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY s, event_id)
+      |      AS rk
+      |  FROM e WHERE half = 0),
+      |qh AS (
+      |  SELECT rk.event_type, nc.n_cal, rk.s AS qhat_cents
+      |  FROM rk JOIN nc ON rk.event_type = nc.event_type AND rk.rk = nc.r)
+      |SELECT e.event_type, CAST(qh.n_cal AS BIGINT) AS n_cal,
+      |  CAST(count(*) AS BIGINT) AS n_test, qh.qhat_cents,
+      |  CAST(sum(CASE WHEN e.s <= qh.qhat_cents THEN 1 ELSE 0 END)
+      |    * 1000000 // count(*) AS BIGINT) AS coverage_ppm
+      |FROM e JOIN qh ON e.event_type = qh.event_type
+      |WHERE e.half = 1
+      |GROUP BY 1, 2, 4 ORDER BY 1""".stripMargin,
+    "q470_sprt_walk" -> """
+      |WITH day AS (
+      |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |    CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k
+      |  FROM events GROUP BY 1),
+      |walk AS (
+      |  SELECT d, m, k, k * 405 + (m - k) * -10 AS llr_milli,
+      |    CAST(sum(k * 405 + (m - k) * -10) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_llr_milli
+      |  FROM day)
+      |SELECT CAST(d AS BIGINT) AS d, m, k,
+      |  CAST(llr_milli AS BIGINT) AS llr_milli, cum_llr_milli,
+      |  CASE WHEN cum_llr_milli >= 2890 THEN 'accept_h1'
+      |       WHEN cum_llr_milli <= -2251 THEN 'accept_h0'
+      |       ELSE 'continue' END AS decision
+      |FROM walk ORDER BY d""".stripMargin,
+    "q469_split_leak" -> s"""
+      |WITH $corpusSql,
+      |$shinglesSql,
+      |freq AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+      |    max(CASE WHEN f.c <= 256 THEN 1 ELSE 0 END) AS has_kept
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN freq f ON f.s = a.s
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT id_a, id_b,
+      |    inter * 10000 // (sa.n + sb.n - inter) AS jbp
+      |  FROM cand
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE 2 * inter >= sa.n + sb.n - inter AND has_kept = 1),
+      |lab AS (
+      |  SELECT least(jbp // 1000, 9) AS decile,
+      |    CASE WHEN
+      |      (CASE WHEN ('0x' || substring(sha256(CAST(id_a AS VARCHAR)),
+      |          1, 4))::BIGINT % 100 < 80 THEN 'train'
+      |        WHEN ('0x' || substring(sha256(CAST(id_a AS VARCHAR)),
+      |          1, 4))::BIGINT % 100 < 90 THEN 'val' ELSE 'test' END) <>
+      |      (CASE WHEN ('0x' || substring(sha256(CAST(id_b AS VARCHAR)),
+      |          1, 4))::BIGINT % 100 < 80 THEN 'train'
+      |        WHEN ('0x' || substring(sha256(CAST(id_b AS VARCHAR)),
+      |          1, 4))::BIGINT % 100 < 90 THEN 'val' ELSE 'test' END)
+      |      THEN 1 ELSE 0 END AS straddle
+      |  FROM jp)
+      |SELECT CAST(decile AS BIGINT) AS decile,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(straddle) AS BIGINT) AS n_straddle,
+      |  CAST(sum(straddle) * 10000 // count(*) AS BIGINT) AS straddle_bp
+      |FROM lab GROUP BY 1 ORDER BY decile""".stripMargin,
+    "q471_grpo_advantage" -> """
+      |WITH r AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS r
+      |  FROM events WHERE value IS NOT NULL),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(CAST(sum(r) AS HUGEINT) * 1000 // count(*) AS BIGINT)
+      |      AS mean_milli
+      |  FROM r GROUP BY 1),
+      |d AS (
+      |  SELECT r.event_type, m.n, m.mean_milli,
+      |    r.r * 1000 - m.mean_milli AS dev
+      |  FROM r JOIN m ON r.event_type = m.event_type),
+      |s AS (
+      |  SELECT event_type, n, mean_milli,
+      |    CAST(CAST(sum(abs(dev)) AS HUGEINT) // count(*) AS BIGINT)
+      |      AS mad_milli
+      |  FROM d GROUP BY 1, 2, 3)
+      |SELECT d.event_type, CAST(s.n AS BIGINT) AS n, s.mean_milli,
+      |  s.mad_milli,
+      |  CAST(sum(CASE WHEN abs(d.dev) > 2 * s.mad_milli THEN 1 ELSE 0 END)
+      |    * 10000 // count(*) AS BIGINT) AS clip_bp
+      |FROM d JOIN s ON d.event_type = s.event_type
+      |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    "q472_bbit_minhash" -> s"""
+      |WITH $corpusSql,
+      |$shinglesSql,
+      |freq AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+      |    max(CASE WHEN f.c <= 256 THEN 1 ELSE 0 END) AS has_kept
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN freq f ON f.s = a.s
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT id_a, id_b,
+      |    inter * 10000 // (sa.n + sb.n - inter) AS exact_bp
+      |  FROM cand
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE 2 * inter >= sa.n + sb.n - inter AND has_kept = 1),
+      |perms AS (SELECT unnest(generate_series(0, 31)) AS i),
+      |sigs AS (
+      |  SELECT doc_id, i,
+      |    min(('0x' || substring(sha256(CAST(i AS VARCHAR) || ':' || s),
+      |      1, 8))::BIGINT) AS mh
+      |  FROM sh CROSS JOIN perms GROUP BY 1, 2),
+      |est AS (
+      |  SELECT id_a, id_b, exact_bp,
+      |    sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS mfull,
+      |    sum(CASE WHEN a.mh % 2 = b.mh % 2 THEN 1 ELSE 0 END) AS m1
+      |  FROM jp
+      |  JOIN sigs a ON a.doc_id = id_a
+      |  JOIN sigs b ON b.doc_id = id_b AND b.i = a.i
+      |  GROUP BY 1, 2, 3),
+      |er AS (
+      |  SELECT least(exact_bp // 1000, 9) AS decile,
+      |    abs(mfull * 10000 // 32 - exact_bp) AS efull,
+      |    abs(greatest((m1 * 2 - 32) * 10000 // 32, 0) - exact_bp) AS e1
+      |  FROM est)
+      |SELECT CAST(decile AS BIGINT) AS decile,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(CAST(sum(efull) AS HUGEINT) // count(*) AS BIGINT)
+      |    AS mae_full_bp,
+      |  CAST(CAST(sum(e1) AS HUGEINT) // count(*) AS BIGINT)
+      |    AS mae_1bit_bp
+      |FROM er GROUP BY 1 ORDER BY decile""".stripMargin,
+    "q473_curation_roi" -> """
+      |WITH bins AS (
+      |  SELECT (length(text) % 997) // 10 AS bin,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars,
+      |    CAST(sum(length(text) % 997) AS BIGINT) AS ssc
+      |  FROM documents GROUP BY 1)
+      |SELECT CAST(bin AS BIGINT) AS bin, n_docs, chars,
+      |  CAST(sum(n_docs) OVER wdesc AS BIGINT) AS cum_docs,
+      |  CAST(sum(chars) OVER wdesc AS BIGINT) AS cum_chars,
+      |  CAST(CAST(sum(ssc) OVER wdesc AS HUGEINT) * 1000
+      |    // (sum(n_docs) OVER wdesc) AS BIGINT) AS cum_mean_score_milli
+      |FROM bins
+      |WINDOW wdesc AS (ORDER BY bin DESC
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY bin DESC""".stripMargin,
+    "q474_length_bias" -> """
+      |SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(((count(*) * sum(CAST(n_chars AS HUGEINT)
+      |      * (length(text) % 997))
+      |    - sum(CAST(n_chars AS HUGEINT))
+      |      * sum(CAST(length(text) % 997 AS HUGEINT))) * 1000000)
+      |    // NULLIF(count(*) * sum(CAST(n_chars AS HUGEINT) * n_chars)
+      |    - sum(CAST(n_chars AS HUGEINT)) * sum(CAST(n_chars AS HUGEINT)),
+      |      0) AS BIGINT) AS slope_micro
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+
+  /** q466's oracle: the same unrolled factor chains, generated from one
+    * list of k values so Spark and DuckDB can never drift. */
+  private def passAtKSql: String = {
+    val arms = Seq(1, 5, 10).map { k =>
+      val num = (0 until k).map(i => s"(n - c - $i)").mkString(" * ")
+      val den = (0 until k).map(i => s"(n - $i)").mkString(" * ")
+      s"""SELECT CAST($k AS BIGINT) AS k,
+         |  CAST(count(*) AS BIGINT) AS n_tasks,
+         |  CAST(CAST(sum(pass_ppm) AS HUGEINT) * 1 // count(*) AS BIGINT)
+         |    AS mean_pass_ppm,
+         |  CAST(min(pass_ppm) AS BIGINT) AS min_pass_ppm,
+         |  CAST(max(pass_ppm) AS BIGINT) AS max_pass_ppm
+         |FROM (SELECT 1000000 - CAST(greatest(CAST($num AS HUGEINT), 0)
+         |    * 1000000 // ($den) AS BIGINT) AS pass_ppm
+         |  FROM t WHERE n >= $k) a""".stripMargin
+    }
+    s"""WITH s AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS rk
+       |  FROM events WHERE user_id IS NOT NULL),
+       |t AS (
+       |  SELECT user_id, count(*) AS n,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+       |  FROM s WHERE rk <= 50 GROUP BY 1)
+       |${arms.mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY k""".stripMargin
+  }
+}

@@ -845,7 +845,13 @@ object TrainingData {
     * INSIDE the pair engine — post-bucket-emission, pre-intersection-agg
     * — so the pair-count shuffle itself carries only 1/20 of the pairs
     * (a post-hoc filter on the finished pair table cannot be pushed by
-    * Catalyst below the Generate that emits them). A pair collides when
+    * Catalyst below the Generate that emits them). Same-box A/B
+    * (dev.Q450AB, sf0.1): identical 68227 output rows, pair stage
+    * 2.64 -> 2.52 s — the pushdown is a scale guarantee more than a
+    * local win, because the query's cost is the 32-perm sha2 signature
+    * stage (~7 s of the budget; dev.SigAB measured the columnar-stack
+    * alternative at only ~6% better — the work IS the engine-neutral
+    * sha2 hashing, not the row inflation). A pair collides when
     * ALL 4 rows of any band match.
     * Engine-neutral sha-prefix permutations, long-format signatures
     * (same recipe as q442 — the two audits share one contract). */
@@ -2663,7 +2669,7 @@ object TrainingData {
       |  FROM d JOIN bits ON bits.doc_id = d.doc_id
       |  GROUP BY d.doc_id, d.w, d.h)""".stripMargin
 
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     """sh AS (
       |  SELECT DISTINCT doc_id, tf[i] || ' ' || tf[i+1] || ' ' || tf[i+2] AS s
       |  FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tf

@@ -67,7 +67,12 @@ class WindowLintSpec extends SparkSpec {
     "q414_budget_select" -> ("budgetedSelect offsets cumsum over the " +
       "per-bucket size table, O(rankPartitions)=32"),
     "q421_shuffle_mix" -> ("deterministicShuffle offsets cumsum, " +
-      "O(rankPartitions)=32"))
+      "O(rankPartitions)=32"),
+    "q470_sprt_walk" -> ("SPRT cumulative walk over the per-DAY " +
+      "aggregate (calendar-bounded row count)"),
+    "q473_curation_roi" -> ("cumulative-from-best over the 100-row " +
+      "quality-bin aggregate (score%997 div 10 - bounded literal " +
+      "domain)"))
 
   private def bounding(p: SparkPlan): Boolean = p.exists {
     case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec |
