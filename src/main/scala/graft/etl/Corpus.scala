@@ -977,10 +977,13 @@ object Corpus {
     * Shape: ONE tagged explode over both sides' native `word_ngrams`
     * (two arrays concat'ed per row — not a per-side scan-and-union,
     * which would re-run the possibly-expensive pair input twice), one
-    * (pair, gram) combiner groupBy for the clipped sum, and a spine
-    * scan that carries only the two gram COUNTS per row (array sizes,
-    * no gram strings) — work linear in text length, partitioned by
-    * pair id; the left join from the spine restores gram-less pairs. */
+    * (pair, gram) combiner groupBy for the clipped sum — and the gram
+    * TOTALS come from that same pass (cand_grams = Σ_g tf_cand, not a
+    * second `word_ngrams` evaluation in a spine branch; round 8 dropped
+    * that branch, which was recomputing every n-gram array just to take
+    * its size — q394 ran both branches through its lead-window input).
+    * The id-only spine restores gram-less pairs (both sides < n words)
+    * with NULL ratios via NULLIF — 0/0 is surfaced, not 0. */
   def rougeN(pairs: DataFrame, pairIdCol: String, candCol: String,
       refCol: String, n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
@@ -995,15 +998,15 @@ object Corpus {
       .groupBy(col("pair_id"), col("e.g").as("g"))
       .agg(sum(when(col("e.s") === 0, 1L).otherwise(0L)).as("_cc"),
         sum(when(col("e.s") === 1, 1L).otherwise(0L)).as("_rc"))
-    val clippedPerPair = perGram.groupBy(col("pair_id"))
-      .agg(sum(least(col("_cc"), col("_rc"))).as("_cl"))
-    base.select(col("pair_id"),
-        size(ngrams(col("_c"))).cast("long").as("cand_grams"),
-        size(ngrams(col("_r"))).cast("long").as("ref_grams"))
-      .join(clippedPerPair, Seq("pair_id"), "left")
+    val perPair = perGram.groupBy(col("pair_id"))
+      .agg(sum(least(col("_cc"), col("_rc"))).as("_cl"),
+        sum(col("_cc")).as("_cg"), sum(col("_rc")).as("_rg"))
+    base.select(col("pair_id"))
+      .join(perPair, Seq("pair_id"), "left")
       .select(col("pair_id"),
         coalesce(col("_cl"), lit(0L)).as("clipped"),
-        col("cand_grams"), col("ref_grams"))
+        coalesce(col("_cg"), lit(0L)).as("cand_grams"),
+        coalesce(col("_rg"), lit(0L)).as("ref_grams"))
       .withColumn("p_bp", expr("clipped * 10000 div NULLIF(cand_grams, 0)"))
       .withColumn("r_bp", expr("clipped * 10000 div NULLIF(ref_grams, 0)"))
       .withColumn("f1_bp",

@@ -146,17 +146,22 @@ object Layout {
     * total in a second plan branch under the rank, and because the rank
     * is an RDD (exchange reuse can't see through it) that branch would
     * re-run the whole range-sort-index pipeline per layout (measured 2×
-    * on q355). Each layout is also pruned to its sort keys + the filter
-    * column before ranking: rank shuffles bytes, carry nothing. */
+    * on q355). The input is localCheckpointed to the union of every
+    * layout's columns first: each layout's range-sort is unavoidable
+    * (they ARE different physical orders — the thing being audited) but
+    * the parquet scan + projection behind them runs once, not per
+    * layout, and the shared count() reads the materialized table. */
   def zonemapAudit(df: DataFrame, layouts: Seq[(String, Seq[String])],
       filterCol: String, preds: Seq[(Long, Long)],
       nShards: Int = 64): DataFrame = {
     require(layouts.nonEmpty && preds.nonEmpty && nShards >= 1)
     val predRows = preds.map { case (lo, hi) => (lo, hi) }
-    val tot = df.count()
+    val allCols = (layouts.flatMap(_._2) :+ filterCol).distinct
+    val shared = df.select(allCols.map(col): _*).localCheckpoint()
+    val tot = shared.count()
     layouts.map { case (name, sortCols) =>
       val needed = (sortCols :+ filterCol).distinct
-      val ranked = globalRank(df.select(needed.map(col): _*),
+      val ranked = globalRank(shared.select(needed.map(col): _*),
         sortCols.map(col), "_rk")
       val zones = ranked
         .withColumn("_shard", expr(s"(_rk - 1) * $nShards div ${tot}L"))
