@@ -352,7 +352,168 @@ object EvalQueries {
       .orderBy($"source")
   }
 
+  // ----------------------------------------- q475 importance-weight ESS
+
+  /** Effective sample size of importance weights per source — Kish's
+    * ESS = (Σw)²/Σw², the one-number diagnostic every weighted pipeline
+    * (DSIR mixing, IPS off-policy evals) should publish next to its
+    * weights: ESS ≪ n means a few documents carry the estimate and the
+    * nominal sample size is a lie. Weights are the repo's integer
+    * quality proxy + 1 (strictly positive). ess_bp = ESS/n in bp — the
+    * fraction of the sample that is EFFECTIVELY there. One
+    * combiner-friendly aggregate per source; (Σw)² rides decimal. */
+  def q475IwEss(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source", ((length($"text") % 997) + 1L).as("w"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"w").as("_sw"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("_sw2"))
+      .select($"source", $"n",
+        expr("CAST(CAST(_sw AS DECIMAL(38,0)) * _sw div _sw2 AS BIGINT)")
+          .as("ess"),
+        expr("CAST(CAST(_sw AS DECIMAL(38,0)) * _sw * 10000 " +
+          "div (_sw2 * n) AS BIGINT)").as("ess_bp"))
+      .orderBy($"source")
+  }
+
+  // ----------------------------------------- q476 calibration / ECE
+
+  /** Calibration curve + expected calibration error of a spend-based
+    * purchase predictor (conf = min(cents/10, 9999) bp — "the more they
+    * spend the likelier a purchase"): 10 equal-width confidence bins,
+    * per bin the mean stated confidence vs the realized purchase rate,
+    * and ECE_bp = Σ n_b·|acc_b − conf_b| / N — the standard reliability
+    * readout for any score a pipeline wants to treat as a probability
+    * (quality classifiers, LLM-judge scores). Bin grain + one broadcast
+    * total; everything floored bp. */
+  def q476CalibrationEce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select(expr("least(CAST(round(value * 100) AS BIGINT) div 10, " +
+        "9999)").as("conf_bp"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("y"))
+    val bins = scored
+      .groupBy(expr("least(conf_bp div 1000, 9)").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(CAST(sum(conf_bp) AS DECIMAL(38,0)) div count(1) " +
+          "AS BIGINT)").as("mean_conf_bp"),
+        expr("sum(y) * 10000 div count(1)").as("acc_bp"))
+    val ece = bins.agg(expr(
+      "CAST(CAST(sum(n * abs(acc_bp - mean_conf_bp)) AS DECIMAL(38,0)) " +
+        "div sum(n) AS BIGINT)").as("ece_bp"))
+    bins.crossJoin(broadcast(ece))
+      .select($"bin", $"n", $"mean_conf_bp", $"acc_bp", $"ece_bp")
+      .orderBy($"bin")
+  }
+
+  // ----------------------------------------- q477 power analysis table
+
+  /** Two-proportion power-analysis table — the experiment-sizing op an
+    * A/B platform runs BEFORE launching: from the measured baseline
+    * conversion p (ppm), for each relative MDE in {5, 10, 20}%, the
+    * per-arm n = ⌈(z_{α/2}+z_β)²·(p(1−p)+p₂(1−p₂))/δ²⌉ at α=5%,
+    * β=20% — the z-sum squared is the literal micro constant 7851204
+    * ((1.960+0.842)² — quantizing the CONSTANTS, not the data, same
+    * convention as q470), so both engines evaluate one exact integer
+    * ceiling division. Output also says whether the CURRENT per-arm
+    * count already meets each n — the go/no-go column. */
+  def q477PowerTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("_conv"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("sum(_conv) * 1000000 div count(1)").as("p_ppm"))
+    val mdes = Seq(5L, 10L, 20L).toDF("rel_pct")
+    base.crossJoin(broadcast(mdes))
+      .withColumn("p2_ppm", expr("p_ppm + p_ppm * rel_pct div 100"))
+      .withColumn("_v", expr("CAST(p_ppm AS DECIMAL(38,0)) " +
+        "* (1000000 - p_ppm) + CAST(p2_ppm AS DECIMAL(38,0)) " +
+        "* (1000000 - p2_ppm)"))
+      .withColumn("_d", expr("CAST(p2_ppm - p_ppm AS DECIMAL(38,0))"))
+      .withColumn("n_per_arm", expr(
+        "CAST((7851204 * _v + (_d * _d * 1000000) - 1) " +
+          "div (_d * _d * 1000000) AS BIGINT)"))
+      .select($"rel_pct", $"p_ppm", $"p2_ppm", $"n_per_arm", $"n_users",
+        expr("n_users div 2 >= n_per_arm").as("feasible_now"))
+      .orderBy($"rel_pct")
+  }
+
+  // ----------------------------------------- q478 truncation loss
+
+  /** Context-window truncation loss per source: for L ∈ {128, 512,
+    * 2048} tokens, the share of DOCUMENTS that overflow and the share
+    * of TOKENS lost to truncation — the table that picks the training
+    * context length (and justifies paying for a longer one) from the
+    * corpus itself rather than folklore. One token-count projection,
+    * one broadcast 3-row L table, one aggregate. */
+  def q478TruncationLoss(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"source",
+        size(graft.etl.Corpus.tokensOf($"text")).cast("long").as("t"))
+    val ls = Seq(128L, 512L, 2048L).toDF("l")
+    toks.crossJoin(broadcast(ls))
+      .groupBy($"source", $"l")
+      .agg(count(lit(1)).as("n_docs"), sum($"t").as("tokens"),
+        sum(when($"t" > $"l", 1L).otherwise(0L)).as("n_truncated"),
+        sum(greatest($"t" - $"l", lit(0L))).as("tokens_lost"))
+      .select($"source", $"l", $"n_docs", $"n_truncated",
+        expr("n_truncated * 10000 div n_docs").as("doc_trunc_bp"),
+        expr("CAST(CAST(tokens_lost AS DECIMAL(38,0)) * 10000 " +
+          "div tokens AS BIGINT)").as("token_loss_bp"))
+      .orderBy($"source", $"l")
+  }
+
+  // ----------------------------------------- q479 canary survival
+
+  /** Memorization-canary pipeline audit: plant a unique canary string
+    * in every doc_id % 101 == 0 document of the PLANTED-DUP corpus (the
+    * clone at doc_id+10⁶ carries the same canary — a real leaked-secret
+    * shape: the secret recurs verbatim), then run the exact-dedup +
+    * split pipeline and report what a training run would see: canary
+    * copies planted, surviving exact dedup (keep-min-id), landing in
+    * train, and canaries whose copies straddle ≥2 splits BEFORE dedup —
+    * the "your test set contains the training secret" number that must
+    * be 0 after dedup-then-split. Equi-joins/groupBys only, one row. */
+  def q479CanarySurvival(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // canary condition keys on the ORIGINAL id (doc_id % 1e6) so a
+    // planted clone carries the SAME canary as its source — 1e6 % 101
+    // != 0, so a raw doc_id % 101 test would canary the original but
+    // not its clone and the recurring-secret shape would silently break
+    val c = TrainingData.corpus(spark, dir)
+      .withColumn("_cid",
+        when(($"doc_id" % 1000000) % 101 === 0, $"doc_id" % 1000000))
+      .withColumn("text", when($"_cid".isNotNull,
+        concat($"text", lit(" CANARY-"), $"_cid")).otherwise($"text"))
+    val canaries = c.filter($"_cid".isNotNull)
+      .select($"doc_id", $"_cid", TrainingData.splitColumn($"doc_id")
+        .as("split"))
+    val kept = c.groupBy(sha2($"text", 256).as("_h"))
+      .agg(min($"doc_id").as("doc_id"))
+    val keptCanaries = canaries.join(kept, Seq("doc_id"), "left_semi")
+    val planted = canaries.agg(count(lit(1)).as("copies_planted"),
+      countDistinct($"_cid").as("canaries_planted"))
+    val surv = keptCanaries.agg(count(lit(1)).as("copies_post_dedup"),
+      sum(when($"split" === "train", 1L).otherwise(0L)).as("in_train"))
+    val straddle = canaries.groupBy($"_cid")
+      .agg(countDistinct($"split").as("_ns"))
+      .agg(sum(when($"_ns" >= 2, 1L).otherwise(0L))
+        .as("cross_split_pre_dedup"))
+    planted.crossJoin(broadcast(surv)).crossJoin(broadcast(straddle))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q475_iw_ess" -> q475IwEss _,
+    "q476_calibration_ece" -> q476CalibrationEce _,
+    "q477_power_table" -> q477PowerTable _,
+    "q478_truncation_loss" -> q478TruncationLoss _,
+    "q479_canary_survival" -> q479CanarySurvival _,
     "q466_pass_at_k" -> q466PassAtK _,
     "q467_bon_curve" -> q467BonCurve _,
     "q468_conformal_coverage" -> q468ConformalCoverage _,
@@ -364,6 +525,119 @@ object EvalQueries {
     "q474_length_bias" -> q474LengthBias _)
 
   val oracleSql: Map[String, String] = Map(
+    "q475_iw_ess" -> """
+      |SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(CAST(sum((length(text) % 997) + 1) AS HUGEINT)
+      |    * sum((length(text) % 997) + 1)
+      |    // sum(CAST((length(text) % 997) + 1 AS HUGEINT)
+      |      * ((length(text) % 997) + 1)) AS BIGINT) AS ess,
+      |  CAST(CAST(sum((length(text) % 997) + 1) AS HUGEINT)
+      |    * sum((length(text) % 997) + 1) * 10000
+      |    // (sum(CAST((length(text) % 997) + 1 AS HUGEINT)
+      |      * ((length(text) % 997) + 1)) * count(*)) AS BIGINT) AS ess_bp
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q476_calibration_ece" -> """
+      |WITH s AS (
+      |  SELECT least(CAST(round(value * 100) AS BIGINT) // 10, 9999)
+      |      AS conf_bp,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events WHERE value IS NOT NULL),
+      |bins AS (
+      |  SELECT least(conf_bp // 1000, 9) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(CAST(sum(conf_bp) AS HUGEINT) // count(*) AS BIGINT)
+      |      AS mean_conf_bp,
+      |    CAST(sum(y) * 10000 // count(*) AS BIGINT) AS acc_bp
+      |  FROM s GROUP BY 1),
+      |e AS (
+      |  SELECT CAST(CAST(sum(n * abs(acc_bp - mean_conf_bp)) AS HUGEINT)
+      |    // sum(n) AS BIGINT) AS ece_bp FROM bins)
+      |SELECT CAST(bin AS BIGINT) AS bin, n, mean_conf_bp, acc_bp, e.ece_bp
+      |FROM bins, e ORDER BY bin""".stripMargin,
+    "q477_power_table" -> """
+      |WITH u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |b AS (
+      |  SELECT count(*) AS n_users,
+      |    sum(conv) * 1000000 // count(*) AS p_ppm
+      |  FROM u),
+      |g AS (
+      |  SELECT b.n_users, b.p_ppm, t.rel_pct,
+      |    b.p_ppm + b.p_ppm * t.rel_pct // 100 AS p2_ppm
+      |  FROM b CROSS JOIN (VALUES (5), (10), (20)) AS t(rel_pct)),
+      |c AS (
+      |  SELECT rel_pct, p_ppm, p2_ppm, n_users,
+      |    CAST(p_ppm AS HUGEINT) * (1000000 - p_ppm)
+      |      + CAST(p2_ppm AS HUGEINT) * (1000000 - p2_ppm) AS v,
+      |    CAST(p2_ppm - p_ppm AS HUGEINT) AS d
+      |  FROM g)
+      |SELECT CAST(rel_pct AS BIGINT) AS rel_pct,
+      |  CAST(p_ppm AS BIGINT) AS p_ppm, CAST(p2_ppm AS BIGINT) AS p2_ppm,
+      |  CAST((7851204 * v + (d * d * 1000000) - 1)
+      |    // (d * d * 1000000) AS BIGINT) AS n_per_arm,
+      |  CAST(n_users AS BIGINT) AS n_users,
+      |  n_users // 2 >= (7851204 * v + (d * d * 1000000) - 1)
+      |    // (d * d * 1000000) AS feasible_now
+      |FROM c ORDER BY rel_pct""".stripMargin,
+    "q478_truncation_loss" -> """
+      |WITH toks AS (
+      |  SELECT source,
+      |    len(list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |      x -> x <> '')) AS t
+      |  FROM documents),
+      |x AS (
+      |  SELECT source, l, count(*) AS n_docs, sum(t) AS tokens,
+      |    sum(CASE WHEN t > l THEN 1 ELSE 0 END) AS n_truncated,
+      |    sum(greatest(t - l, 0)) AS tokens_lost
+      |  FROM toks CROSS JOIN (VALUES (128), (512), (2048)) AS g(l)
+      |  GROUP BY 1, 2)
+      |SELECT source, CAST(l AS BIGINT) AS l,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_truncated AS BIGINT) AS n_truncated,
+      |  CAST(n_truncated * 10000 // n_docs AS BIGINT) AS doc_trunc_bp,
+      |  CAST(CAST(tokens_lost AS HUGEINT) * 10000 // tokens AS BIGINT)
+      |    AS token_loss_bp
+      |FROM x ORDER BY source, l""".stripMargin,
+    "q479_canary_survival" -> s"""
+      |WITH $corpusSql,
+      |c AS (
+      |  SELECT doc_id,
+      |    CASE WHEN (doc_id % 1000000) % 101 = 0
+      |      THEN doc_id % 1000000 END AS cid,
+      |    CASE WHEN (doc_id % 1000000) % 101 = 0
+      |      THEN text || ' CANARY-' || CAST(doc_id % 1000000 AS VARCHAR)
+      |      ELSE text END AS text
+      |  FROM corpus),
+      |canaries AS (
+      |  SELECT doc_id, cid,
+      |    CASE WHEN ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)),
+      |        1, 4))::BIGINT % 100 < 80 THEN 'train'
+      |      WHEN ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)),
+      |        1, 4))::BIGINT % 100 < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM c WHERE cid IS NOT NULL),
+      |kept AS (
+      |  SELECT min(doc_id) AS doc_id FROM c GROUP BY sha256(text)),
+      |kc AS (
+      |  SELECT ca.* FROM canaries ca JOIN kept k ON ca.doc_id = k.doc_id),
+      |p AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS copies_planted,
+      |    CAST(count(DISTINCT cid) AS BIGINT) AS canaries_planted
+      |  FROM canaries),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS copies_post_dedup,
+      |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS in_train
+      |  FROM kc),
+      |st AS (
+      |  SELECT CAST(sum(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cross_split_pre_dedup
+      |  FROM (SELECT cid, count(DISTINCT split) AS ns
+      |        FROM canaries GROUP BY 1) a)
+      |SELECT p.copies_planted, p.canaries_planted, s.copies_post_dedup,
+      |  s.in_train, st.cross_split_pre_dedup
+      |FROM p, s, st""".stripMargin,
     "q466_pass_at_k" -> passAtKSql,
     "q467_bon_curve" -> """
       |WITH s AS (
