@@ -24,6 +24,17 @@ object EvalQueries {
 
   private def cents = expr("CAST(round(value * 100) AS BIGINT)")
 
+  /** The q466 pass@k ppm expression over columns (n, c) for one literal
+    * k — exposed so the spec can truth-table it against an independent
+    * BigInt computation (the oracle SQL shares these factor chains, so
+    * only an independent implementation can catch a formula bug). */
+  private[queries] def passPpmSqlExpr(k: Int): String = {
+    val num = (0 until k).map(i => s"(n - c - $i)").mkString(" * ")
+    val den = (0 until k).map(i => s"(n - $i)").mkString(" * ")
+    s"1000000 - CAST(greatest(CAST($num AS DECIMAL(38,0)), 0) " +
+      s"* 1000000 div ($den) AS BIGINT)"
+  }
+
   // -------------------------------------------------- q466 pass@k
 
   /** Exact pass@k (the unbiased HumanEval estimator): per task with n
@@ -49,12 +60,8 @@ object EvalQueries {
       .agg(count(lit(1)).as("n"),
         sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c"))
     val perK = Seq(1, 5, 10).map { k =>
-      val num = (0 until k).map(i => s"(n - c - $i)").mkString(" * ")
-      val den = (0 until k).map(i => s"(n - $i)").mkString(" * ")
       t.filter($"n" >= k)
-        .withColumn("_pass_ppm", expr(
-          s"1000000 - CAST(greatest(CAST($num AS DECIMAL(38,0)), 0) " +
-            s"* 1000000 div ($den) AS BIGINT)"))
+        .withColumn("_pass_ppm", expr(passPpmSqlExpr(k)))
         .agg(count(lit(1)).as("n_tasks"),
           expr("CAST(CAST(sum(_pass_ppm) AS DECIMAL(38,0)) " +
             "* 1 div count(1) AS BIGINT)").as("mean_pass_ppm"),
