@@ -113,6 +113,22 @@ class WindowLintSpec extends SparkSpec {
         s"window, or add an audited boundedByAudit entry):\n${bad.mkString("\n")}")
   }
 
+  test("no query plan contains an unbounded cartesian product") {
+    // the one join shape with NO scale story: PlanShapeSpec pins this
+    // per-query for the risky families; this walks the whole surface.
+    // (crossJoin(broadcast(tiny)) plans BroadcastNestedLoopJoin, which
+    // is allowed — bounded by the broadcast side's size.)
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).filter {
+      case (_, fn) =>
+        fn(spark, dir).queryExecution.sparkPlan.exists {
+          case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+            true
+          case _ => false
+        }
+    }.map(_._1)
+    assert(bad.isEmpty, s"cartesian products in: ${bad.mkString(", ")}")
+  }
+
   test("the allowlist names only queries that really have a global window") {
     val stale = boundedByAudit.keys.toSeq.sorted.filter { name =>
       globalWindows(
