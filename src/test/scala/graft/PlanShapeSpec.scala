@@ -585,4 +585,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q466: the 50-sample cap pushes into a WindowGroupLimit") {
+    // rank <= 50 must become per-partition top-k heaps under the window,
+    // not a full per-task sort followed by a filter
+    val p = plan("q466_pass_at_k")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q468/q471: per-group scalars broadcast back, never a shuffled join") {
+    for (q <- Seq("q468_conformal_coverage", "q471_grpo_advantage")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), q)
+      assert(!p.contains("SortMergeJoin"), q)
+    }
+  }
+
+  test("q477/q479: audits partial-aggregate before their shuffles") {
+    for (q <- Seq("q477_power_table", "q479_canary_survival")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q478: truncation loss is one aggregate over a broadcast L grid") {
+    val p = plan("q478_truncation_loss")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
 }
