@@ -342,7 +342,10 @@ object EvalQueries {
     * scorer isn't just a length detector (the classic reward-model
     * failure; a big positive slope here means long docs buy score
     * regardless of content). One combiner-friendly aggregate per
-    * source. */
+    * source. Headroom note: with x ≤ 10⁴ chars and y < 10³ the
+    * decimal(38,0) numerator n·Σxy·10⁶ stays under 10³⁷ up to ~10¹²
+    * docs per source — at a larger corpus, drop the micro scale to
+    * milli before widening breaks, not after. */
   def q474LengthBias(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d38 = "decimal(38,0)"
