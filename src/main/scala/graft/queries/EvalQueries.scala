@@ -271,11 +271,7 @@ object EvalQueries {
       .select($"doc_id",
         explode(array_distinct(call_function("word_shingles", $"text",
           lit(3)))).as("s"))
-    val perms = spark.range(32).select($"id".cast("int").as("i"))
-    val sigs = shingles.crossJoin(broadcast(perms))
-      .groupBy($"doc_id", $"i")
-      .agg(min(expr("CAST(conv(substring(sha2(concat(CAST(i AS STRING), " +
-        "':', s), 256), 1, 8), 16, 10) AS BIGINT)")).as("mh"))
+    val sigs = TrainingData.shaLaneSigs(shingles)
     val est = pairs
       .join(sigs.select($"doc_id".as("id_a"), $"i", $"mh".as("ha")),
         Seq("id_a"))
@@ -789,12 +785,15 @@ object EvalQueries {
       |  JOIN sizes sa ON sa.doc_id = id_a
       |  JOIN sizes sb ON sb.doc_id = id_b
       |  WHERE 2 * inter >= sa.n + sb.n - inter AND has_kept = 1),
-      |perms AS (SELECT unnest(generate_series(0, 31)) AS i),
       |sigs AS (
-      |  SELECT doc_id, i,
-      |    min(('0x' || substring(sha256(CAST(i AS VARCHAR) || ':' || s),
-      |      1, 8))::BIGINT) AS mh
-      |  FROM sh CROSS JOIN perms GROUP BY 1, 2),
+      |  SELECT doc_id, d * 8 + j AS i,
+      |    min(('0x' || substring(hx, 1 + 8 * j, 8))::BIGINT) AS mh
+      |  FROM (SELECT doc_id, d,
+      |          sha256(CAST(d AS VARCHAR) || ':' || s) AS hx
+      |        FROM sh CROSS JOIN
+      |          (SELECT unnest(generate_series(0, 3)) AS d) pd) t
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) pj
+      |  GROUP BY 1, 2),
       |est AS (
       |  SELECT id_a, id_b, exact_bp,
       |    sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS mfull,

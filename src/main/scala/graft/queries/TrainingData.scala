@@ -853,8 +853,14 @@ object TrainingData {
     * alternative at only ~6% better — the work IS the engine-neutral
     * sha2 hashing, not the row inflation). A pair collides when
     * ALL 4 rows of any band match.
-    * Engine-neutral sha-prefix permutations, long-format signatures
-    * (same recipe as q442 — the two audits share one contract). */
+    * Engine-neutral sha-LANE permutations ([[shaLaneSigs]]: 32 perms
+    * from 4 digests, 8 independent 32-bit lanes each — dev.SigAB
+    * measured the sig stage 7.8 → 5.2 s vs one-digest-per-perm),
+    * long-format signatures (same recipe as q442/q472 — the audits
+    * share one contract; a sigs-side localCheckpoint was tried and
+    * REJECTED: AQE exchange reuse already shares the agg subtree
+    * between the two banding joins, and the eager materialization
+    * measured +5 s). */
   def q450ScurveEmpirical(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = corpus(spark, dir)
@@ -872,11 +878,7 @@ object TrainingData {
       .select($"doc_id",
         explode(array_distinct(call_function("word_shingles", $"text",
           lit(3)))).as("s"))
-    val perms = spark.range(32).select($"id".cast("int").as("i"))
-    val sigs = shingles.crossJoin(broadcast(perms))
-      .groupBy($"doc_id", $"i")
-      .agg(min(expr("CAST(conv(substring(sha2(concat(CAST(i AS STRING), " +
-        "':', s), 256), 1, 8), 16, 10) AS BIGINT)")).as("mh"))
+    val sigs = shaLaneSigs(shingles)
     val banded = pairs
       .join(sigs.select($"doc_id".as("id_a"), $"i", $"mh".as("ha")),
         Seq("id_a"))
@@ -1163,11 +1165,7 @@ object TrainingData {
       .select($"doc_id",
         explode(array_distinct(call_function("word_shingles", $"text",
           lit(3)))).as("s"))
-    val perms = spark.range(32).select($"id".cast("int").as("i"))
-    val sigs = shingles.crossJoin(broadcast(perms))
-      .groupBy($"doc_id", $"i")
-      .agg(min(expr("CAST(conv(substring(sha2(concat(CAST(i AS STRING), " +
-        "':', s), 256), 1, 8), 16, 10) AS BIGINT)")).as("mh"))
+    val sigs = shaLaneSigs(shingles)
     val est = pairs
       .join(sigs.select($"doc_id".as("id_a"), $"i", $"mh".as("ha")), Seq("id_a"))
       .join(sigs.select($"doc_id".as("id_b"), $"i", $"mh".as("hb")),
@@ -2677,6 +2675,51 @@ object TrainingData {
       |       LATERAL (SELECT unnest(generate_series(1, greatest(len(tf)-2, 0))) AS i) g)"""
       .stripMargin
 
+  /** Engine-neutral 32-perm MinHash signatures from FOUR sha256 digests:
+    * perm i is lane i%8 of sha256((i div 8) ++ ':' ++ shingle) — eight
+    * independent 32-bit lanes per digest (cryptographic output bits are
+    * independent, so splitting a digest into lanes is the standard
+    * minwise trick for cutting digest cost; the statistical contract —
+    * 32 independent permutation minima — is unchanged). 8× fewer sha256
+    * evaluations than the round-7 one-digest-per-perm recipe, which was
+    * the measured floor of the q442/q450/q472 audits (the production
+    * q27 path uses xxhash64 and never pays this; sha is the price of a
+    * DuckDB-replayable oracle). Digests materialize as 4 projected
+    * columns (digest-once is explicit, not left to subexpression
+    * elimination inside an aggregate); the 32 minima ride one
+    * combiner-friendly groupBy, then stack() to the long (doc_id, i,
+    * mh) format the banding/estimator joins consume.
+    * Input columns: (doc_id, s). */
+  private[graft] def shaLaneSigs(shingles: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val digests = shingles.select(col("doc_id") +:
+      (0 until 4).map(d =>
+        sha2(concat(lit(s"$d:"), col("s")), 256).as(s"_h$d")): _*)
+    val mins = (0 until 32).map { i =>
+      val d = i / 8; val j = i % 8
+      min(expr(s"CAST(conv(substring(_h$d, ${1 + 8 * j}, 8), 16, 10) " +
+        "AS BIGINT)")).as(s"_m$i")
+    }
+    val agged = digests.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val stackArgs = (0 until 32).map(i => s"$i, _m$i").mkString(", ")
+    agged.select(col("doc_id"), expr(s"stack(32, $stackArgs) AS (i, mh)"))
+      .select(col("doc_id"), col("i").cast("int").as("i"), col("mh"))
+  }
+
+  /** The [[shaLaneSigs]] DuckDB twin: a `sigs` CTE over an existing `sh`
+    * (doc_id, s) CTE — digests computed once per (shingle, d) in the
+    * inner select, lanes substring'd per j. */
+  private[queries] val laneSigsSql =
+    """sigs AS (
+      |  SELECT doc_id, d * 8 + j AS i,
+      |    min(('0x' || substring(hx, 1 + 8 * j, 8))::BIGINT) AS mh
+      |  FROM (SELECT doc_id, d,
+      |          sha256(CAST(d AS VARCHAR) || ':' || s) AS hx
+      |        FROM sh CROSS JOIN
+      |          (SELECT unnest(generate_series(0, 3)) AS d) pd) t
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) pj
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** The q369 oracle: the SAME sha-derived ±1 matrix as
     * [[Similarity.signMatrix]], unrolled into literal SQL sums over the
     * quantized vectors — matrix entries are compile-time data, so the
@@ -3096,13 +3139,16 @@ object TrainingData {
       |  WHERE has_kept = 1
       |    AND ('0x' || substring(sha256(CAST(id_a AS VARCHAR) || ':'
       |      || CAST(id_b AS VARCHAR)), 1, 4))::BIGINT % 20 = 0),
-      |perms AS (SELECT unnest(generate_series(0, 31)) AS i),
       |sigs AS (
-      |  SELECT doc_id, i,
-      |    min(('0x' || substring(sha256(CAST(i AS VARCHAR) || ':' || s),
-      |      1, 8))::BIGINT) AS mh
-      |  FROM sh CROSS JOIN perms
-      |  WHERE doc_id IN (SELECT id_a FROM jp UNION SELECT id_b FROM jp)
+      |  SELECT doc_id, d * 8 + j AS i,
+      |    min(('0x' || substring(hx, 1 + 8 * j, 8))::BIGINT) AS mh
+      |  FROM (SELECT doc_id, d,
+      |          sha256(CAST(d AS VARCHAR) || ':' || s) AS hx
+      |        FROM sh CROSS JOIN
+      |          (SELECT unnest(generate_series(0, 3)) AS d) pd
+      |        WHERE doc_id IN
+      |          (SELECT id_a FROM jp UNION SELECT id_b FROM jp)) t
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) pj
       |  GROUP BY 1, 2),
       |bands AS (
       |  SELECT id_a, id_b, jbp, a.i // 4 AS band,
@@ -3331,12 +3377,15 @@ object TrainingData {
       |  JOIN sizes sa ON sa.doc_id = id_a
       |  JOIN sizes sb ON sb.doc_id = id_b
       |  WHERE 2 * inter >= sa.n + sb.n - inter AND has_kept = 1),
-      |perms AS (SELECT unnest(generate_series(0, 31)) AS i),
       |sigs AS (
-      |  SELECT doc_id, i,
-      |    min(('0x' || substring(sha256(CAST(i AS VARCHAR) || ':' || s),
-      |      1, 8))::BIGINT) AS mh
-      |  FROM sh CROSS JOIN perms GROUP BY 1, 2),
+      |  SELECT doc_id, d * 8 + j AS i,
+      |    min(('0x' || substring(hx, 1 + 8 * j, 8))::BIGINT) AS mh
+      |  FROM (SELECT doc_id, d,
+      |          sha256(CAST(d AS VARCHAR) || ':' || s) AS hx
+      |        FROM sh CROSS JOIN
+      |          (SELECT unnest(generate_series(0, 3)) AS d) pd) t
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) pj
+      |  GROUP BY 1, 2),
       |est AS (
       |  SELECT id_a, id_b, exact_bp,
       |    sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS matches

@@ -41,6 +41,7 @@ object SigAB {
         expr(s"stack(32, $stackArgs) AS (i, mh)"))
         .select($"doc_id", $"i".cast("int").as("i"), $"mh")
     }
+    def viaLanes() = graft.queries.TrainingData.shaLaneSigs(shingles)
     def time(tag: String, mk: () => org.apache.spark.sql.DataFrame): Unit = {
       mk().queryExecution.toRdd.count(); release()
       val ts = (1 to reps).map { _ =>
@@ -52,8 +53,9 @@ object SigAB {
       println(f"SIGAB $tag min=${ts.map(_._1).min}%.2f rows=${ts.head._2} " +
         f"times=${ts.map(t => f"${t._1}%.2f").mkString(",")}")
     }
-    time("crossjoin_explode", viaCross)
-    time("columnar_stack", viaStack)
+    time("crossjoin_explode_32digests", viaCross)
+    time("columnar_stack_32digests", viaStack)
+    time("lane_recipe_4digests", viaLanes)
     // cross-check equality
     val a = viaCross(); val b = viaStack()
     val diff = a.unionByName(b).groupBy($"doc_id", $"i", $"mh")
