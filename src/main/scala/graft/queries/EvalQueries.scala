@@ -514,7 +514,97 @@ object EvalQueries {
     planted.crossJoin(broadcast(surv)).crossJoin(broadcast(straddle))
   }
 
+  // -------------------------------------- q480 group-sequential looks
+
+  /** O'Brien–Fleming group-sequential monitoring — the "five planned
+    * looks" sibling of q470's fully-sequential SPRT: at each of 5
+    * equally-spaced calendar cutoffs, the two-proportion pooled z² for
+    * conversion (odd vs even users) is compared against the SQUARED
+    * OBF boundary. Everything stays exact-integer through the
+    * squared-z cross-multiplication
+    *   z² = (x₁n₂ − x₂n₁)²·N / (n₁·n₂·X·(N−X)),  X = x₁+x₂, N = n₁+n₂
+    * (no square root ever happens — the comparison squares the
+    * boundary instead, the standard fixed-point spelling), with the
+    * boundaries z_k = 2.040·√(5/k) as micro literals (z² ≈ 20.81,
+    * 10.41, 6.94, 5.20, 4.16 — EvalQueriesSpec pins them to the
+    * formula). Users enter at their first event day; conversion =
+    * any purchase by the cutoff. One user aggregate + a broadcast
+    * 5-row look grid. */
+  def q480ObfLooks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val users = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull)
+      .select($"user_id", ($"user_id" % 2).as("arm"),
+        datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"), $"event_type")
+      .groupBy($"user_id", $"arm")
+      .agg(min($"d").as("first_d"),
+        min(when($"event_type" === "purchase", $"d")).as("conv_d"))
+    val span = users.agg(min($"first_d").as("_lo"),
+      (max($"first_d") + 1).as("_hi"))
+    val bounds = Seq((1L, 20808000L), (2L, 10404000L), (3L, 6936000L),
+      (4L, 5202000L), (5L, 4161600L)).toDF("look", "b2_micro")
+    val looks = broadcast(bounds.crossJoin(broadcast(span))
+      .withColumn("cut", expr("_lo + (_hi - _lo) * look div 5"))
+      .select($"look", $"b2_micro", $"cut"))
+    users.crossJoin(looks)
+      .filter($"first_d" < $"cut")
+      .groupBy($"look", $"cut", $"b2_micro")
+      .agg(sum($"arm").as("n1"),
+        (count(lit(1)) - sum($"arm")).as("n2"),
+        sum(when($"arm" === 1 && $"conv_d" < $"cut", 1L).otherwise(0L))
+          .as("x1"),
+        sum(when($"arm" === 0 && $"conv_d" < $"cut", 1L).otherwise(0L))
+          .as("x2"))
+      .withColumn("z2_micro", expr(
+        "CASE WHEN n1 > 0 AND n2 > 0 AND x1 + x2 > 0 " +
+          "AND x1 + x2 < n1 + n2 THEN " +
+          "CAST(CAST(x1 * n2 - x2 * n1 AS DECIMAL(38,0)) " +
+          "* (x1 * n2 - x2 * n1) * (n1 + n2) * 1000000 " +
+          "div (CAST(n1 AS DECIMAL(38,0)) * n2 * (x1 + x2) " +
+          "* (n1 + n2 - x1 - x2)) AS BIGINT) END"))
+      .select($"look", $"cut", $"n1", $"n2", $"x1", $"x2", $"z2_micro",
+        coalesce($"z2_micro" >= $"b2_micro", lit(false)).as("crossed"))
+      .orderBy($"look")
+  }
+
+  // -------------------------------------- q481 crawl saturation
+
+  /** Crawl-saturation curve: documents in doc_id order stand in for
+    * crawl order, cut into 10 equal buckets; per bucket, the distinct
+    * 3-gram shingles seen in it, how many are NEW (first occurrence in
+    * crawl order), and the new-shingle rate — the diminishing-returns
+    * curve that says when more crawling stops buying new content
+    * (new_bp collapsing toward 0 = the crawl has saturated its
+    * sources). Shingle-grain min-bucket aggregate + two bucket-grain
+    * rollups; the cumulative runs over the 10-row bucket table
+    * (WindowLintSpec allowlist). */
+  def q481CrawlSaturation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val hi = broadcast(docs.agg((max($"doc_id") + 1).as("_hi")))
+    val sh = docs
+      .select($"doc_id", explode(array_distinct(
+        call_function("word_shingles", $"text", lit(3)))).as("s"))
+      .crossJoin(hi)
+      .select(expr("least(doc_id * 10 div _hi, 9)").as("bucket"), $"s")
+    val perBucket = sh.distinct()
+      .groupBy($"bucket").agg(count(lit(1)).as("n_distinct"))
+    val firstSeen = sh.groupBy($"s").agg(min($"bucket").as("fb"))
+      .groupBy($"fb".as("bucket")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(firstSeen, Seq("bucket"), "left")
+      .withColumn("n_new", coalesce($"n_new", lit(0L)))
+      .withColumn("cum_new", sum($"n_new").over(w))
+      .select($"bucket", $"n_distinct", $"n_new", $"cum_new",
+        expr("n_new * 10000 div n_distinct").as("new_bp"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q480_obf_looks" -> q480ObfLooks _,
+    "q481_crawl_saturation" -> q481CrawlSaturation _,
     "q475_iw_ess" -> q475IwEss _,
     "q476_calibration_ece" -> q476CalibrationEce _,
     "q477_power_table" -> q477PowerTable _,
@@ -531,6 +621,67 @@ object EvalQueries {
     "q474_length_bias" -> q474LengthBias _)
 
   val oracleSql: Map[String, String] = Map(
+    "q480_obf_looks" -> """
+      |WITH u AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |    min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+      |      AS first_d,
+      |    min(CASE WHEN event_type = 'purchase' THEN
+      |      datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) END)
+      |      AS conv_d
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+      |span AS (SELECT min(first_d) AS lo, max(first_d) + 1 AS hi FROM u),
+      |looks AS (
+      |  SELECT look, b2_micro, lo + (hi - lo) * look // 5 AS cut
+      |  FROM (VALUES (1, 20808000), (2, 10404000), (3, 6936000),
+      |    (4, 5202000), (5, 4161600)) AS t(look, b2_micro), span),
+      |agg AS (
+      |  SELECT look, cut, b2_micro,
+      |    sum(arm) AS n1, count(*) - sum(arm) AS n2,
+      |    sum(CASE WHEN arm = 1 AND conv_d < cut THEN 1 ELSE 0 END) AS x1,
+      |    sum(CASE WHEN arm = 0 AND conv_d < cut THEN 1 ELSE 0 END) AS x2
+      |  FROM u JOIN looks ON u.first_d < looks.cut
+      |  GROUP BY 1, 2, 3),
+      |z AS (
+      |  SELECT *,
+      |    CASE WHEN n1 > 0 AND n2 > 0 AND x1 + x2 > 0
+      |      AND x1 + x2 < n1 + n2 THEN
+      |      CAST(CAST(x1 * n2 - x2 * n1 AS HUGEINT)
+      |        * (x1 * n2 - x2 * n1) * (n1 + n2) * 1000000
+      |        // (CAST(n1 AS HUGEINT) * n2 * (x1 + x2)
+      |        * (n1 + n2 - x1 - x2)) AS BIGINT) END AS z2_micro
+      |  FROM agg)
+      |SELECT CAST(look AS BIGINT) AS look, CAST(cut AS BIGINT) AS cut,
+      |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(x1 AS BIGINT) AS x1, CAST(x2 AS BIGINT) AS x2, z2_micro,
+      |  coalesce(z2_micro >= b2_micro, false) AS crossed
+      |FROM z ORDER BY look""".stripMargin,
+    "q481_crawl_saturation" -> """
+      |WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+      |    AS tf
+      |  FROM documents),
+      |hi AS (SELECT max(doc_id) + 1 AS hi FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, tf[i] || ' ' || tf[i+1] || ' ' || tf[i+2]
+      |    AS s
+      |  FROM w, LATERAL (SELECT unnest(generate_series(1,
+      |    greatest(len(tf) - 2, 0))) AS i) g),
+      |b AS (SELECT least(doc_id * 10 // hi, 9) AS bucket, s FROM sh, hi),
+      |pb AS (
+      |  SELECT bucket, count(*) AS n_distinct
+      |  FROM (SELECT DISTINCT bucket, s FROM b) d GROUP BY 1),
+      |fs AS (SELECT s, min(bucket) AS fb FROM b GROUP BY 1),
+      |nn AS (SELECT fb AS bucket, count(*) AS n_new FROM fs GROUP BY 1)
+      |SELECT CAST(pb.bucket AS BIGINT) AS bucket,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+      |  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY pb.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_new,
+      |  CAST(coalesce(n_new, 0) * 10000 // n_distinct AS BIGINT) AS new_bp
+      |FROM pb LEFT JOIN nn ON pb.bucket = nn.bucket
+      |ORDER BY pb.bucket""".stripMargin,
     "q475_iw_ess" -> """
       |SELECT source, CAST(count(*) AS BIGINT) AS n,
       |  CAST(CAST(sum((length(text) % 997) + 1) AS HUGEINT)

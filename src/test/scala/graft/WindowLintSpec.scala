@@ -72,7 +72,9 @@ class WindowLintSpec extends SparkSpec {
       "aggregate (calendar-bounded row count)"),
     "q473_curation_roi" -> ("cumulative-from-best over the 100-row " +
       "quality-bin aggregate (score%997 div 10 - bounded literal " +
-      "domain)"))
+      "domain)"),
+    "q481_crawl_saturation" -> ("cumulative over the 10-row crawl-order " +
+      "bucket aggregate (literal decile domain)"))
 
   private def bounding(p: SparkPlan): Boolean = p.exists {
     case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec |

@@ -91,6 +91,20 @@ class EvalQueriesSpec extends SparkSpec {
     assert(est1(24) == 5000L) // 3/4 match -> J-hat = 1/2
   }
 
+  test("OBF squared boundaries are micro-rounded 2.040^2 * 5/k") {
+    // O'Brien-Fleming: z_k = z_K * sqrt(K/k), so z_k^2 = z_K^2 * K/k
+    // exactly — the squared table needs no square roots at all; each
+    // literal must be round(2.040^2 * 1e6 * 5 / k)
+    val lits = Map(1 -> 20808000L, 2 -> 10404000L, 3 -> 6936000L,
+      4 -> 5202000L, 5 -> 4161600L)
+    for ((k, b2) <- lits) {
+      assert(b2 == 4161600L * 5 / k,
+        s"look $k: literal $b2 vs exact ${4161600L * 5 / k}")
+      val want = math.round(2.040 * 2.040 * 1e6 * 5.0 / k)
+      assert(b2 == want, s"look $k: literal $b2 vs derived $want")
+    }
+  }
+
   test("ESS identity: equal weights recover the nominal n") {
     // Kish ESS with constant w: (nw)^2 / (n w^2) = n, ess_bp = 10000
     val n = 137L; val w = 42L
