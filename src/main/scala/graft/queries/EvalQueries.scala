@@ -602,7 +602,45 @@ object EvalQueries {
       .orderBy($"bucket")
   }
 
+  // -------------------------------------- q482 backfill LPT plan
+
+  /** Backfill-wave planner — longest-processing-time greedy assignment
+    * of per-day partition sizes onto 8 parallel workers, the classic
+    * 4/3-approximation every batch-backfill (and shuffle-file planner)
+    * leans on: makespan vs the ceil-average ideal says how lumpy the
+    * calendar is and whether 8 ways is enough. The greedy is a
+    * SEQUENTIAL fold by construction, but its domain is CALENDAR DAYS —
+    * bounded at any corpus size — so it rides one
+    * sort_array(collect_list) group + an `aggregate` fold whose state
+    * is the sorted 8-worker load vector (assign to loads[0], re-sort;
+    * the DuckDB twin replays the identical fold as a recursive CTE over
+    * rank-ordered items). Ties break by day so both engines fold the
+    * same sequence. Output: one row — days, rows, makespan, min load,
+    * and balance_bp = makespan/ideal (10000 = perfectly level). */
+  def q482BackfillLpt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select(datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+        .cast("long").as("d"))
+      .groupBy($"d").agg(count(lit(1)).as("sz"))
+    days
+      .agg(sort_array(collect_list(struct((-$"sz").as("negsz"),
+        $"d".as("d"), $"sz".as("sz")))).as("items"))
+      .withColumn("loads", expr(
+        """aggregate(items, array_repeat(CAST(0 AS BIGINT), 8),
+          |  (acc, x) -> array_sort(concat(slice(acc, 2, 7),
+          |    array(acc[0] + x.sz))))""".stripMargin))
+      .select(size($"items").cast("long").as("n_days"),
+        expr("aggregate(items, CAST(0 AS BIGINT), (a, x) -> a + x.sz)")
+          .as("total_rows"),
+        expr("element_at(loads, 8)").as("makespan"),
+        expr("element_at(loads, 1)").as("min_load"))
+      .withColumn("balance_bp",
+        expr("makespan * 10000 div ((total_rows + 7) div 8)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q482_backfill_lpt" -> q482BackfillLpt _,
     "q480_obf_looks" -> q480ObfLooks _,
     "q481_crawl_saturation" -> q481CrawlSaturation _,
     "q475_iw_ess" -> q475IwEss _,
@@ -621,6 +659,32 @@ object EvalQueries {
     "q474_length_bias" -> q474LengthBias _)
 
   val oracleSql: Map[String, String] = Map(
+    "q482_backfill_lpt" -> """
+      |WITH RECURSIVE d AS (
+      |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |    CAST(count(*) AS BIGINT) AS sz
+      |  FROM events GROUP BY 1),
+      |it AS (
+      |  SELECT d, sz, row_number() OVER (ORDER BY sz DESC, d) AS rn
+      |  FROM d),
+      |fold AS (
+      |  SELECT 0::BIGINT AS rn,
+      |    [0, 0, 0, 0, 0, 0, 0, 0]::BIGINT[] AS loads
+      |  UNION ALL
+      |  SELECT f.rn + 1,
+      |    list_sort(list_concat(f.loads[2:8], [f.loads[1] + it.sz]))
+      |  FROM fold f JOIN it ON it.rn = f.rn + 1),
+      |fin AS (
+      |  SELECT loads FROM fold
+      |  WHERE rn = (SELECT count(*) FROM it)),
+      |tot AS (SELECT count(*) AS n_days, sum(sz) AS total_rows FROM it)
+      |SELECT CAST(n_days AS BIGINT) AS n_days,
+      |  CAST(total_rows AS BIGINT) AS total_rows,
+      |  CAST(loads[8] AS BIGINT) AS makespan,
+      |  CAST(loads[1] AS BIGINT) AS min_load,
+      |  CAST(loads[8] * 10000 // ((total_rows + 7) // 8) AS BIGINT)
+      |    AS balance_bp
+      |FROM fin, tot""".stripMargin,
     "q480_obf_looks" -> """
       |WITH u AS (
       |  SELECT user_id, user_id % 2 AS arm,

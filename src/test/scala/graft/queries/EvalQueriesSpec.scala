@@ -105,6 +105,33 @@ class EvalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("LPT fold expression matches an independent greedy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the q482 fold (sorted-loads state, assign to min, re-sort) on a
+    // hand fixture, vs a plain-Scala LPT: sizes 10..1 on 8 workers ->
+    // loads {10,9,8,7,6,5,5,5}, makespan 10, min 5
+    val sizes = (1L to 10L)
+    val df = sizes.map(s => (s * 37 % 1000, s)).toDF("d", "sz") // d = any tiebreak
+    val out = df
+      .agg(sort_array(collect_list(struct((-$"sz").as("negsz"),
+        $"d".as("d"), $"sz".as("sz")))).as("items"))
+      .withColumn("loads", expr(
+        """aggregate(items, array_repeat(CAST(0 AS BIGINT), 8),
+          |  (acc, x) -> array_sort(concat(slice(acc, 2, 7),
+          |    array(acc[0] + x.sz))))""".stripMargin))
+      .select(expr("element_at(loads, 8)"), expr("element_at(loads, 1)"))
+      .as[(Long, Long)].head()
+    // independent greedy
+    var loads = Vector.fill(8)(0L)
+    for (s <- sizes.sorted.reverse) {
+      val i = loads.zipWithIndex.minBy(_._1)._2
+      loads = loads.updated(i, loads(i) + s)
+    }
+    assert(out == ((loads.max, loads.min)), s"$out vs $loads")
+    assert(out == ((10L, 5L)))
+  }
+
   test("ESS identity: equal weights recover the nominal n") {
     // Kish ESS with constant w: (nw)^2 / (n w^2) = n, ess_bp = 10000
     val n = 137L; val w = 42L
