@@ -80,17 +80,24 @@ object EvalQueries {
     * batch contributes max(score), and the curve point is the mean of
     * batch maxima — the estimator serving teams actually plot (disjoint
     * batches keep it unbiased without C(N,n) combinatorics, and the
-    * sha-rank makes it seedless and engine-exact). One rank window per
-    * group + a broadcast 4-row n table; partial batches are dropped
-    * (count = n) so every max is a true best-of-n. */
+    * sha-rank makes it seedless and engine-exact). The per-group rank
+    * rides [[graft.etl.Layout.globalRank]] over (group, sha, id) minus
+    * a broadcast per-group offset — NOT a window partitioned by the
+    * 5-value group key, which would sort each group in ONE task (the
+    * q268-class trap: a low-cardinality partition key is a global sort
+    * in disguise). Plus a broadcast 4-row n table; partial batches are
+    * dropped (count = n) so every max is a true best-of-n. */
   def q467BonCurve(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"event_type")
-      .orderBy(sha2($"event_id".cast("string"), 256), $"event_id")
-    val scored = Tables.events(spark, dir)
+    val base = Tables.events(spark, dir)
       .filter($"value".isNotNull)
-      .select($"event_type", $"event_id", cents.as("s"))
-      .withColumn("_rk", row_number().over(w).cast("long"))
+      .select($"event_type", $"event_id", cents.as("s"),
+        sha2($"event_id".cast("string"), 256).as("_sha"))
+    val ranked = graft.etl.Layout.globalRank(base,
+      Seq($"event_type", $"_sha", $"event_id"), "_grk")
+    val offs = ranked.groupBy($"event_type").agg(min($"_grk").as("_off"))
+    val scored = ranked.join(broadcast(offs), "event_type")
+      .withColumn("_rk", $"_grk" - $"_off" + 1L)
     val ns = Seq(1L, 2L, 4L, 8L).toDF("n")
     scored.crossJoin(broadcast(ns))
       .withColumn("_batch", expr("(_rk - 1) div n"))
@@ -112,9 +119,13 @@ object EvalQueries {
     * plug-in) and the odd half tests; coverage_ppm = share of test
     * scores ≤ q̂. Split-conformal's guarantee is coverage ≥ 90% in
     * expectation — this query is the audit that checks it held on the
-    * actual data. Rank window partitioned by group on the calibration
-    * half only; q̂ joins back as a per-group scalar. Groups with
-    * n_cal < 20 drop (the ceil-rank would exceed n_cal). */
+    * actual data. The r-th smallest is SELECTED from a per-(group,
+    * value) count histogram — cum(v) ≥ r ∧ cum(v) − c(v) < r picks the
+    * unique containing value — so the cumsum window runs over the
+    * VALUE-grouped aggregate (cardinality = distinct cent values per
+    * group, bounded by the price domain), never a row-grain rank
+    * partitioned by the 5-value group key (the q268-class trap). Groups
+    * with n_cal < 20 drop (the ceil-rank would exceed n_cal). */
   def q468ConformalCoverage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, dir)
@@ -126,10 +137,13 @@ object EvalQueries {
     val nCal = cal.groupBy($"event_type").agg(count(lit(1)).as("n_cal"))
       .filter($"n_cal" >= 20)
       .withColumn("_r", expr("(9 * (n_cal + 1) + 9) div 10"))
-    val wr = Window.partitionBy($"event_type").orderBy($"s", $"event_id")
-    val qhat = cal.withColumn("_rk", row_number().over(wr).cast("long"))
+    val wv = Window.partitionBy($"event_type").orderBy($"s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = cal.groupBy($"event_type", $"s")
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum($"_c").over(wv))
       .join(broadcast(nCal), "event_type")
-      .filter($"_rk" === $"_r")
+      .filter($"_cum" >= $"_r" && $"_cum" - $"_c" < $"_r")
       .select($"event_type", $"n_cal", $"s".as("qhat_cents"))
     e.filter($"_half" === 1)
       .join(broadcast(qhat), "event_type")
