@@ -100,14 +100,25 @@ object Analytics {
   def exactPercentiles(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rn = row_number().over(
-      Window.partitionBy(col(groupCol)).orderBy(col(valueCol)))
-    val n = count(lit(1)).over(Window.partitionBy(col(groupCol)))
-    val at = (target: Column) => sum(when(col("_rn") === target, col(valueCol)))
+    // nearest-rank SELECTION from a per-(group, value) count histogram:
+    // the rank-r value is the unique v with cum(v) >= r and
+    // cum(v) - c(v) < r — the cumsum window runs over DISTINCT VALUES
+    // (bounded by the value domain), never a row-grain rank partitioned
+    // by a possibly-low-cardinality group key (which would sort a whole
+    // group in one task at scale).
     // NULLs would sort first and occupy ranks, silently skewing every
     // percentile; nearest-rank is defined over present values only
-    df.filter(col(valueCol).isNotNull)
-      .withColumn("_rn", rn).withColumn("_n", n)
+    val wv = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(wv))
+    val ns = hist.groupBy(col(groupCol)).agg(sum(col("_c")).as("_n"))
+    val at = (target: Column) => sum(when(
+      col("_cum") >= target && col("_cum") - col("_c") < target,
+      col(valueCol)))
+    hist.join(broadcast(ns), groupCol)
       .groupBy(col(groupCol))
       .agg(max(col("_n")).as("n"),
         at(expr("(_n + 3) div 4")).as("p25"),
@@ -424,7 +435,8 @@ object Analytics {
     * inequality/concentration audit (0 = uniform, →10000 = one value
     * holds everything). Distinct from the CLASSIFICATION Gini impurity
     * (q126): this is the Lorenz-curve statistic. One shuffle on the
-    * group key; rank and sums ride one sort. Bound: Σ i·xᵢ ≤ n²·max(x)
+    * group key; Σ i·xᵢ comes from the value histogram (see body) so no
+    * row-grain per-group sort ever happens. Bound: Σ i·xᵢ ≤ n²·max(x)
     * — documented decimal(38,0) headroom to ~10¹⁵ rows of 10⁸ values. */
   /** Percentile of each scored row within a REFERENCE cohort's
     * distribution, per group — "where does this customer sit against the
@@ -479,14 +491,24 @@ object Analytics {
       idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d38 = "decimal(38,0)"
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(valueCol), col(idCol))
-    df.withColumn("_i", row_number().over(w).cast(d38))
-      .withColumn("_x", col(valueCol).cast(d38))
+    // sum(i*x) read off a per-(group, value) count histogram: rows with
+    // value v occupy ranks _b+1.._b+c, so their contribution is
+    // v*(c*_b + c(c+1)/2) - exact (c(c+1) is even), tie-order-invariant
+    // by construction, and the cumsum window runs over DISTINCT VALUES
+    // (bounded by the value domain), never a row-grain rank partitioned
+    // by a low-cardinality group key (one-task-per-group sort at scale).
+    // idCol is retained in the signature for source compatibility; the
+    // histogram form never needs a tiebreak.
+    val hist = df.groupBy(col(groupCol), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val wv = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist.withColumn("_b", coalesce(sum(col("_c")).over(wv), lit(0L)))
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).cast(d38).as("_n"),
-        sum(col("_x")).as("_s"),
-        sum(col("_i") * col("_x")).as("_is"))
+      .agg(sum(col("_c")).cast(d38).as("_n"),
+        sum(col("_v").cast(d38) * col("_c")).as("_s"),
+        sum(expr(s"CAST(_v AS $d38) * (CAST(_c AS $d38) * _b " +
+          s"+ (CAST(_c AS $d38) * (_c + 1)) div 2)")).as("_is"))
       .select(col(groupCol), col("_n").cast("long").as("n"),
         expr("CAST((((2 * _is) - ((_n + 1) * _s)) * 10000) div (_n * _s) AS BIGINT)")
           .as("gini_bp"))

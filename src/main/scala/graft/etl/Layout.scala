@@ -122,6 +122,37 @@ object Layout {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Within-group total-order rank — the scale-safe replacement for
+    * `row_number().over(partitionBy(lowCardGroup).orderBy(sort))`, which
+    * sorts each group in ONE task when the group key has few values
+    * (event_type, source, lang — a global sort in disguise at 100 TB):
+    * [[globalRank]] range-partitions the (group ++ sort) order across
+    * the cluster, and the within-group rank is the global rank minus a
+    * broadcast per-group offset. `sort` must make (group ++ sort) a
+    * total order (append a unique id). */
+  def groupedGlobalRank(df: DataFrame, groupCols: Seq[String],
+      sort: Seq[Column], rankCol: String, nParts: Int = 64): DataFrame = {
+    val g = globalRank(df, groupCols.map(col) ++ sort, "_ggr", nParts)
+    val off = g.groupBy(groupCols.map(col): _*)
+      .agg(min(col("_ggr")).as("_ggoff"))
+    g.join(broadcast(off), groupCols)
+      .withColumn(rankCol, col("_ggr") - col("_ggoff") + 1L)
+      .drop("_ggr", "_ggoff")
+  }
+
+  /** Spark-exact ntile(k) from a within-group rank and group size — the
+    * companion to [[groupedGlobalRank]]: the first n%k buckets hold
+    * n/k+1 rows, the rest n/k (identical to WindowExec's NTile). Pure
+    * integer CASE over (rankCol, nCol); the n<k edge degenerates to
+    * bin = rank through the first branch. */
+  def ntileFromRank(rankCol: String, nCol: String, k: Int): Column =
+    expr(
+      s"""CASE WHEN $rankCol <= ($nCol % $k) * ($nCol div $k + 1)
+         |  THEN ($rankCol - 1) div ($nCol div $k + 1) + 1
+         |  ELSE ($nCol % $k) +
+         |    ($rankCol - ($nCol % $k) * ($nCol div $k + 1) - 1)
+         |      div ($nCol div $k) + 1 END""".stripMargin)
+
   /** Zone-map pruning audit — measures, per candidate physical layout,
     * how much of the table a range predicate on `filterCol` would
     * actually skip: rank the rows under the layout's sort order

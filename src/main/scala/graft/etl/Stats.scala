@@ -327,24 +327,35 @@ object Stats {
     * folds in a single aggregation, diffs exact integers. */
   def qte(df: DataFrame, groupCol: String, sideCol: String,
       valueCol: String, pcts: Seq[Int]): DataFrame = {
-    val w = Window.partitionBy(col(groupCol), col(sideCol))
+    // nearest-rank selection from the per-(group, side, value) count
+    // histogram (cum(v) >= target, cum(v) - c(v) < target picks the
+    // unique containing value) - the cumsum runs over distinct values,
+    // never a row-grain rank partitioned by the low-cardinality
+    // (group, side) key
+    val wv = Window.partitionBy(col(groupCol), col(sideCol))
       .orderBy(col(valueCol))
-    val wn = Window.partitionBy(col(groupCol), col(sideCol))
-    val t = df.filter(col(valueCol).isNotNull)
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(wn))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(sideCol), col(valueCol))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(wv))
+    val ns = hist.groupBy(col(groupCol), col(sideCol))
+      .agg(sum(col("_c")).as("_n"))
+    val t = hist.join(broadcast(ns), Seq(groupCol, sideCol))
+    def hit(tgt: String) =
+      col("_cum") >= expr(tgt) && col("_cum") - col("_c") < expr(tgt)
     val aggs =
-      Seq(sum(when(col(sideCol) === 2, 1L).otherwise(0L)).as("n2")) ++
+      Seq(sum(when(col(sideCol) === 2, col("_c")).otherwise(0L)).as("n2")) ++
         pcts.flatMap { p =>
           val tgt = s"((_n * $p + 99) div 100)"
           Seq(
-            sum(when(col(sideCol) === 1 && col("_rn") === expr(tgt),
+            sum(when(col(sideCol) === 1 && hit(tgt),
               col(valueCol))).as(s"q1_p$p"),
-            sum(when(col(sideCol) === 2 && col("_rn") === expr(tgt),
+            sum(when(col(sideCol) === 2 && hit(tgt),
               col(valueCol))).as(s"q2_p$p"))
         }
     val base = t.groupBy(col(groupCol))
-      .agg(sum(when(col(sideCol) === 1, 1L).otherwise(0L)).as("n1"),
+      .agg(sum(when(col(sideCol) === 1, col("_c")).otherwise(0L)).as("n1"),
         aggs: _*)
     pcts.foldLeft(base) { (acc, p) =>
       acc.withColumn(s"qte_p$p", col(s"q1_p$p") - col(s"q2_p$p"))

@@ -239,12 +239,21 @@ object MiningQueries {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, dir).select($"event_id", $"event_type",
       Series.cents($"value").as("cents"))
-    val w = Window.partitionBy($"event_type").orderBy($"cents")
-    e.withColumn("rk", rank().over(w))
+    // rank(v) = 1 + #strictly-smaller rows, read off a per-(type, value)
+    // count histogram - the cumsum window runs over DISTINCT VALUES
+    // (bounded by the cents domain), never a row-grain rank partitioned
+    // by the 5-value type key (one-task-per-type sort at scale)
+    val wv = Window.partitionBy($"event_type").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = e.groupBy($"event_type", $"cents")
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_before", coalesce(sum($"_c").over(wv), lit(0L)))
+      .select($"event_type", $"cents", $"_before")
+    e.join(hist, Seq("event_type", "cents"))
       .join(broadcast(e.groupBy($"event_type")
         .agg(count(lit(1)).as("n"))), "event_type")
       .select($"event_id", $"event_type",
-        expr("CAST((rk - 1) * 10000 div NULLIF(n - 1, 0) AS BIGINT)")
+        expr("CAST(_before * 10000 div NULLIF(n - 1, 0) AS BIGINT)")
           .as("pr_bp"))
       .orderBy($"event_id")
   }
@@ -305,8 +314,14 @@ object MiningQueries {
     val e = Tables.events(spark, dir).select($"event_id", $"event_type",
       Series.cents($"value").as("cents"),
       when($"user_id" % 3 === 0, 1L).otherwise(0L).as("lbl"))
-    val w = Window.partitionBy($"event_type").orderBy($"cents", $"event_id")
-    e.withColumn("bin", ntile(10).over(w))
+    // ntile via groupedGlobalRank + the exact ntile formula - never a
+    // row-grain window partitioned by the 5-value type key
+    val ranked = graft.etl.Layout.groupedGlobalRank(e,
+      Seq("event_type"), Seq($"cents", $"event_id"), "_r")
+    val ns = broadcast(e.groupBy($"event_type").agg(count(lit(1)).as("_n")))
+    ranked.join(ns, "event_type")
+      .withColumn("bin", graft.etl.Layout.ntileFromRank("_r", "_n", 10)
+        .cast("int"))
       .groupBy($"event_type", $"bin")
       .agg(count(lit(1)).as("n"), sum($"lbl").as("n_pos"),
         min($"cents").as("lo"), max($"cents").as("hi"))
@@ -383,8 +398,13 @@ object MiningQueries {
     val e = Tables.events(spark, dir).select($"event_id", $"event_type",
       Series.cents($"value").as("cents"),
       when($"user_id" % 3 === 0, 1L).otherwise(0L).as("lbl"))
-    val w = Window.partitionBy($"event_type").orderBy($"cents", $"event_id")
-    val bins = e.withColumn("bin", ntile(10).over(w))
+    // same scale-safe ntile spelling as q141
+    val ranked = graft.etl.Layout.groupedGlobalRank(e,
+      Seq("event_type"), Seq($"cents", $"event_id"), "_r")
+    val ns = broadcast(e.groupBy($"event_type").agg(count(lit(1)).as("_n")))
+    val bins = ranked.join(ns, "event_type")
+      .withColumn("bin", graft.etl.Layout.ntileFromRank("_r", "_n", 10)
+        .cast("int"))
       .groupBy($"event_type", $"bin")
       .agg(count(lit(1)).as("n"), sum($"lbl").as("n_pos"))
     Stats.isotonicFit(bins, "event_type", "bin", "n_pos", "n")
@@ -513,8 +533,13 @@ object MiningQueries {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, dir).select($"event_id", $"event_type",
       Series.cents($"value").as("cents"))
-    val w = Window.partitionBy($"event_type").orderBy($"cents", $"event_id")
-    val b = e.withColumn("bucket", ntile(100).over(w))
+    // same scale-safe ntile spelling as q141, k=100
+    val ranked = graft.etl.Layout.groupedGlobalRank(e,
+      Seq("event_type"), Seq($"cents", $"event_id"), "_r")
+    val ns = broadcast(e.groupBy($"event_type").agg(count(lit(1)).as("_n")))
+    val b = ranked.join(ns, "event_type")
+      .withColumn("bucket", graft.etl.Layout.ntileFromRank("_r", "_n", 100)
+        .cast("int"))
     val ref = b.groupBy($"bucket")
       .agg(expr("CAST(sum(cents) div count(1) AS BIGINT)").as("norm_cents"))
     b.join(broadcast(ref), "bucket")

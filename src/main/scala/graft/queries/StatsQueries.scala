@@ -866,11 +866,18 @@ object StatsQueries {
     val e = Tables.events(spark, dir)
       .filter($"value".isNotNull)
       .select($"event_type", $"event_id", $"ts", cents.as("v"))
+    // median selected from the per-(type, value) histogram - the cumsum
+    // runs over distinct values, never a row-grain rank partitioned by
+    // the 5-value type key
     val wv = Window.partitionBy($"event_type").orderBy($"v")
-    val wn = Window.partitionBy($"event_type")
-    val med = e.withColumn("_rn", row_number().over(wv))
-      .withColumn("_n", count(lit(1)).over(wn))
-      .filter($"_rn" === expr("(_n + 1) div 2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val medHist = e.groupBy($"event_type", $"v")
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum($"_c").over(wv))
+    val medNs = medHist.groupBy($"event_type").agg(sum($"_c").as("_n"))
+    val med = medHist.join(broadcast(medNs), "event_type")
+      .filter($"_cum" >= expr("(_n + 1) div 2") &&
+        $"_cum" - $"_c" < expr("(_n + 1) div 2"))
       .select($"event_type", $"v".as("med"))
     val wt = Window.partitionBy($"event_type", $"d")
       .orderBy($"ts", $"event_id")

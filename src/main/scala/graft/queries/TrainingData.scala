@@ -929,7 +929,11 @@ object TrainingData {
     * hundreds of bp when 10 rows leave is a metric the experiment
     * readouts (q377/q311) cannot trust without winsorization (q121) —
     * this is the table that says WHICH metrics those are. Exact milli
-    * means, one type-keyed rank window. */
+    * means. The trimmed side is computed as TOTALS MINUS THE TOP-10
+    * (a rank<=10 filter plans WindowGroupLimit: per-input-partition
+    * top-k heaps run BEFORE the type shuffle, so the window never
+    * sorts a whole type in one task - the rk>10 spelling it replaces
+    * did exactly that). */
   def q455WhaleImpact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -938,11 +942,15 @@ object TrainingData {
       .select($"event_type", $"event_id",
         expr("CAST(round(value * 100) AS BIGINT)").as("v"))
     val w = Window.partitionBy($"event_type").orderBy($"v".desc, $"event_id")
-    e.withColumn("rk", row_number().over(w))
+    val tot = e.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v").as("_s"))
+    val top = e.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
       .groupBy($"event_type")
-      .agg(count(lit(1)).as("n"), sum($"v").as("_s"),
-        sum(when($"rk" > 10, $"v").otherwise(0L)).as("_s_trim"),
-        sum(when($"rk" > 10, 1L).otherwise(0L)).as("_n_trim"))
+      .agg(count(lit(1)).as("_n_top"), sum($"v").as("_s_top"))
+    tot.join(broadcast(top), "event_type")
+      .withColumn("_s_trim", $"_s" - $"_s_top")
+      .withColumn("_n_trim", $"n" - $"_n_top")
       .filter($"_n_trim" > 0)
       .withColumn("mean_milli", expr(
         "CAST(CAST(_s AS DECIMAL(38,0)) * 1000 div n AS BIGINT)"))
@@ -1064,10 +1072,18 @@ object TrainingData {
     val d = Tables.documents(spark, dir)
       .select($"source", $"n_chars".as("score"),
         (expr("conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 4), 16, 10)").cast("long") % 4 =!= 0).as("y"))
-    val w = Window.partitionBy($"source").orderBy($"score")
-    val wt = Window.partitionBy($"source", $"score")
-    val ranked = d.withColumn("r_x2",
-      rank().over(w).cast("long") * 2 + count(lit(1)).over(wt) - 1)
+    // doubled mid-rank per VALUE: r_x2(v) = 2*(#smaller) + c_v + 1,
+    // read off a per-(source, score) count histogram - the cumsum runs
+    // over distinct score values (bounded domain), never a row-grain
+    // rank partitioned by the ~20-value source key
+    val wv = Window.partitionBy($"source").orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = d.groupBy($"source", $"score")
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_before", coalesce(sum($"_c").over(wv), lit(0L)))
+      .withColumn("r_x2", $"_before" * 2L + $"_c" + 1L)
+      .select($"source", $"score", $"r_x2")
+    val ranked = d.join(hist, Seq("source", "score"))
     ranked.groupBy($"source")
       .agg(sum(when($"y", 1L).otherwise(0L)).as("n_pos"),
         sum(when(!$"y", 1L).otherwise(0L)).as("n_neg"),
@@ -1555,19 +1571,27 @@ object TrainingData {
     * UNCORRELATED orders or epoch-boundary gradients correlate; rho_ppm
     * ≈ 0 is healthy, high |rho| means the epoch salt isn't mixing. The
     * epoch order is the q206 sha256 recipe salted with the epoch tag
-    * (`sha256('e0:'||id)`), ranks are within-source windows (keyed, no
-    * global sort), and ρ = 1 − 6Σd²/(n(n²−1)) is emitted in ppm via one
+    * (`sha256('e0:'||id)`), ranks are two-phase globalRank passes
+    * (range-partitioned, never a one-task-per-source window sort), and ρ = 1 − 6Σd²/(n(n²−1)) is emitted in ppm via one
     * decimal(38,0) cross-multiply. */
   def q427EpochDecorrelation(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
+    // within-source ranks via TWO globalRank passes minus broadcast
+    // per-source offsets (the q467 pattern) - a row_number window
+    // partitioned by the ~20-value source key would sort each source in
+    // ONE task; globalRank range-partitions the (source, hash) order
     def h(tag: String) =
       sha2(concat(lit(tag), lit(":"), $"doc_id".cast("string")), 256)
-    val w0 = Window.partitionBy($"source").orderBy(h("e0"), $"doc_id")
-    val w1 = Window.partitionBy($"source").orderBy(h("e1"), $"doc_id")
-    Tables.documents(spark, dir).select($"doc_id", $"source")
-      .withColumn("r0", row_number().over(w0).cast("long"))
-      .withColumn("r1", row_number().over(w1).cast("long"))
+    val d = Tables.documents(spark, dir).select($"doc_id", $"source")
+    def rankIn(tag: String, out: String) = {
+      val g = graft.etl.Layout.globalRank(
+        d.withColumn("_h", h(tag)), Seq($"source", $"_h", $"doc_id"), "_g")
+      val off = g.groupBy($"source").agg(min($"_g").as("_off"))
+      g.join(broadcast(off), "source")
+        .select($"doc_id", ($"_g" - $"_off" + 1L).as(out))
+    }
+    d.join(rankIn("e0", "r0"), "doc_id")
+      .join(rankIn("e1", "r1"), "doc_id")
       .groupBy($"source")
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(r0 - r1 AS DECIMAL(38,0)) * (r0 - r1)")).as("_d2"))
@@ -2386,13 +2410,30 @@ object TrainingData {
   /** ROUGE-2 clipped bigram overlap ([[graft.etl.Corpus.rougeN]]) between
     * each document and its successor within the same source — the
     * multiplicity-aware overlap score next to q26's set-Jaccard; floored
-    * bp precision/recall/F1 are exact integer rationals. */
+    * bp precision/recall/F1 are exact integer rationals. Successor
+    * pairing rides [[graft.etl.Layout.globalRank]] over (source, doc_id)
+    * + a rank+1 self-join — NOT lead() over a window partitioned by the
+    * ~20-value source key, which would sort each source in one task
+    * (the sort groups sources contiguously, so the global successor IS
+    * the within-source successor whenever the sources match). */
   def q394Rouge2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-    val pairs = Tables.documents(spark, dir)
-      .withColumn("ref_text", lead($"text", 1).over(w))
-      .filter($"ref_text".isNotNull)
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source",
+      $"text")
+    // ids-only through the rank's RDD hop (row-encoding text there
+    // measured +60%); text joins back by doc_id afterwards
+    val ranked = graft.etl.Layout.globalRank(
+      docs.select($"doc_id", $"source"), Seq($"source", $"doc_id"), "_grk")
+    val seams = ranked.as("_ra")
+      .join(ranked.select(($"_grk" - 1L).as("_grk"), $"source".as("_rs"),
+          $"doc_id".as("_ref_id")).as("_rb"), Seq("_grk"))
+      .filter($"source" === $"_rs")
+      .select($"doc_id", $"_ref_id")
+    val pairs = seams
+      .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
+      .join(docs.select($"doc_id".as("_ref_id"), $"text".as("ref_text")),
+        Seq("_ref_id"))
+      .select($"doc_id", $"text", $"ref_text")
     graft.etl.Corpus.rougeN(pairs, "doc_id", "text", "ref_text", 2)
       .orderBy($"pair_id")
   }
