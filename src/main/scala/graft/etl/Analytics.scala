@@ -336,11 +336,18 @@ object Analytics {
       .agg(max(col(recencyCol)).as("_rec"),
         count(lit(1)).as("_freq"),
         sum(col(valueCol)).as("_mon"))
-    def bin(c: String) = ntile(5).over(Window.partitionBy(col(segCol))
-      .orderBy(col(c), col(entityCol)))
-    per.withColumn("_r", bin("_rec"))
-      .withColumn("_f", bin("_freq"))
-      .withColumn("_m", bin("_mon"))
+    // quintiles via groupedGlobalRank + the exact ntile formula (three
+    // range-partitioned rank passes) - a ntile window partitioned by the
+    // low-cardinality segment key would sort every segment's whole
+    // entity panel in ONE task
+    val ns = broadcast(per.groupBy(col(segCol)).agg(count(lit(1)).as("_gn")))
+    def addBin(d: DataFrame, c: String, out: String): DataFrame =
+      Layout.groupedGlobalRank(d, Seq(segCol),
+          Seq(col(c), col(entityCol)), "_rk")
+        .withColumn(out, Layout.ntileFromRank("_rk", "_gn", 5).cast("int"))
+        .drop("_rk")
+    addBin(addBin(addBin(per.join(ns, segCol), "_rec", "_r"),
+        "_freq", "_f"), "_mon", "_m")
       .groupBy(col(segCol),
         (col("_r") * 100 + col("_f") * 10 + col("_m")).as("rfm_code"))
       .agg(count(lit(1)).as("n_entities"))
@@ -443,26 +450,34 @@ object Analytics {
     * benchmark segment", the score-calibration primitive: pct_bp =
     * (# reference values ≤ v) · 10⁴ div |reference|.
     *
-    * No join against the reference: both populations union into ONE
-    * group-partitioned sort (the as-of-join trick applied to distribution
-    * ranking) where a running sum of the reference indicator IS the
-    * ≤-count — reference rows sort before scored rows at equal value, so
-    * ties use inclusive semantics deterministically. Groups without
-    * reference rows report NULL. One shuffle on the group key; the group
-    * domain is the parallelism. */
+    * The ≤-count reads off a per-(group, value) reference-count
+    * histogram (see body) — inclusive at equal value, exactly the old
+    * union-sort semantics. Groups without reference rows report NULL.
+    * One value-grain shuffle; parallelism is the value domain, not the
+    * group count. */
   def referencePercentile(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String, isRef: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the <=-count comes from a per-(group, value) REF-count histogram
+    // (every scored row's value is a histogram key because scored rows
+    // contribute cells too, so the lookup is an equi-join) - the cumsum
+    // runs over distinct values, never a row-grain running sum
+    // partitioned by a possibly-low-cardinality group key. Inclusive
+    // ties (ref rows count at equal value) exactly as the old
+    // _ref-desc sort ordered them.
     val tagged = df.select(col(groupCol), col(idCol), col(valueCol),
       isRef.cast("int").as("_ref"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(valueCol), col("_ref").desc, col(idCol))
+    val wv = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val nRef = Window.partitionBy(col(groupCol))
-    tagged
-      .withColumn("_le", sum(col("_ref")).over(w))
-      .withColumn("_nref", sum(col("_ref")).over(nRef))
-      .filter(col("_ref") === 0)
+    val cum = tagged.groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col("_ref")).as("_cr"))
+      .withColumn("_le", sum(col("_cr")).over(wv))
+      .select(col(groupCol), col(valueCol), col("_le"))
+    val nref = broadcast(tagged.groupBy(col(groupCol))
+      .agg(sum(col("_ref")).as("_nref")))
+    tagged.filter(col("_ref") === 0)
+      .join(cum, Seq(groupCol, valueCol))
+      .join(nref, groupCol)
       .select(col(groupCol), col(idCol), col(valueCol),
         expr("_le * 10000L div NULLIF(_nref, 0)").as("pct_bp"))
   }

@@ -272,17 +272,22 @@ object Mining {
     * "Top decile captures 3.4× its share" is this table's first row.
     * Cross-products ride decimal(38,0) (cum_pos·total_n·10⁴ passes a
     * long only to ~10⁷ rows/group); groups with zero positives yield
-    * NULL (NULLIF). Shape: one per-group rank window over the rows, a
-    * bin-level groupBy (combiner-friendly), then windows over the
-    * `bins`-row-per-group table — the expensive sort happens once. */
+    * NULL (NULLIF). Shape: one range-partitioned
+    * [[Layout.groupedGlobalRank]] over the rows (never a one-task-
+    * per-group window sort), a bin-level groupBy (combiner-friendly),
+    * then windows over the `bins`-row-per-group table. */
   def liftCurve(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, labelCol: Column, bins: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(scoreCol).desc, col(idCol))
-    val per = df
-      .withColumn("_l", when(labelCol, 1L).otherwise(0L))
-      .withColumn("bin", ntile(bins).over(w))
+    // ntile via groupedGlobalRank + the exact ntile formula - never a
+    // row-grain window partitioned by the (possibly enum) group key
+    val d2 = df.withColumn("_l", when(labelCol, 1L).otherwise(0L))
+    val ranked = Layout.groupedGlobalRank(d2, Seq(groupCol),
+      Seq(col(scoreCol).desc, col(idCol)), "_r")
+    val ns = broadcast(d2.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_gn")))
+    val per = ranked.join(ns, groupCol)
+      .withColumn("bin", Layout.ntileFromRank("_r", "_gn", bins).cast("int"))
       .groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("_l")).as("n_pos"))
     val wc = Window.partitionBy(col(groupCol)).orderBy(col("bin"))
@@ -312,18 +317,22 @@ object Mining {
     * who convert anyway. The division operand is nonnegative (floor =
     * truncate cross-engine); the subtraction carries the sign exactly.
     * Cross-products ride decimal(38,0); an all-control prefix yields
-    * NULL (NULLIF) rather than a fake zero. Same two-window shape as
-    * [[liftCurve]]: one per-group rank, one bins-sized cumulative. */
+    * NULL (NULLIF) rather than a fake zero. Same shape as [[liftCurve]]:
+    * one range-partitioned grouped rank, one bins-sized cumulative. */
   def qiniCurve(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, treatCol: Column, labelCol: Column,
       bins: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(scoreCol).desc, col(idCol))
-    val per = df
+    // same scale-safe ntile spelling as liftCurve
+    val d2 = df
       .withColumn("_t", when(treatCol, 1L).otherwise(0L))
       .withColumn("_l", when(labelCol, 1L).otherwise(0L))
-      .withColumn("bin", ntile(bins).over(w))
+    val ranked = Layout.groupedGlobalRank(d2, Seq(groupCol),
+      Seq(col(scoreCol).desc, col(idCol)), "_r")
+    val ns = broadcast(d2.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_gn")))
+    val per = ranked.join(ns, groupCol)
+      .withColumn("bin", Layout.ntileFromRank("_r", "_gn", bins).cast("int"))
       .groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col("_t")).as("n_t"), sum(lit(1L) - col("_t")).as("n_c"),

@@ -35,17 +35,23 @@ object Stats {
     */
   def mannWhitneyU(df: DataFrame, groupCol: String, sampleCol: String,
       valueCol: String): DataFrame = {
-    val w = Window.partitionBy(groupCol).orderBy(valueCol)
-    val wTies = Window.partitionBy(groupCol, valueCol)
-    val ranked = df
-      .select(col(groupCol), col(sampleCol), col(valueCol))
-      .withColumn("r_x2",
-        rank().over(w).cast("long") * 2 + count(lit(1)).over(wTies) - 1)
-    ranked.groupBy(col(groupCol))
-      .agg(
-        count(when(col(sampleCol) === 1, lit(1))).as("n1"),
-        count(when(col(sampleCol) === 2, lit(1))).as("n2"),
-        sum(when(col(sampleCol) === 1, col("r_x2"))).as("r1_x2"))
+    // doubled mid-ranks read off the per-(group, value) count histogram:
+    // r_x2(v) = 2*(#smaller) + ties(v) + 1, identical to
+    // 2*rank + ties - 1 on rows — the cumsum window runs over DISTINCT
+    // values (bounded by the value domain), never a row-grain rank
+    // partitioned by a low-cardinality cohort key
+    val cell = df.select(col(groupCol), col(sampleCol), col(valueCol))
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(when(col(sampleCol) === 1, lit(1))).as("_c1"),
+        count(when(col(sampleCol) === 2, lit(1))).as("_c2"),
+        count(lit(1)).as("_c"))
+    val wv = Window.partitionBy(groupCol).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cell.withColumn("_b", coalesce(sum(col("_c")).over(wv), lit(0L)))
+      .withColumn("_rx2", col("_b") * 2 + col("_c") + 1)
+      .groupBy(col(groupCol))
+      .agg(sum(col("_c1")).as("n1"), sum(col("_c2")).as("n2"),
+        sum(col("_c1") * col("_rx2")).as("r1_x2"))
       .select(col(groupCol), col("n1"), col("n2"),
         (col("r1_x2") - col("n1") * (col("n1") + 1)).as("u1_x2"))
   }
@@ -1285,23 +1291,32 @@ object Stats {
     *               div (N(N+1)·(N³−N−ΣT)),  T = t³−t per tie group.
     * All cross-multiplies in decimal(38,0); per-arm floors are
     * engine-identical (`div` here, `//` in the oracle), so the result is
-    * reproducible bit-for-bit. One shuffle on the series key; the rank
-    * window is series-partitioned, never global. */
+    * reproducible bit-for-bit. One shuffle on the series key; ranks come
+    * from the distinct-value histogram, never a row-grain sort. */
   def kruskalWallis(df: DataFrame, seriesCol: String, groupCol: String,
       valueCol: Column): DataFrame = {
     val d = df.select(col(seriesCol).as("_s"), col(groupCol).as("_g"),
       valueCol.cast("long").as("_v"))
-    val w = Window.partitionBy(col("_s")).orderBy(col("_v"))
-    val wTies = Window.partitionBy(col("_s"), col("_v"))
-    val ranked = d.withColumn("_hr",
-      rank().over(w).cast("long") * 2 + count(lit(1)).over(wTies) - 1)
-    val arms = ranked.groupBy(col("_s"), col("_g"))
-      .agg(count(lit(1)).as("_n"), sum(col("_hr")).as("_hrs"))
+    // doubled mid-ranks per VALUE (same histogram recipe as
+    // mannWhitneyU): hr(v) = 2*(#smaller) + ties(v) + 1; per-arm rank
+    // sums are then sum(c_g(v) * hr(v)) - the cumsum runs over distinct
+    // values, never a row-grain rank partitioned by the series key
+    val vtot = d.groupBy(col("_s"), col("_v")).agg(count(lit(1)).as("_t"))
+    val wv = Window.partitionBy(col("_s")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hr = vtot
+      .withColumn("_b", coalesce(sum(col("_t")).over(wv), lit(0L)))
+      .withColumn("_hr", col("_b") * 2 + col("_t") + 1)
+      .select(col("_s"), col("_v"), col("_hr"))
+    val arms = d.groupBy(col("_s"), col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_cg"))
+      .join(hr, Seq("_s", "_v"))
+      .groupBy(col("_s"), col("_g"))
+      .agg(sum(col("_cg")).as("_n"), sum(col("_cg") * col("_hr")).as("_hrs"))
       .withColumn("_q", expr(
         "CAST(CAST(_hrs AS DECIMAL(38,0)) * _hrs * 1000 div _n " +
           "AS DECIMAL(38,0))"))
-    val ties = d.groupBy(col("_s"), col("_v"))
-      .agg(count(lit(1)).as("_t"))
+    val ties = vtot
       .groupBy(col("_s"))
       .agg(sum(expr("CAST(_t AS DECIMAL(38,0)) * _t * _t - _t")).as("_tsum"))
     arms.groupBy(col("_s"))

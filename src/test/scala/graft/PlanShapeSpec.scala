@@ -290,9 +290,12 @@ class PlanShapeSpec extends SparkSpec {
     // bounded-buffer shape; no per-group window sort of the hash table
     assert(p199.contains("ObjectHashAggregate") || p199.contains("partial_"))
     val p210 = plan("q210_ref_percentile")
-    // one union-sorted window partitioned by the group key, no join
-    assert(!p210.contains("Join"))
+    // round 8: the <=-count reads a value-grain ref histogram joined
+    // back by (group, value) — cumsum over distinct values, and the
+    // per-group nref comes back as a broadcast
     assert(p210.contains("Window"))
+    assert(p210.contains("BroadcastHashJoin"), p210)
+    assert(!p210.contains("CartesianProduct"))
   }
 
   test("q218/q219: clamped balance and TWAP are window-only — no joins") {
