@@ -359,19 +359,43 @@ object Analytics {
     * compared cross-multiplied (cum·100 vs total·80) in decimal(38,0), so
     * no division and no floats. Output: (group, abc_class, n_items,
     * class_value) — the "which 20 % of parts carry 80 % of revenue"
-    * screen. One (group, item) sum shuffle + one per-group window + the
-    * enum-sized rollup; the window is group-partitioned, never global. */
+    * screen. One (group, item) sum shuffle + a two-phase range-
+    * partitioned prefix sum (see body — never a one-task-per-group
+    * running-sum window) + the enum-sized rollup. */
   def abcClasses(df: DataFrame, groupCol: String, itemCol: String,
       valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d38 = "decimal(38,0)"
     val per = df.groupBy(col(groupCol), col(itemCol))
       .agg(sum(col(valueCol)).cast(d38).as("_v"))
-    val wg = Window.partitionBy(col(groupCol))
-    val wRun = wg.orderBy(col("_v").desc, col(itemCol))
+    // two-phase prefix sum (the budgetedSelect recipe): range-partition
+    // the (group, value desc, item) order, run the prefix sum LOCALLY
+    // per bucket, and add broadcast per-(group, bucket) offsets — a
+    // running-sum window partitioned by a low-cardinality group key
+    // would push every group through ONE task. localCheckpoint pins one
+    // partitioner so the offset branch and the local branch cannot
+    // sample different range boundaries (the globalRank caveat).
+    val bucketed = per
+      .repartitionByRange(64, col(groupCol), col("_v").desc, col(itemCol))
+      .withColumn("_b", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint()
+    val wLoc = Window.partitionBy(col(groupCol), col("_b"))
+      .orderBy(col("_v").desc, col(itemCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per.withColumn("_total", sum(col("_v")).over(wg))
-      .withColumn("_cum", sum(col("_v")).over(wRun))
+    val offs = bucketed.groupBy(col(groupCol), col("_b"))
+      .agg(sum(col("_v")).as("_bs"))
+      .withColumn("_off", coalesce(
+        sum(col("_bs")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("_b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0).cast(d38)))
+      .select(col(groupCol), col("_b"), col("_off"))
+    val tot = bucketed.groupBy(col(groupCol))
+      .agg(sum(col("_v")).as("_total"))
+    bucketed
+      .withColumn("_lrun", sum(col("_v")).over(wLoc))
+      .join(broadcast(offs), Seq(groupCol, "_b"))
+      .join(broadcast(tot), Seq(groupCol))
+      .withColumn("_cum", col("_lrun") + col("_off"))
       .withColumn("abc_class",
         when(col("_cum") * 100 <= col("_total") * 80, "A")
           .when(col("_cum") * 100 <= col("_total") * 95, "B")
