@@ -523,9 +523,15 @@ object Corpus {
       .select(col(stratumCol), col("alloc").as("_quota"))
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(sha2(col(idCol).cast("string"), 256), col(idCol))
+    // the LITERAL totalSlots conjunct makes the rank filter
+    // WindowGroupLimit-eligible (per-input-partition top-k heaps run
+    // BEFORE the stratum shuffle); the column-quota conjunct alone
+    // would not fire the rewrite and the window would sort each whole
+    // stratum in one task. Every quota is <= totalSlots by
+    // largest-remainder construction, so semantics are unchanged.
     df.join(broadcast(quotas), Seq(stratumCol))
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= col("_quota"))
+      .filter(col("_rn") <= lit(totalSlots) && col("_rn") <= col("_quota"))
       .withColumn("pick_rank", col("_rn"))
       .drop("_rn", "_quota")
   }
@@ -533,16 +539,38 @@ object Corpus {
   def ppsSystematicSample(df: DataFrame, groupCol: String, idCol: String,
       weightCol: String, nPerGroup: Int): DataFrame = {
     require(nPerGroup >= 1, s"nPerGroup must be >= 1, got $nPerGroup")
-    val wRun = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    // two-phase prefix sum (the abcClasses/budgetedSelect recipe): a
+    // running-weight window partitioned by a low-cardinality group key
+    // would stream every group through one task; instead the
+    // (group, id) order is range-partitioned, prefix sums run locally,
+    // and broadcast per-(group, bucket) offsets complete them
+    // (localCheckpoint pins one partitioner for both branches)
+    val bucketed = df
+      .repartitionByRange(64, col(groupCol), col(idCol))
+      .withColumn("_b", spark_partition_id())
+      .localCheckpoint()
+    val wLoc = Window.partitionBy(col(groupCol), col("_b"))
+      .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col(groupCol))
-    df.withColumn("_cum", sum(col(weightCol)).over(wRun))
-      .withColumn("_tot", sum(col(weightCol)).over(wAll))
+    val offs = bucketed.groupBy(col(groupCol), col("_b"))
+      .agg(sum(col(weightCol)).as("_bs"))
+      .withColumn("_off", coalesce(
+        sum(col("_bs")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("_b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(groupCol), col("_b"), col("_off"))
+    val tot = bucketed.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).as("_tot"))
+    bucketed
+      .withColumn("_lrun", sum(col(weightCol)).over(wLoc))
+      .join(broadcast(offs), Seq(groupCol, "_b"))
+      .join(broadcast(tot), Seq(groupCol))
+      .withColumn("_cum", col("_lrun") + col("_off"))
       .filter(expr(s"(_cum * $nPerGroup) div _tot") >
         expr(s"((_cum - $weightCol) * $nPerGroup) div _tot"))
       .withColumn("pick_idx",
         expr(s"((_cum - $weightCol) * $nPerGroup) div _tot"))
-      .drop("_cum", "_tot")
+      .drop("_cum", "_tot", "_lrun", "_off", "_b")
   }
 
   /** Flesch–Kincaid-style readability as exact integer fractions — the
