@@ -231,8 +231,11 @@ object EvalQueries {
     * quotients agree cross-engine. */
   def q471GrpoAdvantage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // value >= 0 guard (repo convention, see q457/q463): mean_milli's
+    // `sum(r)*1000 div n` would truncate toward zero in Spark but floor
+    // in DuckDB on a negative sum (refund-heavy groups).
     val r = Tables.events(spark, dir)
-      .filter($"value".isNotNull)
+      .filter($"value".isNotNull && $"value" >= 0)
       .select($"event_type", cents.as("r"))
     val m = r.groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"r").as("_sr"))
@@ -409,8 +412,11 @@ object EvalQueries {
     * total; everything floored bp. */
   def q476CalibrationEce(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // value >= 0 guard (repo convention, see q457/q463): conf_bp's
+    // `div 10` and the bin's `div 1000` truncate toward zero in Spark
+    // but floor in DuckDB on negative cents (refunds).
     val scored = Tables.events(spark, dir)
-      .filter($"value".isNotNull)
+      .filter($"value".isNotNull && $"value" >= 0)
       .select(expr("least(CAST(round(value * 100) AS BIGINT) div 10, " +
         "9999)").as("conf_bp"),
         when($"event_type" === "purchase", 1L).otherwise(0L).as("y"))
@@ -570,11 +576,15 @@ object EvalQueries {
           .as("x1"),
         sum(when($"arm" === 0 && $"conv_d" < $"cut", 1L).otherwise(0L))
           .as("x2"))
+      .withColumn("_dnum", expr(
+        // the cross-multiplication difference is built in DECIMAL(38,0)
+        // (never LONG): x1*n2 alone would wrap int64 at per-arm counts
+        // ~3e9, while the DuckDB oracle is HUGEINT throughout
+        "CAST(x1 AS DECIMAL(38,0)) * n2 - CAST(x2 AS DECIMAL(38,0)) * n1"))
       .withColumn("z2_micro", expr(
         "CASE WHEN n1 > 0 AND n2 > 0 AND x1 + x2 > 0 " +
           "AND x1 + x2 < n1 + n2 THEN " +
-          "CAST(CAST(x1 * n2 - x2 * n1 AS DECIMAL(38,0)) " +
-          "* (x1 * n2 - x2 * n1) * (n1 + n2) * 1000000 " +
+          "CAST(_dnum * _dnum * (n1 + n2) * 1000000 " +
           "div (CAST(n1 AS DECIMAL(38,0)) * n2 * (x1 + x2) " +
           "* (n1 + n2 - x1 - x2)) AS BIGINT) END"))
       .select($"look", $"cut", $"n1", $"n2", $"x1", $"x2", $"z2_micro",
@@ -776,7 +786,7 @@ object EvalQueries {
       |  SELECT least(CAST(round(value * 100) AS BIGINT) // 10, 9999)
       |      AS conf_bp,
       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-      |  FROM events WHERE value IS NOT NULL),
+      |  FROM events WHERE value IS NOT NULL AND value >= 0),
       |bins AS (
       |  SELECT least(conf_bp // 1000, 9) AS bin,
       |    CAST(count(*) AS BIGINT) AS n,
@@ -975,7 +985,7 @@ object EvalQueries {
     "q471_grpo_advantage" -> """
       |WITH r AS (
       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS r
-      |  FROM events WHERE value IS NOT NULL),
+      |  FROM events WHERE value IS NOT NULL AND value >= 0),
       |m AS (
       |  SELECT event_type, count(*) AS n,
       |    CAST(CAST(sum(r) AS HUGEINT) * 1000 // count(*) AS BIGINT)

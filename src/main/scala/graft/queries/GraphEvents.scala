@@ -1268,8 +1268,12 @@ object GraphEvents {
     * streaming op itself cannot cross the DuckDB gate). */
   def q465HorizonDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // event_type IS NOT NULL mirrors the user_id guard: a NULL type
+    // would NULL the concat key, which Spark's groupBy folds into one
+    // dedup group while the oracle's recursive join (n.k = a.k) never
+    // matches NULL — a cross-engine divergence, so neither side sees it.
     val e = Tables.events(spark, dir)
-      .filter($"user_id".isNotNull)
+      .filter($"user_id".isNotNull && $"event_type".isNotNull)
       .select(concat($"user_id".cast("string"), lit(":"), $"event_type")
         .as("k"), unix_micros($"ts").as("us"), $"event_id")
     Events.horizonDedup(e, "k", "us", "event_id", 3600000000L)
@@ -1346,7 +1350,7 @@ object GraphEvents {
       |    row_number() OVER (
       |      PARTITION BY CAST(user_id AS VARCHAR) || ':' || event_type
       |      ORDER BY epoch_us(ts), event_id) AS rn
-      |  FROM events WHERE user_id IS NOT NULL),
+      |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
       |kept AS (
       |  SELECT k, us, event_id FROM e WHERE rn = 1
       |  UNION ALL

@@ -595,6 +595,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q178: quotaStratifiedSample's literal conjunct fires WindowGroupLimit") {
+    // Corpus.quotaStratifiedSample relies on InferWindowGroupLimit
+    // extracting the `_rn <= lit(totalSlots)` branch out of the AND with
+    // the column-quota bound (column-only bounds never fire the rewrite).
+    // Pin the claim here so a Spark-version regression of the conjunct
+    // extraction trips the gate, not a 100x-scale run.
+    val p = plan("q178_quota_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q468/q471: per-group scalars broadcast back, never a shuffled join") {
     for (q <- Seq("q468_conformal_coverage", "q471_grpo_advantage")) {
       val p = plan(q)
