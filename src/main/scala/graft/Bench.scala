@@ -69,9 +69,15 @@ object Bench {
     // aee88b8): numbers before it were df.count()-timed (Catalyst prunes
     // unevaluated output columns) and are NOT comparable — a regression
     // tool diffing across the switch would misread a ~1.8x "slowdown"
+    // subset runs write bench_subset.json so isolation re-measures can
+    // never clobber the committed full-run artifact (a round-8 hygiene
+    // flag); SPARK_GRAFT_BENCH_OUT overrides either (the scale sweep
+    // points it at per-factor files)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (subset.isDefined) "bench_subset.json" else "bench_full.json")
     def writeFull(rs: Seq[(String, Double)]): Unit =
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_full.json"),
+        java.nio.file.Paths.get(outPath),
         s"""{"total":${fmt(rs.map(_._2).sum)},"timing":"toRdd","queries":${jsonMap(rs)}}""")
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]

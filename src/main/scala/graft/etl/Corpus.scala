@@ -398,19 +398,22 @@ object Corpus {
     * it is the concentration readout that decides whether dedup or
     * downsampling should target the head before anything else. The
     * threshold test cross-multiplies (`cum·10⁴ ≥ total·target_bp`), so
-    * no division anywhere. One per-group rank window + one fold with a
-    * min-aggregate per requested target. */
+    * no division anywhere. Rank and cumulative mass ride one two-phase
+    * range-bucketed pass ([[Layout.addRunningSums]]) — the group key is
+    * typically an enum (languages, sources), and a window partitioned by
+    * it would sort each whole group in one task (the q268 class; round-9
+    * enum lint) — plus one fold with a min-aggregate per target. */
   def coverageCurve(df: DataFrame, groupCol: String, idCol: String,
       wCol: String, targetsBp: Seq[Int]): DataFrame = {
     require(targetsBp.nonEmpty && targetsBp.forall(t => t > 0 && t <= 10000))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(wCol).desc, col(idCol))
-    val wAll = Window.partitionBy(col(groupCol))
-    val t = df
-      .withColumn("_rk", row_number().over(w).cast("long"))
-      .withColumn("_cum", sum(col(wCol)).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("_tot", sum(col(wCol)).over(wAll))
+    val sort = Seq(col(wCol).desc, col(idCol))
+    val totals = df.groupBy(col(groupCol)).agg(sum(col(wCol)).as("_tot"))
+    val bucketed = Layout.bucketize(
+      df.select(col(groupCol), col(idCol), col(wCol)),
+      col(groupCol) +: sort)
+    val t = Layout.addRunningSums(bucketed, Seq(groupCol), sort,
+        Seq(lit(1L) -> "_rk", col(wCol) -> "_cum"))
+      .join(broadcast(totals), groupCol)
     // decimal(38,0) cross-multiply: per-group total weight can pass
     // Long/10⁴ (~9.2e14) at the 100 TB token-weight scale — same widening
     // as liftCurve/hhiBp/diffInDiff
@@ -471,9 +474,13 @@ object Corpus {
       idCol: String): DataFrame = {
     val minSize = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_gn"))
       .agg(min(col("_gn")).as("_cap"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(sha2(col(idCol).cast("string"), 256), col(idCol))
-    df.withColumn("rk", row_number().over(w).cast("long"))
+    // the data-dependent column cap can never fire WindowGroupLimit, so
+    // a rank window over the (enum) stratum key would one-task-sort each
+    // whole stratum (the q268 class; round-9 enum lint) — the rank rides
+    // Layout.groupedGlobalRank instead (range-partitioned global rank
+    // minus broadcast per-stratum offsets)
+    Layout.groupedGlobalRank(df, Seq(groupCol),
+        Seq(sha2(col(idCol).cast("string"), 256), col(idCol)), "rk")
       .crossJoin(broadcast(minSize))
       .filter(col("rk") <= col("_cap"))
       .drop("_cap")
@@ -792,21 +799,24 @@ object Corpus {
     * kept iff the mass BEFORE it is still short of the target, so the
     * crossing row is included and the kept set is minimal; ordering ties
     * break by id for a total order. Exact integer test
-    * (cum_before·10⁴ < total·pBp, decimal-widened); one per-group window
-    * over (weight desc, id) plus a broadcast of enum-sized group totals.
-    * Output: kept rows with rank, cumulative weight, and the group
-    * total. */
+    * (cum_before·10⁴ < total·pBp, decimal-widened); rank and cumulative
+    * mass ride one two-phase range-bucketed pass
+    * ([[Layout.addRunningSums]] — the group key is typically an enum, so
+    * a partitioned window would one-task-sort each group; round-9 enum
+    * lint) plus a broadcast of enum-sized group totals. Output: kept
+    * rows with rank, cumulative weight, and the group total. */
   def nucleusFilter(df: DataFrame, groupCol: String, idCol: String,
       weightCol: String, pBp: Int): DataFrame = {
     require(pBp >= 1 && pBp <= 10000, s"pBp must be in 1..10000: $pBp")
     val d38 = "decimal(38,0)"
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(weightCol).desc, col(idCol))
+    val sort = Seq(col(weightCol).desc, col(idCol))
     val totals = df.groupBy(col(groupCol))
       .agg(sum(col(weightCol).cast(d38)).as("_tot"))
-    df.select(col(groupCol), col(idCol), col(weightCol))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("cum", sum(col(weightCol).cast(d38)).over(w))
+    val bucketed = Layout.bucketize(
+      df.select(col(groupCol), col(idCol), col(weightCol)),
+      col(groupCol) +: sort)
+    Layout.addRunningSums(bucketed, Seq(groupCol), sort,
+        Seq(lit(1L) -> "rank", col(weightCol).cast(d38) -> "cum"))
       .join(broadcast(totals), Seq(groupCol))
       .filter((col("cum") - col(weightCol)) * lit(10000) <
         col("_tot") * lit(pBp))

@@ -244,18 +244,24 @@ object Events {
     * semantics (an interval ending exactly when another starts never
     * overlaps it).
     *
-    * The per-group running sum is inherently sequential; at 100 TB the
-    * group key IS the parallelism (here: one sweep per event_type). For a
-    * single giant group the standard two-phase split applies — per
-    * time-chunk local sums plus a prefix of chunk totals — the same shape
-    * as [[Relational]]'s running-window queries. */
+    * The per-group running sum is inherently sequential in VALUE but not
+    * in EXECUTION: deltas pre-aggregate to (group, t, d) grain (the
+    * RANGE-frame tie semantics fall out for free — unique keys mean
+    * every peer row shares one prefix), and the prefix sum rides the
+    * two-phase range-bucketed spelling ([[Layout.addRunningSums]]) —
+    * never a one-task sort per enum group (the q268 class; round-9 enum
+    * lint). */
   def maxConcurrent(intervals: DataFrame, groupCol: String,
       startUsCol: String, endUsCol: String): DataFrame = {
     val deltas = intervals
-      .select(col(groupCol), col(startUsCol).as("t"), lit(1).as("d"))
-      .union(intervals.select(col(groupCol), col(endUsCol).as("t"), lit(-1).as("d")))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("t"), col("d"))
-    deltas.withColumn("running", sum(col("d")).over(w))
+      .select(col(groupCol), col(startUsCol).as("t"), lit(1L).as("d"))
+      .union(intervals.select(col(groupCol), col(endUsCol).as("t"), lit(-1L).as("d")))
+      .groupBy(col(groupCol), col("t"), col("d"))
+      .agg(sum(col("d")).as("_dd"))
+    val bucketed = Layout.bucketize(deltas,
+      Seq(col(groupCol), col("t"), col("d")))
+    Layout.addRunningSums(bucketed, Seq(groupCol),
+        Seq(col("t"), col("d")), Seq(col("_dd") -> "running"))
       .groupBy(col(groupCol))
       .agg(max(col("running")).as("max_concurrent"))
   }
@@ -310,19 +316,33 @@ object Events {
     * The anchor recurrence is prefix-dependent (no closed window form),
     * so it rides a per-key sort_array(collect_list) + `aggregate` fold —
     * per-key state is that key's OWN occurrence list, i.e. the
-    * duplicate multiplicity of one content key, not the table (same
-    * boundedness class as every collect_list site here; a pathological
-    * hot key needs the usual pre-cap). One shuffle on the key.
-    * Output: the kept rows as (key, event id), exploded back out. */
+    * duplicate multiplicity of one content key, not the table. A
+    * pathological hot key is PRE-CAPPED (the contract every collect_list
+    * site here carries): only the first `maxOccurrences` occurrences per
+    * key (by ts, id) enter the fold, so no task ever materializes an
+    * unbounded array; occurrences beyond the cap are IGNORED (neither
+    * kept nor examined) and surface in the `overflow_n` side-output
+    * column — a nonzero value says the key needs operational attention,
+    * not a bigger array. One shuffle on the key (the rank window and the
+    * fold aggregate share the hash(k) partitioning and sort).
+    * Output: the kept rows as (key, event id, overflow_n), exploded
+    * back out. */
   def horizonDedup(df: DataFrame, keyCol: String, tsUsCol: String,
-      idCol: String, horizonUs: Long): DataFrame = {
-    require(horizonUs >= 0)
+      idCol: String, horizonUs: Long,
+      maxOccurrences: Int = 1 << 20): DataFrame = {
+    require(horizonUs >= 0 && maxOccurrences >= 1)
+    val wk = Window.partitionBy(col("k")).orderBy(col("_us"), col("_id"))
     val occ = df
       .select(col(keyCol).as("k"), col(tsUsCol).as("_us"),
         col(idCol).as("_id"))
+      .withColumn("_rn", row_number().over(wk))
       .groupBy(col("k"))
-      .agg(sort_array(collect_list(struct(col("_us").as("us"),
-        col("_id").as("id")))).as("_occ"))
+      // collect_list skips nulls, so the `when` IS the cap: over-cap rows
+      // still flow through (they feed the overflow count) but never join
+      // the array
+      .agg(sort_array(collect_list(when(col("_rn") <= maxOccurrences,
+          struct(col("_us").as("us"), col("_id").as("id"))))).as("_occ"),
+        greatest(count(lit(1)) - maxOccurrences, lit(0L)).as("overflow_n"))
       .withColumn("_st", expr(
         s"""aggregate(
            |  slice(_occ, 2, size(_occ)),
@@ -331,7 +351,7 @@ object Events {
            |    struct(x.us AS us, concat(acc.ids, array(x.id)) AS ids),
            |    acc))""".stripMargin))
     occ.select(col("k").as(keyCol),
-      explode(col("_st.ids")).as(idCol))
+      explode(col("_st.ids")).as(idCol), col("overflow_n"))
   }
 
   def burstDedup(df: DataFrame, keyCols: Seq[String], tsUsCol: String,
@@ -398,25 +418,36 @@ object Events {
   /** Merge overlapping-or-touching intervals per group (gaps-and-islands):
     * an interval opens a new island iff its start exceeds the max end seen
     * so far. Output: one row per island with its span and member count.
-    * One shuffle on the group key; the island assignment is two window
-    * passes over the same (group, start, end) sort order, so Tungsten
-    * reuses one sort. Equal (start, end) duplicates are order-insensitive:
-    * whichever lands second sees the first's end as prevMaxEnd and joins
-    * its island. */
+    * Both prefix passes (the exclusive running max of ends, then the
+    * island-id cumsum of the new-island flags) ride the two-phase
+    * range-bucketed spelling over one [[Layout.bucketize]] frame — a
+    * group key with enum cardinality never funnels the whole table
+    * through O(enum) sort tasks (the q268 class; round-9 enum lint).
+    * Equal (start, end) duplicates are order-insensitive: whichever
+    * lands second sees the first's end as prevMaxEnd and joins its
+    * island. */
   def mergeIntervals(intervals: DataFrame, groupCol: String,
       startUsCol: String, endUsCol: String): DataFrame = {
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(startUsCol), col(endUsCol))
-    val prevMaxEnd = max(col(endUsCol)).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val isNew = when(prevMaxEnd.isNull || col(startUsCol) > prevMaxEnd, 1).otherwise(0)
-    intervals
-      .withColumn("_new", isNew)
-      .withColumn("island", sum(col("_new")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sort = Seq(col(startUsCol), col(endUsCol))
+    // aggregate to unique (group, start, end) keys FIRST: the two prefix
+    // passes are independent window evaluations, and only a tie-free
+    // total order guarantees they see the same row order (a duplicate
+    // carrying the new-island flag in one pass but sorting after its
+    // twin in the other would split the twins across islands)
+    val grain = intervals.groupBy(col(groupCol) +: sort: _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val bucketed = Layout.bucketize(grain, col(groupCol) +: sort)
+    val flagged = Layout.addPrevMax(bucketed, Seq(groupCol), sort,
+        col(endUsCol), "_pme")
+      .withColumn("_new",
+        when(col("_pme").isNull || col(startUsCol) > col("_pme"), 1L)
+          .otherwise(0L))
+    Layout.addRunningSums(flagged, Seq(groupCol), sort,
+        Seq(col("_new") -> "island"))
       .groupBy(col(groupCol), col("island"))
       .agg(min(col(startUsCol)).as("island_start"),
         max(col(endUsCol)).as("island_end"),
-        count(lit(1)).as("n_intervals"))
+        sum(col("_cnt")).as("n_intervals"))
   }
 
   /** Discrete survival life table for start→event conversion: per
@@ -564,20 +595,27 @@ object Events {
     * share (bp) of events that would be DROPPED at each candidate
     * watermark. This is the number a streaming operator's watermark
     * must be read off from — guessing it either drops late data
-    * silently or holds state forever. One ordered window per group +
-    * one fold; delays integral (µs). */
+    * silently or holds state forever. The nearest-rank selection rides
+    * the two-phase range-bucketed rank ([[Layout.addRunningSums]] of
+    * `lit(1)`) — a group key with enum cardinality (event types!) never
+    * one-task-sorts the table (the q268 class; round-9 enum lint) —
+    * plus one fold; delays integral (µs). Equal delays take arbitrary
+    * adjacent ranks, which cannot change the selected VALUE. */
   def latenessAudit(df: DataFrame, groupCol: String, delayUsCol: String,
       thresholdsSec: Seq[Long]): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(delayUsCol))
-    val wAll = Window.partitionBy(col(groupCol))
     val at = (target: Column) =>
       sum(when(col("_rn") === target, col(delayUsCol)))
     val lateCols = thresholdsSec.map(t =>
       sum(when(col(delayUsCol) > t * 1000000L, 1L).otherwise(0L))
         .as(s"_c$t"))
-    val base = df.filter(col(delayUsCol).isNotNull)
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(wAll))
+    val filtered = df.filter(col(delayUsCol).isNotNull)
+      .select(col(groupCol), col(delayUsCol))
+    val ns = filtered.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val bucketed = Layout.bucketize(filtered,
+      Seq(col(groupCol), col(delayUsCol)))
+    val base = Layout.addRunningSums(bucketed, Seq(groupCol),
+        Seq(col(delayUsCol)), Seq(lit(1L) -> "_rn"))
+      .join(broadcast(ns), groupCol)
       .groupBy(col(groupCol))
       .agg(max(col("_n")).as("n"),
         (Seq(at(expr("(_n + 1) div 2")).as("p50_us"),

@@ -1,0 +1,92 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inference-log analytics — the readouts a serving team runs over a
+  * request log: KV-cache prefix-hit-rate under an LRU horizon, and
+  * dynamic-batching utilization. The static-corpus sibling of the
+  * prefix work is q432 (prefix_sharing over documents); these run over
+  * a TIME-ORDERED log, where "would this prefix have been cached"
+  * depends on when the previous request with the same prefix arrived.
+  */
+object Inference {
+
+  /** KV-cache prefix-hit rate: a request HITS if any earlier request
+    * with the same prefix arrived within `horizonUs` (the LRU horizon —
+    * older entries are assumed evicted). Naive spelling is a lag() over
+    * a window partitioned by the prefix, but a shallow prefix column is
+    * an ENUM (a handful of system prompts serve most traffic), so that
+    * window is a one-task sort of the whole log — the exact class
+    * WindowLintSpec's enum lint exists to reject.
+    *
+    * Scale-safe spelling: bucket time by the horizon (`bk = us div H`).
+    * Any hit-distance predecessor lives in the SAME bucket or the one
+    * BEFORE (two ts in bucket `bk` differ by < H, and anything two
+    * buckets back is > H away). So:
+    *   - same-bucket predecessors: a running max(us) over
+    *     (prefix, bk) — partition count grows with the log, never a
+    *     one-task sort; any same-bucket predecessor is automatically
+    *     within H;
+    *   - previous-bucket predecessors: the per-(prefix, bk) max joined
+    *     onto bk+1, checked against us − H.
+    *
+    * Output: the input + `hit` (boolean). Deterministic: ordering ties
+    * broken by `idCol`; equal-ts predecessors count (distance 0). */
+  def prefixHitRate(df: DataFrame, prefixCol: Column, usCol: String,
+      idCol: String, horizonUs: Long): DataFrame = {
+    require(horizonUs > 0, s"horizonUs must be positive, got $horizonUs")
+    // integer `div`, never `/` (double division loses exactness at
+    // µs-epoch magnitudes and would round instead of floor)
+    val d = df.withColumn("_pfx", prefixCol)
+      .withColumn("_bk", expr(s"CAST($usCol AS BIGINT) div $horizonUs"))
+    val wSame = Window.partitionBy(col("_pfx"), col("_bk"))
+      .orderBy(col(usCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevBucket = d.groupBy(col("_pfx"), col("_bk"))
+      .agg(max(col(usCol)).as("_pbmax"))
+      .withColumn("_bk", col("_bk") + 1)
+    d.withColumn("_same", max(col(usCol)).over(wSame))
+      .join(prevBucket, Seq("_pfx", "_bk"), "left")
+      .withColumn("hit", col("_same").isNotNull ||
+        coalesce(col("_pbmax") >= col(usCol) - horizonUs, lit(false)))
+      .drop("_same", "_pbmax", "_bk")
+      .withColumnRenamed("_pfx", "prefix")
+  }
+
+  /** Dynamic-batching utilization: requests are batched by arrival time
+    * window (`windowUs`) per model/route key — the standard serving
+    * batcher — and each batch runs in `ceil(tokens / capacity)` compute
+    * waves. Per (key, batch window):
+    *   - `waves`: ceil-div of the token sum by capacity,
+    *   - wave utilization: tokens vs waves × capacity,
+    *   - padding waste: batching pads every request to the batch max
+    *     length, so waste = n·max_tok − Σtok over n·max_tok.
+    * This is the MEASURED readout next to q482's LPT planner: the
+    * planner says what a perfect packer could do, this says what the
+    * window batcher actually did. One (key, window) aggregate + one key
+    * rollup — two keyed shuffles. All ratios floored bp. */
+  def windowPacking(df: DataFrame, keyCol: String, usCol: String,
+      tokCol: String, windowUs: Long, capacity: Long): DataFrame = {
+    require(windowUs > 0 && capacity > 0,
+      s"windowUs and capacity must be positive, got $windowUs/$capacity")
+    val perBatch = df
+      .withColumn("_w", expr(s"CAST($usCol AS BIGINT) div $windowUs"))
+      .groupBy(col(keyCol), col("_w"))
+      .agg(count(lit(1)).as("_n"), sum(col(tokCol)).as("_tok"),
+        max(col(tokCol)).as("_mx"))
+      .withColumn("_waves", expr(s"(_tok + ${capacity - 1}) div $capacity"))
+    perBatch.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_batches"), sum(col("_n")).as("n_requests"),
+        sum(col("_tok")).as("total_tokens"), sum(col("_waves")).as("waves"),
+        sum(col("_n") * col("_mx")).as("_padded"))
+      .withColumn("util_bp",
+        expr(s"total_tokens * 10000 div (waves * $capacity)"))
+      .withColumn("pad_waste_bp", expr(
+        // all-zero-token keys have nothing padded: 0 waste, not div-0
+        "CASE WHEN _padded > 0 " +
+          "THEN (_padded - total_tokens) * 10000 div _padded ELSE 0 END"))
+      .drop("_padded")
+  }
+}

@@ -122,6 +122,90 @@ object Layout {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Range-bucketed frame for the two-phase grouped running aggregates
+    * ([[addRunningSums]] / [[addPrevMax]]) — the shared first phase of
+    * the ppsSystematicSample/abcClasses recipe: range-partition the
+    * (group ++ sort) order, stamp each row with its physical bucket, and
+    * localCheckpoint so every downstream branch reads ONE pinned
+    * partitioning (two branches re-deriving the range exchange each
+    * sample their own boundaries and the bucket ids stop agreeing — the
+    * dev.RankProbe failure class). The `_b` column is DATA after this:
+    * later joins/windows key on it, whatever partitioning they run
+    * under. */
+  def bucketize(df: DataFrame, parts: Seq[Column],
+      nParts: Int = 64): DataFrame = {
+    require(parts.nonEmpty && nParts >= 1)
+    df.repartitionByRange(nParts, parts: _*)
+      .withColumn("_b", spark_partition_id())
+      .localCheckpoint()
+  }
+
+  /** Two-phase grouped running SUMS — the scale-safe replacement for
+    * `sum(x).over(partitionBy(lowCardGroup).orderBy(sort))`, which
+    * streams every group through one task when the group key is an enum
+    * (the q268 class): local running sums inside each range bucket, plus
+    * broadcast per-(group, bucket) offsets (prefix of earlier buckets'
+    * totals, computed at BUCKET grain — O(groups × nParts) rows). Pass
+    * `lit(1L)` as an item to get the within-group RANK along the same
+    * order. Input must carry [[bucketize]]'s `_b` (same group ++ sort).
+    * Appends one column per (value, name); values must be non-null
+    * integral. Ties in `sort` get frame-order-dependent prefixes (same
+    * caveat as the single-window spelling) — aggregate to unique keys
+    * first where tie order matters. */
+  def addRunningSums(bucketed: DataFrame, groupCols: Seq[String],
+      sort: Seq[Column], items: Seq[(Column, String)]): DataFrame = {
+    require(items.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val wLoc = Window.partitionBy(gcols :+ col("_b"): _*)
+      .orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = items.zipWithIndex.foldLeft(bucketed) {
+      case (d, ((c, _), i)) => d.withColumn(s"_rs$i", sum(c).over(wLoc))
+    }
+    val btAggs = items.zipWithIndex.map { case ((c, _), i) =>
+      sum(c).as(s"_bt$i")
+    }
+    val bt = bucketed.groupBy(gcols :+ col("_b"): _*)
+      .agg(btAggs.head, btAggs.tail: _*)
+    val wOff = Window.partitionBy(gcols: _*).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = items.indices.foldLeft(bt) { (d, i) =>
+      d.withColumn(s"_off$i",
+        coalesce(sum(col(s"_bt$i")).over(wOff), lit(0L)))
+    }.select(gcols ++ Seq(col("_b")) ++
+      items.indices.map(i => col(s"_off$i")): _*)
+    val joined = local.join(broadcast(off), groupCols :+ "_b")
+    items.zipWithIndex.foldLeft(joined) { case (d, ((_, name), i)) =>
+      d.withColumn(name, col(s"_rs$i") + col(s"_off$i"))
+        .drop(s"_rs$i", s"_off$i")
+    }
+  }
+
+  /** Two-phase grouped EXCLUSIVE running max (the value seen strictly
+    * before this row in (group ++ sort) order — `max(x).over(...rows
+    * (unboundedPreceding, -1))` without the one-task-per-enum-group
+    * sort). NULL when nothing precedes, like the window form. Same
+    * [[bucketize]] contract as [[addRunningSums]]. */
+  def addPrevMax(bucketed: DataFrame, groupCols: Seq[String],
+      sort: Seq[Column], value: Column, name: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val wLoc = Window.partitionBy(gcols :+ col("_b"): _*)
+      .orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = bucketed.withColumn("_pm", max(value).over(wLoc))
+    val bt = bucketed.groupBy(gcols :+ col("_b"): _*)
+      .agg(max(value).as("_bm"))
+    val wOff = Window.partitionBy(gcols: _*).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bt.withColumn("_om", max(col("_bm")).over(wOff))
+      .select(gcols ++ Seq(col("_b"), col("_om")): _*)
+    local.join(broadcast(off), groupCols :+ "_b")
+      .withColumn(name, greatest(col("_pm"), col("_om")))
+      .drop("_pm", "_om")
+  }
+
   /** Within-group total-order rank — the scale-safe replacement for
     * `row_number().over(partitionBy(lowCardGroup).orderBy(sort))`, which
     * sorts each group in ONE task when the group key has few values

@@ -366,12 +366,17 @@ object Mining {
     * terms. Groups with no positives yield NULL (NULLIF). */
   def averagePrecision(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, labelCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(scoreCol).desc, col(idCol))
-    df.withColumn("_l", when(labelCol, 1L).otherwise(0L))
-      .withColumn("_k", row_number().over(w).cast("long"))
-      .withColumn("_tp", sum(col("_l")).over(w))
+    // rank and running-TP ride ONE two-phase range-bucketed pass
+    // (Layout.addRunningSums) along the (score desc, id) total order —
+    // a rank window partitioned by an enum group key would sort each
+    // whole group in one task (the q268 class; round-9 enum lint)
+    val sort = Seq(col(scoreCol).desc, col(idCol))
+    val bucketed = Layout.bucketize(
+      df.withColumn("_l", when(labelCol, 1L).otherwise(0L))
+        .select(col(groupCol), col(scoreCol), col(idCol), col("_l")),
+      col(groupCol) +: sort)
+    Layout.addRunningSums(bucketed, Seq(groupCol), sort,
+        Seq(lit(1L) -> "_k", col("_l") -> "_tp"))
       .withColumn("_term",
         when(col("_l") === 1L, expr("_tp * 1000000 div _k"))
           .otherwise(0L))

@@ -477,28 +477,73 @@ object Stats {
     *   att_milli = sign · (|Σy_t − Σy_match|·1000 div n_matched).
     * `max_gap` exposes the worst score distance — the caliper check:
     * a large value says some treated units matched far-away controls
-    * and the estimate should not be trusted at face value. One
-    * union+window pass per group (the as-of machinery — no per-pair
-    * join), then an enum-sized fold. Groups with no controls report
-    * n_matched = 0 and NULL ATT. */
+    * and the estimate should not be trusted at face value. Groups with
+    * no controls report n_matched = 0 and NULL ATT.
+    *
+    * Shape: matching depends only on the SCORE VALUE, so both sides
+    * aggregate to (group, score) grain first — treated to (count, Σy),
+    * controls to the tie-rule picks (max y for the backward candidate,
+    * min y for the forward, the [[TimeJoins.asofJoinNearest]] tie
+    * contract) — and the nearest-match resolution runs as the same
+    * tagged-union window over the GRAIN table, whose size is the score
+    * domain × groups (matching covariates are coarse by construction:
+    * propensity buckets, not raw floats), never the row count. The old
+    * spelling windowed the raw rows partitioned by the enum group key —
+    * a one-task sort per group at scale (the q268 class; round-9 enum
+    * lint). */
   def scoreMatchAtt(df: DataFrame, groupCol: String, armCol: Column,
       scoreCol: String, yCol: String): DataFrame = {
     val treated = df.filter(armCol)
       .select(col(groupCol), col(scoreCol).cast("long").as("_s"),
         col(yCol).as("y_t"))
+      .groupBy(col(groupCol), col("_s"))
+      .agg(count(lit(1)).as("_nt"), sum(col("y_t")).as("_syt"))
     val controls = df.filter(!armCol)
       .select(col(groupCol), col(scoreCol).cast("long").as("_cs"),
         col(yCol).as("yc"))
-    TimeJoins.asofJoinNearest(treated, controls, groupCol, "_s", "_cs",
-        "yc")
+      .groupBy(col(groupCol), col("_cs"))
+      // the as-of tie rules: backward resolves equal-score ties to the
+      // MAX pick, forward to the MIN — at score grain those are the only
+      // two values a match can ever take
+      .agg(max(col("yc")).as("_ycmax"), min(col("yc")).as("_ycmin"))
+    val back = Window.partitionBy(col(groupCol))
+      .orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwdRev = Window.partitionBy(col(groupCol))
+      .orderBy(col("_t").desc, col("_tag").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = treated.select(col(groupCol), col("_s").as("_t"),
+        lit(1).as("_tag"), col("_nt"), col("_syt"),
+        lit(null).cast("long").as("_ycmax"),
+        lit(null).cast("long").as("_ycmin"))
+      .unionByName(controls.select(col(groupCol), col("_cs").as("_t"),
+        lit(0).as("_tag"), lit(null).cast("long").as("_nt"),
+        lit(null).cast("long").as("_syt"), col("_ycmax"), col("_ycmin")))
+      .withColumn("_bp", last(when(col("_tag") === 0, col("_ycmax")),
+        ignoreNulls = true).over(back))
+      .withColumn("_bt", last(when(col("_tag") === 0, col("_t")),
+        ignoreNulls = true).over(back))
+      .withColumn("_fp", last(when(col("_tag") === 0, col("_ycmin")),
+        ignoreNulls = true).over(fwdRev))
+      .withColumn("_ft", last(when(col("_tag") === 0, col("_t")),
+        ignoreNulls = true).over(fwdRev))
+      .filter(col("_tag") === 1)
+    val nearer = col("_bt").isNotNull &&
+      (col("_ft").isNull ||
+        (col("_t") - col("_bt")) <= (col("_ft") - col("_t")))
+    grid
+      .withColumn("_match", when(nearer, col("_bp"))
+        .otherwise(when(col("_ft").isNotNull, col("_fp"))))
+      .withColumn("_gap", when(nearer, col("_t") - col("_bt"))
+        .otherwise(when(col("_ft").isNotNull, col("_ft") - col("_t"))))
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_treated"),
-        sum(when(col("asofn_yc").isNotNull, 1L).otherwise(0L))
+      .agg(sum(col("_nt")).as("n_treated"),
+        sum(when(col("_match").isNotNull, col("_nt")).otherwise(0L))
           .as("n_matched"),
-        sum(when(col("asofn_yc").isNotNull, col("y_t")).otherwise(0L))
+        sum(when(col("_match").isNotNull, col("_syt")).otherwise(0L))
           .as("sy_t"),
-        sum(coalesce(col("asofn_yc"), lit(0L))).as("sy_c"),
-        max(col("asofn_gap")).as("max_gap"))
+        sum(coalesce(col("_match") * col("_nt"), lit(0L))).as("sy_c"),
+        max(col("_gap")).as("max_gap"))
       .withColumn("att_milli",
         expr("""CAST(CAST(sign(sy_t - sy_c) AS BIGINT) *
                 CAST(abs(sy_t - sy_c) * 1000 div NULLIF(n_matched, 0)

@@ -1277,7 +1277,8 @@ object GraphEvents {
       .select(concat($"user_id".cast("string"), lit(":"), $"event_type")
         .as("k"), unix_micros($"ts").as("us"), $"event_id")
     Events.horizonDedup(e, "k", "us", "event_id", 3600000000L)
-      .orderBy($"event_id")
+      .select($"k", $"event_id") // overflow_n side-output dropped: zero at
+      .orderBy($"event_id")      // every SF (cap 2^20 >> any dup count)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

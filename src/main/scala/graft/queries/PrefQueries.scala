@@ -1,0 +1,398 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.{Inference, Preference}
+
+/** Preference-data production + inference-log analytics — the round-9
+  * additions the round-8 verdict asked for: the DATA side of RLHF
+  * (the eval side exists: Bradley–Terry q393, Copeland q383, GRPO q471)
+  * and the serving-log readouts next to q432's static prefix sharing and
+  * q482's LPT packing planner. Synthetic mapping: a user's events are
+  * candidate responses to that "prompt" (amounts = reward scores,
+  * event_type = the generating model/policy arm, props.k = token
+  * count), annotators are event_id mod 5. Every statistic exact-integer
+  * with a DuckDB twin; PrefQueriesSpec pins the formulas against
+  * independent computations on synthetic fixtures.
+  */
+object PrefQueries {
+
+  private def cents = expr("CAST(round(value * 100) AS BIGINT)")
+  private def tokK = get_json_object(col("props"), "$.k").cast("long")
+
+  // ------------------------------------------------ q483 DPO pairs
+
+  /** DPO pair construction with the position-debias audit
+    * ([[graft.etl.Preference.dpoPairs]]): per prompt (user) the
+    * max-score response is chosen, the min-score rejected (min-id
+    * tiebreaks, strict margin required), then per chosen ARM
+    * (event_type): pair count, mean margin, and the share of pairs
+    * where the chosen response was SHOWN FIRST — the position-bias
+    * number (≫5000 bp means the "preference" is really a position
+    * artifact and the pair set needs debiasing before DPO sees it). */
+  def q483DpoPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"value".isNotNull)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("us"), cents.as("c"))
+    val pairs = Preference.dpoPairs(e, "user_id", "event_id", "c")
+    val ch = e.select($"event_id".as("chosen_id"),
+      $"event_type".as("chosen_type"), $"us".as("chosen_us"))
+    val rj = e.select($"event_id".as("rejected_id"), $"us".as("rejected_us"))
+    pairs.join(ch, "chosen_id").join(rj, "rejected_id")
+      .groupBy($"chosen_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(CAST(sum(cmax - cmin) AS DECIMAL(38,0)) * 1000 " +
+          "div count(1) AS BIGINT)").as("margin_milli"),
+        expr("sum(CASE WHEN chosen_us < rejected_us THEN 1 ELSE 0 END) " +
+          "* 10000 div count(1)").as("chosen_first_bp"))
+      .orderBy($"chosen_type")
+  }
+
+  // ------------------------------------ q484 preference transitivity
+
+  /** Preference transitivity-violation rate: per prompt each arm's best
+    * score, majority direction per arm pair
+    * ([[graft.etl.Preference.majorityEdges]]), then the share of
+    * 3-arm triangles that CYCLE (a≻b≻c≻a) — the standard consistency
+    * audit before fitting any Bradley–Terry/reward model (a high rate
+    * means the comparisons don't admit a total order and BT residuals
+    * will be structural, not noise). The per-prompt fan-out is C(5,2)
+    * pairs; everything after the pair aggregate is a broadcast-size
+    * tournament table, and each directed 3-cycle is counted 3× by the
+    * rotation join then divided out exactly. */
+  def q484PrefTransitivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ut = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"value".isNotNull)
+      .select($"user_id", $"event_type", cents.as("c"))
+    val edges = Preference.majorityEdges(ut, "user_id", "event_type", "c")
+      .localCheckpoint() // tiny (≤ C(5,2) rows); pins one plan for 5 reuses
+    val und = edges.select(least($"src", $"dst").as("a"),
+      greatest($"src", $"dst").as("b"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e2.a") === col("e1.b"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val cyc = edges.as("d1")
+      .join(edges.as("d2"), col("d2.src") === col("d1.dst"))
+      .join(edges.as("d3"),
+        col("d3.src") === col("d2.dst") && col("d3.dst") === col("d1.src"))
+      .agg((count(lit(1)) / 3).cast("long").as("n_cyclic"))
+    val nt = ut.select($"event_type").distinct()
+      .agg(count(lit(1)).as("n_types"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    nt.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+      .crossJoin(broadcast(cyc))
+      .withColumn("violation_bp", expr(
+        "CASE WHEN n_triangles > 0 " +
+          "THEN n_cyclic * 10000 div n_triangles ELSE 0 END"))
+  }
+
+  // ------------------------------------ q485 annotator agreement/drift
+
+  /** Annotator-vs-gold agreement with temporal drift: items are users,
+    * annotators event_id mod 5, labels event_type; gold = majority label
+    * with min-label tiebreak ([[graft.etl.Preference.majorityLabel]]).
+    * Per annotator: overall agreement, agreement in the early vs late
+    * half of the time span (split at the µs midpoint), and the drift
+    * delta — the audit that catches an annotator (or a labeling model
+    * version) degrading mid-campaign, composing the same consensus
+    * machinery Krippendorff's alpha (q357 family) scores globally. */
+  def q485AnnotatorDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull)
+      .select($"user_id".as("item"), ($"event_id" % 5).as("ann"),
+        $"event_type".as("label"), unix_micros($"ts").as("us"))
+    val gold = Preference.majorityLabel(a, "item", "label")
+      .select($"item", $"gold")
+    val mid = broadcast(a.agg(
+      expr("min(us) + (max(us) - min(us)) div 2").as("_mid")))
+    a.join(gold, "item").crossJoin(mid)
+      .groupBy($"ann")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"label" === $"gold", 1L).otherwise(0L)).as("_ag"),
+        sum(when($"us" <= $"_mid", 1L).otherwise(0L)).as("_ne"),
+        sum(when($"us" <= $"_mid" && $"label" === $"gold", 1L)
+          .otherwise(0L)).as("_age"),
+        sum(when($"us" > $"_mid", 1L).otherwise(0L)).as("_nl"),
+        sum(when($"us" > $"_mid" && $"label" === $"gold", 1L)
+          .otherwise(0L)).as("_agl"))
+      .select($"ann", $"n",
+        expr("_ag * 10000 div n").as("agree_bp"),
+        expr("CASE WHEN _ne > 0 THEN _age * 10000 div _ne END")
+          .as("agree_early_bp"),
+        expr("CASE WHEN _nl > 0 THEN _agl * 10000 div _nl END")
+          .as("agree_late_bp"),
+        expr("CASE WHEN _ne > 0 AND _nl > 0 THEN " +
+          "_agl * 10000 div _nl - _age * 10000 div _ne END").as("drift_bp"))
+      .orderBy($"ann")
+  }
+
+  // ------------------------------------------- q486 format-bias screen
+
+  /** Reward-model format-bias screen, length-controlled: documents
+    * stratified into length buckets, and WITHIN each bucket the mean
+    * reward (the q475-convention stand-in score n_chars mod 997) of docs
+    * carrying a format feature vs not — the regression that separates
+    * "the RM likes lists/markdown" from "the RM likes length" (length
+    * alone is q474). The feature here is presence of the token 'table'
+    * (the synthetic corpus has no markdown; a real corpus plugs
+    * markdown/list markers into the same machinery). One shuffle. */
+  def q486FormatBias(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(expr("least(n_chars div 64, 9)").as("bucket"),
+        ($"n_chars" % 997).as("r"),
+        when($"text".contains("table"), 1L).otherwise(0L).as("f"))
+      .groupBy($"bucket")
+      .agg(sum($"f").as("n_with"),
+        (count(lit(1)) - sum($"f")).as("n_without"),
+        sum(when($"f" === 1, $"r").otherwise(0L)).as("_rw"),
+        sum(when($"f" === 0, $"r").otherwise(0L)).as("_ro"))
+      .select($"bucket", $"n_with", $"n_without",
+        expr("CASE WHEN n_with > 0 THEN _rw * 1000 div n_with END")
+          .as("mean_with_milli"),
+        expr("CASE WHEN n_without > 0 THEN _ro * 1000 div n_without END")
+          .as("mean_without_milli"),
+        expr("CASE WHEN n_with > 0 AND n_without > 0 THEN " +
+          "_rw * 1000 div n_with - _ro * 1000 div n_without END")
+          .as("gap_milli"))
+      .orderBy($"bucket")
+  }
+
+  // ------------------------------------------ q487 KV prefix hit rate
+
+  /** The (level, LRU horizon) grid for q487: prompt prefixes at three
+    * depths (arm; arm+coarse token bucket; arm+exact token count) ×
+    * three cache horizons. */
+  private[queries] val kvLevels = Seq(1, 2, 3)
+  private[queries] val kvHorizonsSec = Seq(60L, 600L, 3600L)
+
+  /** KV-cache prefix-hit-rate over the time-ordered request log
+    * ([[graft.etl.Inference.prefixHitRate]]): a request hits if the
+    * same prefix was served within the LRU horizon. Three prefix depths
+    * × three horizons — the grid a serving team reads to size cache TTL
+    * (hit rate vs horizon) and to decide how much prefix granularity
+    * the router should key on. q432's prefix_sharing is the static-
+    * corpus ceiling; this is what the cache would actually have hit.
+    * Each cell is one (prefix, horizon-bucket)-keyed window + aggregate
+    * — never a one-task enum sort (the bucketed spelling exists exactly
+    * because depth-1 prefixes are a 5-value enum). */
+  def q487KvPrefixHits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, dir)
+      .filter($"event_type".isNotNull && tokK.isNotNull)
+      .select($"event_id", unix_micros($"ts").as("us"), $"event_type",
+        tokK.as("k"))
+      .localCheckpoint() // 9 grid cells re-read this; pin one scan
+    def pfx(level: Int) = level match {
+      case 1 => $"event_type"
+      case 2 => concat($"event_type", lit(":"), expr("k div 10"))
+      case 3 => concat($"event_type", lit(":"), $"k")
+    }
+    val cells = for (l <- kvLevels; h <- kvHorizonsSec) yield {
+      Inference.prefixHitRate(base, pfx(l), "us", "event_id", h * 1000000L)
+        .agg(count(lit(1)).as("n"),
+          sum(when($"hit", 1L).otherwise(0L)).as("hits"))
+        .select(lit(l.toLong).as("level"), lit(h).as("horizon_s"),
+          $"n", $"hits", expr("hits * 10000 div n").as("hit_bp"))
+    }
+    cells.reduce(_ unionByName _).orderBy($"level", $"horizon_s")
+  }
+
+  // ------------------------------------------- q488 batch packing
+
+  /** Measured dynamic-batching utilization
+    * ([[graft.etl.Inference.windowPacking]]): requests batched per
+    * (arm, 1h arrival window), capacity 128 tokens per compute wave.
+    * Per arm: batches, requests, wave utilization, and padding waste
+    * (every request padded to its batch max). q482's LPT planner says
+    * what a perfect packer could do with the same volume; the gap
+    * between these two tables is the scheduling headroom. */
+  def q488BatchPacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, dir)
+      .filter(tokK.isNotNull)
+      .select($"event_type", unix_micros($"ts").as("us"), tokK.as("k"))
+    Inference.windowPacking(base, "event_type", "us", "k",
+        windowUs = 3600000000L, capacity = 128L)
+      .orderBy($"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q483_dpo_pairs" -> q483DpoPairs _,
+    "q484_pref_transitivity" -> q484PrefTransitivity _,
+    "q485_annotator_drift" -> q485AnnotatorDrift _,
+    "q486_format_bias" -> q486FormatBias _,
+    "q487_kv_prefix_hits" -> q487KvPrefixHits _,
+    "q488_batch_packing" -> q488BatchPacking _)
+
+  private val kvCellSql: String = {
+    def pfxSql(l: Int) = l match {
+      case 1 => "event_type"
+      case 2 => "event_type || ':' || CAST(k // 10 AS VARCHAR)"
+      case 3 => "event_type || ':' || CAST(k AS VARCHAR)"
+    }
+    (for (l <- kvLevels; h <- kvHorizonsSec) yield s"""
+      |SELECT CAST($l AS BIGINT) AS level, CAST($h AS BIGINT) AS horizon_s,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN prev >= us - ${h}000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS hits,
+      |  CAST(sum(CASE WHEN prev >= us - ${h}000000 THEN 1 ELSE 0 END)
+      |    * 10000 // count(*) AS BIGINT) AS hit_bp
+      |FROM (
+      |  SELECT us, max(us) OVER (PARTITION BY ${pfxSql(l)}
+      |    ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      |  FROM kvbase)""".stripMargin).mkString("\nUNION ALL\n")
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q483_dpo_pairs" -> """
+      |WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |m AS (
+      |  SELECT user_id, max(c) AS cmax, min(c) AS cmin
+      |  FROM e GROUP BY 1 HAVING max(c) > min(c)),
+      |sel AS (
+      |  SELECT e.user_id, m.cmax, m.cmin,
+      |    min(CASE WHEN c = cmax THEN event_id END) AS chosen_id,
+      |    min(CASE WHEN c = cmin THEN event_id END) AS rejected_id
+      |  FROM e JOIN m USING (user_id) GROUP BY 1, 2, 3),
+      |p AS (
+      |  SELECT s.cmax, s.cmin, ce.event_type AS chosen_type,
+      |    ce.us AS chosen_us, re.us AS rejected_us
+      |  FROM sel s JOIN e ce ON ce.event_id = s.chosen_id
+      |  JOIN e re ON re.event_id = s.rejected_id)
+      |SELECT chosen_type, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(CAST(sum(cmax - cmin) AS HUGEINT) * 1000 // count(*)
+      |    AS BIGINT) AS margin_milli,
+      |  CAST(sum(CASE WHEN chosen_us < rejected_us THEN 1 ELSE 0 END)
+      |    * 10000 // count(*) AS BIGINT) AS chosen_first_bp
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q484_pref_transitivity" -> """
+      |WITH ut AS (
+      |  SELECT user_id, event_type, max(CAST(round(value * 100) AS BIGINT))
+      |    AS s
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT a.event_type AS la, b.event_type AS lb,
+      |    sum(CASE WHEN a.s > b.s THEN 1 ELSE 0 END) AS wa,
+      |    sum(CASE WHEN b.s > a.s THEN 1 ELSE 0 END) AS wb
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT CASE WHEN wa > wb THEN la ELSE lb END AS src,
+      |    CASE WHEN wa > wb THEN lb ELSE la END AS dst
+      |  FROM w WHERE wa <> wb),
+      |und AS (
+      |  SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |cyc AS (
+      |  SELECT count(*) // 3 AS n_cyclic
+      |  FROM edges d1 JOIN edges d2 ON d2.src = d1.dst
+      |  JOIN edges d3 ON d3.src = d2.dst AND d3.dst = d1.src),
+      |nt AS (SELECT count(DISTINCT event_type) AS n_types FROM ut),
+      |ne AS (SELECT count(*) AS n_edges FROM edges)
+      |SELECT CAST(n_types AS BIGINT) AS n_types,
+      |  CAST(n_edges AS BIGINT) AS n_edges,
+      |  CAST(n_triangles AS BIGINT) AS n_triangles,
+      |  CAST(n_cyclic AS BIGINT) AS n_cyclic,
+      |  CAST(CASE WHEN n_triangles > 0
+      |    THEN n_cyclic * 10000 // n_triangles ELSE 0 END AS BIGINT)
+      |    AS violation_bp
+      |FROM nt, ne, tri, cyc""".stripMargin,
+    "q485_annotator_drift" -> """
+      |WITH a AS (
+      |  SELECT user_id AS item, event_id % 5 AS ann, event_type AS label,
+      |    epoch_us(ts) AS us
+      |  FROM events WHERE user_id IS NOT NULL),
+      |counts AS (
+      |  SELECT item, label, count(*) AS n FROM a GROUP BY 1, 2),
+      |top AS (SELECT item, max(n) AS nmax FROM counts GROUP BY 1),
+      |gold AS (
+      |  SELECT c.item, min(c.label) AS gold
+      |  FROM counts c JOIN top t ON c.item = t.item AND c.n = t.nmax
+      |  GROUP BY 1),
+      |mid AS (SELECT min(us) + (max(us) - min(us)) // 2 AS m FROM a),
+      |j AS (
+      |  SELECT a.ann, a.label, g.gold, a.us, mid.m
+      |  FROM a JOIN gold g ON a.item = g.item, mid)
+      |SELECT ann, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN label = gold THEN 1 ELSE 0 END) * 10000
+      |    // count(*) AS BIGINT) AS agree_bp,
+      |  CAST(CASE WHEN sum(CASE WHEN us <= m THEN 1 ELSE 0 END) > 0 THEN
+      |    sum(CASE WHEN us <= m AND label = gold THEN 1 ELSE 0 END) * 10000
+      |    // sum(CASE WHEN us <= m THEN 1 ELSE 0 END) END AS BIGINT)
+      |    AS agree_early_bp,
+      |  CAST(CASE WHEN sum(CASE WHEN us > m THEN 1 ELSE 0 END) > 0 THEN
+      |    sum(CASE WHEN us > m AND label = gold THEN 1 ELSE 0 END) * 10000
+      |    // sum(CASE WHEN us > m THEN 1 ELSE 0 END) END AS BIGINT)
+      |    AS agree_late_bp,
+      |  CAST(CASE WHEN sum(CASE WHEN us <= m THEN 1 ELSE 0 END) > 0
+      |    AND sum(CASE WHEN us > m THEN 1 ELSE 0 END) > 0 THEN
+      |    sum(CASE WHEN us > m AND label = gold THEN 1 ELSE 0 END) * 10000
+      |    // sum(CASE WHEN us > m THEN 1 ELSE 0 END)
+      |    - sum(CASE WHEN us <= m AND label = gold THEN 1 ELSE 0 END) * 10000
+      |    // sum(CASE WHEN us <= m THEN 1 ELSE 0 END) END AS BIGINT)
+      |    AS drift_bp
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q486_format_bias" -> """
+      |WITH s AS (
+      |  SELECT least(n_chars // 64, 9) AS bucket, n_chars % 997 AS r,
+      |    CASE WHEN contains(text, 'table') THEN 1 ELSE 0 END AS f
+      |  FROM documents)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(sum(f) AS BIGINT) AS n_with,
+      |  CAST(count(*) - sum(f) AS BIGINT) AS n_without,
+      |  CAST(CASE WHEN sum(f) > 0 THEN
+      |    sum(CASE WHEN f = 1 THEN r ELSE 0 END) * 1000 // sum(f) END
+      |    AS BIGINT) AS mean_with_milli,
+      |  CAST(CASE WHEN count(*) - sum(f) > 0 THEN
+      |    sum(CASE WHEN f = 0 THEN r ELSE 0 END) * 1000
+      |    // (count(*) - sum(f)) END AS BIGINT) AS mean_without_milli,
+      |  CAST(CASE WHEN sum(f) > 0 AND count(*) - sum(f) > 0 THEN
+      |    sum(CASE WHEN f = 1 THEN r ELSE 0 END) * 1000 // sum(f)
+      |    - sum(CASE WHEN f = 0 THEN r ELSE 0 END) * 1000
+      |    // (count(*) - sum(f)) END AS BIGINT) AS gap_milli
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q487_kv_prefix_hits" -> s"""
+      |WITH kvbase AS (
+      |  SELECT event_id, epoch_us(ts) AS us, event_type,
+      |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+      |  FROM events WHERE event_type IS NOT NULL
+      |    AND json_extract_string(props, '$$.k') IS NOT NULL)
+      |$kvCellSql
+      |ORDER BY level, horizon_s""".stripMargin,
+    "q488_batch_packing" -> """
+      |WITH base AS (
+      |  SELECT event_type, epoch_us(ts) AS us,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      |b AS (
+      |  SELECT event_type, us // 3600000000 AS w, count(*) AS n,
+      |    sum(k) AS tok, max(k) AS mx
+      |  FROM base GROUP BY 1, 2),
+      |wv AS (SELECT *, (tok + 127) // 128 AS waves FROM b)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_batches,
+      |  CAST(sum(n) AS BIGINT) AS n_requests,
+      |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+      |  CAST(sum(waves) AS BIGINT) AS waves,
+      |  CAST(sum(tok) * 10000 // (sum(waves) * 128) AS BIGINT) AS util_bp,
+      |  CAST(CASE WHEN sum(n * mx) > 0 THEN
+      |    (sum(n * mx) - sum(tok)) * 10000 // sum(n * mx) ELSE 0 END
+      |    AS BIGINT) AS pad_waste_bp
+      |FROM wv GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1374,7 +1374,11 @@ object TrainingData {
     * Catches partial/aspect matches a single pooled dot flattens. Top-5
     * per sampled query; integer dots via the quantized vectors, queries
     * broadcast, corpus scanned once — the sub-vector max runs inside a
-    * per-pair HOF fold, no explode of the corpus side. */
+    * per-pair HOF fold, no explode of the corpus side. The query panel
+    * is a FIXED COUNT (first 8 sampled ids), not a rate: rate-sampled
+    * queries grow with the corpus and turn queries × corpus-scan
+    * quadratic — the round-9 10× sweep caught exactly that here (9.2×
+    * wall growth at 10× data before the cap, ~top-4× after). */
   def q433Maxsim(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1382,6 +1386,7 @@ object TrainingData {
       .select($"vec_id", Similarity.quantize($"embedding").as("q"))
     val queries = emb.filter($"vec_id" % 400 === 0)
       .select($"vec_id".as("query_id"), $"q".as("qq"))
+      .orderBy($"query_id").limit(8)
     // Σ_i max_j dot(slice(qq, i), slice(dq, j)) as one nested fold
     val score = expr(
       "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) -> acc + " +
@@ -2562,16 +2567,21 @@ object TrainingData {
       $"doc_id", size(graft.etl.Corpus.tokensOf($"text")).cast("long")
         .as("toks"),
       length($"text").cast("long").as("chars"), sha2($"text", 256).as("h"))
-    val w = Window.partitionBy($"lang", $"source")
-      .orderBy($"toks", $"doc_id")
-    val wAll = Window.partitionBy($"lang", $"source")
-    val ranked = d.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wAll))
+      .localCheckpoint() // tokensOf runs once; 3 branches read it
+    // the median rank rides the two-phase range-bucketed rank — a window
+    // over the enum (lang, source) slice key would one-task-sort each
+    // slice (the q268 class; round-9 enum lint)
+    val ranked = graft.etl.Layout.addRunningSums(
+      graft.etl.Layout.bucketize(d.select($"lang", $"source", $"toks",
+        $"doc_id", $"chars"), Seq($"lang", $"source", $"toks", $"doc_id")),
+      Seq("lang", "source"), Seq($"toks", $"doc_id"), Seq(lit(1L) -> "rn"))
+    val ns = d.groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
     val dups = d.groupBy($"lang", $"source", $"h")
       .agg(count(lit(1)).as("_c"))
       .groupBy($"lang", $"source")
       .agg(sum(when($"_c" > 1, $"_c").otherwise(0L)).as("n_dup_docs"))
-    ranked.groupBy($"lang", $"source")
+    ranked.join(broadcast(ns), Seq("lang", "source"))
+      .groupBy($"lang", $"source")
       .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"),
         sum($"chars").as("n_chars"),
         max(when($"rn" === expr("(n + 1) div 2"), $"toks"))
@@ -3575,7 +3585,7 @@ object TrainingData {
       |    x -> CAST(round(x*1000) AS BIGINT)) AS q
       |  FROM embeddings),
       |qs AS (SELECT vec_id AS query_id, q AS qq FROM e
-      |       WHERE vec_id % 400 = 0),
+      |       WHERE vec_id % 400 = 0 ORDER BY vec_id LIMIT 8),
       |pairs AS (
       |  SELECT query_id, qq, e.vec_id AS nn_id, e.q
       |  FROM qs JOIN e ON e.vec_id <> query_id),

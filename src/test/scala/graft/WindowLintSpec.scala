@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec,
+  ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec,
   LocalLimitExec, RangeExec, TakeOrderedAndProjectExec}
@@ -97,6 +99,58 @@ class WindowLintSpec extends SparkSpec {
       case w: WindowExec if w.partitionSpec.isEmpty => w
     }
 
+  // ---- enum-keyed window lint (round-8 verdict item 2) -----------------
+  //
+  // The class the empty-partitionSpec lint admittedly can't see: a window
+  // partitioned ONLY by a low-cardinality enum key is a global sort in
+  // disguise — 5 partition values means 5 tasks sort the whole table no
+  // matter how many executors exist. Round 8 found 17 such queries by
+  // HAND audit (the q268 class); this makes the audit mechanical. The
+  // synthetic schema is fixed, so the enum domain is enumerable.
+
+  /** Columns whose domain is a handful of values in the synthetic schema
+    * (and in any realistic 100 TB corpus: event taxonomies, language
+    * tags, source registries are O(10-1000), never O(rows)). */
+  private val enumCols = Set("event_type", "source", "lang", "shop_type", "split")
+
+  private def idLike(name: String): Boolean = {
+    val n = name.toLowerCase
+    n == "id" || n.endsWith("_id") || n.endsWith("key")
+  }
+
+  private def enumKeyed(w: WindowExec): Boolean =
+    w.partitionSpec.nonEmpty && w.partitionSpec.forall { e =>
+      e.references.nonEmpty && e.references.forall(a => enumCols(a.name.toLowerCase))
+    }
+
+  /** Grouping of the TOPMOST aggregate below the window — the node that
+    * sets the window's input grain. None = the window runs over raw rows. */
+  private def topAggGrouping(p: SparkPlan): Option[Seq[String]] = p.collectFirst {
+    case a: HashAggregateExec => a.groupingExpressions
+    case a: ObjectHashAggregateExec => a.groupingExpressions
+    case a: SortAggregateExec => a.groupingExpressions
+  }.map(_.flatMap(_.references.map(_.name)).distinct)
+
+  /** An enum-keyed window is an offender unless its child is (a) bounded
+    * by the mechanical rules (limit/top-k/WindowGroupLimit/small Range),
+    * or (b) an aggregate whose grain is a bounded VALUE domain — i.e. the
+    * topmost aggregate below groups by no id-like column. Id-grain
+    * aggregates (per-user, per-doc) still scale with the corpus, which is
+    * exactly the q306/q316 RFM-quintile class round 8 rewrote onto
+    * groupedGlobalRank. */
+  private def enumOffenders(plan: SparkPlan): Seq[String] = plan.collect {
+    case w: WindowExec if enumKeyed(w) && !bounding(w.child) =>
+      topAggGrouping(w.child) match {
+        case None =>
+          Seq("row-grain window over enum keys " +
+            w.partitionSpec.flatMap(_.references.map(_.name)).distinct.mkString(","))
+        case Some(g) if g.exists(idLike) =>
+          Seq(s"enum-keyed window over an id-grain aggregate (groups by " +
+            s"${g.mkString(",")} — per-partition rows scale with the corpus)")
+        case _ => Nil // value/calendar-grain aggregate: domain-bounded
+      }
+  }.flatten
+
   test("every unpartitioned WindowExec in every query plan has a bounded input") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -148,5 +202,69 @@ class WindowLintSpec extends SparkSpec {
       .withColumn("rk", row_number().over(Window.orderBy(col("ts"))))
     assert(offenders(df.queryExecution.sparkPlan).nonEmpty,
       "the lint must flag row_number() OVER (ORDER BY ts) on a raw scan")
+  }
+
+  /** Audited queries with an enum-keyed window the mechanical rules can't
+    * clear. Every entry must still HAVE an enum-keyed window (anti-rot
+    * test below). Keep this list SHORT — the scale-safe spellings
+    * (value-histogram rank selection, Layout.groupedGlobalRank,
+    * totals-minus-top-k) exist precisely so new queries never need an
+    * entry here. */
+  private val enumBoundedByAudit: Map[String, String] = Map(
+    "q310_compaction_plan" -> ("Layout.compactionPlan's window input is a " +
+      "FILE LISTING by operator contract (metadata rows — ~10^6 entries " +
+      "for a 100 TB table, its docstring argument), not corpus rows; the " +
+      "query feeds documents as a stand-in listing"))
+
+  test("no enum-keyed window runs at row grain or over an id-grain aggregate") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        if (enumBoundedByAudit.contains(name)) Nil
+        else enumOffenders(fn(spark, dir).queryExecution.sparkPlan)
+          .map(r => s"$name: $r")
+    }
+    assert(bad.isEmpty,
+      "enum-partitioned windows that sort corpus-scale data in O(enum) " +
+        "tasks (respell with value-histogram ranks, " +
+        "Layout.groupedGlobalRank, or totals-minus-top-k — see SCALE.md " +
+        s"sweep 3; or add an audited entry):\n${bad.mkString("\n")}")
+  }
+
+  test("the enum allowlist names only queries that really have an enum-keyed window") {
+    val stale = enumBoundedByAudit.keys.toSeq.sorted.filter { name =>
+      SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.collect {
+        case w: WindowExec if enumKeyed(w) => w
+      }.isEmpty
+    }
+    assert(stale.isEmpty,
+      s"enumBoundedByAudit entries with no enum-keyed window left — " +
+        s"remove: ${stale.mkString(", ")}")
+  }
+
+  test("negative control: row-grain ntile over event_type fails the enum lint") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rowGrain = Tables.events(spark, dir)
+      .withColumn("q", ntile(4).over(
+        Window.partitionBy(col("event_type")).orderBy(col("ts"))))
+    assert(enumOffenders(rowGrain.queryExecution.sparkPlan).nonEmpty,
+      "the lint must flag ntile OVER (PARTITION BY event_type ORDER BY ts)")
+    // the q306/q316 class: an id-grain aggregate below does NOT clear it
+    val idGrain = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("q", ntile(4).over(
+        Window.partitionBy(col("event_type")).orderBy(col("n"))))
+    assert(enumOffenders(idGrain.queryExecution.sparkPlan).nonEmpty,
+      "the lint must flag enum-keyed ntile over a per-user aggregate")
+    // and the SAFE spelling stays green: a value-histogram grain aggregate
+    val valueGrain = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r", sum(col("n")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("cents"))))
+    assert(enumOffenders(valueGrain.queryExecution.sparkPlan).isEmpty,
+      "value-domain histogram cumsums are the sanctioned spelling")
   }
 }

@@ -531,6 +531,31 @@ class GraphEventsSpec extends SparkSpec {
     assert(t == Set(8L), t)
   }
 
+  test("horizonDedup: a synthetic hot key is pre-capped, with the overflow " +
+    "counted in the side-output and cold keys untouched") {
+    import spark.implicits._
+    // hot key: 10 occurrences 1µs apart; cap 4 → only the first 4 enter
+    // the fold (all within the 100µs horizon → one kept anchor, id 0);
+    // occurrences 5..10 are IGNORED — not re-admitted even though a full
+    // fold would also drop them here — and overflow_n reports 6
+    val hot = (0L until 10L).map(i => ("h", i, i)) :+ (("c", 0L, 99L))
+    val out = Events.horizonDedup(hot.toDF("k", "us", "event_id"),
+        "k", "us", "event_id", 100L, maxOccurrences = 4)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("overflow_n"))).toSet
+    assert(out == Set(("h", 0L, 6L), ("c", 99L, 0L)), out)
+    // and a capped key still re-admits WITHIN the cap: occurrences at
+    // 0, 1, 150, 300 with cap 3 → the first 3 fold (0 kept, 1 in-horizon
+    // dup, 150 re-admitted); the 4th at 300 is overflow despite being
+    // past the horizon
+    val mix = Seq(("m", 0L, 1L), ("m", 1L, 2L), ("m", 150L, 3L),
+      ("m", 300L, 4L)).toDF("k", "us", "event_id")
+    val kept2 = Events.horizonDedup(mix, "k", "us", "event_id", 100L,
+        maxOccurrences = 3)
+      .select($"event_id").as[Long].collect().toSet
+    assert(kept2 == Set(1L, 3L), kept2)
+  }
+
   test("functionalDependency: holding and violated claims measured exactly") {
     import spark.implicits._
     val df = Seq(("b1", "m1", 1), ("b1", "m1", 2), ("b2", "m1", 3),

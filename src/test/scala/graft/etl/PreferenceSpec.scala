@@ -1,0 +1,122 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Hand-computed truth tables for the preference-data and inference-log
+  * operators. These are the independent-computation pins (the
+  * EvalQueriesSpec convention): the DuckDB oracles for q483–q488 share
+  * the queries' arithmetic, so only fixtures with hand-derived expected
+  * values can catch a formula echoed wrong on both sides. */
+class PreferenceSpec extends SparkSpec {
+
+  test("dpoPairs: min-id tiebreaks on both extremes; flat groups drop") {
+    import spark.implicits._
+    val df = Seq(
+      // group 1: max=9 at ids 11,13 (min id 11); min=2 at id 12
+      (1L, 11L, 9L), (1L, 12L, 2L), (1L, 13L, 9L),
+      // group 2: all equal — no strict margin, no pair
+      (2L, 21L, 5L), (2L, 22L, 5L),
+      // group 3: min=1 at ids 32,33 (min id 32); max=4 at id 31
+      (3L, 31L, 4L), (3L, 32L, 1L), (3L, 33L, 1L))
+      .toDF("g", "id", "s")
+    val got = Preference.dpoPairs(df, "g", "id", "s")
+      .collect().map(r => (r.getAs[Long]("g"),
+        (r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"),
+          r.getAs[Long]("cmax"), r.getAs[Long]("cmin")))).toMap
+    assert(got == Map(1L -> (11L, 12L, 9L, 2L), 3L -> (31L, 32L, 4L, 1L)))
+  }
+
+  test("majorityLabel: majority wins, ties break to the min label") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "b"), (1L, "b"), (1L, "a"),          // item 1: b wins 2-1
+      (2L, "c"), (2L, "a"), (2L, "c"), (2L, "a"), // item 2: 2-2 tie -> a
+      (3L, "z"))                                  // item 3: singleton
+      .toDF("item", "label")
+    val got = Preference.majorityLabel(df, "item", "label")
+      .collect().map(r => r.getAs[Long]("item") ->
+        (r.getAs[String]("gold"), r.getAs[Long]("n_votes"))).toMap
+    assert(got == Map(1L -> ("b", 2L), 2L -> ("a", 2L), 3L -> ("z", 1L)))
+  }
+
+  test("majorityEdges: rock-paper-scissors panel yields the 3-cycle") {
+    import spark.implicits._
+    // 3 voters; each pair decided 2-1: a beats b, b beats c, c beats a
+    val df = Seq(
+      (1L, "a", 3L), (1L, "b", 2L), (1L, "c", 1L), // g1: a>b, b>c, a>c
+      (2L, "a", 1L), (2L, "b", 3L), (2L, "c", 2L), // g2: b>a, b>c, c>a
+      (3L, "a", 2L), (3L, "b", 1L), (3L, "c", 3L)) // g3: a>b, c>b, c>a
+      .toDF("g", "l", "s")
+    val got = Preference.majorityEdges(df, "g", "l", "s")
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[String]("dst"),
+        r.getAs[Long]("wins_src"), r.getAs[Long]("wins_dst"))).toSet
+    assert(got == Set(("a", "b", 2L, 1L), ("b", "c", 2L, 1L),
+      ("c", "a", 2L, 1L)))
+  }
+
+  test("majorityEdges: an exactly-split pair yields no edge") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 2L), (1L, "b", 1L), (2L, "a", 1L), (2L, "b", 2L))
+      .toDF("g", "l", "s")
+    assert(Preference.majorityEdges(df, "g", "l", "s").count() == 0)
+  }
+
+  test("prefixHitRate: horizon boundary, cross-bucket, and same-ts hits") {
+    import spark.implicits._
+    val df = Seq(
+      ("p", 0L, 1L),     // first occurrence: miss
+      ("p", 50L, 2L),    // delta 50 <= 100: hit (same bucket 0)
+      ("p", 150L, 3L),   // delta 100 from id=2, exactly H: hit (prev bucket)
+      ("p", 260L, 4L),   // delta 110 > 100: miss (prev-bucket max 150 < 160)
+      ("q", 260L, 5L),   // other prefix, first: miss
+      ("q", 260L, 6L))   // same ts, larger id: delta 0 hit
+      .toDF("pfx", "us", "id")
+    val got = Inference.prefixHitRate(df, col("pfx"), "us", "id", 100L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("hit"))
+      .toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false,
+      5L -> false, 6L -> true))
+  }
+
+  test("windowPacking: hand-computed waves, utilization, padding waste") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", 0L, 5L), ("A", 10L, 7L),  // window 0: n=2 tok=12 mx=7 waves=2
+      ("A", 150L, 3L),                // window 1: n=1 tok=3 waves=1
+      ("B", 5L, 10L))                 // window 0: n=1 tok=10 waves=1
+      .toDF("k", "us", "tok")
+    val got = Inference.windowPacking(df, "k", "us", "tok",
+        windowUs = 100L, capacity = 10L)
+      .collect().map(r => r.getAs[String]("k") -> (
+        r.getAs[Long]("n_batches"), r.getAs[Long]("n_requests"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("waves"),
+        r.getAs[Long]("util_bp"), r.getAs[Long]("pad_waste_bp"))).toMap
+    // A: util = 15*10000/(3*10) = 5000; padded = 2*7+1*3 = 17,
+    //    waste = (17-15)*10000/17 = 1176
+    assert(got("A") == (2L, 3L, 15L, 3L, 5000L, 1176L))
+    // B: util = 10*10000/(1*10) = 10000; padded = 10, waste 0
+    assert(got("B") == (1L, 1L, 10L, 1L, 10000L, 0L))
+  }
+
+  test("q484 fixture: the 3-cycle tournament reads violation_bp = 10000") {
+    // independent pin of the triangle arithmetic: with exactly the RPS
+    // edges a->b->c->a, und has 3 edges, 1 triangle, and the rotation
+    // join counts the directed cycle 3 times -> n_cyclic = 1
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val und = edges.select(least($"src", $"dst").as("a"),
+      greatest($"src", $"dst").as("b"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e2.a") === col("e1.b"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .count()
+    val cycRot = edges.as("d1")
+      .join(edges.as("d2"), col("d2.src") === col("d1.dst"))
+      .join(edges.as("d3"),
+        col("d3.src") === col("d2.dst") && col("d3.dst") === col("d1.src"))
+      .count()
+    assert(tri == 1L && cycRot == 3L)
+  }
+}
