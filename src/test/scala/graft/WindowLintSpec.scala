@@ -113,9 +113,14 @@ class WindowLintSpec extends SparkSpec {
     * tags, source registries are O(10-1000), never O(rows)). */
   private val enumCols = Set("event_type", "source", "lang", "shop_type", "split")
 
+  /** Grouping columns whose domain scales with the corpus: ids/keys, and
+    * raw-timestamp grains (µs columns — a per-(enum, ts) aggregate is as
+    * big as the table; calendar grains like day/week indexes are fine
+    * and don't match these names). */
   private def idLike(name: String): Boolean = {
     val n = name.toLowerCase
-    n == "id" || n.endsWith("_id") || n.endsWith("key")
+    n == "id" || n.endsWith("_id") || n.endsWith("key") ||
+      n == "us" || n == "ts" || n.endsWith("_us") || n.endsWith("_ts")
   }
 
   private def enumKeyed(w: WindowExec): Boolean =
