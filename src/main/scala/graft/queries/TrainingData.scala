@@ -78,7 +78,7 @@ object TrainingData {
   def q29AnnTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter($"vec_id" % 400 === 0)
+    val queries = emb.filter($"vec_id" % 400 === 0 && $"vec_id" < 3200)
     Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
       .orderBy($"query_id", $"rank")
   }
@@ -147,7 +147,7 @@ object TrainingData {
   def q50AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter($"vec_id" % 400 === 0)
+    val queries = emb.filter($"vec_id" % 400 === 0 && $"vec_id" < 3200)
     Similarity.lshBucketTopK(emb, queries, "vec_id", "embedding", 10)
       .orderBy($"query_id", $"rank")
   }
@@ -158,7 +158,7 @@ object TrainingData {
   def q51AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter($"vec_id" % 400 === 0)
+    val queries = emb.filter($"vec_id" % 400 === 0 && $"vec_id" < 3200)
     Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
         nlist = 16, nprobe = 4)
       .orderBy($"query_id", $"rank")
@@ -182,7 +182,7 @@ object TrainingData {
   def q372RetrievalMrr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    val q = e.filter($"vec_id" % 400 === 0)
+    val q = e.filter($"vec_id" % 400 === 0 && $"vec_id" < 3200)
     Similarity.retrievalMetrics(
       Similarity.lshBucketTopK(e, q, "vec_id", "embedding", k = 10),
       Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10),
@@ -728,7 +728,7 @@ object TrainingData {
   def q315AnnRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter($"vec_id" % 400 === 0)
+    val queries = emb.filter($"vec_id" % 400 === 0 && $"vec_id" < 3200)
     graft.etl.Similarity.annRecallAudit(emb, queries, "vec_id",
         "embedding", k = 10, bits = 8)
       .orderBy($"query_id")
@@ -743,7 +743,7 @@ object TrainingData {
   def q413MatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter($"vec_id" % 400 === 0)
+    val queries = emb.filter($"vec_id" % 400 === 0 && $"vec_id" < 3200)
     graft.etl.Similarity.matryoshkaRecall(emb, queries, "vec_id",
         "embedding", k = 10, dims = Seq(8, 16, 32))
       .orderBy($"dim")
@@ -1000,7 +1000,7 @@ object TrainingData {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter($"vec_id" % 400 === 0)
+    val queries = emb.filter($"vec_id" % 400 === 0 && $"vec_id" < 3200)
     val truth = Similarity.bruteForceTopK(emb, queries, "vec_id",
       "embedding", 10)
     val int8 = emb.select($"vec_id",
@@ -1236,7 +1236,7 @@ object TrainingData {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"label", Similarity.quantize($"embedding").as("q"))
-    val queries = emb.filter($"vec_id" % 400 === 0)
+    val queries = emb.filter($"vec_id" % 400 === 0 && $"vec_id" < 3200)
       .select($"vec_id".as("query_id"), $"label".as("qlabel"),
         $"q".as("qq"))
     val scored = emb.join(broadcast(queries),
@@ -1375,18 +1375,21 @@ object TrainingData {
     * per sampled query; integer dots via the quantized vectors, queries
     * broadcast, corpus scanned once — the sub-vector max runs inside a
     * per-pair HOF fold, no explode of the corpus side. The query panel
-    * is a FIXED COUNT (first 8 sampled ids), not a rate: rate-sampled
-    * queries grow with the corpus and turn queries × corpus-scan
-    * quadratic — the round-9 10× sweep caught exactly that here (9.2×
-    * wall growth at 10× data before the cap, ~top-4× after). */
+    * is a FIXED COUNT (the literal id bound vec_id < 3200 keeps the first
+    * 8 panel multiples), not a rate: rate-sampled queries grow with the
+    * corpus and turn queries × corpus-scan quadratic — the round-9 10×
+    * sweep caught exactly that here (9.2× wall growth at 10× data
+    * before the cap, ~2.4× after). The same literal bound caps EVERY
+    * ANN/retrieval query panel (q29/q50/q51/q315/q327/q372/q395/q400/
+    * q403/q413/q444/q447) — pure pushdown filter, no sort job, oracle
+    * mirrors it verbatim. */
   def q433Maxsim(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", Similarity.quantize($"embedding").as("q"))
-    val queries = emb.filter($"vec_id" % 400 === 0)
+    val queries = emb.filter($"vec_id" % 400 === 0 && $"vec_id" < 3200)
       .select($"vec_id".as("query_id"), $"q".as("qq"))
-      .orderBy($"query_id").limit(8)
     // Σ_i max_j dot(slice(qq, i), slice(dq, j)) as one nested fold
     val score = expr(
       "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) -> acc + " +
@@ -1765,7 +1768,7 @@ object TrainingData {
   def q327IvfRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter($"vec_id" % 400 === 0)
+    val queries = emb.filter($"vec_id" % 400 === 0 && $"vec_id" < 3200)
     graft.etl.Similarity.ivfRecallAudit(emb, queries, "vec_id",
         "embedding", k = 10, nlist = 16, nprobe = 4)
       .orderBy($"query_id")
@@ -2314,13 +2317,14 @@ object TrainingData {
   }
 
   /** Hard-negative mining ([[Similarity.hardNegatives]]): for each
-    * mining-batch query (vec_id % 400 = 0), the 10 most-similar
+    * mining-batch query (vec_id % 400 = 0, capped at the first 8
+    * panel ids — vec_id < 3200), the 10 most-similar
     * DIFFERENT-label corpus vectors — the contrastive-training batch
     * builder next to q163's random negative sampler. */
   def q400HardNegatives(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    Similarity.hardNegatives(emb, emb.filter($"vec_id" % 400 === 0),
+    Similarity.hardNegatives(emb, emb.filter($"vec_id" % 400 === 0 && $"vec_id" < 3200),
         "vec_id", "embedding", "label", k = 10)
       .orderBy($"query_id", $"rank")
   }
@@ -2334,7 +2338,7 @@ object TrainingData {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     val lists = Similarity.bruteForceTopK(emb,
-      emb.filter($"vec_id" % 400 === 0), "vec_id", "embedding", 5)
+      emb.filter($"vec_id" % 400 === 0 && $"vec_id" < 3200), "vec_id", "embedding", 5)
     Similarity.servingDiversity(lists, "query_id", "nn_id",
         emb, "vec_id", "embedding")
       .orderBy($"list_id")
@@ -2384,7 +2388,7 @@ object TrainingData {
   def q395Rbo(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter($"vec_id" % 400 === 0)
+    val queries = emb.filter($"vec_id" % 400 === 0 && $"vec_id" < 3200)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
       "embedding", k = 10)
     val approx = Similarity.lshBucketTopK(emb, queries, "vec_id",
@@ -2895,7 +2899,7 @@ object TrainingData {
       |        ORDER BY CAST(list_dot_product(qe.q, ce.q) AS BIGINT) DESC,
       |          ce.vec_id) AS rank
       |    FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id
-      |    WHERE qe.vec_id % 400 = 0)
+      |    WHERE qe.vec_id % 400 = 0 AND qe.vec_id < 3200)
       |  WHERE rank <= 10),
       |cents AS (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cq
@@ -2912,7 +2916,7 @@ object TrainingData {
       |  SELECT vec_id AS query_id, cid FROM (
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY cdot DESC, cid DESC) AS rn
-      |    FROM cd WHERE vec_id % 400 = 0) WHERE rn <= 4),
+      |    FROM cd WHERE vec_id % 400 = 0 AND vec_id < 3200) WHERE rn <= 4),
       |ap AS MATERIALIZED (
       |  SELECT query_id, nn_id FROM (
       |    SELECT p.query_id, a.vec_id AS nn_id,
@@ -3302,7 +3306,7 @@ object TrainingData {
       |        ORDER BY CAST(list_dot_product(qe.q, ce.q) AS BIGINT) DESC,
       |          ce.vec_id) AS rnk
       |    FROM em qe JOIN em ce ON ce.vec_id <> qe.vec_id
-      |    WHERE qe.vec_id % 400 = 0)
+      |    WHERE qe.vec_id % 400 = 0 AND qe.vec_id < 3200)
       |  WHERE rnk <= 10),
       |approx AS (
       |  SELECT query_id, nn_id FROM (
@@ -3311,7 +3315,7 @@ object TrainingData {
       |        ORDER BY CAST(list_dot_product(qe.q8, ce.q8) AS BIGINT) DESC,
       |          ce.vec_id) AS rnk
       |    FROM em qe JOIN em ce ON ce.vec_id <> qe.vec_id
-      |    WHERE qe.vec_id % 400 = 0)
+      |    WHERE qe.vec_id % 400 = 0 AND qe.vec_id < 3200)
       |  WHERE rnk <= 10)
       |SELECT CAST(count(DISTINCT t.query_id) AS BIGINT) AS n_queries,
       |  CAST(count(a.nn_id) AS BIGINT) AS hits,
@@ -3477,7 +3481,7 @@ object TrainingData {
       |  FROM embeddings),
       |qs AS (
       |  SELECT vec_id AS query_id, label AS qlabel, q AS qq FROM e
-      |  WHERE vec_id % 400 = 0),
+      |  WHERE vec_id % 400 = 0 AND vec_id < 3200),
       |scored AS (
       |  SELECT query_id, e.vec_id AS nn_id, e.label,
       |    CAST(list_dot_product(qq, e.q) AS BIGINT) AS dot
@@ -3585,7 +3589,7 @@ object TrainingData {
       |    x -> CAST(round(x*1000) AS BIGINT)) AS q
       |  FROM embeddings),
       |qs AS (SELECT vec_id AS query_id, q AS qq FROM e
-      |       WHERE vec_id % 400 = 0 ORDER BY vec_id LIMIT 8),
+      |       WHERE vec_id % 400 = 0 AND vec_id < 3200),
       |pairs AS (
       |  SELECT query_id, qq, e.vec_id AS nn_id, e.q
       |  FROM qs JOIN e ON e.vec_id <> query_id),
@@ -3867,7 +3871,7 @@ object TrainingData {
       |        ORDER BY CAST(list_dot_product(qe.q, ce.q) AS BIGINT) DESC,
       |          ce.vec_id) AS rnk
       |    FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id
-      |    WHERE qe.vec_id % 400 = 0)
+      |    WHERE qe.vec_id % 400 = 0 AND qe.vec_id < 3200)
       |  WHERE rnk <= 10),
       |a10 AS (
       |  SELECT dim, query_id, nn_id FROM (
@@ -3877,7 +3881,7 @@ object TrainingData {
       |          list_slice(ce.q, 1, d.dim)) AS BIGINT) DESC,
       |          ce.vec_id) AS rnk
       |    FROM dims d CROSS JOIN e qe JOIN e ce ON ce.vec_id <> qe.vec_id
-      |    WHERE qe.vec_id % 400 = 0)
+      |    WHERE qe.vec_id % 400 = 0 AND qe.vec_id < 3200)
       |  WHERE rnk <= 10),
       |per AS (
       |  SELECT d.dim,
@@ -3928,7 +3932,7 @@ object TrainingData {
       |        ORDER BY CAST(list_dot_product(qe.q, ce.q) AS BIGINT) DESC,
       |          ce.vec_id) AS rank
       |    FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id
-      |    WHERE qe.vec_id % 400 = 0)
+      |    WHERE qe.vec_id % 400 = 0 AND qe.vec_id < 3200)
       |  WHERE rank <= 10),
       |ap AS MATERIALIZED (
       |  SELECT query_id, nn_id FROM (
@@ -3938,7 +3942,7 @@ object TrainingData {
       |          ce.vec_id) AS rank
       |    FROM e qe JOIN e ce ON ce.bucket = qe.bucket
       |      AND ce.vec_id <> qe.vec_id
-      |    WHERE qe.vec_id % 400 = 0)
+      |    WHERE qe.vec_id % 400 = 0 AND qe.vec_id < 3200)
       |  WHERE rank <= 10)
       |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
       |  CAST(sum(CASE WHEN ap.nn_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -4562,7 +4566,7 @@ object TrainingData {
       |  SELECT qe.vec_id AS query_id, ce.vec_id AS nn_id,
       |    CAST(list_dot_product(qe.q, ce.q) AS BIGINT) AS dot
       |  FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id
-      |  WHERE qe.vec_id % 400 = 0),
+      |  WHERE qe.vec_id % 400 = 0 AND qe.vec_id < 3200),
       |l AS (
       |  SELECT query_id, nn_id FROM (
       |    SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4603,7 +4607,7 @@ object TrainingData {
       |  SELECT qe.vec_id AS query_id, ce.vec_id AS neg_id,
       |    CAST(list_dot_product(qe.q, ce.q) AS BIGINT) AS dot
       |  FROM e qe JOIN e ce ON ce.label <> qe.label
-      |  WHERE qe.vec_id % 400 = 0),
+      |  WHERE qe.vec_id % 400 = 0 AND qe.vec_id < 3200),
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY query_id
       |    ORDER BY dot DESC, neg_id) AS rank
@@ -5084,7 +5088,7 @@ object TrainingData {
       |  SELECT qe.vec_id AS query_id, ce.vec_id AS nn_id,
       |    CAST(list_dot_product(qe.q, ce.q) AS BIGINT) AS dot
       |  FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id
-      |  WHERE qe.vec_id % 400 = 0),
+      |  WHERE qe.vec_id % 400 = 0 AND qe.vec_id < 3200),
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY query_id
       |    ORDER BY dot DESC, nn_id) AS rank
@@ -5141,7 +5145,7 @@ object TrainingData {
       |  SELECT qe.vec_id AS query_id, ce.vec_id AS nn_id,
       |    CAST(list_dot_product(qe.q, ce.q) AS BIGINT) AS dot
       |  FROM e qe JOIN e ce ON ce.bucket = qe.bucket AND ce.vec_id <> qe.vec_id
-      |  WHERE qe.vec_id % 400 = 0),
+      |  WHERE qe.vec_id % 400 = 0 AND qe.vec_id < 3200),
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY query_id
       |    ORDER BY dot DESC, nn_id) AS rank
@@ -5165,7 +5169,7 @@ object TrainingData {
       |  SELECT vec_id AS query_id, cid FROM (
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY cdot DESC, cid DESC) AS rn
-      |    FROM cd WHERE vec_id % 400 = 0) WHERE rn <= 4),
+      |    FROM cd WHERE vec_id % 400 = 0 AND vec_id < 3200) WHERE rn <= 4),
       |scored AS (
       |  SELECT p.query_id, a.vec_id AS nn_id,
       |    CAST(list_dot_product(qq.q, aq.q) AS BIGINT) AS dot
@@ -5303,7 +5307,7 @@ object TrainingData {
       |        ORDER BY CAST(list_dot_product(qe.q, ce.q) AS BIGINT) DESC,
       |          ce.vec_id) AS rank
       |    FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id
-      |    WHERE qe.vec_id % 400 = 0)
+      |    WHERE qe.vec_id % 400 = 0 AND qe.vec_id < 3200)
       |  WHERE rank <= 10),
       |ap AS MATERIALIZED (
       |  SELECT query_id, nn_id, rank FROM (
@@ -5313,7 +5317,7 @@ object TrainingData {
       |          ce.vec_id) AS rank
       |    FROM e qe JOIN e ce ON ce.bucket = qe.bucket
       |      AND ce.vec_id <> qe.vec_id
-      |    WHERE qe.vec_id % 400 = 0)
+      |    WHERE qe.vec_id % 400 = 0 AND qe.vec_id < 3200)
       |  WHERE rank <= 10),
       |ag AS (
       |  SELECT ex.query_id, greatest(ex.rank, ap.rank) AS m
@@ -5424,7 +5428,7 @@ object TrainingData {
       |        ORDER BY CAST(list_dot_product(qe.q, ce.q) AS BIGINT) DESC,
       |          ce.vec_id) AS r
       |    FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id
-      |    WHERE qe.vec_id % 400 = 0)
+      |    WHERE qe.vec_id % 400 = 0 AND qe.vec_id < 3200)
       |  WHERE r = 1),
       |ap AS (
       |  SELECT query_id, nn_id, rank FROM (
@@ -5434,7 +5438,7 @@ object TrainingData {
       |          ce.vec_id) AS rank
       |    FROM e qe JOIN e ce
       |      ON ce.bucket = qe.bucket AND ce.vec_id <> qe.vec_id
-      |    WHERE qe.vec_id % 400 = 0)
+      |    WHERE qe.vec_id % 400 = 0 AND qe.vec_id < 3200)
       |  WHERE rank <= 10),
       |pos AS (SELECT bt.query_id, ap.rank AS p
       |        FROM bt LEFT JOIN ap
