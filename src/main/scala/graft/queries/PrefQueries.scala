@@ -224,7 +224,49 @@ object PrefQueries {
       .orderBy($"event_type")
   }
 
+  // ------------------------------------ q489 speculative acceptance
+
+  /** Speculative-decoding acceptance analytics: requests (users) draft
+    * up to 8 tokens (their first 8 events in time order); a draft is
+    * accepted while the event is non-error, and the first error rejects
+    * the rest of the window (the verify-model contract). Per position
+    * k: how many requests drafted ≥k, the marginal acceptance rate at
+    * position k, and the survival rate L ≥ k (L = accepted run length)
+    * — the curve that sizes the draft window: expected accepted length
+    * is Σ_k surv_bp/10⁴, and the window should end where survival
+    * collapses. One high-cardinality (request) rank window + two
+    * bounded-domain aggregates; the survival suffix-sum runs as a
+    * 9×8-row broadcast inequality join, never a global window. */
+  def q489SpecDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val drafts = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull)
+      .withColumn("k", row_number().over(w))
+      .filter($"k" <= 8)
+      .select($"user_id", $"k".cast("long").as("k"),
+        ($"event_type" =!= "error").as("acc"))
+    val marginal = drafts.groupBy($"k")
+      .agg(count(lit(1)).as("n_at_k"),
+        expr("sum(CASE WHEN acc THEN 1 ELSE 0 END) * 10000 div count(1)")
+          .as("acc_bp"))
+    val runs = drafts.groupBy($"user_id")
+      .agg(coalesce(min(when(!$"acc", $"k")) - 1L, max($"k")).as("len"))
+    val total = broadcast(runs.agg(count(lit(1)).as("_n")))
+    val hist = runs.groupBy($"len").agg(count(lit(1)).as("_c"))
+    val surv = broadcast(hist).as("h")
+      .join(broadcast(marginal.select($"k").distinct()).as("g"),
+        col("h.len") >= col("g.k"))
+      .groupBy(col("g.k").as("k")).agg(sum(col("h._c")).as("_ge"))
+    marginal.join(surv, "k").crossJoin(total)
+      .select($"k", $"n_at_k", $"acc_bp",
+        expr("_ge * 10000 div _n").as("surv_bp"))
+      .orderBy($"k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q489_spec_decode" -> q489SpecDecode _,
     "q483_dpo_pairs" -> q483DpoPairs _,
     "q484_pref_transitivity" -> q484PrefTransitivity _,
     "q485_annotator_drift" -> q485AnnotatorDrift _,
@@ -253,6 +295,35 @@ object PrefQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q489_spec_decode" -> """
+      |WITH d AS (
+      |  SELECT user_id, k,
+      |    (event_type <> 'error') AS acc
+      |  FROM (
+      |    SELECT user_id, event_type,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS k
+      |    FROM events WHERE user_id IS NOT NULL)
+      |  WHERE k <= 8),
+      |marginal AS (
+      |  SELECT k, count(*) AS n_at_k,
+      |    sum(CASE WHEN acc THEN 1 ELSE 0 END) * 10000 // count(*)
+      |      AS acc_bp
+      |  FROM d GROUP BY 1),
+      |runs AS (
+      |  SELECT user_id,
+      |    coalesce(min(CASE WHEN NOT acc THEN k END) - 1, max(k)) AS len
+      |  FROM d GROUP BY 1),
+      |total AS (SELECT count(*) AS n FROM runs),
+      |hist AS (SELECT len, count(*) AS c FROM runs GROUP BY 1),
+      |surv AS (
+      |  SELECT m.k, sum(h.c) AS ge
+      |  FROM marginal m JOIN hist h ON h.len >= m.k GROUP BY 1)
+      |SELECT CAST(m.k AS BIGINT) AS k, CAST(m.n_at_k AS BIGINT) AS n_at_k,
+      |  CAST(m.acc_bp AS BIGINT) AS acc_bp,
+      |  CAST(s.ge * 10000 // t.n AS BIGINT) AS surv_bp
+      |FROM marginal m JOIN surv s ON s.k = m.k, total t
+      |ORDER BY k""".stripMargin,
     "q483_dpo_pairs" -> """
       |WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,

@@ -99,6 +99,21 @@ class PreferenceSpec extends SparkSpec {
     assert(got("B") == (1L, 1L, 10L, 1L, 10000L, 0L))
   }
 
+  test("q489 run-length fixture: first-draft rejection, all-accepted, middle") {
+    // pins the `coalesce(min(k WHERE rejected) - 1, max(k))` spelling the
+    // oracle echoes: reject-at-1 -> 0, all-accepted -> n, reject-at-4 -> 3
+    import spark.implicits._
+    val d = Seq(
+      (1L, 1L, false), (1L, 2L, true),                  // len 0
+      (2L, 1L, true), (2L, 2L, true), (2L, 3L, true),   // len 3 (all acc)
+      (3L, 1L, true), (3L, 2L, true), (3L, 3L, true), (3L, 4L, false))
+      .toDF("u", "k", "acc")                            // len 3
+    val got = d.groupBy($"u")
+      .agg(coalesce(min(when(!$"acc", $"k")) - 1L, max($"k")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 3L, 3L -> 3L))
+  }
+
   test("q484 fixture: the 3-cycle tournament reads violation_bp = 10000") {
     // independent pin of the triangle arithmetic: with exactly the RPS
     // edges a->b->c->a, und has 3 edges, 1 triangle, and the rotation
