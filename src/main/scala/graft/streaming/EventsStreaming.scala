@@ -486,6 +486,40 @@ object EventsStreaming {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  final case class ReqRow(pfx: String, us: Long, id: Long)
+  final case class ReqHit(pfx: String, id: Long, hit: Boolean)
+
+  /** Online KV-cache prefix-hit flagging — the stateful twin of
+    * [[graft.etl.Inference.prefixHitRate]]: a request HITS if the same
+    * prompt prefix was served within `horizonUs` (the LRU horizon). The
+    * batch side answers it retrospectively with the horizon-bucketed
+    * two-phase spelling; the stream answers it AS REQUESTS ARRIVE (the
+    * number a router reads to decide live cache keying), carrying ONE
+    * Long per prefix — the last-seen µs, which IS the max prior arrival,
+    * the only number the horizon test needs. Rows process in (us, id)
+    * order within a batch, so an equal-timestamp smaller-id predecessor
+    * counts (distance 0), exactly like the batch op; the parity spec
+    * pins stream ≡ batch across micro-batch boundaries. State is O(1)
+    * per distinct prefix forever (no retained rows). */
+  def prefixHitStream(requests: DataFrame, horizonUs: Long): DataFrame = {
+    require(horizonUs > 0, s"horizonUs must be positive, got $horizonUs")
+    import requests.sparkSession.implicits._
+    requests.select(col("pfx"), col("us"), col("id")).as[ReqRow]
+      .groupByKey(_.pfx)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (pfx: String, rows: Iterator[ReqRow], state: GroupState[Long]) =>
+          var last: Option[Long] = state.getOption
+          val out = rows.toSeq.sortBy(r => (r.us, r.id)).map { r =>
+            val hit = last.exists(_ >= r.us - horizonUs)
+            last = Some(r.us)
+            ReqHit(pfx, r.id, hit)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }.toDF()
+  }
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension (e.g. the unified product table) — the dim is re-read per
     * micro-batch and broadcast, so the stream side never shuffles. */

@@ -302,6 +302,45 @@ class EventsStreamingSpec extends SparkSpec {
     assert(batch == got, "streaming and batch twins must agree")
   }
 
+  test("prefixHitStream: cross-batch cache hits match the batch twin") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStreaming.ReqRow
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[ReqRow]
+    val q = EventsStreaming.prefixHitStream(input.toDF(), horizonUs = 100L)
+      .writeStream.format("memory").queryName("kvhits").outputMode("append")
+      .start()
+
+    // batch 1: first occurrence misses; delta 50 hits; same-us smaller-id
+    // predecessor hits at distance 0
+    input.addData(ReqRow("p", 0L, 1L), ReqRow("p", 50L, 2L),
+      ReqRow("q", 50L, 3L), ReqRow("q", 50L, 4L))
+    q.processAllAvailable()
+    // batch 2: state carries last-seen across the boundary — delta
+    // exactly H hits, delta > H misses (but refreshes the entry), and the
+    // refreshed entry serves a later request
+    input.addData(ReqRow("p", 150L, 5L), ReqRow("q", 200L, 6L),
+      ReqRow("q", 260L, 7L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("kvhits").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("hit")).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true,
+      5L -> true, 6L -> false, 7L -> true), got)
+
+    // batch twin on the identical rows
+    val all = Seq(("p", 0L, 1L), ("p", 50L, 2L), ("q", 50L, 3L),
+      ("q", 50L, 4L), ("p", 150L, 5L), ("q", 200L, 6L), ("q", 260L, 7L))
+      .toDF("pfx", "us", "id")
+    val batch = graft.etl.Inference.prefixHitRate(all, col("pfx"), "us",
+        "id", 100L)
+      .select($"id", $"hit").as[(Long, Boolean)].collect().toMap
+    assert(batch == got, "streaming and batch twins must agree")
+  }
+
   test("clampedBalanceStream: cross-batch balance matches the batch twin") {
     val sq = spark
     import sq.implicits._
