@@ -72,14 +72,16 @@ object PrefQueries {
       .localCheckpoint() // tiny (≤ C(5,2) rows); pins one plan for 5 reuses
     val und = edges.select(least($"src", $"dst").as("a"),
       greatest($"src", $"dst").as("b"))
+    // explicit broadcast: localCheckpoint erases size stats, and without
+    // them the <= C(5,2)-row tournament joins would plan as sort-merges
     val tri = und.as("e1")
-      .join(und.as("e2"), col("e2.a") === col("e1.b"))
-      .join(und.as("e3"),
+      .join(broadcast(und.as("e2")), col("e2.a") === col("e1.b"))
+      .join(broadcast(und.as("e3")),
         col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
       .agg(count(lit(1)).as("n_triangles"))
     val cyc = edges.as("d1")
-      .join(edges.as("d2"), col("d2.src") === col("d1.dst"))
-      .join(edges.as("d3"),
+      .join(broadcast(edges.as("d2")), col("d2.src") === col("d1.dst"))
+      .join(broadcast(edges.as("d3")),
         col("d3.src") === col("d2.dst") && col("d3.dst") === col("d1.src"))
       .agg((count(lit(1)) / 3).cast("long").as("n_cyclic"))
     val nt = ut.select($"event_type").distinct()

@@ -595,6 +595,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q483/q484: preference construction joins carry no cartesian") {
+    for (q <- Seq("q483_dpo_pairs", "q484_pref_transitivity")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    // q484's tournament/triangle tables are broadcast-size after the
+    // pair aggregate — nothing in the plan may sort-merge (the cross
+    // combines of one-row aggregates plan as bounded BNLJ, allowed)
+    assert(!plan("q484_pref_transitivity").contains("SortMergeJoin"))
+  }
+
+  test("q486/q488: single-pass aggregates, no joins at all") {
+    for (q <- Seq("q486_format_bias", "q488_batch_packing")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        q)
+    }
+  }
+
+  test("q487: prefix-hit grid windows key on (prefix, bucket), never enum-only") {
+    val p = plan("q487_kv_prefix_hits")
+    assert(!p.contains("CartesianProduct"), p)
+    // the previous-bucket completion joins are broadcast (bucket-grain)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q178: quotaStratifiedSample's literal conjunct fires WindowGroupLimit") {
     // Corpus.quotaStratifiedSample relies on InferWindowGroupLimit
     // extracting the `_rn <= lit(totalSlots)` branch out of the AND with
