@@ -81,8 +81,13 @@ object Inference {
       .agg(count(lit(1)).as("n_batches"), sum(col("_n")).as("n_requests"),
         sum(col("_tok")).as("total_tokens"), sum(col("_waves")).as("waves"),
         sum(col("_n") * col("_mx")).as("_padded"))
-      .withColumn("util_bp",
-        expr(s"total_tokens * 10000 div (waves * $capacity)"))
+      .withColumn("util_bp", expr(
+        // an all-zero-token key has 0 waves: 0 utilization, not div-0
+        // (Spark would null silently; the DuckDB twin would ERROR —
+        // the worst cross-engine asymmetry, so both sides guard)
+        s"CASE WHEN waves > 0 " +
+          s"THEN total_tokens * 10000 div (waves * $capacity) " +
+          "ELSE 0 END"))
       .withColumn("pad_waste_bp", expr(
         // all-zero-token keys have nothing padded: 0 waste, not div-0
         "CASE WHEN _padded > 0 " +

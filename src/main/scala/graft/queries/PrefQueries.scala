@@ -463,7 +463,9 @@ object PrefQueries {
       |  CAST(sum(n) AS BIGINT) AS n_requests,
       |  CAST(sum(tok) AS BIGINT) AS total_tokens,
       |  CAST(sum(waves) AS BIGINT) AS waves,
-      |  CAST(sum(tok) * 10000 // (sum(waves) * 128) AS BIGINT) AS util_bp,
+      |  CAST(CASE WHEN sum(waves) > 0 THEN
+      |    sum(tok) * 10000 // (sum(waves) * 128) ELSE 0 END
+      |    AS BIGINT) AS util_bp,
       |  CAST(CASE WHEN sum(n * mx) > 0 THEN
       |    (sum(n * mx) - sum(tok)) * 10000 // sum(n * mx) ELSE 0 END
       |    AS BIGINT) AS pad_waste_bp

@@ -84,7 +84,8 @@ class PreferenceSpec extends SparkSpec {
     val df = Seq(
       ("A", 0L, 5L), ("A", 10L, 7L),  // window 0: n=2 tok=12 mx=7 waves=2
       ("A", 150L, 3L),                // window 1: n=1 tok=3 waves=1
-      ("B", 5L, 10L))                 // window 0: n=1 tok=10 waves=1
+      ("B", 5L, 10L),                 // window 0: n=1 tok=10 waves=1
+      ("Z", 5L, 0L))                  // all-zero tokens: 0 waves, 0 util
       .toDF("k", "us", "tok")
     val got = Inference.windowPacking(df, "k", "us", "tok",
         windowUs = 100L, capacity = 10L)
@@ -97,6 +98,8 @@ class PreferenceSpec extends SparkSpec {
     assert(got("A") == (2L, 3L, 15L, 3L, 5000L, 1176L))
     // B: util = 10*10000/(1*10) = 10000; padded = 10, waste 0
     assert(got("B") == (1L, 1L, 10L, 1L, 10000L, 0L))
+    // Z: zero tokens -> zero waves; util and waste are 0, never div-0
+    assert(got("Z") == (1L, 1L, 0L, 0L, 0L, 0L))
   }
 
   test("q489 run-length fixture: first-draft rejection, all-accepted, middle") {
