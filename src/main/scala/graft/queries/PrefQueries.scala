@@ -65,8 +65,13 @@ object PrefQueries {
     * rotation join then divided out exactly. */
   def q484PrefTransitivity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // event_type NOT NULL: a NULL arm would count in the Spark-side
+    // distinct-rows n_types but not in DuckDB's count(DISTINCT) — the
+    // q465-class cross-engine NULL asymmetry (it also can't pair: NULL
+    // never satisfies the a < b join)
     val ut = Tables.events(spark, dir)
-      .filter($"user_id".isNotNull && $"value".isNotNull)
+      .filter($"user_id".isNotNull && $"value".isNotNull &&
+        $"event_type".isNotNull)
       .select($"user_id", $"event_type", cents.as("c"))
     val edges = Preference.majorityEdges(ut, "user_id", "event_type", "c")
       .localCheckpoint() // tiny (≤ C(5,2) rows); pins one plan for 5 reuses
@@ -355,6 +360,7 @@ object PrefQueries {
       |  SELECT user_id, event_type, max(CAST(round(value * 100) AS BIGINT))
       |    AS s
       |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      |    AND event_type IS NOT NULL
       |  GROUP BY 1, 2),
       |w AS (
       |  SELECT a.event_type AS la, b.event_type AS lb,
