@@ -55,6 +55,36 @@ object Inference {
       .withColumnRenamed("_pfx", "prefix")
   }
 
+  /** FIFO queueing replay — the capacity "what-if" a serving team runs
+    * over yesterday's log: single server per key, requests served in
+    * arrival order, each holding the server for its service demand. The
+    * Lindley recurrence C_i = max(arr_i, C_{i-1}) + s_i looks
+    * sequential, but it has the max-plus closed form
+    *   C_i = S_i + max_{j ≤ i} (arr_j − S_{j−1}),   S = prefix sum of s
+    * — a prefix SUM and a running MAX, exactly the two-phase
+    * range-bucketed primitives ([[Layout.addRunningSums]] /
+    * [[Layout.addPrevMax]]), so the replay never one-task-sorts a key.
+    * Output: the input + completion `c_us` and `wait_us`
+    * (= C − arr − s, the queueing delay a request would have seen).
+    * Sort must be a total order (append a unique id); times/durations
+    * integral µs, non-null. */
+  def fifoReplay(df: DataFrame, keyCols: Seq[String], usCol: String,
+      idCol: String, serviceUsCol: String): DataFrame = {
+    require(keyCols.nonEmpty)
+    val sort = Seq(col(usCol), col(idCol))
+    val bucketed = Layout.bucketize(df, keyCols.map(col) ++ sort)
+    val withS = Layout.addRunningSums(bucketed, keyCols, sort,
+        Seq(col(serviceUsCol) -> "_S"))
+      .withColumn("_v", col(usCol) - col("_S") + col(serviceUsCol))
+    val withM = Layout.addPrevMax(withS, keyCols, sort, col("_v"), "_pm")
+      .withColumn("_M", greatest(col("_v"), col("_pm")))
+    withM
+      .withColumn("c_us", col("_S") + col("_M"))
+      .withColumn("wait_us",
+        col("c_us") - col(usCol) - col(serviceUsCol))
+      .drop("_S", "_v", "_pm", "_M", "_b")
+  }
+
   /** Dynamic-batching utilization: requests are batched by arrival time
     * window (`windowUs`) per model/route key — the standard serving
     * batcher — and each batch runs in `ceil(tokens / capacity)` compute

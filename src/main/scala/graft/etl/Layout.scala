@@ -161,24 +161,24 @@ object Layout {
       .orderBy(sort: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = items.zipWithIndex.foldLeft(bucketed) {
-      case (d, ((c, _), i)) => d.withColumn(s"_rs$i", sum(c).over(wLoc))
+      case (d, ((c, _), i)) => d.withColumn(s"_ars_rs$i", sum(c).over(wLoc))
     }
     val btAggs = items.zipWithIndex.map { case ((c, _), i) =>
-      sum(c).as(s"_bt$i")
+      sum(c).as(s"_ars_bt$i")
     }
     val bt = bucketed.groupBy(gcols :+ col("_b"): _*)
       .agg(btAggs.head, btAggs.tail: _*)
     val wOff = Window.partitionBy(gcols: _*).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val off = items.indices.foldLeft(bt) { (d, i) =>
-      d.withColumn(s"_off$i",
-        coalesce(sum(col(s"_bt$i")).over(wOff), lit(0L)))
+      d.withColumn(s"_ars_off$i",
+        coalesce(sum(col(s"_ars_bt$i")).over(wOff), lit(0L)))
     }.select(gcols ++ Seq(col("_b")) ++
-      items.indices.map(i => col(s"_off$i")): _*)
+      items.indices.map(i => col(s"_ars_off$i")): _*)
     val joined = local.join(broadcast(off), groupCols :+ "_b")
     items.zipWithIndex.foldLeft(joined) { case (d, ((_, name), i)) =>
-      d.withColumn(name, col(s"_rs$i") + col(s"_off$i"))
-        .drop(s"_rs$i", s"_off$i")
+      d.withColumn(name, col(s"_ars_rs$i") + col(s"_ars_off$i"))
+        .drop(s"_ars_rs$i", s"_ars_off$i")
     }
   }
 
@@ -194,16 +194,18 @@ object Layout {
     val wLoc = Window.partitionBy(gcols :+ col("_b"): _*)
       .orderBy(sort: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = bucketed.withColumn("_pm", max(value).over(wLoc))
+    // internal names carry the _apm_ prefix so a caller's output `name`
+    // can never collide with them (and be dropped with them)
+    val local = bucketed.withColumn("_apm_loc", max(value).over(wLoc))
     val bt = bucketed.groupBy(gcols :+ col("_b"): _*)
-      .agg(max(value).as("_bm"))
+      .agg(max(value).as("_apm_bm"))
     val wOff = Window.partitionBy(gcols: _*).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val off = bt.withColumn("_om", max(col("_bm")).over(wOff))
-      .select(gcols ++ Seq(col("_b"), col("_om")): _*)
+    val off = bt.withColumn("_apm_off", max(col("_apm_bm")).over(wOff))
+      .select(gcols ++ Seq(col("_b"), col("_apm_off")): _*)
     local.join(broadcast(off), groupCols :+ "_b")
-      .withColumn(name, greatest(col("_pm"), col("_om")))
-      .drop("_pm", "_om")
+      .withColumn(name, greatest(col("_apm_loc"), col("_apm_off")))
+      .drop("_apm_loc", "_apm_off")
   }
 
   /** Within-group total-order rank — the scale-safe replacement for

@@ -272,7 +272,41 @@ object PrefQueries {
       .orderBy($"k")
   }
 
+  // ------------------------------------------ q490 FIFO queue replay
+
+  /** FIFO queueing replay ([[graft.etl.Inference.fifoReplay]]): one
+    * server per (arm, day), requests served in arrival order, service
+    * demand (k+1) seconds — the capacity what-if over the request log
+    * (would yesterday's traffic have queued on one replica?). Per arm:
+    * requests, share delayed, mean and max queueing wait. The Lindley
+    * recurrence rides its max-plus closed form on the two-phase
+    * primitives — prefix service-sum plus running max of
+    * (arrival − prior service mass) — so the replay is exact AND never
+    * a one-task-per-key sort; the DuckDB twin replays the same closed
+    * form with plain windows. */
+  def q490QueueReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, dir)
+      .filter($"event_type".isNotNull && tokK.isNotNull)
+      .select($"event_type",
+        datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"),
+        unix_micros($"ts").as("us"), $"event_id",
+        ((tokK + 1L) * 1000000L).as("s_us"))
+    Inference.fifoReplay(base, Seq("event_type", "d"), "us", "event_id",
+        "s_us")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(CASE WHEN wait_us > 0 THEN 1 ELSE 0 END) * 10000 " +
+          "div count(1)").as("delayed_bp"),
+        expr("CAST(CAST(sum(wait_us) AS DECIMAL(38,0)) div count(1) " +
+          "AS BIGINT)").as("mean_wait_us"),
+        max($"wait_us").as("max_wait_us"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q490_queue_replay" -> q490QueueReplay _,
     "q489_spec_decode" -> q489SpecDecode _,
     "q483_dpo_pairs" -> q483DpoPairs _,
     "q484_pref_transitivity" -> q484PrefTransitivity _,
@@ -302,6 +336,35 @@ object PrefQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q490_queue_replay" -> """
+      |WITH base AS (
+      |  SELECT event_type,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |    epoch_us(ts) AS us, event_id,
+      |    (CAST(json_extract_string(props, '$.k') AS BIGINT) + 1)
+      |      * 1000000 AS s_us
+      |  FROM events WHERE event_type IS NOT NULL
+      |    AND json_extract_string(props, '$.k') IS NOT NULL),
+      |w1 AS (
+      |  SELECT event_type, d, us, event_id, s_us,
+      |    sum(s_us) OVER (PARTITION BY event_type, d
+      |      ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S
+      |  FROM base),
+      |w2 AS (
+      |  SELECT event_type, us, s_us, S,
+      |    max(us - S + s_us) OVER (PARTITION BY event_type, d
+      |      ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS M
+      |  FROM w1),
+      |r AS (SELECT event_type, S + M - us - s_us AS wait_us FROM w2)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN wait_us > 0 THEN 1 ELSE 0 END) * 10000
+      |    // count(*) AS BIGINT) AS delayed_bp,
+      |  CAST(CAST(sum(wait_us) AS HUGEINT) // count(*) AS BIGINT)
+      |    AS mean_wait_us,
+      |  CAST(max(wait_us) AS BIGINT) AS max_wait_us
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q489_spec_decode" -> """
       |WITH d AS (
       |  SELECT user_id, k,

@@ -102,6 +102,22 @@ class PreferenceSpec extends SparkSpec {
     assert(got("Z") == (1L, 1L, 0L, 0L, 0L, 0L))
   }
 
+  test("fifoReplay: hand-computed Lindley waits — busy, idle-gap, re-busy") {
+    import spark.implicits._
+    // one server: arr 0 (s=10) runs 0-10; arr 5 waits 5, runs 10-20;
+    // arr 30 finds it idle; arr 31 waits 4 behind the 5-unit job
+    val df = Seq(
+      ("x", 0L, 1L, 10L), ("x", 5L, 2L, 10L),
+      ("x", 30L, 3L, 5L), ("x", 31L, 4L, 1L),
+      ("y", 7L, 5L, 3L)) // other key: independent server, no wait
+      .toDF("k", "us", "id", "s_us")
+    val got = Inference.fifoReplay(df, Seq("k"), "us", "id", "s_us")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("c_us"), r.getAs[Long]("wait_us"))).toMap
+    assert(got == Map(1L -> (10L, 0L), 2L -> (20L, 5L),
+      3L -> (35L, 0L), 4L -> (36L, 4L), 5L -> (10L, 0L)), got)
+  }
+
   test("q489 run-length fixture: first-draft rejection, all-accepted, middle") {
     // pins the `coalesce(min(k WHERE rejected) - 1, max(k))` spelling the
     // oracle echoes: reject-at-1 -> 0, all-accepted -> n, reject-at-4 -> 3
