@@ -655,4 +655,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("q491/q494/q495/q496: totals broadcast back; no sort-merge, no sort") {
+    // the training-ops family is keyed-aggregate + broadcast-scalar
+    // algebra end to end: any SortMergeJoin or WindowExec appearing here
+    // means a totals row stopped broadcasting or a rank crept in
+    for (q <- Seq("q491_moe_balance", "q494_loo_influence",
+        "q495_gns_estimate", "q496_straggler_tax")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("Window"), q)
+      assert(p.contains("partial_"), q)
+    }
+  }
+
+  test("q492: cartography is two keyed aggregates + one broadcast means row") {
+    val p = plan("q492_cartography")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+    // exactly the example-grain and region-grain exchanges plus the
+    // broadcast of the means row — no third data shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
+  test("q493: replay index rides groupedGlobalRank, not an enum-key window") {
+    // the 8-value shard key must never appear as a window partition spec
+    // (the q268 one-task-per-group class); groupedGlobalRank's zipWithIndex
+    // leaves no WindowExec over the doc rows at all
+    val p = plan("q493_restart_replay")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
 }

@@ -19,7 +19,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "MiningQueries" -> (queries.MiningQueries.queries.keySet, queries.MiningQueries.oracleSql.keySet),
     "StatsQueries" -> (queries.StatsQueries.queries.keySet, queries.StatsQueries.oracleSql.keySet),
     "EvalQueries" -> (queries.EvalQueries.queries.keySet, queries.EvalQueries.oracleSql.keySet),
-    "PrefQueries" -> (queries.PrefQueries.queries.keySet, queries.PrefQueries.oracleSql.keySet))
+    "PrefQueries" -> (queries.PrefQueries.queries.keySet, queries.PrefQueries.oracleSql.keySet),
+    "TrainOps" -> (queries.TrainOps.queries.keySet, queries.TrainOps.oracleSql.keySet))
 
   test("every query has an oracle and vice versa") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
