@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Curation, Domain, EvalQueries, GraphEvents, MiningQueries, PrefQueries, Relational, Reports, ShopQueries, StatsQueries, TrainOps, TrainingData}
+import graft.queries.{Compliance, Curation, Domain, EvalQueries, GraphEvents, MiningQueries, PrefQueries, Relational, Reports, ShopQueries, StatsQueries, TrainOps, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
     Relational.queries ++ Domain.queries ++ TrainingData.queries ++
       ShopQueries.queries ++ Reports.queries ++ GraphEvents.queries ++
       Curation.queries ++ MiningQueries.queries ++ StatsQueries.queries ++
-      EvalQueries.queries ++ PrefQueries.queries ++ TrainOps.queries
+      EvalQueries.queries ++ PrefQueries.queries ++ TrainOps.queries ++
+      Compliance.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
     Relational.oracleSql ++ Domain.oracleSql ++ TrainingData.oracleSql ++
       ShopQueries.oracleSql ++ Reports.oracleSql ++ GraphEvents.oracleSql ++
       Curation.oracleSql ++ MiningQueries.oracleSql ++ StatsQueries.oracleSql ++
-      EvalQueries.oracleSql ++ PrefQueries.oracleSql ++ TrainOps.oracleSql
+      EvalQueries.oracleSql ++ PrefQueries.oracleSql ++ TrainOps.oracleSql ++
+      Compliance.oracleSql
 }

@@ -205,4 +205,34 @@ object Privacy {
         coalesce(col("level") === col("_first"), lit(false)))
       .drop("_first")
   }
+
+  /** Right-to-be-forgotten propagation audit: per user the LATEST event
+    * of `requestType` is an erasure request; any OTHER event of that
+    * user recorded more than `slaUs` micros after it is a violation —
+    * data still flowing through the pipeline past the deletion deadline.
+    * Per event_type over the requested users' activity: event count,
+    * violations (count + bp + distinct users) and the worst overshoot
+    * past the deadline. Inner join keyed on the user (only users with a
+    * request are in scope) then one type-grain aggregate — the request
+    * side is user-grain, so the join shuffles both sides on the key and
+    * partial-aggregates; nothing is collected or windowed. */
+  def tombstoneAudit(events: DataFrame, userCol: String, tsUsCol: String,
+      typeCol: String, requestType: String, slaUs: Long): DataFrame = {
+    require(slaUs >= 0)
+    val u = col(userCol)
+    val req = events.filter(u.isNotNull && col(typeCol) === requestType)
+      .groupBy(u.as("_ru"))
+      .agg(max(col(tsUsCol)).as("_req_us"))
+    events.filter(u.isNotNull && col(typeCol) =!= requestType)
+      .join(req, u === col("_ru"))
+      .withColumn("_over",
+        greatest(lit(0L), col(tsUsCol) - col("_req_us") - slaUs))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("_over") > 0, 1L).otherwise(0L)).as("n_late"),
+        expr("sum(CASE WHEN _over > 0 THEN 1 ELSE 0 END) * 10000 " +
+          "div count(1)").as("late_bp"),
+        max(col("_over")).as("max_overshoot_us"),
+        countDistinct(when(col("_over") > 0, u)).as("n_users_late"))
+  }
 }

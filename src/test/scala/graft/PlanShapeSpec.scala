@@ -678,6 +678,29 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastExchange"), p)
   }
 
+  test("q498/q500: governance scans aggregate without any data-sized join") {
+    // q498 joins only the broadcast "now" scalar; q500 is scan-only
+    // detection + one aggregate — a SortMergeJoin in either means a
+    // scalar stopped broadcasting
+    for (q <- Seq("q498_retention_purge", "q500_pii_split_leak")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(p.contains("partial_"), q)
+    }
+  }
+
+  test("q497/q499: erasure/consent audits key their joins on the user") {
+    // big-big joins on user_id are the intended shape (the request /
+    // consent side is user-grain — broadcasting it would be wrong at
+    // 100 TB); what must NOT appear is a cartesian or a window
+    for (q <- Seq("q497_tombstone_audit", "q499_consent_coverage")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("Window"), q)
+    }
+  }
+
   test("q493: replay index rides groupedGlobalRank, not an enum-key window") {
     // the 8-value shard key must never appear as a window partition spec
     // (the q268 one-task-per-group class); groupedGlobalRank's zipWithIndex
