@@ -520,6 +520,52 @@ object EventsStreaming {
       }.toDF()
   }
 
+  final case class TombRow(user_id: Long, us: Long, event_id: Long,
+      event_type: String)
+  final case class TombViolation(user_id: Long, event_id: Long,
+      event_type: String, overshoot_us: Long)
+
+  /** Online erasure enforcement — the stateful sibling of
+    * [[graft.etl.Privacy.tombstoneAudit]]: once a user's erasure request
+    * (`requestType` row) is seen, any OTHER event of that user arriving
+    * more than `slaUs` after it is flagged the moment it lands, carrying
+    * ONE Long per requested user (the latest request µs). Rows process
+    * in (us, event_id) order within a batch. Deliberate semantic
+    * difference from the batch audit, documented here so the parity
+    * spec's scope is honest: the batch op judges lateness against the
+    * user's LAST request overall (the retrospective compliance view);
+    * the stream judges against the last request SEEN SO FAR (the
+    * operational view — a re-consent arriving later does not un-flag
+    * data that already leaked past the deadline). For in-event-time-
+    * order arrival and single-request users the two agree exactly, and
+    * that is what the spec pins. State is O(1) per requested user; users
+    * who never request hold no state at all. */
+  def tombstoneStream(events: DataFrame, requestType: String,
+      slaUs: Long): DataFrame = {
+    require(slaUs >= 0, s"slaUs must be non-negative, got $slaUs")
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("us"), col("event_id"),
+        col("event_type")).as[TombRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[TombRow], state: GroupState[Long]) =>
+          var req: Option[Long] = state.getOption
+          val out = rows.toSeq.sortBy(r => (r.us, r.event_id)).flatMap { r =>
+            if (r.event_type == requestType) {
+              req = Some(req.fold(r.us)(math.max(_, r.us)))
+              None
+            } else req.collect {
+              case t if r.us > t + slaUs =>
+                TombViolation(user, r.event_id, r.event_type,
+                  r.us - t - slaUs)
+            }
+          }
+          req.foreach(state.update)
+          out.iterator
+      }.toDF()
+  }
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension (e.g. the unified product table) — the dim is re-read per
     * micro-batch and broadcast, so the stream side never shuffles. */

@@ -624,4 +624,52 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got == Set(1L, 3L, 5L, 6L, 7L), got)
   }
 
+  test("tombstoneStream: cross-batch violations match the batch audit " +
+      "for single-request users") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStreaming.TombRow
+    val day = 86400000000L
+    val input = MemoryStream[TombRow]
+    val batch1 = Seq(
+      TombRow(1L, 0L, 1L, "signup"),            // u1 erasure request
+      TombRow(1L, day / 2, 2L, "click"),         // within SLA: clean
+      TombRow(2L, 2 * day, 3L, "click"))         // u2 never requests
+    val batch2 = Seq(
+      TombRow(1L, day + 1, 4L, "click"),         // 1us past deadline
+      TombRow(1L, 3 * day, 5L, "view"),          // 2 days past
+      TombRow(2L, 5 * day, 6L, "view"))
+    input.addData(batch1: _*)
+    val q = EventsStreaming.tombstoneStream(input.toDF(), "signup", day)
+      .writeStream.format("memory").queryName("tomb")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tomb")
+      .select($"event_id", $"overshoot_us").as[(Long, Long)]
+      .collect().toMap
+    assert(streamed == Map(4L -> 1L, 5L -> (2L * day)))
+    // parity: per-type violation counts and worst overshoot equal the
+    // batch audit on the union (every user here has <= 1 request, the
+    // documented agreement scope)
+    val all = (batch1 ++ batch2)
+      .toDF("user_id", "us", "event_id", "event_type")
+    val batch = graft.etl.Privacy
+      .tombstoneAudit(all, "user_id", "us", "event_type", "signup", day)
+      .select($"event_type", $"n_late", $"max_overshoot_us")
+      .as[(String, Long, Long)].collect()
+      .map { case (t, n, m) => t -> ((n, m)) }.toMap
+    val streamedByType = spark.table("tomb")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), max($"overshoot_us").as("m"))
+      .as[(String, Long, Long)].collect()
+      .map { case (t, n, m) => t -> ((n, m)) }.toMap
+    for ((t, (n, m)) <- batch)
+      assert(streamedByType.getOrElse(t, (0L, 0L)) ==
+        ((n, if (n > 0) m else 0L)), t)
+  }
+
 }
