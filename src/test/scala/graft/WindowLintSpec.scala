@@ -76,7 +76,10 @@ class WindowLintSpec extends SparkSpec {
       "quality-bin aggregate (score%997 div 10 - bounded literal " +
       "domain)"),
     "q481_crawl_saturation" -> ("cumulative over the 10-row crawl-order " +
-      "bucket aggregate (literal decile domain)"))
+      "bucket aggregate (literal decile domain)"),
+    "q503_slo_burn" -> ("rolling 60/360-minute burn windows over the " +
+      "per-MINUTE aggregate (calendar-bounded row count, like " +
+      "q238/q470)"))
 
   private def bounding(p: SparkPlan): Boolean = p.exists {
     case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec |
