@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Compliance, Curation, Domain, EvalQueries, GraphEvents, MiningQueries, PrefQueries, Relational, Reports, ServingOps, ShopQueries, StatsQueries, TrainOps, TrainingData}
+import graft.queries.{Compliance, Curation, DataContract, Domain, EvalQueries, GraphEvents, MiningQueries, PrefQueries, Relational, Reports, ServingOps, ShopQueries, StatsQueries, TrainOps, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ object SparkEntry {
       ShopQueries.queries ++ Reports.queries ++ GraphEvents.queries ++
       Curation.queries ++ MiningQueries.queries ++ StatsQueries.queries ++
       EvalQueries.queries ++ PrefQueries.queries ++ TrainOps.queries ++
-      Compliance.queries ++ ServingOps.queries
+      Compliance.queries ++ ServingOps.queries ++ DataContract.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -31,5 +31,5 @@ object SparkEntry {
       ShopQueries.oracleSql ++ Reports.oracleSql ++ GraphEvents.oracleSql ++
       Curation.oracleSql ++ MiningQueries.oracleSql ++ StatsQueries.oracleSql ++
       EvalQueries.oracleSql ++ PrefQueries.oracleSql ++ TrainOps.oracleSql ++
-      Compliance.oracleSql ++ ServingOps.oracleSql
+      Compliance.oracleSql ++ ServingOps.oracleSql ++ DataContract.oracleSql
 }

@@ -22,7 +22,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "PrefQueries" -> (queries.PrefQueries.queries.keySet, queries.PrefQueries.oracleSql.keySet),
     "TrainOps" -> (queries.TrainOps.queries.keySet, queries.TrainOps.oracleSql.keySet),
     "Compliance" -> (queries.Compliance.queries.keySet, queries.Compliance.oracleSql.keySet),
-    "ServingOps" -> (queries.ServingOps.queries.keySet, queries.ServingOps.oracleSql.keySet))
+    "ServingOps" -> (queries.ServingOps.queries.keySet, queries.ServingOps.oracleSql.keySet),
+    "DataContract" -> (queries.DataContract.queries.keySet, queries.DataContract.oracleSql.keySet))
 
   test("every query has an oracle and vice versa") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
