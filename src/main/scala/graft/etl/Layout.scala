@@ -218,6 +218,14 @@ object Layout {
     * total order (append a unique id). */
   def groupedGlobalRank(df: DataFrame, groupCols: Seq[String],
       sort: Seq[Column], rankCol: String, nParts: Int = 64): DataFrame = {
+    // NOT localCheckpointed, measured: the ranked frame feeds two
+    // branches, but the range exchange's shuffle files are reused across
+    // them (only the post-shuffle sort + encode re-runs), so pinning the
+    // full frame COSTS more than it saves (min-of-3 at sf0.1:
+    // q241 1.74 -> 1.90 s, q149 2.13 -> 2.16 s with a localCheckpoint
+    // here). The zipWithIndex object identity already pins ONE
+    // partitioner for both branches, which is the correctness-critical
+    // part (see globalRank's docstring).
     val g = globalRank(df, groupCols.map(col) ++ sort, "_ggr", nParts)
     val off = g.groupBy(groupCols.map(col): _*)
       .agg(min(col("_ggr")).as("_ggoff"))
