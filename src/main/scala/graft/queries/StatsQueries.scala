@@ -1328,7 +1328,54 @@ object StatsQueries {
       .orderBy($"event_type")
   }
 
+  // ------------------------------------------- q508 backtest grid
+
+  /** Rolling-origin forecast backtest: the seasonal-naive forecaster
+    * (value at origin day d predicts day d+h) scored at every origin
+    * with actual data for the horizon, per (event_type, h ∈ {1, 7}).
+    * Reports MAE in exact cents and MASE in milli — the error scaled by
+    * the in-sample seasonal-naive denominator (mean |a(t) − a(t−7)|),
+    * the standard "is the model beating persistence" gate for any
+    * forecasting job. Entirely self-joins on the calendar-bounded daily
+    * aggregate (day grain: one keyed shuffle to build, broadcast-size
+    * after), NULL (not 0) where the denominator is degenerate. */
+  def q508BacktestGrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter($"event_type".isNotNull && $"value".isNotNull)
+      .groupBy($"event_type",
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+        .as("c"))
+      .localCheckpoint() // day grain, calendar-bounded; feeds 3 branches
+    val denom = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.d") === col("b.d") + 7)
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(expr("CAST(sum(abs(a.c - b.c)) AS BIGINT)").as("_sae"),
+        count(lit(1)).as("_nd"))
+    val horizons = Seq(1L, 7L).toDF("h")
+    val errs = daily.as("o").crossJoin(broadcast(horizons))
+      .join(daily.as("t"),
+        col("t.event_type") === col("o.event_type") &&
+          col("t.d") === col("o.d") + col("h"))
+      .groupBy(col("o.event_type").as("event_type"), col("h"))
+      .agg(count(lit(1)).as("n_origins"),
+        expr("CAST(sum(abs(t.c - o.c)) AS BIGINT)").as("_sfe"))
+    errs.join(denom, "event_type")
+      .withColumn("mae_cents", expr("_sfe div n_origins"))
+      .withColumn("mase_milli", expr(
+        "CASE WHEN _sae > 0 THEN CAST(CAST(_sfe AS DECIMAL(38,0)) * _nd " +
+          "* 1000 div (CAST(_sae AS DECIMAL(38,0)) * n_origins) " +
+          "AS BIGINT) END"))
+      .select($"event_type", $"h", $"n_origins", $"mae_cents",
+        $"mase_milli")
+      .orderBy($"event_type", $"h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q508_backtest_grid" -> q508BacktestGrid _,
     "q457_stratified_ate" -> q457StratifiedAte _,
     "q463_iv_wald" -> q463IvWald _,
     "q451_reciprocity" -> q451Reciprocity _,
@@ -1392,6 +1439,33 @@ object StatsQueries {
     "q222_runs_test" -> q222RunsTest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q508_backtest_grid" -> """
+      |WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS c
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |denom AS (
+      |  SELECT a.event_type, sum(abs(a.c - b.c)) AS sae, count(*) AS nd
+      |  FROM daily a JOIN daily b
+      |    ON b.event_type = a.event_type AND a.d = b.d + 7
+      |  GROUP BY 1),
+      |h AS (SELECT unnest(ARRAY[1, 7]) AS h),
+      |errs AS (
+      |  SELECT o.event_type, h.h, count(*) AS n_origins,
+      |    sum(abs(t.c - o.c)) AS sfe
+      |  FROM daily o CROSS JOIN h
+      |  JOIN daily t ON t.event_type = o.event_type AND t.d = o.d + h.h
+      |  GROUP BY 1, 2)
+      |SELECT e.event_type, CAST(e.h AS BIGINT) AS h,
+      |  CAST(e.n_origins AS BIGINT) AS n_origins,
+      |  CAST(e.sfe // e.n_origins AS BIGINT) AS mae_cents,
+      |  CAST(CASE WHEN d.sae > 0 THEN CAST(e.sfe AS HUGEINT) * d.nd
+      |    * 1000 // (CAST(d.sae AS HUGEINT) * e.n_origins) END AS BIGINT)
+      |    AS mase_milli
+      |FROM errs e JOIN denom d ON d.event_type = e.event_type
+      |ORDER BY 1, 2""".stripMargin,
     "q463_iv_wald" -> """
       |WITH e AS (
       |  SELECT user_id, user_id % 2 AS z, event_type,
