@@ -566,6 +566,27 @@ object EventsStreaming {
       }.toDF()
   }
 
+  /** Online SLO burn-rate alerting — the streaming face of q503's batch
+    * readout, and the engine's sliding-window showcase (tumbling and
+    * session windows live above; this is `window(ts, len, slide)`):
+    * every event lands in 60 overlapping one-minute-slid panes, each
+    * watermark-finalized pane aggregates (n, errors), and only panes
+    * whose error rate clears `thresholdBp` emit — the integer-exact
+    * comparison `e * 10000 >= threshold * n` avoids a division the two
+    * engines could floor differently. Append mode: a pane emits once,
+    * when the watermark passes its end, so downstream pagers see each
+    * alert exactly once. State is the open panes only (≤ 60 per slide
+    * step + watermark lag), never raw events. */
+  def burnRateStream(events: DataFrame, thresholdBp: Long = 140,
+      windowLen: String = "60 minutes", slide: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide))
+      .agg(count(lit(1)).as("n"),
+        sum((col("event_type") === "error").cast("long")).as("e"))
+      .filter(col("e") * 10000 >= lit(thresholdBp) * col("n"))
+      .select(col("window.start").as("w_start"), col("n"), col("e"))
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension (e.g. the unified product table) — the dim is re-read per
     * micro-batch and broadcast, so the stream side never shuffles. */

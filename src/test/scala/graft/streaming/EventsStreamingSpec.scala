@@ -624,6 +624,43 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got == Set(1L, 3L, 5L, 6L, 7L), got)
   }
 
+  test("burnRateStream: only panes over the threshold emit, once, " +
+      "after the watermark closes them") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    // 5-minute panes slid by 5 minutes over a 10-minute stretch with a
+    // concentrated error burst: pane [10:00,10:05) has 1 error / 3
+    // events (3333bp >= 2000bp: alerts), pane [10:05,10:10) has 1/10
+    // (1000bp: silent)
+    val q = EventsStreaming.burnRateStream(input.toDF(),
+        thresholdBp = 2000, windowLen = "5 minutes", slide = "5 minutes",
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("burn")
+      .outputMode("append").start()
+    input.addData(
+      EventRow(1, ts("2026-01-01 10:00:10"), 1, "view", 1.0),
+      EventRow(2, ts("2026-01-01 10:01:00"), 1, "error", 1.0),
+      EventRow(3, ts("2026-01-01 10:04:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    input.addData((0 until 10).map(i =>
+      EventRow(10 + i, ts(f"2026-01-01 10:05:${i * 5}%02d"), 1,
+        if (i == 0) "error" else "view", 1.0)): _*)
+    q.processAllAvailable()
+    // watermark jump closes both panes (commit lag needs one extra batch,
+    // same as the dedup-horizon test)
+    input.addData(EventRow(99, ts("2026-01-01 11:00:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    input.addData(EventRow(100, ts("2026-01-01 11:05:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("burn")
+      .select($"w_start".cast("string"), $"n", $"e")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("2026-01-01 10:00:00", 3L, 1L)), got)
+  }
+
   test("tombstoneStream: cross-batch violations match the batch audit " +
       "for single-request users") {
     val sq = spark
