@@ -667,7 +667,83 @@ object Domain {
       .orderBy($"col_a", $"col_b")
   }
 
+  // ------------------------------------------- q509 omnibus audit
+
+  /** EU-Omnibus reference-price audit (Directive 98/6/EC as amended):
+    * an advertised "was €X" must be the LOWEST price of the prior 30
+    * days. Listings are (supplier, part); the per-day unit price is
+    * exact floored cents (round(extendedprice·100) div qty — qty is a
+    * whole number in this schema). For each listing with a sale on its
+    * last active day: the implied reference (price on the most recent
+    * PRIOR sale day), the trailing-30-day minimum before that last day,
+    * and a VIOLATION when a discount is claimed (last < ref) while the
+    * reference overstates the omnibus baseline (ref > min30). Per
+    * supplier: discounted listings, violations, violation bp, mean
+    * overstatement cents. Every join keys on (supplier, part) — one
+    * hash partitioning reused across the four listing-grain frames. */
+  def q509OmnibusAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pd = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" >= 1)
+      .groupBy($"l_suppkey", $"l_partkey",
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+          .as("d"))
+      .agg(expr("CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT) " +
+        "div CAST(l_quantity AS BIGINT)) AS BIGINT)").as("p"))
+    val last = pd.groupBy($"l_suppkey", $"l_partkey")
+      .agg(max($"d").as("dmax"))
+    val j = pd.join(last, Seq("l_suppkey", "l_partkey"))
+    val pLast = j.filter($"d" === $"dmax")
+      .select($"l_suppkey", $"l_partkey", $"p".as("p_last"))
+    val prior = j.filter($"d" < $"dmax" && $"d" >= $"dmax" - 30)
+      .groupBy($"l_suppkey", $"l_partkey")
+      .agg(max($"d").as("dref"), min($"p").as("min30"))
+    val ref = j.join(prior, Seq("l_suppkey", "l_partkey"))
+      .filter($"d" === $"dref")
+      .select($"l_suppkey", $"l_partkey", $"p".as("p_ref"), $"min30")
+    pLast.join(ref, Seq("l_suppkey", "l_partkey"))
+      .filter($"p_last" < $"p_ref") // a discount is being claimed
+      .withColumn("_viol", ($"p_ref" > $"min30").cast("long"))
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_discounted"),
+        sum($"_viol").as("n_violations"),
+        expr("sum(_viol) * 10000 div count(1)").as("violation_bp"),
+        expr("CAST(sum(CASE WHEN _viol = 1 THEN p_ref - min30 ELSE 0 END)" +
+          " AS BIGINT)").as("overstatement_cents"))
+      .orderBy($"l_suppkey")
+  }
+
+  // ----------------------------------------- q510 assortment churn
+
+  /** Assortment churn per supplier: listings (supplier, part) classed by
+    * their first/last sale day against the corpus span — new arrivals
+    * (first seen in the final third), delisted (silent for the last 30
+    * days), still active (sold within the last week). The shelf-rotation
+    * readout a retail feed is monitored by; one listing-grain aggregate
+    * + a broadcast bounds row. */
+  def q510AssortmentChurn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_suppkey", $"l_partkey",
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+          .as("d"))
+    val bounds = li.agg(min($"d").as("_mn"), max($"d").as("_mx"))
+    li.groupBy($"l_suppkey", $"l_partkey")
+      .agg(min($"d").as("f"), max($"d").as("l"))
+      .crossJoin(broadcast(bounds))
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_listings"),
+        sum(when($"l" >= $"_mx" - 7, 1L).otherwise(0L)).as("n_active"),
+        expr("sum(CASE WHEN f > _mn + (_mx - _mn) * 2 div 3 THEN 1 " +
+          "ELSE 0 END) * 10000 div count(1)").as("new_bp"),
+        expr("sum(CASE WHEN l < _mx - 30 THEN 1 ELSE 0 END) * 10000 " +
+          "div count(1)").as("delisted_bp"))
+      .orderBy($"l_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q509_omnibus_audit" -> q509OmnibusAudit _,
+    "q510_assortment_churn" -> q510AssortmentChurn _,
     "q184_fd_audit" -> q184FdAudit _,
     "q309_key_discovery" -> q309KeyDiscovery _,
     "q317_rare_collapse" -> q317RareCollapse _,
@@ -705,6 +781,58 @@ object Domain {
     "q94_drawdown" -> q94Drawdown _)
 
   val oracleSql: Map[String, String] = Map(
+    "q509_omnibus_audit" -> """
+      |WITH pd AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    epoch_us(l_shipdate) // 86400000000 AS d,
+      |    min(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      // CAST(l_quantity AS BIGINT)) AS p
+      |  FROM lineitem WHERE l_quantity >= 1
+      |  GROUP BY 1, 2, 3),
+      |last_d AS (
+      |  SELECT l_suppkey, l_partkey, max(d) AS dmax
+      |  FROM pd GROUP BY 1, 2),
+      |j AS (
+      |  SELECT pd.*, dmax FROM pd
+      |  JOIN last_d USING (l_suppkey, l_partkey)),
+      |p_last AS (
+      |  SELECT l_suppkey, l_partkey, p AS p_last FROM j WHERE d = dmax),
+      |prior AS (
+      |  SELECT l_suppkey, l_partkey, max(d) AS dref, min(p) AS min30
+      |  FROM j WHERE d < dmax AND d >= dmax - 30 GROUP BY 1, 2),
+      |ref AS (
+      |  SELECT j.l_suppkey, j.l_partkey, j.p AS p_ref, prior.min30
+      |  FROM j JOIN prior USING (l_suppkey, l_partkey)
+      |  WHERE j.d = prior.dref),
+      |scored AS (
+      |  SELECT p_last.l_suppkey,
+      |    CASE WHEN p_ref > min30 THEN 1 ELSE 0 END AS viol,
+      |    p_ref - min30 AS over_c
+      |  FROM p_last JOIN ref USING (l_suppkey, l_partkey)
+      |  WHERE p_last < p_ref)
+      |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_discounted,
+      |  CAST(sum(viol) AS BIGINT) AS n_violations,
+      |  CAST(sum(viol) * 10000 // count(*) AS BIGINT) AS violation_bp,
+      |  CAST(sum(CASE WHEN viol = 1 THEN over_c ELSE 0 END) AS BIGINT)
+      |    AS overstatement_cents
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q510_assortment_churn" -> """
+      |WITH li AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    epoch_us(l_shipdate) // 86400000000 AS d
+      |  FROM lineitem),
+      |b AS (SELECT min(d) AS mn, max(d) AS mx FROM li),
+      |per AS (
+      |  SELECT l_suppkey, l_partkey, min(d) AS f, max(d) AS l
+      |  FROM li GROUP BY 1, 2)
+      |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_listings,
+      |  CAST(sum(CASE WHEN l >= mx - 7 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_active,
+      |  CAST(sum(CASE WHEN f > mn + (mx - mn) * 2 // 3 THEN 1 ELSE 0 END)
+      |    * 10000 // count(*) AS BIGINT) AS new_bp,
+      |  CAST(sum(CASE WHEN l < mx - 30 THEN 1 ELSE 0 END) * 10000
+      |    // count(*) AS BIGINT) AS delisted_bp
+      |FROM per, b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q340_promo_share" -> """
       |WITH u AS (
       |  SELECT CASE p_partkey % 4 WHEN 0 THEN 'AH' WHEN 1 THEN 'JUMBO'
