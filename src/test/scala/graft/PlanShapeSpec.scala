@@ -701,6 +701,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q508/q509/q510: retail/backtest joins stay keyed — no cartesian, " +
+      "no window") {
+    for (q <- Seq("q508_backtest_grid", "q509_omnibus_audit",
+        "q510_assortment_churn")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("Window"), q)
+      assert(p.contains("partial_"), q)
+    }
+  }
+
   test("q493: replay index rides groupedGlobalRank, not an enum-key window") {
     // the 8-value shard key must never appear as a window partition spec
     // (the q268 one-task-per-group class); groupedGlobalRank's zipWithIndex
