@@ -1374,7 +1374,87 @@ object StatsQueries {
       .orderBy($"event_type", $"h")
   }
 
+  /** Shared stratum table for the meta-analysis pair (q511/q512): each
+    * event_type is an "experiment", treatment = even user_id, outcome =
+    * conversion (value ≥ €50 — it must VARY within a stratum, which the
+    * error flag cannot: it IS the stratum key). Per stratum: counts,
+    * rates (bp), risk difference (bp), its variance proxy
+    * v = p1(1−p1)/n1 + p0(1−p0)/n0 in bp² (floored per term,
+    * non-negative), and the inverse-variance weight w = 10^8 div v.
+    * One keyed aggregate. */
+  private[queries] def metaStrata(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"user_id" >= 0 &&
+        $"event_type".isNotNull && $"value".isNotNull && $"value" >= 0)
+      .select($"event_type", ($"user_id" % 2 === 0).cast("long").as("t"),
+        expr("CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000 " +
+          "THEN 1 ELSE 0 END").as("e"))
+      .groupBy($"event_type")
+      .agg(sum($"t").as("n1"),
+        sum($"t" * $"e").as("x1"),
+        sum(lit(1L) - $"t").as("n0"),
+        sum((lit(1L) - $"t") * $"e").as("x0"))
+      .filter($"n1" > 0 && $"n0" > 0)
+      .withColumn("p1_bp", expr("x1 * 10000 div n1"))
+      .withColumn("p0_bp", expr("x0 * 10000 div n0"))
+      .withColumn("eff_bp", $"p1_bp" - $"p0_bp")
+      .withColumn("v_bp2", expr(
+        "CAST(CAST(p1_bp AS DECIMAL(38,0)) * (10000 - p1_bp) div n1 " +
+          "+ CAST(p0_bp AS DECIMAL(38,0)) * (10000 - p0_bp) div n0 " +
+          "AS BIGINT)"))
+      .withColumn("w", expr(
+        "CASE WHEN v_bp2 > 0 THEN 100000000 div v_bp2 END"))
+  }
+
+  // ------------------------------------------- q511 meta strata
+
+  /** Per-stratum effects feeding the fixed-effect meta-analysis: risk
+    * difference, variance proxy, inverse-variance weight, and the
+    * weight's share of the pool (bp) — the forest-plot table. */
+  def q511MetaStrata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = metaStrata(spark, dir).filter($"w".isNotNull)
+    val tot = s.agg(sum($"w").as("_tw"))
+    s.crossJoin(broadcast(tot))
+      .withColumn("w_share_bp", expr("w * 10000 div _tw"))
+      .select($"event_type", $"n1", $"n0", $"p1_bp", $"p0_bp", $"eff_bp",
+        $"v_bp2", $"w", $"w_share_bp")
+      .orderBy($"event_type")
+  }
+
+  // ------------------------------------------- q512 pooled meta
+
+  /** Fixed-effect pooled estimate + heterogeneity: pooled risk
+    * difference = Σwᵢ·effᵢ / Σwᵢ (computed on effects SHIFTED by
+    * +10000 bp so every division dividend stays non-negative — Spark
+    * truncates, DuckDB floors, and a negative pooled numerator would
+    * diverge), Cochran's Q = Σ (effᵢ − pooled)² div vᵢ (each term a
+    * non-negative floored integer), and I² = (Q − (k−1))/Q in milli,
+    * clamped at 0. The Q > k−1 CASE keeps that division's dividend
+    * non-negative too. */
+  def q512PooledMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = metaStrata(spark, dir).filter($"w".isNotNull)
+      .localCheckpoint() // enum-domain strata (≤5 rows); feeds 2 passes
+    val pooled = s.agg(
+        count(lit(1)).as("k"),
+        expr("CAST(CAST(sum(w * (eff_bp + 10000)) AS DECIMAL(38,0)) " +
+          "div sum(w) AS BIGINT) - 10000").as("pooled_bp"))
+    s.crossJoin(broadcast(pooled))
+      .withColumn("_d", $"eff_bp" - $"pooled_bp")
+      .agg(max($"k").as("k"), max($"pooled_bp").as("pooled_bp"),
+        expr("CAST(sum(CAST(_d AS DECIMAL(38,0)) * _d div v_bp2) " +
+          "AS BIGINT)").as("q_stat"))
+      .withColumn("i2_milli", expr(
+        "CASE WHEN q_stat > k - 1 THEN (q_stat - (k - 1)) * 1000 " +
+          "div q_stat ELSE 0 END"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q511_meta_strata" -> q511MetaStrata _,
+    "q512_pooled_meta" -> q512PooledMeta _,
     "q508_backtest_grid" -> q508BacktestGrid _,
     "q457_stratified_ate" -> q457StratifiedAte _,
     "q463_iv_wald" -> q463IvWald _,
@@ -1438,7 +1518,69 @@ object StatsQueries {
     "q221_daily_pivot" -> q221DailyPivot _,
     "q222_runs_test" -> q222RunsTest _)
 
+  private val metaStrataSql: String = """
+      |  SELECT event_type, sum(t) AS n1, sum(t * e) AS x1,
+      |    sum(1 - t) AS n0, sum((1 - t) * e) AS x0
+      |  FROM (
+      |    SELECT event_type,
+      |      CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+      |      CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000
+      |        THEN 1 ELSE 0 END AS e
+      |    FROM events
+      |    WHERE user_id IS NOT NULL AND user_id >= 0
+      |      AND event_type IS NOT NULL
+      |      AND value IS NOT NULL AND value >= 0)
+      |  GROUP BY 1 HAVING sum(t) > 0 AND sum(1 - t) > 0""".stripMargin
+
+  private val metaRatesSql: String = s"""
+      |base AS (
+      |$metaStrataSql),
+      |rates AS (
+      |  SELECT event_type, n1, n0, x1, x0,
+      |    x1 * 10000 // n1 AS p1_bp, x0 * 10000 // n0 AS p0_bp
+      |  FROM base),
+      |strata AS (
+      |  SELECT event_type, n1, n0, p1_bp, p0_bp,
+      |    p1_bp - p0_bp AS eff_bp,
+      |    CAST(CAST(p1_bp AS HUGEINT) * (10000 - p1_bp) // n1
+      |      + CAST(p0_bp AS HUGEINT) * (10000 - p0_bp) // n0 AS BIGINT)
+      |      AS v_bp2
+      |  FROM rates),
+      |w AS (
+      |  SELECT *, CASE WHEN v_bp2 > 0 THEN 100000000 // v_bp2 END AS w
+      |  FROM strata)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q511_meta_strata" -> s"""
+      |WITH
+      |$metaRatesSql,
+      |f AS (SELECT * FROM w WHERE w IS NOT NULL),
+      |tot AS (SELECT sum(w) AS tw FROM f)
+      |SELECT event_type, CAST(n1 AS BIGINT) AS n1,
+      |  CAST(n0 AS BIGINT) AS n0, CAST(p1_bp AS BIGINT) AS p1_bp,
+      |  CAST(p0_bp AS BIGINT) AS p0_bp, CAST(eff_bp AS BIGINT) AS eff_bp,
+      |  v_bp2, CAST(w AS BIGINT) AS w,
+      |  CAST(w * 10000 // tw AS BIGINT) AS w_share_bp
+      |FROM f, tot ORDER BY event_type""".stripMargin,
+    "q512_pooled_meta" -> s"""
+      |WITH
+      |$metaRatesSql,
+      |f AS (SELECT * FROM w WHERE w IS NOT NULL),
+      |pooled AS (
+      |  SELECT count(*) AS k,
+      |    CAST(CAST(sum(w * (eff_bp + 10000)) AS HUGEINT) // sum(w)
+      |      AS BIGINT) - 10000 AS pooled_bp
+      |  FROM f),
+      |qs AS (
+      |  SELECT max(k) AS k, max(pooled_bp) AS pooled_bp,
+      |    CAST(sum(CAST(eff_bp - pooled_bp AS HUGEINT)
+      |      * (eff_bp - pooled_bp) // v_bp2) AS BIGINT) AS q_stat
+      |  FROM f, pooled)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(pooled_bp AS BIGINT)
+      |    AS pooled_bp, q_stat,
+      |  CAST(CASE WHEN q_stat > k - 1 THEN (q_stat - (k - 1)) * 1000
+      |    // q_stat ELSE 0 END AS BIGINT) AS i2_milli
+      |FROM qs""".stripMargin,
     "q508_backtest_grid" -> """
       |WITH daily AS (
       |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
