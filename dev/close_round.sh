@@ -1,0 +1,40 @@
+#!/usr/bin/env bash
+# Round-close gate chain (the .claude/skills/verify/SKILL.md checklist,
+# steps 1-3 + the canary, in order, fail-fast). Run from the repo root on
+# an otherwise-idle box; budget folding (steps 4-5) stays a human
+# decision because flagged regressions must be re-measured in isolation
+# before any budget moves.
+#
+#   dev/close_round.sh [sf001_dir] [sf01_dir]
+#
+# Exit 0 = every gate green AND the scale canary still flags (exit 1
+# from scale_diff on the canary pair is the EXPECTED, healthy outcome).
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+SF001="${1:-/root/testdata/sf0.01}"
+SF01="${2:-/root/testdata/sf0.1}"
+OUT="${TMPDIR:-/tmp}/close_round_$$"
+mkdir -p "$OUT"
+
+echo "== [1/5] sbt test =="
+sbt -batch test || exit 1
+
+echo "== [2/5] Verify + DuckDB oracle at $SF001 =="
+SPARK_GRAFT_CPUS=24 sbt -batch "runMain graft.Verify $SF001 $OUT/verify" || exit 1
+python3 dev/check_oracle.py "$SF001" "$OUT/verify" || exit 1
+
+echo "== [3/5] full Bench at $SF01 =="
+SPARK_GRAFT_SF_DIR="$SF01" SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" || exit 1
+
+echo "== [4/5] bench_diff (flags are LEADS - re-measure in isolation) =="
+python3 dev/bench_diff.py || true
+
+echo "== [5/5] scale canary must still flag =="
+sbt -batch "runMain graft.dev.ScaleCanary $SF001 tmp/scale10" || exit 1
+if python3 dev/scale_diff.py canary_10x.json canary_1x.json; then
+  echo "FATAL: the quadratic canary no longer flags - the scale gate is dead"
+  exit 1
+fi
+
+echo "== close chain green (remember: fold budgets only after isolation re-checks; commit everything) =="
