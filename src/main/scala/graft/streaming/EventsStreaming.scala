@@ -520,6 +520,64 @@ object EventsStreaming {
       }.toDF()
   }
 
+  final case class FunnelRow(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+  final case class FunnelOutcome(user_id: Long, depth: Long,
+      completed: Boolean, abandoned: Boolean)
+
+  /** Streaming ordered-funnel outcomes with EVENT-TIME abandonment — the
+    * one state-timeout mode the module didn't exercise
+    * (userProgress uses processing time; everything else NoTimeout):
+    * per user the furthest stage reached through an ORDERED funnel
+    * (each stage only counts after all prior stages). Completing the
+    * last stage emits immediately (completed=true, state cleared); a
+    * user whose state sits idle past `gap` of EVENT time — the
+    * watermark, not the wall clock, decides — times out and emits the
+    * depth reached with abandoned=true. The product-analytics twin of
+    * the batch ordered funnel (q107): the batch op reports conversion
+    * retrospectively, this reports each abandonment as soon as the
+    * stream's own time passes the deadline. State per user: one (depth,
+    * last event-time ts) pair. Rows process in ts order within a batch. */
+  def funnelStream(events: DataFrame, stages: Seq[String],
+      gap: String = "1 hour", watermark: String = "10 minutes")
+      : DataFrame = {
+    require(stages.nonEmpty)
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .as[FunnelRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[FunnelRow],
+            state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (depth, _) = state.get
+            state.remove()
+            Iterator.single(FunnelOutcome(user, depth, completed = false,
+              abandoned = true))
+          } else {
+            var (depth, lastMs) = state.getOption.getOrElse((0L, 0L))
+            val out = rows.toSeq.sortBy(_.ts.getTime).flatMap { r =>
+              lastMs = math.max(lastMs, r.ts.getTime)
+              if (depth < stages.length &&
+                  r.event_type == stages(depth.toInt)) {
+                depth += 1
+                if (depth == stages.length)
+                  Some(FunnelOutcome(user, depth, completed = true,
+                    abandoned = false))
+                else None
+              } else None
+            }
+            if (depth == stages.length) state.remove()
+            else {
+              state.update((depth, lastMs))
+              state.setTimeoutTimestamp(lastMs, gap)
+            }
+            out.iterator
+          }
+      }.toDF()
+  }
+
   final case class TombRow(user_id: Long, us: Long, event_id: Long,
       event_type: String)
   final case class TombViolation(user_id: Long, event_id: Long,

@@ -624,6 +624,41 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got == Set(1L, 3L, 5L, 6L, 7L), got)
   }
 
+  test("funnelStream: ordered stages, cross-batch completion, and " +
+      "event-time abandonment") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStreaming.FunnelRow
+    val input = MemoryStream[FunnelRow]
+    val q = EventsStreaming.funnelStream(input.toDF(),
+        stages = Seq("view", "click", "purchase"), gap = "30 minutes",
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    input.addData(
+      // u1 runs view->click; the purchase lands in the NEXT batch
+      FunnelRow(1, ts("2026-01-01 10:00:00"), "view"),
+      FunnelRow(1, ts("2026-01-01 10:01:00"), "click"),
+      // u2 clicks FIRST (out of order: must not count), then views
+      FunnelRow(2, ts("2026-01-01 10:00:00"), "click"),
+      FunnelRow(2, ts("2026-01-01 10:02:00"), "view"))
+    q.processAllAvailable()
+    input.addData(FunnelRow(1, ts("2026-01-01 10:05:00"), "purchase"))
+    q.processAllAvailable()
+    // event time jumps 2h: u2 (idle since 10:02 at depth 1) times out;
+    // one extra batch so the committed watermark takes effect
+    input.addData(FunnelRow(9, ts("2026-01-01 12:30:00"), "view"))
+    q.processAllAvailable()
+    input.addData(FunnelRow(9, ts("2026-01-01 12:31:00"), "click"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel")
+      .select($"user_id", $"depth", $"completed", $"abandoned")
+      .as[(Long, Long, Boolean, Boolean)].collect().toSet
+    assert(got == Set((1L, 3L, true, false), (2L, 1L, false, true)), got)
+  }
+
   test("burnRateStream: only panes over the threshold emit, once, " +
       "after the watermark closes them") {
     val sq = spark
