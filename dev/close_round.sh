@@ -5,7 +5,7 @@
 # decision because flagged regressions must be re-measured in isolation
 # before any budget moves.
 #
-#   dev/close_round.sh [sf001_dir] [sf01_dir]
+#   dev/close_round.sh [sf001_dir] [sf01_dir] [scale10_dir]
 #
 # Exit 0 = every gate green AND the scale canary still flags (exit 1
 # from scale_diff on the canary pair is the EXPECTED, healthy outcome).
@@ -14,8 +14,17 @@ cd "$(dirname "$0")/.."
 
 SF001="${1:-/root/testdata/sf0.01}"
 SF01="${2:-/root/testdata/sf0.1}"
+SCALE10="${3:-tmp/scale10}"
 OUT="${TMPDIR:-/tmp}/close_round_$$"
 mkdir -p "$OUT"
+
+# Step 5 needs the ScaleBench 10x dir; fail early with a clear message
+# instead of an opaque Spark read error three gates in.
+if [ ! -d "$SCALE10/events.parquet" ]; then
+  echo "FATAL: $SCALE10/events.parquet missing - generate it first:" >&2
+  echo "  sbt \"runMain graft.ScaleBench $SF001 $SCALE10 10\"" >&2
+  exit 1
+fi
 
 echo "== [1/5] sbt test =="
 sbt -batch test || exit 1
@@ -31,7 +40,7 @@ echo "== [4/5] bench_diff (flags are LEADS - re-measure in isolation) =="
 python3 dev/bench_diff.py || true
 
 echo "== [5/5] scale canary must still flag =="
-sbt -batch "runMain graft.dev.ScaleCanary $SF001 tmp/scale10" || exit 1
+sbt -batch "runMain graft.dev.ScaleCanary $SF001 $SCALE10" || exit 1
 if python3 dev/scale_diff.py canary_10x.json canary_1x.json; then
   echo "FATAL: the quadratic canary no longer flags - the scale gate is dead"
   exit 1

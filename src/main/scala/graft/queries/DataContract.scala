@@ -107,7 +107,7 @@ object DataContract {
   def q507Freshness(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, dir)
-      .filter($"event_type".isNotNull)
+      .filter($"event_type".isNotNull && $"ts".isNotNull)
       .select($"event_type", expr("unix_micros(ts) div 60000000").as("m"))
     val bounds = e.agg(min($"m").as("_mn"), max($"m").as("_mx"))
     e.groupBy($"event_type", $"m").agg(count(lit(1)).as("_c"))
@@ -181,7 +181,7 @@ object DataContract {
     "q507_freshness" -> """
       |WITH e AS (
       |  SELECT event_type, epoch_us(ts) // 60000000 AS m FROM events
-      |  WHERE event_type IS NOT NULL),
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
       |b AS (SELECT min(m) AS mn, max(m) AS mx FROM e),
       |tm AS (SELECT event_type, m, count(*) AS c FROM e GROUP BY 1, 2),
       |per AS (

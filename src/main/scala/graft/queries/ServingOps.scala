@@ -66,6 +66,7 @@ object ServingOps {
   def q502DegradationLadder(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pm = Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
       .select(expr("unix_micros(ts) div 60000000").as("minute"))
       .groupBy($"minute").agg(count(lit(1)).as("n_m"))
     val mean = pm.agg(expr("CAST(sum(n_m) AS DECIMAL(38,0))").as("_s"),
@@ -89,17 +90,21 @@ object ServingOps {
   // ------------------------------------------- q503 SLO burn alerts
 
   /** Multi-window SLO burn-rate alerting (the SRE workbook recipe): per
-    * minute the error rate over the trailing 60 and 360 minutes; a
-    * minute ALERTS when the fast window burns ≥14× the 1% error budget
-    * (≥140 bp) AND the slow window ≥6× (≥60 bp) — fast catches the
-    * spike, slow keeps one bad minute from paging. Per day: alerting
-    * minutes and the worst fast-window rate. The rolling windows run at
-    * MINUTE grain over a calendar-bounded aggregate (the audited
-    * empty-partition window class — the child is the minute aggregate,
-    * never raw rows). */
+    * minute the error rate over the trailing 60 and 360 ACTIVE minutes
+    * (ROWS frames over the minute aggregate — minutes with zero events
+    * don't occupy a frame slot, so a sparse stream's window spans more
+    * wall-clock than 60/360 minutes; the streaming twin `burnRateStream`
+    * is the wall-clock-windowed face); a minute ALERTS when the fast
+    * window burns ≥14× the 1% error budget (≥140 bp) AND the slow window
+    * ≥6× (≥60 bp) — fast catches the spike, slow keeps one bad minute
+    * from paging. Per day: alerting minutes and the worst fast-window
+    * rate. The rolling windows run at MINUTE grain over a
+    * calendar-bounded aggregate (the audited empty-partition window
+    * class — the child is the minute aggregate, never raw rows). */
   def q503SloBurn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pm = Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
       .select(expr("unix_micros(ts) div 60000000").as("minute"),
         ($"event_type" === "error").cast("long").as("err"))
       .groupBy($"minute")
@@ -191,7 +196,7 @@ object ServingOps {
     "q502_degradation_ladder" -> """
       |WITH pm AS (
       |  SELECT epoch_us(ts) // 60000000 AS minute, count(*) AS n_m
-      |  FROM events GROUP BY 1),
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
       |m AS (SELECT CAST(CAST(sum(n_m) AS HUGEINT) // count(*) AS BIGINT)
       |  AS mean_m FROM pm),
       |t AS (
@@ -213,7 +218,7 @@ object ServingOps {
       |WITH pm AS (
       |  SELECT epoch_us(ts) // 60000000 AS minute, count(*) AS n,
       |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
-      |  FROM events GROUP BY 1),
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
       |r AS (
       |  SELECT minute // 1440 AS d,
       |    sum(e) OVER (ORDER BY minute ROWS BETWEEN 59 PRECEDING

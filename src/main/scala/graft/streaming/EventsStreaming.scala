@@ -520,6 +520,71 @@ object EventsStreaming {
       }.toDF()
   }
 
+  final case class SrvRow(key: String, us: Long, id: Long,
+      service_us: Long)
+  final case class SrvOut(key: String, id: Long, c_us: Long,
+      wait_us: Long)
+
+  /** Streaming FIFO queueing replay — the online face of
+    * [[graft.etl.Inference.fifoReplay]] (q490's engine): single server
+    * per key, requests served in arrival order, each holding the server
+    * for its service demand. The batch op spells the Lindley recurrence
+    * C_i = max(arr_i, C_{i−1}) + s_i as a prefix sum + running max over
+    * range buckets; the stream carries exactly that closed form's state
+    * — (S, M) = (Σ service so far, max_j (arr_j − S_{j−1})) — TWO LONGS
+    * per key, so completion C_i = S_i + M_i emits the moment request i
+    * lands. Rows process in (us, id) order within a batch; cross-batch
+    * parity with the batch op holds for in-event-time-order arrival,
+    * which is what the spec pins (same contract as prefixHitStream). */
+  def fifoReplayStream(requests: DataFrame): DataFrame = {
+    import requests.sparkSession.implicits._
+    requests.select(col("key"), col("us"), col("id"), col("service_us"))
+      .as[SrvRow]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[SrvRow],
+            state: GroupState[(Long, Long)]) =>
+          var (s, m) = state.getOption.getOrElse((0L, Long.MinValue))
+          val out = rows.toSeq.sortBy(r => (r.us, r.id)).map { r =>
+            s += r.service_us
+            val v = r.us - s + r.service_us // arr_i − S_{i−1}
+            m = math.max(m, v)
+            val c = s + m
+            SrvOut(key, r.id, c, c - r.us - r.service_us)
+          }
+          state.update((s, m))
+          out.iterator
+      }.toDF()
+  }
+
+  /** Streaming degradation-ladder classification — the online face of
+    * q502 ([[graft.queries.ServingOps.q502DegradationLadder]]): each
+    * watermark-finalized one-minute pane classifies as 'full' (at/below
+    * the mean arrival rate), 'degraded' (≤ 2× mean) or 'shed' (above) —
+    * the tier a load-shedding gate would have picked for that minute.
+    * The batch op derives the mean from the corpus; a stream can't see
+    * its own future, so the mean is a PROVIDED broadcast scalar (the
+    * capacity-planning number, recomputed offline) — with the batch
+    * run's mean passed in, the outputs agree exactly, which is what the
+    * parity spec pins. Append mode: one emission per closed pane; state
+    * is the open panes only, never raw events. */
+  def degradationStream(events: DataFrame, meanPerMinute: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(meanPerMinute > 0,
+      s"meanPerMinute must be positive, got $meanPerMinute")
+    events.withWatermark("ts", watermark)
+      .filter(col("ts").isNotNull)
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n_m"))
+      .withColumn("tier",
+        when(col("n_m") <= meanPerMinute, "full")
+          .when(col("n_m") <= 2 * meanPerMinute, "degraded")
+          .otherwise("shed"))
+      .select(col("window.start").as("minute_start"), col("n_m"),
+        col("tier"))
+  }
+
   final case class FunnelRow(user_id: Long, ts: java.sql.Timestamp,
       event_type: String)
   final case class FunnelOutcome(user_id: Long, depth: Long,
@@ -537,7 +602,13 @@ object EventsStreaming {
     * the batch ordered funnel (q107): the batch op reports conversion
     * retrospectively, this reports each abandonment as soon as the
     * stream's own time passes the deadline. State per user: one (depth,
-    * last event-time ts) pair. Rows process in ts order within a batch. */
+    * last event-time ts) pair, held ONLY for users who have entered the
+    * funnel (matched stage 0) — a user producing solely unrelated events
+    * holds no state and emits no depth-0 abandonment, and a completed
+    * user's later unrelated events don't re-open state. Rows process in
+    * ts order within a batch; the per-(user, batch) `rows.toSeq` buffer
+    * is bounded by one user's events in one micro-batch, the same
+    * contract as the module's other flatMapGroupsWithState ops. */
   def funnelStream(events: DataFrame, stages: Seq[String],
       gap: String = "1 hour", watermark: String = "10 minutes")
       : DataFrame = {
@@ -569,10 +640,13 @@ object EventsStreaming {
               } else None
             }
             if (depth == stages.length) state.remove()
-            else {
+            else if (depth > 0) {
               state.update((depth, lastMs))
               state.setTimeoutTimestamp(lastMs, gap)
             }
+            // depth == 0: the user never entered the funnel (or completed
+            // it and only unrelated events followed) — hold no state, so
+            // no spurious depth-0 abandonment row can ever emit
             out.iterator
           }
       }.toDF()

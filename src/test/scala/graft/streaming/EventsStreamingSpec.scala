@@ -341,6 +341,94 @@ class EventsStreamingSpec extends SparkSpec {
     assert(batch == got, "streaming and batch twins must agree")
   }
 
+  test("fifoReplayStream: cross-batch Lindley replay matches the batch twin") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStreaming.SrvRow
+    val input = MemoryStream[SrvRow]
+    val q = EventsStreaming.fifoReplayStream(input.toDF())
+      .writeStream.format("memory").queryName("fifo").outputMode("append")
+      .start()
+    // batch 1, key a: r1 arrives at 0 (serves 0-10), r2 at 5 queues
+    // behind it (starts 10, waits 5), r3 at 30 finds the server idle
+    input.addData(SrvRow("a", 0L, 1L, 10L), SrvRow("a", 5L, 2L, 10L),
+      SrvRow("a", 30L, 3L, 5L), SrvRow("b", 0L, 4L, 100L))
+    q.processAllAvailable()
+    // batch 2: key a's server is idle since 35; key b's request queues
+    // behind the 100-us job that started at 0 (waits 100 - 10 = 90)
+    input.addData(SrvRow("a", 40L, 5L, 1L), SrvRow("b", 10L, 6L, 20L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("fifo").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("c_us"), r.getAs[Long]("wait_us"))).toMap
+    assert(got == Map(1L -> (10L, 0L), 2L -> (20L, 5L), 3L -> (35L, 0L),
+      4L -> (100L, 0L), 5L -> (41L, 0L), 6L -> (120L, 90L)), got)
+
+    // batch twin on the identical rows
+    val all = Seq(("a", 0L, 1L, 10L), ("a", 5L, 2L, 10L),
+      ("a", 30L, 3L, 5L), ("b", 0L, 4L, 100L), ("a", 40L, 5L, 1L),
+      ("b", 10L, 6L, 20L)).toDF("key", "us", "id", "service_us")
+    val batch = graft.etl.Inference.fifoReplay(all, Seq("key"), "us",
+        "id", "service_us")
+      .select($"id", $"c_us", $"wait_us").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(batch == got, "streaming and batch twins must agree")
+  }
+
+  test("degradationStream: watermark-closed minute tiers match the batch " +
+      "classification at the same mean") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = EventsStreaming.degradationStream(input.toDF(),
+        meanPerMinute = 2L, watermark = "1 minute")
+      .writeStream.format("memory").queryName("ladder")
+      .outputMode("append").start()
+    // minute 10:00 has 2 events (full), 10:01 has 3 (degraded, <= 2x),
+    // 10:02 has 5 (shed)
+    input.addData(
+      EventRow(1, ts("2026-01-01 10:00:05"), 1, "view", 1.0),
+      EventRow(2, ts("2026-01-01 10:00:40"), 1, "view", 1.0),
+      EventRow(3, ts("2026-01-01 10:01:10"), 1, "view", 1.0),
+      EventRow(4, ts("2026-01-01 10:01:20"), 1, "view", 1.0),
+      EventRow(5, ts("2026-01-01 10:01:30"), 1, "view", 1.0))
+    q.processAllAvailable()
+    input.addData((0 until 5).map(i =>
+      EventRow(10 + i, ts(f"2026-01-01 10:02:${i * 10}%02d"), 1,
+        "view", 1.0)): _*)
+    q.processAllAvailable()
+    // watermark jump closes the three panes under test; each closing
+    // BATCH advances the committed watermark one step (a repeated
+    // processAllAvailable with no new data creates no batch), so chain
+    // two closers — their own panes may or may not have closed when the
+    // query stops, which is why the assertion below is exact on the
+    // panes under test and rule-based on any closer panes
+    input.addData(EventRow(99, ts("2026-01-01 11:00:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    input.addData(EventRow(100, ts("2026-01-01 11:30:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ladder")
+      .select($"minute_start", $"n_m", $"tier")
+      .as[(java.sql.Timestamp, Long, String)].collect()
+      .map(t => t._1.toString -> (t._2, t._3)).toMap
+    val expected = Map(
+      "2026-01-01 10:00:00.0" -> (2L, "full"),
+      "2026-01-01 10:01:00.0" -> (3L, "degraded"),
+      "2026-01-01 10:02:00.0" -> (5L, "shed"))
+    assert(expected.forall { case (k, v) => got.get(k).contains(v) }, got)
+    // every emitted pane (including any closed closer pane) matches the
+    // batch classification rule at the same mean — the parity claim
+    assert(got.values.forall { case (n, tier) =>
+      tier == (if (n <= 2) "full" else if (n <= 4) "degraded" else "shed")
+    }, got)
+  }
+
   test("clampedBalanceStream: cross-batch balance matches the batch twin") {
     val sq = spark
     import sq.implicits._
@@ -642,9 +730,16 @@ class EventsStreamingSpec extends SparkSpec {
       FunnelRow(1, ts("2026-01-01 10:01:00"), "click"),
       // u2 clicks FIRST (out of order: must not count), then views
       FunnelRow(2, ts("2026-01-01 10:00:00"), "click"),
-      FunnelRow(2, ts("2026-01-01 10:02:00"), "view"))
+      FunnelRow(2, ts("2026-01-01 10:02:00"), "view"),
+      // u5 never matches stage 0: must hold NO state and never emit a
+      // depth-0 abandoned row, even after the watermark passes its ts
+      FunnelRow(5, ts("2026-01-01 10:00:30"), "scroll"))
     q.processAllAvailable()
     input.addData(FunnelRow(1, ts("2026-01-01 10:05:00"), "purchase"))
+    q.processAllAvailable()
+    // u1 completed last batch; this unrelated follow-up must not re-open
+    // state (no later depth-0 abandonment for u1)
+    input.addData(FunnelRow(1, ts("2026-01-01 10:06:00"), "scroll"))
     q.processAllAvailable()
     // event time jumps 2h: u2 (idle since 10:02 at depth 1) times out;
     // one extra batch so the committed watermark takes effect
