@@ -74,12 +74,15 @@ object Similarity {
     * intersection/union counts (set semantics). Output:
     * (id_a, id_b, inter, union_size, size_a, size_b), id_a < id_b.
     *
-    * Default (capped) path — the 100 TB shape: group shingles into buckets,
-    * DROP singleton buckets (exactness-preserving: a shingle seen once can
-    * pair with nothing — on realistic corpora most shingles are unique) and
-    * buckets above `maxShingleFreq` (boilerplate: a shingle shared by c docs
-    * would emit c²/2 pairs, the scale-killer), and explode bounded in-bucket
-    * pairs. Counting the emitted pairs directly gives the exact intersection
+    * Default (capped) path — the 100 TB shape: count shingle frequencies,
+    * anti-join away shingles above `maxShingleFreq` BEFORE bucketing
+    * (boilerplate: a shingle shared by c docs would emit c²/2 pairs — and
+    * even collecting its id list would put a c-element array in one
+    * aggregation buffer — the two scale-killers, both cut by the pre-cap),
+    * group the surviving shingles into buckets, DROP singleton buckets
+    * (exactness-preserving: a shingle seen once can pair with nothing — on
+    * realistic corpora most shingles are unique), and explode bounded
+    * in-bucket pairs. Counting the emitted pairs directly gives the exact intersection
     * over non-boilerplate shingles; a correction join (bounded by candidates
     * × hot-shingles-per-doc, never hot memberships²) adds intersections via
     * boilerplate shingles back in — so reported Jaccard is EXACT for every
@@ -196,13 +199,25 @@ object Similarity {
         // inside the aggregated row (bounded by cap) — no self-join ever.
         // Counting the emitted pairs IS the exact intersection over the
         // [2, cap]-frequency shingles (singletons can't be shared).
-        val buckets = sh.groupBy(col("shingle"))
+        //
+        // The cap is enforced BEFORE the collect: hot (> cap) shingles are
+        // anti-joined away first, so no aggregation buffer ever holds more
+        // than `cap` ids — without this, one boilerplate shingle shared by
+        // c docs would materialize a c-element array in ONE buffer before
+        // the size filter could drop it (c ~ 10⁹ at 100 TB ⇒ task OOM).
+        // The hot SET is tiny even when its memberships are huge, so the
+        // anti-join broadcasts; the same broadcast feeds the correction
+        // join below (one exchange, two consumers). Semantics unchanged:
+        // ≤-cap buckets are complete either way, > cap buckets were
+        // dropped either way. CollectLintSpec audits this construction.
+        val hotSet = sh.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("_freq"))
+          .filter(col("_freq") > cap).select(col("shingle"))
+        val buckets = sh.join(broadcast(hotSet), Seq("shingle"), "left_anti")
+          .groupBy(col("shingle"))
           .agg(sort_array(collect_list(col("id"))).as("ids"))
-        // cached: referenced by both the hot-correction join and the final
-        // assembly — without it the bucket groupBy + pair explode (the
-        // heaviest stage) would be recomputed per consumer
         val emitted = buckets
-          .filter(size(col("ids")) >= 2 && size(col("ids")) <= cap)
+          .filter(size(col("ids")) >= 2)
           .select(explode(flatten(
             transform(col("ids"), (x, i) =>
               transform(slice(col("ids"), i + 2, size(col("ids"))),
@@ -223,14 +238,11 @@ object Similarity {
         // shingles; add those in via a join bounded by candidates ×
         // hot-shingles-per-doc (the hot shingle SET is tiny even when its
         // memberships are huge — membership lists are never pair-exploded).
-        // The hot set comes from a COUNT-ONLY aggregation, not from
-        // `buckets`: re-deriving it there would rerun the collect_list
+        // The hot set comes from the COUNT-ONLY aggregation above, never
+        // from `buckets`: re-deriving it there would rerun the collect_list
         // shuffle (the heaviest stage) a second time just to read sizes —
         // partial counts shuffle a few bytes per shingle instead of the
         // full id lists
-        val hotSet = sh.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("_freq"))
-          .filter(col("_freq") > cap).select(col("shingle"))
         val shHot = sh.join(broadcast(hotSet), Seq("shingle"))
         val interHot = interCapped.select(col("id_a"), col("id_b"))
           .join(shHot.withColumnRenamed("id", "id_a"), "id_a")
