@@ -1322,6 +1322,56 @@ object Stats {
         col("s").as("strength_ppm"))
   }
 
+  /** Per-item Bradley–Terry fit residuals — the diagnostic next to
+    * [[bradleyTerry]]: the cycle rate (q484) says the comparisons admit
+    * no total order; THIS says where the fitted order breaks. For every
+    * canonical pair (a, b) the fitted expectation of a's wins is
+    *   e_a = ⌊n_ab · s_a · 10³ div (s_a + s_b)⌋   (milli-wins, floored
+    * identically on both engines; e_b by its own floored division so the
+    * two sides stay definition-symmetric), and per item the L1 residual
+    * Σ |w·10³ − e| accumulates over that item's pairs. resid_bp =
+    * resid_milli·10 div games is the mean absolute per-game deviation —
+    * an arm whose duels the fit can't explain (cyclic sub-tournament,
+    * intransitive raters) reads high while well-ordered arms read near
+    * 0. A pair where both strengths floored to 0 yields NULL e (skipped
+    * by the sums on both engines). Shape: the duel fold + 2 MM steps
+    * from [[bradleyTerry]], one more canonical-pair aggregate, two
+    * broadcast strength joins (the item domain is enum-sized by the
+    * [[graft.etl.Preference.majorityEdges]] contract), one item
+    * aggregate. */
+  def btResiduals(prefs: DataFrame, winCol: String, loseCol: String,
+      iters: Int = 2): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val fit = bradleyTerry(prefs, winCol, loseCol, iters)
+    val pair = prefs
+      .select(least(col(winCol), col(loseCol)).as("a"),
+        greatest(col(winCol), col(loseCol)).as("b"),
+        when(col(winCol) < col(loseCol), 1L).otherwise(0L).as("_aw"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"), sum(col("_aw")).as("w_a"))
+    val s = fit.select(col("item"), col("strength_ppm"))
+    val withS = pair
+      .join(broadcast(s.select(col("item").as("a"),
+        col("strength_ppm").as("s_a"))), Seq("a"))
+      .join(broadcast(s.select(col("item").as("b"),
+        col("strength_ppm").as("s_b"))), Seq("b"))
+      .withColumn("e_a", expr("CASE WHEN s_a + s_b > 0 THEN " +
+        s"CAST(CAST(n_ab AS $d38) * s_a * 1000 div (s_a + s_b) " +
+        "AS BIGINT) END"))
+      .withColumn("e_b", expr("CASE WHEN s_a + s_b > 0 THEN " +
+        s"CAST(CAST(n_ab AS $d38) * s_b * 1000 div (s_a + s_b) " +
+        "AS BIGINT) END"))
+    val sides = withS.select(col("a").as("item"), col("n_ab"),
+        col("w_a").as("w"), col("e_a").as("e"))
+      .unionByName(withS.select(col("b").as("item"), col("n_ab"),
+        (col("n_ab") - col("w_a")).as("w"), col("e_b").as("e")))
+    sides.groupBy(col("item"))
+      .agg(sum(col("n_ab")).as("games"), sum(col("w")).as("wins"),
+        sum(col("e")).as("exp_milli"),
+        sum(abs(col("w") * 1000 - col("e"))).as("resid_milli"))
+      .withColumn("resid_bp", expr("resid_milli * 10 div games"))
+  }
+
   /** Kruskal–Wallis H per series: the k-sample generalization of
     * [[mannWhitneyU]] — "do the k arms draw from the same distribution?"
     * on ranks, so a single heavy-tailed arm can't dominate the way it

@@ -305,7 +305,61 @@ object PrefQueries {
       .orderBy($"event_type")
   }
 
+  // ------------------------------------------ q513 BT fit residuals
+
+  /** Per-arm Bradley–Terry residual diagnostics
+    * ([[graft.etl.Stats.btResiduals]]) over the SAME per-prompt duels as
+    * q484: the q484 cycle rate says the comparisons admit no total
+    * order; this says WHERE the 2-step quantized BT fit breaks — per
+    * arm, games, wins, the fit's expected wins (milli), the L1 residual
+    * and its per-game rate (bp). An arm at the center of the cyclic
+    * sub-tournament reads high resid_bp; arms the order explains read
+    * near 0. Duels: within each prompt (user) every ordered arm pair
+    * with a strict best-score margin. */
+  def q513BtResiduals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ut = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"value".isNotNull &&
+        $"event_type".isNotNull)
+      .groupBy($"user_id", $"event_type")
+      .agg(max(cents).as("s"))
+    val duels = ut.as("x").join(ut.as("y"),
+        col("y.user_id") === col("x.user_id") &&
+          col("x.event_type") < col("y.event_type") &&
+          col("x.s") =!= col("y.s"))
+      .select(
+        when(col("x.s") > col("y.s"), col("x.event_type"))
+          .otherwise(col("y.event_type")).as("w"),
+        when(col("x.s") > col("y.s"), col("y.event_type"))
+          .otherwise(col("x.event_type")).as("l"))
+    graft.etl.Stats.btResiduals(duels, "w", "l", iters = 2)
+      .orderBy($"item")
+  }
+
+  // --------------------------------------- q514 Krippendorff LOO alpha
+
+  /** Krippendorff's alpha with the leave-one-annotator-out grid
+    * ([[graft.etl.Preference.krippendorffAlpha]]) over the q485
+    * item/annotator/label mapping: the full-panel row (excl = −1) is
+    * the chance-corrected agreement the campaign reports; each LOO row
+    * re-scores the panel without one annotator — the annotator whose
+    * removal RAISES alpha is the one dragging consensus down, the
+    * targeted version of q485's drift screen. All divisions floored,
+    * engine-exact. */
+  def q514KrippendorffLoo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"event_type".isNotNull)
+      .select($"user_id".as("item"), ($"event_id" % 5).as("ann"),
+        $"event_type".as("label"))
+    Preference.krippendorffAlpha(a, "item", "ann", "label",
+        exclGrid = -1L to 4L)
+      .orderBy($"excl")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q513_bt_residuals" -> q513BtResiduals _,
+    "q514_krippendorff_loo" -> q514KrippendorffLoo _,
     "q490_queue_replay" -> q490QueueReplay _,
     "q489_spec_decode" -> q489SpecDecode _,
     "q483_dpo_pairs" -> q483DpoPairs _,
@@ -336,6 +390,124 @@ object PrefQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q513_bt_residuals" -> """
+      |WITH ut AS (
+      |  SELECT user_id, event_type,
+      |    max(CAST(round(value * 100) AS BIGINT)) AS s
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      |    AND event_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT CASE WHEN x.s > y.s THEN x.event_type ELSE y.event_type END
+      |      AS w,
+      |    CASE WHEN x.s > y.s THEN y.event_type ELSE x.event_type END AS l
+      |  FROM ut x JOIN ut y ON y.user_id = x.user_id
+      |    AND x.event_type < y.event_type AND x.s <> y.s),
+      |pair AS (
+      |  SELECT least(w, l) AS a, greatest(w, l) AS b,
+      |    CAST(count(*) AS BIGINT) AS n_ab,
+      |    CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS w_a
+      |  FROM pr GROUP BY 1, 2),
+      |wn AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS wins
+      |       FROM pr GROUP BY 1),
+      |gm AS (SELECT item, CAST(count(*) AS BIGINT) AS games FROM
+      |       (SELECT w AS item FROM pr UNION ALL SELECT l FROM pr)
+      |       GROUP BY 1),
+      |base AS (SELECT gm.item, coalesce(wn.wins, 0) AS wins, gm.games
+      |         FROM gm LEFT JOIN wn USING (item)),
+      |s0 AS (SELECT item, CAST(1000000 AS HUGEINT) AS s FROM base),
+      |t1 AS (
+      |  SELECT pair.a, pair.b,
+      |    CAST(n_ab AS HUGEINT) * 1000000000 // (sa.s + sb.s) AS tq
+      |  FROM pair JOIN s0 sa ON sa.item = pair.a
+      |            JOIN s0 sb ON sb.item = pair.b),
+      |d1 AS (SELECT item, sum(tq) AS den FROM
+      |       (SELECT a AS item, tq FROM t1 UNION ALL SELECT b, tq FROM t1)
+      |       GROUP BY 1),
+      |r1 AS (
+      |  SELECT base.item,
+      |    coalesce(CAST(wins AS HUGEINT) * 1000000000 // den, 0) AS raw
+      |  FROM base LEFT JOIN d1 USING (item)),
+      |n1 AS (SELECT sum(raw) AS tot, CAST(count(*) AS HUGEINT) AS n FROM r1),
+      |s1 AS (SELECT item, CAST(raw AS HUGEINT) * n * 1000000
+      |         // NULLIF(tot, 0) AS s FROM r1, n1),
+      |t2 AS (
+      |  SELECT pair.a, pair.b,
+      |    CAST(n_ab AS HUGEINT) * 1000000000 // (sa.s + sb.s) AS tq
+      |  FROM pair JOIN s1 sa ON sa.item = pair.a
+      |            JOIN s1 sb ON sb.item = pair.b),
+      |d2 AS (SELECT item, sum(tq) AS den FROM
+      |       (SELECT a AS item, tq FROM t2 UNION ALL SELECT b, tq FROM t2)
+      |       GROUP BY 1),
+      |r2 AS (
+      |  SELECT base.item,
+      |    coalesce(CAST(wins AS HUGEINT) * 1000000000 // den, 0) AS raw
+      |  FROM base LEFT JOIN d2 USING (item)),
+      |n2 AS (SELECT sum(raw) AS tot, CAST(count(*) AS HUGEINT) AS n FROM r2),
+      |s2 AS (SELECT item, CAST(raw AS HUGEINT) * n * 1000000
+      |         // NULLIF(tot, 0) AS s FROM r2, n2),
+      |e AS (
+      |  SELECT pair.a, pair.b, pair.n_ab, pair.w_a,
+      |    CASE WHEN sa.s + sb.s > 0 THEN
+      |      CAST(n_ab AS HUGEINT) * sa.s * 1000 // (sa.s + sb.s) END AS e_a,
+      |    CASE WHEN sa.s + sb.s > 0 THEN
+      |      CAST(n_ab AS HUGEINT) * sb.s * 1000 // (sa.s + sb.s) END AS e_b
+      |  FROM pair JOIN s2 sa ON sa.item = pair.a
+      |            JOIN s2 sb ON sb.item = pair.b),
+      |sides AS (
+      |  SELECT a AS item, n_ab, w_a AS w, e_a AS e FROM e
+      |  UNION ALL
+      |  SELECT b, n_ab, n_ab - w_a, e_b FROM e)
+      |SELECT item, CAST(sum(n_ab) AS BIGINT) AS games,
+      |  CAST(sum(w) AS BIGINT) AS wins,
+      |  CAST(sum(e) AS BIGINT) AS exp_milli,
+      |  CAST(sum(abs(w * 1000 - e)) AS BIGINT) AS resid_milli,
+      |  CAST(sum(abs(w * 1000 - e)) * 10 // sum(n_ab) AS BIGINT)
+      |    AS resid_bp
+      |FROM sides GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q514_krippendorff_loo" -> """
+      |WITH a AS (
+      |  SELECT user_id AS item, event_id % 5 AS ann, event_type AS label
+      |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |g AS (SELECT unnest(ARRAY[-1, 0, 1, 2, 3, 4]) AS excl),
+      |r AS (SELECT excl, item, ann, label FROM a, g WHERE ann <> excl),
+      |cl AS (
+      |  SELECT excl, item, label, count(*) AS nil
+      |  FROM r GROUP BY 1, 2, 3),
+      |per_item AS (
+      |  SELECT excl, item, sum(nil) AS m, sum(nil * nil) AS sq
+      |  FROM cl GROUP BY 1, 2 HAVING sum(nil) >= 2),
+      |pi2 AS (
+      |  SELECT excl, item, m,
+      |    (CAST(m AS HUGEINT) * m - sq) * 1000000 // (m - 1) AS wdo
+      |  FROM per_item),
+      |marg AS (
+      |  SELECT cl.excl, cl.label, sum(cl.nil) AS nc
+      |  FROM cl JOIN per_item p ON p.excl = cl.excl AND p.item = cl.item
+      |  GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT excl, sum(nc) AS n_ratings, sum(nc * nc) AS sqc
+      |  FROM marg GROUP BY 1),
+      |obs AS (
+      |  SELECT excl, count(*) AS n_items, sum(wdo) AS wdos
+      |  FROM pi2 GROUP BY 1),
+      |fin AS (
+      |  SELECT o.excl, o.n_items, t.n_ratings,
+      |    o.wdos // t.n_ratings AS do_ppm,
+      |    (CAST(t.n_ratings AS HUGEINT) * t.n_ratings - t.sqc) * 1000000
+      |      // (CAST(t.n_ratings AS HUGEINT) * (t.n_ratings - 1)) AS de_ppm
+      |  FROM obs o JOIN tot t ON t.excl = o.excl)
+      |SELECT CAST(excl AS BIGINT) AS excl,
+      |  CAST(n_items AS BIGINT) AS n_items,
+      |  CAST(n_ratings AS BIGINT) AS n_ratings,
+      |  CAST(do_ppm AS BIGINT) AS do_ppm,
+      |  CAST(de_ppm AS BIGINT) AS de_ppm,
+      |  CAST(CASE WHEN de_ppm > 0 THEN
+      |    CASE WHEN do_ppm <= de_ppm
+      |    THEN (de_ppm - do_ppm) * 1000000 // de_ppm
+      |    ELSE -((do_ppm - de_ppm) * 1000000 // de_ppm) END END
+      |    AS BIGINT) AS alpha_ppm
+      |FROM fin ORDER BY excl""".stripMargin,
     "q490_queue_replay" -> """
       |WITH base AS (
       |  SELECT event_type,

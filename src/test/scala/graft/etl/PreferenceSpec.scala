@@ -133,6 +133,74 @@ class PreferenceSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("btResiduals: a 2-arm tournament fits exactly (residual 0); the " +
+      "RPS 3-cycle reads the maximal half-win-per-game residual") {
+    import spark.implicits._
+    // a beats b 3 of 4: BT converges to s_a=1.5e6, s_b=5e5 after one MM
+    // step, so e_a = 4*1.5e6*1000/2e6 = 3000 milli-wins = observed
+    val twoArm = Seq(("a", "b"), ("a", "b"), ("a", "b"), ("b", "a"))
+      .toDF("w", "l")
+    val got2 = Stats.btResiduals(twoArm, "w", "l", iters = 2)
+      .collect().map(r => r.getAs[String]("item") -> (
+        r.getAs[Long]("games"), r.getAs[Long]("wins"),
+        r.getAs[Long]("exp_milli"), r.getAs[Long]("resid_milli"),
+        r.getAs[Long]("resid_bp"))).toMap
+    assert(got2 == Map("a" -> (4L, 3L, 3000L, 0L, 0L),
+      "b" -> (4L, 1L, 1000L, 0L, 0L)), got2)
+    // rock-paper-scissors: strengths stay uniform (1e6 each), every pair
+    // expects half a win (500 milli), every observed is 0 or 1 -> each
+    // arm accumulates |1000-500| + |0-500| = 1000 milli over 2 games
+    val rps = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("w", "l")
+    val got3 = Stats.btResiduals(rps, "w", "l", iters = 2)
+      .collect().map(r => r.getAs[String]("item") -> (
+        r.getAs[Long]("games"), r.getAs[Long]("exp_milli"),
+        r.getAs[Long]("resid_milli"), r.getAs[Long]("resid_bp"))).toMap
+    assert(got3 == Map("a" -> (2L, 1000L, 1000L, 5000L),
+      "b" -> (2L, 1000L, 1000L, 5000L),
+      "c" -> (2L, 1000L, 1000L, 5000L)), got3)
+  }
+
+  test("krippendorffAlpha: hand-computed nominal panel, perfect panel, " +
+      "negative-alpha floor convention, and degenerate LOO rows drop") {
+    import spark.implicits._
+    // classic 2-rater nominal panel: i1 (a,a), i2 (a,b), i3/i4 (b,b)
+    // Do = 1/4; De = (64-34)/56 = 15/28; alpha = 8/15 = 533333 ppm floored
+    val panel = Seq(
+      (1L, 0L, "a"), (1L, 1L, "a"),
+      (2L, 0L, "a"), (2L, 1L, "b"),
+      (3L, 0L, "b"), (3L, 1L, "b"),
+      (4L, 0L, "b"), (4L, 1L, "b")).toDF("item", "ann", "label")
+    val got = Preference.krippendorffAlpha(panel, "item", "ann", "label",
+        exclGrid = Seq(-1L, 0L, 1L))
+      .collect().map(r => r.getAs[Long]("excl") -> (
+        r.getAs[Long]("n_items"), r.getAs[Long]("n_ratings"),
+        r.getAs[Long]("do_ppm"), r.getAs[Long]("de_ppm"),
+        r.getAs[Long]("alpha_ppm"))).toMap
+    assert(got == Map(-1L -> (4L, 8L, 250000L, 535714L, 533333L)), got)
+    // excluding either of the only two annotators leaves no pairable
+    // item: the LOO rows legitimately vanish instead of emitting junk
+
+    // perfect agreement across two labels: Do = 0, alpha = 1.0 exactly
+    val perfect = Seq((1L, 0L, "a"), (1L, 1L, "a"),
+      (2L, 0L, "b"), (2L, 1L, "b")).toDF("item", "ann", "label")
+    val p = Preference.krippendorffAlpha(perfect, "item", "ann", "label")
+      .collect().head
+    assert(p.getAs[Long]("do_ppm") == 0L &&
+      p.getAs[Long]("alpha_ppm") == 1000000L)
+
+    // systematic disagreement: both raters always differ on a 2-label
+    // panel -> Do = 1; De = (16-8)/12 = 2/3; alpha = 1 - 3/2 = -1/2,
+    // floored via the negated-positive convention: -(333334*1e6//666666)
+    val anti = Seq((1L, 0L, "a"), (1L, 1L, "b"),
+      (2L, 0L, "b"), (2L, 1L, "a")).toDF("item", "ann", "label")
+    val n = Preference.krippendorffAlpha(anti, "item", "ann", "label")
+      .collect().head
+    assert(n.getAs[Long]("do_ppm") == 1000000L &&
+      n.getAs[Long]("de_ppm") == 666666L &&
+      n.getAs[Long]("alpha_ppm") == -(333334L * 1000000L / 666666L),
+      n.toString)
+  }
+
   test("q484 fixture: the 3-cycle tournament reads violation_bp = 10000") {
     // independent pin of the triangle arithmetic: with exactly the RPS
     // edges a->b->c->a, und has 3 edges, 1 triangle, and the rotation
