@@ -15,12 +15,15 @@ import graft.{Sessions, Tables}
   * This op must NEVER be promoted into SparkEntry.queries — it exists to
   * be the thing the lint and the sweep are built to catch.
   *
-  * Usage: runMain graft.dev.ScaleCanary <1xDir> <10xDir>
-  *        python3 dev/scale_diff.py canary_10x.json canary_1x.json
+  * Usage: runMain graft.dev.ScaleCanary <1xDir> <NxDir> [suffix]
+  *        python3 dev/scale_diff.py [--tier N] canary_<suffix>.json canary_1x.json
+  * The optional suffix (default "10x") names the second output file, so
+  * the 30x tier writes canary_30x.json from the same binary.
   */
 object ScaleCanary {
   def main(args: Array[String]): Unit = {
-    val Array(dir1, dir10) = args
+    val (dir1, dir10) = (args(0), args(1))
+    val suffix = if (args.length > 2) args(2) else "10x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -39,7 +42,8 @@ object ScaleCanary {
     }
 
     run(dir1) // warmup (codegen + footer caching), same policy as Bench
-    for ((dir, out) <- Seq((dir1, "canary_1x.json"), (dir10, "canary_10x.json"))) {
+    for ((dir, out) <- Seq((dir1, "canary_1x.json"),
+        (dir10, s"canary_$suffix.json"))) {
       val t = run(dir)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
         f"""{"total":$t%.3f,"timing":"toRdd","queries":{"canary_quadratic":$t%.3f}}""")
