@@ -46,4 +46,14 @@ if python3 dev/scale_diff.py canary_10x.json canary_1x.json; then
   exit 1
 fi
 
+echo "== [6/6] 30x tier: iterative graph family (flags are LEADS) =="
+if [ -d tmp/scale30/events.parquet ]; then
+  GRAPHQ=q240_converged_paths,q252_hits,q456_ppr2,q285_ktruss,q347_star_components,q113_pagerank
+  SPARK_GRAFT_SF_DIR=tmp/scale30 SPARK_GRAFT_BENCH_OUT="$OUT/g30.json" \
+    SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench $GRAPHQ" || exit 1
+  python3 dev/scale_diff.py --tier 30 "$OUT/g30.json" || true
+else
+  echo "(tmp/scale30 missing - generate with: sbt \"runMain graft.ScaleBench $SF001 tmp/scale30 30\")"
+fi
+
 echo "== close chain green (remember: fold budgets only after isolation re-checks; commit everything) =="
