@@ -235,4 +235,48 @@ object Privacy {
         max(col("_over")).as("max_overshoot_us"),
         countDistinct(when(col("_over") > 0, u)).as("n_users_late"))
   }
+
+  /** DP-SGD noise-sizing table via Gaussian-mechanism RDP composition —
+    * the accountant a training run consults BEFORE committing to a noise
+    * multiplier: for each σ² in the grid, the best (ε, α) after `steps`
+    * compositions at δ fixed by `lnInvDeltaMilli` (= ln(1/δ) in
+    * milli-nats; the default 11513 is δ = 10⁻⁵ — a quantized LITERAL,
+    * the SPRT/q470 convention: constants quantize, data never does).
+    *
+    * Per (σ², α): RDP(α) of one Gaussian release is α/(2σ²), composing
+    * linearly over steps —
+    *   rdp_milli = ⌊α · steps · 1000 div (2σ²)⌋
+    * and the standard RDP→(ε,δ) conversion adds ln(1/δ)/(α−1):
+    *   eps_milli = rdp_milli + ⌊11513 div (α−1)⌋ ,
+    * minimized over the α grid per σ² (min-α tiebreak via the struct
+    * ordering). No subsampling amplification — this is the full-batch
+    * (or amplification-ignored, i.e. conservative) accountant; exact
+    * integers throughout, so the table is engine-identical.
+    *
+    * `stepsDf` is a ONE-ROW frame with a `steps` column (keep the step
+    * count in the plan — a driver-side .head() here would be exactly
+    * what CollectLintSpec exists to flag); the grid is a broadcast
+    * literal, so the whole table costs one crossJoin + one 3-key
+    * aggregate on top of whatever produced `steps`. */
+  def gaussianDpAccountant(stepsDf: DataFrame,
+      sigmaSq: Seq[Long] = Seq(1L, 4L, 16L),
+      alphas: Seq[Long] = Seq(2L, 4L, 8L, 16L, 32L),
+      lnInvDeltaMilli: Long = 11513L): DataFrame = {
+    require(sigmaSq.nonEmpty && sigmaSq.forall(_ >= 1))
+    require(alphas.nonEmpty && alphas.forall(_ >= 2))
+    require(lnInvDeltaMilli >= 0)
+    val spark = stepsDf.sparkSession
+    import spark.implicits._
+    val grid = (for (s <- sigmaSq; a <- alphas) yield (s, a))
+      .toDF("sigma_sq", "alpha")
+    stepsDf.crossJoin(broadcast(grid))
+      .withColumn("_eps", expr(
+        s"alpha * steps * 1000 div (2 * sigma_sq) " +
+          s"+ $lnInvDeltaMilli div (alpha - 1)"))
+      .groupBy(col("sigma_sq"))
+      .agg(max(col("steps")).as("steps"),
+        min(struct(col("_eps"), col("alpha"))).as("_b"))
+      .select(col("sigma_sq"), col("steps"),
+        col("_b.alpha").as("best_alpha"), col("_b._eps").as("eps_milli"))
+  }
 }

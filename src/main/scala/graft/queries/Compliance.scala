@@ -142,13 +142,56 @@ object Compliance {
       .orderBy($"split")
   }
 
+  // ------------------------------------------- q515 DP accountant
+
+  /** DP-SGD noise-sizing table ([[graft.etl.Privacy.gaussianDpAccountant]]):
+    * per noise multiplier σ² ∈ {1,4,16}, the best (ε, α) over the RDP
+    * order grid {2..32} after composing one Gaussian release per
+    * training step — steps = the corpus's distinct active minutes (the
+    * per-minute-batch stand-in). δ = 10⁻⁵ as the quantized literal
+    * 11513 milli-nats. The table a privacy review reads to pick σ
+    * BEFORE a run commits to it; conservative (no subsampling
+    * amplification). */
+  def q515DpAccountant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val steps = Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
+      .select(expr("unix_micros(ts) div 60000000").as("m"))
+      .distinct().agg(count(lit(1)).as("steps"))
+    Privacy.gaussianDpAccountant(steps).orderBy($"sigma_sq")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q497_tombstone_audit" -> q497TombstoneAudit _,
     "q498_retention_purge" -> q498RetentionPurge _,
     "q499_consent_coverage" -> q499ConsentCoverage _,
-    "q500_pii_split_leak" -> q500PiiSplitLeak _)
+    "q500_pii_split_leak" -> q500PiiSplitLeak _,
+    "q515_dp_accountant" -> q515DpAccountant _)
 
   val oracleSql: Map[String, String] = Map(
+    "q515_dp_accountant" -> """
+      |WITH st AS (
+      |  SELECT count(*) AS steps FROM (
+      |    SELECT DISTINCT epoch_us(ts) // 60000000 AS m FROM events
+      |    WHERE ts IS NOT NULL)),
+      |g AS (
+      |  SELECT s.sigma_sq, a.alpha
+      |  FROM (SELECT unnest(ARRAY[1, 4, 16]) AS sigma_sq) s,
+      |       (SELECT unnest(ARRAY[2, 4, 8, 16, 32]) AS alpha) a),
+      |e AS (
+      |  SELECT sigma_sq, alpha, steps,
+      |    alpha * steps * 1000 // (2 * sigma_sq)
+      |      + 11513 // (alpha - 1) AS eps
+      |  FROM st, g),
+      |best AS (
+      |  SELECT sigma_sq, min(eps) AS eps_milli FROM e GROUP BY 1)
+      |SELECT CAST(b.sigma_sq AS BIGINT) AS sigma_sq,
+      |  CAST(e.steps AS BIGINT) AS steps,
+      |  CAST(min(e.alpha) AS BIGINT) AS best_alpha,
+      |  CAST(b.eps_milli AS BIGINT) AS eps_milli
+      |FROM best b JOIN e ON e.sigma_sq = b.sigma_sq
+      |  AND e.eps = b.eps_milli
+      |GROUP BY 1, 2, 4 ORDER BY 1""".stripMargin,
     "q497_tombstone_audit" -> s"""
       |WITH e AS (
       |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -142,4 +142,21 @@ class ComplianceSpec extends SparkSpec {
     // the fixture corpus actually plants PII in more than one split
     assert(expected.count(_._2._2 > 0) >= 2)
   }
+
+  test("q515 accountant: hand-computed (eps, alpha) argmin at steps = 100") {
+    import spark.implicits._
+    // rdp_milli = alpha*100*1000/(2*sigma_sq); eps = rdp + 11513//(alpha-1)
+    // sigma_sq=1:  alpha=2 -> 100000+11513 = 111513 (larger alphas worse)
+    // sigma_sq=4:  alpha=2 ->  25000+11513 =  36513
+    // sigma_sq=16: alpha=2 -> 6250+11513 = 17763; alpha=4 -> 12500+3837
+    //              = 16337 (the argmin moves off the smallest alpha)
+    val steps = Seq(100L).toDF("steps")
+    val got = graft.etl.Privacy.gaussianDpAccountant(steps)
+      .collect().map(r => r.getAs[Long]("sigma_sq") -> (
+        r.getAs[Long]("steps"), r.getAs[Long]("best_alpha"),
+        r.getAs[Long]("eps_milli"))).toMap
+    assert(got == Map(1L -> (100L, 2L, 111513L),
+      4L -> (100L, 2L, 36513L),
+      16L -> (100L, 4L, 16337L)), got)
+  }
 }
