@@ -284,6 +284,96 @@ class CollectLintSpec extends SparkSpec {
         s"${stale.mkString(", ")}")
   }
 
+  // ------------------------------------- 3. streaming-buffer lint
+
+  /** The flatMapGroupsWithState sibling of the collect lint: an
+    * `Iterator.toSeq` inside a stateful streaming op materializes one
+    * key's micro-batch rows in executor memory — the module's documented
+    * contract (bounded by one key's events in one micro-batch; durable
+    * state is never the buffer). Every site must be audited here; the
+    * round-9 verdict's funnelStream watch item, generalized. */
+  private val bufferRe = """rows\.(toSeq|toList|toArray)""".r
+
+  /** (relative path, trimmed line) -> (occurrences, why it is bounded). */
+  private val streamBufferAllow: Map[(String, String), (Int, String)] = {
+    val contract = "per-(key, micro-batch) sort buffer — bounded by one " +
+      "key's rows in one batch; durable state is O(1)/capped per key"
+    Map(
+      ("graft/streaming/EventsStreaming.scala",
+        """val out = rows.toSeq.sortBy(_.seq).map { r =>""") -> (1, contract),
+      ("graft/streaming/EventsStreaming.scala",
+        """val out = rows.toSeq""") -> (1, contract),
+      ("graft/streaming/EventsStreaming.scala",
+        """rows.toSeq.sortBy(r => (r.us, r.event_id)).foreach { r =>""") ->
+        (4, contract),
+      ("graft/streaming/EventsStreaming.scala",
+        """rows.toSeq.sortBy(_.d).foreach { r =>""") -> (1, contract),
+      ("graft/streaming/EventsStreaming.scala",
+        """rows.toSeq.sortBy(r => (r.us, r.is_probe, r.pick)).foreach { r =>""") ->
+        (1, contract),
+      ("graft/streaming/EventsStreaming.scala",
+        """val out = rows.toSeq.sortBy(r => (r.us, r.id)).map { r =>""") ->
+        (2, contract),
+      ("graft/streaming/EventsStreaming.scala",
+        """val out = rows.toSeq.sortBy(_.ts.getTime).flatMap { r =>""") ->
+        (1, contract),
+      ("graft/streaming/EventsStreaming.scala",
+        """val out = rows.toSeq.sortBy(r => (r.us, r.event_id)).flatMap { r =>""") ->
+        (1, contract))
+  }
+
+  private def scanBuffers(rel: String, content: String): Seq[String] = {
+    if (!rel.startsWith("graft/streaming/")) Nil
+    else {
+      val hits = content.linesIterator.map(_.trim)
+        .filter(l => bufferRe.findFirstIn(l).isDefined &&
+          !l.startsWith("*") && !l.startsWith("//"))
+        .toSeq.groupBy(identity).view.mapValues(_.size).toSeq
+      hits.flatMap { case (line, n) =>
+        streamBufferAllow.get((rel, line)) match {
+          case Some((allowed, _)) if allowed == n => Nil
+          case Some((allowed, _)) =>
+            Seq(s"$rel: '$line' matched $n times, allowlist says $allowed")
+          case None => Seq(s"$rel: unaudited stream buffer '$line'")
+        }
+      }
+    }
+  }
+
+  test("every stateful-streaming iterator buffer is audited") {
+    val bad = mainSources.flatMap { case (rel, content) =>
+      scanBuffers(rel, content)
+    }
+    assert(bad.isEmpty,
+      "unaudited per-key micro-batch buffers (state the bound and add a " +
+        s"streamBufferAllow entry):\n${bad.mkString("\n")}")
+  }
+
+  test("the stream-buffer allowlist carries no stale entries") {
+    val byFile = mainSources.toMap
+    val stale = streamBufferAllow.toSeq.sortBy(_._1.toString).flatMap {
+      case ((rel, line), (count, _)) =>
+        byFile.get(rel) match {
+          case None => Seq(s"$rel no longer exists (entry '$line')")
+          case Some(content) =>
+            val n = content.linesIterator.map(_.trim).count(_ == line)
+            if (n != count)
+              Seq(s"$rel: '$line' now matches $n times, entry says $count")
+            else Nil
+        }
+    }
+    assert(stale.isEmpty,
+      s"stale streamBufferAllow entries — re-audit:\n${stale.mkString("\n")}")
+  }
+
+  test("negative control: an unlisted stream buffer flags") {
+    assert(scanBuffers("graft/streaming/Fake.scala",
+      "val all = rows.toList\n").nonEmpty)
+    assert(scanBuffers("graft/etl/Fake.scala",
+      "val all = rows.toList\n").isEmpty,
+      "the buffer lint scopes to the streaming module only")
+  }
+
   test("negative control: raw collect_list flags; the rank-cap and " +
       "rolling-frame spellings clear") {
     import org.apache.spark.sql.functions._
