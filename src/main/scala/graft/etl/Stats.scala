@@ -1276,6 +1276,19 @@ object Stats {
     * materialized aggregates, no driver loops, no floats. */
   def bradleyTerry(prefs: DataFrame, winCol: String, loseCol: String,
       iters: Int = 2): DataFrame = {
+    val (_, base, fitted) = btFit(prefs, winCol, loseCol, iters)
+    base.join(fitted, Seq("item"))
+      .select(col("item"), col("wins"), col("games"),
+        col("s").as("strength_ppm"))
+  }
+
+  /** Shared fit core for [[bradleyTerry]] / [[btResiduals]]: the
+    * localCheckpointed canonical-pair aggregate (a, b, n_ab, w_a), the
+    * per-item wins/games base, and the fitted strengths — so the
+    * residual diagnostics never re-derive the (possibly expensive) duel
+    * input a second time. */
+  private def btFit(prefs: DataFrame, winCol: String, loseCol: String,
+      iters: Int): (DataFrame, DataFrame, DataFrame) = {
     require(iters >= 1, "need at least one MM step")
     val d38 = "decimal(38,0)"
     val p = prefs.select(col(winCol).as("_w"), col(loseCol).as("_l"))
@@ -1317,9 +1330,7 @@ object Stats {
           s"CAST(CAST(_raw AS $d38) * _n * 1000000 div NULLIF(_tot, 0) AS BIGINT)")
           .as("s"))
     }
-    base.join(fitted, Seq("item"))
-      .select(col("item"), col("wins"), col("games"),
-        col("s").as("strength_ppm"))
+    (pair, base, fitted)
   }
 
   /** Per-item Bradley–Terry fit residuals — the diagnostic next to
@@ -1342,14 +1353,12 @@ object Stats {
   def btResiduals(prefs: DataFrame, winCol: String, loseCol: String,
       iters: Int = 2): DataFrame = {
     val d38 = "decimal(38,0)"
-    val fit = bradleyTerry(prefs, winCol, loseCol, iters)
-    val pair = prefs
-      .select(least(col(winCol), col(loseCol)).as("a"),
-        greatest(col(winCol), col(loseCol)).as("b"),
-        when(col(winCol) < col(loseCol), 1L).otherwise(0L).as("_aw"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_ab"), sum(col("_aw")).as("w_a"))
-    val s = fit.select(col("item"), col("strength_ppm"))
+    // the pair table is bradleyTerry's own localCheckpointed aggregate —
+    // reusing it (instead of re-deriving from prefs) drops one full pass
+    // over the duel input (a self-join for q513): measured 5.0 -> 4.0 s
+    // min at sf0.1
+    val (pair, _, fitted) = btFit(prefs, winCol, loseCol, iters)
+    val s = fitted.select(col("item"), col("s").as("strength_ppm"))
     val withS = pair
       .join(broadcast(s.select(col("item").as("a"),
         col("strength_ppm").as("s_a"))), Seq("a"))
