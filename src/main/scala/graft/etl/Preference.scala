@@ -82,6 +82,111 @@ object Preference {
       least(col("_wa"), col("_wb")).as("wins_dst"))
   }
 
+  /** Rejection-sampling yield ladder — the compute planner for synthetic
+    * data generation: per (arm, acceptance threshold τ) the keep rate,
+    * the expected draws per kept sample (floored milli — the 1/p a
+    * generation budget multiplies by), and the TOTAL tokens drawn per
+    * kept sample (rejected drafts still cost inference). One scan
+    * crossed with the broadcast τ grid, then an (arm, τ)-keyed
+    * aggregate — the grid multiplies combiner input, never the shuffle
+    * key space. */
+  def rejectionYield(df: DataFrame, armCol: String, scoreCol: String,
+      tokCol: String, taus: Seq[Long]): DataFrame = {
+    require(taus.nonEmpty)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = taus.toDF("tau")
+    df.select(col(armCol).as("arm"), col(scoreCol).as("_c"),
+        col(tokCol).as("_k"))
+      .crossJoin(broadcast(g))
+      .groupBy(col("arm"), col("tau"))
+      .agg(count(lit(1)).as("n_drawn"),
+        sum(when(col("_c") >= col("tau"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("_k")).as("_tok"))
+      .select(col("arm"), col("tau"), col("n_drawn"), col("n_kept"),
+        expr("n_kept * 10000 div n_drawn").as("keep_bp"),
+        expr("CASE WHEN n_kept > 0 THEN n_drawn * 1000 div n_kept END")
+          .as("draws_per_keep_milli"),
+        expr("CASE WHEN n_kept > 0 THEN _tok div n_kept END")
+          .as("tokens_per_keep"))
+  }
+
+  /** Teacher-confidence distillation audit over the [[majorityLabel]]
+    * machinery: per item the gold label AND its vote share; ratings
+    * bucket by the teacher's confidence quartile (⌊4·share⌋ capped at
+    * 3), and per bucket the agreement of individual ratings with gold —
+    * the rising curve that justifies confidence-weighted distillation
+    * (flat = the teacher's confidence carries no signal). */
+  def teacherConfidence(df: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val counts = df.groupBy(col(itemCol).as("_item"),
+        col(labelCol).as("_label"))
+      .agg(count(lit(1)).as("_n"))
+    val m = counts.groupBy(col("_item"))
+      .agg(sum(col("_n")).as("_m"), max(col("_n")).as("_nmax"))
+    val gold = counts.join(m, Seq("_item"))
+      .filter(col("_n") === col("_nmax"))
+      .groupBy(col("_item"), col("_m"), col("_nmax"))
+      .agg(min(col("_label")).as("_gold"))
+      .withColumn("conf_bucket", expr("least(_nmax * 4 div _m, 3)"))
+    df.select(col(itemCol).as("_item"), col(labelCol).as("_label"))
+      .join(gold, Seq("_item"))
+      .groupBy(col("conf_bucket"))
+      .agg(countDistinct(col("_item")).as("n_items"),
+        count(lit(1)).as("n_ratings"),
+        expr("sum(CASE WHEN _label = _gold THEN 1 ELSE 0 END) * 10000 " +
+          "div count(1)").as("agree_bp"))
+  }
+
+  /** Self-consistency sampling curve (the Wang et al. majority-vote
+    * recipe, measured on the sample budget axis): per prompt the first
+    * k samples vote; per k the mean majority share, the unanimity rate,
+    * and the agreement of the k-majority with the full-budget (max k)
+    * majority — the early-stopping readout ("would 3 samples have
+    * picked the same answer 5 did"). Only prompts carrying the FULL
+    * max-k samples enter, so every k row reads the same prompt panel.
+    * Ties break to the min label ([[majorityLabel]]'s convention). The
+    * rank window is prompt-keyed (corpus-cardinality partitions); the k
+    * grid multiplies combiner input only. */
+  def selfConsistency(df: DataFrame, promptCol: String, labelCol: String,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kMax = ks.max
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(promptCol)).orderBy(orderCols: _*)
+    val s = df
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= kMax)
+      .select(col(promptCol).as("_p"), col("_rn"),
+        col(labelCol).as("_label"))
+    val grid = ks.toDF("k")
+    val votes = s.crossJoin(broadcast(grid))
+      .filter(col("_rn") <= col("k"))
+      .groupBy(col("k"), col("_p"), col("_label"))
+      .agg(count(lit(1)).as("_v"))
+    val m = votes.groupBy(col("k"), col("_p"))
+      .agg(sum(col("_v")).as("_m"), max(col("_v")).as("_vmax"))
+      .filter(col("_m") === col("k")) // full k samples only
+    val maj = votes.join(m, Seq("k", "_p"))
+      .filter(col("_v") === col("_vmax"))
+      .groupBy(col("k"), col("_p"), col("_m"), col("_vmax"))
+      .agg(min(col("_label")).as("_maj"))
+    val majMax = maj.filter(col("k") === kMax)
+      .select(col("_p"), col("_maj").as("_majmax"))
+    maj.join(majMax, Seq("_p"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_prompts"),
+        expr("sum(_vmax * 10000 div _m) div count(1)")
+          .as("mean_major_share_bp"),
+        expr("sum(CASE WHEN _vmax = _m THEN 1 ELSE 0 END) * 10000 " +
+          "div count(1)").as("unanimous_bp"),
+        expr("sum(CASE WHEN _maj = _majmax THEN 1 ELSE 0 END) * 10000 " +
+          "div count(1)").as("match_full_bp"))
+  }
+
   /** Krippendorff's alpha (nominal metric) with a leave-one-annotator-out
     * grid — the panel-health readout over the [[majorityLabel]] gold
     * machinery: alpha says whether the PANEL agrees beyond chance;

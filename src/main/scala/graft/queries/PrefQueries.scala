@@ -357,9 +357,65 @@ object PrefQueries {
       .orderBy($"excl")
   }
 
+  // --------------------------------------- q516 rejection-sampling yield
+
+  /** Threshold grid for the rejection-sampling yield ladder (cents). */
+  private[queries] val RsTaus = Seq(1000L, 2500L, 5000L, 10000L)
+
+  /** Rejection-sampling yield ladder
+    * ([[graft.etl.Preference.rejectionYield]]): per (arm, reward
+    * threshold τ) the keep rate, draws-per-kept (milli) and total
+    * tokens drawn per kept sample — the table a synthetic-data budget
+    * is planned from (rejected drafts still burn inference tokens). */
+  def q516RejectionYield(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"event_type".isNotNull && $"value".isNotNull &&
+        $"value" >= 0 && tokK.isNotNull)
+      .select($"event_type", cents.as("c"), tokK.as("k"))
+    Preference.rejectionYield(e, "event_type", "c", "k", RsTaus)
+      .orderBy($"arm", $"tau")
+  }
+
+  // ------------------------------------ q517 teacher-confidence audit
+
+  /** Teacher-confidence distillation audit
+    * ([[graft.etl.Preference.teacherConfidence]]) on the q485 mapping:
+    * ratings bucketed by their item's gold-vote-share quartile; per
+    * bucket the agreement of individual labels with gold. A rising
+    * agree_bp curve validates confidence-weighted distillation. */
+  def q517TeacherConfidence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"event_type".isNotNull)
+      .select($"user_id".as("item"), $"event_type".as("label"))
+    Preference.teacherConfidence(a, "item", "label")
+      .orderBy($"conf_bucket")
+  }
+
+  // ------------------------------------- q518 self-consistency curve
+
+  /** Self-consistency sampling curve
+    * ([[graft.etl.Preference.selfConsistency]]): per sample budget
+    * k ∈ {1, 3, 5}, the majority-vote share, unanimity rate, and the
+    * early-stopping agreement with the full 5-sample majority, over the
+    * prompts (users) carrying all 5 samples. */
+  def q518SelfConsistency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"user_id".isNotNull && $"event_type".isNotNull)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    Preference.selfConsistency(e, "user_id", "event_type",
+        Seq($"ts", $"event_id"), ks = Seq(1L, 3L, 5L))
+      .orderBy($"k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q513_bt_residuals" -> q513BtResiduals _,
     "q514_krippendorff_loo" -> q514KrippendorffLoo _,
+    "q516_rejection_yield" -> q516RejectionYield _,
+    "q517_teacher_confidence" -> q517TeacherConfidence _,
+    "q518_self_consistency" -> q518SelfConsistency _,
     "q490_queue_replay" -> q490QueueReplay _,
     "q489_spec_decode" -> q489SpecDecode _,
     "q483_dpo_pairs" -> q483DpoPairs _,
@@ -390,6 +446,79 @@ object PrefQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q516_rejection_yield" -> s"""
+      |WITH e AS (
+      |  SELECT event_type AS arm, CAST(round(value * 100) AS BIGINT) AS c,
+      |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+      |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |    AND value >= 0
+      |    AND json_extract_string(props, '$$.k') IS NOT NULL),
+      |g AS (SELECT unnest(ARRAY[${RsTaus.mkString(",")}]) AS tau),
+      |per AS (
+      |  SELECT arm, tau, count(*) AS n_drawn,
+      |    sum(CASE WHEN c >= tau THEN 1 ELSE 0 END) AS n_kept,
+      |    sum(k) AS tok
+      |  FROM e, g GROUP BY 1, 2)
+      |SELECT arm, CAST(tau AS BIGINT) AS tau,
+      |  CAST(n_drawn AS BIGINT) AS n_drawn,
+      |  CAST(n_kept AS BIGINT) AS n_kept,
+      |  CAST(n_kept * 10000 // n_drawn AS BIGINT) AS keep_bp,
+      |  CAST(CASE WHEN n_kept > 0 THEN n_drawn * 1000 // n_kept END
+      |    AS BIGINT) AS draws_per_keep_milli,
+      |  CAST(CASE WHEN n_kept > 0 THEN tok // n_kept END AS BIGINT)
+      |    AS tokens_per_keep
+      |FROM per ORDER BY arm, tau""".stripMargin,
+    "q517_teacher_confidence" -> """
+      |WITH a AS (
+      |  SELECT user_id AS item, event_type AS label FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |counts AS (
+      |  SELECT item, label, count(*) AS n FROM a GROUP BY 1, 2),
+      |m AS (SELECT item, sum(n) AS m, max(n) AS nmax
+      |      FROM counts GROUP BY 1),
+      |gold AS (
+      |  SELECT c.item, m.m, m.nmax, min(c.label) AS gold
+      |  FROM counts c JOIN m ON m.item = c.item AND c.n = m.nmax
+      |  GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT least(g.nmax * 4 // g.m, 3) AS conf_bucket, a.item,
+      |    CASE WHEN a.label = g.gold THEN 1 ELSE 0 END AS ag
+      |  FROM a JOIN gold g ON g.item = a.item)
+      |SELECT CAST(conf_bucket AS BIGINT) AS conf_bucket,
+      |  CAST(count(DISTINCT item) AS BIGINT) AS n_items,
+      |  CAST(count(*) AS BIGINT) AS n_ratings,
+      |  CAST(sum(ag) * 10000 // count(*) AS BIGINT) AS agree_bp
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q518_self_consistency" -> """
+      |WITH s AS (
+      |  SELECT user_id AS p, rn, event_type AS label FROM (
+      |    SELECT user_id, event_type, row_number() OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |    FROM events WHERE user_id IS NOT NULL
+      |      AND event_type IS NOT NULL)
+      |  WHERE rn <= 5),
+      |g AS (SELECT unnest(ARRAY[1, 3, 5]) AS k),
+      |votes AS (
+      |  SELECT k, p, label, count(*) AS v
+      |  FROM s, g WHERE rn <= k GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT k, p, sum(v) AS m, max(v) AS vmax
+      |  FROM votes GROUP BY 1, 2 HAVING sum(v) = k),
+      |maj AS (
+      |  SELECT v.k, v.p, m.m, m.vmax, min(v.label) AS maj
+      |  FROM votes v JOIN m ON m.k = v.k AND m.p = v.p AND v.v = m.vmax
+      |  GROUP BY 1, 2, 3, 4),
+      |mx AS (SELECT p, maj AS majmax FROM maj WHERE k = 5)
+      |SELECT CAST(maj.k AS BIGINT) AS k,
+      |  CAST(count(*) AS BIGINT) AS n_prompts,
+      |  CAST(sum(maj.vmax * 10000 // maj.m) // count(*) AS BIGINT)
+      |    AS mean_major_share_bp,
+      |  CAST(sum(CASE WHEN maj.vmax = maj.m THEN 1 ELSE 0 END) * 10000
+      |    // count(*) AS BIGINT) AS unanimous_bp,
+      |  CAST(sum(CASE WHEN maj.maj = mx.majmax THEN 1 ELSE 0 END) * 10000
+      |    // count(*) AS BIGINT) AS match_full_bp
+      |FROM maj JOIN mx ON mx.p = maj.p
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q513_bt_residuals" -> """
       |WITH ut AS (
       |  SELECT user_id, event_type,

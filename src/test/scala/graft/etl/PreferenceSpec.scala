@@ -201,6 +201,58 @@ class PreferenceSpec extends SparkSpec {
       n.toString)
   }
 
+  test("rejectionYield: hand-computed keep rate, draws-per-keep, token cost") {
+    import spark.implicits._
+    val df = Seq(("A", 5L, 10L), ("A", 15L, 10L), ("A", 25L, 10L))
+      .toDF("arm", "c", "k")
+    val got = Preference.rejectionYield(df, "arm", "c", "k",
+        taus = Seq(10L, 20L))
+      .collect().map(r => r.getAs[Long]("tau") -> (
+        r.getAs[Long]("n_kept"), r.getAs[Long]("keep_bp"),
+        r.getAs[Long]("draws_per_keep_milli"),
+        r.getAs[Long]("tokens_per_keep"))).toMap
+    // tau=10: keeps {15,25}; 3 draws / 2 kept = 1500 milli; 30 tok / 2
+    assert(got == Map(10L -> (2L, 6666L, 1500L, 15L),
+      20L -> (1L, 3333L, 3000L, 30L)), got)
+  }
+
+  test("teacherConfidence: confidence quartiles separate agreement") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"), (1L, "b"), // gold a, share 3/4
+      (2L, "a"), (2L, "b"))                       // tie -> gold a, share 1/2
+      .toDF("item", "label")
+    val got = Preference.teacherConfidence(df, "item", "label")
+      .collect().map(r => r.getAs[Long]("conf_bucket") -> (
+        r.getAs[Long]("n_items"), r.getAs[Long]("n_ratings"),
+        r.getAs[Long]("agree_bp"))).toMap
+    assert(got == Map(3L -> (1L, 4L, 7500L), 2L -> (1L, 2L, 5000L)), got)
+  }
+
+  test("selfConsistency: majority share, unanimity, early-stop agreement") {
+    import spark.implicits._
+    val df = Seq(
+      // p1: x x y x y — k=1 unanimous x; k=3 2-1 x; k=5 3-2 x
+      (1L, 1L, "x"), (1L, 2L, "x"), (1L, 3L, "y"), (1L, 4L, "x"),
+      (1L, 5L, "y"),
+      // p2: unanimous y at every k
+      (2L, 1L, "y"), (2L, 2L, "y"), (2L, 3L, "y"), (2L, 4L, "y"),
+      (2L, 5L, "y"),
+      // p3: only 2 samples — must be excluded from the panel entirely
+      (3L, 1L, "z"), (3L, 2L, "z"))
+      .toDF("p", "seq", "label")
+    val got = Preference.selfConsistency(df, "p", "label",
+        Seq(col("seq")), ks = Seq(1L, 3L, 5L))
+      .collect().map(r => r.getAs[Long]("k") -> (
+        r.getAs[Long]("n_prompts"), r.getAs[Long]("mean_major_share_bp"),
+        r.getAs[Long]("unanimous_bp"), r.getAs[Long]("match_full_bp")))
+      .toMap
+    assert(got == Map(
+      1L -> (2L, 10000L, 10000L, 10000L),
+      3L -> (2L, 8333L, 5000L, 10000L),
+      5L -> (2L, 8000L, 5000L, 10000L)), got)
+  }
+
   test("q484 fixture: the 3-cycle tournament reads violation_bp = 10000") {
     // independent pin of the triangle arithmetic: with exactly the RPS
     // edges a->b->c->a, und has 3 edges, 1 triangle, and the rotation
