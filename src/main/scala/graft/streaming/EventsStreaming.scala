@@ -520,6 +520,56 @@ object EventsStreaming {
       }.toDF()
   }
 
+  final case class BandRow(band: Int, bucket: Long, id: Long)
+  final case class CandPair(id_a: Long, id_b: Long, band: Int)
+
+  /** Online LSH near-dup candidate stream — the streaming face of
+    * [[graft.etl.Similarity.lshCandidatePairs]]: documents arrive with
+    * their (band, bucket) signature rows already computed (the banding
+    * is a stateless projection, so it runs on the stream itself), and
+    * every arrival emits a candidate pair against each PRIOR member of
+    * its bucket — online near-dup detection, pairs the moment the
+    * second copy lands instead of at the nightly batch.
+    *
+    * State per (band, bucket) key is the member id list, PRE-CAPPED at
+    * `maxBucket` (the shingle-engine contract, carried to streaming): a
+    * boilerplate bucket stops admitting members once full — it emits
+    * nothing further and its state stays ≤ maxBucket ids forever.
+    * Deliberate semantic difference from the batch op, documented so
+    * the parity spec's scope is honest: the batch engine sees bucket
+    * sizes POST-HOC and drops over-cap buckets entirely; a stream
+    * cannot retract pairs it already emitted, so it freezes the bucket
+    * instead (the operational view). For buckets that never exceed the
+    * cap the two agree exactly, and that is what the spec pins. Pairs
+    * carry the band; downstream dedups across bands per its own window
+    * (the batch op's `.distinct()`), keeping this op append-only.
+    * Duplicate (bucket, id) arrivals (e.g. re-ingest) are ignored. */
+  def lshCandidateStream(banded: DataFrame, maxBucket: Int = 64)
+      : DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    import banded.sparkSession.implicits._
+    banded.select(col("band"), col("bucket"), col("id")).as[BandRow]
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Long), rows: Iterator[BandRow],
+            state: GroupState[Seq[Long]]) =>
+          var members = state.getOption.getOrElse(Seq.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+          rows.toSeq.sortBy(_.id).foreach { r =>
+            if (!members.contains(r.id) && members.size < maxBucket) {
+              members.foreach { m =>
+                out += CandPair(math.min(m, r.id), math.max(m, r.id),
+                  key._1)
+              }
+              members = members :+ r.id
+            }
+          }
+          state.update(members)
+          out.iterator
+      }.toDF()
+  }
+
   final case class SrvRow(key: String, us: Long, id: Long,
       service_us: Long)
   final case class SrvOut(key: String, id: Long, c_us: Long,

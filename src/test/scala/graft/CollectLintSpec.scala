@@ -318,6 +318,10 @@ class CollectLintSpec extends SparkSpec {
         """val out = rows.toSeq.sortBy(_.ts.getTime).flatMap { r =>""") ->
         (1, contract),
       ("graft/streaming/EventsStreaming.scala",
+        """rows.toSeq.sortBy(_.id).foreach { r =>""") ->
+        (1, contract + "; lshCandidateStream state additionally " +
+          "pre-capped at maxBucket members per bucket"),
+      ("graft/streaming/EventsStreaming.scala",
         """val out = rows.toSeq.sortBy(r => (r.us, r.event_id)).flatMap { r =>""") ->
         (1, contract))
   }

@@ -341,6 +341,51 @@ class EventsStreamingSpec extends SparkSpec {
     assert(batch == got, "streaming and batch twins must agree")
   }
 
+  test("lshCandidateStream: cross-batch bucket pairs match the batch " +
+      "self-join; over-cap buckets freeze") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStreaming.BandRow
+    val input = MemoryStream[BandRow]
+    val q = EventsStreaming.lshCandidateStream(input.toDF(), maxBucket = 3)
+      .writeStream.format("memory").queryName("lshcand")
+      .outputMode("append").start()
+    // batch 1: bucket (0, 7) collects ids 1, 2 -> pair (1,2);
+    // bucket (1, 9) has a single member -> nothing
+    input.addData(BandRow(0, 7L, 1L), BandRow(0, 7L, 2L),
+      BandRow(1, 9L, 5L))
+    q.processAllAvailable()
+    // batch 2: id 3 joins bucket (0,7) across the boundary -> pairs
+    // (1,3), (2,3); the bucket is now AT cap (3 members)
+    input.addData(BandRow(0, 7L, 3L), BandRow(1, 9L, 6L))
+    q.processAllAvailable()
+    // batch 3: id 4 would exceed the cap -> frozen, no pairs; a
+    // duplicate re-ingest of id 2 is ignored
+    input.addData(BandRow(0, 7L, 4L), BandRow(0, 7L, 2L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("lshcand")
+      .select($"id_a", $"id_b", $"band").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(got == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0),
+      (5L, 6L, 1)), got)
+
+    // batch twin over the same rows RESTRICTED to the never-over-cap
+    // scope (the documented parity boundary): the (band,bucket)
+    // self-join on distinct members
+    val rows = Seq((0, 7L, 1L), (0, 7L, 2L), (1, 9L, 5L), (0, 7L, 3L),
+      (1, 9L, 6L)).toDF("band", "bucket", "id").distinct()
+    val batch = rows.as("a").join(rows.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"), col("a.band"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(batch == got, "streaming and batch candidate sets must agree")
+  }
+
   test("fifoReplayStream: cross-batch Lindley replay matches the batch twin") {
     val sq = spark
     import sq.implicits._
