@@ -137,4 +137,96 @@ class InvariantSpec extends SparkSpec {
         .subsetOf(Set("fresh", "stale", "none")))
     }
   }
+
+  // ---------------------------------------------- round-10 families
+
+  test("q513: the fit's expected wins conserve each pair, residuals bounded") {
+    for (seed <- Seq(3L, 11L)) {
+      val dir = randomEventsDir(seed, 1500)
+      val rows = PrefQueries.q513BtResiduals(spark, dir).collect()
+      rows.foreach { r =>
+        val games = r.getAs[Long]("games")
+        val exp = r.getAs[Long]("exp_milli")
+        val resid = r.getAs[Long]("resid_milli")
+        // expected milli-wins of an arm can't exceed its games; the L1
+        // residual can't exceed obs + exp (triangle)
+        assert(exp >= 0 && exp <= games * 1000, s"seed $seed exp")
+        assert(resid >= 0 &&
+          resid <= r.getAs[Long]("wins") * 1000 + exp, s"seed $seed resid")
+        assert(r.getAs[Long]("resid_bp") <= 10000, s"seed $seed bp")
+      }
+      // conservation: summed over both sides, e_a + e_b <= 1000*n_ab
+      // with at most 1 milli floor loss per side per pair, so the
+      // corpus-wide expected mass stays within pairs of the win mass
+      val totalExp = rows.map(_.getAs[Long]("exp_milli")).sum
+      val totalWins = rows.map(_.getAs[Long]("wins")).sum * 1000
+      assert(totalExp <= totalWins && totalWins - totalExp <=
+        2L * rows.map(_.getAs[Long]("games")).sum,
+        s"seed $seed conservation: exp $totalExp wins $totalWins")
+    }
+  }
+
+  test("q514: alpha <= 1e6 always; full-panel do/de in range") {
+    for (seed <- Seq(4L, 13L)) {
+      val dir = randomEventsDir(seed, 1500)
+      val rows = PrefQueries.q514KrippendorffLoo(spark, dir).collect()
+      rows.foreach { r =>
+        assert(r.getAs[Long]("alpha_ppm") <= 1000000L, s"seed $seed")
+        assert(r.getAs[Long]("do_ppm") >= 0 &&
+          r.getAs[Long]("do_ppm") <= 1000000L, s"seed $seed do")
+        assert(r.getAs[Long]("de_ppm") >= 0 &&
+          r.getAs[Long]("de_ppm") <= 1000000L, s"seed $seed de")
+      }
+    }
+  }
+
+  test("q516: keep rate and kept counts are monotone nonincreasing in tau") {
+    for (seed <- Seq(5L, 19L)) {
+      val dir = randomEventsDir(seed, 2000)
+      val rows = PrefQueries.q516RejectionYield(spark, dir).collect()
+        .groupBy(_.getAs[String]("arm"))
+      rows.foreach { case (arm, rs) =>
+        val byTau = rs.sortBy(_.getAs[Long]("tau"))
+        val kept = byTau.map(_.getAs[Long]("n_kept"))
+        assert(kept.zip(kept.tail).forall { case (a, b) => a >= b },
+          s"seed $seed arm $arm kept $kept")
+        byTau.foreach { r =>
+          assert(r.getAs[Long]("keep_bp") <= 10000)
+          assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_drawn"))
+        }
+      }
+    }
+  }
+
+  test("q517: confidence buckets partition the rating mass exactly") {
+    for (seed <- Seq(8L, 23L)) {
+      val dir = randomEventsDir(seed, 2000)
+      val rows = PrefQueries.q517TeacherConfidence(spark, dir).collect()
+      val ratings = rows.map(_.getAs[Long]("n_ratings")).sum
+      assert(ratings == 2000L, s"seed $seed partition $ratings")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("conf_bucket") >= 0 &&
+          r.getAs[Long]("conf_bucket") <= 3)
+        assert(r.getAs[Long]("agree_bp") <= 10000)
+      }
+    }
+  }
+
+  test("q518: k=1 is unanimous by construction; full-k matches itself") {
+    for (seed <- Seq(10L, 29L)) {
+      val dir = randomEventsDir(seed, 2000)
+      val rows = PrefQueries.q518SelfConsistency(spark, dir).collect()
+        .map(r => r.getAs[Long]("k") -> r).toMap
+      val n = rows(5L).getAs[Long]("n_prompts")
+      // one panel across every k row
+      assert(rows.values.forall(_.getAs[Long]("n_prompts") == n))
+      assert(rows(1L).getAs[Long]("mean_major_share_bp") == 10000L)
+      assert(rows(1L).getAs[Long]("unanimous_bp") == 10000L)
+      assert(rows(5L).getAs[Long]("match_full_bp") == 10000L)
+      rows.values.foreach { r =>
+        assert(r.getAs[Long]("mean_major_share_bp") <= 10000L)
+        assert(r.getAs[Long]("match_full_bp") <= 10000L)
+      }
+    }
+  }
 }
