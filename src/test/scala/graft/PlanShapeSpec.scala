@@ -721,4 +721,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q518: the sample-budget rank filter fires WindowGroupLimit") {
+    // row_number() + filter(_rn <= 5) must plan per-partition top-k
+    // heaps BEFORE the window sort — at 100 TB the difference between
+    // sorting every prompt's full history and keeping 5 rows per prompt
+    val p = plan("q518_self_consistency")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q513/q515/q516: grids broadcast, strengths broadcast, nothing " +
+      "cartesian") {
+    for (q <- Seq("q513_bt_residuals", "q515_dp_accountant",
+        "q516_rejection_yield")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(p.contains("partial_"), q) // map-side combine everywhere
+    }
+    // the BT strength tables join broadcast onto the pair aggregate
+    assert(plan("q513_bt_residuals").contains("BroadcastHashJoin"))
+    // the literal grids cross as broadcast nested loops (bounded side)
+    assert(plan("q515_dp_accountant").contains("BroadcastNestedLoopJoin"))
+    assert(plan("q516_rejection_yield").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q514: the LOO grid multiplies combiner input, never a window") {
+    val p = plan("q514_krippendorff_loo")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("Window"), "alpha is pure keyed aggregation")
+    assert(p.contains("BroadcastNestedLoopJoin")) // the 6-row excl grid
+  }
+
 }
