@@ -769,6 +769,37 @@ object EventsStreaming {
       .filter(col("e") * 10000 >= lit(thresholdBp) * col("n"))
       .select(col("window.start").as("w_start"), col("n"), col("e"))
 
+  /** Online rejection-sampling yield monitor — the streaming face of
+    * [[graft.etl.Preference.rejectionYield]] (q516): per (arm,
+    * watermark-finalized tumbling window, acceptance threshold τ) the
+    * draw count, keep count and keep rate — the live dashboard that
+    * catches a reward-model drift or a generation regression WHILE the
+    * synthetic-data run burns tokens, instead of at the nightly batch
+    * readout. The τ grid crosses as a broadcast literal against the
+    * stream (grid values join the aggregate key, so state is
+    * panes × arms × |grid|, never raw events); append mode emits each
+    * pane once. Same integer spelling as the batch op, so a pane's row
+    * equals the batch table computed over that pane's rows. */
+  def rejectionYieldStream(events: DataFrame, taus: Seq[Long],
+      windowLen: String = "1 hour", watermark: String = "10 minutes")
+      : DataFrame = {
+    require(taus.nonEmpty)
+    import events.sparkSession.implicits._
+    val grid = broadcast(taus.toDF("tau"))
+    events.withWatermark("ts", watermark)
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("value") >= 0)
+      .select(col("ts"), col("event_type").as("arm"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("_c"))
+      .crossJoin(grid)
+      .groupBy(window(col("ts"), windowLen), col("arm"), col("tau"))
+      .agg(count(lit(1)).as("n_drawn"),
+        sum(when(col("_c") >= col("tau"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("window.start").as("w_start"), col("arm"), col("tau"),
+        col("n_drawn"), col("n_kept"),
+        expr("n_kept * 10000 div n_drawn").as("keep_bp"))
+  }
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension (e.g. the unified product table) — the dim is re-read per
     * micro-batch and broadcast, so the stream side never shuffles. */

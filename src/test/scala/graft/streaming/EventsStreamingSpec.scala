@@ -341,6 +341,46 @@ class EventsStreamingSpec extends SparkSpec {
     assert(batch == got, "streaming and batch twins must agree")
   }
 
+  test("rejectionYieldStream: finalized panes match the batch yield table") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = EventsStreaming.rejectionYieldStream(input.toDF(),
+        taus = Seq(100L, 300L), windowLen = "1 hour",
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("ryield")
+      .outputMode("append").start()
+    // pane 10:00-11:00, arm 'view': cents {100, 250, 400}
+    input.addData(
+      EventRow(1, ts("2026-01-01 10:00:00"), 1, "view", 1.00),
+      EventRow(2, ts("2026-01-01 10:20:00"), 1, "view", 2.50),
+      EventRow(3, ts("2026-01-01 10:40:00"), 1, "view", 4.00))
+    q.processAllAvailable()
+    // two closing batches finalize the pane (committed-watermark lag)
+    input.addData(EventRow(8, ts("2026-01-01 12:30:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    input.addData(EventRow(9, ts("2026-01-01 13:30:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ryield")
+      .filter($"w_start" === ts("2026-01-01 10:00:00"))
+      .select($"tau", $"n_drawn", $"n_kept", $"keep_bp")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // tau=100: all three clear (100 >= 100); tau=300: only 400
+    assert(got == Set((100L, 3L, 3L, 10000L), (300L, 3L, 1L, 3333L)), got)
+
+    // batch twin over the pane's rows
+    val pane = Seq(("view", 100L, 1L), ("view", 250L, 1L),
+      ("view", 400L, 1L)).toDF("arm", "c", "k")
+    val batch = graft.etl.Preference.rejectionYield(pane, "arm", "c", "k",
+        taus = Seq(100L, 300L))
+      .select($"tau", $"n_drawn", $"n_kept", $"keep_bp")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch == got, "streaming pane and batch table must agree")
+  }
+
   test("lshCandidateStream: cross-batch bucket pairs match the batch " +
       "self-join; over-cap buckets freeze") {
     val sq = spark
