@@ -1700,4 +1700,53 @@ object Similarity {
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
     dot / (na * nb)
   }
+
+  /** Embedding-distribution drift between two cohorts, per group — the
+    * monitoring op a training-data pipeline runs when a new encoder
+    * version or a new ingest source lands: per group the exact squared
+    * distance between the two cohorts' MEAN vectors, plus the dimension
+    * that moved most. Scalar PSI/KL drift (q239/q256) can't see a shift
+    * that only lives in embedding space; this can, without pairwise
+    * anything.
+    *
+    * Exactness: vectors quantize to milli-units ([[quantize]]); per
+    * (group, dim) the cohort sums s_a, s_b fold in ONE pass, and the
+    * mean-difference square cross-multiplies the counts —
+    *   term_d = (s_a·n_b − s_b·n_a)² ,   drift_milli² =
+    *   ⌊Σ_d term_d div (n_a·n_b)²⌋   (one floored division at the end,
+    * every product in decimal(38,0): s ~ n·10³ means term ~ (n²·10³)²,
+    * inside 38 digits through corpus scale). Groups missing a cohort
+    * emit NULL drift (nothing to compare), never a fake 0. Shape: one
+    * posexplode scan → (group, dim) aggregate → group aggregate, plus a
+    * broadcast (group, cohort-count) side — no window, no join wider
+    * than the group-count table. */
+  def embeddingDrift(emb: DataFrame, groupCol: String, idCol: String,
+      vecCol: String, cohort: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val q = emb.select(col(groupCol).as("_g"), cohort.as("_c"),
+      posexplode(quantize(col(vecCol))).as(Seq("dim", "v")))
+    val counts = emb.select(col(groupCol).as("_g"), cohort.as("_c"),
+        col(idCol))
+      .groupBy(col("_g"))
+      .agg(sum(when(col("_c"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("_c"), 1L).otherwise(0L)).as("n_b"))
+    val perDim = q.groupBy(col("_g"), col("dim"))
+      .agg(sum(when(col("_c"), col("v")).otherwise(0L)).as("s_a"),
+        sum(when(!col("_c"), col("v")).otherwise(0L)).as("s_b"))
+    perDim.join(broadcast(counts), Seq("_g"))
+      .withColumn("_term", expr(
+        s"(CAST(s_a AS $d38) * n_b - CAST(s_b AS $d38) * n_a) " +
+          s"* (CAST(s_a AS $d38) * n_b - CAST(s_b AS $d38) * n_a)"))
+      .groupBy(col("_g"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("dims"), sum(col("_term")).as("_num"),
+        max(struct(col("_term").as("t"), (-col("dim")).as("nd"))).as("_mx"))
+      .select(col("_g").as(groupCol), col("n_a"), col("n_b"), col("dims"),
+        expr("CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(_num div " +
+          s"(CAST(n_a AS $d38) * n_b * n_a * n_b) AS BIGINT) END")
+          .as("drift_milli2"),
+        expr("CAST(-_mx.nd AS BIGINT)").as("top_dim"),
+        expr("CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(_mx.t div " +
+          s"(CAST(n_a AS $d38) * n_b * n_a * n_b) AS BIGINT) END")
+          .as("top_dim_milli2"))
+  }
 }

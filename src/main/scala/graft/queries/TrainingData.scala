@@ -215,6 +215,21 @@ object TrainingData {
       .orderBy($"test_id", $"train_id")
   }
 
+  /** Embedding-distribution drift ([[Similarity.embeddingDrift]]): per
+    * label class, the exact squared mean-vector distance between the
+    * vec_id-parity cohorts (the deterministic early/late stand-in) plus
+    * the dimension that moved most — the embedding-space shift monitor
+    * scalar PSI/KL drift can't see. */
+  def q519EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .filter($"label".isNotNull)
+      .select($"label".cast("long").as("label"), $"vec_id", $"embedding")
+    Similarity.embeddingDrift(e, "label", "vec_id", "embedding",
+        cohort = $"vec_id" % 2 === 0)
+      .orderBy($"label")
+  }
+
   /** Winnowing document fingerprints (k=5 char-grams, window 4) via the
     * native codegen `winnow_fps` expression (spec-pinned to
     * `Text.winnow`); the oracle refolds the rolling polynomial hash and
@@ -2003,6 +2018,7 @@ object TrainingData {
     "q51_ann_ivf" -> q51AnnIvf _,
     "q52_cosine_dups" -> q52CosineDups _,
     "q364_embedding_leak" -> q364EmbeddingLeak _,
+    "q519_embedding_drift" -> q519EmbeddingDrift _,
     "q369_sign_projection" -> q369SignProjection _,
     "q372_retrieval_mrr" -> q372RetrievalMrr _,
     "q53_winnow" -> q53Winnow _,
@@ -5453,6 +5469,50 @@ object TrainingData {
       |  CAST(sum(CASE WHEN p IS NOT NULL THEN 1000000 // p ELSE 0 END)
       |    // count(*) AS BIGINT) AS mrr_ppm
       |FROM pos""".stripMargin,
+    "q519_embedding_drift" -> """
+      |WITH e AS (
+      |  SELECT CAST(label AS BIGINT) AS label, vec_id,
+      |    vec_id % 2 = 0 AS c,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE label IS NOT NULL),
+      |counts AS (
+      |  SELECT label,
+      |    sum(CASE WHEN c THEN 1 ELSE 0 END) AS n_a,
+      |    sum(CASE WHEN c THEN 0 ELSE 1 END) AS n_b
+      |  FROM e GROUP BY 1),
+      |x AS (
+      |  SELECT label, c,
+      |    unnest(generate_series(1, len(qv))) - 1 AS dim,
+      |    unnest(qv) AS v
+      |  FROM e),
+      |per_dim AS (
+      |  SELECT label, dim,
+      |    sum(CASE WHEN c THEN v ELSE 0 END) AS s_a,
+      |    sum(CASE WHEN c THEN 0 ELSE v END) AS s_b
+      |  FROM x GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT p.label, p.dim, k.n_a, k.n_b,
+      |    (CAST(p.s_a AS HUGEINT) * k.n_b - CAST(p.s_b AS HUGEINT) * k.n_a)
+      |    * (CAST(p.s_a AS HUGEINT) * k.n_b - CAST(p.s_b AS HUGEINT) * k.n_a)
+      |      AS t
+      |  FROM per_dim p JOIN counts k USING (label)),
+      |agg AS (
+      |  SELECT label, n_a, n_b, count(*) AS dims, sum(t) AS num,
+      |    min(CASE WHEN t = (SELECT max(t2.t) FROM terms t2
+      |      WHERE t2.label = terms.label) THEN dim END) AS top_dim,
+      |    max(t) AS top_t
+      |  FROM terms GROUP BY 1, 2, 3)
+      |SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(dims AS BIGINT) AS dims,
+      |  CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN num
+      |    // (CAST(n_a AS HUGEINT) * n_b * n_a * n_b) END AS BIGINT)
+      |    AS drift_milli2,
+      |  CAST(top_dim AS BIGINT) AS top_dim,
+      |  CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN top_t
+      |    // (CAST(n_a AS HUGEINT) * n_b * n_a * n_b) END AS BIGINT)
+      |    AS top_dim_milli2
+      |FROM agg ORDER BY label""".stripMargin,
     "q364_embedding_leak" -> s"""
       |WITH $qembSql,
       |p AS (

@@ -1031,4 +1031,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Map(1 -> 0L, 2 -> 10000L))
   }
 
+  test("embeddingDrift: identical cohorts read 0; a 1-milli-unit shift " +
+      "in one dim reads exactly 1, and names the dim") {
+    import spark.implicits._
+    // group 1: cohorts identical -> drift 0; group 2: cohort B shifted
+    // +0.001 (= 1 milli-unit) on dim 1 only -> drift_milli2 = 1, top 1
+    val emb = Seq(
+      (1L, 10L, Seq(0.5f, 0.25f)), (1L, 11L, Seq(0.5f, 0.25f)),
+      (2L, 20L, Seq(0.1f, 0.2f)), (2L, 21L, Seq(0.1f, 0.201f)),
+      // group 3: only cohort A present -> NULL drift, never a fake 0
+      (3L, 30L, Seq(1.0f, 1.0f)))
+      .toDF("label", "vec_id", "embedding")
+    val got = Similarity.embeddingDrift(emb, "label", "vec_id",
+        "embedding", cohort = col("vec_id") % 2 === 0)
+      .collect().map(r => r.getAs[Long]("label") -> (
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        Option(r.getAs[java.lang.Long]("drift_milli2")).map(_.toLong),
+        r.getAs[Long]("top_dim"))).toMap
+    assert(got(1L) == (1L, 1L, Some(0L), 0L), got(1L))
+    assert(got(2L) == (1L, 1L, Some(1L), 1L), got(2L))
+    assert(got(3L)._3.isEmpty, got(3L))
+  }
+
 }
