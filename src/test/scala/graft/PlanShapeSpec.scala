@@ -752,4 +752,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin")) // the 6-row excl grid
   }
 
+  test("q26: the hot-shingle PRE-cap anti-join sits below the bucket " +
+      "collect (the bounded-buffer guarantee as a plan property)") {
+    // round-10 respell: shingles above the frequency cap must be
+    // anti-joined away BEFORE collect_list, so no aggregation buffer can
+    // hold an unbounded boilerplate bucket; a refactor back to the
+    // post-hoc size filter would drop the LeftAnti and fail here
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val sp = SparkEntry.queries("q26_ngram_jaccard")(spark, dir)
+      .queryExecution.sparkPlan
+    val collectAggsWithAntiBelow = sp.collect {
+      case a: ObjectHashAggregateExec if a.aggregateExpressions.exists(
+          _.aggregateFunction.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.aggregate.Collect[_]]) =>
+        a.child.exists {
+          case j: BroadcastHashJoinExec => j.joinType == LeftAnti
+          case _ => false
+        }
+    }
+    assert(collectAggsWithAntiBelow.nonEmpty &&
+      collectAggsWithAntiBelow.forall(identity),
+      "every bucket collect must sit above the hot-set LeftAnti join")
+  }
+
 }
