@@ -36,8 +36,22 @@ python3 dev/check_oracle.py "$SF001" "$OUT/verify" || exit 1
 echo "== [3/5] full Bench at $SF01 =="
 SPARK_GRAFT_SF_DIR="$SF01" SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" || exit 1
 
+# Round-10 verdict item 2: bench_full.json is gitignored and the driver
+# overwrites it in place, so the close-run evidence (total + per-query
+# walls + the run's own control_median) must be COMMITTED under a
+# round-stamped name or it exists only in commit-message prose. ROUND
+# defaults to max(CORRECTNESS_r*.json index)+1 = the round being closed.
+if [ -z "${ROUND:-}" ]; then
+  LAST=$(ls CORRECTNESS_r*.json 2>/dev/null \
+    | sed -E 's/.*_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)
+  ROUND=$(( ${LAST:-0} + 1 ))
+fi
+SNAP=$(printf 'BENCH_CLOSE_r%02d.json' "$ROUND")
+cp bench_full.json "$SNAP"
+echo "snapshot: $SNAP (commit it; README's band cites it)"
+
 echo "== [4/5] bench_diff (flags are LEADS - re-measure in isolation) =="
-python3 dev/bench_diff.py || true
+python3 dev/bench_diff.py "$SNAP" || true
 
 echo "== [5/5] scale canary must still flag =="
 sbt -batch "runMain graft.dev.ScaleCanary $SF001 $SCALE10" || exit 1
@@ -46,11 +60,15 @@ if python3 dev/scale_diff.py canary_10x.json canary_1x.json; then
   exit 1
 fi
 
-echo "== [6/6] 30x tier: iterative graph family (flags are LEADS) =="
+echo "== [6/6] 30x tier: iterative graph + shingle/window families (flags are LEADS) =="
 if [ -d tmp/scale30/events.parquet ]; then
-  GRAPHQ=q240_converged_paths,q252_hits,q456_ppr2,q285_ktruss,q347_star_components,q113_pagerank
+  # graph: round counts (diameter) grow with data, the 10x lever arm is
+  # too short; shingle/containment + horizon window (round-10 verdict
+  # item 5): cap-bounded pair volume is exactly where 30x memory matters
+  Q30=q240_converged_paths,q252_hits,q456_ppr2,q285_ktruss,q347_star_components,q113_pagerank
+  Q30=$Q30,q26_ngram_jaccard,q162_containment,q362_winnow_overlap,q53_winnow,q27_minhash_lsh,q465_horizon_dedup
   SPARK_GRAFT_SF_DIR=tmp/scale30 SPARK_GRAFT_BENCH_OUT="$OUT/g30.json" \
-    SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench $GRAPHQ" || exit 1
+    SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench $Q30" || exit 1
   python3 dev/scale_diff.py --tier 30 "$OUT/g30.json" || true
 else
   echo "(tmp/scale30 missing - generate with: sbt \"runMain graft.ScaleBench $SF001 tmp/scale30 30\")"

@@ -43,6 +43,20 @@ object Bench {
     "q92_curation_funnel", "q98_corpus_pipeline",
   )
 
+  /** Pinned box-speed controls, timed FIRST each full run (the
+    * BENCH_BUDGET.json drift protocol, mechanized per the round-10
+    * verdict): two stable queries whose code hasn't moved since round 7,
+    * one sustained-regex/codegen-bound (q19) and one shuffle/agg-bound
+    * (q199). `control_median` = median(time / committed floor) is the
+    * run's box-speed factor; bench_diff divides every per-query ratio by
+    * it before flagging, so a contended box can no longer manufacture
+    * fleet-wide fake regressions (the forensic pattern rounds 8-10 each
+    * re-derived by hand). Floors are the committed BENCH_BUDGET.json
+    * values — BenchControlSpec fails the build if they drift apart. */
+  val controls: Seq[String] = Seq("q19_promo_parse", "q199_kmv")
+  val controlFloors: Map[String, Double] =
+    Map("q19_promo_parse" -> 1.8, "q199_kmv" -> 0.946)
+
   /** Drop every storage block the finished query left behind. Persistent
     * RDDs cover both .cache() and localCheckpoint() (localCheckpoint
     * persists its RDD); unpersisting a checkpointed RDD is safe here
@@ -75,10 +89,49 @@ object Bench {
     // points it at per-factor files)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (subset.isDefined) "bench_subset.json" else "bench_full.json")
+
+    // Box-speed control pass (full runs; SPARK_GRAFT_CONTROLS=1 forces it
+    // on a subset run): per control one untimed warmup then min-of-2
+    // timed, BEFORE the surface so the factor reflects this session's
+    // box. Only meaningful against the committed sf0.1 floors — the
+    // scale sweep's per-factor subset runs skip it (scale_diff has its
+    // own 1x twin for normalization).
+    val timeControls = subset.isEmpty ||
+      sys.env.get("SPARK_GRAFT_CONTROLS").contains("1")
+    val controlTimes: Seq[(String, Double)] =
+      if (!timeControls) Seq.empty
+      else controls.flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          try { once(); () } catch { case _: Throwable => }
+          releaseStorage(spark)
+          val t = try {
+            val a = once(); releaseStorage(spark); math.min(a, once())
+          } catch { case _: Throwable => -1.0 }
+          releaseStorage(spark)
+          name -> t
+        }
+      }
+    val controlMedian: Option[Double] = {
+      val rs = controlTimes.collect {
+        case (n, t) if t > 0 => t / controlFloors(n)
+      }.sorted
+      if (rs.isEmpty) None
+      else Some(if (rs.size % 2 == 1) rs(rs.size / 2)
+                else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2)
+    }
+    val controlJson = controlMedian.map(m =>
+      s""","controls":${jsonMap(controlTimes)},"control_median":${fmt(m)}""")
+      .getOrElse("")
+
     def writeFull(rs: Seq[(String, Double)]): Unit =
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outPath),
-        s"""{"total":${fmt(rs.map(_._2).sum)},"timing":"toRdd","queries":${jsonMap(rs)}}""")
+        s"""{"total":${fmt(rs.map(_._2).sum)},"timing":"toRdd"$controlJson,"queries":${jsonMap(rs)}}""")
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var done = 0
@@ -113,7 +166,7 @@ object Bench {
     val total = results.map(_._2).sum
     val failed = results.count(_._2 < 0)
     val head = results.filter { case (k, _) => headline.contains(k) }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"toRdd","n_queries":${results.size},"failed":$failed,"queries":${jsonMap(head.toSeq)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"toRdd","n_queries":${results.size},"failed":$failed$controlJson,"queries":${jsonMap(head.toSeq)},"sf":"$sfDir"}""")
     Console.out.flush()
     spark.stop()
   }

@@ -1720,6 +1720,25 @@ object Similarity {
     * posexplode scan → (group, dim) aggregate → group aggregate, plus a
     * broadcast (group, cohort-count) side — no window, no join wider
     * than the group-count table. */
+  /** Per-group cohort sufficient statistics for [[embeddingDrift]]'s
+    * streaming face ([[graft.streaming.EventsStreaming.embeddingDriftStream]]):
+    * (group, s_b = element-wise Σ of the QUANTIZED vectors, n_b = count).
+    * These two numbers are all the drift formula needs from the baseline
+    * cohort — term_d = (s_a·n_b − s_b·n_a)² — so the stream can compare
+    * exactly against an offline cohort without ever seeing its rows. One
+    * groupBy with a bounded (dims-long) buffer ([[graft.functions.VecSumAgg]]);
+    * null/empty vectors dropped, same as the batch op's posexplode. */
+  def embeddingCohortStats(emb: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val vecsum = udaf(graft.functions.VecSumAgg(),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    emb.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(groupCol).as("_g"), quantize(col(vecCol)).as("_q"))
+      .groupBy(col("_g"))
+      .agg(vecsum(col("_q")).as("s_b"), count(lit(1)).as("n_b"))
+      .withColumnRenamed("_g", groupCol)
+  }
+
   def embeddingDrift(emb: DataFrame, groupCol: String, idCol: String,
       vecCol: String, cohort: Column): DataFrame = {
     val d38 = "decimal(38,0)"

@@ -608,6 +608,75 @@ object EventsStreaming {
       }.toDF()
   }
 
+  /** Streaming embedding-distribution drift — the online face of
+    * [[graft.etl.Similarity.embeddingDrift]] (q519), per the round-10
+    * verdict: the natural alarm when a new encoder version or ingest
+    * source lands is PANE-grained, not nightly. Each watermark-finalized
+    * pane compares its arriving embeddings against a PROVIDED baseline
+    * cohort per group — same posture as [[degradationStream]]: the batch
+    * op derives both cohorts from the corpus, a stream can't see its own
+    * future, so the baseline arrives as a static broadcast of the batch
+    * op's own sufficient statistics
+    * ([[graft.etl.Similarity.embeddingCohortStats]]: per group the
+    * element-wise sum s_b of the quantized vectors and the count n_b).
+    *
+    * Exactness is the batch formula verbatim — vectors quantize to
+    * milli-units, per dim term_d = (s_a·n_b − s_b·n_a)², drift_milli² =
+    * ⌊Σ_d term_d div (n_a·n_b)²⌋, one floored division at the end, every
+    * product in decimal(38,0) — so with the batch run's baseline stats
+    * passed in, a pane's row equals the batch op run on (pane rows ∪
+    * baseline rows), which is what the parity spec pins. Groups absent
+    * from the baseline (or a dims mismatch between pane and baseline —
+    * two encoder versions) emit NULL drift, never a fake 0.
+    *
+    * Plan shape: Structured Streaming allows ONE aggregation, so the
+    * per-dim sums fold inside the single groupBy(window, group) via the
+    * bounded [[graft.functions.VecSumAgg]] buffer (one dims-long vector
+    * per group per partition map-side — no posexplode row blow-up on the
+    * stream), then a stateless broadcast join against the baseline and
+    * pure array arithmetic. State = open panes × groups × one vector:
+    * watermark-bounded, never raw events. */
+  def embeddingDriftStream(emb: DataFrame, baseline: DataFrame,
+      groupCol: String, vecCol: String, pane: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val vecsum = udaf(graft.functions.VecSumAgg(),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val paneStats = emb
+      .withWatermark("ts", watermark)
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col("ts"), col(groupCol).as("_g"),
+        graft.etl.Similarity.quantize(col(vecCol)).as("_q"))
+      .groupBy(window(col("ts"), pane), col("_g"))
+      .agg(vecsum(col("_q")).as("s_a"), count(lit(1)).as("n_a"))
+    val base = broadcast(
+      baseline.select(col(groupCol).as("_g"), col("s_b"), col("n_b")))
+    paneStats.join(base, Seq("_g"), "left")
+      // dims mismatch (encoder-version mix) → zip_with pads with null →
+      // null terms → NULL drift, the honest alarm; equal dims → exact
+      .withColumn("_term", expr(
+        s"transform(zip_with(s_a, s_b, (x, y) -> CAST(x AS $d38) * n_b " +
+          s"- CAST(y AS $d38) * n_a), v -> v * v)"))
+      .withColumn("_num",
+        expr(s"aggregate(_term, CAST(0 AS $d38), (a, v) -> a + v)"))
+      .withColumn("_mx", expr(
+        "aggregate(zip_with(_term, sequence(0, size(_term) - 1), " +
+          "(t, i) -> named_struct('t', t, 'nd', -i)), " +
+          s"named_struct('t', CAST(-1 AS $d38), 'nd', 0), " +
+          "(acc, x) -> IF(x.t > acc.t OR (x.t = acc.t AND x.nd > acc.nd), " +
+          "x, acc))"))
+      .select(col("window.start").as("pane_start"), col("_g").as(groupCol),
+        col("n_a"), col("n_b"), size(col("s_a")).cast("long").as("dims"),
+        expr("CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(_num div " +
+          s"(CAST(n_a AS $d38) * n_b * n_a * n_b) AS BIGINT) END")
+          .as("drift_milli2"),
+        expr("CASE WHEN _num IS NOT NULL THEN CAST(-_mx.nd AS BIGINT) END")
+          .as("top_dim"),
+        expr("CASE WHEN n_a > 0 AND n_b > 0 AND _num IS NOT NULL THEN " +
+          s"CAST(_mx.t div (CAST(n_a AS $d38) * n_b * n_a * n_b) AS BIGINT) " +
+          "END").as("top_dim_milli2"))
+  }
+
   /** Streaming degradation-ladder classification — the online face of
     * q502 ([[graft.queries.ServingOps.q502DegradationLadder]]): each
     * watermark-finalized one-minute pane classifies as 'full' (at/below

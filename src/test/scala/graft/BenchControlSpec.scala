@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench box-speed-control contract (round-10 verdict item 1):
+  * graft.Bench times two pinned control queries first and emits
+  * `control_median` (= median of time/floor); dev/bench_diff.py divides
+  * every per-query ratio by it before flagging. This spec pins the three
+  * legs that could silently drift apart:
+  *   1. the hardcoded floors in Bench.controlFloors equal the committed
+  *      BENCH_BUDGET.json floors (a budget re-base must touch both);
+  *   2. the controls are real queries of the current surface;
+  *   3. the python normalization logic itself passes its selftest
+  *      (uniform slowdown never flags, a genuine regression on a
+  *      contended box still does, legacy artifacts fall back).
+  */
+class BenchControlSpec extends AnyFunSuite {
+
+  private def repoFile(name: String): java.io.File = {
+    // sbt forks tests with cwd = repo root; walk up defensively anyway
+    Iterator.iterate(new java.io.File(".").getAbsoluteFile)(_.getParentFile)
+      .takeWhile(_ != null).take(4)
+      .map(d => new java.io.File(d, name))
+      .find(_.exists())
+      .getOrElse(fail(s"$name not found from ${new java.io.File(".").getAbsolutePath}"))
+  }
+
+  test("controlFloors match the committed BENCH_BUDGET.json floors") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(repoFile("BENCH_BUDGET.json"))
+    val budgets = root.get("queries")
+    Bench.controlFloors.foreach { case (q, floor) =>
+      val node = budgets.get(q)
+      assert(node != null, s"control $q missing from BENCH_BUDGET.json")
+      assert(math.abs(node.asDouble() - floor) < 1e-9,
+        s"control $q floor drifted: Bench.controlFloors=$floor " +
+          s"BENCH_BUDGET.json=${node.asDouble()} — re-base BOTH together")
+    }
+  }
+
+  test("controls are pinned to real queries of the current surface") {
+    assert(Bench.controls.nonEmpty)
+    assert(Bench.controls.toSet == Bench.controlFloors.keySet)
+    Bench.controls.foreach { q =>
+      assert(SparkEntry.queries.contains(q), s"control $q is not a query")
+    }
+    // controls must also be part of the benched surface so their floors
+    // keep min-folding down at every round close like any other query
+    assert(Bench.controls.forall(SparkEntry.oracleSql.contains),
+      "controls must stay oracle-gated (stability is the point)")
+  }
+
+  test("bench_diff.py --selftest passes (normalization logic)") {
+    import scala.sys.process._
+    val script = repoFile("dev/bench_diff.py")
+    val out = new StringBuilder
+    val code = Process(Seq("python3", script.getAbsolutePath, "--selftest"))
+      .!(ProcessLogger(l => out.append(l).append('\n'),
+        l => out.append(l).append('\n')))
+    assert(code == 0, s"selftest failed:\n$out")
+    assert(out.toString.contains("selftest OK"), out.toString)
+  }
+}

@@ -924,4 +924,101 @@ class EventsStreamingSpec extends SparkSpec {
         ((n, if (n > 0) m else 0L)), t)
   }
 
+  test("embeddingDriftStream: watermark-closed panes match the batch " +
+      "embeddingDrift run on (pane rows ∪ baseline rows)") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // baseline cohort: two groups, dims=4; g3 deliberately absent so a
+    // pane group with no baseline must emit NULL drift, never 0
+    val baseRows = Seq(
+      ("g1", Seq(1.0, 0.0, 0.0, 0.0)), ("g1", Seq(1.0, 0.2, 0.0, 0.0)),
+      ("g2", Seq(0.0, 1.0, 0.0, 0.0)), ("g2", Seq(0.0, 1.0, 0.5, 0.0)),
+      ("g2", Seq(0.0, 0.8, 0.0, 0.1)))
+    val baseDf = baseRows.toDF("grp", "vec")
+    val baseline =
+      graft.etl.Similarity.embeddingCohortStats(baseDf, "grp", "vec")
+
+    val paneRows = Seq(
+      // pane 10:00 g1: mean shifted on dim 2
+      EmbRow(ts("2026-01-01 10:00:05"), "g1", Seq(1.0, 0.0, 0.9, 0.0)),
+      EmbRow(ts("2026-01-01 10:00:40"), "g1", Seq(1.0, 0.2, 1.1, 0.0)),
+      // pane 10:00 g2: single row, slight shift
+      EmbRow(ts("2026-01-01 10:00:50"), "g2", Seq(0.0, 1.0, 0.0, 0.4)),
+      // pane 10:01 g1: on-baseline (drift ~0)
+      EmbRow(ts("2026-01-01 10:01:10"), "g1", Seq(1.0, 0.1, 0.0, 0.0)),
+      // pane 10:01 g3: no baseline cohort
+      EmbRow(ts("2026-01-01 10:01:20"), "g3", Seq(0.5, 0.5, 0.5, 0.5)))
+
+    val input = MemoryStream[EmbRow]
+    val q = EventsStreaming.embeddingDriftStream(input.toDF(), baseline,
+        "grp", "vec", pane = "1 minute", watermark = "1 minute")
+      .writeStream.format("memory").queryName("edrift")
+      .outputMode("append").start()
+    input.addData(paneRows: _*)
+    q.processAllAvailable()
+    // two watermark closers (each closing batch advances the committed
+    // watermark one step — the module's established pattern)
+    input.addData(EmbRow(ts("2026-01-01 11:00:00"), "g1", Seq(1.0, 0.0, 0.0, 0.0)))
+    q.processAllAvailable()
+    input.addData(EmbRow(ts("2026-01-01 11:30:00"), "g1", Seq(1.0, 0.0, 0.0, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("edrift")
+      .select($"pane_start".cast("string"), $"grp", $"n_a", $"n_b",
+        $"drift_milli2", $"top_dim", $"top_dim_milli2")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4),
+          if (r.isNullAt(5)) null else r.getLong(5),
+          if (r.isNullAt(6)) null else r.getLong(6)))).toMap
+
+    // batch twin per pane: embeddingDrift over pane rows (cohort a) ∪
+    // baseline rows (cohort b) — the parity claim is EXACT equality of
+    // the integer drift outputs
+    for (pane <- Seq("2026-01-01 10:00:00", "2026-01-01 10:01:00")) {
+      val lo = ts(pane).getTime
+      val inPane = paneRows.filter(r =>
+        r.ts.getTime >= lo && r.ts.getTime < lo + 60000)
+      val union = inPane.map(r => (r.grp, r.vec, true)) ++
+        baseRows.map { case (g, v) => (g, v, false) }
+      val u = union.zipWithIndex
+        .map { case ((g, v, c), i) => (g, v, c, i.toLong) }
+        .toDF("grp", "vec", "is_a", "id")
+      val batch = graft.etl.Similarity
+        .embeddingDrift(u, "grp", "id", "vec", col("is_a"))
+        // groups present in this pane AND in the baseline — the exact-
+        // parity scope; the no-baseline case (batch: n_b=0, stream: n_b
+        // NULL from the left join) is asserted separately below
+        .filter($"n_a" > 0 && $"n_b" > 0)
+        .select($"grp", $"n_a", $"n_b", $"drift_milli2", $"top_dim",
+          $"top_dim_milli2")
+        .collect()
+      assert(batch.nonEmpty)
+      batch.foreach { r =>
+        val key = (pane, r.getString(0))
+        val want = (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4),
+          if (r.isNullAt(5)) null else r.getLong(5))
+        assert(got.get(key).contains(want), s"$key want=$want got=${got.get(key)}")
+      }
+    }
+    // the no-baseline group emitted, with NULL drift
+    val g3 = got(("2026-01-01 10:01:00", "g3"))
+    assert(g3._1 == 1L && g3._2 == -1L && g3._3 == null && g3._4 == null, g3)
+    // sanity: the shifted pane really alarms and names the moved dim
+    val shifted = got(("2026-01-01 10:00:00", "g1"))
+    assert(shifted._3.asInstanceOf[Long] > 100000L, shifted)
+    assert(shifted._4 == 2L, shifted)
+  }
+
 }
+
+/** Row type for the embedding-drift stream parity spec (top-level: the
+  * MemoryStream encoder needs a static product type). */
+final case class EmbRow(ts: java.sql.Timestamp, grp: String,
+    vec: Seq[Double])
