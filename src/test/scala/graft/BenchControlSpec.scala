@@ -25,16 +25,26 @@ class BenchControlSpec extends AnyFunSuite {
       .getOrElse(fail(s"$name not found from ${new java.io.File(".").getAbsolutePath}"))
   }
 
-  test("controlFloors match the committed BENCH_BUDGET.json floors") {
+  test("controlFloors match the committed BENCH_BUDGET.json control_floors") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(repoFile("BENCH_BUDGET.json"))
-    val budgets = root.get("queries")
+    // control_floors is the dedicated control pass's measurement context
+    // (fresh-JVM warmup + min-of-2), NOT the in-run queries[] floors —
+    // see Bench.controlFloors scaladoc
+    val budgets = root.get("control_floors")
+    assert(budgets != null, "BENCH_BUDGET.json lacks control_floors")
+    assert(budgets.size() == Bench.controlFloors.size)
     Bench.controlFloors.foreach { case (q, floor) =>
       val node = budgets.get(q)
-      assert(node != null, s"control $q missing from BENCH_BUDGET.json")
+      assert(node != null, s"control $q missing from control_floors")
       assert(math.abs(node.asDouble() - floor) < 1e-9,
         s"control $q floor drifted: Bench.controlFloors=$floor " +
           s"BENCH_BUDGET.json=${node.asDouble()} — re-base BOTH together")
+    }
+    // and the controls keep ordinary in-run floors too (they are part of
+    // the benched surface like any other query)
+    Bench.controls.foreach { q =>
+      assert(root.get("queries").get(q) != null, s"$q lacks an in-run floor")
     }
   }
 
