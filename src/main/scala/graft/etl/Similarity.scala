@@ -1739,6 +1739,74 @@ object Similarity {
       .withColumnRenamed("_g", groupCol)
   }
 
+  /** The drift arithmetic shared by [[embeddingDriftAgainst]] and the
+    * streaming face ([[graft.streaming.EventsStreaming.embeddingDriftStream]])
+    * — one definition so batch and stream can never diverge. Input needs
+    * columns s_a (array<long>, cohort-a per-dim sums), n_a, s_b, n_b;
+    * appends dims, drift_milli2, top_dim, top_dim_milli2 (the exact
+    * [[embeddingDrift]] formula: term_d = (s_a·n_b − s_b·n_a)²,
+    * drift = ⌊Σ term div (n_a·n_b)²⌋, every product decimal(38,0)).
+    * A null s_b (no baseline for the group) or a dims mismatch between
+    * s_a and s_b (encoder-version mix — zip_with pads with null) yields
+    * NULL drift, never a fake 0. */
+  private[graft] def driftFromStats(df: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df
+      .withColumn("_term", expr(
+        s"transform(zip_with(s_a, s_b, (x, y) -> CAST(x AS $d38) * n_b " +
+          s"- CAST(y AS $d38) * n_a), v -> v * v)"))
+      .withColumn("_num",
+        expr(s"aggregate(_term, CAST(0 AS $d38), (a, v) -> a + v)"))
+      .withColumn("_mx", expr(
+        "aggregate(zip_with(_term, sequence(0, size(_term) - 1), " +
+          "(t, i) -> named_struct('t', t, 'nd', -i)), " +
+          s"named_struct('t', CAST(-1 AS $d38), 'nd', 0), " +
+          "(acc, x) -> IF(x.t > acc.t OR (x.t = acc.t AND x.nd > acc.nd), " +
+          "x, acc))"))
+      .withColumn("dims", size(col("s_a")).cast("long"))
+      .withColumn("drift_milli2",
+        expr("CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(_num div " +
+          s"(CAST(n_a AS $d38) * n_b * n_a * n_b) AS BIGINT) END"))
+      .withColumn("top_dim",
+        expr("CASE WHEN _num IS NOT NULL THEN CAST(-_mx.nd AS BIGINT) END"))
+      .withColumn("top_dim_milli2",
+        expr("CASE WHEN n_a > 0 AND n_b > 0 AND _num IS NOT NULL THEN " +
+          s"CAST(_mx.t div (CAST(n_a AS $d38) * n_b * n_a * n_b) AS BIGINT) " +
+          "END"))
+      .drop("_term", "_num", "_mx")
+  }
+
+  /** Drift TIMELINE — per (pane, group) the exact drift of that pane's
+    * embeddings against a provided baseline cohort: WHEN did the
+    * distribution shift, not just whether ([[embeddingDrift]] answers the
+    * two-cohort question; this runs it against every pane of a time/batch
+    * axis). `baseline` is per-group sufficient statistics from
+    * [[embeddingCohortStats]] (s_b, n_b) — the same contract as the
+    * streaming face, so an offline baseline computed once serves both.
+    *
+    * Plan shape: one groupBy(pane, group) whose per-dim sums fold inside
+    * the bounded [[graft.functions.VecSumAgg]] buffer (NO posexplode row
+    * inflation — rows × dims never materializes, unlike the batch
+    * two-cohort op which can afford it), then a broadcast join on group
+    * and pure array arithmetic. Linear in corpus; pairs nothing. */
+  def embeddingDriftAgainst(emb: DataFrame, paneCol: String,
+      groupCol: String, vecCol: String, baseline: DataFrame): DataFrame = {
+    val vecsum = udaf(graft.functions.VecSumAgg(),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val stats = emb
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(paneCol).as("_p"), col(groupCol).as("_g"),
+        quantize(col(vecCol)).as("_q"))
+      .groupBy(col("_p"), col("_g"))
+      .agg(vecsum(col("_q")).as("s_a"), count(lit(1)).as("n_a"))
+    val base = broadcast(
+      baseline.select(col(groupCol).as("_g"), col("s_b"), col("n_b")))
+    driftFromStats(stats.join(base, Seq("_g"), "left"))
+      .select(col("_p").as(paneCol), col("_g").as(groupCol),
+        col("n_a"), col("n_b"), col("dims"), col("drift_milli2"),
+        col("top_dim"), col("top_dim_milli2"))
+  }
+
   def embeddingDrift(emb: DataFrame, groupCol: String, idCol: String,
       vecCol: String, cohort: Column): DataFrame = {
     val d38 = "decimal(38,0)"

@@ -230,6 +230,27 @@ object TrainingData {
       .orderBy($"label")
   }
 
+  /** Embedding-drift TIMELINE ([[Similarity.embeddingDriftAgainst]]): per
+    * (ingest batch, label) the exact drift against the batch-0 baseline
+    * cohort — WHEN the distribution shifted, where q519 answers whether.
+    * Batch axis = vec_id DIV 128 (ingest order); the baseline arrives as
+    * sufficient statistics ([[Similarity.embeddingCohortStats]]), the
+    * same contract the streaming face consumes, and the arithmetic is
+    * the SHARED `driftFromStats` — batch 0 vs itself reading drift 0 is
+    * a built-in self-check the oracle re-derives. */
+  def q520DriftTimeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .filter($"label".isNotNull)
+      .select($"label".cast("long").as("label"),
+        expr("vec_id DIV 128").as("batch"), $"embedding")
+    val baseline = Similarity.embeddingCohortStats(
+      e.filter($"batch" === 0), "label", "embedding")
+    Similarity.embeddingDriftAgainst(e, "batch", "label", "embedding",
+        baseline)
+      .orderBy($"batch", $"label")
+  }
+
   /** Winnowing document fingerprints (k=5 char-grams, window 4) via the
     * native codegen `winnow_fps` expression (spec-pinned to
     * `Text.winnow`); the oracle refolds the rolling polynomial hash and
@@ -2019,6 +2040,7 @@ object TrainingData {
     "q52_cosine_dups" -> q52CosineDups _,
     "q364_embedding_leak" -> q364EmbeddingLeak _,
     "q519_embedding_drift" -> q519EmbeddingDrift _,
+    "q520_drift_timeline" -> q520DriftTimeline _,
     "q369_sign_projection" -> q369SignProjection _,
     "q372_retrieval_mrr" -> q372RetrievalMrr _,
     "q53_winnow" -> q53Winnow _,
@@ -5513,6 +5535,52 @@ object TrainingData {
       |    // (CAST(n_a AS HUGEINT) * n_b * n_a * n_b) END AS BIGINT)
       |    AS top_dim_milli2
       |FROM agg ORDER BY label""".stripMargin,
+    "q520_drift_timeline" -> """
+      |WITH e AS (
+      |  SELECT CAST(label AS BIGINT) AS label, vec_id // 128 AS batch,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE label IS NOT NULL),
+      |x AS (
+      |  SELECT label, batch,
+      |    unnest(generate_series(1, len(qv))) - 1 AS dim,
+      |    unnest(qv) AS v
+      |  FROM e),
+      |pane_dim AS (
+      |  SELECT label, batch, dim, sum(v) AS s_a FROM x GROUP BY 1, 2, 3),
+      |pane_n AS (
+      |  SELECT label, batch, count(*) AS n_a FROM e GROUP BY 1, 2),
+      |base_dim AS (
+      |  SELECT label, dim, sum(v) AS s_b FROM x WHERE batch = 0
+      |  GROUP BY 1, 2),
+      |base_n AS (
+      |  SELECT label, count(*) AS n_b FROM e WHERE batch = 0 GROUP BY 1),
+      |terms AS (
+      |  SELECT p.label, p.batch, p.dim, n.n_a, bn.n_b,
+      |    (CAST(p.s_a AS HUGEINT) * bn.n_b - CAST(bd.s_b AS HUGEINT) * n.n_a)
+      |    * (CAST(p.s_a AS HUGEINT) * bn.n_b - CAST(bd.s_b AS HUGEINT) * n.n_a)
+      |      AS t
+      |  FROM pane_dim p
+      |  JOIN pane_n n USING (label, batch)
+      |  LEFT JOIN base_dim bd ON bd.label = p.label AND bd.dim = p.dim
+      |  LEFT JOIN base_n bn ON bn.label = p.label),
+      |mx AS (
+      |  SELECT *, max(t) OVER (PARTITION BY label, batch) AS mt FROM terms),
+      |agg AS (
+      |  SELECT label, batch, n_a, n_b, count(*) AS dims, sum(t) AS num,
+      |    min(CASE WHEN t = mt THEN dim END) AS top_dim, max(t) AS top_t
+      |  FROM mx GROUP BY 1, 2, 3, 4)
+      |SELECT batch, label, CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_b AS BIGINT) AS n_b, CAST(dims AS BIGINT) AS dims,
+      |  CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN num
+      |    // (CAST(n_a AS HUGEINT) * n_b * n_a * n_b) END AS BIGINT)
+      |    AS drift_milli2,
+      |  CAST(CASE WHEN num IS NOT NULL THEN top_dim END AS BIGINT)
+      |    AS top_dim,
+      |  CAST(CASE WHEN n_a > 0 AND n_b > 0 AND num IS NOT NULL THEN top_t
+      |    // (CAST(n_a AS HUGEINT) * n_b * n_a * n_b) END AS BIGINT)
+      |    AS top_dim_milli2
+      |FROM agg ORDER BY batch, label""".stripMargin,
     "q364_embedding_leak" -> s"""
       |WITH $qembSql,
       |p AS (

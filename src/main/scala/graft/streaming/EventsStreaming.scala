@@ -639,7 +639,6 @@ object EventsStreaming {
   def embeddingDriftStream(emb: DataFrame, baseline: DataFrame,
       groupCol: String, vecCol: String, pane: String = "1 minute",
       watermark: String = "10 minutes"): DataFrame = {
-    val d38 = "decimal(38,0)"
     val vecsum = udaf(graft.functions.VecSumAgg(),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
     val paneStats = emb
@@ -651,30 +650,12 @@ object EventsStreaming {
       .agg(vecsum(col("_q")).as("s_a"), count(lit(1)).as("n_a"))
     val base = broadcast(
       baseline.select(col(groupCol).as("_g"), col("s_b"), col("n_b")))
-    paneStats.join(base, Seq("_g"), "left")
-      // dims mismatch (encoder-version mix) → zip_with pads with null →
-      // null terms → NULL drift, the honest alarm; equal dims → exact
-      .withColumn("_term", expr(
-        s"transform(zip_with(s_a, s_b, (x, y) -> CAST(x AS $d38) * n_b " +
-          s"- CAST(y AS $d38) * n_a), v -> v * v)"))
-      .withColumn("_num",
-        expr(s"aggregate(_term, CAST(0 AS $d38), (a, v) -> a + v)"))
-      .withColumn("_mx", expr(
-        "aggregate(zip_with(_term, sequence(0, size(_term) - 1), " +
-          "(t, i) -> named_struct('t', t, 'nd', -i)), " +
-          s"named_struct('t', CAST(-1 AS $d38), 'nd', 0), " +
-          "(acc, x) -> IF(x.t > acc.t OR (x.t = acc.t AND x.nd > acc.nd), " +
-          "x, acc))"))
+    // the arithmetic is Similarity.driftFromStats — ONE definition shared
+    // with the batch timeline op, so batch and stream cannot diverge
+    graft.etl.Similarity.driftFromStats(paneStats.join(base, Seq("_g"), "left"))
       .select(col("window.start").as("pane_start"), col("_g").as(groupCol),
-        col("n_a"), col("n_b"), size(col("s_a")).cast("long").as("dims"),
-        expr("CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(_num div " +
-          s"(CAST(n_a AS $d38) * n_b * n_a * n_b) AS BIGINT) END")
-          .as("drift_milli2"),
-        expr("CASE WHEN _num IS NOT NULL THEN CAST(-_mx.nd AS BIGINT) END")
-          .as("top_dim"),
-        expr("CASE WHEN n_a > 0 AND n_b > 0 AND _num IS NOT NULL THEN " +
-          s"CAST(_mx.t div (CAST(n_a AS $d38) * n_b * n_a * n_b) AS BIGINT) " +
-          "END").as("top_dim_milli2"))
+        col("n_a"), col("n_b"), col("dims"), col("drift_milli2"),
+        col("top_dim"), col("top_dim_milli2"))
   }
 
   /** Streaming degradation-ladder classification — the online face of

@@ -1053,4 +1053,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got(3L)._3.isEmpty, got(3L))
   }
 
+  test("embeddingDriftAgainst: the baseline pane reads drift 0 against " +
+      "itself; a shifted pane agrees exactly with the two-cohort op") {
+    import spark.implicits._
+    val emb = Seq(
+      // pane 0 = baseline cohort (two rows); pane 1 shifted on dim 1
+      (0L, "g", Seq(0.5f, 0.25f)), (0L, "g", Seq(0.5f, 0.25f)),
+      (1L, "g", Seq(0.5f, 0.251f)), (1L, "g", Seq(0.5f, 0.251f)),
+      // a pane whose group has no baseline -> NULL drift, never fake 0
+      (1L, "h", Seq(1.0f, 1.0f)))
+      .toDF("pane", "grp", "vec")
+    val baseline = Similarity.embeddingCohortStats(
+      emb.filter($"pane" === 0), "grp", "vec")
+    val got = Similarity
+      .embeddingDriftAgainst(emb, "pane", "grp", "vec", baseline)
+      .collect().map(r => (r.getAs[Long]("pane"), r.getAs[String]("grp")) -> (
+        Option(r.getAs[java.lang.Long]("drift_milli2")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("top_dim")).map(_.toLong))).toMap
+    assert(got((0L, "g")) == (Some(0L), Some(0L)), got((0L, "g")))
+    assert(got((1L, "g")) == (Some(1L), Some(1L)), got((1L, "g")))
+    assert(got((1L, "h")) == (None, None), got((1L, "h")))
+    // exact agreement with the two-cohort op on (pane-1 rows ∪ baseline)
+    val two = Similarity.embeddingDrift(
+        Seq((10L, Seq(0.5f, 0.251f)), (11L, Seq(0.5f, 0.251f)),
+          (20L, Seq(0.5f, 0.25f)), (21L, Seq(0.5f, 0.25f)))
+          .toDF("vec_id", "vec").withColumn("grp", lit("g")),
+        "grp", "vec_id", "vec", cohort = col("vec_id") < 20)
+      .collect().head
+    assert(two.getAs[Long]("drift_milli2") == 1L)
+    assert(two.getAs[Long]("top_dim") == 1L)
+  }
+
 }
