@@ -777,4 +777,18 @@ class PlanShapeSpec extends SparkSpec {
       "every bucket collect must sit above the hot-set LeftAnti join")
   }
 
+  test("q520: drift timeline folds per-dim sums in the aggregate — no " +
+      "posexplode row inflation, baseline joined as a broadcast") {
+    val p = plan("q520_drift_timeline")
+    // the documented plan property vs the two-cohort op (q519): rows ×
+    // dims never materializes — VecSumAgg's bounded buffer does the fold
+    assert(!p.contains("Generate"), "no explode/posexplode in the timeline")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      "baseline statistics must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    // and the fold is partial (map-side combine ships one vector per
+    // (pane, group, partition))
+    assert(p.contains("partial_"))
+  }
+
 }
