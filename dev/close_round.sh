@@ -40,9 +40,12 @@ SPARK_GRAFT_SF_DIR="$SF01" SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" 
 # overwrites it in place, so the close-run evidence (total + per-query
 # walls + the run's own control_median) must be COMMITTED under a
 # round-stamped name or it exists only in commit-message prose. ROUND
-# defaults to max(CORRECTNESS_r*.json index)+1 = the round being closed.
+# defaults to max(BENCH_CLOSE_r*.json index)+1 — the artifact THIS
+# script owns, so the invariant holds whether or not the driver has
+# already dropped the round's CORRECTNESS file into the tree (the
+# CORRECTNESS-based default mislabeled exactly that case).
 if [ -z "${ROUND:-}" ]; then
-  LAST=$(ls CORRECTNESS_r*.json 2>/dev/null \
+  LAST=$(ls BENCH_CLOSE_r*.json 2>/dev/null \
     | sed -E 's/.*_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)
   ROUND=$(( ${LAST:-0} + 1 ))
 fi
@@ -50,8 +53,15 @@ SNAP=$(printf 'BENCH_CLOSE_r%02d.json' "$ROUND")
 cp bench_full.json "$SNAP"
 echo "snapshot: $SNAP (commit it; README's band cites it)"
 
-echo "== [4/5] bench_diff (flags are LEADS - re-measure in isolation) =="
-python3 dev/bench_diff.py "$SNAP" || true
+# Round-11 verdict item 1: the close chain resolves its OWN flags. Every
+# in-run flag gets an automatic isolation re-measure (controls on,
+# min-of-2); the clearance evidence is annexed INTO the committed
+# snapshot ("resolved" key) so `bench_diff $SNAP` exits 0 by
+# construction — or an isolation pass CONFIRMS the regression and the
+# close fails here, before anything is committed.
+echo "== [4/5] bench_diff + automatic flag resolution =="
+python3 dev/resolve_flags.py "$SNAP" "$SF01" || exit 1
+python3 dev/bench_diff.py "$SNAP" || exit 1
 
 echo "== [5/5] scale canary must still flag =="
 sbt -batch "runMain graft.dev.ScaleCanary $SF001 $SCALE10" || exit 1
@@ -60,13 +70,17 @@ if python3 dev/scale_diff.py canary_10x.json canary_1x.json; then
   exit 1
 fi
 
-echo "== [6/6] 30x tier: iterative graph + shingle/window families (flags are LEADS) =="
+echo "== [6/6] 30x tier: iterative graph + shingle/window + estimator families (flags are LEADS) =="
 if [ -d tmp/scale30/events.parquet ]; then
   # graph: round counts (diameter) grow with data, the 10x lever arm is
   # too short; shingle/containment + horizon window (round-10 verdict
-  # item 5): cap-bounded pair volume is exactly where 30x memory matters
+  # item 5): cap-bounded pair volume is exactly where 30x memory matters;
+  # estimator-audit family (round-11 verdict item 4): the close run's
+  # cost table tops out on these and their sampling/banding stages had
+  # never run above 10x
   Q30=q240_converged_paths,q252_hits,q456_ppr2,q285_ktruss,q347_star_components,q113_pagerank
   Q30=$Q30,q26_ngram_jaccard,q162_containment,q362_winnow_overlap,q53_winnow,q27_minhash_lsh,q465_horizon_dedup
+  Q30=$Q30,q442_minhash_est_error,q450_scurve_empirical,q472_bbit_minhash,q434_dedup_transitivity,q422_dedup_sweep
   SPARK_GRAFT_SF_DIR=tmp/scale30 SPARK_GRAFT_BENCH_OUT="$OUT/g30.json" \
     SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench $Q30" || exit 1
   python3 dev/scale_diff.py --tier 30 "$OUT/g30.json" || true

@@ -63,6 +63,50 @@ object Bench {
   val controlFloors: Map[String, Double] =
     Map("q19_promo_parse" -> 1.447, "q199_kmv" -> 0.846)
 
+  /** In-run auto-retry (round-11 verdict item 3). Single-shot in-run
+    * timings have forensically-established 2-6x one-shot tails on this box
+    * (q42 19.2 s in-run vs 7.56 s isolated, q427 17.2 vs 3.4 in adjacent
+    * runs — three rounds of close-time flags were ALL such spikes). So a
+    * query whose single shot would flag under dev/bench_diff.py's gate
+    * (control-normalized ratio > FlagRatio AND absolute delta > AbsFloorSec
+    * vs its committed BENCH_BUDGET.json floor) gets ONE immediate same-JVM
+    * re-measure, and the artifact reports the MIN of the two shots — a
+    * retry can only lower a reading ([[foldRetry]]), never mask a real
+    * regression: a genuine slowdown reproduces on the immediate re-run and
+    * still flags. Only flagged queries pay the extra wall. Both raw shots
+    * are preserved in the artifact's `retries` map for audit. */
+  val FlagRatio = 1.5
+  val AbsFloorSec = 1.0
+
+  def shouldRetry(elapsed: Double, floor: Double, boxFactor: Double): Boolean =
+    elapsed >= 0 && floor > 0 && boxFactor > 0 &&
+      (elapsed / floor) / boxFactor > FlagRatio &&
+      (elapsed - floor) > AbsFloorSec
+
+  /** min of the two shots; a failed (-1) retry never improves on — and a
+    * failed first shot is never masked by — the other reading. */
+  def foldRetry(first: Double, second: Double): Double =
+    if (first < 0) first
+    else if (second < 0) first
+    else math.min(first, second)
+
+  /** The committed per-query floors (BENCH_BUDGET.json `queries`), used
+    * only to DECIDE retries — flagging itself stays in bench_diff.py.
+    * Missing file (e.g. a bare checkout) degrades to no retries. */
+  def loadBudgetFloors(path: String = "BENCH_BUDGET.json"): Map[String, Double] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(path))
+      val qs = root.get("queries")
+      if (qs == null) Map.empty
+      else {
+        val it = qs.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      }
+    } catch { case _: Throwable => Map.empty }
+
   /** Drop every storage block the finished query left behind. Persistent
     * RDDs cover both .cache() and localCheckpoint() (localCheckpoint
     * persists its RDD); unpersisting a checkpointed RDD is safe here
@@ -78,6 +122,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietWindowWarnings()
     val subset = args.headOption.map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => subset.forall(_.contains(n)) }
@@ -134,11 +179,23 @@ object Bench {
       s""","controls":${jsonMap(controlTimes)},"control_median":${fmt(m)}""")
       .getOrElse("")
 
+    // retry evidence: name -> (first shot, retry shot); queries[] holds the
+    // min, so the artifact stays bench_diff-compatible while keeping both
+    // raw readings auditable
+    val retries = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double))]
+    def retriesJson: String =
+      if (retries.isEmpty) ""
+      else retries.map { case (k, (a, b)) =>
+        "\"" + k + "\":[" + fmt(a) + "," + fmt(b) + "]"
+      }.mkString(""","retries":{""", ",", "}")
+
     def writeFull(rs: Seq[(String, Double)]): Unit =
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outPath),
-        s"""{"total":${fmt(rs.map(_._2).sum)},"timing":"toRdd"$controlJson,"queries":${jsonMap(rs)}}""")
+        s"""{"total":${fmt(rs.map(_._2).sum)},"timing":"toRdd"$controlJson$retriesJson,"queries":${jsonMap(rs)}}""")
 
+    val floors = loadBudgetFloors()
+    val boxFactor = controlMedian.getOrElse(1.0)
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var done = 0
     ordered.foreach { case (name, fn) =>
@@ -157,12 +214,21 @@ object Bench {
         try runFully() catch { case _: Throwable => }
         releaseStorage(spark)
       }
-      val t0 = System.nanoTime()
-      // a failing query records -1, not its elapsed time — breakage must be
-      // visible in the JSON, not masked as a fast success
-      val elapsed =
+      def timedShot(): Double = {
+        val t0 = System.nanoTime()
+        // a failing query records -1, not its elapsed time — breakage must
+        // be visible in the JSON, not masked as a fast success
         try { runFully(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
+      }
+      val first = timedShot()
+      val elapsed =
+        if (floors.get(name).exists(shouldRetry(first, _, boxFactor))) {
+          releaseStorage(spark)
+          val second = timedShot()
+          retries += ((name, (first, second)))
+          foldRetry(first, second)
+        } else first
       results += name -> elapsed
       releaseStorage(spark)
       done += 1
@@ -172,7 +238,7 @@ object Bench {
     val total = results.map(_._2).sum
     val failed = results.count(_._2 < 0)
     val head = results.filter { case (k, _) => headline.contains(k) }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"toRdd","n_queries":${results.size},"failed":$failed$controlJson,"queries":${jsonMap(head.toSeq)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"toRdd","n_queries":${results.size},"failed":$failed,"retried":${retries.size}$controlJson,"queries":${jsonMap(head.toSeq)},"sf":"$sfDir"}""")
     Console.out.flush()
     spark.stop()
   }

@@ -31,4 +31,18 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Silence the per-plan `WindowExec: No Partition Defined` WARN in the
+    * long-running driver-contract mains (Bench/Verify). Every unpartitioned
+    * window in the engine is an allowlisted bounded-input global window —
+    * WindowLintSpec proves the boundedness mechanically — so the warning
+    * carries no information there, but repeated hundreds of times it buries
+    * the one JSON line the driver parses out of the run log (round-11
+    * verdict item 6). Tests keep the default level: a NEW unbounded global
+    * window should still be loud somewhere humans look.
+    */
+  def quietWindowWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 }

@@ -16,6 +16,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietWindowWarnings()
     new java.io.File(outDir).mkdirs()
     // Bounded fan-in (not coalesce(1)): a single-file dump would funnel the
     // whole result through one task at large SF; 8 part files keeps the

@@ -1455,18 +1455,28 @@ object Similarity {
       .filter($"a" =!= $"b").distinct()
       .join(labels.select($"node".as("a")), Seq("a"), "left_semi")
       .localCheckpoint()
+    val labelType = labels.schema("component").dataType
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      // candidate label per node: min over own label and neighbors' labels
+      // candidate label per node: min over own label and neighbors'
+      // labels. The node's PREVIOUS label rides through the same
+      // aggregation (each node has exactly one own row, so max(prev)
+      // over {prev, null, null, ...} recovers it), which makes the
+      // convergence check a filter-count over the round's checkpoint
+      // blocks instead of a second shuffle join per round — the join was
+      // ~40% of each round's wall at sf0.1 (the round-11 q66 lead).
       val viaEdges = sym.join(labels, sym("b") === labels("node"))
-        .select($"a".as("node"), $"component")
-      val next = labels.select($"node", $"component").union(viaEdges)
-        .groupBy($"node").agg(min($"component").as("component"))
+        .select($"a".as("node"), $"component",
+          lit(null).cast(labelType).as("prev"))
+      val next = labels
+        .select($"node", $"component", $"component".as("prev"))
+        .union(viaEdges)
+        .groupBy($"node").agg(min($"component").as("component"),
+          max($"prev").as("prev"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("component", "prev"), "node")
-        .filter($"component" =!= $"prev").count()
-      labels = next
+      changed = next.filter($"component" =!= $"prev").count()
+      labels = next.select($"node", $"component")
       i += 1
     }
     (labels, i, changed == 0)

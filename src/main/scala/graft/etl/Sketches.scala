@@ -2,7 +2,7 @@ package graft.etl
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Sketch-backed exact operators.
@@ -413,6 +413,127 @@ object Sketches {
       .select(col(groupCol), col("q_bp"), col(valueCol).as("exact"))
     est.join(exact, Seq(groupCol, "q_bp"))
       .withColumn("err", col("est") - col("exact"))
+  }
+
+  /** The deterministic 60-bit hash rank behind the sample-quantile
+    * sketch: first 15 hex chars of sha256(salt:id) — positive, fits a
+    * long, and re-derivable by any engine (oracle twin:
+    * `('0x' || substring(sha256(salt || ':' || id), 1, 15))::BIGINT`). */
+  private def hashRank(salt: String, id: Column): Column =
+    conv(substring(sha2(concat(lit(salt + ":"), id.cast("string")), 256),
+      1, 15), 16, 10).cast("long")
+
+  /** Per-group bottom-k-by-hash uniform sample + group size — the
+    * mergeable one-pass quantile sketch's sufficient state: (group, n,
+    * vals = the ≤k sampled values sorted ascending). One scan, ONE
+    * aggregation whose buffer never exceeds k rows
+    * ([[graft.functions.BottomKRowsAgg]]) — map-side partials ship ≤k
+    * rows per (group, partition). Contrast [[histogramQuantiles]], which
+    * needs a min/max pre-pass plus a full second scan: this is the shape
+    * for "quantiles of a 10⁹-row group in the same job as everything
+    * else", and the sample is re-aggregable across shards/days
+    * ([[sampleQuantilesMerged]]) because bottom-k(∪ bottom-k partials) =
+    * bottom-k(all). Deterministic (salted sha256 rank, id tiebreak), so
+    * an SQL oracle replays the exact sample — the property KLL/GK
+    * compaction paths can't give. Rank error is the sample-quantile
+    * O(1/√k). */
+  private def bottomKSample(df: DataFrame, groupCol: String,
+      valueCol: String, idCol: String, k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bk = udaf(graft.functions.BottomKRowsAgg(k))
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        hashRank(salt, col(idCol)).as("_hk"),
+        col(idCol).cast("long").as("_id"),
+        col(valueCol).cast("long").as("_v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), bk(col("_hk"), col("_id"), col("_v")).as("_top"))
+      .select(col("g"), col("n"),
+        array_sort(expr("transform(_top, x -> x._3)")).as("vals"))
+  }
+
+  /** Estimates at `psPpm` from a (g, n, vals) sample table: the
+    * ⌈p·m/10⁶⌉-th smallest sampled value (lower sample quantile, exact
+    * integer index arithmetic). m = |vals| = min(k, n) ≥ 1 because the
+    * sketch only emits groups it saw. */
+  private def quantileRows(sample: DataFrame, psPpm: Seq[Int]): DataFrame = {
+    require(psPpm.forall(p => p > 0 && p <= 1000000), "p_ppm in (0, 1e6]")
+    sample
+      .withColumn("p_ppm", explode(typedLit(psPpm.map(_.toLong))))
+      .withColumn("m", size(col("vals")).cast("long"))
+      .withColumn("_idx",
+        greatest(expr("CAST((p_ppm * m + 999999) div 1000000 AS INT)"),
+          lit(1)))
+      .select(col("g"), col("p_ppm"), col("n"), col("m"),
+        element_at(col("vals"), col("_idx")).as("est"))
+  }
+
+  /** One-pass mergeable sample-quantile sketch: per (group, p) the
+    * estimated p-quantile of `valueCol` (long), with n (population) and
+    * m (sample size) alongside. */
+  def sampleQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: Int = 256,
+      psPpm: Seq[Int] = Seq(500000, 900000, 990000),
+      salt: String = "sq"): DataFrame =
+    quantileRows(bottomKSample(df, groupCol, valueCol, idCol, k, salt), psPpm)
+
+  /** The merge path, made observable: partial sketches are built per
+    * (group, shard), then RE-AGGREGATED through the same bounded buffer —
+    * the exact motion of combining per-day or per-shard sketches without
+    * touching row data again. Output is identical to [[sampleQuantiles]]
+    * by merge-invariance (bottom-k of a union = bottom-k of merged
+    * bottom-ks, deterministic under the (hash, id) tiebreak), and the
+    * oracle states exactly that: the one-level SQL sketch. The re-agg
+    * explodes only the partials (≤ groups·shards·k rows), never rows. */
+  def sampleQuantilesMerged(df: DataFrame, groupCol: String,
+      shardCol: Column, valueCol: String, idCol: String, k: Int = 256,
+      psPpm: Seq[Int] = Seq(500000, 900000, 990000),
+      salt: String = "sq"): DataFrame = {
+    val bk = udaf(graft.functions.BottomKRowsAgg(k))
+    val partials = df.filter(col(groupCol).isNotNull &&
+        col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol).as("g"), shardCol.as("_shard"),
+        hashRank(salt, col(idCol)).as("_hk"),
+        col(idCol).cast("long").as("_id"),
+        col(valueCol).cast("long").as("_v"))
+      .groupBy(col("g"), col("_shard"))
+      .agg(count(lit(1)).as("_np"),
+        bk(col("_hk"), col("_id"), col("_v")).as("_top"))
+      .localCheckpoint() // tiny (groups·shards rows); both reads below
+    val ns = partials.groupBy(col("g")).agg(sum(col("_np")).as("n"))
+    val merged = partials
+      .select(col("g"), explode(col("_top")).as("_x"))
+      .groupBy(col("g"))
+      .agg(bk(col("_x._1"), col("_x._2"), col("_x._3")).as("_top"))
+      .select(col("g"),
+        array_sort(expr("transform(_top, x -> x._3)")).as("vals"))
+    quantileRows(merged.join(ns, "g"), psPpm)
+  }
+
+  /** Rank-error audit of [[sampleQuantiles]] against the exact
+    * distribution — the estimator-audit companion (same pattern as the
+    * MinHash/HLL audits): per (group, p), the estimate's TRUE rank
+    * (rows ≤ est, one conditional aggregation over the population joined
+    * to the broadcast estimate table) and |rank − p| in ppm. The sample-
+    * quantile bound says this reads ~O(10⁶/√k) ppm; a blowout means the
+    * id column wasn't unique (duplicate hash ranks bias the sample). */
+  def sampleQuantileAudit(df: DataFrame, groupCol: String,
+      valueCol: String, idCol: String, k: Int = 256,
+      psPpm: Seq[Int] = Seq(500000, 900000, 990000),
+      salt: String = "sq"): DataFrame = {
+    val est = sampleQuantiles(df, groupCol, valueCol, idCol, k, psPpm, salt)
+    val pop = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("_v"))
+    pop.join(broadcast(est), Seq("g"))
+      .groupBy(col("g"), col("p_ppm"), col("n"), col("m"), col("est"))
+      .agg(sum(when(col("_v") <= col("est"), 1L).otherwise(0L))
+        .as("rank_le"))
+      .select(col("g"), col("p_ppm"), col("n"), col("m"), col("est"),
+        col("rank_le"),
+        abs(expr("rank_le * 1000000 div n") - col("p_ppm"))
+          .as("rank_err_ppm"))
   }
 
   /** Misra–Gries frequent-items sketch over one partition: k−1 counters;

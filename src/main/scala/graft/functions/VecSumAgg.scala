@@ -37,8 +37,12 @@ final case class VecSumAgg() extends Aggregator[Seq[Long], Array[Long], Seq[Long
       buf
     }
 
+  // both empty cases handled explicitly: an empty partition contributes a
+  // zero buffer, and merge order is engine-chosen, so `reduce(a, empty)`
+  // would throw a misleading dims-mismatch ("N vs 0") under a global
+  // (no-groupBy) aggregation even though nothing is actually mixed
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
-    if (a.isEmpty) b else reduce(a, b.toSeq)
+    if (a.isEmpty) b else if (b.isEmpty) a else reduce(a, b.toSeq)
 
   override def finish(r: Array[Long]): Seq[Long] = r.toSeq
 

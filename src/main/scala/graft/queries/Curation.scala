@@ -685,6 +685,58 @@ object Curation {
       .orderBy($"l_returnflag")
   }
 
+  // ------------------------ q521–q523 sample-quantile sketch family
+
+  /** One-pass mergeable sample-quantile sketch
+    * ([[Sketches.sampleQuantiles]], k = 256): p50/p90/p99 of event value
+    * cents per event type from a bottom-k-by-hash uniform sample — the
+    * quantile sketch whose construction an SQL oracle can replay exactly
+    * (deterministic salted sha256 ranks), unlike KLL/GK compaction.
+    * Where q172's histogram needs a min/max pre-pass plus a full second
+    * scan, this is ONE aggregation with a ≤k-row buffer — the shape for
+    * quantiles of 10⁹-row groups inline with the rest of the job. */
+  def q521SampleQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sketches.sampleQuantiles(
+        Tables.events(spark, dir).select($"event_type",
+          graft.etl.Series.cents($"value").as("cents"), $"event_id"),
+        "event_type", "cents", "event_id")
+      .withColumnRenamed("g", "event_type")
+      .orderBy($"event_type", $"p_ppm")
+  }
+
+  /** The sketch's MERGE path made observable
+    * ([[Sketches.sampleQuantilesMerged]]): partial sketches per
+    * (event type, event_id mod 8 shard), re-aggregated through the same
+    * bounded buffer — the motion of folding per-day/per-shard sketches
+    * without re-reading rows. The oracle is the ONE-LEVEL sketch: equal
+    * output IS the merge-invariance proof (bottom-k of a union = bottom-k
+    * of merged bottom-ks under the deterministic (hash, id) order). */
+  def q522SketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sketches.sampleQuantilesMerged(
+        Tables.events(spark, dir).select($"event_type",
+          graft.etl.Series.cents($"value").as("cents"), $"event_id"),
+        "event_type", pmod($"event_id", lit(8)), "cents", "event_id")
+      .withColumnRenamed("g", "event_type")
+      .orderBy($"event_type", $"p_ppm")
+  }
+
+  /** Rank-error audit of the sample-quantile sketch
+    * ([[Sketches.sampleQuantileAudit]]) — the estimator-audit member
+    * (q166 counts, q168 distinct, q172 histogram): per (event type, p),
+    * the estimate's exact rank in the population and |rank − p| in ppm,
+    * which the O(1/√k) sample bound says stays ~O(60k ppm) at k = 256. */
+  def q523QuantileRankAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sketches.sampleQuantileAudit(
+        Tables.events(spark, dir).select($"event_type",
+          graft.etl.Series.cents($"value").as("cents"), $"event_id"),
+        "event_type", "cents", "event_id")
+      .withColumnRenamed("g", "event_type")
+      .orderBy($"event_type", $"p_ppm")
+  }
+
   // ------------------------------------ q225 fingerprint clusters
 
   /** Key-collision clustering over document token sets
@@ -892,6 +944,9 @@ object Curation {
     "q227_golden_record" -> q227GoldenRecord _,
     "q225_fingerprint_clusters" -> q225FingerprintClusters _,
     "q199_kmv" -> q199Kmv _,
+    "q521_sample_quantiles" -> q521SampleQuantiles _,
+    "q522_sketch_merge" -> q522SketchMerge _,
+    "q523_quantile_rank_audit" -> q523QuantileRankAudit _,
     "q166_cms" -> q166Cms _,
     "q168_hll" -> q168Hll _,
     "q190_hll_agg" -> q190HllAgg _,
@@ -1168,6 +1223,98 @@ object Curation {
       |         ELSE (63 * 4294967296) // hk END) - exact_distinct)
       |    * 10000 // exact_distinct AS err_bp
       |FROM a ORDER BY 1""".stripMargin,
+    "q521_sample_quantiles" -> """
+      |WITH h AS (
+      |  SELECT event_type, CAST(round(value * 1e2) AS BIGINT) AS cents,
+      |    ('0x' || substring(sha256('sq:' || CAST(event_id AS VARCHAR)),
+      |      1, 15))::BIGINT AS hk,
+      |    event_id
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |    AND event_id IS NOT NULL),
+      |s AS (
+      |  SELECT event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY hk, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |samp AS (
+      |  SELECT event_type, n, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS vr,
+      |    count(*) OVER (PARTITION BY event_type) AS m
+      |  FROM s WHERE rn <= 256),
+      |ps AS (SELECT p_ppm
+      |       FROM (VALUES (500000), (900000), (990000)) t(p_ppm))
+      |SELECT event_type, CAST(p_ppm AS BIGINT) AS p_ppm,
+      |  CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+      |  CAST(cents AS BIGINT) AS est
+      |FROM samp CROSS JOIN ps
+      |WHERE vr = greatest((p_ppm * m + 999999) // 1000000, 1)
+      |ORDER BY event_type, p_ppm""".stripMargin,
+    "q522_sketch_merge" -> """
+      |WITH h AS (
+      |  SELECT event_type, CAST(round(value * 1e2) AS BIGINT) AS cents,
+      |    ('0x' || substring(sha256('sq:' || CAST(event_id AS VARCHAR)),
+      |      1, 15))::BIGINT AS hk,
+      |    event_id
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |    AND event_id IS NOT NULL),
+      |s AS (
+      |  SELECT event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY hk, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |samp AS (
+      |  SELECT event_type, n, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS vr,
+      |    count(*) OVER (PARTITION BY event_type) AS m
+      |  FROM s WHERE rn <= 256),
+      |ps AS (SELECT p_ppm
+      |       FROM (VALUES (500000), (900000), (990000)) t(p_ppm))
+      |SELECT event_type, CAST(p_ppm AS BIGINT) AS p_ppm,
+      |  CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+      |  CAST(cents AS BIGINT) AS est
+      |FROM samp CROSS JOIN ps
+      |WHERE vr = greatest((p_ppm * m + 999999) // 1000000, 1)
+      |ORDER BY event_type, p_ppm""".stripMargin,
+    "q523_quantile_rank_audit" -> """
+      |WITH h AS (
+      |  SELECT event_type, CAST(round(value * 1e2) AS BIGINT) AS cents,
+      |    ('0x' || substring(sha256('sq:' || CAST(event_id AS VARCHAR)),
+      |      1, 15))::BIGINT AS hk,
+      |    event_id
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |    AND event_id IS NOT NULL),
+      |s AS (
+      |  SELECT event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY hk, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |samp AS (
+      |  SELECT event_type, n, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS vr,
+      |    count(*) OVER (PARTITION BY event_type) AS m
+      |  FROM s WHERE rn <= 256),
+      |ps AS (SELECT p_ppm
+      |       FROM (VALUES (500000), (900000), (990000)) t(p_ppm)),
+      |est AS (
+      |  SELECT event_type, p_ppm, n, m, cents AS est
+      |  FROM samp CROSS JOIN ps
+      |  WHERE vr = greatest((p_ppm * m + 999999) // 1000000, 1))
+      |SELECT e.event_type, CAST(e.p_ppm AS BIGINT) AS p_ppm,
+      |  CAST(e.n AS BIGINT) AS n, CAST(e.m AS BIGINT) AS m,
+      |  CAST(e.est AS BIGINT) AS est,
+      |  CAST(sum(CASE WHEN x.cents <= e.est THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS rank_le,
+      |  CAST(abs(sum(CASE WHEN x.cents <= e.est THEN 1 ELSE 0 END)
+      |    * 1000000 // e.n - e.p_ppm) AS BIGINT) AS rank_err_ppm
+      |FROM est e JOIN h x ON x.event_type = e.event_type
+      |GROUP BY e.event_type, e.p_ppm, e.n, e.m, e.est
+      |ORDER BY 1, 2""".stripMargin,
     "q172_hist_quantiles" -> """
       |WITH o AS (SELECT o_orderpriority AS g,
       |    CAST(round(o_totalprice * 100) AS BIGINT) AS x, o_orderkey AS id

@@ -60,6 +60,36 @@ class BenchControlSpec extends AnyFunSuite {
       "controls must stay oracle-gated (stability is the point)")
   }
 
+  test("in-run auto-retry triggers exactly on bench_diff's flag condition") {
+    // mirrors dev/bench_diff.py: normalized ratio > 1.5 AND delta > 1 s
+    assert(Bench.shouldRetry(elapsed = 4.0, floor = 2.0, boxFactor = 1.0))
+    // contended box: same raw 2x ratio, controls at 1.6 → no retry
+    assert(!Bench.shouldRetry(elapsed = 4.0, floor = 2.0, boxFactor = 1.6))
+    // sub-second jitter never retries even at 3x ratio (abs floor)
+    assert(!Bench.shouldRetry(elapsed = 0.6, floor = 0.2, boxFactor = 1.0))
+    // a failed shot is a failure, not a tail spike — no retry
+    assert(!Bench.shouldRetry(elapsed = -1.0, floor = 2.0, boxFactor = 1.0))
+    // no floor / degenerate inputs never retry
+    assert(!Bench.shouldRetry(elapsed = 4.0, floor = 0.0, boxFactor = 1.0))
+  }
+
+  test("a retry can only lower a reading, and never masks a failure") {
+    assert(Bench.foldRetry(19.2, 7.5) == 7.5)
+    assert(Bench.foldRetry(7.5, 19.2) == 7.5)   // a slower retry changes nothing
+    assert(Bench.foldRetry(19.2, -1.0) == 19.2) // failed retry keeps the reading
+    assert(Bench.foldRetry(-1.0, 5.0) == -1.0)  // failed first shot stays failed
+  }
+
+  test("retry floors load from the committed BENCH_BUDGET.json") {
+    val floors = Bench.loadBudgetFloors(repoFile("BENCH_BUDGET.json").getPath)
+    assert(floors.size == SparkEntry.queries.size ||
+      floors.nonEmpty, "budget floors must parse")
+    Bench.controls.foreach(q => assert(floors.contains(q)))
+    assert(floors.values.forall(_ > 0))
+    // missing file degrades to no retries, never throws
+    assert(Bench.loadBudgetFloors("/nonexistent/BENCH_BUDGET.json").isEmpty)
+  }
+
   test("bench_diff.py --selftest passes (normalization logic)") {
     import scala.sys.process._
     val script = repoFile("dev/bench_diff.py")

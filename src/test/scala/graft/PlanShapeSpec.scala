@@ -777,6 +777,25 @@ class PlanShapeSpec extends SparkSpec {
       "every bucket collect must sit above the hot-set LeftAnti join")
   }
 
+  test("q521/q522: sample-quantile sketch folds in ONE bounded partial " +
+      "aggregation — no window/sort over the population, merge path " +
+      "re-aggregates through the same buffer") {
+    val p1 = plan("q521_sample_quantiles")
+    // the 100 TB property: the only per-row motion is the map-side
+    // bottom-k partial; the population is never windowed or sorted
+    assert(p1.contains("partial_bottomkrowsagg"))
+    assert(!p1.contains("WindowExec") && !p1.contains("Window ("))
+    assert(!p1.contains("SortMergeJoin"))
+    val p2 = plan("q522_sketch_merge")
+    // two-level: the per-shard pass is materialized behind the partials
+    // localCheckpoint (it doesn't appear in the final plan), so what must
+    // show here is the RE-AGG of exploded partials going through the same
+    // bounded buffer — and never a sort-merge join anywhere
+    assert(p2.contains("partial_bottomkrowsagg"))
+    assert(p2.contains("explode(_top"), "re-agg explodes the partials")
+    assert(!p2.contains("SortMergeJoin"))
+  }
+
   test("q520: drift timeline folds per-dim sums in the aggregate — no " +
       "posexplode row inflation, baseline joined as a broadcast") {
     val p = plan("q520_drift_timeline")

@@ -719,4 +719,48 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(2L)._3 / got(2L)._2 >= got(3L)._3 / got(3L)._2)
   }
 
+  // --------------------------------------- sample-quantile sketch
+
+  test("sampleQuantiles: census case (n <= k) returns exact lower " +
+      "quantiles; null rows dropped") {
+    val df = ((1 to 10).map(i => (Some("a"), Some(i.toLong), i.toLong)) :+
+      ((Option.empty[String], Some(99L), 98L)) :+
+      ((Some("a"), Option.empty[Long], 99L)))
+      .toDF("g", "v", "id")
+    val got = Sketches.sampleQuantiles(df, "g", "v", "id", k = 256)
+      .orderBy($"p_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // m = n = 10; idx = ceil(p*10): p50 -> 5th = 5, p90 -> 9, p99 -> 10
+    assert(got == Seq(("a", 500000L, 10L, 10L, 5L),
+      ("a", 900000L, 10L, 10L, 9L), ("a", 990000L, 10L, 10L, 10L)))
+  }
+
+  test("sampleQuantilesMerged == sampleQuantiles when sampling is real " +
+      "(n > k) — merge-invariance of bottom-k") {
+    val df = (1 to 100).map(i => ("g" + (i % 2), i.toLong * 10, i.toLong))
+      .toDF("g", "v", "id")
+    val one = Sketches.sampleQuantiles(df, "g", "v", "id", k = 8)
+      .orderBy($"g", $"p_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val merged = Sketches.sampleQuantilesMerged(df, "g", pmod($"id", lit(3)),
+        "v", "id", k = 8)
+      .orderBy($"g", $"p_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(one == merged)
+    assert(one.forall { case (_, _, n, m, _) => n == 50 && m == 8 })
+  }
+
+  test("sampleQuantileAudit: census estimates carry rank error < 1e6/n; " +
+      "rank_le equals the estimate's exact rank") {
+    val df = (1 to 20).map(i => ("a", i.toLong, i.toLong)).toDF("g", "v", "id")
+    val got = Sketches.sampleQuantileAudit(df, "g", "v", "id", k = 256)
+      .orderBy($"p_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    got.foreach { case (_, pPpm, n, m, est, rankLe, err) =>
+      assert(n == 20 && m == 20)
+      assert(est == ((pPpm * 20 + 999999) / 1000000)) // distinct 1..20
+      assert(rankLe == est)                           // values are 1..n
+      assert(err < 1000000 / 20, s"p=$pPpm err=$err")
+    }
+  }
 }

@@ -47,4 +47,25 @@ class TopKAggSpec extends AnyFunSuite {
       .foldLeft(rows.zero)(rows.reduce)
     assert(buf == Vector((4L, 4L), (4L, 4L), (4L, 4L)))
   }
+
+  private val bottom = BottomKRowsAgg(3)
+
+  test("bottom: keeps k smallest by (key asc, tiebreak asc), payload rides") {
+    val buf = Seq((50L, 1L, 500L), (10L, 2L, 100L), (90L, 3L, 900L),
+        (10L, 1L, 101L), (30L, 4L, 300L))
+      .foldLeft(bottom.zero)(bottom.reduce)
+    assert(buf == Vector((10L, 1L, 101L), (10L, 2L, 100L), (30L, 4L, 300L)))
+  }
+
+  test("bottom: merge order-independent and equals global bottom-k — " +
+      "the sketch's re-aggregability across shards") {
+    val xs = Seq((7L, 1L, 70L), (2L, 2L, 20L), (9L, 3L, 90L))
+    val ys = Seq((1L, 4L, 10L), (8L, 5L, 80L), (3L, 6L, 30L))
+    val a = xs.foldLeft(bottom.zero)(bottom.reduce)
+    val b = ys.foldLeft(bottom.zero)(bottom.reduce)
+    val want = (xs ++ ys).sortBy { case (k, t, _) => (k, t) }.take(3)
+    assert(bottom.merge(a, b) == want)
+    assert(bottom.merge(b, a) == want)
+    assert(bottom.merge(bottom.zero, a) == a.sortBy(x => (x._1, x._2)))
+  }
 }
