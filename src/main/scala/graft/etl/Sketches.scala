@@ -418,8 +418,11 @@ object Sketches {
   /** The deterministic 60-bit hash rank behind the sample-quantile
     * sketch: first 15 hex chars of sha256(salt:id) — positive, fits a
     * long, and re-derivable by any engine (oracle twin:
-    * `('0x' || substring(sha256(salt || ':' || id), 1, 15))::BIGINT`). */
-  private def hashRank(salt: String, id: Column): Column =
+    * `('0x' || substring(sha256(salt || ':' || id), 1, 15))::BIGINT`).
+    * private[graft]: the streaming face ([[graft.streaming
+    * .EventsStreaming.quantileSketchStream]]) shares this and
+    * [[quantileRows]] so batch and stream cannot diverge. */
+  private[graft] def hashRank(salt: String, id: Column): Column =
     conv(substring(sha2(concat(lit(salt + ":"), id.cast("string")), 256),
       1, 15), 16, 10).cast("long")
 
@@ -453,11 +456,14 @@ object Sketches {
         array_sort(expr("transform(_top, x -> x._3)")).as("vals"))
   }
 
-  /** Estimates at `psPpm` from a (g, n, vals) sample table: the
+  /** Estimates at `psPpm` from a sample table carrying (n, vals): the
     * ⌈p·m/10⁶⌉-th smallest sampled value (lower sample quantile, exact
     * integer index arithmetic). m = |vals| = min(k, n) ≥ 1 because the
-    * sketch only emits groups it saw. */
-  private def quantileRows(sample: DataFrame, psPpm: Seq[Int]): DataFrame = {
+    * sketch only emits groups it saw. Extra input columns (pane keys on
+    * the streaming face) ride through; `vals` is dropped. ONE definition
+    * for batch and stream — shared arithmetic cannot diverge. */
+  private[graft] def quantileRows(sample: DataFrame,
+      psPpm: Seq[Int]): DataFrame = {
     require(psPpm.forall(p => p > 0 && p <= 1000000), "p_ppm in (0, 1e6]")
     sample
       .withColumn("p_ppm", explode(typedLit(psPpm.map(_.toLong))))
@@ -465,8 +471,8 @@ object Sketches {
       .withColumn("_idx",
         greatest(expr("CAST((p_ppm * m + 999999) div 1000000 AS INT)"),
           lit(1)))
-      .select(col("g"), col("p_ppm"), col("n"), col("m"),
-        element_at(col("vals"), col("_idx")).as("est"))
+      .withColumn("est", element_at(col("vals"), col("_idx")))
+      .drop("vals", "_idx")
   }
 
   /** One-pass mergeable sample-quantile sketch: per (group, p) the
@@ -477,6 +483,7 @@ object Sketches {
       psPpm: Seq[Int] = Seq(500000, 900000, 990000),
       salt: String = "sq"): DataFrame =
     quantileRows(bottomKSample(df, groupCol, valueCol, idCol, k, salt), psPpm)
+      .select(col("g"), col("p_ppm"), col("n"), col("m"), col("est"))
 
   /** The merge path, made observable: partial sketches are built per
     * (group, shard), then RE-AGGREGATED through the same bounded buffer —
@@ -509,6 +516,7 @@ object Sketches {
       .select(col("g"),
         array_sort(expr("transform(_top, x -> x._3)")).as("vals"))
     quantileRows(merged.join(ns, "g"), psPpm)
+      .select(col("g"), col("p_ppm"), col("n"), col("m"), col("est"))
   }
 
   /** Rank-error audit of [[sampleQuantiles]] against the exact

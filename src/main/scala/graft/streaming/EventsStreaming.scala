@@ -658,6 +658,47 @@ object EventsStreaming {
         col("top_dim"), col("top_dim_milli2"))
   }
 
+  /** Streaming sample-quantile sketch — the online face of
+    * [[graft.etl.Sketches.sampleQuantiles]] (q521): per watermark-
+    * finalized pane × group, the p50/p90/p99 estimates of `valueCol`
+    * from a bottom-k-by-salted-sha256 uniform sample. The operational
+    * question is pane-grained ("what was this minute's p99 latency per
+    * service?"), and the sketch is the ONLY quantile spelling whose
+    * state Structured Streaming can hold: the bounded
+    * [[graft.functions.BottomKRowsAgg]] buffer folds inside the single
+    * allowed groupBy(window, group) aggregation — state = open panes ×
+    * groups × ≤k (hash, id, value) triples, never raw events, where an
+    * exact per-pane percentile would have to retain every row of every
+    * open pane.
+    *
+    * Every piece is SHARED with the batch op — `Sketches.hashRank` for
+    * the draw, `Sketches.quantileRows` for the index arithmetic — so a
+    * closed pane's row equals `sampleQuantiles` run on exactly that
+    * pane's rows (same k, same salt), which is what the parity spec
+    * pins. Determinism carries over: re-running the stream, or the
+    * batch op over the pane's rows, re-derives the identical sample. */
+  def quantileSketchStream(events: DataFrame, groupCol: String,
+      idCol: String, valueCol: String, k: Int = 256,
+      psPpm: Seq[Int] = Seq(500000, 900000, 990000), salt: String = "sq",
+      pane: String = "1 minute", watermark: String = "10 minutes"): DataFrame = {
+    val bk = udaf(graft.functions.BottomKRowsAgg(k))
+    val paneSample = events
+      .withWatermark("ts", watermark)
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col("ts"), col(groupCol).as("_g"),
+        graft.etl.Sketches.hashRank(salt, col(idCol)).as("_hk"),
+        col(idCol).cast("long").as("_id"),
+        col(valueCol).cast("long").as("_v"))
+      .groupBy(window(col("ts"), pane), col("_g"))
+      .agg(count(lit(1)).as("n"), bk(col("_hk"), col("_id"), col("_v")).as("_top"))
+      .select(col("window.start").as("pane_start"), col("_g"),
+        col("n"), array_sort(expr("transform(_top, x -> x._3)")).as("vals"))
+    graft.etl.Sketches.quantileRows(paneSample, psPpm)
+      .select(col("pane_start"), col("_g").as(groupCol), col("p_ppm"),
+        col("n"), col("m"), col("est"))
+  }
+
   /** Streaming degradation-ladder classification — the online face of
     * q502 ([[graft.queries.ServingOps.q502DegradationLadder]]): each
     * watermark-finalized one-minute pane classifies as 'full' (at/below

@@ -1016,9 +1016,69 @@ class EventsStreamingSpec extends SparkSpec {
     assert(shifted._4 == 2L, shifted)
   }
 
+  test("quantileSketchStream: watermark-closed panes match the batch " +
+      "sampleQuantiles run on exactly the pane's rows (same k, salt)") {
+    val sq = spark
+    import sq.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // k=4 with 12/3 rows per (pane, group) so the sample is REAL (m < n)
+    // in pane 10:00 and a census (m = n = 3) in 10:01 — both paths pinned
+    val paneRows =
+      (1 to 12).map(i => QRow(ts(f"2026-01-01 10:00:${i * 4}%02d"), "svc_a",
+        100L + i, (i * 7 % 50).toLong)) ++
+      (1 to 3).map(i => QRow(ts(f"2026-01-01 10:01:${i * 8}%02d"), "svc_b",
+        200L + i, (i * 13).toLong))
+
+    val input = MemoryStream[QRow]
+    val q = EventsStreaming.quantileSketchStream(input.toDF(), "svc", "id",
+        "v", k = 4, pane = "1 minute", watermark = "1 minute")
+      .writeStream.format("memory").queryName("qsketch")
+      .outputMode("append").start()
+    input.addData(paneRows: _*)
+    q.processAllAvailable()
+    input.addData(QRow(ts("2026-01-01 11:00:00"), "svc_a", 900L, 1L))
+    q.processAllAvailable()
+    input.addData(QRow(ts("2026-01-01 11:30:00"), "svc_a", 901L, 1L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("qsketch")
+      .select($"pane_start".cast("string"), $"svc", $"p_ppm", $"n", $"m",
+        $"est")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5, r._6))).toMap
+
+    for ((pane, svc) <- Seq(("2026-01-01 10:00:00", "svc_a"),
+        ("2026-01-01 10:01:00", "svc_b"))) {
+      val lo = ts(pane).getTime
+      val inPane = paneRows.filter(r =>
+        r.ts.getTime >= lo && r.ts.getTime < lo + 60000)
+      val batch = graft.etl.Sketches.sampleQuantiles(
+          inPane.toDF(), "svc", "v", "id", k = 4)
+        .as[(String, Long, Long, Long, Long)].collect()
+      assert(batch.nonEmpty)
+      batch.foreach { case (_, pPpm, n, m, est) =>
+        assert(got.get((pane, svc, pPpm)).contains((n, m, est)),
+          s"($pane, $svc, $pPpm): want ($n, $m, $est) " +
+            s"got ${got.get((pane, svc, pPpm))}")
+      }
+    }
+    // the real-sample pane really sampled (m = k < n)
+    assert(got(("2026-01-01 10:00:00", "svc_a", 500000L))._1 == 12L)
+    assert(got(("2026-01-01 10:00:00", "svc_a", 500000L))._2 == 4L)
+    // the census pane kept everything (m = n = 3)
+    assert(got(("2026-01-01 10:01:00", "svc_b", 500000L))._1 == 3L)
+    assert(got(("2026-01-01 10:01:00", "svc_b", 500000L))._2 == 3L)
+  }
+
 }
 
 /** Row type for the embedding-drift stream parity spec (top-level: the
   * MemoryStream encoder needs a static product type). */
 final case class EmbRow(ts: java.sql.Timestamp, grp: String,
     vec: Seq[Double])
+
+/** Row type for the quantile-sketch stream parity spec. */
+final case class QRow(ts: java.sql.Timestamp, svc: String, id: Long,
+    v: Long)
