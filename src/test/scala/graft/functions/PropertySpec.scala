@@ -125,4 +125,39 @@ class PropertySpec extends AnyFunSuite {
         assert(agg.merge(agg.merge(a, agg.zero), b) == model)
     }
   }
+  // ---------------------------------------- BottomKRowsAgg (q521 family)
+
+  // narrow key range forces hash-tie coverage; the tiebreak is made
+  // UNIQUE per element below (zipWithIndex), matching the sketch's
+  // contract — (hash, id) is unique because the id column is — without
+  // which "the" bottom-k of equal (key, tiebreak) pairs with different
+  // payloads is genuinely ambiguous
+  private val triple: Gen[(Long, Long, Long)] = for {
+    k <- Gen.choose(0L, 40L)
+    p <- Gen.choose(-100L, 100L)
+  } yield (k, 0L, p)
+
+  test("BottomKRowsAgg: any partition split merges to the global bottom-k " +
+      "(the re-aggregability the sketch merge path stands on)") {
+    val agg = BottomKRowsAgg(5)
+    forAll(Gen.listOf(triple), Gen.choose(0, 100)) { (xs0, cut0) =>
+      val xs = xs0.zipWithIndex.map { case ((k, _, p), i) => (k, i.toLong, p) }
+      val cut = if (xs.isEmpty) 0 else cut0 % (xs.length + 1)
+      val (l, r) = xs.splitAt(cut)
+      val a = l.foldLeft(agg.zero)(agg.reduce)
+      val b = r.foldLeft(agg.zero)(agg.reduce)
+      val want = xs.sortBy(x => (x._1, x._2)).take(5)
+      assert(agg.merge(a, b) == want)
+      assert(agg.merge(b, a) == want)  // merge order never matters
+    }
+  }
+
+  test("BottomKRowsAgg: buffer never exceeds k and is always sorted") {
+    val agg = BottomKRowsAgg(3)
+    forAll(Gen.listOf(triple)) { xs =>
+      val buf = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(buf.length <= 3)
+      assert(buf == buf.sortBy(x => (x._1, x._2)))
+    }
+  }
 }
