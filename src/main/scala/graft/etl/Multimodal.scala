@@ -58,7 +58,7 @@ object Multimodal {
     private[Multimodal] def stubOne(digest: java.security.MessageDigest,
         r: MediaRecord): MediaFeatures = {
       digest.reset()
-      val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
+      val sha = graft.functions.Text.hexOf(digest.digest(r.payload))
       val feat = Array.tabulate(8)(i =>
         (if (r.payload.isEmpty) 0f
          else r.payload(i % r.payload.length).toFloat / 127f))
@@ -92,7 +92,7 @@ object Multimodal {
         if (img == null) StubCodec.stubOne(digest, r)
         else {
           digest.reset()
-          val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
+          val sha = graft.functions.Text.hexOf(digest.digest(r.payload))
           val (w, h) = (img.getWidth, img.getHeight)
           val feat = new Array[Float](grid * grid)
           var i = 0
@@ -147,7 +147,7 @@ object Multimodal {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       batch.map { r =>
         digest.reset()
-        val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
+        val sha = graft.functions.Text.hexOf(digest.digest(r.payload))
         val st =
           try javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.payload))

@@ -50,15 +50,19 @@ object Categories {
   private val stopWords =
     "\\b(de|het|een|en|met|van|voor|bij|tot|aan|in|op|over|uit)\\b"
 
+  // precompiled once: String.replaceAll re-compiles its Pattern per call,
+  // which at one normalizeCategory per row was pure per-row overhead
+  private val punctRe = java.util.regex.Pattern.compile("[,\\-_/\\\\()&]")
+  private val stopWordsRe = java.util.regex.Pattern.compile(stopWords)
+  private val wsRe = java.util.regex.Pattern.compile("\\s+")
+
   /** normalizer.ts:96-103 — lowercase, punctuation→space, Dutch stop-word
     * removal, whitespace squeeze. */
   def normalizeString(s: String): String = {
     if (s == null) return ""
-    s.toLowerCase.trim
-      .replaceAll("[,\\-_/\\\\()&]", " ")
-      .replaceAll(stopWords, "")
-      .replaceAll("\\s+", " ")
-      .trim
+    val a = punctRe.matcher(s.toLowerCase.trim).replaceAll(" ")
+    val b = stopWordsRe.matcher(a).replaceAll("")
+    wsRe.matcher(b).replaceAll(" ").trim
   }
 
   private val exactMatchMap: Map[String, String] =
@@ -278,12 +282,17 @@ object Categories {
 
   /** C7 (normalizer.ts:530-546): argmax similarity over the 26 categories on
     * normalized strings; strictly-greater keeps the first best; default AGF. */
+  // (category, its normalized form) precomputed once — the fuzzy argmax
+  // re-normalized all 26 candidates on every call
+  private val normalizedFinals: Vector[(String, String)] =
+    finalCategories.map(fc => fc -> normalizeString(fc)).toVector
+
   def findBestCategoryMatch(category: String): String = {
     val normIn = normalizeString(category)
     var best = defaultCategory
     var bestScore = 0.0
-    finalCategories.foreach { fc =>
-      val s = fuzzyScore(normIn, normalizeString(fc))
+    normalizedFinals.foreach { case (fc, nfc) =>
+      val s = fuzzyScore(normIn, nfc)
       if (s > bestScore) { bestScore = s; best = fc }
     }
     best

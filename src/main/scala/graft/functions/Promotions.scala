@@ -112,6 +112,11 @@ object Promotions {
     }
   }
 
+  // precompiled: String.replaceAll / String.split compile a fresh Pattern
+  // per call — per-row overhead in the adapter hot path
+  private val wsRe = java.util.regex.Pattern.compile("\\s+")
+  private val segRe = java.util.regex.Pattern.compile("[;,]")
+
   /** T9 (calculate-fields.ts:128-227): normalize case/whitespace, split
     * multi-promos on `[;,]`, per segment first regex wins; 1 segment → that
     * result (UNKNOWN keeps currentPrice); >1 → MULTI_PROMO wrapper. */
@@ -123,8 +128,8 @@ object Promotions {
       currentPrice, Units.roundN(originalPrice - currentPrice, 2))
     if (mechanism == null || mechanism.isEmpty) return fallback
 
-    val normalized = mechanism.toLowerCase.replaceAll("\\s+", " ").trim
-    val segments = normalized.split("[;,]", -1)
+    val normalized = wsRe.matcher(mechanism.toLowerCase).replaceAll(" ").trim
+    val segments = segRe.split(normalized, -1)
 
     val subs = segments.map { seg =>
       val segText = seg.trim

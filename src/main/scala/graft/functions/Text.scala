@@ -11,9 +11,33 @@ import java.security.MessageDigest
   */
 object Text {
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of a byte array — table-driven, no per-byte
+    * `String.format` (format parses its spec string and boxes every byte;
+    * at one call per row × 16 bytes it dominated the digest itself). */
+  def hexOf(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      val b = d(i) & 0xff
+      out(i * 2) = hexDigits(b >>> 4)
+      out(i * 2 + 1) = hexDigits(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** One MD5 instance per thread: `MessageDigest.getInstance` walks the
+    * JCA provider registry per call — measurable at one call per token. */
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   def md5Hex(s: String): String = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
-    d.map("%02x".format(_)).mkString
+    val md = md5Local.get()
+    md.reset()
+    hexOf(md.digest(s.getBytes(StandardCharsets.UTF_8)))
   }
 
   /** Whitespace tokens, empties dropped (matches `split(text,' ')` + filter). */
@@ -68,13 +92,20 @@ object Text {
     */
   def simhashBits(text: String): String = {
     val sums = new Array[Int](64)
+    val md = md5Local.get()
     tokens(text).foreach { tok =>
-      val hx = md5Hex(tok)
+      // bit i of the definition is bit i (MSB-first) of the digest's first
+      // 8 bytes: nibble i/4 of the hex string is (hex char i/4) = the
+      // (i/4)-th nibble of the digest, and (nibble >> (3 - i%4)) & 1 walks
+      // that nibble MSB-first — identical to walking the raw bytes, which
+      // skips the hex encode + re-parse entirely. The SQL oracle still
+      // re-derives the same bits from md5()'s hex form.
+      md.reset()
+      val d = md.digest(tok.getBytes(StandardCharsets.UTF_8))
       var i = 0
       while (i < 64) {
-        val nibble = Character.digit(hx.charAt(i / 4), 16)
-        val bit = (nibble >> (3 - i % 4)) & 1
-        sums(i) += (if (bit == 1) 1 else -1)
+        val bit = (d(i >> 3) >> (7 - (i & 7))) & 1
+        sums(i) += ((bit << 1) - 1)
         i += 1
       }
     }

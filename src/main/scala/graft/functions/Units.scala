@@ -104,16 +104,19 @@ object Units {
 
   private val multiPackRe = "(?i)(\\d+)\\s*x\\s*(\\d+(?:\\.\\d+)?)\\s*([a-z]+)".r
   private val packSizeRe = "(?i)(\\d+)[\\s-]*(pack|stuks|pieces|items)".r
+  // precompiled clean-up patterns (String.replaceAll compiles per call)
+  private val perPrefixRe = java.util.regex.Pattern.compile("^per\\s+")
+  private val punctRe = java.util.regex.Pattern.compile("[.,;:()]")
+  private val wsRe = java.util.regex.Pattern.compile("\\s+")
 
   /** U1 (calculate-fields.ts:341-403): clean → multi-pack item unit → exact
     * alias → partial containment (first declared key wins) → N-pack →
     * already-standard → default `stuk`. */
   def normalizeUnit(unit: String): String = {
     if (unit == null || unit.isEmpty) return "stuk"
-    val clean = unit.toLowerCase.trim
-      .replaceAll("^per\\s+", "")
-      .replaceAll("[.,;:()]", "")
-      .replaceAll("\\s+", " ")
+    val clean = wsRe.matcher(punctRe.matcher(
+        perPrefixRe.matcher(unit.toLowerCase.trim).replaceAll(""))
+      .replaceAll("")).replaceAll(" ")
     multiPackRe.findFirstMatchIn(clean) match {
       case Some(mm) if unitMappings.contains(mm.group(3)) => return unitMappings(mm.group(3))
       case _ =>
