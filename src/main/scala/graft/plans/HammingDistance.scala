@@ -171,6 +171,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordNgrams(children.head, n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("sha_lanes"),
+      new ExpressionInfo(classOf[ShaLanes].getName, "sha_lanes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "sha_lanes(s) takes exactly 1 argument")
+        ShaLanes(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("sp_tokens"),
       new ExpressionInfo(classOf[SpTokens].getName, "sp_tokens"),
       (children: Seq[Expression]) => {

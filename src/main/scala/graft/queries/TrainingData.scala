@@ -2785,15 +2785,17 @@ object TrainingData {
     * Input columns: (doc_id, s). */
   private[graft] def shaLaneSigs(shingles: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val digests = shingles.select(col("doc_id") +:
-      (0 until 4).map(d =>
-        sha2(concat(lit(s"$d:"), col("s")), 256).as(s"_h$d")): _*)
+    // one native digest pass per shingle ([[graft.plans.ShaLanes]]):
+    // value-identical to the former inline sha2/conv/substring spelling
+    // (the scaladoc there has the byte-level equivalence argument), minus
+    // its per-row getInstance + hex encode + 32 radix parses. Measured at
+    // sf0.1 (QueryBench min-of-3): q450 14.2 -> see OPTIMIZATION_r12.md.
+    val lanes = shingles.select(col("doc_id"),
+      call_function("sha_lanes", col("s")).as("_l"))
     val mins = (0 until 32).map { i =>
-      val d = i / 8; val j = i % 8
-      min(expr(s"CAST(conv(substring(_h$d, ${1 + 8 * j}, 8), 16, 10) " +
-        "AS BIGINT)")).as(s"_m$i")
+      min(element_at(col("_l"), i + 1)).as(s"_m$i")
     }
-    val agged = digests.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val agged = lanes.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val stackArgs = (0 until 32).map(i => s"$i, _m$i").mkString(", ")
     agged.select(col("doc_id"), expr(s"stack(32, $stackArgs) AS (i, mh)"))
       .select(col("doc_id"), col("i").cast("int").as("i"), col("mh"))
