@@ -46,6 +46,11 @@ object GenericAdapter {
       StructField("product", StructType(Seq(StructField("id", StringType)))))
   }
 
+  /** The candidate-field parse as a column — callers name it once
+    * (`withColumn`) and pass it to [[externalId]] so the cascade rides a
+    * single document scan. */
+  def parsedRaw(rawData: Column): Column = from_json(rawData, rawSchema)
+
   private def j(path: String): Column = path match {
     case "product.id" => col("_p").getField("product").getField("id")
     case p => col("_p").getField(p)
@@ -112,9 +117,20 @@ object GenericAdapter {
   }
 
   /** J5 — per-shop external-id candidate cascade
-    * (database-processor-adapter.ts:543-585). */
-  def externalId(shopType: String): Column = {
-    val p = from_json(col("raw_data"), rawSchema)
+    * (database-processor-adapter.ts:543-585).
+    *
+    * Prefer the `parsed` overload with a NAMED struct column (one
+    * `withColumn("_p", from_json(...))` in the caller): an inline
+    * `from_json` here gets schema-pruned into one CLONE PER CANDIDATE by
+    * OptimizeJsonExprs, and the `nullif` wrapper doubles each clone —
+    * q48's lineage side was paying ~5 full document scans per row for a
+    * three-field cascade. A named multi-use struct survives
+    * CollapseProject as a single evaluation. */
+  def externalId(shopType: String): Column =
+    externalId(shopType, from_json(col("raw_data"), rawSchema))
+
+  def externalId(shopType: String, parsed: Column): Column = {
+    val p = parsed
     def f(path: String): Column = path match {
       case "product.id" => p.getField("product").getField("id")
       case name => p.getField(name)

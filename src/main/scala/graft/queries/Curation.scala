@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.etl.{Graph, Series, Sketches, Vocab}
+import graft.queries.SortBarrier._
 
 /** Round-3 additions to the training-data-pipeline surface: sketch-backed
   * exact heavy hitters, URL parsing, dataset-level boilerplate detection,
@@ -802,7 +803,7 @@ object Curation {
       .select($"a_id", $"b_id",
         call_function("jaro_winkler", $"a_name", $"b_name").as("jw_x1m"))
       .filter($"jw_x1m" >= 800000L)
-      .orderBy($"a_id", $"b_id")
+      .sortedOnce($"a_id", $"b_id")
   }
 
   /** Full Damerau–Levenshtein vs plain Levenshtein on deterministic

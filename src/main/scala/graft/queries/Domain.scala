@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.etl.{Quality, Udfs}
+import graft.queries.SortBarrier._
 
 /** Domain-operator surface over the synthetic tables (SURVEY.md §2.4–§2.8).
   *
@@ -41,7 +42,7 @@ object Domain {
         round(coalesce($"p"("total_promotion_price"), $"pbb") * 100).cast("long")
           .as("total_cents"),
         coalesce($"p"("is_multi_purchase_required"), lit(false)).as("multi"))
-      .orderBy($"o_orderkey")
+      .sortedOnce($"o_orderkey")
   }
 
   /** Unit standardization + price-per-standard-unit (U1–U3) over aliases
@@ -97,7 +98,7 @@ object Domain {
       .withColumn("c", Udfs.normalizeCategory($"p_name", $"cat_raw", lit("ALDI")))
     df.select($"p_partkey", $"cat_raw",
         $"c"("category").as("category"), $"c"("method").as("method"))
-      .orderBy($"p_partkey")
+      .sortedOnce($"p_partkey")
   }
 
   /** Products synthesized from `part` (fields present/absent by partkey
@@ -433,7 +434,7 @@ object Domain {
       round($"current_price_per_standard_unit" * 100).cast("long").as("cpps_cents"),
       round($"discount_absolute" * 100).cast("long").as("disc_cents"),
       round($"discount_percentage" * 10).cast("long").as("pct_deci"))
-      .orderBy($"o_orderkey")
+      .sortedOnce($"o_orderkey")
   }
 
   // ------------------------------------------------------------ q159 rfm

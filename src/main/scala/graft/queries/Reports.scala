@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.etl.{Analytics, Dedupe, GenericAdapter, Quality, Sinks, Sources}
+import graft.queries.SortBarrier._
 
 /** Oracle rows for the small reporting aggregates that previously had only
   * ScalaTest pins (SURVEY.md §2.9 A2/A5/A12/A15, §2.10 J4/J5, §2.4 T7):
@@ -76,15 +77,20 @@ object Reports {
           .otherwise(lit("")),
         lit("}")).as("raw_data"))
     val unified = GenericAdapter.unified(raw, "ALDI", "r1")
+    // ONE named parse for the whole cascade (see externalId's scaladoc:
+    // the inline spelling cloned a schema-pruned from_json per candidate
+    // and nullif doubled each — ~5 document scans per row here)
     val lineage = raw
       .withColumn("unified_id", concat_ws("_", lit("ALDI"), $"id", lit("r1")))
-      .select($"unified_id", GenericAdapter.externalId("aldi").as("external_id"))
+      .withColumn("_pl", GenericAdapter.parsedRaw($"raw_data"))
+      .select($"unified_id",
+        GenericAdapter.externalId("aldi", $"_pl").as("external_id"))
     unified.join(lineage, Seq("unified_id")).select(
       $"unified_id", $"external_id", $"title", $"main_category", $"brand",
       $"quantity_amount",
       round($"current_price" * 100).cast("long").as("cp_cents"),
       $"is_promotion", $"promotion_type", $"is_active")
-      .orderBy($"unified_id")
+      .sortedOnce($"unified_id")
   }
 
   /** Schema-on-read field profile ([[graft.etl.Sources.jsonFieldProfile]])

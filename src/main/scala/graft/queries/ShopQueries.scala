@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.etl.Shops
+import graft.queries.SortBarrier._
 
 /** Oracle-gated end-to-end runs of the four REAL shop adapters (SURVEY.md
   * §2.3 F1–F4, §2.4 T1–T4, §2.5 T8) — the engine's heart.
@@ -56,6 +57,7 @@ object ShopQueries {
     * action. */
   private def evalOnce(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = false)
+
 
   private def centsOut(c: Column): Column = round(c * 100).cast("long")
 
@@ -116,7 +118,7 @@ object ShopQueries {
       centsOut($"discount_absolute").as("disc_cents"),
       $"discount_percentage".as("disc_pct"),
       $"is_active")
-      .orderBy($"unified_id")
+      .sortedOnce($"unified_id")
   }
 
   // ------------------------------------------------------------- Jumbo (q41)
@@ -164,7 +166,7 @@ object ShopQueries {
       centsOut($"parsed_promotion_total_price").as("total_cents"),
       $"parsed_promotion_is_multi_purchase_required".as("multi"),
       $"is_active")
-      .orderBy($"unified_id")
+      .sortedOnce($"unified_id")
   }
 
   // -------------------------------------------------------------- Aldi (q42)
@@ -215,7 +217,7 @@ object ShopQueries {
       centsOut($"discount_absolute").as("disc_cents"),
       $"discount_percentage".as("disc_pct"),
       $"is_active")
-      .orderBy($"unified_id")
+      .sortedOnce($"unified_id")
   }
 
   // -------------------------------------------------------------- Plus (q43)
@@ -264,7 +266,7 @@ object ShopQueries {
       $"parsed_promotion_is_multi_purchase_required".as("multi"),
       centsOut($"discount_absolute").as("disc_cents"),
       $"is_active")
-      .orderBy($"unified_id")
+      .sortedOnce($"unified_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.etl.{Multimodal, Similarity}
+import graft.queries.SortBarrier._
 
 /** Training-data pipeline operators over `documents` / `embeddings`
   * (dedup families, similarity search, text analysis, multimodal plumbing)
@@ -70,7 +71,7 @@ object TrainingData {
         Tables.documents(spark, dir)
           .filter(size(call_function("sp_tokens", $"text")) > 0), "text")
       .select($"doc_id", $"simhash")
-      .orderBy($"doc_id")
+      .sortedOnce($"doc_id")
   }
 
   /** Brute-force ANN top-10 by int-quantized dot product (embeddings are
@@ -105,7 +106,7 @@ object TrainingData {
         .otherwise("nl")
     scored.select($"doc_id", pred.as("lang_pred"),
         greatest($"s_de", $"s_en", $"s_es", $"s_fr", $"s_nl").as("score"))
-      .orderBy($"doc_id")
+      .sortedOnce($"doc_id")
   }
 
   /** Text-quality stats: char/token/punct/digit counts, BPE-ish token
@@ -125,7 +126,7 @@ object TrainingData {
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"), lit(0))).as("bpeish_tokens"),
         size(filter(transform(toks, t => lower(t)),
           t => t.isInCollection(stop))).as("n_stopwords"))
-      .orderBy($"doc_id")
+      .sortedOnce($"doc_id")
   }
 
   /** Multimodal plumbing: opaque binary payloads + batch (mapPartitions)
@@ -198,7 +199,7 @@ object TrainingData {
     import spark.implicits._
     Similarity.signProject(Tables.embeddings(spark, dir), "vec_id",
         "embedding", inDim = 64, outDim = 16)
-      .orderBy($"vec_id")
+      .sortedOnce($"vec_id")
   }
 
   /** Train/test embedding contamination ([[Similarity.embeddingLeak]]):
@@ -2671,7 +2672,7 @@ object TrainingData {
         $"decoded_width".cast("long").as("decoded_width"),
         $"decoded_height".cast("long").as("decoded_height"),
         Multimodal.dhash($"feature").as("dhash"))
-      .orderBy($"media_id")
+      .sortedOnce($"media_id")
   }
 
   /** Near-duplicate image classes ([[Similarity.hammingDupPairs]] over
