@@ -94,32 +94,46 @@ object Layout {
     * any other engine's ORDER BY, which is what lets the DuckDB oracle
     * check it.
     *
-    * Why the RDD hop instead of the declarative two-branch form
-    * (per-pid counts + prefix sum + local row_number, joined back on
-    * `spark_partition_id()`): that form encodes the SAME range exchange
-    * in two plan branches and is only correct if they resolve to one
-    * exchange. Column pruning gives the branches different child
-    * projections, the exchanges stop being canonically equal, reuse
-    * does not fire, and each branch samples its own range boundaries —
-    * the pid→count map then describes the wrong partitioning and ranks
-    * walk off the end (dev.RankProbe reproduced exactly this: clean
+    * The declarative two-branch form (per-pid counts + prefix sum +
+    * local position, joined back on the partition id) is only correct if
+    * both branches read ONE physical partitioning: column pruning gives
+    * re-derived range exchanges different child projections, reuse does
+    * not fire, and each branch samples its own boundaries — the
+    * pid→count map then describes the wrong partitioning and ranks walk
+    * off the end (dev.RankProbe reproduced exactly this: clean
     * permutation when the frame is only the sort columns, 65/64 shards
-    * in q355 where carry columns prune differently). zipWithIndex pins
-    * ONE partitioner because there is one RDD object. Cost: the extra
-    * count job plus row-encode at this node — the honest price of a
-    * global rank; everything downstream is columnar again. */
+    * in q355 where carry columns prune differently). The lazy
+    * localCheckpoint below IS that pin — one materialized InternalRow
+    * RDD that every branch reads — the same object-identity guarantee
+    * the previous zipWithIndex spelling relied on, WITHOUT its price:
+    * `.rdd` decoded every row to an external Row (per-field converters +
+    * boxing) and `createDataFrame` re-encoded it back, a full codec
+    * round-trip of the whole frame at this node (guide §1.4's df.rdd
+    * trap). `monotonically_increasing_id` is (pid << 33) + local
+    * position, so pid and local position are recoverable arithmetically
+    * and the global rank is offset(pid) + local position + 1 — identical
+    * to zipWithIndex's result on the same physical order. */
   def globalRank(df: DataFrame, sort: Seq[Column], rankCol: String = "rank",
       nParts: Int = 64): DataFrame = {
     require(sort.nonEmpty && nParts >= 1)
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val sorted = df.repartitionByRange(nParts, sort: _*)
+    val stamped = df.repartitionByRange(nParts, sort: _*)
       .sortWithinPartitions(sort: _*)
-    val schema = StructType(sorted.schema.fields :+
-      StructField(rankCol, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+      .withColumn("_gr_mid", monotonically_increasing_id())
+      .localCheckpoint(eager = false)
+    val pid = shiftright(col("_gr_mid"), 33)
+    val offs = stamped.groupBy(pid.as("_gr_pid"))
+      .agg(count(lit(1)).as("_gr_n"), min(col("_gr_mid")).as("_gr_base"))
+    // prefix offsets over <= nParts rows: bounded triangular self-join,
+    // no global window
+    val cum = offs.as("a").join(broadcast(offs.as("b")),
+        col("b._gr_pid") < col("a._gr_pid"), "left")
+      .groupBy(col("a._gr_pid").as("_gr_pid"))
+      .agg(min(col("a._gr_base")).as("_gr_base"),
+        coalesce(sum(col("b._gr_n")), lit(0L)).as("_gr_off"))
+    stamped.join(broadcast(cum), pid === col("_gr_pid"))
+      .withColumn(rankCol,
+        col("_gr_off") + col("_gr_mid") - col("_gr_base") + 1L)
+      .drop("_gr_mid", "_gr_pid", "_gr_base", "_gr_off")
   }
 
   /** Range-bucketed frame for the two-phase grouped running aggregates

@@ -162,10 +162,27 @@ object Similarity {
     ab.unionByName(ba)
   }
 
+  /** (id, token) frame whose per-doc token ARRAYS are computed once: the
+    * pair engine consumes its token frame 3–4× (size census, hot-set
+    * census, bucket collect, hot-correction join) and, un-pinned, every
+    * consumer re-ran the per-doc fingerprint kernel (word_shingles /
+    * winnow_fps) over the whole corpus — AQE exchange reuse dedupes
+    * shuffles, not scans. The lazy checkpoint holds the COMPACT pre-explode
+    * arrays (≈ text-sized, one row per doc); each consumer re-explodes
+    * cheap rows. NOT the `materialize` knob Q162AB rejected — that cached
+    * the EXPLODED row table and the pair table. Per-query-run storage,
+    * released by Bench/Verify with every other checkpoint. */
+  private def pinnedTokens(df: DataFrame, idCol: String, fps: Column): DataFrame =
+    df.select(col(idCol).as("id"), fps.as("_sha"))
+      .localCheckpoint(eager = false)
+      .select(col("id"), explode(col("_sha")).as("shingle"))
+
   private def ngramJaccardImpl(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxShingleFreq: Option[Int], materialize: Boolean,
       pairFilter: Option[(Column, Column) => Column] = None): DataFrame =
-    intersectionPairsFromTokens(explodeShingles(df, idCol, textCol, n),
+    intersectionPairsFromTokens(
+      pinnedTokens(df, idCol,
+        call_function("word_shingles", col(textCol), lit(n))),
       maxShingleFreq, materialize, pairFilter)
 
   /** The capped bucket-and-explode pair engine behind [[ngramJaccardPairs]]
@@ -291,9 +308,8 @@ object Similarity {
   def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, window: Int = 4, minShared: Int = 2,
       maxFpFreq: Option[Int] = Some(DefaultMaxShingleFreq)): DataFrame = {
-    val fps = docs.select(col(idCol).as("id"),
-      explode(call_function("winnow_fps", col(textCol), lit(k), lit(window)))
-        .as("shingle"))
+    val fps = pinnedTokens(docs, idCol,
+      call_function("winnow_fps", col(textCol), lit(k), lit(window)))
     intersectionPairsFromTokens(fps, maxFpFreq, materialize = false)
       .filter(col("inter") >= minShared)
       .select(col("id_a"), col("id_b"), col("inter").as("shared"),
@@ -397,7 +413,10 @@ object Similarity {
       textCol: String, n: Int, numHashes: Int, bands: Int, threshold: Double,
       cacheShingles: Boolean, barrierSigs: Boolean,
       materialize: Boolean): DataFrame = {
-    val sh0 = explodeShingles(df, idCol, textCol, n)
+    // pinned per-doc arrays (see pinnedTokens): sigs/sizes/inter each
+    // consume the token frame — un-pinned they re-ran word_shingles 4×
+    val sh0 = pinnedTokens(df, idCol,
+      call_function("word_shingles", col(textCol), lit(n)))
     val sh = if (cacheShingles) sh0.cache() else sh0
     // the signature table is one row per DOC (tiny next to the shingle
     // explode) but feeds a self-join in lshCandidatePairs — without a
