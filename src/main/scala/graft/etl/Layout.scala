@@ -379,14 +379,56 @@ object Layout {
     * total order (same contract as globalRank). */
   def clusteringFactor(df: DataFrame, sort: Seq[Column], keyCol: String,
       nParts: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val pruned = df.select((col(keyCol).as("_k") +: sort): _*)
-    val ranked = globalRank(pruned, sort, nParts = nParts)
-      .select(col("_k"), col("rank")).localCheckpoint()
-    val prev = ranked.select((col("rank") + 1).as("rank"),
-      col("_k").as("_pk"))
-    val changes = ranked.join(prev, Seq("rank"))
-      .agg(coalesce(sum(when(col("_k") =!= col("_pk"), 1L).otherwise(0L)),
-        lit(0L)).as("_chg"))
+    val keyType = pruned.schema("_k").dataType
+    // run counting needs ADJACENCY in the sorted order, not ranks: one
+    // partition-local pass over the range-sorted key column (per
+    // partition: first key, last key, internal change count) replaces
+    // the former rank-stamp + checkpoint + whole-table self-join on
+    // rank±1 — the join shuffled the frame twice more just to compare
+    // each row with its neighbor. Boundary adjacency between CONSECUTIVE
+    // NON-EMPTY partitions is stitched over the <= nParts summary rows.
+    // Change semantics match the old `when(_k =!= _pk, 1)` exactly:
+    // a comparison involving a NULL key never counts as a change.
+    val sortedKeys = pruned.repartitionByRange(nParts, sort: _*)
+      .sortWithinPartitions(sort: _*)
+      .select(col("_k"))
+    val statsSchema = StructType(Seq(
+      StructField("_pid", LongType, nullable = false),
+      StructField("_first", keyType),
+      StructField("_last", keyType),
+      StructField("_chg", LongType, nullable = false)))
+    val partRows = sortedKeys.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var chg = 0L
+        val first = it.next().get(0)
+        var prev = first
+        while (it.hasNext) {
+          val cur = it.next().get(0)
+          if (prev != null && cur != null && prev != cur) chg += 1
+          prev = cur
+        }
+        Iterator(org.apache.spark.sql.Row(pid.toLong, first, prev, chg))
+      }
+    }
+    val parts = df.sparkSession.createDataFrame(partRows, statsSchema)
+      .localCheckpoint()
+    // order the non-empty partitions contiguously (empty range buckets
+    // leave pid gaps): triangular count over <= nParts rows, no window
+    val seq = parts.as("a").join(broadcast(parts.select(col("_pid")
+        .as("_bpid")).as("b")), col("_bpid") < col("_pid"), "left")
+      .groupBy(col("_pid"), col("_first"), col("_last"), col("_chg"))
+      .agg(count(col("_bpid")).as("_seq"))
+    val boundary = seq.select((col("_seq") + 1).as("_seq"),
+      col("_last").as("_pl"))
+    val changes = seq.join(boundary, Seq("_seq"), "left")
+      .agg(coalesce(sum(col("_chg")), lit(0L)).as("_internal"),
+        coalesce(sum(when(col("_pl").isNotNull && col("_first").isNotNull &&
+          col("_pl") =!= col("_first"), 1L).otherwise(0L)), lit(0L))
+          .as("_cross"))
+      .select((col("_internal") + col("_cross")).as("_chg"))
     val stats = df.agg(count(lit(1)).as("n_rows"),
       countDistinct(col(keyCol)).as("n_distinct"))
     stats.crossJoin(broadcast(changes))

@@ -22,7 +22,13 @@ object Vocab {
       val len = greatest(size(toks) - (n - 1), lit(0))
       slice(toks, lit(i + 1), len)
     }.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
-    docs.select(col(idCol), posexplode(grams).as(Seq("pos0", "gram")))
+    // pinned per-doc gram arrays (same rationale as Similarity.pinnedTokens):
+    // every caller consumes the gram rows at least twice (frequency census +
+    // position join), and un-pinned each consumer re-ran the tokenize +
+    // n-fold zip_with construction over the corpus
+    docs.select(col(idCol), grams.as("_grams"))
+      .localCheckpoint(eager = false)
+      .select(col(idCol), posexplode(col("_grams")).as(Seq("pos0", "gram")))
       .select(col(idCol), (col("pos0") + 1).as("pos"), col("gram"))
   }
 
