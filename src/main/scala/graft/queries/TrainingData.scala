@@ -304,7 +304,7 @@ object TrainingData {
       ($"n_chars" * 25).cast("long").as("duration_ms"))
     Multimodal.sampleFrames(media, everyMs = 1000)
       .select($"media_id", $"frame_ts_ms")
-      .orderBy($"media_id", $"frame_ts_ms")
+      .sortedOnce($"media_id", $"frame_ts_ms")
   }
 
   /** REAL image decode end-to-end ([[Multimodal.ImageCodec]]): every doc
@@ -327,7 +327,7 @@ object TrainingData {
         round($"feature"(0) * 255).cast("long").as("luma0"),
         round(aggregate($"feature", lit(0.0d), (acc, x) => acc + x)
           / 64 * 255).cast("long").as("luma_mean"))
-      .orderBy($"media_id")
+      .sortedOnce($"media_id")
   }
 
   /** Image-resize plumbing: aspect-preserving fit-within-box target
@@ -383,7 +383,7 @@ object TrainingData {
     import spark.implicits._
     graft.etl.Corpus.chunkText(
         Tables.documents(spark, dir), "doc_id", "text", size = 200, stride = 150)
-      .orderBy($"doc_id", $"chunk_idx")
+      .sortedOnce($"doc_id", $"chunk_idx")
   }
 
   /** Connected components over a synthetic chain graph (edges doc→doc+1
@@ -546,7 +546,7 @@ object TrainingData {
           .otherwise(lit(""))).as("text"))
     graft.etl.Privacy.redactPii(input, "text")
       .select(k, $"n_emails", $"n_phones", md5($"redacted").as("redacted_md5"))
-      .orderBy(k)
+      .sortedOnce(k)
   }
 
   /** Inverted-index postings for the 10 highest-df terms: (term, df,
@@ -1272,7 +1272,7 @@ object TrainingData {
     tails.join(heads, Seq("seam"))
       .filter($"prev_id" =!= $"next_id")
       .select($"prev_id", $"next_id", $"seam")
-      .orderBy($"prev_id", $"next_id")
+      .sortedOnce($"prev_id", $"next_id")
   }
 
   /** Attribute-filtered ANN: exact top-5 nearest SAME-LABEL vectors per
@@ -1860,7 +1860,7 @@ object TrainingData {
           concat($"text", lit(" see https://example.com/a?b=1 now")))
         .otherwise($"text").as("text"))
     graft.etl.Corpus.markupDensity(docs, "doc_id", "text")
-      .orderBy($"doc_id")
+      .sortedOnce($"doc_id")
   }
 
   /** LSH banding S-curve ([[graft.etl.Similarity.lshBandPlan]]) for the
@@ -2230,7 +2230,7 @@ object TrainingData {
     import spark.implicits._
     Similarity.pqEncode(Tables.embeddings(spark, dir), "vec_id", "embedding",
         m = 8, ks = 16)
-      .orderBy($"vec_id")
+      .sortedOnce($"vec_id")
   }
 
   /** Greedy k-center coreset ([[Similarity.kCenterGreedy]]): 8 rounds of
@@ -2424,7 +2424,7 @@ object TrainingData {
           lpad((($"o_orderkey" * 7919) % 10000000000000000L).cast("string"),
             16, "0")).as("text"))
     graft.etl.Privacy.luhnAudit(docs, "o_orderkey", "text")
-      .orderBy($"o_orderkey")
+      .sortedOnce($"o_orderkey")
   }
 
   /** k-NN hubness audit ([[Similarity.knnHubness]]): in-degree histogram
@@ -2719,7 +2719,7 @@ object TrainingData {
     import spark.implicits._
     graft.etl.Corpus.readabilityScores(
         Tables.documents(spark, dir), "doc_id", "text")
-      .orderBy($"doc_id")
+      .sortedOnce($"doc_id")
   }
 
   /** Reciprocal nearest-neighbor embedding pairs
