@@ -408,10 +408,11 @@ object Multimodal {
   def mediaFromSyntheticAudio(df: DataFrame,
       idCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
+    val df_ = graft.etl.Parallelism.spread(df)
     val wavUdf = udf((id: Long) =>
       syntheticWav((800 + id % 5 * 160).toInt, (2 + id % 6).toInt,
         (1000 + id % 20 * 500).toInt))
-    df.select(
+    df_.select(
         col(idCol).cast("long").as("media_id"),
         lit("audio").as("media_type"),
         wavUdf(col(idCol).cast("long")).as("payload"),
@@ -487,9 +488,10 @@ object Multimodal {
   def mediaFromSyntheticGradientImages(df: DataFrame,
       idCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
+    val df_ = graft.etl.Parallelism.spread(df)
     val pngUdf = udf((id: Long) =>
       syntheticGradientPng((8 + id % 9).toInt, (8 + id % 5).toInt, id))
-    df.select(
+    df_.select(
         col(idCol).cast("long").as("media_id"),
         lit("image").as("media_type"),
         pngUdf(col(idCol).cast("long")).as("payload"),
@@ -522,9 +524,10 @@ object Multimodal {
     * UDF — no driver-side image work. */
   def mediaFromSyntheticImages(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
+    val df_ = graft.etl.Parallelism.spread(df)
     val pngUdf = udf((id: Long) =>
       syntheticPng((4 + id % 13).toInt, (3 + id % 7).toInt, (id % 251).toInt))
-    df.select(
+    df_.select(
         col(idCol).cast("long").as("media_id"),
         lit("image").as("media_type"),
         pngUdf(col(idCol).cast("long")).as("payload"),
@@ -539,7 +542,8 @@ object Multimodal {
     * are recomputable in SQL). */
   def mediaFromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
-    df.select(
+    val df_ = graft.etl.Parallelism.spread(df)
+    df_.select(
         col(idCol).cast("long").as("media_id"),
         lit("image").as("media_type"),
         encode(col(textCol), "UTF-8").as("payload"),
@@ -589,10 +593,11 @@ object Multimodal {
   def mediaFromSyntheticVadAudio(df: DataFrame,
       idCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
+    val df_ = graft.etl.Parallelism.spread(df)
     val wavUdf = udf((id: Long) =>
       syntheticVadWav(800, (2 + id % 6).toInt, (1000 + id % 20 * 500).toInt,
         (1 + id % 255).toInt))
-    df.select(
+    df_.select(
         col(idCol).cast("long").as("media_id"),
         lit("audio").as("media_type"),
         wavUdf(col(idCol).cast("long")).as("payload"),

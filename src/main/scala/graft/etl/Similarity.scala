@@ -173,7 +173,7 @@ object Similarity {
     * the EXPLODED row table and the pair table. Per-query-run storage,
     * released by Bench/Verify with every other checkpoint. */
   private def pinnedTokens(df: DataFrame, idCol: String, fps: Column): DataFrame =
-    df.select(col(idCol).as("id"), fps.as("_sha"))
+    Parallelism.spread(df).select(col(idCol).as("id"), fps.as("_sha"))
       .localCheckpoint(eager = false)
       .select(col("id"), explode(col("_sha")).as("shingle"))
 
@@ -504,7 +504,8 @@ object Similarity {
   /** SimHash near-dup pairs with hamming ≤ maxDist, banded into 4 16-bit
     * blocks (pigeonhole guarantees recall for maxDist ≤ 3). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
-    val withSh = withSimhash(df.select(col(idCol).as("id"), col(textCol).as("text")), "text")
+    val withSh = withSimhash(Parallelism.spread(
+      df.select(col(idCol).as("id"), col(textCol).as("text"))), "text")
     val banded = withSh.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => col("simhash").substr(b * lit(16) + 1, lit(16)))))

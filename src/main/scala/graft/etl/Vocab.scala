@@ -26,7 +26,7 @@ object Vocab {
     // every caller consumes the gram rows at least twice (frequency census +
     // position join), and un-pinned each consumer re-ran the tokenize +
     // n-fold zip_with construction over the corpus
-    docs.select(col(idCol), grams.as("_grams"))
+    Parallelism.spread(docs).select(col(idCol), grams.as("_grams"))
       .localCheckpoint(eager = false)
       .select(col(idCol), posexplode(col("_grams")).as(Seq("pos0", "gram")))
       .select(col(idCol), (col("pos0") + 1).as("pos"), col("gram"))

@@ -29,7 +29,7 @@ object Domain {
       lit("2 voor 3.00"), lit("1+1 gratis"), lit("25% korting"), lit("-30%"),
       lit("2e halve prijs"), lit("2e gratis"), lit("- €0.50"),
       lit("vanaf €10"), lit("gratis bezorging"), lit("mega deal"))
-    val df = Tables.orders(spark, dir)
+    val df = graft.etl.Parallelism.spread(Tables.orders(spark, dir))
       .withColumn("pbb", (($"o_orderkey" % 19) + 1) * 20 / 100.0)
       .withColumn("mech", element_at(mechs, ($"o_orderkey" % 10).cast("int") + 1))
       .withColumn("p", Udfs.parsePromo($"mech", $"pbb", $"pbb"))
@@ -401,7 +401,7 @@ object Domain {
     val cents = (($"o_orderkey" % 19) + 1) * 20
     val pbb = cents / lit(100.0)
     val cp = when(k.isin(0, 5), cents / lit(200.0)).otherwise(pbb)
-    val input = Tables.orders(spark, dir).select(
+    val input = graft.etl.Parallelism.spread(Tables.orders(spark, dir)).select(
       $"o_orderkey",
       when(k === 0, "AH").when(k.isin(4, 5), "ALDI").when(k === 2, "PLUS")
         .otherwise("JUMBO").as("shop_type"),

@@ -283,8 +283,8 @@ object EvalQueries {
       .localCheckpoint()
     val members = pairs.select($"id_a".as("doc_id"))
       .unionByName(pairs.select($"id_b".as("doc_id"))).distinct()
-    val shingles = docs
-      .join(broadcast(members), Seq("doc_id"), "left_semi")
+    val shingles = graft.etl.Parallelism
+      .spread(docs.join(broadcast(members), Seq("doc_id"), "left_semi"))
       .select($"doc_id",
         explode(array_distinct(call_function("word_shingles", $"text",
           lit(3)))).as("s"))

@@ -65,7 +65,7 @@ object Reports {
     val promoLit = when($"o_orderkey" % 4 === 0, lit("\"false\""))
       .when($"o_orderkey" % 4 === 1, lit("\"0\""))
       .when($"o_orderkey" % 4 === 2, lit("\"yes\""))
-    val raw = Tables.orders(spark, dir).select(
+    val raw = graft.etl.Parallelism.spread(Tables.orders(spark, dir)).select(
       concat(lit("R"), $"o_orderkey".cast("string")).as("id"),
       concat(
         lit("{\"name\":\"Gen "), $"o_orderkey".cast("string"), lit("\""),

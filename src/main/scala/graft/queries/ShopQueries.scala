@@ -58,6 +58,13 @@ object ShopQueries {
   private def evalOnce(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = false)
 
+  /** [[graft.etl.Parallelism.spread]] on the raw scan BELOW the JSON
+    * synthesis + parse: the sf-scale fixtures are single-row-group
+    * parquet, so un-spread the whole parse+transform pipeline ran in ONE
+    * task regardless of core count. */
+  private def spread(df: DataFrame): DataFrame =
+    graft.etl.Parallelism.spread(df)
+
 
   private def centsOut(c: Column): Column = round(c * 100).cast("long")
 
@@ -100,7 +107,7 @@ object ShopQueries {
         "{\"code\":\"DISCOUNT_MYSTERY\"}," +
         "{\"code\":\"DISCOUNT_AMOUNT\",\"amount\":0.5}]")).otherwise(lit("")),
       lit("}"))
-    val raw = evalOnce(Tables.orders(spark, dir)
+    val raw = evalOnce(spread(Tables.orders(spark, dir))
       .select(from_json(json, Shops.Ah.schema).as("j")).select($"j.*"))
     Shops.Ah.unified(raw).select(
       $"unified_id", $"title", $"main_category", $"brand", $"image_url",
@@ -150,7 +157,7 @@ object ShopQueries {
         when(k === 7, lit(",\"promotions\":[{\"tags\":[{\"text\":\"25% korting\"}]}]"))
           .otherwise(lit("")),
         lit("}}")))
-    val raw = evalOnce(Tables.orders(spark, dir)
+    val raw = evalOnce(spread(Tables.orders(spark, dir))
       .select(from_json(json, Shops.Jumbo.schema).as("j")).select($"j.*"))
     Shops.Jumbo.unified(raw).select(
       $"unified_id", $"title", $"main_category", $"brand",
@@ -201,7 +208,7 @@ object ShopQueries {
         lit(",\"promotionDetails\":{\"promotionDate\":\"2024-03-04\"}"))
         .otherwise(lit("")),
       lit(",\"primaryImage\":{\"baseUrl\":\"img.jpg\"}}"))
-    val raw = evalOnce(Tables.orders(spark, dir)
+    val raw = evalOnce(spread(Tables.orders(spark, dir))
       .select(from_json(json, Shops.Aldi.schema).as("j")).select($"j.*"))
     // main_category is intentionally not emitted: the k=6 'discount' class
     // feeds the cascade an input whose result q22 does not pin by hand.
@@ -249,7 +256,7 @@ object ShopQueries {
           "\"PromotionStartDate\":\"1900-01-01\",\"PromotionEndDate\":\"2024-01-07\""))
           .otherwise(lit("")),
         lit(",\"Categories\":{\"List\":[{\"Name\":\"Bakkerij\"}]}}}")))
-    val raw = evalOnce(Tables.orders(spark, dir)
+    val raw = evalOnce(spread(Tables.orders(spark, dir))
       .select(from_json(json, Shops.Plus.schema).as("j")).select($"j.*"))
     Shops.Plus.unified(raw).select(
       $"unified_id", $"title", $"main_category", $"brand", $"image_url",

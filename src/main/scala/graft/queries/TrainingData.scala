@@ -924,7 +924,8 @@ object TrainingData {
       .localCheckpoint()
     val touched = pairs.select($"id_a".as("doc_id"))
       .unionByName(pairs.select($"id_b".as("doc_id"))).distinct()
-    val shingles = docs.join(touched, Seq("doc_id"), "left_semi")
+    val shingles = graft.etl.Parallelism
+      .spread(docs.join(touched, Seq("doc_id"), "left_semi"))
       .select($"doc_id",
         explode(array_distinct(call_function("word_shingles", $"text",
           lit(3)))).as("s"))
@@ -1226,8 +1227,8 @@ object TrainingData {
       .localCheckpoint()
     val members = pairs.select($"id_a".as("doc_id"))
       .unionByName(pairs.select($"id_b".as("doc_id"))).distinct()
-    val shingles = docs
-      .join(broadcast(members), Seq("doc_id"), "left_semi")
+    val shingles = graft.etl.Parallelism
+      .spread(docs.join(broadcast(members), Seq("doc_id"), "left_semi"))
       .select($"doc_id",
         explode(array_distinct(call_function("word_shingles", $"text",
           lit(3)))).as("s"))
